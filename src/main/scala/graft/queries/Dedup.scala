@@ -1,0 +1,150 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Near-duplicate detection over `documents`: n-gram Jaccard via a shingle
+  * self-join, MinHash+LSH banding, and SimHash fingerprints.
+  *
+  * Scale design: none of these ever materialize the O(n²) pair space.
+  *  - Jaccard: explode word-3-gram shingles, self-join on the shingle,
+  *    count common shingles per pair — cost is Σ df(shingle)², bounded by
+  *    a document-frequency cap on shingles (ultra-frequent shingles carry
+  *    no dedup signal and would otherwise create join skew at 100 TB).
+  *  - MinHash: 16 hash functions (min over md5(seed‖shingle)), banded 4×4;
+  *    candidate pairs come from an equality join on (band, signature) —
+  *    near-linear, the standard web-scale dedup shape.
+  *  - SimHash: 32-bit signature from per-token hashes; per-doc only
+  *    (pairing would group by rotated bit-bands at scale).
+  */
+object Dedup {
+
+  /** Distinct word-3-gram shingles per doc: (doc_id, shingle). */
+  private def shingles(t: Tables): DataFrame =
+    t.documents
+      .select(col("doc_id"), split(col("text"), " ").as("sp"))
+      .filter(size(col("sp")) >= 3)
+      .select(col("doc_id"),
+        explode(expr("transform(sequence(0, size(sp) - 3), i -> concat_ws(' ', sp[i], sp[i+1], sp[i+2]))"))
+          .as("shingle"))
+      .distinct()
+
+  /** Shared SQL for the oracle's shingle CTEs (DuckDB dialect). */
+  private val shingleSql =
+    """t AS (SELECT doc_id, string_split(text, ' ') AS sp FROM documents WHERE len(string_split(text, ' ')) >= 3),
+      sh AS (SELECT DISTINCT doc_id,
+               unnest(list_transform(range(len(sp) - 2),
+                 i -> sp[i+1] || ' ' || sp[i+2] || ' ' || sp[i+3])) AS shingle
+             FROM t)"""
+
+  /** Document-frequency cap: shingles appearing in more docs than this are
+    * dropped before the pair join (skew guard; no shingle reaches it at
+    * test scale, so results are unchanged — it exists for the 100 TB path). */
+  private val DfCap = 10000
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- q24: n-gram Jaccard near-dup pairs (threshold 0.6) --------------
+    QueryDef(
+      "q24_ngram_jaccard",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val sh = shingles(t)
+        val kept = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+          .filter(col("df") <= DfCap).select(col("shingle"))
+        val shk = sh.join(kept, "shingle")
+        val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+        val pairs = shk.select(col("doc_id").as("d1"), col("shingle"))
+          .join(shk.select(col("doc_id").as("d2"), col("shingle")), "shingle")
+          .filter(col("d1") < col("d2"))
+          .groupBy(col("d1"), col("d2"))
+          .agg(count(lit(1)).as("common"))
+        pairs
+          .join(cnt.select(col("doc_id").as("d1"), col("n").as("n1")), "d1")
+          .join(cnt.select(col("doc_id").as("d2"), col("n").as("n2")), "d2")
+          .withColumn("jaccard", expr("common / (n1 + n2 - common)"))
+          .filter(col("jaccard") >= 0.6)
+          .select(col("d1"), col("d2"), col("common"), col("jaccard"))
+          .orderBy(col("d1"), col("d2"))
+      },
+      Some(s"""WITH $shingleSql,
+        kept AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= $DfCap),
+        shk AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN kept USING (shingle)),
+        cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        pairs AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS common
+                  FROM shk a JOIN shk b USING (shingle)
+                  WHERE a.doc_id < b.doc_id GROUP BY a.doc_id, b.doc_id)
+        SELECT d1, d2, common, common / (n1 + n2 - common) AS jaccard
+        FROM (SELECT d1, d2, common, ca.n AS n1, cb.n AS n2
+              FROM pairs JOIN cnt ca ON ca.doc_id = d1 JOIN cnt cb ON cb.doc_id = d2)
+        WHERE common / (n1 + n2 - common) >= 0.6
+        ORDER BY d1, d2""")),
+
+    // ---- q25: MinHash + LSH banding candidate pairs ----------------------
+    QueryDef(
+      "q25_minhash_lsh",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val mh = shingles(t)
+          .select(col("doc_id"), explode(expr("sequence(0, 15)")).as("seed"), col("shingle"))
+          .groupBy(col("doc_id"), col("seed"))
+          .agg(min(md5(concat(col("seed").cast("string"), lit("|"), col("shingle")).cast("binary"))).as("h"))
+        val bands = mh
+          .withColumn("band", floor(col("seed") / 4.0).cast("int"))
+          .groupBy(col("doc_id"), col("band"))
+          .agg(expr("array_join(transform(array_sort(collect_list(struct(seed, h))), x -> x.h), ',')")
+            .as("sig"))
+        bands.select(col("doc_id").as("d1"), col("band"), col("sig"))
+          .join(bands.select(col("doc_id").as("d2"), col("band"), col("sig")), Seq("band", "sig"))
+          .filter(col("d1") < col("d2"))
+          .select(col("d1"), col("d2"))
+          .distinct()
+          .orderBy(col("d1"), col("d2"))
+      },
+      Some(s"""WITH $shingleSql,
+        seeds AS (SELECT seed FROM range(0, 16) r(seed)),
+        mh AS (SELECT doc_id, seed, MIN(md5(CAST(seed AS VARCHAR) || '|' || shingle)) AS h
+               FROM sh CROSS JOIN seeds GROUP BY doc_id, seed),
+        bands AS (SELECT doc_id, CAST(FLOOR(seed / 4.0) AS INT) AS band,
+                         string_agg(h, ',' ORDER BY seed) AS sig
+                  FROM mh GROUP BY doc_id, CAST(FLOOR(seed / 4.0) AS INT))
+        SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+        FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig
+        WHERE a.doc_id < b.doc_id ORDER BY d1, d2""")),
+
+    // ---- q26: SimHash 32-bit signatures ----------------------------------
+    QueryDef(
+      "q26_simhash",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val h = t.documents
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+          .withColumn("hv",
+            expr("cast(conv(substring(md5(cast(tok as binary)), 1, 8), 16, 10) as bigint)"))
+        h.select(col("doc_id"), col("hv"), explode(expr("sequence(0, 31)")).as("bit"))
+          .groupBy(col("doc_id"), col("bit"))
+          .agg(sum(when(expr("(shiftright(hv, bit) & 1) = 1"), 1L).otherwise(-1L)).as("s"))
+          .groupBy(col("doc_id"))
+          .agg(sum(when(col("s") > 0, expr("shiftleft(cast(1 as bigint), bit)")).otherwise(0L))
+            .as("simhash"))
+          .orderBy(col("doc_id"))
+      },
+      Some {
+        // 32-bit value of the first 8 hex chars of md5(tok), via per-char
+        // arithmetic (DuckDB has no base-conversion function).
+        val hex8 = (1 to 8)
+          .map(j => s"(strpos('0123456789abcdef', substr(m, $j, 1)) - 1) * ${1L << (4 * (8 - j))}")
+          .mkString(" + ")
+        s"""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+          h AS (SELECT doc_id, $hex8 AS hv FROM (SELECT doc_id, md5(tok) AS m FROM toks)),
+          bits AS (SELECT doc_id, b.bit,
+                     SUM(CASE WHEN (hv >> b.bit) & 1 = 1 THEN 1 ELSE -1 END) AS s
+                   FROM h CROSS JOIN (SELECT bit FROM range(0, 32) r(bit)) b
+                   GROUP BY doc_id, b.bit)
+          SELECT doc_id,
+            CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT) AS simhash
+          FROM bits GROUP BY doc_id ORDER BY doc_id"""
+      })
+  )
+}

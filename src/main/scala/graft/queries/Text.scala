@@ -1,0 +1,146 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a training-data pipeline over the
+  * `documents` table: token counting, quality scoring, language-ID
+  * heuristics, and document fingerprinting / exact deduplication.
+  *
+  * All implementations are per-row expression pipelines (narrow, no
+  * shuffle except final aggregates) so they scale linearly with input —
+  * the same plan shape a 100 TB corpus sweep needs. Everything stays
+  * inside whole-stage codegen: no UDFs, only built-in expressions.
+  */
+object Text {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- q19: token counting — whitespace split + a BPE-ish regex -------
+    QueryDef(
+      "q19_token_counts",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        t.documents
+          .select(
+            col("doc_id"),
+            size(split(col("text"), " ")).cast("long").as("ws_tokens"),
+            regexp_count(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]")).cast("long")
+              .as("re_tokens"),
+            length(col("text")).cast("long").as("n_chars_m"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id,
+        CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+        CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS re_tokens,
+        CAST(length(text) AS BIGINT) AS n_chars_m
+        FROM documents ORDER BY doc_id""")),
+
+    // ---- q20: quality scoring — length / stopword-ratio / word-length ---
+    QueryDef(
+      "q20_text_quality",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        t.documents
+          .withColumn("sp", split(col("text"), " "))
+          .select(
+            col("doc_id"),
+            size(col("sp")).cast("long").as("n_tokens"),
+            expr("cast(size(filter(sp, x -> x IN ('the', 'a', 'of', 'and', 'is', 'to', 'in'))) as bigint)")
+              .as("stop_tokens"),
+            length(col("text")).cast("long").as("n_chars_m"))
+          .withColumn("avg_wlen",
+            expr("cast(n_chars_m as double) / cast(n_tokens as double)"))
+          .withColumn("stop_ratio",
+            expr("cast(stop_tokens as double) / cast(n_tokens as double)"))
+          .withColumn("quality", expr("stop_ratio + 0.1 * avg_wlen"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id, n_tokens, stop_tokens, n_chars_m, avg_wlen, stop_ratio,
+        stop_ratio + 0.1 * avg_wlen AS quality
+        FROM (
+          SELECT doc_id, n_tokens, stop_tokens, n_chars_m,
+            CAST(n_chars_m AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS avg_wlen,
+            CAST(stop_tokens AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS stop_ratio
+          FROM (
+            SELECT doc_id,
+              CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+              CAST(len(list_filter(string_split(text, ' '),
+                x -> x IN ('the', 'a', 'of', 'and', 'is', 'to', 'in'))) AS BIGINT) AS stop_tokens,
+              CAST(length(text) AS BIGINT) AS n_chars_m
+            FROM documents))
+        ORDER BY doc_id""")),
+
+    // ---- q21: language-ID — marker-n-gram scoring with argmax ------------
+    // Same structure as a real character/word-n-gram language classifier:
+    // count marker hits per class, pick the argmax with a fixed tiebreak.
+    QueryDef(
+      "q21_langid",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        t.documents
+          .select(
+            col("doc_id"),
+            regexp_count(col("text"), lit("\\b(join|merge|sort)\\b")).cast("long").as("s_a"),
+            regexp_count(col("text"), lit("\\b(scan|filter|query)\\b")).cast("long").as("s_b"),
+            regexp_count(col("text"), lit("\\b(stream|batch|window)\\b")).cast("long").as("s_c"),
+            regexp_count(col("text"), lit("\\b(vector|hash|key)\\b")).cast("long").as("s_d"))
+          .withColumn("lang_pred",
+            expr("""case when s_a >= s_b and s_a >= s_c and s_a >= s_d then 'A'
+                         when s_b >= s_c and s_b >= s_d then 'B'
+                         when s_c >= s_d then 'C'
+                         else 'D' end"""))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id, s_a, s_b, s_c, s_d,
+        CASE WHEN s_a >= s_b AND s_a >= s_c AND s_a >= s_d THEN 'A'
+             WHEN s_b >= s_c AND s_b >= s_d THEN 'B'
+             WHEN s_c >= s_d THEN 'C'
+             ELSE 'D' END AS lang_pred
+        FROM (
+          SELECT doc_id,
+            CAST(len(regexp_extract_all(text, '\b(join|merge|sort)\b')) AS BIGINT) AS s_a,
+            CAST(len(regexp_extract_all(text, '\b(scan|filter|query)\b')) AS BIGINT) AS s_b,
+            CAST(len(regexp_extract_all(text, '\b(stream|batch|window)\b')) AS BIGINT) AS s_c,
+            CAST(len(regexp_extract_all(text, '\b(vector|hash|key)\b')) AS BIGINT) AS s_d
+          FROM documents)
+        ORDER BY doc_id""")),
+
+    // ---- q22: exact dedup — md5 fingerprint groups, min-doc_id keeper ----
+    // The canonical hash-groupBy dedup: one shuffle on the fingerprint,
+    // map-side partial agg; at 100 TB the fingerprint is computed in the
+    // scan stage and only (fp, doc_id) shuffles.
+    QueryDef(
+      "q22_exact_dedup",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        t.documents
+          .select(col("doc_id"), md5(lower(trim(col("text"))).cast("binary")).as("fp"))
+          .groupBy(col("fp"))
+          .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keeper"))
+          .orderBy(col("fp"))
+      },
+      Some("""SELECT md5(lower(trim(text))) AS fp, COUNT(*) AS n_docs,
+        MIN(doc_id) AS keeper
+        FROM documents GROUP BY 1 ORDER BY fp""")),
+
+    // ---- q23: corpus stats by (lang, source) — metadata sweep ------------
+    QueryDef(
+      "q23_doc_stats",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        t.documents
+          .groupBy(col("lang"), col("source"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("total_chars"),
+            min(col("doc_id")).as("first_doc"),
+            max(col("doc_id")).as("last_doc"))
+          .orderBy(col("lang"), col("source"))
+      },
+      Some("""SELECT lang, source, COUNT(*) AS n_docs,
+        CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+        MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+        FROM documents GROUP BY lang, source ORDER BY lang, source"""))
+  )
+}

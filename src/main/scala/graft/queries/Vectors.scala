@@ -1,0 +1,171 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the `embeddings` table (Array[Float], dim 64).
+  *
+  * Numerics: each per-element double product is quantized to an integer
+  * at 1e9 scale (round(x*y*1e9)); integer-valued doubles below 2^53 sum
+  * exactly and order-independently, so Spark's partial aggregation and
+  * DuckDB's scan order produce bit-identical cosines (the 1e9 scale
+  * cancels in dot/sqrt(n2*n2)) and results hash-match. Both engines round
+  * ties away from zero, so the quantization itself is also identical.
+  *
+  * Scale design: the brute-force path is "small query set × full corpus"
+  * (query side broadcast, corpus side never shuffled — one narrow pass).
+  * The LSH path buckets vectors by an 8-bit sign-random-projection code
+  * (axis projections), turning the pair space into per-bucket blocks; at
+  * 100 TB the bucket join replaces the cross product entirely.
+  */
+object Vectors {
+
+  /** Per-vector embeddings as array<double> plus the 8-bit SRP bucket. */
+  private def emb(t: Tables): DataFrame = {
+    val bucketExpr = (0 to 7)
+      .map(j => s"(case when e[$j] > 0 then ${1 << j} else 0 end)")
+      .mkString(" + ")
+    t.embeddings.select(
+      col("vec_id"),
+      col("embedding").cast("array<double>").as("e"))
+      .withColumn("bucket", expr(bucketExpr).cast("int"))
+  }
+
+  /** Exact squared norms: (vec_id, n2 decimal). */
+  private def norms(e: DataFrame): DataFrame =
+    e.select(col("vec_id"), explode(col("e")).as("x"))
+      .groupBy(col("vec_id"))
+      .agg(sum(expr("round(x * x * 1e9)")).as("n2"))
+
+  private val duckBucket = (1 to 8)
+    .map(j => s"(CASE WHEN embedding[$j] > 0 THEN ${1 << (j - 1)} ELSE 0 END)")
+    .mkString(" + ")
+
+  private val duckNorms =
+    """norms AS (SELECT vec_id, SUM(round(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) * 1e9)) AS n2
+                 FROM (SELECT vec_id, unnest(embedding) AS x FROM embeddings) GROUP BY vec_id)"""
+
+  /** Pair dot products + cosine for a joined (qid, qe) × (vid, ve) frame. */
+  private def cosine(pairs: DataFrame, n: DataFrame): DataFrame =
+    pairs
+      .select(col("qid"), col("vid"),
+        explode(expr("zip_with(qe, ve, (x, y) -> round(x * y * 1e9))")).as("p"))
+      .groupBy(col("qid"), col("vid"))
+      .agg(sum(col("p")).as("dot"))
+      .join(n.select(col("vec_id").as("qid"), col("n2").as("qn2")), "qid")
+      .join(n.select(col("vec_id").as("vid"), col("n2").as("vn2")), "vid")
+      .withColumn("cos", expr("dot / sqrt(qn2 * vn2)"))
+
+  private val duckDots =
+    """SUM(p) AS dot"""
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- q27: brute-force cosine top-3 for a small query set -------------
+    QueryDef(
+      "q27_ann_bruteforce",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val e = emb(t)
+        val n = norms(e)
+        val q = e.filter(col("vec_id") < 20).select(col("vec_id").as("qid"), col("e").as("qe"))
+        val c = e.select(col("vec_id").as("vid"), col("e").as("ve"))
+        val pairs = broadcast(q).crossJoin(c).filter(col("qid") =!= col("vid"))
+        val w = Window.partitionBy(col("qid")).orderBy(desc("cos"), col("vid"))
+        cosine(pairs, n)
+          .withColumn("rank", row_number().over(w).cast("long"))
+          .filter(col("rank") <= 3)
+          .select(col("qid"), col("rank"), col("vid"), col("cos"))
+          .orderBy(col("qid"), col("rank"))
+      },
+      Some(s"""WITH $duckNorms,
+        dots AS (
+          SELECT qid, vid, $duckDots FROM (
+            SELECT q.vec_id AS qid, c.vec_id AS vid,
+              unnest(list_transform(range(1, len(q.embedding) + 1),
+                i -> round(CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE) * 1e9))) AS p
+            FROM embeddings q, embeddings c
+            WHERE q.vec_id < 20 AND q.vec_id <> c.vec_id)
+          GROUP BY qid, vid),
+        scored AS (
+          SELECT qid, vid,
+            dot / sqrt(nq.n2 * nv.n2) AS cos
+          FROM dots JOIN norms nq ON nq.vec_id = qid JOIN norms nv ON nv.vec_id = vid)
+        SELECT qid, rank, vid, cos FROM (
+          SELECT qid, vid, cos,
+            ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vid) AS rank
+          FROM scored)
+        WHERE rank <= 3 ORDER BY qid, rank""")),
+
+    // ---- q28: LSH-bucketed ANN top-3 (the scale path) --------------------
+    QueryDef(
+      "q28_ann_lsh",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val e = emb(t)
+        val n = norms(e)
+        val q = e.filter(col("vec_id") < 20)
+          .select(col("vec_id").as("qid"), col("e").as("qe"), col("bucket"))
+        val c = e.select(col("vec_id").as("vid"), col("e").as("ve"), col("bucket"))
+        val pairs = q.join(c, "bucket").filter(col("qid") =!= col("vid"))
+        val w = Window.partitionBy(col("qid")).orderBy(desc("cos"), col("vid"))
+        cosine(pairs, n)
+          .withColumn("rank", row_number().over(w).cast("long"))
+          .filter(col("rank") <= 3)
+          .select(col("qid"), col("rank"), col("vid"), col("cos"))
+          .orderBy(col("qid"), col("rank"))
+      },
+      Some(s"""WITH $duckNorms,
+        e AS (SELECT vec_id, embedding, $duckBucket AS bucket FROM embeddings),
+        dots AS (
+          SELECT qid, vid, $duckDots FROM (
+            SELECT q.vec_id AS qid, c.vec_id AS vid,
+              unnest(list_transform(range(1, len(q.embedding) + 1),
+                i -> round(CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE) * 1e9))) AS p
+            FROM e q JOIN e c ON q.bucket = c.bucket
+            WHERE q.vec_id < 20 AND q.vec_id <> c.vec_id)
+          GROUP BY qid, vid),
+        scored AS (
+          SELECT qid, vid,
+            dot / sqrt(nq.n2 * nv.n2) AS cos
+          FROM dots JOIN norms nq ON nq.vec_id = qid JOIN norms nv ON nv.vec_id = vid)
+        SELECT qid, rank, vid, cos FROM (
+          SELECT qid, vid, cos,
+            ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vid) AS rank
+          FROM scored)
+        WHERE rank <= 3 ORDER BY qid, rank""")),
+
+    // ---- q29: embedding near-dup pairs within SRP buckets ----------------
+    QueryDef(
+      "q29_embedding_neardup",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val e = emb(t)
+        val n = norms(e)
+        val a = e.select(col("vec_id").as("qid"), col("e").as("qe"), col("bucket"))
+        val b = e.select(col("vec_id").as("vid"), col("e").as("ve"), col("bucket"))
+        val pairs = a.join(b, "bucket").filter(col("qid") < col("vid"))
+        cosine(pairs, n)
+          .filter(col("cos") > 0.3)
+          .select(col("qid").as("v1"), col("vid").as("v2"), col("cos"))
+          .orderBy(col("v1"), col("v2"))
+      },
+      Some(s"""WITH $duckNorms,
+        e AS (SELECT vec_id, embedding, $duckBucket AS bucket FROM embeddings),
+        dots AS (
+          SELECT qid, vid, $duckDots FROM (
+            SELECT q.vec_id AS qid, c.vec_id AS vid,
+              unnest(list_transform(range(1, len(q.embedding) + 1),
+                i -> round(CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE) * 1e9))) AS p
+            FROM e q JOIN e c ON q.bucket = c.bucket
+            WHERE q.vec_id < c.vec_id)
+          GROUP BY qid, vid),
+        scored AS (
+          SELECT qid, vid,
+            dot / sqrt(nq.n2 * nv.n2) AS cos
+          FROM dots JOIN norms nq ON nq.vec_id = qid JOIN norms nv ON nv.vec_id = vid)
+        SELECT qid AS v1, vid AS v2, cos FROM scored WHERE cos > 0.3 ORDER BY v1, v2"""))
+  )
+}
