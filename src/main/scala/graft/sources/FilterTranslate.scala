@@ -1,0 +1,162 @@
+package graft.sources
+
+import org.apache.parquet.filter2.predicate.{FilterApi, FilterPredicate, Operators}
+import org.apache.parquet.io.api.Binary
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types._
+
+/** Spark `sources.Filter` → parquet `FilterPredicate`, the capability
+  * analog of the reference's Catalyst→HBase-`FilterList` translator
+  * (`HBaseSparkFilterUtils.scala:23-129`), with the semantics fixed:
+  *
+  *  - unsupported conjuncts are NEVER silently dropped — the scan reports
+  *    every filter as a residual so Spark re-evaluates them post-scan
+  *    (the reference loses unconvertible predicates, SURVEY.md §2.1 #10);
+  *  - StartsWith/EndsWith/Contains keep their correct meanings (the
+  *    reference swaps the first two, SURVEY.md §2.1 #9) — parquet has no
+  *    substring predicate, so only StartsWith maps (to a min/max-friendly
+  *    user-defined range via binary bounds); the rest stay residual-only.
+  *
+  * The translated predicate drives row-group and page-level skipping plus
+  * parquet-mr record-level filtering; correctness never depends on it.
+  */
+object FilterTranslate {
+
+  private val MaxInValues = 32
+
+  def translate(schema: StructType, f: Filter): Option[FilterPredicate] = {
+    def typeOf(attr: String): Option[DataType] =
+      schema.fields.find(_.name == attr).map(_.dataType)
+
+    def eq(attr: String, v: Any, negate: Boolean): Option[FilterPredicate] =
+      typeOf(attr).flatMap {
+        case IntegerType =>
+          val c = FilterApi.intColumn(attr)
+          val j = if (v == null) null else java.lang.Integer.valueOf(v.asInstanceOf[Number].intValue())
+          Some(if (negate) FilterApi.notEq(c, j) else FilterApi.eq(c, j))
+        case LongType =>
+          val c = FilterApi.longColumn(attr)
+          val j = if (v == null) null else java.lang.Long.valueOf(v.asInstanceOf[Number].longValue())
+          Some(if (negate) FilterApi.notEq(c, j) else FilterApi.eq(c, j))
+        case DoubleType =>
+          val c = FilterApi.doubleColumn(attr)
+          val j = if (v == null) null else java.lang.Double.valueOf(v.asInstanceOf[Number].doubleValue())
+          Some(if (negate) FilterApi.notEq(c, j) else FilterApi.eq(c, j))
+        case FloatType =>
+          val c = FilterApi.floatColumn(attr)
+          val j = if (v == null) null else java.lang.Float.valueOf(v.asInstanceOf[Number].floatValue())
+          Some(if (negate) FilterApi.notEq(c, j) else FilterApi.eq(c, j))
+        case BooleanType =>
+          val c = FilterApi.booleanColumn(attr)
+          val j = if (v == null) null else java.lang.Boolean.valueOf(v.asInstanceOf[Boolean])
+          Some(if (negate) FilterApi.notEq(c, j) else FilterApi.eq(c, j))
+        case StringType =>
+          val c = FilterApi.binaryColumn(attr)
+          val j = if (v == null) null else Binary.fromString(v.toString)
+          Some(if (negate) FilterApi.notEq(c, j) else FilterApi.eq(c, j))
+        case BinaryType =>
+          val c = FilterApi.binaryColumn(attr)
+          val j = if (v == null) null else Binary.fromConstantByteArray(v.asInstanceOf[Array[Byte]])
+          Some(if (negate) FilterApi.notEq(c, j) else FilterApi.eq(c, j))
+        case _ => None
+      }
+
+    def cmp(attr: String, v: Any, op: String): Option[FilterPredicate] =
+      typeOf(attr).flatMap {
+        case IntegerType =>
+          val c = FilterApi.intColumn(attr)
+          val j = java.lang.Integer.valueOf(v.asInstanceOf[Number].intValue())
+          Some(op match {
+            case "gt" => FilterApi.gt(c, j); case "ge" => FilterApi.gtEq(c, j)
+            case "lt" => FilterApi.lt(c, j); case _ => FilterApi.ltEq(c, j)
+          })
+        case LongType =>
+          val c = FilterApi.longColumn(attr)
+          val j = java.lang.Long.valueOf(v.asInstanceOf[Number].longValue())
+          Some(op match {
+            case "gt" => FilterApi.gt(c, j); case "ge" => FilterApi.gtEq(c, j)
+            case "lt" => FilterApi.lt(c, j); case _ => FilterApi.ltEq(c, j)
+          })
+        case DoubleType =>
+          val c = FilterApi.doubleColumn(attr)
+          val j = java.lang.Double.valueOf(v.asInstanceOf[Number].doubleValue())
+          Some(op match {
+            case "gt" => FilterApi.gt(c, j); case "ge" => FilterApi.gtEq(c, j)
+            case "lt" => FilterApi.lt(c, j); case _ => FilterApi.ltEq(c, j)
+          })
+        case FloatType =>
+          val c = FilterApi.floatColumn(attr)
+          val j = java.lang.Float.valueOf(v.asInstanceOf[Number].floatValue())
+          Some(op match {
+            case "gt" => FilterApi.gt(c, j); case "ge" => FilterApi.gtEq(c, j)
+            case "lt" => FilterApi.lt(c, j); case _ => FilterApi.ltEq(c, j)
+          })
+        case StringType =>
+          val c = FilterApi.binaryColumn(attr)
+          val j = Binary.fromString(v.toString)
+          Some(op match {
+            case "gt" => FilterApi.gt(c, j); case "ge" => FilterApi.gtEq(c, j)
+            case "lt" => FilterApi.lt(c, j); case _ => FilterApi.ltEq(c, j)
+          })
+        case _ => None
+      }
+
+    f match {
+      case EqualTo(a, v) => eq(a, v, negate = false)
+      case GreaterThan(a, v) => cmp(a, v, "gt")
+      case GreaterThanOrEqual(a, v) => cmp(a, v, "ge")
+      case LessThan(a, v) => cmp(a, v, "lt")
+      case LessThanOrEqual(a, v) => cmp(a, v, "le")
+      case IsNull(a) => eq(a, null, negate = false)
+      case IsNotNull(a) => eq(a, null, negate = true)
+      case In(a, vs) if vs.nonEmpty && vs.length <= MaxInValues =>
+        val parts = vs.toSeq.map(v => eq(a, v, negate = false))
+        if (parts.forall(_.isDefined)) Some(parts.flatten.reduce(FilterApi.or)) else None
+      case And(l, r) =>
+        // one translatable side still prunes (sound for conjunction)
+        (translate(schema, l), translate(schema, r)) match {
+          case (Some(a), Some(b)) => Some(FilterApi.and(a, b))
+          case (Some(a), None) => Some(a)
+          case (None, Some(b)) => Some(b)
+          case _ => None
+        }
+      case Or(l, r) =>
+        for {
+          a <- translate(schema, l)
+          b <- translate(schema, r)
+        } yield FilterApi.or(a, b)
+      case Not(child) =>
+        // sound only when the child translated exactly; restrict to EqualTo
+        child match {
+          case EqualTo(a, v) => eq(a, v, negate = true)
+          case _ => None
+        }
+      case StringStartsWith(a, prefix) if prefix.nonEmpty =>
+        typeOf(a).collect { case StringType =>
+          // prefix p → p <= col < p' where p' bumps the last byte; falls
+          // back to ge-only when the prefix is all 0xff.
+          val c = FilterApi.binaryColumn(a)
+          val lower = FilterApi.gtEq(c, Binary.fromString(prefix))
+          upperBound(prefix) match {
+            case Some(u) => FilterApi.and(lower, FilterApi.lt(c, Binary.fromConstantByteArray(u)))
+            case None => lower
+          }
+        }
+      case _ => None
+    }
+  }
+
+  /** Smallest byte string strictly greater than every string with the
+    * given prefix (increment last non-0xff byte, truncate after it). */
+  private[sources] def upperBound(prefix: String): Option[Array[Byte]] = {
+    val b = prefix.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = b.length - 1
+    while (i >= 0 && b(i) == 0xff.toByte) i -= 1
+    if (i < 0) None
+    else {
+      val out = java.util.Arrays.copyOf(b, i + 1)
+      out(i) = (out(i) + 1).toByte
+      Some(out)
+    }
+  }
+}

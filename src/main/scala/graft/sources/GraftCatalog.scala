@@ -1,0 +1,179 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.catalyst.analysis.{NamespaceAlreadyExistsException, NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.types.{DataType, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.yaml.snakeyaml.{DumperOptions, Yaml}
+
+/** Filesystem-backed DSv2 `TableCatalog with SupportsNamespaces`: the
+  * Spark-native replacement for the reference's ~1400-LoC session/catalog
+  * stack (`HBaseExternalCatalog`/`HBaseSessionCatalog`/`HBaseCatalogImpl`/
+  * `HBaseSQLContext`, SURVEY.md §2.1 #16-#21, #30). One plugin class
+  * registered via `spark.sql.catalog.<name>` gives SHOW/USE/CREATE/DROP,
+  * `ns.table` resolution, INSERT, and CTAS from stock Spark.
+  *
+  * Layout: `<warehouse>/<namespace>/<table>/{_meta.yml, data/part-N.parquet}`.
+  * Metadata is a YAML file per table (schema JSON + properties), the
+  * capability analog of the reference's YAML schema registry
+  * (`HBaseClientImpl.scala:117-152`) — schemas are declared, not inferred.
+  * All paths go through Hadoop `FileSystem`, so the same catalog runs on
+  * HDFS/S3 for a real cluster.
+  */
+class GraftCatalog extends TableCatalog with SupportsNamespaces {
+
+  private var catalogName: String = _
+  private var warehouse: Path = _
+  @transient private lazy val conf = new Configuration()
+  private def fs: FileSystem = warehouse.getFileSystem(conf)
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    warehouse = new Path(Option(options.get("warehouse"))
+      .getOrElse(sys.props("java.io.tmpdir") + "/graft_warehouse"))
+    fs.mkdirs(warehouse)
+  }
+
+  override def name(): String = catalogName
+
+  private def nsPath(ns: Array[String]): Path = {
+    require(ns.length == 1, s"graft catalog supports single-level namespaces, got ${ns.mkString(".")}")
+    new Path(warehouse, ns.head)
+  }
+
+  private def tablePath(ident: Identifier): Path =
+    new Path(nsPath(ident.namespace()), ident.name())
+
+  private def metaFile(ident: Identifier): Path =
+    new Path(tablePath(ident), "_meta.yml")
+
+  // ---- namespaces --------------------------------------------------------
+
+  override def listNamespaces(): Array[Array[String]] =
+    fs.listStatus(warehouse).filter(_.isDirectory)
+      .map(s => Array(s.getPath.getName)).sortBy(_.head)
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] =
+    if (namespace.isEmpty) listNamespaces()
+    else if (namespaceExists(namespace)) Array.empty
+    else throw new NoSuchNamespaceException(namespace)
+
+  override def namespaceExists(namespace: Array[String]): Boolean =
+    namespace.length == 1 && fs.exists(nsPath(namespace))
+
+  override def loadNamespaceMetadata(namespace: Array[String]): java.util.Map[String, String] =
+    if (namespaceExists(namespace)) Map.empty[String, String].asJava
+    else throw new NoSuchNamespaceException(namespace)
+
+  override def createNamespace(
+      namespace: Array[String],
+      metadata: java.util.Map[String, String]): Unit = {
+    if (namespaceExists(namespace)) throw new NamespaceAlreadyExistsException(namespace)
+    fs.mkdirs(nsPath(namespace))
+  }
+
+  override def alterNamespace(namespace: Array[String], changes: NamespaceChange*): Unit =
+    if (!namespaceExists(namespace)) throw new NoSuchNamespaceException(namespace)
+
+  override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = {
+    if (!namespaceExists(namespace)) throw new NoSuchNamespaceException(namespace)
+    if (!cascade && listTables(namespace).nonEmpty)
+      throw new IllegalStateException(s"namespace ${namespace.mkString(".")} is not empty")
+    fs.delete(nsPath(namespace), true)
+  }
+
+  // ---- tables ------------------------------------------------------------
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    if (!namespaceExists(namespace)) throw new NoSuchNamespaceException(namespace)
+    fs.listStatus(nsPath(namespace)).filter(_.isDirectory)
+      .filter(s => fs.exists(new Path(s.getPath, "_meta.yml")))
+      .map(s => Identifier.of(namespace, s.getPath.getName))
+      .sortBy(_.name())
+  }
+
+  override def tableExists(ident: Identifier): Boolean =
+    ident.namespace().length == 1 && fs.exists(metaFile(ident))
+
+  override def loadTable(ident: Identifier): Table = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    val text = {
+      val in = fs.open(metaFile(ident))
+      try new String(in.readAllBytes(), StandardCharsets.UTF_8) finally in.close()
+    }
+    val m = new Yaml().load[java.util.Map[String, Object]](text).asScala
+    val schema = DataType.fromJson(m("schema_json").asInstanceOf[String]).asInstanceOf[StructType]
+    val props = m.get("properties")
+      .map(_.asInstanceOf[java.util.Map[String, String]].asScala.toMap)
+      .getOrElse(Map.empty)
+    new GraftTable(fullName(ident), schema, props, tablePath(ident).toString)
+  }
+
+  override def createTable(
+      ident: Identifier,
+      schema: StructType,
+      partitions: Array[Transform],
+      properties: java.util.Map[String, String]): Table = {
+    if (partitions.nonEmpty)
+      throw new UnsupportedOperationException("graft catalog: partition transforms not supported")
+    if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
+    if (!namespaceExists(ident.namespace())) throw new NoSuchNamespaceException(ident.namespace())
+    val dir = tablePath(ident)
+    fs.mkdirs(new Path(dir, "data"))
+    writeMeta(ident, schema, properties.asScala.toMap)
+    loadTable(ident)
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val table = loadTable(ident).asInstanceOf[GraftTable]
+    var props = table.properties().asScala.toMap
+    var schema = table.schema0
+    changes.foreach {
+      case set: TableChange.SetProperty => props += set.property() -> set.value()
+      case rm: TableChange.RemoveProperty => props -= rm.property()
+      case other =>
+        throw new UnsupportedOperationException(s"graft catalog: unsupported change $other")
+    }
+    writeMeta(ident, schema, props)
+    loadTable(ident)
+  }
+
+  override def dropTable(ident: Identifier): Boolean =
+    tableExists(ident) && fs.delete(tablePath(ident), true)
+
+  override def renameTable(oldIdent: Identifier, newIdent0: Identifier): Unit = {
+    // RENAME TO targets often arrive catalog-qualified (`graft.ns.t`);
+    // strip our own catalog name so both spellings work
+    val newIdent =
+      if (newIdent0.namespace().length == 2 && newIdent0.namespace()(0) == catalogName)
+        Identifier.of(newIdent0.namespace().drop(1), newIdent0.name())
+      else newIdent0
+    if (!tableExists(oldIdent)) throw new NoSuchTableException(oldIdent)
+    if (tableExists(newIdent)) throw new TableAlreadyExistsException(newIdent)
+    if (!namespaceExists(newIdent.namespace()))
+      throw new NoSuchNamespaceException(newIdent.namespace())
+    fs.rename(tablePath(oldIdent), tablePath(newIdent))
+  }
+
+  // ---- helpers -----------------------------------------------------------
+
+  private def fullName(ident: Identifier): String =
+    (catalogName +: ident.namespace() :+ ident.name()).mkString(".")
+
+  private def writeMeta(ident: Identifier, schema: StructType, props: Map[String, String]): Unit = {
+    val opts = new DumperOptions()
+    opts.setDefaultFlowStyle(DumperOptions.FlowStyle.BLOCK)
+    val yaml = new Yaml(opts).dump(Map(
+      "schema_json" -> schema.json,
+      "properties" -> props.asJava).asJava)
+    val out = fs.create(metaFile(ident), true)
+    try out.write(yaml.getBytes(StandardCharsets.UTF_8)) finally out.close()
+  }
+}

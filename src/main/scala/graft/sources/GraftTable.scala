@@ -1,0 +1,254 @@
+package graft.sources
+
+import java.util.{Set => JSet, UUID}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.parquet.filter2.compat.FilterCompat
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.sources.{AlwaysTrue, Filter}
+import org.apache.spark.sql.types.{StringType, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.functions.{ColumnNames, RowKeyGenerator}
+
+/** A graft-catalog table: parquet part-files under `<dir>/data/`, scanned
+  * and written by [[ParquetRowIO]]. Read path does column pruning and
+  * best-effort predicate pushdown (row-group/page skipping via
+  * [[FilterTranslate]]) while reporting every filter as residual — the
+  * correct-semantics version of the reference's `HBaseTableScanExec` +
+  * `HBaseSparkFilterUtils` (SURVEY.md §2.1 #1-#10). Write path implements
+  * append and truncate-overwrite with pluggable row-key generation
+  * (SURVEY.md §2.1 #14, #25).
+  */
+final class GraftTable(
+    ident: String,
+    val schema0: StructType,
+    props: Map[String, String],
+    tableDir: String)
+    extends Table with SupportsRead with SupportsWrite {
+
+  override def name(): String = ident
+  override def schema(): StructType = schema0
+  override def partitioning(): Array[Transform] = Array.empty
+  override def properties(): java.util.Map[String, String] = props.asJava
+  override def capabilities(): JSet[TableCapability] =
+    Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.TRUNCATE).asJava
+
+  def dataDir: String = s"$tableDir/data"
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftScanBuilder(schema0, dataDir)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new GraftWriteBuilder(schema0, props, dataDir, info)
+}
+
+// ---------------------------------------------------------------- read ----
+
+final class GraftScanBuilder(tableSchema: StructType, dataDir: String)
+    extends ScanBuilder
+    with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters {
+
+  private var required: StructType = tableSchema
+  private var pushed: Array[Filter] = Array.empty
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    // preserve table column order; an empty projection (count(*)) is legal
+    required = StructType(tableSchema.fields.filter(f =>
+      requiredSchema.fieldNames.contains(f.name)))
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushed = filters.filter(f => FilterTranslate.translate(tableSchema, f).isDefined)
+    // Row-group skipping is coarse: every filter must be re-evaluated
+    // post-scan, so ALL filters are returned as residual. (The reference
+    // dropped unconvertible predicates — wrong results; SURVEY.md §2.1 #10.)
+    filters
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def build(): Scan = new GraftScan(required, pushed, dataDir)
+}
+
+final class GraftScan(required: StructType, pushed: Array[Filter], dataDir: String)
+    extends Scan with Batch with SupportsReportStatistics {
+
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+
+  private lazy val files: Seq[(String, Long)] = {
+    val conf = new Configuration()
+    val p = new Path(dataDir)
+    val fs = p.getFileSystem(conf)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .map(s => (s.getPath.toString, s.getLen))
+      .sortBy(_._1)
+  }
+
+  override def planInputPartitions(): Array[InputPartition] =
+    files.map { case (path, _) => GraftInputPartition(path) }.toArray
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GraftReaderFactory(required, pushed)
+
+  override def estimateStatistics(): Statistics = new Statistics {
+    override def sizeInBytes() = java.util.OptionalLong.of(files.map(_._2).sum)
+    override def numRows() = java.util.OptionalLong.empty()
+  }
+
+  override def description(): String =
+    s"GraftScan[$dataDir, cols=${required.fieldNames.mkString(",")}, " +
+      s"pushed=${pushed.mkString(",")}]"
+}
+
+final case class GraftInputPartition(path: String) extends InputPartition
+
+final class GraftReaderFactory(required: StructType, pushed: Array[Filter])
+    extends PartitionReaderFactory {
+
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val file = partition.asInstanceOf[GraftInputPartition].path
+    val conf = new Configuration()
+    val predicate = pushed
+      .flatMap(FilterTranslate.translate(required, _))
+      .reduceOption(org.apache.parquet.filter2.predicate.FilterApi.and)
+    val reader = ParquetRowIO.newReader(
+      new Path(file), required, conf, predicate.map(FilterCompat.get))
+    new PartitionReader[InternalRow] {
+      private var current: InternalRow = _
+      override def next(): Boolean = { current = reader.read(); current != null }
+      override def get(): InternalRow = current
+      override def close(): Unit = reader.close()
+    }
+  }
+}
+
+// --------------------------------------------------------------- write ----
+
+final class GraftWriteBuilder(
+    schema: StructType,
+    props: Map[String, String],
+    dataDir: String,
+    info: LogicalWriteInfo)
+    extends WriteBuilder with SupportsTruncate {
+
+  private var doTruncate = false
+
+  override def truncate(): WriteBuilder = { doTruncate = true; this }
+
+  override def build(): Write = new Write {
+    override def toBatch: BatchWrite =
+      new GraftBatchWrite(schema, props, dataDir, doTruncate)
+  }
+}
+
+final class GraftBatchWrite(
+    schema: StructType,
+    props: Map[String, String],
+    dataDir: String,
+    truncate: Boolean)
+    extends BatchWrite {
+
+  private val writeId = UUID.randomUUID().toString
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    new GraftWriterFactory(schema, props.get(RowKeyGenerator.Property), dataDir, writeId)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    if (truncate) {
+      // files from this write carry writeId in their name; remove the rest
+      val conf = new Configuration()
+      val dir = new Path(dataDir)
+      val fs = dir.getFileSystem(conf)
+      if (fs.exists(dir)) {
+        fs.listStatus(dir).foreach { s =>
+          if (s.isFile && !s.getPath.getName.contains(writeId))
+            fs.delete(s.getPath, false)
+        }
+      }
+    }
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val conf = new Configuration()
+    val dir = new Path(dataDir)
+    val fs = dir.getFileSystem(conf)
+    if (fs.exists(dir)) {
+      fs.listStatus(dir).foreach { s =>
+        if (s.isFile && s.getPath.getName.contains(writeId)) fs.delete(s.getPath, false)
+      }
+    }
+  }
+}
+
+final case class GraftCommitMessage(path: String, rows: Long) extends WriterCommitMessage
+
+final class GraftWriterFactory(
+    schema: StructType,
+    generatorClass: Option[String],
+    dataDir: String,
+    writeId: String)
+    extends DataWriterFactory {
+
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] = {
+    val conf = new Configuration()
+    val path = new Path(s"$dataDir/part-$partitionId-$writeId.parquet")
+    path.getFileSystem(conf).mkdirs(path.getParent)
+    val writer = ParquetRowIO.newWriter(path, schema, conf)
+
+    val rowKeyIdx = schema.fieldNames.indexOf(ColumnNames.RowKey)
+    val generator = generatorClass.map(RowKeyGenerator.load)
+    val nonKeySchema = StructType(schema.fields.zipWithIndex
+      .collect { case (f, i) if i != rowKeyIdx => f })
+    val toScala = org.apache.spark.sql.catalyst.CatalystTypeConverters
+      .createToScalaConverter(nonKeySchema)
+
+    new DataWriter[InternalRow] {
+      private var count = 0L
+      override def write(row: InternalRow): Unit = {
+        val out =
+          if (generator.isDefined && rowKeyIdx >= 0 &&
+              schema(rowKeyIdx).dataType == StringType) {
+            // the generator's key wins over any user-supplied row_key value
+            // (reference semantics, InsertIntoHBaseTable.scala:72-73); the
+            // generator sees only the non-key columns
+            val values = schema.fields.zipWithIndex.map { case (f, i) =>
+              if (row.isNullAt(i)) null else row.get(i, f.dataType)
+            }
+            val nonKey = org.apache.spark.sql.catalyst.InternalRow.fromSeq(
+              values.zipWithIndex.collect { case (v, i) if i != rowKeyIdx => v })
+            val scalaRow = toScala(nonKey).asInstanceOf[org.apache.spark.sql.Row]
+            val key = generator.get.genRowKey(writeId, partitionId, count, scalaRow)
+            // incoming rows are usually UnsafeRow (not updatable) — rebuild
+            values(rowKeyIdx) = UTF8String.fromBytes(key)
+            new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+              values.asInstanceOf[Array[Any]])
+          } else row
+        writer.write(out)
+        count += 1
+      }
+      override def commit(): WriterCommitMessage = {
+        writer.close()
+        GraftCommitMessage(path.toString, count)
+      }
+      override def abort(): Unit = {
+        writer.close()
+        val fs = path.getFileSystem(conf)
+        if (fs.exists(path)) fs.delete(path, false)
+      }
+      override def close(): Unit = ()
+    }
+  }
+}

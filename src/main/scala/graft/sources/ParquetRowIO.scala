@@ -1,0 +1,173 @@
+package graft.sources
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.hadoop.api.{InitContext, ReadSupport, WriteSupport}
+import org.apache.parquet.hadoop.api.ReadSupport.ReadContext
+import org.apache.parquet.hadoop.api.WriteSupport.WriteContext
+import org.apache.parquet.hadoop.{ParquetReader, ParquetWriter}
+import org.apache.parquet.hadoop.metadata.CompressionCodecName
+import org.apache.parquet.io.api._
+import org.apache.parquet.schema._
+import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+import org.apache.parquet.schema.LogicalTypeAnnotation.{TimeUnit => PTimeUnit}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** InternalRow ⇄ parquet for flat schemas, written against the public
+  * parquet-mr API (no Spark-internal reader/writer classes). This powers
+  * the graft DSv2 source's scan and write paths — the capability analog of
+  * the reference's direct HFile reader/writer
+  * (`HBaseFileFormat.scala:70-248`), with Parquet as the at-rest format.
+  *
+  * Supported field types: boolean, byte, short, int, long, float, double,
+  * string, binary, date, timestamp, timestamp_ntz.
+  */
+object ParquetRowIO {
+
+  def messageType(schema: StructType): MessageType = {
+    val b = Types.buildMessage()
+    schema.fields.foreach { f =>
+      val rep = if (f.nullable) Type.Repetition.OPTIONAL else Type.Repetition.REQUIRED
+      val t = f.dataType match {
+        case BooleanType => Types.primitive(BOOLEAN, rep)
+        case ByteType =>
+          Types.primitive(INT32, rep).as(LogicalTypeAnnotation.intType(8, true))
+        case ShortType =>
+          Types.primitive(INT32, rep).as(LogicalTypeAnnotation.intType(16, true))
+        case IntegerType => Types.primitive(INT32, rep)
+        case LongType => Types.primitive(INT64, rep)
+        case FloatType => Types.primitive(FLOAT, rep)
+        case DoubleType => Types.primitive(DOUBLE, rep)
+        case StringType =>
+          Types.primitive(BINARY, rep).as(LogicalTypeAnnotation.stringType())
+        case BinaryType => Types.primitive(BINARY, rep)
+        case DateType =>
+          Types.primitive(INT32, rep).as(LogicalTypeAnnotation.dateType())
+        case TimestampType =>
+          Types.primitive(INT64, rep)
+            .as(LogicalTypeAnnotation.timestampType(true, PTimeUnit.MICROS))
+        case TimestampNTZType =>
+          Types.primitive(INT64, rep)
+            .as(LogicalTypeAnnotation.timestampType(false, PTimeUnit.MICROS))
+        case other =>
+          throw new IllegalArgumentException(s"graft source: unsupported type $other")
+      }
+      b.addField(t.named(f.name))
+    }
+    b.named("graft_row")
+  }
+
+  // ---- write -------------------------------------------------------------
+
+  final class RowWriteSupport(schema: StructType) extends WriteSupport[InternalRow] {
+    private var consumer: RecordConsumer = _
+
+    override def init(conf: Configuration): WriteContext =
+      new WriteContext(messageType(schema),
+        Map("graft.schema" -> schema.json).asJava)
+
+    override def prepareForWrite(rc: RecordConsumer): Unit = consumer = rc
+
+    override def write(row: InternalRow): Unit = {
+      consumer.startMessage()
+      var i = 0
+      while (i < schema.length) {
+        if (!row.isNullAt(i)) {
+          val f = schema(i)
+          consumer.startField(f.name, i)
+          f.dataType match {
+            case BooleanType => consumer.addBoolean(row.getBoolean(i))
+            case ByteType => consumer.addInteger(row.getByte(i).toInt)
+            case ShortType => consumer.addInteger(row.getShort(i).toInt)
+            case IntegerType | DateType => consumer.addInteger(row.getInt(i))
+            case LongType | TimestampType | TimestampNTZType =>
+              consumer.addLong(row.getLong(i))
+            case FloatType => consumer.addFloat(row.getFloat(i))
+            case DoubleType => consumer.addDouble(row.getDouble(i))
+            case StringType =>
+              consumer.addBinary(Binary.fromConstantByteArray(row.getUTF8String(i).getBytes))
+            case BinaryType =>
+              consumer.addBinary(Binary.fromConstantByteArray(row.getBinary(i)))
+            case other => throw new IllegalArgumentException(s"unsupported $other")
+          }
+          consumer.endField(f.name, i)
+        }
+        i += 1
+      }
+      consumer.endMessage()
+    }
+  }
+
+  final class WriterBuilder(path: Path, schema: StructType)
+      extends ParquetWriter.Builder[InternalRow, WriterBuilder](path) {
+    override def self(): WriterBuilder = this
+    override def getWriteSupport(conf: Configuration): WriteSupport[InternalRow] =
+      new RowWriteSupport(schema)
+  }
+
+  def newWriter(path: Path, schema: StructType, conf: Configuration): ParquetWriter[InternalRow] =
+    new WriterBuilder(path, schema)
+      .withConf(conf)
+      .withCompressionCodec(CompressionCodecName.SNAPPY)
+      .build()
+
+  // ---- read --------------------------------------------------------------
+
+  private final class FieldConverter(dt: DataType, idx: Int, values: Array[Any])
+      extends PrimitiveConverter {
+    override def addBoolean(v: Boolean): Unit = values(idx) = v
+    override def addInt(v: Int): Unit = values(idx) = dt match {
+      case ByteType => v.toByte
+      case ShortType => v.toShort
+      case _ => v
+    }
+    override def addLong(v: Long): Unit = values(idx) = v
+    override def addFloat(v: Float): Unit = values(idx) = v
+    override def addDouble(v: Double): Unit = values(idx) = v
+    override def addBinary(v: Binary): Unit = values(idx) = dt match {
+      case StringType => UTF8String.fromBytes(v.getBytes)
+      case _ => v.getBytes
+    }
+  }
+
+  private final class RowMaterializer(schema: StructType)
+      extends RecordMaterializer[InternalRow] {
+    private val values = new Array[Any](schema.length)
+    private val root: GroupConverter = new GroupConverter {
+      private val converters = schema.fields.zipWithIndex.map {
+        case (f, i) => new FieldConverter(f.dataType, i, values)
+      }
+      override def getConverter(i: Int): Converter = converters(i)
+      override def start(): Unit = java.util.Arrays.fill(values.asInstanceOf[Array[AnyRef]], null)
+      override def end(): Unit = ()
+    }
+    override def getCurrentRecord: InternalRow = new GenericInternalRow(values.clone())
+    override def getRootConverter: GroupConverter = root
+  }
+
+  final class RowReadSupport(requiredSchema: StructType) extends ReadSupport[InternalRow] {
+    override def init(context: InitContext): ReadContext =
+      new ReadContext(messageType(requiredSchema))
+    override def prepareForRead(
+        conf: Configuration,
+        keyValueMetaData: java.util.Map[String, String],
+        fileSchema: MessageType,
+        readContext: ReadContext): RecordMaterializer[InternalRow] =
+      new RowMaterializer(requiredSchema)
+  }
+
+  def newReader(
+      path: Path,
+      requiredSchema: StructType,
+      conf: Configuration,
+      filter: Option[org.apache.parquet.filter2.compat.FilterCompat.Filter])
+      : ParquetReader[InternalRow] = {
+    val b = ParquetReader.builder(new RowReadSupport(requiredSchema), path).withConf(conf)
+    filter.fold(b)(b.withFilter).build()
+  }
+}

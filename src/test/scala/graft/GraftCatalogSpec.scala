@@ -1,0 +1,124 @@
+package graft
+
+import java.nio.file.Files
+
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** End-to-end SQL over the graft DSv2 catalog: DDL, INSERT, CTAS,
+  * truncate-overwrite, pruning/pushdown, and row-key generation — the
+  * reference's exercised surface (SURVEY.md §5, README demos) plus the
+  * semantics it gets wrong (residual filters, startsWith/endsWith).
+  */
+class GraftCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private val warehouse = Files.createTempDirectory("graft_wh").toString
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.catalog.graft", classOf[graft.sources.GraftCatalog].getName)
+    .config("spark.sql.catalog.graft.warehouse", warehouse)
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("namespace + table DDL, insert, select round-trip") {
+    spark.sql("CREATE NAMESPACE graft.pw")
+    spark.sql("SHOW NAMESPACES IN graft").show(false)
+    spark.sql(
+      """CREATE TABLE graft.pw.test (
+        |  row_key STRING, `A:A_00` STRING, `A:A_01` INT, `B:B_00` DOUBLE)
+        |""".stripMargin)
+    assert(spark.sql("SHOW TABLES IN graft.pw").count() == 1)
+
+    spark.sql(
+      """INSERT INTO graft.pw.test VALUES
+        |  ('0000', 'A_00_0000', 0, 0.5),
+        |  ('0001', 'A_00_0001', 1, 1.5),
+        |  ('0002', NULL, 2, NULL)""".stripMargin)
+
+    val all = spark.sql("SELECT * FROM graft.pw.test ORDER BY row_key").collect()
+    assert(all.length == 3)
+    assert(all(0).getString(1) == "A_00_0000")
+    // missing cell → NULL (FIXTURES.md §6)
+    assert(all(2).isNullAt(1) && all(2).isNullAt(3))
+
+    // backquoted cf:qual projection + filter
+    val one = spark.sql(
+      "SELECT `A:A_01` FROM graft.pw.test WHERE `A:A_00` LIKE '%0001'").collect()
+    assert(one.map(_.getInt(0)).toSeq == Seq(1))
+  }
+
+  test("filter pushdown reaches the scan; residuals keep semantics") {
+    val df = spark.sql("SELECT row_key FROM graft.pw.test WHERE `A:A_01` > 0")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("GraftScan"), s"expected GraftScan in:\n$plan")
+    // pushed filter is visible on the scan and the Filter node is retained
+    assert(plan.contains("Filter"), "residual FilterExec must be retained")
+    assert(df.collect().map(_.getString(0)).sorted.toSeq == Seq("0001", "0002"))
+  }
+
+  test("CTAS and INSERT OVERWRITE (truncate)") {
+    spark.sql(
+      """CREATE TABLE graft.pw.test_big AS
+        |SELECT row_key, `A:A_01` AS n FROM graft.pw.test WHERE `A:A_01` >= 1""".stripMargin)
+    assert(spark.table("graft.pw.test_big").count() == 2)
+
+    spark.sql("INSERT INTO graft.pw.test_big VALUES ('x', 9)")
+    assert(spark.table("graft.pw.test_big").count() == 3)
+
+    spark.sql("INSERT OVERWRITE graft.pw.test_big VALUES ('y', 10)")
+    val rows = spark.table("graft.pw.test_big").collect()
+    assert(rows.length == 1 && rows(0).getString(0) == "y")
+  }
+
+  test("row-key generator overrides supplied keys and is distributed-unique") {
+    spark.sql(
+      s"""CREATE TABLE graft.pw.test_insert (row_key STRING, `T:T_00` STRING)
+         |TBLPROPERTIES ('${graft.functions.RowKeyGenerator.Property}' =
+         |  'graft.functions.DefaultRowKeyGenerator')""".stripMargin)
+    // supplied row_key '0000' must be ignored (README.md:66 semantics);
+    // repeated identical inserts create distinct rows
+    spark.sql("INSERT INTO graft.pw.test_insert VALUES ('0000', 'TestSql')")
+    spark.sql("INSERT INTO graft.pw.test_insert VALUES ('0000', 'TestSql')")
+    val rows = spark.table("graft.pw.test_insert").collect()
+    assert(rows.length == 2)
+    val keys = rows.map(_.getString(0)).toSet
+    assert(keys.size == 2 && !keys.contains("0000"))
+
+    // bulk insert from a parallel source: keys stay unique across partitions
+    spark.range(0, 1000).repartition(8)
+      .selectExpr("'k' AS row_key", "CAST(id AS STRING) AS `T:T_00`")
+      .writeTo("graft.pw.test_insert").append()
+    val n = spark.table("graft.pw.test_insert").count()
+    val distinct = spark.table("graft.pw.test_insert")
+      .select(countDistinct(col("row_key"))).head().getLong(0)
+    assert(n == 1002 && distinct == 1002)
+  }
+
+  test("hash row-key generator dedups identical rows on write") {
+    spark.sql(
+      s"""CREATE TABLE graft.pw.test_hash (row_key STRING, `T:T_00` STRING)
+         |TBLPROPERTIES ('${graft.functions.RowKeyGenerator.Property}' =
+         |  'graft.functions.HashRowKeyGenerator')""".stripMargin)
+    spark.sql("INSERT INTO graft.pw.test_hash VALUES ('a', 'same'), ('b', 'same')")
+    val keys = spark.table("graft.pw.test_hash").collect().map(_.getString(0))
+    // identical non-key content → identical generated keys
+    assert(keys.toSet.size == 1)
+  }
+
+  test("rename and drop") {
+    spark.sql("ALTER TABLE graft.pw.test_big RENAME TO graft.pw.test_big2")
+    assert(spark.table("graft.pw.test_big2").count() == 1)
+    spark.sql("DROP TABLE graft.pw.test_big2")
+    spark.sql("DROP TABLE graft.pw.test_hash")
+    val left = spark.sql("SHOW TABLES IN graft.pw").collect().map(_.getString(1)).toSet
+    assert(left == Set("test", "test_insert"))
+  }
+}
