@@ -124,6 +124,26 @@ object Text {
         MIN(doc_id) AS keeper
         FROM documents GROUP BY 1 ORDER BY fp""")),
 
+    // ---- q32: rolling-hash fingerprints via the native codegen
+    //           expression (graft.functions.RollingHash, registered as
+    //           rolling_hash by GraftExtensions) -------------------------
+    QueryDef(
+      "q32_rolling_fingerprint",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        t.documents.createOrReplaceTempView("graft_docs_rh")
+        s.sql("""SELECT doc_id, rolling_hash(text) AS fp
+                 FROM graft_docs_rh ORDER BY doc_id""")
+      },
+      // same Karp-Rabin fold in DuckDB; ord(char) == UTF-8 byte for the
+      // ASCII corpus, and list_reduce seeds with the first element which
+      // equals our h=0 start after one step
+      Some("""SELECT doc_id,
+        CAST(CASE WHEN length(text) = 0 THEN 0
+             ELSE list_reduce(list_transform(regexp_split_to_array(text, ''), c -> ord(c)),
+                              (a, b) -> (CAST(a AS BIGINT) * 31 + b) % 1000000007) END AS BIGINT) AS fp
+        FROM documents ORDER BY doc_id""")),
+
     // ---- q23: corpus stats by (lang, source) — metadata sweep ------------
     QueryDef(
       "q23_doc_stats",

@@ -29,11 +29,18 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object ParquetRowIO {
 
+  /** UDT columns store as their sqlType (the reference does the same:
+    * RegionInfoUDT has BinaryType sqlType, SURVEY.md §1.4). */
+  private def physical(dt: DataType): DataType = dt match {
+    case udt: UserDefinedType[_] => physical(udt.sqlType)
+    case other => other
+  }
+
   def messageType(schema: StructType): MessageType = {
     val b = Types.buildMessage()
     schema.fields.foreach { f =>
       val rep = if (f.nullable) Type.Repetition.OPTIONAL else Type.Repetition.REQUIRED
-      val t = f.dataType match {
+      val t = physical(f.dataType) match {
         case BooleanType => Types.primitive(BOOLEAN, rep)
         case ByteType =>
           Types.primitive(INT32, rep).as(LogicalTypeAnnotation.intType(8, true))
@@ -80,7 +87,7 @@ object ParquetRowIO {
         if (!row.isNullAt(i)) {
           val f = schema(i)
           consumer.startField(f.name, i)
-          f.dataType match {
+          physical(f.dataType) match {
             case BooleanType => consumer.addBoolean(row.getBoolean(i))
             case ByteType => consumer.addInteger(row.getByte(i).toInt)
             case ShortType => consumer.addInteger(row.getShort(i).toInt)
@@ -140,7 +147,7 @@ object ParquetRowIO {
     private val values = new Array[Any](schema.length)
     private val root: GroupConverter = new GroupConverter {
       private val converters = schema.fields.zipWithIndex.map {
-        case (f, i) => new FieldConverter(f.dataType, i, values)
+        case (f, i) => new FieldConverter(physical(f.dataType), i, values)
       }
       override def getConverter(i: Int): Converter = converters(i)
       override def start(): Unit = java.util.Arrays.fill(values.asInstanceOf[Array[AnyRef]], null)

@@ -1,0 +1,65 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming surface over the `events` schema. The reference has
+  * no streaming support at all (SURVEY.md §1.1: spark-streaming is pulled
+  * by its pom but never imported); this module adds the streaming analog of
+  * the batch event queries so the same transforms run via `readStream` →
+  * `writeStream`:
+  *
+  *  - [[windowedStats]]: watermarked tumbling-window aggregation, the
+  *    standard streaming shape (works identically on a batch frame);
+  *  - [[sessionCounts]]: custom per-key state via `mapGroupsWithState` —
+  *    gap-based sessionization with the same 30-minute rule as the batch
+  *    q17_sessionize.
+  *
+  * Scale: both are keyed-state operators — state is partitioned by group
+  * key across executors; the watermark bounds state retention.
+  */
+object EventStreams {
+
+  final case class Event(event_id: Long, ts: Long, user_id: Long,
+      event_type: String, value: Double)
+
+  final case class UserSessions(user_id: Long, n_sessions: Long, n_events: Long)
+
+  final case class SessionState(lastTs: Long, sessions: Long, events: Long)
+
+  val GapNs: Long = 30L * 60L * 1000000000L
+
+  /** Tumbling 1-hour windows of event counts + value sums; `events` must
+    * carry `ts` as nanosecond longs (the corpus encoding). Usable on both
+    * batch and streaming frames. */
+  def windowedStats(events: DataFrame, watermark: String = "1 hour"): DataFrame =
+    events
+      .withColumn("ts_us", timestamp_micros((col("ts") / 1000L).cast("long")))
+      .withWatermark("ts_us", watermark)
+      .groupBy(window(col("ts_us"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("total_value"))
+
+  /** Per-user session counts with a 30-minute inactivity gap, implemented
+    * as explicit keyed state. Events within one micro-batch are sorted by
+    * (ts, event_id) before folding; state carries the last timestamp across
+    * batches. */
+  def sessionCounts(events: Dataset[Event]): Dataset[UserSessions] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[SessionState, UserSessions](GroupStateTimeout.NoTimeout) {
+        (user, it, state: GroupState[SessionState]) =>
+          val sorted = it.toSeq.sortBy(e => (e.ts, e.event_id))
+          var s = state.getOption.getOrElse(SessionState(Long.MinValue, 0L, 0L))
+          sorted.foreach { e =>
+            val newSession = s.lastTs == Long.MinValue || e.ts - s.lastTs > GapNs
+            s = SessionState(e.ts, s.sessions + (if (newSession) 1 else 0), s.events + 1)
+          }
+          state.update(s)
+          UserSessions(user, s.sessions, s.events)
+      }
+  }
+}

@@ -1,0 +1,83 @@
+package graft
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.streaming.EventStreams
+
+/** Streaming transforms verified against their batch equivalents on the
+  * same data: a parquet-directory stream drained with
+  * processAllAvailable() must agree with the batch run. */
+class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .getOrCreate()
+
+  private lazy val streamDir = {
+    val d = Files.createTempDirectory("graft_stream")
+    Files.copy(Paths.get("/root/testdata/sf0.001/events.parquet"),
+      d.resolve("events.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    d.toString
+  }
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def batchEvents = spark.read.parquet(streamDir)
+
+  test("windowed aggregation: streaming result equals batch result") {
+    val stream = spark.readStream.schema(batchEvents.schema).parquet(streamDir)
+    val q = EventStreams.windowedStats(stream)
+      .writeStream.format("memory").queryName("win_agg")
+      .outputMode(OutputMode.Complete()).start()
+    try q.processAllAvailable() finally q.stop()
+
+    val got = spark.table("win_agg")
+      .select(col("window_start").cast("string"), col("event_type"), col("n"),
+        round(col("total_value"), 6))
+      .collect().map(_.toSeq).toSet
+    val want = EventStreams.windowedStats(batchEvents)
+      .select(col("window_start").cast("string"), col("event_type"), col("n"),
+        round(col("total_value"), 6))
+      .collect().map(_.toSeq).toSet
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+
+  test("stateful sessionization: streaming result equals batch lag-based result") {
+    import spark.implicits._
+    val stream = spark.readStream.schema(batchEvents.schema).parquet(streamDir)
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .as[EventStreams.Event]
+    val q = EventStreams.sessionCounts(stream)
+      .writeStream.format("memory").queryName("sess")
+      .outputMode(OutputMode.Update()).start()
+    try q.processAllAvailable() finally q.stop()
+
+    // batch oracle: q17-style lag + gap window
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val want = batchEvents
+      .withColumn("prev", lag($"ts", 1).over(w))
+      .withColumn("new_sess",
+        when($"prev".isNull || $"ts" - $"prev" > EventStreams.GapNs, 1L).otherwise(0L))
+      .groupBy($"user_id")
+      .agg(sum($"new_sess").as("n_sessions"), count(lit(1)).as("n_events"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+    val got = spark.table("sess")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+}
