@@ -43,6 +43,13 @@ object Dedup {
     * test scale, so results are unchanged — it exists for the 100 TB path). */
   private val DfCap = 10000
 
+  /** MinHash universal-hash family h_i(x) = (a_i·x + b_i) mod p with a
+    * 60-bit x from md5 — coefficients fixed so Spark and the oracle agree;
+    * a_i·x stays under 2^63 (no BIGINT overflow on either engine). */
+  private val MinHashP = 1000000007L
+  private def hashA(i: Int): Long = 1000003L + 7919L * i
+  private def hashB(i: Int): Long = 7L + 104729L * i
+
   val defs: Seq[QueryDef] = Seq(
 
     // ---- q24: n-gram Jaccard near-dup pairs (threshold 0.6) --------------
@@ -82,19 +89,26 @@ object Dedup {
         ORDER BY d1, d2""")),
 
     // ---- q25: MinHash + LSH banding candidate pairs ----------------------
+    // One md5 per shingle → 16 affine universal-hash variants
+    // h_i = (a_i·x + b_i) mod p over primitive longs, min-aggregated in a
+    // single pass (map-side partial min, one shuffle on doc_id). Earlier
+    // variants benched far worse: seed-explode multiplied the shuffle 16×
+    // (19 s), and 16 inlined md5 aggregates produced a generated method so
+    // large that cold-JVM codegen alone took >70 s.
     QueryDef(
       "q25_minhash_lsh",
       (s, dir) => {
         val t = Tables(s, dir)
-        val mh = shingles(t)
-          .select(col("doc_id"), explode(expr("sequence(0, 15)")).as("seed"), col("shingle"))
-          .groupBy(col("doc_id"), col("seed"))
-          .agg(min(md5(concat(col("seed").cast("string"), lit("|"), col("shingle")).cast("binary"))).as("h"))
-        val bands = mh
-          .withColumn("band", floor(col("seed") / 4.0).cast("int"))
-          .groupBy(col("doc_id"), col("band"))
-          .agg(expr("array_join(transform(array_sort(collect_list(struct(seed, h))), x -> x.h), ',')")
-            .as("sig"))
+        val withX = shingles(t).withColumn("x",
+          expr(s"cast(conv(substring(md5(cast(shingle as binary)), 1, 15), 16, 10) as bigint) % $MinHashP"))
+        val minCols = (0 to 15).map(i =>
+          min(expr(s"(${hashA(i)}L * x + ${hashB(i)}L) % $MinHashP")).as(s"h$i"))
+        val sig = withX.groupBy(col("doc_id")).agg(minCols.head, minCols.tail: _*)
+        val bandCols = (0 to 3).flatMap { b =>
+          Seq(s"$b", s"concat_ws(',', h${4 * b}, h${4 * b + 1}, h${4 * b + 2}, h${4 * b + 3})")
+        }
+        val bands = sig.select(col("doc_id"),
+          expr(s"stack(4, ${bandCols.mkString(", ")})").as(Seq("band", "sig")))
         bands.select(col("doc_id").as("d1"), col("band"), col("sig"))
           .join(bands.select(col("doc_id").as("d2"), col("band"), col("sig")), Seq("band", "sig"))
           .filter(col("d1") < col("d2"))
@@ -102,16 +116,26 @@ object Dedup {
           .distinct()
           .orderBy(col("d1"), col("d2"))
       },
-      Some(s"""WITH $shingleSql,
-        seeds AS (SELECT seed FROM range(0, 16) r(seed)),
-        mh AS (SELECT doc_id, seed, MIN(md5(CAST(seed AS VARCHAR) || '|' || shingle)) AS h
-               FROM sh CROSS JOIN seeds GROUP BY doc_id, seed),
-        bands AS (SELECT doc_id, CAST(FLOOR(seed / 4.0) AS INT) AS band,
-                         string_agg(h, ',' ORDER BY seed) AS sig
-                  FROM mh GROUP BY doc_id, CAST(FLOOR(seed / 4.0) AS INT))
+      Some {
+        // 60-bit integer from the first 15 hex chars of md5(shingle)
+        val hex15 = (1 to 15)
+          .map(j => s"(strpos('0123456789abcdef', substr(m, $j, 1)) - 1) * ${1L << (4 * (15 - j))}")
+          .mkString(" + ")
+        val minCols = (0 to 15)
+          .map(i => s"MIN((${hashA(i)} * x + ${hashB(i)}) % $MinHashP) AS h$i")
+          .mkString(", ")
+        val bandSelects = (0 to 3).map { b =>
+          s"SELECT doc_id, $b AS band, concat_ws(',', h${4 * b}, h${4 * b + 1}, h${4 * b + 2}, h${4 * b + 3}) AS sig FROM mh"
+        }.mkString(" UNION ALL ")
+        s"""WITH $shingleSql,
+        hx AS (SELECT doc_id, ($hex15) % $MinHashP AS x
+               FROM (SELECT doc_id, md5(shingle) AS m FROM sh)),
+        mh AS (SELECT doc_id, $minCols FROM hx GROUP BY doc_id),
+        bands AS ($bandSelects)
         SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
         FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig
-        WHERE a.doc_id < b.doc_id ORDER BY d1, d2""")),
+        WHERE a.doc_id < b.doc_id ORDER BY d1, d2"""
+      }),
 
     // ---- q26: SimHash 32-bit signatures ----------------------------------
     QueryDef(

@@ -33,33 +33,31 @@ object Vectors {
       .withColumn("bucket", expr(bucketExpr).cast("int"))
   }
 
-  /** Exact squared norms: (vec_id, n2 decimal). */
+  /** Exact squared norms at 1e9 quantization: (vec_id, n2). A codegen'd
+    * array fold — integer-valued terms sum exactly in any order, so no
+    * shuffle is needed and the result is deterministic. */
   private def norms(e: DataFrame): DataFrame =
-    e.select(col("vec_id"), explode(col("e")).as("x"))
-      .groupBy(col("vec_id"))
-      .agg(sum(expr("round(x * x * 1e9)")).as("n2"))
+    e.select(col("vec_id"),
+      expr("aggregate(e, 0D, (a, x) -> a + round(x * x * 1e9))").as("n2"))
 
   private val duckBucket = (1 to 8)
     .map(j => s"(CASE WHEN embedding[$j] > 0 THEN ${1 << (j - 1)} ELSE 0 END)")
     .mkString(" + ")
 
   private val duckNorms =
-    """norms AS (SELECT vec_id, SUM(round(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) * 1e9)) AS n2
-                 FROM (SELECT vec_id, unnest(embedding) AS x FROM embeddings) GROUP BY vec_id)"""
+    """norms AS (SELECT vec_id,
+                   list_sum(list_transform(embedding,
+                     x -> round(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) * 1e9))) AS n2
+                 FROM embeddings)"""
 
   /** Pair dot products + cosine for a joined (qid, qe) × (vid, ve) frame. */
   private def cosine(pairs: DataFrame, n: DataFrame): DataFrame =
     pairs
-      .select(col("qid"), col("vid"),
-        explode(expr("zip_with(qe, ve, (x, y) -> round(x * y * 1e9))")).as("p"))
-      .groupBy(col("qid"), col("vid"))
-      .agg(sum(col("p")).as("dot"))
+      .withColumn("dot",
+        expr("aggregate(zip_with(qe, ve, (x, y) -> round(x * y * 1e9)), 0D, (a, p) -> a + p)"))
       .join(n.select(col("vec_id").as("qid"), col("n2").as("qn2")), "qid")
       .join(n.select(col("vec_id").as("vid"), col("n2").as("vn2")), "vid")
       .withColumn("cos", expr("dot / sqrt(qn2 * vn2)"))
-
-  private val duckDots =
-    """SUM(p) AS dot"""
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -82,13 +80,11 @@ object Vectors {
       },
       Some(s"""WITH $duckNorms,
         dots AS (
-          SELECT qid, vid, $duckDots FROM (
-            SELECT q.vec_id AS qid, c.vec_id AS vid,
-              unnest(list_transform(range(1, len(q.embedding) + 1),
-                i -> round(CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE) * 1e9))) AS p
-            FROM embeddings q, embeddings c
-            WHERE q.vec_id < 20 AND q.vec_id <> c.vec_id)
-          GROUP BY qid, vid),
+          SELECT q.vec_id AS qid, c.vec_id AS vid,
+            list_sum(list_transform(range(1, len(q.embedding) + 1),
+              i -> round(CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE) * 1e9))) AS dot
+          FROM embeddings q, embeddings c
+            WHERE q.vec_id < 20 AND q.vec_id <> c.vec_id),
         scored AS (
           SELECT qid, vid,
             dot / sqrt(nq.n2 * nv.n2) AS cos
@@ -120,13 +116,11 @@ object Vectors {
       Some(s"""WITH $duckNorms,
         e AS (SELECT vec_id, embedding, $duckBucket AS bucket FROM embeddings),
         dots AS (
-          SELECT qid, vid, $duckDots FROM (
-            SELECT q.vec_id AS qid, c.vec_id AS vid,
-              unnest(list_transform(range(1, len(q.embedding) + 1),
-                i -> round(CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE) * 1e9))) AS p
-            FROM e q JOIN e c ON q.bucket = c.bucket
-            WHERE q.vec_id < 20 AND q.vec_id <> c.vec_id)
-          GROUP BY qid, vid),
+          SELECT q.vec_id AS qid, c.vec_id AS vid,
+            list_sum(list_transform(range(1, len(q.embedding) + 1),
+              i -> round(CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE) * 1e9))) AS dot
+          FROM e q JOIN e c ON q.bucket = c.bucket
+            WHERE q.vec_id < 20 AND q.vec_id <> c.vec_id),
         scored AS (
           SELECT qid, vid,
             dot / sqrt(nq.n2 * nv.n2) AS cos
@@ -155,13 +149,11 @@ object Vectors {
       Some(s"""WITH $duckNorms,
         e AS (SELECT vec_id, embedding, $duckBucket AS bucket FROM embeddings),
         dots AS (
-          SELECT qid, vid, $duckDots FROM (
-            SELECT q.vec_id AS qid, c.vec_id AS vid,
-              unnest(list_transform(range(1, len(q.embedding) + 1),
-                i -> round(CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE) * 1e9))) AS p
-            FROM e q JOIN e c ON q.bucket = c.bucket
-            WHERE q.vec_id < c.vec_id)
-          GROUP BY qid, vid),
+          SELECT q.vec_id AS qid, c.vec_id AS vid,
+            list_sum(list_transform(range(1, len(q.embedding) + 1),
+              i -> round(CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE) * 1e9))) AS dot
+          FROM e q JOIN e c ON q.bucket = c.bucket
+            WHERE q.vec_id < c.vec_id),
         scored AS (
           SELECT qid, vid,
             dot / sqrt(nq.n2 * nv.n2) AS cos
