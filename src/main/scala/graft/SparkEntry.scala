@@ -8,8 +8,8 @@ object SparkEntry {
 
   /** All verifiable queries, grouped by area. */
   def allDefs: Seq[QueryDef] =
-    q.Relational.defs ++ q.Text.defs ++ q.Dedup.defs ++ q.Vectors.defs ++
-      q.Engine.defs ++ q.Media.defs
+    q.Relational.defs ++ q.Relational2.defs ++ q.Text.defs ++ q.Dedup.defs ++
+      q.Vectors.defs ++ q.Engine.defs ++ q.Media.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,124 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import graft.QueryDef.{dsum, ts}
+import org.apache.spark.sql.functions._
+
+/** Second tranche of the stock-SQL surface (SURVEY.md §2.2): cube and
+  * grouping sets, pivot, generate/explode, correlated subqueries through
+  * the SQL entry point, and semi-structured JSON extraction. */
+object Relational2 {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- q34: CUBE over two dimensions -----------------------------------
+    QueryDef(
+      "q34_cube",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        t.orders
+          .cube(col("o_orderstatus"), col("o_orderpriority"))
+          .agg(count(lit(1)).as("n"), dsum(col("o_totalprice"), 4).as("total"))
+          .orderBy(col("o_orderstatus").asc_nulls_first,
+            col("o_orderpriority").asc_nulls_first)
+      },
+      Some("""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+        FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""")),
+
+    // ---- q35: pivot (wide conditional aggregation) -----------------------
+    QueryDef(
+      "q35_pivot",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        t.lineitem
+          .groupBy(col("l_linestatus"))
+          .pivot("l_returnflag", Seq("A", "N", "R"))
+          .agg(sum(col("l_quantity")))
+          .withColumnRenamed("A", "qty_a")
+          .withColumnRenamed("N", "qty_n")
+          .withColumnRenamed("R", "qty_r")
+          .orderBy(col("l_linestatus"))
+      },
+      Some("""SELECT l_linestatus,
+        SUM(CASE WHEN l_returnflag = 'A' THEN l_quantity END) AS qty_a,
+        SUM(CASE WHEN l_returnflag = 'N' THEN l_quantity END) AS qty_n,
+        SUM(CASE WHEN l_returnflag = 'R' THEN l_quantity END) AS qty_r
+        FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""")),
+
+    // ---- q36: generate/explode — token frequencies -----------------------
+    QueryDef(
+      "q36_explode_tokens",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        t.documents
+          .select(explode(split(col("text"), " ")).as("token"))
+          .groupBy(col("token"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(desc("n"), col("token"))
+          .limit(20)
+      },
+      Some("""SELECT token, COUNT(*) AS n
+        FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        GROUP BY token ORDER BY n DESC, token LIMIT 20""")),
+
+    // ---- q37: GROUPING SETS with grouping() disambiguation ---------------
+    QueryDef(
+      "q37_grouping_sets",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        t.documents.createOrReplaceTempView("graft_docs_gs")
+        s.sql("""
+          SELECT lang, source, CAST(grouping(lang) AS BIGINT) AS g_lang,
+                 CAST(grouping(source) AS BIGINT) AS g_source, COUNT(*) AS n
+          FROM graft_docs_gs
+          GROUP BY GROUPING SETS ((lang), (source), ())
+          ORDER BY g_lang, g_source, lang ASC NULLS FIRST, source ASC NULLS FIRST""")
+      },
+      Some("""SELECT lang, source, CAST(GROUPING(lang) AS BIGINT) AS g_lang,
+        CAST(GROUPING(source) AS BIGINT) AS g_source, COUNT(*) AS n
+        FROM documents GROUP BY GROUPING SETS ((lang), (source), ())
+        ORDER BY g_lang, g_source, lang ASC NULLS FIRST, source ASC NULLS FIRST""")),
+
+    // ---- q38: correlated EXISTS / NOT EXISTS through SQL -----------------
+    QueryDef(
+      "q38_correlated_subqueries",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        t.orders.createOrReplaceTempView("graft_orders_sq")
+        t.lineitem.createOrReplaceTempView("graft_lineitem_sq")
+        s.sql("""
+          SELECT o_orderstatus, COUNT(*) AS n
+          FROM graft_orders_sq
+          WHERE EXISTS (SELECT 1 FROM graft_lineitem_sq
+                        WHERE l_orderkey = o_orderkey AND l_discount >= 0.09)
+            AND NOT EXISTS (SELECT 1 FROM graft_lineitem_sq
+                            WHERE l_orderkey = o_orderkey AND l_quantity >= 49)
+          GROUP BY o_orderstatus ORDER BY o_orderstatus""")
+      },
+      Some("""SELECT o_orderstatus, COUNT(*) AS n
+        FROM orders
+        WHERE EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_orderkey = o_orderkey AND l_discount >= 0.09)
+          AND NOT EXISTS (SELECT 1 FROM lineitem
+                          WHERE l_orderkey = o_orderkey AND l_quantity >= 49)
+        GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
+
+    // ---- q39: semi-structured JSON extraction from event props -----------
+    QueryDef(
+      "q39_json_extract",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        t.events
+          .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+          .groupBy((col("k") % 10).as("k_mod"))
+          .agg(count(lit(1)).as("n"), max(col("k")).as("max_k"))
+          .orderBy(col("k_mod"))
+      },
+      Some("""SELECT CAST(k % 10 AS BIGINT) AS k_mod, COUNT(*) AS n,
+        CAST(MAX(k) AS BIGINT) AS max_k
+        FROM (SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events)
+        GROUP BY k % 10 ORDER BY k_mod"""))
+  )
+}

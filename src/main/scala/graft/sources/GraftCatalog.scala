@@ -113,7 +113,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     val props = m.get("properties")
       .map(_.asInstanceOf[java.util.Map[String, String]].asScala.toMap)
       .getOrElse(Map.empty)
-    new GraftTable(fullName(ident), schema, props, tablePath(ident).toString)
+    val partCols = m.get("partitions")
+      .map(_.asInstanceOf[java.util.List[String]].asScala.toSeq)
+      .getOrElse(Seq.empty)
+    new GraftTable(fullName(ident), schema, props, tablePath(ident).toString, partCols)
   }
 
   override def createTable(
@@ -121,27 +124,38 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       schema: StructType,
       partitions: Array[Transform],
       properties: java.util.Map[String, String]): Table = {
-    if (partitions.nonEmpty)
-      throw new UnsupportedOperationException("graft catalog: partition transforms not supported")
+    // identity transforms only (PARTITIONED BY (col)) — value-derived
+    // transforms (bucket/days/...) are not supported
+    val partCols = partitions.toSeq.map {
+      case t if t.name() == "identity" && t.references().length == 1 =>
+        t.references()(0).fieldNames().mkString(".")
+      case other => throw new UnsupportedOperationException(
+        s"graft catalog: unsupported partition transform $other (identity only)")
+    }
+    partCols.foreach { c =>
+      require(schema.fieldNames.contains(c), s"partition column $c not in schema")
+    }
     if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
     if (!namespaceExists(ident.namespace())) throw new NoSuchNamespaceException(ident.namespace())
     val dir = tablePath(ident)
     fs.mkdirs(new Path(dir, "data"))
-    writeMeta(ident, schema, properties.asScala.toMap)
+    writeMeta(ident, schema, properties.asScala.toMap, partCols)
     loadTable(ident)
   }
 
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val table = loadTable(ident).asInstanceOf[GraftTable]
     var props = table.properties().asScala.toMap
-    var schema = table.schema0
+    val schema = table.schema0
     changes.foreach {
       case set: TableChange.SetProperty => props += set.property() -> set.value()
       case rm: TableChange.RemoveProperty => props -= rm.property()
       case other =>
         throw new UnsupportedOperationException(s"graft catalog: unsupported change $other")
     }
-    writeMeta(ident, schema, props)
+    val partCols = table.partitioning().toSeq
+      .map(_.references()(0).fieldNames().mkString("."))
+    writeMeta(ident, schema, props, partCols)
     loadTable(ident)
   }
 
@@ -167,12 +181,17 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   private def fullName(ident: Identifier): String =
     (catalogName +: ident.namespace() :+ ident.name()).mkString(".")
 
-  private def writeMeta(ident: Identifier, schema: StructType, props: Map[String, String]): Unit = {
+  private def writeMeta(
+      ident: Identifier,
+      schema: StructType,
+      props: Map[String, String],
+      partCols: Seq[String] = Seq.empty): Unit = {
     val opts = new DumperOptions()
     opts.setDefaultFlowStyle(DumperOptions.FlowStyle.BLOCK)
     val yaml = new Yaml(opts).dump(Map(
       "schema_json" -> schema.json,
-      "properties" -> props.asJava).asJava)
+      "properties" -> props.asJava,
+      "partitions" -> partCols.asJava).asJava)
     val out = fs.create(metaFile(ident), true)
     try out.write(yaml.getBytes(StandardCharsets.UTF_8)) finally out.close()
   }

@@ -32,12 +32,15 @@ final class GraftTable(
     ident: String,
     val schema0: StructType,
     props: Map[String, String],
-    tableDir: String)
+    tableDir: String,
+    partitionCols: Seq[String] = Nil)
     extends Table with SupportsRead with SupportsWrite {
 
   override def name(): String = ident
   override def schema(): StructType = schema0
-  override def partitioning(): Array[Transform] = Array.empty
+  override def partitioning(): Array[Transform] =
+    partitionCols.map(c =>
+      org.apache.spark.sql.connector.expressions.Expressions.identity(c)).toArray
   override def properties(): java.util.Map[String, String] = props.asJava
   override def capabilities(): JSet[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
@@ -46,15 +49,16 @@ final class GraftTable(
   def dataDir: String = s"$tableDir/data"
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftScanBuilder(schema0, dataDir)
+    new GraftScanBuilder(schema0, dataDir, partitionCols)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new GraftWriteBuilder(schema0, props, dataDir, info)
+    new GraftWriteBuilder(schema0, props, dataDir, partitionCols, info)
 }
 
 // ---------------------------------------------------------------- read ----
 
-final class GraftScanBuilder(tableSchema: StructType, dataDir: String)
+final class GraftScanBuilder(
+    tableSchema: StructType, dataDir: String, partitionCols: Seq[String])
     extends ScanBuilder
     with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters {
@@ -77,24 +81,51 @@ final class GraftScanBuilder(tableSchema: StructType, dataDir: String)
 
   override def pushedFilters(): Array[Filter] = pushed
 
-  override def build(): Scan = new GraftScan(required, pushed, dataDir)
+  override def build(): Scan =
+    new GraftScan(tableSchema, required, pushed, dataDir, partitionCols)
 }
 
-final class GraftScan(required: StructType, pushed: Array[Filter], dataDir: String)
+final class GraftScan(
+    tableSchema: StructType,
+    required: StructType,
+    pushed: Array[Filter],
+    dataDir: String,
+    partitionCols: Seq[String])
     extends Scan with Batch with SupportsReportStatistics {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
 
+  /** Recursive partition-aware listing: `data/c1=v1/c2=v2/part.parquet`.
+    * Directories whose encoded values make a pushed filter provably false
+    * are pruned without listing their contents — static partition pruning
+    * (the reference has none; its partition APIs throw). */
   private lazy val files: Seq[(String, Long)] = {
     val conf = new Configuration()
-    val p = new Path(dataDir)
-    val fs = p.getFileSystem(conf)
-    if (!fs.exists(p)) Seq.empty
-    else fs.listStatus(p).toSeq
-      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-      .map(s => (s.getPath.toString, s.getLen))
-      .sortBy(_._1)
+    val root = new Path(dataDir)
+    val fs = root.getFileSystem(conf)
+
+    def leafFiles(p: Path): Seq[(String, Long)] =
+      fs.listStatus(p).toSeq
+        .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+        .map(s => (s.getPath.toString, s.getLen))
+
+    def walk(p: Path, remaining: Seq[String], values: Map[String, Any]): Seq[(String, Long)] =
+      if (remaining.isEmpty) leafFiles(p)
+      else fs.listStatus(p).toSeq.filter(_.isDirectory).flatMap { d =>
+        d.getPath.getName.split("=", 2) match {
+          case Array(c, raw) if c == remaining.head =>
+            val dt = tableSchema(c).dataType
+            val v = PartitionPruning.parse(dt, PartitionPruning.decode(raw))
+            val vs = values + (c -> v)
+            if (PartitionPruning.prune(pushed.toSeq, vs)) Nil
+            else walk(d.getPath, remaining.tail, vs)
+          case _ => Nil
+        }
+      }
+
+    if (!fs.exists(root)) Seq.empty
+    else walk(root, partitionCols, Map.empty).sortBy(_._1)
   }
 
   override def planInputPartitions(): Array[InputPartition] =
@@ -110,7 +141,7 @@ final class GraftScan(required: StructType, pushed: Array[Filter], dataDir: Stri
 
   override def description(): String =
     s"GraftScan[$dataDir, cols=${required.fieldNames.mkString(",")}, " +
-      s"pushed=${pushed.mkString(",")}]"
+      s"pushed=${pushed.mkString(",")}, partCols=${partitionCols.mkString(",")}]"
 }
 
 final case class GraftInputPartition(path: String) extends InputPartition
@@ -141,6 +172,7 @@ final class GraftWriteBuilder(
     schema: StructType,
     props: Map[String, String],
     dataDir: String,
+    partitionCols: Seq[String],
     info: LogicalWriteInfo)
     extends WriteBuilder with SupportsTruncate {
 
@@ -150,7 +182,7 @@ final class GraftWriteBuilder(
 
   override def build(): Write = new Write {
     override def toBatch: BatchWrite =
-      new GraftBatchWrite(schema, props, dataDir, doTruncate)
+      new GraftBatchWrite(schema, props, dataDir, partitionCols, doTruncate)
   }
 }
 
@@ -158,39 +190,35 @@ final class GraftBatchWrite(
     schema: StructType,
     props: Map[String, String],
     dataDir: String,
+    partitionCols: Seq[String],
     truncate: Boolean)
     extends BatchWrite {
 
   private val writeId = UUID.randomUUID().toString
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new GraftWriterFactory(schema, props.get(RowKeyGenerator.Property), dataDir, writeId)
+    new GraftWriterFactory(schema, props.get(RowKeyGenerator.Property), dataDir,
+      partitionCols, writeId)
 
-  override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    if (truncate) {
-      // files from this write carry writeId in their name; remove the rest
-      val conf = new Configuration()
-      val dir = new Path(dataDir)
-      val fs = dir.getFileSystem(conf)
-      if (fs.exists(dir)) {
-        fs.listStatus(dir).foreach { s =>
-          if (s.isFile && !s.getPath.getName.contains(writeId))
-            fs.delete(s.getPath, false)
-        }
-      }
-    }
-  }
-
-  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+  private def eachFile(f: (FileSystem, Path) => Unit): Unit = {
     val conf = new Configuration()
     val dir = new Path(dataDir)
     val fs = dir.getFileSystem(conf)
     if (fs.exists(dir)) {
-      fs.listStatus(dir).foreach { s =>
-        if (s.isFile && s.getPath.getName.contains(writeId)) fs.delete(s.getPath, false)
-      }
+      val it = fs.listFiles(dir, true)
+      val paths = scala.collection.mutable.ArrayBuffer[Path]()
+      while (it.hasNext) paths += it.next().getPath
+      paths.foreach(p => f(fs, p))
     }
   }
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit =
+    if (truncate)
+      // files from this write carry writeId in their name; remove the rest
+      eachFile((fs, p) => if (!p.getName.contains(writeId)) fs.delete(p, false))
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    eachFile((fs, p) => if (p.getName.contains(writeId)) fs.delete(p, false))
 }
 
 final case class GraftCommitMessage(path: String, rows: Long) extends WriterCommitMessage
@@ -199,14 +227,12 @@ final class GraftWriterFactory(
     schema: StructType,
     generatorClass: Option[String],
     dataDir: String,
+    partitionCols: Seq[String],
     writeId: String)
     extends DataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] = {
     val conf = new Configuration()
-    val path = new Path(s"$dataDir/part-$partitionId-$writeId.parquet")
-    path.getFileSystem(conf).mkdirs(path.getParent)
-    val writer = ParquetRowIO.newWriter(path, schema, conf)
 
     val rowKeyIdx = schema.fieldNames.indexOf(ColumnNames.RowKey)
     val generator = generatorClass.map(RowKeyGenerator.load)
@@ -214,9 +240,27 @@ final class GraftWriterFactory(
       .collect { case (f, i) if i != rowKeyIdx => f })
     val toScala = org.apache.spark.sql.catalyst.CatalystTypeConverters
       .createToScalaConverter(nonKeySchema)
+    val partIdx = partitionCols.map(c => c -> schema.fieldNames.indexOf(c))
 
     new DataWriter[InternalRow] {
       private var count = 0L
+      // one open file per partition-value combination seen by this task
+      private val writers =
+        scala.collection.mutable.LinkedHashMap[String, org.apache.parquet.hadoop.ParquetWriter[InternalRow]]()
+
+      private def writerFor(row: InternalRow): org.apache.parquet.hadoop.ParquetWriter[InternalRow] = {
+        val rel = partIdx.map { case (c, i) =>
+          val v = if (row.isNullAt(i)) null else row.get(i, schema(i).dataType)
+          s"$c=${PartitionPruning.encode(v)}"
+        }.mkString("/")
+        val key = if (rel.isEmpty) "" else rel + "/"
+        writers.getOrElseUpdate(key, {
+          val path = new Path(s"$dataDir/${key}part-$partitionId-$writeId.parquet")
+          path.getFileSystem(conf).mkdirs(path.getParent)
+          ParquetRowIO.newWriter(path, schema, conf)
+        })
+      }
+
       override def write(row: InternalRow): Unit = {
         val out =
           if (generator.isDefined && rowKeyIdx >= 0 &&
@@ -236,17 +280,16 @@ final class GraftWriterFactory(
             new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
               values.asInstanceOf[Array[Any]])
           } else row
-        writer.write(out)
+        writerFor(out).write(out)
         count += 1
       }
       override def commit(): WriterCommitMessage = {
-        writer.close()
-        GraftCommitMessage(path.toString, count)
+        writers.values.foreach(_.close())
+        GraftCommitMessage(dataDir, count)
       }
       override def abort(): Unit = {
-        writer.close()
-        val fs = path.getFileSystem(conf)
-        if (fs.exists(path)) fs.delete(path, false)
+        writers.values.foreach(w => try w.close() catch { case _: Exception => () })
+        // file cleanup happens in GraftBatchWrite.abort via writeId match
       }
       override def close(): Unit = ()
     }

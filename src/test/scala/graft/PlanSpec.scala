@@ -72,6 +72,36 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!plan.contains("SortMergeJoin"), "unexpected shuffle join in ANN path")
   }
 
+  test("graft source: partitioned table prunes directories statically") {
+    import java.nio.file.Files
+    val wh = Files.createTempDirectory("graft_wh_part").toString
+    spark.conf.set("spark.sql.catalog.gpart", classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gpart.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gpart.t")
+    spark.sql(
+      s"""CREATE TABLE gpart.t.docs (doc_id BIGINT, text STRING, lang STRING, n_chars BIGINT)
+         |PARTITIONED BY (lang)""".stripMargin)
+    spark.sql(
+      s"""INSERT INTO gpart.t.docs
+         |SELECT doc_id, text, lang, n_chars FROM parquet.`$dir/documents.parquet`""".stripMargin)
+
+    // partition layout on disk: data/lang=<v>/part-*.parquet
+    val langs = new java.io.File(s"$wh/t/docs/data").listFiles().map(_.getName).sorted
+    assert(langs.forall(_.startsWith("lang=")) && langs.length == 5, langs.toSeq)
+
+    val pruned = spark.sql("SELECT doc_id FROM gpart.t.docs WHERE lang = 'en'")
+    val all = spark.sql("SELECT doc_id FROM gpart.t.docs")
+    assert(pruned.rdd.getNumPartitions < all.rdd.getNumPartitions,
+      s"pruned=${pruned.rdd.getNumPartitions} all=${all.rdd.getNumPartitions}")
+
+    // values still correct (partition cols are also stored in the files)
+    val want = spark.sql(
+      s"SELECT doc_id FROM parquet.`$dir/documents.parquet` WHERE lang = 'en'")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(pruned.collect().map(_.getLong(0)).sorted.toSeq == want)
+    assert(all.count() == 500)
+  }
+
   test("graft source: pushed filters appear in scan description and prune row groups") {
     import java.nio.file.Files
     val wh = Files.createTempDirectory("graft_wh_plan").toString
