@@ -44,7 +44,7 @@ final class GraftTable(
   override def properties(): java.util.Map[String, String] = props.asJava
   override def capabilities(): JSet[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.TRUNCATE).asJava
+      TableCapability.TRUNCATE, TableCapability.STREAMING_WRITE).asJava
 
   def dataDir: String = s"$tableDir/data"
 
@@ -183,7 +183,43 @@ final class GraftWriteBuilder(
   override def build(): Write = new Write {
     override def toBatch: BatchWrite =
       new GraftBatchWrite(schema, props, dataDir, partitionCols, doTruncate)
+    override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+      new GraftStreamingWrite(schema, props, dataDir, partitionCols)
   }
+}
+
+/** Streaming append sink: each epoch writes its own uniquely-named part
+  * files (writeId + epoch in the name). At-least-once on task retry
+  * (no epoch manifest); a production deployment would add a commit log —
+  * the reference has no streaming surface at all. */
+final class GraftStreamingWrite(
+    schema: StructType,
+    props: Map[String, String],
+    dataDir: String,
+    partitionCols: Seq[String])
+    extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+
+  private val writeId = UUID.randomUUID().toString
+
+  override def createStreamingWriterFactory(
+      info: PhysicalWriteInfo): org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory =
+    GraftStreamingWriterFactory(schema, props.get(RowKeyGenerator.Property),
+      dataDir, partitionCols, writeId)
+
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
+}
+
+final case class GraftStreamingWriterFactory(
+    schema: StructType,
+    generatorClass: Option[String],
+    dataDir: String,
+    partitionCols: Seq[String],
+    writeId: String)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long, epochId: Long): DataWriter[InternalRow] =
+    GraftWriterFactory.newWriter(schema, generatorClass, dataDir, partitionCols,
+      s"$writeId-e$epochId", partitionId)
 }
 
 final class GraftBatchWrite(
@@ -231,7 +267,20 @@ final class GraftWriterFactory(
     writeId: String)
     extends DataWriterFactory {
 
-  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] = {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    GraftWriterFactory.newWriter(schema, generatorClass, dataDir, partitionCols,
+      writeId, partitionId)
+}
+
+object GraftWriterFactory {
+
+  def newWriter(
+      schema: StructType,
+      generatorClass: Option[String],
+      dataDir: String,
+      partitionCols: Seq[String],
+      writeId: String,
+      partitionId: Int): DataWriter[InternalRow] = {
     val conf = new Configuration()
 
     val rowKeyIdx = schema.fieldNames.indexOf(ColumnNames.RowKey)
