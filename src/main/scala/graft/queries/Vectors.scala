@@ -131,6 +131,75 @@ object Vectors {
           FROM scored)
         WHERE rank <= 3 ORDER BY qid, rank""")),
 
+    // ---- q40: IVF-flat ANN — coarse quantizer + nprobe=2 probe -----------
+    // Inverted-file index with deterministic centroids (the first 16
+    // vectors): every vector is assigned to its nearest centroid, a query
+    // probes its 2 best centroid lists, and only those lists are scored —
+    // at 100 TB the per-centroid lists are the unit of distribution and a
+    // trained coarse quantizer (k-means) drops in without changing the
+    // dataflow. Centroids broadcast; assignment is one narrow pass.
+    QueryDef(
+      "q40_ann_ivf",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val e = emb(t)
+        val n = norms(e)
+        val cent = e.filter(col("vec_id") < 16)
+          .select(col("vec_id").as("vid"), col("e").as("ve"))
+        val all = e.select(col("vec_id").as("qid"), col("e").as("qe"))
+        val assignScored = cosine(all.crossJoin(broadcast(cent)), n)
+        val wNear = Window.partitionBy(col("qid")).orderBy(desc("cos"), col("vid"))
+        val assign = assignScored
+          .withColumn("rn", row_number().over(wNear)).filter(col("rn") === 1)
+          .select(col("qid").as("member"), col("vid").as("cid"))
+        val probe = assignScored.filter(col("qid") < 20)
+          .withColumn("rn", row_number().over(wNear)).filter(col("rn") <= 2)
+          .select(col("qid"), col("vid").as("cid"))
+        val cand = probe.join(assign, "cid")
+          .filter(col("qid") =!= col("member"))
+          .select(col("qid"), col("member").as("vid"))
+          .distinct()
+        val scored = cosine(
+          cand.join(all, "qid").join(e.select(col("vec_id").as("vid"), col("e").as("ve")), "vid"), n)
+        val wRank = Window.partitionBy(col("qid")).orderBy(desc("cos"), col("vid"))
+        scored
+          .withColumn("rank", row_number().over(wRank).cast("long"))
+          .filter(col("rank") <= 3)
+          .select(col("qid"), col("rank"), col("vid"), col("cos"))
+          .orderBy(col("qid"), col("rank"))
+      },
+      Some {
+        def fold(a: String, b: String): String =
+          s"""list_sum(list_transform(range(1, len($a.embedding) + 1),
+             |  i -> round(CAST($a.embedding[i] AS DOUBLE) * CAST($b.embedding[i] AS DOUBLE) * 1e9)))""".stripMargin
+        s"""WITH $duckNorms,
+        e AS (SELECT vec_id, embedding FROM embeddings),
+        ascore AS (
+          SELECT a.vec_id AS qid, c.vec_id AS vid,
+            ${fold("a", "c")} / sqrt(nq.n2 * nv.n2) AS cos
+          FROM e a JOIN e c ON c.vec_id < 16
+          JOIN norms nq ON nq.vec_id = a.vec_id JOIN norms nv ON nv.vec_id = c.vec_id),
+        ranked AS (
+          SELECT qid, vid, cos,
+            ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vid) AS rn
+          FROM ascore),
+        assign AS (SELECT qid AS member, vid AS cid FROM ranked WHERE rn = 1),
+        probe AS (SELECT qid, vid AS cid FROM ranked WHERE rn <= 2 AND qid < 20),
+        cand AS (
+          SELECT DISTINCT p.qid, a.member AS vid
+          FROM probe p JOIN assign a ON a.cid = p.cid WHERE a.member <> p.qid),
+        cscore AS (
+          SELECT cand.qid, cand.vid,
+            ${fold("q", "v")} / sqrt(nq.n2 * nv.n2) AS cos
+          FROM cand JOIN e q ON q.vec_id = cand.qid JOIN e v ON v.vec_id = cand.vid
+          JOIN norms nq ON nq.vec_id = cand.qid JOIN norms nv ON nv.vec_id = cand.vid)
+        SELECT qid, rank, vid, cos FROM (
+          SELECT qid, vid, cos,
+            ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vid) AS rank
+          FROM cscore)
+        WHERE rank <= 3 ORDER BY qid, rank"""
+      }),
+
     // ---- q29: embedding near-dup pairs within SRP buckets ----------------
     QueryDef(
       "q29_embedding_neardup",

@@ -54,6 +54,28 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.nonEmpty)
   }
 
+  test("streaming exact dedup: dropDuplicates removes cross-file repeats") {
+    // a stream that delivers the same file twice — the dedup state must
+    // collapse every event back to one occurrence
+    val d = Files.createTempDirectory("graft_dup_stream")
+    Files.copy(Paths.get("/root/testdata/sf0.001/events.parquet"),
+      d.resolve("events_a.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    Files.copy(Paths.get("/root/testdata/sf0.001/events.parquet"),
+      d.resolve("events_b.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    val batchDistinct = spark.read.parquet(d.toString)
+      .select("event_id").distinct().count()
+
+    val stream = spark.readStream.schema(batchEvents.schema).parquet(d.toString)
+      .dropDuplicates("event_id")
+      .groupBy().count()
+    val q = stream.writeStream.format("memory").queryName("dedup")
+      .outputMode(OutputMode.Complete()).start()
+    try q.processAllAvailable() finally q.stop()
+
+    val got = spark.table("dedup").head().getLong(0)
+    assert(got == batchDistinct && got == 1000)
+  }
+
   test("stateful sessionization: streaming result equals batch lag-based result") {
     import spark.implicits._
     val stream = spark.readStream.schema(batchEvents.schema).parquet(streamDir)
