@@ -401,6 +401,29 @@ object Relational {
         FROM (SELECT * FROM events WHERE event_type = 'purchase') p
         ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') l
           ON p.user_id = l.user_id AND p.ts >= l.ts
+        ORDER BY purchase_id""")),
+
+    // ---- q41: the same as-of join through the NATIVE custom operator -----
+    // graft.plans.AsOfJoinExec: co-partitioned sorted merge (logical node +
+    // strategy + physical exec registered via GraftExtensions) — no union,
+    // no window state; verified against DuckDB's native ASOF JOIN.
+    QueryDef(
+      "q41_asof_native",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val ev = t.events
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("purchase_id"), col("user_id"), col("ts"))
+        val signups = ev.filter(col("event_type") === "signup")
+          .select(col("event_id").as("signup_id"), col("user_id"), col("ts").as("s_ts"))
+        graft.plans.AsOf.joinBackward(purchases, signups, Seq("user_id"), "ts", "s_ts")
+          .select(col("purchase_id"), col("user_id"), col("signup_id"))
+          .orderBy(col("purchase_id"))
+      },
+      Some("""SELECT p.event_id AS purchase_id, p.user_id, l.event_id AS signup_id
+        FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') l
+          ON p.user_id = l.user_id AND p.ts >= l.ts
         ORDER BY purchase_id"""))
   )
 }
