@@ -1,0 +1,42 @@
+package graft.functions
+
+import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+
+/** Per-group embedding centroid as a typed `Aggregator` — the custom
+  * user-facing aggregate path (the reference defines zero aggregates,
+  * SURVEY.md §2.2; this is the k-means update step a trained IVF coarse
+  * quantizer needs). Elements are quantized to integers at 1e9 scale in
+  * the buffer so partial-merge order cannot change the result — the mean
+  * is bit-deterministic and oracle-comparable.
+  */
+object CentroidAgg extends Aggregator[Seq[Float], CentroidBuf, Seq[Double]] {
+
+  override def zero: CentroidBuf = CentroidBuf(Array.empty, 0L)
+
+  override def reduce(b: CentroidBuf, a: Seq[Float]): CentroidBuf = {
+    val sums = if (b.sums.isEmpty) new Array[Double](a.length) else b.sums
+    var i = 0
+    while (i < a.length) { sums(i) += math.round(a(i).toDouble * 1e9).toDouble; i += 1 }
+    CentroidBuf(sums, b.n + 1)
+  }
+
+  override def merge(x: CentroidBuf, y: CentroidBuf): CentroidBuf =
+    if (x.n == 0) y
+    else if (y.n == 0) x
+    else {
+      val sums = new Array[Double](x.sums.length)
+      var i = 0
+      while (i < sums.length) { sums(i) = x.sums(i) + y.sums(i); i += 1 }
+      CentroidBuf(sums, x.n + y.n)
+    }
+
+  override def finish(b: CentroidBuf): Seq[Double] =
+    b.sums.map(s => (s / b.n) / 1e9).toSeq
+
+  override def bufferEncoder: Encoder[CentroidBuf] = Encoders.product[CentroidBuf]
+  override def outputEncoder: Encoder[Seq[Double]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Double]]()
+}
+
+final case class CentroidBuf(sums: Array[Double], n: Long)

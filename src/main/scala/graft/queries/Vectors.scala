@@ -200,6 +200,32 @@ object Vectors {
         WHERE rank <= 3 ORDER BY qid, rank"""
       }),
 
+    // ---- q42: per-label centroids via the custom typed Aggregator --------
+    // graft.functions.CentroidAgg — the k-means update step; buffer sums
+    // are 1e9-quantized integers so partial-merge order cannot change the
+    // mean. Output flattened to (label, pos, v) rows for the oracle.
+    QueryDef(
+      "q42_label_centroids",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        import s.implicits._
+        val ds = t.embeddings
+          .select(col("label"), col("embedding"))
+          .as[(Int, Seq[Float])]
+        ds.groupByKey(_._1)
+          .mapValues(_._2)
+          .agg(graft.functions.CentroidAgg.toColumn.name("centroid"))
+          .toDF("label", "centroid")
+          .select(col("label"), posexplode(col("centroid")).as(Seq("pos", "v")))
+          .select(col("label"), col("pos").cast("long").as("pos"), col("v"))
+          .orderBy(col("label"), col("pos"))
+      },
+      Some("""SELECT label, pos, (SUM(q) / COUNT(*)) / 1e9 AS v FROM (
+          SELECT label, r.i AS pos,
+                 round(CAST(embedding[r.i + 1] AS DOUBLE) * 1e9) AS q
+          FROM embeddings, range(0, 64) r(i))
+        GROUP BY label, pos ORDER BY label, pos""")),
+
     // ---- q29: embedding near-dup pairs within SRP buckets ----------------
     QueryDef(
       "q29_embedding_neardup",

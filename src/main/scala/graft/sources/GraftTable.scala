@@ -128,8 +128,17 @@ final class GraftScan(
     else walk(root, partitionCols, Map.empty).sortBy(_._1)
   }
 
+  /** Target split size: files larger than this are read as byte ranges
+    * (parquet assigns a row group to the range containing its midpoint),
+    * so one huge file still spreads across executors. */
+  private val splitBytes = 128L * 1024 * 1024
+
   override def planInputPartitions(): Array[InputPartition] =
-    files.map { case (path, _) => GraftInputPartition(path) }.toArray
+    files.flatMap { case (path, len) =>
+      if (len <= splitBytes) Seq(GraftInputPartition(path, 0L, Long.MaxValue))
+      else (0L until len by splitBytes).map(start =>
+        GraftInputPartition(path, start, math.min(start + splitBytes, len)))
+    }.toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
     new GraftReaderFactory(required, pushed)
@@ -144,19 +153,21 @@ final class GraftScan(
       s"pushed=${pushed.mkString(",")}, partCols=${partitionCols.mkString(",")}]"
 }
 
-final case class GraftInputPartition(path: String) extends InputPartition
+final case class GraftInputPartition(path: String, start: Long, end: Long)
+    extends InputPartition
 
 final class GraftReaderFactory(required: StructType, pushed: Array[Filter])
     extends PartitionReaderFactory {
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val file = partition.asInstanceOf[GraftInputPartition].path
+    val p = partition.asInstanceOf[GraftInputPartition]
     val conf = new Configuration()
     val predicate = pushed
       .flatMap(FilterTranslate.translate(required, _))
       .reduceOption(org.apache.parquet.filter2.predicate.FilterApi.and)
     val reader = ParquetRowIO.newReader(
-      new Path(file), required, conf, predicate.map(FilterCompat.get))
+      new Path(p.path), required, conf, predicate.map(FilterCompat.get),
+      if (p.end == Long.MaxValue) None else Some((p.start, p.end)))
     new PartitionReader[InternalRow] {
       private var current: InternalRow = _
       override def next(): Boolean = { current = reader.read(); current != null }

@@ -172,9 +172,14 @@ object ParquetRowIO {
       path: Path,
       requiredSchema: StructType,
       conf: Configuration,
-      filter: Option[org.apache.parquet.filter2.compat.FilterCompat.Filter])
+      filter: Option[org.apache.parquet.filter2.compat.FilterCompat.Filter],
+      range: Option[(Long, Long)] = None)
       : ParquetReader[InternalRow] = {
-    val b = ParquetReader.builder(new RowReadSupport(requiredSchema), path).withConf(conf)
-    filter.fold(b)(b.withFilter).build()
+    val b0 = ParquetReader.builder(new RowReadSupport(requiredSchema), path).withConf(conf)
+    val b1 = filter.fold(b0)(b0.withFilter)
+    // byte-range split: only row groups whose midpoint falls in
+    // [start, end) are read — the standard split-assignment rule
+    val b2 = range.fold(b1) { case (s0, e0) => b1.withFileRange(s0, e0) }
+    b2.build()
   }
 }
