@@ -105,6 +105,60 @@ object Relational2 {
                           WHERE l_orderkey = o_orderkey AND l_quantity >= 49)
         GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
 
+    // ---- q43: window-function battery — ntile / lead / lag / first_value -
+    QueryDef(
+      "q43_window_battery",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("o_orderstatus"))
+          .orderBy(col("o_totalprice"), col("o_orderkey"))
+        t.orders
+          .withColumn("quartile", ntile(4).over(w).cast("long"))
+          .withColumn("next_price", lead(col("o_totalprice"), 1).over(w))
+          .withColumn("prev_key", lag(col("o_orderkey"), 1).over(w))
+          .withColumn("cheapest",
+            first(col("o_orderkey")).over(
+              w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .filter(col("o_orderkey") % 10 === 0)
+          .select(col("o_orderkey"), col("o_orderstatus"), col("quartile"),
+            col("next_price"), col("prev_key"), col("cheapest"))
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""SELECT o_orderkey, o_orderstatus, quartile, next_price, prev_key, cheapest
+        FROM (
+          SELECT o_orderkey, o_orderstatus,
+            NTILE(4) OVER w AS quartile,
+            LEAD(o_totalprice, 1) OVER w AS next_price,
+            LAG(o_orderkey, 1) OVER w AS prev_key,
+            FIRST_VALUE(o_orderkey) OVER
+              (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cheapest
+          FROM orders
+          WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey))
+        WHERE o_orderkey % 10 = 0 ORDER BY o_orderkey""")),
+
+    // ---- q44: date-part extraction and date arithmetic -------------------
+    QueryDef(
+      "q44_date_parts",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        t.orders
+          .groupBy(
+            year(col("o_orderdate")).cast("long").as("y"),
+            quarter(col("o_orderdate")).cast("long").as("q"))
+          .agg(count(lit(1)).as("n"),
+            countDistinct(month(col("o_orderdate"))).as("months"),
+            max(dayofmonth(col("o_orderdate"))).cast("long").as("max_dom"))
+          .orderBy(col("y"), col("q"))
+      },
+      Some("""SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS y,
+        CAST(EXTRACT(quarter FROM o_orderdate) AS BIGINT) AS q,
+        COUNT(*) AS n,
+        CAST(COUNT(DISTINCT EXTRACT(month FROM o_orderdate)) AS BIGINT) AS months,
+        CAST(MAX(EXTRACT(day FROM o_orderdate)) AS BIGINT) AS max_dom
+        FROM orders GROUP BY 1, 2 ORDER BY y, q""")),
+
     // ---- q39: semi-structured JSON extraction from event props -----------
     QueryDef(
       "q39_json_extract",

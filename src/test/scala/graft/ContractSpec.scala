@@ -1,0 +1,27 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Driver-contract invariants: names unique (a duplicate would silently
+  * shadow a query in the Map), every oracle belongs to a defined query,
+  * and the flagship entry is wired. */
+class ContractSpec extends AnyFunSuite {
+
+  test("query names are unique and well-formed") {
+    val names = SparkEntry.allDefs.map(_.name)
+    assert(names.distinct.size == names.size,
+      s"duplicate query names: ${names.diff(names.distinct)}")
+    assert(names.forall(_.matches("q\\d+_[a-z0-9_]+")), names.filterNot(_.matches("q\\d+_[a-z0-9_]+")))
+  }
+
+  test("every query has an oracle (rows-only checks are opt-in, not accidental)") {
+    val missing = SparkEntry.allDefs.filter(_.oracle.isEmpty).map(_.name)
+    assert(missing.isEmpty, s"queries without oracle: $missing")
+  }
+
+  test("maps expose all defs") {
+    assert(SparkEntry.queries.size == SparkEntry.allDefs.size)
+    assert(SparkEntry.oracleSql.size ==
+      SparkEntry.allDefs.count(_.oracle.isDefined))
+  }
+}
