@@ -1,0 +1,71 @@
+package graft.ml
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic Lloyd's k-means over an embedding column — the training
+  * loop for the IVF coarse quantizer (q40 uses fixed seed centroids; this
+  * produces trained ones with the same dataflow):
+  *
+  *  - init: the first k vectors by id (deterministic, no RNG — scripts
+  *    and retries converge identically);
+  *  - assign: broadcast the k centroids, one narrow pass computes each
+  *    vector's nearest centroid by quantized cosine (ties → lower id);
+  *  - update: per-cluster mean via the order-independent quantized sums
+  *    (same scheme as [[graft.functions.CentroidAgg]]).
+  *
+  * Each iteration is one broadcast join + one shuffle by cluster id —
+  * the standard scalable shape (centroids small, corpus never collected).
+  */
+object KMeans {
+
+  /** @param emb (id: Long, e: array<double>) input
+    * @return (cluster: Int, centroid: array<double>) after `iters` steps */
+  def fit(emb: DataFrame, k: Int, iters: Int): DataFrame = {
+    var centroids = emb.orderBy(col("id")).limit(k)
+      .select(col("id").cast("int").as("cluster"), col("e").as("c"))
+    for (_ <- 1 to iters) centroids = update(assign(emb, centroids))
+    centroids
+  }
+
+  /** Nearest-centroid assignment: (id, e, cluster). */
+  def assign(emb: DataFrame, centroids: DataFrame): DataFrame = {
+    val scored = emb.crossJoin(broadcast(centroids))
+      .withColumn("dot",
+        expr("aggregate(zip_with(e, c, (x, y) -> round(x * y * 1e9)), 0D, (a, p) -> a + p)"))
+      .withColumn("cn2",
+        expr("aggregate(c, 0D, (a, x) -> a + round(x * x * 1e9))"))
+      .withColumn("sim", expr("dot / sqrt(cn2)")) // ∝ cosine for fixed e
+    val w = Window.partitionBy(col("id")).orderBy(desc("sim"), col("cluster"))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("id"), col("e"), col("cluster"))
+  }
+
+  /** Quantized-exact per-cluster means: (cluster, c). */
+  def update(assigned: DataFrame): DataFrame =
+    assigned
+      .select(col("cluster"), posexplode(col("e")).as(Seq("pos", "x")))
+      .groupBy(col("cluster"), col("pos"))
+      .agg(sum(expr("round(x * 1e9)")).as("s"), count(lit(1)).as("n"))
+      .withColumn("m", expr("(s / n) / 1e9"))
+      .groupBy(col("cluster"))
+      .agg(expr("transform(array_sort(collect_list(struct(pos, m))), p -> p.m)").as("c"))
+
+  /** Mean cosine of each vector to its assigned centroid — the objective
+    * (higher is better); used to check convergence. */
+  def objective(emb: DataFrame, centroids: DataFrame): Double =
+    assign(emb, centroids)
+      .join(centroids, "cluster")
+      .withColumn("dot",
+        expr("aggregate(zip_with(e, c, (x, y) -> round(x * y * 1e9)), 0D, (a, p) -> a + p)"))
+      .withColumn("en2", expr("aggregate(e, 0D, (a, x) -> a + round(x * x * 1e9))"))
+      .withColumn("cn2", expr("aggregate(c, 0D, (a, x) -> a + round(x * x * 1e9))"))
+      .withColumn("cos", expr("dot / sqrt(en2 * cn2)"))
+      .agg(avg(col("cos"))).head().getDouble(0)
+
+  /** Convenience: embeddings table → (id, e) frame. */
+  def embFrame(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding").cast("array<double>").as("e"))
+}

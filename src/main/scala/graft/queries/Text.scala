@@ -144,6 +144,32 @@ object Text {
                               (a, b) -> (CAST(a AS BIGINT) * 31 + b) % 1000000007) END AS BIGINT) AS fp
         FROM documents ORDER BY doc_id""")),
 
+    // ---- q45: normalization pipeline + dedup on the canonical form -------
+    // lowercase → strip non-alphanumerics → collapse runs of spaces →
+    // trim → md5; catches near-dups that differ only in case/punct/spacing.
+    QueryDef(
+      "q45_normalized_dedup",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        t.documents
+          .withColumn("norm",
+            trim(regexp_replace(
+              regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " ")))
+          .select(col("doc_id"), md5(col("norm").cast("binary")).as("fp"),
+            length(col("norm")).cast("long").as("norm_len"))
+          .groupBy(col("fp"))
+          .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keeper"),
+            max(col("norm_len")).as("norm_len"))
+          .orderBy(col("fp"))
+      },
+      Some("""SELECT md5(norm) AS fp, COUNT(*) AS n_docs, MIN(doc_id) AS keeper,
+        CAST(MAX(length(norm)) AS BIGINT) AS norm_len
+        FROM (SELECT doc_id,
+                trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                     ' +', ' ', 'g')) AS norm
+              FROM documents)
+        GROUP BY fp ORDER BY fp""")),
+
     // ---- q23: corpus stats by (lang, source) — metadata sweep ------------
     QueryDef(
       "q23_doc_stats",

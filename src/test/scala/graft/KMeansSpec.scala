@@ -1,0 +1,43 @@
+package graft
+
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import org.apache.spark.sql.SparkSession
+
+import graft.ml.KMeans
+
+class KMeansSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[8]")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.shuffle.partitions", "8")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("k-means objective is non-decreasing and the fit is deterministic") {
+    val emb = KMeans.embFrame(spark, dir).cache()
+    val init = emb.orderBy("id").limit(8)
+      .selectExpr("cast(id as int) as cluster", "e as c")
+    val o0 = KMeans.objective(emb, init)
+    val c1 = KMeans.fit(emb, 8, 1)
+    val o1 = KMeans.objective(emb, c1)
+    val c2 = KMeans.fit(emb, 8, 2)
+    val o2 = KMeans.objective(emb, c2)
+    assert(o1 >= o0 - 1e-9, s"iteration 1 worsened objective: $o0 -> $o1")
+    assert(o2 >= o1 - 1e-9, s"iteration 2 worsened objective: $o1 -> $o2")
+
+    // determinism: same input → bitwise-identical centroids
+    val a = KMeans.fit(emb, 8, 2).collect().map(r =>
+      (r.getInt(0), r.getSeq[Double](1))).sortBy(_._1)
+    val b = KMeans.fit(emb, 8, 2).collect().map(r =>
+      (r.getInt(0), r.getSeq[Double](1))).sortBy(_._1)
+    assert(a.toSeq == b.toSeq)
+    assert(a.length == 8 && a.forall(_._2.length == 64))
+  }
+}
