@@ -91,7 +91,8 @@ final class GraftScan(
     pushed: Array[Filter],
     dataDir: String,
     partitionCols: Seq[String])
-    extends Scan with Batch with SupportsReportStatistics {
+    extends Scan with Batch with SupportsReportStatistics
+    with SupportsReportPartitioning {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -99,19 +100,20 @@ final class GraftScan(
   /** Recursive partition-aware listing: `data/c1=v1/c2=v2/part.parquet`.
     * Directories whose encoded values make a pushed filter provably false
     * are pruned without listing their contents — static partition pruning
-    * (the reference has none; its partition APIs throw). */
-  private lazy val files: Seq[(String, Long)] = {
+    * (the reference has none; its partition APIs throw). Returns
+    * (path, length, partitionValues-in-partitionCols-order). */
+  private lazy val files: Seq[(String, Long, Seq[Any])] = {
     val conf = new Configuration()
     val root = new Path(dataDir)
     val fs = root.getFileSystem(conf)
 
-    def leafFiles(p: Path): Seq[(String, Long)] =
+    def leafFiles(p: Path, values: Seq[Any]): Seq[(String, Long, Seq[Any])] =
       fs.listStatus(p).toSeq
         .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-        .map(s => (s.getPath.toString, s.getLen))
+        .map(s => (s.getPath.toString, s.getLen, values))
 
-    def walk(p: Path, remaining: Seq[String], values: Map[String, Any]): Seq[(String, Long)] =
-      if (remaining.isEmpty) leafFiles(p)
+    def walk(p: Path, remaining: Seq[String], values: Map[String, Any]): Seq[(String, Long, Seq[Any])] =
+      if (remaining.isEmpty) leafFiles(p, partitionCols.map(values))
       else fs.listStatus(p).toSeq.filter(_.isDirectory).flatMap { d =>
         d.getPath.getName.split("=", 2) match {
           case Array(c, raw) if c == remaining.head =>
@@ -133,12 +135,48 @@ final class GraftScan(
     * so one huge file still spreads across executors. */
   private val splitBytes = 128L * 1024 * 1024
 
+  /** Storage-partitioned-join mode: when the table is partitioned and
+    * `spark.sql.sources.v2.bucketing.enabled` is on, emit ONE input
+    * partition per partition value (implementing `HasPartitionKey`) and
+    * report `KeyGroupedPartitioning` — co-partitioned joins and
+    * aggregations on the partition columns then run with NO shuffle. */
+  private def keyGrouped: Boolean =
+    partitionCols.nonEmpty &&
+      org.apache.spark.sql.internal.SQLConf.get.v2BucketingEnabled
+
+  private lazy val groups: Seq[(Seq[Any], Seq[String])] =
+    files.groupBy(_._3).toSeq
+      .map { case (vs, fs0) => (vs, fs0.map(_._1)) }
+      .sortBy(_._1.map(String.valueOf(_)).mkString("/"))
+
   override def planInputPartitions(): Array[InputPartition] =
-    files.flatMap { case (path, len) =>
-      if (len <= splitBytes) Seq(GraftInputPartition(path, 0L, Long.MaxValue))
-      else (0L until len by splitBytes).map(start =>
-        GraftInputPartition(path, start, math.min(start + splitBytes, len)))
-    }.toArray
+    if (keyGrouped) {
+      groups.map { case (values, paths) =>
+        val key = org.apache.spark.sql.catalyst.InternalRow.fromSeq(
+          values.zip(partitionCols).map { case (v, c) =>
+            org.apache.spark.sql.catalyst.CatalystTypeConverters
+              .convertToCatalyst(v)
+          })
+        GraftPartitionGroup(paths, key): InputPartition
+      }.toArray
+    } else {
+      files.flatMap { case (path, len, _) =>
+        if (len <= splitBytes) Seq(GraftInputPartition(path, 0L, Long.MaxValue))
+        else (0L until len by splitBytes).map(start =>
+          GraftInputPartition(path, start, math.min(start + splitBytes, len)))
+      }.toArray
+    }
+
+  override def outputPartitioning(): org.apache.spark.sql.connector.read.partitioning.Partitioning =
+    if (keyGrouped)
+      new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
+        partitionCols.map(c =>
+          org.apache.spark.sql.connector.expressions.Expressions.identity(c)
+            : org.apache.spark.sql.connector.expressions.Expression).toArray,
+        groups.size)
+    else
+      new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(
+        planInputPartitions().length)
 
   override def createReaderFactory(): PartitionReaderFactory =
     new GraftReaderFactory(required, pushed)
@@ -156,25 +194,63 @@ final class GraftScan(
 final case class GraftInputPartition(path: String, start: Long, end: Long)
     extends InputPartition
 
+/** All files of one partition value, exposing the value as the Spark
+  * partition key for storage-partitioned joins. */
+final case class GraftPartitionGroup(paths: Seq[String], key: InternalRow)
+    extends InputPartition with HasPartitionKey {
+  override def partitionKey(): InternalRow = key
+}
+
 final class GraftReaderFactory(required: StructType, pushed: Array[Filter])
     extends PartitionReaderFactory {
 
-  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val p = partition.asInstanceOf[GraftInputPartition]
+  private def openFile(path: String): org.apache.parquet.hadoop.ParquetReader[InternalRow] = {
     val conf = new Configuration()
     val predicate = pushed
       .flatMap(FilterTranslate.translate(required, _))
       .reduceOption(org.apache.parquet.filter2.predicate.FilterApi.and)
-    val reader = ParquetRowIO.newReader(
-      new Path(p.path), required, conf, predicate.map(FilterCompat.get),
-      if (p.end == Long.MaxValue) None else Some((p.start, p.end)))
-    new PartitionReader[InternalRow] {
-      private var current: InternalRow = _
-      override def next(): Boolean = { current = reader.read(); current != null }
-      override def get(): InternalRow = current
-      override def close(): Unit = reader.close()
-    }
+    ParquetRowIO.newReader(new Path(path), required, conf,
+      predicate.map(FilterCompat.get), None)
   }
+
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    partition match {
+      case GraftPartitionGroup(paths, _) =>
+        // sequential concatenation of the group's files
+        new PartitionReader[InternalRow] {
+          private val remaining = scala.collection.mutable.Queue(paths: _*)
+          private var reader: org.apache.parquet.hadoop.ParquetReader[InternalRow] = _
+          private var current: InternalRow = _
+          override def next(): Boolean = {
+            while (true) {
+              if (reader == null) {
+                if (remaining.isEmpty) return false
+                reader = openFile(remaining.dequeue())
+              }
+              current = reader.read()
+              if (current != null) return true
+              reader.close(); reader = null
+            }
+            false
+          }
+          override def get(): InternalRow = current
+          override def close(): Unit = if (reader != null) reader.close()
+        }
+      case GraftInputPartition(path, start, end) =>
+        val conf = new Configuration()
+        val predicate = pushed
+          .flatMap(FilterTranslate.translate(required, _))
+          .reduceOption(org.apache.parquet.filter2.predicate.FilterApi.and)
+        val reader = ParquetRowIO.newReader(
+          new Path(path), required, conf, predicate.map(FilterCompat.get),
+          if (end == Long.MaxValue) None else Some((start, end)))
+        new PartitionReader[InternalRow] {
+          private var current: InternalRow = _
+          override def next(): Boolean = { current = reader.read(); current != null }
+          override def get(): InternalRow = current
+          override def close(): Unit = reader.close()
+        }
+    }
 }
 
 // --------------------------------------------------------------- write ----

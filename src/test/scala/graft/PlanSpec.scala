@@ -102,6 +102,54 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(all.count() == 500)
   }
 
+  test("graft source: storage-partitioned aggregation and join avoid shuffles") {
+    import java.nio.file.Files
+    val wh = Files.createTempDirectory("graft_wh_spj").toString
+    spark.conf.set("spark.sql.catalog.gspj", classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gspj.warehouse", wh)
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    try {
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS gspj.t")
+      spark.sql(
+        "CREATE TABLE gspj.t.a (doc_id BIGINT, lang STRING, n_chars BIGINT) PARTITIONED BY (lang)")
+      spark.sql(
+        "CREATE TABLE gspj.t.b (doc_id BIGINT, lang STRING) PARTITIONED BY (lang)")
+      spark.sql(
+        s"INSERT INTO gspj.t.a SELECT doc_id, lang, n_chars FROM parquet.`$dir/documents.parquet`")
+      spark.sql(
+        s"INSERT INTO gspj.t.b SELECT doc_id + 10000, lang FROM parquet.`$dir/documents.parquet`")
+
+      // groupBy on the partition column: reported KeyGroupedPartitioning
+      // must satisfy the aggregation's clustering — no Exchange
+      val agg = spark.sql("SELECT lang, COUNT(*) AS n FROM gspj.t.a GROUP BY lang")
+      agg.collect()
+      val aggPlan = agg.queryExecution.executedPlan.toString
+      assert(!aggPlan.contains("Exchange"), s"unexpected shuffle:\n${aggPlan.take(1500)}")
+
+      // co-partitioned join on the partition column — no shuffle exchange
+      // (auto-broadcast off so the join actually exercises SPJ)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val j = spark.sql(
+        """SELECT a.lang, COUNT(*) AS n FROM gspj.t.a a JOIN gspj.t.b b
+          |ON a.lang = b.lang GROUP BY a.lang""".stripMargin)
+      val rows = j.collect()
+      val jPlan = j.queryExecution.executedPlan.toString
+      assert(!jPlan.contains("ShuffleExchange") && !jPlan.contains("Exchange hashpartitioning"),
+        s"unexpected shuffle:\n${jPlan.take(2000)}")
+      assert(jPlan.contains("SortMergeJoin"), s"expected SMJ over SPJ:\n${jPlan.take(1500)}")
+      // sanity: same answer as the unpartitioned equivalent
+      val want = spark.sql(
+        s"""SELECT x.lang, COUNT(*) AS n FROM parquet.`$dir/documents.parquet` x
+           |JOIN parquet.`$dir/documents.parquet` y ON x.lang = y.lang
+           |GROUP BY x.lang""".stripMargin).collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSet
+      assert(rows.map(r => (r.getString(0), r.getLong(1))).toSet == want)
+    } finally {
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "false")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+
   test("graft source: pushed filters appear in scan description and prune row groups") {
     import java.nio.file.Files
     val wh = Files.createTempDirectory("graft_wh_plan").toString
