@@ -159,6 +159,32 @@ object Relational2 {
         CAST(MAX(EXTRACT(day FROM o_orderdate)) AS BIGINT) AS max_dom
         FROM orders GROUP BY 1, 2 ORDER BY y, q""")),
 
+    // ---- q46: RANGE-frame window — trailing-hour per-user activity -------
+    QueryDef(
+      "q46_range_frame",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        import org.apache.spark.sql.expressions.Window
+        val hourNs = 3600L * 1000000000L
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+          .rangeBetween(-hourNs, 0)
+        t.events
+          .withColumn("hr_events", count(lit(1)).over(w))
+          .withColumn("hr_value",
+            sum(col("value").cast("decimal(18,4)")).over(w).cast("double"))
+          .filter(col("event_id") % 25 === 0)
+          .select(col("event_id"), col("user_id"), col("hr_events"), col("hr_value"))
+          .orderBy(col("event_id"))
+      },
+      Some("""SELECT event_id, user_id, hr_events, hr_value FROM (
+          SELECT event_id, user_id,
+            COUNT(*) OVER w AS hr_events,
+            CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE) AS hr_value
+          FROM (SELECT event_id, user_id, epoch_ns(ts) AS tns, value FROM events)
+          WINDOW w AS (PARTITION BY user_id ORDER BY tns
+                       RANGE BETWEEN 3600000000000 PRECEDING AND CURRENT ROW))
+        WHERE event_id % 25 = 0 ORDER BY event_id""")),
+
     // ---- q39: semi-structured JSON extraction from event props -----------
     QueryDef(
       "q39_json_extract",
