@@ -181,9 +181,23 @@ final class GraftScan(
   override def createReaderFactory(): PartitionReaderFactory =
     new GraftReaderFactory(required, pushed)
 
+  /** Exact row count from parquet footers (after partition pruning) —
+    * feeds broadcast-join sizing and CBO. Footer reads are metadata-only;
+    * a production deployment would cache them in the table metadata, but
+    * even at 1000s of files this is one small read per file at planning. */
+  private lazy val footerRows: Long = {
+    val conf = new Configuration()
+    files.map { case (path, _, _) =>
+      val p = new Path(path)
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try r.getRecordCount finally r.close()
+    }.sum
+  }
+
   override def estimateStatistics(): Statistics = new Statistics {
     override def sizeInBytes() = java.util.OptionalLong.of(files.map(_._2).sum)
-    override def numRows() = java.util.OptionalLong.empty()
+    override def numRows() = java.util.OptionalLong.of(footerRows)
   }
 
   override def description(): String =
