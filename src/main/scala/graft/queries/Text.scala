@@ -170,6 +170,74 @@ object Text {
               FROM documents)
         GROUP BY fp ORDER BY fp""")),
 
+    // ---- q47: the full corpus-preparation pipeline in one plan -----------
+    // quality gate → canonical form → exact dedup (min-id keeper) →
+    // near-dup removal (3-gram Jaccard ≥ 0.6 pairs, larger id dropped).
+    // This is the end-to-end training-set builder; every stage is the
+    // operator proven individually in q19-q25/q45, composed declaratively
+    // so Catalyst plans the whole thing (one scan feeds all stages).
+    QueryDef(
+      "q47_corpus_pipeline",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val base = t.documents
+          .withColumn("sp", split(col("text"), " "))
+          .withColumn("n_tokens", size(col("sp")).cast("long"))
+          .withColumn("avg_wlen", expr("cast(length(text) as double) / n_tokens"))
+          .filter(col("n_tokens") >= 20 && col("avg_wlen") <= 8.0)
+          .withColumn("norm",
+            trim(regexp_replace(
+              regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " ")))
+          .withColumn("fp", md5(col("norm").cast("binary")))
+        val keepers = base.groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
+        val surv = base.join(keepers, Seq("fp", "doc_id"))
+        val sh = surv
+          .filter(size(col("sp")) >= 3)
+          .select(col("doc_id"),
+            explode(expr("transform(sequence(0, size(sp) - 3), i -> concat_ws(' ', sp[i], sp[i+1], sp[i+2]))"))
+              .as("shingle"))
+          .distinct()
+        val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+        val dropped = sh.select(col("doc_id").as("d1"), col("shingle"))
+          .join(sh.select(col("doc_id").as("d2"), col("shingle")), "shingle")
+          .filter(col("d1") < col("d2"))
+          .groupBy(col("d1"), col("d2"))
+          .agg(count(lit(1)).as("common"))
+          .join(cnt.select(col("doc_id").as("d1"), col("n").as("n1")), "d1")
+          .join(cnt.select(col("doc_id").as("d2"), col("n").as("n2")), "d2")
+          .filter(expr("common / (n1 + n2 - common) >= 0.6"))
+          .select(col("d2").as("doc_id"))
+          .distinct()
+        surv.join(dropped, Seq("doc_id"), "left_anti")
+          .select(col("doc_id"), col("n_tokens"), col("fp"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH base AS (
+          SELECT doc_id, text, string_split(text, ' ') AS sp,
+            CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+            CAST(length(text) AS DOUBLE) / len(string_split(text, ' ')) AS avg_wlen,
+            md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                ' +', ' ', 'g'))) AS fp
+          FROM documents
+          WHERE len(string_split(text, ' ')) >= 20
+            AND CAST(length(text) AS DOUBLE) / len(string_split(text, ' ')) <= 8.0),
+        keepers AS (SELECT fp, MIN(doc_id) AS doc_id FROM base GROUP BY fp),
+        surv AS (SELECT b.* FROM base b JOIN keepers k ON b.fp = k.fp AND b.doc_id = k.doc_id),
+        sh AS (SELECT DISTINCT doc_id,
+                 unnest(list_transform(range(len(sp) - 2),
+                   i -> sp[i+1] || ' ' || sp[i+2] || ' ' || sp[i+3])) AS shingle
+               FROM surv WHERE len(sp) >= 3),
+        cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        pairs AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS common
+                  FROM sh a JOIN sh b USING (shingle)
+                  WHERE a.doc_id < b.doc_id GROUP BY a.doc_id, b.doc_id),
+        dropped AS (SELECT DISTINCT d2 AS doc_id
+                    FROM pairs JOIN cnt ca ON ca.doc_id = d1 JOIN cnt cb ON cb.doc_id = d2
+                    WHERE common / (ca.n + cb.n - common) >= 0.6)
+        SELECT doc_id, n_tokens, fp FROM surv
+        WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
+        ORDER BY doc_id""")),
+
     // ---- q23: corpus stats by (lang, source) — metadata sweep ------------
     QueryDef(
       "q23_doc_stats",
