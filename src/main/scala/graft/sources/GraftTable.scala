@@ -34,7 +34,7 @@ final class GraftTable(
     props: Map[String, String],
     tableDir: String,
     partitionCols: Seq[String] = Nil)
-    extends Table with SupportsRead with SupportsWrite {
+    extends Table with SupportsRead with SupportsWrite with SupportsDelete {
 
   override def name(): String = ident
   override def schema(): StructType = schema0
@@ -47,6 +47,49 @@ final class GraftTable(
       TableCapability.TRUNCATE, TableCapability.STREAMING_WRITE).asJava
 
   def dataDir: String = s"$tableDir/data"
+
+  // ---- DELETE FROM / TRUNCATE: metadata-only partition-level deletes ----
+  // A filter is deletable when it is decidable purely from partition
+  // values ([[PartitionPruning.eval3]]); row-level deletes would need a
+  // rewrite mechanism and are rejected so Spark raises a clear error.
+
+  private def deletableFilter(f: Filter): Boolean = f match {
+    case _: AlwaysTrue => true
+    case org.apache.spark.sql.sources.And(l, r) => deletableFilter(l) && deletableFilter(r)
+    case org.apache.spark.sql.sources.Or(l, r) => deletableFilter(l) && deletableFilter(r)
+    case org.apache.spark.sql.sources.Not(c) => deletableFilter(c)
+    case other => other.references.nonEmpty && other.references.forall(partitionCols.contains)
+  }
+
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    filters.forall(deletableFilter)
+
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val root = new Path(dataDir)
+    val fs = root.getFileSystem(conf)
+    if (!fs.exists(root)) return
+    if (filters.forall(_.isInstanceOf[AlwaysTrue]) || partitionCols.isEmpty) {
+      // truncate
+      fs.delete(root, true)
+      fs.mkdirs(root)
+      return
+    }
+    def walk(p: Path, remaining: Seq[String], values: Map[String, Any]): Unit =
+      if (remaining.isEmpty) {
+        // delete the partition dir iff every filter is definitely true here
+        if (filters.forall(f => PartitionPruning.eval3(f, values).contains(true)))
+          fs.delete(p, true)
+      } else fs.listStatus(p).filter(_.isDirectory).foreach { d =>
+        d.getPath.getName.split("=", 2) match {
+          case Array(c, raw) if c == remaining.head =>
+            val v = PartitionPruning.parse(schema0(c).dataType, PartitionPruning.decode(raw))
+            walk(d.getPath, remaining.tail, values + (c -> v))
+          case _ => ()
+        }
+      }
+    walk(root, partitionCols, Map.empty)
+  }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(schema0, dataDir, partitionCols)

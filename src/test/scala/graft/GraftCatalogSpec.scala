@@ -113,6 +113,28 @@ class GraftCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(keys.toSet.size == 1)
   }
 
+  test("DELETE FROM removes whole partitions; row-level deletes are rejected") {
+    spark.sql(
+      """CREATE TABLE graft.pw.part_del (id BIGINT, grp STRING)
+        |PARTITIONED BY (grp)""".stripMargin)
+    spark.sql(
+      """INSERT INTO graft.pw.part_del VALUES
+        |(1, 'a'), (2, 'a'), (3, 'b'), (4, 'c')""".stripMargin)
+    spark.sql("DELETE FROM graft.pw.part_del WHERE grp = 'a'")
+    assert(spark.table("graft.pw.part_del").collect().map(_.getLong(0)).sorted.toSeq
+      == Seq(3L, 4L))
+    // IN-list over partition values works too
+    spark.sql("DELETE FROM graft.pw.part_del WHERE grp IN ('b')")
+    assert(spark.table("graft.pw.part_del").count() == 1)
+    // non-partition predicate → rejected, data intact
+    intercept[Exception](spark.sql("DELETE FROM graft.pw.part_del WHERE id = 4"))
+    assert(spark.table("graft.pw.part_del").count() == 1)
+    // TRUNCATE (delete all) via AlwaysTrue
+    spark.sql("DELETE FROM graft.pw.part_del")
+    assert(spark.table("graft.pw.part_del").count() == 0)
+    spark.sql("DROP TABLE graft.pw.part_del")
+  }
+
   test("rename and drop") {
     spark.sql("ALTER TABLE graft.pw.test_big RENAME TO graft.pw.test_big2")
     assert(spark.table("graft.pw.test_big2").count() == 1)
