@@ -146,10 +146,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val table = loadTable(ident).asInstanceOf[GraftTable]
     var props = table.properties().asScala.toMap
-    val schema = table.schema0
+    var schema = table.schema0
     changes.foreach {
       case set: TableChange.SetProperty => props += set.property() -> set.value()
       case rm: TableChange.RemoveProperty => props -= rm.property()
+      case add: TableChange.AddColumn if add.fieldNames().length == 1 =>
+        // schema evolution: new column appended; existing files read NULL
+        // for it (ParquetRowIO fills fields missing from a file's schema)
+        schema = StructType(schema.fields :+
+          org.apache.spark.sql.types.StructField(
+            add.fieldNames()(0), add.dataType(), nullable = true))
       case other =>
         throw new UnsupportedOperationException(s"graft catalog: unsupported change $other")
     }

@@ -142,13 +142,18 @@ object ParquetRowIO {
     }
   }
 
-  private final class RowMaterializer(schema: StructType)
+  /** Materializes rows of `schema`; only `presentFields` (a subset, in
+    * requested-message order) exist in this file — the rest stay null,
+    * which is what schema evolution (ALTER TABLE ADD COLUMN) needs when
+    * reading files written before the column existed. */
+  private final class RowMaterializer(schema: StructType, presentFields: Seq[String])
       extends RecordMaterializer[InternalRow] {
     private val values = new Array[Any](schema.length)
     private val root: GroupConverter = new GroupConverter {
-      private val converters = schema.fields.zipWithIndex.map {
-        case (f, i) => new FieldConverter(physical(f.dataType), i, values)
-      }
+      private val converters = presentFields.map { name =>
+        val i = schema.fieldIndex(name)
+        new FieldConverter(physical(schema(i).dataType), i, values)
+      }.toArray
       override def getConverter(i: Int): Converter = converters(i)
       override def start(): Unit = java.util.Arrays.fill(values.asInstanceOf[Array[AnyRef]], null)
       override def end(): Unit = ()
@@ -158,14 +163,20 @@ object ParquetRowIO {
   }
 
   final class RowReadSupport(requiredSchema: StructType) extends ReadSupport[InternalRow] {
-    override def init(context: InitContext): ReadContext =
-      new ReadContext(messageType(requiredSchema))
+    override def init(context: InitContext): ReadContext = {
+      // request only the columns this file actually has; missing ones are
+      // filled with null by the materializer (schema evolution)
+      val fileFields = context.getFileSchema.getFields.asScala.map(_.getName).toSet
+      val present = StructType(requiredSchema.fields.filter(f => fileFields.contains(f.name)))
+      new ReadContext(messageType(present))
+    }
     override def prepareForRead(
         conf: Configuration,
         keyValueMetaData: java.util.Map[String, String],
         fileSchema: MessageType,
         readContext: ReadContext): RecordMaterializer[InternalRow] =
-      new RowMaterializer(requiredSchema)
+      new RowMaterializer(requiredSchema,
+        readContext.getRequestedSchema.getFields.asScala.map(_.getName).toSeq)
   }
 
   def newReader(

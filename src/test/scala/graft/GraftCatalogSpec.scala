@@ -113,6 +113,21 @@ class GraftCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(keys.toSet.size == 1)
   }
 
+  test("ALTER TABLE ADD COLUMN: old files read NULL for the new column") {
+    spark.sql("CREATE TABLE graft.pw.evolve (id BIGINT, v STRING)")
+    spark.sql("INSERT INTO graft.pw.evolve VALUES (1, 'old')")
+    spark.sql("ALTER TABLE graft.pw.evolve ADD COLUMN extra DOUBLE")
+    spark.sql("INSERT INTO graft.pw.evolve VALUES (2, 'new', 2.5)")
+    val rows = spark.table("graft.pw.evolve").orderBy("id").collect()
+    assert(rows.length == 2)
+    assert(rows(0).isNullAt(2), "pre-evolution file must read NULL")
+    assert(rows(1).getDouble(2) == 2.5)
+    // filtering on the evolved column works (null excluded)
+    assert(spark.sql("SELECT id FROM graft.pw.evolve WHERE extra > 1.0")
+      .collect().map(_.getLong(0)).toSeq == Seq(2L))
+    spark.sql("DROP TABLE graft.pw.evolve")
+  }
+
   test("DELETE FROM removes whole partitions; row-level deletes are rejected") {
     spark.sql(
       """CREATE TABLE graft.pw.part_del (id BIGINT, grp STRING)
