@@ -226,6 +226,51 @@ object Vectors {
           FROM embeddings, range(0, 64) r(i))
         GROUP BY label, pos ORDER BY label, pos""")),
 
+    // ---- q48: product-quantization encoding (IVF-PQ building block) ------
+    // 64 dims → 8 subvectors of 8; each subvector maps to the nearest of
+    // 16 deterministic codewords (the first 16 vectors' subvectors) by
+    // quantized squared distance — 64 bits per vector instead of 2 KB.
+    // Codebooks broadcast; encoding is one narrow pass over the corpus,
+    // which is what makes PQ viable at 100 TB.
+    QueryDef(
+      "q48_pq_encode",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val e = emb(t)
+        val subs = e.select(col("vec_id"), explode(expr("sequence(0, 7)")).as("j"), col("e"))
+          .select(col("vec_id"), col("j"),
+            expr("slice(e, j * 8 + 1, 8)").as("sv"))
+        val codewords = subs.filter(col("vec_id") < 16)
+          .select(col("vec_id").as("cw"), col("j"), col("sv").as("cv"))
+        val w = Window.partitionBy(col("vec_id"), col("j"))
+          .orderBy(col("dist"), col("cw"))
+        subs.join(broadcast(codewords), "j")
+          .withColumn("dist",
+            expr("aggregate(zip_with(sv, cv, (x, y) -> round((x - y) * (x - y) * 1e9)), 0D, (a, p) -> a + p)"))
+          .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+          .select(col("vec_id"), col("j").cast("long").as("subv"),
+            col("cw").cast("long").as("code"))
+          .orderBy(col("vec_id"), col("subv"))
+      },
+      Some("""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+        subs AS (SELECT vec_id, j FROM e, range(0, 8) r(j)),
+        dists AS (
+          SELECT s.vec_id, s.j, c.vec_id AS cw,
+            list_sum(list_transform(range(0, 8),
+              i -> round((CAST(a.embedding[s.j * 8 + i + 1] AS DOUBLE)
+                          - CAST(c.embedding[s.j * 8 + i + 1] AS DOUBLE))
+                         * (CAST(a.embedding[s.j * 8 + i + 1] AS DOUBLE)
+                            - CAST(c.embedding[s.j * 8 + i + 1] AS DOUBLE)) * 1e9))) AS dist
+          FROM (SELECT vec_id, j FROM e, range(0, 8) r(j)) s
+          JOIN e a ON a.vec_id = s.vec_id
+          JOIN e c ON c.vec_id < 16)
+        SELECT vec_id, CAST(j AS BIGINT) AS subv, CAST(cw AS BIGINT) AS code FROM (
+          SELECT vec_id, j, cw,
+            ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY dist, cw) AS rn
+          FROM dists)
+        WHERE rn = 1 ORDER BY vec_id, subv"""))
+      ,
+
     // ---- q29: embedding near-dup pairs within SRP buckets ----------------
     QueryDef(
       "q29_embedding_neardup",
