@@ -238,6 +238,27 @@ object Text {
         WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
         ORDER BY doc_id""")),
 
+    // ---- q50: vocabulary induction — document/corpus frequency table -----
+    // The df/cf statistics a tokenizer-training (BPE-style) pipeline
+    // computes over a corpus; one explode + one shuffle on the token.
+    QueryDef(
+      "q50_vocabulary",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        t.documents
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+          .groupBy(col("token"))
+          .agg(countDistinct(col("doc_id")).as("df"), count(lit(1)).as("cf"))
+          .filter(col("df") >= 5)
+          .orderBy(desc("df"), desc("cf"), col("token"))
+          .limit(50)
+      },
+      Some("""SELECT token, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df,
+        COUNT(*) AS cf
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+        GROUP BY token HAVING COUNT(DISTINCT doc_id) >= 5
+        ORDER BY df DESC, cf DESC, token LIMIT 50""")),
+
     // ---- q23: corpus stats by (lang, source) — metadata sweep ------------
     QueryDef(
       "q23_doc_stats",

@@ -271,6 +271,71 @@ object Vectors {
         WHERE rn = 1 ORDER BY vec_id, subv"""))
       ,
 
+    // ---- q49: asymmetric-distance (ADC) search over PQ codes -------------
+    // The query side stays un-quantized: per (query, subvector, codeword)
+    // distances form a small lookup table, and a candidate's approximate
+    // distance is the sum of 8 table entries selected by its PQ codes —
+    // the search never touches raw corpus vectors (8 adds per candidate),
+    // which is the entire point of IVF-PQ at scale.
+    QueryDef(
+      "q49_pq_adc_search",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val e = emb(t)
+        val subs = e.select(col("vec_id"), explode(expr("sequence(0, 7)")).as("j"), col("e"))
+          .select(col("vec_id"), col("j"), expr("slice(e, j * 8 + 1, 8)").as("sv"))
+        val codewords = subs.filter(col("vec_id") < 16)
+          .select(col("vec_id").as("cw"), col("j"), col("sv").as("cv"))
+        val distExpr =
+          expr("aggregate(zip_with(sv, cv, (x, y) -> round((x - y) * (x - y) * 1e9)), 0D, (a, p) -> a + p)")
+        // PQ codes for the whole corpus (as in q48)
+        val wCode = Window.partitionBy(col("vec_id"), col("j")).orderBy(col("dist"), col("cw"))
+        val codes = subs.join(broadcast(codewords), "j")
+          .withColumn("dist", distExpr)
+          .withColumn("rn", row_number().over(wCode)).filter(col("rn") === 1)
+          .select(col("vec_id").as("vid"), col("j"), col("cw").as("code"))
+        // per-query lookup tables (raw query subvectors vs codewords)
+        val lut = subs.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("j"), col("sv"))
+          .join(broadcast(codewords), "j")
+          .withColumn("d", distExpr)
+          .select(col("qid"), col("j"), col("cw").as("code"), col("d"))
+        val wRank = Window.partitionBy(col("qid")).orderBy(col("adist"), col("vid"))
+        codes.join(lut, Seq("j", "code"))
+          .filter(col("qid") =!= col("vid"))
+          .groupBy(col("qid"), col("vid"))
+          .agg(sum(col("d")).as("adist"))
+          .withColumn("rank", row_number().over(wRank).cast("long"))
+          .filter(col("rank") <= 3)
+          .select(col("qid"), col("rank"), col("vid"), col("adist"))
+          .orderBy(col("qid"), col("rank"))
+      },
+      Some("""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+        subs AS (SELECT vec_id, j FROM e, range(0, 8) r(j)),
+        dists AS (
+          SELECT s.vec_id, s.j, c.vec_id AS cw,
+            list_sum(list_transform(range(0, 8),
+              i -> round((CAST(a.embedding[s.j * 8 + i + 1] AS DOUBLE)
+                          - CAST(c.embedding[s.j * 8 + i + 1] AS DOUBLE))
+                         * (CAST(a.embedding[s.j * 8 + i + 1] AS DOUBLE)
+                            - CAST(c.embedding[s.j * 8 + i + 1] AS DOUBLE)) * 1e9))) AS dist
+          FROM subs s JOIN e a ON a.vec_id = s.vec_id JOIN e c ON c.vec_id < 16),
+        codes AS (
+          SELECT vec_id AS vid, j, cw AS code FROM (
+            SELECT vec_id, j, cw,
+              ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY dist, cw) AS rn
+            FROM dists) WHERE rn = 1),
+        lut AS (SELECT vec_id AS qid, j, cw AS code, dist AS d
+                FROM dists WHERE vec_id < 10)
+        SELECT qid, rank, vid, adist FROM (
+          SELECT qid, vid, adist,
+            ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adist, vid) AS rank
+          FROM (
+            SELECT l.qid, c.vid, SUM(l.d) AS adist
+            FROM codes c JOIN lut l ON l.j = c.j AND l.code = c.code
+            WHERE l.qid <> c.vid GROUP BY l.qid, c.vid))
+        WHERE rank <= 3 ORDER BY qid, rank""")),
+
     // ---- q29: embedding near-dup pairs within SRP buckets ----------------
     QueryDef(
       "q29_embedding_neardup",
