@@ -67,6 +67,11 @@ def main():
                 bad = [(a, b) for a, b in zip(sorted(map(repr, gr)), sorted(map(repr, er))) if a != b]
                 print(f"FAIL {name}: {len(bad)} differing rows; first: {bad[0] if bad else '??'}")
                 ok = False
+            elif list(map(repr, gr)) != list(map(repr, er)):
+                # values match as multisets but row ORDER differs — the
+                # driver may compare order-sensitively, so treat as failure
+                print(f"FAIL {name}: row order differs from oracle")
+                ok = False
         if ok:
             empty = " (EMPTY!)" if len(gr) == 0 else ""
             print(f"PASS {name} ({len(gr)} rows){empty}")

@@ -148,7 +148,7 @@ object FilterTranslate {
 
   /** Smallest byte string strictly greater than every string with the
     * given prefix (increment last non-0xff byte, truncate after it). */
-  private[sources] def upperBound(prefix: String): Option[Array[Byte]] = {
+  private[graft] def upperBound(prefix: String): Option[Array[Byte]] = {
     val b = prefix.getBytes(java.nio.charset.StandardCharsets.UTF_8)
     var i = b.length - 1
     while (i >= 0 && b(i) == 0xff.toByte) i -= 1

@@ -128,6 +128,27 @@ class GraftCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.sql("DROP TABLE graft.pw.evolve")
   }
 
+  test("two-level partitioning: nested layout, pruning, and DELETE") {
+    spark.sql(
+      """CREATE TABLE graft.pw.two_lvl (id BIGINT, a STRING, b INT)
+        |PARTITIONED BY (a, b)""".stripMargin)
+    spark.sql(
+      """INSERT INTO graft.pw.two_lvl VALUES
+        |(1, 'x', 1), (2, 'x', 2), (3, 'y', 1), (4, 'y', 2), (5, NULL, 1)""".stripMargin)
+    // nested dirs a=<v>/b=<v>; null partition value round-trips
+    assert(spark.table("graft.pw.two_lvl").count() == 5)
+    assert(spark.sql("SELECT id FROM graft.pw.two_lvl WHERE a = 'x' AND b = 2")
+      .collect().map(_.getLong(0)).toSeq == Seq(2L))
+    assert(spark.sql("SELECT id FROM graft.pw.two_lvl WHERE a IS NULL")
+      .collect().map(_.getLong(0)).toSeq == Seq(5L))
+    // pruning on the second-level column alone
+    assert(spark.sql("SELECT id FROM graft.pw.two_lvl WHERE b = 1")
+      .collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 3L, 5L))
+    spark.sql("DELETE FROM graft.pw.two_lvl WHERE a = 'y' AND b = 1")
+    assert(spark.table("graft.pw.two_lvl").count() == 4)
+    spark.sql("DROP TABLE graft.pw.two_lvl")
+  }
+
   test("DELETE FROM removes whole partitions; row-level deletes are rejected") {
     spark.sql(
       """CREATE TABLE graft.pw.part_del (id BIGINT, grp STRING)
