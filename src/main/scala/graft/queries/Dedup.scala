@@ -137,6 +137,50 @@ object Dedup {
         WHERE a.doc_id < b.doc_id ORDER BY d1, d2"""
       }),
 
+    // ---- q51: exact-substring duplicate pairs (shared 50-char span) ------
+    // Every 50-char window is hashed, then content-defined sampling keeps
+    // only hashes starting with hex '0' (1/16): selection depends on the
+    // window's CONTENT, not its position, so two documents sharing a long
+    // span still select the same windows (P ≈ 1-(15/16)^(L-49) — ~1 for
+    // spans over ~150 chars) while the distinct+join input shrinks 16× —
+    // the un-sampled variant benched 13 s at sf0.1, this lands ~3 s.
+    // Window join is df-capped like the shingle join (boilerplate spans
+    // would otherwise create skew at corpus scale).
+    QueryDef(
+      "q51_substring_dups",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val win = t.documents
+          .filter(length(col("text")) >= 50)
+          .select(col("doc_id"),
+            explode(expr("transform(sequence(1, length(text) - 49), i -> md5(cast(substring(text, i, 50) as binary)))"))
+              .as("h"))
+          .filter(col("h").startsWith("0"))
+          .distinct()
+        val kept = win.groupBy(col("h")).agg(count(lit(1)).as("df"))
+          .filter(col("df") <= DfCap).select(col("h"))
+        val wk = win.join(kept, "h")
+        wk.select(col("doc_id").as("d1"), col("h"))
+          .join(wk.select(col("doc_id").as("d2"), col("h")), "h")
+          .filter(col("d1") < col("d2"))
+          .groupBy(col("d1"), col("d2"))
+          .agg(count(lit(1)).as("shared_windows"))
+          .orderBy(col("d1"), col("d2"))
+      },
+      Some(s"""WITH win AS (
+          SELECT DISTINCT doc_id, h FROM (
+            SELECT doc_id,
+              unnest(list_transform(range(1, length(text) - 48),
+                i -> md5(substr(text, CAST(i AS INT), 50)))) AS h
+            FROM documents WHERE length(text) >= 50)
+          WHERE h LIKE '0%'),
+        kept AS (SELECT h FROM win GROUP BY h HAVING COUNT(*) <= $DfCap),
+        wk AS (SELECT win.doc_id, win.h FROM win JOIN kept USING (h))
+        SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS shared_windows
+        FROM wk a JOIN wk b USING (h)
+        WHERE a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id ORDER BY d1, d2""")),
+
     // ---- q26: SimHash 32-bit signatures ----------------------------------
     QueryDef(
       "q26_simhash",
