@@ -337,7 +337,7 @@ object Relational {
       (s, dir) => {
         val t = Tables(s, dir)
         val ev = t.events.withColumn("ts_us",
-          timestamp_micros((col("ts") / 1000L).cast("long")).cast("timestamp_ntz"))
+          timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
         ev.groupBy(date_format(date_trunc("hour", col("ts_us")), "yyyy-MM-dd HH:mm").as("hour"),
             col("event_type"))
           .agg(count(lit(1)).as("n"), dsum(col("value"), 4).as("total_value"))

@@ -185,6 +185,70 @@ object Relational2 {
                        RANGE BETWEEN 3600000000000 PRECEDING AND CURRENT ROW))
         WHERE event_id % 25 = 0 ORDER BY event_id""")),
 
+    // ---- q52: native session_window aggregation (gap-merged sessions) ----
+    // Spark's session_window operator (the batch form of streaming session
+    // windows); the oracle rebuilds sessions with the lag/cumsum idiom —
+    // two independent formulations must agree on every session boundary.
+    QueryDef(
+      "q52_session_window",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val ev = t.events.withColumn("ts_us",
+          timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
+        ev.groupBy(col("user_id"), session_window(col("ts_us"), "30 minutes"))
+          .agg(count(lit(1)).as("n_events"), dsum(col("value"), 4).as("total_value"))
+          .select(col("user_id"),
+            date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("sess_start"),
+            col("n_events"), col("total_value"))
+          .orderBy(col("user_id"), col("sess_start"))
+      },
+      Some("""WITH e AS (
+          SELECT user_id, CAST(ts AS TIMESTAMP) AS tus, value,
+            CASE WHEN LAG(epoch_ns(ts)) OVER w IS NULL
+                   OR epoch_ns(ts) - LAG(epoch_ns(ts)) OVER w > 1800000000000
+                 THEN 1 ELSE 0 END AS new_sess
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id)),
+        sess AS (
+          SELECT user_id, tus, value,
+            SUM(new_sess) OVER (PARTITION BY user_id ORDER BY tus
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+          FROM e)
+        SELECT user_id,
+          strftime(MIN(tus), '%Y-%m-%d %H:%M:%S.%f') AS sess_start,
+          COUNT(*) AS n_events,
+          CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+        FROM sess GROUP BY user_id, sid ORDER BY user_id, sess_start""")),
+
+    // ---- q53: rank / dense_rank / percent_rank / cume_dist ---------------
+    // percent_rank = (rank-1)/(n-1) and cume_dist = peers/n are exact
+    // integer ratios — deterministic doubles on both engines.
+    QueryDef(
+      "q53_rank_functions",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("c_mktsegment")).orderBy(col("c_acctbal"))
+        t.customer
+          .withColumn("rnk", rank().over(w).cast("long"))
+          .withColumn("drnk", dense_rank().over(w).cast("long"))
+          .withColumn("prank", percent_rank().over(w))
+          .withColumn("cdist", cume_dist().over(w))
+          .filter(col("c_custkey") % 7 === 0)
+          .select(col("c_custkey"), col("c_mktsegment"), col("rnk"),
+            col("drnk"), col("prank"), col("cdist"))
+          .orderBy(col("c_custkey"))
+      },
+      Some("""SELECT c_custkey, c_mktsegment, rnk, drnk, prank, cdist FROM (
+          SELECT c_custkey, c_mktsegment,
+            RANK() OVER w AS rnk,
+            DENSE_RANK() OVER w AS drnk,
+            PERCENT_RANK() OVER w AS prank,
+            CUME_DIST() OVER w AS cdist
+          FROM customer
+          WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal))
+        WHERE c_custkey % 7 = 0 ORDER BY c_custkey""")),
+
     // ---- q39: semi-structured JSON extraction from event props -----------
     QueryDef(
       "q39_json_extract",

@@ -35,7 +35,7 @@ object EventStreams {
     * batch and streaming frames. */
   def windowedStats(events: DataFrame, watermark: String = "1 hour"): DataFrame =
     events
-      .withColumn("ts_us", timestamp_micros((col("ts") / 1000L).cast("long")))
+      .withColumn("ts_us", timestamp_micros(expr("ts div 1000")))
       .withWatermark("ts_us", watermark)
       .groupBy(window(col("ts_us"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
