@@ -249,6 +249,46 @@ object Relational2 {
           WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal))
         WHERE c_custkey % 7 = 0 ORDER BY c_custkey""")),
 
+    // ---- q54: scalar-function battery (string + exact math) --------------
+    // Functions restricted to those with bit-identical semantics across
+    // engines: string ops, abs/ceil/floor/sign/mod, and sqrt (IEEE
+    // correctly-rounded everywhere); transcendentals (log/exp/pow) are
+    // deliberately excluded — they are not correctly-rounded and differ
+    // in final ulps between libm implementations.
+    QueryDef(
+      "q54_scalar_battery",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        t.part
+          .select(
+            col("p_partkey"),
+            upper(col("p_name")).as("up"),
+            reverse(col("p_type")).as("rev"),
+            substring(col("p_name"), 2, 5).as("sub"),
+            regexp_replace(col("p_name"), "[aeiou]", "_").as("novowel"),
+            concat_ws("|", col("p_brand"), col("p_type")).as("cat"),
+            length(col("p_name")).cast("long").as("len"),
+            abs(col("p_retailprice") - 1000.0).as("absdiff"),
+            ceil(col("p_retailprice")).cast("long").as("ceilp"),
+            floor(col("p_retailprice") / 10.0).cast("long").as("floorp"),
+            (col("p_size") % 7).cast("long").as("modp"),
+            sqrt(col("p_size").cast("double")).as("sq"))
+          .orderBy(col("p_partkey"))
+      },
+      Some("""SELECT p_partkey,
+        upper(p_name) AS up,
+        reverse(p_type) AS rev,
+        substr(p_name, 2, 5) AS sub,
+        regexp_replace(p_name, '[aeiou]', '_', 'g') AS novowel,
+        concat_ws('|', p_brand, p_type) AS cat,
+        CAST(length(p_name) AS BIGINT) AS len,
+        abs(p_retailprice - 1000.0) AS absdiff,
+        CAST(ceil(p_retailprice) AS BIGINT) AS ceilp,
+        CAST(floor(p_retailprice / 10.0) AS BIGINT) AS floorp,
+        CAST(p_size % 7 AS BIGINT) AS modp,
+        sqrt(CAST(p_size AS DOUBLE)) AS sq
+        FROM part ORDER BY p_partkey""")),
+
     // ---- q39: semi-structured JSON extraction from event props -----------
     QueryDef(
       "q39_json_extract",
