@@ -311,12 +311,14 @@ object Relational {
             col("l_shipdate") < ts("1997-01-01 00:00:00"))
           .groupBy(col("l_suppkey"))
           .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("total_rev"))
-        // max via an unpartitioned window: both sides compute the identical
-        // exact double, so equality selection is deterministic.
-        val withMax = rev.withColumn("mx", max(col("total_rev")).over(Window.partitionBy()))
+        // max as a 1-row aggregate broadcast back onto rev: both sides
+        // compute the identical exact double, so equality selection is
+        // deterministic — and unlike max().over(Window.partitionBy())
+        // there is no single-partition global sort at 100x suppliers.
+        val mx = rev.agg(max(col("total_rev")).as("mx"))
+        val top = rev.join(broadcast(mx), col("total_rev") === col("mx"))
         t.supplier
-          .join(withMax.filter(col("total_rev") === col("mx")),
-            col("s_suppkey") === col("l_suppkey"))
+          .join(top, col("s_suppkey") === col("l_suppkey"))
           .select(col("s_suppkey"), col("s_name"), col("total_rev"))
           .orderBy(col("s_suppkey"))
       },

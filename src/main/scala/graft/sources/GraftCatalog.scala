@@ -134,6 +134,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     }
     partCols.foreach { c =>
       require(schema.fieldNames.contains(c), s"partition column $c not in schema")
+      require(PartitionPruning.supportsPartitionType(schema(c).dataType),
+        s"graft catalog: unsupported partition column type " +
+          s"${schema(c).dataType.simpleString} for column $c " +
+          "(string/integral/float/boolean/date only)")
     }
     if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
     if (!namespaceExists(ident.namespace())) throw new NoSuchNamespaceException(ident.namespace())

@@ -49,16 +49,32 @@ final class GraftTable(
   def dataDir: String = s"$tableDir/data"
 
   // ---- DELETE FROM / TRUNCATE: metadata-only partition-level deletes ----
-  // A filter is deletable when it is decidable purely from partition
-  // values ([[PartitionPruning.eval3]]); row-level deletes would need a
-  // rewrite mechanism and are rejected so Spark raises a clear error.
+  // A filter is deletable only when it is one of the exact shapes
+  // [[PartitionPruning.eval3]] decides over partition columns; anything
+  // else (EqualNullSafe, LIKE '%x' => StringEndsWith/Contains, ...) is
+  // rejected up front so Spark raises a clear "needs row-level delete"
+  // error instead of silently deleting nothing.
 
-  private def deletableFilter(f: Filter): Boolean = f match {
-    case _: AlwaysTrue => true
-    case org.apache.spark.sql.sources.And(l, r) => deletableFilter(l) && deletableFilter(r)
-    case org.apache.spark.sql.sources.Or(l, r) => deletableFilter(l) && deletableFilter(r)
-    case org.apache.spark.sql.sources.Not(c) => deletableFilter(c)
-    case other => other.references.nonEmpty && other.references.forall(partitionCols.contains)
+  private def deletableFilter(f: Filter): Boolean = {
+    import org.apache.spark.sql.sources._
+    def part(a: String): Boolean = partitionCols.contains(a)
+    f match {
+      case _: AlwaysTrue | _: AlwaysFalse => true
+      case And(l, r) => deletableFilter(l) && deletableFilter(r)
+      case Or(l, r) => deletableFilter(l) && deletableFilter(r)
+      case Not(c) => deletableFilter(c)
+      case EqualTo(a, _) => part(a)
+      case EqualNullSafe(a, _) => part(a)
+      case GreaterThan(a, _) => part(a)
+      case GreaterThanOrEqual(a, _) => part(a)
+      case LessThan(a, _) => part(a)
+      case LessThanOrEqual(a, _) => part(a)
+      case In(a, _) => part(a)
+      case IsNull(a) => part(a)
+      case IsNotNull(a) => part(a)
+      case StringStartsWith(a, _) => part(a)
+      case _ => false
+    }
   }
 
   override def canDeleteWhere(filters: Array[Filter]): Boolean =
@@ -73,22 +89,41 @@ final class GraftTable(
       // truncate
       fs.delete(root, true)
       fs.mkdirs(root)
+      TableStats.write(fs, root, Map.empty)
       return
     }
-    def walk(p: Path, remaining: Seq[String], values: Map[String, Any]): Unit =
+    val deleted = scala.collection.mutable.ArrayBuffer[String]()
+    def walk(p: Path, remaining: Seq[String], values: Map[String, Any], rel: String): Unit =
       if (remaining.isEmpty) {
-        // delete the partition dir iff every filter is definitely true here
-        if (filters.forall(f => PartitionPruning.eval3(f, values).contains(true)))
+        // delete the partition dir iff every filter is definitely true
+        // here; keep it when some filter is definitely false; anything
+        // undecidable means the delete cannot be honored partition-wise
+        val verdicts = filters.map(f => PartitionPruning.eval3(f, values))
+        if (verdicts.forall(_.contains(true))) {
           fs.delete(p, true)
+          deleted += rel
+        } else if (!verdicts.exists(_.contains(false)) && verdicts.exists(_.isEmpty)) {
+          throw new UnsupportedOperationException(
+            s"graft: DELETE filter undecidable for partition $rel " +
+              s"(${filters.mkString(", ")}); row-level deletes are not supported")
+        }
       } else fs.listStatus(p).filter(_.isDirectory).foreach { d =>
         d.getPath.getName.split("=", 2) match {
           case Array(c, raw) if c == remaining.head =>
             val v = PartitionPruning.parse(schema0(c).dataType, PartitionPruning.decode(raw))
-            walk(d.getPath, remaining.tail, values + (c -> v))
+            walk(d.getPath, remaining.tail, values + (c -> v),
+              if (rel.isEmpty) d.getPath.getName else s"$rel/${d.getPath.getName}")
           case _ => ()
         }
       }
-    walk(root, partitionCols, Map.empty)
+    walk(root, partitionCols, Map.empty, "")
+    if (deleted.nonEmpty) {
+      val stats = TableStats.read(fs, root)
+      if (stats.nonEmpty)
+        TableStats.write(fs, root,
+          stats.filterNot { case (relPath, _) =>
+            deleted.exists(d => relPath.startsWith(d + "/")) })
+    }
   }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
@@ -96,6 +131,39 @@ final class GraftTable(
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new GraftWriteBuilder(schema0, props, dataDir, partitionCols, info)
+}
+
+/** Per-file row counts cached in `<data>/_stats.tsv` (one `relPath\trows`
+  * line per live file), written at every successful commit from the
+  * writers' own counts. Scans read ONE small side file instead of opening
+  * every parquet footer at planning time — at 100k files that is the
+  * difference between a millisecond stats lookup and an O(#files) driver
+  * stall per query. Keys are paths relative to the data dir so renames of
+  * the table keep the cache valid. */
+object TableStats {
+  val FileName = "_stats.tsv"
+
+  def read(fs: FileSystem, dataDir: Path): Map[String, Long] = {
+    val p = new Path(dataDir, FileName)
+    if (!fs.exists(p)) Map.empty
+    else {
+      val in = fs.open(p)
+      val text = try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+        finally in.close()
+      text.linesIterator.filter(_.nonEmpty).map { line =>
+        val i = line.lastIndexOf('\t')
+        line.substring(0, i) -> line.substring(i + 1).toLong
+      }.toMap
+    }
+  }
+
+  def write(fs: FileSystem, dataDir: Path, stats: Map[String, Long]): Unit = {
+    val p = new Path(dataDir, FileName)
+    val out = fs.create(p, true)
+    try out.write(stats.toSeq.sorted.map { case (k, v) => s"$k\t$v" }
+      .mkString("", "\n", "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
 }
 
 // ---------------------------------------------------------------- read ----
@@ -224,28 +292,44 @@ final class GraftScan(
   override def createReaderFactory(): PartitionReaderFactory =
     new GraftReaderFactory(required, pushed)
 
-  /** Exact row count from parquet footers (after partition pruning) —
-    * feeds broadcast-join sizing and CBO. Footer reads are metadata-only;
-    * a production deployment would cache them in the table metadata, but
-    * even at 1000s of files this is one small read per file at planning. */
-  private lazy val footerRows: Long = {
+  /** Exact row count for the (pruned) file set. Preferred source is the
+    * `_stats.tsv` cache written at every commit — ONE small read per
+    * query instead of O(#files) footer opens on the driver, which at
+    * 100k files would stall every planning cycle. Files missing from the
+    * cache (e.g. written out-of-band via ParquetRowIO) fall back to a
+    * footer read, counted in [[GraftScan.footerReads]] so tests can
+    * assert the warm path never touches a footer. */
+  private lazy val exactRows: Long = {
     val conf = new Configuration()
+    val dir = new Path(dataDir)
+    val cached = TableStats.read(dir.getFileSystem(conf), dir)
+    def relOf(path: String): String = {
+      val i = path.lastIndexOf("/data/")
+      if (i >= 0) path.substring(i + "/data/".length) else new Path(path).getName
+    }
     files.map { case (path, _, _) =>
-      val p = new Path(path)
-      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf)
-      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-      try r.getRecordCount finally r.close()
+      cached.get(relOf(path)).getOrElse {
+        GraftScan.footerReads.incrementAndGet()
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(new Path(path), conf)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try r.getRecordCount finally r.close()
+      }
     }.sum
   }
 
   override def estimateStatistics(): Statistics = new Statistics {
     override def sizeInBytes() = java.util.OptionalLong.of(files.map(_._2).sum)
-    override def numRows() = java.util.OptionalLong.of(footerRows)
+    override def numRows() = java.util.OptionalLong.of(exactRows)
   }
 
   override def description(): String =
     s"GraftScan[$dataDir, cols=${required.fieldNames.mkString(",")}, " +
       s"pushed=${pushed.mkString(",")}, partCols=${partitionCols.mkString(",")}]"
+}
+
+object GraftScan {
+  /** Planning-time parquet-footer opens (cache misses). Diagnostics only. */
+  val footerReads = new java.util.concurrent.atomic.AtomicLong(0)
 }
 
 final case class GraftInputPartition(path: String, start: Long, end: Long)
@@ -363,7 +447,7 @@ final case class GraftStreamingWriterFactory(
     extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long, epochId: Long): DataWriter[InternalRow] =
     GraftWriterFactory.newWriter(schema, generatorClass, dataDir, partitionCols,
-      s"$writeId-e$epochId", partitionId)
+      s"$writeId-e$epochId", partitionId, taskId)
 }
 
 final class GraftBatchWrite(
@@ -392,16 +476,35 @@ final class GraftBatchWrite(
     }
   }
 
-  override def commit(messages: Array[WriterCommitMessage]): Unit =
-    if (truncate)
-      // files from this write carry writeId in their name; remove the rest
-      eachFile((fs, p) => if (!p.getName.contains(writeId)) fs.delete(p, false))
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val committed: Map[String, Long] = messages.collect {
+      case m: GraftCommitMessage => m.files
+    }.flatten.toMap
+    val committedNames = committed.keysIterator.map(_.split('/').last).toSet
+    // Every committed task attempt wrote uniquely-named files (taskId in
+    // the name); files carrying this writeId that are NOT in the commit
+    // messages come from failed/speculative attempts — drop them. On
+    // truncate-overwrite, also drop everything from before this write.
+    eachFile { (fs, p) =>
+      val n = p.getName
+      if (n.contains(writeId)) { if (!committedNames.contains(n)) fs.delete(p, false) }
+      else if (truncate && n.endsWith(".parquet")) fs.delete(p, false)
+    }
+    // Refresh the per-file row-count cache from the writers' own counts.
+    val conf = new Configuration()
+    val dir = new Path(dataDir)
+    val fs = dir.getFileSystem(conf)
+    val base = if (truncate) Map.empty[String, Long] else TableStats.read(fs, dir)
+    TableStats.write(fs, dir, base ++ committed)
+  }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
     eachFile((fs, p) => if (p.getName.contains(writeId)) fs.delete(p, false))
 }
 
-final case class GraftCommitMessage(path: String, rows: Long) extends WriterCommitMessage
+/** files: (path relative to the data dir, row count) per file this task
+  * attempt wrote. */
+final case class GraftCommitMessage(files: Seq[(String, Long)]) extends WriterCommitMessage
 
 final class GraftWriterFactory(
     schema: StructType,
@@ -413,7 +516,7 @@ final class GraftWriterFactory(
 
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     GraftWriterFactory.newWriter(schema, generatorClass, dataDir, partitionCols,
-      writeId, partitionId)
+      writeId, partitionId, taskId)
 }
 
 object GraftWriterFactory {
@@ -424,7 +527,8 @@ object GraftWriterFactory {
       dataDir: String,
       partitionCols: Seq[String],
       writeId: String,
-      partitionId: Int): DataWriter[InternalRow] = {
+      partitionId: Int,
+      taskId: Long): DataWriter[InternalRow] = {
     val conf = new Configuration()
 
     val rowKeyIdx = schema.fieldNames.indexOf(ColumnNames.RowKey)
@@ -437,21 +541,29 @@ object GraftWriterFactory {
 
     new DataWriter[InternalRow] {
       private var count = 0L
-      // one open file per partition-value combination seen by this task
-      private val writers =
-        scala.collection.mutable.LinkedHashMap[String, org.apache.parquet.hadoop.ParquetWriter[InternalRow]]()
+      // one open file per partition-value combination seen by this task;
+      // value = (writer, relative path, rows written to that file).
+      // taskId in the file name keeps every task ATTEMPT's files unique:
+      // a retried or speculative attempt never collides with a previous
+      // attempt's partial file, and commit keeps exactly one attempt's
+      // files per task (resolved via the commit messages).
+      private val writers = scala.collection.mutable.LinkedHashMap[
+        String, (org.apache.parquet.hadoop.ParquetWriter[InternalRow], String, Long)]()
 
       private def writerFor(row: InternalRow): org.apache.parquet.hadoop.ParquetWriter[InternalRow] = {
         val rel = partIdx.map { case (c, i) =>
           val v = if (row.isNullAt(i)) null else row.get(i, schema(i).dataType)
-          s"$c=${PartitionPruning.encode(v)}"
+          s"$c=${PartitionPruning.encodeCatalyst(schema(i).dataType, v)}"
         }.mkString("/")
         val key = if (rel.isEmpty) "" else rel + "/"
-        writers.getOrElseUpdate(key, {
-          val path = new Path(s"$dataDir/${key}part-$partitionId-$writeId.parquet")
+        val entry = writers.getOrElseUpdate(key, {
+          val relPath = s"${key}part-$partitionId-$taskId-$writeId.parquet"
+          val path = new Path(s"$dataDir/$relPath")
           path.getFileSystem(conf).mkdirs(path.getParent)
-          ParquetRowIO.newWriter(path, schema, conf)
+          (ParquetRowIO.newWriter(path, schema, conf), relPath, 0L)
         })
+        writers(key) = (entry._1, entry._2, entry._3 + 1)
+        entry._1
       }
 
       override def write(row: InternalRow): Unit = {
@@ -477,11 +589,11 @@ object GraftWriterFactory {
         count += 1
       }
       override def commit(): WriterCommitMessage = {
-        writers.values.foreach(_.close())
-        GraftCommitMessage(dataDir, count)
+        writers.values.foreach(_._1.close())
+        GraftCommitMessage(writers.values.map(w => (w._2, w._3)).toSeq)
       }
       override def abort(): Unit = {
-        writers.values.foreach(w => try w.close() catch { case _: Exception => () })
+        writers.values.foreach(w => try w._1.close() catch { case _: Exception => () })
         // file cleanup happens in GraftBatchWrite.abort via writeId match
       }
       override def close(): Unit = ()

@@ -33,43 +33,113 @@ object PartitionPruning {
   def prune(filters: Seq[Filter], values: Map[String, Any]): Boolean =
     filters.exists(f => eval3(f, values).contains(false))
 
+  private def isIntegral(n: Number): Boolean = n match {
+    case _: java.lang.Byte | _: java.lang.Short | _: java.lang.Integer |
+        _: java.lang.Long => true
+    case _ => false
+  }
+
+  /** Days-since-epoch for any date-ish value Spark may hand us: filter
+    * values arrive as `java.sql.Date` (default) or `java.time.LocalDate`
+    * (datetime.java8API.enabled). */
+  private def epochDays(a: Any): Option[Long] = a match {
+    case d: java.sql.Date => Some(d.toLocalDate.toEpochDay)
+    case d: java.time.LocalDate => Some(d.toEpochDay)
+    case _ => None
+  }
+
   private def cmp(a: Any, b: Any): Option[Int] = (a, b) match {
     case (null, _) | (_, null) => None
+    // integral-vs-integral must NOT go through double: longs beyond 2^53
+    // lose precision and mis-prune (missing rows) or mis-delete
+    case (x: Number, y: Number) if isIntegral(x) && isIntegral(y) =>
+      Some(java.lang.Long.compare(x.longValue(), y.longValue()))
     case (x: Number, y: Number) =>
       Some(java.lang.Double.compare(x.doubleValue(), y.doubleValue()))
     case (x: String, y: String) => Some(x.compareTo(y))
     case (x: Boolean, y: Boolean) => Some(java.lang.Boolean.compare(x, y))
-    case _ => None
+    case _ =>
+      (epochDays(a), epochDays(b)) match {
+        case (Some(x), Some(y)) => Some(java.lang.Long.compare(x, y))
+        case _ => None
+      }
   }
 
-  /** Some(true/false) when decidable from partition values, None otherwise. */
-  def eval3(f: Filter, v: Map[String, Any]): Option[Boolean] = f match {
-    case EqualTo(a, x) if v.contains(a) => cmp(v(a), x).map(_ == 0)
-    case GreaterThan(a, x) if v.contains(a) => cmp(v(a), x).map(_ > 0)
-    case GreaterThanOrEqual(a, x) if v.contains(a) => cmp(v(a), x).map(_ >= 0)
-    case LessThan(a, x) if v.contains(a) => cmp(v(a), x).map(_ < 0)
-    case LessThanOrEqual(a, x) if v.contains(a) => cmp(v(a), x).map(_ <= 0)
+  /** Four-valued filter evaluation over a partition's (uniform) column
+    * values: SQL's three truth values (a NULL comparand yields [[VUnknown]],
+    * which a WHERE clause treats as "row rejected" but which [[Not]] must
+    * NOT flip to true — Kleene logic), plus [[VUndecided]] for filters the
+    * evaluator genuinely cannot decide from partition values alone. */
+  sealed trait V4
+  case object VTrue extends V4
+  case object VFalse extends V4
+  case object VUnknown extends V4
+  case object VUndecided extends V4
+
+  private def ofCmp(c: Option[Int], nullInvolved: Boolean)(p: Int => Boolean): V4 =
+    if (nullInvolved) VUnknown
+    else c match {
+      case Some(i) => if (p(i)) VTrue else VFalse
+      case None => VUndecided
+    }
+
+  def eval4(f: Filter, v: Map[String, Any]): V4 = f match {
+    case _: AlwaysTrue => VTrue
+    case _: AlwaysFalse => VFalse
+    case EqualTo(a, x) if v.contains(a) =>
+      ofCmp(cmp(v(a), x), v(a) == null || x == null)(_ == 0)
+    case EqualNullSafe(a, x) if v.contains(a) =>
+      if (v(a) == null || x == null) { if (v(a) == null && x == null) VTrue else VFalse }
+      else ofCmp(cmp(v(a), x), nullInvolved = false)(_ == 0)
+    case GreaterThan(a, x) if v.contains(a) =>
+      ofCmp(cmp(v(a), x), v(a) == null || x == null)(_ > 0)
+    case GreaterThanOrEqual(a, x) if v.contains(a) =>
+      ofCmp(cmp(v(a), x), v(a) == null || x == null)(_ >= 0)
+    case LessThan(a, x) if v.contains(a) =>
+      ofCmp(cmp(v(a), x), v(a) == null || x == null)(_ < 0)
+    case LessThanOrEqual(a, x) if v.contains(a) =>
+      ofCmp(cmp(v(a), x), v(a) == null || x == null)(_ <= 0)
     case In(a, xs) if v.contains(a) =>
-      if (v(a) == null) Some(false)
-      else Some(xs.exists(x => cmp(v(a), x).contains(0)))
-    case IsNull(a) if v.contains(a) => Some(v(a) == null)
-    case IsNotNull(a) if v.contains(a) => Some(v(a) != null)
+      if (v(a) == null) { if (xs.isEmpty) VFalse else VUnknown }
+      else if (xs.exists(x => x != null && cmp(v(a), x).contains(0))) VTrue
+      else if (xs.forall(x => x != null && cmp(v(a), x).isDefined)) VFalse
+      else if (xs.contains(null)) VUnknown
+      else VUndecided
+    case IsNull(a) if v.contains(a) => if (v(a) == null) VTrue else VFalse
+    case IsNotNull(a) if v.contains(a) => if (v(a) != null) VTrue else VFalse
     case StringStartsWith(a, p) if v.contains(a) => v(a) match {
-      case s: String => Some(s.startsWith(p))
-      case _ => None
+      case null => VUnknown
+      case s: String => if (s.startsWith(p)) VTrue else VFalse
+      case _ => VUndecided
     }
-    case And(l, r) => (eval3(l, v), eval3(r, v)) match {
-      case (Some(false), _) | (_, Some(false)) => Some(false)
-      case (Some(true), Some(true)) => Some(true)
-      case _ => None
+    case And(l, r) => (eval4(l, v), eval4(r, v)) match {
+      case (VFalse, _) | (_, VFalse) => VFalse
+      case (VUndecided, _) | (_, VUndecided) => VUndecided
+      case (VUnknown, _) | (_, VUnknown) => VUnknown
+      case _ => VTrue
     }
-    case Or(l, r) => (eval3(l, v), eval3(r, v)) match {
-      case (Some(true), _) | (_, Some(true)) => Some(true)
-      case (Some(false), Some(false)) => Some(false)
-      case _ => None
+    case Or(l, r) => (eval4(l, v), eval4(r, v)) match {
+      case (VTrue, _) | (_, VTrue) => VTrue
+      case (VUndecided, _) | (_, VUndecided) => VUndecided
+      case (VUnknown, _) | (_, VUnknown) => VUnknown
+      case _ => VFalse
     }
-    case Not(c) => eval3(c, v).map(!_)
-    case _ => None
+    case Not(c) => eval4(c, v) match {
+      case VTrue => VFalse
+      case VFalse => VTrue
+      case other => other // Unknown stays unknown; undecided stays undecided
+    }
+    case _ => VUndecided
+  }
+
+  /** Collapsed view: Some(true) iff the filter definitely passes rows,
+    * Some(false) iff it definitely passes NO rows (false OR unknown — a
+    * WHERE clause rejects both), None iff undecidable from partition
+    * values. */
+  def eval3(f: Filter, v: Map[String, Any]): Option[Boolean] = eval4(f, v) match {
+    case VTrue => Some(true)
+    case VFalse | VUnknown => Some(false)
+    case VUndecided => None
   }
 
   /** Directory-name-safe encoding of a partition value. */
@@ -78,6 +148,28 @@ object PartitionPruning {
     case other =>
       val s = String.valueOf(other)
       java.net.URLEncoder.encode(s, "UTF-8")
+  }
+
+  /** Encode a CATALYST partition value (what the write path sees) in its
+    * external form, so `parse` round-trips it: DateType arrives as Int
+    * days-since-epoch and must become `yyyy-MM-dd`, StringType arrives as
+    * UTF8String. Everything else stringifies to its external form already. */
+  def encodeCatalyst(dt: DataType, value: Any): String =
+    if (value == null) "__null__"
+    else dt match {
+      case DateType => encode(java.time.LocalDate.ofEpochDay(
+        value.asInstanceOf[Number].longValue()).toString)
+      case _ => encode(value)
+    }
+
+  /** Partition column types the round-trip (encodeCatalyst -> dir name ->
+    * parse -> cmp) supports. Checked at CREATE TABLE so unsupported types
+    * (timestamp, decimal, binary, ...) fail loudly up front instead of at
+    * first read. */
+  def supportsPartitionType(dt: DataType): Boolean = dt match {
+    case StringType | IntegerType | LongType | ShortType | ByteType |
+        DoubleType | FloatType | BooleanType | DateType => true
+    case _ => false
   }
 
   def decode(raw: String): String =

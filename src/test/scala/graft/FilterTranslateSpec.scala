@@ -54,8 +54,15 @@ class FilterTranslateSpec extends AnyFunSuite {
     assert(eval3(Or(EqualTo("a", "x"), EqualTo("other", 1)), vs).contains(true))
     assert(eval3(IsNull("n"), vs).contains(true))
     assert(eval3(IsNotNull("n"), vs).contains(false))
-    assert(eval3(EqualTo("n", "z"), vs).isEmpty) // null comparison → unknown
+    // null comparison → SQL UNKNOWN: definitely passes no rows (collapsed
+    // to Some(false)), but Not() must NOT flip it to true (Kleene logic)
+    assert(eval3(EqualTo("n", "z"), vs).contains(false))
+    assert(eval3(Not(EqualTo("n", "z")), vs).contains(false))
+    assert(PartitionPruning.eval4(EqualTo("n", "z"), vs) == PartitionPruning.VUnknown)
+    assert(eval3(EqualNullSafe("n", null), vs).contains(true))
+    assert(eval3(EqualNullSafe("a", null), vs).contains(false))
     assert(eval3(In("b", Array(1, 2)), vs).contains(true))
+    assert(eval3(In("n", Array(1, 2)), vs).contains(false)) // unknown → no rows
     assert(eval3(Not(EqualTo("a", "x")), vs).contains(false))
     // prune only on provable falsehood
     assert(!PartitionPruning.prune(Seq(EqualTo("other", 1)), vs))

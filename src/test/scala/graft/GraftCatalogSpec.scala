@@ -171,6 +171,59 @@ class GraftCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.sql("DROP TABLE graft.pw.part_del")
   }
 
+  test("date-partitioned table: insert, prune, and DELETE round-trip") {
+    spark.sql(
+      """CREATE TABLE graft.pw.by_day (id BIGINT, dt DATE)
+        |PARTITIONED BY (dt)""".stripMargin)
+    spark.sql(
+      """INSERT INTO graft.pw.by_day VALUES
+        |(1, DATE'2020-01-01'), (2, DATE'2020-01-02'), (3, DATE'2020-01-02'),
+        |(4, DATE'2020-01-03')""".stripMargin)
+    // directory names carry the external yyyy-MM-dd form, not int days
+    val dirs = new java.io.File(s"$warehouse/pw/by_day/data").listFiles()
+      .map(_.getName).filter(_.startsWith("dt=")).sorted
+    assert(dirs.toSeq == Seq("dt=2020-01-01", "dt=2020-01-02", "dt=2020-01-03"), dirs.toSeq)
+    assert(spark.table("graft.pw.by_day").count() == 4)
+    assert(spark.sql("SELECT id FROM graft.pw.by_day WHERE dt = DATE'2020-01-02'")
+      .collect().map(_.getLong(0)).sorted.toSeq == Seq(2L, 3L))
+    assert(spark.sql("SELECT id FROM graft.pw.by_day WHERE dt >= DATE'2020-01-03'")
+      .collect().map(_.getLong(0)).toSeq == Seq(4L))
+    spark.sql("DELETE FROM graft.pw.by_day WHERE dt < DATE'2020-01-02'")
+    assert(spark.table("graft.pw.by_day").collect().map(_.getLong(0)).sorted.toSeq
+      == Seq(2L, 3L, 4L))
+    spark.sql("DROP TABLE graft.pw.by_day")
+    // timestamp partition columns are rejected at CREATE, not at first read
+    intercept[Exception](spark.sql(
+      "CREATE TABLE graft.pw.by_ts (id BIGINT, ts TIMESTAMP) PARTITIONED BY (ts)"))
+  }
+
+  test("warm-table statistics come from the commit-time cache, not footers") {
+    spark.sql("CREATE TABLE graft.pw.stats_t (id BIGINT, grp STRING) PARTITIONED BY (grp)")
+    spark.sql("INSERT INTO graft.pw.stats_t VALUES (1,'a'), (2,'a'), (3,'b')")
+    // the commit wrote _stats.tsv next to the data
+    assert(new java.io.File(s"$warehouse/pw/stats_t/data/_stats.tsv").exists())
+    graft.sources.GraftScan.footerReads.set(0)
+    val t = spark.sessionState.catalogManager.catalog("graft")
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
+      .loadTable(org.apache.spark.sql.connector.catalog.Identifier.of(Array("pw"), "stats_t"))
+      .asInstanceOf[graft.sources.GraftTable]
+    val scan = t.newScanBuilder(
+      new org.apache.spark.sql.util.CaseInsensitiveStringMap(java.util.Map.of()))
+      .build().asInstanceOf[graft.sources.GraftScan]
+    val stats = scan.estimateStatistics()
+    assert(stats.numRows().getAsLong == 3L)
+    assert(graft.sources.GraftScan.footerReads.get() == 0L,
+      "planning-time stats must not open parquet footers on a warm table")
+    // appends keep the cache current
+    spark.sql("INSERT INTO graft.pw.stats_t VALUES (4,'c')")
+    val scan2 = t.newScanBuilder(
+      new org.apache.spark.sql.util.CaseInsensitiveStringMap(java.util.Map.of()))
+      .build().asInstanceOf[graft.sources.GraftScan]
+    assert(scan2.estimateStatistics().numRows().getAsLong == 4L)
+    assert(graft.sources.GraftScan.footerReads.get() == 0L)
+    spark.sql("DROP TABLE graft.pw.stats_t")
+  }
+
   test("rename and drop") {
     spark.sql("ALTER TABLE graft.pw.test_big RENAME TO graft.pw.test_big2")
     assert(spark.table("graft.pw.test_big2").count() == 1)

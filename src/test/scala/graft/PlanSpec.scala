@@ -86,7 +86,8 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
          |SELECT doc_id, text, lang, n_chars FROM parquet.`$dir/documents.parquet`""".stripMargin)
 
     // partition layout on disk: data/lang=<v>/part-*.parquet
-    val langs = new java.io.File(s"$wh/t/docs/data").listFiles().map(_.getName).sorted
+    val langs = new java.io.File(s"$wh/t/docs/data").listFiles().map(_.getName)
+      .filterNot(n => n.contains("_stats.tsv")).sorted
     assert(langs.forall(_.startsWith("lang=")) && langs.length == 5, langs.toSeq)
 
     val pruned = spark.sql("SELECT doc_id FROM gpart.t.docs WHERE lang = 'en'")
