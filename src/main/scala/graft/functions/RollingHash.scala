@@ -69,5 +69,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[RollingHash].getName, "rolling_hash"),
       (children: Seq[Expression]) => RollingHash(children.head)))
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
+    // View SQL bridge: CREATE/DROP/SHOW VIEWS on a graft catalog, plus
+    // expand-at-resolution substitution of stored view text (Spark 4.1
+    // has no built-in DSv2 view wiring; see GraftViewBridge).
+    ext.injectParser((session, parser) =>
+      new graft.sources.GraftViewSqlParser(session, parser))
+    ext.injectResolutionRule(session =>
+      graft.sources.GraftViewSubstitution(session))
   }
 }

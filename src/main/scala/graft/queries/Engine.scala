@@ -60,6 +60,30 @@ object Engine {
       Some("""SELECT CAST(COUNT(*) * 2 AS BIGINT) AS n_rows,
         CAST(COUNT(*) * 2 AS BIGINT) AS n_keys,
         CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
-        FROM documents"""))
+        FROM documents""")),
+
+    // ---- q55: CREATE VIEW over a graft table, query THROUGH the view -----
+    // Exercises the full view path: DDL bridged to the ViewCatalog, view
+    // text stored in _view.yml, expanded at resolution on read
+    // (capability analog of HBaseSessionCatalog.scala:63-155).
+    QueryDef(
+      "q55_view_roundtrip",
+      (s, dir) => {
+        val ns = ensureCatalog(s, dir)
+        s.sql(s"DROP VIEW IF EXISTS $ns.long_docs")
+        s.sql(s"DROP TABLE IF EXISTS $ns.vdocs")
+        s.sql(s"CREATE TABLE $ns.vdocs AS SELECT * FROM parquet.`$dir/documents.parquet`")
+        s.sql(
+          s"""CREATE VIEW $ns.long_docs AS
+             |SELECT lang, doc_id, n_chars FROM $ns.vdocs WHERE n_chars >= 300"""
+            .stripMargin)
+        s.sql(
+          s"""SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
+             |       CAST(SUM(n_chars) AS BIGINT) AS chars
+             |FROM $ns.long_docs GROUP BY lang ORDER BY lang""".stripMargin)
+      },
+      Some("""SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(SUM(n_chars) AS BIGINT) AS chars
+        FROM documents WHERE n_chars >= 300 GROUP BY lang ORDER BY lang"""))
   )
 }

@@ -6,7 +6,7 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.spark.sql.catalyst.analysis.{NamespaceAlreadyExistsException, NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.catalyst.analysis.{NamespaceAlreadyExistsException, NoSuchNamespaceException, NoSuchTableException, NoSuchViewException, TableAlreadyExistsException, ViewAlreadyExistsException}
 import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.types.{DataType, StructType}
@@ -27,7 +27,7 @@ import org.yaml.snakeyaml.{DumperOptions, Yaml}
   * All paths go through Hadoop `FileSystem`, so the same catalog runs on
   * HDFS/S3 for a real cluster.
   */
-class GraftCatalog extends TableCatalog with SupportsNamespaces {
+class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog {
 
   private var catalogName: String = _
   private var warehouse: Path = _
@@ -186,6 +186,100 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     fs.rename(tablePath(oldIdent), tablePath(newIdent))
   }
 
+  // ---- views -------------------------------------------------------------
+  // View text is stored per view (`<ns>/<view>/_view.yml`) and expanded at
+  // resolution time by [[GraftViewSubstitution]] — the capability analog of
+  // the reference's view handling in its session catalog
+  // (HBaseSessionCatalog.scala:63-155). The DSv2 `ViewCatalog` interface is
+  // implemented in full so SQL DDL lights up automatically once Spark wires
+  // it; until then [[GraftViewSqlParser]] bridges CREATE/DROP/SHOW VIEWS.
+
+  private def viewFile(ident: Identifier): Path =
+    new Path(tablePath(ident), "_view.yml")
+
+  override def viewExists(ident: Identifier): Boolean =
+    ident.namespace().length == 1 && fs.exists(viewFile(ident))
+
+  override def listViews(namespace: String*): Array[Identifier] = {
+    val ns = namespace.toArray
+    if (!namespaceExists(ns)) throw new NoSuchNamespaceException(ns)
+    fs.listStatus(nsPath(ns)).filter(_.isDirectory)
+      .filter(s => fs.exists(new Path(s.getPath, "_view.yml")))
+      .map(s => Identifier.of(ns, s.getPath.getName))
+      .sortBy(_.name())
+  }
+
+  override def loadView(ident: Identifier): View = {
+    if (!viewExists(ident)) throw new NoSuchViewException(ident)
+    val in = fs.open(viewFile(ident))
+    val text = try new String(in.readAllBytes(), StandardCharsets.UTF_8) finally in.close()
+    val m = new Yaml().load[java.util.Map[String, Object]](text).asScala
+    GraftView(
+      name = fullName(ident),
+      sql = m("sql").asInstanceOf[String],
+      catalog = m.get("current_catalog").map(_.asInstanceOf[String]).getOrElse(catalogName),
+      namespace = m.get("current_namespace")
+        .map(_.asInstanceOf[java.util.List[String]].asScala.toArray).getOrElse(ident.namespace()),
+      viewSchema = DataType.fromJson(m("schema_json").asInstanceOf[String]).asInstanceOf[StructType],
+      props = m.get("properties")
+        .map(_.asInstanceOf[java.util.Map[String, String]].asScala.toMap).getOrElse(Map.empty))
+  }
+
+  override def createView(info: ViewInfo): View = {
+    val ident = info.ident()
+    if (viewExists(ident)) throw new ViewAlreadyExistsException(ident)
+    if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
+    if (!namespaceExists(ident.namespace())) throw new NoSuchNamespaceException(ident.namespace())
+    fs.mkdirs(tablePath(ident))
+    writeView(ident, info.sql(), info.currentCatalog(), info.currentNamespace(),
+      info.schema(), info.properties().asScala.toMap)
+    loadView(ident)
+  }
+
+  override def alterView(ident: Identifier, changes: ViewChange*): View = {
+    val v = loadView(ident).asInstanceOf[GraftView]
+    var props = v.props
+    changes.foreach {
+      case set: ViewChange.SetProperty => props += set.property() -> set.value()
+      case rm: ViewChange.RemoveProperty => props -= rm.property()
+      case other =>
+        throw new IllegalArgumentException(s"graft catalog: unsupported view change $other")
+    }
+    writeView(ident, v.sql, v.catalog, v.namespace, v.viewSchema, props)
+    loadView(ident)
+  }
+
+  override def dropView(ident: Identifier): Boolean =
+    viewExists(ident) && fs.delete(tablePath(ident), true)
+
+  override def renameView(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    if (!viewExists(oldIdent)) throw new NoSuchViewException(oldIdent)
+    if (viewExists(newIdent) || tableExists(newIdent))
+      throw new ViewAlreadyExistsException(newIdent)
+    if (!namespaceExists(newIdent.namespace()))
+      throw new NoSuchNamespaceException(newIdent.namespace())
+    fs.rename(tablePath(oldIdent), tablePath(newIdent))
+  }
+
+  private def writeView(
+      ident: Identifier,
+      sql: String,
+      currentCatalog: String,
+      currentNamespace: Array[String],
+      schema: StructType,
+      props: Map[String, String]): Unit = {
+    val opts = new DumperOptions()
+    opts.setDefaultFlowStyle(DumperOptions.FlowStyle.BLOCK)
+    val yaml = new Yaml(opts).dump(Map(
+      "sql" -> sql,
+      "current_catalog" -> currentCatalog,
+      "current_namespace" -> java.util.Arrays.asList(currentNamespace: _*),
+      "schema_json" -> schema.json,
+      "properties" -> props.asJava).asJava)
+    val out = fs.create(viewFile(ident), true)
+    try out.write(yaml.getBytes(StandardCharsets.UTF_8)) finally out.close()
+  }
+
   // ---- helpers -----------------------------------------------------------
 
   private def fullName(ident: Identifier): String =
@@ -205,4 +299,23 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     val out = fs.create(metaFile(ident), true)
     try out.write(yaml.getBytes(StandardCharsets.UTF_8)) finally out.close()
   }
+}
+
+/** A stored graft view: the SQL text plus the catalog/namespace context it
+  * was created in (used to resolve relative table names at expansion). */
+final case class GraftView(
+    name: String,
+    sql: String,
+    catalog: String,
+    namespace: Array[String],
+    viewSchema: StructType,
+    props: Map[String, String]) extends View {
+  override def query(): String = sql
+  override def currentCatalog(): String = catalog
+  override def currentNamespace(): Array[String] = namespace
+  override def schema(): StructType = viewSchema
+  override def queryColumnNames(): Array[String] = viewSchema.fieldNames
+  override def columnAliases(): Array[String] = Array.empty
+  override def columnComments(): Array[String] = Array.empty
+  override def properties(): java.util.Map[String, String] = props.asJava
 }

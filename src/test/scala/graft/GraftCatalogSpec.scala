@@ -24,6 +24,7 @@ class GraftCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.catalog.graft", classOf[graft.sources.GraftCatalog].getName)
     .config("spark.sql.catalog.graft.warehouse", warehouse)
+    .config("spark.sql.extensions", "graft.functions.GraftExtensions")
     .getOrCreate()
 
   override def afterAll(): Unit = spark.stop()
@@ -222,6 +223,40 @@ class GraftCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(scan2.estimateStatistics().numRows().getAsLong == 4L)
     assert(graft.sources.GraftScan.footerReads.get() == 0L)
     spark.sql("DROP TABLE graft.pw.stats_t")
+  }
+
+  test("views: create, select-through, replace, show, drop") {
+    spark.sql("CREATE TABLE graft.pw.vt (id BIGINT, grp STRING)")
+    spark.sql("INSERT INTO graft.pw.vt VALUES (1,'a'),(2,'b'),(3,'b')")
+    spark.sql("CREATE VIEW graft.pw.v1 AS SELECT grp, count(*) AS n FROM graft.pw.vt GROUP BY grp")
+    // view text stored, expanded at resolution
+    assert(new java.io.File(s"$warehouse/pw/v1/_view.yml").exists())
+    assert(spark.sql("SELECT * FROM graft.pw.v1 ORDER BY grp")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq == Seq(("a", 1L), ("b", 2L)))
+    // views compose with further SQL and with each other
+    assert(spark.sql("SELECT sum(n) AS s FROM graft.pw.v1").collect().head.getLong(0) == 3L)
+    // CREATE OR REPLACE changes the definition
+    spark.sql("CREATE OR REPLACE VIEW graft.pw.v1 AS SELECT count(*) AS total FROM graft.pw.vt")
+    assert(spark.sql("SELECT total FROM graft.pw.v1").collect().head.getLong(0) == 3L)
+    // IF NOT EXISTS is a no-op on an existing view
+    spark.sql("CREATE VIEW IF NOT EXISTS graft.pw.v1 AS SELECT 1 AS x")
+    assert(spark.sql("SELECT total FROM graft.pw.v1").count() == 1)
+    // plain CREATE over an existing view fails
+    intercept[Exception](
+      spark.sql("CREATE VIEW graft.pw.v1 AS SELECT 1 AS x"))
+    // SHOW VIEWS lists it; views don't appear as tables
+    assert(spark.sql("SHOW VIEWS IN graft.pw").collect().map(_.getString(1)).contains("v1"))
+    assert(!spark.sql("SHOW TABLES IN graft.pw").collect().map(_.getString(1)).contains("v1"))
+    // programmatic ViewCatalog surface agrees
+    val cat = spark.sessionState.catalogManager.catalog("graft")
+      .asInstanceOf[graft.sources.GraftCatalog]
+    val vid = org.apache.spark.sql.connector.catalog.Identifier.of(Array("pw"), "v1")
+    assert(cat.viewExists(vid) && cat.loadView(vid).query().contains("count(*)"))
+    spark.sql("DROP VIEW graft.pw.v1")
+    intercept[Exception](spark.sql("SELECT * FROM graft.pw.v1").collect())
+    intercept[Exception](spark.sql("DROP VIEW graft.pw.v1"))
+    spark.sql("DROP VIEW IF EXISTS graft.pw.v1") // no-op, no error
+    spark.sql("DROP TABLE graft.pw.vt")
   }
 
   test("rename and drop") {
