@@ -27,7 +27,8 @@ import org.yaml.snakeyaml.{DumperOptions, Yaml}
   * All paths go through Hadoop `FileSystem`, so the same catalog runs on
   * HDFS/S3 for a real cluster.
   */
-class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog {
+class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
+    with StagingTableCatalog {
 
   private var catalogName: String = _
   private var warehouse: Path = _
@@ -94,6 +95,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
   override def listTables(namespace: Array[String]): Array[Identifier] = {
     if (!namespaceExists(namespace)) throw new NoSuchNamespaceException(namespace)
     fs.listStatus(nsPath(namespace)).filter(_.isDirectory)
+      .filterNot(_.getPath.getName.startsWith(".")) // in-flight staging dirs
       .filter(s => fs.exists(new Path(s.getPath, "_meta.yml")))
       .map(s => Identifier.of(namespace, s.getPath.getName))
       .sortBy(_.name())
@@ -126,19 +128,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
       properties: java.util.Map[String, String]): Table = {
     // identity transforms only (PARTITIONED BY (col)) — value-derived
     // transforms (bucket/days/...) are not supported
-    val partCols = partitions.toSeq.map {
-      case t if t.name() == "identity" && t.references().length == 1 =>
-        t.references()(0).fieldNames().mkString(".")
-      case other => throw new UnsupportedOperationException(
-        s"graft catalog: unsupported partition transform $other (identity only)")
-    }
-    partCols.foreach { c =>
-      require(schema.fieldNames.contains(c), s"partition column $c not in schema")
-      require(PartitionPruning.supportsPartitionType(schema(c).dataType),
-        s"graft catalog: unsupported partition column type " +
-          s"${schema(c).dataType.simpleString} for column $c " +
-          "(string/integral/float/boolean/date only)")
-    }
+    val partCols = validatePartitions(schema, partitions)
     if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
     if (!namespaceExists(ident.namespace())) throw new NoSuchNamespaceException(ident.namespace())
     val dir = tablePath(ident)
@@ -185,6 +175,79 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
       throw new NoSuchNamespaceException(newIdent.namespace())
     fs.rename(tablePath(oldIdent), tablePath(newIdent))
   }
+
+  // ---- atomic CTAS / RTAS (StagingTableCatalog) --------------------------
+  // CTAS writes land in a hidden `.staging` sibling directory; only a
+  // successful commit renames it into place (one FS rename — atomic on
+  // HDFS and local FS). A failed CTAS aborts by deleting the staging dir,
+  // so no empty/partial table is ever visible — the semantics the
+  // reference implements by dropping the table on insert failure
+  // (CreateHBaseTableAsSelectCommand.scala:53-72), done the Spark way.
+
+  private def validatePartitions(schema: StructType, partitions: Array[Transform]): Seq[String] = {
+    val partCols = partitions.toSeq.map {
+      case t if t.name() == "identity" && t.references().length == 1 =>
+        t.references()(0).fieldNames().mkString(".")
+      case other => throw new UnsupportedOperationException(
+        s"graft catalog: unsupported partition transform $other (identity only)")
+    }
+    partCols.foreach { c =>
+      require(schema.fieldNames.contains(c), s"partition column $c not in schema")
+      require(PartitionPruning.supportsPartitionType(schema(c).dataType),
+        s"graft catalog: unsupported partition column type " +
+          s"${schema(c).dataType.simpleString} for column $c")
+    }
+    partCols
+  }
+
+  private def stage(
+      ident: Identifier,
+      schema: StructType,
+      partitions: Array[Transform],
+      properties: java.util.Map[String, String],
+      replace: Boolean,
+      requireExists: Boolean): StagedTable = {
+    val partCols = validatePartitions(schema, partitions)
+    if (!namespaceExists(ident.namespace())) throw new NoSuchNamespaceException(ident.namespace())
+    if (!replace && tableExists(ident)) throw new TableAlreadyExistsException(ident)
+    if (requireExists && !tableExists(ident)) throw new NoSuchTableException(ident)
+    val stagingDir = new Path(nsPath(ident.namespace()),
+      s".${ident.name()}.staging-${java.util.UUID.randomUUID()}")
+    fs.mkdirs(new Path(stagingDir, "data"))
+    val opts = new DumperOptions()
+    opts.setDefaultFlowStyle(DumperOptions.FlowStyle.BLOCK)
+    val yaml = new Yaml(opts).dump(Map(
+      "schema_json" -> schema.json,
+      "properties" -> properties.asScala.toMap.asJava,
+      "partitions" -> partCols.asJava).asJava)
+    val out = fs.create(new Path(stagingDir, "_meta.yml"), true)
+    try out.write(yaml.getBytes(StandardCharsets.UTF_8)) finally out.close()
+    val inner = new GraftTable(fullName(ident), schema,
+      properties.asScala.toMap, stagingDir.toString, partCols)
+    new GraftStagedTable(inner, () => {
+      val dest = tablePath(ident)
+      if (replace && fs.exists(dest)) fs.delete(dest, true)
+      if (!fs.rename(stagingDir, dest))
+        throw new IllegalStateException(
+          s"graft: staged commit failed renaming $stagingDir -> $dest " +
+            "(concurrent create?)")
+    }, () => { fs.delete(stagingDir, true); () })
+  }
+
+  override def stageCreate(
+      ident: Identifier, schema: StructType, partitions: Array[Transform],
+      properties: java.util.Map[String, String]): StagedTable =
+    stage(ident, schema, partitions, properties, replace = false, requireExists = false)
+
+  override def stageReplace(
+      ident: Identifier, schema: StructType, partitions: Array[Transform],
+      properties: java.util.Map[String, String]): StagedTable =
+    stage(ident, schema, partitions, properties, replace = true, requireExists = true)
+
+  override def stageCreateOrReplace(
+      ident: Identifier, schema: StructType, partitions: Array[Transform],
+      properties: java.util.Map[String, String]): StagedTable =
+    stage(ident, schema, partitions, properties, replace = true, requireExists = false)
 
   // ---- views -------------------------------------------------------------
   // View text is stored per view (`<ns>/<view>/_view.yml`) and expanded at
@@ -299,6 +362,27 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
     val out = fs.create(metaFile(ident), true)
     try out.write(yaml.getBytes(StandardCharsets.UTF_8)) finally out.close()
   }
+}
+
+/** A staged (not yet visible) table: all reads/writes go to the hidden
+  * staging directory via the wrapped [[GraftTable]]; commit renames the
+  * staging dir into the table's final location, abort deletes it. */
+final class GraftStagedTable(
+    inner: GraftTable,
+    onCommit: () => Unit,
+    onAbort: () => Unit)
+    extends StagedTable with SupportsRead with SupportsWrite {
+  override def name(): String = inner.name()
+  override def schema(): StructType = inner.schema()
+  override def partitioning(): Array[Transform] = inner.partitioning()
+  override def properties(): java.util.Map[String, String] = inner.properties()
+  override def capabilities(): java.util.Set[TableCapability] = inner.capabilities()
+  override def newScanBuilder(options: CaseInsensitiveStringMap) =
+    inner.newScanBuilder(options)
+  override def newWriteBuilder(info: org.apache.spark.sql.connector.write.LogicalWriteInfo) =
+    inner.newWriteBuilder(info)
+  override def commitStagedChanges(): Unit = onCommit()
+  override def abortStagedChanges(): Unit = onAbort()
 }
 
 /** A stored graft view: the SQL text plus the catalog/namespace context it

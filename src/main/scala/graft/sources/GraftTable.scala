@@ -431,8 +431,7 @@ final class GraftStreamingWrite(
 
   override def createStreamingWriterFactory(
       info: PhysicalWriteInfo): org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory =
-    GraftStreamingWriterFactory(schema, props.get(RowKeyGenerator.Property),
-      dataDir, partitionCols, writeId)
+    GraftStreamingWriterFactory(schema, props, dataDir, partitionCols, writeId)
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
@@ -440,13 +439,13 @@ final class GraftStreamingWrite(
 
 final case class GraftStreamingWriterFactory(
     schema: StructType,
-    generatorClass: Option[String],
+    props: Map[String, String],
     dataDir: String,
     partitionCols: Seq[String],
     writeId: String)
     extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long, epochId: Long): DataWriter[InternalRow] =
-    GraftWriterFactory.newWriter(schema, generatorClass, dataDir, partitionCols,
+    GraftWriterFactory.newWriter(schema, props, dataDir, partitionCols,
       s"$writeId-e$epochId", partitionId, taskId)
 }
 
@@ -461,8 +460,7 @@ final class GraftBatchWrite(
   private val writeId = UUID.randomUUID().toString
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new GraftWriterFactory(schema, props.get(RowKeyGenerator.Property), dataDir,
-      partitionCols, writeId)
+    new GraftWriterFactory(schema, props, dataDir, partitionCols, writeId)
 
   private def eachFile(f: (FileSystem, Path) => Unit): Unit = {
     val conf = new Configuration()
@@ -508,14 +506,14 @@ final case class GraftCommitMessage(files: Seq[(String, Long)]) extends WriterCo
 
 final class GraftWriterFactory(
     schema: StructType,
-    generatorClass: Option[String],
+    props: Map[String, String],
     dataDir: String,
     partitionCols: Seq[String],
     writeId: String)
     extends DataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    GraftWriterFactory.newWriter(schema, generatorClass, dataDir, partitionCols,
+    GraftWriterFactory.newWriter(schema, props, dataDir, partitionCols,
       writeId, partitionId, taskId)
 }
 
@@ -523,7 +521,7 @@ object GraftWriterFactory {
 
   def newWriter(
       schema: StructType,
-      generatorClass: Option[String],
+      props: Map[String, String],
       dataDir: String,
       partitionCols: Seq[String],
       writeId: String,
@@ -532,7 +530,7 @@ object GraftWriterFactory {
     val conf = new Configuration()
 
     val rowKeyIdx = schema.fieldNames.indexOf(ColumnNames.RowKey)
-    val generator = generatorClass.map(RowKeyGenerator.load)
+    val generator = props.get(RowKeyGenerator.Property).map(RowKeyGenerator.load)
     val nonKeySchema = StructType(schema.fields.zipWithIndex
       .collect { case (f, i) if i != rowKeyIdx => f })
     val toScala = org.apache.spark.sql.catalyst.CatalystTypeConverters
@@ -560,7 +558,7 @@ object GraftWriterFactory {
           val relPath = s"${key}part-$partitionId-$taskId-$writeId.parquet"
           val path = new Path(s"$dataDir/$relPath")
           path.getFileSystem(conf).mkdirs(path.getParent)
-          (ParquetRowIO.newWriter(path, schema, conf), relPath, 0L)
+          (ParquetRowIO.newWriter(path, schema, conf, props), relPath, 0L)
         })
         writers(key) = (entry._1, entry._2, entry._3 + 1)
         entry._1

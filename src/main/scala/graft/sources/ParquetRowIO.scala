@@ -117,11 +117,33 @@ object ParquetRowIO {
       new RowWriteSupport(schema)
   }
 
-  def newWriter(path: Path, schema: StructType, conf: Configuration): ParquetWriter[InternalRow] =
-    new WriterBuilder(path, schema)
+  /** Table properties controlling the physical parquet layout — the
+    * capability analog of the reference's per-table `encoding/split/bloom/
+    * zip` storage knobs (`HBaseClientImpl.scala:303-365`), re-expressed as
+    * the knobs that matter for parquet at scale. */
+  object WriteProps {
+    val Compression = "write.compression" // snappy|gzip|zstd|lz4|uncompressed
+    val RowGroupBytes = "write.rowgroup.bytes" // long, default 128 MiB
+    val PageBytes = "write.page.bytes" // int, default 1 MiB
+    val Dictionary = "write.dictionary" // true|false
+  }
+
+  def newWriter(
+      path: Path,
+      schema: StructType,
+      conf: Configuration,
+      props: Map[String, String] = Map.empty): ParquetWriter[InternalRow] = {
+    val codec = props.get(WriteProps.Compression)
+      .map(c => CompressionCodecName.valueOf(c.toUpperCase(java.util.Locale.ROOT)))
+      .getOrElse(CompressionCodecName.SNAPPY)
+    var b = new WriterBuilder(path, schema)
       .withConf(conf)
-      .withCompressionCodec(CompressionCodecName.SNAPPY)
-      .build()
+      .withCompressionCodec(codec)
+    props.get(WriteProps.RowGroupBytes).foreach(v => b = b.withRowGroupSize(v.toLong))
+    props.get(WriteProps.PageBytes).foreach(v => b = b.withPageSize(v.toInt))
+    props.get(WriteProps.Dictionary).foreach(v => b = b.withDictionaryEncoding(v.toBoolean))
+    b.build()
+  }
 
   // ---- read --------------------------------------------------------------
 

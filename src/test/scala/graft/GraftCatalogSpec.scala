@@ -225,6 +225,57 @@ class GraftCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.sql("DROP TABLE graft.pw.stats_t")
   }
 
+  test("CTAS is atomic: a failed CTAS leaves no table behind") {
+    // failure injected mid-query: raise_error fires while writing rows
+    intercept[Exception](spark.sql(
+      """CREATE TABLE graft.pw.ctas_fail AS
+        |SELECT id, CAST(raise_error('boom') AS STRING) AS x FROM range(10)""".stripMargin))
+    assert(!spark.sql("SHOW TABLES IN graft.pw").collect()
+      .map(_.getString(1)).contains("ctas_fail"))
+    assert(!new java.io.File(s"$warehouse/pw/ctas_fail").exists())
+    // no staging debris left behind either
+    assert(!new java.io.File(s"$warehouse/pw").listFiles()
+      .exists(_.getName.contains("ctas_fail")), "staging dir not cleaned up")
+    // and a successful CTAS still lands
+    spark.sql("CREATE TABLE graft.pw.ctas_ok AS SELECT id FROM range(5)")
+    assert(spark.table("graft.pw.ctas_ok").count() == 5)
+    // REPLACE TABLE AS SELECT swaps atomically
+    spark.sql("REPLACE TABLE graft.pw.ctas_ok AS SELECT id * 2 AS id2 FROM range(3)")
+    assert(spark.table("graft.pw.ctas_ok").collect().map(_.getLong(0)).sorted.toSeq
+      == Seq(0L, 2L, 4L))
+    // failed REPLACE keeps the ORIGINAL table intact
+    intercept[Exception](spark.sql(
+      """REPLACE TABLE graft.pw.ctas_ok AS
+        |SELECT CAST(raise_error('boom') AS STRING) AS x FROM range(10)""".stripMargin))
+    assert(spark.table("graft.pw.ctas_ok").count() == 3,
+      "failed REPLACE must leave the previous table untouched")
+    spark.sql("DROP TABLE graft.pw.ctas_ok")
+  }
+
+  test("per-table storage properties shape the written parquet files") {
+    spark.sql(
+      """CREATE TABLE graft.pw.zipped (id BIGINT, v STRING)
+        |TBLPROPERTIES ('write.compression'='gzip', 'write.dictionary'='false')
+        |""".stripMargin)
+    spark.sql("INSERT INTO graft.pw.zipped SELECT id, repeat('x', 100) FROM range(1000)")
+    val files = new java.io.File(s"$warehouse/pw/zipped/data").listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    assert(files.nonEmpty)
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(files.head.getAbsolutePath), conf)
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try {
+      val cols = r.getFooter.getBlocks.get(0).getColumns
+      assert(cols.get(0).getCodec.name() == "GZIP", cols.get(0).getCodec)
+      assert(!cols.get(1).getEncodings.toString.contains("RLE_DICTIONARY"),
+        s"dictionary encoding should be off: ${cols.get(1).getEncodings}")
+    } finally r.close()
+    // data still reads back fine
+    assert(spark.table("graft.pw.zipped").count() == 1000)
+    spark.sql("DROP TABLE graft.pw.zipped")
+  }
+
   test("views: create, select-through, replace, show, drop") {
     spark.sql("CREATE TABLE graft.pw.vt (id BIGINT, grp STRING)")
     spark.sql("INSERT INTO graft.pw.vt VALUES (1,'a'),(2,'b'),(3,'b')")
