@@ -363,6 +363,108 @@ object Vectors {
           SELECT qid, vid,
             dot / sqrt(nq.n2 * nv.n2) AS cos
           FROM dots JOIN norms nq ON nq.vec_id = qid JOIN norms nv ON nv.vec_id = vid)
-        SELECT qid AS v1, vid AS v2, cos FROM scored WHERE cos > 0.3 ORDER BY v1, v2"""))
+        SELECT qid AS v1, vid AS v2, cos FROM scored WHERE cos > 0.3 ORDER BY v1, v2""")),
+
+    // ---- q56: IVF with a TRAINED coarse quantizer --------------------------
+    // graft.ml.KMeans (deterministic Lloyd: first-k init, quantized-exact
+    // assignment and means) trains the 8-centroid inverted file; the same
+    // two iterations are unrolled in the DuckDB oracle, so the trained
+    // centroids — and the ANN results through them — hash-match exactly.
+    // Scale: each iteration is one broadcast of 8 centroids + one shuffle
+    // by cluster id; the corpus is never collected or self-joined.
+    QueryDef(
+      "q56_ann_ivf_trained",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val e = emb(t)
+        val n = norms(e)
+        val ke = e.select(col("vec_id").as("id"), col("e"))
+        val cent = graft.ml.KMeans.fit(ke, 8, 2) // (cluster, c)
+        // final assignment + probes score exactly like KMeans.assign
+        val scored = ke.crossJoin(broadcast(cent))
+          .withColumn("dot",
+            expr("aggregate(zip_with(e, c, (x, y) -> round(x * y * 1e9)), 0D, (a, p) -> a + p)"))
+          .withColumn("cn2", expr("aggregate(c, 0D, (a, x) -> a + round(x * x * 1e9))"))
+          .withColumn("sim", expr("dot / sqrt(cn2)"))
+        val w = Window.partitionBy(col("id")).orderBy(desc("sim"), col("cluster"))
+        val ranked = scored.withColumn("rn", row_number().over(w))
+        val assign = ranked.filter(col("rn") === 1)
+          .select(col("id").as("member"), col("cluster").as("cid"))
+        val probe = ranked.filter(col("rn") <= 2 && col("id") < 20)
+          .select(col("id").as("qid"), col("cluster").as("cid"))
+        val cand = probe.join(assign, "cid")
+          .filter(col("qid") =!= col("member"))
+          .select(col("qid"), col("member").as("vid"))
+          .distinct()
+        val all = e.select(col("vec_id").as("qid"), col("e").as("qe"))
+        val cscored = cosine(
+          cand.join(all, "qid")
+            .join(e.select(col("vec_id").as("vid"), col("e").as("ve")), "vid"), n)
+        val wR = Window.partitionBy(col("qid")).orderBy(desc("cos"), col("vid"))
+        cscored
+          .withColumn("rank", row_number().over(wR).cast("long"))
+          .filter(col("rank") <= 3)
+          .select(col("qid"), col("rank"), col("vid"), col("cos"))
+          .orderBy(col("qid"), col("rank"))
+      },
+      Some {
+        // one Lloyd iteration, expressed once and instantiated per round
+        def sim(cent: String, out: String) =
+          s"""$out AS (
+             |  SELECT e.id, c.cluster,
+             |    list_sum(list_transform(range(1, len(e.embedding) + 1),
+             |      i -> round(CAST(e.embedding[i] AS DOUBLE) * c.c[i] * 1e9))) /
+             |    sqrt(list_sum(list_transform(c.c, x -> round(x * x * 1e9)))) AS sim
+             |  FROM e CROSS JOIN $cent c)""".stripMargin
+        def assignCte(scores: String, out: String) =
+          s"""$out AS (
+             |  SELECT id, cluster FROM (
+             |    SELECT id, cluster,
+             |      ROW_NUMBER() OVER (PARTITION BY id ORDER BY sim DESC, cluster) AS rn
+             |    FROM $scores) WHERE rn = 1)""".stripMargin
+        def updateCte(assignName: String, out: String) =
+          s"""${out}_s AS (
+             |  SELECT a.cluster, p.i,
+             |    SUM(round(CAST(e.embedding[p.i] AS DOUBLE) * 1e9)) AS sm,
+             |    COUNT(*) AS n
+             |  FROM $assignName a JOIN e ON e.id = a.id CROSS JOIN pos p
+             |  GROUP BY a.cluster, p.i),
+             |$out AS (
+             |  SELECT cluster, list((sm / n) / 1e9 ORDER BY i) AS c
+             |  FROM ${out}_s GROUP BY cluster)""".stripMargin
+        s"""WITH e AS (SELECT vec_id AS id, embedding FROM embeddings),
+        pos AS (SELECT CAST(i AS BIGINT) AS i FROM range(1, 65) t(i)),
+        c0 AS (SELECT CAST(id AS INT) AS cluster,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS c
+               FROM e WHERE id < 8),
+        ${sim("c0", "s1")}, ${assignCte("s1", "a1")}, ${updateCte("a1", "c1")},
+        ${sim("c1", "s2")}, ${assignCte("s2", "a2")}, ${updateCte("a2", "c2")},
+        ${sim("c2", "s3")},
+        ranked AS (
+          SELECT id, cluster,
+            ROW_NUMBER() OVER (PARTITION BY id ORDER BY sim DESC, cluster) AS rn
+          FROM s3),
+        assign AS (SELECT id AS member, cluster AS cid FROM ranked WHERE rn = 1),
+        probe AS (SELECT id AS qid, cluster AS cid FROM ranked WHERE rn <= 2 AND id < 20),
+        cand AS (
+          SELECT DISTINCT p.qid, a.member AS vid
+          FROM probe p JOIN assign a ON a.cid = p.cid WHERE a.member <> p.qid),
+        norms AS (SELECT id AS vec_id,
+                    list_sum(list_transform(embedding,
+                      x -> round(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) * 1e9))) AS n2
+                  FROM e),
+        cscore AS (
+          SELECT cand.qid, cand.vid,
+            list_sum(list_transform(range(1, len(q.embedding) + 1),
+              i -> round(CAST(q.embedding[i] AS DOUBLE) * CAST(v.embedding[i] AS DOUBLE) * 1e9)))
+              / sqrt(nq.n2 * nv.n2) AS cos
+          FROM cand JOIN e q ON q.id = cand.qid JOIN e v ON v.id = cand.vid
+          JOIN norms nq ON nq.vec_id = cand.qid JOIN norms nv ON nv.vec_id = cand.vid)
+        SELECT qid, rank, vid, cos FROM (
+          SELECT qid, vid, cos,
+            ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vid) AS rank
+          FROM cscore)
+        WHERE rank <= 3 ORDER BY qid, rank"""
+      })
   )
 }

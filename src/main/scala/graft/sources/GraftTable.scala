@@ -142,6 +142,16 @@ final class GraftTable(
   * the table keep the cache valid. */
 object TableStats {
   val FileName = "_stats.tsv"
+  /** Directory of per-epoch streaming commit markers (under the data dir). */
+  val CommitsDir = "_commits"
+
+  /** Path of `file` relative to its table's `data/` dir (keys of the stats
+    * registry), robust to scheme-qualified vs bare paths. */
+  def relOf(path: String): String = {
+    val i = path.lastIndexOf("/data/")
+    if (i >= 0) path.substring(i + "/data/".length)
+    else new Path(path).getName
+  }
 
   def read(fs: FileSystem, dataDir: Path): Map[String, Long] = {
     val p = new Path(dataDir, FileName)
@@ -213,14 +223,27 @@ final class GraftScan(
     * are pruned without listing their contents — static partition pruning
     * (the reference has none; its partition APIs throw). Returns
     * (path, length, partitionValues-in-partitionCols-order). */
+  /** Commit-time per-file stats registry; also the visibility source of
+    * truth for streaming files (see [[GraftStreamingWrite]]). */
+  private lazy val cachedStats: Map[String, Long] = {
+    val dir = new Path(dataDir)
+    TableStats.read(dir.getFileSystem(new Configuration()), dir)
+  }
+
   private lazy val files: Seq[(String, Long, Seq[Any])] = {
     val conf = new Configuration()
     val root = new Path(dataDir)
     val fs = root.getFileSystem(conf)
 
+    def visible(p: Path): Boolean =
+      // stream-written files surface only once their epoch committed
+      !p.getName.startsWith("stream-") ||
+        cachedStats.contains(TableStats.relOf(p.toString))
+
     def leafFiles(p: Path, values: Seq[Any]): Seq[(String, Long, Seq[Any])] =
       fs.listStatus(p).toSeq
-        .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+        .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet") &&
+          visible(s.getPath))
         .map(s => (s.getPath.toString, s.getLen, values))
 
     def walk(p: Path, remaining: Seq[String], values: Map[String, Any]): Seq[(String, Long, Seq[Any])] =
@@ -301,14 +324,8 @@ final class GraftScan(
     * assert the warm path never touches a footer. */
   private lazy val exactRows: Long = {
     val conf = new Configuration()
-    val dir = new Path(dataDir)
-    val cached = TableStats.read(dir.getFileSystem(conf), dir)
-    def relOf(path: String): String = {
-      val i = path.lastIndexOf("/data/")
-      if (i >= 0) path.substring(i + "/data/".length) else new Path(path).getName
-    }
     files.map { case (path, _, _) =>
-      cached.get(relOf(path)).getOrElse {
+      cachedStats.get(TableStats.relOf(path)).getOrElse {
         GraftScan.footerReads.incrementAndGet()
         val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(new Path(path), conf)
         val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
@@ -412,19 +429,24 @@ final class GraftWriteBuilder(
     override def toBatch: BatchWrite =
       new GraftBatchWrite(schema, props, dataDir, partitionCols, doTruncate)
     override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
-      new GraftStreamingWrite(schema, props, dataDir, partitionCols)
+      new GraftStreamingWrite(schema, props, dataDir, partitionCols, info.queryId())
   }
 }
 
-/** Streaming append sink: each epoch writes its own uniquely-named part
-  * files (writeId + epoch in the name). At-least-once on task retry
-  * (no epoch manifest); a production deployment would add a commit log —
-  * the reference has no streaming surface at all. */
+/** Streaming append sink with an epoch commit log. Files are written with
+  * a `stream-` prefix and become VISIBLE only when their epoch commits:
+  * commit writes a `_commits/<queryId>-e<epoch>` marker and merges the
+  * files into the `_stats.tsv` registry that scans treat as the source of
+  * truth for stream-file visibility. A replayed epoch (failure recovery)
+  * finds its marker already present and deletes the duplicate attempt's
+  * files instead of registering them — effectively-once end to end. The
+  * reference has no streaming surface at all. */
 final class GraftStreamingWrite(
     schema: StructType,
     props: Map[String, String],
     dataDir: String,
-    partitionCols: Seq[String])
+    partitionCols: Seq[String],
+    queryId: String)
     extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
 
   private val writeId = UUID.randomUUID().toString
@@ -433,8 +455,36 @@ final class GraftStreamingWrite(
       info: PhysicalWriteInfo): org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory =
     GraftStreamingWriterFactory(schema, props, dataDir, partitionCols, writeId)
 
-  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
-  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
+  private def open(): (FileSystem, Path) = {
+    val d = new Path(dataDir)
+    (d.getFileSystem(new Configuration()), d)
+  }
+
+  private def filesOf(messages: Array[WriterCommitMessage]): Seq[(String, Long)] =
+    messages.collect { case m: GraftCommitMessage => m.files }.toSeq.flatten
+
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val (fs, dir) = open()
+    val marker = new Path(dir, s"${TableStats.CommitsDir}/$queryId-e$epochId")
+    val committed = filesOf(messages)
+    if (fs.exists(marker)) {
+      // epoch already durable from a previous run: this attempt re-wrote
+      // the same input batch — its files are duplicates, drop them
+      committed.foreach { case (rel, _) => fs.delete(new Path(dir, rel), false) }
+    } else {
+      fs.mkdirs(marker.getParent)
+      val out = fs.create(marker, true)
+      try out.write(committed.sorted.map { case (k, v) => s"$k\t$v" }
+        .mkString("", "\n", "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      TableStats.write(fs, dir, TableStats.read(fs, dir) ++ committed)
+    }
+  }
+
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val (fs, dir) = open()
+    filesOf(messages).foreach { case (rel, _) => fs.delete(new Path(dir, rel), false) }
+  }
 }
 
 final case class GraftStreamingWriterFactory(
@@ -446,7 +496,7 @@ final case class GraftStreamingWriterFactory(
     extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long, epochId: Long): DataWriter[InternalRow] =
     GraftWriterFactory.newWriter(schema, props, dataDir, partitionCols,
-      s"$writeId-e$epochId", partitionId, taskId)
+      s"$writeId-e$epochId", partitionId, taskId, filePrefix = "stream")
 }
 
 final class GraftBatchWrite(
@@ -526,7 +576,8 @@ object GraftWriterFactory {
       partitionCols: Seq[String],
       writeId: String,
       partitionId: Int,
-      taskId: Long): DataWriter[InternalRow] = {
+      taskId: Long,
+      filePrefix: String = "part"): DataWriter[InternalRow] = {
     val conf = new Configuration()
 
     val rowKeyIdx = schema.fieldNames.indexOf(ColumnNames.RowKey)
@@ -555,7 +606,7 @@ object GraftWriterFactory {
         }.mkString("/")
         val key = if (rel.isEmpty) "" else rel + "/"
         val entry = writers.getOrElseUpdate(key, {
-          val relPath = s"${key}part-$partitionId-$taskId-$writeId.parquet"
+          val relPath = s"$key$filePrefix-$partitionId-$taskId-$writeId.parquet"
           val path = new Path(s"$dataDir/$relPath")
           path.getFileSystem(conf).mkdirs(path.getParent)
           (ParquetRowIO.newWriter(path, schema, conf, props), relPath, 0L)

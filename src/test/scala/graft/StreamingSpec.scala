@@ -102,4 +102,66 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == want)
     assert(got.nonEmpty)
   }
+
+  test("graft streaming sink: epoch commit log hides uncommitted files and dedups replays") {
+    import org.apache.hadoop.fs.Path
+    import org.apache.spark.sql.connector.write.WriterCommitMessage
+    import graft.sources.{GraftCommitMessage, GraftStreamingWrite, TableStats}
+
+    val wh = java.nio.file.Files.createTempDirectory("graft_stream_wh").toString
+    spark.conf.set("spark.sql.catalog.gsink", classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gsink.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gsink.s")
+    spark.sql("CREATE TABLE gsink.s.sink (id BIGINT)")
+
+    // two epochs through the real streaming path
+    val src = java.nio.file.Files.createTempDirectory("graft_sink_src")
+    spark.range(0, 50).toDF("id").write.parquet(s"$src/b1")
+    val q = spark.readStream.schema("id BIGINT").parquet(s"$src/*")
+      .writeStream
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft_sink_ck").toString)
+      .toTable("gsink.s.sink")
+    try {
+      q.processAllAvailable()
+      spark.range(50, 80).toDF("id").write.parquet(s"$src/b2")
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(spark.table("gsink.s.sink").count() == 80)
+
+    val dataDir = new java.io.File(s"$wh/s/sink/data")
+    // epoch markers exist
+    assert(new java.io.File(dataDir, "_commits").listFiles().nonEmpty)
+
+    // an uncommitted stream file (crashed epoch) must stay invisible
+    val committed = dataDir.listFiles().filter(_.getName.startsWith("stream-"))
+    assert(committed.nonEmpty, "expected stream-prefixed committed files")
+    val orphan = new java.io.File(dataDir, "stream-9-999-deadbeef.parquet")
+    java.nio.file.Files.copy(committed.head.toPath, orphan.toPath)
+    assert(spark.table("gsink.s.sink").count() == 80,
+      "uncommitted stream file must not be readable")
+
+    // replayed epoch: same (queryId, epochId) commits twice -> the second
+    // attempt's files are dropped, not double-registered
+    val fsPath = new Path(dataDir.toString)
+    val fs = fsPath.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val schema = org.apache.spark.sql.types.StructType.fromDDL("id BIGINT")
+    val w = new GraftStreamingWrite(schema, Map.empty, dataDir.toString, Nil, "qreplay")
+    val chunk = spark.read.parquet(committed.head.getAbsolutePath).count()
+    val attempt1 = new java.io.File(dataDir, "stream-0-1-replay1.parquet")
+    java.nio.file.Files.copy(committed.head.toPath, attempt1.toPath)
+    w.commit(7, Array[WriterCommitMessage](GraftCommitMessage(Seq(attempt1.getName -> chunk))))
+    val rowsAfterFirst = spark.table("gsink.s.sink").count()
+    assert(rowsAfterFirst == 80 + chunk,
+      s"first commit of epoch 7 registers the file: $rowsAfterFirst")
+    val attempt2 = new java.io.File(dataDir, "stream-0-2-replay2.parquet")
+    java.nio.file.Files.copy(committed.head.toPath, attempt2.toPath)
+    w.commit(7, Array[WriterCommitMessage](GraftCommitMessage(Seq(attempt2.getName -> chunk))))
+    assert(!attempt2.exists(), "replayed epoch's duplicate files are deleted")
+    assert(spark.table("gsink.s.sink").count() == 80 + chunk,
+      "replayed epoch must not add rows")
+    assert(TableStats.read(fs, fsPath).size ==
+      dataDir.listFiles().count(f => f.getName.endsWith(".parquet")) - 1,
+      "stats registry tracks exactly the committed files (orphan excluded)")
+  }
 }
