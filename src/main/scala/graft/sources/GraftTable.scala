@@ -278,9 +278,9 @@ final class GraftScan(
     partitionCols.nonEmpty &&
       org.apache.spark.sql.internal.SQLConf.get.v2BucketingEnabled
 
-  private lazy val groups: Seq[(Seq[Any], Seq[String])] =
+  private lazy val groups: Seq[(Seq[Any], Seq[(String, Long)])] =
     files.groupBy(_._3).toSeq
-      .map { case (vs, fs0) => (vs, fs0.map(_._1)) }
+      .map { case (vs, fs0) => (vs, fs0.map(f => (f._1, f._2))) }
       .sortBy(_._1.map(String.valueOf(_)).mkString("/"))
 
   override def planInputPartitions(): Array[InputPartition] =
@@ -295,7 +295,7 @@ final class GraftScan(
       }.toArray
     } else {
       files.flatMap { case (path, len, _) =>
-        if (len <= splitBytes) Seq(GraftInputPartition(path, 0L, Long.MaxValue))
+        if (len <= splitBytes) Seq(GraftInputPartition(path, 0L, len))
         else (0L until len by splitBytes).map(start =>
           GraftInputPartition(path, start, math.min(start + splitBytes, len)))
       }.toArray
@@ -312,8 +312,24 @@ final class GraftScan(
       new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(
         planInputPartitions().length)
 
+  /** Columnar (vectorized) reads are used when every required column is a
+    * primitive the vectorized parquet reader supports; UDT/nested columns
+    * fall back to the row codec. Decided globally per scan — Spark
+    * requires all partitions of one scan to agree on batch-vs-row. */
+  private def columnarOK: Boolean = {
+    import org.apache.spark.sql.types._
+    org.apache.spark.sql.internal.SQLConf.get
+      .getConfString("spark.graft.columnar.enabled", "true") == "true" &&
+    required.fields.nonEmpty &&
+    required.fields.forall(_.dataType match {
+      case BooleanType | ByteType | ShortType | IntegerType | LongType |
+          FloatType | DoubleType | StringType | BinaryType | DateType => true
+      case _ => false
+    })
+  }
+
   override def createReaderFactory(): PartitionReaderFactory =
-    new GraftReaderFactory(required, pushed)
+    new GraftReaderFactory(required, pushed, columnarOK)
 
   /** Exact row count for the (pruned) file set. Preferred source is the
     * `_stats.tsv` cache written at every commit — ONE small read per
@@ -354,61 +370,118 @@ final case class GraftInputPartition(path: String, start: Long, end: Long)
 
 /** All files of one partition value, exposing the value as the Spark
   * partition key for storage-partitioned joins. */
-final case class GraftPartitionGroup(paths: Seq[String], key: InternalRow)
+final case class GraftPartitionGroup(files: Seq[(String, Long)], key: InternalRow)
     extends InputPartition with HasPartitionKey {
   override def partitionKey(): InternalRow = key
 }
 
-final class GraftReaderFactory(required: StructType, pushed: Array[Filter])
+final class GraftReaderFactory(
+    required: StructType, pushed: Array[Filter], columnar: Boolean)
     extends PartitionReaderFactory {
 
-  private def openFile(path: String): org.apache.parquet.hadoop.ParquetReader[InternalRow] = {
+  private def predicate = pushed
+    .flatMap(FilterTranslate.translate(required, _))
+    .reduceOption(org.apache.parquet.filter2.predicate.FilterApi.and)
+
+  /** (path, start, end) ranges of a partition; whole files carry their
+    * real length as `end`, so both readers treat every entry as a range. */
+  private def ranges(partition: InputPartition): Seq[(String, Long, Long)] =
+    partition match {
+      case GraftPartitionGroup(files, _) => files.map { case (p, len) => (p, 0L, len) }
+      case GraftInputPartition(path, start, end) => Seq((path, start, end))
+    }
+
+  private def openFile(path: String, start: Long, end: Long): org.apache.parquet.hadoop.ParquetReader[InternalRow] = {
     val conf = new Configuration()
-    val predicate = pushed
-      .flatMap(FilterTranslate.translate(required, _))
-      .reduceOption(org.apache.parquet.filter2.predicate.FilterApi.and)
     ParquetRowIO.newReader(new Path(path), required, conf,
-      predicate.map(FilterCompat.get), None)
+      predicate.map(FilterCompat.get),
+      if (end == Long.MaxValue) None else Some((start, end)))
   }
 
-  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    partition match {
-      case GraftPartitionGroup(paths, _) =>
-        // sequential concatenation of the group's files
-        new PartitionReader[InternalRow] {
-          private val remaining = scala.collection.mutable.Queue(paths: _*)
-          private var reader: org.apache.parquet.hadoop.ParquetReader[InternalRow] = _
-          private var current: InternalRow = _
-          override def next(): Boolean = {
-            while (true) {
-              if (reader == null) {
-                if (remaining.isEmpty) return false
-                reader = openFile(remaining.dequeue())
-              }
-              current = reader.read()
-              if (current != null) return true
-              reader.close(); reader = null
-            }
-            false
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val remaining = scala.collection.mutable.Queue(ranges(partition): _*)
+    new PartitionReader[InternalRow] {
+      private var reader: org.apache.parquet.hadoop.ParquetReader[InternalRow] = _
+      private var current: InternalRow = _
+      override def next(): Boolean = {
+        while (true) {
+          if (reader == null) {
+            if (remaining.isEmpty) return false
+            val (p, s, e) = remaining.dequeue()
+            reader = openFile(p, s, e)
           }
-          override def get(): InternalRow = current
-          override def close(): Unit = if (reader != null) reader.close()
+          current = reader.read()
+          if (current != null) return true
+          reader.close(); reader = null
         }
-      case GraftInputPartition(path, start, end) =>
-        val conf = new Configuration()
-        val predicate = pushed
-          .flatMap(FilterTranslate.translate(required, _))
-          .reduceOption(org.apache.parquet.filter2.predicate.FilterApi.and)
-        val reader = ParquetRowIO.newReader(
-          new Path(path), required, conf, predicate.map(FilterCompat.get),
-          if (end == Long.MaxValue) None else Some((start, end)))
-        new PartitionReader[InternalRow] {
-          private var current: InternalRow = _
-          override def next(): Boolean = { current = reader.read(); current != null }
-          override def get(): InternalRow = current
-          override def close(): Unit = reader.close()
-        }
+        false
+      }
+      override def get(): InternalRow = current
+      override def close(): Unit = if (reader != null) reader.close()
     }
+  }
+
+  // ---- columnar (vectorized) path ----------------------------------------
+  // Delegates decode to Spark's own VectorizedParquetRecordReader: batches
+  // of on-heap column vectors feed whole-stage codegen via ColumnarToRow,
+  // the same engine-native path the built-in parquet source uses. Schema
+  // evolution still works — the vectorized reader null-fills requested
+  // columns missing from a file's schema.
+
+  override def supportColumnarReads(partition: InputPartition): Boolean = columnar
+
+  private def openVectorized(path: String, start: Long, end: Long) = {
+    import org.apache.spark.sql.execution.datasources.parquet.{ParquetReadSupport, VectorizedParquetRecordReader}
+    val conf = new Configuration()
+    conf.set(org.apache.parquet.hadoop.ParquetInputFormat.READ_SUPPORT_CLASS,
+      classOf[ParquetReadSupport].getName)
+    conf.set(ParquetReadSupport.SPARK_ROW_REQUESTED_SCHEMA, required.json)
+    // ParquetToSparkSchemaConverter reads these with no defaults
+    conf.setBoolean(org.apache.spark.sql.internal.SQLConf.CASE_SENSITIVE.key, false)
+    conf.setBoolean(org.apache.spark.sql.internal.SQLConf.PARQUET_BINARY_AS_STRING.key, false)
+    conf.setBoolean(org.apache.spark.sql.internal.SQLConf.PARQUET_INT96_AS_TIMESTAMP.key, true)
+    conf.setBoolean("spark.sql.parquet.inferTimestampNTZ.enabled", true)
+    conf.setBoolean("spark.sql.legacy.parquet.nanosAsLong", false)
+    conf.setBoolean("spark.sql.parquet.fieldId.read.enabled", false)
+    predicate.foreach(p =>
+      org.apache.parquet.hadoop.ParquetInputFormat.setFilterPredicate(conf, p))
+    // SpecificParquetRecordReaderBase casts to the old-API mapred split
+    val split = new org.apache.hadoop.mapred.FileSplit(
+      new Path(path), start, end - start, Array.empty[String])
+    val ctx = new org.apache.hadoop.mapreduce.task.TaskAttemptContextImpl(
+      conf, new org.apache.hadoop.mapreduce.TaskAttemptID())
+    val r = new VectorizedParquetRecordReader(
+      null, "CORRECTED", "UTC", "CORRECTED", "UTC", /* offHeap = */ false, 4096)
+    try {
+      r.initialize(split, ctx)
+      r.initBatch(new StructType(), InternalRow.empty)
+      r.enableReturningBatches()
+      r
+    } catch { case e: Throwable => r.close(); throw e }
+  }
+
+  override def createColumnarReader(
+      partition: InputPartition): PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
+    val remaining = scala.collection.mutable.Queue(ranges(partition): _*)
+    new PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
+      private var reader: org.apache.spark.sql.execution.datasources.parquet.VectorizedParquetRecordReader = _
+      override def next(): Boolean = {
+        while (true) {
+          if (reader == null) {
+            if (remaining.isEmpty) return false
+            val (p, s, e) = remaining.dequeue()
+            reader = openVectorized(p, s, e)
+          }
+          if (reader.nextBatch()) return true
+          reader.close(); reader = null
+        }
+        false
+      }
+      override def get(): org.apache.spark.sql.vectorized.ColumnarBatch =
+        reader.resultBatch()
+      override def close(): Unit = if (reader != null) reader.close()
+    }
+  }
 }
 
 // --------------------------------------------------------------- write ----

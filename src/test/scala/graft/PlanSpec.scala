@@ -103,6 +103,26 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(all.count() == 500)
   }
 
+  test("graft source: primitive-schema scans are columnar (vectorized)") {
+    // gpart.t.docs exists from the pruning test above (all-primitive schema)
+    val df = spark.sql("SELECT doc_id, n_chars FROM gpart.t.docs WHERE n_chars > 100")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ColumnarToRow"),
+      s"expected vectorized graft scan feeding ColumnarToRow:\n$plan")
+    // results identical to the raw parquet read
+    val want = spark.sql(
+      s"SELECT doc_id FROM parquet.`$dir/documents.parquet` WHERE n_chars > 100")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(df.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq == want)
+    // the toggle falls back to the row codec
+    spark.conf.set("spark.graft.columnar.enabled", "false")
+    try {
+      val rowPlan = spark.sql("SELECT doc_id FROM gpart.t.docs")
+        .queryExecution.executedPlan.toString
+      assert(!rowPlan.contains("ColumnarToRow"), rowPlan)
+    } finally spark.conf.set("spark.graft.columnar.enabled", "true")
+  }
+
   test("graft source: storage-partitioned aggregation and join avoid shuffles") {
     import java.nio.file.Files
     val wh = Files.createTempDirectory("graft_wh_spj").toString
