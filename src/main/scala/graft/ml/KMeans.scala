@@ -23,9 +23,21 @@ object KMeans {
   /** @param emb (id: Long, e: array<double>) input
     * @return (cluster: Int, centroid: array<double>) after `iters` steps */
   def fit(emb: DataFrame, k: Int, iters: Int): DataFrame = {
+    val spark = emb.sparkSession
     var centroids = emb.orderBy(col("id")).limit(k)
       .select(col("id").cast("int").as("cluster"), col("e").as("c"))
-    for (_ <- 1 to iters) centroids = update(assign(emb, centroids))
+    for (_ <- 1 to iters) {
+      val next = update(assign(emb, centroids))
+      // materialize the k x d model state (a few KB) after each step:
+      // without this, lazy lineage re-executes iteration N's whole
+      // dataflow inside iteration N+1 — quadratic work in `iters`. The
+      // collect is of the MODEL, never the corpus, and the values are
+      // exact (quantized means), so the round-trip changes nothing.
+      val schema = next.schema
+      val rows = next.orderBy(col("cluster")).collect().toIndexedSeq
+      centroids = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), schema)
+    }
     centroids
   }
 
