@@ -7,11 +7,46 @@ import org.apache.spark.sql.SparkSession
 /** Minimal SQL console over the graft catalog — the analog of the
   * reference's jline REPL (`HBaseSQLClient.scala:31-100`): `;`-terminated
   * statements with multi-line continuation, `EXIT;` quits, everything else
-  * runs through `spark.sql(...).show(30)`.
+  * runs through `spark.sql(...).show(30)`. Statement history persists to
+  * `~/.graft_history` across sessions (capability analog of the
+  * reference's jline `FileHistory`, `HBaseSQLClient.scala:36-46`).
   *
   * Usage: `scripts/run.sh graft.repl.SqlRepl [warehouseDir]`
   */
 object SqlRepl {
+
+  /** Persistent statement history: one statement per line (embedded
+    * newlines escaped), newest-last, capped. */
+  final class History(path: java.nio.file.Path, cap: Int = 500) {
+    private def esc(s: String): String =
+      s.replace("\\", "\\\\").replace("\n", "\\n")
+    private def unesc(s: String): String = {
+      val sb = new StringBuilder
+      var i = 0
+      while (i < s.length) {
+        if (s.charAt(i) == '\\' && i + 1 < s.length) {
+          sb.append(if (s.charAt(i + 1) == 'n') '\n' else s.charAt(i + 1)); i += 2
+        } else { sb.append(s.charAt(i)); i += 1 }
+      }
+      sb.toString
+    }
+
+    def load(): Seq[String] =
+      if (java.nio.file.Files.exists(path))
+        new String(java.nio.file.Files.readAllBytes(path), "UTF-8")
+          .linesIterator.filter(_.nonEmpty).map(unesc).toSeq
+      else Seq.empty
+
+    def append(statement: String): Unit = {
+      val all = (load() :+ statement.trim).takeRight(cap)
+      java.nio.file.Files.write(path,
+        all.map(esc).mkString("", "\n", "\n").getBytes("UTF-8"))
+    }
+  }
+
+  def defaultHistory(): History =
+    new History(java.nio.file.Paths.get(
+      sys.props.getOrElse("user.home", "/tmp"), ".graft_history"))
 
   /** Process one complete statement; returns false on EXIT. */
   def process(spark: SparkSession, statement: String): Boolean = {
@@ -42,6 +77,7 @@ object SqlRepl {
     graft.types.RegionSpanUDT.register()
 
     println(s"graft SQL console (warehouse: $warehouse); statements end with ';', EXIT; quits.")
+    val history = defaultHistory()
     val buf = new StringBuilder
     var continue = true
     while (continue) {
@@ -54,6 +90,7 @@ object SqlRepl {
         if (line.trim.endsWith(";")) {
           val stmt = buf.toString
           buf.clear()
+          try history.append(stmt) catch { case _: Exception => () }
           continue = process(spark, stmt)
         }
       }

@@ -83,4 +83,14 @@ class ExpressionSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!SqlRepl.process(spark, "EXIT;"))
     assert(!SqlRepl.process(spark, "quit"))
   }
+
+  test("REPL history file round-trips multi-line statements and caps size") {
+    val f = java.nio.file.Files.createTempFile("graft_hist", "")
+    val h = new graft.repl.SqlRepl.History(f, cap = 3)
+    h.append("SELECT 1;")
+    h.append("SELECT *\nFROM t\nWHERE a = 'x\\n';")
+    assert(h.load() == Seq("SELECT 1;", "SELECT *\nFROM t\nWHERE a = 'x\\n';"))
+    h.append("SELECT 2;"); h.append("SELECT 3;")
+    assert(h.load().size == 3 && h.load().head == "SELECT *\nFROM t\nWHERE a = 'x\\n';")
+  }
 }
