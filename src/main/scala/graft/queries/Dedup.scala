@@ -50,6 +50,51 @@ object Dedup {
   private def hashA(i: Int): Long = 1000003L + 7919L * i
   private def hashB(i: Int): Long = 7L + 104729L * i
 
+  /** MinHash+LSH candidate pairs (d1 < d2): 16 signature hashes from one
+    * md5 per shingle, 4 bands x 4 rows, band-equality join. Shared by q25
+    * (pair listing) and q60 (cluster assignment). */
+  private def minhashPairs(t: Tables): DataFrame = {
+    val withX = shingles(t).withColumn("x",
+      expr(s"cast(conv(substring(md5(cast(shingle as binary)), 1, 15), 16, 10) as bigint) % $MinHashP"))
+    val minCols = (0 to 15).map(i =>
+      min(expr(s"(${hashA(i)}L * x + ${hashB(i)}L) % $MinHashP")).as(s"h$i"))
+    val sig = withX.groupBy(col("doc_id")).agg(minCols.head, minCols.tail: _*)
+    val bandCols = (0 to 3).flatMap { b =>
+      Seq(s"$b", s"concat_ws(',', h${4 * b}, h${4 * b + 1}, h${4 * b + 2}, h${4 * b + 3})")
+    }
+    val bands = sig.select(col("doc_id"),
+      expr(s"stack(4, ${bandCols.mkString(", ")})").as(Seq("band", "sig")))
+    bands.select(col("doc_id").as("d1"), col("band"), col("sig"))
+      .join(bands.select(col("doc_id").as("d2"), col("band"), col("sig")), Seq("band", "sig"))
+      .filter(col("d1") < col("d2"))
+      .select(col("d1"), col("d2"))
+      .distinct()
+  }
+
+  /** DuckDB CTE chain ending in `pairs(d1, d2)` — the oracle mirror of
+    * [[minhashPairs]]. */
+  private val minhashPairsSql: String = {
+    // 60-bit integer from the first 15 hex chars of md5(shingle)
+    val hex15 = (1 to 15)
+      .map(j => s"(strpos('0123456789abcdef', substr(m, $j, 1)) - 1) * ${1L << (4 * (15 - j))}")
+      .mkString(" + ")
+    val minCols = (0 to 15)
+      .map(i => s"MIN((${hashA(i)} * x + ${hashB(i)}) % $MinHashP) AS h$i")
+      .mkString(", ")
+    val bandSelects = (0 to 3).map { b =>
+      s"SELECT doc_id, $b AS band, concat_ws(',', h${4 * b}, h${4 * b + 1}, h${4 * b + 2}, h${4 * b + 3}) AS sig FROM mh"
+    }.mkString(" UNION ALL ")
+    s"""$shingleSql,
+        hx AS (SELECT doc_id, ($hex15) % $MinHashP AS x
+               FROM (SELECT doc_id, md5(shingle) AS m FROM sh)),
+        mh AS (SELECT doc_id, $minCols FROM hx GROUP BY doc_id),
+        bands AS ($bandSelects),
+        pairs AS (
+          SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+          FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig
+          WHERE a.doc_id < b.doc_id)"""
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // ---- q24: n-gram Jaccard near-dup pairs (threshold 0.6) --------------
@@ -97,45 +142,9 @@ object Dedup {
     // large that cold-JVM codegen alone took >70 s.
     QueryDef(
       "q25_minhash_lsh",
-      (s, dir) => {
-        val t = Tables(s, dir)
-        val withX = shingles(t).withColumn("x",
-          expr(s"cast(conv(substring(md5(cast(shingle as binary)), 1, 15), 16, 10) as bigint) % $MinHashP"))
-        val minCols = (0 to 15).map(i =>
-          min(expr(s"(${hashA(i)}L * x + ${hashB(i)}L) % $MinHashP")).as(s"h$i"))
-        val sig = withX.groupBy(col("doc_id")).agg(minCols.head, minCols.tail: _*)
-        val bandCols = (0 to 3).flatMap { b =>
-          Seq(s"$b", s"concat_ws(',', h${4 * b}, h${4 * b + 1}, h${4 * b + 2}, h${4 * b + 3})")
-        }
-        val bands = sig.select(col("doc_id"),
-          expr(s"stack(4, ${bandCols.mkString(", ")})").as(Seq("band", "sig")))
-        bands.select(col("doc_id").as("d1"), col("band"), col("sig"))
-          .join(bands.select(col("doc_id").as("d2"), col("band"), col("sig")), Seq("band", "sig"))
-          .filter(col("d1") < col("d2"))
-          .select(col("d1"), col("d2"))
-          .distinct()
-          .orderBy(col("d1"), col("d2"))
-      },
-      Some {
-        // 60-bit integer from the first 15 hex chars of md5(shingle)
-        val hex15 = (1 to 15)
-          .map(j => s"(strpos('0123456789abcdef', substr(m, $j, 1)) - 1) * ${1L << (4 * (15 - j))}")
-          .mkString(" + ")
-        val minCols = (0 to 15)
-          .map(i => s"MIN((${hashA(i)} * x + ${hashB(i)}) % $MinHashP) AS h$i")
-          .mkString(", ")
-        val bandSelects = (0 to 3).map { b =>
-          s"SELECT doc_id, $b AS band, concat_ws(',', h${4 * b}, h${4 * b + 1}, h${4 * b + 2}, h${4 * b + 3}) AS sig FROM mh"
-        }.mkString(" UNION ALL ")
-        s"""WITH $shingleSql,
-        hx AS (SELECT doc_id, ($hex15) % $MinHashP AS x
-               FROM (SELECT doc_id, md5(shingle) AS m FROM sh)),
-        mh AS (SELECT doc_id, $minCols FROM hx GROUP BY doc_id),
-        bands AS ($bandSelects)
-        SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-        FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig
-        WHERE a.doc_id < b.doc_id ORDER BY d1, d2"""
-      }),
+      (s, dir) => minhashPairs(Tables(s, dir)).orderBy(col("d1"), col("d2")),
+      Some(s"""WITH $minhashPairsSql
+        SELECT d1, d2 FROM pairs ORDER BY d1, d2""")),
 
     // ---- q51: exact-substring duplicate pairs (shared 50-char span) ------
     // Every 50-char window is hashed, then content-defined sampling keeps
@@ -213,6 +222,38 @@ object Dedup {
           SELECT doc_id,
             CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT) AS simhash
           FROM bits GROUP BY doc_id ORDER BY doc_id"""
-      })
+      }),
+
+    // ---- q60: duplicate-cluster assignment (min-label propagation) -------
+    // The step BETWEEN pair detection and deletion: LSH candidate pairs
+    // become an undirected graph and every involved doc gets a cluster
+    // label — two rounds of min-label propagation (each round = one join
+    // on the edge list + one min-aggregate, the scalable connected-
+    // components shape; production would loop rounds to a fixpoint, the
+    // oracle replays the same fixed two).
+    QueryDef(
+      "q60_dup_clusters",
+      (s, dir) => {
+        val p = minhashPairs(Tables(s, dir))
+        val edges = p.select(col("d1").as("a"), col("d2").as("b"))
+          .union(p.select(col("d2").as("a"), col("d1").as("b")))
+        val l1 = edges.groupBy(col("a")).agg(min(col("b")).as("mn"))
+          .select(col("a").as("id"), least(col("a"), col("mn")).as("l"))
+        val nbl = edges
+          .join(l1.select(col("id").as("b"), col("l").as("lb")), "b")
+          .groupBy(col("a")).agg(min(col("lb")).as("mnl"))
+          .select(col("a").as("id"), col("mnl"))
+        l1.join(nbl, "id")
+          .select(col("id").as("doc_id"), least(col("l"), col("mnl")).as("cluster"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH $minhashPairsSql,
+        edges AS (SELECT d1 AS a, d2 AS b FROM pairs
+                  UNION ALL SELECT d2 AS a, d1 AS b FROM pairs),
+        l1 AS (SELECT a AS id, LEAST(a, MIN(b)) AS l FROM edges GROUP BY a),
+        nbl AS (SELECT e.a AS id, MIN(l1.l) AS mnl
+                FROM edges e JOIN l1 ON l1.id = e.b GROUP BY e.a)
+        SELECT l1.id AS doc_id, LEAST(l1.l, nbl.mnl) AS cluster
+        FROM l1 JOIN nbl USING (id) ORDER BY doc_id"""))
   )
 }

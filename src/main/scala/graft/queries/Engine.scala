@@ -84,6 +84,69 @@ object Engine {
       },
       Some("""SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
         CAST(SUM(n_chars) AS BIGINT) AS chars
-        FROM documents WHERE n_chars >= 300 GROUP BY lang ORDER BY lang"""))
+        FROM documents WHERE n_chars >= 300 GROUP BY lang ORDER BY lang""")),
+
+    // ---- q57: storage-partitioned join through the catalog ---------------
+    // Both sides are lang-partitioned graft tables; with v2 bucketing on,
+    // the scans report KeyGroupedPartitioning and the lang-equality join
+    // runs with NO shuffle on either side (plan shape proven in PlanSpec
+    // "storage-partitioned"; this query gates the VALUES through the same
+    // path). At 100 TB this is the bucketed co-located join.
+    QueryDef(
+      "q57_spj_join",
+      (s, dir) => {
+        val ns = ensureCatalog(s, dir)
+        s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+        s.sql(s"DROP TABLE IF EXISTS $ns.spj_a")
+        s.sql(s"DROP TABLE IF EXISTS $ns.spj_b")
+        s.sql(
+          s"""CREATE TABLE $ns.spj_a (doc_id BIGINT, n_chars BIGINT, lang STRING)
+             |PARTITIONED BY (lang)""".stripMargin)
+        s.sql(
+          s"""CREATE TABLE $ns.spj_b (doc_id BIGINT, source STRING, lang STRING)
+             |PARTITIONED BY (lang)""".stripMargin)
+        s.sql(s"""INSERT INTO $ns.spj_a
+                 |SELECT doc_id, n_chars, lang FROM parquet.`$dir/documents.parquet`
+                 |WHERE n_chars >= 350""".stripMargin)
+        s.sql(s"""INSERT INTO $ns.spj_b
+                 |SELECT doc_id, source, lang FROM parquet.`$dir/documents.parquet`
+                 |WHERE source = 'src0'""".stripMargin)
+        s.sql(
+          s"""SELECT a.lang, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+             |       CAST(SUM(a.n_chars) AS BIGINT) AS chars
+             |FROM $ns.spj_a a JOIN $ns.spj_b b ON a.lang = b.lang
+             |GROUP BY a.lang ORDER BY a.lang""".stripMargin)
+      },
+      Some("""WITH a AS (SELECT doc_id, n_chars, lang FROM documents WHERE n_chars >= 350),
+        b AS (SELECT doc_id, lang FROM documents WHERE source = 'src0')
+        SELECT a.lang, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               CAST(SUM(a.n_chars) AS BIGINT) AS chars
+        FROM a JOIN b ON a.lang = b.lang
+        GROUP BY a.lang ORDER BY a.lang""")),
+
+    // ---- q58: partition-level DELETE round-trip ---------------------------
+    // DELETE FROM on partition columns is metadata-only (whole directories
+    // dropped, stats registry updated); the scan after the delete must see
+    // exactly the surviving partitions.
+    QueryDef(
+      "q58_partition_delete",
+      (s, dir) => {
+        val ns = ensureCatalog(s, dir)
+        s.sql(s"DROP TABLE IF EXISTS $ns.pdel")
+        s.sql(
+          s"""CREATE TABLE $ns.pdel (doc_id BIGINT, n_chars BIGINT, lang STRING)
+             |PARTITIONED BY (lang)""".stripMargin)
+        s.sql(s"""INSERT INTO $ns.pdel
+                 |SELECT doc_id, n_chars, lang FROM parquet.`$dir/documents.parquet`""".stripMargin)
+        s.sql(s"DELETE FROM $ns.pdel WHERE lang IN ('de', 'fr')")
+        s.sql(
+          s"""SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
+             |       CAST(SUM(n_chars) AS BIGINT) AS chars
+             |FROM $ns.pdel GROUP BY lang ORDER BY lang""".stripMargin)
+      },
+      Some("""SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(SUM(n_chars) AS BIGINT) AS chars
+        FROM documents WHERE lang NOT IN ('de', 'fr')
+        GROUP BY lang ORDER BY lang"""))
   )
 }

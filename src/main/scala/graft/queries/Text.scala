@@ -276,6 +276,73 @@ object Text {
       Some("""SELECT lang, source, COUNT(*) AS n_docs,
         CAST(SUM(n_chars) AS BIGINT) AS total_chars,
         MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
-        FROM documents GROUP BY lang, source ORDER BY lang, source"""))
+        FROM documents GROUP BY lang, source ORDER BY lang, source""")),
+
+    // ---- q59: Gopher-style repetition/quality signals --------------------
+    // The repetition family of quality filters (type-token ratio, top-token
+    // mass, hapax fraction, duplicate-trigram mass, mean word length) in
+    // INTEGER-EXACT form: every signal is a ratio of two exact counts, so
+    // there is exactly one float op per output value and both engines agree
+    // bit-for-bit. One token explode + one trigram explode, all map-side
+    // partial aggregation — no pair joins, linear at 100 TB.
+    QueryDef(
+      "q59_repetition_signals",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val docs = t.documents
+          .select(col("doc_id"), split(col("text"), " ").as("sp"))
+          .filter(size(col("sp")) >= 3)
+        val toks = docs.select(col("doc_id"), explode(col("sp")).as("tok"))
+        val tokCnt = toks.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+        val perDoc = tokCnt.groupBy(col("doc_id")).agg(
+          sum(col("c")).as("n_tokens"),
+          count(lit(1)).as("n_distinct"),
+          max(col("c")).as("top_tok"),
+          sum(when(col("c") === 1, 1L).otherwise(0L)).as("hapax"))
+        val lenSum = toks.groupBy(col("doc_id"))
+          .agg(sum(length(col("tok")).cast("long")).as("len_sum"))
+        val tris = docs.select(col("doc_id"),
+          explode(expr("transform(sequence(0, size(sp) - 3), i -> concat_ws(' ', sp[i], sp[i+1], sp[i+2]))"))
+            .as("tri"))
+        val triCnt = tris.groupBy(col("doc_id"), col("tri")).agg(count(lit(1)).as("c"))
+        val triDoc = triCnt.groupBy(col("doc_id")).agg(
+          sum(col("c")).as("n_tris"),
+          sum(when(col("c") > 1, col("c")).otherwise(0L)).as("dup_tris"))
+        perDoc.join(lenSum, "doc_id").join(triDoc, "doc_id")
+          .select(col("doc_id"),
+            col("n_tokens"),
+            expr("n_distinct / n_tokens").as("ttr"),
+            expr("top_tok / n_tokens").as("top_token_frac"),
+            expr("hapax / n_distinct").as("hapax_frac"),
+            expr("len_sum / n_tokens").as("mean_word_len"),
+            expr("dup_tris / n_tris").as("dup_trigram_frac"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS sp FROM documents
+                 WHERE len(string_split(text, ' ')) >= 3),
+        toks AS (SELECT doc_id, unnest(sp) AS tok FROM d),
+        tc AS (SELECT doc_id, tok, COUNT(*) AS c FROM toks GROUP BY doc_id, tok),
+        pd AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens, COUNT(*) AS n_distinct,
+                      MAX(c) AS top_tok,
+                      CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax
+               FROM tc GROUP BY doc_id),
+        ls AS (SELECT doc_id, CAST(SUM(len(tok)) AS BIGINT) AS len_sum
+               FROM toks GROUP BY doc_id),
+        tgrams AS (SELECT doc_id,
+                     unnest(list_transform(range(len(sp) - 2),
+                       i -> sp[i+1] || ' ' || sp[i+2] || ' ' || sp[i+3])) AS tri
+                   FROM d),
+        trc AS (SELECT doc_id, tri, COUNT(*) AS c FROM tgrams GROUP BY doc_id, tri),
+        td AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tris,
+                      CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS dup_tris
+               FROM trc GROUP BY doc_id)
+        SELECT pd.doc_id, n_tokens,
+          n_distinct / n_tokens AS ttr,
+          top_tok / n_tokens AS top_token_frac,
+          hapax / n_distinct AS hapax_frac,
+          len_sum / n_tokens AS mean_word_len,
+          dup_tris / n_tris AS dup_trigram_frac
+        FROM pd JOIN ls USING (doc_id) JOIN td USING (doc_id)
+        ORDER BY pd.doc_id"""))
   )
 }

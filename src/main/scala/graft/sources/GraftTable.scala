@@ -168,11 +168,19 @@ object TableStats {
   }
 
   def write(fs: FileSystem, dataDir: Path, stats: Map[String, Long]): Unit = {
-    val p = new Path(dataDir, FileName)
-    val out = fs.create(p, true)
+    // write-temp-then-rename so a concurrent reader never sees a partial
+    // registry (rename is atomic on HDFS and local FS)
+    val tmp = new Path(dataDir, s".$FileName.tmp-${java.util.UUID.randomUUID()}")
+    val out = fs.create(tmp, true)
     try out.write(stats.toSeq.sorted.map { case (k, v) => s"$k\t$v" }
       .mkString("", "\n", "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
+    val dest = new Path(dataDir, FileName)
+    if (fs.exists(dest)) fs.delete(dest, false)
+    if (!fs.rename(tmp, dest)) {
+      fs.delete(tmp, false)
+      throw new java.io.IOException(s"graft: failed to publish $dest")
+    }
   }
 }
 
