@@ -70,4 +70,30 @@ object Multimodal {
       }
     }
   }
+
+  final case class Frame(
+      media_id: Long, frame_idx: Int, off: Long, flen: Long, fhash: String)
+
+  /** Uniform frame sampling over a video/audio payload: k evenly-spaced
+    * byte ranges per asset, each "decoded" to its md5 (stub for a real
+    * frame grab). flatMap keeps it one streaming pass — k output rows per
+    * asset, payloads never collected; a real deployment replaces the md5
+    * with a codec frame-extract at the same offsets. */
+  def sampleFrames(media: DataFrame, k: Int): Dataset[Frame] = {
+    import media.sparkSession.implicits._
+    media.as[MediaRow].mapPartitions { it =>
+      val md = MessageDigest.getInstance("MD5")
+      it.flatMap { m =>
+        val n = m.payload.length.toLong
+        (0 until k).iterator.filter(_ => n >= k).map { i =>
+          val off = n * i / k
+          val end = n * (i + 1) / k
+          md.reset()
+          md.update(m.payload, off.toInt, (end - off).toInt)
+          val hex = md.digest().map("%02x".format(_)).mkString
+          Frame(m.media_id, i, off, end - off, hex)
+        }
+      }
+    }
+  }
 }

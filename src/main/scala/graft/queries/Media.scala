@@ -44,6 +44,30 @@ object Media {
             CAST(length(text) AS BIGINT) AS n_bytes,
             md5(text) AS m
           FROM documents)
-        ORDER BY media_id"""))
+        ORDER BY media_id""")),
+
+    // ---- q62: frame sampling over media payloads -------------------------
+    // k=4 evenly-spaced byte ranges per asset, each hashed (stub frame
+    // decode). The oracle recomputes the ranges with character substrings
+    // (payloads are ASCII text bytes, so byte and char offsets agree) —
+    // proving offsets, lengths, and per-frame content all match.
+    QueryDef(
+      "q62_media_frames",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val media = Multimodal.mediaTable(t.documents)
+        Multimodal.sampleFrames(media, 4)
+          .select(col("media_id"), col("frame_idx").cast("long").as("frame_idx"),
+            col("off"), col("flen"), col("fhash"))
+          .orderBy(col("media_id"), col("frame_idx"))
+      },
+      Some("""WITH m AS (SELECT doc_id AS media_id, text,
+                    CAST(length(text) AS BIGINT) AS n FROM documents),
+        f AS (SELECT media_id, CAST(i AS BIGINT) AS frame_idx,
+                n * i // 4 AS off, n * (i + 1) // 4 - n * i // 4 AS flen, text, n
+              FROM m CROSS JOIN range(0, 4) r(i) WHERE n >= 4)
+        SELECT media_id, frame_idx, off, flen,
+          md5(substr(text, CAST(off + 1 AS INT), CAST(flen AS INT))) AS fhash
+        FROM f ORDER BY media_id, frame_idx"""))
   )
 }

@@ -9,7 +9,39 @@ import org.apache.spark.sql.functions._
   * the SQL entry point, and semi-structured JSON extraction. */
 object Relational2 {
 
+  /** Typed row for the q61 Dataset pipeline. */
+  final case class Doc(doc_id: Long, lang: String, source: String, n_chars: Long)
+
   val defs: Seq[QueryDef] = Seq(
+
+    // ---- q61: typed Dataset API (case-class Encoder + groupByKey) -------
+    // The Dataset[T] surface: case-class encoder, typed lambda filter,
+    // groupByKey on a tuple key, TypedColumn aggregates. (A lambda filter
+    // deliberately trades pushdown for compile-time types — the point of
+    // the typed API; keep scans declarative when types aren't needed.)
+    QueryDef(
+      "q61_typed_dataset",
+      (s, dir) => {
+        import s.implicits._
+        val t = Tables(s, dir)
+        val ds = t.documents
+          .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+          .as[Doc]
+        ds.filter((d: Doc) => d.n_chars >= 200 && d.lang != "de")
+          .groupByKey((d: Doc) => (d.lang, d.source))
+          .agg(
+            count(lit(1)).as[Long],
+            sum(col("n_chars")).as[Long],
+            max(col("doc_id")).as[Long])
+          .toDF("key", "n", "chars", "max_id")
+          .select(col("key._1").as("lang"), col("key._2").as("source"),
+            col("n"), col("chars"), col("max_id"))
+          .orderBy(col("lang"), col("source"))
+      },
+      Some("""SELECT lang, source, COUNT(*) AS n,
+        CAST(SUM(n_chars) AS BIGINT) AS chars, MAX(doc_id) AS max_id
+        FROM documents WHERE n_chars >= 200 AND lang <> 'de'
+        GROUP BY lang, source ORDER BY lang, source""")),
 
     // ---- q34: CUBE over two dimensions -----------------------------------
     QueryDef(
