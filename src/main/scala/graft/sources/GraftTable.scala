@@ -217,14 +217,32 @@ final class GraftScanBuilder(
 final class GraftScan(
     tableSchema: StructType,
     required: StructType,
-    pushed: Array[Filter],
+    pushed0: Array[Filter],
     dataDir: String,
     partitionCols: Seq[String])
     extends Scan with Batch with SupportsReportStatistics
-    with SupportsReportPartitioning {
+    with SupportsReportPartitioning with SupportsRuntimeFiltering {
+
+  /** Static pushed filters plus any runtime (DPP) filters added by
+    * [[filter]] before execution. */
+  private var pushed: Array[Filter] = pushed0
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+
+  // ---- runtime filtering (dynamic partition pruning) ---------------------
+  // Joins whose other side produces values for our partition columns hand
+  // those values here at runtime (e.g. an IN-list from a dimension-table
+  // build side); they participate in the same directory-level Kleene
+  // pruning as static filters, so a fact-table scan touches only the
+  // partitions the join can match — the DSv2 form of DPP.
+
+  override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    partitionCols.map(c =>
+      org.apache.spark.sql.connector.expressions.Expressions.column(c)).toArray
+
+  override def filter(filters: Array[Filter]): Unit =
+    if (filters.nonEmpty) { pushed = pushed0 ++ filters; invalidate() }
 
   /** Recursive partition-aware listing: `data/c1=v1/c2=v2/part.parquet`.
     * Directories whose encoded values make a pushed filter provably false
@@ -238,7 +256,15 @@ final class GraftScan(
     TableStats.read(dir.getFileSystem(new Configuration()), dir)
   }
 
-  private lazy val files: Seq[(String, Long, Seq[Any])] = {
+  private var filesCache: Seq[(String, Long, Seq[Any])] = _
+  private var groupsCache: Seq[(Seq[Any], Seq[(String, Long)])] = _
+  private var rowsCache: java.lang.Long = _
+
+  /** Invalidate listings computed before a runtime filter arrived. */
+  private def invalidate(): Unit = { filesCache = null; groupsCache = null; rowsCache = null }
+
+  private def files: Seq[(String, Long, Seq[Any])] = {
+    if (filesCache != null) return filesCache
     val conf = new Configuration()
     val root = new Path(dataDir)
     val fs = root.getFileSystem(conf)
@@ -268,8 +294,10 @@ final class GraftScan(
         }
       }
 
-    if (!fs.exists(root)) Seq.empty
-    else walk(root, partitionCols, Map.empty).sortBy(_._1)
+    filesCache =
+      if (!fs.exists(root)) Seq.empty
+      else walk(root, partitionCols, Map.empty).sortBy(_._1)
+    filesCache
   }
 
   /** Target split size: files larger than this are read as byte ranges
@@ -286,10 +314,13 @@ final class GraftScan(
     partitionCols.nonEmpty &&
       org.apache.spark.sql.internal.SQLConf.get.v2BucketingEnabled
 
-  private lazy val groups: Seq[(Seq[Any], Seq[(String, Long)])] =
-    files.groupBy(_._3).toSeq
-      .map { case (vs, fs0) => (vs, fs0.map(f => (f._1, f._2))) }
-      .sortBy(_._1.map(String.valueOf(_)).mkString("/"))
+  private def groups: Seq[(Seq[Any], Seq[(String, Long)])] = {
+    if (groupsCache == null)
+      groupsCache = files.groupBy(_._3).toSeq
+        .map { case (vs, fs0) => (vs, fs0.map(f => (f._1, f._2))) }
+        .sortBy(_._1.map(String.valueOf(_)).mkString("/"))
+    groupsCache
+  }
 
   override def planInputPartitions(): Array[InputPartition] =
     if (keyGrouped) {
@@ -346,9 +377,10 @@ final class GraftScan(
     * cache (e.g. written out-of-band via ParquetRowIO) fall back to a
     * footer read, counted in [[GraftScan.footerReads]] so tests can
     * assert the warm path never touches a footer. */
-  private lazy val exactRows: Long = {
+  private def exactRows: Long = {
+    if (rowsCache != null) return rowsCache
     val conf = new Configuration()
-    files.map { case (path, _, _) =>
+    rowsCache = files.map { case (path, _, _) =>
       cachedStats.get(TableStats.relOf(path)).getOrElse {
         GraftScan.footerReads.incrementAndGet()
         val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(new Path(path), conf)
@@ -356,6 +388,7 @@ final class GraftScan(
         try r.getRecordCount finally r.close()
       }
     }.sum
+    rowsCache
   }
 
   override def estimateStatistics(): Statistics = new Statistics {

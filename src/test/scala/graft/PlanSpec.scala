@@ -103,6 +103,34 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(all.count() == 500)
   }
 
+  test("graft source: runtime filters (DPP) re-prune partitions after planning") {
+    import org.apache.spark.sql.sources.In
+    val cat = spark.sessionState.catalogManager.catalog("gpart")
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
+    val t = cat.loadTable(org.apache.spark.sql.connector.catalog.Identifier.of(Array("t"), "docs"))
+    val scan = t.asInstanceOf[graft.sources.GraftTable]
+      .newScanBuilder(new org.apache.spark.sql.util.CaseInsensitiveStringMap(java.util.Map.of()))
+      .build().asInstanceOf[graft.sources.GraftScan]
+    assert(scan.filterAttributes().map(_.describe()).toSeq == Seq("lang"))
+    // force the listing BEFORE the runtime filter arrives (planning-time
+    // stats do this) — filter() must invalidate and re-prune
+    val before = scan.toBatch.planInputPartitions().length
+    scan.filter(Array[org.apache.spark.sql.sources.Filter](In("lang", Array("en"))))
+    val after = scan.toBatch.planInputPartitions().length
+    assert(after < before, s"runtime filter must prune: before=$before after=$after")
+
+    // end-to-end: joining through a filtered dim prunes via DPP and the
+    // values stay correct
+    val dim = spark.sql("SELECT DISTINCT lang FROM gpart.t.docs WHERE lang IN ('en','de')")
+    dim.createOrReplaceTempView("langs_dim")
+    val joined = spark.sql(
+      "SELECT count(*) FROM gpart.t.docs d JOIN langs_dim l ON d.lang = l.lang")
+    val want = spark.sql(
+      s"SELECT count(*) FROM parquet.`$dir/documents.parquet` WHERE lang IN ('en','de')")
+      .head().getLong(0)
+    assert(joined.head().getLong(0) == want)
+  }
+
   test("graft source: primitive-schema scans are columnar (vectorized)") {
     // gpart.t.docs exists from the pruning test above (all-primitive schema)
     val df = spark.sql("SELECT doc_id, n_chars FROM gpart.t.docs WHERE n_chars > 100")
