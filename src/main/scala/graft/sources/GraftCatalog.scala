@@ -150,6 +150,18 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
         schema = StructType(schema.fields :+
           org.apache.spark.sql.types.StructField(
             add.fieldNames()(0), add.dataType(), nullable = true))
+      case del: TableChange.DeleteColumn if del.fieldNames().length == 1 =>
+        // metadata-only drop: the column simply stops being requested;
+        // bytes in existing files become dead and are compacted away on
+        // the next rewrite of each file
+        val name = del.fieldNames()(0)
+        val partCols0 = table.partitioning().toSeq
+          .map(_.references()(0).fieldNames().mkString("."))
+        require(schema.fieldNames.contains(name), s"no such column $name")
+        require(!partCols0.contains(name), s"cannot drop partition column $name")
+        require(name != graft.functions.ColumnNames.RowKey,
+          "cannot drop the row_key column")
+        schema = StructType(schema.fields.filterNot(_.name == name))
       case other =>
         throw new UnsupportedOperationException(s"graft catalog: unsupported change $other")
     }

@@ -225,6 +225,35 @@ class GraftCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.sql("DROP TABLE graft.pw.stats_t")
   }
 
+  test("ALTER TABLE DROP COLUMN: column disappears, data remains readable") {
+    spark.sql("CREATE TABLE graft.pw.dropc (id BIGINT, a STRING, b DOUBLE)")
+    spark.sql("INSERT INTO graft.pw.dropc VALUES (1,'x',1.5),(2,'y',2.5)")
+    spark.sql("ALTER TABLE graft.pw.dropc DROP COLUMN a")
+    assert(spark.table("graft.pw.dropc").columns.toSeq == Seq("id", "b"))
+    assert(spark.sql("SELECT id, b FROM graft.pw.dropc ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      == Seq((1L, 1.5), (2L, 2.5)))
+    // dropped column is gone for good
+    intercept[Exception](spark.sql("SELECT a FROM graft.pw.dropc").collect())
+    spark.sql("DROP TABLE graft.pw.dropc")
+  }
+
+  test("partition values with special characters round-trip") {
+    spark.sql("CREATE TABLE graft.pw.specials (id BIGINT, k STRING) PARTITIONED BY (k)")
+    spark.sql(
+      """INSERT INTO graft.pw.specials VALUES
+        |(1, 'a b'), (2, 'x=y'), (3, 'p/q'), (4, '100%'), (5, 'näive')""".stripMargin)
+    assert(spark.table("graft.pw.specials").count() == 5)
+    for ((v, id) <- Seq(("a b", 1L), ("x=y", 2L), ("p/q", 3L), ("100%", 4L), ("näive", 5L))) {
+      val got = spark.sql(s"SELECT id FROM graft.pw.specials WHERE k = '${v.replace("'", "''")}'")
+        .collect().map(_.getLong(0)).toSeq
+      assert(got == Seq(id), s"value '$v': got $got")
+    }
+    spark.sql("DELETE FROM graft.pw.specials WHERE k = 'x=y'")
+    assert(spark.table("graft.pw.specials").count() == 4)
+    spark.sql("DROP TABLE graft.pw.specials")
+  }
+
   test("CTAS is atomic: a failed CTAS leaves no table behind") {
     // failure injected mid-query: raise_error fires while writing rows
     intercept[Exception](spark.sql(
