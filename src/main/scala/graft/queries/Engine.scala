@@ -147,6 +147,35 @@ object Engine {
       Some("""SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
         CAST(SUM(n_chars) AS BIGINT) AS chars
         FROM documents WHERE lang NOT IN ('de', 'fr')
+        GROUP BY lang ORDER BY lang""")),
+
+    // ---- q63: row-level DELETE + UPDATE (copy-on-write) round-trip -------
+    // Non-partition predicates go through SupportsRowLevelOperations:
+    // runtime group filtering finds the files containing matching rows
+    // and ONLY those are rewritten (untouched files survive byte-for-
+    // byte). The oracle replays the same mutations relationally.
+    QueryDef(
+      "q63_row_level_mutations",
+      (s, dir) => {
+        val ns = ensureCatalog(s, dir)
+        s.sql(s"DROP TABLE IF EXISTS $ns.rl")
+        s.sql(
+          s"""CREATE TABLE $ns.rl (doc_id BIGINT, n_chars BIGINT, lang STRING)
+             |PARTITIONED BY (lang)""".stripMargin)
+        s.sql(s"""INSERT INTO $ns.rl
+                 |SELECT doc_id, n_chars, lang FROM parquet.`$dir/documents.parquet`""".stripMargin)
+        s.sql(s"DELETE FROM $ns.rl WHERE doc_id % 97 = 3")           // row-level COW
+        s.sql(s"UPDATE $ns.rl SET n_chars = n_chars + 7 WHERE doc_id % 50 = 1")
+        s.sql(
+          s"""SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
+             |       CAST(SUM(n_chars) AS BIGINT) AS chars,
+             |       CAST(SUM(doc_id) AS BIGINT) AS id_sum
+             |FROM $ns.rl GROUP BY lang ORDER BY lang""".stripMargin)
+      },
+      Some("""SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(SUM(CASE WHEN doc_id % 50 = 1 THEN n_chars + 7 ELSE n_chars END) AS BIGINT) AS chars,
+        CAST(SUM(doc_id) AS BIGINT) AS id_sum
+        FROM documents WHERE doc_id % 97 <> 3
         GROUP BY lang ORDER BY lang"""))
   )
 }

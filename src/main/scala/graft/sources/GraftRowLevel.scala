@@ -1,0 +1,120 @@
+package graft.sources
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.connector.read.ScanBuilder
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** Group-based copy-on-write row-level operations (DELETE / UPDATE / MERGE
+  * INTO) for graft tables — the path taken when a DELETE cannot be
+  * satisfied partition-wise (Spark's `OptimizeMetadataOnlyDeleteFromTable`
+  * still turns pure partition deletes into the metadata-only fast path).
+  *
+  * Protocol: Spark plans a `ReplaceData` over this operation's scan. With
+  * runtime group filtering, a first pass finds the DISTINCT `_file`s
+  * containing matching rows and hands them to the rewrite scan as an
+  * IN-filter ([[GraftScan.filter]]), which notifies this operation; the
+  * rewrite then reads ONLY those files, the plan drops/updates the
+  * matching rows, and the write lands the surviving rows in new files.
+  * Commit atomically swaps: affected files deleted, new files registered
+  * in the stats cache. Untouched files are never rewritten — at 100 TB a
+  * delete of one user's rows costs the few files that contain them, not a
+  * table rewrite.
+  */
+final class GraftRowLevelOperation(
+    table: GraftTable,
+    cmd: RowLevelOperation.Command)
+    extends RowLevelOperation {
+
+  /** Files the rewrite covers: the runtime group filter when one arrived,
+    * else every file the (unfiltered) rewrite scan planned. */
+  @volatile private var groupFilter: Option[Set[String]] = None
+  @volatile private var plannedFiles: Seq[String] = Nil
+
+  private[sources] def onGroupFilter(files: Set[String]): Unit =
+    groupFilter = Some(files)
+
+  private[sources] def onScanPlanned(files: Seq[String]): Unit =
+    // called for both the group-discovery scan and the rewrite scan; the
+    // rewrite scan plans LAST (after the group filter narrowed it), so
+    // keeping the most recent plan is correct in both modes
+    plannedFiles = files
+
+  private[sources] def affectedFiles: Set[String] =
+    groupFilter.getOrElse(plannedFiles.toSet)
+
+  override def command(): RowLevelOperation.Command = cmd
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftScanBuilder(table.schema0, table.dataDir,
+      table.partitioning().toSeq.map(_.references()(0).fieldNames().mkString(".")),
+      tracker = Some(this))
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder {
+      override def build(): Write = new Write {
+        override def toBatch: BatchWrite = new GraftReplaceDataWrite(
+          table.schema0, table.properties(), table.dataDir,
+          table.partitioning().toSeq.map(_.references()(0).fieldNames().mkString(".")),
+          GraftRowLevelOperation.this)
+      }
+    }
+
+  override def requiredMetadataAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array(org.apache.spark.sql.connector.expressions.Expressions.column(
+      GraftTable.FileColumnName))
+
+  override def description(): String = s"GraftRowLevelOperation($cmd)"
+}
+
+/** Replaces the operation's affected files with the rewritten rows. */
+final class GraftReplaceDataWrite(
+    schema: org.apache.spark.sql.types.StructType,
+    props: java.util.Map[String, String],
+    dataDir: String,
+    partitionCols: Seq[String],
+    op: GraftRowLevelOperation)
+    extends BatchWrite {
+
+  import scala.jdk.CollectionConverters._
+
+  private val writeId = java.util.UUID.randomUUID().toString
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    new GraftWriterFactory(schema, props.asScala.toMap, dataDir, partitionCols, writeId)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val conf = new Configuration()
+    val dir = new Path(dataDir)
+    val fs = dir.getFileSystem(conf)
+    val committed: Map[String, Long] = messages.collect {
+      case m: GraftCommitMessage => m.files
+    }.flatten.toMap
+    val committedNames = committed.keysIterator.map(_.split('/').last).toSet
+    // drop files from failed/speculative attempts of THIS write
+    val it = fs.listFiles(dir, true)
+    val toCheck = scala.collection.mutable.ArrayBuffer[Path]()
+    while (it.hasNext) toCheck += it.next().getPath
+    toCheck.foreach { p =>
+      if (p.getName.contains(writeId) && !committedNames.contains(p.getName))
+        fs.delete(p, false)
+    }
+    // swap: remove the rewritten groups, register the replacements
+    val affected = op.affectedFiles
+    affected.foreach(p => fs.delete(new Path(p), false))
+    val affectedRels = affected.map(TableStats.relOf)
+    val base = TableStats.read(fs, dir) -- affectedRels
+    TableStats.write(fs, dir, base ++ committed)
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val conf = new Configuration()
+    val dir = new Path(dataDir)
+    val fs = dir.getFileSystem(conf)
+    val it = fs.listFiles(dir, true)
+    val paths = scala.collection.mutable.ArrayBuffer[Path]()
+    while (it.hasNext) paths += it.next().getPath
+    paths.foreach(p => if (p.getName.contains(writeId)) fs.delete(p, false))
+  }
+}

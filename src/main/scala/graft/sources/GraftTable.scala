@@ -34,7 +34,15 @@ final class GraftTable(
     props: Map[String, String],
     tableDir: String,
     partitionCols: Seq[String] = Nil)
-    extends Table with SupportsRead with SupportsWrite with SupportsDelete {
+    extends Table with SupportsRead with SupportsWrite with SupportsDelete
+    with SupportsMetadataColumns with SupportsRowLevelOperations {
+
+  override def metadataColumns(): Array[MetadataColumn] = Array(GraftTable.FileColumn)
+
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
+    () => new GraftRowLevelOperation(this, info.command())
 
   override def name(): String = ident
   override def schema(): StructType = schema0
@@ -133,6 +141,19 @@ final class GraftTable(
     new GraftWriteBuilder(schema0, props, dataDir, partitionCols, info)
 }
 
+object GraftTable {
+  /** `_file` metadata column: full path of the file a row came from (the
+    * group identity for copy-on-write row-level operations, and useful
+    * for debugging — same convention as the built-in file sources). */
+  val FileColumnName = "_file"
+  object FileColumn extends MetadataColumn {
+    override def name(): String = FileColumnName
+    override def dataType(): org.apache.spark.sql.types.DataType = StringType
+    override def isNullable: Boolean = false
+    override def comment(): String = "path of the file this row belongs to"
+  }
+}
+
 /** Per-file row counts cached in `<data>/_stats.tsv` (one `relPath\trows`
   * line per live file), written at every successful commit from the
   * writers' own counts. Scans read ONE small side file instead of opening
@@ -187,18 +208,22 @@ object TableStats {
 // ---------------------------------------------------------------- read ----
 
 final class GraftScanBuilder(
-    tableSchema: StructType, dataDir: String, partitionCols: Seq[String])
+    tableSchema: StructType, dataDir: String, partitionCols: Seq[String],
+    tracker: Option[GraftRowLevelOperation] = None)
     extends ScanBuilder
     with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters {
 
   private var required: StructType = tableSchema
+  private var wantFile: Boolean = false
   private var pushed: Array[Filter] = Array.empty
 
-  override def pruneColumns(requiredSchema: StructType): Unit =
+  override def pruneColumns(requiredSchema: StructType): Unit = {
     // preserve table column order; an empty projection (count(*)) is legal
     required = StructType(tableSchema.fields.filter(f =>
       requiredSchema.fieldNames.contains(f.name)))
+    wantFile = requiredSchema.fieldNames.contains(GraftTable.FileColumnName)
+  }
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     pushed = filters.filter(f => FilterTranslate.translate(tableSchema, f).isDefined)
@@ -211,7 +236,8 @@ final class GraftScanBuilder(
   override def pushedFilters(): Array[Filter] = pushed
 
   override def build(): Scan =
-    new GraftScan(tableSchema, required, pushed, dataDir, partitionCols)
+    new GraftScan(tableSchema, required, pushed, dataDir, partitionCols,
+      wantFile, tracker)
 }
 
 final class GraftScan(
@@ -219,15 +245,23 @@ final class GraftScan(
     required: StructType,
     pushed0: Array[Filter],
     dataDir: String,
-    partitionCols: Seq[String])
+    partitionCols: Seq[String],
+    wantFile: Boolean = false,
+    tracker: Option[GraftRowLevelOperation] = None)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsReportPartitioning with SupportsRuntimeFiltering {
 
   /** Static pushed filters plus any runtime (DPP) filters added by
     * [[filter]] before execution. */
   private var pushed: Array[Filter] = pushed0
+  /** Runtime group filter: when set, only these exact files are scanned. */
+  private var allowedFiles: Option[Set[String]] = None
 
-  override def readSchema(): StructType = required
+  override def readSchema(): StructType =
+    if (wantFile)
+      StructType(required.fields :+ org.apache.spark.sql.types.StructField(
+        GraftTable.FileColumnName, StringType, nullable = false))
+    else required
   override def toBatch: Batch = this
 
   // ---- runtime filtering (dynamic partition pruning) ---------------------
@@ -237,12 +271,43 @@ final class GraftScan(
   // pruning as static filters, so a fact-table scan touches only the
   // partitions the join can match — the DSv2 form of DPP.
 
-  override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
-    partitionCols.map(c =>
+  override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] = {
+    // Row-level rewrite scans advertise ONLY `_file`: the group filter
+    // then arrives as a single-column IN (convertible to a v1 filter);
+    // a multi-attribute key would come back as a struct IN that cannot
+    // be expressed as a v1 filter and would be dropped. `_file` subsumes
+    // partition pruning for those scans. Normal scans advertise the
+    // partition columns (plus `_file` when explicitly projected) —
+    // Spark's dynamic pruning errors on advertised attributes absent
+    // from the relation output.
+    // ... and never an attribute this scan does not OUTPUT: column
+    // pruning may have dropped a partition column, and advertising it
+    // anyway makes Spark's PartitionPruning rule fail analysis for any
+    // join over the pruned scan.
+    val projected = partitionCols.filter(c => required.fieldNames.contains(c))
+    val cols =
+      if (tracker.isDefined) Seq(GraftTable.FileColumnName)
+      else if (wantFile) projected :+ GraftTable.FileColumnName
+      else projected
+    cols.map(c =>
       org.apache.spark.sql.connector.expressions.Expressions.column(c)).toArray
+  }
 
-  override def filter(filters: Array[Filter]): Unit =
-    if (filters.nonEmpty) { pushed = pushed0 ++ filters; invalidate() }
+  override def filter(filters: Array[Filter]): Unit = if (filters.nonEmpty) {
+    import org.apache.spark.sql.sources.{EqualTo, In}
+    val (fileFs, rest) = filters.partition(_.references.contains(GraftTable.FileColumnName))
+    if (fileFs.nonEmpty) {
+      val paths = fileFs.flatMap {
+        case In(_, vs) => vs.map(String.valueOf(_))
+        case EqualTo(_, v) => Array(String.valueOf(v))
+        case _ => Array.empty[String]
+      }.toSet
+      allowedFiles = Some(allowedFiles.fold(paths)(_ intersect paths))
+      tracker.foreach(_.onGroupFilter(allowedFiles.get))
+    }
+    if (rest.nonEmpty) pushed = pushed ++ rest
+    invalidate()
+  }
 
   /** Recursive partition-aware listing: `data/c1=v1/c2=v2/part.parquet`.
     * Directories whose encoded values make a pushed filter provably false
@@ -296,7 +361,10 @@ final class GraftScan(
 
     filesCache =
       if (!fs.exists(root)) Seq.empty
-      else walk(root, partitionCols, Map.empty).sortBy(_._1)
+      else {
+        val all = walk(root, partitionCols, Map.empty).sortBy(_._1)
+        allowedFiles.fold(all)(ok => all.filter(f => ok.contains(f._1)))
+      }
     filesCache
   }
 
@@ -322,7 +390,8 @@ final class GraftScan(
     groupsCache
   }
 
-  override def planInputPartitions(): Array[InputPartition] =
+  override def planInputPartitions(): Array[InputPartition] = {
+    tracker.foreach(_.onScanPlanned(files.map(_._1)))
     if (keyGrouped) {
       groups.map { case (values, paths) =>
         val key = org.apache.spark.sql.catalyst.InternalRow.fromSeq(
@@ -339,6 +408,7 @@ final class GraftScan(
           GraftInputPartition(path, start, math.min(start + splitBytes, len)))
       }.toArray
     }
+  }
 
   override def outputPartitioning(): org.apache.spark.sql.connector.read.partitioning.Partitioning =
     if (keyGrouped)
@@ -357,6 +427,7 @@ final class GraftScan(
     * requires all partitions of one scan to agree on batch-vs-row. */
   private def columnarOK: Boolean = {
     import org.apache.spark.sql.types._
+    !wantFile &&
     org.apache.spark.sql.internal.SQLConf.get
       .getConfString("spark.graft.columnar.enabled", "true") == "true" &&
     required.fields.nonEmpty &&
@@ -368,7 +439,13 @@ final class GraftScan(
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new GraftReaderFactory(required, pushed, columnarOK)
+    // Group-based row-level rewrites (tracker present) must read EVERY
+    // surviving row of the files they cover: pushed filters there select
+    // which FILES to rewrite (partition pruning), never which rows to
+    // decode — a record-level parquet filter would drop rows the rewrite
+    // has to carry over.
+    new GraftReaderFactory(required,
+      if (tracker.isDefined) Array.empty else pushed, columnarOK, wantFile)
 
   /** Exact row count for the (pruned) file set. Preferred source is the
     * `_stats.tsv` cache written at every commit — ONE small read per
@@ -417,7 +494,8 @@ final case class GraftPartitionGroup(files: Seq[(String, Long)], key: InternalRo
 }
 
 final class GraftReaderFactory(
-    required: StructType, pushed: Array[Filter], columnar: Boolean)
+    required: StructType, pushed: Array[Filter], columnar: Boolean,
+    wantFile: Boolean = false)
     extends PartitionReaderFactory {
 
   private def predicate = pushed
@@ -444,12 +522,16 @@ final class GraftReaderFactory(
     new PartitionReader[InternalRow] {
       private var reader: org.apache.parquet.hadoop.ParquetReader[InternalRow] = _
       private var current: InternalRow = _
+      // single-field suffix row holding the current file's path (_file)
+      private val fileRow = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(1)
+      private val joined = new org.apache.spark.sql.catalyst.expressions.JoinedRow
       override def next(): Boolean = {
         while (true) {
           if (reader == null) {
             if (remaining.isEmpty) return false
             val (p, s, e) = remaining.dequeue()
             reader = openFile(p, s, e)
+            if (wantFile) fileRow.update(0, UTF8String.fromString(p))
           }
           current = reader.read()
           if (current != null) return true
@@ -457,7 +539,8 @@ final class GraftReaderFactory(
         }
         false
       }
-      override def get(): InternalRow = current
+      override def get(): InternalRow =
+        if (wantFile) joined.apply(current, fileRow) else current
       override def close(): Unit = if (reader != null) reader.close()
     }
   }

@@ -163,13 +163,64 @@ class GraftCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     // IN-list over partition values works too
     spark.sql("DELETE FROM graft.pw.part_del WHERE grp IN ('b')")
     assert(spark.table("graft.pw.part_del").count() == 1)
-    // non-partition predicate → rejected, data intact
-    intercept[Exception](spark.sql("DELETE FROM graft.pw.part_del WHERE id = 4"))
-    assert(spark.table("graft.pw.part_del").count() == 1)
+    // non-partition predicate → row-level copy-on-write delete
+    spark.sql("DELETE FROM graft.pw.part_del WHERE id = 4")
+    assert(spark.table("graft.pw.part_del").count() == 0)
+    spark.sql("INSERT INTO graft.pw.part_del VALUES (7, 'z')")
     // TRUNCATE (delete all) via AlwaysTrue
     spark.sql("DELETE FROM graft.pw.part_del")
     assert(spark.table("graft.pw.part_del").count() == 0)
     spark.sql("DROP TABLE graft.pw.part_del")
+  }
+
+  test("row-level DELETE/UPDATE/MERGE rewrite only the affected files") {
+    spark.sql("CREATE TABLE graft.pw.cow (id BIGINT, grp STRING, v DOUBLE) PARTITIONED BY (grp)")
+    spark.sql(
+      """INSERT INTO graft.pw.cow
+        |SELECT id, CASE WHEN id % 2 = 0 THEN 'a' ELSE 'b' END, id * 1.0
+        |FROM range(100)""".stripMargin)
+    def files(): Set[String] = {
+      def walk(d: java.io.File): Seq[java.io.File] =
+        d.listFiles().toSeq.flatMap(f => if (f.isDirectory) walk(f) else Seq(f))
+      walk(new java.io.File(s"$warehouse/pw/cow/data"))
+        .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath).toSet
+    }
+    val before = files()
+
+    // DELETE on a non-partition predicate: copy-on-write, group-filtered
+    spark.sql("DELETE FROM graft.pw.cow WHERE id = 4")
+    assert(spark.table("graft.pw.cow").count() == 99)
+    assert(spark.sql("SELECT * FROM graft.pw.cow WHERE id = 4").count() == 0)
+    val afterDelete = files()
+    // only the file(s) containing id=4 were replaced
+    assert((before -- afterDelete).nonEmpty, "affected file must be replaced")
+    assert((before intersect afterDelete).nonEmpty,
+      "untouched files must survive a group-filtered delete")
+
+    // UPDATE
+    spark.sql("UPDATE graft.pw.cow SET v = v + 1000 WHERE id < 10")
+    // sum(v) after delete = 4950 - 4 = 4946; +1000 for each of the 9
+    // remaining ids below 10 (4 was deleted)
+    assert(spark.sql("SELECT CAST(SUM(v) AS BIGINT) s FROM graft.pw.cow")
+      .head().getLong(0) == 4946L + 9 * 1000L)
+
+    // MERGE INTO from another graft table (both sides expose _file)
+    spark.sql("CREATE TABLE graft.pw.cow_src (id BIGINT, grp STRING, v DOUBLE)")
+    spark.sql("INSERT INTO graft.pw.cow_src VALUES (2, 'a', -1.0), (200, 'a', 5.0)")
+    spark.sql(
+      """MERGE INTO graft.pw.cow t USING graft.pw.cow_src s ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET v = s.v
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    assert(spark.table("graft.pw.cow").count() == 100) // 99 + inserted 200
+    assert(spark.sql("SELECT v FROM graft.pw.cow WHERE id = 2").head().getDouble(0) == -1.0)
+    assert(spark.sql("SELECT * FROM graft.pw.cow WHERE id = 200").count() == 1)
+
+    // _file metadata column is selectable and rows map to real files
+    val fileVals = spark.sql("SELECT DISTINCT _file FROM graft.pw.cow")
+      .collect().map(_.getString(0)).toSet
+    assert(fileVals.nonEmpty && fileVals.forall(_.endsWith(".parquet")))
+    spark.sql("DROP TABLE graft.pw.cow")
+    spark.sql("DROP TABLE graft.pw.cow_src")
   }
 
   test("date-partitioned table: insert, prune, and DELETE round-trip") {
