@@ -1,0 +1,87 @@
+package graft.sources
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
+
+/** Small-file compaction for graft tables — the OPTIMIZE analog. Append
+  * and streaming workloads accrete many small part files (one per task per
+  * epoch); at 100 TB that multiplies scan planning, open costs, and
+  * shuffle-read fan-in. Compaction rewrites each partition's small files
+  * into consolidated ones and swaps them in:
+  *
+  *  1. pick, per partition directory, the files below `smallBytes`
+  *     (only when there are at least two — compacting one file is a no-op);
+  *  2. one distributed job reads those files (null-filling columns added
+  *     since they were written) and writes consolidated files through the
+  *     normal partitioned write path;
+  *  3. swap: delete the originals, register the replacements in the stats
+  *     cache. Readers between steps 2 and 3 see the table briefly
+  *     duplicated, never truncated; a crash before step 3 leaves only
+  *     unregistered extra files that the next compaction run reclaims
+  *     (single-writer maintenance op, same assumption as the write path).
+  */
+object Compaction {
+
+  /** @return (filesBefore, filesAfter) across the compacted partitions */
+  def compact(
+      spark: SparkSession,
+      table: GraftTable,
+      smallBytes: Long = 32L * 1024 * 1024): (Int, Int) = {
+    val conf = new Configuration()
+    val dataDir = new Path(table.dataDir)
+    val fs = dataDir.getFileSystem(conf)
+    if (!fs.exists(dataDir)) return (0, 0)
+
+    // group data files by their partition directory
+    val it = fs.listFiles(dataDir, true)
+    val byDir = scala.collection.mutable.Map[String, Vector[(String, Long)]]()
+    while (it.hasNext) {
+      val st = it.next()
+      if (st.isFile && st.getPath.getName.endsWith(".parquet")) {
+        val dir = st.getPath.getParent.toString
+        byDir(dir) = byDir.getOrElse(dir, Vector.empty) :+
+          (st.getPath.toString, st.getLen)
+      }
+    }
+    val groups = byDir.values.toSeq
+      .map(_.filter(_._2 < smallBytes))
+      .filter(_.size >= 2)
+    if (groups.isEmpty) return (0, 0)
+    val victims = groups.flatten.map(_._1)
+
+    // distributed rewrite: read the victims (schema of the TABLE, so
+    // columns added after the files were written null-fill), write
+    // consolidated files through the normal partitioned writer
+    val schema = table.schema0
+    val partitionCols = table.partitioning().toSeq
+      .map(_.references()(0).fieldNames().mkString("."))
+    val df = spark.read.schema(schema).parquet(victims: _*)
+      .select(schema.fieldNames.map(col): _*)
+      .coalesce(math.max(1, groups.size))
+    val dataDirStr = table.dataDir
+    val props = {
+      import scala.jdk.CollectionConverters._
+      table.properties().asScala.toMap
+    }
+    val writeId = s"compact-${java.util.UUID.randomUUID()}"
+    val written: Array[(String, Long)] = df.queryExecution.toRdd
+      .mapPartitionsWithIndex { (pid, rows) =>
+        val w = GraftWriterFactory.newWriter(
+          schema, props, dataDirStr, partitionCols, writeId, pid, taskId = 0L)
+        rows.foreach(w.write)
+        w.commit() match {
+          case GraftCommitMessage(files) => files.iterator
+          case _ => Iterator.empty
+        }
+      }.collect()
+
+    // swap: remove the originals, re-point the stats registry
+    victims.foreach(p => fs.delete(new Path(p), false))
+    val victimRels = victims.map(TableStats.relOf).toSet
+    val base = TableStats.read(fs, dataDir) -- victimRels
+    TableStats.write(fs, dataDir, base ++ written)
+    (victims.size, written.length)
+  }
+}

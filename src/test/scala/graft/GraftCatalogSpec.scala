@@ -390,6 +390,43 @@ class GraftCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.sql("DROP TABLE graft.pw.vt")
   }
 
+  test("compaction merges small files per partition and keeps data + stats exact") {
+    spark.sql("CREATE TABLE graft.pw.cmp (id BIGINT, grp STRING) PARTITIONED BY (grp)")
+    for (i <- 0 until 4)
+      spark.sql(s"INSERT INTO graft.pw.cmp SELECT id + ${i * 10}, " +
+        s"CASE WHEN id % 2 = 0 THEN 'a' ELSE 'b' END FROM range(10)")
+    def parquetFiles(): Seq[java.io.File] = {
+      def walk(d: java.io.File): Seq[java.io.File] =
+        d.listFiles().toSeq.flatMap(f => if (f.isDirectory) walk(f) else Seq(f))
+      walk(new java.io.File(s"$warehouse/pw/cmp/data")).filter(_.getName.endsWith(".parquet"))
+    }
+    val before = parquetFiles().size
+    assert(before >= 8, s"expected many small files, got $before")
+    val want = spark.table("graft.pw.cmp").collect().map(_.getLong(0)).sorted.toSeq
+
+    val t = spark.sessionState.catalogManager.catalog("graft")
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
+      .loadTable(org.apache.spark.sql.connector.catalog.Identifier.of(Array("pw"), "cmp"))
+      .asInstanceOf[graft.sources.GraftTable]
+    val (removed, written) = graft.sources.Compaction.compact(spark, t)
+    assert(removed == before && written < before,
+      s"compacted $removed -> $written (before=$before)")
+    assert(parquetFiles().size == written)
+    // identical data, still partitioned on disk
+    assert(spark.table("graft.pw.cmp").collect().map(_.getLong(0)).sorted.toSeq == want)
+    assert(spark.sql("SELECT id FROM graft.pw.cmp WHERE grp = 'a'").count() == 20)
+    // stats registry re-pointed: exact rows, no footer reads
+    graft.sources.GraftScan.footerReads.set(0)
+    val scan = t.newScanBuilder(
+      new org.apache.spark.sql.util.CaseInsensitiveStringMap(java.util.Map.of()))
+      .build().asInstanceOf[graft.sources.GraftScan]
+    assert(scan.estimateStatistics().numRows().getAsLong == 40L)
+    assert(graft.sources.GraftScan.footerReads.get() == 0L)
+    // idempotent: second run finds nothing to do
+    assert(graft.sources.Compaction.compact(spark, t, smallBytes = 10) == ((0, 0)))
+    spark.sql("DROP TABLE graft.pw.cmp")
+  }
+
   test("rename and drop") {
     spark.sql("ALTER TABLE graft.pw.test_big RENAME TO graft.pw.test_big2")
     assert(spark.table("graft.pw.test_big2").count() == 1)
