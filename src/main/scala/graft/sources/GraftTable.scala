@@ -212,11 +212,35 @@ final class GraftScanBuilder(
     tracker: Option[GraftRowLevelOperation] = None)
     extends ScanBuilder
     with SupportsPushDownRequiredColumns
-    with SupportsPushDownFilters {
+    with SupportsPushDownFilters
+    with SupportsPushDownAggregates {
 
   private var required: StructType = tableSchema
   private var wantFile: Boolean = false
   private var pushed: Array[Filter] = Array.empty
+  private var countStar: Boolean = false
+
+  /** COUNT(*) with no filters and no GROUP BY is answered from the
+    * commit-time stats registry — zero data read, O(1) regardless of
+    * table size. (Filters force the normal path: every graft filter is
+    * residual by design, and Spark only offers aggregate pushdown when
+    * no post-scan filters remain — so this fires exactly when safe.) */
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+    canPush(agg)
+
+  private def canPush(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+    tracker.isEmpty && pushed.isEmpty &&
+      agg.groupByExpressions().isEmpty &&
+      agg.aggregateExpressions().length == 1 &&
+      agg.aggregateExpressions()(0)
+        .isInstanceOf[org.apache.spark.sql.connector.expressions.aggregate.CountStar]
+
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
+    if (canPush(agg)) { countStar = true; true } else false
+  }
 
   override def pruneColumns(requiredSchema: StructType): Unit = {
     // preserve table column order; an empty projection (count(*)) is legal
@@ -236,7 +260,8 @@ final class GraftScanBuilder(
   override def pushedFilters(): Array[Filter] = pushed
 
   override def build(): Scan =
-    new GraftScan(tableSchema, required, pushed, dataDir, partitionCols,
+    if (countStar) new GraftCountStarScan(dataDir)
+    else new GraftScan(tableSchema, required, pushed, dataDir, partitionCols,
       wantFile, tracker)
 }
 
@@ -477,6 +502,61 @@ final class GraftScan(
     s"GraftScan[$dataDir, cols=${required.fieldNames.mkString(",")}, " +
       s"pushed=${pushed.mkString(",")}, partCols=${partitionCols.mkString(",")}]"
 }
+
+/** Complete COUNT(*) pushdown: one row, straight from the stats cache
+  * (footer fallback only for out-of-band files). */
+final class GraftCountStarScan(dataDir: String) extends Scan with Batch {
+  override def readSchema(): StructType = StructType(Seq(
+    org.apache.spark.sql.types.StructField("count", org.apache.spark.sql.types.LongType,
+      nullable = false)))
+  override def toBatch: Batch = this
+  override def description(): String = s"GraftCountStarScan[$dataDir]"
+
+  private def totalRows: Long = {
+    val conf = new Configuration()
+    val root = new Path(dataDir)
+    val fs = root.getFileSystem(conf)
+    if (!fs.exists(root)) return 0L
+    val cached = TableStats.read(fs, root)
+    val it = fs.listFiles(root, true)
+    var total = 0L
+    while (it.hasNext) {
+      val st = it.next()
+      val n = st.getPath.getName
+      if (st.isFile && n.endsWith(".parquet")) {
+        val rel = TableStats.relOf(st.getPath.toString)
+        if (n.startsWith("stream-")) {
+          // uncommitted stream files are invisible
+          cached.get(rel).foreach(total += _)
+        } else total += cached.getOrElse(rel, {
+          GraftScan.footerReads.incrementAndGet()
+          val in = org.apache.parquet.hadoop.util.HadoopInputFile
+            .fromPath(st.getPath, conf)
+          val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+          try r.getRecordCount finally r.close()
+        })
+      }
+    }
+    total
+  }
+
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(GraftCountPartition(totalRows))
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PartitionReaderFactory {
+      override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+        new PartitionReader[InternalRow] {
+          private var done = false
+          private val row = org.apache.spark.sql.catalyst.InternalRow(
+            p.asInstanceOf[GraftCountPartition].rows)
+          override def next(): Boolean = if (done) false else { done = true; true }
+          override def get(): InternalRow = row
+          override def close(): Unit = ()
+        }
+    }
+}
+
+final case class GraftCountPartition(rows: Long) extends InputPartition
 
 object GraftScan {
   /** Planning-time parquet-footer opens (cache misses). Diagnostics only. */

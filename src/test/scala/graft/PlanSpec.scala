@@ -131,6 +131,20 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(joined.head().getLong(0) == want)
   }
 
+  test("graft source: COUNT(*) is answered from table statistics, no data scan") {
+    val df = spark.sql("SELECT count(*) FROM gpart.t.docs")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("GraftCountStarScan"), s"expected pushed count:\n$plan")
+    assert(df.head().getLong(0) == 500L)
+    // a filter forces the normal (residual-correct) path
+    val filtered = spark.sql("SELECT count(*) FROM gpart.t.docs WHERE n_chars > 100")
+    assert(!filtered.queryExecution.executedPlan.toString.contains("GraftCountStarScan"))
+    val want = spark.sql(
+      s"SELECT count(*) FROM parquet.`$dir/documents.parquet` WHERE n_chars > 100")
+      .head().getLong(0)
+    assert(filtered.head().getLong(0) == want)
+  }
+
   test("graft source: primitive-schema scans are columnar (vectorized)") {
     // gpart.t.docs exists from the pruning test above (all-primitive schema)
     val df = spark.sql("SELECT doc_id, n_chars FROM gpart.t.docs WHERE n_chars > 100")
