@@ -395,8 +395,11 @@ final class GraftScan(
 
   /** Target split size: files larger than this are read as byte ranges
     * (parquet assigns a row group to the range containing its midpoint),
-    * so one huge file still spreads across executors. */
-  private val splitBytes = 128L * 1024 * 1024
+    * so one huge file still spreads across executors. Tunable per session
+    * to match executor memory at the deployment's scale factor. */
+  private val splitBytes: Long =
+    org.apache.spark.sql.internal.SQLConf.get
+      .getConfString("spark.graft.split.bytes", String.valueOf(128L * 1024 * 1024)).toLong
 
   /** Storage-partitioned-join mode: when the table is partitioned and
     * `spark.sql.sources.v2.bucketing.enabled` is on, emit ONE input

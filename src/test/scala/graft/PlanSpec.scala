@@ -131,6 +131,31 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(joined.head().getLong(0) == want)
   }
 
+  test("graft source: byte-range splits spread one file and read exactly once (row + columnar)") {
+    // gpart.t.docs: each lang partition holds one multi-row-group-capable
+    // file; with a tiny split target every file fans out into ranges
+    spark.conf.set("spark.graft.split.bytes", "4096")
+    // key-grouped (SPJ) mode emits one partition per partition VALUE and
+    // bypasses range splitting — turn it off for this test
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "false")
+    try {
+      val df = spark.sql("SELECT doc_id FROM gpart.t.docs")
+      assert(df.rdd.getNumPartitions > 5,
+        s"expected range splits, got ${df.rdd.getNumPartitions} partitions")
+      val want = spark.sql(s"SELECT doc_id FROM parquet.`$dir/documents.parquet`")
+        .collect().map(_.getLong(0)).sorted.toSeq
+      // columnar path across ranges
+      assert(df.collect().map(_.getLong(0)).sorted.toSeq == want)
+      // row path across the same ranges
+      spark.conf.set("spark.graft.columnar.enabled", "false")
+      assert(spark.sql("SELECT doc_id FROM gpart.t.docs")
+        .collect().map(_.getLong(0)).sorted.toSeq == want)
+    } finally {
+      spark.conf.unset("spark.graft.split.bytes")
+      spark.conf.set("spark.graft.columnar.enabled", "true")
+    }
+  }
+
   test("graft source: COUNT(*) is answered from table statistics, no data scan") {
     val df = spark.sql("SELECT count(*) FROM gpart.t.docs")
     val plan = df.queryExecution.executedPlan.toString
