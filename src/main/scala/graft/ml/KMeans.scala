@@ -41,18 +41,21 @@ object KMeans {
     centroids
   }
 
-  /** Nearest-centroid assignment: (id, e, cluster). */
-  def assign(emb: DataFrame, centroids: DataFrame): DataFrame = {
-    val scored = emb.crossJoin(broadcast(centroids))
+  /** Nearest-centroid assignment: (id, e, cluster). Argmax by
+    * (sim DESC, cluster ASC) via max_by over struct(sim, -cluster) — a
+    * hash aggregate with map-side partial merge, no sort shuffle (ties
+    * are impossible: cluster ids are unique per row). */
+  def assign(emb: DataFrame, centroids: DataFrame): DataFrame =
+    emb.crossJoin(broadcast(centroids))
       .withColumn("dot",
         expr("aggregate(zip_with(e, c, (x, y) -> round(x * y * 1e9)), 0D, (a, p) -> a + p)"))
       .withColumn("cn2",
         expr("aggregate(c, 0D, (a, x) -> a + round(x * x * 1e9))"))
       .withColumn("sim", expr("dot / sqrt(cn2)")) // ∝ cosine for fixed e
-    val w = Window.partitionBy(col("id")).orderBy(desc("sim"), col("cluster"))
-    scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-      .select(col("id"), col("e"), col("cluster"))
-  }
+      .groupBy(col("id"))
+      .agg(
+        first(col("e")).as("e"),
+        expr("max_by(cluster, struct(sim, -cluster))").as("cluster"))
 
   /** Quantized-exact per-cluster means: (cluster, c). */
   def update(assigned: DataFrame): DataFrame =
