@@ -1,0 +1,116 @@
+package graft.sources
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.types.StructType
+
+/** Streaming SOURCE over a graft table: each micro-batch reads the data
+  * files that appeared since the previous offset, so
+  * `spark.readStream.table("gcat.ns.t")` tails the table as writers
+  * append to it (batch INSERTs and committed streaming-sink epochs alike;
+  * uncommitted `stream-` files stay invisible, same visibility rule as
+  * batch scans).
+  *
+  * Offsets are the sorted set of file (relativePath, length) pairs seen so
+  * far — replayable and exactly-once on the read side: a restarted query
+  * re-plans `end \ start` deterministically from the checkpointed JSON.
+  * Lengths ride along so a file replaced by compaction (same name never
+  * recurs — names carry write ids) cannot be confused across offsets.
+  */
+final class GraftMicroBatchStream(
+    tableSchema: StructType,
+    required: StructType,
+    dataDir: String,
+    partitionCols: Seq[String])
+    extends MicroBatchStream {
+
+  private def visibleFiles(): Map[String, Long] = {
+    val conf = new Configuration()
+    val root = new Path(dataDir)
+    val fs = root.getFileSystem(conf)
+    if (!fs.exists(root)) return Map.empty
+    // Only files REGISTERED in the stats registry are offered to the
+    // stream: every commit path (batch insert, streaming epoch, replace,
+    // compaction) registers its files after they are closed, so a batch
+    // appears atomically — listing alone would capture part files mid-
+    // write with partial lengths and silently lose their tail row groups.
+    val registered = TableStats.read(fs, root)
+    if (registered.isEmpty) return Map.empty
+    val it = fs.listFiles(root, true)
+    val out = Map.newBuilder[String, Long]
+    while (it.hasNext) {
+      val st = it.next()
+      if (st.isFile && st.getPath.getName.endsWith(".parquet")) {
+        val rel = TableStats.relOf(st.getPath.toString)
+        if (registered.contains(rel)) out += rel -> st.getLen
+      }
+    }
+    out.result()
+  }
+
+  override def latestOffset(): Offset = GraftSourceOffset(visibleFiles())
+
+  override def initialOffset(): Offset = GraftSourceOffset(Map.empty)
+
+  override def deserializeOffset(json: String): Offset = GraftSourceOffset.fromJson(json)
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val seen = start.asInstanceOf[GraftSourceOffset].files.keySet
+    val fresh = end.asInstanceOf[GraftSourceOffset].files -- seen
+    fresh.toSeq.sortBy(_._1).map { case (rel, len) =>
+      GraftInputPartition(s"$dataDir/$rel", 0L, len): InputPartition
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GraftReaderFactory(required, Array.empty, columnar = false)
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
+
+/** Offset = visible file set (relPath -> length), JSON-serialized sorted. */
+final case class GraftSourceOffset(files: Map[String, Long]) extends Offset {
+  override def json(): String =
+    files.toSeq.sorted
+      .map { case (p, l) =>
+        val esc = p.replace("\\", "\\\\").replace("\"", "\\\"")
+        s"""["$esc",$l]"""
+      }
+      .mkString("[", ",", "]")
+}
+
+object GraftSourceOffset {
+  def fromJson(json: String): GraftSourceOffset = {
+    // parse [["path",len],...] — paths are URL-encoded dir names + file
+    // names we wrote ourselves, but escape handling keeps this general
+    val files = Map.newBuilder[String, Long]
+    var i = 0
+    def expect(c: Char): Unit = { require(json(i) == c, s"offset parse at $i: $json"); i += 1 }
+    def ws(): Unit = while (i < json.length && json(i).isWhitespace) i += 1
+    ws(); expect('[')
+    ws()
+    if (json(i) != ']') {
+      var more = true
+      while (more) {
+        ws(); expect('['); ws(); expect('"')
+        val sb = new StringBuilder
+        while (json(i) != '"') {
+          if (json(i) == '\\') { sb.append(json(i + 1)); i += 2 }
+          else { sb.append(json(i)); i += 1 }
+        }
+        expect('"'); ws(); expect(',')
+        val numStart = i
+        while (json(i) != ']') i += 1
+        val len = json.substring(numStart, i).trim.toLong
+        expect(']'); ws()
+        files += sb.toString -> len
+        if (json(i) == ',') { i += 1 } else more = false
+      }
+    }
+    expect(']')
+    GraftSourceOffset(files.result())
+  }
+}

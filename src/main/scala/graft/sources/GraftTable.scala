@@ -52,7 +52,8 @@ final class GraftTable(
   override def properties(): java.util.Map[String, String] = props.asJava
   override def capabilities(): JSet[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.TRUNCATE, TableCapability.STREAMING_WRITE).asJava
+      TableCapability.TRUNCATE, TableCapability.STREAMING_WRITE,
+      TableCapability.MICRO_BATCH_READ).asJava
 
   def dataDir: String = s"$tableDir/data"
 
@@ -281,6 +282,10 @@ final class GraftScan(
   private var pushed: Array[Filter] = pushed0
   /** Runtime group filter: when set, only these exact files are scanned. */
   private var allowedFiles: Option[Set[String]] = None
+
+  override def toMicroBatchStream(
+      checkpointLocation: String): org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new GraftMicroBatchStream(tableSchema, required, dataDir, partitionCols)
 
   override def readSchema(): StructType =
     if (wantFile)

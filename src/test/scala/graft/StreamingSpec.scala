@@ -103,6 +103,39 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.nonEmpty)
   }
 
+  test("graft streaming SOURCE: readStream tails a graft table across batch appends") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_src_wh").toString
+    spark.conf.set("spark.sql.catalog.gsrc", classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gsrc.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gsrc.s")
+    spark.sql("CREATE TABLE gsrc.s.feed (id BIGINT, grp STRING) PARTITIONED BY (grp)")
+    spark.sql("INSERT INTO gsrc.s.feed SELECT id, 'a' FROM range(30)")
+
+    val q = spark.readStream.table("gsrc.s.feed")
+      .groupBy("grp").count()
+      .writeStream.format("memory").queryName("feed_agg")
+      .outputMode("complete")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft_src_ck").toString)
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("feed_agg").collect().map(r => (r.getString(0), r.getLong(1))).toMap
+        == Map("a" -> 30L))
+      // appends surface in the next micro-batch
+      spark.sql("INSERT INTO gsrc.s.feed SELECT id, 'b' FROM range(12)")
+      spark.sql("INSERT INTO gsrc.s.feed SELECT id, 'a' FROM range(5)")
+      q.processAllAvailable()
+      assert(spark.table("feed_agg").collect().map(r => (r.getString(0), r.getLong(1))).toMap
+        == Map("a" -> 35L, "b" -> 12L))
+    } finally q.stop()
+
+    // offsets round-trip through their JSON form
+    val off = graft.sources.GraftSourceOffset(Map("grp=a/part-1.parquet" -> 17L,
+      "grp=b/x \"q\".parquet" -> 3L))
+    assert(graft.sources.GraftSourceOffset.fromJson(off.json()) == off)
+  }
+
   test("graft streaming sink: epoch commit log hides uncommitted files and dedups replays") {
     import org.apache.hadoop.fs.Path
     import org.apache.spark.sql.connector.write.WriterCommitMessage
