@@ -21,6 +21,11 @@ import org.apache.spark.sql.functions.col
   *     duplicated, never truncated; a crash before step 3 leaves only
   *     unregistered extra files that the next compaction run reclaims
   *     (single-writer maintenance op, same assumption as the write path).
+  *
+  * Caveat: a live `readStream` over the table tracks files by name, so
+  * compacting rows it already delivered re-delivers them under the new
+  * file names — compact streaming-source tables only between consumer
+  * restarts (or with downstream dedup), like any file-rewriting optimizer.
   */
 object Compaction {
 

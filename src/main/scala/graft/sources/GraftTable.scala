@@ -827,6 +827,10 @@ final class GraftBatchWrite(
     val conf = new Configuration()
     val dir = new Path(dataDir)
     val fs = dir.getFileSystem(conf)
+    if (truncate)
+      // stale epoch markers must not dedupe future stream epochs of a
+      // restarted query against pre-truncate history
+      fs.delete(new Path(dir, TableStats.CommitsDir), true)
     val base = if (truncate) Map.empty[String, Long] else TableStats.read(fs, dir)
     TableStats.write(fs, dir, base ++ committed)
   }
