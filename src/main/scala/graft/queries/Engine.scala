@@ -94,7 +94,10 @@ object Engine {
     // path). At 100 TB this is the bucketed co-located join.
     QueryDef(
       "q57_spj_join",
-      (s, dir) => {
+      (s0, dir) => {
+        // isolated session: SPJ planning mode must not leak into the
+        // other queries sharing the driver session
+        val s = s0.newSession()
         val ns = ensureCatalog(s, dir)
         s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
         s.sql(s"DROP TABLE IF EXISTS $ns.spj_a")

@@ -66,21 +66,35 @@ object Compaction {
       .select(schema.fieldNames.map(col): _*)
       .coalesce(math.max(1, groups.size))
     val dataDirStr = table.dataDir
+    // rows are MOVED, never re-keyed: drop any row-key generator property
     val props = {
       import scala.jdk.CollectionConverters._
-      table.properties().asScala.toMap
+      table.properties().asScala.toMap - graft.functions.RowKeyGenerator.Property
     }
     val writeId = s"compact-${java.util.UUID.randomUUID()}"
     val written: Array[(String, Long)] = df.queryExecution.toRdd
       .mapPartitionsWithIndex { (pid, rows) =>
+        // task ATTEMPT id in the name so retries/speculation never collide
+        val attempt = Option(org.apache.spark.TaskContext.get())
+          .map(_.taskAttemptId()).getOrElse(0L)
         val w = GraftWriterFactory.newWriter(
-          schema, props, dataDirStr, partitionCols, writeId, pid, taskId = 0L)
+          schema, props, dataDirStr, partitionCols, writeId, pid, attempt)
         rows.foreach(w.write)
         w.commit() match {
           case GraftCommitMessage(files) => files.iterator
           case _ => Iterator.empty
         }
       }.collect()
+
+    // drop files from failed/speculative attempts of this compaction
+    val writtenNames = written.map(_._1.split('/').last).toSet
+    val it2 = fs.listFiles(dataDir, true)
+    val stale = scala.collection.mutable.ArrayBuffer[Path]()
+    while (it2.hasNext) {
+      val p0 = it2.next().getPath
+      if (p0.getName.contains(writeId) && !writtenNames.contains(p0.getName)) stale += p0
+    }
+    stale.foreach(fs.delete(_, false))
 
     // swap: remove the originals, re-point the stats registry
     victims.foreach(p => fs.delete(new Path(p), false))

@@ -130,6 +130,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
     // transforms (bucket/days/...) are not supported
     val partCols = validatePartitions(schema, partitions)
     if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
+    if (viewExists(ident)) throw new ViewAlreadyExistsException(ident)
     if (!namespaceExists(ident.namespace())) throw new NoSuchNamespaceException(ident.namespace())
     val dir = tablePath(ident)
     fs.mkdirs(new Path(dir, "data"))
@@ -222,6 +223,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
     val partCols = validatePartitions(schema, partitions)
     if (!namespaceExists(ident.namespace())) throw new NoSuchNamespaceException(ident.namespace())
     if (!replace && tableExists(ident)) throw new TableAlreadyExistsException(ident)
+    if (viewExists(ident)) throw new ViewAlreadyExistsException(ident)
     if (requireExists && !tableExists(ident)) throw new NoSuchTableException(ident)
     val stagingDir = new Path(nsPath(ident.namespace()),
       s".${ident.name()}.staging-${java.util.UUID.randomUUID()}")

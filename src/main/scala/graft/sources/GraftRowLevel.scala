@@ -82,7 +82,11 @@ final class GraftReplaceDataWrite(
   private val writeId = java.util.UUID.randomUUID().toString
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new GraftWriterFactory(schema, props.asScala.toMap, dataDir, partitionCols, writeId)
+    // carried-over rows must KEEP their row keys — drop the generator
+    // property so the rewrite never re-mints keys for surviving rows
+    new GraftWriterFactory(schema,
+      props.asScala.toMap - graft.functions.RowKeyGenerator.Property,
+      dataDir, partitionCols, writeId)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val conf = new Configuration()

@@ -101,7 +101,9 @@ final class GraftTable(
       TableStats.write(fs, root, Map.empty)
       return
     }
-    val deleted = scala.collection.mutable.ArrayBuffer[String]()
+    // two-phase: decide EVERY partition first, then delete — a rejected
+    // statement must not have removed anything before it throws
+    val toDelete = scala.collection.mutable.ArrayBuffer[(Path, String)]()
     def walk(p: Path, remaining: Seq[String], values: Map[String, Any], rel: String): Unit =
       if (remaining.isEmpty) {
         // delete the partition dir iff every filter is definitely true
@@ -109,8 +111,7 @@ final class GraftTable(
         // undecidable means the delete cannot be honored partition-wise
         val verdicts = filters.map(f => PartitionPruning.eval3(f, values))
         if (verdicts.forall(_.contains(true))) {
-          fs.delete(p, true)
-          deleted += rel
+          toDelete += ((p, rel))
         } else if (!verdicts.exists(_.contains(false)) && verdicts.exists(_.isEmpty)) {
           throw new UnsupportedOperationException(
             s"graft: DELETE filter undecidable for partition $rel " +
@@ -126,6 +127,7 @@ final class GraftTable(
         }
       }
     walk(root, partitionCols, Map.empty, "")
+    val deleted = toDelete.map { case (p, rel) => fs.delete(p, true); rel }
     if (deleted.nonEmpty) {
       val stats = TableStats.read(fs, root)
       if (stats.nonEmpty)

@@ -390,6 +390,23 @@ class GraftCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.sql("DROP TABLE graft.pw.vt")
   }
 
+  test("row-level rewrites preserve the row keys of surviving rows") {
+    spark.sql(
+      s"""CREATE TABLE graft.pw.keyed_cow (row_key STRING, id BIGINT)
+         |TBLPROPERTIES ('${graft.functions.RowKeyGenerator.Property}' =
+         |  'graft.functions.DefaultRowKeyGenerator')""".stripMargin)
+    spark.sql("INSERT INTO graft.pw.keyed_cow SELECT '', id FROM range(20)")
+    val before = spark.sql("SELECT id, row_key FROM graft.pw.keyed_cow")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    spark.sql("DELETE FROM graft.pw.keyed_cow WHERE id = 7") // row-level COW
+    val after = spark.sql("SELECT id, row_key FROM graft.pw.keyed_cow")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(!after.contains(7L) && after.size == 19)
+    assert(after == before - 7L,
+      "surviving rows must keep their original row keys through a rewrite")
+    spark.sql("DROP TABLE graft.pw.keyed_cow")
+  }
+
   test("compaction merges small files per partition and keeps data + stats exact") {
     spark.sql("CREATE TABLE graft.pw.cmp (id BIGINT, grp STRING) PARTITIONED BY (grp)")
     for (i <- 0 until 4)
