@@ -179,6 +179,38 @@ object Engine {
         CAST(SUM(CASE WHEN doc_id % 50 = 1 THEN n_chars + 7 ELSE n_chars END) AS BIGINT) AS chars,
         CAST(SUM(doc_id) AS BIGINT) AS id_sum
         FROM documents WHERE doc_id % 97 <> 3
+        GROUP BY lang ORDER BY lang""")),
+
+    // ---- q64: MERGE INTO upsert (copy-on-write) ---------------------------
+    // The full MERGE surface over the same group-filtered rewrite path:
+    // matched rows update in place, unmatched source rows insert. The
+    // oracle derives the merged state relationally (matched = doc_id
+    // divisible by both 2 and 3).
+    QueryDef(
+      "q64_merge_upsert",
+      (s, dir) => {
+        val ns = ensureCatalog(s, dir)
+        s.sql(s"DROP TABLE IF EXISTS $ns.mg")
+        s.sql(s"""CREATE TABLE $ns.mg AS
+                 |SELECT doc_id, n_chars, lang FROM parquet.`$dir/documents.parquet`
+                 |WHERE doc_id % 2 = 0""".stripMargin)
+        s.sql(
+          s"""MERGE INTO $ns.mg t
+             |USING (SELECT doc_id, n_chars, lang
+             |       FROM parquet.`$dir/documents.parquet` WHERE doc_id % 3 = 0) s
+             |ON t.doc_id = s.doc_id
+             |WHEN MATCHED THEN UPDATE SET n_chars = t.n_chars + 1000
+             |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+        s.sql(
+          s"""SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
+             |       CAST(SUM(n_chars) AS BIGINT) AS chars,
+             |       CAST(SUM(doc_id) AS BIGINT) AS id_sum
+             |FROM $ns.mg GROUP BY lang ORDER BY lang""".stripMargin)
+      },
+      Some("""SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(SUM(CASE WHEN doc_id % 6 = 0 THEN n_chars + 1000 ELSE n_chars END) AS BIGINT) AS chars,
+        CAST(SUM(doc_id) AS BIGINT) AS id_sum
+        FROM documents WHERE doc_id % 2 = 0 OR doc_id % 3 = 0
         GROUP BY lang ORDER BY lang"""))
   )
 }
