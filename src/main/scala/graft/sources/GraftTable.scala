@@ -194,7 +194,10 @@ object TableStats {
   def write(fs: FileSystem, dataDir: Path, stats: Map[String, Long]): Unit = {
     // write-temp-then-rename so a concurrent reader never sees a partial
     // registry (rename is atomic on HDFS and local FS)
-    val tmp = new Path(dataDir, s".$FileName.tmp-${java.util.UUID.randomUUID()}")
+    // The temp lives OUTSIDE data/ so directory listings racing with the
+    // rename never observe (and stat) a vanishing entry.
+    val tmp = new Path(dataDir.getParent,
+      s".$FileName.tmp-${java.util.UUID.randomUUID()}")
     val out = fs.create(tmp, true)
     try out.write(stats.toSeq.sorted.map { case (k, v) => s"$k\t$v" }
       .mkString("", "\n", "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -216,12 +219,25 @@ final class GraftScanBuilder(
     extends ScanBuilder
     with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters
-    with SupportsPushDownAggregates {
+    with SupportsPushDownAggregates
+    with SupportsPushDownLimit {
 
   private var required: StructType = tableSchema
   private var wantFile: Boolean = false
   private var pushed: Array[Filter] = Array.empty
   private var countStar: Boolean = false
+  private var limit: Option[Int] = None
+
+  /** Filterless LIMIT: the scan lists only enough files (by registered
+    * row counts) to satisfy the limit — partial pushdown, Spark still
+    * applies the exact cut. Never offered with filters: residual
+    * evaluation could leave fewer than `limit` matching rows in the
+    * chosen files. */
+  override def pushLimit(n: Int): Boolean = {
+    if (pushed.isEmpty && tracker.isEmpty) limit = Some(n)
+    false // partial: selected files may hold more rows than the limit
+  }
+  override def isPartiallyPushed(): Boolean = true
 
   /** COUNT(*) with no filters and no GROUP BY is answered from the
     * commit-time stats registry — zero data read, O(1) regardless of
@@ -265,7 +281,7 @@ final class GraftScanBuilder(
   override def build(): Scan =
     if (countStar) new GraftCountStarScan(dataDir)
     else new GraftScan(tableSchema, required, pushed, dataDir, partitionCols,
-      wantFile, tracker)
+      wantFile, tracker, limit)
 }
 
 final class GraftScan(
@@ -275,7 +291,8 @@ final class GraftScan(
     dataDir: String,
     partitionCols: Seq[String],
     wantFile: Boolean = false,
-    tracker: Option[GraftRowLevelOperation] = None)
+    tracker: Option[GraftRowLevelOperation] = None,
+    limit: Option[Int] = None)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsReportPartitioning with SupportsRuntimeFiltering {
 
@@ -395,7 +412,19 @@ final class GraftScan(
       if (!fs.exists(root)) Seq.empty
       else {
         val all = walk(root, partitionCols, Map.empty).sortBy(_._1)
-        allowedFiles.fold(all)(ok => all.filter(f => ok.contains(f._1)))
+        val allowed = allowedFiles.fold(all)(ok => all.filter(f => ok.contains(f._1)))
+        limit.filter(_ => !keyGrouped) match {
+          case Some(n) =>
+            // take files until their registered rows cover the limit
+            // (files missing from the registry count as unknown => taken)
+            var acc = 0L
+            allowed.takeWhile { f =>
+              val take = acc < n
+              acc += cachedStats.getOrElse(TableStats.relOf(f._1), Long.MaxValue / 2)
+              take
+            }
+          case None => allowed
+        }
       }
     filesCache
   }

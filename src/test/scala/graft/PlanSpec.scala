@@ -156,6 +156,22 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("graft source: filterless LIMIT scans only enough files to cover it") {
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "false")
+    val limited = spark.sql("SELECT doc_id FROM gpart.t.docs LIMIT 5")
+    assert(limited.collect().length == 5)
+    val all = spark.sql("SELECT doc_id FROM gpart.t.docs")
+    // 5 lang files; the limit needs only the first
+    assert(limited.rdd.getNumPartitions < all.rdd.getNumPartitions,
+      s"limit=${limited.rdd.getNumPartitions} all=${all.rdd.getNumPartitions}")
+    // with a filter the limit is NOT pushed and results stay correct
+    val f = spark.sql("SELECT doc_id FROM gpart.t.docs WHERE n_chars > 480 LIMIT 500")
+    val want = spark.sql(
+      s"SELECT count(*) FROM parquet.`$dir/documents.parquet` WHERE n_chars > 480")
+      .head().getLong(0)
+    assert(f.collect().length == want, "filtered LIMIT must see every matching row")
+  }
+
   test("graft source: COUNT(*) is answered from table statistics, no data scan") {
     val df = spark.sql("SELECT count(*) FROM gpart.t.docs")
     val plan = df.queryExecution.executedPlan.toString
