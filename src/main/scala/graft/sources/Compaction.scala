@@ -72,7 +72,7 @@ object Compaction {
       table.properties().asScala.toMap - graft.functions.RowKeyGenerator.Property
     }
     val writeId = s"compact-${java.util.UUID.randomUUID()}"
-    val written: Array[(String, Long)] = df.queryExecution.toRdd
+    val written: Array[(String, TableStats.Entry)] = df.queryExecution.toRdd
       .mapPartitionsWithIndex { (pid, rows) =>
         // task ATTEMPT id in the name so retries/speculation never collide
         val attempt = Option(org.apache.spark.TaskContext.get())

@@ -92,7 +92,7 @@ final class GraftReplaceDataWrite(
     val conf = new Configuration()
     val dir = new Path(dataDir)
     val fs = dir.getFileSystem(conf)
-    val committed: Map[String, Long] = messages.collect {
+    val committed: Map[String, TableStats.Entry] = messages.collect {
       case m: GraftCommitMessage => m.files
     }.flatten.toMap
     val committedNames = committed.keysIterator.map(_.split('/').last).toSet

@@ -98,7 +98,7 @@ final class GraftTable(
       // truncate
       fs.delete(root, true)
       fs.mkdirs(root)
-      TableStats.write(fs, root, Map.empty)
+      TableStats.write(fs, root, Map.empty[String, TableStats.Entry])
       return
     }
     // two-phase: decide EVERY partition first, then delete — a rejected
@@ -169,6 +169,11 @@ object TableStats {
   /** Directory of per-epoch streaming commit markers (under the data dir). */
   val CommitsDir = "_commits"
 
+  /** Registry entry: exact row count plus optional per-column (min, max)
+    * ranges in external string form — enough for the scan to skip whole
+    * files without opening a footer. */
+  final case class Entry(rows: Long, cols: Map[String, (String, String)] = Map.empty)
+
   /** Path of `file` relative to its table's `data/` dir (keys of the stats
     * registry), robust to scheme-qualified vs bare paths. */
   def relOf(path: String): String = {
@@ -177,21 +182,46 @@ object TableStats {
     else new Path(path).getName
   }
 
-  def read(fs: FileSystem, dataDir: Path): Map[String, Long] = {
+  private def enc(v: String): String = java.net.URLEncoder.encode(v, "UTF-8")
+  private def dec(v: String): String = java.net.URLDecoder.decode(v, "UTF-8")
+
+  def serialize(stats: Map[String, Entry]): String =
+    stats.toSeq.sortBy(_._1).map { case (rel, e) =>
+      val base = s"$rel\t${e.rows}"
+      if (e.cols.isEmpty) base
+      else base + "\t" + e.cols.toSeq.sorted.map { case (c, (mn, mx)) =>
+        s"${enc(c)}=${enc(mn)},${enc(mx)}"
+      }.mkString(";")
+    }.mkString("", "\n", "\n")
+
+  def deserialize(text: String): Map[String, Entry] =
+    text.linesIterator.filter(_.nonEmpty).map { line =>
+      line.split('\t') match {
+        case Array(rel, rows) => rel -> Entry(rows.toLong)
+        case Array(rel, rows, colspec) =>
+          val cols = colspec.split(';').filter(_.nonEmpty).map { kv =>
+            val Array(c, mm) = kv.split('=')
+            val i = mm.indexOf(',')
+            dec(c) -> (dec(mm.substring(0, i)), dec(mm.substring(i + 1)))
+          }.toMap
+          rel -> Entry(rows.toLong, cols)
+        case other =>
+          throw new IllegalStateException(s"bad stats line: $line")
+      }
+    }.toMap
+
+  def read(fs: FileSystem, dataDir: Path): Map[String, Entry] = {
     val p = new Path(dataDir, FileName)
     if (!fs.exists(p)) Map.empty
     else {
       val in = fs.open(p)
       val text = try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
         finally in.close()
-      text.linesIterator.filter(_.nonEmpty).map { line =>
-        val i = line.lastIndexOf('\t')
-        line.substring(0, i) -> line.substring(i + 1).toLong
-      }.toMap
+      deserialize(text)
     }
   }
 
-  def write(fs: FileSystem, dataDir: Path, stats: Map[String, Long]): Unit = {
+  def write(fs: FileSystem, dataDir: Path, stats: Map[String, Entry]): Unit = {
     // write-temp-then-rename so a concurrent reader never sees a partial
     // registry (rename is atomic on HDFS and local FS)
     // The temp lives OUTSIDE data/ so directory listings racing with the
@@ -199,15 +229,14 @@ object TableStats {
     val tmp = new Path(dataDir.getParent,
       s".$FileName.tmp-${java.util.UUID.randomUUID()}")
     val out = fs.create(tmp, true)
-    try out.write(stats.toSeq.sorted.map { case (k, v) => s"$k\t$v" }
-      .mkString("", "\n", "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    try out.write(serialize(stats).getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
     val dest = new Path(dataDir, FileName)
-    if (fs.exists(dest)) fs.delete(dest, false)
-    if (!fs.rename(tmp, dest)) {
-      fs.delete(tmp, false)
-      throw new java.io.IOException(s"graft: failed to publish $dest")
-    }
+    // OVERWRITE rename: readers see the old registry or the new one,
+    // never a missing file (FileSystem.rename cannot replace on local FS)
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(fs.getUri, fs.getConf)
+    fc.rename(fc.makeQualified(tmp), fc.makeQualified(dest),
+      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 }
 
@@ -365,7 +394,7 @@ final class GraftScan(
     * (path, length, partitionValues-in-partitionCols-order). */
   /** Commit-time per-file stats registry; also the visibility source of
     * truth for streaming files (see [[GraftStreamingWrite]]). */
-  private lazy val cachedStats: Map[String, Long] = {
+  private lazy val cachedStats: Map[String, TableStats.Entry] = {
     val dir = new Path(dataDir)
     TableStats.read(dir.getFileSystem(new Configuration()), dir)
   }
@@ -412,7 +441,17 @@ final class GraftScan(
       if (!fs.exists(root)) Seq.empty
       else {
         val all = walk(root, partitionCols, Map.empty).sortBy(_._1)
-        val allowed = allowedFiles.fold(all)(ok => all.filter(f => ok.contains(f._1)))
+        val allowed0 = allowedFiles.fold(all)(ok => all.filter(f => ok.contains(f._1)))
+        // file-level skip from commit-time column ranges: a file whose
+        // registered [min, max] provably excludes some pushed filter is
+        // never opened (stronger than row-group skipping — no footer read)
+        val allowed =
+          if (pushed.isEmpty) allowed0
+          else allowed0.filter { f =>
+            cachedStats.get(TableStats.relOf(f._1)).forall(e =>
+              e.cols.isEmpty ||
+                !pushed.exists(PartitionPruning.rangeDisproves(_, e.cols, tableSchema)))
+          }
         limit.filter(_ => !keyGrouped) match {
           case Some(n) =>
             // take files until their registered rows cover the limit
@@ -420,7 +459,8 @@ final class GraftScan(
             var acc = 0L
             allowed.takeWhile { f =>
               val take = acc < n
-              acc += cachedStats.getOrElse(TableStats.relOf(f._1), Long.MaxValue / 2)
+              acc += cachedStats.get(TableStats.relOf(f._1)).map(_.rows)
+                .getOrElse(Long.MaxValue / 2)
               take
             }
           case None => allowed
@@ -522,7 +562,7 @@ final class GraftScan(
     if (rowsCache != null) return rowsCache
     val conf = new Configuration()
     rowsCache = files.map { case (path, _, _) =>
-      cachedStats.get(TableStats.relOf(path)).getOrElse {
+      cachedStats.get(TableStats.relOf(path)).map(_.rows).getOrElse {
         GraftScan.footerReads.incrementAndGet()
         val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(new Path(path), conf)
         val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
@@ -566,8 +606,8 @@ final class GraftCountStarScan(dataDir: String) extends Scan with Batch {
         val rel = TableStats.relOf(st.getPath.toString)
         if (n.startsWith("stream-")) {
           // uncommitted stream files are invisible
-          cached.get(rel).foreach(total += _)
-        } else total += cached.getOrElse(rel, {
+          cached.get(rel).foreach(total += _.rows)
+        } else total += cached.get(rel).map(_.rows).getOrElse({
           GraftScan.footerReads.incrementAndGet()
           val in = org.apache.parquet.hadoop.util.HadoopInputFile
             .fromPath(st.getPath, conf)
@@ -776,7 +816,7 @@ final class GraftStreamingWrite(
     (d.getFileSystem(new Configuration()), d)
   }
 
-  private def filesOf(messages: Array[WriterCommitMessage]): Seq[(String, Long)] =
+  private def filesOf(messages: Array[WriterCommitMessage]): Seq[(String, TableStats.Entry)] =
     messages.collect { case m: GraftCommitMessage => m.files }.toSeq.flatten
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
@@ -785,13 +825,24 @@ final class GraftStreamingWrite(
     val committed = filesOf(messages)
     if (fs.exists(marker)) {
       // epoch already durable from a previous run: this attempt re-wrote
-      // the same input batch — its files are duplicates, drop them
+      // the same input batch — its files are duplicates, drop them...
       committed.foreach { case (rel, _) => fs.delete(new Path(dir, rel), false) }
+      // ...and repair the registry from the marker's file list if the
+      // original commit crashed between marker and registration (without
+      // this, those files would stay invisible forever — lost rows)
+      val in = fs.open(marker)
+      val text = try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+        finally in.close()
+      val original = TableStats.deserialize(text)
+      val stats = TableStats.read(fs, dir)
+      val missing = original.filter { case (rel, _) =>
+        !stats.contains(rel) && fs.exists(new Path(dir, rel)) }
+      if (missing.nonEmpty) TableStats.write(fs, dir, stats ++ missing)
     } else {
       fs.mkdirs(marker.getParent)
       val out = fs.create(marker, true)
-      try out.write(committed.sorted.map { case (k, v) => s"$k\t$v" }
-        .mkString("", "\n", "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      try out.write(TableStats.serialize(committed.toMap)
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
       finally out.close()
       TableStats.write(fs, dir, TableStats.read(fs, dir) ++ committed)
     }
@@ -841,7 +892,7 @@ final class GraftBatchWrite(
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    val committed: Map[String, Long] = messages.collect {
+    val committed: Map[String, TableStats.Entry] = messages.collect {
       case m: GraftCommitMessage => m.files
     }.flatten.toMap
     val committedNames = committed.keysIterator.map(_.split('/').last).toSet
@@ -862,7 +913,7 @@ final class GraftBatchWrite(
       // stale epoch markers must not dedupe future stream epochs of a
       // restarted query against pre-truncate history
       fs.delete(new Path(dir, TableStats.CommitsDir), true)
-    val base = if (truncate) Map.empty[String, Long] else TableStats.read(fs, dir)
+    val base = if (truncate) Map.empty[String, TableStats.Entry] else TableStats.read(fs, dir)
     TableStats.write(fs, dir, base ++ committed)
   }
 
@@ -870,9 +921,10 @@ final class GraftBatchWrite(
     eachFile((fs, p) => if (p.getName.contains(writeId)) fs.delete(p, false))
 }
 
-/** files: (path relative to the data dir, row count) per file this task
-  * attempt wrote. */
-final case class GraftCommitMessage(files: Seq[(String, Long)]) extends WriterCommitMessage
+/** files: (path relative to the data dir, stats entry) per file this
+  * task attempt wrote. */
+final case class GraftCommitMessage(files: Seq[(String, TableStats.Entry)])
+    extends WriterCommitMessage
 
 final class GraftWriterFactory(
     schema: StructType,
@@ -888,6 +940,67 @@ final class GraftWriterFactory(
 }
 
 object GraftWriterFactory {
+
+  /** Tracks per-column (min, max) for one output file — only comparable
+    * primitive columns; long strings are dropped (no safe truncation). */
+  final class ColStatsTracker(schema: StructType) {
+    import org.apache.spark.sql.types._
+    private val tracked = schema.fields.zipWithIndex.filter { case (f, _) =>
+      f.dataType match {
+        case ByteType | ShortType | IntegerType | LongType | FloatType |
+            DoubleType | BooleanType | StringType | DateType => true
+        case _ => false
+      }
+    }
+    private val mins = Array.fill[Any](tracked.length)(null)
+    private val maxs = Array.fill[Any](tracked.length)(null)
+    private val dead = Array.fill[Boolean](tracked.length)(false)
+
+    private def cmp(dt: DataType, a: Any, b: Any): Int = dt match {
+      case ByteType | ShortType | IntegerType | LongType | DateType =>
+        java.lang.Long.compare(a.asInstanceOf[Number].longValue(),
+          b.asInstanceOf[Number].longValue())
+      case FloatType | DoubleType =>
+        java.lang.Double.compare(a.asInstanceOf[Number].doubleValue(),
+          b.asInstanceOf[Number].doubleValue())
+      case BooleanType => java.lang.Boolean.compare(
+        a.asInstanceOf[Boolean], b.asInstanceOf[Boolean])
+      case StringType => a.asInstanceOf[UTF8String].compareTo(b.asInstanceOf[UTF8String])
+      case other => throw new IllegalStateException(other.toString)
+    }
+
+    def update(row: InternalRow): Unit = {
+      var j = 0
+      while (j < tracked.length) {
+        val (f, i) = tracked(j)
+        if (!dead(j) && !row.isNullAt(i)) {
+          val v = row.get(i, f.dataType)
+          v match {
+            case u: UTF8String if u.numChars() > 64 => dead(j) = true // unbounded
+            case _ =>
+              val vc = v match { case u: UTF8String => u.clone(); case x => x }
+              if (mins(j) == null || cmp(f.dataType, vc, mins(j)) < 0) mins(j) = vc
+              if (maxs(j) == null || cmp(f.dataType, vc, maxs(j)) > 0) maxs(j) = vc
+          }
+        }
+        j += 1
+      }
+    }
+
+    /** External string forms (what [[PartitionPruning.parse]] reads back). */
+    def result: Map[String, (String, String)] = {
+      def ext(dt: DataType, v: Any): String = dt match {
+        case DateType => java.time.LocalDate.ofEpochDay(
+          v.asInstanceOf[Number].longValue()).toString
+        case _ => String.valueOf(v)
+      }
+      tracked.indices.collect {
+        case j if !dead(j) && mins(j) != null =>
+          val (f, _) = tracked(j)
+          f.name -> (ext(f.dataType, mins(j)), ext(f.dataType, maxs(j)))
+      }.toMap
+    }
+  }
 
   def newWriter(
       schema: StructType,
@@ -917,7 +1030,8 @@ object GraftWriterFactory {
       // attempt's partial file, and commit keeps exactly one attempt's
       // files per task (resolved via the commit messages).
       private val writers = scala.collection.mutable.LinkedHashMap[
-        String, (org.apache.parquet.hadoop.ParquetWriter[InternalRow], String, Long)]()
+        String, (org.apache.parquet.hadoop.ParquetWriter[InternalRow], String, Long,
+          ColStatsTracker)]()
 
       private def writerFor(row: InternalRow): org.apache.parquet.hadoop.ParquetWriter[InternalRow] = {
         val rel = partIdx.map { case (c, i) =>
@@ -929,9 +1043,11 @@ object GraftWriterFactory {
           val relPath = s"$key$filePrefix-$partitionId-$taskId-$writeId.parquet"
           val path = new Path(s"$dataDir/$relPath")
           path.getFileSystem(conf).mkdirs(path.getParent)
-          (ParquetRowIO.newWriter(path, schema, conf, props), relPath, 0L)
+          (ParquetRowIO.newWriter(path, schema, conf, props), relPath, 0L,
+            new ColStatsTracker(schema))
         })
-        writers(key) = (entry._1, entry._2, entry._3 + 1)
+        writers(key) = (entry._1, entry._2, entry._3 + 1, entry._4)
+        entry._4.update(row)
         entry._1
       }
 
@@ -959,7 +1075,8 @@ object GraftWriterFactory {
       }
       override def commit(): WriterCommitMessage = {
         writers.values.foreach(_._1.close())
-        GraftCommitMessage(writers.values.map(w => (w._2, w._3)).toSeq)
+        GraftCommitMessage(writers.values.map(w =>
+          (w._2, TableStats.Entry(w._3, w._4.result))).toSeq)
       }
       override def abort(): Unit = {
         writers.values.foreach(w => try w._1.close() catch { case _: Exception => () })

@@ -142,6 +142,46 @@ object PartitionPruning {
     case VUndecided => None
   }
 
+  /** True iff `f` provably matches NO row of a file whose per-column
+    * [min, max] ranges (external string form, from the stats registry)
+    * are `ranges`. Conservative: anything undecidable returns false. */
+  def rangeDisproves(
+      f: Filter,
+      ranges: Map[String, (String, String)],
+      schema: org.apache.spark.sql.types.StructType): Boolean = {
+    def range(col: String): Option[(Any, Any)] =
+      for {
+        (mn, mx) <- ranges.get(col)
+        field <- schema.fields.find(_.name == col)
+      } yield (parse(field.dataType, mn), parse(field.dataType, mx))
+    f match {
+      case EqualTo(a, v) => range(a).exists { case (mn, mx) =>
+        cmp(v, mn).exists(_ < 0) || cmp(v, mx).exists(_ > 0) }
+      case GreaterThan(a, v) => range(a).exists { case (_, mx) =>
+        cmp(mx, v).exists(_ <= 0) }
+      case GreaterThanOrEqual(a, v) => range(a).exists { case (_, mx) =>
+        cmp(mx, v).exists(_ < 0) }
+      case LessThan(a, v) => range(a).exists { case (mn, _) =>
+        cmp(mn, v).exists(_ >= 0) }
+      case LessThanOrEqual(a, v) => range(a).exists { case (mn, _) =>
+        cmp(mn, v).exists(_ > 0) }
+      case In(a, vs) => vs.nonEmpty && range(a).exists { case (mn, mx) =>
+        vs.forall(v => v != null &&
+          (cmp(v, mn).exists(_ < 0) || cmp(v, mx).exists(_ > 0))) }
+      case StringStartsWith(a, p) => range(a).exists {
+        case (mn: String, mx: String) =>
+          // matching strings s satisfy p <= s and s.startsWith(p)
+          mx < p || (mn > p && !mn.startsWith(p))
+        case _ => false
+      }
+      case And(l, r) =>
+        rangeDisproves(l, ranges, schema) || rangeDisproves(r, ranges, schema)
+      case Or(l, r) =>
+        rangeDisproves(l, ranges, schema) && rangeDisproves(r, ranges, schema)
+      case _ => false
+    }
+  }
+
   /** Directory-name-safe encoding of a partition value. */
   def encode(value: Any): String = value match {
     case null => "__null__"

@@ -172,6 +172,25 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(f.collect().length == want, "filtered LIMIT must see every matching row")
   }
 
+  test("graft source: registered column ranges skip whole files without footer reads") {
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "false")
+    spark.sql("CREATE TABLE gpart.t.ranged (id BIGINT, v STRING)")
+    spark.sql("INSERT INTO gpart.t.ranged SELECT id, concat('v', id) FROM range(0, 10)")
+    spark.sql("INSERT INTO gpart.t.ranged SELECT id, concat('v', id) FROM range(1000, 1010)")
+    def parts(sql: String) = spark.sql(sql).rdd.getNumPartitions
+    val all = parts("SELECT id FROM gpart.t.ranged")
+    assert(all >= 2, s"expected at least one file per insert, got $all")
+    // the [min,max] registry proves id>5000 matches no file at all
+    assert(parts("SELECT id FROM gpart.t.ranged WHERE id > 5000") == 0)
+    // ...and id<100 only the first insert's files
+    val low = parts("SELECT id FROM gpart.t.ranged WHERE id < 100")
+    assert(low < all, s"low=$low all=$all")
+    // values stay exact
+    assert(spark.sql("SELECT id FROM gpart.t.ranged WHERE id >= 1005")
+      .collect().map(_.getLong(0)).sorted.toSeq == (1005L until 1010L))
+    spark.sql("DROP TABLE gpart.t.ranged")
+  }
+
   test("graft source: COUNT(*) is answered from table statistics, no data scan") {
     val df = spark.sql("SELECT count(*) FROM gpart.t.docs")
     val plan = df.queryExecution.executedPlan.toString

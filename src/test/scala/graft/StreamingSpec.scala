@@ -209,13 +209,15 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     val chunk = spark.read.parquet(committed.head.getAbsolutePath).count()
     val attempt1 = new java.io.File(dataDir, "stream-0-1-replay1.parquet")
     java.nio.file.Files.copy(committed.head.toPath, attempt1.toPath)
-    w.commit(7, Array[WriterCommitMessage](GraftCommitMessage(Seq(attempt1.getName -> chunk))))
+    w.commit(7, Array[WriterCommitMessage](GraftCommitMessage(
+      Seq(attempt1.getName -> TableStats.Entry(chunk)))))
     val rowsAfterFirst = spark.table("gsink.s.sink").count()
     assert(rowsAfterFirst == 80 + chunk,
       s"first commit of epoch 7 registers the file: $rowsAfterFirst")
     val attempt2 = new java.io.File(dataDir, "stream-0-2-replay2.parquet")
     java.nio.file.Files.copy(committed.head.toPath, attempt2.toPath)
-    w.commit(7, Array[WriterCommitMessage](GraftCommitMessage(Seq(attempt2.getName -> chunk))))
+    w.commit(7, Array[WriterCommitMessage](GraftCommitMessage(
+      Seq(attempt2.getName -> TableStats.Entry(chunk)))))
     assert(!attempt2.exists(), "replayed epoch's duplicate files are deleted")
     assert(spark.table("gsink.s.sink").count() == 80 + chunk,
       "replayed epoch must not add rows")
