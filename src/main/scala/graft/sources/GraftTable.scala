@@ -94,13 +94,26 @@ final class GraftTable(
     val root = new Path(dataDir)
     val fs = root.getFileSystem(conf)
     if (!fs.exists(root)) return
-    if (filters.forall(_.isInstanceOf[AlwaysTrue]) || partitionCols.isEmpty) {
+    // Decide constant filters up front (values-free evaluation): an
+    // AlwaysFalse arm — e.g. `WHERE 1=0` after constant folding — must
+    // delete NOTHING, never truncate; all-AlwaysTrue (or no filters)
+    // truncates. Column-referencing filters stay undecided here and go
+    // through the partition walk below.
+    val constVerdicts = filters.map(f => PartitionPruning.eval3(f, Map.empty))
+    if (constVerdicts.exists(_.contains(false))) return // provably no rows match
+    if (constVerdicts.forall(_.contains(true))) {
       // truncate
       fs.delete(root, true)
       fs.mkdirs(root)
       TableStats.write(fs, root, Map.empty[String, TableStats.Entry])
       return
     }
+    if (partitionCols.isEmpty)
+      // canDeleteWhere only admits constant filters for unpartitioned
+      // tables, so this is unreachable via Spark — a guard, not a path.
+      throw new UnsupportedOperationException(
+        s"graft: DELETE with non-constant filter on unpartitioned table " +
+          s"(${filters.mkString(", ")}) requires the row-level path")
     // two-phase: decide EVERY partition first, then delete — a rejected
     // statement must not have removed anything before it throws
     val toDelete = scala.collection.mutable.ArrayBuffer[(Path, String)]()

@@ -24,4 +24,17 @@ class ContractSpec extends AnyFunSuite {
     assert(SparkEntry.oracleSql.size ==
       SparkEntry.allDefs.count(_.oracle.isDefined))
   }
+
+  test("bench stdout line fits the harness tail window at worst-case widths") {
+    // The grading harness records only the last ~2000 chars of stdout; a line
+    // longer than that loses its head and fails to parse. Worst case: every
+    // query present, every timing at max plausible width (999.999s).
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    // short keys must stay unique or timings silently merge
+    assert(names.map(Bench.shortKey).distinct.size == names.size)
+    val line = Bench.renderShortLine(names.map(_ -> 999.999), Nil, "sf0.1")
+    val n = line.getBytes("UTF-8").length
+    assert(n <= Bench.MaxLineBytes, s"bench line is $n bytes > ${Bench.MaxLineBytes}")
+    assert(line.startsWith("""{"metric":"total""""))
+  }
 }

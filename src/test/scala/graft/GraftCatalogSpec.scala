@@ -173,6 +173,30 @@ class GraftCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.sql("DROP TABLE graft.pw.part_del")
   }
 
+  test("DELETE WHERE an always-false predicate deletes nothing") {
+    // Constant folding turns `WHERE 1=0` into AlwaysFalse; the metadata
+    // delete path must treat that as delete-NOTHING, not truncate —
+    // on partitioned AND (the round-2 bug) unpartitioned tables.
+    spark.sql("CREATE TABLE graft.pw.del_false (id BIGINT, s STRING)")
+    spark.sql("INSERT INTO graft.pw.del_false VALUES (1, 'x'), (2, 'y')")
+    spark.sql("DELETE FROM graft.pw.del_false WHERE 1 = 0")
+    assert(spark.table("graft.pw.del_false").count() == 2)
+    spark.sql("DELETE FROM graft.pw.del_false WHERE false")
+    assert(spark.table("graft.pw.del_false").count() == 2)
+
+    spark.sql(
+      """CREATE TABLE graft.pw.del_false_p (id BIGINT, grp STRING)
+        |PARTITIONED BY (grp)""".stripMargin)
+    spark.sql("INSERT INTO graft.pw.del_false_p VALUES (1, 'a'), (2, 'b')")
+    spark.sql("DELETE FROM graft.pw.del_false_p WHERE 1 = 0")
+    assert(spark.table("graft.pw.del_false_p").count() == 2)
+    // ... while the all-true spelling still truncates
+    spark.sql("DELETE FROM graft.pw.del_false WHERE 1 = 1")
+    assert(spark.table("graft.pw.del_false").count() == 0)
+    spark.sql("DROP TABLE graft.pw.del_false")
+    spark.sql("DROP TABLE graft.pw.del_false_p")
+  }
+
   test("row-level DELETE/UPDATE/MERGE rewrite only the affected files") {
     spark.sql("CREATE TABLE graft.pw.cow (id BIGINT, grp STRING, v DOUBLE) PARTITIONED BY (grp)")
     spark.sql(
