@@ -211,6 +211,33 @@ object Engine {
         CAST(SUM(CASE WHEN doc_id % 6 = 0 THEN n_chars + 1000 ELSE n_chars END) AS BIGINT) AS chars,
         CAST(SUM(doc_id) AS BIGINT) AS id_sum
         FROM documents WHERE doc_id % 2 = 0 OR doc_id % 3 = 0
-        GROUP BY lang ORDER BY lang"""))
+        GROUP BY lang ORDER BY lang""")),
+
+    // ---- q65: catalog-free format("graft") read ---------------------------
+    // The DataSourceRegister surface: a table dir written through the
+    // catalog is read back with spark.read.format("graft").load(dir) — no
+    // catalog in the loop, schema/partitioning from _meta.yml (capability
+    // analog of the reference's direct-FileFormat reads,
+    // HBaseFileFormatTestSuite.scala:38-61).
+    QueryDef(
+      "q65_direct_read",
+      (s, dir) => {
+        val ns = ensureCatalog(s, dir)
+        s.sql(s"DROP TABLE IF EXISTS $ns.fdocs")
+        s.sql(s"""CREATE TABLE $ns.fdocs AS
+                 |SELECT doc_id, lang, source, n_chars
+                 |FROM parquet.`$dir/documents.parquet`""".stripMargin)
+        val wh = s.conf.get("spark.sql.catalog.gcat.warehouse")
+        s.read.format("graft").load(s"$wh/corpus/fdocs")
+          .where("n_chars >= 250")
+          .groupBy("lang", "source")
+          .agg(org.apache.spark.sql.functions.count("*").cast("long").as("n"),
+            org.apache.spark.sql.functions.sum("n_chars").cast("long").as("chars"))
+          .orderBy("lang", "source")
+      },
+      Some("""SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(SUM(n_chars) AS BIGINT) AS chars
+        FROM documents WHERE n_chars >= 250
+        GROUP BY lang, source ORDER BY lang, source"""))
   )
 }

@@ -110,14 +110,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
       val in = fs.open(metaFile(ident))
       try new String(in.readAllBytes(), StandardCharsets.UTF_8) finally in.close()
     }
-    val m = new Yaml().load[java.util.Map[String, Object]](text).asScala
-    val schema = DataType.fromJson(m("schema_json").asInstanceOf[String]).asInstanceOf[StructType]
-    val props = m.get("properties")
-      .map(_.asInstanceOf[java.util.Map[String, String]].asScala.toMap)
-      .getOrElse(Map.empty)
-    val partCols = m.get("partitions")
-      .map(_.asInstanceOf[java.util.List[String]].asScala.toSeq)
-      .getOrElse(Seq.empty)
+    val (schema, props, partCols) = GraftTable.parseMeta(text)
     new GraftTable(fullName(ident), schema, props, tablePath(ident).toString, partCols)
   }
 

@@ -168,6 +168,38 @@ object GraftTable {
     override def isNullable: Boolean = false
     override def comment(): String = "path of the file this row belongs to"
   }
+
+  /** Parse a `_meta.yml` document into (schema, properties, partition
+    * columns) — shared by the catalog's `loadTable` and the catalog-free
+    * [[GraftTableProvider]]. */
+  def parseMeta(text: String): (StructType, Map[String, String], Seq[String]) = {
+    val m = new org.yaml.snakeyaml.Yaml()
+      .load[java.util.Map[String, Object]](text).asScala
+    val schema = org.apache.spark.sql.types.DataType
+      .fromJson(m("schema_json").asInstanceOf[String]).asInstanceOf[StructType]
+    val props = m.get("properties")
+      .map(_.asInstanceOf[java.util.Map[String, String]].asScala.toMap)
+      .getOrElse(Map.empty[String, String])
+    val partCols = m.get("partitions")
+      .map(_.asInstanceOf[java.util.List[String]].asScala.toSeq)
+      .getOrElse(Seq.empty[String])
+    (schema, props, partCols)
+  }
+
+  /** Read and parse `<tableDir>/_meta.yml` if present. */
+  def readMeta(tableDir: String, conf: Configuration)
+      : Option[(StructType, Map[String, String], Seq[String])] = {
+    val metaPath = new Path(tableDir, "_meta.yml")
+    val fs = metaPath.getFileSystem(conf)
+    if (!fs.exists(metaPath)) None
+    else {
+      val in = fs.open(metaPath)
+      val text =
+        try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+        finally in.close()
+      Some(parseMeta(text))
+    }
+  }
 }
 
 /** Per-file row counts cached in `<data>/_stats.tsv` (one `relPath\trows`

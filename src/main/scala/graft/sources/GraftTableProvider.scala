@@ -1,0 +1,71 @@
+package graft.sources
+
+import java.util.{Map => JMap}
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.spark.sql.connector.catalog.{Table, TableProvider}
+import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** Catalog-free access to a graft table directory via the `format("graft")`
+  * / `USING graft` spelling — the capability analog of the reference's
+  * registered `DataSourceRegister` (shortName "hbase",
+  * `HBaseTableFormat.scala:119`) and its direct-FileFormat reads over table
+  * files with no catalog (`HBaseFileFormatTestSuite.scala:38-61`).
+  *
+  *   - `spark.read.format("graft").load(dir)` — schema, storage properties
+  *     and partition columns come from the dir's `_meta.yml`.
+  *   - `CREATE TABLE t (...) USING graft OPTIONS (path '<dir>')` — the
+  *     session catalog keeps the definition, graft serves reads/writes
+  *     (`supportsExternalMetadata`: a user-supplied schema is honored).
+  *   - `df.write.format("graft").mode("append").save(dir)` — appends
+  *     through the same committing writer the catalog path uses (stats
+  *     registry, attempt-unique file names).
+  */
+class GraftTableProvider extends TableProvider with DataSourceRegister {
+
+  override def shortName(): String = "graft"
+  override def supportsExternalMetadata(): Boolean = true
+
+  private def pathOf(options: JMap[String, String]): String = {
+    val p = options.get("path")
+    require(p != null && p.nonEmpty,
+      "graft: the 'path' option (table directory) is required")
+    p
+  }
+
+  private def meta(dir: String) = GraftTable.readMeta(dir, new Configuration())
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val dir = pathOf(options)
+    meta(dir).map(_._1).getOrElse(throw new IllegalArgumentException(
+      s"graft: no _meta.yml under $dir — pass an explicit schema " +
+        "(.schema(...) / CREATE TABLE column list) for bare directories"))
+  }
+
+  override def inferPartitioning(options: CaseInsensitiveStringMap): Array[Transform] = {
+    val dir = pathOf(options)
+    meta(dir).map(_._3).getOrElse(Seq.empty)
+      .map(c => Expressions.identity(c)).toArray
+  }
+
+  override def getTable(
+      schema: StructType,
+      partitioning: Array[Transform],
+      properties: JMap[String, String]): Table = {
+    val dir = pathOf(properties)
+    val partCols = partitioning.toSeq.map { t =>
+      require(t.name == "identity",
+        s"graft: only identity partitioning is supported, got $t")
+      t.references()(0).fieldNames().mkString(".")
+    }
+    // _meta.yml storage properties (compression, row-group sizing, row-key
+    // generator) still apply when present; explicit OPTIONS win.
+    import scala.jdk.CollectionConverters._
+    val storedProps = meta(dir).map(_._2).getOrElse(Map.empty)
+    new GraftTable(s"graft.`$dir`", schema, storedProps ++ properties.asScala,
+      dir, partCols)
+  }
+}

@@ -468,6 +468,33 @@ class GraftCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.sql("DROP TABLE graft.pw.cmp")
   }
 
+  test("format(\"graft\"): catalog-free read, USING graft table, direct append") {
+    spark.sql("CREATE TABLE graft.pw.direct (id BIGINT, s STRING)")
+    spark.sql("INSERT INTO graft.pw.direct VALUES (1, 'a'), (2, 'b')")
+    val tdir = s"$warehouse/pw/direct"
+
+    // catalog-free read: schema comes from the dir's _meta.yml
+    val df = spark.read.format("graft").load(tdir)
+    assert(df.orderBy("id").collect().map(_.getLong(0)).toSeq == Seq(1L, 2L))
+
+    // direct append through the same committing writer
+    spark.range(3, 5).selectExpr("id", "CAST(id AS STRING) AS s")
+      .write.format("graft").mode("append").save(tdir)
+    assert(spark.table("graft.pw.direct").count() == 4)
+
+    // session-catalog table over the same files
+    spark.sql(s"CREATE TABLE direct_sql (id BIGINT, s STRING) " +
+      s"USING graft OPTIONS (path '$tdir')")
+    assert(spark.sql("SELECT count(*) FROM direct_sql").head.getLong(0) == 4)
+    spark.sql("INSERT INTO direct_sql VALUES (9, 'z')")
+    assert(spark.read.format("graft").load(tdir).count() == 5)
+    // pushdown still reaches the scan through the provider path
+    assert(spark.sql("SELECT s FROM direct_sql WHERE id = 9").head.getString(0) == "z")
+
+    spark.sql("DROP TABLE direct_sql")
+    spark.sql("DROP TABLE graft.pw.direct")
+  }
+
   test("rename and drop") {
     spark.sql("ALTER TABLE graft.pw.test_big RENAME TO graft.pw.test_big2")
     assert(spark.table("graft.pw.test_big2").count() == 1)
