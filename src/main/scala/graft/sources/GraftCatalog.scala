@@ -87,6 +87,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
     if (!namespaceExists(namespace)) throw new NoSuchNamespaceException(namespace)
     if (!cascade && listTables(namespace).nonEmpty)
       throw new IllegalStateException(s"namespace ${namespace.mkString(".")} is not empty")
+    viewSqlCache.clear() // a cascade may have removed views
     fs.delete(nsPath(namespace), true)
   }
 
@@ -180,6 +181,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
     if (!namespaceExists(newIdent.namespace()))
       throw new NoSuchNamespaceException(newIdent.namespace())
     fs.rename(tablePath(oldIdent), tablePath(newIdent))
+    invalidateViewCache(oldIdent)
+    invalidateViewCache(newIdent)
   }
 
   // ---- atomic CTAS / RTAS (StagingTableCatalog) --------------------------
@@ -267,8 +270,32 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
   private def viewFile(ident: Identifier): Path =
     new Path(tablePath(ident), "_view.yml")
 
-  override def viewExists(ident: Identifier): Boolean =
+  override def viewExists(ident: Identifier): Boolean = {
+    GraftCatalog.viewStatCalls.incrementAndGet()
     ident.namespace().length == 1 && fs.exists(viewFile(ident))
+  }
+
+  // [[GraftViewSubstitution]] probes EVERY unresolved relation naming this
+  // catalog on EVERY analyzer pass; uncached that is a driver-side FS stat
+  // (and, for actual views, a full _view.yml read) per relation per pass.
+  // Both outcomes are cached — Some(viewSql) for views, None for
+  // non-views — and invalidated by the DDL that can change them on this
+  // catalog instance, the same single-writer assumption the table
+  // metadata already makes.
+  private val viewSqlCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Option[String]]()
+
+  private def viewCacheKey(ident: Identifier): String =
+    (ident.namespace() :+ ident.name()).mkString("\u0000")
+
+  private[sources] def invalidateViewCache(ident: Identifier): Unit =
+    viewSqlCache.remove(viewCacheKey(ident))
+
+  /** Cached view-text lookup for resolution-time probes: None when the
+    * ident is not a view. */
+  def lookupViewSqlCached(ident: Identifier): Option[String] =
+    viewSqlCache.computeIfAbsent(viewCacheKey(ident),
+      _ => if (viewExists(ident)) Some(loadView(ident).query()) else None)
 
   override def listViews(namespace: String*): Array[Identifier] = {
     val ns = namespace.toArray
@@ -303,6 +330,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
     fs.mkdirs(tablePath(ident))
     writeView(ident, info.sql(), info.currentCatalog(), info.currentNamespace(),
       info.schema(), info.properties().asScala.toMap)
+    invalidateViewCache(ident)
     loadView(ident)
   }
 
@@ -316,11 +344,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
         throw new IllegalArgumentException(s"graft catalog: unsupported view change $other")
     }
     writeView(ident, v.sql, v.catalog, v.namespace, v.viewSchema, props)
+    invalidateViewCache(ident)
     loadView(ident)
   }
 
-  override def dropView(ident: Identifier): Boolean =
+  override def dropView(ident: Identifier): Boolean = {
+    invalidateViewCache(ident)
     viewExists(ident) && fs.delete(tablePath(ident), true)
+  }
 
   override def renameView(oldIdent: Identifier, newIdent: Identifier): Unit = {
     if (!viewExists(oldIdent)) throw new NoSuchViewException(oldIdent)
@@ -329,6 +360,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
     if (!namespaceExists(newIdent.namespace()))
       throw new NoSuchNamespaceException(newIdent.namespace())
     fs.rename(tablePath(oldIdent), tablePath(newIdent))
+    invalidateViewCache(oldIdent)
+    invalidateViewCache(newIdent)
   }
 
   private def writeView(
@@ -409,4 +442,11 @@ final case class GraftView(
   override def columnAliases(): Array[String] = Array.empty
   override def columnComments(): Array[String] = Array.empty
   override def properties(): java.util.Map[String, String] = props.asJava
+}
+
+object GraftCatalog {
+  /** Filesystem stats performed by [[GraftCatalog.viewExists]]. Diagnostics
+    * only — lets tests assert repeated query analysis hits the existence
+    * cache instead of the filesystem. */
+  val viewStatCalls = new java.util.concurrent.atomic.AtomicLong(0)
 }

@@ -211,6 +211,10 @@ object GraftTable {
   * the table keep the cache valid. */
 object TableStats {
   val FileName = "_stats.tsv"
+  /** Registry (side-file) reads. Diagnostics only — lets tests assert a
+    * query plans with a bounded number of registry reads regardless of
+    * the table's file count. */
+  val registryReads = new java.util.concurrent.atomic.AtomicLong(0)
   /** Directory of per-epoch streaming commit markers (under the data dir). */
   val CommitsDir = "_commits"
 
@@ -255,14 +259,22 @@ object TableStats {
       }
     }.toMap
 
-  def read(fs: FileSystem, dataDir: Path): Map[String, Entry] = {
+  def read(fs: FileSystem, dataDir: Path): Map[String, Entry] =
+    readIfExists(fs, dataDir).getOrElse(Map.empty)
+
+  /** Like [[read]] but distinguishes "no registry file" (None — the table
+    * predates stats or was written out-of-band; callers must fall back to
+    * listing) from "registry present but empty" (an empty/truncated table:
+    * the registry is still the authoritative manifest). */
+  def readIfExists(fs: FileSystem, dataDir: Path): Option[Map[String, Entry]] = {
+    registryReads.incrementAndGet()
     val p = new Path(dataDir, FileName)
-    if (!fs.exists(p)) Map.empty
+    if (!fs.exists(p)) None
     else {
       val in = fs.open(p)
       val text = try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
         finally in.close()
-      deserialize(text)
+      Some(deserialize(text))
     }
   }
 
@@ -636,32 +648,38 @@ final class GraftCountStarScan(dataDir: String) extends Scan with Batch {
   override def toBatch: Batch = this
   override def description(): String = s"GraftCountStarScan[$dataDir]"
 
-  private def totalRows: Long = {
+  private lazy val totalRows: Long = {
     val conf = new Configuration()
     val root = new Path(dataDir)
     val fs = root.getFileSystem(conf)
-    if (!fs.exists(root)) return 0L
-    val cached = TableStats.read(fs, root)
-    val it = fs.listFiles(root, true)
-    var total = 0L
-    while (it.hasNext) {
-      val st = it.next()
-      val n = st.getPath.getName
-      if (st.isFile && n.endsWith(".parquet")) {
-        val rel = TableStats.relOf(st.getPath.toString)
-        if (n.startsWith("stream-")) {
-          // uncommitted stream files are invisible
-          cached.get(rel).foreach(total += _.rows)
-        } else total += cached.get(rel).map(_.rows).getOrElse({
-          GraftScan.footerReads.incrementAndGet()
-          val in = org.apache.parquet.hadoop.util.HadoopInputFile
-            .fromPath(st.getPath, conf)
-          val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-          try r.getRecordCount finally r.close()
-        })
-      }
+    if (!fs.exists(root)) 0L
+    else
+    // Registry-first: every commit path (insert, truncate, partition
+    // DELETE, row-level COW, compaction, streaming epoch) rewrites
+    // `_stats.tsv`, so when the file exists it IS the manifest of live
+    // committed files — the count is one small side-file read, no
+    // O(#files) recursive listing on the driver. Only tables with no
+    // registry at all (out-of-band writes) pay the listing + footers.
+    TableStats.readIfExists(fs, root) match {
+      case Some(cached) => cached.valuesIterator.map(_.rows).sum
+      case None =>
+        GraftScan.countStarListings.incrementAndGet()
+        val it = fs.listFiles(root, true)
+        var total = 0L
+        while (it.hasNext) {
+          val st = it.next()
+          val n = st.getPath.getName
+          // no registry => no committed stream files can exist either
+          if (st.isFile && n.endsWith(".parquet") && !n.startsWith("stream-")) {
+            GraftScan.footerReads.incrementAndGet()
+            val in = org.apache.parquet.hadoop.util.HadoopInputFile
+              .fromPath(st.getPath, conf)
+            val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+            total += (try r.getRecordCount finally r.close())
+          }
+        }
+        total
     }
-    total
   }
 
   override def planInputPartitions(): Array[InputPartition] =
@@ -685,6 +703,9 @@ final case class GraftCountPartition(rows: Long) extends InputPartition
 object GraftScan {
   /** Planning-time parquet-footer opens (cache misses). Diagnostics only. */
   val footerReads = new java.util.concurrent.atomic.AtomicLong(0)
+  /** COUNT(*) scans that fell back to a recursive file listing (no stats
+    * registry). Diagnostics only — warm tables must never increment it. */
+  val countStarListings = new java.util.concurrent.atomic.AtomicLong(0)
 }
 
 final case class GraftInputPartition(path: String, start: Long, end: Long)

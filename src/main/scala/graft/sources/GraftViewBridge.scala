@@ -57,8 +57,7 @@ object GraftViewBridge {
       }
 
   def lookupViewSql(session: SparkSession, parts: Seq[String]): Option[String] =
-    resolveIdent(session, parts).filter { case (c, id) => c.viewExists(id) }
-      .map { case (c, id) => c.loadView(id).query() }
+    resolveIdent(session, parts).flatMap { case (c, id) => c.lookupViewSqlCached(id) }
 
   /** Parse-time plan rewrite: view DDL aimed at a graft catalog becomes a
     * graft command; everything else passes through untouched. */

@@ -414,6 +414,33 @@ class GraftCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.sql("DROP TABLE graft.pw.vt")
   }
 
+  test("view existence probes are cached across analyzer passes") {
+    spark.sql("CREATE TABLE graft.pw.vc (id BIGINT)")
+    spark.sql("INSERT INTO graft.pw.vc VALUES (1), (2)")
+    spark.sql("CREATE VIEW graft.pw.vcv AS SELECT id FROM graft.pw.vc WHERE id > 0")
+    // warm the existence cache (one probe per relation)
+    assert(spark.sql("SELECT * FROM graft.pw.vcv").count() == 2)
+    spark.sql("SELECT v.id FROM graft.pw.vcv v JOIN graft.pw.vc t ON v.id = t.id")
+      .queryExecution.analyzed
+    // further analysis — multiple passes, multiple relations — must not
+    // stat _view.yml again (the round-2 cost: one FS stat per relation
+    // per analyzer pass)
+    val calls0 = graft.sources.GraftCatalog.viewStatCalls.get()
+    for (_ <- 1 to 5)
+      spark.sql("SELECT v.id FROM graft.pw.vcv v JOIN graft.pw.vc t ON v.id = t.id")
+        .queryExecution.analyzed
+    assert(graft.sources.GraftCatalog.viewStatCalls.get() == calls0,
+      "repeated analysis re-stats _view.yml instead of hitting the cache")
+    // DDL invalidates: a drop is visible immediately...
+    spark.sql("DROP VIEW graft.pw.vcv")
+    intercept[Exception](spark.sql("SELECT * FROM graft.pw.vcv").collect())
+    // ...and so is a recreate
+    spark.sql("CREATE VIEW graft.pw.vcv AS SELECT id FROM graft.pw.vc WHERE id = 1")
+    assert(spark.sql("SELECT * FROM graft.pw.vcv").count() == 1)
+    spark.sql("DROP VIEW graft.pw.vcv")
+    spark.sql("DROP TABLE graft.pw.vc")
+  }
+
   test("row-level rewrites preserve the row keys of surviving rows") {
     spark.sql(
       s"""CREATE TABLE graft.pw.keyed_cow (row_key STRING, id BIGINT)

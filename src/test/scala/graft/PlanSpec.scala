@@ -195,7 +195,16 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     val df = spark.sql("SELECT count(*) FROM gpart.t.docs")
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("GraftCountStarScan"), s"expected pushed count:\n$plan")
+    // warm table: the answer comes from the stats registry alone — no
+    // recursive listing, no footer opens (one side-file read, not
+    // O(#files) driver work)
+    val listings0 = graft.sources.GraftScan.countStarListings.get()
+    val footers0 = graft.sources.GraftScan.footerReads.get()
     assert(df.head().getLong(0) == 500L)
+    assert(graft.sources.GraftScan.countStarListings.get() == listings0,
+      "count(*) on a warm table fell back to a recursive listing")
+    assert(graft.sources.GraftScan.footerReads.get() == footers0,
+      "count(*) on a warm table opened parquet footers")
     // a filter forces the normal (residual-correct) path
     val filtered = spark.sql("SELECT count(*) FROM gpart.t.docs WHERE n_chars > 100")
     assert(!filtered.queryExecution.executedPlan.toString.contains("GraftCountStarScan"))

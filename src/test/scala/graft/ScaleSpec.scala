@@ -92,4 +92,61 @@ class ScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
 
     assert(spark.table("graft.stream.events_sink").count() == batch.count())
   }
+
+  test("1000-file table: planning does O(1) driver FS work; compaction recovers") {
+    import graft.sources.{Compaction, GraftScan, GraftTable, TableStats}
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.mf")
+    spark.sql("CREATE TABLE graft.mf.many (id BIGINT, v DOUBLE)")
+    // 4 commits x 250 tasks -> ~1000 small part files, the accretion shape
+    // of an append/streaming workload
+    for (i <- 0 until 4)
+      spark.range(i * 25000L, (i + 1) * 25000L)
+        .selectExpr("id", "CAST(id % 97 AS DOUBLE) AS v")
+        .repartition(250)
+        .writeTo("graft.mf.many").append()
+
+    val dataDir = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.catalog.graft.warehouse") + "/mf/many/data")
+    val fs = dataDir.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    def parquetFiles(): Int = {
+      val it = fs.listFiles(dataDir, true)
+      var n = 0
+      while (it.hasNext) { if (it.next().getPath.getName.endsWith(".parquet")) n += 1 }
+      n
+    }
+    val before = parquetFiles()
+    assert(before >= 900, s"expected ~1000 part files, got $before")
+
+    // COUNT(*): exactly one registry read, zero footer opens, zero
+    // recursive listings — independent of the 1000 files
+    val (f0, l0, r0) = (GraftScan.footerReads.get(), GraftScan.countStarListings.get(),
+      TableStats.registryReads.get())
+    assert(spark.sql("SELECT count(*) FROM graft.mf.many").head().getLong(0) == 100000L)
+    assert(GraftScan.footerReads.get() == f0, "count(*) opened parquet footers")
+    assert(GraftScan.countStarListings.get() == l0, "count(*) listed the table recursively")
+    assert(TableStats.registryReads.get() == r0 + 1,
+      s"count(*) read the registry ${TableStats.registryReads.get() - r0} times, want 1")
+
+    // a real scan still plans without footer reads (stats + ranges come
+    // from the registry) and with a bounded number of registry reads
+    val f1 = GraftScan.footerReads.get()
+    val r1 = TableStats.registryReads.get()
+    val sum0 = spark.sql("SELECT sum(v) FROM graft.mf.many").head().getDouble(0)
+    assert(GraftScan.footerReads.get() == f1, "warm scan opened parquet footers")
+    assert(TableStats.registryReads.get() - r1 <= 2,
+      s"scan read the registry ${TableStats.registryReads.get() - r1} times")
+
+    // compaction merges the small files back to a handful and keeps the
+    // data + stats exact
+    val table = spark.sessionState.catalogManager.catalog("graft")
+      .asInstanceOf[graft.sources.GraftCatalog]
+      .loadTable(org.apache.spark.sql.connector.catalog.Identifier.of(
+        Array("mf"), "many")).asInstanceOf[GraftTable]
+    val (cBefore, cAfter) = Compaction.compact(spark, table)
+    assert(cBefore >= 900 && cAfter <= 32, s"compaction $cBefore -> $cAfter")
+    assert(parquetFiles() <= 32)
+    assert(spark.sql("SELECT count(*) FROM graft.mf.many").head().getLong(0) == 100000L)
+    assert(spark.sql("SELECT sum(v) FROM graft.mf.many").head().getDouble(0) == sum0)
+    spark.sql("DROP TABLE graft.mf.many")
+  }
 }
