@@ -3,7 +3,7 @@ package graft.sources
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, MicroBatchStream, Offset, ReadAllAvailable, ReadLimit, ReadMaxBytes, ReadMaxFiles, SupportsAdmissionControl}
 import org.apache.spark.sql.types.StructType
 
 /** Streaming SOURCE over a graft table: each micro-batch reads the data
@@ -23,8 +23,10 @@ final class GraftMicroBatchStream(
     tableSchema: StructType,
     required: StructType,
     dataDir: String,
-    partitionCols: Seq[String])
-    extends MicroBatchStream {
+    partitionCols: Seq[String],
+    maxFilesPerTrigger: Option[Int] = None,
+    maxBytesPerTrigger: Option[Long] = None)
+    extends MicroBatchStream with SupportsAdmissionControl {
 
   private def visibleFiles(): Map[String, Long] = {
     val conf = new Configuration()
@@ -50,7 +52,57 @@ final class GraftMicroBatchStream(
     out.result()
   }
 
-  override def latestOffset(): Offset = GraftSourceOffset(visibleFiles())
+  // ---- admission control: bound each micro-batch --------------------------
+  // Without a limit, a restart against a backlogged table would plan ONE
+  // batch containing every file written since the checkpoint. With
+  // maxFilesPerTrigger / maxBytesPerTrigger the backlog drains in bounded
+  // batches (same knobs as Spark's file sources).
+
+  override def getDefaultReadLimit: ReadLimit = {
+    val limits: Seq[ReadLimit] =
+      maxFilesPerTrigger.map(n => ReadLimit.maxFiles(n)).toSeq ++
+        maxBytesPerTrigger.map(b => ReadLimit.maxBytes(b)).toSeq
+    limits match {
+      case Seq() => ReadLimit.allAvailable()
+      case Seq(one) => one
+      case many => ReadLimit.compositeLimit(many.toArray)
+    }
+  }
+
+  /** Apply a read limit to the sorted fresh-file list. maxBytes admits
+    * files until the byte budget is exhausted but always at least one
+    * (a single file larger than the budget must still make progress). */
+  private def admit(fresh: Seq[(String, Long)], limit: ReadLimit): Seq[(String, Long)] =
+    limit match {
+      case _: ReadAllAvailable => fresh
+      case f: ReadMaxFiles => fresh.take(f.maxFiles())
+      case b: ReadMaxBytes =>
+        var budget = b.maxBytes()
+        val it = fresh.iterator
+        val out = Seq.newBuilder[(String, Long)]
+        var first = true
+        var done = false
+        while (it.hasNext && !done) {
+          val e = it.next()
+          if (first || e._2 <= budget) { out += e; budget -= e._2; first = false }
+          else done = true
+        }
+        out.result()
+      case c: CompositeReadLimit =>
+        c.getReadLimits.foldLeft(fresh)((acc, l) => admit(acc, l))
+      case _ => fresh
+    }
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val seen = start.asInstanceOf[GraftSourceOffset].files
+    val fresh = (visibleFiles() -- seen.keySet).toSeq.sorted
+    GraftSourceOffset(seen ++ admit(fresh, limit))
+  }
+
+  override def reportLatestOffset(): Offset = GraftSourceOffset(visibleFiles())
+
+  override def latestOffset(): Offset = throw new UnsupportedOperationException(
+    "latestOffset(Offset, ReadLimit) should be called instead (admission control)")
 
   override def initialOffset(): Offset = GraftSourceOffset(Map.empty)
 

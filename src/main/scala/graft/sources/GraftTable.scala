@@ -151,7 +151,11 @@ final class GraftTable(
   }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftScanBuilder(schema0, dataDir, partitionCols)
+    new GraftScanBuilder(schema0, dataDir, partitionCols,
+      maxFilesPerTrigger =
+        Option(options.get("maxFilesPerTrigger")).map(_.toInt),
+      maxBytesPerTrigger =
+        Option(options.get("maxBytesPerTrigger")).map(_.toLong))
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new GraftWriteBuilder(schema0, props, dataDir, partitionCols, info)
@@ -301,7 +305,9 @@ object TableStats {
 
 final class GraftScanBuilder(
     tableSchema: StructType, dataDir: String, partitionCols: Seq[String],
-    tracker: Option[GraftRowLevelOperation] = None)
+    tracker: Option[GraftRowLevelOperation] = None,
+    maxFilesPerTrigger: Option[Int] = None,
+    maxBytesPerTrigger: Option[Long] = None)
     extends ScanBuilder
     with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters
@@ -367,7 +373,7 @@ final class GraftScanBuilder(
   override def build(): Scan =
     if (countStar) new GraftCountStarScan(dataDir)
     else new GraftScan(tableSchema, required, pushed, dataDir, partitionCols,
-      wantFile, tracker, limit)
+      wantFile, tracker, limit, maxFilesPerTrigger, maxBytesPerTrigger)
 }
 
 final class GraftScan(
@@ -378,7 +384,9 @@ final class GraftScan(
     partitionCols: Seq[String],
     wantFile: Boolean = false,
     tracker: Option[GraftRowLevelOperation] = None,
-    limit: Option[Int] = None)
+    limit: Option[Int] = None,
+    maxFilesPerTrigger: Option[Int] = None,
+    maxBytesPerTrigger: Option[Long] = None)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsReportPartitioning with SupportsRuntimeFiltering {
 
@@ -390,7 +398,8 @@ final class GraftScan(
 
   override def toMicroBatchStream(
       checkpointLocation: String): org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new GraftMicroBatchStream(tableSchema, required, dataDir, partitionCols)
+    new GraftMicroBatchStream(tableSchema, required, dataDir, partitionCols,
+      maxFilesPerTrigger, maxBytesPerTrigger)
 
   override def readSchema(): StructType =
     if (wantFile)
@@ -632,6 +641,56 @@ final class GraftScan(
   override def estimateStatistics(): Statistics = new Statistics {
     override def sizeInBytes() = java.util.OptionalLong.of(files.map(_._2).sum)
     override def numRows() = java.util.OptionalLong.of(exactRows)
+
+    /** CBO-grade column bounds from the commit-time registry: the global
+      * [min, max] of each projected numeric/date column, folded over the
+      * (pruned) file set's per-file ranges. Sound only when EVERY live
+      * file registered a range for the column — otherwise the column is
+      * omitted. No file I/O: everything comes from `_stats.tsv`. */
+    override def columnStats(): java.util.Map[
+        org.apache.spark.sql.connector.expressions.NamedReference,
+        org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = {
+      import org.apache.spark.sql.types._
+      val out = new java.util.HashMap[
+        org.apache.spark.sql.connector.expressions.NamedReference,
+        org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
+      if (files.isEmpty) return out
+      for (field <- required.fields) {
+        val dt = field.dataType
+        val ordered = dt match {
+          case ByteType | ShortType | IntegerType | LongType | FloatType |
+              DoubleType | DateType => true
+          case _ => false // strings/bools: Spark's estimation ignores bounds
+        }
+        if (ordered) {
+          val ranges = files.map(f =>
+            cachedStats.get(TableStats.relOf(f._1)).flatMap(_.cols.get(field.name)))
+          if (ranges.nonEmpty && ranges.forall(_.isDefined)) {
+            def toCatalyst(raw: String): Any = PartitionPruning.parse(dt, raw) match {
+              case d: java.sql.Date => d.toLocalDate.toEpochDay.toInt
+              case x => x
+            }
+            def cmp(a: Any, b: Any): Int = dt match {
+              case FloatType | DoubleType => java.lang.Double.compare(
+                a.asInstanceOf[Number].doubleValue(), b.asInstanceOf[Number].doubleValue())
+              case _ => java.lang.Long.compare(
+                a.asInstanceOf[Number].longValue(), b.asInstanceOf[Number].longValue())
+            }
+            val mins = ranges.map(r => toCatalyst(r.get._1))
+            val maxs = ranges.map(r => toCatalyst(r.get._2))
+            val mn = mins.reduce((a, b) => if (cmp(a, b) <= 0) a else b)
+            val mx = maxs.reduce((a, b) => if (cmp(a, b) >= 0) a else b)
+            out.put(
+              org.apache.spark.sql.connector.expressions.Expressions.column(field.name),
+              new org.apache.spark.sql.connector.read.colstats.ColumnStatistics {
+                override def min() = java.util.Optional.of(mn.asInstanceOf[AnyRef])
+                override def max() = java.util.Optional.of(mx.asInstanceOf[AnyRef])
+              })
+          }
+        }
+      }
+      out
+    }
   }
 
   override def description(): String =

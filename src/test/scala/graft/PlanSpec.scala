@@ -1,5 +1,7 @@
 package graft
 
+import scala.jdk.CollectionConverters._
+
 import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -212,6 +214,38 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"SELECT count(*) FROM parquet.`$dir/documents.parquet` WHERE n_chars > 100")
       .head().getLong(0)
     assert(filtered.head().getLong(0) == want)
+  }
+
+  test("graft source: estimateStatistics surfaces registry column bounds (CBO inputs)") {
+    // build the scan the way Spark does and read its reported stats —
+    // min/max must come from _stats.tsv ranges with zero file I/O
+    val cat = spark.sessionState.catalogManager.catalog("gpart")
+      .asInstanceOf[graft.sources.GraftCatalog]
+    val table = cat.loadTable(org.apache.spark.sql.connector.catalog.Identifier.of(
+      Array("t"), "docs"))
+    val scan = table.asInstanceOf[org.apache.spark.sql.connector.catalog.SupportsRead]
+      .newScanBuilder(new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+        java.util.Collections.emptyMap())).build()
+    val footers0 = graft.sources.GraftScan.footerReads.get()
+    val stats = scan.asInstanceOf[org.apache.spark.sql.connector.read.SupportsReportStatistics]
+      .estimateStatistics()
+    assert(stats.numRows().getAsLong == 500L)
+    val cols = stats.columnStats()
+    def bounds(name: String): (Long, Long) = {
+      val cs = cols.asScala.collectFirst {
+        case (ref, s) if ref.fieldNames().sameElements(Array(name)) => s
+      }.getOrElse(fail(s"no column stats for $name: ${cols.keySet()}"))
+      (cs.min().get.asInstanceOf[Number].longValue(),
+        cs.max().get.asInstanceOf[Number].longValue())
+    }
+    val (idMin, idMax) = bounds("doc_id")
+    val want = spark.sql(
+      s"SELECT min(doc_id), max(doc_id) FROM parquet.`$dir/documents.parquet`").head()
+    assert((idMin, idMax) == (want.getLong(0), want.getLong(1)))
+    val (ncMin, ncMax) = bounds("n_chars")
+    assert(ncMin <= ncMax && ncMin > 0)
+    assert(graft.sources.GraftScan.footerReads.get() == footers0,
+      "column stats must come from the registry, not footers")
   }
 
   test("graft source: primitive-schema scans are columnar (vectorized)") {

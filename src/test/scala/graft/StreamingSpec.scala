@@ -162,6 +162,37 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"restart must deliver appended rows exactly once: $got")
   }
 
+  test("graft streaming SOURCE: maxFilesPerTrigger drains a backlog in bounded batches") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_ac_wh").toString
+    spark.conf.set("spark.sql.catalog.gac", classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gac.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gac.s")
+    spark.sql("CREATE TABLE gac.s.feed (id BIGINT)")
+    // backlog of 8 single-task commits => 8 files BEFORE the query starts
+    for (i <- 0 until 8)
+      spark.sql(s"INSERT INTO gac.s.feed SELECT id + ${i * 10} FROM range(10)")
+
+    val q = spark.readStream
+      .option("maxFilesPerTrigger", "2")
+      .table("gac.s.feed")
+      .writeStream.format("memory").queryName("ac_sink")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft_ac_ck").toString)
+      .start()
+    try {
+      q.processAllAvailable()
+      // all rows arrive...
+      assert(spark.table("ac_sink").count() == 80)
+      // ...but in ceil(8/2)=4+ batches of <=2 files each, not one giant one
+      val progress = q.recentProgress.filter(_.numInputRows > 0)
+      assert(progress.length >= 4,
+        s"backlog should drain in >=4 capped batches, got ${progress.length}")
+      assert(progress.forall(_.numInputRows <= 20),
+        s"a batch exceeded maxFilesPerTrigger=2 (20 rows): " +
+          progress.map(_.numInputRows).mkString(","))
+    } finally q.stop()
+  }
+
   test("graft streaming sink: epoch commit log hides uncommitted files and dedups replays") {
     import org.apache.hadoop.fs.Path
     import org.apache.spark.sql.connector.write.WriterCommitMessage
