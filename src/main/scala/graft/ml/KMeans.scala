@@ -41,6 +41,38 @@ object KMeans {
     centroids
   }
 
+  /** Lloyd's to convergence with a hard iteration cap: stops as soon as an
+    * update reproduces the previous model EXACTLY (quantized means are
+    * deterministic, so the fixed point is decidable by value equality — no
+    * epsilon). Because Lloyd's update is idempotent at a fixed point,
+    * `fitConverged(e, k, maxIters)` equals `fit(e, k, maxIters)` whenever
+    * convergence happens within the cap — which is what lets a SQL oracle
+    * replay it by unconditionally unrolling `maxIters` iterations.
+    *
+    * @return (centroids, iterations actually computed) */
+  def fitConverged(emb: DataFrame, k: Int, maxIters: Int): (DataFrame, Int) = {
+    val spark = emb.sparkSession
+    var centroids = emb.orderBy(col("id")).limit(k)
+      .select(col("id").cast("int").as("cluster"), col("e").as("c"))
+    var prev: Option[IndexedSeq[(Int, Seq[Double])]] = None
+    var used = 0
+    var converged = false
+    while (used < maxIters && !converged) {
+      val next = update(assign(emb, centroids))
+      val schema = next.schema
+      val rows = next.orderBy(col("cluster")).collect().toIndexedSeq
+      used += 1
+      val key = rows.map(r => (r.getInt(0), r.getSeq[Double](1)))
+      if (prev.contains(key)) converged = true // fixed point: model is final
+      else {
+        prev = Some(key)
+        centroids = spark.createDataFrame(
+          spark.sparkContext.parallelize(rows, 1), schema)
+      }
+    }
+    (centroids, used)
+  }
+
   /** Nearest-centroid assignment: (id, e, cluster). Argmax by
     * (sim DESC, cluster ASC) via max_by over struct(sim, -cluster) — a
     * hash aggregate with map-side partial merge, no sort shuffle (ties

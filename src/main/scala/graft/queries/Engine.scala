@@ -213,6 +213,56 @@ object Engine {
         FROM documents WHERE doc_id % 2 = 0 OR doc_id % 3 = 0
         GROUP BY lang ORDER BY lang""")),
 
+    // ---- q67: multi-action MERGE incl. NOT MATCHED BY SOURCE --------------
+    // The full Spark 4 MERGE matrix through the group-based COW path:
+    // conditional UPDATE vs DELETE on match (ordered actions), conditional
+    // INSERT on no-match, and UPDATE of target rows the source never
+    // mentions (WHEN NOT MATCHED BY SOURCE — beyond the reference, which
+    // has no MERGE at all). The oracle rebuilds the merged state
+    // relationally from the same inputs.
+    QueryDef(
+      "q67_merge_multi_action",
+      (s, dir) => {
+        val ns = ensureCatalog(s, dir)
+        s.sql(s"DROP TABLE IF EXISTS $ns.mg2")
+        s.sql(s"""CREATE TABLE $ns.mg2 AS
+                 |SELECT doc_id, n_chars, lang FROM parquet.`$dir/documents.parquet`
+                 |WHERE doc_id % 2 = 0""".stripMargin)
+        s.sql(
+          s"""MERGE INTO $ns.mg2 t
+             |USING (SELECT doc_id, n_chars, lang
+             |       FROM parquet.`$dir/documents.parquet` WHERE doc_id % 3 = 0) s
+             |ON t.doc_id = s.doc_id
+             |WHEN MATCHED AND t.n_chars < 300 THEN UPDATE SET n_chars = t.n_chars + 1000
+             |WHEN MATCHED THEN DELETE
+             |WHEN NOT MATCHED AND s.n_chars >= 200 THEN INSERT *
+             |WHEN NOT MATCHED BY SOURCE THEN UPDATE SET n_chars = 0""".stripMargin)
+        s.sql(
+          s"""SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
+             |       CAST(SUM(n_chars) AS BIGINT) AS chars,
+             |       CAST(SUM(doc_id) AS BIGINT) AS id_sum
+             |FROM $ns.mg2 GROUP BY lang ORDER BY lang""".stripMargin)
+      },
+      Some("""WITH t AS (SELECT doc_id, n_chars, lang FROM documents WHERE doc_id % 2 = 0),
+        s AS (SELECT doc_id, n_chars, lang FROM documents WHERE doc_id % 3 = 0),
+        merged AS (
+          -- matched + n_chars < 300: updated in place
+          SELECT t.doc_id, t.n_chars + 1000 AS n_chars, t.lang
+          FROM t JOIN s ON s.doc_id = t.doc_id WHERE t.n_chars < 300
+          -- (matched with n_chars >= 300: deleted)
+          UNION ALL
+          -- not matched + n_chars >= 200: inserted
+          SELECT s.doc_id, s.n_chars, s.lang FROM s
+          WHERE s.doc_id NOT IN (SELECT doc_id FROM t) AND s.n_chars >= 200
+          UNION ALL
+          -- not matched by source: zeroed
+          SELECT t.doc_id, 0 AS n_chars, t.lang FROM t
+          WHERE t.doc_id NOT IN (SELECT doc_id FROM s))
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(n_chars) AS BIGINT) AS chars,
+               CAST(SUM(doc_id) AS BIGINT) AS id_sum
+        FROM merged GROUP BY lang ORDER BY lang""")),
+
     // ---- q65: catalog-free format("graft") read ---------------------------
     // The DataSourceRegister surface: a table dir written through the
     // catalog is read back with spark.read.format("graft").load(dir) — no

@@ -465,6 +465,77 @@ object Vectors {
             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vid) AS rank
           FROM cscore)
         WHERE rank <= 3 ORDER BY qid, rank"""
+      }),
+
+    // ---- q66: k-means trained TO CONVERGENCE (capped) ----------------------
+    // fitConverged stops at the exact fixed point (quantized means make
+    // equality decidable); because Lloyd's update is idempotent at a fixed
+    // point, the oracle replays it by unconditionally unrolling the SAME
+    // maxIters=4 iterations — an early-stopped Spark model and the fully
+    // unrolled SQL model coincide. Output: per surviving cluster, its
+    // member count and the quantized-centroid checksum.
+    QueryDef(
+      "q66_kmeans_converged",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val e = emb(t)
+        val ke = e.select(col("vec_id").as("id"), col("e"))
+        val (cent, _) = graft.ml.KMeans.fitConverged(ke, 8, 4)
+        val scored = ke.crossJoin(broadcast(cent))
+          .withColumn("dot",
+            expr("aggregate(zip_with(e, c, (x, y) -> round(x * y * 1e9)), 0D, (a, p) -> a + p)"))
+          .withColumn("cn2", expr("aggregate(c, 0D, (a, x) -> a + round(x * x * 1e9))"))
+          .withColumn("sim", expr("dot / sqrt(cn2)"))
+        val w = Window.partitionBy(col("id")).orderBy(desc("sim"), col("cluster"))
+        val sizes = scored.withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .groupBy(col("cluster")).agg(count(lit(1)).cast("long").as("n"))
+        cent
+          .withColumn("csum",
+            expr("CAST(aggregate(c, 0D, (a, x) -> a + round(x * 1e9)) AS BIGINT)"))
+          .join(sizes, Seq("cluster"), "left")
+          .select(col("cluster").cast("int").as("cluster"), col("n"), col("csum"))
+          .orderBy(col("cluster"))
+      },
+      Some {
+        def sim(cent: String, out: String) =
+          s"""$out AS (
+             |  SELECT e.id, c.cluster,
+             |    list_sum(list_transform(range(1, len(e.embedding) + 1),
+             |      i -> round(CAST(e.embedding[i] AS DOUBLE) * c.c[i] * 1e9))) /
+             |    sqrt(list_sum(list_transform(c.c, x -> round(x * x * 1e9)))) AS sim
+             |  FROM e CROSS JOIN $cent c)""".stripMargin
+        def assignCte(scores: String, out: String) =
+          s"""$out AS (
+             |  SELECT id, cluster FROM (
+             |    SELECT id, cluster,
+             |      ROW_NUMBER() OVER (PARTITION BY id ORDER BY sim DESC, cluster) AS rn
+             |    FROM $scores) WHERE rn = 1)""".stripMargin
+        def updateCte(assignName: String, out: String) =
+          s"""${out}_s AS (
+             |  SELECT a.cluster, p.i,
+             |    SUM(round(CAST(e.embedding[p.i] AS DOUBLE) * 1e9)) AS sm,
+             |    COUNT(*) AS n
+             |  FROM $assignName a JOIN e ON e.id = a.id CROSS JOIN pos p
+             |  GROUP BY a.cluster, p.i),
+             |$out AS (
+             |  SELECT cluster, list((sm / n) / 1e9 ORDER BY i) AS c
+             |  FROM ${out}_s GROUP BY cluster)""".stripMargin
+        s"""WITH e AS (SELECT vec_id AS id, embedding FROM embeddings),
+        pos AS (SELECT CAST(i AS BIGINT) AS i FROM range(1, 65) t(i)),
+        c0 AS (SELECT CAST(id AS INT) AS cluster,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS c
+               FROM e WHERE id < 8),
+        ${sim("c0", "s1")}, ${assignCte("s1", "a1")}, ${updateCte("a1", "c1")},
+        ${sim("c1", "s2")}, ${assignCte("s2", "a2")}, ${updateCte("a2", "c2")},
+        ${sim("c2", "s3")}, ${assignCte("s3", "a3")}, ${updateCte("a3", "c3")},
+        ${sim("c3", "s4")}, ${assignCte("s4", "a4")}, ${updateCte("a4", "c4")},
+        ${sim("c4", "s5")}, ${assignCte("s5", "a5")},
+        sizes AS (SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n FROM a5 GROUP BY cluster)
+        SELECT CAST(c4.cluster AS INT) AS cluster, sizes.n,
+               CAST(list_sum(list_transform(c4.c, x -> round(x * 1e9))) AS BIGINT) AS csum
+        FROM c4 LEFT JOIN sizes ON sizes.cluster = c4.cluster
+        ORDER BY c4.cluster"""
       })
   )
 }

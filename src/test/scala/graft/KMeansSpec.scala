@@ -40,4 +40,22 @@ class KMeansSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(a.toSeq == b.toSeq)
     assert(a.length == 8 && a.forall(_._2.length == 64))
   }
+
+  test("fitConverged stops at the exact fixed point and matches unrolled fit") {
+    import spark.implicits._
+    // two tight, well-separated blobs -> converges in very few iterations
+    val pts = (0 until 40).map { i =>
+      val base = if (i % 2 == 0) 10.0 else -10.0
+      (i.toLong, Seq(base + (i % 5) * 0.01, base - (i % 3) * 0.01))
+    }
+    val emb = pts.toDF("id", "e").cache()
+    val (cent, used) = KMeans.fitConverged(emb, 2, 10)
+    assert(used < 10, s"expected early convergence, used all $used iterations")
+    // idempotence: the converged model equals the fully unrolled one
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1))).sortBy(_._1).toSeq
+    assert(key(cent) == key(KMeans.fit(emb, 2, 10)))
+    // and one more Lloyd step changes nothing
+    assert(key(KMeans.update(KMeans.assign(emb, cent))) == key(cent))
+  }
 }
