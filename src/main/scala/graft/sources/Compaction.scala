@@ -29,11 +29,20 @@ import org.apache.spark.sql.functions.col
   */
 object Compaction {
 
-  /** @return (filesBefore, filesAfter) across the compacted partitions */
+  /** Compact, optionally CLUSTERING the rewritten rows by `sortBy`: a
+    * range-repartition + within-partition sort makes the consolidated
+    * files' registered [min, max] ranges disjoint on the sort key, so
+    * file-level range skipping prunes point/range queries to one file —
+    * the OPTIMIZE ... ZORDER/SORT analog (one extra shuffle, only over
+    * the small files being rewritten).
+    *
+    * @return (filesBefore, filesAfter) across the compacted partitions */
   def compact(
       spark: SparkSession,
       table: GraftTable,
-      smallBytes: Long = 32L * 1024 * 1024): (Int, Int) = {
+      smallBytes: Long = 32L * 1024 * 1024,
+      sortBy: Seq[String] = Nil,
+      outputFiles: Int = 0): (Int, Int) = {
     val conf = new Configuration()
     val dataDir = new Path(table.dataDir)
     val fs = dataDir.getFileSystem(conf)
@@ -62,9 +71,13 @@ object Compaction {
     val schema = table.schema0
     val partitionCols = table.partitioning().toSeq
       .map(_.references()(0).fieldNames().mkString("."))
-    val df = spark.read.schema(schema).parquet(victims: _*)
+    val base0 = spark.read.schema(schema).parquet(victims: _*)
       .select(schema.fieldNames.map(col): _*)
-      .coalesce(math.max(1, groups.size))
+    val nOut = if (outputFiles > 0) outputFiles else math.max(1, groups.size)
+    val df =
+      if (sortBy.isEmpty) base0.coalesce(nOut)
+      else base0.repartitionByRange(nOut, sortBy.map(col): _*)
+        .sortWithinPartitions(sortBy.map(col): _*)
     val dataDirStr = table.dataDir
     // rows are MOVED, never re-keyed: drop any row-key generator property
     val props = {

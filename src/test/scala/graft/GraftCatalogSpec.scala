@@ -495,6 +495,49 @@ class GraftCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.sql("DROP TABLE graft.pw.cmp")
   }
 
+  test("sorted compaction clusters files into disjoint ranges that skip") {
+    spark.sql("CREATE TABLE graft.pw.clus (id BIGINT, v DOUBLE)")
+    // interleaved inserts: every file's id range spans the whole domain,
+    // so range skipping can prune nothing
+    for (i <- 0 until 6)
+      spark.sql(s"INSERT INTO graft.pw.clus SELECT id * 6 + $i, CAST(id AS DOUBLE) " +
+        s"FROM range(200)")
+    val t = spark.sessionState.catalogManager.catalog("graft")
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
+      .loadTable(org.apache.spark.sql.connector.catalog.Identifier.of(Array("pw"), "clus"))
+      .asInstanceOf[graft.sources.GraftTable]
+    val want = spark.table("graft.pw.clus").collect().map(_.getLong(0)).sorted.toSeq
+
+    val (removed, written) = graft.sources.Compaction.compact(
+      spark, t, sortBy = Seq("id"), outputFiles = 4)
+    assert(removed >= 6 && written >= 2 && written < removed,
+      s"clustered $removed -> $written")
+    assert(spark.table("graft.pw.clus").collect().map(_.getLong(0)).sorted.toSeq == want)
+
+    // registered id ranges are now pairwise disjoint...
+    val fs = new org.apache.hadoop.fs.Path(t.dataDir)
+      .getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val ranges = graft.sources.TableStats
+      .read(fs, new org.apache.hadoop.fs.Path(t.dataDir))
+      .values.toSeq.flatMap(_.cols.get("id"))
+      .map { case (mn, mx) => (mn.toLong, mx.toLong) }.sorted
+    assert(ranges.size == written)
+    ranges.sliding(2).foreach {
+      case Seq((_, aMax), (bMin, _)) =>
+        assert(aMax < bMin, s"overlapping clustered ranges: $ranges")
+      case _ => ()
+    }
+    // ...so a point query plans exactly one file
+    val fresh = t.newScanBuilder(
+      new org.apache.spark.sql.util.CaseInsensitiveStringMap(java.util.Map.of()))
+    fresh.asInstanceOf[org.apache.spark.sql.connector.read.SupportsPushDownFilters]
+      .pushFilters(Array(org.apache.spark.sql.sources.EqualTo("id", 600L)))
+    val parts = fresh.build().asInstanceOf[graft.sources.GraftScan]
+      .toBatch.planInputPartitions()
+    assert(parts.length == 1, s"point query planned ${parts.length} files, want 1")
+    spark.sql("DROP TABLE graft.pw.clus")
+  }
+
   test("format(\"graft\"): catalog-free read, USING graft table, direct append") {
     spark.sql("CREATE TABLE graft.pw.direct (id BIGINT, s STRING)")
     spark.sql("INSERT INTO graft.pw.direct VALUES (1, 'a'), (2, 'b')")
