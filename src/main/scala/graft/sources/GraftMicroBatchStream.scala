@@ -3,7 +3,7 @@ package graft.sources
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory}
-import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, MicroBatchStream, Offset, ReadAllAvailable, ReadLimit, ReadMaxBytes, ReadMaxFiles, SupportsAdmissionControl}
+import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, MicroBatchStream, Offset, ReadAllAvailable, ReadLimit, ReadMaxBytes, ReadMaxFiles, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.types.StructType
 
 /** Streaming SOURCE over a graft table: each micro-batch reads the data
@@ -26,7 +26,7 @@ final class GraftMicroBatchStream(
     partitionCols: Seq[String],
     maxFilesPerTrigger: Option[Int] = None,
     maxBytesPerTrigger: Option[Long] = None)
-    extends MicroBatchStream with SupportsAdmissionControl {
+    extends MicroBatchStream with SupportsTriggerAvailableNow {
 
   private def visibleFiles(): Map[String, Long] = {
     val conf = new Configuration()
@@ -93,9 +93,19 @@ final class GraftMicroBatchStream(
       case _ => fresh
     }
 
+  // Trigger.AvailableNow: snapshot the visible set once at query start;
+  // every batch of this run drains toward that fixed endpoint (files that
+  // appear later belong to the next run), so the query provably
+  // terminates even while writers keep appending.
+  @volatile private var availableNowCap: Option[Map[String, Long]] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap = Some(visibleFiles())
+
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val seen = start.asInstanceOf[GraftSourceOffset].files
-    val fresh = (visibleFiles() -- seen.keySet).toSeq.sorted
+    val visible = availableNowCap.getOrElse(visibleFiles())
+    val fresh = (visible -- seen.keySet).toSeq.sorted
     GraftSourceOffset(seen ++ admit(fresh, limit))
   }
 

@@ -193,6 +193,52 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("graft streaming SOURCE: Trigger.AvailableNow drains the snapshot and terminates") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_an_wh").toString
+    spark.conf.set("spark.sql.catalog.gan", classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gan.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gan.s")
+    spark.sql("CREATE TABLE gan.s.feed (id BIGINT)")
+    for (i <- 0 until 3)
+      spark.sql(s"INSERT INTO gan.s.feed SELECT id + ${i * 10} FROM range(10)")
+
+    val q = spark.readStream
+      .option("maxFilesPerTrigger", "1")
+      .table("gan.s.feed")
+      .writeStream.format("memory").queryName("an_sink")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft_an_ck").toString)
+      .start()
+    // AvailableNow must terminate on its own once the snapshot is drained
+    assert(q.awaitTermination(120000), "AvailableNow query did not terminate")
+    assert(spark.table("an_sink").count() == 30)
+    val batches = q.recentProgress.count(_.numInputRows > 0)
+    assert(batches >= 3, s"capped AvailableNow should take >=3 batches, got $batches")
+  }
+
+  test("graft streaming SOURCE: catalog-free readStream.format(\"graft\")") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_fs_wh").toString
+    spark.conf.set("spark.sql.catalog.gfs", classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gfs.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gfs.s")
+    spark.sql("CREATE TABLE gfs.s.feed (id BIGINT)")
+    spark.sql("INSERT INTO gfs.s.feed SELECT id FROM range(25)")
+
+    val q = spark.readStream.format("graft").load(s"$wh/s/feed")
+      .writeStream.format("memory").queryName("fs_sink")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft_fs_ck").toString)
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("fs_sink").count() == 25)
+      spark.sql("INSERT INTO gfs.s.feed SELECT id + 100 FROM range(5)")
+      q.processAllAvailable()
+      assert(spark.table("fs_sink").count() == 30)
+    } finally q.stop()
+  }
+
   test("graft streaming sink: epoch commit log hides uncommitted files and dedups replays") {
     import org.apache.hadoop.fs.Path
     import org.apache.spark.sql.connector.write.WriterCommitMessage
