@@ -28,7 +28,25 @@ final class GraftMicroBatchStream(
     maxBytesPerTrigger: Option[Long] = None)
     extends MicroBatchStream with SupportsTriggerAvailableNow {
 
+  /** [[visibleFilesOnce]] with retries: on a local FS the registry's
+    * rename-overwrite (and file churn from concurrent commits) can make a
+    * just-listed path vanish before the lister stats it — transient by
+    * construction, so retry briefly rather than fail the stream. */
   private def visibleFiles(): Map[String, Long] = {
+    var attempt = 0
+    while (true) {
+      try return visibleFilesOnce()
+      catch {
+        case e: Exception =>
+          attempt += 1
+          if (attempt >= 5) throw e
+          Thread.sleep(50L * attempt)
+      }
+    }
+    Map.empty // unreachable
+  }
+
+  private def visibleFilesOnce(): Map[String, Long] = {
     val conf = new Configuration()
     val root = new Path(dataDir)
     val fs = root.getFileSystem(conf)

@@ -906,7 +906,29 @@ final class GraftWriteBuilder(
 
   override def truncate(): WriteBuilder = { doTruncate = true; this }
 
-  override def build(): Write = new Write {
+  // Partitioned writes REQUEST a clustered distribution on the partition
+  // columns (advisory, AQE sizes the tasks): rows of one partition value
+  // land in few tasks instead of every task, so a 1000-task INSERT writes
+  // ~#partitions files, not #tasks x #partitions small files — the
+  // write-side half of the small-file story (compaction is the repair
+  // half). Opt out per table with write.distribute=false.
+  override def build(): Write =
+    if (partitionCols.nonEmpty &&
+        props.getOrElse("write.distribute", "true").toBoolean)
+      new GraftWrite with RequiresDistributionAndOrdering {
+        override def requiredDistribution():
+            org.apache.spark.sql.connector.distributions.Distribution =
+          org.apache.spark.sql.connector.distributions.Distributions.clustered(
+            partitionCols.map(c => org.apache.spark.sql.connector.expressions
+              .Expressions.identity(c): org.apache.spark.sql.connector.expressions.Expression)
+              .toArray)
+        override def distributionStrictlyRequired(): Boolean = false
+        override def requiredOrdering(): Array[
+            org.apache.spark.sql.connector.expressions.SortOrder] = Array.empty
+      }
+    else new GraftWrite
+
+  private class GraftWrite extends Write {
     override def toBatch: BatchWrite =
       new GraftBatchWrite(schema, props, dataDir, partitionCols, doTruncate)
     override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =

@@ -495,6 +495,24 @@ class GraftCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.sql("DROP TABLE graft.pw.cmp")
   }
 
+  test("partitioned INSERT clusters rows: files per partition value, not per task") {
+    spark.sql("CREATE TABLE graft.pw.clw (id BIGINT, grp STRING) PARTITIONED BY (grp)")
+    // 4-task source, 2 partition values: without the write's requested
+    // clustered distribution this would write up to 4 x 2 = 8 files
+    spark.range(0, 4000).repartition(4)
+      .selectExpr("id", "CASE WHEN id % 2 = 0 THEN 'a' ELSE 'b' END AS grp")
+      .writeTo("graft.pw.clw").append()
+    def walk(d: java.io.File): Seq[java.io.File] =
+      d.listFiles().toSeq.flatMap(f => if (f.isDirectory) walk(f) else Seq(f))
+    val files = walk(new java.io.File(s"$warehouse/pw/clw/data"))
+      .filter(_.getName.endsWith(".parquet"))
+    assert(files.size <= 3, s"clustered write produced ${files.size} files")
+    assert(spark.table("graft.pw.clw").count() == 4000)
+    assert(spark.sql("SELECT count(*) FROM graft.pw.clw WHERE grp = 'a'")
+      .head().getLong(0) == 2000)
+    spark.sql("DROP TABLE graft.pw.clw")
+  }
+
   test("sorted compaction clusters files into disjoint ranges that skip") {
     spark.sql("CREATE TABLE graft.pw.clus (id BIGINT, v DOUBLE)")
     // interleaved inserts: every file's id range spans the whole domain,
