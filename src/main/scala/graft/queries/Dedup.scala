@@ -255,5 +255,42 @@ object Dedup {
                 FROM edges e JOIN l1 ON l1.id = e.b GROUP BY e.a)
         SELECT l1.id AS doc_id, LEAST(l1.l, nbl.mnl) AS cluster
         FROM l1 JOIN nbl USING (id) ORDER BY doc_id"""))
+    ,
+
+    // ---- q70: benchmark decontamination --------------------------------
+    // Training corpora must exclude evaluation data: docs sharing word-
+    // 3-grams with a held-out benchmark set (here: doc_id % 97 = 5) are
+    // flagged with how many benchmark docs they overlap and how many
+    // distinct shingles they share. Scale shape: the benchmark shingle
+    // set is tiny relative to the corpus, so it BROADCASTS — the corpus
+    // is scanned once, never self-joined (the same reason real
+    // decontamination uses bloom filters of benchmark n-grams).
+    QueryDef(
+      "q70_decontaminate",
+      (s, dir) => {
+        val sh = shingles(Tables(s, dir))
+        val bench = sh.filter(col("doc_id") % 97 === 5)
+          .select(col("shingle"), col("doc_id").as("bdoc"))
+        val corpus = sh.filter(col("doc_id") % 97 =!= 5)
+        corpus.join(broadcast(bench), "shingle")
+          .groupBy(col("doc_id"), col("bdoc"))
+          .agg(countDistinct(col("shingle")).as("shared"))
+          .filter(col("shared") >= 3) // >=3 shared 3-grams = contamination
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).cast("long").as("n_bench"),
+            sum(col("shared")).cast("long").as("shared_grams"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH $shingleSql,
+        bench AS (SELECT shingle, doc_id AS bdoc FROM sh WHERE doc_id % 97 = 5),
+        hits AS (
+          SELECT c.doc_id, b.bdoc, COUNT(DISTINCT c.shingle) AS shared
+          FROM sh c JOIN bench b ON b.shingle = c.shingle
+          WHERE c.doc_id % 97 <> 5
+          GROUP BY c.doc_id, b.bdoc
+          HAVING COUNT(DISTINCT c.shingle) >= 3)
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bench,
+               CAST(SUM(shared) AS BIGINT) AS shared_grams
+        FROM hits GROUP BY doc_id ORDER BY doc_id"""))
   )
 }

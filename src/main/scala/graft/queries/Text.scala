@@ -343,6 +343,81 @@ object Text {
           len_sum / n_tokens AS mean_word_len,
           dup_tris / n_tris AS dup_trigram_frac
         FROM pd JOIN ls USING (doc_id) JOIN td USING (doc_id)
-        ORDER BY pd.doc_id"""))
+        ORDER BY pd.doc_id""")),
+
+    // ---- q68: deterministic train/valid/test split -------------------------
+    // Held-out splits for training corpora must be STABLE: a document's
+    // split is a pure function of its id (salted md5 -> bucket 0-99 ->
+    // 80/10/10), never of row order, partitioning, or engine — so the
+    // same doc lands in the same split on every run of every system that
+    // implements the contract. One narrow codegen pass, no shuffle
+    // beyond the final per-(lang, split) rollup.
+    QueryDef(
+      "q68_dataset_split",
+      (s, dir) => {
+        s.read.parquet(s"$dir/documents.parquet")
+          .withColumn("h", expr(
+            "cast(conv(substring(md5(cast(concat('split:', cast(doc_id as string)) " +
+              "as binary)), 1, 15), 16, 10) as bigint) % 100"))
+          .withColumn("split", expr(
+            "CASE WHEN h < 80 THEN 'train' WHEN h < 90 THEN 'valid' ELSE 'test' END"))
+          .groupBy(col("lang"), col("split"))
+          .agg(count(lit(1)).cast("long").as("n"),
+            sum(col("n_chars")).cast("long").as("chars"),
+            sum(col("doc_id")).cast("long").as("id_sum"))
+          .orderBy(col("lang"), col("split"))
+      },
+      Some {
+        val hex15 = (1 to 15)
+          .map(j => s"(strpos('0123456789abcdef', substr(m, $j, 1)) - 1) * ${1L << (4 * (15 - j))}")
+          .mkString(" + ")
+        s"""WITH h AS (
+          SELECT doc_id, lang, n_chars, ($hex15) % 100 AS b
+          FROM (SELECT doc_id, lang, n_chars,
+                  md5('split:' || CAST(doc_id AS VARCHAR)) AS m
+                FROM documents)),
+        sp AS (SELECT lang, n_chars, doc_id,
+                 CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'valid'
+                      ELSE 'test' END AS split
+               FROM h)
+        SELECT lang, split, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(n_chars) AS BIGINT) AS chars,
+               CAST(SUM(doc_id) AS BIGINT) AS id_sum
+        FROM sp GROUP BY lang, split ORDER BY lang, split"""
+      }),
+
+    // ---- q69: sequence packing into fixed token budgets --------------------
+    // Contiguous packing for context-window training: within each lang,
+    // documents in stable doc_id order accumulate into 512-token packs
+    // (pack = floor(tokens-before-me / budget)). One running-sum window
+    // per lang partition and a rollup — no shuffle beyond the window's
+    // own partitioning, deterministic pack assignment at any scale.
+    QueryDef(
+      "q69_sequence_packing",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = s.read.parquet(s"$dir/documents.parquet")
+          .withColumn("toks", size(split(col("text"), " ")).cast("long"))
+        val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        docs.withColumn("cum", sum(col("toks")).over(w))
+          .withColumn("pack_id", expr("CAST(floor((cum - toks) / 512.0) AS BIGINT)"))
+          .groupBy(col("lang"), col("pack_id"))
+          .agg(count(lit(1)).cast("long").as("n_docs"),
+            sum(col("toks")).cast("long").as("n_tokens"),
+            min(col("doc_id")).as("first_doc"),
+            max(col("doc_id")).as("last_doc"))
+          .orderBy(col("lang"), col("pack_id"))
+      },
+      Some("""WITH d AS (SELECT lang, doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS toks FROM documents),
+        c AS (SELECT lang, doc_id, toks,
+                SUM(toks) OVER (PARTITION BY lang ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM d)
+        SELECT lang, CAST(floor((cum - toks) / 512.0) AS BIGINT) AS pack_id,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(toks) AS BIGINT) AS n_tokens,
+               MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+        FROM c GROUP BY lang, pack_id ORDER BY lang, pack_id"""))
   )
 }
