@@ -418,6 +418,52 @@ object Text {
                CAST(COUNT(*) AS BIGINT) AS n_docs,
                CAST(SUM(toks) AS BIGINT) AS n_tokens,
                MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
-        FROM c GROUP BY lang, pack_id ORDER BY lang, pack_id"""))
+        FROM c GROUP BY lang, pack_id ORDER BY lang, pack_id""")),
+
+    // ---- q71: BM25 keyword retrieval ---------------------------------------
+    // Keyword search over the corpus (the sparse half of hybrid
+    // retrieval): BM25 with a rational idf variant — (N-df+0.5)/(df+0.5)
+    // without the log, keeping every operation rational so both engines
+    // compute bit-identical doubles; per-(doc, term) scores are quantized
+    // to integers BEFORE the per-doc sum so aggregation order cannot
+    // matter. Scale shape: df and corpus stats are tiny aggregates that
+    // broadcast; the corpus is scanned once.
+    QueryDef(
+      "q71_bm25",
+      (s, dir) => {
+        val docs = s.read.parquet(s"$dir/documents.parquet")
+          .select(col("doc_id"), split(col("text"), " ").as("sp"))
+          .withColumn("dl", size(col("sp")).cast("long"))
+        val glob = docs.agg(sum(col("dl")).cast("double").as("sl"),
+          count(lit(1)).cast("double").as("nd"))
+        val tf = docs.select(col("doc_id"), col("dl"), explode(col("sp")).as("tok"))
+          .filter(col("tok").isin("join", "scan", "hash"))
+          .groupBy(col("doc_id"), col("dl"), col("tok"))
+          .agg(count(lit(1)).cast("double").as("tf"))
+        val dfx = tf.groupBy(col("tok")).agg(count(lit(1)).cast("double").as("df"))
+        tf.join(broadcast(dfx), "tok").crossJoin(broadcast(glob))
+          .withColumn("part", expr(
+            "round(((nd - df + 0.5) / (df + 0.5)) * tf * 2.2 / " +
+              "(tf + 1.2 * (0.25 + 0.75 * dl / (sl / nd))) * 1e6)"))
+          .groupBy(col("doc_id"))
+          .agg(sum(col("part")).cast("long").as("score_micro"))
+          .orderBy(desc("score_micro"), col("doc_id"))
+          .limit(20)
+      },
+      Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS sp FROM documents),
+        dd AS (SELECT doc_id, CAST(len(sp) AS BIGINT) AS dl, sp FROM d),
+        g AS (SELECT CAST(SUM(dl) AS DOUBLE) AS sl, CAST(COUNT(*) AS DOUBLE) AS nd FROM dd),
+        t AS (SELECT doc_id, dl, unnest(sp) AS tok FROM dd),
+        tf AS (SELECT doc_id, dl, tok, CAST(COUNT(*) AS DOUBLE) AS tf
+               FROM t WHERE tok IN ('join', 'scan', 'hash') GROUP BY doc_id, dl, tok),
+        dfx AS (SELECT tok, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY tok),
+        parts AS (
+          SELECT tf.doc_id,
+            round(((g.nd - dfx.df + 0.5) / (dfx.df + 0.5)) * tf.tf * 2.2 /
+              (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / (g.sl / g.nd))) * 1e6) AS part
+          FROM tf JOIN dfx USING (tok) CROSS JOIN g)
+        SELECT doc_id, CAST(SUM(part) AS BIGINT) AS score_micro
+        FROM parts GROUP BY doc_id
+        ORDER BY score_micro DESC, doc_id LIMIT 20"""))
   )
 }
