@@ -263,6 +263,29 @@ object Engine {
                CAST(SUM(doc_id) AS BIGINT) AS id_sum
         FROM merged GROUP BY lang ORDER BY lang""")),
 
+    // ---- q72: hash-bucket partitioning + pruned point lookups -------------
+    // PARTITIONED BY (bucket(16, doc_id)): equal keys co-locate in one of
+    // 16 directories without a directory per value; the IN-list lookup
+    // prunes to the matching buckets before listing (at 100 TB: a point
+    // read scans 1/16 of the table, and two co-bucketed tables join
+    // bucket-to-bucket). Correctness gated against the raw parquet.
+    QueryDef(
+      "q72_bucketed_lookup",
+      (s, dir) => {
+        val ns = ensureCatalog(s, dir)
+        s.sql(s"DROP TABLE IF EXISTS $ns.bdocs")
+        s.sql(
+          s"""CREATE TABLE $ns.bdocs (doc_id BIGINT, lang STRING, n_chars BIGINT)
+             |PARTITIONED BY (bucket(16, doc_id))""".stripMargin)
+        s.sql(s"""INSERT INTO $ns.bdocs
+                 |SELECT doc_id, lang, n_chars FROM parquet.`$dir/documents.parquet`""".stripMargin)
+        s.sql(
+          s"""SELECT doc_id, lang, n_chars FROM $ns.bdocs
+             |WHERE doc_id IN (3, 57, 123, 401) ORDER BY doc_id""".stripMargin)
+      },
+      Some("""SELECT doc_id, lang, n_chars FROM documents
+        WHERE doc_id IN (3, 57, 123, 401) ORDER BY doc_id""")),
+
     // ---- q65: catalog-free format("graft") read ---------------------------
     // The DataSourceRegister surface: a table dir written through the
     // catalog is read back with spark.read.format("graft").load(dir) — no

@@ -69,8 +69,7 @@ object Compaction {
     // columns added after the files were written null-fill), write
     // consolidated files through the normal partitioned writer
     val schema = table.schema0
-    val partitionCols = table.partitioning().toSeq
-      .map(_.references()(0).fieldNames().mkString("."))
+    val partitionCols = table.partitionSpecs
     val base0 = spark.read.schema(schema).parquet(victims: _*)
       .select(schema.fieldNames.map(col): _*)
     val nOut = if (outputFiles > 0) outputFiles else math.max(1, groups.size)

@@ -160,9 +160,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
       case other =>
         throw new UnsupportedOperationException(s"graft catalog: unsupported change $other")
     }
-    val partCols = table.partitioning().toSeq
-      .map(_.references()(0).fieldNames().mkString("."))
-    writeMeta(ident, schema, props, partCols)
+    // write back the original SPEC strings (bucket(n,col) must survive
+    // an ALTER, not collapse to its source column)
+    writeMeta(ident, schema, props, table.partitionSpecs)
     loadTable(ident)
   }
 
@@ -194,19 +194,36 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
   // (CreateHBaseTableAsSelectCommand.scala:53-72), done the Spark way.
 
   private def validatePartitions(schema: StructType, partitions: Array[Transform]): Seq[String] = {
-    val partCols = partitions.toSeq.map {
+    val fields = partitions.toSeq.map {
       case t if t.name() == "identity" && t.references().length == 1 =>
-        t.references()(0).fieldNames().mkString(".")
+        PartField.Identity(t.references()(0).fieldNames().mkString("."))
+      case t if t.name() == "bucket" && t.references().length == 1 =>
+        val n = t.arguments().collectFirst {
+          case lit: org.apache.spark.sql.connector.expressions.Literal[_]
+              if lit.value().isInstanceOf[Number] =>
+            lit.value().asInstanceOf[Number].intValue()
+        }.getOrElse(throw new IllegalArgumentException(
+          s"graft catalog: bucket transform without a count: $t"))
+        PartField.Bucket(n, t.references()(0).fieldNames().mkString("."))
       case other => throw new UnsupportedOperationException(
-        s"graft catalog: unsupported partition transform $other (identity only)")
+        s"graft catalog: unsupported partition transform $other " +
+          "(identity and bucket(n, col) only)")
     }
-    partCols.foreach { c =>
-      require(schema.fieldNames.contains(c), s"partition column $c not in schema")
-      require(PartitionPruning.supportsPartitionType(schema(c).dataType),
-        s"graft catalog: unsupported partition column type " +
-          s"${schema(c).dataType.simpleString} for column $c")
+    fields.foreach { f =>
+      require(schema.fieldNames.contains(f.col),
+        s"partition column ${f.col} not in schema")
+      f match {
+        case PartField.Identity(c) =>
+          require(PartitionPruning.supportsPartitionType(schema(c).dataType),
+            s"graft catalog: unsupported partition column type " +
+              s"${schema(c).dataType.simpleString} for column $c")
+        case PartField.Bucket(_, c) =>
+          require(PartField.supportsBucketType(schema(c).dataType),
+            s"graft catalog: unsupported bucket column type " +
+              s"${schema(c).dataType.simpleString} for column $c")
+      }
     }
-    partCols
+    fields.map(_.spec)
   }
 
   private def stage(

@@ -47,8 +47,7 @@ final class GraftRowLevelOperation(
   override def command(): RowLevelOperation.Command = cmd
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftScanBuilder(table.schema0, table.dataDir,
-      table.partitioning().toSeq.map(_.references()(0).fieldNames().mkString(".")),
+    new GraftScanBuilder(table.schema0, table.dataDir, table.partitionSpecs,
       tracker = Some(this))
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
@@ -56,8 +55,7 @@ final class GraftRowLevelOperation(
       override def build(): Write = new Write {
         override def toBatch: BatchWrite = new GraftReplaceDataWrite(
           table.schema0, table.properties(), table.dataDir,
-          table.partitioning().toSeq.map(_.references()(0).fieldNames().mkString(".")),
-          GraftRowLevelOperation.this)
+          table.partitionSpecs, GraftRowLevelOperation.this)
       }
     }
 

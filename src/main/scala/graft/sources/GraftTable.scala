@@ -46,9 +46,20 @@ final class GraftTable(
 
   override def name(): String = ident
   override def schema(): StructType = schema0
+
+  /** Raw partition-spec strings as stored in `_meta.yml` (identity col
+    * names and `bucket(n,col)` entries). */
+  def partitionSpecs: Seq[String] = partitionCols
+  private lazy val partFields: Seq[PartField.Field] =
+    partitionCols.map(PartField.parse)
+
   override def partitioning(): Array[Transform] =
-    partitionCols.map(c =>
-      org.apache.spark.sql.connector.expressions.Expressions.identity(c)).toArray
+    partFields.map {
+      case PartField.Identity(c) =>
+        org.apache.spark.sql.connector.expressions.Expressions.identity(c)
+      case PartField.Bucket(n, c) =>
+        org.apache.spark.sql.connector.expressions.Expressions.bucket(n, c)
+    }.toArray
   override def properties(): java.util.Map[String, String] = props.asJava
   override def capabilities(): JSet[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
@@ -66,7 +77,13 @@ final class GraftTable(
 
   private def deletableFilter(f: Filter): Boolean = {
     import org.apache.spark.sql.sources._
-    def part(a: String): Boolean = partitionCols.contains(a)
+    // identity partition columns only: a predicate on a BUCKET source
+    // column selects rows WITHIN bucket directories, so it must go
+    // through the row-level (copy-on-write) path instead
+    def part(a: String): Boolean = partFields.exists {
+      case PartField.Identity(c) => c == a
+      case _ => false
+    }
     f match {
       case _: AlwaysTrue | _: AlwaysFalse => true
       case And(l, r) => deletableFilter(l) && deletableFilter(r)
@@ -117,7 +134,7 @@ final class GraftTable(
     // two-phase: decide EVERY partition first, then delete — a rejected
     // statement must not have removed anything before it throws
     val toDelete = scala.collection.mutable.ArrayBuffer[(Path, String)]()
-    def walk(p: Path, remaining: Seq[String], values: Map[String, Any], rel: String): Unit =
+    def walk(p: Path, remaining: Seq[PartField.Field], values: Map[String, Any], rel: String): Unit =
       if (remaining.isEmpty) {
         // delete the partition dir iff every filter is definitely true
         // here; keep it when some filter is definitely false; anything
@@ -132,14 +149,21 @@ final class GraftTable(
         }
       } else fs.listStatus(p).filter(_.isDirectory).foreach { d =>
         d.getPath.getName.split("=", 2) match {
-          case Array(c, raw) if c == remaining.head =>
-            val v = PartitionPruning.parse(schema0(c).dataType, PartitionPruning.decode(raw))
-            walk(d.getPath, remaining.tail, values + (c -> v),
+          case Array(c, raw) if c == remaining.head.dir =>
+            // bucket dirs carry no column value usable by the filter
+            // evaluator; identity dirs do
+            val vs = remaining.head match {
+              case PartField.Identity(col) =>
+                values + (col -> PartitionPruning.parse(
+                  schema0(col).dataType, PartitionPruning.decode(raw)))
+              case _: PartField.Bucket => values
+            }
+            walk(d.getPath, remaining.tail, vs,
               if (rel.isEmpty) d.getPath.getName else s"$rel/${d.getPath.getName}")
           case _ => ()
         }
       }
-    walk(root, partitionCols, Map.empty, "")
+    walk(root, partFields, Map.empty, "")
     val deleted = toDelete.map { case (p, rel) => fs.delete(p, true); rel }
     if (deleted.nonEmpty) {
       val stats = TableStats.read(fs, root)
@@ -390,6 +414,8 @@ final class GraftScan(
     extends Scan with Batch with SupportsReportStatistics
     with SupportsReportPartitioning with SupportsRuntimeFiltering {
 
+  private val partFields: Seq[PartField.Field] = partitionCols.map(PartField.parse)
+
   /** Static pushed filters plus any runtime (DPP) filters added by
     * [[filter]] before execution. */
   private var pushed: Array[Filter] = pushed0
@@ -428,7 +454,8 @@ final class GraftScan(
     // pruning may have dropped a partition column, and advertising it
     // anyway makes Spark's PartitionPruning rule fail analysis for any
     // join over the pruned scan.
-    val projected = partitionCols.filter(c => required.fieldNames.contains(c))
+    val projected = partFields.map(_.col).distinct
+      .filter(c => required.fieldNames.contains(c))
     val cols =
       if (tracker.isDefined) Seq(GraftTable.FileColumnName)
       else if (wantFile) projected :+ GraftTable.FileColumnName
@@ -489,16 +516,31 @@ final class GraftScan(
           visible(s.getPath))
         .map(s => (s.getPath.toString, s.getLen, values))
 
-    def walk(p: Path, remaining: Seq[String], values: Map[String, Any]): Seq[(String, Long, Seq[Any])] =
-      if (remaining.isEmpty) leafFiles(p, partitionCols.map(values))
+    // conjunctive pushed filters => intersect every filter's allowed
+    // bucket set; a directory whose id falls outside is never listed
+    def bucketAllows(field: PartField.Bucket, id: Int): Boolean = {
+      val dt = tableSchema(field.col).dataType
+      pushed.forall(f =>
+        PartField.allowedBuckets(f, field, dt).forall(_.contains(id)))
+    }
+
+    def walk(p: Path, remaining: Seq[PartField.Field], values: Map[String, Any]): Seq[(String, Long, Seq[Any])] =
+      if (remaining.isEmpty) leafFiles(p, partFields.map(f => values(f.dir)))
       else fs.listStatus(p).toSeq.filter(_.isDirectory).flatMap { d =>
         d.getPath.getName.split("=", 2) match {
-          case Array(c, raw) if c == remaining.head =>
-            val dt = tableSchema(c).dataType
-            val v = PartitionPruning.parse(dt, PartitionPruning.decode(raw))
-            val vs = values + (c -> v)
-            if (PartitionPruning.prune(pushed.toSeq, vs)) Nil
-            else walk(d.getPath, remaining.tail, vs)
+          case Array(c, raw) if c == remaining.head.dir =>
+            remaining.head match {
+              case PartField.Identity(col) =>
+                val dt = tableSchema(col).dataType
+                val v = PartitionPruning.parse(dt, PartitionPruning.decode(raw))
+                val vs = values + (col -> v)
+                if (PartitionPruning.prune(pushed.toSeq, vs)) Nil
+                else walk(d.getPath, remaining.tail, vs)
+              case b: PartField.Bucket =>
+                val id = raw.toInt
+                if (!bucketAllows(b, id)) Nil
+                else walk(d.getPath, remaining.tail, values + (b.dir -> id))
+            }
           case _ => Nil
         }
       }
@@ -506,7 +548,7 @@ final class GraftScan(
     filesCache =
       if (!fs.exists(root)) Seq.empty
       else {
-        val all = walk(root, partitionCols, Map.empty).sortBy(_._1)
+        val all = walk(root, partFields, Map.empty).sortBy(_._1)
         val allowed0 = allowedFiles.fold(all)(ok => all.filter(f => ok.contains(f._1)))
         // file-level skip from commit-time column ranges: a file whose
         // registered [min, max] provably excludes some pushed filter is
@@ -565,10 +607,8 @@ final class GraftScan(
     if (keyGrouped) {
       groups.map { case (values, paths) =>
         val key = org.apache.spark.sql.catalyst.InternalRow.fromSeq(
-          values.zip(partitionCols).map { case (v, c) =>
-            org.apache.spark.sql.catalyst.CatalystTypeConverters
-              .convertToCatalyst(v)
-          })
+          values.map(v => org.apache.spark.sql.catalyst.CatalystTypeConverters
+            .convertToCatalyst(v)))
         GraftPartitionGroup(paths, key): InputPartition
       }.toArray
     } else {
@@ -583,9 +623,14 @@ final class GraftScan(
   override def outputPartitioning(): org.apache.spark.sql.connector.read.partitioning.Partitioning =
     if (keyGrouped)
       new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
-        partitionCols.map(c =>
-          org.apache.spark.sql.connector.expressions.Expressions.identity(c)
-            : org.apache.spark.sql.connector.expressions.Expression).toArray,
+        partFields.map {
+          case PartField.Identity(c) =>
+            org.apache.spark.sql.connector.expressions.Expressions.identity(c)
+              : org.apache.spark.sql.connector.expressions.Expression
+          case PartField.Bucket(n, c) =>
+            org.apache.spark.sql.connector.expressions.Expressions.bucket(n, c)
+              : org.apache.spark.sql.connector.expressions.Expression
+        }.toArray,
         groups.size)
     else
       new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(
@@ -919,9 +964,9 @@ final class GraftWriteBuilder(
         override def requiredDistribution():
             org.apache.spark.sql.connector.distributions.Distribution =
           org.apache.spark.sql.connector.distributions.Distributions.clustered(
-            partitionCols.map(c => org.apache.spark.sql.connector.expressions
-              .Expressions.identity(c): org.apache.spark.sql.connector.expressions.Expression)
-              .toArray)
+            partitionCols.map(PartField.parse).map(f =>
+              org.apache.spark.sql.connector.expressions.Expressions.identity(f.col)
+                : org.apache.spark.sql.connector.expressions.Expression).toArray)
         override def distributionStrictlyRequired(): Boolean = false
         override def requiredOrdering(): Array[
             org.apache.spark.sql.connector.expressions.SortOrder] = Array.empty
@@ -1166,7 +1211,8 @@ object GraftWriterFactory {
       .collect { case (f, i) if i != rowKeyIdx => f })
     val toScala = org.apache.spark.sql.catalyst.CatalystTypeConverters
       .createToScalaConverter(nonKeySchema)
-    val partIdx = partitionCols.map(c => c -> schema.fieldNames.indexOf(c))
+    val partIdx = partitionCols.map(PartField.parse)
+      .map(f => f -> schema.fieldNames.indexOf(f.col))
 
     new DataWriter[InternalRow] {
       private var count = 0L
@@ -1181,9 +1227,14 @@ object GraftWriterFactory {
           ColStatsTracker)]()
 
       private def writerFor(row: InternalRow): org.apache.parquet.hadoop.ParquetWriter[InternalRow] = {
-        val rel = partIdx.map { case (c, i) =>
+        val rel = partIdx.map { case (f, i) =>
           val v = if (row.isNullAt(i)) null else row.get(i, schema(i).dataType)
-          s"$c=${PartitionPruning.encodeCatalyst(schema(i).dataType, v)}"
+          f match {
+            case PartField.Identity(_) =>
+              s"${f.dir}=${PartitionPruning.encodeCatalyst(schema(i).dataType, v)}"
+            case PartField.Bucket(n, _) =>
+              s"${f.dir}=${PartField.bucketOf(schema(i).dataType, v, n)}"
+          }
         }.mkString("/")
         val key = if (rel.isEmpty) "" else rel + "/"
         val entry = writers.getOrElseUpdate(key, {

@@ -513,6 +513,44 @@ class GraftCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.sql("DROP TABLE graft.pw.clw")
   }
 
+  test("bucket partitioning: writes route to buckets, point lookups prune") {
+    spark.sql(
+      "CREATE TABLE graft.pw.bkt (k BIGINT, v STRING) PARTITIONED BY (bucket(8, k))")
+    spark.range(0, 2000).selectExpr("id AS k", "CAST(id AS STRING) AS v")
+      .writeTo("graft.pw.bkt").append()
+    // on-disk layout: data/k.bucket=<id>/...
+    val dirs = new java.io.File(s"$warehouse/pw/bkt/data").listFiles()
+      .filter(_.isDirectory).map(_.getName).sorted.toSeq
+    assert(dirs.nonEmpty && dirs.forall(_.startsWith("k.bucket=")), dirs)
+    assert(dirs.length == 8, s"2000 keys should populate all 8 buckets: $dirs")
+    assert(spark.table("graft.pw.bkt").count() == 2000)
+    // point lookup: correct values...
+    assert(spark.sql("SELECT v FROM graft.pw.bkt WHERE k = 1234")
+      .collect().map(_.getString(0)).toSeq == Seq("1234"))
+    assert(spark.sql("SELECT v FROM graft.pw.bkt WHERE k IN (5, 900)")
+      .collect().map(_.getString(0)).sorted.toSeq == Seq("5", "900"))
+    // ...and only the matching bucket's files are planned
+    val t = spark.sessionState.catalogManager.catalog("graft")
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
+      .loadTable(org.apache.spark.sql.connector.catalog.Identifier.of(Array("pw"), "bkt"))
+      .asInstanceOf[graft.sources.GraftTable]
+    def planned(fs: Array[org.apache.spark.sql.sources.Filter]): Int = {
+      val b = t.newScanBuilder(new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+        java.util.Map.of()))
+      b.asInstanceOf[org.apache.spark.sql.connector.read.SupportsPushDownFilters]
+        .pushFilters(fs)
+      b.build().asInstanceOf[graft.sources.GraftScan].toBatch.planInputPartitions().length
+    }
+    val total = planned(Array.empty)
+    val one = planned(Array(org.apache.spark.sql.sources.EqualTo("k", 1234L)))
+    assert(one * 4 <= total, s"bucket pruning: $one of $total partitions planned")
+    // a DELETE on the bucket source column takes the row-level path
+    spark.sql("DELETE FROM graft.pw.bkt WHERE k = 77")
+    assert(spark.table("graft.pw.bkt").count() == 1999)
+    assert(spark.sql("SELECT count(*) FROM graft.pw.bkt WHERE k = 77").head().getLong(0) == 0)
+    spark.sql("DROP TABLE graft.pw.bkt")
+  }
+
   test("sorted compaction clusters files into disjoint ranges that skip") {
     spark.sql("CREATE TABLE graft.pw.clus (id BIGINT, v DOUBLE)")
     // interleaved inserts: every file's id range spans the whole domain,
