@@ -28,7 +28,19 @@ import org.yaml.snakeyaml.{DumperOptions, Yaml}
   * HDFS/S3 for a real cluster.
   */
 class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
-    with StagingTableCatalog {
+    with StagingTableCatalog with FunctionCatalog {
+
+  // ---- functions: the bucket transform, resolvable for SPJ planning ----
+
+  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+    if (namespace.isEmpty || namespaceExists(namespace))
+      Array(Identifier.of(namespace, "bucket"))
+    else throw new NoSuchNamespaceException(namespace)
+
+  override def loadFunction(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
+    if (ident.name() == "bucket") GraftBucketFunction
+    else throw new org.apache.spark.sql.catalyst.analysis.NoSuchFunctionException(ident)
 
   private var catalogName: String = _
   private var warehouse: Path = _

@@ -110,3 +110,35 @@ object PartField {
     }
   }
 }
+
+/** The `bucket` function served by [[GraftCatalog]]'s `FunctionCatalog`
+  * surface: Spark resolves a scan's `bucket(n, col)` transform against it
+  * when planning storage-partitioned joins, so two graft tables bucketed
+  * the same way join bucket-to-bucket with no shuffle. `canonicalName`
+  * ties compatibility to the input type — same type + same n = same
+  * partitioning. */
+object GraftBucketFunction
+    extends org.apache.spark.sql.connector.catalog.functions.UnboundFunction {
+  override def name(): String = "bucket"
+  override def description(): String =
+    "bucket(n, col): graft murmur3 hash bucket id in [0, n)"
+  override def bind(inputType: StructType)
+      : org.apache.spark.sql.connector.catalog.functions.BoundFunction = {
+    require(inputType.fields.length == 2,
+      s"bucket expects (numBuckets, value), got $inputType")
+    val dt = inputType.fields(1).dataType
+    require(PartField.supportsBucketType(dt), s"bucket over $dt not supported")
+    new org.apache.spark.sql.connector.catalog.functions.ScalarFunction[Integer] {
+      override def inputTypes(): Array[DataType] = Array(IntegerType, dt)
+      override def resultType(): DataType = IntegerType
+      override def name(): String = "bucket"
+      override def canonicalName(): String = s"graft.bucket(${dt.simpleString})"
+      override def isResultNullable: Boolean = false
+      override def produceResult(
+          input: org.apache.spark.sql.catalyst.InternalRow): Integer = {
+        val v = if (input.isNullAt(1)) null else input.get(1, dt)
+        PartField.bucketOf(dt, v, input.getInt(0))
+      }
+    }
+  }
+}

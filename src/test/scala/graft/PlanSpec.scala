@@ -316,6 +316,36 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("graft source: co-bucketed tables join with no shuffle (bucket SPJ)") {
+    import java.nio.file.Files
+    val wh = Files.createTempDirectory("graft_wh_bspj").toString
+    spark.conf.set("spark.sql.catalog.gbspj", classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gbspj.warehouse", wh)
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS gbspj.t")
+      spark.sql(
+        "CREATE TABLE gbspj.t.a (k BIGINT, va BIGINT) PARTITIONED BY (bucket(4, k))")
+      spark.sql(
+        "CREATE TABLE gbspj.t.b (k BIGINT, vb STRING) PARTITIONED BY (bucket(4, k))")
+      spark.sql("INSERT INTO gbspj.t.a SELECT id, id * 2 FROM range(1000)")
+      spark.sql("INSERT INTO gbspj.t.b SELECT id, CAST(id AS STRING) FROM range(500)")
+
+      val j = spark.sql(
+        """SELECT a.k, a.va, b.vb FROM gbspj.t.a a JOIN gbspj.t.b b ON a.k = b.k""")
+      val rows = j.collect()
+      assert(rows.length == 500)
+      assert(rows.map(r => (r.getLong(0), r.getLong(1))).forall { case (k, va) => va == k * 2 })
+      val plan = j.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"co-bucketed join should not shuffle:\n${plan.take(2000)}")
+    } finally {
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "false")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+
   test("graft source: pushed filters appear in scan description and prune row groups") {
     import java.nio.file.Files
     val wh = Files.createTempDirectory("graft_wh_plan").toString
