@@ -964,9 +964,17 @@ final class GraftWriteBuilder(
         override def requiredDistribution():
             org.apache.spark.sql.connector.distributions.Distribution =
           org.apache.spark.sql.connector.distributions.Distributions.clustered(
-            partitionCols.map(PartField.parse).map(f =>
-              org.apache.spark.sql.connector.expressions.Expressions.identity(f.col)
-                : org.apache.spark.sql.connector.expressions.Expression).toArray)
+            partitionCols.map(PartField.parse).map {
+              case PartField.Identity(c) =>
+                org.apache.spark.sql.connector.expressions.Expressions.identity(c)
+                  : org.apache.spark.sql.connector.expressions.Expression
+              case PartField.Bucket(n, c) =>
+                // resolvable via the catalog's FunctionCatalog: tasks
+                // align to bucket ids, so an insert writes one file per
+                // populated bucket per commit
+                org.apache.spark.sql.connector.expressions.Expressions.bucket(n, c)
+                  : org.apache.spark.sql.connector.expressions.Expression
+            }.toArray)
         override def distributionStrictlyRequired(): Boolean = false
         override def requiredOrdering(): Array[
             org.apache.spark.sql.connector.expressions.SortOrder] = Array.empty
