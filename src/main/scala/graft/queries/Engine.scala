@@ -286,6 +286,43 @@ object Engine {
       Some("""SELECT doc_id, lang, n_chars FROM documents
         WHERE doc_id IN (3, 57, 123, 401) ORDER BY doc_id""")),
 
+    // ---- q73: co-bucketed join (bucket-to-bucket, no shuffle) -------------
+    // Both sides bucketed bucket(8, doc_id); with v2 bucketing on, the
+    // join on doc_id runs bucket-to-bucket via the catalog-served bucket
+    // function (plan shape proven in PlanSpec "co-bucketed"); this gates
+    // the VALUES through that path. At 100 TB this is the join between
+    // two large fact tables sharing a key — neither side shuffles.
+    QueryDef(
+      "q73_cobucketed_join",
+      (s0, dir) => {
+        val s = s0.newSession() // SPJ conf must not leak into other queries
+        val ns = ensureCatalog(s, dir)
+        s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+        s.sql(s"DROP TABLE IF EXISTS $ns.bj_a")
+        s.sql(s"DROP TABLE IF EXISTS $ns.bj_b")
+        s.sql(s"""CREATE TABLE $ns.bj_a (doc_id BIGINT, n_chars BIGINT)
+                 |PARTITIONED BY (bucket(8, doc_id))""".stripMargin)
+        s.sql(s"""CREATE TABLE $ns.bj_b (doc_id BIGINT, lang STRING)
+                 |PARTITIONED BY (bucket(8, doc_id))""".stripMargin)
+        s.sql(s"""INSERT INTO $ns.bj_a
+                 |SELECT doc_id, n_chars FROM parquet.`$dir/documents.parquet`
+                 |WHERE n_chars >= 150""".stripMargin)
+        s.sql(s"""INSERT INTO $ns.bj_b
+                 |SELECT doc_id, lang FROM parquet.`$dir/documents.parquet`
+                 |WHERE doc_id % 3 <> 1""".stripMargin)
+        s.sql(
+          s"""SELECT b.lang, CAST(COUNT(*) AS BIGINT) AS n,
+             |       CAST(SUM(a.n_chars) AS BIGINT) AS chars
+             |FROM $ns.bj_a a JOIN $ns.bj_b b ON a.doc_id = b.doc_id
+             |GROUP BY b.lang ORDER BY b.lang""".stripMargin)
+      },
+      Some("""WITH a AS (SELECT doc_id, n_chars FROM documents WHERE n_chars >= 150),
+        b AS (SELECT doc_id, lang FROM documents WHERE doc_id % 3 <> 1)
+        SELECT b.lang, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(a.n_chars) AS BIGINT) AS chars
+        FROM a JOIN b ON a.doc_id = b.doc_id
+        GROUP BY b.lang ORDER BY b.lang""")),
+
     // ---- q65: catalog-free format("graft") read ---------------------------
     // The DataSourceRegister surface: a table dir written through the
     // catalog is read back with spark.read.format("graft").load(dir) — no
