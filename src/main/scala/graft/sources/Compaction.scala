@@ -111,8 +111,10 @@ object Compaction {
     // swap: remove the originals, re-point the stats registry
     victims.foreach(p => fs.delete(new Path(p), false))
     val victimRels = victims.map(TableStats.relOf).toSet
-    val base = TableStats.read(fs, dataDir) -- victimRels
-    TableStats.write(fs, dataDir, base ++ written)
+    TableStats.withLock(fs, dataDir) {
+      val base = TableStats.read(fs, dataDir) -- victimRels
+      TableStats.write(fs, dataDir, base ++ written)
+    }
     (victims.size, written.length)
   }
 }

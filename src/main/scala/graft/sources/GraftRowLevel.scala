@@ -106,8 +106,10 @@ final class GraftReplaceDataWrite(
     val affected = op.affectedFiles
     affected.foreach(p => fs.delete(new Path(p), false))
     val affectedRels = affected.map(TableStats.relOf)
-    val base = TableStats.read(fs, dir) -- affectedRels
-    TableStats.write(fs, dir, base ++ committed)
+    TableStats.withLock(fs, dir) {
+      val base = TableStats.read(fs, dir) -- affectedRels
+      TableStats.write(fs, dir, base ++ committed)
+    }
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {

@@ -165,7 +165,7 @@ final class GraftTable(
       }
     walk(root, partFields, Map.empty, "")
     val deleted = toDelete.map { case (p, rel) => fs.delete(p, true); rel }
-    if (deleted.nonEmpty) {
+    if (deleted.nonEmpty) TableStats.withLock(fs, root) {
       val stats = TableStats.read(fs, root)
       if (stats.nonEmpty)
         TableStats.write(fs, root,
@@ -304,6 +304,40 @@ object TableStats {
         finally in.close()
       Some(deserialize(text))
     }
+  }
+
+  /** Serialize registry read-modify-write cycles across concurrent
+    * committers: without this, two INSERTs landing together each read the
+    * registry, add their own files, and the second write erases the
+    * first's entries — invisible rows under registry-first COUNT(*) and
+    * the streaming source. Lock = exclusive create of a `.stats.lock`
+    * sibling of the data dir (atomic on HDFS; best-effort on local FS);
+    * a stale lock from a crashed holder expires after 60 s by mtime. */
+  def withLock[T](fs: FileSystem, dataDir: Path)(body: => T): T = {
+    val lock = new Path(dataDir.getParent, ".stats.lock")
+    val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+    var held = false
+    while (!held) {
+      try {
+        val out = fs.create(lock, false)
+        try out.write(java.lang.management.ManagementFactory.getRuntimeMXBean
+          .getName.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        finally out.close()
+        held = true
+      } catch {
+        case _: java.io.IOException =>
+          try {
+            val st = fs.getFileStatus(lock)
+            if (System.currentTimeMillis() - st.getModificationTime > 60000)
+              fs.delete(lock, false) // stale holder
+          } catch { case _: java.io.FileNotFoundException => () }
+          if (System.nanoTime() > deadline)
+            throw new IllegalStateException(
+              s"graft: could not acquire $lock within 30s")
+          Thread.sleep(50)
+      }
+    }
+    try body finally fs.delete(lock, false)
   }
 
   def write(fs: FileSystem, dataDir: Path, stats: Map[String, Entry]): Unit = {
@@ -1034,17 +1068,21 @@ final class GraftStreamingWrite(
       val text = try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
         finally in.close()
       val original = TableStats.deserialize(text)
-      val stats = TableStats.read(fs, dir)
-      val missing = original.filter { case (rel, _) =>
-        !stats.contains(rel) && fs.exists(new Path(dir, rel)) }
-      if (missing.nonEmpty) TableStats.write(fs, dir, stats ++ missing)
+      TableStats.withLock(fs, dir) {
+        val stats = TableStats.read(fs, dir)
+        val missing = original.filter { case (rel, _) =>
+          !stats.contains(rel) && fs.exists(new Path(dir, rel)) }
+        if (missing.nonEmpty) TableStats.write(fs, dir, stats ++ missing)
+      }
     } else {
       fs.mkdirs(marker.getParent)
       val out = fs.create(marker, true)
       try out.write(TableStats.serialize(committed.toMap)
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
       finally out.close()
-      TableStats.write(fs, dir, TableStats.read(fs, dir) ++ committed)
+      TableStats.withLock(fs, dir) {
+        TableStats.write(fs, dir, TableStats.read(fs, dir) ++ committed)
+      }
     }
   }
 
@@ -1113,8 +1151,10 @@ final class GraftBatchWrite(
       // stale epoch markers must not dedupe future stream epochs of a
       // restarted query against pre-truncate history
       fs.delete(new Path(dir, TableStats.CommitsDir), true)
-    val base = if (truncate) Map.empty[String, TableStats.Entry] else TableStats.read(fs, dir)
-    TableStats.write(fs, dir, base ++ committed)
+    TableStats.withLock(fs, dir) {
+      val base = if (truncate) Map.empty[String, TableStats.Entry] else TableStats.read(fs, dir)
+      TableStats.write(fs, dir, base ++ committed)
+    }
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =

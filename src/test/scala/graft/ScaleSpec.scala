@@ -93,6 +93,48 @@ class ScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.table("graft.stream.events_sink").count() == batch.count())
   }
 
+  test("concurrent INSERTs both register: no lost registry entries") {
+    // Two committers racing on the same table must both land in the
+    // stats registry — the manifest registry-first COUNT(*) and the
+    // streaming source trust. Without the commit lock, the second
+    // read-modify-write erases the first's entries (invisible rows).
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.conc")
+    spark.sql("CREATE TABLE graft.conc.t (id BIGINT)")
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    try {
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutor(pool)
+      val futures = (0 until 2).map { w =>
+        scala.concurrent.Future {
+          for (i <- 0 until 5)
+            spark.sql(s"INSERT INTO graft.conc.t SELECT id + ${w * 1000 + i * 100} " +
+              s"FROM range(100)")
+        }
+      }
+      scala.concurrent.Await.result(
+        scala.concurrent.Future.sequence(futures), scala.concurrent.duration.Duration("120s"))
+    } finally pool.shutdown()
+    // registry-first COUNT(*) sees every committed row...
+    assert(spark.sql("SELECT count(*) FROM graft.conc.t").head().getLong(0) == 1000L)
+    // ...and the registry covers every parquet file on disk
+    val dataDir = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.catalog.graft.warehouse") + "/conc/t/data")
+    val fs = dataDir.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val stats = graft.sources.TableStats.read(fs, dataDir)
+    val it = fs.listFiles(dataDir, true)
+    var files = 0
+    while (it.hasNext) {
+      val st = it.next()
+      if (st.getPath.getName.endsWith(".parquet")) {
+        files += 1
+        assert(stats.contains(graft.sources.TableStats.relOf(st.getPath.toString)),
+          s"unregistered file after concurrent commits: ${st.getPath}")
+      }
+    }
+    assert(files > 0 && stats.size == files)
+    spark.sql("DROP TABLE graft.conc.t")
+  }
+
   test("1000-file table: planning does O(1) driver FS work; compaction recovers") {
     import graft.sources.{Compaction, GraftScan, GraftTable, TableStats}
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.mf")
