@@ -323,6 +323,39 @@ object Engine {
         FROM a JOIN b ON a.doc_id = b.doc_id
         GROUP BY b.lang ORDER BY b.lang""")),
 
+    // ---- q74: sorted compaction round-trip --------------------------------
+    // Six interleaved inserts accrete small files whose doc_id ranges all
+    // overlap; Compaction.compact(sortBy=doc_id) rewrites them into a few
+    // range-disjoint files (the OPTIMIZE ... SORT analog). The gate: the
+    // table's contents after the rewrite are byte-exact (aggregate
+    // matches the raw parquet), proving the swap lost and duplicated
+    // nothing.
+    QueryDef(
+      "q74_sorted_compaction",
+      (s, dir) => {
+        val ns = ensureCatalog(s, dir)
+        s.sql(s"DROP TABLE IF EXISTS $ns.opt")
+        s.sql(s"CREATE TABLE $ns.opt (doc_id BIGINT, lang STRING, n_chars BIGINT)")
+        for (i <- 0 until 6)
+          s.sql(s"""INSERT INTO $ns.opt
+                   |SELECT doc_id, lang, n_chars FROM parquet.`$dir/documents.parquet`
+                   |WHERE doc_id % 6 = $i""".stripMargin)
+        val cat = s.sessionState.catalogManager.catalog("gcat")
+          .asInstanceOf[graft.sources.GraftCatalog]
+        val t = cat.loadTable(org.apache.spark.sql.connector.catalog.Identifier.of(
+          Array("corpus"), "opt")).asInstanceOf[graft.sources.GraftTable]
+        graft.sources.Compaction.compact(s, t, sortBy = Seq("doc_id"), outputFiles = 3)
+        s.sql(
+          s"""SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
+             |       CAST(SUM(n_chars) AS BIGINT) AS chars,
+             |       CAST(SUM(doc_id) AS BIGINT) AS id_sum
+             |FROM $ns.opt GROUP BY lang ORDER BY lang""".stripMargin)
+      },
+      Some("""SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(SUM(n_chars) AS BIGINT) AS chars,
+        CAST(SUM(doc_id) AS BIGINT) AS id_sum
+        FROM documents GROUP BY lang ORDER BY lang""")),
+
     // ---- q65: catalog-free format("graft") read ---------------------------
     // The DataSourceRegister surface: a table dir written through the
     // catalog is read back with spark.read.format("graft").load(dir) — no
