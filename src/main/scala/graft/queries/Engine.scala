@@ -381,6 +381,43 @@ object Engine {
       Some("""SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n,
         CAST(SUM(n_chars) AS BIGINT) AS chars
         FROM documents WHERE n_chars >= 250
-        GROUP BY lang, source ORDER BY lang, source"""))
+        GROUP BY lang, source ORDER BY lang, source""")),
+
+    // ---- q75: snapshot time travel (VERSION AS OF) ------------------------
+    // Every commit records its manifest under _snapshots/ and never
+    // physically deletes replaced files (see [[graft.sources.Snapshots]]),
+    // so a pinned read replays the table exactly as of that commit. The
+    // gate: CTAS the 'en' slice, capture that snapshot's version, then
+    // mutate past it (append the rest + a COW DELETE); the VERSION AS OF
+    // read must equal the oracle over the original CTAS input — both later
+    // mutations invisible. At 100 TB this is how a training run pins its
+    // corpus version while ingestion keeps committing.
+    QueryDef(
+      "q75_time_travel",
+      (s, dir) => {
+        val ns = ensureCatalog(s, dir)
+        s.sql(s"DROP TABLE IF EXISTS $ns.tt")
+        s.sql(s"""CREATE TABLE $ns.tt AS
+                 |SELECT doc_id, lang, n_chars FROM parquet.`$dir/documents.parquet`
+                 |WHERE lang = 'en'""".stripMargin)
+        val wh = s.conf.get("spark.sql.catalog.gcat.warehouse")
+        val dataDir = new org.apache.hadoop.fs.Path(s"$wh/corpus/tt/data")
+        val fs = dataDir.getFileSystem(new org.apache.hadoop.conf.Configuration())
+        val v1 = graft.sources.Snapshots.list(fs, dataDir).last._1
+        s.sql(s"""INSERT INTO $ns.tt
+                 |SELECT doc_id, lang, n_chars FROM parquet.`$dir/documents.parquet`
+                 |WHERE lang <> 'en'""".stripMargin)
+        s.sql(s"DELETE FROM $ns.tt WHERE n_chars < 200")
+        s.sql(s"""SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
+                 |       CAST(SUM(n_chars) AS BIGINT) AS chars,
+                 |       CAST(SUM(doc_id) AS BIGINT) AS id_sum
+                 |FROM $ns.tt VERSION AS OF $v1
+                 |GROUP BY lang ORDER BY lang""".stripMargin)
+      },
+      Some("""SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(SUM(n_chars) AS BIGINT) AS chars,
+        CAST(SUM(doc_id) AS BIGINT) AS id_sum
+        FROM documents WHERE lang = 'en'
+        GROUP BY lang ORDER BY lang"""))
   )
 }

@@ -108,8 +108,9 @@ object Compaction {
     }
     stale.foreach(fs.delete(_, false))
 
-    // swap: remove the originals, re-point the stats registry
-    victims.foreach(p => fs.delete(new Path(p), false))
+    // swap: re-point the stats registry away from the originals. The
+    // compacted-away files are NOT physically deleted — earlier snapshots
+    // still reference them (time travel); vacuum reclaims them later.
     val victimRels = victims.map(TableStats.relOf).toSet
     TableStats.withLock(fs, dataDir) {
       val base = TableStats.read(fs, dataDir) -- victimRels

@@ -127,6 +127,42 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
     new GraftTable(fullName(ident), schema, props, tablePath(ident).toString, partCols)
   }
 
+  // ---- time travel --------------------------------------------------------
+  // `SELECT ... FROM t VERSION AS OF n` / `TIMESTAMP AS OF ts` resolve
+  // here; the returned table pins scan planning to the snapshot manifest
+  // recorded at that commit (see [[Snapshots]]). The current schema is
+  // used — files predating an ADD COLUMN read NULL for it, same as a
+  // live read of old files.
+
+  private def pinned(ident: Identifier, version: Long): Table = {
+    val t = loadTable(ident).asInstanceOf[GraftTable]
+    val dataDir = new Path(tablePath(ident), "data")
+    if (Snapshots.read(fs, dataDir, version).isEmpty)
+      throw new IllegalArgumentException(
+        s"graft: table ${fullName(ident)} has no snapshot v$version " +
+          s"(never recorded, or expired by vacuum)")
+    new GraftTable(fullName(ident), t.schema0,
+      t.properties().asScala.toMap, tablePath(ident).toString,
+      t.partitionSpecs, pinnedVersion = Some(version))
+  }
+
+  /** VERSION AS OF — `version` is the snapshot number as a string. */
+  override def loadTable(ident: Identifier, version: String): Table =
+    pinned(ident,
+      version.toLongOption.getOrElse(throw new IllegalArgumentException(
+        s"graft: VERSION AS OF expects a snapshot number, got '$version'")))
+
+  /** TIMESTAMP AS OF — `timestamp` arrives in microseconds since epoch;
+    * resolves to the latest snapshot committed at or before it. */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    val dataDir = new Path(tablePath(ident), "data")
+    val v = Snapshots.latestAsOf(fs, dataDir, timestamp / 1000)
+      .getOrElse(throw new IllegalArgumentException(
+        s"graft: table ${fullName(ident)} has no snapshot at or before " +
+          java.time.Instant.ofEpochMilli(timestamp / 1000)))
+    pinned(ident, v)
+  }
+
   override def createTable(
       ident: Identifier,
       schema: StructType,

@@ -102,9 +102,11 @@ final class GraftReplaceDataWrite(
       if (p.getName.contains(writeId) && !committedNames.contains(p.getName))
         fs.delete(p, false)
     }
-    // swap: remove the rewritten groups, register the replacements
+    // swap: drop the rewritten groups from the manifest, register the
+    // replacements. The replaced files are NOT physically deleted — they
+    // stay reachable through earlier snapshots (time travel) until
+    // vacuum reclaims them; manifest-first listing never surfaces them.
     val affected = op.affectedFiles
-    affected.foreach(p => fs.delete(new Path(p), false))
     val affectedRels = affected.map(TableStats.relOf)
     TableStats.withLock(fs, dir) {
       val base = TableStats.read(fs, dir) -- affectedRels

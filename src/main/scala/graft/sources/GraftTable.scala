@@ -33,16 +33,25 @@ final class GraftTable(
     val schema0: StructType,
     props: Map[String, String],
     tableDir: String,
-    partitionCols: Seq[String] = Nil)
+    partitionCols: Seq[String] = Nil,
+    pinnedVersion: Option[Long] = None)
     extends Table with SupportsRead with SupportsWrite with SupportsDelete
     with SupportsMetadataColumns with SupportsRowLevelOperations {
+
+  /** Reject mutations through a time-travel relation: `VERSION AS OF` /
+    * `TIMESTAMP AS OF` pin a historical manifest, which is read-only. */
+  private def requireUnpinned(op: String): Unit =
+    pinnedVersion.foreach(v => throw new UnsupportedOperationException(
+      s"graft: $op on $ident VERSION AS OF $v — time-travel relations are read-only"))
 
   override def metadataColumns(): Array[MetadataColumn] = Array(GraftTable.FileColumn)
 
   override def newRowLevelOperationBuilder(
       info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
-      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
+    requireUnpinned(info.command().toString)
     () => new GraftRowLevelOperation(this, info.command())
+  }
 
   override def name(): String = ident
   override def schema(): StructType = schema0
@@ -107,6 +116,7 @@ final class GraftTable(
     filters.forall(deletableFilter)
 
   override def deleteWhere(filters: Array[Filter]): Unit = {
+    requireUnpinned("DELETE")
     val conf = new org.apache.hadoop.conf.Configuration()
     val root = new Path(dataDir)
     val fs = root.getFileSystem(conf)
@@ -119,10 +129,14 @@ final class GraftTable(
     val constVerdicts = filters.map(f => PartitionPruning.eval3(f, Map.empty))
     if (constVerdicts.exists(_.contains(false))) return // provably no rows match
     if (constVerdicts.forall(_.contains(true))) {
-      // truncate
-      fs.delete(root, true)
-      fs.mkdirs(root)
-      TableStats.write(fs, root, Map.empty[String, TableStats.Entry])
+      // truncate = publish an empty manifest. Data files stay on disk
+      // (they remain reachable through earlier snapshots for time
+      // travel; vacuum reclaims them); stale epoch markers must not
+      // dedupe future stream epochs against pre-truncate history.
+      fs.delete(new Path(root, TableStats.CommitsDir), true)
+      TableStats.withLock(fs, root) {
+        TableStats.write(fs, root, Map.empty[String, TableStats.Entry])
+      }
       return
     }
     if (partitionCols.isEmpty)
@@ -164,13 +178,21 @@ final class GraftTable(
         }
       }
     walk(root, partFields, Map.empty, "")
-    val deleted = toDelete.map { case (p, rel) => fs.delete(p, true); rel }
-    if (deleted.nonEmpty) TableStats.withLock(fs, root) {
-      val stats = TableStats.read(fs, root)
-      if (stats.nonEmpty)
-        TableStats.write(fs, root,
-          stats.filterNot { case (relPath, _) =>
-            deleted.exists(d => relPath.startsWith(d + "/")) })
+    if (toDelete.isEmpty) return
+    TableStats.withLock(fs, root) {
+      TableStats.readIfExists(fs, root) match {
+        case Some(stats) =>
+          // metadata-only delete: drop the partitions from the manifest;
+          // the files stay on disk, reachable through earlier snapshots
+          // (time travel) until vacuum reclaims them
+          TableStats.write(fs, root,
+            stats.filterNot { case (relPath, _) =>
+              toDelete.exists { case (_, d) => relPath.startsWith(d + "/") } })
+        case None =>
+          // registry-less (out-of-band) table: physical delete is the
+          // only delete there is — no manifest, no snapshots to preserve
+          toDelete.foreach { case (p, _) => fs.delete(p, true) }
+      }
     }
   }
 
@@ -179,10 +201,16 @@ final class GraftTable(
       maxFilesPerTrigger =
         Option(options.get("maxFilesPerTrigger")).map(_.toInt),
       maxBytesPerTrigger =
-        Option(options.get("maxBytesPerTrigger")).map(_.toLong))
+        Option(options.get("maxBytesPerTrigger")).map(_.toLong),
+      // catalog time travel (VERSION AS OF) or the catalog-free spelling
+      // (spark.read.format("graft").option("snapshot-version", n))
+      snapshotVersion = Option(options.get("snapshot-version")).map(_.toLong)
+        .orElse(pinnedVersion))
 
-  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    requireUnpinned("write")
     new GraftWriteBuilder(schema0, props, dataDir, partitionCols, info)
+  }
 }
 
 object GraftTable {
@@ -246,10 +274,12 @@ object TableStats {
   /** Directory of per-epoch streaming commit markers (under the data dir). */
   val CommitsDir = "_commits"
 
-  /** Registry entry: exact row count plus optional per-column (min, max)
-    * ranges in external string form — enough for the scan to skip whole
-    * files without opening a footer. */
-  final case class Entry(rows: Long, cols: Map[String, (String, String)] = Map.empty)
+  /** Registry entry: exact row count, file size in bytes (-1 when unknown
+    * — registries written before sizes were recorded), plus optional
+    * per-column (min, max) ranges in external string form — enough for
+    * the scan to plan splits and skip whole files without any file I/O. */
+  final case class Entry(rows: Long, cols: Map[String, (String, String)] = Map.empty,
+                         bytes: Long = -1L)
 
   /** Path of `file` relative to its table's `data/` dir (keys of the stats
     * registry), robust to scheme-qualified vs bare paths. */
@@ -264,24 +294,32 @@ object TableStats {
 
   def serialize(stats: Map[String, Entry]): String =
     stats.toSeq.sortBy(_._1).map { case (rel, e) =>
-      val base = s"$rel\t${e.rows}"
+      val base = s"$rel\t${e.rows}\t${e.bytes}"
       if (e.cols.isEmpty) base
       else base + "\t" + e.cols.toSeq.sorted.map { case (c, (mn, mx)) =>
         s"${enc(c)}=${enc(mn)},${enc(mx)}"
       }.mkString(";")
     }.mkString("", "\n", "\n")
 
+  private def parseCols(colspec: String): Map[String, (String, String)] =
+    colspec.split(';').filter(_.nonEmpty).map { kv =>
+      val Array(c, mm) = kv.split('=')
+      val i = mm.indexOf(',')
+      dec(c) -> (dec(mm.substring(0, i)), dec(mm.substring(i + 1)))
+    }.toMap
+
   def deserialize(text: String): Map[String, Entry] =
     text.linesIterator.filter(_.nonEmpty).map { line =>
       line.split('\t') match {
         case Array(rel, rows) => rel -> Entry(rows.toLong)
-        case Array(rel, rows, colspec) =>
-          val cols = colspec.split(';').filter(_.nonEmpty).map { kv =>
-            val Array(c, mm) = kv.split('=')
-            val i = mm.indexOf(',')
-            dec(c) -> (dec(mm.substring(0, i)), dec(mm.substring(i + 1)))
-          }.toMap
-          rel -> Entry(rows.toLong, cols)
+        // pre-bytes format: field 3 is the colspec (always contains '=');
+        // current format: field 3 is the byte count
+        case Array(rel, rows, f3) if f3.contains('=') =>
+          rel -> Entry(rows.toLong, parseCols(f3))
+        case Array(rel, rows, bytes) =>
+          rel -> Entry(rows.toLong, Map.empty, bytes.toLong)
+        case Array(rel, rows, bytes, colspec) =>
+          rel -> Entry(rows.toLong, parseCols(colspec), bytes.toLong)
         case other =>
           throw new IllegalStateException(s"bad stats line: $line")
       }
@@ -356,6 +394,12 @@ object TableStats {
     val fc = org.apache.hadoop.fs.FileContext.getFileContext(fs.getUri, fs.getConf)
     fc.rename(fc.makeQualified(tmp), fc.makeQualified(dest),
       org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    // Record this manifest in the snapshot log. Every caller is a commit
+    // path holding withLock, so version assignment is race-free; data
+    // files are immutable and commits never physically delete them, so
+    // the recorded manifest stays readable for time travel until vacuum
+    // expires it (see [[Snapshots]]).
+    Snapshots.record(fs, dataDir, stats)
   }
 }
 
@@ -365,7 +409,8 @@ final class GraftScanBuilder(
     tableSchema: StructType, dataDir: String, partitionCols: Seq[String],
     tracker: Option[GraftRowLevelOperation] = None,
     maxFilesPerTrigger: Option[Int] = None,
-    maxBytesPerTrigger: Option[Long] = None)
+    maxBytesPerTrigger: Option[Long] = None,
+    snapshotVersion: Option[Long] = None)
     extends ScanBuilder
     with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters
@@ -429,9 +474,10 @@ final class GraftScanBuilder(
   override def pushedFilters(): Array[Filter] = pushed
 
   override def build(): Scan =
-    if (countStar) new GraftCountStarScan(dataDir)
+    if (countStar) new GraftCountStarScan(dataDir, snapshotVersion)
     else new GraftScan(tableSchema, required, pushed, dataDir, partitionCols,
-      wantFile, tracker, limit, maxFilesPerTrigger, maxBytesPerTrigger)
+      wantFile, tracker, limit, maxFilesPerTrigger, maxBytesPerTrigger,
+      snapshotVersion)
 }
 
 final class GraftScan(
@@ -444,7 +490,8 @@ final class GraftScan(
     tracker: Option[GraftRowLevelOperation] = None,
     limit: Option[Int] = None,
     maxFilesPerTrigger: Option[Int] = None,
-    maxBytesPerTrigger: Option[Long] = None)
+    maxBytesPerTrigger: Option[Long] = None,
+    snapshotVersion: Option[Long] = None)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsReportPartitioning with SupportsRuntimeFiltering {
 
@@ -519,12 +566,24 @@ final class GraftScan(
     * are pruned without listing their contents — static partition pruning
     * (the reference has none; its partition APIs throw). Returns
     * (path, length, partitionValues-in-partitionCols-order). */
-  /** Commit-time per-file stats registry; also the visibility source of
-    * truth for streaming files (see [[GraftStreamingWrite]]). */
-  private lazy val cachedStats: Map[String, TableStats.Entry] = {
+  /** The manifest this scan reads: a pinned snapshot (time travel) or the
+    * live commit-time registry. None only for registry-less tables
+    * (written out-of-band) — those fall back to a directory walk. */
+  private lazy val manifestOpt: Option[Map[String, TableStats.Entry]] = {
     val dir = new Path(dataDir)
-    TableStats.read(dir.getFileSystem(new Configuration()), dir)
+    val fs = dir.getFileSystem(new Configuration())
+    snapshotVersion match {
+      case Some(v) => Some(Snapshots.read(fs, dir, v).getOrElse(
+        throw new IllegalArgumentException(
+          s"graft: no snapshot v$v for $dataDir (never recorded, or expired by vacuum)")))
+      case None => TableStats.readIfExists(fs, dir)
+    }
   }
+
+  /** Commit-time per-file stats registry (or the pinned snapshot); also
+    * the visibility source of truth for streaming files. */
+  private def cachedStats: Map[String, TableStats.Entry] =
+    manifestOpt.getOrElse(Map.empty)
 
   private var filesCache: Seq[(String, Long, Seq[Any])] = _
   private var groupsCache: Seq[(Seq[Any], Seq[(String, Long)])] = _
@@ -579,10 +638,56 @@ final class GraftScan(
         }
       }
 
+    // Manifest-first listing: the registry (or pinned snapshot) IS the
+    // file list — parse partition values from the relative paths and
+    // apply the same pruning the walk applies during descent. ZERO
+    // directory listings on a warm table regardless of file or partition
+    // count; physical orphans (replaced by COW/compaction/truncate but
+    // retained for time travel) are invisible because they left the
+    // manifest. The walk survives only for registry-less tables.
+    def fromManifest(stats: Map[String, TableStats.Entry]): Seq[(String, Long, Seq[Any])] =
+      stats.toSeq.sortBy(_._1).flatMap { case (rel, e) =>
+        val segs = rel.split('/')
+        if (segs.length != partFields.length + 1) None
+        else {
+          var ok = true
+          val vals: Seq[Any] = partFields.zip(segs.dropRight(1)).map { case (f, seg) =>
+            seg.split("=", 2) match {
+              case Array(c, raw) if c == f.dir => f match {
+                case PartField.Identity(col) => PartitionPruning.parse(
+                  tableSchema(col).dataType, PartitionPruning.decode(raw))
+                case _: PartField.Bucket => raw.toInt
+              }
+              case _ => ok = false; null
+            }
+          }
+          val vmap = partFields.zip(vals).map { case (f, v) => f match {
+            case PartField.Identity(col) => col -> v
+            case b: PartField.Bucket => b.dir -> v
+          }}.toMap
+          val pruned = !ok ||
+            partFields.zip(vals).exists {
+              case (b: PartField.Bucket, id: Int) => !bucketAllows(b, id)
+              case _ => false
+            } ||
+            PartitionPruning.prune(pushed.toSeq, vmap)
+          if (pruned) None
+          else {
+            val len =
+              if (e.bytes >= 0) e.bytes
+              else fs.getFileStatus(new Path(s"$dataDir/$rel")).getLen
+            Some((s"$dataDir/$rel", len, vals))
+          }
+        }
+      }
+
     filesCache =
-      if (!fs.exists(root)) Seq.empty
+      if (manifestOpt.isEmpty && !fs.exists(root)) Seq.empty
       else {
-        val all = walk(root, partFields, Map.empty).sortBy(_._1)
+        val all = manifestOpt match {
+          case Some(stats) => fromManifest(stats)
+          case None => walk(root, partFields, Map.empty).sortBy(_._1)
+        }
         val allowed0 = allowedFiles.fold(all)(ok => all.filter(f => ok.contains(f._1)))
         // file-level skip from commit-time column ranges: a file whose
         // registered [min, max] provably excludes some pushed filter is
@@ -778,8 +883,11 @@ final class GraftScan(
 }
 
 /** Complete COUNT(*) pushdown: one row, straight from the stats cache
-  * (footer fallback only for out-of-band files). */
-final class GraftCountStarScan(dataDir: String) extends Scan with Batch {
+  * (footer fallback only for out-of-band files). A pinned snapshot
+  * version counts that manifest instead of the live registry. */
+final class GraftCountStarScan(dataDir: String,
+                               snapshotVersion: Option[Long] = None)
+    extends Scan with Batch {
   override def readSchema(): StructType = StructType(Seq(
     org.apache.spark.sql.types.StructField("count", org.apache.spark.sql.types.LongType,
       nullable = false)))
@@ -790,7 +898,12 @@ final class GraftCountStarScan(dataDir: String) extends Scan with Batch {
     val conf = new Configuration()
     val root = new Path(dataDir)
     val fs = root.getFileSystem(conf)
-    if (!fs.exists(root)) 0L
+    if (snapshotVersion.isDefined)
+      Snapshots.read(fs, root, snapshotVersion.get).getOrElse(
+        throw new IllegalArgumentException(
+          s"graft: no snapshot v${snapshotVersion.get} for $dataDir"))
+        .valuesIterator.map(_.rows).sum
+    else if (!fs.exists(root)) 0L
     else
     // Registry-first: every commit path (insert, truncate, partition
     // DELETE, row-level COW, compaction, streaming epoch) rewrites
@@ -1136,12 +1249,13 @@ final class GraftBatchWrite(
     val committedNames = committed.keysIterator.map(_.split('/').last).toSet
     // Every committed task attempt wrote uniquely-named files (taskId in
     // the name); files carrying this writeId that are NOT in the commit
-    // messages come from failed/speculative attempts — drop them. On
-    // truncate-overwrite, also drop everything from before this write.
+    // messages come from failed/speculative attempts — drop them.
+    // Truncate-overwrite does NOT physically delete prior files: the
+    // registry rewrite below (base = empty) makes them invisible, and
+    // they stay reachable through earlier snapshots until vacuum.
     eachFile { (fs, p) =>
       val n = p.getName
-      if (n.contains(writeId)) { if (!committedNames.contains(n)) fs.delete(p, false) }
-      else if (truncate && n.endsWith(".parquet")) fs.delete(p, false)
+      if (n.contains(writeId) && !committedNames.contains(n)) fs.delete(p, false)
     }
     // Refresh the per-file row-count cache from the writers' own counts.
     val conf = new Configuration()
@@ -1321,8 +1435,15 @@ object GraftWriterFactory {
       }
       override def commit(): WriterCommitMessage = {
         writers.values.foreach(_._1.close())
-        GraftCommitMessage(writers.values.map(w =>
-          (w._2, TableStats.Entry(w._3, w._4.result))).toSeq)
+        GraftCommitMessage(writers.values.map { w =>
+          // record the file size so scans can plan splits and report
+          // sizeInBytes from the registry alone — zero file I/O at plan
+          val len =
+            try new Path(s"$dataDir/${w._2}").getFileSystem(conf)
+              .getFileStatus(new Path(s"$dataDir/${w._2}")).getLen
+            catch { case _: java.io.IOException => -1L }
+          (w._2, TableStats.Entry(w._3, w._4.result, len))
+        }.toSeq)
       }
       override def abort(): Unit = {
         writers.values.foreach(w => try w._1.close() catch { case _: Exception => () })

@@ -1,0 +1,147 @@
+package graft.sources
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Snapshot history for graft tables — time travel and storage reclaim.
+  *
+  * Every successful commit (INSERT, truncate-overwrite, partition DELETE,
+  * row-level COW, compaction swap, streaming epoch) rewrites the live
+  * `_stats.tsv` registry under the table lock; [[TableStats.write]] also
+  * records the new manifest as `<table>/_snapshots/v<N>.tsv`. Because data
+  * files are immutable and replaced files are only REMOVED FROM THE
+  * MANIFEST (never physically deleted by a commit — see the deferred
+  * deletes in `GraftTable`/`GraftRowLevel`/`Compaction`), every recorded
+  * manifest stays readable: `VERSION AS OF n` / `TIMESTAMP AS OF t` pin a
+  * scan to a historical manifest with zero copies.
+  *
+  * Scale: a snapshot costs one small side file per commit, independent of
+  * data size — the 100 TB cost model is identical to the registry itself.
+  * [[vacuum]] bounds the history: it drops expired manifests and deletes
+  * data files no retained manifest references (one recursive listing,
+  * driver-side set difference on RELATIVE paths — O(#files) metadata, no
+  * data movement).
+  *
+  * The reference has nothing comparable (HBase versioning is per-cell,
+  * never exposed through its Spark layer); this is table-format behavior
+  * the pipeline needs for reproducible training runs: a job can pin the
+  * corpus version it was launched against while ingestion keeps
+  * committing.
+  */
+object Snapshots {
+  val Dir = "_snapshots"
+
+  private def fmt(v: Long): String = f"v$v%09d.tsv"
+
+  def snapDir(dataDir: Path): Path = new Path(dataDir.getParent, Dir)
+
+  private def versionOf(p: Path): Option[Long] = {
+    val n = p.getName
+    if (n.startsWith("v") && n.endsWith(".tsv"))
+      n.substring(1, n.length - 4).toLongOption
+    else None
+  }
+
+  /** All recorded (version, commitTimeMillis), ascending by version. */
+  def list(fs: FileSystem, dataDir: Path): Seq[(Long, Long)] = {
+    val d = snapDir(dataDir)
+    if (!fs.exists(d)) Seq.empty
+    else fs.listStatus(d).toSeq
+      .flatMap(s => versionOf(s.getPath).map(_ -> s.getModificationTime))
+      .sortBy(_._1)
+  }
+
+  /** The manifest recorded as version `v`, or None if expired/unknown. */
+  def read(fs: FileSystem, dataDir: Path, v: Long): Option[Map[String, TableStats.Entry]] = {
+    val p = new Path(snapDir(dataDir), fmt(v))
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val text = try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+        finally in.close()
+      Some(TableStats.deserialize(text))
+    }
+  }
+
+  /** Latest version committed at or before `tsMillis` (TIMESTAMP AS OF). */
+  def latestAsOf(fs: FileSystem, dataDir: Path, tsMillis: Long): Option[Long] =
+    list(fs, dataDir).filter(_._2 <= tsMillis).lastOption.map(_._1)
+
+  /** Record `stats` as the next snapshot version. MUST be called under
+    * [[TableStats.withLock]] (all callers are commit paths, which hold
+    * it): max-version+1 is race-free only while the lock is held. */
+  def record(fs: FileSystem, dataDir: Path, stats: Map[String, TableStats.Entry]): Long = {
+    val d = snapDir(dataDir)
+    fs.mkdirs(d)
+    val next = list(fs, dataDir).lastOption.map(_._1).getOrElse(0L) + 1
+    val tmp = new Path(d, s".${fmt(next)}.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(TableStats.serialize(stats).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    if (!fs.rename(tmp, new Path(d, fmt(next))))
+      throw new IllegalStateException(s"graft: could not record snapshot $next under $d")
+    next
+  }
+
+  /** Snapshot log as a DataFrame — the DESCRIBE HISTORY analog:
+    * (version, committed_at, files, rows, bytes). */
+  def history(spark: SparkSession, tableDir: String): DataFrame = {
+    val dataDir = new Path(tableDir, "data")
+    val fs = dataDir.getFileSystem(new Configuration())
+    val rows = list(fs, dataDir).map { case (v, ts) =>
+      val m = read(fs, dataDir, v).getOrElse(Map.empty)
+      (v, new java.sql.Timestamp(ts), m.size.toLong,
+        m.valuesIterator.map(_.rows).sum,
+        m.valuesIterator.map(e => math.max(e.bytes, 0L)).sum)
+    }
+    import spark.implicits._
+    rows.toDF("version", "committed_at", "files", "rows", "bytes")
+  }
+
+  /** Expire history: keep the latest `retain` snapshots (and always the
+    * live registry), physically delete data files referenced by NO
+    * retained manifest, and drop the expired manifest files. Returns
+    * (dataFilesDeleted, snapshotsDropped).
+    *
+    * Runs under the table lock so no commit can move the live registry
+    * while the reachability set is computed. Files younger than
+    * `minAgeMillis` are never touched: an IN-FLIGHT write lands its part
+    * files before it takes the commit lock, so an unreferenced-but-fresh
+    * file may be about to be committed — the age guard (the standard
+    * orphan-cleanup discipline) keeps vacuum safe to run concurrently
+    * with writers. Driver work is one registry read + one recursive
+    * listing + set membership on relative paths — metadata-only. */
+  def vacuum(tableDir: String, retain: Int = 2,
+             minAgeMillis: Long = 3600L * 1000): (Int, Int) = {
+    require(retain >= 0, "retain must be >= 0")
+    val dataDir = new Path(tableDir, "data")
+    val fs = dataDir.getFileSystem(new Configuration())
+    if (!fs.exists(dataDir)) return (0, 0)
+    TableStats.withLock(fs, dataDir) {
+      val versions = list(fs, dataDir)
+      val (dropped, kept) = versions.splitAt(math.max(0, versions.length - retain))
+      val live = TableStats.read(fs, dataDir).keySet
+      val reachable: Set[String] =
+        live ++ kept.flatMap { case (v, _) =>
+          read(fs, dataDir, v).map(_.keySet).getOrElse(Set.empty[String])
+        }
+      // delete unreferenced data files (never side files / commit markers)
+      val it = fs.listFiles(dataDir, true)
+      val victims = scala.collection.mutable.ArrayBuffer[Path]()
+      while (it.hasNext) {
+        val st = it.next()
+        val p = st.getPath
+        if (st.isFile && p.getName.endsWith(".parquet") &&
+            System.currentTimeMillis() - st.getModificationTime >= minAgeMillis &&
+            !reachable.contains(TableStats.relOf(p.toString)))
+          victims += p
+      }
+      victims.foreach(fs.delete(_, false))
+      dropped.foreach { case (v, _) =>
+        fs.delete(new Path(snapDir(dataDir), fmt(v)), false)
+      }
+      (victims.size, dropped.size)
+    }
+  }
+}

@@ -215,11 +215,21 @@ class GraftCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.sql("DELETE FROM graft.pw.cow WHERE id = 4")
     assert(spark.table("graft.pw.cow").count() == 99)
     assert(spark.sql("SELECT * FROM graft.pw.cow WHERE id = 4").count() == 0)
-    val afterDelete = files()
-    // only the file(s) containing id=4 were replaced
-    assert((before -- afterDelete).nonEmpty, "affected file must be replaced")
+    // COW replace is manifest-level: the affected file leaves the registry
+    // (invisible to scans) but STAYS on disk for time travel; untouched
+    // files keep their registry entries.
+    def registered(): Set[String] = {
+      val d = new org.apache.hadoop.fs.Path(s"$warehouse/pw/cow/data")
+      graft.sources.TableStats.read(
+        d.getFileSystem(new org.apache.hadoop.conf.Configuration()), d)
+        .keySet.map(rel => s"$warehouse/pw/cow/data/$rel")
+    }
+    val afterDelete = registered()
+    assert((before -- afterDelete).nonEmpty, "affected file must leave the manifest")
     assert((before intersect afterDelete).nonEmpty,
       "untouched files must survive a group-filtered delete")
+    assert(files().intersect(before) == before,
+      "replaced files stay on disk until vacuum (time travel)")
 
     // UPDATE
     spark.sql("UPDATE graft.pw.cow SET v = v + 1000 WHERE id < 10")
@@ -479,6 +489,12 @@ class GraftCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     val (removed, written) = graft.sources.Compaction.compact(spark, t)
     assert(removed == before && written < before,
       s"compacted $removed -> $written (before=$before)")
+    // swap is manifest-level: originals stay on disk (time travel) until
+    // vacuum physically reclaims everything no retained snapshot references
+    assert(parquetFiles().size == before + written)
+    val (reclaimed, _) = graft.sources.Snapshots.vacuum(
+      s"$warehouse/pw/cmp", retain = 0, minAgeMillis = 0L)
+    assert(reclaimed == before, s"vacuum reclaimed $reclaimed, want $before")
     assert(parquetFiles().size == written)
     // identical data, still partitioned on disk
     assert(spark.table("graft.pw.cmp").collect().map(_.getLong(0)).sorted.toSeq == want)

@@ -186,6 +186,11 @@ class ScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
         Array("mf"), "many")).asInstanceOf[GraftTable]
     val (cBefore, cAfter) = Compaction.compact(spark, table)
     assert(cBefore >= 900 && cAfter <= 32, s"compaction $cBefore -> $cAfter")
+    // originals stay on disk for time travel; vacuum reclaims them in one
+    // listing + set difference (metadata-only, O(#files))
+    graft.sources.Snapshots.vacuum(
+      spark.conf.get("spark.sql.catalog.graft.warehouse") + "/mf/many",
+      retain = 0, minAgeMillis = 0L)
     assert(parquetFiles() <= 32)
     assert(spark.sql("SELECT count(*) FROM graft.mf.many").head().getLong(0) == 100000L)
     assert(spark.sql("SELECT sum(v) FROM graft.mf.many").head().getDouble(0) == sum0)

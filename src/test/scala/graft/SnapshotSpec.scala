@@ -1,0 +1,158 @@
+package graft
+
+import java.nio.file.Files
+
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+
+import graft.sources.{Snapshots, TableStats}
+
+/** Snapshot history: every commit records a manifest, time travel pins a
+  * scan to one, mutations never physically delete data files, and vacuum
+  * is the only reclaim path (SURVEY.md — table-format behavior the
+  * reference's Spark layer has no analog of).
+  */
+class SnapshotSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private val warehouse = Files.createTempDirectory("graft_snap_wh").toString
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.catalog.graft", classOf[graft.sources.GraftCatalog].getName)
+    .config("spark.sql.catalog.graft.warehouse", warehouse)
+    .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def fsOf(p: Path) = p.getFileSystem(new Configuration())
+  private def dataDir(tbl: String) = new Path(s"$warehouse/snap/$tbl/data")
+  private def versions(tbl: String): Seq[Long] =
+    Snapshots.list(fsOf(dataDir(tbl)), dataDir(tbl)).map(_._1)
+  private def parquetCount(tbl: String): Int = {
+    val d = dataDir(tbl)
+    val fs = fsOf(d)
+    val it = fs.listFiles(d, true)
+    var n = 0
+    while (it.hasNext) { if (it.next().getPath.getName.endsWith(".parquet")) n += 1 }
+    n
+  }
+
+  test("every commit records a snapshot; VERSION AS OF replays it") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.snap")
+    spark.sql("CREATE TABLE graft.snap.t (k BIGINT, v STRING)")
+    spark.sql("INSERT INTO graft.snap.t VALUES (1, 'a'), (2, 'b')")
+    val v1 = versions("t").last
+    spark.sql("INSERT INTO graft.snap.t VALUES (3, 'c')")
+    spark.sql("DELETE FROM graft.snap.t WHERE k = 1") // row-level COW
+    val vs = versions("t")
+    assert(vs.size >= 3 && vs == vs.sorted)
+
+    assert(spark.sql("SELECT * FROM graft.snap.t").count() == 2)
+    val pinned = spark.sql(s"SELECT k FROM graft.snap.t VERSION AS OF $v1")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(pinned == Seq(1L, 2L), "pinned read must predate both mutations")
+    // COUNT(*) pushdown answers from the pinned manifest too
+    assert(spark.sql(s"SELECT COUNT(*) FROM graft.snap.t VERSION AS OF $v1")
+      .collect().head.getLong(0) == 2L)
+  }
+
+  test("TIMESTAMP AS OF resolves to the latest snapshot at or before it") {
+    val d = dataDir("t")
+    val fs = fsOf(d)
+    val all = Snapshots.list(fs, d)
+    val (v1, ts1) = all.head
+    // a timestamp right at the first commit sees only that commit
+    val got = spark.sql(
+      s"SELECT COUNT(*) FROM graft.snap.t TIMESTAMP AS OF " +
+        s"CAST('${new java.sql.Timestamp(ts1)}' AS TIMESTAMP)")
+      .collect().head.getLong(0)
+    assert(got == Snapshots.read(fs, d, v1).get.valuesIterator.map(_.rows).sum)
+  }
+
+  test("time-travel relations are read-only") {
+    val v = versions("t").head
+    intercept[Exception] {
+      spark.sql(s"INSERT INTO graft.snap.t VERSION AS OF $v VALUES (9, 'x')")
+    }
+    // parser or table guard — either way the write must not land
+    assert(spark.sql("SELECT COUNT(*) FROM graft.snap.t WHERE k = 9")
+      .collect().head.getLong(0) == 0L)
+    val e2 = intercept[UnsupportedOperationException] {
+      spark.sessionState.catalogManager.catalog("graft")
+        .asInstanceOf[graft.sources.GraftCatalog]
+        .loadTable(org.apache.spark.sql.connector.catalog.Identifier.of(
+          Array("snap"), "t"), v.toString)
+        .asInstanceOf[graft.sources.GraftTable]
+        .deleteWhere(Array[org.apache.spark.sql.sources.Filter](
+          org.apache.spark.sql.sources.AlwaysTrue))
+    }
+    assert(e2.getMessage.contains("read-only"))
+  }
+
+  test("mutations defer physical deletes; vacuum reclaims unreferenced files") {
+    spark.sql("CREATE TABLE graft.snap.vac (k BIGINT, v STRING)")
+    spark.sql("INSERT INTO graft.snap.vac VALUES (1, 'a'), (2, 'b')")
+    spark.sql("INSERT INTO graft.snap.vac VALUES (3, 'c')")
+    val before = parquetCount("vac")
+    spark.sql("DELETE FROM graft.snap.vac WHERE k <= 2") // COW rewrite
+    // replaced files still on disk (reachable via earlier snapshots)...
+    assert(parquetCount("vac") >= before)
+    // ...but invisible to the live scan
+    assert(spark.sql("SELECT * FROM graft.snap.vac").count() == 1)
+
+    val tblDir = s"$warehouse/snap/vac"
+    // age guard: nothing young enough gets deleted
+    val (d0, _) = Snapshots.vacuum(tblDir, retain = 1, minAgeMillis = 3600000L)
+    assert(d0 == 0)
+    val (deleted, droppedSnaps) = Snapshots.vacuum(tblDir, retain = 1, minAgeMillis = 0L)
+    val d = dataDir("vac")
+    val dbgLive = TableStats.read(fsOf(d), d).keySet
+    val dbgVers = Snapshots.list(fsOf(d), d)
+    val dbgFiles = {
+      val it = fsOf(d).listFiles(d, true)
+      val b = scala.collection.mutable.ArrayBuffer[String]()
+      while (it.hasNext) { val p = it.next().getPath; if (p.getName.endsWith(".parquet")) b += TableStats.relOf(p.toString) }
+      b.toSeq
+    }
+    assert(deleted > 0,
+      s"vacuum must physically delete unreferenced files; live=$dbgLive vers=$dbgVers files=$dbgFiles")
+    assert(droppedSnaps > 0)
+    // live table unharmed; expired version now unreadable
+    assert(spark.sql("SELECT k FROM graft.snap.vac").collect().map(_.getLong(0)).toSeq == Seq(3L))
+    val gone = versions("vac") // only retained versions remain
+    assert(gone.size == 1)
+    val err = intercept[Exception] {
+      spark.sql("SELECT * FROM graft.snap.vac VERSION AS OF 1").collect()
+    }
+    assert(err.getMessage.contains("snapshot"))
+  }
+
+  test("snapshot history() reports versions, rows, files") {
+    val h = Snapshots.history(spark, s"$warehouse/snap/t").collect()
+    assert(h.length == versions("t").size)
+    assert(h.map(_.getLong(0)).toSeq == h.map(_.getLong(0)).toSeq.sorted)
+    // latest history row matches the live registry
+    val d = dataDir("t")
+    val live = TableStats.read(fsOf(d), d)
+    val last = h.last
+    assert(last.getLong(2) == live.size.toLong)
+    assert(last.getLong(3) == live.valuesIterator.map(_.rows).sum)
+  }
+
+  test("registry parses pre-bytes format lines (backward compat)") {
+    val withCols = "part-0.parquet\t10\tk=1,5\nplain.parquet\t3\n"
+    val m = TableStats.deserialize(withCols)
+    assert(m("part-0.parquet") == TableStats.Entry(10, Map("k" -> ("1", "5")), -1L))
+    assert(m("plain.parquet") == TableStats.Entry(3))
+    val roundTrip = TableStats.deserialize(TableStats.serialize(m))
+    assert(roundTrip == m)
+  }
+}
