@@ -11,16 +11,23 @@ import org.apache.spark.sql.functions.col
   * shuffle-read fan-in. Compaction rewrites each partition's small files
   * into consolidated ones and swaps them in:
   *
-  *  1. pick, per partition directory, the files below `smallBytes`
-  *     (only when there are at least two — compacting one file is a no-op);
+  *  1. pick, per partition directory, the LIVE files below `smallBytes`
+  *     (only when there are at least two — compacting one file is a no-op).
+  *     Victims come from the stats manifest, never a directory listing:
+  *     commits delete metadata-only (COW, truncate, compaction swap keep
+  *     data files for time travel), so the directory also holds files that
+  *     were deliberately removed from the manifest — rewriting those would
+  *     resurrect deleted rows;
   *  2. one distributed job reads those files (null-filling columns added
   *     since they were written) and writes consolidated files through the
   *     normal partitioned write path;
-  *  3. swap: delete the originals, register the replacements in the stats
-  *     cache. Readers between steps 2 and 3 see the table briefly
-  *     duplicated, never truncated; a crash before step 3 leaves only
-  *     unregistered extra files that the next compaction run reclaims
-  *     (single-writer maintenance op, same assumption as the write path).
+  *  3. swap, under the table lock: re-point the manifest from the originals
+  *     to the replacements. If a concurrent commit removed one of the
+  *     victims from the manifest meanwhile (COW delete, another
+  *     compaction), the swap ABORTS and deletes its own output — never
+  *     re-registers rows another committer just deleted. Readers between
+  *     steps 2 and 3 see the live manifest unchanged; a crash before
+  *     step 3 leaves only unregistered extra files that vacuum reclaims.
   *
   * Caveat: a live `readStream` over the table tracks files by name, so
   * compacting rows it already delivered re-delivers them under the new
@@ -48,16 +55,18 @@ object Compaction {
     val fs = dataDir.getFileSystem(conf)
     if (!fs.exists(dataDir)) return (0, 0)
 
-    // group data files by their partition directory
-    val it = fs.listFiles(dataDir, true)
+    // group LIVE data files by their partition directory — the manifest is
+    // the file list (unregistered on-disk files are deleted rows kept for
+    // time travel, uncommitted stream epochs, or crash leftovers; all
+    // invisible to scans and none of compaction's business)
+    val live = TableStats.read(fs, dataDir)
     val byDir = scala.collection.mutable.Map[String, Vector[(String, Long)]]()
-    while (it.hasNext) {
-      val st = it.next()
-      if (st.isFile && st.getPath.getName.endsWith(".parquet")) {
-        val dir = st.getPath.getParent.toString
-        byDir(dir) = byDir.getOrElse(dir, Vector.empty) :+
-          (st.getPath.toString, st.getLen)
-      }
+    live.foreach { case (rel, e) =>
+      val p = new Path(dataDir, rel)
+      // registries written before sizes were recorded carry bytes = -1
+      val bytes = if (e.bytes >= 0) e.bytes else fs.getFileStatus(p).getLen
+      val dir = p.getParent.toString
+      byDir(dir) = byDir.getOrElse(dir, Vector.empty) :+ (p.toString, bytes)
     }
     val groups = byDir.values.toSeq
       .map(_.filter(_._2 < smallBytes))
@@ -113,8 +122,16 @@ object Compaction {
     // still reference them (time travel); vacuum reclaims them later.
     val victimRels = victims.map(TableStats.relOf).toSet
     TableStats.withLock(fs, dataDir) {
-      val base = TableStats.read(fs, dataDir) -- victimRels
-      TableStats.write(fs, dataDir, base ++ written)
+      val base = TableStats.read(fs, dataDir)
+      if (!victimRels.forall(base.contains)) {
+        // a concurrent commit replaced one of our inputs (COW delete,
+        // another compaction): registering the rewrite would resurrect
+        // rows that committer just removed — abort, drop our output
+        written.foreach { case (rel, _) => fs.delete(new Path(dataDir, rel), false) }
+        throw new IllegalStateException(
+          "graft: compaction lost a race with a concurrent commit; no changes applied")
+      }
+      TableStats.write(fs, dataDir, base -- victimRels ++ written)
     }
     (victims.size, written.length)
   }

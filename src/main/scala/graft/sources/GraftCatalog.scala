@@ -242,21 +242,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
   // (CreateHBaseTableAsSelectCommand.scala:53-72), done the Spark way.
 
   private def validatePartitions(schema: StructType, partitions: Array[Transform]): Seq[String] = {
-    val fields = partitions.toSeq.map {
-      case t if t.name() == "identity" && t.references().length == 1 =>
-        PartField.Identity(t.references()(0).fieldNames().mkString("."))
-      case t if t.name() == "bucket" && t.references().length == 1 =>
-        val n = t.arguments().collectFirst {
-          case lit: org.apache.spark.sql.connector.expressions.Literal[_]
-              if lit.value().isInstanceOf[Number] =>
-            lit.value().asInstanceOf[Number].intValue()
-        }.getOrElse(throw new IllegalArgumentException(
-          s"graft catalog: bucket transform without a count: $t"))
-        PartField.Bucket(n, t.references()(0).fieldNames().mkString("."))
-      case other => throw new UnsupportedOperationException(
-        s"graft catalog: unsupported partition transform $other " +
-          "(identity and bucket(n, col) only)")
-    }
+    val fields = partitions.toSeq.map(PartField.fromTransform)
     fields.foreach { f =>
       require(schema.fieldNames.contains(f.col),
         s"partition column ${f.col} not in schema")

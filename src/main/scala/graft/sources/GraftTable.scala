@@ -214,6 +214,12 @@ final class GraftTable(
 }
 
 object GraftTable {
+  /** Set (in-memory only, never persisted to `_meta.yml`) on tables served
+    * by the path-based [[GraftTableProvider]]: no FunctionCatalog is
+    * reachable there, so writes must not request a bucket-clustered
+    * distribution Spark could not resolve. */
+  val PathBasedProp = "graft.path-based"
+
   /** `_file` metadata column: full path of the file a row came from (the
     * group identity for copy-on-write row-level operations, and useful
     * for debugging — same convention as the built-in file sources). */
@@ -350,32 +356,56 @@ object TableStats {
     * first's entries — invisible rows under registry-first COUNT(*) and
     * the streaming source. Lock = exclusive create of a `.stats.lock`
     * sibling of the data dir (atomic on HDFS; best-effort on local FS);
-    * a stale lock from a crashed holder expires after 60 s by mtime. */
+    * a stale lock from a crashed holder expires after 60 s by mtime.
+    * The lock body carries a unique TOKEN: acquisition is confirmed by
+    * reading the token back (a racing waiter that wrongly expired our
+    * fresh lock is detected, not silently tolerated), stale expiry
+    * re-stats immediately before deleting and only removes the exact
+    * incarnation it observed (mtime match), and unlock deletes only our
+    * own token — two waiters expiring the same dead holder can no longer
+    * each delete the other's fresh lock and both enter the section. */
   def withLock[T](fs: FileSystem, dataDir: Path)(body: => T): T = {
     val lock = new Path(dataDir.getParent, ".stats.lock")
+    val token = java.util.UUID.randomUUID().toString
     val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+    def lockContent(): Option[String] =
+      try {
+        val in = fs.open(lock)
+        try Some(new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8))
+        finally in.close()
+      } catch { case _: java.io.IOException => None }
     var held = false
     while (!held) {
-      try {
-        val out = fs.create(lock, false)
-        try out.write(java.lang.management.ManagementFactory.getRuntimeMXBean
-          .getName.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-        finally out.close()
-        held = true
-      } catch {
-        case _: java.io.IOException =>
-          try {
-            val st = fs.getFileStatus(lock)
-            if (System.currentTimeMillis() - st.getModificationTime > 60000)
+      val created =
+        try {
+          val out = fs.create(lock, false)
+          try out.write(token.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          finally out.close()
+          true
+        } catch { case _: java.io.IOException => false }
+      // confirm ownership: a waiter racing on a stale holder may have
+      // deleted our just-created lock (and possibly created its own)
+      held = created && lockContent().contains(token)
+      if (!held) {
+        try {
+          val st = fs.getFileStatus(lock)
+          if (System.currentTimeMillis() - st.getModificationTime > 60000) {
+            // re-stat immediately before deleting: only expire the exact
+            // incarnation we observed, never a fresh lock that replaced it
+            val st2 = fs.getFileStatus(lock)
+            if (st2.getModificationTime == st.getModificationTime)
               fs.delete(lock, false) // stale holder
-          } catch { case _: java.io.FileNotFoundException => () }
-          if (System.nanoTime() > deadline)
-            throw new IllegalStateException(
-              s"graft: could not acquire $lock within 30s")
-          Thread.sleep(50)
+          }
+        } catch { case _: java.io.FileNotFoundException => () }
+        if (System.nanoTime() > deadline)
+          throw new IllegalStateException(
+            s"graft: could not acquire $lock within 30s")
+        Thread.sleep(50)
       }
     }
-    try body finally fs.delete(lock, false)
+    // unlock only our own incarnation: if someone wrongly expired us,
+    // their lock must survive our cleanup
+    try body finally if (lockContent().contains(token)) fs.delete(lock, false)
   }
 
   def write(fs: FileSystem, dataDir: Path, stats: Map[String, Entry]): Unit = {
@@ -648,9 +678,15 @@ final class GraftScan(
     def fromManifest(stats: Map[String, TableStats.Entry]): Seq[(String, Long, Seq[Any])] =
       stats.toSeq.sortBy(_._1).flatMap { case (rel, e) =>
         val segs = rel.split('/')
-        if (segs.length != partFields.length + 1) None
+        if (segs.length != partFields.length + 1)
+          // a registered file outside the partition layout has no
+          // partition values to reconstruct: reading it would be wrong,
+          // skipping it would silently disagree with registry-first
+          // COUNT(*) — fail loudly instead
+          throw new IllegalStateException(
+            s"graft: registered file '$rel' does not match the " +
+              s"${partFields.map(_.spec).mkString("/")} partition layout of $dataDir")
         else {
-          var ok = true
           val vals: Seq[Any] = partFields.zip(segs.dropRight(1)).map { case (f, seg) =>
             seg.split("=", 2) match {
               case Array(c, raw) if c == f.dir => f match {
@@ -658,14 +694,16 @@ final class GraftScan(
                   tableSchema(col).dataType, PartitionPruning.decode(raw))
                 case _: PartField.Bucket => raw.toInt
               }
-              case _ => ok = false; null
+              case _ => throw new IllegalStateException(
+                s"graft: registered file '$rel' does not match the " +
+                  s"${partFields.map(_.spec).mkString("/")} partition layout of $dataDir")
             }
           }
           val vmap = partFields.zip(vals).map { case (f, v) => f match {
             case PartField.Identity(col) => col -> v
             case b: PartField.Bucket => b.dir -> v
           }}.toMap
-          val pruned = !ok ||
+          val pruned =
             partFields.zip(vals).exists {
               case (b: PartField.Bucket, id: Int) => !bucketAllows(b, id)
               case _ => false
@@ -1104,29 +1142,34 @@ final class GraftWriteBuilder(
   // ~#partitions files, not #tasks x #partitions small files — the
   // write-side half of the small-file story (compaction is the repair
   // half). Opt out per table with write.distribute=false.
-  override def build(): Write =
-    if (partitionCols.nonEmpty &&
+  override def build(): Write = {
+    // bucket clustering resolves through the catalog's FunctionCatalog
+    // (tasks align to bucket ids — one file per populated bucket per
+    // commit); a path-based table has no FunctionCatalog, so requesting
+    // it would fail analysis — cluster on identity fields only there
+    val pathBased = props.getOrElse(GraftTable.PathBasedProp, "false").toBoolean
+    val clusterOn = partitionCols.map(PartField.parse).flatMap {
+      case PartField.Identity(c) =>
+        Some(org.apache.spark.sql.connector.expressions.Expressions.identity(c)
+          : org.apache.spark.sql.connector.expressions.Expression)
+      case PartField.Bucket(n, c) if !pathBased =>
+        Some(org.apache.spark.sql.connector.expressions.Expressions.bucket(n, c)
+          : org.apache.spark.sql.connector.expressions.Expression)
+      case _: PartField.Bucket => None
+    }
+    if (clusterOn.nonEmpty &&
         props.getOrElse("write.distribute", "true").toBoolean)
       new GraftWrite with RequiresDistributionAndOrdering {
         override def requiredDistribution():
             org.apache.spark.sql.connector.distributions.Distribution =
           org.apache.spark.sql.connector.distributions.Distributions.clustered(
-            partitionCols.map(PartField.parse).map {
-              case PartField.Identity(c) =>
-                org.apache.spark.sql.connector.expressions.Expressions.identity(c)
-                  : org.apache.spark.sql.connector.expressions.Expression
-              case PartField.Bucket(n, c) =>
-                // resolvable via the catalog's FunctionCatalog: tasks
-                // align to bucket ids, so an insert writes one file per
-                // populated bucket per commit
-                org.apache.spark.sql.connector.expressions.Expressions.bucket(n, c)
-                  : org.apache.spark.sql.connector.expressions.Expression
-            }.toArray)
+            clusterOn.toArray)
         override def distributionStrictlyRequired(): Boolean = false
         override def requiredOrdering(): Array[
             org.apache.spark.sql.connector.expressions.SortOrder] = Array.empty
       }
     else new GraftWrite
+  }
 
   private class GraftWrite extends Write {
     override def toBatch: BatchWrite =
@@ -1176,15 +1219,23 @@ final class GraftStreamingWrite(
       committed.foreach { case (rel, _) => fs.delete(new Path(dir, rel), false) }
       // ...and repair the registry from the marker's file list if the
       // original commit crashed between marker and registration (without
-      // this, those files would stay invisible forever — lost rows)
+      // this, those files would stay invisible forever — lost rows).
+      // Physical existence is NOT the liveness test: commits delete
+      // metadata-only, so a file on disk may have been deliberately
+      // dropped from the manifest (COW delete, compaction swap) — the
+      // snapshot log is the tombstone record. Repair only files that NO
+      // retained snapshot ever registered: those never made it into a
+      // manifest, which is exactly the crashed-commit signature.
       val in = fs.open(marker)
       val text = try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
         finally in.close()
       val original = TableStats.deserialize(text)
       TableStats.withLock(fs, dir) {
         val stats = TableStats.read(fs, dir)
+        lazy val tombstoned = Snapshots.everRecorded(fs, dir)
         val missing = original.filter { case (rel, _) =>
-          !stats.contains(rel) && fs.exists(new Path(dir, rel)) }
+          !stats.contains(rel) && fs.exists(new Path(dir, rel)) &&
+            !tombstoned.contains(rel) }
         if (missing.nonEmpty) TableStats.write(fs, dir, stats ++ missing)
       }
     } else {
@@ -1235,9 +1286,26 @@ final class GraftBatchWrite(
     val dir = new Path(dataDir)
     val fs = dir.getFileSystem(conf)
     if (fs.exists(dir)) {
-      val it = fs.listFiles(dir, true)
+      // on a local FS a concurrent committer's registry rename-overwrite
+      // can make a just-listed path vanish before the lister stats it —
+      // transient by construction, retry briefly (same discipline as the
+      // streaming source's visibleFiles)
       val paths = scala.collection.mutable.ArrayBuffer[Path]()
-      while (it.hasNext) paths += it.next().getPath
+      var attempt = 0
+      var done = false
+      while (!done) {
+        try {
+          paths.clear()
+          val it = fs.listFiles(dir, true)
+          while (it.hasNext) paths += it.next().getPath
+          done = true
+        } catch {
+          case e: Exception =>
+            attempt += 1
+            if (attempt >= 5) throw e
+            Thread.sleep(20L * attempt)
+        }
+      }
       paths.foreach(p => f(fs, p))
     }
   }

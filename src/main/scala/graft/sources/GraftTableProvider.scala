@@ -4,7 +4,7 @@ import java.util.{Map => JMap}
 
 import org.apache.hadoop.conf.Configuration
 import org.apache.spark.sql.connector.catalog.{Table, TableProvider}
-import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
+import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -48,7 +48,7 @@ class GraftTableProvider extends TableProvider with DataSourceRegister {
   override def inferPartitioning(options: CaseInsensitiveStringMap): Array[Transform] = {
     val dir = pathOf(options)
     meta(dir).map(_._3).getOrElse(Seq.empty)
-      .map(c => Expressions.identity(c)).toArray
+      .map(s => PartField.toTransform(PartField.parse(s))).toArray
   }
 
   override def getTable(
@@ -56,16 +56,32 @@ class GraftTableProvider extends TableProvider with DataSourceRegister {
       partitioning: Array[Transform],
       properties: JMap[String, String]): Table = {
     val dir = pathOf(properties)
-    val partCols = partitioning.toSeq.map { t =>
-      require(t.name == "identity",
-        s"graft: only identity partitioning is supported, got $t")
-      t.references()(0).fieldNames().mkString(".")
-    }
+    // round-trips bucket(n, col) too: specs (not bare references) reach
+    // the table, so writes route rows to the same buckets the catalog
+    // path would and scans keep bucket pruning. The WRITE path hands us
+    // the dataframe's partitioning — empty for a plain save() — so an
+    // empty argument falls back to the directory's declared layout:
+    // a path-based append to a partitioned table must route rows into
+    // partition directories, never scatter them at the data root.
+    val passed = partitioning.toSeq.map(t => PartField.fromTransform(t).spec)
+    val declared = meta(dir).map(_._3).getOrElse(Seq.empty)
+    val partCols =
+      if (passed.isEmpty) declared
+      else {
+        require(declared.isEmpty || declared == passed,
+          s"graft: partitioning $passed does not match the table's " +
+            s"declared layout $declared under $dir")
+        passed
+      }
     // _meta.yml storage properties (compression, row-group sizing, row-key
-    // generator) still apply when present; explicit OPTIONS win.
+    // generator) still apply when present; explicit OPTIONS win. The
+    // path-based marker tells the write builder there is no
+    // FunctionCatalog here: a requested bucket-clustered distribution
+    // could not be resolved, so it must fall back (advisory anyway).
     import scala.jdk.CollectionConverters._
     val storedProps = meta(dir).map(_._2).getOrElse(Map.empty)
-    new GraftTable(s"graft.`$dir`", schema, storedProps ++ properties.asScala,
+    new GraftTable(s"graft.`$dir`", schema,
+      storedProps ++ properties.asScala + (GraftTable.PathBasedProp -> "true"),
       dir, partCols)
   }
 }

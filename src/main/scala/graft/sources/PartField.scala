@@ -40,6 +40,34 @@ object PartField {
     case c => Identity(c)
   }
 
+  /** Connector `Transform` → Field — the one parser for partitioning
+    * handed to the catalog (CREATE TABLE) or the path-based provider. */
+  def fromTransform(
+      t: org.apache.spark.sql.connector.expressions.Transform): Field = t match {
+    case t if t.name() == "identity" && t.references().length == 1 =>
+      Identity(t.references()(0).fieldNames().mkString("."))
+    case t if t.name() == "bucket" && t.references().length == 1 =>
+      val n = t.arguments().collectFirst {
+        case lit: org.apache.spark.sql.connector.expressions.Literal[_]
+            if lit.value().isInstanceOf[Number] =>
+          lit.value().asInstanceOf[Number].intValue()
+      }.getOrElse(throw new IllegalArgumentException(
+        s"graft: bucket transform without a count: $t"))
+      Bucket(n, t.references()(0).fieldNames().mkString("."))
+    case other => throw new UnsupportedOperationException(
+      s"graft: unsupported partition transform $other " +
+        "(identity and bucket(n, col) only)")
+  }
+
+  /** Field → connector `Transform` (inverse of [[fromTransform]]). */
+  def toTransform(f: Field): org.apache.spark.sql.connector.expressions.Transform = {
+    import org.apache.spark.sql.connector.expressions.Expressions
+    f match {
+      case Identity(c) => Expressions.identity(c)
+      case Bucket(n, c) => Expressions.bucket(n, c)
+    }
+  }
+
   /** Column types the bucket hash supports. */
   def supportsBucketType(dt: DataType): Boolean = dt match {
     case ByteType | ShortType | IntegerType | LongType | StringType |

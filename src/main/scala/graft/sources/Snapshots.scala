@@ -68,6 +68,18 @@ object Snapshots {
   def latestAsOf(fs: FileSystem, dataDir: Path, tsMillis: Long): Option[Long] =
     list(fs, dataDir).filter(_._2 <= tsMillis).lastOption.map(_._1)
 
+  /** Every relative path any retained snapshot has recorded. A file on
+    * disk but absent from BOTH the live registry and this set was never
+    * registered (a crash between durability marker and registration); a
+    * file absent from the registry but present here was REMOVED on
+    * purpose (COW delete, truncate, compaction swap) and must not be
+    * re-registered by recovery paths. O(#retained snapshots) side-file
+    * reads — recovery-path cost, not query-path. */
+  def everRecorded(fs: FileSystem, dataDir: Path): Set[String] =
+    list(fs, dataDir).iterator.flatMap { case (v, _) =>
+      read(fs, dataDir, v).map(_.keySet).getOrElse(Set.empty[String])
+    }.toSet
+
   /** Record `stats` as the next snapshot version. MUST be called under
     * [[TableStats.withLock]] (all callers are commit paths, which hold
     * it): max-version+1 is race-free only while the lock is held. */
@@ -101,32 +113,50 @@ object Snapshots {
 
   /** Expire history: keep the latest `retain` snapshots (and always the
     * live registry), physically delete data files referenced by NO
-    * retained manifest, and drop the expired manifest files. Returns
+    * retained manifest, and drop the expired manifest files. Manifests
+    * younger than `minAgeMillis` are retained even beyond `retain` —
+    * see the tombstone note below. Returns
     * (dataFilesDeleted, snapshotsDropped).
     *
-    * Runs under the table lock so no commit can move the live registry
-    * while the reachability set is computed. Files younger than
+    * The table lock is held only while the reachability set is computed
+    * (one registry read + one recursive listing + set membership) — the
+    * file deletions themselves run AFTER the lock is released, so a
+    * large vacuum never starves concurrent committers past the lock's
+    * 30 s wait. That is safe because the victims are unreferenced by the
+    * live registry and every retained manifest, and older than
+    * `minAgeMillis`: no reader can plan them and no commit path
+    * re-registers an old unreferenced name. Files younger than
     * `minAgeMillis` are never touched: an IN-FLIGHT write lands its part
     * files before it takes the commit lock, so an unreferenced-but-fresh
     * file may be about to be committed — the age guard (the standard
     * orphan-cleanup discipline) keeps vacuum safe to run concurrently
-    * with writers. Driver work is one registry read + one recursive
-    * listing + set membership on relative paths — metadata-only. */
+    * with writers. */
   def vacuum(tableDir: String, retain: Int = 2,
              minAgeMillis: Long = 3600L * 1000): (Int, Int) = {
     require(retain >= 0, "retain must be >= 0")
     val dataDir = new Path(tableDir, "data")
     val fs = dataDir.getFileSystem(new Configuration())
     if (!fs.exists(dataDir)) return (0, 0)
-    TableStats.withLock(fs, dataDir) {
+    val (victims, dropped) = TableStats.withLock(fs, dataDir) {
       val versions = list(fs, dataDir)
-      val (dropped, kept) = versions.splitAt(math.max(0, versions.length - retain))
+      val (expired, retained) = versions.splitAt(math.max(0, versions.length - retain))
+      // the age guard covers MANIFESTS too: a snapshot younger than
+      // minAge may still be serving as the tombstone record for data
+      // files the same guard is keeping on disk (crash-recovery replay
+      // checks [[everRecorded]]) — dropping the manifest first would
+      // leave an on-disk file with no tombstone, exactly the
+      // resurrection window the snapshot log exists to close
+      val now = System.currentTimeMillis()
+      val (dropped, keptYoung) = expired.partition {
+        case (_, ts) => now - ts >= minAgeMillis
+      }
+      val kept = keptYoung ++ retained
       val live = TableStats.read(fs, dataDir).keySet
       val reachable: Set[String] =
         live ++ kept.flatMap { case (v, _) =>
           read(fs, dataDir, v).map(_.keySet).getOrElse(Set.empty[String])
         }
-      // delete unreferenced data files (never side files / commit markers)
+      // collect unreferenced data files (never side files / commit markers)
       val it = fs.listFiles(dataDir, true)
       val victims = scala.collection.mutable.ArrayBuffer[Path]()
       while (it.hasNext) {
@@ -137,11 +167,14 @@ object Snapshots {
             !reachable.contains(TableStats.relOf(p.toString)))
           victims += p
       }
-      victims.foreach(fs.delete(_, false))
-      dropped.foreach { case (v, _) =>
-        fs.delete(new Path(snapDir(dataDir), fmt(v)), false)
-      }
-      (victims.size, dropped.size)
+      (victims.toSeq, dropped)
     }
+    // deletions outside the lock; data files first, so by the time a
+    // manifest drops every file it solely referenced is already gone
+    victims.foreach(fs.delete(_, false))
+    dropped.foreach { case (v, _) =>
+      fs.delete(new Path(snapDir(dataDir), fmt(v)), false)
+    }
+    (victims.size, dropped.size)
   }
 }

@@ -637,6 +637,93 @@ class GraftCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.sql("DROP TABLE graft.pw.direct")
   }
 
+  test("compaction must not resurrect rows a COW delete removed") {
+    spark.sql("CREATE TABLE graft.pw.cres (id BIGINT)")
+    for (i <- 0 until 3)
+      spark.sql(s"INSERT INTO graft.pw.cres SELECT id + ${i * 10} FROM range(10)")
+    // row-level COW: every file holds even ids, so all three are rewritten;
+    // the originals stay ON DISK (time travel) but leave the manifest
+    spark.sql("DELETE FROM graft.pw.cres WHERE id % 2 = 0")
+    assert(spark.table("graft.pw.cres").count() == 15)
+    // more live small files so compaction has real work next to the orphans
+    for (i <- 3 until 5)
+      spark.sql(s"INSERT INTO graft.pw.cres SELECT 2 * id + 1 + ${i * 20} FROM range(5)")
+    val want = spark.table("graft.pw.cres").collect().map(_.getLong(0)).sorted.toSeq
+    assert(want.size == 25 && want.forall(_ % 2 == 1))
+
+    val t = spark.sessionState.catalogManager.catalog("graft")
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
+      .loadTable(org.apache.spark.sql.connector.catalog.Identifier.of(Array("pw"), "cres"))
+      .asInstanceOf[graft.sources.GraftTable]
+    val (removed, written) = graft.sources.Compaction.compact(spark, t)
+    assert(removed >= 2 && written >= 1, s"compacted $removed -> $written")
+    // victims came from the live manifest, never the directory: the
+    // COW-deleted originals on disk must NOT be re-read and re-registered
+    val got = spark.table("graft.pw.cres").collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == want, "compaction resurrected metadata-deleted rows")
+    spark.sql("DROP TABLE graft.pw.cres")
+  }
+
+  test("stats lock: stale holders expire; unlock never removes a foreign lock") {
+    import org.apache.hadoop.fs.Path
+    import graft.sources.TableStats
+    val tmp = java.nio.file.Files.createTempDirectory("graft_lock").toString
+    val dataDir = new Path(tmp, "data")
+    val fs = dataDir.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    fs.mkdirs(dataDir)
+    val lock = new Path(dataDir.getParent, ".stats.lock")
+
+    // a crashed holder's lock (old mtime) expires and the section runs
+    val out = fs.create(lock, false)
+    out.write("dead-holder".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    out.close()
+    fs.setTimes(lock, System.currentTimeMillis() - 120000, -1)
+    var ran = false
+    TableStats.withLock(fs, dataDir) { ran = true }
+    assert(ran, "stale lock must expire")
+    assert(!fs.exists(lock), "our own lock is removed on unlock")
+
+    // wrongful takeover: someone replaces our lock while we hold it —
+    // unlock must leave THEIR lock alone (token mismatch)
+    TableStats.withLock(fs, dataDir) {
+      fs.delete(lock, false)
+      val o2 = fs.create(lock, false)
+      o2.write("intruder".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      o2.close()
+    }
+    assert(fs.exists(lock), "unlock deleted a lock it does not own")
+    val in = fs.open(lock)
+    val content = try new String(in.readAllBytes(),
+      java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+    assert(content == "intruder")
+    fs.delete(lock, false)
+  }
+
+  test("format(\"graft\") round-trips bucket partitioning") {
+    spark.sql(
+      "CREATE TABLE graft.pw.bktp (k BIGINT, v STRING) PARTITIONED BY (bucket(4, k))")
+    spark.range(0, 100).selectExpr("id AS k", "CAST(id AS STRING) AS v")
+      .writeTo("graft.pw.bktp").append()
+    val dir = s"$warehouse/pw/bktp"
+
+    // path-based read sees the bucket layout (no catalog involved)
+    val df = spark.read.format("graft").load(dir)
+    assert(df.count() == 100)
+    assert(df.where("k = 42").select("v").head.getString(0) == "42")
+
+    // path-based append routes rows into the same buckets the catalog
+    // write path would (bucket specs, not identity pseudo-columns, and
+    // no unresolvable bucket-clustered distribution request)
+    spark.range(100, 110).selectExpr("id AS k", "CAST(id AS STRING) AS v")
+      .write.format("graft").mode("append").save(dir)
+    assert(spark.table("graft.pw.bktp").count() == 110)
+    // catalog-path point lookup (bucket-pruned) finds the appended row:
+    // proof the path write hashed into the correct bucket directory
+    assert(spark.sql("SELECT v FROM graft.pw.bktp WHERE k = 105")
+      .collect().map(_.getString(0)).toSeq == Seq("105"))
+    spark.sql("DROP TABLE graft.pw.bktp")
+  }
+
   test("rename and drop") {
     spark.sql("ALTER TABLE graft.pw.test_big RENAME TO graft.pw.test_big2")
     assert(spark.table("graft.pw.test_big2").count() == 1)

@@ -302,4 +302,61 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       dataDir.listFiles().count(f => f.getName.endsWith(".parquet")) - 1,
       "stats registry tracks exactly the committed files (orphan excluded)")
   }
+
+  test("epoch replay must not re-register files a later commit removed") {
+    import org.apache.hadoop.fs.Path
+    import org.apache.spark.sql.connector.write.WriterCommitMessage
+    import graft.sources.{GraftCommitMessage, GraftStreamingWrite, TableStats}
+
+    val wh = java.nio.file.Files.createTempDirectory("graft_replay_wh").toString
+    spark.conf.set("spark.sql.catalog.grpl", classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.grpl.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS grpl.s")
+    spark.sql("CREATE TABLE grpl.s.t (id BIGINT)")
+    // single slice -> exactly one data file holding all 10 rows (the
+    // copies below claim Entry(10), which must match the file contents)
+    spark.sql("INSERT INTO grpl.s.t SELECT id FROM range(0, 10, 1, 1)")
+    val dataDir = new java.io.File(s"$wh/s/t/data")
+    val seeds = dataDir.listFiles().filter(_.getName.endsWith(".parquet"))
+    assert(seeds.length == 1, s"expected one seed file, got ${seeds.length}")
+    val seed = seeds.head
+
+    // epoch 0 commits a stream file: marker + registration + snapshot
+    val schema = org.apache.spark.sql.types.StructType.fromDDL("id BIGINT")
+    val w = new GraftStreamingWrite(schema, Map.empty, dataDir.toString, Nil, "qtomb")
+    val streamed = new java.io.File(dataDir, "stream-0-1-tomb.parquet")
+    java.nio.file.Files.copy(seed.toPath, streamed.toPath)
+    w.commit(0, Array[WriterCommitMessage](GraftCommitMessage(
+      Seq(streamed.getName -> TableStats.Entry(10)))))
+    assert(spark.table("grpl.s.t").count() == 20)
+
+    // a COW delete rewrites both files: they leave the manifest but stay
+    // on disk (time travel) — physical existence no longer means live
+    spark.sql("DELETE FROM grpl.s.t WHERE id < 5")
+    assert(spark.table("grpl.s.t").count() == 10)
+    assert(streamed.exists(), "COW keeps the superseded file for time travel")
+
+    // replay of epoch 0 (restart from an old checkpoint): the marker is
+    // present, the streamed file is on disk but TOMBSTONED by the
+    // snapshot log — the repair path must not resurrect it
+    w.commit(0, Array[WriterCommitMessage](GraftCommitMessage(Seq.empty)))
+    assert(spark.table("grpl.s.t").count() == 10,
+      "replay re-registered a file a later commit removed")
+
+    // the genuinely-crashed case still repairs: a marker whose file was
+    // never in ANY snapshot (commit died between marker and registration)
+    val lost = new java.io.File(dataDir, "stream-1-1-lost.parquet")
+    java.nio.file.Files.copy(seed.toPath, lost.toPath)
+    val fsPath = new Path(dataDir.toString)
+    val fs = fsPath.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val marker = new Path(fsPath, s"${TableStats.CommitsDir}/qtomb-e1")
+    val out = fs.create(marker, true)
+    out.write(TableStats.serialize(Map(lost.getName -> TableStats.Entry(10)))
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    out.close()
+    w.commit(1, Array[WriterCommitMessage](GraftCommitMessage(Seq.empty)))
+    assert(spark.table("grpl.s.t").count() == 20,
+      "crashed-commit repair must still register never-snapshotted files")
+    spark.sql("DROP TABLE grpl.s.t")
+  }
 }
