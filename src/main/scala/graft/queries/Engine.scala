@@ -418,6 +418,51 @@ object Engine {
         CAST(SUM(n_chars) AS BIGINT) AS chars,
         CAST(SUM(doc_id) AS BIGINT) AS id_sum
         FROM documents WHERE lang = 'en'
+        GROUP BY lang ORDER BY lang""")),
+
+    // ---- q76: incremental append scan (change feed between snapshots) -----
+    // The ingest-tailing read: option("since-version", m) narrows a scan
+    // to files committed AFTER snapshot m, composing with
+    // option("snapshot-version", n) as the inclusive end — so each poll
+    // of a 100 TB table reads only what new commits added, verified
+    // append-only over the range (Snapshots.readManifest throws if a COW
+    // delete/compaction rewrote files inside it). Gate: three separate
+    // append commits (en | de | the rest); the (v_en, v_de] window must
+    // see exactly the 'de' slice.
+    QueryDef(
+      "q76_incremental_read",
+      (s, dir) => {
+        val ns = ensureCatalog(s, dir)
+        s.sql(s"DROP TABLE IF EXISTS $ns.inc")
+        s.sql(s"""CREATE TABLE $ns.inc AS
+                 |SELECT doc_id, lang, n_chars FROM parquet.`$dir/documents.parquet`
+                 |WHERE lang = 'en'""".stripMargin)
+        val wh = s.conf.get("spark.sql.catalog.gcat.warehouse")
+        val dataDir = new org.apache.hadoop.fs.Path(s"$wh/corpus/inc/data")
+        val fs = dataDir.getFileSystem(new org.apache.hadoop.conf.Configuration())
+        def v(): Long = graft.sources.Snapshots.list(fs, dataDir).last._1
+        val vEn = v()
+        s.sql(s"""INSERT INTO $ns.inc
+                 |SELECT doc_id, lang, n_chars FROM parquet.`$dir/documents.parquet`
+                 |WHERE lang = 'de'""".stripMargin)
+        val vDe = v()
+        s.sql(s"""INSERT INTO $ns.inc
+                 |SELECT doc_id, lang, n_chars FROM parquet.`$dir/documents.parquet`
+                 |WHERE lang NOT IN ('en', 'de')""".stripMargin)
+        s.read
+          .option("since-version", vEn)
+          .option("snapshot-version", vDe)
+          .table(s"$ns.inc")
+          .groupBy("lang")
+          .agg(org.apache.spark.sql.functions.count("*").cast("long").as("n"),
+            org.apache.spark.sql.functions.sum("n_chars").cast("long").as("chars"),
+            org.apache.spark.sql.functions.sum("doc_id").cast("long").as("id_sum"))
+          .orderBy("lang")
+      },
+      Some("""SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(SUM(n_chars) AS BIGINT) AS chars,
+        CAST(SUM(doc_id) AS BIGINT) AS id_sum
+        FROM documents WHERE lang = 'de'
         GROUP BY lang ORDER BY lang"""))
   )
 }

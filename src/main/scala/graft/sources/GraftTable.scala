@@ -205,7 +205,10 @@ final class GraftTable(
       // catalog time travel (VERSION AS OF) or the catalog-free spelling
       // (spark.read.format("graft").option("snapshot-version", n))
       snapshotVersion = Option(options.get("snapshot-version")).map(_.toLong)
-        .orElse(pinnedVersion))
+        .orElse(pinnedVersion),
+      // incremental append scan: only files added after snapshot m
+      // (spark.read.option("since-version", m) — see Snapshots.readManifest)
+      sinceVersion = Option(options.get("since-version")).map(_.toLong))
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     requireUnpinned("write")
@@ -440,7 +443,8 @@ final class GraftScanBuilder(
     tracker: Option[GraftRowLevelOperation] = None,
     maxFilesPerTrigger: Option[Int] = None,
     maxBytesPerTrigger: Option[Long] = None,
-    snapshotVersion: Option[Long] = None)
+    snapshotVersion: Option[Long] = None,
+    sinceVersion: Option[Long] = None)
     extends ScanBuilder
     with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters
@@ -504,10 +508,10 @@ final class GraftScanBuilder(
   override def pushedFilters(): Array[Filter] = pushed
 
   override def build(): Scan =
-    if (countStar) new GraftCountStarScan(dataDir, snapshotVersion)
+    if (countStar) new GraftCountStarScan(dataDir, snapshotVersion, sinceVersion)
     else new GraftScan(tableSchema, required, pushed, dataDir, partitionCols,
       wantFile, tracker, limit, maxFilesPerTrigger, maxBytesPerTrigger,
-      snapshotVersion)
+      snapshotVersion, sinceVersion)
 }
 
 final class GraftScan(
@@ -521,7 +525,8 @@ final class GraftScan(
     limit: Option[Int] = None,
     maxFilesPerTrigger: Option[Int] = None,
     maxBytesPerTrigger: Option[Long] = None,
-    snapshotVersion: Option[Long] = None)
+    snapshotVersion: Option[Long] = None,
+    sinceVersion: Option[Long] = None)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsReportPartitioning with SupportsRuntimeFiltering {
 
@@ -597,17 +602,14 @@ final class GraftScan(
     * (the reference has none; its partition APIs throw). Returns
     * (path, length, partitionValues-in-partitionCols-order). */
   /** The manifest this scan reads: a pinned snapshot (time travel) or the
-    * live commit-time registry. None only for registry-less tables
-    * (written out-of-band) — those fall back to a directory walk. */
+    * live commit-time registry, optionally narrowed to the incremental
+    * append scan `(since, end]` (see [[Snapshots.readManifest]]). None
+    * only for registry-less tables (written out-of-band) — those fall
+    * back to a directory walk. */
   private lazy val manifestOpt: Option[Map[String, TableStats.Entry]] = {
     val dir = new Path(dataDir)
     val fs = dir.getFileSystem(new Configuration())
-    snapshotVersion match {
-      case Some(v) => Some(Snapshots.read(fs, dir, v).getOrElse(
-        throw new IllegalArgumentException(
-          s"graft: no snapshot v$v for $dataDir (never recorded, or expired by vacuum)")))
-      case None => TableStats.readIfExists(fs, dir)
-    }
+    Snapshots.readManifest(fs, dir, snapshotVersion, sinceVersion)
   }
 
   /** Commit-time per-file stats registry (or the pinned snapshot); also
@@ -924,7 +926,8 @@ final class GraftScan(
   * (footer fallback only for out-of-band files). A pinned snapshot
   * version counts that manifest instead of the live registry. */
 final class GraftCountStarScan(dataDir: String,
-                               snapshotVersion: Option[Long] = None)
+                               snapshotVersion: Option[Long] = None,
+                               sinceVersion: Option[Long] = None)
     extends Scan with Batch {
   override def readSchema(): StructType = StructType(Seq(
     org.apache.spark.sql.types.StructField("count", org.apache.spark.sql.types.LongType,
@@ -936,21 +939,17 @@ final class GraftCountStarScan(dataDir: String,
     val conf = new Configuration()
     val root = new Path(dataDir)
     val fs = root.getFileSystem(conf)
-    if (snapshotVersion.isDefined)
-      Snapshots.read(fs, root, snapshotVersion.get).getOrElse(
-        throw new IllegalArgumentException(
-          s"graft: no snapshot v${snapshotVersion.get} for $dataDir"))
-        .valuesIterator.map(_.rows).sum
-    else if (!fs.exists(root)) 0L
+    if (!fs.exists(root) && snapshotVersion.isEmpty && sinceVersion.isEmpty) 0L
     else
     // Registry-first: every commit path (insert, truncate, partition
     // DELETE, row-level COW, compaction, streaming epoch) rewrites
     // `_stats.tsv`, so when the file exists it IS the manifest of live
     // committed files — the count is one small side-file read, no
-    // O(#files) recursive listing on the driver. Only tables with no
-    // registry at all (out-of-band writes) pay the listing + footers.
-    TableStats.readIfExists(fs, root) match {
-      case Some(cached) => cached.valuesIterator.map(_.rows).sum
+    // O(#files) recursive listing on the driver. Pinned and incremental
+    // reads count their resolved manifest the same way. Only tables with
+    // no registry at all (out-of-band writes) pay the listing + footers.
+    Snapshots.readManifest(fs, root, snapshotVersion, sinceVersion) match {
+      case Some(manifest) => manifest.valuesIterator.map(_.rows).sum
       case None =>
         GraftScan.countStarListings.incrementAndGet()
         val it = fs.listFiles(root, true)

@@ -68,6 +68,60 @@ object Snapshots {
   def latestAsOf(fs: FileSystem, dataDir: Path, tsMillis: Long): Option[Long] =
     list(fs, dataDir).filter(_._2 <= tsMillis).lastOption.map(_._1)
 
+  /** The manifest a scan should read: the pinned snapshot (`version`) or
+    * the live registry, optionally reduced to the INCREMENTAL APPEND SCAN
+    * `(since, version]` — only files added after snapshot `since`
+    * (exclusive; 0 = from table creation). This is the change-feed a
+    * 100 TB ingest pipeline tails: each poll reads only the files new
+    * commits added, never rescanning the corpus.
+    *
+    * Incremental reads are exact only over append commits, so the range
+    * is VERIFIED: every step in `(since, end]` is checked against the
+    * snapshot log and a commit that removed manifest files (COW
+    * DELETE/UPDATE, truncate, compaction swap) throws — rewritten files
+    * would otherwise surface old rows as new. O(#versions in range)
+    * side-file reads, no data I/O. Returns None only when the table has
+    * no registry at all (out-of-band writes). */
+  def readManifest(
+      fs: FileSystem,
+      dataDir: Path,
+      version: Option[Long],
+      since: Option[Long]): Option[Map[String, TableStats.Entry]] = {
+    def readOrThrow(v: Long): Map[String, TableStats.Entry] =
+      read(fs, dataDir, v).getOrElse(throw new IllegalArgumentException(
+        s"graft: no snapshot v$v for $dataDir (never recorded, or expired by vacuum)"))
+    val end = version match {
+      case Some(v) => Some(readOrThrow(v))
+      case None => TableStats.readIfExists(fs, dataDir)
+    }
+    since match {
+      case None => end
+      case Some(m) =>
+        val endM = end.getOrElse(throw new IllegalArgumentException(
+          s"graft: incremental read requires a stats registry under $dataDir"))
+        val base =
+          if (m == 0) Map.empty[String, TableStats.Entry] else readOrThrow(m)
+        val endV = version.orElse(list(fs, dataDir).lastOption.map(_._1)).getOrElse(0L)
+        require(m <= endV,
+          s"graft: since-version $m is after the end version $endV")
+        var prev = base.keySet
+        for (v <- (m + 1) to endV)
+          // a vacuumed-away mid-range snapshot is skipped: the files it
+          // removed (if any) still show up as a removal at the next
+          // retained step, so the check stays sound
+          read(fs, dataDir, v).foreach { cur =>
+            val removed = prev -- cur.keySet
+            if (removed.nonEmpty) throw new IllegalArgumentException(
+              s"graft: incremental read ($m, $endV] of $dataDir crosses a " +
+                s"non-append commit at v$v (${removed.size} file(s) left the " +
+                "manifest — COW delete/update, truncate, or compaction); " +
+                "read a full snapshot instead")
+            prev = cur.keySet
+          }
+        Some(endM -- base.keySet)
+    }
+  }
+
   /** Every relative path any retained snapshot has recorded. A file on
     * disk but absent from BOTH the live registry and this set was never
     * registered (a crash between durability marker and registration); a

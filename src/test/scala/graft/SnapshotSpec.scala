@@ -135,6 +135,49 @@ class SnapshotSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(err.getMessage.contains("snapshot"))
   }
 
+  test("incremental append scan reads only files added in (since, end]") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.snap")
+    spark.sql("CREATE TABLE graft.snap.inc (k BIGINT)")
+    spark.sql("INSERT INTO graft.snap.inc SELECT id FROM range(0, 10)")
+    val v1 = versions("inc").last
+    spark.sql("INSERT INTO graft.snap.inc SELECT id FROM range(10, 15)")
+    val v2 = versions("inc").last
+    spark.sql("INSERT INTO graft.snap.inc SELECT id FROM range(15, 25)")
+
+    // (v1, v2]: exactly the second append
+    val mid = spark.read.option("since-version", v1).option("snapshot-version", v2)
+      .table("graft.snap.inc").collect().map(_.getLong(0)).sorted.toSeq
+    assert(mid == (10L until 15L).toSeq)
+    // (v1, live]: everything after the first append
+    val tail = spark.read.option("since-version", v1)
+      .table("graft.snap.inc").collect().map(_.getLong(0)).sorted.toSeq
+    assert(tail == (10L until 25L).toSeq)
+    // since-version 0 = from table creation = the full table
+    assert(spark.read.option("since-version", 0L).table("graft.snap.inc")
+      .count() == 25)
+    // registry-first COUNT(*) respects the incremental window too
+    assert(spark.read.option("since-version", v1).option("snapshot-version", v2)
+      .table("graft.snap.inc").count() == 5)
+    // (v2, v2] is empty
+    assert(spark.read.option("since-version", v2).option("snapshot-version", v2)
+      .table("graft.snap.inc").count() == 0)
+
+    // a COW delete inside the range makes it non-append: incremental
+    // reads over it must throw (rewritten files would surface old rows
+    // as new), while ranges strictly after the rewrite still work
+    spark.sql("DELETE FROM graft.snap.inc WHERE k = 3")
+    val vDel = versions("inc").last
+    val e = intercept[Exception] {
+      spark.read.option("since-version", v1).table("graft.snap.inc").collect()
+    }
+    assert(e.getMessage.contains("non-append"), e.getMessage)
+    spark.sql("INSERT INTO graft.snap.inc SELECT id FROM range(25, 28)")
+    val post = spark.read.option("since-version", vDel)
+      .table("graft.snap.inc").collect().map(_.getLong(0)).sorted.toSeq
+    assert(post == (25L until 28L).toSeq)
+    spark.sql("DROP TABLE graft.snap.inc")
+  }
+
   test("snapshot history() reports versions, rows, files") {
     val h = Snapshots.history(spark, s"$warehouse/snap/t").collect()
     assert(h.length == versions("t").size)
