@@ -464,6 +464,129 @@ object Text {
           FROM tf JOIN dfx USING (tok) CROSS JOIN g)
         SELECT doc_id, CAST(SUM(part) AS BIGINT) AS score_micro
         FROM parts GROUP BY doc_id
-        ORDER BY score_micro DESC, doc_id LIMIT 20"""))
+        ORDER BY score_micro DESC, doc_id LIMIT 20""")),
+
+    // ---- q77: stratified sampling — per-language keep rates ---------------
+    // Corpus rebalancing (upsample scarce languages, downsample dominant
+    // ones) as a pure function of the document id: the same salted-md5
+    // bucket as q68 compared against a per-stratum rate. No shuffle at
+    // all before the final aggregate; deciding membership costs one hash
+    // per row, identical on any engine and any cluster size — rerunning
+    // the pipeline yields the same sample, the property training-data
+    // reproducibility depends on.
+    QueryDef(
+      "q77_stratified_sample",
+      (s, dir) => {
+        s.read.parquet(s"$dir/documents.parquet")
+          .withColumn("b", expr(
+            "cast(conv(substring(md5(cast(concat('strat:', cast(doc_id as string)) " +
+              "as binary)), 1, 15), 16, 10) as bigint) % 100"))
+          .withColumn("rate", expr(
+            "CASE WHEN lang = 'en' THEN 50 WHEN lang = 'de' THEN 25 ELSE 10 END"))
+          .filter(col("b") < col("rate"))
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).cast("long").as("n"),
+            sum(col("n_chars")).cast("long").as("chars"),
+            sum(col("doc_id")).cast("long").as("id_sum"))
+          .orderBy(col("lang"))
+      },
+      Some {
+        val hex15 = (1 to 15)
+          .map(j => s"(strpos('0123456789abcdef', substr(m, $j, 1)) - 1) * ${1L << (4 * (15 - j))}")
+          .mkString(" + ")
+        s"""WITH h AS (
+          SELECT doc_id, lang, n_chars, ($hex15) % 100 AS b
+          FROM (SELECT doc_id, lang, n_chars,
+                  md5('strat:' || CAST(doc_id AS VARCHAR)) AS m
+                FROM documents)),
+        kept AS (SELECT * FROM h
+                 WHERE b < CASE WHEN lang = 'en' THEN 50
+                                WHEN lang = 'de' THEN 25 ELSE 10 END)
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(n_chars) AS BIGINT) AS chars,
+               CAST(SUM(doc_id) AS BIGINT) AS id_sum
+        FROM kept GROUP BY lang ORDER BY lang"""
+      }),
+
+    // ---- q78: PII redaction — regex scrubbing with audit counts -----------
+    // The scrubbing pass every published training corpus needs: match
+    // email-shaped and long-digit-run spans, replace them with typed
+    // placeholders, and count what was removed (the audit trail). PII is
+    // injected deterministically per doc so the gate exercises real
+    // matches; patterns stay in the RE2-safe subset (character classes
+    // and counted repetition only — no backrefs/lookaround) so Java and
+    // RE2 engines agree. Per-row codegen'd expressions, zero shuffle:
+    // the 100 TB shape is "one narrow pass over the corpus". The md5 of
+    // the redacted text proves both engines produced byte-identical
+    // scrubbed output, not just equal counts.
+    QueryDef(
+      "q78_pii_redaction",
+      (s, dir) => {
+        val email = "[a-z0-9._]+@[a-z0-9.]+\\.[a-z]+"
+        val num = "[0-9]{7,}"
+        s.read.parquet(s"$dir/documents.parquet")
+          .withColumn("t2", expr(
+            "concat(text, ' contact user', cast(doc_id as string), " +
+              "'@mail.example.com or +1', cast(doc_id * 7919 + 10000000 as string), ' now')"))
+          .select(
+            col("doc_id"),
+            regexp_count(col("t2"), lit(email)).cast("long").as("emails"),
+            regexp_count(col("t2"), lit(num)).cast("long").as("digit_runs"),
+            md5(regexp_replace(regexp_replace(col("t2"), email, "<EMAIL>"),
+              num, "<NUM>")).as("fp"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH p AS (
+          SELECT doc_id,
+            text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+              '@mail.example.com or +1' ||
+              CAST(doc_id * 7919 + 10000000 AS VARCHAR) || ' now' AS t2
+          FROM documents)
+        SELECT doc_id,
+          CAST(len(regexp_extract_all(t2, '[a-z0-9._]+@[a-z0-9.]+\.[a-z]+')) AS BIGINT) AS emails,
+          CAST(len(regexp_extract_all(t2, '[0-9]{7,}')) AS BIGINT) AS digit_runs,
+          md5(regexp_replace(regexp_replace(t2, '[a-z0-9._]+@[a-z0-9.]+\.[a-z]+', '<EMAIL>', 'g'),
+            '[0-9]{7,}', '<NUM>', 'g')) AS fp
+        FROM p ORDER BY doc_id""")),
+
+    // ---- q79: trigram novelty — per-doc contribution scoring --------------
+    // Data-curation signal: how much of a document's content is FIRST
+    // seen there (vs already covered by earlier docs)? Novelty = the
+    // fraction of a doc's distinct word trigrams whose minimum doc_id is
+    // this doc. Shape: one explode + one min-aggregate on the shingle
+    // key + one join back — the vocabulary-induction/df dataflow, linear
+    // in corpus size, no all-pairs anything. Counts stay integer-exact.
+    QueryDef(
+      "q79_trigram_novelty",
+      (s, dir) => {
+        val tris = s.read.parquet(s"$dir/documents.parquet")
+          .select(col("doc_id"), split(col("text"), " ").as("t"))
+          .filter(size(col("t")) >= 3)
+          .select(col("doc_id"), explode(expr(
+            "transform(sequence(0, size(t) - 3), i -> concat_ws(' ', t[i], t[i+1], t[i+2]))"))
+            .as("tri"))
+          .distinct()
+        val first = tris.groupBy(col("tri")).agg(min(col("doc_id")).as("first_doc"))
+        tris.join(first, "tri")
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).cast("long").as("tris"),
+            sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+              .cast("long").as("novel"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH d AS (
+          SELECT doc_id, string_split(text, ' ') AS t FROM documents
+          WHERE len(string_split(text, ' ')) >= 3),
+        tri0 AS (
+          SELECT doc_id,
+            unnest(list_transform(range(1, len(t) - 1),
+              i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) AS tri
+          FROM d),
+        tris AS (SELECT DISTINCT doc_id, tri FROM tri0),
+        fst AS (SELECT tri, MIN(doc_id) AS first_doc FROM tris GROUP BY tri)
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS tris,
+               CAST(SUM(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS BIGINT) AS novel
+        FROM tris JOIN fst USING (tri)
+        GROUP BY doc_id ORDER BY doc_id"""))
   )
 }

@@ -536,6 +536,49 @@ object Vectors {
                CAST(list_sum(list_transform(c4.c, x -> round(x * 1e9))) AS BIGINT) AS csum
         FROM c4 LEFT JOIN sizes ON sizes.cluster = c4.cluster
         ORDER BY c4.cluster"""
-      })
+      }),
+
+    // ---- q80: k-NN graph — every vector's nearest neighbor ----------------
+    // The whole-corpus neighbor graph (dedup clustering, diversity
+    // sampling, and graph-based ANN indexes like HNSW all start here).
+    // Brute force is O(n²) and dead at scale; the SRP bucket turns it
+    // into per-bucket blocks — the same equality-join blocking as q28,
+    // but corpus × corpus instead of query × corpus. Each vector links
+    // to its best same-bucket neighbor (cosine, id tiebreak): the
+    // standard LSH approximation of the exact graph, recall tunable by
+    // bucket bits/repetitions without changing the dataflow.
+    QueryDef(
+      "q80_knn_graph",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val e = emb(t)
+        val n = norms(e)
+        val q = e.select(col("vec_id").as("qid"), col("e").as("qe"), col("bucket"))
+        val c = e.select(col("vec_id").as("vid"), col("e").as("ve"), col("bucket"))
+        val pairs = q.join(c, "bucket").filter(col("qid") =!= col("vid"))
+        val w = Window.partitionBy(col("qid")).orderBy(desc("cos"), col("vid"))
+        cosine(pairs, n)
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") === 1)
+          .select(col("qid"), col("vid").as("nn"), col("cos"))
+          .orderBy(col("qid"))
+      },
+      Some(s"""WITH $duckNorms,
+        e AS (SELECT vec_id, embedding, $duckBucket AS bucket FROM embeddings),
+        dots AS (
+          SELECT q.vec_id AS qid, c.vec_id AS vid,
+            list_sum(list_transform(range(1, len(q.embedding) + 1),
+              i -> round(CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE) * 1e9))) AS dot
+          FROM e q JOIN e c ON q.bucket = c.bucket
+            WHERE q.vec_id <> c.vec_id),
+        scored AS (
+          SELECT qid, vid,
+            dot / sqrt(nq.n2 * nv.n2) AS cos
+          FROM dots JOIN norms nq ON nq.vec_id = qid JOIN norms nv ON nv.vec_id = vid)
+        SELECT qid, nn, cos FROM (
+          SELECT qid, vid AS nn, cos,
+            ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vid) AS rank
+          FROM scored)
+        WHERE rank = 1 ORDER BY qid"""))
   )
 }
