@@ -40,3 +40,38 @@ object CentroidAgg extends Aggregator[Seq[Float], CentroidBuf, Seq[Double]] {
 }
 
 final case class CentroidBuf(sums: Array[Double], n: Long)
+
+/** Double-input sibling of [[CentroidAgg]] — same 1e9 integer quantization,
+  * same order-independent exactness. This is the k-means update step as one
+  * hash aggregate with map-side partial merge: each partition folds its rows
+  * into a single k×d buffer, so the shuffle moves O(partitions × k × d)
+  * bytes regardless of corpus size.
+  */
+object CentroidAggD extends Aggregator[Seq[Double], CentroidBuf, Seq[Double]] {
+
+  /** Exactly SQL round(x): HALF_UP via BigDecimal, matching Spark's `Round`
+    * (math.round differs on negative halfway values — it rounds toward +∞,
+    * SQL rounds away from zero). Inputs here can be negative. */
+  private def rnd(x: Double): Double =
+    java.math.BigDecimal.valueOf(x)
+      .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue
+
+  override def zero: CentroidBuf = CentroidBuf(Array.empty, 0L)
+
+  override def reduce(b: CentroidBuf, a: Seq[Double]): CentroidBuf = {
+    val sums = if (b.sums.isEmpty) new Array[Double](a.length) else b.sums
+    var i = 0
+    while (i < a.length) { sums(i) += rnd(a(i) * 1e9); i += 1 }
+    CentroidBuf(sums, b.n + 1)
+  }
+
+  override def merge(x: CentroidBuf, y: CentroidBuf): CentroidBuf =
+    CentroidAgg.merge(x, y)
+
+  override def finish(b: CentroidBuf): Seq[Double] =
+    b.sums.map(s => (s / b.n) / 1e9).toSeq
+
+  override def bufferEncoder: Encoder[CentroidBuf] = Encoders.product[CentroidBuf]
+  override def outputEncoder: Encoder[Seq[Double]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Double]]()
+}

@@ -1,8 +1,9 @@
 package graft.ml
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Deterministic Lloyd's k-means over an embedding column — the training
   * loop for the IVF coarse quantizer (q40 uses fixed seed centroids; this
@@ -10,35 +11,98 @@ import org.apache.spark.sql.functions._
   *
   *  - init: the first k vectors by id (deterministic, no RNG — scripts
   *    and retries converge identically);
-  *  - assign: broadcast the k centroids, one narrow pass computes each
-  *    vector's nearest centroid by quantized cosine (ties → lower id);
-  *  - update: per-cluster mean via the order-independent quantized sums
-  *    (same scheme as [[graft.functions.CentroidAgg]]).
+  *  - assign: the k×d model rides into the plan as a LITERAL array of
+  *    (cluster, centroid, ‖centroid‖²) structs and each row picks its
+  *    argmax-sim cluster with nested higher-order functions — a purely
+  *    NARROW map over the corpus, zero shuffle, zero per-row join;
+  *  - update: per-cluster quantized means via [[graft.functions.CentroidAggD]]
+  *    — ONE hash aggregate with map-side partial merge, so the only
+  *    shuffle per iteration moves O(partitions × k × d) buffer bytes,
+  *    independent of corpus size.
   *
-  * Each iteration is one broadcast join + one shuffle by cluster id —
-  * the standard scalable shape (centroids small, corpus never collected).
+  * The corpus is cached across iterations (the standard iterative-ML
+  * shape: scan the source once, not once per step); the k×d model is the
+  * only thing ever collected.
   */
 object KMeans {
+
+  private val centroidD =
+    udaf(graft.functions.CentroidAggD, ExpressionEncoder[Seq[Double]]())
+
+  /** Driver-side model: (cluster, centroid, Σ round(cᵢ²·1e9)). */
+  private type Model = IndexedSeq[(Int, IndexedSeq[Double], Double)]
+
+  /** Matches SQL `aggregate(c, 0D, (a, x) -> a + round(x * x * 1e9))`:
+    * x² ≥ 0 so HALF_UP coincides with math.round's toward-+∞ tie rule. */
+  private def norm2Q(c: IndexedSeq[Double]): Double =
+    c.foldLeft(0d)((a, x) => a + math.round(x * x * 1e9).toDouble)
+
+  private def toModel(rows: Seq[Row]): Model =
+    rows.map { r =>
+      val c = r.getSeq[Double](1).toIndexedSeq
+      (r.getInt(0), c, norm2Q(c))
+    }.toIndexedSeq.sortBy(_._1)
+
+  /** The model as a literal column: array<struct<cluster, c, cn2>>,
+    * ascending cluster so the fold's strict `>` keeps the lower cluster
+    * on sim ties (same rule as max_by(cluster, struct(sim, -cluster))). */
+  private def modelLit(m: Model): Column =
+    array(m.map { case (cl, c, cn2) =>
+      struct(lit(cl).as("cluster"), typedLit(c.toSeq).as("c"), lit(cn2).as("cn2"))
+    }: _*)
+
+  /** Adds `cluster` to each row by argmax quantized cosine against the
+    * literal model — narrow, no shuffle. Same arithmetic as the oracle:
+    * sim = Σ round(eᵢ·cᵢ·1e9) / sqrt(Σ round(cᵢ²·1e9)). */
+  private def withCluster(emb: DataFrame, m: Model): DataFrame =
+    emb.withColumn("cents", modelLit(m))
+      .withColumn("cluster", expr(
+        """aggregate(
+          |  transform(cents, cc -> struct(
+          |    cc.cluster AS cluster,
+          |    aggregate(zip_with(e, cc.c, (x, y) -> round(x * y * 1e9)),
+          |              0D, (a, p) -> a + p) / sqrt(cc.cn2) AS sim)),
+          |  struct(CAST(-1 AS INT) AS cluster, CAST('-Infinity' AS DOUBLE) AS sim),
+          |  (best, s) -> CASE WHEN s.sim > best.sim THEN s ELSE best END
+          |).cluster""".stripMargin))
+      .drop("cents")
+
+  /** One Lloyd step: model in, model out (rows sorted by cluster). */
+  private def step(emb: DataFrame, m: Model): Model =
+    toModel(
+      withCluster(emb, m)
+        .groupBy(col("cluster"))
+        .agg(centroidD(col("e")).as("c"))
+        .collect().toIndexedSeq)
+
+  private def initModel(emb: DataFrame, k: Int): Model =
+    toModel(
+      emb.orderBy(col("id")).limit(k)
+        .select(col("id").cast("int").as("cluster"), col("e").as("c"))
+        .collect().toIndexedSeq)
+
+  private def modelFrame(spark: SparkSession, m: Model): DataFrame = {
+    import spark.implicits._
+    m.map { case (cl, c, _) => (cl, c.toSeq) }.toDF("cluster", "c")
+  }
+
+  /** Caches `emb` for the iteration loop unless the caller already did;
+    * returns the unpersist handle (no-op when we didn't persist). */
+  private def ensureCached(emb: DataFrame): () => Unit =
+    if (emb.storageLevel == StorageLevel.NONE) {
+      emb.persist(StorageLevel.MEMORY_AND_DISK)
+      () => { emb.unpersist(); () }
+    } else () => ()
 
   /** @param emb (id: Long, e: array<double>) input
     * @return (cluster: Int, centroid: array<double>) after `iters` steps */
   def fit(emb: DataFrame, k: Int, iters: Int): DataFrame = {
-    val spark = emb.sparkSession
-    var centroids = emb.orderBy(col("id")).limit(k)
-      .select(col("id").cast("int").as("cluster"), col("e").as("c"))
-    for (_ <- 1 to iters) {
-      val next = update(assign(emb, centroids))
-      // materialize the k x d model state (a few KB) after each step:
-      // without this, lazy lineage re-executes iteration N's whole
-      // dataflow inside iteration N+1 — quadratic work in `iters`. The
-      // collect is of the MODEL, never the corpus, and the values are
-      // exact (quantized means), so the round-trip changes nothing.
-      val schema = next.schema
-      val rows = next.orderBy(col("cluster")).collect().toIndexedSeq
-      centroids = spark.createDataFrame(
-        spark.sparkContext.parallelize(rows, 1), schema)
-    }
-    centroids
+    val release = ensureCached(emb)
+    try {
+      var m = initModel(emb, k)
+      for (_ <- 1 to iters) m = step(emb, m)
+      modelFrame(emb.sparkSession, m)
+    } finally release()
   }
 
   /** Lloyd's to convergence with a hard iteration cap: stops as soon as an
@@ -51,59 +115,39 @@ object KMeans {
     *
     * @return (centroids, iterations actually computed) */
   def fitConverged(emb: DataFrame, k: Int, maxIters: Int): (DataFrame, Int) = {
-    val spark = emb.sparkSession
-    var centroids = emb.orderBy(col("id")).limit(k)
-      .select(col("id").cast("int").as("cluster"), col("e").as("c"))
-    var prev: Option[IndexedSeq[(Int, Seq[Double])]] = None
-    var used = 0
-    var converged = false
-    while (used < maxIters && !converged) {
-      val next = update(assign(emb, centroids))
-      val schema = next.schema
-      val rows = next.orderBy(col("cluster")).collect().toIndexedSeq
-      used += 1
-      val key = rows.map(r => (r.getInt(0), r.getSeq[Double](1)))
-      if (prev.contains(key)) converged = true // fixed point: model is final
-      else {
-        prev = Some(key)
-        centroids = spark.createDataFrame(
-          spark.sparkContext.parallelize(rows, 1), schema)
+    val release = ensureCached(emb)
+    try {
+      var m = initModel(emb, k)
+      var used = 0
+      var converged = false
+      while (used < maxIters && !converged) {
+        val next = step(emb, m)
+        used += 1
+        if (next.map(c => (c._1, c._2)) == m.map(c => (c._1, c._2)))
+          converged = true // fixed point: model is final
+        else m = next
       }
-    }
-    (centroids, used)
+      (modelFrame(emb.sparkSession, m), used)
+    } finally release()
   }
 
-  /** Nearest-centroid assignment: (id, e, cluster). Argmax by
-    * (sim DESC, cluster ASC) via max_by over struct(sim, -cluster) — a
-    * hash aggregate with map-side partial merge, no sort shuffle (ties
-    * are impossible: cluster ids are unique per row). */
+  /** Nearest-centroid assignment: (id, e, cluster). Narrow — the model is
+    * collected (k×d, a few KB) and folded into a literal; ties break to
+    * the lower cluster id exactly like max_by(cluster, struct(sim, -cluster)). */
   def assign(emb: DataFrame, centroids: DataFrame): DataFrame =
-    emb.crossJoin(broadcast(centroids))
-      .withColumn("dot",
-        expr("aggregate(zip_with(e, c, (x, y) -> round(x * y * 1e9)), 0D, (a, p) -> a + p)"))
-      .withColumn("cn2",
-        expr("aggregate(c, 0D, (a, x) -> a + round(x * x * 1e9))"))
-      .withColumn("sim", expr("dot / sqrt(cn2)")) // ∝ cosine for fixed e
-      .groupBy(col("id"))
-      .agg(
-        first(col("e")).as("e"),
-        expr("max_by(cluster, struct(sim, -cluster))").as("cluster"))
+    withCluster(emb, toModel(centroids.collect().toIndexedSeq))
+      .select(col("id"), col("e"), col("cluster"))
 
-  /** Quantized-exact per-cluster means: (cluster, c). */
+  /** Quantized-exact per-cluster means: (cluster, c) — one map-side-
+    * combining hash aggregate ([[graft.functions.CentroidAggD]]). */
   def update(assigned: DataFrame): DataFrame =
-    assigned
-      .select(col("cluster"), posexplode(col("e")).as(Seq("pos", "x")))
-      .groupBy(col("cluster"), col("pos"))
-      .agg(sum(expr("round(x * 1e9)")).as("s"), count(lit(1)).as("n"))
-      .withColumn("m", expr("(s / n) / 1e9"))
-      .groupBy(col("cluster"))
-      .agg(expr("transform(array_sort(collect_list(struct(pos, m))), p -> p.m)").as("c"))
+    assigned.groupBy(col("cluster")).agg(centroidD(col("e")).as("c"))
 
   /** Mean cosine of each vector to its assigned centroid — the objective
     * (higher is better); used to check convergence. */
   def objective(emb: DataFrame, centroids: DataFrame): Double =
     assign(emb, centroids)
-      .join(centroids, "cluster")
+      .join(centroids.select(col("cluster"), col("c")), "cluster")
       .withColumn("dot",
         expr("aggregate(zip_with(e, c, (x, y) -> round(x * y * 1e9)), 0D, (a, p) -> a + p)"))
       .withColumn("en2", expr("aggregate(e, 0D, (a, x) -> a + round(x * x * 1e9))"))
