@@ -291,6 +291,54 @@ object Dedup {
           HAVING COUNT(DISTINCT c.shingle) >= 3)
         SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bench,
                CAST(SUM(shared) AS BIGINT) AS shared_grams
-        FROM hits GROUP BY doc_id ORDER BY doc_id"""))
+        FROM hits GROUP BY doc_id ORDER BY doc_id""")),
+
+    // ---- q82: C4-style cross-corpus line dedup ---------------------------
+    // The C4/RefinedWeb curation step BETWEEN document-level dedup and
+    // training: any "line" (here: deterministic non-overlapping 8-word
+    // chunk — the corpus has no newlines) that occurs anywhere else in the
+    // corpus survives only at its first occurrence (lowest doc_id, then
+    // lowest position); every other copy is cut and the document is
+    // reassembled from its surviving chunks in order. Scale shape: one
+    // explode, one hash-aggregate picking each chunk's owner (min struct —
+    // map-side partial min, no window over the global chunk space), one
+    // equality join back on the chunk — all linear in corpus size; the
+    // reassembly groups by doc_id, never collecting across documents.
+    QueryDef(
+      "q82_line_dedup",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val occ = t.documents
+          .select(col("doc_id"), split(col("text"), " ").as("sp"))
+          .select(col("doc_id"),
+            posexplode(expr(
+              "transform(sequence(0, cast((size(sp) + 7) div 8 as int) - 1), i -> concat_ws(' ', slice(sp, i * 8 + 1, 8)))"))
+              .as(Seq("pos", "chunk")))
+        val owner = occ.groupBy(col("chunk"))
+          .agg(min(struct(col("doc_id"), col("pos"))).as("o"))
+        occ.join(owner, "chunk")
+          .withColumn("kept",
+            col("doc_id") === col("o.doc_id") && col("pos") === col("o.pos"))
+          .groupBy(col("doc_id"))
+          .agg(
+            count(lit(1)).as("n_chunks"),
+            sum(when(col("kept"), 0L).otherwise(1L)).cast("long").as("n_removed"),
+            expr("""md5(cast(concat_ws(' ',
+                 transform(array_sort(collect_list(CASE WHEN kept THEN struct(pos, chunk) END)),
+                           x -> x.chunk)) as binary))""").as("digest"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS sp FROM documents),
+        occ0 AS (SELECT doc_id, sp, unnest(range((len(sp) + 7) // 8)) AS pos FROM t),
+        occ AS (SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+                  array_to_string(sp[pos * 8 + 1 : pos * 8 + 8], ' ') AS chunk
+                FROM occ0),
+        flags AS (SELECT doc_id, pos, chunk,
+                    ROW_NUMBER() OVER (PARTITION BY chunk ORDER BY doc_id, pos) AS rn
+                  FROM occ)
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+          CAST(SUM(CASE WHEN rn = 1 THEN 0 ELSE 1 END) AS BIGINT) AS n_removed,
+          md5(coalesce(string_agg(CASE WHEN rn = 1 THEN chunk END, ' ' ORDER BY pos), '')) AS digest
+        FROM flags GROUP BY doc_id ORDER BY doc_id"""))
   )
 }

@@ -579,6 +579,114 @@ object Vectors {
           SELECT qid, vid AS nn, cos,
             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vid) AS rank
           FROM scored)
-        WHERE rank = 1 ORDER BY qid"""))
+        WHERE rank = 1 ORDER BY qid""")),
+
+    // ---- q81: IVF-PQ — probe inverted lists, rank by ADC -------------------
+    // The full FAISS-style index composed end to end: a coarse quantizer
+    // routes every vector into an inverted list (q40's IVF), vectors are
+    // stored as 8 PQ codes (q48), and a query scores ONLY its nprobe=2
+    // probed lists via an asymmetric-distance lookup table (q49) — the
+    // search touches neither raw corpus vectors nor unprobed lists. At
+    // 100 TB: lists are the unit of distribution, codes are 64 bits/vector
+    // (parquet-friendly), LUTs are (queries × 8 × 16) rows broadcast; the
+    // only corpus-wide work is the narrow assign+encode pass, exactly the
+    // build cost of the index.
+    QueryDef(
+      "q81_ivf_pq_search",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val e = emb(t)
+        val n = norms(e)
+        // coarse quantizer: first 16 vectors, nearest-centroid assignment
+        val cent = e.filter(col("vec_id") < 16)
+          .select(col("vec_id").as("vid"), col("e").as("ve"))
+        val all = e.select(col("vec_id").as("qid"), col("e").as("qe"))
+        val ascored = cosine(all.crossJoin(broadcast(cent)), n)
+        val wNear = Window.partitionBy(col("qid")).orderBy(desc("cos"), col("vid"))
+        val assign = ascored
+          .withColumn("rn", row_number().over(wNear)).filter(col("rn") === 1)
+          .select(col("qid").as("member"), col("vid").as("cid"))
+        val probe = ascored.filter(col("qid") < 10)
+          .withColumn("rn", row_number().over(wNear)).filter(col("rn") <= 2)
+          .select(col("qid"), col("vid").as("cid"))
+        val cand = probe.join(assign, "cid")
+          .filter(col("qid") =!= col("member"))
+          .select(col("qid"), col("member").as("vid"))
+          .distinct()
+        // PQ codes + per-query LUTs (same codebooks as q48/q49)
+        val subs = e.select(col("vec_id"), explode(expr("sequence(0, 7)")).as("j"), col("e"))
+          .select(col("vec_id"), col("j"), expr("slice(e, j * 8 + 1, 8)").as("sv"))
+        val codewords = subs.filter(col("vec_id") < 16)
+          .select(col("vec_id").as("cw"), col("j"), col("sv").as("cv"))
+        val distExpr =
+          expr("aggregate(zip_with(sv, cv, (x, y) -> round((x - y) * (x - y) * 1e9)), 0D, (a, p) -> a + p)")
+        val wCode = Window.partitionBy(col("vec_id"), col("j")).orderBy(col("dist"), col("cw"))
+        val codes = subs.join(broadcast(codewords), "j")
+          .withColumn("dist", distExpr)
+          .withColumn("rn", row_number().over(wCode)).filter(col("rn") === 1)
+          .select(col("vec_id").as("vid"), col("j"), col("cw").as("code"))
+        val lut = subs.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("j"), col("sv"))
+          .join(broadcast(codewords), "j")
+          .withColumn("d", distExpr)
+          .select(col("qid"), col("j"), col("cw").as("code"), col("d"))
+        // ADC restricted to the probed lists' members
+        val wRank = Window.partitionBy(col("qid")).orderBy(col("adist"), col("vid"))
+        cand.join(codes, "vid")
+          .join(lut, Seq("qid", "j", "code"))
+          .groupBy(col("qid"), col("vid"))
+          .agg(sum(col("d")).as("adist"))
+          .withColumn("rank", row_number().over(wRank).cast("long"))
+          .filter(col("rank") <= 3)
+          .select(col("qid"), col("rank"), col("vid"), col("adist"))
+          .orderBy(col("qid"), col("rank"))
+      },
+      Some {
+        def fold(a: String, b: String): String =
+          s"""list_sum(list_transform(range(1, len($a.embedding) + 1),
+             |  i -> round(CAST($a.embedding[i] AS DOUBLE) * CAST($b.embedding[i] AS DOUBLE) * 1e9)))""".stripMargin
+        s"""WITH $duckNorms,
+        e AS (SELECT vec_id, embedding FROM embeddings),
+        ascore AS (
+          SELECT a.vec_id AS qid, c.vec_id AS vid,
+            ${fold("a", "c")} / sqrt(nq.n2 * nv.n2) AS cos
+          FROM e a JOIN e c ON c.vec_id < 16
+          JOIN norms nq ON nq.vec_id = a.vec_id JOIN norms nv ON nv.vec_id = c.vec_id),
+        ranked AS (
+          SELECT qid, vid, cos,
+            ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vid) AS rn
+          FROM ascore),
+        assign AS (SELECT qid AS member, vid AS cid FROM ranked WHERE rn = 1),
+        probe AS (SELECT qid, vid AS cid FROM ranked WHERE rn <= 2 AND qid < 10),
+        cand AS (
+          SELECT DISTINCT p.qid, a.member AS vid
+          FROM probe p JOIN assign a ON a.cid = p.cid WHERE a.member <> p.qid),
+        subs AS (SELECT vec_id, j FROM e, range(0, 8) r(j)),
+        dists AS (
+          SELECT s.vec_id, s.j, c.vec_id AS cw,
+            list_sum(list_transform(range(0, 8),
+              i -> round((CAST(a.embedding[s.j * 8 + i + 1] AS DOUBLE)
+                          - CAST(c.embedding[s.j * 8 + i + 1] AS DOUBLE))
+                         * (CAST(a.embedding[s.j * 8 + i + 1] AS DOUBLE)
+                            - CAST(c.embedding[s.j * 8 + i + 1] AS DOUBLE)) * 1e9))) AS dist
+          FROM subs s JOIN e a ON a.vec_id = s.vec_id JOIN e c ON c.vec_id < 16),
+        codes AS (
+          SELECT vec_id AS vid, j, cw AS code FROM (
+            SELECT vec_id, j, cw,
+              ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY dist, cw) AS rn
+            FROM dists) WHERE rn = 1),
+        lut AS (SELECT vec_id AS qid, j, cw AS code, dist AS d
+                FROM dists WHERE vec_id < 10),
+        adc AS (
+          SELECT cand.qid, cand.vid, SUM(l.d) AS adist
+          FROM cand JOIN codes c ON c.vid = cand.vid
+          JOIN lut l ON l.qid = cand.qid AND l.j = c.j AND l.code = c.code
+          GROUP BY cand.qid, cand.vid)
+        SELECT qid, rank, vid, adist FROM (
+          SELECT qid, vid, adist,
+            ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adist, vid) AS rank
+          FROM adc)
+        WHERE rank <= 3 ORDER BY qid, rank"""
+      })
   )
 }
