@@ -356,6 +356,44 @@ object Engine {
         CAST(SUM(doc_id) AS BIGINT) AS id_sum
         FROM documents GROUP BY lang ORDER BY lang""")),
 
+    // ---- q83: Z-ORDER compaction round-trip --------------------------------
+    // Multi-dimensional clustering: six interleaved inserts whose doc_id
+    // AND n_chars ranges all overlap are rewritten along the Z-curve over
+    // (doc_id, n_chars), so every output file spans a narrow [min, max] on
+    // BOTH columns and registered-range skipping serves filters on either
+    // one (file-count pruning proven in GraftCatalogSpec "z-order"; this
+    // query gates the VALUES: the post-rewrite table must still aggregate
+    // byte-exact against the raw parquet, and a two-sided filter must
+    // return exactly the oracle's rows through the clustered files).
+    QueryDef(
+      "q83_zorder_compaction",
+      (s, dir) => {
+        val ns = ensureCatalog(s, dir)
+        s.sql(s"DROP TABLE IF EXISTS $ns.zopt")
+        s.sql(s"CREATE TABLE $ns.zopt (doc_id BIGINT, lang STRING, n_chars BIGINT)")
+        for (i <- 0 until 6)
+          s.sql(s"""INSERT INTO $ns.zopt
+                   |SELECT doc_id, lang, n_chars FROM parquet.`$dir/documents.parquet`
+                   |WHERE doc_id % 6 = $i""".stripMargin)
+        val cat = s.sessionState.catalogManager.catalog("gcat")
+          .asInstanceOf[graft.sources.GraftCatalog]
+        val t = cat.loadTable(org.apache.spark.sql.connector.catalog.Identifier.of(
+          Array("corpus"), "zopt")).asInstanceOf[graft.sources.GraftTable]
+        graft.sources.Compaction.compact(
+          s, t, zorderBy = Seq("doc_id", "n_chars"), outputFiles = 4)
+        s.sql(
+          s"""SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
+             |       CAST(SUM(n_chars) AS BIGINT) AS chars,
+             |       CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+             |       CAST(SUM(CASE WHEN doc_id < 100 AND n_chars < 300 THEN 1 ELSE 0 END) AS BIGINT) AS corner
+             |FROM $ns.zopt GROUP BY lang ORDER BY lang""".stripMargin)
+      },
+      Some("""SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(SUM(n_chars) AS BIGINT) AS chars,
+        CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+        CAST(SUM(CASE WHEN doc_id < 100 AND n_chars < 300 THEN 1 ELSE 0 END) AS BIGINT) AS corner
+        FROM documents GROUP BY lang ORDER BY lang""")),
+
     // ---- q65: catalog-free format("graft") read ---------------------------
     // The DataSourceRegister surface: a table dir written through the
     // catalog is read back with spark.read.format("graft").load(dir) — no

@@ -36,12 +36,25 @@ import org.apache.spark.sql.functions.col
   */
 object Compaction {
 
-  /** Compact, optionally CLUSTERING the rewritten rows by `sortBy`: a
-    * range-repartition + within-partition sort makes the consolidated
-    * files' registered [min, max] ranges disjoint on the sort key, so
-    * file-level range skipping prunes point/range queries to one file —
-    * the OPTIMIZE ... ZORDER/SORT analog (one extra shuffle, only over
-    * the small files being rewritten).
+  /** Compact, optionally CLUSTERING the rewritten rows:
+    *
+    *  - `sortBy`: range-repartition + within-partition sort makes the
+    *    consolidated files' registered [min, max] ranges disjoint on the
+    *    sort key, so file-level range skipping prunes point/range queries
+    *    to one file — the OPTIMIZE ... SORT analog;
+    *  - `zorderBy`: MULTI-dimensional clustering — each column is scaled
+    *    to a 16-bit lane between its min and max over the rewrite set
+    *    (one tiny aggregate, no global windows), the lanes' bits are
+    *    interleaved into a single Z-value, and files are cut along that
+    *    curve. Points close on the curve are close in EVERY clustered
+    *    dimension, so each output file spans a narrow [min, max] on ALL
+    *    the columns at once and range skipping prunes filters on any of
+    *    them — the OPTIMIZE ... ZORDER analog. (A total sort can only
+    *    serve its leading column; at 100 TB the second predicate would
+    *    otherwise read the whole table.)
+    *
+    * One extra shuffle either way, only over the small files being
+    * rewritten.
     *
     * @return (filesBefore, filesAfter) across the compacted partitions */
   def compact(
@@ -49,7 +62,10 @@ object Compaction {
       table: GraftTable,
       smallBytes: Long = 32L * 1024 * 1024,
       sortBy: Seq[String] = Nil,
-      outputFiles: Int = 0): (Int, Int) = {
+      outputFiles: Int = 0,
+      zorderBy: Seq[String] = Nil): (Int, Int) = {
+    require(sortBy.isEmpty || zorderBy.isEmpty,
+      "graft: sortBy and zorderBy are mutually exclusive")
     val conf = new Configuration()
     val dataDir = new Path(table.dataDir)
     val fs = dataDir.getFileSystem(conf)
@@ -83,7 +99,28 @@ object Compaction {
       .select(schema.fieldNames.map(col): _*)
     val nOut = if (outputFiles > 0) outputFiles else math.max(1, groups.size)
     val df =
-      if (sortBy.isEmpty) base0.coalesce(nOut)
+      if (zorderBy.nonEmpty) {
+        import org.apache.spark.sql.functions.{expr, max => fmax, min => fmin}
+        // per-column [min, max] over the rewrite set — one small aggregate
+        val mm = base0.select(zorderBy.flatMap(c => Seq(
+          fmin(col(c).cast("double")), fmax(col(c).cast("double")))): _*).head()
+        val lanes = zorderBy.zipWithIndex.map { case (c, j) =>
+          val (mn, mx) =
+            if (mm.isNullAt(2 * j)) (0d, 1d) // all-null column: one lane value
+            else (mm.getDouble(2 * j), mm.getDouble(2 * j + 1))
+          val span = if (mx > mn) mx - mn else 1d
+          s"coalesce(cast(((cast(`$c` as double) - $mn) / $span * 65535.0) as int), 0)"
+        }
+        val k = lanes.length
+        val zkey = (for { i <- 0 until 16; j <- 0 until k } yield
+          s"shiftleft(cast((shiftright(${lanes(j)}, $i) & 1) as bigint), ${i * k + j})")
+          .mkString(" + ")
+        base0.withColumn("__gz", expr(zkey))
+          .repartitionByRange(nOut, col("__gz"))
+          .sortWithinPartitions(col("__gz"))
+          .select(schema.fieldNames.map(col): _*)
+      }
+      else if (sortBy.isEmpty) base0.coalesce(nOut)
       else base0.repartitionByRange(nOut, sortBy.map(col): _*)
         .sortWithinPartitions(sortBy.map(col): _*)
     val dataDirStr = table.dataDir

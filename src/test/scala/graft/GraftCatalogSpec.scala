@@ -610,6 +610,47 @@ class GraftCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.sql("DROP TABLE graft.pw.clus")
   }
 
+  test("z-order compaction clusters files that skip on BOTH dimensions") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.pw")
+    spark.sql("CREATE TABLE graft.pw.zclus (x BIGINT, y BIGINT, v DOUBLE)")
+    // interleaved inserts over two INDEPENDENT dimensions: every file's x
+    // range AND y range span the whole domain, so nothing prunes; a total
+    // sort by x could never serve y-filters
+    for (i <- 0 until 6)
+      spark.sql(
+        s"""INSERT INTO graft.pw.zclus
+           |SELECT (id * 6 + $i) % 1024 AS x,
+           |       ((id * 2654435761) + $i * 7919) % 1024 AS y,
+           |       CAST(id AS DOUBLE) FROM range(512)""".stripMargin)
+    val t = spark.sessionState.catalogManager.catalog("graft")
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
+      .loadTable(org.apache.spark.sql.connector.catalog.Identifier.of(Array("pw"), "zclus"))
+      .asInstanceOf[graft.sources.GraftTable]
+    val want = spark.table("graft.pw.zclus").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted.toSeq
+
+    val (removed, written) = graft.sources.Compaction.compact(
+      spark, t, zorderBy = Seq("x", "y"), outputFiles = 16)
+    assert(removed >= 6 && written >= 8, s"clustered $removed -> $written")
+    // contents byte-exact through the rewrite
+    assert(spark.table("graft.pw.zclus").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted.toSeq == want)
+
+    // a narrow filter on EITHER dimension plans a strict subset of files
+    def planned(filter: org.apache.spark.sql.sources.Filter): Int = {
+      val sb = t.newScanBuilder(
+        new org.apache.spark.sql.util.CaseInsensitiveStringMap(java.util.Map.of()))
+      sb.asInstanceOf[org.apache.spark.sql.connector.read.SupportsPushDownFilters]
+        .pushFilters(Array(filter))
+      sb.build().asInstanceOf[graft.sources.GraftScan].toBatch.planInputPartitions().length
+    }
+    val xHit = planned(org.apache.spark.sql.sources.LessThan("x", 128L))
+    val yHit = planned(org.apache.spark.sql.sources.LessThan("y", 128L))
+    assert(xHit < written, s"x-filter read all $written files (no z-clustering on x)")
+    assert(yHit < written, s"y-filter read all $written files (no z-clustering on y)")
+    spark.sql("DROP TABLE graft.pw.zclus")
+  }
+
   test("format(\"graft\"): catalog-free read, USING graft table, direct append") {
     spark.sql("CREATE TABLE graft.pw.direct (id BIGINT, s STRING)")
     spark.sql("INSERT INTO graft.pw.direct VALUES (1, 'a'), (2, 'b')")
