@@ -394,6 +394,36 @@ object Engine {
         CAST(SUM(CASE WHEN doc_id < 100 AND n_chars < 300 THEN 1 ELSE 0 END) AS BIGINT) AS corner
         FROM documents GROUP BY lang ORDER BY lang""")),
 
+    // ---- q84: RENAME COLUMN schema evolution -------------------------------
+    // A metadata-only rename between two appends: the first generation of
+    // files carries the OLD physical name, the second the new one, and a
+    // filtered aggregate over the renamed column must read both
+    // generations correctly — no files rewritten (the per-file name
+    // resolution lives in ParquetRowIO.RowReadSupport; guards and
+    // compaction-migration in GraftCatalogSpec "RENAME COLUMN").
+    QueryDef(
+      "q84_rename_evolution",
+      (s, dir) => {
+        val ns = ensureCatalog(s, dir)
+        s.sql(s"DROP TABLE IF EXISTS $ns.ren")
+        s.sql(s"CREATE TABLE $ns.ren (doc_id BIGINT, lang STRING, nch BIGINT)")
+        s.sql(s"""INSERT INTO $ns.ren
+                 |SELECT doc_id, lang, n_chars FROM parquet.`$dir/documents.parquet`
+                 |WHERE doc_id % 2 = 0""".stripMargin)
+        s.sql(s"ALTER TABLE $ns.ren RENAME COLUMN nch TO n_chars")
+        s.sql(s"""INSERT INTO $ns.ren
+                 |SELECT doc_id, lang, n_chars FROM parquet.`$dir/documents.parquet`
+                 |WHERE doc_id % 2 = 1""".stripMargin)
+        s.sql(s"""SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
+                 |       CAST(SUM(n_chars) AS BIGINT) AS chars
+                 |FROM $ns.ren WHERE n_chars >= 100
+                 |GROUP BY lang ORDER BY lang""".stripMargin)
+      },
+      Some("""SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(SUM(n_chars) AS BIGINT) AS chars
+        FROM documents WHERE n_chars >= 100
+        GROUP BY lang ORDER BY lang""")),
+
     // ---- q65: catalog-free format("graft") read ---------------------------
     // The DataSourceRegister surface: a table dir written through the
     // catalog is read back with spark.read.format("graft").load(dir) — no

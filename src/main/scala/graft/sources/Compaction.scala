@@ -95,8 +95,25 @@ object Compaction {
     // consolidated files through the normal partitioned writer
     val schema = table.schema0
     val partitionCols = table.partitionSpecs
-    val base0 = spark.read.schema(schema).parquet(victims: _*)
-      .select(schema.fieldNames.map(col): _*)
+    val base0 =
+      if (table.renames.isEmpty)
+        spark.read.schema(schema).parquet(victims: _*)
+          .select(schema.fieldNames.map(col): _*)
+      else {
+        // RENAME COLUMN history: pre-rename victims carry former physical
+        // names; coalesce each current column over its name history (a
+        // file has exactly one of the names, the rest read null), so the
+        // rewrite MIGRATES old files to current names
+        import org.apache.spark.sql.functions.{coalesce, lit}
+        val raw = spark.read.option("mergeSchema", "true").parquet(victims: _*)
+        val cols = schema.fields.map { f =>
+          val names = (f.name +: table.renames.getOrElse(f.name, Nil))
+            .filter(raw.columns.contains)
+          if (names.isEmpty) lit(null).cast(f.dataType).as(f.name)
+          else coalesce(names.map(n => col(s"`$n`").cast(f.dataType)): _*).as(f.name)
+        }
+        raw.select(scala.collection.immutable.ArraySeq.unsafeWrapArray(cols): _*)
+      }
     val nOut = if (outputFiles > 0) outputFiles else math.max(1, groups.size)
     val df =
       if (zorderBy.nonEmpty) {

@@ -190,9 +190,38 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
       case add: TableChange.AddColumn if add.fieldNames().length == 1 =>
         // schema evolution: new column appended; existing files read NULL
         // for it (ParquetRowIO fills fields missing from a file's schema)
+        val name = add.fieldNames()(0)
+        require(!GraftTable.parseRenames(
+            props.getOrElse(GraftTable.RenamesProp, ""))
+          .values.flatten.toSet.contains(name),
+          s"column name $name was previously renamed away and still exists " +
+            "in old files; pick a fresh name")
         schema = StructType(schema.fields :+
           org.apache.spark.sql.types.StructField(
-            add.fieldNames()(0), add.dataType(), nullable = true))
+            name, add.dataType(), nullable = true))
+      case rn: TableChange.RenameColumn if rn.fieldNames().length == 1 =>
+        // metadata-only rename: no files rewritten. Old files keep the old
+        // physical name; the scan resolves per file via the rename history
+        // ([[GraftTable.RenamesProp]]), new writes use the new name.
+        val from = rn.fieldNames()(0)
+        val to = rn.newName()
+        require(schema.fieldNames.contains(from), s"no such column $from")
+        require(!schema.fieldNames.contains(to), s"column $to already exists")
+        val partSources = table.partitionSpecs.map(PartField.parse(_).col)
+        require(!partSources.contains(from),
+          s"cannot rename partition column $from")
+        require(from != graft.functions.ColumnNames.RowKey,
+          "cannot rename the row_key column")
+        val renames = GraftTable.parseRenames(
+          props.getOrElse(GraftTable.RenamesProp, ""))
+        require(!renames.values.flatten.toSet.contains(to),
+          s"$to is a former name of another column and still exists in old files")
+        // carry the renamed column's own history forward under its new name
+        val history = from +: renames.getOrElse(from, Nil)
+        props += GraftTable.RenamesProp ->
+          GraftTable.renderRenames((renames - from) + (to -> history))
+        schema = StructType(schema.fields.map(f =>
+          if (f.name == from) f.copy(name = to) else f))
       case del: TableChange.DeleteColumn if del.fieldNames().length == 1 =>
         // metadata-only drop: the column simply stops being requested;
         // bytes in existing files become dead and are compacted away on
@@ -205,6 +234,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
         require(name != graft.functions.ColumnNames.RowKey,
           "cannot drop the row_key column")
         schema = StructType(schema.fields.filterNot(_.name == name))
+        // a dropped column's rename history goes with it (its former
+        // names stay reserved against AddColumn via the files themselves
+        // being gone from the schema, not the mapping)
+        val renames0 = GraftTable.parseRenames(
+          props.getOrElse(GraftTable.RenamesProp, ""))
+        if (renames0.contains(name))
+          props += GraftTable.RenamesProp ->
+            GraftTable.renderRenames(renames0 - name)
       case other =>
         throw new UnsupportedOperationException(s"graft catalog: unsupported change $other")
     }

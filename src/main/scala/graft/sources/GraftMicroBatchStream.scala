@@ -25,7 +25,8 @@ final class GraftMicroBatchStream(
     dataDir: String,
     partitionCols: Seq[String],
     maxFilesPerTrigger: Option[Int] = None,
-    maxBytesPerTrigger: Option[Long] = None)
+    maxBytesPerTrigger: Option[Long] = None,
+    renames: Map[String, Seq[String]] = Map.empty)
     extends MicroBatchStream with SupportsTriggerAvailableNow {
 
   /** [[visibleFilesOnce]] with retries: on a local FS the registry's
@@ -145,7 +146,8 @@ final class GraftMicroBatchStream(
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new GraftReaderFactory(required, Array.empty, columnar = false)
+    new GraftReaderFactory(required, Array.empty, columnar = false,
+      renames = renames)
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()

@@ -196,6 +196,10 @@ final class GraftTable(
     }
   }
 
+  /** RENAME COLUMN history: current name → former names, newest first. */
+  lazy val renames: Map[String, Seq[String]] =
+    GraftTable.parseRenames(props.getOrElse(GraftTable.RenamesProp, ""))
+
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(schema0, dataDir, partitionCols,
       maxFilesPerTrigger =
@@ -208,7 +212,8 @@ final class GraftTable(
         .orElse(pinnedVersion),
       // incremental append scan: only files added after snapshot m
       // (spark.read.option("since-version", m) — see Snapshots.readManifest)
-      sinceVersion = Option(options.get("since-version")).map(_.toLong))
+      sinceVersion = Option(options.get("since-version")).map(_.toLong),
+      renames = renames)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     requireUnpinned("write")
@@ -222,6 +227,23 @@ object GraftTable {
     * reachable there, so writes must not request a bucket-clustered
     * distribution Spark could not resolve. */
   val PathBasedProp = "graft.path-based"
+
+  /** RENAME COLUMN history, persisted as a table property:
+    * `cur:old2|old1,cur2:oldA` — per current name, its former names
+    * newest first. A rename is metadata-only (no files rewritten); the
+    * row codec resolves each requested column per file against this
+    * history, and new writes always use the current name. */
+  val RenamesProp = "graft.renames"
+
+  def parseRenames(s: String): Map[String, Seq[String]] =
+    s.split(',').filter(_.contains(":")).map { e =>
+      val Array(cur, olds) = e.split(":", 2)
+      cur -> olds.split('|').filter(_.nonEmpty).toSeq
+    }.toMap
+
+  def renderRenames(m: Map[String, Seq[String]]): String =
+    m.toSeq.sortBy(_._1)
+      .map { case (cur, olds) => s"$cur:${olds.mkString("|")}" }.mkString(",")
 
   /** `_file` metadata column: full path of the file a row came from (the
     * group identity for copy-on-write row-level operations, and useful
@@ -444,7 +466,8 @@ final class GraftScanBuilder(
     maxFilesPerTrigger: Option[Int] = None,
     maxBytesPerTrigger: Option[Long] = None,
     snapshotVersion: Option[Long] = None,
-    sinceVersion: Option[Long] = None)
+    sinceVersion: Option[Long] = None,
+    renames: Map[String, Seq[String]] = Map.empty)
     extends ScanBuilder
     with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters
@@ -511,7 +534,7 @@ final class GraftScanBuilder(
     if (countStar) new GraftCountStarScan(dataDir, snapshotVersion, sinceVersion)
     else new GraftScan(tableSchema, required, pushed, dataDir, partitionCols,
       wantFile, tracker, limit, maxFilesPerTrigger, maxBytesPerTrigger,
-      snapshotVersion, sinceVersion)
+      snapshotVersion, sinceVersion, renames)
 }
 
 final class GraftScan(
@@ -526,7 +549,8 @@ final class GraftScan(
     maxFilesPerTrigger: Option[Int] = None,
     maxBytesPerTrigger: Option[Long] = None,
     snapshotVersion: Option[Long] = None,
-    sinceVersion: Option[Long] = None)
+    sinceVersion: Option[Long] = None,
+    renames: Map[String, Seq[String]] = Map.empty)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsReportPartitioning with SupportsRuntimeFiltering {
 
@@ -541,7 +565,7 @@ final class GraftScan(
   override def toMicroBatchStream(
       checkpointLocation: String): org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
     new GraftMicroBatchStream(tableSchema, required, dataDir, partitionCols,
-      maxFilesPerTrigger, maxBytesPerTrigger)
+      maxFilesPerTrigger, maxBytesPerTrigger, renames)
 
   override def readSchema(): StructType =
     if (wantFile)
@@ -825,6 +849,9 @@ final class GraftScan(
     org.apache.spark.sql.internal.SQLConf.get
       .getConfString("spark.graft.columnar.enabled", "true") == "true" &&
     required.fields.nonEmpty &&
+    // a renamed required column may live under a former name in
+    // pre-rename files; only the row codec resolves names per file
+    required.fieldNames.forall(n => !renames.contains(n)) &&
     required.fields.forall(_.dataType match {
       case BooleanType | ByteType | ShortType | IntegerType | LongType |
           FloatType | DoubleType | StringType | BinaryType | DateType => true
@@ -839,7 +866,7 @@ final class GraftScan(
     // decode — a record-level parquet filter would drop rows the rewrite
     // has to carry over.
     new GraftReaderFactory(required,
-      if (tracker.isDefined) Array.empty else pushed, columnarOK, wantFile)
+      if (tracker.isDefined) Array.empty else pushed, columnarOK, wantFile, renames)
 
   /** Exact row count for the (pruned) file set. Preferred source is the
     * `_stats.tsv` cache written at every commit — ONE small read per
@@ -1008,10 +1035,16 @@ final case class GraftPartitionGroup(files: Seq[(String, Long)], key: InternalRo
 
 final class GraftReaderFactory(
     required: StructType, pushed: Array[Filter], columnar: Boolean,
-    wantFile: Boolean = false)
+    wantFile: Boolean = false,
+    renames: Map[String, Seq[String]] = Map.empty)
     extends PartitionReaderFactory {
 
   private def predicate = pushed
+    // a renamed column's physical name varies per file (pre-rename files
+    // carry the former name); a parquet predicate naming a column a file
+    // lacks would throw, and every filter is residual anyway — so filters
+    // touching renamed columns stay residual-only
+    .filter(f => renames.isEmpty || !f.references.exists(renames.contains))
     .flatMap(FilterTranslate.translate(required, _))
     .reduceOption(org.apache.parquet.filter2.predicate.FilterApi.and)
 
@@ -1027,7 +1060,8 @@ final class GraftReaderFactory(
     val conf = new Configuration()
     ParquetRowIO.newReader(new Path(path), required, conf,
       predicate.map(FilterCompat.get),
-      if (end == Long.MaxValue) None else Some((start, end)))
+      if (end == Long.MaxValue) None else Some((start, end)),
+      renames)
   }
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {

@@ -126,6 +126,15 @@ object ParquetRowIO {
     val RowGroupBytes = "write.rowgroup.bytes" // long, default 128 MiB
     val PageBytes = "write.page.bytes" // int, default 1 MiB
     val Dictionary = "write.dictionary" // true|false
+    /** Comma-separated column names that get a per-row-group BLOOM FILTER.
+      * For high-cardinality point lookups (ids, hashes, urls) where
+      * [min, max] ranges overlap across every file and can prune nothing:
+      * an equality predicate against an absent value skips the whole row
+      * group from the footer alone. The reference exposed HBase's
+      * per-family bloom knob (`HBaseClientImpl.scala:303-365`); this is
+      * the parquet-native equivalent. */
+    val BloomColumns = "write.bloom.columns"
+    val BloomNdv = "write.bloom.ndv" // expected distinct values per group
   }
 
   def newWriter(
@@ -142,6 +151,11 @@ object ParquetRowIO {
     props.get(WriteProps.RowGroupBytes).foreach(v => b = b.withRowGroupSize(v.toLong))
     props.get(WriteProps.PageBytes).foreach(v => b = b.withPageSize(v.toInt))
     props.get(WriteProps.Dictionary).foreach(v => b = b.withDictionaryEncoding(v.toBoolean))
+    props.get(WriteProps.BloomColumns).foreach(
+      _.split(',').map(_.trim).filter(_.nonEmpty).foreach { c =>
+        b = b.withBloomFilterEnabled(c, true)
+        props.get(WriteProps.BloomNdv).foreach(n => b = b.withBloomFilterNDV(c, n.toLong))
+      })
     b.build()
   }
 
@@ -184,13 +198,29 @@ object ParquetRowIO {
     override def getRootConverter: GroupConverter = root
   }
 
-  final class RowReadSupport(requiredSchema: StructType) extends ReadSupport[InternalRow] {
+  /** @param renames current column name → its FORMER names, newest first
+    *   (ALTER TABLE RENAME COLUMN history). A file written before a rename
+    *   carries the old physical name; `init` resolves, PER FILE, each
+    *   requested column to whichever of its names the file actually has —
+    *   a metadata-only rename, no data rewritten. */
+  final class RowReadSupport(
+      requiredSchema: StructType,
+      renames: Map[String, Seq[String]] = Map.empty) extends ReadSupport[InternalRow] {
+    // file-schema name -> requested-schema name, resolved per file
+    private var targetOf: Map[String, String] = Map.empty
     override def init(context: InitContext): ReadContext = {
-      // request only the columns this file actually has; missing ones are
-      // filled with null by the materializer (schema evolution)
+      // request only the columns this file actually has (under current OR
+      // former names); missing ones are filled with null by the
+      // materializer (schema evolution)
       val fileFields = context.getFileSchema.getFields.asScala.map(_.getName).toSet
-      val present = StructType(requiredSchema.fields.filter(f => fileFields.contains(f.name)))
-      new ReadContext(messageType(present))
+      val resolved: Seq[(org.apache.spark.sql.types.StructField, String)] =
+        requiredSchema.fields.toSeq.flatMap { f =>
+          if (fileFields.contains(f.name)) Some(f -> f.name)
+          else renames.getOrElse(f.name, Nil).find(fileFields.contains).map(f -> _)
+        }
+      targetOf = resolved.map { case (f, inFile) => inFile -> f.name }.toMap
+      new ReadContext(messageType(
+        StructType(resolved.map { case (f, inFile) => f.copy(name = inFile) })))
     }
     override def prepareForRead(
         conf: Configuration,
@@ -198,7 +228,8 @@ object ParquetRowIO {
         fileSchema: MessageType,
         readContext: ReadContext): RecordMaterializer[InternalRow] =
       new RowMaterializer(requiredSchema,
-        readContext.getRequestedSchema.getFields.asScala.map(_.getName).toSeq)
+        readContext.getRequestedSchema.getFields.asScala
+          .map(f => targetOf(f.getName)).toSeq)
   }
 
   def newReader(
@@ -206,9 +237,10 @@ object ParquetRowIO {
       requiredSchema: StructType,
       conf: Configuration,
       filter: Option[org.apache.parquet.filter2.compat.FilterCompat.Filter],
-      range: Option[(Long, Long)] = None)
+      range: Option[(Long, Long)] = None,
+      renames: Map[String, Seq[String]] = Map.empty)
       : ParquetReader[InternalRow] = {
-    val b0 = ParquetReader.builder(new RowReadSupport(requiredSchema), path).withConf(conf)
+    val b0 = ParquetReader.builder(new RowReadSupport(requiredSchema, renames), path).withConf(conf)
     val b1 = filter.fold(b0)(b0.withFilter)
     // byte-range split: only row groups whose midpoint falls in
     // [start, end) are read — the standard split-assignment rule

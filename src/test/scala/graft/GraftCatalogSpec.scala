@@ -390,6 +390,91 @@ class GraftCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.sql("DROP TABLE graft.pw.zipped")
   }
 
+  test("write.bloom.columns: bloom filters land in the footer and discriminate") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.pw")
+    spark.sql(
+      """CREATE TABLE graft.pw.bloomed (id BIGINT, h STRING)
+        |TBLPROPERTIES ('write.bloom.columns'='h', 'write.bloom.ndv'='4096')
+        |""".stripMargin)
+    // high-cardinality values: every file's [min, max] on h spans the whole
+    // domain, so range skipping can never prune an equality probe — exactly
+    // the workload blooms exist for
+    spark.sql(
+      "INSERT INTO graft.pw.bloomed SELECT id, md5(CAST(id AS STRING)) FROM range(2000)")
+    val files = new java.io.File(s"$warehouse/pw/bloomed/data").listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    assert(files.nonEmpty)
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(files.head.getAbsolutePath), conf)
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try {
+      import scala.jdk.CollectionConverters._
+      val block = r.getFooter.getBlocks.get(0)
+      val hCol = block.getColumns.asScala.find(_.getPath.toDotString == "h").get
+      val bloom = r.getBloomFilterDataReader(block).readBloomFilter(hCol)
+      assert(bloom != null, "no bloom filter written for h")
+      // a present value hits, an absent value misses: the filter is real
+      // and a row group full of this file's values would be SKIPPED for
+      // an absent-key equality probe from the footer alone (blooms are
+      // per-file: probe with a value from THIS file)
+      val present = org.apache.parquet.io.api.Binary.fromString(
+        spark.read.parquet(files.head.getAbsolutePath).head().getString(1))
+      val absent = org.apache.parquet.io.api.Binary.fromString("definitely-not-an-md5")
+      assert(bloom.findHash(bloom.hash(present)), "present value must hit the bloom")
+      assert(!bloom.findHash(bloom.hash(absent)), "absent value must miss the bloom")
+      // the id column got NO bloom (only listed columns pay the footer bytes)
+      val idCol = block.getColumns.asScala.find(_.getPath.toDotString == "id").get
+      assert(r.getBloomFilterDataReader(block).readBloomFilter(idCol) == null)
+    } finally r.close()
+    // equality probes stay correct through the bloom'd files
+    assert(spark.table("graft.pw.bloomed")
+      .where("h = md5('13')").collect().map(_.getLong(0)).toSeq == Seq(13L))
+    assert(spark.table("graft.pw.bloomed").where("h = 'nope'").count() == 0L)
+    spark.sql("DROP TABLE graft.pw.bloomed")
+  }
+
+  test("ALTER TABLE RENAME COLUMN: metadata-only, mixed old/new files read back") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.pw")
+    spark.sql("CREATE TABLE graft.pw.rn (id BIGINT, b STRING)")
+    spark.sql("INSERT INTO graft.pw.rn SELECT id, concat('v', id) FROM range(5)")
+    spark.sql("ALTER TABLE graft.pw.rn RENAME COLUMN b TO s")
+    // schema shows the new name; data written under the OLD name reads
+    // through it without any file rewrite
+    assert(spark.table("graft.pw.rn").columns.toSeq == Seq("id", "s"))
+    def all() = spark.table("graft.pw.rn").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+    assert(all() == (0L until 5L).map(i => (i, s"v$i")))
+    // new files use the new physical name; both generations read together
+    spark.sql("INSERT INTO graft.pw.rn SELECT id, concat('v', id) FROM range(5, 8)")
+    assert(all() == (0L until 8L).map(i => (i, s"v$i")))
+    // filters on the renamed column stay correct (residual evaluation)
+    assert(spark.sql("SELECT id FROM graft.pw.rn WHERE s = 'v2'")
+      .collect().map(_.getLong(0)).toSeq == Seq(2L))
+    assert(spark.sql("SELECT id FROM graft.pw.rn WHERE s = 'v6'")
+      .collect().map(_.getLong(0)).toSeq == Seq(6L))
+    // a SECOND rename chains the history: files now exist under b AND s
+    spark.sql("ALTER TABLE graft.pw.rn RENAME COLUMN s TO t")
+    spark.sql("INSERT INTO graft.pw.rn SELECT id, concat('v', id) FROM range(8, 10)")
+    assert(spark.table("graft.pw.rn").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+      == (0L until 10L).map(i => (i, s"v$i")))
+    // guards: former names stay reserved; partition columns immovable
+    intercept[Exception](spark.sql("ALTER TABLE graft.pw.rn ADD COLUMN b STRING"))
+    intercept[Exception](spark.sql("ALTER TABLE graft.pw.rn RENAME COLUMN id TO b"))
+    // compaction MIGRATES the old physical names to the current one
+    val t = spark.sessionState.catalogManager.catalog("graft")
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
+      .loadTable(org.apache.spark.sql.connector.catalog.Identifier.of(Array("pw"), "rn"))
+      .asInstanceOf[graft.sources.GraftTable]
+    val (removed, written) = graft.sources.Compaction.compact(spark, t, outputFiles = 1)
+    assert(removed >= 3 && written == 1, s"$removed -> $written")
+    assert(spark.table("graft.pw.rn").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+      == (0L until 10L).map(i => (i, s"v$i")))
+    spark.sql("DROP TABLE graft.pw.rn")
+  }
+
   test("views: create, select-through, replace, show, drop") {
     spark.sql("CREATE TABLE graft.pw.vt (id BIGINT, grp STRING)")
     spark.sql("INSERT INTO graft.pw.vt VALUES (1,'a'),(2,'b'),(3,'b')")

@@ -359,4 +359,53 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       "crashed-commit repair must still register never-snapshotted files")
     spark.sql("DROP TABLE grpl.s.t")
   }
+
+  test("streaming upsert: foreachBatch MERGE keeps the graft table current") {
+    // the standard streaming-CDC shape: a change feed lands as files, each
+    // micro-batch MERGEs into the serving table through the row-level COW
+    // path — late keys update in place, new keys insert, and the table is
+    // always a consistent point-in-time upsert of everything delivered
+    val wh = java.nio.file.Files.createTempDirectory("graft_ups_wh").toString
+    spark.conf.set("spark.sql.catalog.gups", classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gups.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gups.s")
+    spark.sql("CREATE TABLE gups.s.state (id BIGINT, val BIGINT)")
+    spark.sql("INSERT INTO gups.s.state SELECT id, id FROM range(5)")
+
+    val feed = java.nio.file.Files.createTempDirectory("graft_ups_feed").toString
+    val q = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType.fromDDL("id BIGINT, val BIGINT"))
+      .parquet(feed)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batch.createOrReplaceTempView("ups_batch")
+        batch.sparkSession.sql(
+          """MERGE INTO gups.s.state t
+            |USING ups_batch s ON t.id = s.id
+            |WHEN MATCHED THEN UPDATE SET val = s.val
+            |WHEN NOT MATCHED THEN INSERT (id, val) VALUES (s.id, s.val)""".stripMargin)
+        ()
+      }
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft_ups_ck").toString)
+      .start()
+    def state() = spark.table("gups.s.state").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    try {
+      // batch 1: update ids 3-4, insert 5-7
+      spark.range(3, 8).selectExpr("id", "id * 10 AS val")
+        .write.mode("append").parquet(feed)
+      q.processAllAvailable()
+      assert(state() == (0L to 2L).map(i => i -> i).toMap
+        ++ (3L to 7L).map(i => i -> i * 10).toMap)
+      // batch 2: second file re-keys 0 and 7 — updates in place, no dup rows
+      spark.range(0, 1).selectExpr("id", "id + 99 AS val").union(
+        spark.range(7, 9).selectExpr("id", "id * 100 AS val"))
+        .write.mode("append").parquet(feed)
+      q.processAllAvailable()
+      assert(state() == Map(0L -> 99L, 1L -> 1L, 2L -> 2L,
+        3L -> 30L, 4L -> 40L, 5L -> 50L, 6L -> 60L, 7L -> 700L, 8L -> 800L))
+    } finally q.stop()
+    spark.sql("DROP TABLE gups.s.state")
+  }
 }
