@@ -531,6 +531,53 @@ object Engine {
         CAST(SUM(n_chars) AS BIGINT) AS chars,
         CAST(SUM(doc_id) AS BIGINT) AS id_sum
         FROM documents WHERE lang = 'de'
-        GROUP BY lang ORDER BY lang"""))
+        GROUP BY lang ORDER BY lang""")),
+
+    // ---- q87: incremental materialized-view maintenance --------------------
+    // The change feed (q76) and MERGE (q64/q67) composed into the thing
+    // they exist for: an aggregate table kept current WITHOUT recomputing
+    // the base. Seed the MV from the first commit, append more base data,
+    // aggregate ONLY the (since, head] window, and MERGE the delta in —
+    // matched groups add, new groups insert. At 100 TB the poll reads one
+    // commit's files, never the table; the gate proves delta-maintenance
+    // ≡ full recompute (the oracle aggregates everything from scratch).
+    QueryDef(
+      "q87_incremental_mv",
+      (s, dir) => {
+        val ns = ensureCatalog(s, dir)
+        s.sql(s"DROP TABLE IF EXISTS $ns.mv_base")
+        s.sql(s"DROP TABLE IF EXISTS $ns.mv")
+        s.sql(s"""CREATE TABLE $ns.mv_base AS
+                 |SELECT doc_id, lang, n_chars FROM parquet.`$dir/documents.parquet`
+                 |WHERE lang = 'en'""".stripMargin)
+        s.sql(s"""CREATE TABLE $ns.mv AS
+                 |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
+                 |       CAST(SUM(n_chars) AS BIGINT) AS chars
+                 |FROM $ns.mv_base GROUP BY lang""".stripMargin)
+        val wh = s.conf.get("spark.sql.catalog.gcat.warehouse")
+        val dataDir = new org.apache.hadoop.fs.Path(s"$wh/corpus/mv_base/data")
+        val fs = dataDir.getFileSystem(new org.apache.hadoop.conf.Configuration())
+        val v1 = graft.sources.Snapshots.list(fs, dataDir).last._1
+        s.sql(s"""INSERT INTO $ns.mv_base
+                 |SELECT doc_id, lang, n_chars FROM parquet.`$dir/documents.parquet`
+                 |WHERE lang <> 'en'""".stripMargin)
+        // delta = only the files the second commit added, published as a
+        // (tiny) delta table the MERGE consumes — the same shape a real
+        // pipeline would checkpoint between poll and apply
+        s.sql(s"DROP TABLE IF EXISTS $ns.mv_delta")
+        s.read.option("since-version", v1).table(s"$ns.mv_base")
+          .groupBy("lang")
+          .agg(org.apache.spark.sql.functions.count("*").cast("long").as("n"),
+            org.apache.spark.sql.functions.sum("n_chars").cast("long").as("chars"))
+          .writeTo(s"$ns.mv_delta").create()
+        s.sql(s"""MERGE INTO $ns.mv t USING $ns.mv_delta d ON t.lang = d.lang
+                 |WHEN MATCHED THEN UPDATE SET n = t.n + d.n, chars = t.chars + d.chars
+                 |WHEN NOT MATCHED THEN INSERT (lang, n, chars) VALUES (d.lang, d.n, d.chars)"""
+            .stripMargin)
+        s.sql(s"SELECT lang, n, chars FROM $ns.mv ORDER BY lang")
+      },
+      Some("""SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(SUM(n_chars) AS BIGINT) AS chars
+        FROM documents GROUP BY lang ORDER BY lang"""))
   )
 }

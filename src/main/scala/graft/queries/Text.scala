@@ -587,6 +587,95 @@ object Text {
         SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS tris,
                CAST(SUM(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS BIGINT) AS novel
         FROM tris JOIN fst USING (tri)
-        GROUP BY doc_id ORDER BY doc_id"""))
+        GROUP BY doc_id ORDER BY doc_id""")),
+
+    // ---- q85: mixture weighting — deterministic fractional upsampling ------
+    // Training mixtures assign each source a sampling TEMPERATURE (src0
+    // ×2.4, src1 ×1.0, rest ×0.3): the integer part repeats every doc,
+    // the fractional part keeps a salted-hash-selected subset one extra
+    // time — so the realized epoch counts hit the target weights exactly
+    // in expectation while staying a pure per-row function (any engine,
+    // any parallelism, same mixture). One explode by the per-doc
+    // repetition count, no shuffle before the final aggregate; at 100 TB
+    // the explode is the materialization step feeding sequence packing.
+    QueryDef(
+      "q85_mixture_weights",
+      (s, dir) => {
+        s.read.parquet(s"$dir/documents.parquet")
+          .withColumn("b", expr(
+            "cast(conv(substring(md5(cast(concat('mix:', cast(doc_id as string)) " +
+              "as binary)), 1, 15), 16, 10) as bigint) % 100"))
+          .withColumn("w100", expr(
+            "CASE WHEN source = 'src0' THEN 240 WHEN source = 'src1' THEN 100 ELSE 30 END"))
+          .withColumn("reps", expr("w100 div 100 + CASE WHEN b < w100 % 100 THEN 1 ELSE 0 END"))
+          .select(col("source"), col("n_chars"), col("doc_id"),
+            explode(expr("CASE WHEN reps = 0 THEN array() ELSE sequence(1, reps) END")).as("epoch"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).cast("long").as("n_samples"),
+            countDistinct(col("doc_id")).cast("long").as("n_docs"),
+            sum(col("n_chars")).cast("long").as("chars"))
+          .orderBy(col("source"))
+      },
+      Some {
+        val hex15 = (1 to 15)
+          .map(j => s"(strpos('0123456789abcdef', substr(m, $j, 1)) - 1) * ${1L << (4 * (15 - j))}")
+          .mkString(" + ")
+        s"""WITH h AS (
+          SELECT doc_id, source, n_chars, ($hex15) % 100 AS b
+          FROM (SELECT doc_id, source, n_chars,
+                  md5('mix:' || CAST(doc_id AS VARCHAR)) AS m
+                FROM documents)),
+        r AS (SELECT doc_id, source, n_chars,
+                (w100 // 100) + CASE WHEN b < w100 % 100 THEN 1 ELSE 0 END AS reps
+              FROM (SELECT *, CASE WHEN source = 'src0' THEN 240
+                                   WHEN source = 'src1' THEN 100 ELSE 30 END AS w100
+                    FROM h)),
+        x AS (SELECT doc_id, source, n_chars, unnest(range(reps)) AS epoch
+              FROM r WHERE reps > 0)
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_samples,
+               CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS chars
+        FROM x GROUP BY source ORDER BY source"""
+      }),
+
+    // ---- q86: per-language exact-median quality gate -----------------------
+    // Per-stratum adaptive thresholds (keep docs at or above their
+    // language's median length) with an EXACT, engine-independent median:
+    // the value at rank ceil(n/2) under (n_chars, doc_id) order — integer
+    // arithmetic only, no interpolation, so both engines agree bit-for-
+    // bit. Scale shape: one window pass per language partition to rank,
+    // one tiny (lang, median) broadcast join back — never a global sort.
+    QueryDef(
+      "q86_median_quality_gate",
+      (s, dir) => {
+        val docs = s.read.parquet(s"$dir/documents.parquet")
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("lang")).orderBy(col("n_chars"), col("doc_id"))
+        val cw = org.apache.spark.sql.expressions.Window.partitionBy(col("lang"))
+        val med = docs
+          .withColumn("rn", row_number().over(w))
+          .withColumn("cnt", count(lit(1)).over(cw))
+          .filter(expr("rn = (cnt + 1) div 2"))
+          .select(col("lang"), col("n_chars").as("med"))
+        docs.join(med, "lang")
+          .filter(col("n_chars") >= col("med"))
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).cast("long").as("kept"),
+            sum(col("n_chars")).cast("long").as("chars"),
+            min(col("n_chars")).cast("long").as("floor_chars"))
+          .orderBy(col("lang"))
+      },
+      Some("""WITH ranked AS (
+          SELECT lang, n_chars, doc_id,
+            ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS rn,
+            COUNT(*) OVER (PARTITION BY lang) AS cnt
+          FROM documents),
+        med AS (SELECT lang, n_chars AS med FROM ranked WHERE rn = (cnt + 1) // 2)
+        SELECT d.lang, CAST(COUNT(*) AS BIGINT) AS kept,
+               CAST(SUM(d.n_chars) AS BIGINT) AS chars,
+               CAST(MIN(d.n_chars) AS BIGINT) AS floor_chars
+        FROM documents d JOIN med ON med.lang = d.lang
+        WHERE d.n_chars >= med.med
+        GROUP BY d.lang ORDER BY d.lang"""))
   )
 }
