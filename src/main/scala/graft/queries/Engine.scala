@@ -578,6 +578,43 @@ object Engine {
       },
       Some("""SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
         CAST(SUM(n_chars) AS BIGINT) AS chars
-        FROM documents GROUP BY lang ORDER BY lang"""))
+        FROM documents GROUP BY lang ORDER BY lang""")),
+
+    // ---- q88: RESTORE — roll the table back to a snapshot ------------------
+    // The operational undo: a bad load (append) and a bad COW DELETE are
+    // both erased by restoring the pre-mess snapshot. The restore commits
+    // the OLD manifest as a NEW version — pure metadata, nothing
+    // rewritten at any table size, and the bad commits stay time-
+    // travelable for the post-mortem. Gate: after the rollback the table
+    // must aggregate exactly as the original CTAS input.
+    QueryDef(
+      "q88_restore_rollback",
+      (s, dir) => {
+        val ns = ensureCatalog(s, dir)
+        s.sql(s"DROP TABLE IF EXISTS $ns.rb")
+        s.sql(s"""CREATE TABLE $ns.rb AS
+                 |SELECT doc_id, lang, n_chars FROM parquet.`$dir/documents.parquet`
+                 |WHERE lang = 'en'""".stripMargin)
+        val wh = s.conf.get("spark.sql.catalog.gcat.warehouse")
+        val tableDir = s"$wh/corpus/rb"
+        val dataDir = new org.apache.hadoop.fs.Path(s"$tableDir/data")
+        val fs = dataDir.getFileSystem(new org.apache.hadoop.conf.Configuration())
+        val v1 = graft.sources.Snapshots.list(fs, dataDir).last._1
+        // the mess: a wrong append and a destructive COW delete
+        s.sql(s"""INSERT INTO $ns.rb
+                 |SELECT doc_id, lang, n_chars FROM parquet.`$dir/documents.parquet`
+                 |WHERE lang <> 'en'""".stripMargin)
+        s.sql(s"DELETE FROM $ns.rb WHERE n_chars < 250")
+        graft.sources.Snapshots.restore(tableDir, v1)
+        s.sql(s"""SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
+                 |       CAST(SUM(n_chars) AS BIGINT) AS chars,
+                 |       CAST(SUM(doc_id) AS BIGINT) AS id_sum
+                 |FROM $ns.rb GROUP BY lang ORDER BY lang""".stripMargin)
+      },
+      Some("""SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(SUM(n_chars) AS BIGINT) AS chars,
+        CAST(SUM(doc_id) AS BIGINT) AS id_sum
+        FROM documents WHERE lang = 'en'
+        GROUP BY lang ORDER BY lang"""))
   )
 }

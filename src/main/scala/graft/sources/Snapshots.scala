@@ -165,6 +165,28 @@ object Snapshots {
     rows.toDF("version", "committed_at", "files", "rows", "bytes")
   }
 
+  /** ROLL BACK the table to snapshot `version` — the RESTORE analog. The
+    * restored manifest is committed as a NEW snapshot (history is
+    * append-only: the bad commits stay visible to time travel, and the
+    * restore itself can be time-traveled past), so nothing is rewritten
+    * or deleted — a pure metadata operation regardless of table size.
+    * Throws if any file of the target manifest was already vacuumed away.
+    * @return the new (restored) version */
+  def restore(tableDir: String, version: Long): Long = {
+    val dataDir = new Path(tableDir, "data")
+    val fs = dataDir.getFileSystem(new Configuration())
+    TableStats.withLock(fs, dataDir) {
+      val m = read(fs, dataDir, version).getOrElse(throw new IllegalArgumentException(
+        s"graft: no snapshot v$version for $dataDir (never recorded, or expired by vacuum)"))
+      val missing = m.keySet.filterNot(rel => fs.exists(new Path(dataDir, rel)))
+      require(missing.isEmpty,
+        s"graft: cannot restore v$version — ${missing.size} data file(s) were " +
+          s"vacuumed away (e.g. ${missing.take(3).mkString(", ")})")
+      TableStats.write(fs, dataDir, m)
+      list(fs, dataDir).last._1
+    }
+  }
+
   /** Expire history: keep the latest `retain` snapshots (and always the
     * live registry), physically delete data files referenced by NO
     * retained manifest, and drop the expired manifest files. Manifests
