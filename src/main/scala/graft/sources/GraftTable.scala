@@ -893,11 +893,12 @@ final class GraftScan(
     override def sizeInBytes() = java.util.OptionalLong.of(files.map(_._2).sum)
     override def numRows() = java.util.OptionalLong.of(exactRows)
 
-    /** CBO-grade column bounds from the commit-time registry: the global
-      * [min, max] of each projected numeric/date column, folded over the
-      * (pruned) file set's per-file ranges. Sound only when EVERY live
-      * file registered a range for the column — otherwise the column is
-      * omitted. No file I/O: everything comes from `_stats.tsv`. */
+    /** CBO-grade column stats: global [min, max] of each projected
+      * numeric/date column, folded from the commit-time registry's
+      * per-file ranges (sound only when EVERY live file registered a
+      * range — otherwise bounds are omitted), plus `distinctCount` /
+      * `nullCount` from the `_ndv.tsv` side file when [[Analyze.run]]
+      * has been executed. No data I/O: two small side files at most. */
     override def columnStats(): java.util.Map[
         org.apache.spark.sql.connector.expressions.NamedReference,
         org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = {
@@ -906,6 +907,10 @@ final class GraftScan(
         org.apache.spark.sql.connector.expressions.NamedReference,
         org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
       if (files.isEmpty) return out
+      val ndvStats: Map[String, (Long, Long)] = {
+        val dir = new Path(dataDir)
+        Analyze.read(dir.getFileSystem(new Configuration()), dir)
+      }
       for (field <- required.fields) {
         val dt = field.dataType
         val ordered = dt match {
@@ -913,32 +918,47 @@ final class GraftScan(
               DoubleType | DateType => true
           case _ => false // strings/bools: Spark's estimation ignores bounds
         }
-        if (ordered) {
-          val ranges = files.map(f =>
-            cachedStats.get(TableStats.relOf(f._1)).flatMap(_.cols.get(field.name)))
-          if (ranges.nonEmpty && ranges.forall(_.isDefined)) {
-            def toCatalyst(raw: String): Any = PartitionPruning.parse(dt, raw) match {
-              case d: java.sql.Date => d.toLocalDate.toEpochDay.toInt
-              case x => x
+        val bounds: Option[(Any, Any)] =
+          if (!ordered) None
+          else {
+            val ranges = files.map(f =>
+              cachedStats.get(TableStats.relOf(f._1)).flatMap(_.cols.get(field.name)))
+            if (ranges.isEmpty || !ranges.forall(_.isDefined)) None
+            else {
+              def toCatalyst(raw: String): Any = PartitionPruning.parse(dt, raw) match {
+                case d: java.sql.Date => d.toLocalDate.toEpochDay.toInt
+                case x => x
+              }
+              def cmp(a: Any, b: Any): Int = dt match {
+                case FloatType | DoubleType => java.lang.Double.compare(
+                  a.asInstanceOf[Number].doubleValue(), b.asInstanceOf[Number].doubleValue())
+                case _ => java.lang.Long.compare(
+                  a.asInstanceOf[Number].longValue(), b.asInstanceOf[Number].longValue())
+              }
+              val mins = ranges.map(r => toCatalyst(r.get._1))
+              val maxs = ranges.map(r => toCatalyst(r.get._2))
+              Some((mins.reduce((a, b) => if (cmp(a, b) <= 0) a else b),
+                maxs.reduce((a, b) => if (cmp(a, b) >= 0) a else b)))
             }
-            def cmp(a: Any, b: Any): Int = dt match {
-              case FloatType | DoubleType => java.lang.Double.compare(
-                a.asInstanceOf[Number].doubleValue(), b.asInstanceOf[Number].doubleValue())
-              case _ => java.lang.Long.compare(
-                a.asInstanceOf[Number].longValue(), b.asInstanceOf[Number].longValue())
-            }
-            val mins = ranges.map(r => toCatalyst(r.get._1))
-            val maxs = ranges.map(r => toCatalyst(r.get._2))
-            val mn = mins.reduce((a, b) => if (cmp(a, b) <= 0) a else b)
-            val mx = maxs.reduce((a, b) => if (cmp(a, b) >= 0) a else b)
-            out.put(
-              org.apache.spark.sql.connector.expressions.Expressions.column(field.name),
-              new org.apache.spark.sql.connector.read.colstats.ColumnStatistics {
-                override def min() = java.util.Optional.of(mn.asInstanceOf[AnyRef])
-                override def max() = java.util.Optional.of(mx.asInstanceOf[AnyRef])
-              })
           }
-        }
+        val nv = ndvStats.get(field.name)
+        if (bounds.isDefined || nv.isDefined)
+          out.put(
+            org.apache.spark.sql.connector.expressions.Expressions.column(field.name),
+            new org.apache.spark.sql.connector.read.colstats.ColumnStatistics {
+              override def min() = bounds
+                .map(b => java.util.Optional.of(b._1.asInstanceOf[AnyRef]))
+                .getOrElse(java.util.Optional.empty[AnyRef]())
+              override def max() = bounds
+                .map(b => java.util.Optional.of(b._2.asInstanceOf[AnyRef]))
+                .getOrElse(java.util.Optional.empty[AnyRef]())
+              override def distinctCount() = nv
+                .map(x => java.util.OptionalLong.of(x._1))
+                .getOrElse(java.util.OptionalLong.empty())
+              override def nullCount() = nv
+                .map(x => java.util.OptionalLong.of(x._2))
+                .getOrElse(java.util.OptionalLong.empty())
+            })
       }
       out
     }

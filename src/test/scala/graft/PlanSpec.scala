@@ -248,6 +248,34 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       "column stats must come from the registry, not footers")
   }
 
+  test("graft source: Analyze.run persists NDV/null stats the scan surfaces") {
+    val cat = spark.sessionState.catalogManager.catalog("gpart")
+      .asInstanceOf[graft.sources.GraftCatalog]
+    val table = cat.loadTable(org.apache.spark.sql.connector.catalog.Identifier.of(
+      Array("t"), "docs")).asInstanceOf[graft.sources.GraftTable]
+    val got = graft.sources.Analyze.run(spark, table, Seq("doc_id", "lang", "n_chars"))
+    // HLL++ NDV: exact-ish at this cardinality; doc_id is unique
+    assert(math.abs(got("doc_id")._1 - 500L) <= 25, s"ndv(doc_id)=${got("doc_id")._1}")
+    assert(got("lang")._1 <= 10 && got("lang")._1 >= 3)
+    assert(got.values.forall(_._2 == 0L), "no nulls in documents")
+    // the scan now reports distinctCount for a STRING column too (no
+    // min/max ranges exist for strings; NDV alone creates the entry)
+    val scan = table.newScanBuilder(new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+      java.util.Collections.emptyMap())).build()
+    val cols = scan.asInstanceOf[org.apache.spark.sql.connector.read.SupportsReportStatistics]
+      .estimateStatistics().columnStats()
+    val langStats = cols.asScala.collectFirst {
+      case (ref, s) if ref.fieldNames().sameElements(Array("lang")) => s
+    }.getOrElse(fail(s"no stats for lang: ${cols.keySet()}"))
+    assert(langStats.distinctCount().getAsLong == got("lang")._1)
+    assert(langStats.nullCount().getAsLong == 0L)
+    // numeric columns keep their registry bounds AND gain distinctCount
+    val idStats = cols.asScala.collectFirst {
+      case (ref, s) if ref.fieldNames().sameElements(Array("doc_id")) => s
+    }.get
+    assert(idStats.min().isPresent && idStats.distinctCount().isPresent)
+  }
+
   test("graft source: primitive-schema scans are columnar (vectorized)") {
     // gpart.t.docs exists from the pruning test above (all-primitive schema)
     val df = spark.sql("SELECT doc_id, n_chars FROM gpart.t.docs WHERE n_chars > 100")

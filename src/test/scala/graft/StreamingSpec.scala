@@ -360,6 +360,46 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.sql("DROP TABLE grpl.s.t")
   }
 
+  test("stream-stream join: watermarked interval join equals the batch join") {
+    // two event streams joined on user_id within a ±5-minute interval —
+    // the streaming enrichment shape (clicks × purchases). Watermarks
+    // bound both sides' state so at 100 TB/day the join state stays
+    // proportional to the interval, not the history.
+    val clicks = spark.readStream.schema(batchEvents.schema).parquet(streamDir)
+      .where("event_type = 'click'")
+      .selectExpr("user_id AS c_user", "timestamp_micros(ts DIV 1000) AS c_ts",
+        "event_id AS c_id")
+      .withWatermark("c_ts", "10 minutes")
+    val purchases = spark.readStream.schema(batchEvents.schema).parquet(streamDir)
+      .where("event_type = 'purchase'")
+      .selectExpr("user_id AS p_user", "timestamp_micros(ts DIV 1000) AS p_ts",
+        "event_id AS p_id")
+      .withWatermark("p_ts", "10 minutes")
+    val joined = clicks.join(purchases,
+      expr("""c_user = p_user AND
+             |p_ts BETWEEN c_ts - INTERVAL 5 MINUTES AND c_ts + INTERVAL 5 MINUTES"""
+        .stripMargin))
+      .selectExpr("c_user", "c_id", "p_id")
+    val q = joined.writeStream.format("memory").queryName("ss_join")
+      .outputMode(OutputMode.Append()).start()
+    try q.processAllAvailable() finally q.stop()
+
+    val got = spark.table("ss_join").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val be = batchEvents
+    val want = be.where("event_type = 'click'")
+      .selectExpr("user_id AS c_user", "timestamp_micros(ts DIV 1000) AS c_ts", "event_id AS c_id")
+      .join(be.where("event_type = 'purchase'")
+        .selectExpr("user_id AS p_user", "timestamp_micros(ts DIV 1000) AS p_ts", "event_id AS p_id"),
+        expr("""c_user = p_user AND
+               |p_ts BETWEEN c_ts - INTERVAL 5 MINUTES AND c_ts + INTERVAL 5 MINUTES"""
+          .stripMargin))
+      .selectExpr("c_user", "c_id", "p_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+
   test("streaming upsert: foreachBatch MERGE keeps the graft table current") {
     // the standard streaming-CDC shape: a change feed lands as files, each
     // micro-batch MERGEs into the serving table through the row-level COW
