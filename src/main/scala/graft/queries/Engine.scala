@@ -615,6 +615,46 @@ object Engine {
         CAST(SUM(n_chars) AS BIGINT) AS chars,
         CAST(SUM(doc_id) AS BIGINT) AS id_sum
         FROM documents WHERE lang = 'en'
-        GROUP BY lang ORDER BY lang"""))
+        GROUP BY lang ORDER BY lang""")),
+
+    // ---- q89: days() hidden partitioning over event time -------------------
+    // The 100 TB ingest layout: PARTITIONED BY (days(e_ts)) routes rows
+    // into one directory per calendar day WITHOUT a user-visible day
+    // column, and a plain range predicate on the timestamp prunes day
+    // directories before anything is listed (Iceberg-style hidden
+    // partitioning — Hive would demand a redundant WHERE dt = ...).
+    // Pruning-by-file-count is proven in GraftCatalogSpec "days()"; this
+    // gates the VALUES through the partition-derive write + pruned read.
+    QueryDef(
+      "q89_days_partitioning",
+      (s, dir) => {
+        val ns = ensureCatalog(s, dir)
+        s.sql(s"DROP TABLE IF EXISTS $ns.ev")
+        s.sql(s"""CREATE TABLE $ns.ev
+                 |(event_id BIGINT, e_ts TIMESTAMP_NTZ, user_id BIGINT, value DOUBLE)
+                 |PARTITIONED BY (days(e_ts))""".stripMargin)
+        graft.Tables(s, dir).events
+          .selectExpr("event_id",
+            "cast(timestamp_micros(ts div 1000) as timestamp_ntz) AS e_ts",
+            "user_id", "value")
+          .writeTo(s"$ns.ev").append()
+        s.sql(
+          s"""SELECT CAST(date_format(e_ts, 'yyyy-MM-dd') AS STRING) AS day,
+             |       CAST(COUNT(*) AS BIGINT) AS n,
+             |       CAST(SUM(event_id) AS BIGINT) AS id_sum,
+             |       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS users
+             |FROM $ns.ev
+             |WHERE e_ts >= TIMESTAMP_NTZ '2024-01-10 00:00:00'
+             |  AND e_ts <  TIMESTAMP_NTZ '2024-01-15 00:00:00'
+             |GROUP BY 1 ORDER BY day""".stripMargin)
+      },
+      Some("""SELECT strftime(ts, '%Y-%m-%d') AS day,
+        CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(SUM(event_id) AS BIGINT) AS id_sum,
+        CAST(COUNT(DISTINCT user_id) AS BIGINT) AS users
+        FROM events
+        WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+          AND ts <  TIMESTAMP '2024-01-15 00:00:00'
+        GROUP BY 1 ORDER BY day"""))
   )
 }

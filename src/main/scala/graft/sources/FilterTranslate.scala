@@ -24,6 +24,28 @@ object FilterTranslate {
 
   private val MaxInValues = 32
 
+  /** External timestamp filter value → the INT64 micros the files store. */
+  private def microsOf(v: Any): java.lang.Long = v match {
+    case t: java.sql.Timestamp =>
+      Math.addExact(Math.multiplyExact(t.toInstant.getEpochSecond, 1000000L),
+        (t.getNanos / 1000).toLong)
+    case i: java.time.Instant =>
+      Math.addExact(Math.multiplyExact(i.getEpochSecond, 1000000L),
+        (i.getNano / 1000).toLong)
+    case l: java.time.LocalDateTime =>
+      val i = l.toInstant(java.time.ZoneOffset.UTC)
+      Math.addExact(Math.multiplyExact(i.getEpochSecond, 1000000L),
+        (i.getNano / 1000).toLong)
+    case n: Number => n.longValue()
+  }
+
+  /** External date filter value → the INT32 epoch days the files store. */
+  private def daysOf(v: Any): java.lang.Integer = v match {
+    case d: java.sql.Date => d.toLocalDate.toEpochDay.toInt
+    case d: java.time.LocalDate => d.toEpochDay.toInt
+    case n: Number => n.intValue()
+  }
+
   def translate(schema: StructType, f: Filter): Option[FilterPredicate] = {
     def typeOf(attr: String): Option[DataType] =
       schema.fields.find(_.name == attr).map(_.dataType)
@@ -57,6 +79,14 @@ object FilterTranslate {
         case BinaryType =>
           val c = FilterApi.binaryColumn(attr)
           val j = if (v == null) null else Binary.fromConstantByteArray(v.asInstanceOf[Array[Byte]])
+          Some(if (negate) FilterApi.notEq(c, j) else FilterApi.eq(c, j))
+        case DateType =>
+          val c = FilterApi.intColumn(attr)
+          val j = if (v == null) null else daysOf(v)
+          Some(if (negate) FilterApi.notEq(c, j) else FilterApi.eq(c, j))
+        case TimestampType | TimestampNTZType =>
+          val c = FilterApi.longColumn(attr)
+          val j = if (v == null) null else microsOf(v)
           Some(if (negate) FilterApi.notEq(c, j) else FilterApi.eq(c, j))
         case _ => None
       }
@@ -94,6 +124,20 @@ object FilterTranslate {
         case StringType =>
           val c = FilterApi.binaryColumn(attr)
           val j = Binary.fromString(v.toString)
+          Some(op match {
+            case "gt" => FilterApi.gt(c, j); case "ge" => FilterApi.gtEq(c, j)
+            case "lt" => FilterApi.lt(c, j); case _ => FilterApi.ltEq(c, j)
+          })
+        case DateType =>
+          val c = FilterApi.intColumn(attr)
+          val j = daysOf(v)
+          Some(op match {
+            case "gt" => FilterApi.gt(c, j); case "ge" => FilterApi.gtEq(c, j)
+            case "lt" => FilterApi.lt(c, j); case _ => FilterApi.ltEq(c, j)
+          })
+        case TimestampType | TimestampNTZType =>
+          val c = FilterApi.longColumn(attr)
+          val j = microsOf(v)
           Some(op match {
             case "gt" => FilterApi.gt(c, j); case "ge" => FilterApi.gtEq(c, j)
             case "lt" => FilterApi.lt(c, j); case _ => FilterApi.ltEq(c, j)

@@ -63,12 +63,7 @@ final class GraftTable(
     partitionCols.map(PartField.parse)
 
   override def partitioning(): Array[Transform] =
-    partFields.map {
-      case PartField.Identity(c) =>
-        org.apache.spark.sql.connector.expressions.Expressions.identity(c)
-      case PartField.Bucket(n, c) =>
-        org.apache.spark.sql.connector.expressions.Expressions.bucket(n, c)
-    }.toArray
+    partFields.map(PartField.toTransform).toArray
   override def properties(): java.util.Map[String, String] = props.asJava
   override def capabilities(): JSet[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
@@ -164,13 +159,15 @@ final class GraftTable(
       } else fs.listStatus(p).filter(_.isDirectory).foreach { d =>
         d.getPath.getName.split("=", 2) match {
           case Array(c, raw) if c == remaining.head.dir =>
-            // bucket dirs carry no column value usable by the filter
-            // evaluator; identity dirs do
+            // bucket/day dirs carry no column value usable by the filter
+            // evaluator; identity dirs do (a day narrows the column to a
+            // RANGE, which eval3's equality shapes cannot decide — day-
+            // partition deletes go through the row-level path)
             val vs = remaining.head match {
               case PartField.Identity(col) =>
                 values + (col -> PartitionPruning.parse(
                   schema0(col).dataType, PartitionPruning.decode(raw)))
-              case _: PartField.Bucket => values
+              case _: PartField.Bucket | _: PartField.Days => values
             }
             walk(d.getPath, remaining.tail, vs,
               if (rel.isEmpty) d.getPath.getName else s"$rel/${d.getPath.getName}")
@@ -673,6 +670,11 @@ final class GraftScan(
         PartField.allowedBuckets(f, field, dt).forall(_.contains(id)))
     }
 
+    def dayAllows(field: PartField.Days, day: java.lang.Long): Boolean = {
+      val dt = tableSchema(field.col).dataType
+      pushed.forall(f => PartField.dayMayMatch(f, field, dt, day))
+    }
+
     def walk(p: Path, remaining: Seq[PartField.Field], values: Map[String, Any]): Seq[(String, Long, Seq[Any])] =
       if (remaining.isEmpty) leafFiles(p, partFields.map(f => values(f.dir)))
       else fs.listStatus(p).toSeq.filter(_.isDirectory).flatMap { d =>
@@ -689,6 +691,10 @@ final class GraftScan(
                 val id = raw.toInt
                 if (!bucketAllows(b, id)) Nil
                 else walk(d.getPath, remaining.tail, values + (b.dir -> id))
+              case dy: PartField.Days =>
+                val day = PartField.parseDay(raw)
+                if (!dayAllows(dy, day)) Nil
+                else walk(d.getPath, remaining.tail, values + (dy.dir -> day))
             }
           case _ => Nil
         }
@@ -719,6 +725,7 @@ final class GraftScan(
                 case PartField.Identity(col) => PartitionPruning.parse(
                   tableSchema(col).dataType, PartitionPruning.decode(raw))
                 case _: PartField.Bucket => raw.toInt
+                case _: PartField.Days => PartField.parseDay(raw)
               }
               case _ => throw new IllegalStateException(
                 s"graft: registered file '$rel' does not match the " +
@@ -728,10 +735,13 @@ final class GraftScan(
           val vmap = partFields.zip(vals).map { case (f, v) => f match {
             case PartField.Identity(col) => col -> v
             case b: PartField.Bucket => b.dir -> v
+            case d: PartField.Days => d.dir -> v
           }}.toMap
           val pruned =
             partFields.zip(vals).exists {
               case (b: PartField.Bucket, id: Int) => !bucketAllows(b, id)
+              case (d: PartField.Days, day) =>
+                !dayAllows(d, day.asInstanceOf[java.lang.Long])
               case _ => false
             } ||
             PartitionPruning.prune(pushed.toSeq, vmap)
@@ -795,6 +805,10 @@ final class GraftScan(
     * aggregations on the partition columns then run with NO shuffle. */
   private def keyGrouped: Boolean =
     partitionCols.nonEmpty &&
+      // days() has no FunctionCatalog entry for SPJ key resolution —
+      // day-partitioned scans report UnknownPartitioning (pruning still
+      // applies; only the shuffle-free join is off the table)
+      !partFields.exists(_.isInstanceOf[PartField.Days]) &&
       org.apache.spark.sql.internal.SQLConf.get.v2BucketingEnabled
 
   private def groups: Seq[(Seq[Any], Seq[(String, Long)])] = {
@@ -826,14 +840,8 @@ final class GraftScan(
   override def outputPartitioning(): org.apache.spark.sql.connector.read.partitioning.Partitioning =
     if (keyGrouped)
       new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
-        partFields.map {
-          case PartField.Identity(c) =>
-            org.apache.spark.sql.connector.expressions.Expressions.identity(c)
-              : org.apache.spark.sql.connector.expressions.Expression
-          case PartField.Bucket(n, c) =>
-            org.apache.spark.sql.connector.expressions.Expressions.bucket(n, c)
-              : org.apache.spark.sql.connector.expressions.Expression
-        }.toArray,
+        partFields.map(PartField.toTransform(_)
+          : org.apache.spark.sql.connector.expressions.Expression).toArray,
         groups.size)
     else
       new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(
@@ -1209,6 +1217,11 @@ final class GraftWriteBuilder(
         Some(org.apache.spark.sql.connector.expressions.Expressions.bucket(n, c)
           : org.apache.spark.sql.connector.expressions.Expression)
       case _: PartField.Bucket => None
+      // clustering by the source column implies clustering by its day —
+      // and needs no FunctionCatalog to resolve
+      case PartField.Days(c) =>
+        Some(org.apache.spark.sql.connector.expressions.Expressions.identity(c)
+          : org.apache.spark.sql.connector.expressions.Expression)
     }
     if (clusterOn.nonEmpty &&
         props.getOrElse("write.distribute", "true").toBoolean)
@@ -1517,6 +1530,8 @@ object GraftWriterFactory {
               s"${f.dir}=${PartitionPruning.encodeCatalyst(schema(i).dataType, v)}"
             case PartField.Bucket(n, _) =>
               s"${f.dir}=${PartField.bucketOf(schema(i).dataType, v, n)}"
+            case _: PartField.Days =>
+              s"${f.dir}=${PartField.renderDay(PartField.dayOf(schema(i).dataType, v))}"
           }
         }.mkString("/")
         val key = if (rel.isEmpty) "" else rel + "/"

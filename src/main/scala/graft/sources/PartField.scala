@@ -32,11 +32,23 @@ object PartField {
     def dir: String = s"$col.bucket"
     def spec: String = s"bucket($n,$col)"
   }
+  /** Time-based HIDDEN partitioning (`PARTITIONED BY (days(ts))`): rows
+    * route into one directory per calendar day of a date/timestamp
+    * column — the 100 TB ingest layout — and range/equality filters on
+    * the SOURCE column prune day directories without the query ever
+    * naming the partition (Iceberg-style hidden partitioning; Hive would
+    * force a redundant `WHERE dt = ...`). */
+  final case class Days(col: String) extends Field {
+    def dir: String = s"$col.day"
+    def spec: String = s"days($col)"
+  }
 
   private val B = """bucket\((\d+),(.+)\)""".r
+  private val D = """days\((.+)\)""".r
 
   def parse(s: String): Field = s match {
     case B(n, c) => Bucket(n.toInt, c.trim)
+    case D(c) => Days(c.trim)
     case c => Identity(c)
   }
 
@@ -54,9 +66,11 @@ object PartField {
       }.getOrElse(throw new IllegalArgumentException(
         s"graft: bucket transform without a count: $t"))
       Bucket(n, t.references()(0).fieldNames().mkString("."))
+    case t if t.name() == "days" && t.references().length == 1 =>
+      Days(t.references()(0).fieldNames().mkString("."))
     case other => throw new UnsupportedOperationException(
       s"graft: unsupported partition transform $other " +
-        "(identity and bucket(n, col) only)")
+        "(identity, bucket(n, col), and days(col) only)")
   }
 
   /** Field → connector `Transform` (inverse of [[fromTransform]]). */
@@ -65,6 +79,93 @@ object PartField {
     f match {
       case Identity(c) => Expressions.identity(c)
       case Bucket(n, c) => Expressions.bucket(n, c)
+      case Days(c) => Expressions.days(c)
+    }
+  }
+
+  /** Column types `days(col)` supports. */
+  def supportsDayType(dt: DataType): Boolean = dt match {
+    case DateType | TimestampType | TimestampNTZType => true
+    case _ => false
+  }
+
+  /** Epoch day of a CATALYST value (Int days for dates, Long micros for
+    * timestamps) or an EXTERNAL filter value — both normalize to the
+    * same day, so pushed filters prune exactly the directories the
+    * writer chose. Null stays null (its own directory). */
+  def dayOf(dt: DataType, value: Any): java.lang.Long = {
+    if (value == null) return null
+    dt match {
+      case DateType => value match {
+        case d: java.sql.Date => d.toLocalDate.toEpochDay
+        case d: java.time.LocalDate => d.toEpochDay
+        case x: Number => x.longValue()
+      }
+      case TimestampType | TimestampNTZType =>
+        val micros: Long = value match {
+          case t: java.sql.Timestamp =>
+            Math.addExact(Math.multiplyExact(t.toInstant.getEpochSecond, 1000000L),
+              (t.getNanos / 1000).toLong)
+          case i: java.time.Instant =>
+            Math.addExact(Math.multiplyExact(i.getEpochSecond, 1000000L),
+              (i.getNano / 1000).toLong)
+          case l: java.time.LocalDateTime =>
+            val i = l.toInstant(java.time.ZoneOffset.UTC)
+            Math.addExact(Math.multiplyExact(i.getEpochSecond, 1000000L),
+              (i.getNano / 1000).toLong)
+          case x: Number => x.longValue()
+        }
+        Math.floorDiv(micros, 86400000000L)
+      case other =>
+        throw new IllegalArgumentException(s"graft: days over $other not supported")
+    }
+  }
+
+  /** Directory rendering of an epoch day: the ISO date (human-scannable
+    * layout, `ts.day=2026-08-12`); null partitions use the shared null
+    * token. */
+  def renderDay(day: java.lang.Long): String =
+    if (day == null) PartitionPruning.NullToken
+    else java.time.LocalDate.ofEpochDay(day).toString
+
+  def parseDay(raw: String): java.lang.Long =
+    if (raw == PartitionPruning.NullToken) null
+    else java.time.LocalDate.parse(raw).toEpochDay
+
+  /** Can a row whose `field.col` falls on `day` (null = the null
+    * directory) satisfy filter `f`? Conservative Kleene collapse: only
+    * provable exclusions return false, unknown shapes (Not, unrelated
+    * columns) keep the directory. Top-level filters are conjunctive —
+    * the caller requires every filter to allow the day. */
+  def dayMayMatch(
+      f: org.apache.spark.sql.sources.Filter,
+      field: Days,
+      dt: DataType,
+      day: java.lang.Long): Boolean = {
+    import org.apache.spark.sql.sources._
+    def d(v: Any): java.lang.Long = dayOf(dt, v)
+    f match {
+      case EqualTo(a, v) if a == field.col =>
+        v != null && day != null && d(v) == day
+      case EqualNullSafe(a, v) if a == field.col =>
+        if (v == null) day == null else day != null && d(v) == day
+      case In(a, vs) if a == field.col && vs.nonEmpty =>
+        day != null && vs.exists(v => v != null && d(v) == day)
+      case GreaterThan(a, v) if a == field.col && v != null =>
+        day != null && day >= d(v)
+      case GreaterThanOrEqual(a, v) if a == field.col && v != null =>
+        day != null && day >= d(v)
+      case LessThan(a, v) if a == field.col && v != null =>
+        day != null && day <= d(v)
+      case LessThanOrEqual(a, v) if a == field.col && v != null =>
+        day != null && day <= d(v)
+      case IsNull(a) if a == field.col => day == null
+      case IsNotNull(a) if a == field.col => day != null
+      case And(l, r) =>
+        dayMayMatch(l, field, dt, day) && dayMayMatch(r, field, dt, day)
+      case Or(l, r) =>
+        dayMayMatch(l, field, dt, day) || dayMayMatch(r, field, dt, day)
+      case _ => true
     }
   }
 

@@ -182,6 +182,9 @@ object PartitionPruning {
     }
   }
 
+  /** Directory token for a null partition value. */
+  val NullToken = "__null__"
+
   /** Directory-name-safe encoding of a partition value. */
   def encode(value: Any): String = value match {
     case null => "__null__"

@@ -434,6 +434,43 @@ class GraftCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.sql("DROP TABLE graft.pw.bloomed")
   }
 
+  test("days() hidden partitioning prunes day directories from timestamp filters") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.pw")
+    spark.sql(
+      """CREATE TABLE graft.pw.dayed (id BIGINT, ts TIMESTAMP_NTZ, v DOUBLE)
+        |PARTITIONED BY (days(ts))""".stripMargin)
+    // 10 days of data, one insert (clustered write → ~one file per day)
+    spark.sql(
+      """INSERT INTO graft.pw.dayed
+        |SELECT id,
+        |  cast(timestamp_micros(cast(1704067200000000 + id * 864000000 as bigint))
+        |       as timestamp_ntz) AS ts,
+        |  cast(id as double)
+        |FROM range(1000)""".stripMargin)
+    // layout: data/ts.day=2024-01-0X/...
+    val wh = spark.conf.get("spark.sql.catalog.graft.warehouse")
+    val dirs = new java.io.File(s"$wh/pw/dayed/data").listFiles()
+      .filter(_.isDirectory).map(_.getName).sorted
+    assert(dirs.length == 10 && dirs.forall(_.startsWith("ts.day=2024-01-")), dirs.toSeq)
+
+    def parts(sql: String) = spark.sql(sql).rdd.getNumPartitions
+    val all = parts("SELECT id FROM graft.pw.dayed")
+    // hidden partitioning: a plain timestamp range names no partition
+    // column yet prunes to the covered days
+    val oneDay = parts("SELECT id FROM graft.pw.dayed " +
+      "WHERE ts >= TIMESTAMP_NTZ '2024-01-03 00:00:00' " +
+      "AND ts < TIMESTAMP_NTZ '2024-01-04 00:00:00'")
+    assert(oneDay < all && oneDay >= 1, s"oneDay=$oneDay all=$all")
+    assert(parts("SELECT id FROM graft.pw.dayed " +
+      "WHERE ts < TIMESTAMP_NTZ '2020-01-01 00:00:00'") == 0)
+    // values through the pruned read stay exact
+    val n = spark.sql("SELECT count(*) FROM graft.pw.dayed " +
+      "WHERE ts >= TIMESTAMP_NTZ '2024-01-03 00:00:00' " +
+      "AND ts < TIMESTAMP_NTZ '2024-01-04 00:00:00'").head().getLong(0)
+    assert(n == 100L, s"n=$n") // 864s step → exactly 100 rows/day
+    spark.sql("DROP TABLE graft.pw.dayed")
+  }
+
   test("ALTER TABLE RENAME COLUMN: metadata-only, mixed old/new files read back") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.pw")
     spark.sql("CREATE TABLE graft.pw.rn (id BIGINT, b STRING)")
