@@ -92,9 +92,11 @@ object GraftViewBridge {
 final class GraftViewSqlParser(session: SparkSession, delegate: ParserInterface)
     extends ParserInterface {
   override def parsePlan(sqlText: String): LogicalPlan =
-    GraftViewBridge.rewrite(session, delegate.parsePlan(sqlText))
+    MaintenanceSql.parse(session, sqlText).getOrElse(
+      GraftViewBridge.rewrite(session, delegate.parsePlan(sqlText)))
   override def parsePlanWithParameters(sqlText: String, ctx: ParameterContext): LogicalPlan =
-    GraftViewBridge.rewrite(session, delegate.parsePlanWithParameters(sqlText, ctx))
+    MaintenanceSql.parse(session, sqlText).getOrElse(
+      GraftViewBridge.rewrite(session, delegate.parsePlanWithParameters(sqlText, ctx)))
   override def parseExpression(sqlText: String): Expression = delegate.parseExpression(sqlText)
   override def parseTableIdentifier(sqlText: String): TableIdentifier =
     delegate.parseTableIdentifier(sqlText)

@@ -1,0 +1,123 @@
+package graft.sources
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.types.{IntegerType, LongType}
+
+/** SQL spellings for the table-maintenance operations, intercepted by the
+  * injected parser BEFORE delegation (none of them are Spark grammar):
+  *
+  *  - `OPTIMIZE t` / `OPTIMIZE t SORT BY c` / `OPTIMIZE t ZORDER BY (a, b)`
+  *    → [[Compaction.compact]] (small-file consolidation, optionally
+  *    sort- or Z-curve-clustered);
+  *  - `VACUUM t [RETAIN n SNAPSHOTS]` → [[Snapshots.vacuum]];
+  *  - `RESTORE [TABLE] t [TO] VERSION AS OF v` → [[Snapshots.restore]];
+  *  - `ANALYZE TABLE t COMPUTE STATISTICS [FOR COLUMNS c1, c2]` (standard
+  *    Spark grammar, but aimed at a graft catalog) → [[Analyze.run]].
+  *
+  * Each command resolves its identifier exactly like the view bridge: a
+  * 3-part name whose head is a registered [[GraftCatalog]], or 1-2 parts
+  * against the current catalog when that is one. Anything else falls
+  * through to Spark untouched, so the interception is invisible outside
+  * graft tables.
+  */
+object MaintenanceSql {
+
+  private val Optimize =
+    """(?is)\s*OPTIMIZE\s+([\w.`]+)\s*(?:SORT\s+BY\s+\(?\s*([\w`]+(?:\s*,\s*[\w`]+)*)\s*\)?|ZORDER\s+BY\s+\(?\s*([\w`]+(?:\s*,\s*[\w`]+)*)\s*\)?)?\s*;?\s*""".r
+  private val Vacuum =
+    """(?is)\s*VACUUM\s+([\w.`]+)\s*(?:RETAIN\s+(\d+)\s+SNAPSHOTS)?\s*;?\s*""".r
+  private val Restore =
+    """(?is)\s*RESTORE\s+(?:TABLE\s+)?([\w.`]+)\s+(?:TO\s+)?VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*""".r
+  private val AnalyzeSql =
+    """(?is)\s*ANALYZE\s+TABLE\s+([\w.`]+)\s+COMPUTE\s+STATISTICS(?:\s+FOR\s+COLUMNS\s+([\w`]+(?:\s*,\s*[\w`]+)*))?\s*;?\s*""".r
+
+  private def parts(ident: String): Seq[String] =
+    ident.split('.').map(_.stripPrefix("`").stripSuffix("`")).toSeq
+
+  private def cols(s: String): Seq[String] =
+    s.split(',').map(_.trim.stripPrefix("`").stripSuffix("`")).filter(_.nonEmpty).toSeq
+
+  /** Parse a maintenance statement, or None to delegate to Spark. Only
+    * intercepts when the identifier resolves to a graft catalog. */
+  def parse(session: SparkSession, sqlText: String): Option[LogicalPlan] = {
+    def graft(p: Seq[String]): Boolean =
+      GraftViewBridge.resolveIdent(session, p).isDefined
+    sqlText match {
+      case Optimize(id, sortBy, zorderBy) if graft(parts(id)) =>
+        Some(GraftOptimizeCommand(parts(id),
+          Option(sortBy).map(cols).getOrElse(Nil),
+          Option(zorderBy).map(cols).getOrElse(Nil)))
+      case Vacuum(id, retain) if graft(parts(id)) =>
+        Some(GraftVacuumCommand(parts(id),
+          Option(retain).map(_.toInt).getOrElse(2)))
+      case Restore(id, v) if graft(parts(id)) =>
+        Some(GraftRestoreCommand(parts(id), v.toLong))
+      case AnalyzeSql(id, forCols) if graft(parts(id)) =>
+        Some(GraftAnalyzeCommand(parts(id),
+          Option(forCols).map(cols).getOrElse(Nil)))
+      case _ => None
+    }
+  }
+
+  private[sources] def loadGraftTable(
+      session: SparkSession, p: Seq[String]): (GraftTable, String) = {
+    val (cat, ident) = GraftViewBridge.resolveIdent(session, p).getOrElse(
+      throw new IllegalArgumentException(s"graft: ${p.mkString(".")} is not a graft table"))
+    val t = cat.loadTable(ident).asInstanceOf[GraftTable]
+    (t, new org.apache.hadoop.fs.Path(t.dataDir).getParent.toString)
+  }
+
+  private[sources] def attr(name: String, dt: org.apache.spark.sql.types.DataType): Attribute =
+    AttributeReference(name, dt, nullable = false)()
+}
+
+final case class GraftOptimizeCommand(
+    parts: Seq[String], sortBy: Seq[String], zorderBy: Seq[String])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    MaintenanceSql.attr("files_removed", IntegerType),
+    MaintenanceSql.attr("files_written", IntegerType))
+  override def run(session: SparkSession): Seq[Row] = {
+    val (t, _) = MaintenanceSql.loadGraftTable(session, parts)
+    val (removed, written) =
+      Compaction.compact(session, t, sortBy = sortBy, zorderBy = zorderBy)
+    Seq(Row(removed, written))
+  }
+}
+
+final case class GraftVacuumCommand(parts: Seq[String], retain: Int)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    MaintenanceSql.attr("files_deleted", IntegerType),
+    MaintenanceSql.attr("snapshots_dropped", IntegerType))
+  override def run(session: SparkSession): Seq[Row] = {
+    val (_, tableDir) = MaintenanceSql.loadGraftTable(session, parts)
+    val (files, snaps) = Snapshots.vacuum(tableDir, retain = retain)
+    Seq(Row(files, snaps))
+  }
+}
+
+final case class GraftRestoreCommand(parts: Seq[String], version: Long)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    MaintenanceSql.attr("restored_to", LongType),
+    MaintenanceSql.attr("new_version", LongType))
+  override def run(session: SparkSession): Seq[Row] = {
+    val (_, tableDir) = MaintenanceSql.loadGraftTable(session, parts)
+    val nv = Snapshots.restore(tableDir, version)
+    Seq(Row(version, nv))
+  }
+}
+
+final case class GraftAnalyzeCommand(parts: Seq[String], forCols: Seq[String])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq.empty
+  override def run(session: SparkSession): Seq[Row] = {
+    val (t, _) = MaintenanceSql.loadGraftTable(session, parts)
+    Analyze.run(session, t, forCols)
+    Nil
+  }
+}
