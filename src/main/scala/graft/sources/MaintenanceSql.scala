@@ -33,6 +33,8 @@ object MaintenanceSql {
     """(?is)\s*RESTORE\s+(?:TABLE\s+)?([\w.`]+)\s+(?:TO\s+)?VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*""".r
   private val AnalyzeSql =
     """(?is)\s*ANALYZE\s+TABLE\s+([\w.`]+)\s+COMPUTE\s+STATISTICS(?:\s+FOR\s+COLUMNS\s+([\w`]+(?:\s*,\s*[\w`]+)*))?\s*;?\s*""".r
+  private val History =
+    """(?is)\s*DESCRIBE\s+HISTORY\s+([\w.`]+)\s*;?\s*""".r
 
   private def parts(ident: String): Seq[String] =
     ident.split('.').map(_.stripPrefix("`").stripSuffix("`")).toSeq
@@ -58,6 +60,8 @@ object MaintenanceSql {
       case AnalyzeSql(id, forCols) if graft(parts(id)) =>
         Some(GraftAnalyzeCommand(parts(id),
           Option(forCols).map(cols).getOrElse(Nil)))
+      case History(id) if graft(parts(id)) =>
+        Some(GraftHistoryCommand(parts(id)))
       case _ => None
     }
   }
@@ -119,5 +123,20 @@ final case class GraftAnalyzeCommand(parts: Seq[String], forCols: Seq[String])
     val (t, _) = MaintenanceSql.loadGraftTable(session, parts)
     Analyze.run(session, t, forCols)
     Nil
+  }
+}
+
+final case class GraftHistoryCommand(parts: Seq[String])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    MaintenanceSql.attr("version", LongType),
+    MaintenanceSql.attr("committed_at",
+      org.apache.spark.sql.types.TimestampType),
+    MaintenanceSql.attr("files", LongType),
+    MaintenanceSql.attr("rows", LongType),
+    MaintenanceSql.attr("bytes", LongType))
+  override def run(session: SparkSession): Seq[Row] = {
+    val (_, tableDir) = MaintenanceSql.loadGraftTable(session, parts)
+    Snapshots.history(session, tableDir).collect().toSeq
   }
 }

@@ -473,6 +473,11 @@ class GraftCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     val vac = spark.sql("VACUUM graft.pw.maint RETAIN 5 SNAPSHOTS").head()
     assert(vac.getInt(0) == 0, vac.toString)
 
+    // DESCRIBE HISTORY lists every snapshot with its manifest totals
+    val hist = spark.sql("DESCRIBE HISTORY graft.pw.maint").collect()
+    assert(hist.length >= 8 && hist.map(_.getLong(0)).toSeq.sorted == hist.map(_.getLong(0)).toSeq)
+    assert(hist.last.getLong(3) == 200L, s"head rows ${hist.last.getLong(3)}")
+
     // non-graft targets fall through to Spark untouched
     intercept[Exception](spark.sql("OPTIMIZE not_a_graft_table"))
     spark.sql("DROP TABLE graft.pw.maint")
