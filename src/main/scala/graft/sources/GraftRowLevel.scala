@@ -109,8 +109,22 @@ final class GraftReplaceDataWrite(
     val affected = op.affectedFiles
     val affectedRels = affected.map(TableStats.relOf)
     TableStats.withLock(fs, dir) {
-      val base = TableStats.read(fs, dir) -- affectedRels
-      TableStats.write(fs, dir, base ++ committed)
+      val live = TableStats.read(fs, dir)
+      // optimistic concurrency: if a concurrent commit (compaction swap,
+      // another COW, partition delete, truncate) removed one of the files
+      // this rewrite read, its replacement may hold rows this operation
+      // deleted or updated — registering our output beside it would
+      // duplicate survivors and resurrect deleted rows. Abort instead
+      // (the standard serializable-commit conflict), dropping our output.
+      val missing = affectedRels.filterNot(live.contains)
+      if (missing.nonEmpty) {
+        committed.keys.foreach(rel => fs.delete(new Path(dir, rel), false))
+        throw new IllegalStateException(
+          s"graft: row-level ${op.command()} lost a race with a concurrent " +
+            s"commit (${missing.size} of its input file(s) left the manifest); " +
+            "no changes applied — retry the statement")
+      }
+      TableStats.write(fs, dir, live -- affectedRels ++ committed)
     }
   }
 

@@ -135,6 +135,48 @@ class ScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.sql("DROP TABLE graft.conc.t")
   }
 
+  test("row-level COW aborts when a concurrent commit replaced its inputs") {
+    import graft.sources._
+    // A COW rewrite that planned its input files, then lost them to a
+    // concurrent compaction swap, must ABORT at commit: registering its
+    // output beside the compacted replacement would duplicate surviving
+    // rows and resurrect deleted ones (serializable-commit conflict).
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.conc")
+    spark.sql("CREATE TABLE graft.conc.race (id BIGINT)")
+    spark.sql("INSERT INTO graft.conc.race SELECT id FROM range(0, 50, 1, 1)")
+    spark.sql("INSERT INTO graft.conc.race SELECT id FROM range(50, 100, 1, 1)")
+    val cat = spark.sessionState.catalogManager.catalog("graft")
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
+    val t = cat.loadTable(org.apache.spark.sql.connector.catalog.Identifier.of(
+      Array("conc"), "race")).asInstanceOf[GraftTable]
+
+    // the would-be COW plans its scan against the LIVE manifest...
+    val op = new GraftRowLevelOperation(t,
+      org.apache.spark.sql.connector.write.RowLevelOperation.Command.DELETE)
+    val planned = op.newScanBuilder(new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+      java.util.Map.of())).build()
+      .asInstanceOf[GraftScan].toBatch.planInputPartitions()
+    assert(planned.length == 2)
+
+    // ...then a concurrent compaction swaps those files out
+    val (removed, _) = Compaction.compact(spark, t, outputFiles = 1)
+    assert(removed == 2)
+
+    // commit must refuse and leave the manifest exactly as compaction left it
+    val dataDir = new org.apache.hadoop.fs.Path(t.dataDir)
+    val fs = dataDir.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val before = TableStats.read(fs, dataDir)
+    val write = new GraftReplaceDataWrite(t.schema0, t.properties(), t.dataDir,
+      t.partitionSpecs, op)
+    intercept[IllegalStateException] {
+      write.commit(Array(GraftCommitMessage(Seq.empty)
+        : org.apache.spark.sql.connector.write.WriterCommitMessage))
+    }
+    assert(TableStats.read(fs, dataDir) == before, "manifest changed by aborted COW")
+    assert(spark.sql("SELECT count(*) FROM graft.conc.race").head().getLong(0) == 100L)
+    spark.sql("DROP TABLE graft.conc.race")
+  }
+
   test("1000-file table: planning does O(1) driver FS work; compaction recovers") {
     import graft.sources.{Compaction, GraftScan, GraftTable, TableStats}
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.mf")
