@@ -655,6 +655,41 @@ object Engine {
         FROM events
         WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
           AND ts <  TIMESTAMP '2024-01-15 00:00:00'
-        GROUP BY 1 ORDER BY day"""))
+        GROUP BY 1 ORDER BY day""")),
+
+    // ---- q90: bloom-filtered fingerprint lookups ---------------------------
+    // The high-cardinality point-lookup table: content fingerprints whose
+    // [min, max] ranges overlap in every file, stored with per-row-group
+    // bloom filters (write.bloom.columns — skip proven in
+    // GraftCatalogSpec "bloom"). The gate drives VALUES through the
+    // bloom'd files: probe fingerprints of every doc_id % 100 = 7
+    // document plus one guaranteed-absent key; hits must resolve to
+    // exactly the right documents and the absent key to nothing.
+    QueryDef(
+      "q90_bloom_lookup",
+      (s, dir) => {
+        val ns = ensureCatalog(s, dir)
+        s.sql(s"DROP TABLE IF EXISTS $ns.fps")
+        s.sql(s"""CREATE TABLE $ns.fps (doc_id BIGINT, fp STRING)
+                 |TBLPROPERTIES ('write.bloom.columns'='fp', 'write.bloom.ndv'='8192')"""
+            .stripMargin)
+        s.sql(s"""INSERT INTO $ns.fps
+                 |SELECT doc_id, md5(cast(text as binary))
+                 |FROM parquet.`$dir/documents.parquet`""".stripMargin)
+        s.sql(
+          s"""SELECT b.doc_id, b.fp
+             |FROM $ns.fps b
+             |JOIN (SELECT md5(cast(text as binary)) AS fp
+             |      FROM parquet.`$dir/documents.parquet` WHERE doc_id % 100 = 7
+             |      UNION ALL SELECT 'not-a-real-fingerprint') p
+             |  ON b.fp = p.fp
+             |ORDER BY b.doc_id""".stripMargin)
+      },
+      Some("""SELECT b.doc_id, b.fp
+        FROM (SELECT doc_id, md5(text) AS fp FROM documents) b
+        JOIN (SELECT md5(text) AS fp FROM documents WHERE doc_id % 100 = 7
+              UNION ALL SELECT 'not-a-real-fingerprint') p
+          ON b.fp = p.fp
+        ORDER BY b.doc_id"""))
   )
 }

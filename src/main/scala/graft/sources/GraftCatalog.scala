@@ -292,10 +292,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
           require(PartField.supportsBucketType(schema(c).dataType),
             s"graft catalog: unsupported bucket column type " +
               s"${schema(c).dataType.simpleString} for column $c")
-        case PartField.Days(c) =>
-          require(PartField.supportsDayType(schema(c).dataType),
-            s"graft catalog: days() needs a date/timestamp column, got " +
-              s"${schema(c).dataType.simpleString} for column $c")
+        case tu: PartField.TimeUnitField =>
+          require(PartField.supportsDayType(schema(tu.col).dataType),
+            s"graft catalog: ${tu.spec} needs a date/timestamp column, got " +
+              s"${schema(tu.col).dataType.simpleString} for column ${tu.col}")
       }
     }
     fields.map(_.spec)

@@ -167,7 +167,7 @@ final class GraftTable(
               case PartField.Identity(col) =>
                 values + (col -> PartitionPruning.parse(
                   schema0(col).dataType, PartitionPruning.decode(raw)))
-              case _: PartField.Bucket | _: PartField.Days => values
+              case _: PartField.Bucket | _: PartField.TimeUnitField => values
             }
             walk(d.getPath, remaining.tail, vs,
               if (rel.isEmpty) d.getPath.getName else s"$rel/${d.getPath.getName}")
@@ -670,9 +670,9 @@ final class GraftScan(
         PartField.allowedBuckets(f, field, dt).forall(_.contains(id)))
     }
 
-    def dayAllows(field: PartField.Days, day: java.lang.Long): Boolean = {
+    def unitAllows(field: PartField.TimeUnitField, unit: java.lang.Long): Boolean = {
       val dt = tableSchema(field.col).dataType
-      pushed.forall(f => PartField.dayMayMatch(f, field, dt, day))
+      pushed.forall(f => PartField.unitMayMatch(f, field, dt, unit))
     }
 
     def walk(p: Path, remaining: Seq[PartField.Field], values: Map[String, Any]): Seq[(String, Long, Seq[Any])] =
@@ -691,10 +691,10 @@ final class GraftScan(
                 val id = raw.toInt
                 if (!bucketAllows(b, id)) Nil
                 else walk(d.getPath, remaining.tail, values + (b.dir -> id))
-              case dy: PartField.Days =>
-                val day = PartField.parseDay(raw)
-                if (!dayAllows(dy, day)) Nil
-                else walk(d.getPath, remaining.tail, values + (dy.dir -> day))
+              case tu: PartField.TimeUnitField =>
+                val unit = tu.parseRaw(raw)
+                if (!unitAllows(tu, unit)) Nil
+                else walk(d.getPath, remaining.tail, values + (tu.dir -> unit))
             }
           case _ => Nil
         }
@@ -725,7 +725,7 @@ final class GraftScan(
                 case PartField.Identity(col) => PartitionPruning.parse(
                   tableSchema(col).dataType, PartitionPruning.decode(raw))
                 case _: PartField.Bucket => raw.toInt
-                case _: PartField.Days => PartField.parseDay(raw)
+                case tu: PartField.TimeUnitField => tu.parseRaw(raw)
               }
               case _ => throw new IllegalStateException(
                 s"graft: registered file '$rel' does not match the " +
@@ -735,13 +735,13 @@ final class GraftScan(
           val vmap = partFields.zip(vals).map { case (f, v) => f match {
             case PartField.Identity(col) => col -> v
             case b: PartField.Bucket => b.dir -> v
-            case d: PartField.Days => d.dir -> v
+            case tu: PartField.TimeUnitField => tu.dir -> v
           }}.toMap
           val pruned =
             partFields.zip(vals).exists {
               case (b: PartField.Bucket, id: Int) => !bucketAllows(b, id)
-              case (d: PartField.Days, day) =>
-                !dayAllows(d, day.asInstanceOf[java.lang.Long])
+              case (tu: PartField.TimeUnitField, unit) =>
+                !unitAllows(tu, unit.asInstanceOf[java.lang.Long])
               case _ => false
             } ||
             PartitionPruning.prune(pushed.toSeq, vmap)
@@ -808,7 +808,7 @@ final class GraftScan(
       // days() has no FunctionCatalog entry for SPJ key resolution —
       // day-partitioned scans report UnknownPartitioning (pruning still
       // applies; only the shuffle-free join is off the table)
-      !partFields.exists(_.isInstanceOf[PartField.Days]) &&
+      !partFields.exists(_.isInstanceOf[PartField.TimeUnitField]) &&
       org.apache.spark.sql.internal.SQLConf.get.v2BucketingEnabled
 
   private def groups: Seq[(Seq[Any], Seq[(String, Long)])] = {
@@ -1219,8 +1219,8 @@ final class GraftWriteBuilder(
       case _: PartField.Bucket => None
       // clustering by the source column implies clustering by its day —
       // and needs no FunctionCatalog to resolve
-      case PartField.Days(c) =>
-        Some(org.apache.spark.sql.connector.expressions.Expressions.identity(c)
+      case tu: PartField.TimeUnitField =>
+        Some(org.apache.spark.sql.connector.expressions.Expressions.identity(tu.col)
           : org.apache.spark.sql.connector.expressions.Expression)
     }
     if (clusterOn.nonEmpty &&
@@ -1530,8 +1530,8 @@ object GraftWriterFactory {
               s"${f.dir}=${PartitionPruning.encodeCatalyst(schema(i).dataType, v)}"
             case PartField.Bucket(n, _) =>
               s"${f.dir}=${PartField.bucketOf(schema(i).dataType, v, n)}"
-            case _: PartField.Days =>
-              s"${f.dir}=${PartField.renderDay(PartField.dayOf(schema(i).dataType, v))}"
+            case tu: PartField.TimeUnitField =>
+              s"${f.dir}=${tu.render(tu.floorOf(schema(i).dataType, v))}"
           }
         }.mkString("/")
         val key = if (rel.isEmpty) "" else rel + "/"

@@ -32,23 +32,106 @@ object PartField {
     def dir: String = s"$col.bucket"
     def spec: String = s"bucket($n,$col)"
   }
-  /** Time-based HIDDEN partitioning (`PARTITIONED BY (days(ts))`): rows
-    * route into one directory per calendar day of a date/timestamp
-    * column — the 100 TB ingest layout — and range/equality filters on
-    * the SOURCE column prune day directories without the query ever
-    * naming the partition (Iceberg-style hidden partitioning; Hive would
-    * force a redundant `WHERE dt = ...`). */
-  final case class Days(col: String) extends Field {
+  /** Time-based HIDDEN partitioning (`PARTITIONED BY (days(ts))`, also
+    * `months(ts)` / `hours(ts)`): rows route into one directory per time
+    * unit of a date/timestamp column — the 100 TB ingest layout — and
+    * range/equality filters on the SOURCE column prune unit directories
+    * without the query ever naming the partition (Iceberg-style hidden
+    * partitioning; Hive would force a redundant `WHERE dt = ...`).
+    * The shared contract: [[TimeUnitField.floorOf]] maps a value to its
+    * unit ordinal (monotonic in the value — what makes range pruning
+    * sound), [[TimeUnitField.render]]/[[TimeUnitField.parseRaw]]
+    * round-trip the directory token. */
+  sealed trait TimeUnitField extends Field {
+    /** Unit ordinal of a Catalyst OR external value (null stays null). */
+    def floorOf(dt: DataType, value: Any): java.lang.Long
+    /** Human-scannable directory token for a unit ordinal. */
+    def render(unit: java.lang.Long): String
+    def parseRaw(raw: String): java.lang.Long
+  }
+  final case class Days(col: String) extends TimeUnitField {
     def dir: String = s"$col.day"
     def spec: String = s"days($col)"
+    def floorOf(dt: DataType, value: Any): java.lang.Long = dayOf(dt, value)
+    def render(unit: java.lang.Long): String =
+      if (unit == null) PartitionPruning.NullToken
+      else java.time.LocalDate.ofEpochDay(unit).toString
+    def parseRaw(raw: String): java.lang.Long =
+      if (raw == PartitionPruning.NullToken) null
+      else java.time.LocalDate.parse(raw).toEpochDay
+  }
+  final case class Months(col: String) extends TimeUnitField {
+    def dir: String = s"$col.month"
+    def spec: String = s"months($col)"
+    def floorOf(dt: DataType, value: Any): java.lang.Long = {
+      val day = dayOf(dt, value)
+      if (day == null) null
+      else {
+        val d = java.time.LocalDate.ofEpochDay(day)
+        d.getYear.toLong * 12 + (d.getMonthValue - 1)
+      }
+    }
+    def render(unit: java.lang.Long): String =
+      if (unit == null) PartitionPruning.NullToken
+      else f"${unit / 12}%04d-${unit % 12 + 1}%02d"
+    def parseRaw(raw: String): java.lang.Long =
+      if (raw == PartitionPruning.NullToken) null
+      else raw.split('-') match {
+        case Array(y, m) => y.toLong * 12 + (m.toLong - 1)
+      }
+  }
+  final case class Hours(col: String) extends TimeUnitField {
+    def dir: String = s"$col.hour"
+    def spec: String = s"hours($col)"
+    def floorOf(dt: DataType, value: Any): java.lang.Long = dt match {
+      case DateType =>
+        val day = dayOf(dt, value)
+        if (day == null) null else day * 24L
+      case _ =>
+        val day = dayOf(dt, value) // validates the type
+        if (day == null) null
+        else {
+          // recompute at hour precision from the same micros
+          val micros: Long = value match {
+            case t: java.sql.Timestamp =>
+              Math.addExact(Math.multiplyExact(t.toInstant.getEpochSecond, 1000000L),
+                (t.getNanos / 1000).toLong)
+            case i: java.time.Instant =>
+              Math.addExact(Math.multiplyExact(i.getEpochSecond, 1000000L),
+                (i.getNano / 1000).toLong)
+            case l: java.time.LocalDateTime =>
+              val i = l.toInstant(java.time.ZoneOffset.UTC)
+              Math.addExact(Math.multiplyExact(i.getEpochSecond, 1000000L),
+                (i.getNano / 1000).toLong)
+            case x: Number => x.longValue()
+          }
+          Math.floorDiv(micros, 3600000000L)
+        }
+    }
+    def render(unit: java.lang.Long): String =
+      if (unit == null) PartitionPruning.NullToken
+      else {
+        val day = java.time.LocalDate.ofEpochDay(Math.floorDiv(unit, 24L))
+        f"$day-${Math.floorMod(unit, 24L)}%02d"
+      }
+    def parseRaw(raw: String): java.lang.Long =
+      if (raw == PartitionPruning.NullToken) null
+      else {
+        val (d, h) = raw.splitAt(raw.lastIndexOf('-'))
+        java.time.LocalDate.parse(d).toEpochDay * 24L + h.drop(1).toLong
+      }
   }
 
   private val B = """bucket\((\d+),(.+)\)""".r
   private val D = """days\((.+)\)""".r
+  private val M = """months\((.+)\)""".r
+  private val H = """hours\((.+)\)""".r
 
   def parse(s: String): Field = s match {
     case B(n, c) => Bucket(n.toInt, c.trim)
     case D(c) => Days(c.trim)
+    case M(c) => Months(c.trim)
+    case H(c) => Hours(c.trim)
     case c => Identity(c)
   }
 
@@ -68,9 +151,13 @@ object PartField {
       Bucket(n, t.references()(0).fieldNames().mkString("."))
     case t if t.name() == "days" && t.references().length == 1 =>
       Days(t.references()(0).fieldNames().mkString("."))
+    case t if t.name() == "months" && t.references().length == 1 =>
+      Months(t.references()(0).fieldNames().mkString("."))
+    case t if t.name() == "hours" && t.references().length == 1 =>
+      Hours(t.references()(0).fieldNames().mkString("."))
     case other => throw new UnsupportedOperationException(
       s"graft: unsupported partition transform $other " +
-        "(identity, bucket(n, col), and days(col) only)")
+        "(identity, bucket(n, col), days/months/hours(col) only)")
   }
 
   /** Field → connector `Transform` (inverse of [[fromTransform]]). */
@@ -80,6 +167,8 @@ object PartField {
       case Identity(c) => Expressions.identity(c)
       case Bucket(n, c) => Expressions.bucket(n, c)
       case Days(c) => Expressions.days(c)
+      case Months(c) => Expressions.months(c)
+      case Hours(c) => Expressions.hours(c)
     }
   }
 
@@ -121,50 +210,40 @@ object PartField {
     }
   }
 
-  /** Directory rendering of an epoch day: the ISO date (human-scannable
-    * layout, `ts.day=2026-08-12`); null partitions use the shared null
-    * token. */
-  def renderDay(day: java.lang.Long): String =
-    if (day == null) PartitionPruning.NullToken
-    else java.time.LocalDate.ofEpochDay(day).toString
-
-  def parseDay(raw: String): java.lang.Long =
-    if (raw == PartitionPruning.NullToken) null
-    else java.time.LocalDate.parse(raw).toEpochDay
-
-  /** Can a row whose `field.col` falls on `day` (null = the null
-    * directory) satisfy filter `f`? Conservative Kleene collapse: only
+  /** Can a row whose `field.col` falls in time unit `unit` (null = the
+    * null directory) satisfy filter `f`? Sound because `floorOf` is
+    * monotonic in the column value. Conservative Kleene collapse: only
     * provable exclusions return false, unknown shapes (Not, unrelated
     * columns) keep the directory. Top-level filters are conjunctive —
-    * the caller requires every filter to allow the day. */
-  def dayMayMatch(
+    * the caller requires every filter to allow the unit. */
+  def unitMayMatch(
       f: org.apache.spark.sql.sources.Filter,
-      field: Days,
+      field: TimeUnitField,
       dt: DataType,
-      day: java.lang.Long): Boolean = {
+      unit: java.lang.Long): Boolean = {
     import org.apache.spark.sql.sources._
-    def d(v: Any): java.lang.Long = dayOf(dt, v)
+    def u(v: Any): java.lang.Long = field.floorOf(dt, v)
     f match {
       case EqualTo(a, v) if a == field.col =>
-        v != null && day != null && d(v) == day
+        v != null && unit != null && u(v) == unit
       case EqualNullSafe(a, v) if a == field.col =>
-        if (v == null) day == null else day != null && d(v) == day
+        if (v == null) unit == null else unit != null && u(v) == unit
       case In(a, vs) if a == field.col && vs.nonEmpty =>
-        day != null && vs.exists(v => v != null && d(v) == day)
+        unit != null && vs.exists(v => v != null && u(v) == unit)
       case GreaterThan(a, v) if a == field.col && v != null =>
-        day != null && day >= d(v)
+        unit != null && unit >= u(v)
       case GreaterThanOrEqual(a, v) if a == field.col && v != null =>
-        day != null && day >= d(v)
+        unit != null && unit >= u(v)
       case LessThan(a, v) if a == field.col && v != null =>
-        day != null && day <= d(v)
+        unit != null && unit <= u(v)
       case LessThanOrEqual(a, v) if a == field.col && v != null =>
-        day != null && day <= d(v)
-      case IsNull(a) if a == field.col => day == null
-      case IsNotNull(a) if a == field.col => day != null
+        unit != null && unit <= u(v)
+      case IsNull(a) if a == field.col => unit == null
+      case IsNotNull(a) if a == field.col => unit != null
       case And(l, r) =>
-        dayMayMatch(l, field, dt, day) && dayMayMatch(r, field, dt, day)
+        unitMayMatch(l, field, dt, unit) && unitMayMatch(r, field, dt, unit)
       case Or(l, r) =>
-        dayMayMatch(l, field, dt, day) || dayMayMatch(r, field, dt, day)
+        unitMayMatch(l, field, dt, unit) || unitMayMatch(r, field, dt, unit)
       case _ => true
     }
   }

@@ -520,6 +520,52 @@ class GraftCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.sql("DROP TABLE graft.pw.dayed")
   }
 
+  test("months() and hours() transforms partition and prune like days()") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.pw")
+    // months over DATE: ~5 months of data, one row per day
+    spark.sql(
+      """CREATE TABLE graft.pw.monthly (id BIGINT, d DATE, v DOUBLE)
+        |PARTITIONED BY (months(d))""".stripMargin)
+    spark.sql(
+      """INSERT INTO graft.pw.monthly
+        |SELECT id, date_add(DATE '2024-01-01', cast(id as int)), cast(id as double)
+        |FROM range(150)""".stripMargin)
+    val wh = spark.conf.get("spark.sql.catalog.graft.warehouse")
+    val mdirs = new java.io.File(s"$wh/pw/monthly/data").listFiles()
+      .filter(_.isDirectory).map(_.getName).sorted
+    assert(mdirs.length == 5 && mdirs.head == "d.month=2024-01", mdirs.toSeq)
+    def parts(sql: String) = spark.sql(sql).rdd.getNumPartitions
+    val mAll = parts("SELECT id FROM graft.pw.monthly")
+    val oneMonth = parts(
+      "SELECT id FROM graft.pw.monthly WHERE d >= DATE '2024-03-01' AND d < DATE '2024-04-01'")
+    assert(oneMonth < mAll && oneMonth >= 1, s"oneMonth=$oneMonth all=$mAll")
+    assert(spark.sql("SELECT count(*) FROM graft.pw.monthly WHERE d >= DATE '2024-03-01' " +
+      "AND d < DATE '2024-04-01'").head().getLong(0) == 31L)
+
+    // hours over TIMESTAMP_NTZ: 48 hours, one row per 10 minutes
+    spark.sql(
+      """CREATE TABLE graft.pw.hourly (id BIGINT, ts TIMESTAMP_NTZ)
+        |PARTITIONED BY (hours(ts))""".stripMargin)
+    spark.sql(
+      """INSERT INTO graft.pw.hourly
+        |SELECT id, cast(timestamp_micros(cast(1704067200000000 + id * 600000000 as bigint))
+        |               as timestamp_ntz)
+        |FROM range(288)""".stripMargin)
+    val hdirs = new java.io.File(s"$wh/pw/hourly/data").listFiles()
+      .filter(_.isDirectory).map(_.getName).sorted
+    assert(hdirs.length == 48 && hdirs.head == "ts.hour=2024-01-01-00", hdirs.toSeq)
+    val hAll = parts("SELECT id FROM graft.pw.hourly")
+    val oneHour = parts("SELECT id FROM graft.pw.hourly " +
+      "WHERE ts >= TIMESTAMP_NTZ '2024-01-01 05:00:00' " +
+      "AND ts < TIMESTAMP_NTZ '2024-01-01 06:00:00'")
+    assert(oneHour < hAll && oneHour >= 1, s"oneHour=$oneHour all=$hAll")
+    assert(spark.sql("SELECT count(*) FROM graft.pw.hourly " +
+      "WHERE ts >= TIMESTAMP_NTZ '2024-01-01 05:00:00' " +
+      "AND ts < TIMESTAMP_NTZ '2024-01-01 06:00:00'").head().getLong(0) == 6L)
+    spark.sql("DROP TABLE graft.pw.monthly")
+    spark.sql("DROP TABLE graft.pw.hourly")
+  }
+
   test("ALTER TABLE RENAME COLUMN: metadata-only, mixed old/new files read back") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.pw")
     spark.sql("CREATE TABLE graft.pw.rn (id BIGINT, b STRING)")
