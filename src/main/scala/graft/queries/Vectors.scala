@@ -687,6 +687,103 @@ object Vectors {
             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adist, vid) AS rank
           FROM adc)
         WHERE rank <= 3 ORDER BY qid, rank"""
+      }),
+
+    // ---- q91: ANN index evaluation — recall@3 of IVF vs exact -------------
+    // The measurement every approximate index ships with: per query, how
+    // many of the TRUE top-3 neighbors (brute force, the q27 ground
+    // truth) the IVF probe path (q40) actually returned. Deterministic
+    // quantized scoring on both sides makes recall an EXACT integer per
+    // query — no tolerance bands. Scale shape: ground truth on a sampled
+    // query set only (here 20 queries), never corpus × corpus; the
+    // evaluation joins two top-k lists, trivial beside index build.
+    QueryDef(
+      "q91_ann_recall",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val e = emb(t)
+        val n = norms(e)
+        val queries = e.filter(col("vec_id") < 20)
+          .select(col("vec_id").as("qid"), col("e").as("qe"))
+        val corpus = e.select(col("vec_id").as("vid"), col("e").as("ve"))
+        val w = Window.partitionBy(col("qid")).orderBy(desc("cos"), col("vid"))
+        // exact ground truth: brute-force top-3
+        val truth = cosine(broadcast(queries).crossJoin(corpus)
+            .filter(col("qid") =!= col("vid")), n)
+          .withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+          .select(col("qid"), col("vid"))
+        // IVF top-3 (the q40 dataflow: 16 fixed centroids, nprobe=2)
+        val cent = e.filter(col("vec_id") < 16)
+          .select(col("vec_id").as("vid"), col("e").as("ve"))
+        val all = e.select(col("vec_id").as("qid"), col("e").as("qe"))
+        val ascored = cosine(all.crossJoin(broadcast(cent)), n)
+        val assign = ascored
+          .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+          .select(col("qid").as("member"), col("vid").as("cid"))
+        val probe = ascored.filter(col("qid") < 20)
+          .withColumn("rn", row_number().over(w)).filter(col("rn") <= 2)
+          .select(col("qid"), col("vid").as("cid"))
+        val cand = probe.join(assign, "cid")
+          .filter(col("qid") =!= col("member"))
+          .select(col("qid"), col("member").as("vid"))
+          .distinct()
+        val approx = cosine(
+          cand.join(all, "qid")
+            .join(e.select(col("vec_id").as("vid"), col("e").as("ve")), "vid"), n)
+          .withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+          .select(col("qid"), col("vid"))
+        // recall@3: exact integer hits per query (0 hits kept via left join)
+        val hits = truth.join(approx.withColumn("hit", lit(1L)), Seq("qid", "vid"), "left")
+          .groupBy(col("qid"))
+          .agg(sum(coalesce(col("hit"), lit(0L))).cast("long").as("hits"),
+            count(lit(1)).cast("long").as("k"))
+        hits.select(col("qid"), col("hits"), col("k")).orderBy(col("qid"))
+      },
+      Some {
+        def fold(a: String, b: String): String =
+          s"""list_sum(list_transform(range(1, len($a.embedding) + 1),
+             |  i -> round(CAST($a.embedding[i] AS DOUBLE) * CAST($b.embedding[i] AS DOUBLE) * 1e9)))""".stripMargin
+        s"""WITH $duckNorms,
+        e AS (SELECT vec_id, embedding FROM embeddings),
+        tdots AS (
+          SELECT q.vec_id AS qid, c.vec_id AS vid,
+            ${fold("q", "c")} / sqrt(nq.n2 * nv.n2) AS cos
+          FROM e q JOIN e c ON q.vec_id < 20 AND q.vec_id <> c.vec_id
+          JOIN norms nq ON nq.vec_id = q.vec_id JOIN norms nv ON nv.vec_id = c.vec_id),
+        truth AS (
+          SELECT qid, vid FROM (
+            SELECT qid, vid,
+              ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vid) AS rn
+            FROM tdots) WHERE rn <= 3),
+        ascore AS (
+          SELECT a.vec_id AS qid, c.vec_id AS vid,
+            ${fold("a", "c")} / sqrt(nq.n2 * nv.n2) AS cos
+          FROM e a JOIN e c ON c.vec_id < 16
+          JOIN norms nq ON nq.vec_id = a.vec_id JOIN norms nv ON nv.vec_id = c.vec_id),
+        ranked AS (
+          SELECT qid, vid, cos,
+            ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vid) AS rn
+          FROM ascore),
+        assign AS (SELECT qid AS member, vid AS cid FROM ranked WHERE rn = 1),
+        probe AS (SELECT qid, vid AS cid FROM ranked WHERE rn <= 2 AND qid < 20),
+        cand AS (
+          SELECT DISTINCT p.qid, a.member AS vid
+          FROM probe p JOIN assign a ON a.cid = p.cid WHERE a.member <> p.qid),
+        cscore AS (
+          SELECT cand.qid, cand.vid,
+            ${fold("q", "v")} / sqrt(nq.n2 * nv.n2) AS cos
+          FROM cand JOIN e q ON q.vec_id = cand.qid JOIN e v ON v.vec_id = cand.vid
+          JOIN norms nq ON nq.vec_id = cand.qid JOIN norms nv ON nv.vec_id = cand.vid),
+        approx AS (
+          SELECT qid, vid FROM (
+            SELECT qid, vid,
+              ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vid) AS rn
+            FROM cscore) WHERE rn <= 3)
+        SELECT t.qid,
+          CAST(SUM(CASE WHEN a.vid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits,
+          CAST(COUNT(*) AS BIGINT) AS k
+        FROM truth t LEFT JOIN approx a ON a.qid = t.qid AND a.vid = t.vid
+        GROUP BY t.qid ORDER BY t.qid"""
       })
   )
 }
