@@ -339,6 +339,73 @@ object Dedup {
         SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks,
           CAST(SUM(CASE WHEN rn = 1 THEN 0 ELSE 1 END) AS BIGINT) AS n_removed,
           md5(coalesce(string_agg(CASE WHEN rn = 1 THEN chunk END, ' ' ORDER BY pos), '')) AS digest
-        FROM flags GROUP BY doc_id ORDER BY doc_id"""))
+        FROM flags GROUP BY doc_id ORDER BY doc_id""")),
+
+    // ---- q92: duplicate clusters to the FIXPOINT --------------------------
+    // q60's two propagation rounds, run to actual convergence: each round
+    // is one join on the edge list + one min-aggregate (the scalable
+    // connected-components shape), the driver stops as soon as NO label
+    // changed (or at the round cap). Min-label propagation is idempotent
+    // at its fixpoint, so the oracle soundly unrolls the cap
+    // unconditionally — an early-stopped Spark run and the fully unrolled
+    // SQL coincide (same trick as the k-means gate, q66). Each round's
+    // labels are persisted so lineage stays linear in rounds; at 100 TB
+    // the per-round materialization would be a checkpoint, same dataflow.
+    QueryDef(
+      "q92_dup_clusters_fixpoint",
+      (s, dir) => {
+        val MaxRounds = 8
+        val p = minhashPairs(Tables(s, dir))
+        val edges = p.select(col("d1").as("a"), col("d2").as("b"))
+          .union(p.select(col("d2").as("a"), col("d1").as("b")))
+          .persist()
+        var labels = edges.groupBy(col("a")).agg(min(col("b")).as("mn"))
+          .select(col("a").as("id"), least(col("a"), col("mn")).as("l"))
+          .persist()
+        var round = 0
+        var converged = false
+        while (round < MaxRounds && !converged) {
+          // fresh aliases on every side: labels joins itself via edges
+          val cur = labels.select(col("id").as("cid"), col("l").as("cl"))
+          val nbr = labels.select(col("id").as("nid"), col("l").as("nl"))
+          val e2 = edges.select(col("a").as("ea"), col("b").as("eb"))
+          val next = cur.join(e2, col("cid") === col("ea"))
+            .join(nbr, col("eb") === col("nid"))
+            .groupBy(col("cid"), col("cl"))
+            .agg(min(col("nl")).as("mnl"))
+            .select(col("cid").as("id"), least(col("cl"), col("mnl")).as("l"))
+            .persist()
+          val changed = next.join(
+              labels.select(col("id"), col("l").as("ol")), "id")
+            .filter(col("l") =!= col("ol")).count()
+          labels.unpersist()
+          labels = next
+          round += 1
+          if (changed == 0) converged = true
+        }
+        val out = labels
+          .select(col("id").as("doc_id"), col("l").as("cluster"))
+          .orderBy(col("doc_id"))
+        edges.unpersist()
+        out
+      },
+      Some {
+        // unconditionally unroll MaxRounds rounds (fixpoint idempotence).
+        // MATERIALIZED is load-bearing: DuckDB inlines plain CTEs, and
+        // each round references its predecessor TWICE — inlining would
+        // blow the plan up 2^rounds-fold.
+        def roundCte(prev: String, out: String) =
+          s"""$out AS MATERIALIZED (
+             |  SELECT l.id, LEAST(l.l, MIN(ln.l)) AS l
+             |  FROM $prev l JOIN edges e ON e.a = l.id JOIN $prev ln ON ln.id = e.b
+             |  GROUP BY l.id, l.l)""".stripMargin
+        val rounds = (1 to 8).map(k => roundCte(s"l${k - 1}", s"l$k")).mkString(",\n")
+        s"""WITH $minhashPairsSql,
+        edges AS MATERIALIZED (SELECT d1 AS a, d2 AS b FROM pairs
+                  UNION ALL SELECT d2 AS a, d1 AS b FROM pairs),
+        l0 AS MATERIALIZED (SELECT a AS id, LEAST(a, MIN(b)) AS l FROM edges GROUP BY a),
+        $rounds
+        SELECT id AS doc_id, l AS cluster FROM l8 ORDER BY doc_id"""
+      })
   )
 }
