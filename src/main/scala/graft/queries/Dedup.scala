@@ -383,11 +383,14 @@ object Dedup {
           round += 1
           if (changed == 0) converged = true
         }
-        val out = labels
-          .select(col("id").as("doc_id"), col("l").as("cluster"))
-          .orderBy(col("doc_id"))
+        // snapshot the converged labels and release every cached round —
+        // the checkpoint's storage is reclaimed by the ContextCleaner once
+        // the returned frame is dropped, so repeated runs don't accrete
+        val snap = labels.localCheckpoint(true)
+        labels.unpersist()
         edges.unpersist()
-        out
+        snap.select(col("id").as("doc_id"), col("l").as("cluster"))
+          .orderBy(col("doc_id"))
       },
       Some {
         // unconditionally unroll MaxRounds rounds (fixpoint idempotence).

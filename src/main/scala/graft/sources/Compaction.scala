@@ -75,7 +75,20 @@ object Compaction {
     // the file list (unregistered on-disk files are deleted rows kept for
     // time travel, uncommitted stream epochs, or crash leftovers; all
     // invisible to scans and none of compaction's business)
-    val live = TableStats.read(fs, dataDir)
+    val live = TableStats.readIfExists(fs, dataDir).getOrElse {
+      // registry-less (out-of-band) table: victims cannot be told apart
+      // from deliberately-removed files, so refuse loudly rather than
+      // silently compacting nothing
+      val it0 = fs.listFiles(dataDir, true)
+      var hasData = false
+      while (it0.hasNext && !hasData)
+        hasData = it0.next().getPath.getName.endsWith(".parquet")
+      if (!hasData) return (0, 0)
+      throw new IllegalStateException(
+        s"graft: compaction needs the stats registry and $dataDir has none " +
+          "(written out-of-band?); route one commit through the catalog or " +
+          "provider write path first")
+    }
     val byDir = scala.collection.mutable.Map[String, Vector[(String, Long)]]()
     live.foreach { case (rel, e) =>
       val p = new Path(dataDir, rel)
@@ -121,15 +134,20 @@ object Compaction {
         // per-column [min, max] over the rewrite set — one small aggregate
         val mm = base0.select(zorderBy.flatMap(c => Seq(
           fmin(col(c).cast("double")), fmax(col(c).cast("double")))): _*).head()
+        val k = zorderBy.length
+        // lane width shrinks with the column count so every interleaved
+        // bit fits below the sign bit (k=2 → 16 bits, k=4 → 15, k=8 → 7);
+        // shiftleft past 63 would silently wrap mod 64 and scramble the curve
+        val bits = math.min(16, 63 / k)
+        val laneMax = (1 << bits) - 1
         val lanes = zorderBy.zipWithIndex.map { case (c, j) =>
           val (mn, mx) =
             if (mm.isNullAt(2 * j)) (0d, 1d) // all-null column: one lane value
             else (mm.getDouble(2 * j), mm.getDouble(2 * j + 1))
           val span = if (mx > mn) mx - mn else 1d
-          s"coalesce(cast(((cast(`$c` as double) - $mn) / $span * 65535.0) as int), 0)"
+          s"coalesce(cast(((cast(`$c` as double) - $mn) / $span * $laneMax.0) as int), 0)"
         }
-        val k = lanes.length
-        val zkey = (for { i <- 0 until 16; j <- 0 until k } yield
+        val zkey = (for { i <- 0 until bits; j <- 0 until k } yield
           s"shiftleft(cast((shiftright(${lanes(j)}, $i) & 1) as bigint), ${i * k + j})")
           .mkString(" + ")
         base0.withColumn("__gz", expr(zkey))

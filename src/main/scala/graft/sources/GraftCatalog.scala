@@ -191,10 +191,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
         // schema evolution: new column appended; existing files read NULL
         // for it (ParquetRowIO fills fields missing from a file's schema)
         val name = add.fieldNames()(0)
+        // name-based reading means any name that ever carried data in old
+        // files (renamed-away OR dropped) would surface THOSE bytes as
+        // the new column — reserve the full history
         require(!GraftTable.parseRenames(
             props.getOrElse(GraftTable.RenamesProp, ""))
-          .values.flatten.toSet.contains(name),
-          s"column name $name was previously renamed away and still exists " +
+          .values.flatten.toSet.contains(name) &&
+          !GraftTable.retiredNames(props).contains(name),
+          s"column name $name previously carried data and still exists " +
             "in old files; pick a fresh name")
         schema = StructType(schema.fields :+
           org.apache.spark.sql.types.StructField(
@@ -214,10 +218,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
           "cannot rename the row_key column")
         val renames = GraftTable.parseRenames(
           props.getOrElse(GraftTable.RenamesProp, ""))
-        require(!renames.values.flatten.toSet.contains(to),
+        // renaming BACK to one of this column's own former names is fine
+        // (old files then resolve directly); other columns' histories and
+        // dropped columns stay reserved
+        require(!(renames - from).values.flatten.toSet.contains(to),
           s"$to is a former name of another column and still exists in old files")
+        require(!GraftTable.retiredNames(props).contains(to),
+          s"$to belonged to a dropped column and still exists in old files")
         // carry the renamed column's own history forward under its new name
-        val history = from +: renames.getOrElse(from, Nil)
+        val history = (from +: renames.getOrElse(from, Nil)).filterNot(_ == to)
         props += GraftTable.RenamesProp ->
           GraftTable.renderRenames((renames - from) + (to -> history))
         schema = StructType(schema.fields.map(f =>
@@ -234,11 +243,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
         require(name != graft.functions.ColumnNames.RowKey,
           "cannot drop the row_key column")
         schema = StructType(schema.fields.filterNot(_.name == name))
-        // a dropped column's rename history goes with it (its former
-        // names stay reserved against AddColumn via the files themselves
-        // being gone from the schema, not the mapping)
+        // the dropped column's name AND its whole rename history move to
+        // the retired set: those names still carry data in old files, so
+        // a later ADD COLUMN reusing one would resurrect the dropped
+        // column's values instead of reading NULL
         val renames0 = GraftTable.parseRenames(
           props.getOrElse(GraftTable.RenamesProp, ""))
+        props += GraftTable.RetiredProp ->
+          (GraftTable.retiredNames(props) ++
+            (name +: renames0.getOrElse(name, Nil))).toSeq.sorted.mkString(",")
         if (renames0.contains(name))
           props += GraftTable.RenamesProp ->
             GraftTable.renderRenames(renames0 - name)

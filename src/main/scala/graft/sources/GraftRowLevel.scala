@@ -47,8 +47,11 @@ final class GraftRowLevelOperation(
   override def command(): RowLevelOperation.Command = cmd
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    // renames MUST ride along: the rewrite reads pre-rename files, and
+    // without the history a renamed column would decode as NULL and the
+    // rewrite would permanently null it for every surviving row
     new GraftScanBuilder(table.schema0, table.dataDir, table.partitionSpecs,
-      tracker = Some(this))
+      tracker = Some(this), renames = table.renames)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder {

@@ -232,6 +232,14 @@ object GraftTable {
     * history, and new writes always use the current name. */
   val RenamesProp = "graft.renames"
 
+  /** Comma-separated names of DROPPED columns (and their former names):
+    * they still carry data in old files, so name-based reading must never
+    * let ADD/RENAME COLUMN reuse one (the values would resurrect). */
+  val RetiredProp = "graft.retired.names"
+
+  def retiredNames(props: Map[String, String]): Set[String] =
+    props.getOrElse(RetiredProp, "").split(',').filter(_.nonEmpty).toSet
+
   def parseRenames(s: String): Map[String, Seq[String]] =
     s.split(',').filter(_.contains(":")).map { e =>
       val Array(cur, olds) = e.split(":", 2)
@@ -425,9 +433,32 @@ object TableStats {
         Thread.sleep(50)
       }
     }
+    // heartbeat: refresh the lock mtime while the body runs, so a slow
+    // holder (e.g. a long listing) can never age past the 60 s staleness
+    // threshold while still alive — waiter-side expiry then only ever
+    // fires on genuinely dead holders, which is what makes the
+    // read-token-then-delete release below safe in practice
+    @volatile var done = false
+    val beat = new Thread(new Runnable {
+      override def run(): Unit = {
+        var interrupted = false
+        while (!done && !interrupted) {
+          try fs.setTimes(lock, System.currentTimeMillis(), -1)
+          catch { case _: Exception => () }
+          try Thread.sleep(15000)
+          catch { case _: InterruptedException => interrupted = true }
+        }
+      }
+    }, "graft-lock-heartbeat")
+    beat.setDaemon(true)
+    beat.start()
     // unlock only our own incarnation: if someone wrongly expired us,
     // their lock must survive our cleanup
-    try body finally if (lockContent().contains(token)) fs.delete(lock, false)
+    try body finally {
+      done = true
+      beat.interrupt()
+      if (lockContent().contains(token)) fs.delete(lock, false)
+    }
   }
 
   def write(fs: FileSystem, dataDir: Path, stats: Map[String, Entry]): Unit = {

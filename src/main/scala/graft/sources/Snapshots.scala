@@ -243,14 +243,19 @@ object Snapshots {
             !reachable.contains(TableStats.relOf(p.toString)))
           victims += p
       }
+      // drop the expired MANIFESTS while still holding the lock: restore()
+      // also runs under it, so once we release no one can re-register a
+      // victim by committing a dropped snapshot's manifest (restore of a
+      // still-present manifest would otherwise race the deletions below)
+      dropped.foreach { case (v, _) =>
+        fs.delete(new Path(snapDir(dataDir), fmt(v)), false)
+      }
       (victims.toSeq, dropped)
     }
-    // deletions outside the lock; data files first, so by the time a
-    // manifest drops every file it solely referenced is already gone
+    // data-file deletions outside the lock so a large vacuum never starves
+    // committers; a crash here leaves only unreferenced orphans that the
+    // next vacuum reclaims (the manifests that referenced them are gone)
     victims.foreach(fs.delete(_, false))
-    dropped.foreach { case (v, _) =>
-      fs.delete(new Path(snapDir(dataDir), fmt(v)), false)
-    }
     (victims.size, dropped.size)
   }
 }

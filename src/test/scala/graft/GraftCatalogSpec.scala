@@ -591,9 +591,22 @@ class GraftCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.table("graft.pw.rn").collect()
       .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
       == (0L until 10L).map(i => (i, s"v$i")))
+    // row-level COW reads pre-rename files THROUGH the history: a DELETE
+    // must not null the renamed column of surviving rows in old files
+    spark.sql("DELETE FROM graft.pw.rn WHERE id = 3")
+    assert(spark.table("graft.pw.rn").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+      == (0L until 10L).filterNot(_ == 3L).map(i => (i, s"v$i")),
+      "COW rewrite lost renamed-column values from pre-rename files")
+    spark.sql("INSERT INTO graft.pw.rn VALUES (3, 'v3')") // restore for below
     // guards: former names stay reserved; partition columns immovable
     intercept[Exception](spark.sql("ALTER TABLE graft.pw.rn ADD COLUMN b STRING"))
     intercept[Exception](spark.sql("ALTER TABLE graft.pw.rn RENAME COLUMN id TO b"))
+    // renaming BACK to the column's own former name is allowed
+    spark.sql("ALTER TABLE graft.pw.rn RENAME COLUMN t TO s")
+    assert(spark.table("graft.pw.rn").columns.toSeq == Seq("id", "s"))
+    assert(spark.sql("SELECT id FROM graft.pw.rn WHERE s = 'v1'")
+      .collect().map(_.getLong(0)).toSeq == Seq(1L))
     // compaction MIGRATES the old physical names to the current one
     val t = spark.sessionState.catalogManager.catalog("graft")
       .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
@@ -604,6 +617,15 @@ class GraftCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.table("graft.pw.rn").collect()
       .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
       == (0L until 10L).map(i => (i, s"v$i")))
+    // a DROPPED column's names stay reserved forever: re-adding one would
+    // resurrect the dropped column's bytes from old files
+    spark.sql("ALTER TABLE graft.pw.rn DROP COLUMN s")
+    intercept[Exception](spark.sql("ALTER TABLE graft.pw.rn ADD COLUMN s STRING"))
+    intercept[Exception](spark.sql("ALTER TABLE graft.pw.rn ADD COLUMN b STRING"))
+    intercept[Exception](spark.sql("ALTER TABLE graft.pw.rn ADD COLUMN t STRING"))
+    spark.sql("ALTER TABLE graft.pw.rn ADD COLUMN s2 STRING") // fresh name fine
+    assert(spark.table("graft.pw.rn").collect().forall(_.isNullAt(1)),
+      "dropped column's data must not resurface under a new column")
     spark.sql("DROP TABLE graft.pw.rn")
   }
 
