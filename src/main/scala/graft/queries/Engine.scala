@@ -690,6 +690,69 @@ object Engine {
         JOIN (SELECT md5(text) AS fp FROM documents WHERE doc_id % 100 = 7
               UNION ALL SELECT 'not-a-real-fingerprint') p
           ON b.fp = p.fp
-        ORDER BY b.doc_id"""))
+        ORDER BY b.doc_id""")),
+
+    // ---- q93: merge-on-read mutations (equality deletes) ------------------
+    // The same DELETE + UPDATE + MERGE surface as q63/q64, but through
+    // `write.mutation.mode = merge-on-read` ([[graft.sources.GraftDelta]]):
+    // mutations write row-key delete files under data/_deletes/ instead of
+    // rewriting data files, and scans suppress deleted keys by data
+    // sequence number at read time. At 100 TB that makes a point DELETE a
+    // few-KB metadata write instead of a rewrite of every touched file.
+    // The final read runs WITH the deletes outstanding (no compaction), so
+    // the gate proves the read-time merge itself; the oracle replays the
+    // mutations relationally, exactly as for the COW twins.
+    QueryDef(
+      "q93_mor_mutations",
+      (s, dir) => {
+        val ns = ensureCatalog(s, dir)
+        s.sql(s"DROP TABLE IF EXISTS $ns.mor")
+        s.sql(
+          s"""CREATE TABLE $ns.mor (row_key STRING, doc_id BIGINT,
+             |  n_chars BIGINT, lang STRING)
+             |TBLPROPERTIES ('${graft.sources.GraftDeletes.ModeProp}' = 'merge-on-read')"""
+            .stripMargin)
+        s.sql(
+          s"""INSERT INTO $ns.mor
+             |SELECT CAST(doc_id AS STRING), doc_id, n_chars, lang
+             |FROM parquet.`$dir/documents.parquet` WHERE doc_id % 2 = 0""".stripMargin)
+        s.sql(s"DELETE FROM $ns.mor WHERE doc_id % 10 = 4")
+        s.sql(s"UPDATE $ns.mor SET n_chars = n_chars + 7 WHERE doc_id % 10 = 6")
+        s.sql(
+          s"""MERGE INTO $ns.mor t
+             |USING (SELECT CAST(doc_id AS STRING) AS row_key, doc_id,
+             |              n_chars, lang
+             |       FROM parquet.`$dir/documents.parquet` WHERE doc_id % 3 = 0) s
+             |ON t.row_key = s.row_key
+             |WHEN MATCHED THEN UPDATE SET n_chars = t.n_chars + 1000
+             |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+        s.sql(
+          s"""SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
+             |       CAST(SUM(n_chars) AS BIGINT) AS chars,
+             |       CAST(SUM(doc_id) AS BIGINT) AS id_sum
+             |FROM $ns.mor GROUP BY lang ORDER BY lang""".stripMargin)
+      },
+      Some("""WITH base AS (
+          -- even docs, minus the %10=4 deletes, %10=6 updated in place
+          SELECT doc_id,
+                 CASE WHEN doc_id % 10 = 6 THEN n_chars + 7 ELSE n_chars END AS n_chars,
+                 lang
+          FROM documents WHERE doc_id % 2 = 0 AND doc_id % 10 <> 4),
+        merged AS (
+          -- matched (doc_id % 6 = 0 survivors): +1000
+          SELECT b.doc_id, b.n_chars + 1000 AS n_chars, b.lang
+          FROM base b WHERE b.doc_id % 3 = 0
+          UNION ALL
+          SELECT b.doc_id, b.n_chars, b.lang FROM base b WHERE b.doc_id % 3 <> 0
+          UNION ALL
+          -- unmatched source rows insert (odd multiples of 3, plus the
+          -- even multiples of 3 the DELETE removed from the target)
+          SELECT d.doc_id, d.n_chars, d.lang FROM documents d
+          WHERE d.doc_id % 3 = 0
+            AND (d.doc_id % 2 = 1 OR d.doc_id % 10 = 4))
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(n_chars) AS BIGINT) AS chars,
+               CAST(SUM(doc_id) AS BIGINT) AS id_sum
+        FROM merged GROUP BY lang ORDER BY lang"""))
   )
 }

@@ -89,28 +89,72 @@ object Compaction {
           "(written out-of-band?); route one commit through the catalog or " +
           "provider write path first")
     }
+    // split manifest into data entries and outstanding equality deletes
+    val (deleteEntries, dataEntries) =
+      live.partition(e => GraftDeletes.isDeleteRel(e._1))
+    val baseDeleteRels = deleteEntries.keySet
+    // per-delete-commit key lists, loaded once driver-side (small by
+    // design); sorted so range overlap checks are binary searches
+    val keysBySeq: Map[Long, Array[String]] = deleteEntries.toSeq
+      .groupBy(_._2.seq)
+      .map { case (s, es) =>
+        s -> es.flatMap(e => GraftDeletes.readKeys(fs, dataDir, e._1))
+          .distinct.sorted.toArray
+      }
+    val dseqs: Seq[Long] = keysBySeq.keys.toSeq.sorted
+    /** Does any delete key with seq > fileSeq fall inside the file's
+      * registered row_key range? No registered range → conservatively
+      * yes (the file may hold any key). */
+    def touchedByDeletes(e: TableStats.Entry): Boolean =
+      dseqs.exists { s =>
+        s > e.seq && {
+          val keys = keysBySeq(s)
+          e.cols.get(graft.functions.ColumnNames.RowKey) match {
+            case Some((mn, mx)) =>
+              // first key >= mn, check it is <= mx
+              val i = {
+                var lo = 0; var hi = keys.length
+                while (lo < hi) {
+                  val mid = (lo + hi) >>> 1
+                  if (keys(mid) < mn) lo = mid + 1 else hi = mid
+                }
+                lo
+              }
+              i < keys.length && keys(i) <= mx
+            case None => keys.nonEmpty
+          }
+        }
+      }
+
     val byDir = scala.collection.mutable.Map[String, Vector[(String, Long)]]()
-    live.foreach { case (rel, e) =>
+    val withSeq = scala.collection.mutable.Map[String, Long]() // path -> seq
+    val deleteVictims = scala.collection.mutable.ArrayBuffer[String]()
+    dataEntries.foreach { case (rel, e) =>
       val p = new Path(dataDir, rel)
       // registries written before sizes were recorded carry bytes = -1
       val bytes = if (e.bytes >= 0) e.bytes else fs.getFileStatus(p).getLen
       val dir = p.getParent.toString
       byDir(dir) = byDir.getOrElse(dir, Vector.empty) :+ (p.toString, bytes)
+      withSeq(p.toString) = e.seq
+      // merge-on-read maintenance: any file a pending delete can touch
+      // is rewritten too (regardless of size), so compaction FOLDS the
+      // deletes into the data and the delete entries can be dropped
+      if (deleteEntries.nonEmpty && touchedByDeletes(e)) deleteVictims += p.toString
     }
     val groups = byDir.values.toSeq
       .map(_.filter(_._2 < smallBytes))
       .filter(_.size >= 2)
-    if (groups.isEmpty) return (0, 0)
-    val victims = groups.flatten.map(_._1)
+    if (groups.isEmpty && deleteVictims.isEmpty) return (0, 0)
+    val victims = (groups.flatten.map(_._1) ++ deleteVictims).distinct
 
     // distributed rewrite: read the victims (schema of the TABLE, so
     // columns added after the files were written null-fill), write
     // consolidated files through the normal partitioned writer
     val schema = table.schema0
     val partitionCols = table.partitionSpecs
-    val base0 =
+    def readFiles(paths: Seq[String]): org.apache.spark.sql.DataFrame =
       if (table.renames.isEmpty)
-        spark.read.schema(schema).parquet(victims: _*)
+        spark.read.schema(schema).parquet(paths: _*)
           .select(schema.fieldNames.map(col): _*)
       else {
         // RENAME COLUMN history: pre-rename victims carry former physical
@@ -118,7 +162,7 @@ object Compaction {
         // file has exactly one of the names, the rest read null), so the
         // rewrite MIGRATES old files to current names
         import org.apache.spark.sql.functions.{coalesce, lit}
-        val raw = spark.read.option("mergeSchema", "true").parquet(victims: _*)
+        val raw = spark.read.option("mergeSchema", "true").parquet(paths: _*)
         val cols = schema.fields.map { f =>
           val names = (f.name +: table.renames.getOrElse(f.name, Nil))
             .filter(raw.columns.contains)
@@ -127,7 +171,45 @@ object Compaction {
         }
         raw.select(scala.collection.immutable.ArraySeq.unsafeWrapArray(cols): _*)
       }
-    val nOut = if (outputFiles > 0) outputFiles else math.max(1, groups.size)
+    // Fold outstanding equality deletes into the rewrite: victims are
+    // grouped by which delete commits apply to them (delete seq > file
+    // seq — the same rule the scan's reader enforces) and each group
+    // anti-joins its applicable key set (broadcast: delete files are the
+    // small side). The rewritten rows then carry the commit's own, newer
+    // seq with the deletions physically applied.
+    val base0 =
+      if (deleteEntries.isEmpty ||
+          !schema.fieldNames.contains(graft.functions.ColumnNames.RowKey))
+        readFiles(victims)
+      else {
+        def applicableFrom(s: Long): Int = dseqs.indexWhere(_ > s) match {
+          case -1 => dseqs.length
+          case i => i
+        }
+        victims.groupBy(p => applicableFrom(withSeq.getOrElse(p, 0L))).toSeq
+          .map { case (i, paths) =>
+            val keys = dseqs.drop(i).flatMap(keysBySeq(_)).distinct
+            val df = readFiles(paths)
+            if (keys.isEmpty) df
+            else {
+              import org.apache.spark.sql.functions.broadcast
+              val delDf = spark.createDataset(keys)(
+                org.apache.spark.sql.Encoders.STRING).toDF("__delkey")
+              df.join(broadcast(delDf),
+                df(graft.functions.ColumnNames.RowKey) === delDf("__delkey"),
+                "left_anti")
+            }
+          }.reduce(_ unionByName _)
+      }
+    // one output per small-file group, but never squeeze a delete-fold
+    // rewrite of large files below ~128 MB per output file
+    val victimSet = victims.toSet
+    val victimBytes = byDir.values.flatten
+      .collect { case (p, b) if victimSet.contains(p) => b }.sum
+    val nOut =
+      if (outputFiles > 0) outputFiles
+      else math.max(math.max(1, groups.size),
+        (victimBytes / (128L * 1024 * 1024)).toInt)
     val df =
       if (zorderBy.nonEmpty) {
         import org.apache.spark.sql.functions.{expr, max => fmax, min => fmin}
@@ -195,15 +277,31 @@ object Compaction {
     val victimRels = victims.map(TableStats.relOf).toSet
     TableStats.withLock(fs, dataDir) {
       val base = TableStats.read(fs, dataDir)
-      if (!victimRels.forall(base.contains)) {
+      val newDeletes = base.keysIterator
+        .filter(GraftDeletes.isDeleteRel).toSet -- baseDeleteRels
+      if (!victimRels.forall(base.contains) || newDeletes.nonEmpty) {
         // a concurrent commit replaced one of our inputs (COW delete,
-        // another compaction): registering the rewrite would resurrect
-        // rows that committer just removed — abort, drop our output
+        // another compaction) — or a merge-on-read mutation landed
+        // deletes our rewrite did not apply (the rewrite's newer seq
+        // would let the rows escape them): registering the output would
+        // resurrect rows another committer just removed — abort
         written.foreach { case (rel, _) => fs.delete(new Path(dataDir, rel), false) }
         throw new IllegalStateException(
           "graft: compaction lost a race with a concurrent commit; no changes applied")
       }
-      TableStats.write(fs, dataDir, base -- victimRels ++ written)
+      val next = base -- victimRels ++ written
+      // drop every delete entry no surviving data file still needs: the
+      // rewrite applied it to the victims, so it is live only for data
+      // files with an OLDER seq whose row_key range can still hold one
+      // of its keys (no range recorded → assume it can). Dropped delete
+      // files stay on disk for time travel until vacuum reclaims them.
+      val remaining = next.filterNot(e => GraftDeletes.isDeleteRel(e._1))
+      val dropped = deleteEntries.keySet.filter { rel =>
+        val dseq = deleteEntries(rel).seq
+        !remaining.valuesIterator.exists(e => e.seq >= 0 && e.seq < dseq &&
+          touchedByDeletes(e))
+      }
+      TableStats.write(fs, dataDir, next -- dropped)
     }
     (victims.size, written.length)
   }

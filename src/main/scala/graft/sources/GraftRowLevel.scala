@@ -31,6 +31,11 @@ final class GraftRowLevelOperation(
     * else every file the (unfiltered) rewrite scan planned. */
   @volatile private var groupFilter: Option[Set[String]] = None
   @volatile private var plannedFiles: Seq[String] = Nil
+  /** Equality-delete rels present in the manifest the rewrite scan read:
+    * commit aborts if NEW ones appeared meanwhile (the rewrite's output
+    * has a higher seq than the concurrent delete, so it would escape it
+    * and resurrect the deleted rows). */
+  @volatile private var baseDeleteRels: Set[String] = Set.empty
 
   private[sources] def onGroupFilter(files: Set[String]): Unit =
     groupFilter = Some(files)
@@ -40,6 +45,11 @@ final class GraftRowLevelOperation(
     // rewrite scan plans LAST (after the group filter narrowed it), so
     // keeping the most recent plan is correct in both modes
     plannedFiles = files
+
+  private[sources] def onBaseManifest(rels: Set[String]): Unit =
+    baseDeleteRels = rels.filter(GraftDeletes.isDeleteRel)
+
+  private[sources] def baseDeletes: Set[String] = baseDeleteRels
 
   private[sources] def affectedFiles: Set[String] =
     groupFilter.getOrElse(plannedFiles.toSet)
@@ -126,6 +136,19 @@ final class GraftReplaceDataWrite(
           s"graft: row-level ${op.command()} lost a race with a concurrent " +
             s"commit (${missing.size} of its input file(s) left the manifest); " +
             "no changes applied — retry the statement")
+      }
+      // a merge-on-read mutation committed meanwhile: its equality
+      // deletes target rows this rewrite read, but our output's seq is
+      // NEWER than the delete's, so the carried-over rows would escape
+      // it — same lost race, same answer
+      val newDeletes = live.keysIterator
+        .filter(GraftDeletes.isDeleteRel).toSet -- op.baseDeletes
+      if (newDeletes.nonEmpty) {
+        committed.keys.foreach(rel => fs.delete(new Path(dir, rel), false))
+        throw new IllegalStateException(
+          s"graft: row-level ${op.command()} lost a race with a concurrent " +
+            s"merge-on-read mutation (${newDeletes.size} delete file(s) " +
+            "entered the manifest); no changes applied — retry the statement")
       }
       TableStats.write(fs, dir, live -- affectedRels ++ committed)
     }

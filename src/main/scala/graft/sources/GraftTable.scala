@@ -30,13 +30,22 @@ import graft.functions.{ColumnNames, RowKeyGenerator}
   */
 final class GraftTable(
     ident: String,
-    val schema0: StructType,
+    schemaIn: StructType,
     props: Map[String, String],
     tableDir: String,
     partitionCols: Seq[String] = Nil,
     pinnedVersion: Option[Long] = None)
     extends Table with SupportsRead with SupportsWrite with SupportsDelete
     with SupportsMetadataColumns with SupportsRowLevelOperations {
+
+  /** Merge-on-read tables surface `row_key` as NOT NULL: equality deletes
+    * key on it, Spark requires non-nullable row-id attributes, and the
+    * ANSI store-assignment null check on writes enforces what the delete
+    * path assumes. Other tables keep their declared nullability. */
+  val schema0: StructType =
+    if (!GraftDeletes.mergeOnRead(props)) schemaIn
+    else StructType(schemaIn.fields.map(f =>
+      if (f.name == ColumnNames.RowKey) f.copy(nullable = false) else f))
 
   /** Reject mutations through a time-travel relation: `VERSION AS OF` /
     * `TIMESTAMP AS OF` pin a historical manifest, which is read-only. */
@@ -50,7 +59,16 @@ final class GraftTable(
       info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
       : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
     requireUnpinned(info.command().toString)
-    () => new GraftRowLevelOperation(this, info.command())
+    if (GraftDeletes.mergeOnRead(props)) {
+      // merge-on-read needs a stable per-row identity for its equality
+      // deletes: the STRING row_key column every keyed graft table has
+      val ok = schema0.fields.exists(f =>
+        f.name == ColumnNames.RowKey && f.dataType == StringType)
+      require(ok, s"graft: ${GraftDeletes.ModeProp}=merge-on-read requires " +
+        s"a STRING ${ColumnNames.RowKey} column on $ident")
+      () => new GraftDeltaOperation(this, info.command())
+    } else
+      () => new GraftRowLevelOperation(this, info.command())
   }
 
   override def name(): String = ident
@@ -313,9 +331,18 @@ object TableStats {
   /** Registry entry: exact row count, file size in bytes (-1 when unknown
     * — registries written before sizes were recorded), plus optional
     * per-column (min, max) ranges in external string form — enough for
-    * the scan to plan splits and skip whole files without any file I/O. */
+    * the scan to plan splits and skip whole files without any file I/O.
+    *
+    * `seq` is the snapshot version at which the file ENTERED the manifest
+    * (its data sequence number): freshly-built entries carry the -1
+    * sentinel and [[write]] stamps them with the version it commits, so
+    * equality-delete files (see [[GraftDeletes]]) can scope themselves to
+    * "rows written before me" — a delete with seq D applies to data files
+    * with seq < D and never to files committed at or after it. Entries
+    * from registries that predate the field read back as 0 (older than
+    * every delete, which is exactly right). */
   final case class Entry(rows: Long, cols: Map[String, (String, String)] = Map.empty,
-                         bytes: Long = -1L)
+                         bytes: Long = -1L, seq: Long = -1L)
 
   /** Path of `file` relative to its table's `data/` dir (keys of the stats
     * registry), robust to scheme-qualified vs bare paths. */
@@ -330,11 +357,10 @@ object TableStats {
 
   def serialize(stats: Map[String, Entry]): String =
     stats.toSeq.sortBy(_._1).map { case (rel, e) =>
-      val base = s"$rel\t${e.rows}\t${e.bytes}"
-      if (e.cols.isEmpty) base
-      else base + "\t" + e.cols.toSeq.sorted.map { case (c, (mn, mx)) =>
+      val colspec = e.cols.toSeq.sorted.map { case (c, (mn, mx)) =>
         s"${enc(c)}=${enc(mn)},${enc(mx)}"
       }.mkString(";")
+      s"$rel\t${e.rows}\t${e.bytes}\t$colspec\t${math.max(e.seq, 0L)}"
     }.mkString("", "\n", "\n")
 
   private def parseCols(colspec: String): Map[String, (String, String)] =
@@ -347,15 +373,17 @@ object TableStats {
   def deserialize(text: String): Map[String, Entry] =
     text.linesIterator.filter(_.nonEmpty).map { line =>
       line.split('\t') match {
-        case Array(rel, rows) => rel -> Entry(rows.toLong)
+        case Array(rel, rows) => rel -> Entry(rows.toLong, seq = 0L)
         // pre-bytes format: field 3 is the colspec (always contains '=');
-        // current format: field 3 is the byte count
+        // pre-seq format: field 3 is the byte count
         case Array(rel, rows, f3) if f3.contains('=') =>
-          rel -> Entry(rows.toLong, parseCols(f3))
+          rel -> Entry(rows.toLong, parseCols(f3), seq = 0L)
         case Array(rel, rows, bytes) =>
-          rel -> Entry(rows.toLong, Map.empty, bytes.toLong)
+          rel -> Entry(rows.toLong, Map.empty, bytes.toLong, 0L)
         case Array(rel, rows, bytes, colspec) =>
-          rel -> Entry(rows.toLong, parseCols(colspec), bytes.toLong)
+          rel -> Entry(rows.toLong, parseCols(colspec), bytes.toLong, 0L)
+        case Array(rel, rows, bytes, colspec, seq) =>
+          rel -> Entry(rows.toLong, parseCols(colspec), bytes.toLong, seq.toLong)
         case other =>
           throw new IllegalStateException(s"bad stats line: $line")
       }
@@ -462,6 +490,13 @@ object TableStats {
   }
 
   def write(fs: FileSystem, dataDir: Path, stats: Map[String, Entry]): Unit = {
+    // Stamp newly-added entries (seq sentinel -1) with the version this
+    // commit will record: the entry's data sequence number. Entries that
+    // were read back from the registry keep their original seq.
+    val next = Snapshots.nextVersion(fs, dataDir)
+    val stamped = stats.map { case (rel, e) =>
+      rel -> (if (e.seq < 0) e.copy(seq = next) else e)
+    }
     // write-temp-then-rename so a concurrent reader never sees a partial
     // registry (rename is atomic on HDFS and local FS)
     // The temp lives OUTSIDE data/ so directory listings racing with the
@@ -469,7 +504,7 @@ object TableStats {
     val tmp = new Path(dataDir.getParent,
       s".$FileName.tmp-${java.util.UUID.randomUUID()}")
     val out = fs.create(tmp, true)
-    try out.write(serialize(stats).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    try out.write(serialize(stamped).getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
     val dest = new Path(dataDir, FileName)
     // OVERWRITE rename: readers see the old registry or the new one,
@@ -482,7 +517,7 @@ object TableStats {
     // files are immutable and commits never physically delete them, so
     // the recorded manifest stays readable for time travel until vacuum
     // expires it (see [[Snapshots]]).
-    Snapshots.record(fs, dataDir, stats)
+    Snapshots.recordAt(fs, dataDir, stamped, next)
   }
 }
 
@@ -495,7 +530,8 @@ final class GraftScanBuilder(
     maxBytesPerTrigger: Option[Long] = None,
     snapshotVersion: Option[Long] = None,
     sinceVersion: Option[Long] = None,
-    renames: Map[String, Seq[String]] = Map.empty)
+    renames: Map[String, Seq[String]] = Map.empty,
+    onManifest: Option[Set[String] => Unit] = None)
     extends ScanBuilder
     with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters
@@ -508,13 +544,34 @@ final class GraftScanBuilder(
   private var countStar: Boolean = false
   private var limit: Option[Int] = None
 
+  /** Manifest read on demand for pushdown decisions, then HANDED to the
+    * scan built from this builder so a COUNT(*)/LIMIT query still costs
+    * exactly one registry read. Untouched (no read at all) for queries
+    * that never offer a pushdown. */
+  private var manifestCache: Option[Option[Map[String, TableStats.Entry]]] = None
+  private def manifestForPushdown: Option[Map[String, TableStats.Entry]] = {
+    if (manifestCache.isEmpty) {
+      val dir = new Path(dataDir)
+      manifestCache = Some(Snapshots.readManifest(
+        dir.getFileSystem(new Configuration()), dir, snapshotVersion, sinceVersion))
+    }
+    manifestCache.get
+  }
+
+  /** Outstanding equality deletes make registered row counts upper
+    * bounds, not exact: COUNT(*) and LIMIT pushdown both reason from
+    * those counts, so both are withheld until compaction folds the
+    * deletes in. */
+  private lazy val hasDeletes: Boolean =
+    manifestForPushdown.exists(_.keysIterator.exists(GraftDeletes.isDeleteRel))
+
   /** Filterless LIMIT: the scan lists only enough files (by registered
     * row counts) to satisfy the limit — partial pushdown, Spark still
     * applies the exact cut. Never offered with filters: residual
     * evaluation could leave fewer than `limit` matching rows in the
     * chosen files. */
   override def pushLimit(n: Int): Boolean = {
-    if (pushed.isEmpty && tracker.isEmpty) limit = Some(n)
+    if (pushed.isEmpty && tracker.isEmpty && !hasDeletes) limit = Some(n)
     false // partial: selected files may hold more rows than the limit
   }
   override def isPartiallyPushed(): Boolean = true
@@ -530,7 +587,7 @@ final class GraftScanBuilder(
 
   private def canPush(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
-    tracker.isEmpty && pushed.isEmpty &&
+    tracker.isEmpty && pushed.isEmpty && !hasDeletes &&
       agg.groupByExpressions().isEmpty &&
       agg.aggregateExpressions().length == 1 &&
       agg.aggregateExpressions()(0)
@@ -559,10 +616,11 @@ final class GraftScanBuilder(
   override def pushedFilters(): Array[Filter] = pushed
 
   override def build(): Scan =
-    if (countStar) new GraftCountStarScan(dataDir, snapshotVersion, sinceVersion)
+    if (countStar)
+      new GraftCountStarScan(dataDir, snapshotVersion, sinceVersion, manifestCache)
     else new GraftScan(tableSchema, required, pushed, dataDir, partitionCols,
       wantFile, tracker, limit, maxFilesPerTrigger, maxBytesPerTrigger,
-      snapshotVersion, sinceVersion, renames)
+      snapshotVersion, sinceVersion, renames, onManifest, manifestCache)
 }
 
 final class GraftScan(
@@ -578,7 +636,9 @@ final class GraftScan(
     maxBytesPerTrigger: Option[Long] = None,
     snapshotVersion: Option[Long] = None,
     sinceVersion: Option[Long] = None,
-    renames: Map[String, Seq[String]] = Map.empty)
+    renames: Map[String, Seq[String]] = Map.empty,
+    onManifest: Option[Set[String] => Unit] = None,
+    manifestPre: Option[Option[Map[String, TableStats.Entry]]] = None)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsReportPartitioning with SupportsRuntimeFiltering {
 
@@ -658,25 +718,38 @@ final class GraftScan(
     * append scan `(since, end]` (see [[Snapshots.readManifest]]). None
     * only for registry-less tables (written out-of-band) — those fall
     * back to a directory walk. */
-  private lazy val manifestOpt: Option[Map[String, TableStats.Entry]] = {
-    val dir = new Path(dataDir)
-    val fs = dir.getFileSystem(new Configuration())
-    Snapshots.readManifest(fs, dir, snapshotVersion, sinceVersion)
-  }
+  private lazy val manifestOpt: Option[Map[String, TableStats.Entry]] =
+    manifestPre.getOrElse {
+      val dir = new Path(dataDir)
+      val fs = dir.getFileSystem(new Configuration())
+      Snapshots.readManifest(fs, dir, snapshotVersion, sinceVersion)
+    }
 
   /** Commit-time per-file stats registry (or the pinned snapshot); also
     * the visibility source of truth for streaming files. */
   private def cachedStats: Map[String, TableStats.Entry] =
     manifestOpt.getOrElse(Map.empty)
 
-  private var filesCache: Seq[(String, Long, Seq[Any])] = _
-  private var groupsCache: Seq[(Seq[Any], Seq[(String, Long)])] = _
+  /** Outstanding equality deletes of this scan's manifest, folded to
+    * (row_key -> max delete seq). Empty on tables that never saw a
+    * merge-on-read mutation (or whose deletes compaction folded in) —
+    * the zero-cost common case. */
+  private lazy val deleteKeys: Array[(String, Long)] =
+    if (!cachedStats.keysIterator.exists(GraftDeletes.isDeleteRel)) Array.empty
+    else {
+      val dir = new Path(dataDir)
+      GraftDeletes.keyMap(dir.getFileSystem(new Configuration()), dir,
+        cachedStats).toArray
+    }
+
+  private var filesCache: Seq[(String, Long, Seq[Any], Long)] = _
+  private var groupsCache: Seq[(Seq[Any], Seq[(String, Long, Long)])] = _
   private var rowsCache: java.lang.Long = _
 
   /** Invalidate listings computed before a runtime filter arrived. */
   private def invalidate(): Unit = { filesCache = null; groupsCache = null; rowsCache = null }
 
-  private def files: Seq[(String, Long, Seq[Any])] = {
+  private def files: Seq[(String, Long, Seq[Any], Long)] = {
     if (filesCache != null) return filesCache
     val conf = new Configuration()
     val root = new Path(dataDir)
@@ -687,11 +760,11 @@ final class GraftScan(
       !p.getName.startsWith("stream-") ||
         cachedStats.contains(TableStats.relOf(p.toString))
 
-    def leafFiles(p: Path, values: Seq[Any]): Seq[(String, Long, Seq[Any])] =
+    def leafFiles(p: Path, values: Seq[Any]): Seq[(String, Long, Seq[Any], Long)] =
       fs.listStatus(p).toSeq
         .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet") &&
           visible(s.getPath))
-        .map(s => (s.getPath.toString, s.getLen, values))
+        .map(s => (s.getPath.toString, s.getLen, values, 0L))
 
     // conjunctive pushed filters => intersect every filter's allowed
     // bucket set; a directory whose id falls outside is never listed
@@ -706,7 +779,7 @@ final class GraftScan(
       pushed.forall(f => PartField.unitMayMatch(f, field, dt, unit))
     }
 
-    def walk(p: Path, remaining: Seq[PartField.Field], values: Map[String, Any]): Seq[(String, Long, Seq[Any])] =
+    def walk(p: Path, remaining: Seq[PartField.Field], values: Map[String, Any]): Seq[(String, Long, Seq[Any], Long)] =
       if (remaining.isEmpty) leafFiles(p, partFields.map(f => values(f.dir)))
       else fs.listStatus(p).toSeq.filter(_.isDirectory).flatMap { d =>
         d.getPath.getName.split("=", 2) match {
@@ -738,7 +811,7 @@ final class GraftScan(
     // count; physical orphans (replaced by COW/compaction/truncate but
     // retained for time travel) are invisible because they left the
     // manifest. The walk survives only for registry-less tables.
-    def fromManifest(stats: Map[String, TableStats.Entry]): Seq[(String, Long, Seq[Any])] =
+    def fromManifest(stats: Map[String, TableStats.Entry]): Seq[(String, Long, Seq[Any], Long)] =
       stats.toSeq.sortBy(_._1).flatMap { case (rel, e) =>
         val segs = rel.split('/')
         if (segs.length != partFields.length + 1)
@@ -781,7 +854,7 @@ final class GraftScan(
             val len =
               if (e.bytes >= 0) e.bytes
               else fs.getFileStatus(new Path(s"$dataDir/$rel")).getLen
-            Some((s"$dataDir/$rel", len, vals))
+            Some((s"$dataDir/$rel", len, vals, e.seq))
           }
         }
       }
@@ -790,7 +863,10 @@ final class GraftScan(
       if (manifestOpt.isEmpty && !fs.exists(root)) Seq.empty
       else {
         val all = manifestOpt match {
-          case Some(stats) => fromManifest(stats)
+          // equality-delete entries are metadata the READER applies, not
+          // files to scan — split them out before the layout check
+          case Some(stats) =>
+            fromManifest(stats.filterNot(e => GraftDeletes.isDeleteRel(e._1)))
           case None => walk(root, partFields, Map.empty).sortBy(_._1)
         }
         val allowed0 = allowedFiles.fold(all)(ok => all.filter(f => ok.contains(f._1)))
@@ -842,16 +918,20 @@ final class GraftScan(
       !partFields.exists(_.isInstanceOf[PartField.TimeUnitField]) &&
       org.apache.spark.sql.internal.SQLConf.get.v2BucketingEnabled
 
-  private def groups: Seq[(Seq[Any], Seq[(String, Long)])] = {
+  private def groups: Seq[(Seq[Any], Seq[(String, Long, Long)])] = {
     if (groupsCache == null)
       groupsCache = files.groupBy(_._3).toSeq
-        .map { case (vs, fs0) => (vs, fs0.map(f => (f._1, f._2))) }
+        .map { case (vs, fs0) => (vs, fs0.map(f => (f._1, f._2, f._4))) }
         .sortBy(_._1.map(String.valueOf(_)).mkString("/"))
     groupsCache
   }
 
   override def planInputPartitions(): Array[InputPartition] = {
-    tracker.foreach(_.onScanPlanned(files.map(_._1)))
+    tracker.foreach { t =>
+      t.onScanPlanned(files.map(_._1))
+      t.onBaseManifest(cachedStats.keySet)
+    }
+    onManifest.foreach(_(cachedStats.keySet))
     if (keyGrouped) {
       groups.map { case (values, paths) =>
         val key = org.apache.spark.sql.catalyst.InternalRow.fromSeq(
@@ -860,10 +940,10 @@ final class GraftScan(
         GraftPartitionGroup(paths, key): InputPartition
       }.toArray
     } else {
-      files.flatMap { case (path, len, _) =>
-        if (len <= splitBytes) Seq(GraftInputPartition(path, 0L, len))
+      files.flatMap { case (path, len, _, seq) =>
+        if (len <= splitBytes) Seq(GraftInputPartition(path, 0L, len, seq))
         else (0L until len by splitBytes).map(start =>
-          GraftInputPartition(path, start, math.min(start + splitBytes, len)))
+          GraftInputPartition(path, start, math.min(start + splitBytes, len), seq))
       }.toArray
     }
   }
@@ -885,6 +965,9 @@ final class GraftScan(
   private def columnarOK: Boolean = {
     import org.apache.spark.sql.types._
     !wantFile &&
+    // outstanding equality deletes need the per-row key probe of the row
+    // codec; compaction folds them in and restores the vectorized path
+    deleteKeys.isEmpty &&
     org.apache.spark.sql.internal.SQLConf.get
       .getConfString("spark.graft.columnar.enabled", "true") == "true" &&
     required.fields.nonEmpty &&
@@ -905,7 +988,8 @@ final class GraftScan(
     // decode — a record-level parquet filter would drop rows the rewrite
     // has to carry over.
     new GraftReaderFactory(required,
-      if (tracker.isDefined) Array.empty else pushed, columnarOK, wantFile, renames)
+      if (tracker.isDefined) Array.empty else pushed, columnarOK, wantFile,
+      renames, deleteKeys)
 
   /** Exact row count for the (pruned) file set. Preferred source is the
     * `_stats.tsv` cache written at every commit — ONE small read per
@@ -917,7 +1001,7 @@ final class GraftScan(
   private def exactRows: Long = {
     if (rowsCache != null) return rowsCache
     val conf = new Configuration()
-    rowsCache = files.map { case (path, _, _) =>
+    rowsCache = files.map { case (path, _, _, _) =>
       cachedStats.get(TableStats.relOf(path)).map(_.rows).getOrElse {
         GraftScan.footerReads.incrementAndGet()
         val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(new Path(path), conf)
@@ -1013,7 +1097,8 @@ final class GraftScan(
   * version counts that manifest instead of the live registry. */
 final class GraftCountStarScan(dataDir: String,
                                snapshotVersion: Option[Long] = None,
-                               sinceVersion: Option[Long] = None)
+                               sinceVersion: Option[Long] = None,
+                               manifestPre: Option[Option[Map[String, TableStats.Entry]]] = None)
     extends Scan with Batch {
   override def readSchema(): StructType = StructType(Seq(
     org.apache.spark.sql.types.StructField("count", org.apache.spark.sql.types.LongType,
@@ -1034,8 +1119,13 @@ final class GraftCountStarScan(dataDir: String,
     // O(#files) recursive listing on the driver. Pinned and incremental
     // reads count their resolved manifest the same way. Only tables with
     // no registry at all (out-of-band writes) pay the listing + footers.
-    Snapshots.readManifest(fs, root, snapshotVersion, sinceVersion) match {
-      case Some(manifest) => manifest.valuesIterator.map(_.rows).sum
+    manifestPre.getOrElse(
+        Snapshots.readManifest(fs, root, snapshotVersion, sinceVersion)) match {
+      // delete entries never reach here (pushdown is withheld while any
+      // are outstanding) — filtered anyway so the invariant is local
+      case Some(manifest) => manifest.collect {
+        case (rel, e) if !GraftDeletes.isDeleteRel(rel) => e.rows
+      }.sum
       case None =>
         GraftScan.countStarListings.incrementAndGet()
         val it = fs.listFiles(root, true)
@@ -1082,12 +1172,17 @@ object GraftScan {
   val countStarListings = new java.util.concurrent.atomic.AtomicLong(0)
 }
 
-final case class GraftInputPartition(path: String, start: Long, end: Long)
+/** `seq`: the file's data sequence number (manifest version at which it
+  * entered — 0 for pre-seq registries and walked listings), compared
+  * against equality-delete seqs at read time. */
+final case class GraftInputPartition(path: String, start: Long, end: Long,
+                                     seq: Long = 0L)
     extends InputPartition
 
 /** All files of one partition value, exposing the value as the Spark
-  * partition key for storage-partitioned joins. */
-final case class GraftPartitionGroup(files: Seq[(String, Long)], key: InternalRow)
+  * partition key for storage-partitioned joins. Per file: (path, length,
+  * data sequence number). */
+final case class GraftPartitionGroup(files: Seq[(String, Long, Long)], key: InternalRow)
     extends InputPartition with HasPartitionKey {
   override def partitionKey(): InternalRow = key
 }
@@ -1095,7 +1190,8 @@ final case class GraftPartitionGroup(files: Seq[(String, Long)], key: InternalRo
 final class GraftReaderFactory(
     required: StructType, pushed: Array[Filter], columnar: Boolean,
     wantFile: Boolean = false,
-    renames: Map[String, Seq[String]] = Map.empty)
+    renames: Map[String, Seq[String]] = Map.empty,
+    deletes: Array[(String, Long)] = Array.empty)
     extends PartitionReaderFactory {
 
   private def predicate = pushed
@@ -1107,17 +1203,33 @@ final class GraftReaderFactory(
     .flatMap(FilterTranslate.translate(required, _))
     .reduceOption(org.apache.parquet.filter2.predicate.FilterApi.and)
 
-  /** (path, start, end) ranges of a partition; whole files carry their
-    * real length as `end`, so both readers treat every entry as a range. */
-  private def ranges(partition: InputPartition): Seq[(String, Long, Long)] =
+  /** (path, start, end, seq) ranges of a partition; whole files carry
+    * their real length as `end`, so both readers treat every entry as a
+    * range. `seq` is the file's data sequence number for the equality-
+    * delete probe. */
+  private def ranges(partition: InputPartition): Seq[(String, Long, Long, Long)] =
     partition match {
-      case GraftPartitionGroup(files, _) => files.map { case (p, len) => (p, 0L, len) }
-      case GraftInputPartition(path, start, end) => Seq((path, start, end))
+      case GraftPartitionGroup(files, _) =>
+        files.map { case (p, len, seq) => (p, 0L, len, seq) }
+      case GraftInputPartition(path, start, end, seq) => Seq((path, start, end, seq))
     }
+
+  /** Read schema: when equality deletes are outstanding the row codec
+    * must surface `row_key` for the probe even if the query pruned it —
+    * appended last and projected back off after the filter. */
+  private val needHiddenKey = deletes.nonEmpty &&
+    !required.fieldNames.contains(ColumnNames.RowKey)
+  private val readSchema0 =
+    if (needHiddenKey)
+      StructType(required.fields :+ org.apache.spark.sql.types.StructField(
+        ColumnNames.RowKey, StringType, nullable = true))
+    else required
+  private val keyOrdinal =
+    if (deletes.isEmpty) -1 else readSchema0.fieldNames.indexOf(ColumnNames.RowKey)
 
   private def openFile(path: String, start: Long, end: Long): org.apache.parquet.hadoop.ParquetReader[InternalRow] = {
     val conf = new Configuration()
-    ParquetRowIO.newReader(new Path(path), required, conf,
+    ParquetRowIO.newReader(new Path(path), readSchema0, conf,
       predicate.map(FilterCompat.get),
       if (end == Long.MaxValue) None else Some((start, end)),
       renames)
@@ -1128,6 +1240,9 @@ final class GraftReaderFactory(
     new PartitionReader[InternalRow] {
       private var reader: org.apache.parquet.hadoop.ParquetReader[InternalRow] = _
       private var current: InternalRow = _
+      // keys deleted for the CURRENT file (those whose delete seq is
+      // newer than the file); null = no probe needed for this file
+      private var deadKeys: java.util.HashSet[UTF8String] = _
       // single-field suffix row holding the current file's path (_file)
       private val fileRow = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(1)
       private val joined = new org.apache.spark.sql.catalyst.expressions.JoinedRow
@@ -1135,18 +1250,46 @@ final class GraftReaderFactory(
         while (true) {
           if (reader == null) {
             if (remaining.isEmpty) return false
-            val (p, s, e) = remaining.dequeue()
+            val (p, s, e, seq) = remaining.dequeue()
             reader = openFile(p, s, e)
             if (wantFile) fileRow.update(0, UTF8String.fromString(p))
+            deadKeys =
+              if (deletes.isEmpty) null
+              else {
+                val hs = new java.util.HashSet[UTF8String]()
+                deletes.foreach { case (k, dseq) =>
+                  if (dseq > seq) hs.add(UTF8String.fromString(k))
+                }
+                if (hs.isEmpty) null else hs
+              }
           }
           current = reader.read()
-          if (current != null) return true
-          reader.close(); reader = null
+          if (current == null) { reader.close(); reader = null }
+          else if (deadKeys == null || keyOrdinal < 0 ||
+              current.isNullAt(keyOrdinal) ||
+              !deadKeys.contains(current.getUTF8String(keyOrdinal)))
+            return true
+          // else: row suppressed by an equality delete — keep scanning
         }
         false
       }
-      override def get(): InternalRow =
-        if (wantFile) joined.apply(current, fileRow) else current
+      override def get(): InternalRow = {
+        val row =
+          if (!needHiddenKey) current
+          else {
+            // project the probe-only row_key back off the row
+            val n = required.length
+            val out = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(n)
+            var i = 0
+            while (i < n) {
+              if (current.isNullAt(i)) out.update(i, null)
+              else out.update(i, current.get(i, required(i).dataType))
+              i += 1
+            }
+            out
+          }
+        if (wantFile) joined.apply(row, fileRow) else row
+      }
       override def close(): Unit = if (reader != null) reader.close()
     }
   }
@@ -1199,7 +1342,7 @@ final class GraftReaderFactory(
         while (true) {
           if (reader == null) {
             if (remaining.isEmpty) return false
-            val (p, s, e) = remaining.dequeue()
+            val (p, s, e, _) = remaining.dequeue()
             reader = openVectorized(p, s, e)
           }
           if (reader.nextBatch()) return true

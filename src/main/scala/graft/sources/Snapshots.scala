@@ -116,6 +116,14 @@ object Snapshots {
                 s"non-append commit at v$v (${removed.size} file(s) left the " +
                 "manifest — COW delete/update, truncate, or compaction); " +
                 "read a full snapshot instead")
+            // a merge-on-read mutation ADDS an equality-delete file: the
+            // commit is just as non-append (rows disappeared), it merely
+            // expressed the removal as metadata — refuse the same way
+            val addedDeletes = (cur.keySet -- prev).filter(GraftDeletes.isDeleteRel)
+            if (addedDeletes.nonEmpty) throw new IllegalArgumentException(
+              s"graft: incremental read ($m, $endV] of $dataDir crosses a " +
+                s"merge-on-read mutation at v$v (${addedDeletes.size} delete " +
+                "file(s) entered the manifest); read a full snapshot instead")
             prev = cur.keySet
           }
         Some(endM -- base.keySet)
@@ -134,13 +142,24 @@ object Snapshots {
       read(fs, dataDir, v).map(_.keySet).getOrElse(Set.empty[String])
     }.toSet
 
+  /** The version the next commit will record. Race-free only under
+    * [[TableStats.withLock]]. */
+  def nextVersion(fs: FileSystem, dataDir: Path): Long =
+    list(fs, dataDir).lastOption.map(_._1).getOrElse(0L) + 1
+
   /** Record `stats` as the next snapshot version. MUST be called under
     * [[TableStats.withLock]] (all callers are commit paths, which hold
     * it): max-version+1 is race-free only while the lock is held. */
-  def record(fs: FileSystem, dataDir: Path, stats: Map[String, TableStats.Entry]): Long = {
+  def record(fs: FileSystem, dataDir: Path, stats: Map[String, TableStats.Entry]): Long =
+    recordAt(fs, dataDir, stats, nextVersion(fs, dataDir))
+
+  /** [[record]] at a caller-chosen version — the caller computed
+    * [[nextVersion]] itself (to stamp entry seqs with it) and must pass
+    * the same value so entry seq == manifest version stays an invariant. */
+  def recordAt(fs: FileSystem, dataDir: Path, stats: Map[String, TableStats.Entry],
+               next: Long): Long = {
     val d = snapDir(dataDir)
     fs.mkdirs(d)
-    val next = list(fs, dataDir).lastOption.map(_._1).getOrElse(0L) + 1
     val tmp = new Path(d, s".${fmt(next)}.tmp")
     val out = fs.create(tmp, true)
     try out.write(TableStats.serialize(stats).getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -156,7 +175,10 @@ object Snapshots {
     val dataDir = new Path(tableDir, "data")
     val fs = dataDir.getFileSystem(new Configuration())
     val rows = list(fs, dataDir).map { case (v, ts) =>
+      // delete files are metadata, not table content: report data files
+      // only (their row counts would otherwise inflate the table's)
       val m = read(fs, dataDir, v).getOrElse(Map.empty)
+        .filterNot(e => GraftDeletes.isDeleteRel(e._1))
       (v, new java.sql.Timestamp(ts), m.size.toLong,
         m.valuesIterator.map(_.rows).sum,
         m.valuesIterator.map(e => math.max(e.bytes, 0L)).sum)
@@ -238,9 +260,14 @@ object Snapshots {
       while (it.hasNext) {
         val st = it.next()
         val p = st.getPath
-        if (st.isFile && p.getName.endsWith(".parquet") &&
+        val rel = TableStats.relOf(p.toString)
+        // data part-files AND equality-delete files (dropped from the
+        // manifest once compaction folded them in) are reclaimable
+        val reclaimable = p.getName.endsWith(".parquet") ||
+          GraftDeletes.isDeleteRel(rel)
+        if (st.isFile && reclaimable &&
             System.currentTimeMillis() - st.getModificationTime >= minAgeMillis &&
-            !reachable.contains(TableStats.relOf(p.toString)))
+            !reachable.contains(rel))
           victims += p
       }
       // drop the expired MANIFESTS while still holding the lock: restore()

@@ -1,0 +1,154 @@
+package graft
+
+import java.nio.file.Files
+
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+
+import graft.sources.{Compaction, GraftDeletes, Snapshots, TableStats}
+
+/** Merge-on-read row-level mutations: equality-delete files with data
+  * sequence numbers instead of copy-on-write rewrites
+  * (`write.mutation.mode = merge-on-read`). Verifies the full lifecycle —
+  * delete without rewriting data files, update, re-insert of a deleted
+  * key, seq-scoped visibility, time travel, pushdown withholding, and
+  * compaction folding the deletes back in.
+  */
+class MergeOnReadSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private val warehouse = Files.createTempDirectory("graft_mor").toString
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.catalog.graft", classOf[graft.sources.GraftCatalog].getName)
+    .config("spark.sql.catalog.graft.warehouse", warehouse)
+    .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def dataDir(table: String): Path =
+    new Path(s"$warehouse/mor/$table/data")
+  private def fs = dataDir("x").getFileSystem(new Configuration())
+
+  private def dataFiles(table: String): Set[String] =
+    TableStats.read(fs, dataDir(table)).keySet.filterNot(GraftDeletes.isDeleteRel)
+  private def deleteFiles(table: String): Set[String] =
+    TableStats.read(fs, dataDir(table)).keySet.filter(GraftDeletes.isDeleteRel)
+
+  private def rows(table: String): Seq[(String, Long)] =
+    spark.sql(s"SELECT row_key, v FROM graft.mor.$table ORDER BY row_key")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+
+  private var preMutationVersion: Long = _
+
+  test("DELETE writes a delete file; data files are untouched") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.mor")
+    spark.sql(
+      s"""CREATE TABLE graft.mor.t (row_key STRING, v BIGINT)
+         |TBLPROPERTIES ('${GraftDeletes.ModeProp}' = 'merge-on-read')""".stripMargin)
+    spark.sql("INSERT INTO graft.mor.t VALUES ('a', 1), ('b', 2)")
+    spark.sql("INSERT INTO graft.mor.t VALUES ('c', 3), ('d', 4)")
+    preMutationVersion = Snapshots.list(fs, dataDir("t")).last._1
+    val before = dataFiles("t")
+    assert(before.size >= 2)
+
+    spark.sql("DELETE FROM graft.mor.t WHERE v = 2 OR v = 3")
+    assert(dataFiles("t") == before,
+      "merge-on-read DELETE must not add/remove/rewrite data files")
+    assert(deleteFiles("t").nonEmpty, "expected an equality-delete file")
+    assert(rows("t") == Seq(("a", 1L), ("d", 4L)))
+    // count goes through the real scan (pushdown withheld), stays exact
+    assert(spark.sql("SELECT COUNT(*) FROM graft.mor.t").head().getLong(0) == 2)
+  }
+
+  test("re-inserting a deleted key is visible (seq scoping)") {
+    spark.sql("INSERT INTO graft.mor.t VALUES ('b', 20)")
+    assert(rows("t") == Seq(("a", 1L), ("b", 20L), ("d", 4L)),
+      "a row written after the delete must escape it")
+  }
+
+  test("UPDATE keeps the key and changes the value in place") {
+    spark.sql("UPDATE graft.mor.t SET v = v + 100 WHERE row_key = 'a'")
+    assert(rows("t") == Seq(("a", 101L), ("b", 20L), ("d", 4L)))
+    // the update wrote a delta, not a rewrite: original files still live
+    assert(dataFiles("t").size >= 3)
+  }
+
+  test("MERGE INTO routes matched updates and unmatched inserts") {
+    spark.sql("CREATE OR REPLACE TEMPORARY VIEW src AS SELECT * FROM VALUES" +
+      " ('b', 1000L), ('e', 5L) AS t(row_key, v)")
+    spark.sql(
+      """MERGE INTO graft.mor.t t USING src s ON t.row_key = s.row_key
+        |WHEN MATCHED THEN UPDATE SET v = s.v
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    assert(rows("t") == Seq(("a", 101L), ("b", 1000L), ("d", 4L), ("e", 5L)))
+  }
+
+  test("time travel sees the pre-mutation state") {
+    val v2 = spark.sql("SELECT row_key, v FROM graft.mor.t" +
+      s" VERSION AS OF $preMutationVersion ORDER BY row_key")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(v2 == Seq(("a", 1L), ("b", 2L), ("c", 3L), ("d", 4L)))
+  }
+
+  test("compaction folds deletes in and drops the delete entries") {
+    val table = spark.sessionState.catalogManager.catalog("graft")
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
+      .loadTable(org.apache.spark.sql.connector.catalog.Identifier.of(
+        Array("mor"), "t")).asInstanceOf[graft.sources.GraftTable]
+    assert(deleteFiles("t").nonEmpty)
+    val (before, after) = Compaction.compact(spark, table)
+    assert(before > 0 && after > 0)
+    assert(deleteFiles("t").isEmpty,
+      "compaction must drop delete entries it folded in")
+    assert(rows("t") == Seq(("a", 101L), ("b", 1000L), ("d", 4L), ("e", 5L)),
+      "contents must be identical after the fold")
+    // with no outstanding deletes the registry-first COUNT(*) is back:
+    // exact and zero-listing
+    assert(spark.sql("SELECT COUNT(*) FROM graft.mor.t").head().getLong(0) == 4)
+  }
+
+  test("vacuum reclaims dropped delete files") {
+    Snapshots.vacuum(s"$warehouse/mor/t", retain = 1, minAgeMillis = 0)
+    val it = fs.listFiles(dataDir("t"), true)
+    var orphanDeletes = 0
+    while (it.hasNext) {
+      val p = it.next().getPath
+      if (GraftDeletes.isDeleteRel(TableStats.relOf(p.toString))) orphanDeletes += 1
+    }
+    assert(orphanDeletes == 0, "expired delete files should be vacuumed")
+    assert(rows("t") == Seq(("a", 101L), ("b", 1000L), ("d", 4L), ("e", 5L)))
+  }
+
+  test("incremental read refuses to cross a merge-on-read mutation") {
+    spark.sql(
+      s"""CREATE TABLE graft.mor.inc (row_key STRING, v BIGINT)
+         |TBLPROPERTIES ('${GraftDeletes.ModeProp}' = 'merge-on-read')""".stripMargin)
+    spark.sql("INSERT INTO graft.mor.inc VALUES ('a', 1), ('b', 2)")
+    spark.sql("DELETE FROM graft.mor.inc WHERE row_key = 'a'")
+    spark.sql("INSERT INTO graft.mor.inc VALUES ('c', 3)")
+    val e = intercept[Exception] {
+      spark.read.format("graft").option("since-version", "1")
+        .load(s"$warehouse/mor/inc").collect()
+    }
+    assert(e.getMessage.contains("merge-on-read"),
+      s"expected the non-append refusal, got: ${e.getMessage}")
+  }
+
+  test("copy-on-write stays the default path") {
+    spark.sql("CREATE TABLE graft.mor.cow (row_key STRING, v BIGINT)")
+    spark.sql("INSERT INTO graft.mor.cow VALUES ('a', 1), ('b', 2)")
+    spark.sql("DELETE FROM graft.mor.cow WHERE v = 1")
+    assert(deleteFiles("cow").isEmpty, "COW must not write delete files")
+    assert(spark.sql("SELECT row_key FROM graft.mor.cow").collect()
+      .map(_.getString(0)).toSeq == Seq("b"))
+  }
+}

@@ -221,8 +221,11 @@ class SnapshotSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("registry parses pre-bytes format lines (backward compat)") {
     val withCols = "part-0.parquet\t10\tk=1,5\nplain.parquet\t3\n"
     val m = TableStats.deserialize(withCols)
-    assert(m("part-0.parquet") == TableStats.Entry(10, Map("k" -> ("1", "5")), -1L))
-    assert(m("plain.parquet") == TableStats.Entry(3))
+    // legacy lines read back seq = 0: older than every equality delete,
+    // which is the only sound assumption for pre-seq data
+    assert(m("part-0.parquet") ==
+      TableStats.Entry(10, Map("k" -> ("1", "5")), -1L, 0L))
+    assert(m("plain.parquet") == TableStats.Entry(3, seq = 0L))
     val roundTrip = TableStats.deserialize(TableStats.serialize(m))
     assert(roundTrip == m)
   }
