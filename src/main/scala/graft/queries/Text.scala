@@ -676,6 +676,91 @@ object Text {
                CAST(MIN(d.n_chars) AS BIGINT) AS floor_chars
         FROM documents d JOIN med ON med.lang = d.lang
         WHERE d.n_chars >= med.med
-        GROUP BY d.lang ORDER BY d.lang"""))
+        GROUP BY d.lang ORDER BY d.lang""")),
+
+    // ---- q95: bigram-LM likelihood scoring (perplexity-style filter) ------
+    // The CCNet-style quality signal: train a word-bigram language model
+    // on the corpus itself (conditional probabilities from one grouped
+    // count), then score every document by its mean quantized conditional
+    // probability — low scores mark documents whose word sequences the
+    // corpus finds surprising (boilerplate, noise, wrong language). All
+    // arithmetic is integer-exact: per-occurrence scores are
+    // floor(1e6 * c(w1,w2) / c(w1)) so both engines sum identical
+    // integers in any order. Scale: two shuffles (bigram count, per-doc
+    // sum) over an exploded-but-narrow stream; the model is never
+    // collected — it joins back distributively.
+    QueryDef(
+      "q95_bigram_lm_score",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val toks = t.documents.select(col("doc_id"), split(col("text"), " ").as("ws"))
+        val big = toks
+          .select(col("doc_id"),
+            explode(expr(
+              "transform(sequence(0, size(ws) - 2), i -> struct(ws[i] AS w1, ws[i + 1] AS w2))"))
+              .as("b"))
+          .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+        val c1 = big.groupBy("w1").agg(count(lit(1)).as("c1"))
+        val c12 = big.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+        big.join(c12, Seq("w1", "w2")).join(c1, Seq("w1"))
+          .withColumn("q", floor(col("c12") * lit(1000000.0) / col("c1")).cast("long"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).cast("long").as("n_bigrams"),
+            sum(col("q")).as("total"))
+          .select(col("doc_id"), col("n_bigrams"),
+            floor(col("total") / col("n_bigrams")).cast("long").as("lm_score"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH toks AS (
+          SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        idx AS (
+          SELECT doc_id, ws, unnest(range(1, len(ws))) AS i FROM toks),
+        big AS (
+          SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2 FROM idx),
+        c1 AS (SELECT w1, COUNT(*) AS c1 FROM big GROUP BY w1),
+        c12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM big GROUP BY w1, w2)
+        SELECT b.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+               CAST(FLOOR(SUM(FLOOR(c12.c12 * 1000000.0 / c1.c1)) / COUNT(*)) AS BIGINT)
+                 AS lm_score
+        FROM big b JOIN c12 ON c12.w1 = b.w1 AND c12.w2 = b.w2
+        JOIN c1 ON c1.w1 = b.w1
+        GROUP BY b.doc_id ORDER BY b.doc_id""")),
+
+    // ---- q96: RAG chunking — overlapping token windows --------------------
+    // The retrieval-corpus preparation step: every document splits into
+    // 64-token chunks with a 16-token overlap (stride 48), each chunk
+    // carrying its span and boundary tokens. Pure per-row array algebra
+    // (sequence + slice inside codegen, one explode) — no shuffle at all
+    // until the final order, so it streams at corpus scale.
+    QueryDef(
+      "q96_rag_chunks",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        t.documents
+          .select(col("doc_id"), split(col("text"), " ").as("ws"))
+          .select(col("doc_id"), size(col("ws")).as("n"),
+            explode(expr("sequence(0, greatest(size(ws) - 1, 0), 48)")).as("start"),
+            col("ws"))
+          .select(col("doc_id"),
+            (col("start") / 48).cast("long").as("chunk_idx"),
+            least(lit(64), col("n") - col("start")).cast("long").as("chunk_len"),
+            expr("ws[start]").as("first_tok"),
+            expr("ws[least(start + 63, n - 1)]").as("last_tok"))
+          .orderBy(col("doc_id"), col("chunk_idx"))
+      },
+      Some("""WITH toks AS (
+          SELECT doc_id, string_split(text, ' ') AS ws, len(string_split(text, ' ')) AS n
+          FROM documents),
+        starts AS (
+          SELECT doc_id, ws, n,
+                 unnest(range(0, GREATEST(n - 1, 0) + 1, 48)) AS i
+          FROM toks)
+        SELECT doc_id,
+               CAST(i // 48 AS BIGINT) AS chunk_idx,
+               CAST(LEAST(64, n - i) AS BIGINT) AS chunk_len,
+               ws[i + 1] AS first_tok,
+               ws[LEAST(i + 64, n)] AS last_tok
+        FROM starts
+        ORDER BY doc_id, chunk_idx"""))
   )
 }

@@ -784,6 +784,107 @@ object Vectors {
           CAST(COUNT(*) AS BIGINT) AS k
         FROM truth t LEFT JOIN approx a ON a.qid = t.qid AND a.vid = t.vid
         GROUP BY t.qid ORDER BY t.qid"""
+      }),
+
+    // ---- q94: SemDeDup — semantic dedup via cluster-then-prune ------------
+    // The SemDeDup recipe (Abbas et al. 2023, arXiv:2303.09540): k-means
+    // the embedding space, then look for near-duplicate pairs ONLY within
+    // each cluster and keep the lowest-id member of every duplicate pair.
+    // Differs from q29's LSH blocking in that the blocking structure is
+    // LEARNED (the same trained quantizer as q56), which is what makes it
+    // robust to paraphrase-level duplication at corpus scale. Scale shape:
+    // train = 2 broadcast+shuffle Lloyd rounds; prune = per-cluster
+    // self-join (clusters bound the pair space, corpus never crossed);
+    // one final per-cluster aggregate.
+    QueryDef(
+      "q94_semdedup",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val e = emb(t)
+        val n = norms(e)
+        val ke = e.select(col("vec_id").as("id"), col("e"))
+        val cent = graft.ml.KMeans.fit(ke, 8, 2) // same trained model as q56
+        val scored = ke.crossJoin(broadcast(cent))
+          .withColumn("dot",
+            expr("aggregate(zip_with(e, c, (x, y) -> round(x * y * 1e9)), 0D, (a, p) -> a + p)"))
+          .withColumn("cn2", expr("aggregate(c, 0D, (a, x) -> a + round(x * x * 1e9))"))
+          .withColumn("sim", expr("dot / sqrt(cn2)"))
+        val w = Window.partitionBy(col("id")).orderBy(desc("sim"), col("cluster"))
+        val assign = scored.withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1).select(col("id"), col("cluster"))
+        val a = assign.select(col("id").as("qid"), col("cluster"))
+          .join(e.select(col("vec_id").as("qid"), col("e").as("qe")), "qid")
+        val b = assign.select(col("id").as("vid"), col("cluster"))
+          .join(e.select(col("vec_id").as("vid"), col("e").as("ve")), "vid")
+        val pairs = a.join(b, "cluster").filter(col("qid") < col("vid"))
+        val dropped = cosine(pairs, n).filter(col("cos") > 0.3)
+          .select(col("cluster"), col("vid")).distinct()
+        assign.groupBy(col("cluster"))
+          .agg(count(lit(1)).cast("long").as("members"))
+          .join(dropped.groupBy(col("cluster"))
+              .agg(count(lit(1)).cast("long").as("n_dropped"),
+                sum(col("vid")).cast("long").as("dropped_id_sum")),
+            Seq("cluster"), "left")
+          .select(col("cluster").cast("int").as("cluster"), col("members"),
+            coalesce(col("n_dropped"), lit(0L)).as("n_dropped"),
+            coalesce(col("dropped_id_sum"), lit(0L)).as("dropped_id_sum"))
+          .orderBy(col("cluster"))
+      },
+      Some {
+        // the same two unrolled Lloyd iterations as the q56 oracle
+        def sim(cent: String, out: String) =
+          s"""$out AS (
+             |  SELECT e.id, c.cluster,
+             |    list_sum(list_transform(range(1, len(e.embedding) + 1),
+             |      i -> round(CAST(e.embedding[i] AS DOUBLE) * c.c[i] * 1e9))) /
+             |    sqrt(list_sum(list_transform(c.c, x -> round(x * x * 1e9)))) AS sim
+             |  FROM e CROSS JOIN $cent c)""".stripMargin
+        def assignCte(scores: String, out: String) =
+          s"""$out AS (
+             |  SELECT id, cluster FROM (
+             |    SELECT id, cluster,
+             |      ROW_NUMBER() OVER (PARTITION BY id ORDER BY sim DESC, cluster) AS rn
+             |    FROM $scores) WHERE rn = 1)""".stripMargin
+        def updateCte(assignName: String, out: String) =
+          s"""${out}_s AS (
+             |  SELECT a.cluster, p.i,
+             |    SUM(round(CAST(e.embedding[p.i] AS DOUBLE) * 1e9)) AS sm,
+             |    COUNT(*) AS n
+             |  FROM $assignName a JOIN e ON e.id = a.id CROSS JOIN pos p
+             |  GROUP BY a.cluster, p.i),
+             |$out AS (
+             |  SELECT cluster, list((sm / n) / 1e9 ORDER BY i) AS c
+             |  FROM ${out}_s GROUP BY cluster)""".stripMargin
+        s"""WITH e AS (SELECT vec_id AS id, embedding FROM embeddings),
+        pos AS (SELECT CAST(i AS BIGINT) AS i FROM range(1, 65) t(i)),
+        c0 AS (SELECT CAST(id AS INT) AS cluster,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS c
+               FROM e WHERE id < 8),
+        ${sim("c0", "s1")}, ${assignCte("s1", "a1")}, ${updateCte("a1", "c1")},
+        ${sim("c1", "s2")}, ${assignCte("s2", "a2")}, ${updateCte("a2", "c2")},
+        ${sim("c2", "s3")}, ${assignCte("s3", "assign")},
+        norms AS (SELECT id AS vec_id,
+                    list_sum(list_transform(embedding,
+                      x -> round(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) * 1e9))) AS n2
+                  FROM e),
+        pairs AS (
+          SELECT qa.cluster, qa.id AS qid, va.id AS vid,
+            list_sum(list_transform(range(1, len(q.embedding) + 1),
+              i -> round(CAST(q.embedding[i] AS DOUBLE) * CAST(v.embedding[i] AS DOUBLE) * 1e9)))
+              / sqrt(nq.n2 * nv.n2) AS cos
+          FROM assign qa JOIN assign va ON qa.cluster = va.cluster AND qa.id < va.id
+          JOIN e q ON q.id = qa.id JOIN e v ON v.id = va.id
+          JOIN norms nq ON nq.vec_id = qa.id JOIN norms nv ON nv.vec_id = va.id),
+        dropped AS (
+          SELECT DISTINCT cluster, vid FROM pairs WHERE cos > 0.3)
+        SELECT CAST(a.cluster AS INT) AS cluster,
+               CAST(COUNT(*) AS BIGINT) AS members,
+               CAST(COALESCE(MAX(d.n_dropped), 0) AS BIGINT) AS n_dropped,
+               CAST(COALESCE(MAX(d.dropped_id_sum), 0) AS BIGINT) AS dropped_id_sum
+        FROM assign a LEFT JOIN (
+          SELECT cluster, COUNT(*) AS n_dropped, SUM(vid) AS dropped_id_sum
+          FROM dropped GROUP BY cluster) d ON d.cluster = a.cluster
+        GROUP BY a.cluster ORDER BY cluster"""
       })
   )
 }
