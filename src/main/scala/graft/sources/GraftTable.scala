@@ -250,6 +250,11 @@ object GraftTable {
     * history, and new writes always use the current name. */
   val RenamesProp = "graft.renames"
 
+  /** Comma-separated columns every INSERT range-partitions + sorts by
+    * (write-side clustering: files get disjoint registered ranges at
+    * ingest; see [[GraftWriteBuilder.build]]). */
+  val SortColumnsProp = "write.sort.columns"
+
   /** Comma-separated names of DROPPED columns (and their former names):
     * they still carry data in old files, so name-based reading must never
     * let ADD/RENAME COLUMN reuse one (the values would resurrect). */
@@ -1397,16 +1402,36 @@ final class GraftWriteBuilder(
         Some(org.apache.spark.sql.connector.expressions.Expressions.identity(tu.col)
           : org.apache.spark.sql.connector.expressions.Expression)
     }
-    if (clusterOn.nonEmpty &&
-        props.getOrElse("write.distribute", "true").toBoolean)
+    // write.sort.columns: every INSERT range-partitions + sorts on the
+    // listed columns, so files land with tight, pairwise-disjoint
+    // registered [min, max] ranges AT INGEST — point/range queries plan
+    // one file without waiting for a sorted compaction. On partitioned
+    // tables the sort nests inside the partition clustering (files
+    // sorted within each partition dir). Advisory like the clustering:
+    // AQE sizes the range tasks.
+    val sortCols = props.getOrElse(GraftTable.SortColumnsProp, "")
+      .split(',').map(_.trim).filter(_.nonEmpty).toSeq
+    sortCols.foreach(c => require(schema.fieldNames.contains(c),
+      s"graft: ${GraftTable.SortColumnsProp} names unknown column $c"))
+    val sortOrders = sortCols.map(c =>
+      org.apache.spark.sql.connector.expressions.Expressions.sort(
+        org.apache.spark.sql.connector.expressions.Expressions.column(c),
+        org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING))
+      .toArray
+    val distribute = props.getOrElse("write.distribute", "true").toBoolean
+    if ((clusterOn.nonEmpty || sortOrders.nonEmpty) && distribute)
       new GraftWrite with RequiresDistributionAndOrdering {
         override def requiredDistribution():
             org.apache.spark.sql.connector.distributions.Distribution =
-          org.apache.spark.sql.connector.distributions.Distributions.clustered(
-            clusterOn.toArray)
+          if (clusterOn.nonEmpty)
+            org.apache.spark.sql.connector.distributions.Distributions.clustered(
+              clusterOn.toArray)
+          else
+            org.apache.spark.sql.connector.distributions.Distributions.ordered(
+              sortOrders)
         override def distributionStrictlyRequired(): Boolean = false
         override def requiredOrdering(): Array[
-            org.apache.spark.sql.connector.expressions.SortOrder] = Array.empty
+            org.apache.spark.sql.connector.expressions.SortOrder] = sortOrders
       }
     else new GraftWrite
   }

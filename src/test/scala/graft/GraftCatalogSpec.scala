@@ -806,6 +806,47 @@ class GraftCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.sql("DROP TABLE graft.pw.bkt")
   }
 
+  test("write.sort.columns: INSERT lands range-disjoint files at ingest") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.pw")
+    spark.sql(
+      """CREATE TABLE graft.pw.sw (id BIGINT, v DOUBLE)
+        |TBLPROPERTIES ('write.sort.columns' = 'id')""".stripMargin)
+    // an interleaved source: without the ordered distribution every task's
+    // file would span the whole id domain. AQE would rightly coalesce a
+    // 2000-row shuffle to one partition — pin it off so the test sees the
+    // multi-task shape a real ingest has.
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try
+      spark.sql("INSERT INTO graft.pw.sw SELECT (id * 7919) % 2000 AS id, " +
+        "CAST(id AS DOUBLE) FROM range(2000)")
+    finally spark.conf.unset("spark.sql.adaptive.coalescePartitions.enabled")
+    val t = spark.sessionState.catalogManager.catalog("graft")
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
+      .loadTable(org.apache.spark.sql.connector.catalog.Identifier.of(Array("pw"), "sw"))
+      .asInstanceOf[graft.sources.GraftTable]
+    val fs = new org.apache.hadoop.fs.Path(t.dataDir)
+      .getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val ranges = graft.sources.TableStats
+      .read(fs, new org.apache.hadoop.fs.Path(t.dataDir))
+      .values.toSeq.flatMap(_.cols.get("id"))
+      .map { case (mn, mx) => (mn.toLong, mx.toLong) }.sorted
+    assert(ranges.size >= 2, s"expected a range-partitioned multi-file insert, got $ranges")
+    ranges.sliding(2).foreach {
+      case Seq((_, aMax), (bMin, _)) =>
+        assert(aMax < bMin, s"overlapping ingest ranges: $ranges")
+      case _ => ()
+    }
+    // a point query plans exactly one file straight after the insert
+    val fresh = t.newScanBuilder(
+      new org.apache.spark.sql.util.CaseInsensitiveStringMap(java.util.Map.of()))
+    fresh.asInstanceOf[org.apache.spark.sql.connector.read.SupportsPushDownFilters]
+      .pushFilters(Array(org.apache.spark.sql.sources.EqualTo("id", 600L)))
+    val parts = fresh.build().asInstanceOf[graft.sources.GraftScan]
+      .toBatch.planInputPartitions()
+    assert(parts.length == 1, s"point query planned ${parts.length} files, want 1")
+    spark.sql("DROP TABLE graft.pw.sw")
+  }
+
   test("sorted compaction clusters files into disjoint ranges that skip") {
     spark.sql("CREATE TABLE graft.pw.clus (id BIGINT, v DOUBLE)")
     // interleaved inserts: every file's id range spans the whole domain,
