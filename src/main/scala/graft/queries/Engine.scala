@@ -753,6 +753,58 @@ object Engine {
         SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
                CAST(SUM(n_chars) AS BIGINT) AS chars,
                CAST(SUM(doc_id) AS BIGINT) AS id_sum
-        FROM merged GROUP BY lang ORDER BY lang"""))
+        FROM merged GROUP BY lang ORDER BY lang""")),
+
+    // ---- q97: CDC change feed over merge-on-read mutations ----------------
+    // [[graft.sources.Snapshots.changes]]: appends replay as inserts (only
+    // the added files are read), merge-on-read DELETEs replay as delete
+    // rows carrying their equality keys — so an incremental consumer stays
+    // exact across mutations where the plain `since-version` append scan
+    // must refuse. The gate drives insert → delete → insert and folds the
+    // whole feed into per-change-type totals; the oracle replays the same
+    // three commits relationally.
+    QueryDef(
+      "q97_cdc_feed",
+      (s, dir) => {
+        val ns = ensureCatalog(s, dir)
+        s.sql(s"DROP TABLE IF EXISTS $ns.cdc")
+        s.sql(
+          s"""CREATE TABLE $ns.cdc (row_key STRING, doc_id BIGINT,
+             |  n_chars BIGINT, lang STRING)
+             |TBLPROPERTIES ('${graft.sources.GraftDeletes.ModeProp}' = 'merge-on-read')"""
+            .stripMargin)
+        s.sql(
+          s"""INSERT INTO $ns.cdc
+             |SELECT CAST(doc_id AS STRING), doc_id, n_chars, lang
+             |FROM parquet.`$dir/documents.parquet` WHERE doc_id % 2 = 0""".stripMargin)
+        s.sql(s"DELETE FROM $ns.cdc WHERE doc_id % 10 = 4")
+        s.sql(
+          s"""INSERT INTO $ns.cdc
+             |SELECT CAST(doc_id AS STRING), doc_id, n_chars, lang
+             |FROM parquet.`$dir/documents.parquet`
+             |WHERE doc_id % 2 = 1 AND doc_id % 3 = 0""".stripMargin)
+        val cat = s.sessionState.catalogManager.catalog("gcat")
+          .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
+        val tbl = cat.loadTable(org.apache.spark.sql.connector.catalog.Identifier
+            .of(Array("corpus"), "cdc")).asInstanceOf[graft.sources.GraftTable]
+        import org.apache.spark.sql.functions._
+        graft.sources.Snapshots.changes(s, tbl, since = 0L)
+          .withColumn("id", coalesce(col("doc_id"), expr("CAST(row_key AS BIGINT)")))
+          .groupBy(col("_change_type").as("op"))
+          .agg(count(lit(1)).cast("long").as("n"),
+            sum(col("id")).cast("long").as("id_sum"))
+          .orderBy(col("op"))
+      },
+      Some("""WITH feed AS (
+          SELECT 'insert' AS op, doc_id FROM documents WHERE doc_id % 2 = 0
+          UNION ALL
+          SELECT 'delete' AS op, doc_id FROM documents
+          WHERE doc_id % 2 = 0 AND doc_id % 10 = 4
+          UNION ALL
+          SELECT 'insert' AS op, doc_id FROM documents
+          WHERE doc_id % 2 = 1 AND doc_id % 3 = 0)
+        SELECT op, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(doc_id) AS BIGINT) AS id_sum
+        FROM feed GROUP BY op ORDER BY op"""))
   )
 }

@@ -143,6 +143,30 @@ class MergeOnReadSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"expected the non-append refusal, got: ${e.getMessage}")
   }
 
+  test("change feed replays MOR deletes, refuses COW rewrites") {
+    def load(name: String) = spark.sessionState.catalogManager.catalog("graft")
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
+      .loadTable(org.apache.spark.sql.connector.catalog.Identifier.of(
+        Array("mor"), name)).asInstanceOf[graft.sources.GraftTable]
+    // inc: INSERT (a,b) → MOR DELETE a → INSERT c
+    val feed = Snapshots.changes(spark, load("inc"), since = 0L)
+      .select("_change_type", "row_key").collect()
+      .map(r => (r.getString(0), r.getString(1))).sorted.toSeq
+    assert(feed == Seq(("delete", "a"), ("insert", "a"), ("insert", "b"),
+      ("insert", "c")), s"unexpected feed: $feed")
+    // versions are monotone and deletes carry NULL data columns
+    val delRow = Snapshots.changes(spark, load("inc"), since = 0L)
+      .filter("_change_type = 'delete'").collect().head
+    assert(delRow.isNullAt(delRow.fieldIndex("v")))
+    // a COW DELETE rewrote files in mor.cow — the feed must refuse
+    spark.sql("CREATE TABLE graft.mor.cow2 (row_key STRING, v BIGINT)")
+    spark.sql("INSERT INTO graft.mor.cow2 VALUES ('a', 1), ('b', 2)")
+    spark.sql("DELETE FROM graft.mor.cow2 WHERE v = 1")
+    val e = intercept[IllegalArgumentException](
+      Snapshots.changes(spark, load("cow2"), since = 0L))
+    assert(e.getMessage.contains("copy-on-write"))
+  }
+
   test("copy-on-write stays the default path") {
     spark.sql("CREATE TABLE graft.mor.cow (row_key STRING, v BIGINT)")
     spark.sql("INSERT INTO graft.mor.cow VALUES ('a', 1), ('b', 2)")
