@@ -761,6 +761,47 @@ object Text {
                ws[i + 1] AS first_tok,
                ws[LEAST(i + 64, n)] AS last_tok
         FROM starts
-        ORDER BY doc_id, chunk_idx"""))
+        ORDER BY doc_id, chunk_idx""")),
+
+    // ---- q98: DSIR-style importance weights -------------------------------
+    // Data Selection via Importance Resampling (Xie et al. 2023,
+    // arXiv:2302.03169): weight every document by how much its token
+    // distribution looks like a TARGET domain (here: the 'en' slice)
+    // relative to the whole corpus — w(doc) = mean over tokens of
+    // P_target(w)/P_source(w), add-one smoothed and integer-quantized so
+    // both engines agree bit-for-bit. High-weight documents are the ones
+    // importance resampling keeps when fitting a corpus to a target
+    // domain. Scale: two token-count aggregates (target + corpus) joined
+    // back distributively — the model is never collected; DSIR's hashed
+    // feature space is an executor-memory optimization this declarative
+    // shape doesn't need.
+    QueryDef(
+      "q98_dsir_weights",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val toks = t.documents
+          .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("w"))
+        val cs = toks.groupBy("w").agg(count(lit(1)).as("cs"))
+        val ct = toks.filter(col("lang") === "en")
+          .groupBy("w").agg(count(lit(1)).as("ct"))
+        toks.join(cs, Seq("w")).join(ct, Seq("w"), "left")
+          .withColumn("q",
+            floor((coalesce(col("ct"), lit(0L)) + lit(1)) * lit(1000000.0) /
+              (col("cs") + lit(1))).cast("long"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).cast("long").as("n_tokens"), sum(col("q")).as("total"))
+          .select(col("doc_id"), col("n_tokens"),
+            floor(col("total") / col("n_tokens")).cast("long").as("dsir_w"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH toks AS (
+          SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w FROM documents),
+        cs AS (SELECT w, COUNT(*) AS cs FROM toks GROUP BY w),
+        ct AS (SELECT w, COUNT(*) AS ct FROM toks WHERE lang = 'en' GROUP BY w)
+        SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               CAST(FLOOR(SUM(FLOOR((COALESCE(ct.ct, 0) + 1) * 1000000.0 /
+                 (cs.cs + 1))) / COUNT(*)) AS BIGINT) AS dsir_w
+        FROM toks t JOIN cs ON cs.w = t.w LEFT JOIN ct ON ct.w = t.w
+        GROUP BY t.doc_id ORDER BY t.doc_id"""))
   )
 }

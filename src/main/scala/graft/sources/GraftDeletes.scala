@@ -96,9 +96,25 @@ object GraftDeletes {
   /** Fold a manifest's delete entries into (key -> max applicable seq):
     * a row in a file with seq S is deleted iff map(key) > S. Driver-side
     * — delete files are the small side by design (compaction bounds
-    * their accretion), the corpus side never materializes. */
+    * their accretion), the corpus side never materializes. A session
+    * cap (`spark.graft.deletes.max.bytes`, default 256 MB) fails loudly
+    * when a mutation-heavy table has accreted more delete metadata than
+    * the driver should carry: the fix is a compaction, not a silent
+    * multi-GB task broadcast. */
   def keyMap(fs: FileSystem, dataDir: Path,
              manifest: Map[String, TableStats.Entry]): Map[String, Long] = {
+    val cap =
+      try org.apache.spark.sql.internal.SQLConf.get
+        .getConfString("spark.graft.deletes.max.bytes",
+          String.valueOf(256L * 1024 * 1024)).toLong
+      catch { case _: Exception => 256L * 1024 * 1024 }
+    val total = manifest.iterator.collect {
+      case (rel, e) if isDeleteRel(rel) => math.max(e.bytes, 0L)
+    }.sum
+    if (total > cap) throw new IllegalStateException(
+      s"graft: $dataDir carries $total bytes of outstanding equality " +
+        s"deletes (> cap $cap); run Compaction.compact (or OPTIMIZE) to " +
+        "fold them into the data, or raise spark.graft.deletes.max.bytes")
     val out = scala.collection.mutable.HashMap[String, Long]()
     manifest.foreach { case (rel, e) =>
       if (isDeleteRel(rel))
