@@ -802,6 +802,94 @@ object Text {
                CAST(FLOOR(SUM(FLOOR((COALESCE(ct.ct, 0) + 1) * 1000000.0 /
                  (cs.cs + 1))) / COUNT(*)) AS BIGINT) AS dsir_w
         FROM toks t JOIN cs ON cs.w = t.w LEFT JOIN ct ON ct.w = t.w
-        GROUP BY t.doc_id ORDER BY t.doc_id"""))
+        GROUP BY t.doc_id ORDER BY t.doc_id""")),
+
+    // ---- q99: BPE merge induction (tokenizer training) --------------------
+    // Two rounds of byte-pair-encoding training over the corpus: words
+    // are spelled as space-separated symbols, the highest-count adjacent
+    // pair (ties broken lexicographically) becomes the round's merge rule
+    // and is fused everywhere, then the next round recounts. The classic
+    // weighting trick keeps it cheap at any corpus size: pair statistics
+    // run over DISTINCT words weighted by word frequency, so the heavy
+    // recount is proportional to the vocabulary, not the corpus; each
+    // rule is one row broadcast back. Both engines fuse with left-to-
+    // right non-overlapping replace on the space-delimited spelling —
+    // BPE's canonical merge order — so the rules and counts hash-match.
+    // Output: the learned rules (rounds 1-2) and the round-3 candidate.
+    QueryDef(
+      "q99_bpe_merges",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val words = t.documents
+          .select(explode(split(col("text"), " ")).as("word"))
+          .filter(length(col("word")) > 0)
+          .groupBy("word").agg(count(lit(1)).as("wc"))
+          .withColumn("seq",
+            concat(lit(" "),
+              array_join(expr("regexp_extract_all(word, '.', 0)"), " "), lit(" ")))
+        def pairCounts(wordsDf: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+          wordsDf
+            .select(col("wc"), expr("split(trim(seq), ' ')").as("ss"))
+            // single-symbol words have no pairs (and sequence(0, -1)
+            // would count DOWN, indexing past the array)
+            .filter(size(col("ss")) >= 2)
+            .select(col("wc"), explode(expr(
+              "transform(sequence(0, size(ss) - 2), i -> concat(ss[i], ' ', ss[i + 1]))"))
+              .as("pair"))
+            .groupBy("pair").agg(sum(col("wc")).cast("long").as("cnt"))
+        def best(pc: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+          pc.orderBy(desc("cnt"), col("pair")).limit(1)
+        def fuse(wordsDf: org.apache.spark.sql.DataFrame, rule: org.apache.spark.sql.DataFrame) =
+          wordsDf.crossJoin(broadcast(rule.select(col("pair").as("p"))))
+            .withColumn("seq", expr(
+              "replace(seq, concat(' ', p, ' '), concat(' ', replace(p, ' ', ''), ' '))"))
+            .drop("p")
+        val pc1 = pairCounts(words)
+        val r1 = best(pc1)
+        val w1 = fuse(words, r1)
+        val pc2 = pairCounts(w1)
+        val r2 = best(pc2)
+        val w2 = fuse(w1, r2)
+        val r3 = best(pairCounts(w2))
+        r1.withColumn("round", lit(1L))
+          .unionByName(r2.withColumn("round", lit(2L)))
+          .unionByName(r3.withColumn("round", lit(3L)))
+          .select(col("round"), col("pair"), col("cnt"))
+          .orderBy(col("round"))
+      },
+      Some {
+        def pc(src: String, out: String) =
+          s"""${out}_s AS (
+             |  SELECT wc, string_split(trim(seq), ' ') AS ss FROM $src),
+             |${out}_p AS (
+             |  SELECT wc, ss[i] || ' ' || ss[i + 1] AS pair
+             |  FROM (SELECT wc, ss, unnest(range(1, len(ss))) AS i FROM ${out}_s)),
+             |$out AS (
+             |  SELECT pair, CAST(SUM(wc) AS BIGINT) AS cnt FROM ${out}_p GROUP BY pair)"""
+            .stripMargin
+        def best(pcName: String, out: String) =
+          s"""$out AS (
+             |  SELECT pair, cnt FROM $pcName ORDER BY cnt DESC, pair LIMIT 1)"""
+            .stripMargin
+        def fuse(src: String, rule: String, out: String) =
+          s"""$out AS (
+             |  SELECT wc, replace(seq, ' ' || r.pair || ' ',
+             |    ' ' || replace(r.pair, ' ', '') || ' ') AS seq
+             |  FROM $src CROSS JOIN $rule r)""".stripMargin
+        s"""WITH words AS (
+          SELECT word, CAST(COUNT(*) AS BIGINT) AS wc FROM (
+            SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+          WHERE length(word) > 0 GROUP BY word),
+        w0 AS (
+          SELECT wc, ' ' || array_to_string(regexp_extract_all(word, '.'), ' ') || ' ' AS seq
+          FROM words),
+        ${pc("w0", "pc1")}, ${best("pc1", "r1")}, ${fuse("w0", "r1", "w1")},
+        ${pc("w1", "pc2")}, ${best("pc2", "r2")}, ${fuse("w1", "r2", "w2")},
+        ${pc("w2", "pc3")}, ${best("pc3", "r3")}
+        SELECT CAST(1 AS BIGINT) AS round, pair, cnt FROM r1
+        UNION ALL SELECT CAST(2 AS BIGINT), pair, cnt FROM r2
+        UNION ALL SELECT CAST(3 AS BIGINT), pair, cnt FROM r3
+        ORDER BY round"""
+      })
   )
 }
