@@ -167,6 +167,67 @@ class MergeOnReadSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e.getMessage.contains("copy-on-write"))
   }
 
+  test("delta commit aborts when a concurrent mutation landed deletes") {
+    import org.apache.spark.sql.connector.write.{LogicalWriteInfo, RowLevelOperation, RowLevelOperationInfo}
+    import org.apache.spark.sql.util.CaseInsensitiveStringMap
+    spark.sql(
+      s"""CREATE TABLE graft.mor.conf (row_key STRING, v BIGINT)
+         |TBLPROPERTIES ('${GraftDeletes.ModeProp}' = 'merge-on-read')""".stripMargin)
+    spark.sql("INSERT INTO graft.mor.conf VALUES ('a', 1), ('b', 2)")
+    val tbl = spark.sessionState.catalogManager.catalog("graft")
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
+      .loadTable(org.apache.spark.sql.connector.catalog.Identifier.of(
+        Array("mor"), "conf")).asInstanceOf[graft.sources.GraftTable]
+    val empty = new CaseInsensitiveStringMap(java.util.Map.of())
+    val info = new RowLevelOperationInfo {
+      override def command(): RowLevelOperation.Command = RowLevelOperation.Command.DELETE
+      override def options(): CaseInsensitiveStringMap = empty
+    }
+    val op = tbl.newRowLevelOperationBuilder(info).build()
+      .asInstanceOf[graft.sources.GraftDeltaOperation]
+    // the operation's scan plans against the CURRENT manifest (baseline)
+    op.newScanBuilder(empty).build().asInstanceOf[graft.sources.GraftScan]
+      .toBatch.planInputPartitions()
+    // ...then a concurrent merge-on-read mutation lands its delete file
+    spark.sql("DELETE FROM graft.mor.conf WHERE v = 1")
+    val writeInfo = new LogicalWriteInfo {
+      override def queryId(): String = "conflict-test"
+      override def schema(): org.apache.spark.sql.types.StructType = tbl.schema()
+      override def options(): CaseInsensitiveStringMap = empty
+    }
+    val e = intercept[IllegalStateException] {
+      op.newWriteBuilder(writeInfo).build().toBatch
+        .commit(Array.empty)
+    }
+    assert(e.getMessage.contains("lost a race"), e.getMessage)
+    // the conflicting statement itself is durable, the aborted one is not
+    assert(spark.sql("SELECT row_key FROM graft.mor.conf").collect()
+      .map(_.getString(0)).toSeq == Seq("b"))
+  }
+
+  test("COUNT(*)/LIMIT pushdown withheld while deletes outstanding") {
+    import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar}
+    import org.apache.spark.sql.util.CaseInsensitiveStringMap
+    val tbl = spark.sessionState.catalogManager.catalog("graft")
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
+      .loadTable(org.apache.spark.sql.connector.catalog.Identifier.of(
+        Array("mor"), "conf")).asInstanceOf[graft.sources.GraftTable]
+    val empty = new CaseInsensitiveStringMap(java.util.Map.of())
+    val countStar = new Aggregation(
+      Array(new CountStar()),
+      Array.empty[org.apache.spark.sql.connector.expressions.Expression])
+    def builder() = tbl.newScanBuilder(empty)
+      .asInstanceOf[graft.sources.GraftScanBuilder]
+    // outstanding deletes (from the conflict test's DELETE): withheld
+    assert(!builder().pushAggregation(countStar),
+      "COUNT(*) pushdown must be withheld while equality deletes are outstanding")
+    // after compaction folds them in: offered again
+    graft.sources.Compaction.compact(spark, tbl)
+    assert(deleteFiles("conf").isEmpty)
+    assert(builder().pushAggregation(countStar),
+      "COUNT(*) pushdown should return once deletes are folded in")
+  }
+
   test("copy-on-write stays the default path") {
     spark.sql("CREATE TABLE graft.mor.cow (row_key STRING, v BIGINT)")
     spark.sql("INSERT INTO graft.mor.cow VALUES ('a', 1), ('b', 2)")
