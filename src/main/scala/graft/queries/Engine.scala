@@ -805,6 +805,42 @@ object Engine {
           WHERE doc_id % 2 = 1 AND doc_id % 3 = 0)
         SELECT op, CAST(COUNT(*) AS BIGINT) AS n,
                CAST(SUM(doc_id) AS BIGINT) AS id_sum
-        FROM feed GROUP BY op ORDER BY op"""))
+        FROM feed GROUP BY op ORDER BY op""")),
+
+    // ---- q100: ALTER COLUMN TYPE widening across file generations ---------
+    // Metadata-only type evolution: rows inserted while the column was
+    // INT keep their narrow physical files; after ALTER COLUMN ... TYPE
+    // BIGINT the later insert writes 64-bit values an INT cannot hold.
+    // The final aggregate reads BOTH generations through one scan —
+    // ParquetRowIO narrows the projection per file and upcasts values,
+    // Spark's vectorized reader widens natively. The oracle computes the
+    // same totals relationally.
+    QueryDef(
+      "q100_type_widening",
+      (s, dir) => {
+        val ns = ensureCatalog(s, dir)
+        s.sql(s"DROP TABLE IF EXISTS $ns.wdn")
+        s.sql(s"CREATE TABLE $ns.wdn (doc_id BIGINT, nc INT, lang STRING)")
+        s.sql(
+          s"""INSERT INTO $ns.wdn
+             |SELECT doc_id, CAST(n_chars AS INT), lang
+             |FROM parquet.`$dir/documents.parquet` WHERE doc_id % 2 = 0""".stripMargin)
+        s.sql(s"ALTER TABLE $ns.wdn ALTER COLUMN nc TYPE BIGINT")
+        s.sql(
+          s"""INSERT INTO $ns.wdn
+             |SELECT doc_id, n_chars + 4000000000, lang
+             |FROM parquet.`$dir/documents.parquet` WHERE doc_id % 2 = 1""".stripMargin)
+        s.sql(
+          s"""SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
+             |       CAST(SUM(nc) AS BIGINT) AS total,
+             |       CAST(MAX(nc) AS BIGINT) AS mx
+             |FROM $ns.wdn GROUP BY lang ORDER BY lang""".stripMargin)
+      },
+      Some("""SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(SUM(CASE WHEN doc_id % 2 = 0 THEN n_chars
+                      ELSE n_chars + 4000000000 END) AS BIGINT) AS total,
+        CAST(MAX(CASE WHEN doc_id % 2 = 0 THEN n_chars
+                      ELSE n_chars + 4000000000 END) AS BIGINT) AS mx
+        FROM documents GROUP BY lang ORDER BY lang"""))
   )
 }

@@ -231,6 +231,36 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
           GraftTable.renderRenames((renames - from) + (to -> history))
         schema = StructType(schema.fields.map(f =>
           if (f.name == from) f.copy(name = to) else f))
+      case up: TableChange.UpdateColumnType if up.fieldNames().length == 1 =>
+        // metadata-only TYPE WIDENING: old files keep their narrow
+        // physical encoding, readers upcast per value (ParquetRowIO
+        // narrows the projection per file; Spark's vectorized reader
+        // widens natively), new writes use the wide type. Only lossless
+        // promotions are legal.
+        val name = up.fieldNames()(0)
+        import org.apache.spark.sql.types.{DoubleType, FloatType, IntegerType, LongType}
+        val cur = schema.fields.find(_.name == name)
+          .getOrElse(throw new IllegalArgumentException(s"no such column $name"))
+          .dataType
+        val to = up.newDataType()
+        val ok = (cur, to) match {
+          case (IntegerType, LongType) => true
+          case (IntegerType, DoubleType) => true
+          case (FloatType, DoubleType) => true
+          case _ => cur == to
+        }
+        require(ok, s"graft: cannot change $name from $cur to $to — only " +
+          "widening promotions (int->long, int->double, float->double) are " +
+          "metadata-only; anything else needs a rewrite")
+        val partSrcs = table.partitionSpecs.map(PartField.parse(_).col)
+        require(!partSrcs.contains(name),
+          s"cannot change the type of partition column $name")
+        if (cur != to) {
+          schema = StructType(schema.fields.map(f =>
+            if (f.name == name) f.copy(dataType = to) else f))
+          props += GraftTable.WidenedProp ->
+            (GraftTable.widenedNames(props) + name).toSeq.sorted.mkString(",")
+        }
       case del: TableChange.DeleteColumn if del.fieldNames().length == 1 =>
         // metadata-only drop: the column simply stops being requested;
         // bytes in existing files become dead and are compacted away on

@@ -53,7 +53,8 @@ final class GraftDeltaOperation(
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     // schema0 already reports row_key as NOT NULL on merge-on-read tables
     new GraftScanBuilder(table.schema0, table.dataDir, table.partitionSpecs,
-      renames = table.renames, onManifest = Some(ks => baseManifest = ks))
+      renames = table.renames, widened = table.widened,
+      onManifest = Some(ks => baseManifest = ks))
 
   override def newWriteBuilder(info: LogicalWriteInfo): DeltaWriteBuilder =
     new DeltaWriteBuilder {

@@ -61,7 +61,7 @@ final class GraftRowLevelOperation(
     // without the history a renamed column would decode as NULL and the
     // rewrite would permanently null it for every surviving row
     new GraftScanBuilder(table.schema0, table.dataDir, table.partitionSpecs,
-      tracker = Some(this), renames = table.renames)
+      tracker = Some(this), renames = table.renames, widened = table.widened)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder {

@@ -215,6 +215,9 @@ final class GraftTable(
   lazy val renames: Map[String, Seq[String]] =
     GraftTable.parseRenames(props.getOrElse(GraftTable.RenamesProp, ""))
 
+  /** Columns widened by ALTER COLUMN ... TYPE (see [[GraftTable.WidenedProp]]). */
+  lazy val widened: Set[String] = GraftTable.widenedNames(props)
+
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(schema0, dataDir, partitionCols,
       maxFilesPerTrigger =
@@ -228,7 +231,7 @@ final class GraftTable(
       // incremental append scan: only files added after snapshot m
       // (spark.read.option("since-version", m) — see Snapshots.readManifest)
       sinceVersion = Option(options.get("since-version")).map(_.toLong),
-      renames = renames)
+      renames = renames, widened = widened)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     requireUnpinned("write")
@@ -249,6 +252,17 @@ object GraftTable {
     * row codec resolves each requested column per file against this
     * history, and new writes always use the current name. */
   val RenamesProp = "graft.renames"
+
+  /** Comma-separated names of columns WIDENED by ALTER COLUMN ... TYPE
+    * (int -> long/double, float -> double). Files written before the
+    * change keep the narrow physical type — readers upcast per file, and
+    * parquet predicates on these columns are never pushed (a typed
+    * predicate against a narrower file column would fail parquet-mr's
+    * schema validation; every graft filter is residual anyway). */
+  val WidenedProp = "graft.widened.names"
+
+  def widenedNames(props: Map[String, String]): Set[String] =
+    props.getOrElse(WidenedProp, "").split(',').filter(_.nonEmpty).toSet
 
   /** Comma-separated columns every INSERT range-partitions + sorts by
     * (write-side clustering: files get disjoint registered ranges at
@@ -536,7 +550,8 @@ final class GraftScanBuilder(
     snapshotVersion: Option[Long] = None,
     sinceVersion: Option[Long] = None,
     renames: Map[String, Seq[String]] = Map.empty,
-    onManifest: Option[Set[String] => Unit] = None)
+    onManifest: Option[Set[String] => Unit] = None,
+    widened: Set[String] = Set.empty)
     extends ScanBuilder
     with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters
@@ -625,7 +640,7 @@ final class GraftScanBuilder(
       new GraftCountStarScan(dataDir, snapshotVersion, sinceVersion, manifestCache)
     else new GraftScan(tableSchema, required, pushed, dataDir, partitionCols,
       wantFile, tracker, limit, maxFilesPerTrigger, maxBytesPerTrigger,
-      snapshotVersion, sinceVersion, renames, onManifest, manifestCache)
+      snapshotVersion, sinceVersion, renames, onManifest, manifestCache, widened)
 }
 
 final class GraftScan(
@@ -643,7 +658,8 @@ final class GraftScan(
     sinceVersion: Option[Long] = None,
     renames: Map[String, Seq[String]] = Map.empty,
     onManifest: Option[Set[String] => Unit] = None,
-    manifestPre: Option[Option[Map[String, TableStats.Entry]]] = None)
+    manifestPre: Option[Option[Map[String, TableStats.Entry]]] = None,
+    widened: Set[String] = Set.empty)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsReportPartitioning with SupportsRuntimeFiltering {
 
@@ -994,7 +1010,7 @@ final class GraftScan(
     // has to carry over.
     new GraftReaderFactory(required,
       if (tracker.isDefined) Array.empty else pushed, columnarOK, wantFile,
-      renames, deleteKeys)
+      renames, deleteKeys, widened)
 
   /** Exact row count for the (pruned) file set. Preferred source is the
     * `_stats.tsv` cache written at every commit — ONE small read per
@@ -1196,15 +1212,19 @@ final class GraftReaderFactory(
     required: StructType, pushed: Array[Filter], columnar: Boolean,
     wantFile: Boolean = false,
     renames: Map[String, Seq[String]] = Map.empty,
-    deletes: Array[(String, Long)] = Array.empty)
+    deletes: Array[(String, Long)] = Array.empty,
+    widened: Set[String] = Set.empty)
     extends PartitionReaderFactory {
 
   private def predicate = pushed
     // a renamed column's physical name varies per file (pre-rename files
     // carry the former name); a parquet predicate naming a column a file
     // lacks would throw, and every filter is residual anyway — so filters
-    // touching renamed columns stay residual-only
+    // touching renamed columns stay residual-only. Same for WIDENED
+    // columns: a long/double predicate against a file still storing the
+    // narrow type fails parquet-mr's schema validation.
     .filter(f => renames.isEmpty || !f.references.exists(renames.contains))
+    .filter(f => widened.isEmpty || !f.references.exists(widened.contains))
     .flatMap(FilterTranslate.translate(required, _))
     .reduceOption(org.apache.parquet.filter2.predicate.FilterApi.and)
 

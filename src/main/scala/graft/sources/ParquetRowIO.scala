@@ -164,13 +164,22 @@ object ParquetRowIO {
   private final class FieldConverter(dt: DataType, idx: Int, values: Array[Any])
       extends PrimitiveConverter {
     override def addBoolean(v: Boolean): Unit = values(idx) = v
+    // The requested type may be WIDER than the file's physical type
+    // (ALTER COLUMN ... TYPE widening: old files keep their narrow
+    // encoding, the converter upcasts per value) — the long/double arms
+    // below are what make metadata-only type evolution readable.
     override def addInt(v: Int): Unit = values(idx) = dt match {
       case ByteType => v.toByte
       case ShortType => v.toShort
+      case LongType => v.toLong
+      case DoubleType => v.toDouble
       case _ => v
     }
     override def addLong(v: Long): Unit = values(idx) = v
-    override def addFloat(v: Float): Unit = values(idx) = v
+    override def addFloat(v: Float): Unit = values(idx) = dt match {
+      case DoubleType => v.toDouble
+      case _ => v
+    }
     override def addDouble(v: Double): Unit = values(idx) = v
     override def addBinary(v: Binary): Unit = values(idx) = dt match {
       case StringType => UTF8String.fromBytes(v.getBytes)
@@ -212,15 +221,38 @@ object ParquetRowIO {
       // request only the columns this file actually has (under current OR
       // former names); missing ones are filled with null by the
       // materializer (schema evolution)
-      val fileFields = context.getFileSchema.getFields.asScala.map(_.getName).toSet
+      val fileTypes = context.getFileSchema.getFields.asScala
+        .map(t => t.getName -> t).toMap
+      val fileFields = fileTypes.keySet
       val resolved: Seq[(org.apache.spark.sql.types.StructField, String)] =
         requiredSchema.fields.toSeq.flatMap { f =>
           if (fileFields.contains(f.name)) Some(f -> f.name)
           else renames.getOrElse(f.name, Nil).find(fileFields.contains).map(f -> _)
         }
       targetOf = resolved.map { case (f, inFile) => inFile -> f.name }.toMap
+      // ALTER COLUMN ... TYPE widening: a file written before the change
+      // keeps its narrow physical type. The projection must request what
+      // the FILE stores (parquet-mr rejects primitive mismatches), so
+      // narrow the requested field per file; [[FieldConverter]] upcasts
+      // each value to the requested type.
+      import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+      def narrowed(f: org.apache.spark.sql.types.StructField, inFile: String) = {
+        val ft = fileTypes(inFile)
+        if (!ft.isPrimitive) f
+        else (physical(f.dataType), ft.asPrimitiveType().getPrimitiveTypeName) match {
+          case (LongType, PrimitiveTypeName.INT32)
+              if ft.getLogicalTypeAnnotation == null =>
+            f.copy(dataType = IntegerType)
+          case (DoubleType, PrimitiveTypeName.INT32)
+              if ft.getLogicalTypeAnnotation == null =>
+            f.copy(dataType = IntegerType)
+          case (DoubleType, PrimitiveTypeName.FLOAT) => f.copy(dataType = FloatType)
+          case _ => f
+        }
+      }
       new ReadContext(messageType(
-        StructType(resolved.map { case (f, inFile) => f.copy(name = inFile) })))
+        StructType(resolved.map { case (f, inFile) =>
+          narrowed(f, inFile).copy(name = inFile) })))
     }
     override def prepareForRead(
         conf: Configuration,

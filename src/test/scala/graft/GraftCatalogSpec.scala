@@ -847,6 +847,38 @@ class GraftCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.sql("DROP TABLE graft.pw.sw")
   }
 
+  test("ALTER COLUMN TYPE widening: metadata-only, mixed generations read") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.pw")
+    spark.sql("CREATE TABLE graft.pw.wd (id BIGINT, n INT, x FLOAT)")
+    spark.sql("INSERT INTO graft.pw.wd VALUES (1, 10, CAST(1.5 AS FLOAT))," +
+      " (2, 20, CAST(2.5 AS FLOAT))")
+    spark.sql("ALTER TABLE graft.pw.wd ALTER COLUMN n TYPE BIGINT")
+    spark.sql("ALTER TABLE graft.pw.wd ALTER COLUMN x TYPE DOUBLE")
+    // post-widening insert writes the wide type; both generations coexist
+    spark.sql("INSERT INTO graft.pw.wd VALUES (3, 4000000000, 3.25)")
+    val rows = spark.sql("SELECT id, n, x FROM graft.pw.wd ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(rows == Seq((1L, 10L, 1.5), (2L, 20L, 2.5), (3L, 4000000000L, 3.25)))
+    // filters on the widened column stay correct (residual evaluation)
+    assert(spark.sql("SELECT id FROM graft.pw.wd WHERE n > 15").collect()
+      .map(_.getLong(0)).sorted.toSeq == Seq(2L, 3L))
+    // aggregates over mixed generations
+    assert(spark.sql("SELECT SUM(n) FROM graft.pw.wd").head().getLong(0) ==
+      4000000030L)
+    // narrowing and string conversions refuse loudly
+    intercept[Exception](
+      spark.sql("ALTER TABLE graft.pw.wd ALTER COLUMN id TYPE INT"))
+    // compaction migrates old files to the wide type
+    val t = spark.sessionState.catalogManager.catalog("graft")
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
+      .loadTable(org.apache.spark.sql.connector.catalog.Identifier.of(Array("pw"), "wd"))
+      .asInstanceOf[graft.sources.GraftTable]
+    graft.sources.Compaction.compact(spark, t)
+    assert(spark.sql("SELECT SUM(n) FROM graft.pw.wd").head().getLong(0) ==
+      4000000030L)
+    spark.sql("DROP TABLE graft.pw.wd")
+  }
+
   test("sorted compaction clusters files into disjoint ranges that skip") {
     spark.sql("CREATE TABLE graft.pw.clus (id BIGINT, v DOUBLE)")
     // interleaved inserts: every file's id range spans the whole domain,
