@@ -841,6 +841,38 @@ object Engine {
                       ELSE n_chars + 4000000000 END) AS BIGINT) AS total,
         CAST(MAX(CASE WHEN doc_id % 2 = 0 THEN n_chars
                       ELSE n_chars + 4000000000 END) AS BIGINT) AS mx
-        FROM documents GROUP BY lang ORDER BY lang"""))
+        FROM documents GROUP BY lang ORDER BY lang""")),
+
+    // ---- q101: snapshot TAGS — named, vacuum-protected pins ---------------
+    // The reproducible-training-run primitive: CTAS the 'en' slice, tag
+    // it `corpus-v1`, then mutate past it (append + row-level DELETE).
+    // `VERSION AS OF 'corpus-v1'` must replay the tagged state exactly —
+    // and keeps doing so forever, because vacuum never expires a tagged
+    // manifest. Same gate shape as q75, addressed by NAME instead of
+    // version number (numbers rotate; names are what jobs pin).
+    QueryDef(
+      "q101_snapshot_tag",
+      (s, dir) => {
+        val ns = ensureCatalog(s, dir)
+        s.sql(s"DROP TABLE IF EXISTS $ns.tg")
+        s.sql(s"""CREATE TABLE $ns.tg AS
+                 |SELECT doc_id, lang, n_chars FROM parquet.`$dir/documents.parquet`
+                 |WHERE lang = 'en'""".stripMargin)
+        s.sql(s"ALTER TABLE $ns.tg CREATE TAG corpus-v1")
+        s.sql(s"""INSERT INTO $ns.tg
+                 |SELECT doc_id, lang, n_chars FROM parquet.`$dir/documents.parquet`
+                 |WHERE lang <> 'en'""".stripMargin)
+        s.sql(s"DELETE FROM $ns.tg WHERE n_chars < 200")
+        s.sql(s"""SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
+                 |       CAST(SUM(n_chars) AS BIGINT) AS chars,
+                 |       CAST(SUM(doc_id) AS BIGINT) AS id_sum
+                 |FROM $ns.tg VERSION AS OF 'corpus-v1'
+                 |GROUP BY lang ORDER BY lang""".stripMargin)
+      },
+      Some("""SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(SUM(n_chars) AS BIGINT) AS chars,
+        CAST(SUM(doc_id) AS BIGINT) AS id_sum
+        FROM documents WHERE lang = 'en'
+        GROUP BY lang ORDER BY lang"""))
   )
 }

@@ -148,9 +148,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
 
   /** VERSION AS OF — `version` is the snapshot number as a string. */
   override def loadTable(ident: Identifier, version: String): Table =
-    pinned(ident,
-      version.toLongOption.getOrElse(throw new IllegalArgumentException(
-        s"graft: VERSION AS OF expects a snapshot number, got '$version'")))
+    pinned(ident, version.toLongOption.getOrElse {
+      // non-numeric: a TAG (VERSION AS OF 'train-v1') — resolve to its
+      // pinned snapshot; vacuum never expires tagged manifests
+      val dataDir = new Path(tablePath(ident), "data")
+      Snapshots.resolveTag(fs, dataDir, version).getOrElse(
+        throw new IllegalArgumentException(
+          s"graft: VERSION AS OF expects a snapshot number or a tag, and " +
+            s"'$version' is no tag of ${fullName(ident)}"))
+    })
 
   /** TIMESTAMP AS OF — `timestamp` arrives in microseconds since epoch;
     * resolves to the latest snapshot committed at or before it. */

@@ -225,8 +225,15 @@ final class GraftTable(
       maxBytesPerTrigger =
         Option(options.get("maxBytesPerTrigger")).map(_.toLong),
       // catalog time travel (VERSION AS OF) or the catalog-free spelling
-      // (spark.read.format("graft").option("snapshot-version", n))
+      // (spark.read.format("graft").option("snapshot-version", n)); tags
+      // resolve here too (option("snapshot-tag", name))
       snapshotVersion = Option(options.get("snapshot-version")).map(_.toLong)
+        .orElse(Option(options.get("snapshot-tag")).map { name =>
+          val dir = new Path(dataDir)
+          Snapshots.resolveTag(dir.getFileSystem(new Configuration()), dir, name)
+            .getOrElse(throw new IllegalArgumentException(
+              s"graft: '$name' is no tag of $ident"))
+        })
         .orElse(pinnedVersion),
       // incremental append scan: only files added after snapshot m
       // (spark.read.option("since-version", m) — see Snapshots.readManifest)

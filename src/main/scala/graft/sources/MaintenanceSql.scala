@@ -35,6 +35,12 @@ object MaintenanceSql {
     """(?is)\s*ANALYZE\s+TABLE\s+([\w.`]+)\s+COMPUTE\s+STATISTICS(?:\s+FOR\s+COLUMNS\s+([\w`]+(?:\s*,\s*[\w`]+)*))?\s*;?\s*""".r
   private val History =
     """(?is)\s*DESCRIBE\s+HISTORY\s+([\w.`]+)\s*;?\s*""".r
+  private val CreateTag =
+    """(?is)\s*ALTER\s+TABLE\s+([\w.`]+)\s+CREATE\s+TAG\s+`?([\w][\w.-]*)`?(?:\s+AS\s+OF\s+VERSION\s+(\d+))?\s*;?\s*""".r
+  private val DropTag =
+    """(?is)\s*ALTER\s+TABLE\s+([\w.`]+)\s+DROP\s+TAG\s+`?([\w][\w.-]*)`?\s*;?\s*""".r
+  private val ShowTags =
+    """(?is)\s*SHOW\s+TAGS\s+(?:IN\s+|FROM\s+)?([\w.`]+)\s*;?\s*""".r
 
   private def parts(ident: String): Seq[String] =
     ident.split('.').map(_.stripPrefix("`").stripSuffix("`")).toSeq
@@ -62,6 +68,12 @@ object MaintenanceSql {
           Option(forCols).map(cols).getOrElse(Nil)))
       case History(id) if graft(parts(id)) =>
         Some(GraftHistoryCommand(parts(id)))
+      case CreateTag(id, name, v) if graft(parts(id)) =>
+        Some(GraftCreateTagCommand(parts(id), name, Option(v).map(_.toLong)))
+      case DropTag(id, name) if graft(parts(id)) =>
+        Some(GraftDropTagCommand(parts(id), name))
+      case ShowTags(id) if graft(parts(id)) =>
+        Some(GraftShowTagsCommand(parts(id)))
       case _ => None
     }
   }
@@ -123,6 +135,41 @@ final case class GraftAnalyzeCommand(parts: Seq[String], forCols: Seq[String])
     val (t, _) = MaintenanceSql.loadGraftTable(session, parts)
     Analyze.run(session, t, forCols)
     Nil
+  }
+}
+
+final case class GraftCreateTagCommand(
+    parts: Seq[String], name: String, version: Option[Long])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    MaintenanceSql.attr("tagged_version", LongType))
+  override def run(session: SparkSession): Seq[Row] = {
+    val (_, tableDir) = MaintenanceSql.loadGraftTable(session, parts)
+    Seq(Row(Snapshots.tag(tableDir, name, version)))
+  }
+}
+
+final case class GraftDropTagCommand(parts: Seq[String], name: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq.empty
+  override def run(session: SparkSession): Seq[Row] = {
+    val (_, tableDir) = MaintenanceSql.loadGraftTable(session, parts)
+    Snapshots.dropTag(tableDir, name)
+    Nil
+  }
+}
+
+final case class GraftShowTagsCommand(parts: Seq[String])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    MaintenanceSql.attr("tag", org.apache.spark.sql.types.StringType),
+    MaintenanceSql.attr("version", LongType))
+  override def run(session: SparkSession): Seq[Row] = {
+    val (t, _) = MaintenanceSql.loadGraftTable(session, parts)
+    val dataDir = new org.apache.hadoop.fs.Path(t.dataDir)
+    Snapshots.tags(dataDir.getFileSystem(new org.apache.hadoop.conf.Configuration()),
+        dataDir)
+      .toSeq.sortBy(_._1).map { case (n, v) => Row(n, v) }
   }
 }
 

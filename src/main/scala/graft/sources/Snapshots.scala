@@ -169,6 +169,72 @@ object Snapshots {
     next
   }
 
+  // ---- tags: named, vacuum-protected snapshot refs -----------------------
+  // The reproducible-run primitive: `tag(dir, "train-v1")` pins the
+  // current (or a given) version under a stable name; readers say
+  // `VERSION AS OF 'train-v1'` (or option("snapshot-tag", ...)) and keep
+  // getting byte-identical data while ingestion commits past them —
+  // vacuum never expires a tagged manifest. One tiny side file,
+  // independent of table size.
+
+  private def tagsPath(dataDir: Path) = new Path(dataDir.getParent, "_tags.tsv")
+
+  def tags(fs: FileSystem, dataDir: Path): Map[String, Long] = {
+    val p = tagsPath(dataDir)
+    if (!fs.exists(p)) Map.empty
+    else {
+      val in = fs.open(p)
+      val text = try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+        finally in.close()
+      text.linesIterator.filter(_.nonEmpty).map { l =>
+        val i = l.lastIndexOf('\t')
+        l.substring(0, i) -> l.substring(i + 1).toLong
+      }.toMap
+    }
+  }
+
+  private def writeTags(fs: FileSystem, dataDir: Path, m: Map[String, Long]): Unit = {
+    val tmp = new Path(dataDir.getParent, s".tags.tmp-${java.util.UUID.randomUUID()}")
+    val out = fs.create(tmp, true)
+    try out.write(m.toSeq.sortBy(_._1).map { case (n, v) => s"$n\t$v" }
+      .mkString("", "\n", "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(fs.getUri, fs.getConf)
+    fc.rename(fc.makeQualified(tmp), fc.makeQualified(tagsPath(dataDir)),
+      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  }
+
+  /** Tag `version` (default: the current head) as `name`. Re-tagging an
+    * existing name moves it. Serialized under the commit lock so a
+    * concurrent vacuum cannot expire the snapshot mid-tag. */
+  def tag(tableDir: String, name: String, version: Option[Long] = None): Long = {
+    require(name.nonEmpty && !name.forall(_.isDigit),
+      s"graft: tag name '$name' must be non-numeric (numbers are versions)")
+    val dataDir = new Path(tableDir, "data")
+    val fs = dataDir.getFileSystem(new Configuration())
+    TableStats.withLock(fs, dataDir) {
+      val v = version.getOrElse(list(fs, dataDir).lastOption.map(_._1).getOrElse(
+        throw new IllegalArgumentException(s"graft: $tableDir has no snapshots")))
+      require(read(fs, dataDir, v).isDefined,
+        s"graft: no snapshot v$v for $dataDir (never recorded, or expired)")
+      writeTags(fs, dataDir, tags(fs, dataDir) + (name -> v))
+      v
+    }
+  }
+
+  /** Drop a tag (the snapshot then expires normally). */
+  def dropTag(tableDir: String, name: String): Unit = {
+    val dataDir = new Path(tableDir, "data")
+    val fs = dataDir.getFileSystem(new Configuration())
+    TableStats.withLock(fs, dataDir) {
+      writeTags(fs, dataDir, tags(fs, dataDir) - name)
+    }
+  }
+
+  /** Resolve a tag to its version, or None. */
+  def resolveTag(fs: FileSystem, dataDir: Path, name: String): Option[Long] =
+    tags(fs, dataDir).get(name)
+
   /** CHANGE FEED — the CDC read: every row-level change in `(since,
     * end]` as a DataFrame of the table's columns plus `_change_type`
     * ('insert' | 'delete') and `_commit_version`. Appends surface as
@@ -333,8 +399,11 @@ object Snapshots {
       // leave an on-disk file with no tombstone, exactly the
       // resurrection window the snapshot log exists to close
       val now = System.currentTimeMillis()
+      // tagged snapshots are pinned: a tag is a promise that readers can
+      // keep resolving that exact manifest, so vacuum never expires one
+      val tagged = tags(fs, dataDir).values.toSet
       val (dropped, keptYoung) = expired.partition {
-        case (_, ts) => now - ts >= minAgeMillis
+        case (v, ts) => now - ts >= minAgeMillis && !tagged.contains(v)
       }
       val kept = keptYoung ++ retained
       val live = TableStats.read(fs, dataDir).keySet

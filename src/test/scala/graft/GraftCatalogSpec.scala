@@ -478,6 +478,26 @@ class GraftCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(hist.length >= 8 && hist.map(_.getLong(0)).toSeq.sorted == hist.map(_.getLong(0)).toSeq)
     assert(hist.last.getLong(3) == 200L, s"head rows ${hist.last.getLong(3)}")
 
+    // TAGS: pin the current head under a name, read through it, keep it
+    // past vacuum, drop it
+    spark.sql("ALTER TABLE graft.pw.maint CREATE TAG stable")
+    val taggedV = spark.sql("SHOW TAGS graft.pw.maint").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap.apply("stable")
+    spark.sql("INSERT INTO graft.pw.maint SELECT id + 9000, 'z' FROM range(7)")
+    assert(spark.sql("SELECT COUNT(*) FROM graft.pw.maint VERSION AS OF 'stable'")
+      .head().getLong(0) == 200)
+    assert(spark.table("graft.pw.maint").count() == 207)
+    // vacuum far past the retain window: the tagged manifest must survive
+    graft.sources.Snapshots.vacuum(s"$warehouse/pw/maint", retain = 1,
+      minAgeMillis = 0)
+    assert(spark.sql("SELECT COUNT(*) FROM graft.pw.maint VERSION AS OF 'stable'")
+      .head().getLong(0) == 200,
+      "vacuum must never expire a tagged snapshot")
+    spark.sql("ALTER TABLE graft.pw.maint DROP TAG stable")
+    intercept[Exception](
+      spark.sql("SELECT * FROM graft.pw.maint VERSION AS OF 'stable'").collect())
+    assert(taggedV > 0)
+
     // non-graft targets fall through to Spark untouched
     intercept[Exception](spark.sql("OPTIMIZE not_a_graft_table"))
     spark.sql("DROP TABLE graft.pw.maint")
