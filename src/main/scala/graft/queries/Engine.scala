@@ -873,6 +873,40 @@ object Engine {
         CAST(SUM(n_chars) AS BIGINT) AS chars,
         CAST(SUM(doc_id) AS BIGINT) AS id_sum
         FROM documents WHERE lang = 'en'
+        GROUP BY lang ORDER BY lang""")),
+
+    // ---- q102: truncate(w, col) hidden partitioning -----------------------
+    // Iceberg-style width truncation: `PARTITIONED BY (truncate(200,
+    // doc_id))` lays one directory per id range of 200, and plain range
+    // predicates on the SOURCE column prune range directories before any
+    // listing — the id-range layout for columns too granular for identity
+    // partitioning and too range-queried for hash buckets. The gate
+    // writes through the transform, reads back through a range filter,
+    // and the oracle replays relationally (pruning soundness is proven
+    // in GraftCatalogSpec by planned-file counts).
+    QueryDef(
+      "q102_truncate_partitioning",
+      (s, dir) => {
+        val ns = ensureCatalog(s, dir)
+        s.sql(s"DROP TABLE IF EXISTS $ns.trunc")
+        s.sql(
+          s"""CREATE TABLE $ns.trunc (doc_id BIGINT, n_chars BIGINT, lang STRING)
+             |PARTITIONED BY (truncate(200, doc_id))""".stripMargin)
+        s.sql(
+          s"""INSERT INTO $ns.trunc
+             |SELECT doc_id, n_chars, lang FROM parquet.`$dir/documents.parquet`"""
+            .stripMargin)
+        s.sql(
+          s"""SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
+             |       CAST(SUM(n_chars) AS BIGINT) AS chars,
+             |       CAST(SUM(doc_id) AS BIGINT) AS id_sum
+             |FROM $ns.trunc WHERE doc_id >= 300 AND doc_id < 700
+             |GROUP BY lang ORDER BY lang""".stripMargin)
+      },
+      Some("""SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(SUM(n_chars) AS BIGINT) AS chars,
+        CAST(SUM(doc_id) AS BIGINT) AS id_sum
+        FROM documents WHERE doc_id >= 300 AND doc_id < 700
         GROUP BY lang ORDER BY lang"""))
   )
 }

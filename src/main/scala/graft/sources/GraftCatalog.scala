@@ -345,6 +345,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
           require(PartField.supportsDayType(schema(tu.col).dataType),
             s"graft catalog: ${tu.spec} needs a date/timestamp column, got " +
               s"${schema(tu.col).dataType.simpleString} for column ${tu.col}")
+        case tr: PartField.Truncate =>
+          require(PartField.supportsTruncType(schema(tr.col).dataType),
+            s"graft catalog: ${tr.spec} needs an integral or string column, " +
+              s"got ${schema(tr.col).dataType.simpleString} for column ${tr.col}")
       }
     }
     fields.map(_.spec)

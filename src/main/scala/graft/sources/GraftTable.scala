@@ -185,7 +185,8 @@ final class GraftTable(
               case PartField.Identity(col) =>
                 values + (col -> PartitionPruning.parse(
                   schema0(col).dataType, PartitionPruning.decode(raw)))
-              case _: PartField.Bucket | _: PartField.TimeUnitField => values
+              case _: PartField.Bucket | _: PartField.TimeUnitField |
+                  _: PartField.Truncate => values
             }
             walk(d.getPath, remaining.tail, vs,
               if (rel.isEmpty) d.getPath.getName else s"$rel/${d.getPath.getName}")
@@ -807,6 +808,16 @@ final class GraftScan(
       pushed.forall(f => PartField.unitMayMatch(f, field, dt, unit))
     }
 
+    def truncAllows(field: PartField.Truncate, token: String): Boolean = {
+      val dt = tableSchema(field.col).dataType
+      pushed.forall(f => field.mayMatch(f, dt, token))
+    }
+
+    def truncTokenOf(field: PartField.Truncate, raw: String): String = {
+      val dec = PartitionPruning.decode(raw)
+      if (dec == PartitionPruning.NullToken) null else dec
+    }
+
     def walk(p: Path, remaining: Seq[PartField.Field], values: Map[String, Any]): Seq[(String, Long, Seq[Any], Long)] =
       if (remaining.isEmpty) leafFiles(p, partFields.map(f => values(f.dir)))
       else fs.listStatus(p).toSeq.filter(_.isDirectory).flatMap { d =>
@@ -827,6 +838,10 @@ final class GraftScan(
                 val unit = tu.parseRaw(raw)
                 if (!unitAllows(tu, unit)) Nil
                 else walk(d.getPath, remaining.tail, values + (tu.dir -> unit))
+              case tr: PartField.Truncate =>
+                val token = truncTokenOf(tr, raw)
+                if (!truncAllows(tr, token)) Nil
+                else walk(d.getPath, remaining.tail, values + (tr.dir -> token))
             }
           case _ => Nil
         }
@@ -858,6 +873,7 @@ final class GraftScan(
                   tableSchema(col).dataType, PartitionPruning.decode(raw))
                 case _: PartField.Bucket => raw.toInt
                 case tu: PartField.TimeUnitField => tu.parseRaw(raw)
+                case tr: PartField.Truncate => truncTokenOf(tr, raw)
               }
               case _ => throw new IllegalStateException(
                 s"graft: registered file '$rel' does not match the " +
@@ -868,12 +884,15 @@ final class GraftScan(
             case PartField.Identity(col) => col -> v
             case b: PartField.Bucket => b.dir -> v
             case tu: PartField.TimeUnitField => tu.dir -> v
+            case tr: PartField.Truncate => tr.dir -> v
           }}.toMap
           val pruned =
             partFields.zip(vals).exists {
               case (b: PartField.Bucket, id: Int) => !bucketAllows(b, id)
               case (tu: PartField.TimeUnitField, unit) =>
                 !unitAllows(tu, unit.asInstanceOf[java.lang.Long])
+              case (tr: PartField.Truncate, token) =>
+                !truncAllows(tr, token.asInstanceOf[String])
               case _ => false
             } ||
             PartitionPruning.prune(pushed.toSeq, vmap)
@@ -940,10 +959,11 @@ final class GraftScan(
     * aggregations on the partition columns then run with NO shuffle. */
   private def keyGrouped: Boolean =
     partitionCols.nonEmpty &&
-      // days() has no FunctionCatalog entry for SPJ key resolution —
-      // day-partitioned scans report UnknownPartitioning (pruning still
-      // applies; only the shuffle-free join is off the table)
-      !partFields.exists(_.isInstanceOf[PartField.TimeUnitField]) &&
+      // days()/truncate() have no FunctionCatalog entry for SPJ key
+      // resolution — those scans report UnknownPartitioning (pruning
+      // still applies; only the shuffle-free join is off the table)
+      !partFields.exists(f => f.isInstanceOf[PartField.TimeUnitField] ||
+        f.isInstanceOf[PartField.Truncate]) &&
       org.apache.spark.sql.internal.SQLConf.get.v2BucketingEnabled
 
   private def groups: Seq[(Seq[Any], Seq[(String, Long, Long)])] = {
@@ -1428,6 +1448,10 @@ final class GraftWriteBuilder(
       case tu: PartField.TimeUnitField =>
         Some(org.apache.spark.sql.connector.expressions.Expressions.identity(tu.col)
           : org.apache.spark.sql.connector.expressions.Expression)
+      // same for truncate: source-column clustering implies token clustering
+      case tr: PartField.Truncate =>
+        Some(org.apache.spark.sql.connector.expressions.Expressions.identity(tr.col)
+          : org.apache.spark.sql.connector.expressions.Expression)
     }
     // write.sort.columns: every INSERT range-partitions + sorts on the
     // listed columns, so files land with tight, pairwise-disjoint
@@ -1758,6 +1782,10 @@ object GraftWriterFactory {
               s"${f.dir}=${PartField.bucketOf(schema(i).dataType, v, n)}"
             case tu: PartField.TimeUnitField =>
               s"${f.dir}=${tu.render(tu.floorOf(schema(i).dataType, v))}"
+            case tr: PartField.Truncate =>
+              val tok = tr.tokenOf(schema(i).dataType, v)
+              s"${f.dir}=${if (tok == null) PartitionPruning.NullToken
+                else PartitionPruning.encode(tok)}"
           }
         }.mkString("/")
         val key = if (rel.isEmpty) "" else rel + "/"

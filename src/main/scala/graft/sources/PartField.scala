@@ -122,16 +122,104 @@ object PartField {
       }
   }
 
+  /** Width-based HIDDEN partitioning (`PARTITIONED BY (truncate(w, col))`,
+    * Iceberg-style): integral values floor to multiples of `w`, strings
+    * keep their first `w` characters — one directory per truncated value.
+    * Both truncations are MONOTONE in the column value (floor-to-width on
+    * a number; prefix on a lexicographically-ordered string), which is
+    * what makes range pruning on the SOURCE column sound: `col >= X` can
+    * only match directories whose token is >= truncate(X). The id-range
+    * and key-prefix layout for columns too granular for identity
+    * partitioning and too range-queried for hash buckets. */
+  final case class Truncate(w: Int, col: String) extends Field {
+    require(w > 0, s"truncate width must be positive, got $w")
+    def dir: String = s"$col.trunc"
+    def spec: String = s"truncate($w,$col)"
+
+    /** Directory token of a Catalyst OR external value; null for null. */
+    def tokenOf(dt: DataType, value: Any): String = {
+      if (value == null) return null
+      dt match {
+        case ByteType | ShortType | IntegerType | LongType =>
+          val v = value.asInstanceOf[Number].longValue()
+          String.valueOf(v - java.lang.Math.floorMod(v, w.toLong))
+        case StringType =>
+          val s = value match {
+            case u: UTF8String => u.toString
+            case s => String.valueOf(s)
+          }
+          if (s.length <= w) s else s.substring(0, w)
+        case other =>
+          throw new IllegalArgumentException(s"graft: truncate over $other not supported")
+      }
+    }
+
+    private def numeric(dt: DataType): Boolean = dt match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    }
+
+    /** Token comparison in VALUE order: numeric for integral columns,
+      * lexicographic for strings (matches prefix monotonicity). */
+    private def cmp(dt: DataType, a: String, b: String): Int =
+      if (numeric(dt)) java.lang.Long.compare(a.toLong, b.toLong)
+      else a.compareTo(b)
+
+    /** Can a row in directory `token` (null = null directory) satisfy
+      * `f`? Same conservative Kleene shape as [[unitMayMatch]]. */
+    def mayMatch(f: org.apache.spark.sql.sources.Filter, dt: DataType,
+                 token: String): Boolean = {
+      import org.apache.spark.sql.sources._
+      def t(v: Any): String = tokenOf(dt, v)
+      f match {
+        case EqualTo(a, v) if a == col =>
+          v != null && token != null && t(v) == token
+        case EqualNullSafe(a, v) if a == col =>
+          if (v == null) token == null else token != null && t(v) == token
+        case In(a, vs) if a == col && vs.nonEmpty =>
+          token != null && vs.exists(v => v != null && t(v) == token)
+        case GreaterThan(a, v) if a == col && v != null =>
+          token != null && cmp(dt, token, t(v)) >= 0
+        case GreaterThanOrEqual(a, v) if a == col && v != null =>
+          token != null && cmp(dt, token, t(v)) >= 0
+        case LessThan(a, v) if a == col && v != null =>
+          token != null && cmp(dt, token, t(v)) <= 0
+        case LessThanOrEqual(a, v) if a == col && v != null =>
+          token != null && cmp(dt, token, t(v)) <= 0
+        case StringStartsWith(a, p) if a == col && p != null && !numeric(dt) =>
+          // directory token and prefix constrain each other on their
+          // common length — sound both when w <= len(p) and beyond
+          token != null && {
+            val n = math.min(token.length, p.length)
+            token.substring(0, n) == p.substring(0, n)
+          }
+        case IsNull(a) if a == col => token == null
+        case IsNotNull(a) if a == col => token != null
+        case And(l, r) => mayMatch(l, dt, token) && mayMatch(r, dt, token)
+        case Or(l, r) => mayMatch(l, dt, token) || mayMatch(r, dt, token)
+        case _ => true
+      }
+    }
+  }
+
+  /** Column types `truncate(w, col)` supports. */
+  def supportsTruncType(dt: DataType): Boolean = dt match {
+    case ByteType | ShortType | IntegerType | LongType | StringType => true
+    case _ => false
+  }
+
   private val B = """bucket\((\d+),(.+)\)""".r
   private val D = """days\((.+)\)""".r
   private val M = """months\((.+)\)""".r
   private val H = """hours\((.+)\)""".r
+  private val T = """truncate\((\d+),(.+)\)""".r
 
   def parse(s: String): Field = s match {
     case B(n, c) => Bucket(n.toInt, c.trim)
     case D(c) => Days(c.trim)
     case M(c) => Months(c.trim)
     case H(c) => Hours(c.trim)
+    case T(w, c) => Truncate(w.toInt, c.trim)
     case c => Identity(c)
   }
 
@@ -155,9 +243,17 @@ object PartField {
       Months(t.references()(0).fieldNames().mkString("."))
     case t if t.name() == "hours" && t.references().length == 1 =>
       Hours(t.references()(0).fieldNames().mkString("."))
+    case t if t.name() == "truncate" && t.references().length == 1 =>
+      val w = t.arguments().collectFirst {
+        case lit: org.apache.spark.sql.connector.expressions.Literal[_]
+            if lit.value().isInstanceOf[Number] =>
+          lit.value().asInstanceOf[Number].intValue()
+      }.getOrElse(throw new IllegalArgumentException(
+        s"graft: truncate transform without a width: $t"))
+      Truncate(w, t.references()(0).fieldNames().mkString("."))
     case other => throw new UnsupportedOperationException(
       s"graft: unsupported partition transform $other " +
-        "(identity, bucket(n, col), days/months/hours(col) only)")
+        "(identity, bucket(n, col), days/months/hours(col), truncate(w, col) only)")
   }
 
   /** Field → connector `Transform` (inverse of [[fromTransform]]). */
@@ -169,6 +265,9 @@ object PartField {
       case Days(c) => Expressions.days(c)
       case Months(c) => Expressions.months(c)
       case Hours(c) => Expressions.hours(c)
+      case Truncate(w, c) =>
+        Expressions.apply("truncate",
+          Expressions.literal(Int.box(w)), Expressions.column(c))
     }
   }
 

@@ -899,6 +899,60 @@ class GraftCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.sql("DROP TABLE graft.pw.wd")
   }
 
+  test("truncate(w, col) hidden partitioning prunes token directories") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.pw")
+    spark.sql(
+      """CREATE TABLE graft.pw.tr (id BIGINT, w STRING, v DOUBLE)
+        |PARTITIONED BY (truncate(100, id))""".stripMargin)
+    spark.sql("INSERT INTO graft.pw.tr SELECT id, concat('k', id), " +
+      "CAST(id AS DOUBLE) FROM range(1000)")
+    // layout: data/id.trunc=<floor>/...
+    val wh = spark.conf.get("spark.sql.catalog.graft.warehouse")
+    val dataDir = new org.apache.hadoop.fs.Path(s"$wh/pw/tr/data")
+    val fs = dataDir.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val dirs = fs.listStatus(dataDir).filter(_.isDirectory).map(_.getPath.getName)
+    assert(dirs.count(_.startsWith("id.trunc=")) == 10, dirs.toSeq.sorted.mkString(","))
+    // contents round-trip
+    assert(spark.table("graft.pw.tr").count() == 1000)
+    // point filter on the SOURCE column plans only its token directory
+    def planned(f: org.apache.spark.sql.sources.Filter): Int = {
+      val t = spark.sessionState.catalogManager.catalog("graft")
+        .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
+        .loadTable(org.apache.spark.sql.connector.catalog.Identifier.of(Array("pw"), "tr"))
+        .asInstanceOf[graft.sources.GraftTable]
+      val sb = t.newScanBuilder(
+        new org.apache.spark.sql.util.CaseInsensitiveStringMap(java.util.Map.of()))
+      sb.asInstanceOf[org.apache.spark.sql.connector.read.SupportsPushDownFilters]
+        .pushFilters(Array(f))
+      sb.build().asInstanceOf[graft.sources.GraftScan].toBatch.planInputPartitions().length
+    }
+    val all = planned(org.apache.spark.sql.sources.IsNotNull("id"))
+    assert(planned(org.apache.spark.sql.sources.EqualTo("id", 250L)) * 5 <= all,
+      "point query should plan ~1/10 of the files")
+    assert(planned(org.apache.spark.sql.sources.GreaterThanOrEqual("id", 850L)) * 3 <= all,
+      "range query should plan the tail token dirs only")
+    // values stay correct through the pruned plan
+    assert(spark.sql("SELECT COUNT(*) FROM graft.pw.tr WHERE id >= 850")
+      .head().getLong(0) == 150)
+    assert(spark.sql("SELECT v FROM graft.pw.tr WHERE id = 250").head().getDouble(0) == 250.0)
+    spark.sql("DROP TABLE graft.pw.tr")
+
+    // string truncation: prefix directories + startsWith pruning
+    spark.sql(
+      """CREATE TABLE graft.pw.trs (k STRING, v BIGINT)
+        |PARTITIONED BY (truncate(2, k))""".stripMargin)
+    spark.sql("INSERT INTO graft.pw.trs VALUES ('aardvark', 1), ('aargh', 2)," +
+      " ('beta', 3), ('bet', 4), ('ca', 5), (NULL, 6)")
+    val dirs2 = new org.apache.hadoop.fs.Path(s"$wh/pw/trs/data")
+    val names2 = fs.listStatus(dirs2).filter(_.isDirectory).map(_.getPath.getName).sorted
+    assert(names2.toSeq == Seq("k.trunc=__null__", "k.trunc=aa", "k.trunc=be", "k.trunc=ca"),
+      names2.mkString(","))
+    assert(spark.sql("SELECT SUM(v) FROM graft.pw.trs WHERE k LIKE 'be%'")
+      .head().getLong(0) == 7)
+    assert(spark.sql("SELECT v FROM graft.pw.trs WHERE k IS NULL").head().getLong(0) == 6)
+    spark.sql("DROP TABLE graft.pw.trs")
+  }
+
   test("sorted compaction clusters files into disjoint ranges that skip") {
     spark.sql("CREATE TABLE graft.pw.clus (id BIGINT, v DOUBLE)")
     // interleaved inserts: every file's id range spans the whole domain,
