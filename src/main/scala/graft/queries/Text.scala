@@ -694,6 +694,9 @@ object Text {
       (s, dir) => {
         val t = Tables(s, dir)
         val toks = t.documents.select(col("doc_id"), split(col("text"), " ").as("ws"))
+          // single-token documents have no bigrams — and sequence(0, -1)
+          // counts DOWN, indexing past the array (same guard as q99)
+          .filter(size(col("ws")) >= 2)
         val big = toks
           .select(col("doc_id"),
             explode(expr(

@@ -97,14 +97,10 @@ final class GraftDeltaWrite(
     // drop files from failed/speculative attempts of THIS write (data
     // part-files and delete fragments both carry the writeId)
     val committedNames = committed.keysIterator.map(_.split('/').last).toSet
-    val it = fs.listFiles(dir, true)
-    val stray = scala.collection.mutable.ArrayBuffer[Path]()
-    while (it.hasNext) {
-      val p = it.next().getPath
-      if (p.getName.contains(writeId) && !committedNames.contains(p.getName))
-        stray += p
-    }
-    stray.foreach(fs.delete(_, false))
+    TableStats.listAllFiles(fs, dir)
+      .filter(p => p.getName.contains(writeId) &&
+        !committedNames.contains(p.getName))
+      .foreach(fs.delete(_, false))
 
     TableStats.withLock(fs, dir) {
       val live = TableStats.read(fs, dir)
@@ -136,13 +132,9 @@ final class GraftDeltaWrite(
     val conf = new Configuration()
     val dir = new Path(dataDir)
     val fs = dir.getFileSystem(conf)
-    val it = fs.listFiles(dir, true)
-    val mine = scala.collection.mutable.ArrayBuffer[Path]()
-    while (it.hasNext) {
-      val p = it.next().getPath
-      if (p.getName.contains(writeId)) mine += p
-    }
-    mine.foreach(fs.delete(_, false))
+    TableStats.listAllFiles(fs, dir)
+      .filter(_.getName.contains(writeId))
+      .foreach(fs.delete(_, false))
   }
 }
 

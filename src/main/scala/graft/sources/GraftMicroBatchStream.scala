@@ -38,6 +38,9 @@ final class GraftMicroBatchStream(
     while (true) {
       try return visibleFilesOnce()
       catch {
+        // deliberate refusals (outstanding merge-on-read deletes) are not
+        // transient — surface immediately, don't burn the retry budget
+        case e: IllegalStateException => throw e
         case e: Exception =>
           attempt += 1
           if (attempt >= 5) throw e
@@ -59,6 +62,18 @@ final class GraftMicroBatchStream(
     // write with partial lengths and silently lose their tail row groups.
     val registered = TableStats.read(fs, root)
     if (registered.isEmpty) return Map.empty
+    // outstanding equality deletes: the file-set offsets this source is
+    // built on cannot express row-level removals (rows already delivered
+    // are gone, and silently re-reading files with the delete applied
+    // would split one file's rows across batches) — refuse loudly, the
+    // same discipline as the batch since-version scan. Compaction folds
+    // the deletes in and streaming resumes; the CDC feed
+    // (Snapshots.changes) is the mutation-aware incremental read.
+    if (registered.keysIterator.exists(GraftDeletes.isDeleteRel))
+      throw new IllegalStateException(
+        s"graft: streaming source over $dataDir with outstanding " +
+          "merge-on-read deletes — run Compaction.compact (or OPTIMIZE) to " +
+          "fold them in, or consume Snapshots.changes for a delete-aware feed")
     val it = fs.listFiles(root, true)
     val out = Map.newBuilder[String, Long]
     while (it.hasNext) {

@@ -266,7 +266,11 @@ object GraftTable {
     * change keep the narrow physical type — readers upcast per file, and
     * parquet predicates on these columns are never pushed (a typed
     * predicate against a narrower file column would fail parquet-mr's
-    * schema validation; every graft filter is residual anyway). */
+    * schema validation; every graft filter is residual anyway). The set
+    * persists even after compaction migrates every file to the wide type
+    * — tracking per-file generations is not worth the metadata; the only
+    * cost is row-group-level filtering on that column, while file-level
+    * skipping via registered [min, max] ranges keeps working. */
   val WidenedProp = "graft.widened.names"
 
   def widenedNames(props: Map[String, String]): Set[String] =
@@ -387,7 +391,12 @@ object TableStats {
       val colspec = e.cols.toSeq.sorted.map { case (c, (mn, mx)) =>
         s"${enc(c)}=${enc(mn)},${enc(mx)}"
       }.mkString(";")
-      s"$rel\t${e.rows}\t${e.bytes}\t$colspec\t${math.max(e.seq, 0L)}"
+      // seq is written RAW: the streaming epoch marker serializes entries
+      // BEFORE the commit stamps them, and its crash-repair path must
+      // re-register them with the sentinel intact so TableStats.write
+      // stamps the repair's own version — clamping to 0 would make every
+      // pre-existing equality delete wrongly suppress the recovered rows
+      s"$rel\t${e.rows}\t${e.bytes}\t$colspec\t${e.seq}"
     }.mkString("", "\n", "\n")
 
   private def parseCols(colspec: String): Map[String, (String, String)] =
@@ -418,6 +427,28 @@ object TableStats {
 
   def read(fs: FileSystem, dataDir: Path): Map[String, Entry] =
     readIfExists(fs, dataDir).getOrElse(Map.empty)
+
+  /** Recursive file listing with the local-FS rename-race retry: a
+    * concurrent committer's registry rename-overwrite can make a
+    * just-listed path vanish before the lister stats it — transient by
+    * construction. Shared by every commit-path lister. */
+  def listAllFiles(fs: FileSystem, dir: Path): Seq[Path] = {
+    var attempt = 0
+    while (true) {
+      try {
+        val out = scala.collection.mutable.ArrayBuffer[Path]()
+        val it = fs.listFiles(dir, true)
+        while (it.hasNext) out += it.next().getPath
+        return out.toSeq
+      } catch {
+        case e: Exception =>
+          attempt += 1
+          if (attempt >= 5) throw e
+          Thread.sleep(50L * attempt)
+      }
+    }
+    Nil // unreachable
+  }
 
   /** Like [[read]] but distinguishes "no registry file" (None — the table
     * predates stats or was written out-of-band; callers must fall back to
@@ -1029,15 +1060,23 @@ final class GraftScan(
     })
   }
 
-  override def createReaderFactory(): PartitionReaderFactory =
+  override def createReaderFactory(): PartitionReaderFactory = {
     // Group-based row-level rewrites (tracker present) must read EVERY
     // surviving row of the files they cover: pushed filters there select
     // which FILES to rewrite (partition pruning), never which rows to
     // decode — a record-level parquet filter would drop rows the rewrite
     // has to carry over.
+    // Equality-delete keys ship as a BROADCAST: once per executor, not
+    // once per task — near the 256 MB cap the per-task closure would
+    // otherwise dominate the stage.
+    val deletesBc =
+      if (deleteKeys.isEmpty) None
+      else Some(org.apache.spark.sql.SparkSession.active.sparkContext
+        .broadcast(deleteKeys))
     new GraftReaderFactory(required,
       if (tracker.isDefined) Array.empty else pushed, columnarOK, wantFile,
-      renames, deleteKeys, widened)
+      renames, deletesBc, widened)
+  }
 
   /** Exact row count for the (pruned) file set. Preferred source is the
     * `_stats.tsv` cache written at every commit — ONE small read per
@@ -1239,9 +1278,13 @@ final class GraftReaderFactory(
     required: StructType, pushed: Array[Filter], columnar: Boolean,
     wantFile: Boolean = false,
     renames: Map[String, Seq[String]] = Map.empty,
-    deletes: Array[(String, Long)] = Array.empty,
+    deletesBc: Option[org.apache.spark.broadcast.Broadcast[Array[(String, Long)]]] = None,
     widened: Set[String] = Set.empty)
     extends PartitionReaderFactory {
+
+  /** Executor-side view of the equality-delete keys (empty when none). */
+  private def deletes: Array[(String, Long)] =
+    deletesBc.map(_.value).getOrElse(Array.empty)
 
   private def predicate = pushed
     // a renamed column's physical name varies per file (pre-rename files

@@ -210,6 +210,11 @@ object Snapshots {
   def tag(tableDir: String, name: String, version: Option[Long] = None): Long = {
     require(name.nonEmpty && !name.forall(_.isDigit),
       s"graft: tag name '$name' must be non-numeric (numbers are versions)")
+    // the TSV store (and the SQL grammar) cannot carry whitespace or
+    // control characters — a stray tab/newline would corrupt _tags.tsv
+    // and take SHOW TAGS, resolveTag AND vacuum down with it
+    require(name.matches("[\\w][\\w.-]*"),
+      s"graft: tag name '$name' must match [A-Za-z0-9_][A-Za-z0-9_.-]*")
     val dataDir = new Path(tableDir, "data")
     val fs = dataDir.getFileSystem(new Configuration())
     TableStats.withLock(fs, dataDir) {

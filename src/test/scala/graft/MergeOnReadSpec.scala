@@ -228,6 +228,40 @@ class MergeOnReadSpec extends AnyFunSuite with BeforeAndAfterAll {
       "COUNT(*) pushdown should return once deletes are folded in")
   }
 
+  test("streaming source refuses outstanding MOR deletes, resumes after fold") {
+    spark.sql(
+      s"""CREATE TABLE graft.mor.str (row_key STRING, v BIGINT)
+         |TBLPROPERTIES ('${GraftDeletes.ModeProp}' = 'merge-on-read')""".stripMargin)
+    spark.sql("INSERT INTO graft.mor.str VALUES ('a', 1), ('b', 2)")
+    spark.sql("DELETE FROM graft.mor.str WHERE v = 1")
+    val ckpt = java.nio.file.Files.createTempDirectory("mor_stream").toString
+    val q = spark.readStream.table("graft.mor.str").writeStream
+      .format("memory").queryName("mor_stream_t")
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException](
+      q.awaitTermination())
+    assert(e.getMessage.contains("merge-on-read") ||
+      Option(e.getCause).exists(_.getMessage.contains("merge-on-read")),
+      s"expected the MOR refusal, got: ${e.getMessage}")
+    // fold the deletes in; a fresh stream then drains the table
+    val tbl = spark.sessionState.catalogManager.catalog("graft")
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
+      .loadTable(org.apache.spark.sql.connector.catalog.Identifier.of(
+        Array("mor"), "str")).asInstanceOf[graft.sources.GraftTable]
+    Compaction.compact(spark, tbl)
+    val ckpt2 = java.nio.file.Files.createTempDirectory("mor_stream2").toString
+    val q2 = spark.readStream.table("graft.mor.str").writeStream
+      .format("memory").queryName("mor_stream_t2")
+      .option("checkpointLocation", ckpt2)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q2.awaitTermination()
+    assert(spark.table("mor_stream_t2").collect()
+      .map(r => (r.getString(0), r.getLong(1))).sorted.toSeq == Seq(("b", 2L)))
+  }
+
   test("copy-on-write stays the default path") {
     spark.sql("CREATE TABLE graft.mor.cow (row_key STRING, v BIGINT)")
     spark.sql("INSERT INTO graft.mor.cow VALUES ('a', 1), ('b', 2)")
