@@ -907,6 +907,43 @@ object Engine {
         CAST(SUM(n_chars) AS BIGINT) AS chars,
         CAST(SUM(doc_id) AS BIGINT) AS id_sum
         FROM documents WHERE doc_id >= 300 AND doc_id < 700
+        GROUP BY lang ORDER BY lang""")),
+
+    // ---- q103: partition spec evolution -----------------------------------
+    // `ALTER TABLE ... SET PARTITION SPEC` re-points the layout without
+    // rewriting a file: the first half of the corpus lands under
+    // lang= directories, the second under truncate(250, doc_id) ranges,
+    // and one scan reads both generations (rows carry the partition
+    // columns; old-layout files simply stop directory-pruning until
+    // compaction migrates them). The oracle sees the union relationally.
+    QueryDef(
+      "q103_partition_evolution",
+      (s, dir) => {
+        val ns = ensureCatalog(s, dir)
+        s.sql(s"DROP TABLE IF EXISTS $ns.pe")
+        s.sql(
+          s"""CREATE TABLE $ns.pe (doc_id BIGINT, n_chars BIGINT, lang STRING)
+             |PARTITIONED BY (lang)""".stripMargin)
+        s.sql(
+          s"""INSERT INTO $ns.pe
+             |SELECT doc_id, n_chars, lang FROM parquet.`$dir/documents.parquet`
+             |WHERE doc_id % 2 = 0""".stripMargin)
+        s.sql(s"ALTER TABLE $ns.pe SET PARTITION SPEC (truncate(250, doc_id))")
+        s.sql(
+          s"""INSERT INTO $ns.pe
+             |SELECT doc_id, n_chars, lang FROM parquet.`$dir/documents.parquet`
+             |WHERE doc_id % 2 = 1""".stripMargin)
+        s.sql(
+          s"""SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
+             |       CAST(SUM(n_chars) AS BIGINT) AS chars,
+             |       CAST(SUM(doc_id) AS BIGINT) AS id_sum
+             |FROM $ns.pe WHERE doc_id >= 100
+             |GROUP BY lang ORDER BY lang""".stripMargin)
+      },
+      Some("""SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(SUM(n_chars) AS BIGINT) AS chars,
+        CAST(SUM(doc_id) AS BIGINT) AS id_sum
+        FROM documents WHERE doc_id >= 100
         GROUP BY lang ORDER BY lang"""))
   )
 }

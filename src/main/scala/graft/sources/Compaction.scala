@@ -126,9 +126,22 @@ object Compaction {
         }
       }
 
+    val partFields = table.partitionSpecs.map(PartField.parse)
+    def layoutMatches(rel: String): Boolean = {
+      val segs = rel.split('/')
+      segs.length == partFields.length + 1 &&
+        partFields.zip(segs.dropRight(1)).forall { case (f, seg) =>
+          seg.split("=", 2) match {
+            case Array(c, _) => c == f.dir
+            case _ => false
+          }
+        }
+    }
+
     val byDir = scala.collection.mutable.Map[String, Vector[(String, Long)]]()
     val withSeq = scala.collection.mutable.Map[String, Long]() // path -> seq
     val deleteVictims = scala.collection.mutable.ArrayBuffer[String]()
+    val layoutVictims = scala.collection.mutable.ArrayBuffer[String]()
     dataEntries.foreach { case (rel, e) =>
       val p = new Path(dataDir, rel)
       // registries written before sizes were recorded carry bytes = -1
@@ -140,12 +153,18 @@ object Compaction {
       // is rewritten too (regardless of size), so compaction FOLDS the
       // deletes into the data and the delete entries can be dropped
       if (deleteEntries.nonEmpty && touchedByDeletes(e)) deleteVictims += p.toString
+      // partition-spec evolution: files written under an earlier layout
+      // are rewritten regardless of size — the rewrite lands them under
+      // the CURRENT spec, restoring pruning and metadata-only deletes
+      if (!layoutMatches(rel)) layoutVictims += p.toString
     }
     val groups = byDir.values.toSeq
       .map(_.filter(_._2 < smallBytes))
       .filter(_.size >= 2)
-    if (groups.isEmpty && deleteVictims.isEmpty) return (0, 0)
-    val victims = (groups.flatten.map(_._1) ++ deleteVictims).distinct
+    if (groups.isEmpty && deleteVictims.isEmpty && layoutVictims.isEmpty)
+      return (0, 0)
+    val victims =
+      (groups.flatten.map(_._1) ++ deleteVictims ++ layoutVictims).distinct
 
     // distributed rewrite: read the victims (schema of the TABLE, so
     // columns added after the files were written null-fill), write

@@ -327,8 +327,20 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
   // reference implements by dropping the table on insert failure
   // (CreateHBaseTableAsSelectCommand.scala:53-72), done the Spark way.
 
-  private def validatePartitions(schema: StructType, partitions: Array[Transform]): Seq[String] = {
-    val fields = partitions.toSeq.map(PartField.fromTransform)
+  /** PARTITION SPEC EVOLUTION: re-point the table's partitioning without
+    * touching a single data file. New writes lay out under the new spec;
+    * files from earlier specs keep reading correctly (rows carry the
+    * partition columns) but stop directory-pruning until compaction
+    * migrates them; partition DELETEs route to the row-level path while
+    * layouts are mixed ([[GraftTable.canDeleteWhere]]). */
+  private[sources] def setPartitionSpec(ident: Identifier, specs: Seq[String]): Unit = {
+    val table = loadTable(ident).asInstanceOf[GraftTable]
+    val schema = table.schema0
+    validateFields(schema, specs.map(PartField.parse))
+    writeMeta(ident, schema, table.properties().asScala.toMap, specs)
+  }
+
+  private def validateFields(schema: StructType, fields: Seq[PartField.Field]): Unit =
     fields.foreach { f =>
       require(schema.fieldNames.contains(f.col),
         s"partition column ${f.col} not in schema")
@@ -351,6 +363,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
               s"got ${schema(tr.col).dataType.simpleString} for column ${tr.col}")
       }
     }
+
+  private def validatePartitions(schema: StructType, partitions: Array[Transform]): Seq[String] = {
+    val fields = partitions.toSeq.map(PartField.fromTransform)
+    validateFields(schema, fields)
     fields.map(_.spec)
   }
 

@@ -125,8 +125,32 @@ final class GraftTable(
     }
   }
 
+  /** After a PARTITION SPEC EVOLUTION, files written under an earlier
+    * layout cannot be addressed by the directory walk a metadata-only
+    * delete descends — a partition DELETE would silently miss their
+    * rows. Refusing here routes the statement to the row-level path,
+    * which targets files by content, not layout. */
+  private def layoutUniform: Boolean = {
+    val root = new Path(dataDir)
+    val fs = root.getFileSystem(new Configuration())
+    TableStats.readIfExists(fs, root) match {
+      case None => true // walk-based table: what is on disk IS the layout
+      case Some(m) =>
+        m.keysIterator.filterNot(GraftDeletes.isDeleteRel).forall { rel =>
+          val segs = rel.split('/')
+          segs.length == partFields.length + 1 &&
+            partFields.zip(segs.dropRight(1)).forall { case (f, seg) =>
+              seg.split("=", 2) match {
+                case Array(c, _) => c == f.dir
+                case _ => false
+              }
+            }
+        }
+    }
+  }
+
   override def canDeleteWhere(filters: Array[Filter]): Boolean =
-    filters.forall(deletableFilter)
+    filters.forall(deletableFilter) && layoutUniform
 
   override def deleteWhere(filters: Array[Filter]): Unit = {
     requireUnpinned("DELETE")
@@ -888,27 +912,33 @@ final class GraftScan(
     def fromManifest(stats: Map[String, TableStats.Entry]): Seq[(String, Long, Seq[Any], Long)] =
       stats.toSeq.sortBy(_._1).flatMap { case (rel, e) =>
         val segs = rel.split('/')
-        if (segs.length != partFields.length + 1)
-          // a registered file outside the partition layout has no
-          // partition values to reconstruct: reading it would be wrong,
-          // skipping it would silently disagree with registry-first
-          // COUNT(*) — fail loudly instead
-          throw new IllegalStateException(
-            s"graft: registered file '$rel' does not match the " +
-              s"${partFields.map(_.spec).mkString("/")} partition layout of $dataDir")
-        else {
-          val vals: Seq[Any] = partFields.zip(segs.dropRight(1)).map { case (f, seg) =>
+        val matches = segs.length == partFields.length + 1 &&
+          partFields.zip(segs.dropRight(1)).forall { case (f, seg) =>
             seg.split("=", 2) match {
-              case Array(c, raw) if c == f.dir => f match {
-                case PartField.Identity(col) => PartitionPruning.parse(
-                  tableSchema(col).dataType, PartitionPruning.decode(raw))
-                case _: PartField.Bucket => raw.toInt
-                case tu: PartField.TimeUnitField => tu.parseRaw(raw)
-                case tr: PartField.Truncate => truncTokenOf(tr, raw)
-              }
-              case _ => throw new IllegalStateException(
-                s"graft: registered file '$rel' does not match the " +
-                  s"${partFields.map(_.spec).mkString("/")} partition layout of $dataDir")
+              case Array(c, _) => c == f.dir
+              case _ => false
+            }
+          }
+        def len: Long =
+          if (e.bytes >= 0) e.bytes
+          else fs.getFileStatus(new Path(s"$dataDir/$rel")).getLen
+        if (!matches) {
+          // PARTITION SPEC EVOLUTION: the file was written under an
+          // earlier layout. Its rows still carry the partition COLUMNS
+          // (graft writes them into the data), so reading is correct —
+          // the file just cannot be directory-pruned or key-grouped
+          // under the current spec (compaction migrates it). The empty
+          // values Seq is the "unparsed layout" sentinel.
+          Some((s"$dataDir/$rel", len, Seq.empty[Any], e.seq))
+        } else {
+          val vals: Seq[Any] = partFields.zip(segs.dropRight(1)).map { case (f, seg) =>
+            val raw = seg.split("=", 2)(1)
+            f match {
+              case PartField.Identity(col) => PartitionPruning.parse(
+                tableSchema(col).dataType, PartitionPruning.decode(raw))
+              case _: PartField.Bucket => raw.toInt
+              case tu: PartField.TimeUnitField => tu.parseRaw(raw)
+              case tr: PartField.Truncate => truncTokenOf(tr, raw)
             }
           }
           val vmap = partFields.zip(vals).map { case (f, v) => f match {
@@ -928,12 +958,7 @@ final class GraftScan(
             } ||
             PartitionPruning.prune(pushed.toSeq, vmap)
           if (pruned) None
-          else {
-            val len =
-              if (e.bytes >= 0) e.bytes
-              else fs.getFileStatus(new Path(s"$dataDir/$rel")).getLen
-            Some((s"$dataDir/$rel", len, vals, e.seq))
-          }
+          else Some((s"$dataDir/$rel", len, vals, e.seq))
         }
       }
 
@@ -997,6 +1022,13 @@ final class GraftScan(
         f.isInstanceOf[PartField.Truncate]) &&
       org.apache.spark.sql.internal.SQLConf.get.v2BucketingEnabled
 
+  /** [[keyGrouped]] plus the per-listing condition: every file's layout
+    * parsed under the CURRENT spec. Files from before a partition-spec
+    * evolution have no reconstructable key — the scan then reports
+    * UnknownPartitioning until compaction migrates them. */
+  private def keyGroupedNow: Boolean =
+    keyGrouped && files.forall(_._3.length == partFields.length)
+
   private def groups: Seq[(Seq[Any], Seq[(String, Long, Long)])] = {
     if (groupsCache == null)
       groupsCache = files.groupBy(_._3).toSeq
@@ -1011,7 +1043,7 @@ final class GraftScan(
       t.onBaseManifest(cachedStats.keySet)
     }
     onManifest.foreach(_(cachedStats.keySet))
-    if (keyGrouped) {
+    if (keyGroupedNow) {
       groups.map { case (values, paths) =>
         val key = org.apache.spark.sql.catalyst.InternalRow.fromSeq(
           values.map(v => org.apache.spark.sql.catalyst.CatalystTypeConverters
@@ -1028,7 +1060,7 @@ final class GraftScan(
   }
 
   override def outputPartitioning(): org.apache.spark.sql.connector.read.partitioning.Partitioning =
-    if (keyGrouped)
+    if (keyGroupedNow)
       new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
         partFields.map(PartField.toTransform(_)
           : org.apache.spark.sql.connector.expressions.Expression).toArray,

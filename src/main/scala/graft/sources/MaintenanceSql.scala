@@ -41,6 +41,8 @@ object MaintenanceSql {
     """(?is)\s*ALTER\s+TABLE\s+([\w.`]+)\s+DROP\s+TAG\s+`?([\w][\w.-]*)`?\s*;?\s*""".r
   private val ShowTags =
     """(?is)\s*SHOW\s+TAGS\s+(?:IN\s+|FROM\s+)?([\w.`]+)\s*;?\s*""".r
+  private val SetPartSpec =
+    """(?is)\s*ALTER\s+TABLE\s+([\w.`]+)\s+SET\s+PARTITION\s+SPEC\s*\(\s*(.*?)\s*\)\s*;?\s*""".r
 
   private def parts(ident: String): Seq[String] =
     ident.split('.').map(_.stripPrefix("`").stripSuffix("`")).toSeq
@@ -74,6 +76,20 @@ object MaintenanceSql {
         Some(GraftDropTagCommand(parts(id), name))
       case ShowTags(id) if graft(parts(id)) =>
         Some(GraftShowTagsCommand(parts(id)))
+      case SetPartSpec(id, specText) if graft(parts(id)) =>
+        // split on top-level commas only: bucket(8, id) keeps its own
+        val specs = scala.collection.mutable.ArrayBuffer[String]()
+        var depth = 0; val cur = new StringBuilder
+        specText.foreach {
+          case '(' => depth += 1; cur.append('(')
+          case ')' => depth -= 1; cur.append(')')
+          case ',' if depth == 0 => specs += cur.toString; cur.clear()
+          case c => cur.append(c)
+        }
+        if (cur.nonEmpty) specs += cur.toString
+        Some(GraftSetPartitionSpecCommand(parts(id),
+          specs.toSeq.map(_.replaceAll("\\s+", "").replace("`", ""))
+            .filter(_.nonEmpty)))
       case _ => None
     }
   }
@@ -134,6 +150,18 @@ final case class GraftAnalyzeCommand(parts: Seq[String], forCols: Seq[String])
   override def run(session: SparkSession): Seq[Row] = {
     val (t, _) = MaintenanceSql.loadGraftTable(session, parts)
     Analyze.run(session, t, forCols)
+    Nil
+  }
+}
+
+final case class GraftSetPartitionSpecCommand(parts: Seq[String], specs: Seq[String])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq.empty
+  override def run(session: SparkSession): Seq[Row] = {
+    val (cat, ident) = GraftViewBridge.resolveIdent(session, parts).getOrElse(
+      throw new IllegalArgumentException(
+        s"graft: ${parts.mkString(".")} is not a graft table"))
+    cat.setPartitionSpec(ident, specs)
     Nil
   }
 }

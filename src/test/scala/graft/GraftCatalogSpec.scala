@@ -953,6 +953,50 @@ class GraftCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.sql("DROP TABLE graft.pw.trs")
   }
 
+  test("partition spec evolution: mixed layouts read, new writes re-lay, compaction migrates") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.pw")
+    spark.sql(
+      """CREATE TABLE graft.pw.pe (id BIGINT, lang STRING, v DOUBLE)
+        |PARTITIONED BY (lang)""".stripMargin)
+    spark.sql("INSERT INTO graft.pw.pe SELECT id, " +
+      "CASE WHEN id % 2 = 0 THEN 'en' ELSE 'de' END, CAST(id AS DOUBLE) FROM range(100)")
+    // evolve: lang dirs -> id range dirs; zero files rewritten
+    spark.sql("ALTER TABLE graft.pw.pe SET PARTITION SPEC (truncate(50, id))")
+    spark.sql("INSERT INTO graft.pw.pe SELECT id + 100, 'fr', CAST(id AS DOUBLE) FROM range(100)")
+    val wh = spark.conf.get("spark.sql.catalog.graft.warehouse")
+    val dataDir = new org.apache.hadoop.fs.Path(s"$wh/pw/pe/data")
+    val fs = dataDir.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val topDirs = fs.listStatus(dataDir).filter(_.isDirectory).map(_.getPath.getName).sorted
+    assert(topDirs.exists(_.startsWith("lang=")) && topDirs.exists(_.startsWith("id.trunc=")),
+      topDirs.mkString(","))
+    // both generations read through one scan
+    assert(spark.table("graft.pw.pe").count() == 200)
+    assert(spark.sql("SELECT COUNT(*) FROM graft.pw.pe WHERE lang = 'en'")
+      .head().getLong(0) == 50)
+    assert(spark.sql("SELECT COUNT(*) FROM graft.pw.pe WHERE id >= 150")
+      .head().getLong(0) == 50)
+    // partition DELETE is refused while layouts are mixed: it routes to
+    // the row-level path and still deletes correctly
+    spark.sql("DELETE FROM graft.pw.pe WHERE lang = 'de'")
+    assert(spark.table("graft.pw.pe").count() == 150)
+    assert(spark.sql("SELECT COUNT(*) FROM graft.pw.pe WHERE lang = 'de'")
+      .head().getLong(0) == 0)
+    // compaction migrates everything to the current layout
+    val t = spark.sessionState.catalogManager.catalog("graft")
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
+      .loadTable(org.apache.spark.sql.connector.catalog.Identifier.of(Array("pw"), "pe"))
+      .asInstanceOf[graft.sources.GraftTable]
+    graft.sources.Compaction.compact(spark, t)
+    val live = graft.sources.TableStats.read(fs, dataDir).keySet
+    assert(live.nonEmpty && live.forall(_.startsWith("id.trunc=")),
+      s"compaction should migrate layouts: $live")
+    assert(spark.table("graft.pw.pe").count() == 150)
+    // with one uniform layout again, partition deletes are metadata-only
+    spark.sql("ALTER TABLE graft.pw.pe SET PARTITION SPEC (lang)")
+    graft.sources.Compaction.compact(spark, t)
+    spark.sql("DROP TABLE graft.pw.pe")
+  }
+
   test("sorted compaction clusters files into disjoint ranges that skip") {
     spark.sql("CREATE TABLE graft.pw.clus (id BIGINT, v DOUBLE)")
     // interleaved inserts: every file's id range spans the whole domain,
