@@ -38,11 +38,20 @@ class GraftTableProvider extends TableProvider with DataSourceRegister {
 
   private def meta(dir: String) = GraftTable.readMeta(dir, new Configuration())
 
+  private def changeFeed(options: JMap[String, String]): Boolean =
+    "true".equalsIgnoreCase(String.valueOf(options.get("change-feed")))
+
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val dir = pathOf(options)
-    meta(dir).map(_._1).getOrElse(throw new IllegalArgumentException(
+    val base = meta(dir).map(_._1).getOrElse(throw new IllegalArgumentException(
       s"graft: no _meta.yml under $dir — pass an explicit schema " +
         "(.schema(...) / CREATE TABLE column list) for bare directories"))
+    if (!changeFeed(options)) base
+    else StructType(base.fields ++ Seq(
+      org.apache.spark.sql.types.StructField("_change_type",
+        org.apache.spark.sql.types.StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("_commit_version",
+        org.apache.spark.sql.types.LongType, nullable = false)))
   }
 
   override def inferPartitioning(options: CaseInsensitiveStringMap): Array[Transform] = {
@@ -56,6 +65,16 @@ class GraftTableProvider extends TableProvider with DataSourceRegister {
       partitioning: Array[Transform],
       properties: JMap[String, String]): Table = {
     val dir = pathOf(properties)
+    if (changeFeed(properties)) {
+      // streaming CDC: the handed schema is the feed schema (base + the
+      // two metadata columns inferSchema appended) — strip them back off
+      // for the file readers
+      val base = StructType(schema.fields.filterNot(f =>
+        f.name == "_change_type" || f.name == "_commit_version"))
+      val starting = Option(properties.get("starting-version"))
+        .map(_.toLong).getOrElse(0L)
+      return new GraftChangeFeedTable(base, dir, starting)
+    }
     // round-trips bucket(n, col) too: specs (not bare references) reach
     // the table, so writes route rows to the same buckets the catalog
     // path would and scans keep bucket pruning. The WRITE path hands us

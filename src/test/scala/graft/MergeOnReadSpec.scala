@@ -262,6 +262,45 @@ class MergeOnReadSpec extends AnyFunSuite with BeforeAndAfterAll {
       .map(r => (r.getString(0), r.getLong(1))).sorted.toSeq == Seq(("b", 2L)))
   }
 
+  test("streaming change feed: inserts + MOR deletes as a continuous CDC stream") {
+    spark.sql(
+      s"""CREATE TABLE graft.mor.feed (row_key STRING, v BIGINT)
+         |TBLPROPERTIES ('${GraftDeletes.ModeProp}' = 'merge-on-read')""".stripMargin)
+    spark.sql("INSERT INTO graft.mor.feed VALUES ('a', 1), ('b', 2)")
+    spark.sql("DELETE FROM graft.mor.feed WHERE row_key = 'a'")
+    spark.sql("INSERT INTO graft.mor.feed VALUES ('c', 3)")
+    val ckpt = java.nio.file.Files.createTempDirectory("mor_feed").toString
+    val outDir = java.nio.file.Files.createTempDirectory("mor_feed_out").toString
+    def drain(): Unit = {
+      val q = spark.readStream.format("graft")
+        .option("change-feed", "true")
+        .load(s"$warehouse/mor/feed")
+        .writeStream.format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    drain()
+    def feed(): Seq[(String, String, Long)] = spark.read.parquet(outDir)
+      .select("_change_type", "row_key", "_commit_version").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .sortBy(x => (x._3, x._1, x._2)).toSeq
+    val f1 = feed()
+    assert(f1.map(x => (x._1, x._2)) ==
+      Seq(("insert", "a"), ("insert", "b"), ("delete", "a"), ("insert", "c")),
+      s"unexpected feed: $f1")
+    // versions are strictly increasing across the three commits
+    assert(f1.map(_._3).distinct.size == 3)
+    // a restart from the checkpoint sees only NEW commits
+    spark.sql("INSERT INTO graft.mor.feed VALUES ('d', 4)")
+    drain()
+    val f2 = feed()
+    assert(f2.size == f1.size + 1 && f2.map(_._2).contains("d"),
+      s"restart must resume from the checkpointed version: $f2")
+  }
+
   test("copy-on-write stays the default path") {
     spark.sql("CREATE TABLE graft.mor.cow (row_key STRING, v BIGINT)")
     spark.sql("INSERT INTO graft.mor.cow VALUES ('a', 1), ('b', 2)")
