@@ -127,16 +127,6 @@ object Compaction {
       }
 
     val partFields = table.partitionSpecs.map(PartField.parse)
-    def layoutMatches(rel: String): Boolean = {
-      val segs = rel.split('/')
-      segs.length == partFields.length + 1 &&
-        partFields.zip(segs.dropRight(1)).forall { case (f, seg) =>
-          seg.split("=", 2) match {
-            case Array(c, _) => c == f.dir
-            case _ => false
-          }
-        }
-    }
 
     val byDir = scala.collection.mutable.Map[String, Vector[(String, Long)]]()
     val withSeq = scala.collection.mutable.Map[String, Long]() // path -> seq
@@ -154,9 +144,12 @@ object Compaction {
       // deletes into the data and the delete entries can be dropped
       if (deleteEntries.nonEmpty && touchedByDeletes(e)) deleteVictims += p.toString
       // partition-spec evolution: files written under an earlier layout
-      // are rewritten regardless of size — the rewrite lands them under
-      // the CURRENT spec, restoring pruning and metadata-only deletes
-      if (!layoutMatches(rel)) layoutVictims += p.toString
+      // (mismatched dirs OR predating the spec — a parameter-only change
+      // keeps the dir names) are rewritten regardless of size — the
+      // rewrite lands them under the CURRENT spec, restoring pruning and
+      // metadata-only deletes
+      if (!PartField.layoutMatches(rel, partFields) || e.seq < table.specSince)
+        layoutVictims += p.toString
     }
     val groups = byDir.values.toSeq
       .map(_.filter(_._2 < smallBytes))

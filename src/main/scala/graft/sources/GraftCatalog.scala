@@ -337,7 +337,18 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
     val table = loadTable(ident).asInstanceOf[GraftTable]
     val schema = table.schema0
     validateFields(schema, specs.map(PartField.parse))
-    writeMeta(ident, schema, table.properties().asScala.toMap, specs)
+    // Record the version the NEW spec applies from, under the commit
+    // lock so no commit can slip between reading it and publishing the
+    // spec. A parameter-only change (bucket count, truncate width) keeps
+    // directory names identical — only the seq boundary tells old-spec
+    // files apart, so this is a correctness bound, not bookkeeping.
+    val dataDir = new Path(tablePath(ident), "data")
+    TableStats.withLock(fs, dataDir) {
+      val since = Snapshots.nextVersion(fs, dataDir)
+      writeMeta(ident, schema,
+        table.properties().asScala.toMap +
+          (GraftTable.SpecSinceProp -> since.toString), specs)
+    }
   }
 
   private def validateFields(schema: StructType, fields: Seq[PartField.Field]): Unit =

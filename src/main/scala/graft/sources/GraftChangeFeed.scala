@@ -47,9 +47,13 @@ final class GraftChangeFeedTable(
     startingVersion: Long)
     extends Table with SupportsRead {
 
-  private val feedSchema = StructType(baseSchema.fields ++ Seq(
-    StructField("_change_type", StringType, nullable = false),
-    StructField("_commit_version", LongType, nullable = false)))
+  // data columns are forced nullable: delete rows carry NULL in every
+  // non-key column, and a declared NOT NULL would let the optimizer fold
+  // IS NULL checks and codegen read garbage from null slots
+  private val feedSchema = StructType(
+    baseSchema.fields.map(_.copy(nullable = true)) ++ Seq(
+      StructField("_change_type", StringType, nullable = false),
+      StructField("_commit_version", LongType, nullable = false)))
 
   override def name(): String = s"graft-changes.`$tableDir`"
   override def schema(): StructType = feedSchema
@@ -114,7 +118,12 @@ final class GraftChangeFeedStream(
           "(vacuumed) — restart the stream from a newer starting-version"))
     var prev = manifestAt(v1)
     val out = scala.collection.mutable.ArrayBuffer[InputPartition]()
-    for (v <- (v1 + 1) to v2) Snapshots.read(fs, dir, v).foreach { cur =>
+    // every version in the range must still be resolvable: silently
+    // skipping a vacuumed snapshot would collapse several commits into
+    // one diff (wrong _commit_version) and could hide a COW rewrite that
+    // happened entirely inside the gap — determinism demands all-or-fail
+    for (v <- (v1 + 1) to v2) {
+      val cur = manifestAt(v)
       val added = (cur.keySet -- prev.keySet).toSeq.sorted
       val removed = (prev.keySet -- cur.keySet).toSeq
         .filterNot(GraftDeletes.isDeleteRel)

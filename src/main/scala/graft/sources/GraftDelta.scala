@@ -54,6 +54,7 @@ final class GraftDeltaOperation(
     // schema0 already reports row_key as NOT NULL on merge-on-read tables
     new GraftScanBuilder(table.schema0, table.dataDir, table.partitionSpecs,
       renames = table.renames, widened = table.widened,
+      specSince = table.specSince,
       onManifest = Some(ks => baseManifest = ks))
 
   override def newWriteBuilder(info: LogicalWriteInfo): DeltaWriteBuilder =

@@ -61,7 +61,8 @@ final class GraftRowLevelOperation(
     // without the history a renamed column would decode as NULL and the
     // rewrite would permanently null it for every surviving row
     new GraftScanBuilder(table.schema0, table.dataDir, table.partitionSpecs,
-      tracker = Some(this), renames = table.renames, widened = table.widened)
+      tracker = Some(this), renames = table.renames, widened = table.widened,
+      specSince = table.specSince)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder {

@@ -136,15 +136,9 @@ final class GraftTable(
     TableStats.readIfExists(fs, root) match {
       case None => true // walk-based table: what is on disk IS the layout
       case Some(m) =>
-        m.keysIterator.filterNot(GraftDeletes.isDeleteRel).forall { rel =>
-          val segs = rel.split('/')
-          segs.length == partFields.length + 1 &&
-            partFields.zip(segs.dropRight(1)).forall { case (f, seg) =>
-              seg.split("=", 2) match {
-                case Array(c, _) => c == f.dir
-                case _ => false
-              }
-            }
+        m.iterator.filterNot(e => GraftDeletes.isDeleteRel(e._1)).forall {
+          case (rel, e) =>
+            PartField.layoutMatches(rel, partFields) && e.seq >= specSince
         }
     }
   }
@@ -243,6 +237,10 @@ final class GraftTable(
   /** Columns widened by ALTER COLUMN ... TYPE (see [[GraftTable.WidenedProp]]). */
   lazy val widened: Set[String] = GraftTable.widenedNames(props)
 
+  /** Version from which the current partition spec applies
+    * (see [[GraftTable.SpecSinceProp]]). */
+  lazy val specSince: Long = GraftTable.specSince(props)
+
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(schema0, dataDir, partitionCols,
       maxFilesPerTrigger =
@@ -263,7 +261,7 @@ final class GraftTable(
       // incremental append scan: only files added after snapshot m
       // (spark.read.option("since-version", m) — see Snapshots.readManifest)
       sinceVersion = Option(options.get("since-version")).map(_.toLong),
-      renames = renames, widened = widened)
+      renames = renames, widened = widened, specSince = specSince)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     requireUnpinned("write")
@@ -299,6 +297,18 @@ object GraftTable {
 
   def widenedNames(props: Map[String, String]): Set[String] =
     props.getOrElse(WidenedProp, "").split(',').filter(_.nonEmpty).toSet
+
+  /** Snapshot version from which the CURRENT partition spec applies (set
+    * by `ALTER TABLE ... SET PARTITION SPEC`, 0 = since creation). Files
+    * whose data sequence number predates it were written under an
+    * earlier spec — their directory names may even LOOK identical (a
+    * bucket-count or truncate-width change keeps the dir name), so a
+    * name-match alone must never be trusted for pruning: older files are
+    * always conservative (no pruning, compaction victims). */
+  val SpecSinceProp = "graft.spec.since"
+
+  def specSince(props: Map[String, String]): Long =
+    props.getOrElse(SpecSinceProp, "0").toLong
 
   /** Comma-separated columns every INSERT range-partitions + sorts by
     * (write-side clustering: files get disjoint registered ranges at
@@ -614,7 +624,8 @@ final class GraftScanBuilder(
     sinceVersion: Option[Long] = None,
     renames: Map[String, Seq[String]] = Map.empty,
     onManifest: Option[Set[String] => Unit] = None,
-    widened: Set[String] = Set.empty)
+    widened: Set[String] = Set.empty,
+    specSince: Long = 0L)
     extends ScanBuilder
     with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters
@@ -703,7 +714,8 @@ final class GraftScanBuilder(
       new GraftCountStarScan(dataDir, snapshotVersion, sinceVersion, manifestCache)
     else new GraftScan(tableSchema, required, pushed, dataDir, partitionCols,
       wantFile, tracker, limit, maxFilesPerTrigger, maxBytesPerTrigger,
-      snapshotVersion, sinceVersion, renames, onManifest, manifestCache, widened)
+      snapshotVersion, sinceVersion, renames, onManifest, manifestCache,
+      widened, specSince)
 }
 
 final class GraftScan(
@@ -722,7 +734,8 @@ final class GraftScan(
     renames: Map[String, Seq[String]] = Map.empty,
     onManifest: Option[Set[String] => Unit] = None,
     manifestPre: Option[Option[Map[String, TableStats.Entry]]] = None,
-    widened: Set[String] = Set.empty)
+    widened: Set[String] = Set.empty,
+    specSince: Long = 0L)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsReportPartitioning with SupportsRuntimeFiltering {
 
@@ -911,14 +924,12 @@ final class GraftScan(
     // manifest. The walk survives only for registry-less tables.
     def fromManifest(stats: Map[String, TableStats.Entry]): Seq[(String, Long, Seq[Any], Long)] =
       stats.toSeq.sortBy(_._1).flatMap { case (rel, e) =>
-        val segs = rel.split('/')
-        val matches = segs.length == partFields.length + 1 &&
-          partFields.zip(segs.dropRight(1)).forall { case (f, seg) =>
-            seg.split("=", 2) match {
-              case Array(c, _) => c == f.dir
-              case _ => false
-            }
-          }
+        // a parse is trusted only when the directory names match AND the
+        // file postdates the current spec: a parameter-only evolution
+        // (bucket count, truncate width) keeps the dir names, so older
+        // files would otherwise misprune under the new parameters
+        val matches = PartField.layoutMatches(rel, partFields) &&
+          e.seq >= specSince
         def len: Long =
           if (e.bytes >= 0) e.bytes
           else fs.getFileStatus(new Path(s"$dataDir/$rel")).getLen
@@ -931,6 +942,7 @@ final class GraftScan(
           // values Seq is the "unparsed layout" sentinel.
           Some((s"$dataDir/$rel", len, Seq.empty[Any], e.seq))
         } else {
+          val segs = rel.split('/')
           val vals: Seq[Any] = partFields.zip(segs.dropRight(1)).map { case (f, seg) =>
             val raw = seg.split("=", 2)(1)
             f match {
@@ -1098,17 +1110,20 @@ final class GraftScan(
     // which FILES to rewrite (partition pruning), never which rows to
     // decode — a record-level parquet filter would drop rows the rewrite
     // has to carry over.
-    // Equality-delete keys ship as a BROADCAST: once per executor, not
-    // once per task — near the 256 MB cap the per-task closure would
-    // otherwise dominate the stage.
-    val deletesBc =
-      if (deleteKeys.isEmpty) None
-      else Some(org.apache.spark.sql.SparkSession.active.sparkContext
-        .broadcast(deleteKeys))
     new GraftReaderFactory(required,
       if (tracker.isDefined) Array.empty else pushed, columnarOK, wantFile,
       renames, deletesBc, widened)
   }
+
+  /** Equality-delete keys ship as a BROADCAST: once per executor, not
+    * once per task — near the 256 MB cap the per-task closure would
+    * otherwise dominate the stage. Cached so AQE re-invoking
+    * createReaderFactory reuses one broadcast per scan instead of
+    * accreting block-manager copies. */
+  private lazy val deletesBc: Option[org.apache.spark.broadcast.Broadcast[Array[(String, Long)]]] =
+    if (deleteKeys.isEmpty) None
+    else Some(org.apache.spark.sql.SparkSession.active.sparkContext
+      .broadcast(deleteKeys))
 
   /** Exact row count for the (pruned) file set. Preferred source is the
     * `_stats.tsv` cache written at every commit — ONE small read per

@@ -69,6 +69,17 @@ class GraftTableProvider extends TableProvider with DataSourceRegister {
       // streaming CDC: the handed schema is the feed schema (base + the
       // two metadata columns inferSchema appended) — strip them back off
       // for the file readers
+      val declared = meta(dir).map(_._1).getOrElse(StructType(Nil))
+      require(!declared.fieldNames.contains("_change_type") &&
+        !declared.fieldNames.contains("_commit_version"),
+        "graft: change feed over a table whose own columns shadow " +
+          "_change_type/_commit_version would be silently ambiguous")
+      // pre-rename files store former physical names the feed's plain
+      // file readers would null-fill — refuse loudly, like the batch feed
+      val storedRenames = GraftTable.parseRenames(meta(dir).map(_._2)
+        .getOrElse(Map.empty).getOrElse(GraftTable.RenamesProp, ""))
+      require(storedRenames.isEmpty,
+        "graft: change feed over a renamed-column table is not supported yet")
       val base = StructType(schema.fields.filterNot(f =>
         f.name == "_change_type" || f.name == "_commit_version"))
       val starting = Option(properties.get("starting-version"))

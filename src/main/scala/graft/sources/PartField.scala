@@ -208,6 +208,24 @@ object PartField {
     case _ => false
   }
 
+  /** Does a manifest rel path's DIRECTORY STRUCTURE match `fields`? Name
+    * check only — parameter-only spec changes (bucket count, truncate
+    * width) produce identical directory names, so callers must ALSO
+    * compare the file's data sequence number against the spec's
+    * effective-since version ([[GraftTable.SpecSinceProp]]) before
+    * trusting a parse. The one shared matcher for scan, delete routing,
+    * and compaction. */
+  def layoutMatches(rel: String, fields: Seq[Field]): Boolean = {
+    val segs = rel.split('/')
+    segs.length == fields.length + 1 &&
+      fields.zip(segs.dropRight(1)).forall { case (f, seg) =>
+        seg.split("=", 2) match {
+          case Array(c, _) => c == f.dir
+          case _ => false
+        }
+      }
+  }
+
   private val B = """bucket\((\d+),(.+)\)""".r
   private val D = """days\((.+)\)""".r
   private val M = """months\((.+)\)""".r

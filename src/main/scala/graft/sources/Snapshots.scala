@@ -269,6 +269,10 @@ object Snapshots {
     require(table.renames.isEmpty,
       "graft: change feed over a renamed-column table is not supported yet")
     val schema = table.schema0
+    require(!schema.fieldNames.contains("_change_type") &&
+      !schema.fieldNames.contains("_commit_version"),
+      "graft: change feed over a table whose own columns shadow " +
+        "_change_type/_commit_version would be silently ambiguous")
     val keyed = schema.fieldNames.contains(graft.functions.ColumnNames.RowKey)
 
     def manifestAt(v: Long): Map[String, TableStats.Entry] =
@@ -279,7 +283,10 @@ object Snapshots {
     var prev = manifestAt(since)
     val inserts = scala.collection.mutable.ArrayBuffer[(Long, Seq[String])]()
     val deletes = scala.collection.mutable.ArrayBuffer[(Long, Seq[String])]()
-    for (v <- (since + 1) to endV) read(fs, dataDir, v).foreach { cur =>
+    // every version in the range must resolve: silently skipping a
+    // vacuumed snapshot would collapse commits into one diff (wrong
+    // _commit_version) and could hide an intra-gap COW rewrite
+    for (v <- (since + 1) to endV) { val cur = manifestAt(v)
       val added = (cur.keySet -- prev.keySet).toSeq.sorted
       val removed = (prev.keySet -- cur.keySet).toSeq.sorted
         // a delete entry leaving the manifest is compaction housekeeping

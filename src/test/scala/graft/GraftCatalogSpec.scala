@@ -995,6 +995,32 @@ class GraftCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.sql("ALTER TABLE graft.pw.pe SET PARTITION SPEC (lang)")
     graft.sources.Compaction.compact(spark, t)
     spark.sql("DROP TABLE graft.pw.pe")
+
+    // PARAMETER-ONLY evolution: the directory names stay identical, so
+    // only the spec's since-version tells old files apart — without it a
+    // width change would misprune pre-change files and silently lose rows
+    spark.sql(
+      """CREATE TABLE graft.pw.pw (id BIGINT, v DOUBLE)
+        |PARTITIONED BY (truncate(100, id))""".stripMargin)
+    spark.sql("INSERT INTO graft.pw.pw SELECT id, CAST(id AS DOUBLE) FROM range(200)")
+    spark.sql("ALTER TABLE graft.pw.pw SET PARTITION SPEC (truncate(50, id))")
+    assert(spark.sql("SELECT COUNT(*) FROM graft.pw.pw WHERE id >= 160")
+      .head().getLong(0) == 40,
+      "pre-change files must not prune under the new width")
+    spark.sql("INSERT INTO graft.pw.pw SELECT id + 200, CAST(id AS DOUBLE) FROM range(50)")
+    assert(spark.table("graft.pw.pw").count() == 250)
+    // compaction migrates the old-width files (same dir names!)...
+    val t2 = spark.sessionState.catalogManager.catalog("graft")
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
+      .loadTable(org.apache.spark.sql.connector.catalog.Identifier.of(Array("pw"), "pw"))
+      .asInstanceOf[graft.sources.GraftTable]
+    val (rm, wr) = graft.sources.Compaction.compact(spark, t2)
+    assert(rm > 0 && wr > 0)
+    // ...and everything still reads correctly under the new width
+    assert(spark.sql("SELECT COUNT(*) FROM graft.pw.pw WHERE id >= 160")
+      .head().getLong(0) == 90)
+    assert(spark.table("graft.pw.pw").count() == 250)
+    spark.sql("DROP TABLE graft.pw.pw")
   }
 
   test("sorted compaction clusters files into disjoint ranges that skip") {
