@@ -409,6 +409,66 @@ object Dedup {
         l0 AS MATERIALIZED (SELECT a AS id, LEAST(a, MIN(b)) AS l FROM edges GROUP BY a),
         $rounds
         SELECT id AS doc_id, l AS cluster FROM l8 ORDER BY doc_id"""
-      })
+      }),
+
+    // ---- q104: MinHash-LSH evaluation against exact Jaccard ---------------
+    // "Measure, don't guess" for the dedup stack: the LSH candidate pairs
+    // (q25's banding) scored against exact n-gram-Jaccard ground truth
+    // (q24's threshold-0.6 pairs) — recall says how many true near-dups
+    // the bands surface, precision how much of the candidate set is
+    // worth verifying. Both integer-quantized (1e6 scale) so the engines
+    // agree bit-for-bit. At corpus scale this is the tuning loop for the
+    // band/row trade-off, run on a sample; the expensive exact side is
+    // already df-capped.
+    QueryDef(
+      "q104_lsh_eval",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val sh = shingles(t)
+        val kept = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+          .filter(col("df") <= DfCap).select(col("shingle"))
+        val shk = sh.join(kept, "shingle")
+        val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+        val exactPairs = shk.select(col("doc_id").as("d1"), col("shingle"))
+          .join(shk.select(col("doc_id").as("d2"), col("shingle")), "shingle")
+          .filter(col("d1") < col("d2"))
+          .groupBy(col("d1"), col("d2"))
+          .agg(count(lit(1)).as("common"))
+          .join(cnt.select(col("doc_id").as("d1"), col("n").as("n1")), "d1")
+          .join(cnt.select(col("doc_id").as("d2"), col("n").as("n2")), "d2")
+          .filter(expr("common / (n1 + n2 - common) >= 0.6"))
+          .select(col("d1"), col("d2"))
+        val lsh = minhashPairs(t)
+        val both = exactPairs.join(lsh, Seq("d1", "d2"))
+        exactPairs.agg(count(lit(1)).cast("long").as("n_exact"))
+          .crossJoin(lsh.agg(count(lit(1)).cast("long").as("n_lsh")))
+          .crossJoin(both.agg(count(lit(1)).cast("long").as("n_both")))
+          .select(col("n_exact"), col("n_lsh"), col("n_both"),
+            floor(col("n_both") * lit(1000000.0) / col("n_exact")).cast("long")
+              .as("recall_q"),
+            floor(col("n_both") * lit(1000000.0) / col("n_lsh")).cast("long")
+              .as("precision_q"))
+      },
+      Some(s"""WITH $minhashPairsSql,
+        kept AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= $DfCap),
+        shk AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN kept USING (shingle)),
+        cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        jp AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS common
+               FROM shk a JOIN shk b USING (shingle)
+               WHERE a.doc_id < b.doc_id GROUP BY a.doc_id, b.doc_id),
+        exact AS (
+          SELECT d1, d2 FROM (
+            SELECT d1, d2, common, ca.n AS n1, cb.n AS n2
+            FROM jp JOIN cnt ca ON ca.doc_id = d1 JOIN cnt cb ON cb.doc_id = d2)
+          WHERE common / (n1 + n2 - common) >= 0.6),
+        hits AS (SELECT e.d1, e.d2 FROM exact e JOIN pairs p
+                 ON p.d1 = e.d1 AND p.d2 = e.d2)
+        SELECT CAST((SELECT COUNT(*) FROM exact) AS BIGINT) AS n_exact,
+               CAST((SELECT COUNT(*) FROM pairs) AS BIGINT) AS n_lsh,
+               CAST((SELECT COUNT(*) FROM hits) AS BIGINT) AS n_both,
+               CAST(FLOOR((SELECT COUNT(*) FROM hits) * 1000000.0 /
+                 (SELECT COUNT(*) FROM exact)) AS BIGINT) AS recall_q,
+               CAST(FLOOR((SELECT COUNT(*) FROM hits) * 1000000.0 /
+                 (SELECT COUNT(*) FROM pairs)) AS BIGINT) AS precision_q"""))
   )
 }
