@@ -893,6 +893,95 @@ object Text {
         UNION ALL SELECT CAST(2 AS BIGINT), pair, cnt FROM r2
         UNION ALL SELECT CAST(3 AS BIGINT), pair, cnt FROM r3
         ORDER BY round"""
+      }),
+
+    // ---- q105: BPE encoding — apply the learned merges --------------------
+    // The train→apply pair to q99: every document is encoded with the two
+    // learned merge rules and reports its token count, character mass,
+    // and post-merge SYMBOL count — the compression the tokenizer buys.
+    // Scale shape: the encoder runs over the VOCABULARY (distinct words
+    // fused through the broadcast rules) and joins back to the token
+    // stream — per-word work never repeats per occurrence.
+    QueryDef(
+      "q105_bpe_encode",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val words = t.documents
+          .select(explode(split(col("text"), " ")).as("word"))
+          .filter(length(col("word")) > 0)
+          .groupBy("word").agg(count(lit(1)).as("wc"))
+          .withColumn("seq",
+            concat(lit(" "),
+              array_join(expr("regexp_extract_all(word, '.', 0)"), " "), lit(" ")))
+        def pairCounts(wordsDf: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+          wordsDf
+            .select(col("wc"), expr("split(trim(seq), ' ')").as("ss"))
+            .filter(size(col("ss")) >= 2)
+            .select(col("wc"), explode(expr(
+              "transform(sequence(0, size(ss) - 2), i -> concat(ss[i], ' ', ss[i + 1]))"))
+              .as("pair"))
+            .groupBy("pair").agg(sum(col("wc")).cast("long").as("cnt"))
+        def best(pc: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+          pc.orderBy(desc("cnt"), col("pair")).limit(1)
+        def fuse(wordsDf: org.apache.spark.sql.DataFrame, rule: org.apache.spark.sql.DataFrame) =
+          wordsDf.crossJoin(broadcast(rule.select(col("pair").as("p"))))
+            .withColumn("seq", expr(
+              "replace(seq, concat(' ', p, ' '), concat(' ', replace(p, ' ', ''), ' '))"))
+            .drop("p")
+        val w1 = fuse(words, best(pairCounts(words)))
+        val w2 = fuse(w1, best(pairCounts(w1)))
+        val encoded = w2.select(col("word"),
+          size(expr("split(trim(seq), ' ')")).cast("long").as("n_sym"))
+        t.documents
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+          .filter(length(col("word")) > 0)
+          .join(encoded, "word")
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).cast("long").as("n_tokens"),
+            sum(length(col("word"))).cast("long").as("n_chars_tok"),
+            sum(col("n_sym")).cast("long").as("n_symbols"))
+          .orderBy(col("doc_id"))
+      },
+      Some {
+        def pc(src: String, out: String) =
+          s"""${out}_s AS (
+             |  SELECT wc, string_split(trim(seq), ' ') AS ss FROM $src),
+             |${out}_p AS (
+             |  SELECT wc, ss[i] || ' ' || ss[i + 1] AS pair
+             |  FROM (SELECT wc, ss, unnest(range(1, len(ss))) AS i FROM ${out}_s)),
+             |$out AS (
+             |  SELECT pair, CAST(SUM(wc) AS BIGINT) AS cnt FROM ${out}_p GROUP BY pair)"""
+            .stripMargin
+        def best(pcName: String, out: String) =
+          s"""$out AS (
+             |  SELECT pair, cnt FROM $pcName ORDER BY cnt DESC, pair LIMIT 1)"""
+            .stripMargin
+        def fuse(src: String, rule: String, out: String) =
+          s"""$out AS (
+             |  SELECT word, wc, replace(seq, ' ' || r.pair || ' ',
+             |    ' ' || replace(r.pair, ' ', '') || ' ') AS seq
+             |  FROM $src CROSS JOIN $rule r)""".stripMargin
+        s"""WITH words AS (
+          SELECT word, CAST(COUNT(*) AS BIGINT) AS wc FROM (
+            SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+          WHERE length(word) > 0 GROUP BY word),
+        w0 AS (
+          SELECT word, wc,
+                 ' ' || array_to_string(regexp_extract_all(word, '.'), ' ') || ' ' AS seq
+          FROM words),
+        ${pc("w0", "pc1")}, ${best("pc1", "r1")}, ${fuse("w0", "r1", "w1")},
+        ${pc("w1", "pc2")}, ${best("pc2", "r2")}, ${fuse("w1", "r2", "w2")},
+        encoded AS (
+          SELECT word, CAST(len(string_split(trim(seq), ' ')) AS BIGINT) AS n_sym
+          FROM w2),
+        toks AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+        SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               CAST(SUM(length(t.word)) AS BIGINT) AS n_chars_tok,
+               CAST(SUM(e.n_sym) AS BIGINT) AS n_symbols
+        FROM toks t JOIN encoded e ON e.word = t.word
+        WHERE length(t.word) > 0
+        GROUP BY t.doc_id ORDER BY t.doc_id"""
       })
   )
 }
