@@ -238,4 +238,54 @@ class ScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.sql("SELECT sum(v) FROM graft.mf.many").head().getDouble(0) == sum0)
     spark.sql("DROP TABLE graft.mf.many")
   }
+
+  test("merge-on-read at 200 files: metadata-only mutation, bounded planning") {
+    import graft.sources.{GraftDeletes, GraftScan, TableStats}
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.mf")
+    spark.sql(
+      s"""CREATE TABLE graft.mf.morx (row_key STRING, id BIGINT, v DOUBLE)
+         |TBLPROPERTIES ('${GraftDeletes.ModeProp}' = 'merge-on-read')""".stripMargin)
+    for (i <- 0 until 2)
+      spark.range(i * 25000L, (i + 1) * 25000L)
+        .selectExpr("CAST(id AS STRING) AS row_key", "id", "CAST(id % 97 AS DOUBLE) AS v")
+        .repartition(100)
+        .writeTo("graft.mf.morx").append()
+    val dataDir = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.catalog.graft.warehouse") + "/mf/morx/data")
+    val fs = dataDir.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    def dataRels(): Set[String] = TableStats.read(fs, dataDir).keySet
+      .filterNot(GraftDeletes.isDeleteRel)
+    val before = dataRels()
+    assert(before.size >= 150, s"expected ~200 part files, got ${before.size}")
+
+    // a point-ish DELETE across every file touches ZERO data files
+    spark.sql("DELETE FROM graft.mf.morx WHERE id % 100 = 7")
+    assert(dataRels() == before,
+      "merge-on-read DELETE must not add/remove/rewrite data files")
+
+    // reading WITH the deletes outstanding: manifest-first planning, no
+    // footer opens, bounded registry reads — the delete probe rides the
+    // row codec, never the driver's planning loop
+    val (f0, l0, r0) = (GraftScan.footerReads.get(),
+      GraftScan.countStarListings.get(), TableStats.registryReads.get())
+    assert(spark.sql("SELECT count(*) FROM graft.mf.morx").head().getLong(0) == 49500L)
+    assert(GraftScan.footerReads.get() == f0, "MOR scan opened parquet footers")
+    assert(GraftScan.countStarListings.get() == l0, "MOR count listed recursively")
+    assert(TableStats.registryReads.get() - r0 <= 3,
+      s"MOR count read the registry ${TableStats.registryReads.get() - r0} times")
+
+    // compaction folds the deletes; pushdown COUNT(*) returns: one read
+    val table = spark.sessionState.catalogManager.catalog("graft")
+      .asInstanceOf[graft.sources.GraftCatalog]
+      .loadTable(org.apache.spark.sql.connector.catalog.Identifier.of(
+        Array("mf"), "morx")).asInstanceOf[graft.sources.GraftTable]
+    graft.sources.Compaction.compact(spark, table)
+    assert(TableStats.read(fs, dataDir).keySet
+      .forall(!GraftDeletes.isDeleteRel(_)), "delete entries must fold away")
+    val r1 = TableStats.registryReads.get()
+    assert(spark.sql("SELECT count(*) FROM graft.mf.morx").head().getLong(0) == 49500L)
+    assert(TableStats.registryReads.get() - r1 <= 1,
+      "post-fold count(*) should be registry-first again")
+    spark.sql("DROP TABLE graft.mf.morx")
+  }
 }
