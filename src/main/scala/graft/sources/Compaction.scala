@@ -225,9 +225,26 @@ object Compaction {
     val df =
       if (zorderBy.nonEmpty) {
         import org.apache.spark.sql.functions.{expr, max => fmax, min => fmin}
+        import org.apache.spark.sql.types.{DateType, NumericType, TimestampNTZType, TimestampType}
+        // monotone numeric image of each z-order column: dates/timestamps
+        // map to their epoch ordinal (a bare cast-to-double fails for
+        // dates), and non-orderable-as-number types (string, binary, ...)
+        // are rejected loudly — a null-casting lane would silently
+        // collapse every row into one lane while reporting success
+        def laneSrc(c: String): String = base0.schema(c).dataType match {
+          case DateType => s"cast(unix_date(`$c`) as double)"
+          case TimestampType => s"cast(unix_micros(`$c`) as double)"
+          case TimestampNTZType =>
+            s"cast(unix_micros(cast(`$c` as timestamp)) as double)"
+          case _: NumericType => s"cast(`$c` as double)"
+          case other => throw new IllegalArgumentException(
+            s"graft: ZORDER BY `$c` of type ${other.simpleString} not " +
+              "supported (numeric, date, and timestamp columns only)")
+        }
+        val laneSrcs = zorderBy.map(laneSrc)
         // per-column [min, max] over the rewrite set — one small aggregate
-        val mm = base0.select(zorderBy.flatMap(c => Seq(
-          fmin(col(c).cast("double")), fmax(col(c).cast("double")))): _*).head()
+        val mm = base0.select(laneSrcs.flatMap(e => Seq(
+          fmin(expr(e)), fmax(expr(e)))): _*).head()
         val k = zorderBy.length
         // lane width shrinks with the column count so every interleaved
         // bit fits below the sign bit (k=2 → 16 bits, k=4 → 15, k=8 → 7);
@@ -239,7 +256,7 @@ object Compaction {
             if (mm.isNullAt(2 * j)) (0d, 1d) // all-null column: one lane value
             else (mm.getDouble(2 * j), mm.getDouble(2 * j + 1))
           val span = if (mx > mn) mx - mn else 1d
-          s"coalesce(cast(((cast(`$c` as double) - $mn) / $span * $laneMax.0) as int), 0)"
+          s"coalesce(cast(((${laneSrcs(j)} - $mn) / $span * $laneMax.0) as int), 0)"
         }
         val zkey = (for { i <- 0 until bits; j <- 0 until k } yield
           s"shiftleft(cast((shiftright(${lanes(j)}, $i) & 1) as bigint), ${i * k + j})")
@@ -313,7 +330,9 @@ object Compaction {
         !remaining.valuesIterator.exists(e => e.seq >= 0 && e.seq < dseq &&
           touchedByDeletes(e))
       }
-      TableStats.write(fs, dataDir, next -- dropped)
+      val v = TableStats.write(fs, dataDir, next -- dropped)
+      // rows are MOVED, not changed: CDC feeds skip this version entirely
+      ChangeLog.writeMarker(fs, dataDir, v, ChangeLog.Maintenance)
     }
     (victims.size, written.length)
   }

@@ -101,13 +101,18 @@ object GraftDeletes {
     * when a mutation-heavy table has accreted more delete metadata than
     * the driver should carry: the fix is a compaction, not a silent
     * multi-GB task broadcast. */
+  /** The session cap on delete metadata materialized driver-side
+    * (`spark.graft.deletes.max.bytes`, default 256 MB) — shared by the
+    * scan's [[keyMap]] and both CDC feeds. */
+  def byteCap(): Long =
+    try org.apache.spark.sql.internal.SQLConf.get
+      .getConfString("spark.graft.deletes.max.bytes",
+        String.valueOf(256L * 1024 * 1024)).toLong
+    catch { case _: Exception => 256L * 1024 * 1024 }
+
   def keyMap(fs: FileSystem, dataDir: Path,
              manifest: Map[String, TableStats.Entry]): Map[String, Long] = {
-    val cap =
-      try org.apache.spark.sql.internal.SQLConf.get
-        .getConfString("spark.graft.deletes.max.bytes",
-          String.valueOf(256L * 1024 * 1024)).toLong
-      catch { case _: Exception => 256L * 1024 * 1024 }
+    val cap = byteCap()
     val total = manifest.iterator.collect {
       case (rel, e) if isDeleteRel(rel) => math.max(e.bytes, 0L)
     }.sum

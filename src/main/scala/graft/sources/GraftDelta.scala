@@ -50,12 +50,22 @@ final class GraftDeltaOperation(
   // (keep its key) from "fresh insert" (generator may mint a key)
   override def representUpdateAsDeleteAndInsert(): Boolean = false
 
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    // capture the conflict-check baseline EAGERLY: if Spark elides the
+    // rewrite scan entirely (empty-relation pruning), planInputPartitions
+    // never runs and commit would otherwise diff against an empty set —
+    // spuriously aborting on tables with pre-existing delete files and
+    // silently skipping conflict detection everywhere else
+    val dir = new Path(table.dataDir)
+    val fs = dir.getFileSystem(new Configuration())
+    baseManifest =
+      TableStats.readIfExists(fs, dir).map(_.keySet.toSet).getOrElse(Set.empty)
     // schema0 already reports row_key as NOT NULL on merge-on-read tables
     new GraftScanBuilder(table.schema0, table.dataDir, table.partitionSpecs,
       renames = table.renames, widened = table.widened,
       specSince = table.specSince,
       onManifest = Some(ks => baseManifest = ks))
+  }
 
   override def newWriteBuilder(info: LogicalWriteInfo): DeltaWriteBuilder =
     new DeltaWriteBuilder {

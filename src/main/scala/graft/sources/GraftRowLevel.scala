@@ -122,6 +122,32 @@ final class GraftReplaceDataWrite(
     // vacuum reclaims them; manifest-first listing never surfaces them.
     val affected = op.affectedFiles
     val affectedRels = affected.map(TableStats.relOf)
+    // Record this mutation's per-row delta (the CDC change files) BEFORE
+    // taking the lock: one diff join over exactly the group this rewrite
+    // already paid to rewrite. The pre-lock manifest read races only with
+    // commits the conflict check below aborts on anyway; the staging dir
+    // becomes visible to feeds only via the rename under the lock.
+    val propsMap = {
+      import scala.jdk.CollectionConverters._
+      props.asScala.toMap
+    }
+    val staging: Option[Path] =
+      if (!ChangeLog.recordingEnabled(propsMap)) None
+      else {
+        val pre = TableStats.read(fs, dir)
+        val oldFiles = affectedRels.toSeq.sorted.flatMap(rel =>
+          pre.get(rel).map(e => (s"$dataDir/$rel", math.max(e.seq, 0L))))
+        val deleteKeys = pre.toSeq.collect {
+          case (rel, e) if GraftDeletes.isDeleteRel(rel) =>
+            GraftDeletes.readKeys(fs, dir, rel).map(k => (k, e.seq))
+        }.flatten
+        ChangeLog.stageCowChanges(
+          org.apache.spark.sql.SparkSession.active, schema, dataDir,
+          oldFiles, committed.keys.toSeq.sorted.map(rel => s"$dataDir/$rel"),
+          deleteKeys, op.command(), writeId)
+      }
+    def dropStaging(): Unit =
+      staging.foreach(p => try fs.delete(p, true) catch { case _: Exception => () })
     TableStats.withLock(fs, dir) {
       val live = TableStats.read(fs, dir)
       // optimistic concurrency: if a concurrent commit (compaction swap,
@@ -133,6 +159,7 @@ final class GraftReplaceDataWrite(
       val missing = affectedRels.filterNot(live.contains)
       if (missing.nonEmpty) {
         committed.keys.foreach(rel => fs.delete(new Path(dir, rel), false))
+        dropStaging()
         throw new IllegalStateException(
           s"graft: row-level ${op.command()} lost a race with a concurrent " +
             s"commit (${missing.size} of its input file(s) left the manifest); " +
@@ -146,12 +173,22 @@ final class GraftReplaceDataWrite(
         .filter(GraftDeletes.isDeleteRel).toSet -- op.baseDeletes
       if (newDeletes.nonEmpty) {
         committed.keys.foreach(rel => fs.delete(new Path(dir, rel), false))
+        dropStaging()
         throw new IllegalStateException(
           s"graft: row-level ${op.command()} lost a race with a concurrent " +
             s"merge-on-read mutation (${newDeletes.size} delete file(s) " +
             "entered the manifest); no changes applied — retry the statement")
       }
-      TableStats.write(fs, dir, live -- affectedRels ++ committed)
+      val v = TableStats.write(fs, dir, live -- affectedRels ++ committed)
+      // publish the recorded delta under its version and mark the commit:
+      // feeds crossing v now replay the mutation row by row instead of
+      // refusing the engine's default mutation mode
+      staging.foreach { st =>
+        if (!fs.rename(st, ChangeLog.changeDataDir(dir, v)))
+          throw new IllegalStateException(
+            s"graft: could not publish change files for v$v of $dataDir")
+      }
+      ChangeLog.writeMarker(fs, dir, v, ChangeLog.Cow)
     }
   }
 
@@ -163,5 +200,8 @@ final class GraftReplaceDataWrite(
     val paths = scala.collection.mutable.ArrayBuffer[Path]()
     while (it.hasNext) paths += it.next().getPath
     paths.foreach(p => if (p.getName.contains(writeId)) fs.delete(p, false))
+    // a staged-but-unpublished change diff dies with the write
+    try fs.delete(new Path(ChangeLog.changesDir(dir), s".staging-$writeId"), true)
+    catch { case _: Exception => () }
   }
 }

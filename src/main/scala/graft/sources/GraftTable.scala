@@ -85,7 +85,8 @@ final class GraftTable(
   override def properties(): java.util.Map[String, String] = props.asJava
   override def capabilities(): JSet[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.TRUNCATE, TableCapability.STREAMING_WRITE,
+      TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER,
+      TableCapability.OVERWRITE_DYNAMIC, TableCapability.STREAMING_WRITE,
       TableCapability.MICRO_BATCH_READ).asJava
 
   def dataDir: String = s"$tableDir/data"
@@ -166,7 +167,10 @@ final class GraftTable(
       // dedupe future stream epochs against pre-truncate history.
       fs.delete(new Path(root, TableStats.CommitsDir), true)
       TableStats.withLock(fs, root) {
-        TableStats.write(fs, root, Map.empty[String, TableStats.Entry])
+        val v = TableStats.write(fs, root, Map.empty[String, TableStats.Entry])
+        // truncate is a data swap: the removed entries' rows ARE the
+        // feed's deletes — no change files needed
+        ChangeLog.writeMarker(fs, root, v, ChangeLog.Replace)
       }
       return
     }
@@ -219,9 +223,10 @@ final class GraftTable(
           // metadata-only delete: drop the partitions from the manifest;
           // the files stay on disk, reachable through earlier snapshots
           // (time travel) until vacuum reclaims them
-          TableStats.write(fs, root,
+          val v = TableStats.write(fs, root,
             stats.filterNot { case (relPath, _) =>
               toDelete.exists { case (_, d) => relPath.startsWith(d + "/") } })
+          ChangeLog.writeMarker(fs, root, v, ChangeLog.Replace)
         case None =>
           // registry-less (out-of-band) table: physical delete is the
           // only delete there is — no manifest, no snapshots to preserve
@@ -581,7 +586,9 @@ object TableStats {
     }
   }
 
-  def write(fs: FileSystem, dataDir: Path, stats: Map[String, Entry]): Unit = {
+  /** @return the snapshot version this commit recorded (so commit paths
+    *         can annotate it with a [[ChangeLog]] kind marker) */
+  def write(fs: FileSystem, dataDir: Path, stats: Map[String, Entry]): Long = {
     // Stamp newly-added entries (seq sentinel -1) with the version this
     // commit will record: the entry's data sequence number. Entries that
     // were read back from the registry keep their original seq.
@@ -1147,8 +1154,22 @@ final class GraftScan(
   }
 
   override def estimateStatistics(): Statistics = new Statistics {
-    override def sizeInBytes() = java.util.OptionalLong.of(files.map(_._2).sum)
-    override def numRows() = java.util.OptionalLong.of(exactRows)
+    /** Outstanding equality-delete keys suppress up to one live row each:
+      * subtract their count (the registry's per-fragment row counts — no
+      * file I/O) so CBO sizing stays honest while merge-on-read deletes
+      * await compaction. A slight under-estimate when a deleted key was
+      * re-inserted later; exactness returns when compaction folds. */
+    private val outstandingDeletes: Long = cachedStats.iterator.collect {
+      case (rel, e) if GraftDeletes.isDeleteRel(rel) => math.max(e.rows, 0L)
+    }.sum
+    private val grossRows: Long = exactRows
+    private val netRows: Long = math.max(0L, grossRows - outstandingDeletes)
+    override def sizeInBytes() = java.util.OptionalLong.of {
+      val gross = files.map(_._2).sum
+      if (outstandingDeletes == 0L || grossRows == 0L) gross
+      else math.max(1L, (gross.toDouble * netRows / grossRows).toLong)
+    }
+    override def numRows() = java.util.OptionalLong.of(netRows)
 
     /** CBO-grade column stats: global [min, max] of each projected
       * numeric/date column, folded from the commit-time registry's
@@ -1501,17 +1522,76 @@ final class GraftReaderFactory(
 
 // --------------------------------------------------------------- write ----
 
+/** INSERT OVERWRITE surface of a graft table, all three spellings:
+  *
+  *  - `truncate` (SaveMode.Overwrite / unfiltered INSERT OVERWRITE):
+  *    replace the whole table;
+  *  - `overwrite(filters)` (static mode, `INSERT OVERWRITE ... PARTITION
+  *    (p = v)` or a WHERE on partition columns): replace only the
+  *    partitions the filters decide — a metadata-level swap, nothing
+  *    outside the matched partitions is read or rewritten;
+  *  - `overwriteDynamicPartitions` (partitionOverwriteMode=dynamic): the
+  *    backfill spelling — replace exactly the partitions the incoming
+  *    rows land in, keep every other partition. At 100 TB re-running one
+  *    day's pipeline overwrites that day's directories and nothing else.
+  */
 final class GraftWriteBuilder(
     schema: StructType,
     props: Map[String, String],
     dataDir: String,
     partitionCols: Seq[String],
     info: LogicalWriteInfo)
-    extends WriteBuilder with SupportsTruncate {
+    extends WriteBuilder with SupportsTruncate with SupportsOverwrite
+    with SupportsDynamicOverwrite {
 
-  private var doTruncate = false
+  private var mode: GraftBatchWrite.Mode = GraftBatchWrite.Append
 
-  override def truncate(): WriteBuilder = { doTruncate = true; this }
+  override def truncate(): WriteBuilder = {
+    mode = GraftBatchWrite.Truncate; this
+  }
+
+  override def overwrite(filters: Array[Filter]): WriteBuilder = {
+    if (filters.isEmpty || filters.forall(_.isInstanceOf[AlwaysTrue]))
+      mode = GraftBatchWrite.Truncate
+    else {
+      // identity-partition-decidable shapes only — anything else cannot
+      // be honored as a partition swap and must fail BEFORE any work
+      val partFields = partitionCols.map(PartField.parse)
+      def part(a: String): Boolean = partFields.exists {
+        case PartField.Identity(c) => c == a
+        case _ => false
+      }
+      def ok(f: Filter): Boolean = {
+        import org.apache.spark.sql.sources._
+        f match {
+          case _: AlwaysTrue | _: AlwaysFalse => true
+          case And(l, r) => ok(l) && ok(r)
+          case Or(l, r) => ok(l) && ok(r)
+          case Not(c) => ok(c)
+          case EqualTo(a, _) => part(a)
+          case EqualNullSafe(a, _) => part(a)
+          case GreaterThan(a, _) => part(a)
+          case GreaterThanOrEqual(a, _) => part(a)
+          case LessThan(a, _) => part(a)
+          case LessThanOrEqual(a, _) => part(a)
+          case In(a, _) => part(a)
+          case IsNull(a) => part(a)
+          case IsNotNull(a) => part(a)
+          case _ => false
+        }
+      }
+      filters.filterNot(ok).headOption.foreach(f =>
+        throw new UnsupportedOperationException(
+          s"graft: INSERT OVERWRITE filter $f is not decidable over identity " +
+            "partition columns; use dynamic partition overwrite or row-level MERGE"))
+      mode = GraftBatchWrite.OverwriteWhere(filters)
+    }
+    this
+  }
+
+  override def overwriteDynamicPartitions(): WriteBuilder = {
+    mode = GraftBatchWrite.DynamicOverwrite; this
+  }
 
   // Partitioned writes REQUEST a clustered distribution on the partition
   // columns (advisory, AQE sizes the tasks): rows of one partition value
@@ -1579,7 +1659,7 @@ final class GraftWriteBuilder(
 
   private class GraftWrite extends Write {
     override def toBatch: BatchWrite =
-      new GraftBatchWrite(schema, props, dataDir, partitionCols, doTruncate)
+      new GraftBatchWrite(schema, props, dataDir, partitionCols, mode)
     override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
       new GraftStreamingWrite(schema, props, dataDir, partitionCols, info.queryId())
   }
@@ -1674,12 +1754,25 @@ final case class GraftStreamingWriterFactory(
       s"$writeId-e$epochId", partitionId, taskId, filePrefix = "stream")
 }
 
+object GraftBatchWrite {
+  /** What the commit does with the PRIOR manifest. */
+  sealed trait Mode
+  case object Append extends Mode
+  case object Truncate extends Mode
+  /** Static partition overwrite: drop entries whose identity-partition
+    * values satisfy every filter. */
+  final case class OverwriteWhere(filters: Array[Filter]) extends Mode
+  /** Dynamic partition overwrite: drop entries in exactly the partition
+    * directories this commit wrote into. */
+  case object DynamicOverwrite extends Mode
+}
+
 final class GraftBatchWrite(
     schema: StructType,
     props: Map[String, String],
     dataDir: String,
     partitionCols: Seq[String],
-    truncate: Boolean)
+    mode: GraftBatchWrite.Mode)
     extends BatchWrite {
 
   private val writeId = UUID.randomUUID().toString
@@ -1735,13 +1828,70 @@ final class GraftBatchWrite(
     val conf = new Configuration()
     val dir = new Path(dataDir)
     val fs = dir.getFileSystem(conf)
-    if (truncate)
+    import GraftBatchWrite._
+    if (mode == Truncate)
       // stale epoch markers must not dedupe future stream epochs of a
       // restarted query against pre-truncate history
       fs.delete(new Path(dir, TableStats.CommitsDir), true)
+    val partFields = partitionCols.map(PartField.parse)
+    val specSince = GraftTable.specSince(props)
+
+    /** Identity-partition values parsed from a manifest rel path, or None
+      * when the file predates the current spec (its layout cannot be
+      * trusted — both overwrite modes must refuse, not silently miss it). */
+    def identityValues(rel: String, e: TableStats.Entry): Option[Map[String, Any]] =
+      if (!PartField.layoutMatches(rel, partFields) || e.seq < specSince) None
+      else Some(partFields.zip(rel.split('/').dropRight(1)).collect {
+        case (PartField.Identity(c), seg) =>
+          c -> PartitionPruning.parse(schema(c).dataType,
+            PartitionPruning.decode(seg.split("=", 2)(1)))
+      }.toMap)
+
     TableStats.withLock(fs, dir) {
-      val base = if (truncate) Map.empty[String, TableStats.Entry] else TableStats.read(fs, dir)
-      TableStats.write(fs, dir, base ++ committed)
+      val live = TableStats.read(fs, dir)
+      val base: Map[String, TableStats.Entry] = mode match {
+        case Append => live
+        case Truncate => Map.empty
+        case OverwriteWhere(filters) =>
+          live.filterNot { case (rel, e) =>
+            !GraftDeletes.isDeleteRel(rel) && {
+              val vals = identityValues(rel, e).getOrElse(
+                throw new IllegalStateException(
+                  s"graft: INSERT OVERWRITE over $dataDir met file $rel written " +
+                    "under an earlier partition spec; run compaction first"))
+              val verdicts = filters.map(f => PartitionPruning.eval3(f, vals))
+              if (verdicts.exists(_.isEmpty) && !verdicts.exists(_.contains(false)))
+                throw new IllegalStateException(
+                  s"graft: INSERT OVERWRITE filter undecidable for $rel " +
+                    s"(${filters.mkString(", ")})")
+              verdicts.forall(_.contains(true))
+            }
+          }
+        case DynamicOverwrite =>
+          // replaced partitions = exactly the directories this commit
+          // wrote into ("" = table root for unpartitioned tables, which
+          // makes dynamic == truncate there, the standard semantics)
+          def dirOf(rel: String): String = {
+            val i = rel.lastIndexOf('/')
+            if (i < 0) "" else rel.substring(0, i)
+          }
+          val writtenDirs = committed.keysIterator.map(dirOf).toSet
+          live.filterNot { case (rel, e) =>
+            !GraftDeletes.isDeleteRel(rel) && {
+              if (partFields.nonEmpty &&
+                  (!PartField.layoutMatches(rel, partFields) || e.seq < specSince))
+                throw new IllegalStateException(
+                  s"graft: dynamic INSERT OVERWRITE over $dataDir met file $rel " +
+                    "written under an earlier partition spec; run compaction first")
+              writtenDirs.contains(dirOf(rel))
+            }
+          }
+      }
+      val v = TableStats.write(fs, dir, base ++ committed)
+      if (mode != Append)
+        // a data swap the feeds replay as delete(removed rows) +
+        // insert(added rows) — see [[ChangeLog.Replace]]
+        ChangeLog.writeMarker(fs, dir, v, ChangeLog.Replace)
     }
   }
 

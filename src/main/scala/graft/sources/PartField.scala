@@ -73,11 +73,16 @@ object PartField {
     }
     def render(unit: java.lang.Long): String =
       if (unit == null) PartitionPruning.NullToken
-      else f"${unit / 12}%04d-${unit % 12 + 1}%02d"
+      // floorDiv/floorMod (not truncating / and %): negative ordinals
+      // (proleptic years <= 0) must keep the month in [1, 12] and the
+      // sign on the year, or the token can't be parsed back
+      else f"${Math.floorDiv(unit, 12L)}%04d-${Math.floorMod(unit, 12L) + 1}%02d"
     def parseRaw(raw: String): java.lang.Long =
       if (raw == PartitionPruning.NullToken) null
-      else raw.split('-') match {
-        case Array(y, m) => y.toLong * 12 + (m.toLong - 1)
+      else {
+        // split at the LAST '-' so a negative year's sign survives
+        val i = raw.lastIndexOf('-')
+        raw.substring(0, i).toLong * 12 + (raw.substring(i + 1).toLong - 1)
       }
   }
   final case class Hours(col: String) extends TimeUnitField {

@@ -242,26 +242,33 @@ object Snapshots {
 
   /** CHANGE FEED — the CDC read: every row-level change in `(since,
     * end]` as a DataFrame of the table's columns plus `_change_type`
-    * ('insert' | 'delete') and `_commit_version`. Appends surface as
-    * inserts (their files read directly — only the changed files, never
-    * the table); merge-on-read mutations surface as delete rows (the
-    * equality keys, row_key populated and data columns NULL) plus the
-    * re-written values as inserts — an UPDATE is the standard
-    * delete+insert pair at one version. This is strictly stronger than
-    * the verified incremental append scan: where `since-version` reads
-    * REFUSE to cross a merge-on-read commit, the feed emits its deletes,
-    * so a downstream incremental consumer (MV maintenance, index sync,
-    * replication) stays exact across mutations. Copy-on-write rewrites
-    * still throw — their per-row delta is not recorded (rewritten files
-    * mix carried-over and changed rows), the standard CDC limitation of
-    * COW tables.
+    * ('insert' | 'delete' | 'update_preimage' | 'update_postimage') and
+    * `_commit_version`. Each version replays by its [[ChangeLog]] kind:
+    *
+    *  - appends: added files read directly as inserts (only the delta,
+    *    never the table);
+    *  - merge-on-read mutations: equality keys become delete rows
+    *    (row_key populated, data columns NULL) — except keys re-written
+    *    in the same commit, which PAIR into update_preimage (the key
+    *    row) + update_postimage (the new values), Delta-CDF style;
+    *  - copy-on-write mutations: the change files the commit recorded
+    *    ([[ChangeLog.stageCowChanges]]) stream out with full pre/post
+    *    images — the feed works in the engine's DEFAULT mutation mode;
+    *  - truncate / partition DELETE / INSERT OVERWRITE (static or
+    *    dynamic): removed files' surviving rows are deletes (full
+    *    preimages), added files are inserts;
+    *  - compaction: skipped (rows moved, not changed);
+    *  - RESTORE or pre-change-log rewrites: refused loudly.
     *
     * Cost: O(#versions) side-file reads + a scan of exactly the files
-    * the range added — at 100 TB each poll touches the delta, never the
-    * corpus. */
+    * each commit touched — at 100 TB each poll reads the delta, never
+    * the corpus. Delete keys materialized on the driver are capped by
+    * `spark.graft.deletes.max.bytes` and fail loudly pointing at
+    * compaction. */
   def changes(spark: SparkSession, table: GraftTable, since: Long,
               end: Option[Long] = None): DataFrame = {
-    import org.apache.spark.sql.functions.{col, lit}
+    import org.apache.spark.sql.functions.{broadcast, col, lit, when}
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
     val dataDir = new Path(table.dataDir)
     val fs = dataDir.getFileSystem(new Configuration())
     val endV = end.getOrElse(list(fs, dataDir).lastOption.map(_._1).getOrElse(0L))
@@ -273,66 +280,167 @@ object Snapshots {
       !schema.fieldNames.contains("_commit_version"),
       "graft: change feed over a table whose own columns shadow " +
         "_change_type/_commit_version would be silently ambiguous")
-    val keyed = schema.fieldNames.contains(graft.functions.ColumnNames.RowKey)
+    val key = graft.functions.ColumnNames.RowKey
+    val keyed = schema.fieldNames.contains(key)
+    // delete/preimage rows carry NULL data columns — the feed's columns
+    // are nullable regardless of the table's declared nullability
+    val nullable = StructType(schema.fields.map(_.copy(nullable = true)))
 
     def manifestAt(v: Long): Map[String, TableStats.Entry] =
       if (v == 0) Map.empty
       else read(fs, dataDir, v).getOrElse(throw new IllegalArgumentException(
         s"graft: no snapshot v$v for $dataDir (never recorded, or expired by vacuum)"))
 
+    val cap = GraftDeletes.byteCap()
+    var delBytes = 0L
+    def capCheck(add: Long): Unit = {
+      delBytes += add
+      if (delBytes > cap) throw new IllegalStateException(
+        s"graft: change feed ($since, $endV] of $dataDir would materialize " +
+          s"$delBytes bytes of delete keys on the driver (> cap $cap); run " +
+          "Compaction.compact (or OPTIMIZE) and restart from a newer version, " +
+          "read a narrower range, or raise spark.graft.deletes.max.bytes")
+    }
+
     var prev = manifestAt(since)
     val inserts = scala.collection.mutable.ArrayBuffer[(Long, Seq[String])]()
-    val deletes = scala.collection.mutable.ArrayBuffer[(Long, Seq[String])]()
+    // (v, inserted-file paths, delete keys) — keys pair with re-written rows
+    val morBatches = scala.collection.mutable.ArrayBuffer[(Long, Seq[String], Seq[String])]()
+    val cowBatches = scala.collection.mutable.ArrayBuffer[(Long, Seq[String])]()
+    // (v, removed (path, seq), applicable delete keys (key, delete seq))
+    val replaceBatches =
+      scala.collection.mutable.ArrayBuffer[(Long, Seq[(String, Long)], Seq[(String, Long)])]()
     // every version in the range must resolve: silently skipping a
     // vacuumed snapshot would collapse commits into one diff (wrong
-    // _commit_version) and could hide an intra-gap COW rewrite
-    for (v <- (since + 1) to endV) { val cur = manifestAt(v)
+    // _commit_version) and could hide an intra-gap rewrite
+    for (v <- (since + 1) to endV) {
+      val cur = manifestAt(v)
       val added = (cur.keySet -- prev.keySet).toSeq.sorted
-      val removed = (prev.keySet -- cur.keySet).toSeq.sorted
-        // a delete entry leaving the manifest is compaction housekeeping
-        // (its keys were folded into rewritten files), not a row change
+      // a delete entry leaving the manifest alone is compaction
+      // housekeeping (its keys were folded into rewritten files)
+      val removedData = (prev.keySet -- cur.keySet).toSeq.sorted
         .filterNot(GraftDeletes.isDeleteRel)
-      if (removed.nonEmpty) throw new IllegalArgumentException(
-        s"graft: change feed ($since, $endV] of $dataDir crosses a " +
-          s"copy-on-write rewrite at v$v (${removed.size} data file(s) left " +
-          "the manifest); per-row deltas of COW commits are not recorded — " +
-          "use write.mutation.mode=merge-on-read for CDC-capable mutations")
-      val (delRels, dataRels) = added.partition(GraftDeletes.isDeleteRel)
-      if (dataRels.nonEmpty)
-        inserts += v -> dataRels.map(rel => s"${table.dataDir}/$rel")
-      if (delRels.nonEmpty) {
-        require(keyed, s"graft: delete entries in $dataDir but no row_key column")
-        deletes += v -> delRels.flatMap(rel => GraftDeletes.readKeys(fs, dataDir, rel))
+      def abs(rels: Seq[String]): Seq[String] = rels.map(r => s"${table.dataDir}/$r")
+      ChangeLog.kindOf(fs, dataDir, v) match {
+        case Some(ChangeLog.Maintenance) => () // rows moved, not changed
+        case Some(ChangeLog.Restore) =>
+          throw new IllegalArgumentException(
+            s"graft: change feed ($since, $endV] of $dataDir crosses a RESTORE " +
+              s"at v$v; its row delta is a two-snapshot diff — re-read a full " +
+              "snapshot and resume the feed past it")
+        case Some(ChangeLog.Cow) =>
+          val cf = ChangeLog.changeFiles(fs, dataDir, v).getOrElse(
+            throw new IllegalArgumentException(
+              s"graft: copy-on-write commit at v$v of $dataDir recorded no " +
+                s"change data (no $key column, or ${ChangeLog.RecordProp}=false); " +
+                "read a full snapshot instead"))
+          if (cf.nonEmpty) cowBatches += ((v, cf))
+        case Some(ChangeLog.Replace) =>
+          if (removedData.nonEmpty) {
+            val delRels = prev.toSeq.filter(e => GraftDeletes.isDeleteRel(e._1))
+            val dkeys =
+              if (delRels.isEmpty) Nil
+              else {
+                // rows those deletes already suppressed must not resurface
+                // as deletes of THIS commit
+                capCheck(delRels.map(e => math.max(e._2.bytes, 0L)).sum)
+                delRels.flatMap { case (rel, e) =>
+                  GraftDeletes.readKeys(fs, dataDir, rel).map(k => (k, e.seq)) }
+              }
+            replaceBatches += ((v,
+              removedData.map(rel =>
+                (s"${table.dataDir}/$rel", math.max(prev(rel).seq, 0L))),
+              dkeys))
+          }
+          val dataAdded = added.filterNot(GraftDeletes.isDeleteRel)
+          if (dataAdded.nonEmpty) inserts += ((v, abs(dataAdded)))
+        case None =>
+          if (removedData.nonEmpty) throw new IllegalArgumentException(
+            s"graft: change feed ($since, $endV] of $dataDir crosses a rewrite " +
+              s"at v$v (${removedData.size} data file(s) left the manifest) " +
+              "whose per-row delta was not recorded (commit predates change " +
+              s"recording, or ${ChangeLog.RecordProp}=false); read a full " +
+              "snapshot instead")
+          val (delRels, dataRels) = added.partition(GraftDeletes.isDeleteRel)
+          if (delRels.isEmpty) {
+            if (dataRels.nonEmpty) inserts += ((v, abs(dataRels)))
+          } else {
+            require(keyed, s"graft: delete entries in $dataDir but no $key column")
+            capCheck(delRels.map(rel => math.max(cur(rel).bytes, 0L)).sum)
+            val keys = delRels.flatMap(rel => GraftDeletes.readKeys(fs, dataDir, rel))
+            morBatches += ((v, abs(dataRels), keys))
+          }
       }
       prev = cur
     }
 
-    val withMeta = org.apache.spark.sql.types.StructType(schema.fields ++ Seq(
-      org.apache.spark.sql.types.StructField("_change_type",
-        org.apache.spark.sql.types.StringType, nullable = false),
-      org.apache.spark.sql.types.StructField("_commit_version",
-        org.apache.spark.sql.types.LongType, nullable = false)))
+    val withMeta = StructType(nullable.fields ++ Seq(
+      StructField("_change_type", StringType, nullable = false),
+      StructField("_commit_version", LongType, nullable = false)))
     val empty = spark.createDataFrame(
       new java.util.ArrayList[org.apache.spark.sql.Row](), withMeta)
+    def readRows(files: Seq[String]) =
+      spark.read.schema(nullable).parquet(files: _*)
+        .select(schema.fieldNames.toIndexedSeq.map(col): _*)
+    /** NULL-columns rows from a key column `__dk` (delete / preimage). */
+    val keyOnlyCols = schema.fields.toIndexedSeq.map { f =>
+      if (f.name == key) col("__dk").as(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    }
 
     val insertDf = inserts.map { case (v, files) =>
-      spark.read.schema(schema).parquet(files: _*)
-        .select(schema.fieldNames.map(col): _*)
+      readRows(files)
         .withColumn("_change_type", lit("insert"))
         .withColumn("_commit_version", lit(v))
     }
-    val deleteDf = deletes.map { case (v, keys) =>
+    val cowDf = cowBatches.map { case (v, files) =>
+      spark.read.schema(ChangeLog.changeSchema(schema)).parquet(files: _*)
+        .select((schema.fieldNames :+ ChangeLog.TypeCol).toIndexedSeq.map(col): _*)
+        .withColumn("_commit_version", lit(v))
+    }
+    val replaceDf = replaceBatches.map { case (v, files, dkeys) =>
       import spark.implicits._
-      val base = keys.toDF(graft.functions.ColumnNames.RowKey)
-      val cols = schema.fields.map { f =>
-        if (f.name == graft.functions.ColumnNames.RowKey) col(f.name)
-        else lit(null).cast(f.dataType).as(f.name)
+      // same seq rule as the scan reader: a delete suppresses rows of
+      // files older than it — group removed files by seq, anti-join
+      val parts = files.groupBy(_._2).toSeq.sortBy(_._1).map { case (s, fls) =>
+        val ks = dkeys.collect { case (k, ds) if ds > s => k }.distinct
+        val df = readRows(fls.map(_._1))
+        if (ks.isEmpty) df
+        else df.join(broadcast(ks.toDF("__dk")), df(key) === col("__dk"), "left_anti")
+          .select(schema.fieldNames.toIndexedSeq.map(col): _*)
       }
-      base.select(scala.collection.immutable.ArraySeq.unsafeWrapArray(cols): _*)
+      parts.reduce(_ unionByName _)
         .withColumn("_change_type", lit("delete"))
         .withColumn("_commit_version", lit(v))
     }
-    (insertDf ++ deleteDf).foldLeft(empty)(_ unionByName _)
+    val morDf = morBatches.map { case (v, insertFiles, keys) =>
+      import spark.implicits._
+      val kdf = keys.toDF("__dk")
+      if (insertFiles.isEmpty)
+        // pure DELETE commit — keys become delete rows, nothing to pair
+        kdf.select(keyOnlyCols: _*)
+          .withColumn("_change_type", lit("delete"))
+          .withColumn("_commit_version", lit(v))
+      else {
+        val ins = readRows(insertFiles)
+        // UPDATE PAIRING: a key deleted AND re-written by the same commit
+        // is an update — the new row is its postimage, the key row its
+        // preimage (values not recorded by merge-on-read; columns NULL)
+        val insTyped = ins.join(broadcast(kdf), ins(key) === col("__dk"), "left")
+          .withColumn("_change_type",
+            when(col("__dk").isNotNull, lit("update_postimage"))
+              .otherwise(lit("insert")))
+          .select((schema.fieldNames :+ "_change_type").toIndexedSeq.map(col): _*)
+        val insKeys = ins.select(col(key).as("__ik")).distinct()
+        val keyTyped = kdf.join(insKeys, col("__dk") === col("__ik"), "left")
+          .withColumn("_change_type",
+            when(col("__ik").isNotNull, lit("update_preimage"))
+              .otherwise(lit("delete")))
+          .select(keyOnlyCols :+ col("_change_type"): _*)
+        insTyped.unionByName(keyTyped).withColumn("_commit_version", lit(v))
+      }
+    }
+    (insertDf ++ cowDf ++ replaceDf ++ morDf).foldLeft(empty)(_ unionByName _)
   }
 
   /** Snapshot log as a DataFrame — the DESCRIBE HISTORY analog:
@@ -370,8 +478,11 @@ object Snapshots {
       require(missing.isEmpty,
         s"graft: cannot restore v$version — ${missing.size} data file(s) were " +
           s"vacuumed away (e.g. ${missing.take(3).mkString(", ")})")
-      TableStats.write(fs, dataDir, m)
-      list(fs, dataDir).last._1
+      val v = TableStats.write(fs, dataDir, m)
+      // an arbitrary manifest swap: its row delta is a two-snapshot diff
+      // the feeds refuse to guess — they fail loudly at this version
+      ChangeLog.writeMarker(fs, dataDir, v, ChangeLog.Restore)
+      v
     }
   }
 
@@ -445,6 +556,18 @@ object Snapshots {
       // still-present manifest would otherwise race the deletions below)
       dropped.foreach { case (v, _) =>
         fs.delete(new Path(snapDir(dataDir), fmt(v)), false)
+        // the change-log marker and any recorded change files expire with
+        // their snapshot — the feed already refuses expired versions
+        fs.delete(ChangeLog.markerPath(dataDir, v), false)
+        fs.delete(ChangeLog.changeDataDir(dataDir, v), true)
+      }
+      // staging dirs orphaned by a crashed COW commit (never renamed into
+      // place) are reclaimable once past the age guard
+      val chDir = ChangeLog.changesDir(dataDir)
+      if (fs.exists(chDir)) fs.listStatus(chDir).foreach { st =>
+        if (st.getPath.getName.startsWith(".staging-") &&
+            now - st.getModificationTime >= minAgeMillis)
+          fs.delete(st.getPath, true)
       }
       (victims.toSeq, dropped)
     }

@@ -1221,6 +1221,35 @@ class GraftCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.sql("DROP TABLE graft.pw.bktp")
   }
 
+  test("INSERT OVERWRITE: static partition filter replaces only matched partitions") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.ow")
+    spark.sql(
+      "CREATE TABLE graft.ow.ow (k STRING, v BIGINT, p STRING) PARTITIONED BY (p)")
+    spark.sql("INSERT INTO graft.ow.ow VALUES ('a', 1, 'x'), ('b', 2, 'x'), ('c', 3, 'y')")
+    spark.sql("INSERT OVERWRITE graft.ow.ow PARTITION (p = 'x') VALUES ('z', 9)")
+    val got = spark.sql("SELECT k, v, p FROM graft.ow.ow ORDER BY k").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSeq
+    assert(got == Seq(("c", 3L, "y"), ("z", 9L, "x")),
+      s"static overwrite must keep partitions outside the filter: $got")
+  }
+
+  test("dynamic partition overwrite replaces only the partitions written") {
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.ow")
+      spark.sql(
+        "CREATE TABLE graft.ow.dow (k STRING, v BIGINT, p STRING) PARTITIONED BY (p)")
+      spark.sql(
+        "INSERT INTO graft.ow.dow VALUES ('a', 1, 'x'), ('b', 2, 'y'), ('c', 3, 'z')")
+      // the backfill shape: rows land in x and y — z must survive untouched
+      spark.sql("INSERT OVERWRITE graft.ow.dow VALUES ('n1', 10, 'x'), ('n2', 11, 'y')")
+      val got = spark.sql("SELECT k, v, p FROM graft.ow.dow ORDER BY k").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSeq
+      assert(got == Seq(("c", 3L, "z"), ("n1", 10L, "x"), ("n2", 11L, "y")),
+        s"dynamic overwrite must keep unwritten partitions: $got")
+    } finally spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
+  }
+
   test("rename and drop") {
     spark.sql("ALTER TABLE graft.pw.test_big RENAME TO graft.pw.test_big2")
     assert(spark.table("graft.pw.test_big2").count() == 1)

@@ -143,28 +143,85 @@ class MergeOnReadSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"expected the non-append refusal, got: ${e.getMessage}")
   }
 
-  test("change feed replays MOR deletes, refuses COW rewrites") {
-    def load(name: String) = spark.sessionState.catalogManager.catalog("graft")
-      .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
-      .loadTable(org.apache.spark.sql.connector.catalog.Identifier.of(
-        Array("mor"), name)).asInstanceOf[graft.sources.GraftTable]
+  private def load(name: String) = spark.sessionState.catalogManager.catalog("graft")
+    .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
+    .loadTable(org.apache.spark.sql.connector.catalog.Identifier.of(
+      Array("mor"), name)).asInstanceOf[graft.sources.GraftTable]
+
+  test("change feed replays MOR deletes AND copy-on-write rewrites") {
     // inc: INSERT (a,b) → MOR DELETE a → INSERT c
     val feed = Snapshots.changes(spark, load("inc"), since = 0L)
       .select("_change_type", "row_key").collect()
       .map(r => (r.getString(0), r.getString(1))).sorted.toSeq
     assert(feed == Seq(("delete", "a"), ("insert", "a"), ("insert", "b"),
       ("insert", "c")), s"unexpected feed: $feed")
-    // versions are monotone and deletes carry NULL data columns
+    // versions are monotone and MOR deletes carry NULL data columns
     val delRow = Snapshots.changes(spark, load("inc"), since = 0L)
       .filter("_change_type = 'delete'").collect().head
     assert(delRow.isNullAt(delRow.fieldIndex("v")))
-    // a COW DELETE rewrote files in mor.cow — the feed must refuse
+    // a COW DELETE rewrote files in mor.cow2 — the commit recorded its
+    // per-row delta, so the feed replays it WITH the full preimage
+    // (the engine's default mutation mode is CDC-capable)
     spark.sql("CREATE TABLE graft.mor.cow2 (row_key STRING, v BIGINT)")
     spark.sql("INSERT INTO graft.mor.cow2 VALUES ('a', 1), ('b', 2)")
     spark.sql("DELETE FROM graft.mor.cow2 WHERE v = 1")
+    val cowFeed = Snapshots.changes(spark, load("cow2"), since = 0L)
+      .select("_change_type", "row_key", "v").collect()
+      .map(r => (r.getString(0), r.getString(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).sorted.toSeq
+    assert(cowFeed == Seq(("delete", "a", 1L), ("insert", "a", 1L),
+      ("insert", "b", 2L)), s"unexpected COW feed: $cowFeed")
+  }
+
+  test("change feed pairs same-commit delete+rewrite into update images") {
+    // merge-on-read UPDATE: the commit writes a delete key AND the new
+    // row — the feed pairs them instead of surfacing delete+insert
+    spark.sql(
+      s"""CREATE TABLE graft.mor.updp (row_key STRING, v BIGINT)
+         |TBLPROPERTIES ('${GraftDeletes.ModeProp}' = 'merge-on-read')""".stripMargin)
+    spark.sql("INSERT INTO graft.mor.updp VALUES ('a', 1), ('b', 2)")
+    spark.sql("UPDATE graft.mor.updp SET v = 100 WHERE row_key = 'a'")
+    val feed = Snapshots.changes(spark, load("updp"), since = 1L)
+      .select("_change_type", "row_key", "v").collect()
+      .map(r => (r.getString(0), r.getString(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).sorted.toSeq
+    assert(feed == Seq(("update_postimage", "a", 100L),
+      ("update_preimage", "a", -1L)), s"unexpected paired feed: $feed")
+    // COW UPDATE records FULL pre/post images (values on both sides)
+    spark.sql("CREATE TABLE graft.mor.updc (row_key STRING, v BIGINT)")
+    spark.sql("INSERT INTO graft.mor.updc VALUES ('a', 1), ('b', 2)")
+    spark.sql("UPDATE graft.mor.updc SET v = 100 WHERE row_key = 'a'")
+    val cfeed = Snapshots.changes(spark, load("updc"), since = 1L)
+      .select("_change_type", "row_key", "v").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).sorted.toSeq
+    assert(cfeed == Seq(("update_postimage", "a", 100L),
+      ("update_preimage", "a", 1L)), s"unexpected COW update feed: $cfeed")
+  }
+
+  test("change feed replays truncate/overwrite as deletes, skips compaction") {
+    spark.sql("CREATE TABLE graft.mor.repl (row_key STRING, v BIGINT)")
+    spark.sql("INSERT INTO graft.mor.repl VALUES ('a', 1)")
+    spark.sql("INSERT INTO graft.mor.repl VALUES ('b', 2)")
+    // compaction between commits: a maintenance version the feed skips
+    graft.sources.Compaction.compact(spark, load("repl"), smallBytes = Long.MaxValue)
+    spark.sql("INSERT OVERWRITE graft.mor.repl VALUES ('c', 3)")
+    val feed = Snapshots.changes(spark, load("repl"), since = 0L)
+      .select("_change_type", "row_key", "v").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).sorted.toSeq
+    assert(feed == Seq(("delete", "a", 1L), ("delete", "b", 2L),
+      ("insert", "a", 1L), ("insert", "b", 2L), ("insert", "c", 3L)),
+      s"unexpected replace feed: $feed")
+  }
+
+  test("change feed refuses to cross a RESTORE") {
+    spark.sql("CREATE TABLE graft.mor.rst (row_key STRING, v BIGINT)")
+    spark.sql("INSERT INTO graft.mor.rst VALUES ('a', 1)")
+    val v1 = Snapshots.list(fs, dataDir("rst")).last._1
+    spark.sql("INSERT INTO graft.mor.rst VALUES ('b', 2)")
+    Snapshots.restore(s"$warehouse/mor/rst", v1)
     val e = intercept[IllegalArgumentException](
-      Snapshots.changes(spark, load("cow2"), since = 0L))
-    assert(e.getMessage.contains("copy-on-write"))
+      Snapshots.changes(spark, load("rst"), since = 0L).collect())
+    assert(e.getMessage.contains("RESTORE"), e.getMessage)
   }
 
   test("delta commit aborts when a concurrent mutation landed deletes") {
@@ -299,6 +356,44 @@ class MergeOnReadSpec extends AnyFunSuite with BeforeAndAfterAll {
     val f2 = feed()
     assert(f2.size == f1.size + 1 && f2.map(_._2).contains("d"),
       s"restart must resume from the checkpointed version: $f2")
+  }
+
+  test("estimateStatistics subtracts outstanding equality deletes") {
+    spark.sql(
+      s"""CREATE TABLE graft.mor.st (row_key STRING, v BIGINT)
+         |TBLPROPERTIES ('${GraftDeletes.ModeProp}' = 'merge-on-read')""".stripMargin)
+    spark.sql("INSERT INTO graft.mor.st VALUES ('a', 1), ('b', 2), ('c', 3), ('d', 4)")
+    spark.sql("DELETE FROM graft.mor.st WHERE v <= 2")
+    val scan = load("st").newScanBuilder(
+      new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+        java.util.Collections.emptyMap())).build()
+    val stats = scan
+      .asInstanceOf[org.apache.spark.sql.connector.read.SupportsReportStatistics]
+      .estimateStatistics()
+    // 4 registered rows, 2 outstanding delete keys: CBO sees 2, not 4
+    assert(stats.numRows().getAsLong == 2L, s"numRows=${stats.numRows()}")
+    assert(stats.sizeInBytes().getAsLong > 0L)
+  }
+
+  test("streaming change feed crosses a copy-on-write commit") {
+    spark.sql("CREATE TABLE graft.mor.sfc (row_key STRING, v BIGINT)")
+    spark.sql("INSERT INTO graft.mor.sfc VALUES ('a', 1), ('b', 2)")
+    spark.sql("DELETE FROM graft.mor.sfc WHERE v = 1") // COW delete
+    val ckpt = java.nio.file.Files.createTempDirectory("cow_feed").toString
+    val q = spark.readStream.format("graft")
+      .option("change-feed", "true")
+      .load(s"$warehouse/mor/sfc")
+      .writeStream.format("memory").queryName("cow_feed_t")
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val got = spark.table("cow_feed_t")
+      .select("_change_type", "row_key", "v").collect()
+      .map(r => (r.getString(0), r.getString(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).sorted.toSeq
+    assert(got == Seq(("delete", "a", 1L), ("insert", "a", 1L),
+      ("insert", "b", 2L)), s"unexpected streamed COW feed: $got")
   }
 
   test("copy-on-write stays the default path") {
