@@ -944,6 +944,151 @@ object Engine {
         CAST(SUM(n_chars) AS BIGINT) AS chars,
         CAST(SUM(doc_id) AS BIGINT) AS id_sum
         FROM documents WHERE doc_id >= 100
-        GROUP BY lang ORDER BY lang"""))
+        GROUP BY lang ORDER BY lang""")),
+
+    // ---- q106: incremental MV maintenance ACROSS copy-on-write mutations --
+    // The q87 pipeline upgraded from append-only to full CDC: the base
+    // table takes a COW DELETE and a COW UPDATE (the engine's DEFAULT
+    // mutation mode), the change feed replays them with full pre/post
+    // images ([[graft.sources.ChangeLog]]), and one signed aggregate over
+    // the feed (insert/postimage add, delete/preimage subtract) MERGEs
+    // into the MV. The gate proves delta-maintenance ≡ full recompute
+    // across mutations — at 100 TB the poll reads one mutation's delta,
+    // never the base table.
+    QueryDef(
+      "q106_cdc_cow_mv",
+      (s, dir) => {
+        val ns = ensureCatalog(s, dir)
+        s.sql(s"DROP TABLE IF EXISTS $ns.cmv_base")
+        s.sql(s"DROP TABLE IF EXISTS $ns.cmv")
+        s.sql(s"""CREATE TABLE $ns.cmv_base AS
+                 |SELECT CAST(doc_id AS STRING) AS row_key, doc_id, lang, n_chars
+                 |FROM parquet.`$dir/documents.parquet`""".stripMargin)
+        s.sql(s"""CREATE TABLE $ns.cmv AS
+                 |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
+                 |       CAST(SUM(n_chars) AS BIGINT) AS chars
+                 |FROM $ns.cmv_base GROUP BY lang""".stripMargin)
+        val wh = s.conf.get("spark.sql.catalog.gcat.warehouse")
+        val dataDir = new org.apache.hadoop.fs.Path(s"$wh/corpus/cmv_base/data")
+        val fs = dataDir.getFileSystem(new org.apache.hadoop.conf.Configuration())
+        val v1 = graft.sources.Snapshots.list(fs, dataDir).last._1
+        // copy-on-write mutations (no merge-on-read property set)
+        s.sql(s"DELETE FROM $ns.cmv_base WHERE n_chars < 250")
+        s.sql(s"UPDATE $ns.cmv_base SET n_chars = n_chars + 7 WHERE doc_id % 10 = 6")
+        val cat = s.sessionState.catalogManager.catalog("gcat")
+          .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
+        val tbl = cat.loadTable(org.apache.spark.sql.connector.catalog.Identifier
+          .of(Array("corpus"), "cmv_base")).asInstanceOf[graft.sources.GraftTable]
+        // signed delta: one aggregate over exactly the change rows
+        graft.sources.Snapshots.changes(s, tbl, since = v1)
+          .createOrReplaceTempView("cmv_feed")
+        s.sql("""SELECT lang,
+                |  CAST(SUM(CASE WHEN _change_type IN ('insert', 'update_postimage')
+                |           THEN 1 ELSE -1 END) AS BIGINT) AS n,
+                |  CAST(SUM(CASE WHEN _change_type IN ('insert', 'update_postimage')
+                |           THEN n_chars ELSE -n_chars END) AS BIGINT) AS chars
+                |FROM cmv_feed GROUP BY lang""".stripMargin)
+          .createOrReplaceTempView("cmv_delta")
+        s.sql(s"""MERGE INTO $ns.cmv t USING cmv_delta d ON t.lang = d.lang
+                 |WHEN MATCHED AND t.n + d.n = 0 THEN DELETE
+                 |WHEN MATCHED THEN UPDATE SET n = t.n + d.n, chars = t.chars + d.chars
+                 |WHEN NOT MATCHED THEN INSERT (lang, n, chars) VALUES (d.lang, d.n, d.chars)"""
+          .stripMargin)
+        s.sql(s"SELECT lang, n, chars FROM $ns.cmv ORDER BY lang")
+      },
+      Some("""SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(SUM(CASE WHEN doc_id % 10 = 6 THEN n_chars + 7 ELSE n_chars END)
+          AS BIGINT) AS chars
+        FROM documents WHERE n_chars >= 250
+        GROUP BY lang ORDER BY lang""")),
+
+    // ---- q107: CDC update pairing — Delta-parity change types -------------
+    // Merge-on-read UPDATEs surface as paired update_preimage (the key,
+    // values not recorded by MOR) + update_postimage (full new values)
+    // instead of bare delete+insert, so a Delta-CDF-shaped consumer can
+    // distinguish updates from churn. The oracle replays the commit
+    // sequence relationally, including the postimage values (+7).
+    QueryDef(
+      "q107_cdc_update_pairing",
+      (s, dir) => {
+        val ns = ensureCatalog(s, dir)
+        s.sql(s"DROP TABLE IF EXISTS $ns.cdc2")
+        s.sql(
+          s"""CREATE TABLE $ns.cdc2 (row_key STRING, doc_id BIGINT,
+             |  n_chars BIGINT, lang STRING)
+             |TBLPROPERTIES ('${graft.sources.GraftDeletes.ModeProp}' = 'merge-on-read')"""
+            .stripMargin)
+        s.sql(
+          s"""INSERT INTO $ns.cdc2
+             |SELECT CAST(doc_id AS STRING), doc_id, n_chars, lang
+             |FROM parquet.`$dir/documents.parquet` WHERE doc_id % 2 = 0""".stripMargin)
+        s.sql(s"UPDATE $ns.cdc2 SET n_chars = n_chars + 7 WHERE doc_id % 10 = 6")
+        s.sql(s"DELETE FROM $ns.cdc2 WHERE doc_id % 10 = 4")
+        val cat = s.sessionState.catalogManager.catalog("gcat")
+          .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
+        val tbl = cat.loadTable(org.apache.spark.sql.connector.catalog.Identifier
+          .of(Array("corpus"), "cdc2")).asInstanceOf[graft.sources.GraftTable]
+        import org.apache.spark.sql.functions._
+        graft.sources.Snapshots.changes(s, tbl, since = 0L)
+          .withColumn("id", coalesce(col("doc_id"), expr("CAST(row_key AS BIGINT)")))
+          .groupBy(col("_change_type").as("op"))
+          .agg(count(lit(1)).cast("long").as("n"),
+            sum(col("id")).cast("long").as("id_sum"),
+            sum(coalesce(col("n_chars"), lit(0L))).cast("long").as("chars"))
+          .orderBy(col("op"))
+      },
+      Some("""WITH feed AS (
+          SELECT 'insert' AS op, doc_id, n_chars FROM documents WHERE doc_id % 2 = 0
+          UNION ALL
+          SELECT 'update_preimage', doc_id, 0 FROM documents
+          WHERE doc_id % 2 = 0 AND doc_id % 10 = 6
+          UNION ALL
+          SELECT 'update_postimage', doc_id, n_chars + 7 FROM documents
+          WHERE doc_id % 2 = 0 AND doc_id % 10 = 6
+          UNION ALL
+          SELECT 'delete', doc_id, 0 FROM documents
+          WHERE doc_id % 2 = 0 AND doc_id % 10 = 4)
+        SELECT op, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+               CAST(SUM(n_chars) AS BIGINT) AS chars
+        FROM feed GROUP BY op ORDER BY op""")),
+
+    // ---- q108: INSERT OVERWRITE — dynamic + static partition overwrite ----
+    // The backfill primitive: dynamic mode replaces exactly the
+    // partitions the incoming rows land in (en), a static PARTITION
+    // clause replaces exactly the named partition (de), and every other
+    // partition survives byte-identical. At 100 TB re-running one day's
+    // pipeline rewrites that day's directories, never the table.
+    QueryDef(
+      "q108_dynamic_overwrite",
+      (s, dir) => {
+        val ns = ensureCatalog(s, dir)
+        s.sql(s"DROP TABLE IF EXISTS $ns.dow")
+        s.sql(s"""CREATE TABLE $ns.dow (doc_id BIGINT, n_chars BIGINT, lang STRING)
+                 |PARTITIONED BY (lang)""".stripMargin)
+        s.sql(s"""INSERT INTO $ns.dow
+                 |SELECT doc_id, n_chars, lang
+                 |FROM parquet.`$dir/documents.parquet`""".stripMargin)
+        val prior = s.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        try {
+          s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+          s.sql(s"""INSERT OVERWRITE $ns.dow
+                   |SELECT doc_id, n_chars + 1000, lang
+                   |FROM parquet.`$dir/documents.parquet` WHERE lang = 'en'""".stripMargin)
+        } finally s.conf.set("spark.sql.sources.partitionOverwriteMode", prior)
+        s.sql(s"""INSERT OVERWRITE $ns.dow PARTITION (lang = 'de')
+                 |SELECT doc_id, n_chars + 500
+                 |FROM parquet.`$dir/documents.parquet` WHERE lang = 'de'""".stripMargin)
+        s.sql(s"""SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
+                 |       CAST(SUM(n_chars) AS BIGINT) AS chars,
+                 |       CAST(SUM(doc_id) AS BIGINT) AS id_sum
+                 |FROM $ns.dow GROUP BY lang ORDER BY lang""".stripMargin)
+      },
+      Some("""SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(SUM(CASE WHEN lang = 'en' THEN n_chars + 1000
+                      WHEN lang = 'de' THEN n_chars + 500
+                      ELSE n_chars END) AS BIGINT) AS chars,
+        CAST(SUM(doc_id) AS BIGINT) AS id_sum
+        FROM documents GROUP BY lang ORDER BY lang"""))
   )
 }
