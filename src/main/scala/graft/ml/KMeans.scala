@@ -94,6 +94,16 @@ object KMeans {
       () => { emb.unpersist(); () }
     } else () => ()
 
+  /** SemDeDup-style cluster count: k grows WITH the corpus so the
+    * expected cluster stays near `targetClusterSize` and the
+    * within-cluster pair space (Σ cᵢ² ≈ n · target) stays LINEAR in the
+    * corpus — a fixed k makes clusters grow with n and the pair space
+    * quadratic again. Clamped to [2, maxK]; beyond maxK · target rows,
+    * raise maxK (the model is k×d driver bytes) or pre-shard the corpus. */
+  def sizeK(n: Long, targetClusterSize: Int = 64, maxK: Int = 4096): Int =
+    math.min(maxK.toLong,
+      math.max(2L, (n + targetClusterSize - 1) / targetClusterSize)).toInt
+
   /** @param emb (id: Long, e: array<double>) input
     * @return (cluster: Int, centroid: array<double>) after `iters` steps */
   def fit(emb: DataFrame, k: Int, iters: Int): DataFrame = {

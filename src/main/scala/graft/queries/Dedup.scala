@@ -348,48 +348,54 @@ object Dedup {
     // changed (or at the round cap). Min-label propagation is idempotent
     // at its fixpoint, so the oracle soundly unrolls the cap
     // unconditionally — an early-stopped Spark run and the fully unrolled
-    // SQL coincide (same trick as the k-means gate, q66). Each round's
-    // labels are persisted so lineage stays linear in rounds; at 100 TB
-    // the per-round materialization would be a checkpoint, same dataflow.
+    // SQL coincide (same trick as the k-means gate, q66). Each round
+    // materializes through [[graft.functions.IterCheckpoint]] (parquet
+    // under spark.graft.checkpoint.dir): lineage depth stays CONSTANT
+    // across rounds and the round state survives executor loss — unlike
+    // localCheckpoint's executor-local blocks, which die with their
+    // executor under dynamic allocation at cluster scale.
     QueryDef(
       "q92_dup_clusters_fixpoint",
       (s, dir) => {
+        import graft.functions.IterCheckpoint
         val MaxRounds = 8
+        val run = IterCheckpoint.newRun(s)
         val p = minhashPairs(Tables(s, dir))
         val edges = p.select(col("d1").as("a"), col("d2").as("b"))
           .union(p.select(col("d2").as("a"), col("d1").as("b")))
           .persist()
-        var labels = edges.groupBy(col("a")).agg(min(col("b")).as("mn"))
-          .select(col("a").as("id"), least(col("a"), col("mn")).as("l"))
-          .persist()
+        var labels = IterCheckpoint.round(
+          edges.groupBy(col("a")).agg(min(col("b")).as("mn"))
+            .select(col("a").as("id"), least(col("a"), col("mn")).as("l")),
+          run, "r0")
         var round = 0
         var converged = false
+        var finalRound = "r0"
         while (round < MaxRounds && !converged) {
           // fresh aliases on every side: labels joins itself via edges
           val cur = labels.select(col("id").as("cid"), col("l").as("cl"))
           val nbr = labels.select(col("id").as("nid"), col("l").as("nl"))
           val e2 = edges.select(col("a").as("ea"), col("b").as("eb"))
-          val next = cur.join(e2, col("cid") === col("ea"))
-            .join(nbr, col("eb") === col("nid"))
-            .groupBy(col("cid"), col("cl"))
-            .agg(min(col("nl")).as("mnl"))
-            .select(col("cid").as("id"), least(col("cl"), col("mnl")).as("l"))
-            .persist()
+          val name = s"r${round + 1}"
+          val next = IterCheckpoint.round(
+            cur.join(e2, col("cid") === col("ea"))
+              .join(nbr, col("eb") === col("nid"))
+              .groupBy(col("cid"), col("cl"))
+              .agg(min(col("nl")).as("mnl"))
+              .select(col("cid").as("id"), least(col("cl"), col("mnl")).as("l")),
+            run, name)
           val changed = next.join(
               labels.select(col("id"), col("l").as("ol")), "id")
             .filter(col("l") =!= col("ol")).count()
-          labels.unpersist()
           labels = next
+          finalRound = name
           round += 1
           if (changed == 0) converged = true
         }
-        // snapshot the converged labels and release every cached round —
-        // the checkpoint's storage is reclaimed by the ContextCleaner once
-        // the returned frame is dropped, so repeated runs don't accrete
-        val snap = labels.localCheckpoint(true)
-        labels.unpersist()
         edges.unpersist()
-        snap.select(col("id").as("doc_id"), col("l").as("cluster"))
+        // drop every round file except the one backing the result
+        IterCheckpoint.reclaim(s, run, Some(finalRound))
+        labels.select(col("id").as("doc_id"), col("l").as("cluster"))
           .orderBy(col("doc_id"))
       },
       Some {

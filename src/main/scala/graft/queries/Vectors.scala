@@ -803,7 +803,11 @@ object Vectors {
         val e = emb(t)
         val n = norms(e)
         val ke = e.select(col("vec_id").as("id"), col("e"))
-        val cent = graft.ml.KMeans.fit(ke, 8, 2) // same trained model as q56
+        // k ∝ corpus size (n / target-cluster-size, clamped): the expected
+        // cluster stays bounded, so the within-cluster pair space grows
+        // linearly with the corpus instead of quadratically (fixed-k trap)
+        val k = graft.ml.KMeans.sizeK(ke.count())
+        val cent = graft.ml.KMeans.fit(ke, k, 2)
         val scored = ke.crossJoin(broadcast(cent))
           .withColumn("dot",
             expr("aggregate(zip_with(e, c, (x, y) -> round(x * y * 1e9)), 0D, (a, p) -> a + p)"))
@@ -859,7 +863,8 @@ object Vectors {
         pos AS (SELECT CAST(i AS BIGINT) AS i FROM range(1, 65) t(i)),
         c0 AS (SELECT CAST(id AS INT) AS cluster,
                       list_transform(embedding, x -> CAST(x AS DOUBLE)) AS c
-               FROM e WHERE id < 8),
+               FROM e WHERE id <
+                 (SELECT LEAST(4096, GREATEST(2, CEIL(COUNT(*) / 64.0))) FROM e)),
         ${sim("c0", "s1")}, ${assignCte("s1", "a1")}, ${updateCte("a1", "c1")},
         ${sim("c1", "s2")}, ${assignCte("s2", "a2")}, ${updateCte("a2", "c2")},
         ${sim("c2", "s3")}, ${assignCte("s3", "assign")},
@@ -885,6 +890,112 @@ object Vectors {
           SELECT cluster, COUNT(*) AS n_dropped, SUM(vid) AS dropped_id_sum
           FROM dropped GROUP BY cluster) d ON d.cluster = a.cluster
         GROUP BY a.cluster ORDER BY cluster"""
+      }),
+
+    // ---- q109: TRAINED PQ codebooks — per-subspace k-means + ADC ----------
+    // q48/q49's deterministic codebooks replaced by per-subspace Lloyd
+    // training (two quantized-mean updates, all 8 subspaces trained in ONE
+    // dataflow keyed by (subspace, codeword) — not 8 separate jobs), then
+    // the same ADC search over codes from the TRAINED books. This
+    // completes the trained IVF-PQ composition (q56 trained coarse +
+    // trained PQ + q81 ADC). Scale shape: codebooks are 8×16×8 doubles
+    // (broadcast); each Lloyd round is one narrow assign pass + one
+    // map-side-combining aggregate; encoding is one narrow pass. The
+    // oracle replays the training with the same 1e9-quantized arithmetic,
+    // so codes and ADC distances hash-match exactly.
+    QueryDef(
+      "q109_trained_pq",
+      (s, dir) => {
+        import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+        val t = Tables(s, dir)
+        val e = emb(t)
+        val subs = e.select(col("vec_id"), explode(expr("sequence(0, 7)")).as("j"), col("e"))
+          .select(col("vec_id"), col("j"), expr("slice(e, j * 8 + 1, 8)").as("sv"))
+        val distExpr = expr(
+          "aggregate(zip_with(sv, cv, (x, y) -> round((x - y) * (x - y) * 1e9)), 0D, (a, p) -> a + p)")
+        val centroidD =
+          udaf(graft.functions.CentroidAggD, ExpressionEncoder[Seq[Double]]())
+        // nearest codeword per (vector, subspace) against a broadcast book
+        def assign(cb: DataFrame): DataFrame = {
+          val w = Window.partitionBy(col("vec_id"), col("j"))
+            .orderBy(col("dist"), col("cw"))
+          subs.join(broadcast(cb), "j")
+            .withColumn("dist", distExpr)
+            .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        }
+        // quantized per-element means per (subspace, codeword) — one hash
+        // aggregate with map-side combine, same arithmetic as ml.KMeans
+        def update(assigned: DataFrame): DataFrame =
+          assigned.groupBy(col("j"), col("cw")).agg(centroidD(col("sv")).as("cv"))
+        val cb0 = subs.filter(col("vec_id") < 16)
+          .select(col("j"), col("vec_id").as("cw"), col("sv").as("cv"))
+        val cb2 = update(assign(update(assign(cb0))))
+        val codes = assign(cb2)
+          .select(col("vec_id").as("vid"), col("j"), col("cw").as("code"))
+        val lut = subs.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("j"), col("sv"))
+          .join(broadcast(cb2), "j")
+          .withColumn("d", distExpr)
+          .select(col("qid"), col("j"), col("cw").as("code"), col("d"))
+        val wRank = Window.partitionBy(col("qid")).orderBy(col("adist"), col("vid"))
+        codes.join(lut, Seq("j", "code"))
+          .filter(col("qid") =!= col("vid"))
+          .groupBy(col("qid"), col("vid"))
+          .agg(sum(col("d")).as("adist"))
+          .withColumn("rank", row_number().over(wRank).cast("long"))
+          .filter(col("rank") <= 3)
+          .select(col("qid"), col("rank"), col("vid"), col("adist"))
+          .orderBy(col("qid"), col("rank"))
+      },
+      Some {
+        // one Lloyd round: distances to the current book, argmin
+        // assignment, quantized per-element means keyed by (j, cw)
+        def distCte(cb: String, out: String) =
+          s"""$out AS MATERIALIZED (
+             |  SELECT a.vec_id, c.j, c.cw,
+             |    list_sum(list_transform(range(0, 8),
+             |      i -> round((CAST(a.embedding[c.j * 8 + i + 1] AS DOUBLE) - c.cv[i + 1])
+             |                 * (CAST(a.embedding[c.j * 8 + i + 1] AS DOUBLE) - c.cv[i + 1])
+             |                 * 1e9))) AS dist
+             |  FROM e a CROSS JOIN $cb c)""".stripMargin
+        def argminCte(dists: String, out: String) =
+          s"""$out AS MATERIALIZED (
+             |  SELECT vec_id, j, cw FROM (
+             |    SELECT vec_id, j, cw,
+             |      ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY dist, cw) AS rn
+             |    FROM $dists) WHERE rn = 1)""".stripMargin
+        def updateCte(assigned: String, out: String) =
+          s"""${out}_s AS (
+             |  SELECT a.j, a.cw, p.i,
+             |    SUM(round(CAST(e.embedding[a.j * 8 + p.i + 1] AS DOUBLE) * 1e9)) AS sm,
+             |    COUNT(*) AS n
+             |  FROM $assigned a JOIN e ON e.vec_id = a.vec_id CROSS JOIN pos p
+             |  GROUP BY a.j, a.cw, p.i),
+             |$out AS MATERIALIZED (
+             |  SELECT j, cw, list((sm / n) / 1e9 ORDER BY i) AS cv
+             |  FROM ${out}_s GROUP BY j, cw)""".stripMargin
+        s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+        js AS (SELECT CAST(j AS BIGINT) AS j FROM range(0, 8) t(j)),
+        pos AS (SELECT CAST(i AS BIGINT) AS i FROM range(0, 8) t(i)),
+        cb0 AS MATERIALIZED (
+          SELECT js.j, e.vec_id AS cw,
+            list_transform(range(0, 8),
+              i -> CAST(e.embedding[js.j * 8 + i + 1] AS DOUBLE)) AS cv
+          FROM e CROSS JOIN js WHERE e.vec_id < 16),
+        ${distCte("cb0", "d1")}, ${argminCte("d1", "a1")}, ${updateCte("a1", "cb1")},
+        ${distCte("cb1", "d2")}, ${argminCte("d2", "a2")}, ${updateCte("a2", "cb2")},
+        ${distCte("cb2", "d3")}, ${argminCte("d3", "enc")},
+        codes AS (SELECT vec_id AS vid, j, cw AS code FROM enc),
+        lut AS (SELECT vec_id AS qid, j, cw AS code, dist AS d
+                FROM d3 WHERE vec_id < 10)
+        SELECT qid, rank, vid, adist FROM (
+          SELECT qid, vid, adist,
+            ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adist, vid) AS rank
+          FROM (
+            SELECT l.qid, c.vid, SUM(l.d) AS adist
+            FROM codes c JOIN lut l ON l.j = c.j AND l.code = c.code
+            WHERE l.qid <> c.vid GROUP BY l.qid, c.vid))
+        WHERE rank <= 3 ORDER BY qid, rank"""
       })
   )
 }

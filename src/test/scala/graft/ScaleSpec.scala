@@ -288,4 +288,54 @@ class ScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
       "post-fold count(*) should be registry-first again")
     spark.sql("DROP TABLE graft.mf.morx")
   }
+
+  test("SemDeDup cluster count scales with the corpus: pair space stays linear") {
+    import graft.ml.KMeans.sizeK
+    val target = 64
+    val maxK = 4096
+    for (n <- Seq(100L, 10000L, 1000000L, 100000000L)) {
+      val k = sizeK(n, target, maxK)
+      if (k < maxK) {
+        // expected cluster bounded by the target, so the within-cluster
+        // pair work per row is O(target) and total pair space O(n·target)
+        // — linear in the corpus, never quadratic
+        val cluster = n.toDouble / k
+        assert(cluster <= target.toDouble,
+          s"n=$n k=$k gives expected cluster $cluster > target $target")
+      }
+    }
+    assert(sizeK(1L, target, maxK) == 2, "degenerate corpora still get 2 clusters")
+    assert(sizeK(1L << 40, target, maxK) == maxK, "k clamps at maxK")
+  }
+
+  test("parquet-backed fixpoint checkpoint keeps lineage depth constant") {
+    import graft.functions.IterCheckpoint
+    import spark.implicits._
+    val run = IterCheckpoint.newRun(spark)
+    def planSize(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.optimizedPlan.collect { case p => p }.size
+    var labels = IterCheckpoint.round(
+      (0L until 100L).toDF("id").withColumn("l", col("id") % 10), run, "r0")
+    val size0 = planSize(labels)
+    var last = "r0"
+    for (r <- 1 to 5) {
+      // a self-join per round — uncheckpointed, the plan would double
+      val nbr = labels.select(col("id").as("nid"), col("l").as("nl"))
+      last = s"r$r"
+      labels = IterCheckpoint.round(
+        labels.join(nbr, col("id") === col("nid"))
+          .select(col("id"), least(col("l"), col("nl")).as("l")),
+        run, last)
+      assert(planSize(labels) == size0,
+        s"round $r lineage grew: ${planSize(labels)} nodes vs $size0")
+    }
+    assert(labels.count() == 100L)
+    // reclaim drops all but the live round
+    IterCheckpoint.reclaim(spark, run, Some(last))
+    val dirP = new org.apache.hadoop.fs.Path(run)
+    val fsP = dirP.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    assert(fsP.listStatus(dirP).map(_.getPath.getName).toSet == Set(last))
+    assert(labels.count() == 100L, "the kept round still backs the frame")
+    IterCheckpoint.reclaim(spark, run, None)
+  }
 }
