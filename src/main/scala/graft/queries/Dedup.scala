@@ -475,6 +475,36 @@ object Dedup {
                CAST(FLOOR((SELECT COUNT(*) FROM hits) * 1000000.0 /
                  (SELECT COUNT(*) FROM exact)) AS BIGINT) AS recall_q,
                CAST(FLOOR((SELECT COUNT(*) FROM hits) * 1000000.0 /
-                 (SELECT COUNT(*) FROM pairs)) AS BIGINT) AS precision_q"""))
+                 (SELECT COUNT(*) FROM pairs)) AS BIGINT) AS precision_q""")),
+
+    // ---- q111: duplicate clusters via large-star/small-star ---------------
+    // The same clusters as q92, computed with the two-operation contraction
+    // scheme (graft.plans.ConnectedComponents): O(log² n) rounds regardless
+    // of component DIAMETER, where q92's min-label propagation needs
+    // O(diameter) shuffles — the scale answer for the 100-hop duplicate
+    // chains real corpora produce. The component-min labels are
+    // algorithm-independent, so the oracle is q92's unrolled propagation.
+    QueryDef(
+      "q111_dup_clusters_bigstar",
+      (s, dir) => {
+        val p = minhashPairs(Tables(s, dir))
+        graft.plans.ConnectedComponents.labels(s, p, "d1", "d2")
+          .select(col("id").as("doc_id"), col("label").as("cluster"))
+          .orderBy(col("doc_id"))
+      },
+      Some {
+        def roundCte(prev: String, out: String) =
+          s"""$out AS MATERIALIZED (
+             |  SELECT l.id, LEAST(l.l, MIN(ln.l)) AS l
+             |  FROM $prev l JOIN edges e ON e.a = l.id JOIN $prev ln ON ln.id = e.b
+             |  GROUP BY l.id, l.l)""".stripMargin
+        val rounds = (1 to 8).map(k => roundCte(s"l${k - 1}", s"l$k")).mkString(",\n")
+        s"""WITH $minhashPairsSql,
+        edges AS MATERIALIZED (SELECT d1 AS a, d2 AS b FROM pairs
+                  UNION ALL SELECT d2 AS a, d1 AS b FROM pairs),
+        l0 AS MATERIALIZED (SELECT a AS id, LEAST(a, MIN(b)) AS l FROM edges GROUP BY a),
+        $rounds
+        SELECT id AS doc_id, l AS cluster FROM l8 ORDER BY doc_id"""
+      })
   )
 }

@@ -335,6 +335,50 @@ object Relational2 {
       Some("""SELECT CAST(k % 10 AS BIGINT) AS k_mod, COUNT(*) AS n,
         CAST(MAX(k) AS BIGINT) AS max_k
         FROM (SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events)
-        GROUP BY k % 10 ORDER BY k_mod"""))
+        GROUP BY k % 10 ORDER BY k_mod""")),
+
+    // ---- q110: binned range join (point-in-interval at scale) ------------
+    // "How many lineitems were ordered-but-not-yet-shipped on each probe
+    // date?" — each lineitem carries a fulfillment interval
+    // [o_orderdate, l_shipdate]; a bare BETWEEN join is
+    // BroadcastNestedLoop/cartesian (the 100 TB cliff). RangeJoin grids the
+    // date axis (binWidth=64 days ≈ the typical transit time): intervals
+    // explode to covered bins, each probe date maps to ONE bin, and the
+    // plan becomes a plain shuffled equi-join + residual filter. DuckDB
+    // verifies with the naive BETWEEN join.
+    QueryDef(
+      "q110_range_join",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val epoch = lit("1970-01-01").cast("date")
+        val iv = t.lineitem
+          .select(col("l_orderkey"), col("l_quantity"), col("l_shipdate"))
+          .join(t.orders.select(col("o_orderkey"), col("o_orderdate")),
+            col("l_orderkey") === col("o_orderkey"))
+          .select(
+            datediff(col("o_orderdate").cast("date"), epoch).as("lo"),
+            datediff(col("l_shipdate").cast("date"), epoch).as("hi"),
+            col("l_quantity"))
+        val probes = t.orders
+          .filter(col("o_orderdate") >= ts("1995-03-01") &&
+            col("o_orderdate") < ts("1995-03-11"))
+          .select(col("o_orderdate").cast("date").as("probe_date"))
+          .distinct()
+          .withColumn("p", datediff(col("probe_date"), epoch))
+        graft.plans.RangeJoin.pointInInterval(probes, "p", iv, "lo", "hi", 64L)
+          .groupBy(col("probe_date"))
+          .agg(count(lit(1)).as("n_open"), dsum(col("l_quantity")).as("open_qty"))
+          .orderBy(col("probe_date"))
+      },
+      Some("""SELECT p.probe_date, COUNT(*) AS n_open,
+        CAST(SUM(CAST(iv.l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS open_qty
+        FROM (SELECT DISTINCT CAST(o_orderdate AS DATE) AS probe_date FROM orders
+              WHERE o_orderdate >= TIMESTAMP '1995-03-01'
+                AND o_orderdate < TIMESTAMP '1995-03-11') p
+        JOIN (SELECT CAST(o.o_orderdate AS DATE) AS lo,
+                     CAST(l.l_shipdate AS DATE) AS hi, l.l_quantity
+              FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey) iv
+          ON p.probe_date BETWEEN iv.lo AND iv.hi
+        GROUP BY p.probe_date ORDER BY p.probe_date"""))
   )
 }

@@ -48,6 +48,25 @@ object SqlRepl {
     new History(java.nio.file.Paths.get(
       sys.props.getOrElse("user.home", "/tmp"), ".graft_history"))
 
+  /** History recall (the line-editing analog the reference gets from
+    * jline's up-arrow, `HBaseSQLClient.scala:36-46` — jline is not on this
+    * classpath, so recall is spelled): `!n` → statement n (1-based, as
+    * printed by `HISTORY;`), `!!` → most recent, `!prefix` → most recent
+    * statement starting with the prefix. Returns None for an
+    * out-of-range/unmatched designator. */
+  def recall(entries: Seq[String], designator: String): Option[String] = {
+    val d = designator.trim.stripSuffix(";").trim
+    if (d == "!!") entries.lastOption
+    else if (d.startsWith("!") && d.length > 1) {
+      val body = d.substring(1)
+      if (body.forall(_.isDigit))
+        entries.lift(body.toInt - 1)
+      else
+        entries.reverseIterator
+          .find(e => e.trim.toLowerCase.startsWith(body.toLowerCase))
+    } else None
+  }
+
   /** Process one complete statement; returns false on EXIT. */
   def process(spark: SparkSession, statement: String): Boolean = {
     val stmt = statement.trim.stripSuffix(";").trim
@@ -88,10 +107,29 @@ object SqlRepl {
       else {
         buf.append(line).append('\n')
         if (line.trim.endsWith(";")) {
-          val stmt = buf.toString
+          val raw = buf.toString
           buf.clear()
-          try history.append(stmt) catch { case _: Exception => () }
-          continue = process(spark, stmt)
+          val trimmed = raw.trim.stripSuffix(";").trim
+          if (trimmed.equalsIgnoreCase("history")) {
+            val entries = history.load()
+            entries.zipWithIndex.foreach { case (e, i) =>
+              println(f"${i + 1}%4d  ${e.replace("\n", " ")}")
+            }
+          } else {
+            val stmt =
+              if (trimmed.startsWith("!"))
+                recall(history.load(), trimmed) match {
+                  case Some(prev) => println(prev.trim); prev
+                  case None =>
+                    Console.err.println(s"error: no history match for $trimmed")
+                    ""
+                }
+              else raw
+            if (stmt.nonEmpty) {
+              try history.append(stmt) catch { case _: Exception => () }
+              continue = process(spark, stmt)
+            }
+          }
         }
       }
     }

@@ -93,4 +93,18 @@ class ExpressionSpec extends AnyFunSuite with BeforeAndAfterAll {
     h.append("SELECT 2;"); h.append("SELECT 3;")
     assert(h.load().size == 3 && h.load().head == "SELECT *\nFROM t\nWHERE a = 'x\\n';")
   }
+
+  test("REPL !n / !! / !prefix recall against history") {
+    import graft.repl.SqlRepl.recall
+    val entries = Seq("SELECT 1;", "SHOW TABLES;", "SELECT 2;")
+    assert(recall(entries, "!1;") == Some("SELECT 1;"))
+    assert(recall(entries, "!3") == Some("SELECT 2;"))
+    assert(recall(entries, "!!") == Some("SELECT 2;"))
+    assert(recall(entries, "!show") == Some("SHOW TABLES;"))
+    assert(recall(entries, "!select") == Some("SELECT 2;")) // most recent match
+    assert(recall(entries, "!9").isEmpty)
+    assert(recall(entries, "!0").isEmpty)
+    assert(recall(entries, "!nomatch").isEmpty)
+    assert(recall(Seq.empty, "!!").isEmpty)
+  }
 }
