@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.QueryDef
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.{col, lit}
 
 /** End-to-end exercises of the graft DSv2 engine (catalog → write → scan)
   * inside the correctness gate: data flows documents.parquet → CTAS/INSERT
@@ -1089,6 +1090,123 @@ object Engine {
                       WHEN lang = 'de' THEN n_chars + 500
                       ELSE n_chars END) AS BIGINT) AS chars,
         CAST(SUM(doc_id) AS BIGINT) AS id_sum
+        FROM documents GROUP BY lang ORDER BY lang""")),
+
+    // ---- q112: enforced CHECK constraints -------------------------------
+    // DSv2 constraints (TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT):
+    // CREATE TABLE ... CONSTRAINT ... CHECK persists through the catalog,
+    // [[graft.sources.GraftTable.constraints]] reports it enforced, and
+    // Spark's analyzer validates every INSERT — the violating batch below
+    // fails atomically (no partial rows), the valid rows land. ADD
+    // CONSTRAINT validates existing data before persisting. The oracle
+    // replays the surviving inserts relationally.
+    QueryDef(
+      "q112_check_constraint",
+      (s, dir) => {
+        val ns = ensureCatalog(s, dir)
+        s.sql(s"DROP TABLE IF EXISTS $ns.ck")
+        s.sql(s"""CREATE TABLE $ns.ck (
+                 |  doc_id BIGINT, lang STRING, n_chars BIGINT,
+                 |  CONSTRAINT chars_pos CHECK (n_chars > 0))""".stripMargin)
+        s.sql(s"""INSERT INTO $ns.ck
+                 |SELECT doc_id, lang, n_chars
+                 |FROM parquet.`$dir/documents.parquet` WHERE n_chars > 0""".stripMargin)
+        // a batch containing one violating row must commit NOTHING
+        try s.sql(s"""INSERT INTO $ns.ck
+                     |SELECT doc_id + 1000000, lang, n_chars - 1000000
+                     |FROM parquet.`$dir/documents.parquet`""".stripMargin)
+        catch { case _: Exception => () }
+        // constraints survive the catalog round-trip and ADD validates
+        s.sql(s"ALTER TABLE $ns.ck ADD CONSTRAINT lang_set CHECK (length(lang) = 2)")
+        s.sql(s"ALTER TABLE $ns.ck DROP CONSTRAINT lang_set")
+        s.sql(s"""SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
+                 |       CAST(SUM(n_chars) AS BIGINT) AS chars
+                 |FROM $ns.ck GROUP BY lang ORDER BY lang""".stripMargin)
+      },
+      Some("""SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(SUM(n_chars) AS BIGINT) AS chars
+        FROM documents WHERE n_chars > 0
+        GROUP BY lang ORDER BY lang""")),
+
+    // ---- q113: column DEFAULT values ------------------------------------
+    // SUPPORT_COLUMN_DEFAULT_VALUE: inserts that omit a column (or write
+    // the DEFAULT keyword) fill CURRENT_DEFAULT; ADD COLUMN ... DEFAULT
+    // backfills rows in files written BEFORE the column existed via
+    // EXISTS_DEFAULT — metadata-only, both the vectorized reader and the
+    // row codec fill it per file; SET DEFAULT changes only future
+    // inserts. The oracle replays the insert sequence.
+    QueryDef(
+      "q113_column_defaults",
+      (s, dir) => {
+        val ns = ensureCatalog(s, dir)
+        s.sql(s"DROP TABLE IF EXISTS $ns.dft")
+        s.sql(s"""CREATE TABLE $ns.dft (
+                 |  doc_id BIGINT, lang STRING DEFAULT 'xx')""".stripMargin)
+        s.sql(s"""INSERT INTO $ns.dft (doc_id)
+                 |SELECT doc_id FROM parquet.`$dir/documents.parquet`
+                 |WHERE lang = 'en'""".stripMargin)
+        s.sql(s"""INSERT INTO $ns.dft
+                 |SELECT doc_id, lang FROM parquet.`$dir/documents.parquet`
+                 |WHERE lang <> 'en'""".stripMargin)
+        // files above predate the column: they read back 7 (EXISTS_DEFAULT)
+        s.sql(s"ALTER TABLE $ns.dft ADD COLUMN score BIGINT DEFAULT 7")
+        s.sql(s"ALTER TABLE $ns.dft ALTER COLUMN score SET DEFAULT 50")
+        s.sql(s"""INSERT INTO $ns.dft (doc_id, lang)
+                 |SELECT doc_id + 1000000, lang
+                 |FROM parquet.`$dir/documents.parquet` WHERE lang = 'de'""".stripMargin)
+        s.sql(s"""SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
+                 |       CAST(SUM(score) AS BIGINT) AS score_sum
+                 |FROM $ns.dft GROUP BY lang ORDER BY lang""".stripMargin)
+      },
+      Some("""WITH rows0 AS (
+          SELECT doc_id, 'xx' AS lang, 7 AS score FROM documents WHERE lang = 'en'
+          UNION ALL
+          SELECT doc_id, lang, 7 AS score FROM documents WHERE lang <> 'en'
+          UNION ALL
+          SELECT doc_id + 1000000, lang, 50 AS score FROM documents WHERE lang = 'de')
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(score) AS BIGINT) AS score_sum
+        FROM rows0 GROUP BY lang ORDER BY lang""")),
+
+    // ---- q116: write-audit-publish (WAP) staged commits ------------------
+    // The production-pipeline gate: a batch stages under a WAP id
+    // (`option("wap.id", ...)`) — live readers see NOTHING, the auditor
+    // reads the staged snapshot via `VERSION AS OF 'wap-<id>'`, then
+    // `PUBLISH WAP` folds the files in with one registry swap (no data
+    // movement) and `DISCARD WAP` deletes a rejected batch's files. The
+    // result pins all three observation points; the oracle reconstructs
+    // them relationally.
+    QueryDef(
+      "q116_wap",
+      (s, dir) => {
+        val ns = ensureCatalog(s, dir)
+        s.sql(s"DROP TABLE IF EXISTS $ns.wap1")
+        s.sql(s"""CREATE TABLE $ns.wap1 AS
+                 |SELECT doc_id, lang, n_chars
+                 |FROM parquet.`$dir/documents.parquet` WHERE lang <> 'de'""".stripMargin)
+        s.read.parquet(s"$dir/documents.parquet")
+          .filter(col("lang") === "de").select(col("doc_id"), col("lang"), col("n_chars"))
+          .writeTo(s"$ns.wap1").option("wap.id", "ingest1").append()
+        val liveBefore = s.table(s"$ns.wap1").count()
+        val audit = s.sql(
+          s"SELECT COUNT(*) FROM $ns.wap1 VERSION AS OF 'wap-ingest1'").head.getLong(0)
+        s.sql(s"ALTER TABLE $ns.wap1 PUBLISH WAP 'ingest1'")
+        // a rejected batch: staged, audited bad, discarded — leaves no trace
+        s.read.parquet(s"$dir/documents.parquet")
+          .select(col("doc_id") + 9000000, col("lang"), col("n_chars") * -1)
+          .toDF("doc_id", "lang", "n_chars")
+          .writeTo(s"$ns.wap1").option("wap.id", "bad").append()
+        s.sql(s"ALTER TABLE $ns.wap1 DISCARD WAP 'bad'")
+        s.sql(s"""SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
+                 |       CAST(SUM(n_chars) AS BIGINT) AS chars,
+                 |       CAST($liveBefore AS BIGINT) AS live_before,
+                 |       CAST($audit AS BIGINT) AS audit_rows
+                 |FROM $ns.wap1 GROUP BY lang ORDER BY lang""".stripMargin)
+      },
+      Some("""SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(SUM(n_chars) AS BIGINT) AS chars,
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM documents WHERE lang <> 'de') AS live_before,
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM documents) AS audit_rows
         FROM documents GROUP BY lang ORDER BY lang"""))
   )
 }

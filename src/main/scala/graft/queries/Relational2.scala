@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.{QueryDef, Tables}
 import graft.QueryDef.{dsum, ts}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Second tranche of the stock-SQL surface (SURVEY.md §2.2): cube and
@@ -379,6 +380,57 @@ object Relational2 {
                      CAST(l.l_shipdate AS DATE) AS hi, l.l_quantity
               FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey) iv
           ON p.probe_date BETWEEN iv.lo AND iv.hi
-        GROUP BY p.probe_date ORDER BY p.probe_date"""))
+        GROUP BY p.probe_date ORDER BY p.probe_date""")),
+
+    // ---- q115: time-series resample — gap-fill + forward-fill ------------
+    // Events resampled onto a regular 6-hour grid per event_type over a
+    // fixed 10-day window: empty buckets materialize with n=0 and carry
+    // the last non-empty bucket's sum forward (the standard
+    // sensor/metrics gap-fill). Scale shape: one aggregate over the
+    // events, a generated grid (types × 40 bucket ordinals — tiny), one
+    // window per type for the fill — no self-join, no driver loop.
+    QueryDef(
+      "q115_gap_fill",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val t0 = 1704412800L * 1000000000L // 2024-01-05T00:00Z in epoch ns
+        val w = 21600L * 1000000000L // 6 hours
+        val nBuckets = 40L
+        val agg = t.events
+          .filter(col("ts") >= t0 && col("ts") < t0 + nBuckets * w)
+          .withColumn("bucket", expr(s"cast((ts - ${t0}L) div ${w}L as bigint)"))
+          .groupBy(col("event_type"), col("bucket"))
+          .agg(count(lit(1)).as("n0"), dsum(col("value")).as("s"))
+        val grid = t.events.select(col("event_type")).distinct()
+          .withColumn("bucket", explode(sequence(lit(0L), lit(nBuckets - 1))))
+        val win = Window.partitionBy(col("event_type")).orderBy(col("bucket"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        grid.join(agg, Seq("event_type", "bucket"), "left")
+          .withColumn("n", coalesce(col("n0"), lit(0L)))
+          .withColumn("ffill_sum",
+            coalesce(last(col("s"), ignoreNulls = true).over(win), lit(0.0)))
+          .select(col("event_type"), col("bucket"), col("n"), col("ffill_sum"))
+          .orderBy(col("event_type"), col("bucket"))
+      },
+      Some("""WITH ev AS (
+          SELECT event_type,
+            (epoch_ns(ts) - 1704412800000000000) // 21600000000000 AS bucket, value
+          FROM events
+          WHERE epoch_ns(ts) >= 1704412800000000000
+            AND epoch_ns(ts) < 1704412800000000000 + 40 * 21600000000000),
+        agg AS (
+          SELECT event_type, bucket, COUNT(*) AS n0,
+            CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS s
+          FROM ev GROUP BY event_type, bucket),
+        grid AS (
+          SELECT t.event_type, g.bucket
+          FROM (SELECT DISTINCT event_type FROM events) t
+          CROSS JOIN (SELECT CAST(x AS BIGINT) AS bucket FROM range(0, 40) t2(x)) g)
+        SELECT g.event_type, g.bucket, CAST(COALESCE(a.n0, 0) AS BIGINT) AS n,
+          COALESCE(last_value(a.s IGNORE NULLS) OVER (
+            PARTITION BY g.event_type ORDER BY g.bucket
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0.0) AS ffill_sum
+        FROM grid g LEFT JOIN agg a USING (event_type, bucket)
+        ORDER BY g.event_type, g.bucket"""))
   )
 }

@@ -982,6 +982,53 @@ object Text {
         FROM toks t JOIN encoded e ON e.word = t.word
         WHERE length(t.word) > 0
         GROUP BY t.doc_id ORDER BY t.doc_id"""
-      })
+      }),
+
+    // ---- q117: boilerplate removal (corpus-frequency filter) --------------
+    // The C4/CCNet boilerplate pass, distinct from q82's keep-first
+    // dedup: a 6-word chunk that appears in >= 3 DISTINCT documents is
+    // boilerplate (nav bars, footers, license blurbs) and is removed from
+    // EVERY document (no survivor); trailing fragments shorter than 3
+    // words are dropped as noise. Scale shape: explode → distinct →
+    // map-side-combining doc-frequency aggregate → equality join back —
+    // all linear, no pairwise work.
+    QueryDef(
+      "q117_boilerplate",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val occ = t.documents
+          .select(col("doc_id"), split(col("text"), " ").as("sp"))
+          .select(col("doc_id"),
+            posexplode(expr(
+              "transform(sequence(0, cast((size(sp) + 5) div 6 as int) - 1), i -> concat_ws(' ', slice(sp, i * 6 + 1, 6)))"))
+              .as(Seq("pos", "chunk")))
+        val dfreq = occ.select(col("doc_id"), col("chunk")).distinct()
+          .groupBy(col("chunk")).agg(count(lit(1)).as("docs"))
+        occ.join(dfreq, "chunk")
+          .withColumn("boiler",
+            col("docs") >= 3 || size(split(col("chunk"), " ")) < 3)
+          .groupBy(col("doc_id"))
+          .agg(
+            count(lit(1)).as("n_chunks"),
+            sum(when(col("boiler"), 1L).otherwise(0L)).cast("long").as("n_boiler"),
+            expr("""md5(cast(concat_ws(' ',
+                 transform(array_sort(collect_list(CASE WHEN NOT boiler THEN struct(pos, chunk) END)),
+                           x -> x.chunk)) as binary))""").as("digest"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS sp FROM documents),
+        occ0 AS (SELECT doc_id, sp, unnest(range((len(sp) + 5) // 6)) AS pos FROM t),
+        occ AS (SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+                  array_to_string(sp[pos * 6 + 1 : pos * 6 + 6], ' ') AS chunk
+                FROM occ0),
+        dfreq AS (SELECT chunk, COUNT(*) AS docs
+                  FROM (SELECT DISTINCT doc_id, chunk FROM occ) GROUP BY chunk),
+        flags AS (SELECT o.doc_id, o.pos, o.chunk,
+                    (d.docs >= 3 OR len(string_split(o.chunk, ' ')) < 3) AS boiler
+                  FROM occ o JOIN dfreq d USING (chunk))
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+          CAST(SUM(CASE WHEN boiler THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
+          md5(coalesce(string_agg(CASE WHEN NOT boiler THEN chunk END, ' ' ORDER BY pos), '')) AS digest
+        FROM flags GROUP BY doc_id ORDER BY doc_id"""))
   )
 }

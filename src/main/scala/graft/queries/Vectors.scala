@@ -996,6 +996,92 @@ object Vectors {
             FROM codes c JOIN lut l ON l.j = c.j AND l.code = c.code
             WHERE l.qid <> c.vid GROUP BY l.qid, c.vid))
         WHERE rank <= 3 ORDER BY qid, rank"""
-      })
+      }),
+
+    // ---- q114: int8 scalar quantization + recall@3 ------------------------
+    // The 4×-compression serving format: per-vector symmetric int8
+    // (scale = 127 / max|x|, round, clamp-free since the max maps to
+    // ±127), top-3 by INTEGER-EXACT quantized cosine, scored against the
+    // full-precision top-3 — recall@3 per query. At 100 TB the int8 side
+    // is what lives in memory; this gate measures what the compression
+    // costs. All-integer dots/norms → bit-identical across engines.
+    QueryDef(
+      "q114_int8_recall",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val e = emb(t)
+        val n = norms(e)
+        val q8 = e
+          .withColumn("m", expr("aggregate(e, 0D, (a, y) -> greatest(a, abs(y)))"))
+          .withColumn("v8", expr(
+            "transform(e, x -> cast(round(x * case when m = 0 then 0D else 127.0 / m end) as bigint))"))
+          .select(col("vec_id"), col("v8"))
+        def top3(scored: DataFrame, score: String): DataFrame = {
+          val w = Window.partitionBy(col("qid")).orderBy(desc(score), col("vid"))
+          scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= 3)
+            .select(col("qid"), col("vid"))
+        }
+        val qs = e.filter(col("vec_id") < 20).select(col("vec_id").as("qid"), col("e").as("qe"))
+        val exact = top3(
+          cosine(broadcast(qs).crossJoin(
+            e.select(col("vec_id").as("vid"), col("e").as("ve")))
+            .filter(col("qid") =!= col("vid")), n), "cos")
+        val n8 = q8.select(col("vec_id"),
+          expr("aggregate(v8, 0L, (a, x) -> a + x * x)").as("n8"))
+        val quant = top3(
+          broadcast(q8.filter(col("vec_id") < 20)
+              .select(col("vec_id").as("qid"), col("v8").as("q8")))
+            .crossJoin(q8.select(col("vec_id").as("vid"), col("v8").as("c8")))
+            .filter(col("qid") =!= col("vid"))
+            .withColumn("dot",
+              expr("aggregate(zip_with(q8, c8, (x, y) -> x * y), 0L, (a, p) -> a + p)"))
+            .join(n8.select(col("vec_id").as("qid"), col("n8").as("qn")), "qid")
+            .join(n8.select(col("vec_id").as("vid"), col("n8").as("vn")), "vid")
+            .withColumn("qcos", expr("dot / sqrt(cast(qn as double) * cast(vn as double))")),
+          "qcos")
+        exact.as("x").join(quant.as("g"),
+            col("x.qid") === col("g.qid") && col("x.vid") === col("g.vid"), "left_semi")
+          .groupBy(col("qid")).agg(count(lit(1)).as("hits"))
+          .select(col("qid"), col("hits"))
+          .orderBy(col("qid"))
+      },
+      Some(s"""WITH $duckNorms,
+        q8 AS (
+          SELECT vec_id,
+            list_transform(embedding, x ->
+              CAST(round(CAST(x AS DOUBLE) * (CASE WHEN m = 0 THEN 0 ELSE 127.0 / m END)) AS BIGINT)) AS v8
+          FROM (SELECT vec_id, embedding,
+                  list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS m
+                FROM embeddings)),
+        exact AS (
+          SELECT qid, vid FROM (
+            SELECT qid, vid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vid) AS rank
+            FROM (
+              SELECT q.vec_id AS qid, c.vec_id AS vid,
+                list_sum(list_transform(range(1, len(q.embedding) + 1),
+                  i -> round(CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE) * 1e9)))
+                  / sqrt(nq.n2 * nv.n2) AS cos
+              FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+              JOIN norms nq ON nq.vec_id = q.vec_id
+              JOIN norms nv ON nv.vec_id = c.vec_id
+              WHERE q.vec_id < 20))
+          WHERE rank <= 3),
+        n8 AS (SELECT vec_id, list_sum(list_transform(v8, x -> x * x)) AS n8 FROM q8),
+        quant AS (
+          SELECT qid, vid FROM (
+            SELECT qid, vid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY qcos DESC, vid) AS rank
+            FROM (
+              SELECT q.vec_id AS qid, c.vec_id AS vid,
+                list_sum(list_transform(range(1, len(q.v8) + 1),
+                  i -> q.v8[i] * c.v8[i]))
+                  / sqrt(CAST(nq.n8 AS DOUBLE) * CAST(nv.n8 AS DOUBLE)) AS qcos
+              FROM q8 q JOIN q8 c ON q.vec_id <> c.vec_id
+              JOIN n8 nq ON nq.vec_id = q.vec_id
+              JOIN n8 nv ON nv.vec_id = c.vec_id
+              WHERE q.vec_id < 20))
+          WHERE rank <= 3)
+        SELECT x.qid, CAST(COUNT(*) AS BIGINT) AS hits
+        FROM exact x JOIN quant g ON g.qid = x.qid AND g.vid = x.vid
+        GROUP BY x.qid ORDER BY x.qid"""))
   )
 }

@@ -169,6 +169,29 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
     pinned(ident, v)
   }
 
+  /** Advertise DSv2 constraint + column-default support so Spark routes
+    * `CONSTRAINT ... CHECK` and `DEFAULT ...` clauses here instead of
+    * rejecting them at analysis. */
+  override def capabilities(): java.util.Set[TableCatalogCapability] =
+    java.util.EnumSet.of(
+      TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT,
+      TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE)
+
+  /** `CREATE TABLE (..., CONSTRAINT c CHECK (...))`: the default
+    * TableCatalog implementation silently DROPS `info.constraints()` —
+    * persist them as table properties instead. A new table is empty, so
+    * no data validation is needed here. */
+  override def createTable(ident: Identifier, info: TableInfo): Table = {
+    val props = new java.util.HashMap[String, String](info.properties())
+    info.constraints().foreach {
+      case c: org.apache.spark.sql.connector.catalog.constraints.Check =>
+        props.put(GraftTable.ConstraintPropPrefix + c.name(), c.predicateSql())
+      case other => throw new UnsupportedOperationException(
+        s"graft: only CHECK constraints are enforced; cannot store ${other.toDDL}")
+    }
+    createTable(ident, info.schema(), info.partitions(), props)
+  }
+
   override def createTable(
       ident: Identifier,
       schema: StructType,
@@ -206,9 +229,24 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
           !GraftTable.retiredNames(props).contains(name),
           s"column name $name previously carried data and still exists " +
             "in old files; pick a fresh name")
-        schema = StructType(schema.fields :+
-          org.apache.spark.sql.types.StructField(
-            name, add.dataType(), nullable = true))
+        // ADD COLUMN ... DEFAULT v: CURRENT_DEFAULT fills future inserts
+        // that omit the column (Spark's analyzer reads it from the field
+        // metadata); EXISTS_DEFAULT is the value rows in files written
+        // BEFORE this change read back (both the vectorized reader and
+        // the row codec fill it for file-missing columns) — a
+        // metadata-only backfill, no files touched.
+        val field0 = org.apache.spark.sql.types.StructField(
+          name, add.dataType(), nullable = true)
+        val field = Option(add.defaultValue()).fold(field0) { dv =>
+          val lit = dv.getValue
+          val existsSql = org.apache.spark.sql.catalyst.expressions
+            .Literal(lit.value(), lit.dataType()).sql
+          field0.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+            .putString("CURRENT_DEFAULT", Option(dv.getSql).getOrElse(existsSql))
+            .putString("EXISTS_DEFAULT", existsSql)
+            .build())
+        }
+        schema = StructType(schema.fields :+ field)
       case rn: TableChange.RenameColumn if rn.fieldNames().length == 1 =>
         // metadata-only rename: no files rewritten. Old files keep the old
         // physical name; the scan resolves per file via the rename history
@@ -291,6 +329,56 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
         if (renames0.contains(name))
           props += GraftTable.RenamesProp ->
             GraftTable.renderRenames(renames0 - name)
+      case ud: TableChange.UpdateColumnDefaultValue if ud.fieldNames().length == 1 =>
+        // ALTER COLUMN ... SET/DROP DEFAULT: changes what FUTURE inserts
+        // fill (CURRENT_DEFAULT); rows already written and files predating
+        // the column keep reading EXISTS_DEFAULT, which never changes.
+        val name = ud.fieldNames()(0)
+        require(schema.fieldNames.contains(name), s"no such column $name")
+        val newSql = Option(ud.newCurrentDefault()).map(_.getSql)
+          .orElse(Option(ud.newDefaultValue()).filter(_.nonEmpty))
+        schema = StructType(schema.fields.map { f =>
+          if (f.name != name) f
+          else {
+            val mb = new org.apache.spark.sql.types.MetadataBuilder()
+              .withMetadata(f.metadata)
+            newSql match {
+              case Some(sql) => f.copy(metadata =
+                mb.putString("CURRENT_DEFAULT", sql).build())
+              case None => f.copy(metadata =
+                mb.remove("CURRENT_DEFAULT").build())
+            }
+          }
+        })
+      case ac: TableChange.AddConstraint =>
+        ac.constraint() match {
+          case c: org.apache.spark.sql.connector.catalog.constraints.Check =>
+            val key = GraftTable.ConstraintPropPrefix + c.name()
+            require(!props.contains(key),
+              s"constraint ${c.name()} already exists on ${fullName(ident)}")
+            if (ac.validatedTableVersion() == null) {
+              // Spark did not pre-validate: scan for a violating row
+              // ourselves. A CHECK passes on TRUE and NULL; only a row
+              // where the predicate is definitely FALSE violates.
+              import org.apache.spark.sql.functions.{expr, lit}
+              val spark = org.apache.spark.sql.SparkSession.active
+              val bad = spark.read.format("graft")
+                .option("path", tablePath(ident).toString).load()
+                .filter(expr(c.predicateSql()) === lit(false)).limit(1).count()
+              require(bad == 0L, s"cannot ADD CONSTRAINT ${c.name()}: " +
+                s"existing rows of ${fullName(ident)} violate " +
+                s"(${c.predicateSql()})")
+            }
+            props += key -> c.predicateSql()
+          case other => throw new UnsupportedOperationException(
+            s"graft: only CHECK constraints are enforced; cannot add ${other.toDDL}")
+        }
+      case dc: TableChange.DropConstraint =>
+        val key = GraftTable.ConstraintPropPrefix + dc.name()
+        if (!props.contains(key) && !dc.ifExists())
+          throw new IllegalArgumentException(
+            s"no such constraint ${dc.name()} on ${fullName(ident)}")
+        props -= key
       case other =>
         throw new UnsupportedOperationException(s"graft catalog: unsupported change $other")
     }

@@ -83,6 +83,28 @@ final class GraftTable(
   override def partitioning(): Array[Transform] =
     partFields.map(PartField.toTransform).toArray
   override def properties(): java.util.Map[String, String] = props.asJava
+
+  /** Enforced CHECK constraints, persisted as `graft.constraint.<name>`
+    * properties. Reporting them `enforced` makes Spark's analyzer inject
+    * the validation into every INSERT/MERGE plan (ResolveTableConstraints)
+    * — a violating write fails before any file is committed; `rely` lets
+    * the optimizer use them. */
+  override def constraints()
+      : Array[org.apache.spark.sql.connector.catalog.constraints.Constraint] =
+    props.toSeq
+      .collect { case (k, sql) if k.startsWith(GraftTable.ConstraintPropPrefix) =>
+        org.apache.spark.sql.connector.catalog.constraints.Constraint
+          .check(k.stripPrefix(GraftTable.ConstraintPropPrefix))
+          .predicateSql(sql)
+          .enforced(true)
+          .validationStatus(org.apache.spark.sql.connector.catalog.constraints
+            .Constraint.ValidationStatus.VALID)
+          .rely(true)
+          .build()
+      }
+      .sortBy(_.name())
+      .toArray
+
   override def capabilities(): JSet[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER,
@@ -319,6 +341,13 @@ object GraftTable {
     * (write-side clustering: files get disjoint registered ranges at
     * ingest; see [[GraftWriteBuilder.build]]). */
   val SortColumnsProp = "write.sort.columns"
+
+  /** CHECK constraints, one property per constraint:
+    * `graft.constraint.<name>` -> the predicate SQL. Enforcement is
+    * Spark-side (the analyzer validates every write plan against
+    * [[GraftTable.constraints]]); ADD CONSTRAINT validates existing rows
+    * before persisting (see [[GraftCatalog.alterTable]]). */
+  val ConstraintPropPrefix = "graft.constraint."
 
   /** Comma-separated names of DROPPED columns (and their former names):
     * they still carry data in old files, so name-based reading must never
@@ -1659,7 +1688,8 @@ final class GraftWriteBuilder(
 
   private class GraftWrite extends Write {
     override def toBatch: BatchWrite =
-      new GraftBatchWrite(schema, props, dataDir, partitionCols, mode)
+      new GraftBatchWrite(schema, props, dataDir, partitionCols, mode,
+        Option(info.options.get("wap.id")).filter(_.nonEmpty))
     override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
       new GraftStreamingWrite(schema, props, dataDir, partitionCols, info.queryId())
   }
@@ -1772,7 +1802,8 @@ final class GraftBatchWrite(
     props: Map[String, String],
     dataDir: String,
     partitionCols: Seq[String],
-    mode: GraftBatchWrite.Mode)
+    mode: GraftBatchWrite.Mode,
+    wapId: Option[String] = None)
     extends BatchWrite {
 
   private val writeId = UUID.randomUUID().toString
@@ -1829,6 +1860,18 @@ final class GraftBatchWrite(
     val dir = new Path(dataDir)
     val fs = dir.getFileSystem(conf)
     import GraftBatchWrite._
+    // write-audit-publish: stage this commit instead of publishing it —
+    // the files land but only the tagged AUDIT snapshot references them;
+    // the live registry (what every normal read plans from) is untouched
+    // until ALTER TABLE ... PUBLISH WAP.
+    wapId.foreach { id =>
+      require(mode == Append,
+        "graft: wap.id stages APPEND writes only; overwrite modes must publish directly")
+      TableStats.withLock(fs, dir) {
+        Snapshots.stageWap(fs, dir, id, committed)
+      }
+      return
+    }
     if (mode == Truncate)
       // stale epoch markers must not dedupe future stream epochs of a
       // restarted query against pre-truncate history

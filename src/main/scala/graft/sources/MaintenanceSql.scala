@@ -43,6 +43,12 @@ object MaintenanceSql {
     """(?is)\s*SHOW\s+TAGS\s+(?:IN\s+|FROM\s+)?([\w.`]+)\s*;?\s*""".r
   private val SetPartSpec =
     """(?is)\s*ALTER\s+TABLE\s+([\w.`]+)\s+SET\s+PARTITION\s+SPEC\s*\(\s*(.*?)\s*\)\s*;?\s*""".r
+  private val PublishWap =
+    """(?is)\s*ALTER\s+TABLE\s+([\w.`]+)\s+PUBLISH\s+WAP\s+'?`?([\w][\w.-]*)'?`?\s*;?\s*""".r
+  private val DiscardWap =
+    """(?is)\s*ALTER\s+TABLE\s+([\w.`]+)\s+DISCARD\s+WAP\s+'?`?([\w][\w.-]*)'?`?\s*;?\s*""".r
+  private val ShowWap =
+    """(?is)\s*SHOW\s+WAP\s+(?:IN\s+|FROM\s+)?([\w.`]+)\s*;?\s*""".r
 
   private def parts(ident: String): Seq[String] =
     ident.split('.').map(_.stripPrefix("`").stripSuffix("`")).toSeq
@@ -76,6 +82,12 @@ object MaintenanceSql {
         Some(GraftDropTagCommand(parts(id), name))
       case ShowTags(id) if graft(parts(id)) =>
         Some(GraftShowTagsCommand(parts(id)))
+      case PublishWap(id, wap) if graft(parts(id)) =>
+        Some(GraftPublishWapCommand(parts(id), wap))
+      case DiscardWap(id, wap) if graft(parts(id)) =>
+        Some(GraftDiscardWapCommand(parts(id), wap))
+      case ShowWap(id) if graft(parts(id)) =>
+        Some(GraftShowWapCommand(parts(id)))
       case SetPartSpec(id, specText) if graft(parts(id)) =>
         // split on top-level commas only: bucket(8, id) keeps its own
         val specs = scala.collection.mutable.ArrayBuffer[String]()
@@ -184,6 +196,43 @@ final case class GraftDropTagCommand(parts: Seq[String], name: String)
     val (_, tableDir) = MaintenanceSql.loadGraftTable(session, parts)
     Snapshots.dropTag(tableDir, name)
     Nil
+  }
+}
+
+/** `ALTER TABLE t PUBLISH WAP 'id'` — fold a staged write-audit-publish
+  * commit into the live table (see [[Snapshots.stageWap]]). */
+final case class GraftPublishWapCommand(parts: Seq[String], wapId: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    MaintenanceSql.attr("published_version", LongType))
+  override def run(session: SparkSession): Seq[Row] = {
+    val (_, tableDir) = MaintenanceSql.loadGraftTable(session, parts)
+    Seq(Row(Snapshots.publishWap(tableDir, wapId)))
+  }
+}
+
+/** `ALTER TABLE t DISCARD WAP 'id'` — delete a staged commit's files. */
+final case class GraftDiscardWapCommand(parts: Seq[String], wapId: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    MaintenanceSql.attr("files_discarded", IntegerType))
+  override def run(session: SparkSession): Seq[Row] = {
+    val (_, tableDir) = MaintenanceSql.loadGraftTable(session, parts)
+    Seq(Row(Snapshots.discardWap(tableDir, wapId)))
+  }
+}
+
+/** `SHOW WAP IN t` — staged (unpublished) WAP ids. */
+final case class GraftShowWapCommand(parts: Seq[String])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    MaintenanceSql.attr("wap_id", org.apache.spark.sql.types.StringType))
+  override def run(session: SparkSession): Seq[Row] = {
+    val (t, _) = MaintenanceSql.loadGraftTable(session, parts)
+    val dataDir = new org.apache.hadoop.fs.Path(t.dataDir)
+    Snapshots.listWap(
+      dataDir.getFileSystem(new org.apache.hadoop.conf.Configuration()), dataDir)
+      .map(Row(_))
   }
 }
 

@@ -188,10 +188,12 @@ object ParquetRowIO {
   }
 
   /** Materializes rows of `schema`; only `presentFields` (a subset, in
-    * requested-message order) exist in this file — the rest stay null,
-    * which is what schema evolution (ALTER TABLE ADD COLUMN) needs when
-    * reading files written before the column existed. */
-  private final class RowMaterializer(schema: StructType, presentFields: Seq[String])
+    * requested-message order) exist in this file — the rest read their
+    * `prefill` slot: null for plain schema evolution, the column's
+    * EXISTS_DEFAULT for `ADD COLUMN ... DEFAULT v` (metadata-only
+    * backfill of files written before the column existed). */
+  private final class RowMaterializer(
+      schema: StructType, presentFields: Seq[String], prefill: Array[Any])
       extends RecordMaterializer[InternalRow] {
     private val values = new Array[Any](schema.length)
     private val root: GroupConverter = new GroupConverter {
@@ -200,12 +202,30 @@ object ParquetRowIO {
         new FieldConverter(physical(schema(i).dataType), i, values)
       }.toArray
       override def getConverter(i: Int): Converter = converters(i)
-      override def start(): Unit = java.util.Arrays.fill(values.asInstanceOf[Array[AnyRef]], null)
+      override def start(): Unit =
+        System.arraycopy(prefill, 0, values, 0, prefill.length)
       override def end(): Unit = ()
     }
     override def getCurrentRecord: InternalRow = new GenericInternalRow(values.clone())
     override def getRootConverter: GroupConverter = root
   }
+
+  /** The value rows in files WITHOUT this column read back: the folded
+    * `EXISTS_DEFAULT` literal recorded at `ADD COLUMN ... DEFAULT v` time
+    * (null when the column has no existence default). Evaluated once per
+    * file, in Catalyst-internal form. */
+  private def existenceDefault(f: org.apache.spark.sql.types.StructField): Any =
+    if (!f.metadata.contains("EXISTS_DEFAULT")) null
+    else {
+      val sql = f.metadata.getString("EXISTS_DEFAULT")
+      val parsed = org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+        .parseExpression(sql)
+      val cast = org.apache.spark.sql.catalyst.expressions.Cast(
+        parsed, f.dataType, Some("UTC"))
+      require(cast.foldable,
+        s"graft: EXISTS_DEFAULT of ${f.name} is not a literal: $sql")
+      cast.eval(null)
+    }
 
   /** @param renames current column name → its FORMER names, newest first
     *   (ALTER TABLE RENAME COLUMN history). A file written before a rename
@@ -258,10 +278,14 @@ object ParquetRowIO {
         conf: Configuration,
         keyValueMetaData: java.util.Map[String, String],
         fileSchema: MessageType,
-        readContext: ReadContext): RecordMaterializer[InternalRow] =
-      new RowMaterializer(requiredSchema,
-        readContext.getRequestedSchema.getFields.asScala
-          .map(f => targetOf(f.getName)).toSeq)
+        readContext: ReadContext): RecordMaterializer[InternalRow] = {
+      val present = readContext.getRequestedSchema.getFields.asScala
+        .map(f => targetOf(f.getName)).toSeq
+      val presentSet = present.toSet
+      val prefill = requiredSchema.fields.map(f =>
+        if (presentSet.contains(f.name)) null else existenceDefault(f))
+      new RowMaterializer(requiredSchema, present, prefill)
+    }
   }
 
   def newReader(

@@ -240,6 +240,108 @@ object Snapshots {
   def resolveTag(fs: FileSystem, dataDir: Path, name: String): Option[Long] =
     tags(fs, dataDir).get(name)
 
+  // ---- write-audit-publish (WAP): staged commits -------------------------
+  // The training-pipeline gate: a producer stages a commit
+  // (`df.writeTo(t).option("wap.id", "x")`), an auditor reads it via
+  // `VERSION AS OF 'wap-x'` (the staged snapshot, tagged and therefore
+  // vacuum-protected) while every normal reader still sees the
+  // pre-stage table, and only `ALTER TABLE t PUBLISH WAP 'x'` folds the
+  // files into the live registry — one atomic swap, no data movement.
+  // `ALTER TABLE t DISCARD WAP 'x'` deletes the staged files instead.
+
+  private def wapPath(dataDir: Path, id: String): Path = {
+    require(id.matches("[\\w][\\w.-]*"),
+      s"graft: WAP id '$id' must match [A-Za-z0-9_][A-Za-z0-9_.-]*")
+    new Path(dataDir.getParent, s"_wap/$id.tsv")
+  }
+
+  def wapTag(id: String): String = s"wap-$id"
+
+  /** Stage `adds` (this commit's uniquely-named files) under `id`:
+    * persist the adds-list, record the AUDIT snapshot (live ++ adds) and
+    * tag it `wap-<id>`. The live registry is untouched, so normal reads
+    * cannot see the staged files. MUST be called under
+    * [[TableStats.withLock]] (the batch commit path holds it). */
+  def stageWap(fs: FileSystem, dataDir: Path, id: String,
+               adds: Map[String, TableStats.Entry]): Long = {
+    val p = wapPath(dataDir, id)
+    require(!fs.exists(p),
+      s"graft: WAP id '$id' already has a staged commit; PUBLISH or DISCARD it first")
+    // a registry-less table lists directories instead of the manifest and
+    // would SEE the staged files — materialize the (empty) registry first
+    if (TableStats.readIfExists(fs, dataDir).isEmpty)
+      TableStats.write(fs, dataDir, Map.empty)
+    val next = nextVersion(fs, dataDir)
+    val stamped = adds.map { case (r, e) =>
+      r -> (if (e.seq < 0) e.copy(seq = next) else e)
+    }
+    fs.mkdirs(p.getParent)
+    val out = fs.create(p, false)
+    try out.write(TableStats.serialize(stamped)
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    recordAt(fs, dataDir, TableStats.read(fs, dataDir) ++ stamped, next)
+    writeTags(fs, dataDir, tags(fs, dataDir) + (wapTag(id) -> next))
+    next
+  }
+
+  /** The staged adds-list of `id`, or None. */
+  def readWap(fs: FileSystem, dataDir: Path, id: String)
+      : Option[Map[String, TableStats.Entry]] = {
+    val p = wapPath(dataDir, id)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val text = try new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+      Some(TableStats.deserialize(text))
+    }
+  }
+
+  /** All staged WAP ids of a table. */
+  def listWap(fs: FileSystem, dataDir: Path): Seq[String] = {
+    val d = new Path(dataDir.getParent, "_wap")
+    if (!fs.exists(d)) Seq.empty
+    else fs.listStatus(d).toSeq.map(_.getPath.getName)
+      .filter(_.endsWith(".tsv")).map(_.stripSuffix(".tsv")).sorted
+  }
+
+  /** PUBLISH: fold the staged adds into the live registry — one atomic
+    * registry swap. Commits that landed since staging are safe: WAP
+    * stages only appends of uniquely-named files, so the fold is a pure
+    * addition (the fast-forward). Returns the published version. */
+  def publishWap(tableDir: String, id: String): Long = {
+    val dataDir = new Path(tableDir, "data")
+    val fs = dataDir.getFileSystem(new Configuration())
+    TableStats.withLock(fs, dataDir) {
+      val adds = readWap(fs, dataDir, id).getOrElse(
+        throw new IllegalArgumentException(
+          s"graft: no staged WAP commit '$id' under $tableDir"))
+      val v = TableStats.write(fs, dataDir, TableStats.read(fs, dataDir) ++ adds)
+      fs.delete(wapPath(dataDir, id), false)
+      writeTags(fs, dataDir, tags(fs, dataDir) - wapTag(id))
+      v
+    }
+  }
+
+  /** DISCARD: the staged write never happened — delete its files, its
+    * adds-list, and the audit tag. Returns the number of files removed. */
+  def discardWap(tableDir: String, id: String): Int = {
+    val dataDir = new Path(tableDir, "data")
+    val fs = dataDir.getFileSystem(new Configuration())
+    TableStats.withLock(fs, dataDir) {
+      val adds = readWap(fs, dataDir, id).getOrElse(
+        throw new IllegalArgumentException(
+          s"graft: no staged WAP commit '$id' under $tableDir"))
+      val live = TableStats.read(fs, dataDir)
+      val dead = adds.keysIterator.filterNot(live.contains).toSeq
+      dead.foreach(rel => fs.delete(new Path(dataDir, rel), false))
+      fs.delete(wapPath(dataDir, id), false)
+      writeTags(fs, dataDir, tags(fs, dataDir) - wapTag(id))
+      dead.size
+    }
+  }
+
   /** CHANGE FEED — the CDC read: every row-level change in `(since,
     * end]` as a DataFrame of the table's columns plus `_change_type`
     * ('insert' | 'delete' | 'update_preimage' | 'update_postimage') and

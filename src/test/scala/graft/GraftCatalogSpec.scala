@@ -1250,6 +1250,95 @@ class GraftCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
   }
 
+  test("CHECK constraints: violating insert fails atomically, ADD validates") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.ck")
+    spark.sql("""CREATE TABLE graft.ck.t (id BIGINT, qty DOUBLE,
+                |CONSTRAINT pos CHECK (qty > 0))""".stripMargin)
+    spark.sql("INSERT INTO graft.ck.t VALUES (1, 2.0), (2, 0.5)")
+    // batch with one bad row: nothing commits
+    val e = intercept[Exception](
+      spark.sql("INSERT INTO graft.ck.t VALUES (3, 1.0), (4, -1.0)"))
+    assert(e.getMessage.contains("pos") || e.getMessage.contains("CHECK"))
+    assert(spark.table("graft.ck.t").count() == 2)
+    // NULL predicate result passes (SQL CHECK semantics)
+    spark.sql("INSERT INTO graft.ck.t VALUES (5, NULL)")
+    assert(spark.table("graft.ck.t").count() == 3)
+    // ADD CONSTRAINT scans existing rows: id > 1 is violated by id=1
+    val bad = intercept[Exception](
+      spark.sql("ALTER TABLE graft.ck.t ADD CONSTRAINT big CHECK (id > 1)"))
+    assert(bad.getMessage.toLowerCase.contains("constraint"))
+    // a satisfiable one persists, enforces, and drops
+    spark.sql("ALTER TABLE graft.ck.t ADD CONSTRAINT nn CHECK (id >= 0)")
+    val ddl = spark.sql("DESCRIBE TABLE EXTENDED graft.ck.t")
+      .collect().map(_.mkString("|")).mkString("\n")
+    assert(ddl.contains("nn") && ddl.contains("CHECK"))
+    val v = intercept[Exception](
+      spark.sql("INSERT INTO graft.ck.t VALUES (-9, 1.0)"))
+    assert(v.getMessage.contains("nn") || v.getMessage.contains("CHECK"))
+    spark.sql("ALTER TABLE graft.ck.t DROP CONSTRAINT nn")
+    spark.sql("INSERT INTO graft.ck.t VALUES (-9, 1.0)") // now legal
+    assert(spark.table("graft.ck.t").count() == 4)
+    intercept[Exception](spark.sql("ALTER TABLE graft.ck.t DROP CONSTRAINT ghost"))
+  }
+
+  test("column DEFAULTs fill through the ROW CODEC path (merge-on-read)") {
+    // merge-on-read forces the row-codec reader, covering the
+    // EXISTS_DEFAULT prefill in ParquetRowIO (the vectorized path is
+    // covered by q113)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.ck")
+    spark.sql("""CREATE TABLE graft.ck.mor (row_key STRING, v BIGINT)
+                |TBLPROPERTIES ('write.mutation.mode' = 'merge-on-read')""".stripMargin)
+    spark.sql("INSERT INTO graft.ck.mor VALUES ('a', 1), ('b', 2), ('c', 3)")
+    spark.sql("DELETE FROM graft.ck.mor WHERE row_key = 'b'")
+    spark.sql("ALTER TABLE graft.ck.mor ADD COLUMN tag STRING DEFAULT 'old'")
+    spark.sql("INSERT INTO graft.ck.mor (row_key, v) VALUES ('d', 4)")
+    val got = spark.table("graft.ck.mor").orderBy("row_key")
+      .collect().map(r => (r.getString(0), r.getString(2))).toSeq
+    assert(got == Seq(("a", "old"), ("c", "old"), ("d", "old")))
+    spark.sql("ALTER TABLE graft.ck.mor ALTER COLUMN tag SET DEFAULT 'new'")
+    spark.sql("INSERT INTO graft.ck.mor (row_key, v) VALUES ('e', 5)")
+    val got2 = spark.table("graft.ck.mor").orderBy("row_key")
+      .collect().map(r => (r.getString(0), r.getString(2))).toSeq
+    assert(got2 == Seq(("a", "old"), ("c", "old"), ("d", "old"), ("e", "new")))
+  }
+
+  test("WAP edges: duplicate id, non-append mode, ghost publish all rejected") {
+    import org.apache.spark.sql.functions._
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.wap")
+    spark.sql("CREATE TABLE graft.wap.t (id BIGINT, v STRING)")
+    spark.sql("INSERT INTO graft.wap.t VALUES (1, 'a')")
+    def staged(from: Int, until: Int, id: String) =
+      spark.range(from, until).select(col("id"), lit("s").as("v"))
+        .writeTo("graft.wap.t").option("wap.id", id)
+    staged(10, 12, "w1").append()
+    // same id cannot stage twice
+    val dup = intercept[Exception](staged(20, 22, "w1").append())
+    assert(dup.getMessage.contains("w1"))
+    // live table still sees only the original row; audit sees staged
+    assert(spark.table("graft.wap.t").count() == 1)
+    assert(spark.sql("SELECT * FROM graft.wap.t VERSION AS OF 'wap-w1'").count() == 3)
+    // non-append staged writes are refused (files must not replace live data)
+    val ow = intercept[Exception](
+      spark.range(0, 2).select(col("id"), lit("x").as("v"))
+        .writeTo("graft.wap.t").option("wap.id", "w2").createOrReplace())
+    assert(ow.getMessage.toLowerCase.contains("append") ||
+      ow.getMessage.toLowerCase.contains("replace")) // staging table path rejects earlier
+    spark.sql("ALTER TABLE graft.wap.t PUBLISH WAP 'w1'")
+    assert(spark.table("graft.wap.t").count() == 3)
+    // tag + adds list are gone: publish again fails, audit tag unresolvable
+    val ghost = intercept[Exception](
+      spark.sql("ALTER TABLE graft.wap.t PUBLISH WAP 'w1'"))
+    assert(ghost.getMessage.contains("no staged WAP"))
+    intercept[Exception](
+      spark.sql("SELECT * FROM graft.wap.t VERSION AS OF 'wap-w1'").collect())
+    // vacuum while a stage is pending must not delete staged files
+    staged(30, 33, "w3").append()
+    spark.sql("VACUUM graft.wap.t RETAIN 1 SNAPSHOTS")
+    assert(spark.sql("SELECT * FROM graft.wap.t VERSION AS OF 'wap-w3'").count() == 6)
+    spark.sql("ALTER TABLE graft.wap.t PUBLISH WAP 'w3'")
+    assert(spark.table("graft.wap.t").count() == 6)
+  }
+
   test("rename and drop") {
     spark.sql("ALTER TABLE graft.pw.test_big RENAME TO graft.pw.test_big2")
     assert(spark.table("graft.pw.test_big2").count() == 1)
