@@ -1207,6 +1207,37 @@ object Engine {
         CAST(SUM(n_chars) AS BIGINT) AS chars,
         (SELECT CAST(COUNT(*) AS BIGINT) FROM documents WHERE lang <> 'de') AS live_before,
         (SELECT CAST(COUNT(*) AS BIGINT) FROM documents) AS audit_rows
-        FROM documents GROUP BY lang ORDER BY lang"""))
+        FROM documents GROUP BY lang ORDER BY lang""")),
+
+    // ---- q118: GENERATED ALWAYS AS columns -------------------------------
+    // DSv2 generated columns: Spark validates + persists the expression
+    // at CREATE TABLE (non-deterministic expressions rejected); the graft
+    // write path computes the value per row (driver-resolved, bound,
+    // evaluated in the writer before row-key generation and partition
+    // routing) and OVERRIDES whatever the query supplied — the inserts
+    // below deliberately write garbage into both generated columns. The
+    // oracle recomputes the expressions relationally.
+    QueryDef(
+      "q118_generated_columns",
+      (s, dir) => {
+        val ns = ensureCatalog(s, dir)
+        s.sql(s"DROP TABLE IF EXISTS $ns.gen1")
+        s.sql(s"""CREATE TABLE $ns.gen1 (
+                 |  doc_id BIGINT, lang STRING, n_chars BIGINT,
+                 |  chars_bucket BIGINT GENERATED ALWAYS AS (n_chars DIV 100),
+                 |  lang_up STRING GENERATED ALWAYS AS (upper(lang)))""".stripMargin)
+        s.sql(s"""INSERT INTO $ns.gen1
+                 |SELECT doc_id, lang, n_chars, -1, 'junk'
+                 |FROM parquet.`$dir/documents.parquet` WHERE lang <> 'de'""".stripMargin)
+        s.sql(s"""INSERT INTO $ns.gen1 (doc_id, lang, n_chars)
+                 |SELECT doc_id, lang, n_chars
+                 |FROM parquet.`$dir/documents.parquet` WHERE lang = 'de'""".stripMargin)
+        s.sql(s"""SELECT lang_up, CAST(COUNT(*) AS BIGINT) AS n,
+                 |       CAST(SUM(chars_bucket) AS BIGINT) AS bucket_sum
+                 |FROM $ns.gen1 GROUP BY lang_up ORDER BY lang_up""".stripMargin)
+      },
+      Some("""SELECT upper(lang) AS lang_up, CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(SUM(n_chars // 100) AS BIGINT) AS bucket_sum
+        FROM documents GROUP BY upper(lang) ORDER BY lang_up"""))
   )
 }

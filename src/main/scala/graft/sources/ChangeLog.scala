@@ -53,6 +53,12 @@ object ChangeLog {
   case object Replace extends Kind("replace")
   case object Maintenance extends Kind("maintenance")
   case object Restore extends Kind("restore")
+  /** A write-audit-publish AUDIT snapshot ([[Snapshots.stageWap]]): a
+    * side branch of the version chain, not a live commit. Change feeds
+    * skip it WITHOUT advancing their previous-manifest cursor, so the
+    * staged files surface as inserts at the PUBLISH version (and never
+    * surface at all for a discarded stage). */
+  case object Staged extends Kind("staged")
 
   /** Table property opting OUT of copy-on-write change recording (saves
     * the commit-time diff join on tables nobody tails). */
@@ -84,7 +90,7 @@ object ChangeLog {
       val in = fs.open(p)
       val s = try new String(in.readAllBytes(), StandardCharsets.UTF_8).trim
         finally in.close()
-      Seq(Cow, Replace, Maintenance, Restore).find(_.name == s).orElse(
+      Seq(Cow, Replace, Maintenance, Restore, Staged).find(_.name == s).orElse(
         throw new IllegalStateException(s"graft: unknown change-log kind '$s' in $p"))
     }
   }

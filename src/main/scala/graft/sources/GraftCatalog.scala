@@ -175,7 +175,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
   override def capabilities(): java.util.Set[TableCatalogCapability] =
     java.util.EnumSet.of(
       TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT,
-      TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE)
+      TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE,
+      TableCatalogCapability.SUPPORTS_CREATE_TABLE_WITH_GENERATED_COLUMNS)
 
   /** `CREATE TABLE (..., CONSTRAINT c CHECK (...))`: the default
     * TableCatalog implementation silently DROPS `info.constraints()` —
@@ -183,13 +184,34 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
     * no data validation is needed here. */
   override def createTable(ident: Identifier, info: TableInfo): Table = {
     val props = new java.util.HashMap[String, String](info.properties())
-    info.constraints().foreach {
-      case c: org.apache.spark.sql.connector.catalog.constraints.Check =>
-        props.put(GraftTable.ConstraintPropPrefix + c.name(), c.predicateSql())
-      case other => throw new UnsupportedOperationException(
-        s"graft: only CHECK constraints are enforced; cannot store ${other.toDDL}")
+    info.constraints().foreach { c =>
+      val (k, v) = GraftCatalog.constraintProp(c)
+      props.put(k, v)
     }
-    createTable(ident, info.schema(), info.partitions(), props)
+    // Convert from info.columns(), NOT info.schema(): the StructType view
+    // drops per-column riders — GENERATED ALWAYS AS expressions ride on
+    // the v2 Column and must land in field metadata for the write path
+    // to compute them (CatalogV2Util.v2ColumnsToStructType is
+    // private[sql], so the encoding is replicated here).
+    val schema = StructType(info.columns().map { c =>
+      val mb = new org.apache.spark.sql.types.MetadataBuilder()
+      Option(c.comment()).foreach(mb.putString("comment", _))
+      Option(c.defaultValue()).foreach { dv =>
+        val existsSql = org.apache.spark.sql.catalyst.expressions
+          .Literal(dv.getValue.value(), dv.getValue.dataType()).sql
+        mb.putString("CURRENT_DEFAULT", Option(dv.getSql).getOrElse(existsSql))
+        mb.putString("EXISTS_DEFAULT", existsSql)
+      }
+      Option(c.generationExpression()).filter(_.nonEmpty).foreach(
+        mb.putString(GeneratedColumns.MetadataKey, _))
+      Option(c.identityColumnSpec()).foreach { _ =>
+        throw new UnsupportedOperationException(
+          s"graft: IDENTITY columns are not supported (column ${c.name()})")
+      }
+      org.apache.spark.sql.types.StructField(
+        c.name(), c.dataType(), c.nullable(), mb.build())
+    })
+    createTable(ident, schema, info.partitions(), props)
   }
 
   override def createTable(
@@ -351,34 +373,35 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
           }
         })
       case ac: TableChange.AddConstraint =>
-        ac.constraint() match {
-          case c: org.apache.spark.sql.connector.catalog.constraints.Check =>
-            val key = GraftTable.ConstraintPropPrefix + c.name()
-            require(!props.contains(key),
-              s"constraint ${c.name()} already exists on ${fullName(ident)}")
-            if (ac.validatedTableVersion() == null) {
-              // Spark did not pre-validate: scan for a violating row
-              // ourselves. A CHECK passes on TRUE and NULL; only a row
-              // where the predicate is definitely FALSE violates.
-              import org.apache.spark.sql.functions.{expr, lit}
-              val spark = org.apache.spark.sql.SparkSession.active
-              val bad = spark.read.format("graft")
-                .option("path", tablePath(ident).toString).load()
-                .filter(expr(c.predicateSql()) === lit(false)).limit(1).count()
-              require(bad == 0L, s"cannot ADD CONSTRAINT ${c.name()}: " +
-                s"existing rows of ${fullName(ident)} violate " +
-                s"(${c.predicateSql()})")
-            }
-            props += key -> c.predicateSql()
-          case other => throw new UnsupportedOperationException(
-            s"graft: only CHECK constraints are enforced; cannot add ${other.toDDL}")
+        val c = ac.constraint()
+        val (key, value) = GraftCatalog.constraintProp(c)
+        require(!props.contains(key),
+          s"constraint ${c.name()} already exists on ${fullName(ident)}")
+        c match {
+          case chk: org.apache.spark.sql.connector.catalog.constraints.Check
+              if ac.validatedTableVersion() == null =>
+            // Spark did not pre-validate: scan for a violating row
+            // ourselves. A CHECK passes on TRUE and NULL; only a row
+            // where the predicate is definitely FALSE violates.
+            import org.apache.spark.sql.functions.{expr, lit}
+            val spark = org.apache.spark.sql.SparkSession.active
+            val bad = spark.read.format("graft")
+              .option("path", tablePath(ident).toString).load()
+              .filter(expr(chk.predicateSql()) === lit(false)).limit(1).count()
+            require(bad == 0L, s"cannot ADD CONSTRAINT ${c.name()}: " +
+              s"existing rows of ${fullName(ident)} violate " +
+              s"(${chk.predicateSql()})")
+          case _ => () // key constraints are informational — no scan
         }
+        props += key -> value
       case dc: TableChange.DropConstraint =>
         val key = GraftTable.ConstraintPropPrefix + dc.name()
-        if (!props.contains(key) && !dc.ifExists())
+        val keyK = GraftTable.KeyConstraintPropPrefix + dc.name()
+        if (!props.contains(key) && !props.contains(keyK) && !dc.ifExists())
           throw new IllegalArgumentException(
             s"no such constraint ${dc.name()} on ${fullName(ident)}")
         props -= key
+        props -= keyK
       case other =>
         throw new UnsupportedOperationException(s"graft catalog: unsupported change $other")
     }
@@ -709,4 +732,31 @@ object GraftCatalog {
     * only — lets tests assert repeated query analysis hits the existence
     * cache instead of the filesystem. */
   val viewStatCalls = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** (property key, value) under which a DSv2 constraint persists:
+    * CHECK → `graft.constraint.<name>` = predicate SQL (enforced);
+    * PRIMARY KEY / UNIQUE → `graft.keyconstraint.<name>` =
+    * `KIND|rely|cols` (informational). FOREIGN KEY is refused — honoring
+    * it would need cross-table resolution this catalog does not do. */
+  private[sources] def constraintProp(
+      c: org.apache.spark.sql.connector.catalog.constraints.Constraint)
+      : (String, String) = {
+    import org.apache.spark.sql.connector.catalog.constraints._
+    def cols(refs: Array[org.apache.spark.sql.connector.expressions.NamedReference]) =
+      refs.map(_.fieldNames().mkString(".")).toSeq
+    c match {
+      case chk: Check =>
+        (GraftTable.ConstraintPropPrefix + chk.name(), chk.predicateSql())
+      case pk: PrimaryKey =>
+        (GraftTable.KeyConstraintPropPrefix + pk.name(),
+          GraftTable.renderKeyConstraint("PRIMARY KEY", pk.rely(), cols(pk.columns())))
+      case u: Unique =>
+        (GraftTable.KeyConstraintPropPrefix + u.name(),
+          GraftTable.renderKeyConstraint("UNIQUE", u.rely(), cols(u.columns())))
+      case other => throw new UnsupportedOperationException(
+        s"graft: cannot store constraint ${other.toDDL} " +
+          "(CHECK is enforced; PRIMARY KEY/UNIQUE are informational; " +
+          "FOREIGN KEY is unsupported)")
+    }
+  }
 }

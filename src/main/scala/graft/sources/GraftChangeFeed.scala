@@ -161,12 +161,17 @@ final class GraftChangeFeedStream(
     // one diff (wrong _commit_version) and could hide a rewrite that
     // happened entirely inside the gap — determinism demands all-or-fail
     for (v <- (v1 + 1) to v2) {
+      // WAP audit snapshots are side branches: skip WITHOUT advancing
+      // prev (adds surface at the publish version, or never if discarded)
+      if (ChangeLog.kindOf(fs, dir, v).contains(ChangeLog.Staged)) ()
+      else {
       val cur = manifestAt(v)
       val added = (cur.keySet -- prev.keySet).toSeq.sorted
       val removedData = (prev.keySet -- cur.keySet).toSeq.sorted
         .filterNot(GraftDeletes.isDeleteRel)
       def abs(rel: String): String = s"$dataDir/$rel"
       ChangeLog.kindOf(fs, dir, v) match {
+        case Some(ChangeLog.Staged) => () // handled above
         case Some(ChangeLog.Maintenance) => () // rows moved, not changed
         case Some(ChangeLog.Restore) =>
           throw new IllegalStateException(
@@ -219,6 +224,7 @@ final class GraftChangeFeedStream(
           }
       }
       prev = cur
+      }
     }
     out.toArray
   }

@@ -84,26 +84,46 @@ final class GraftTable(
     partFields.map(PartField.toTransform).toArray
   override def properties(): java.util.Map[String, String] = props.asJava
 
-  /** Enforced CHECK constraints, persisted as `graft.constraint.<name>`
-    * properties. Reporting them `enforced` makes Spark's analyzer inject
-    * the validation into every INSERT/MERGE plan (ResolveTableConstraints)
-    * — a violating write fails before any file is committed; `rely` lets
-    * the optimizer use them. */
+  /** Enforced CHECK constraints (`graft.constraint.<name>` properties) +
+    * informational PRIMARY KEY / UNIQUE (`graft.keyconstraint.<name>`).
+    * Reporting CHECKs `enforced` makes Spark's analyzer inject the
+    * validation into every INSERT/MERGE plan (ResolveTableConstraints) —
+    * a violating write fails before any file is committed; key
+    * constraints are never enforced, only echoed with the user's RELY
+    * flag for the optimizer. */
   override def constraints()
-      : Array[org.apache.spark.sql.connector.catalog.constraints.Constraint] =
-    props.toSeq
+      : Array[org.apache.spark.sql.connector.catalog.constraints.Constraint] = {
+    import org.apache.spark.sql.connector.catalog.constraints.Constraint
+    val checks = props.toSeq
       .collect { case (k, sql) if k.startsWith(GraftTable.ConstraintPropPrefix) =>
-        org.apache.spark.sql.connector.catalog.constraints.Constraint
-          .check(k.stripPrefix(GraftTable.ConstraintPropPrefix))
+        Constraint.check(k.stripPrefix(GraftTable.ConstraintPropPrefix))
           .predicateSql(sql)
           .enforced(true)
-          .validationStatus(org.apache.spark.sql.connector.catalog.constraints
-            .Constraint.ValidationStatus.VALID)
+          .validationStatus(Constraint.ValidationStatus.VALID)
           .rely(true)
-          .build()
+          .build(): Constraint
       }
-      .sortBy(_.name())
-      .toArray
+    val keys = props.toSeq
+      .collect { case (k, v) if k.startsWith(GraftTable.KeyConstraintPropPrefix) =>
+        val name = k.stripPrefix(GraftTable.KeyConstraintPropPrefix)
+        val (kind, rely, cols) = GraftTable.parseKeyConstraint(v)
+        val refs = cols.map(c => org.apache.spark.sql.connector.expressions
+          .Expressions.column(c)).toArray
+        kind match {
+          case "PRIMARY KEY" => Constraint.primaryKey(name, refs)
+            .enforced(false)
+            .validationStatus(Constraint.ValidationStatus.UNVALIDATED)
+            .rely(rely)
+            .build(): Constraint
+          case _ => Constraint.unique(name, refs)
+            .enforced(false)
+            .validationStatus(Constraint.ValidationStatus.UNVALIDATED)
+            .rely(rely)
+            .build(): Constraint
+        }
+      }
+    (checks ++ keys).sortBy(_.name()).toArray
+  }
 
   override def capabilities(): JSet[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
@@ -348,6 +368,22 @@ object GraftTable {
     * [[GraftTable.constraints]]); ADD CONSTRAINT validates existing rows
     * before persisting (see [[GraftCatalog.alterTable]]). */
   val ConstraintPropPrefix = "graft.constraint."
+
+  /** INFORMATIONAL key constraints (PRIMARY KEY / UNIQUE), one property
+    * per constraint: `graft.keyconstraint.<name>` -> `KIND|rely|c1,c2`.
+    * Never enforced (the lakehouse convention — enforcing uniqueness
+    * needs a full shuffle per insert); reported UNVALIDATED, with the
+    * user's RELY flag echoed so the optimizer may exploit them. */
+  val KeyConstraintPropPrefix = "graft.keyconstraint."
+
+  private[sources] def renderKeyConstraint(
+      kind: String, rely: Boolean, cols: Seq[String]): String =
+    s"$kind|$rely|${cols.mkString(",")}"
+
+  private[sources] def parseKeyConstraint(v: String): (String, Boolean, Seq[String]) = {
+    val Array(kind, rely, cols) = v.split('|')
+    (kind, rely.toBoolean, cols.split(',').filter(_.nonEmpty).toSeq)
+  }
 
   /** Comma-separated names of DROPPED columns (and their former names):
     * they still carry data in old files, so name-based reading must never
@@ -1779,9 +1815,12 @@ final case class GraftStreamingWriterFactory(
     partitionCols: Seq[String],
     writeId: String)
     extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
+  // driver-side resolve + bind, serialized with the factory
+  private val genExprs = GeneratedColumns.bound(schema)
   override def createWriter(partitionId: Int, taskId: Long, epochId: Long): DataWriter[InternalRow] =
     GraftWriterFactory.newWriter(schema, props, dataDir, partitionCols,
-      s"$writeId-e$epochId", partitionId, taskId, filePrefix = "stream")
+      s"$writeId-e$epochId", partitionId, taskId, filePrefix = "stream",
+      genExprs = genExprs)
 }
 
 object GraftBatchWrite {
@@ -1955,9 +1994,13 @@ final class GraftWriterFactory(
     writeId: String)
     extends DataWriterFactory {
 
+  // resolved + bound on the DRIVER (the factory is constructed there);
+  // serialized with the factory for executor-side eval
+  private val genExprs = GeneratedColumns.bound(schema)
+
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     GraftWriterFactory.newWriter(schema, props, dataDir, partitionCols,
-      writeId, partitionId, taskId)
+      writeId, partitionId, taskId, genExprs = genExprs)
 }
 
 object GraftWriterFactory {
@@ -2031,7 +2074,9 @@ object GraftWriterFactory {
       writeId: String,
       partitionId: Int,
       taskId: Long,
-      filePrefix: String = "part"): DataWriter[InternalRow] = {
+      filePrefix: String = "part",
+      genExprs: Seq[(Int, org.apache.spark.sql.catalyst.expressions.Expression)] = Nil)
+      : DataWriter[InternalRow] = {
     val conf = new Configuration()
 
     val rowKeyIdx = schema.fieldNames.indexOf(ColumnNames.RowKey)
@@ -2084,7 +2129,20 @@ object GraftWriterFactory {
         entry._1
       }
 
-      override def write(row: InternalRow): Unit = {
+      override def write(row0: InternalRow): Unit = {
+        // GENERATED ALWAYS AS columns: compute before row-key generation
+        // and partition routing so both see the authoritative value
+        // (whatever the query supplied for the column is overwritten)
+        val row =
+          if (genExprs.isEmpty) row0
+          else {
+            val values = schema.fields.zipWithIndex.map { case (f, i) =>
+              if (row0.isNullAt(i)) null else row0.get(i, f.dataType)
+            }
+            genExprs.foreach { case (i, e) => values(i) = e.eval(row0) }
+            new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+              values.asInstanceOf[Array[Any]])
+          }
         val out =
           if (generator.isDefined && rowKeyIdx >= 0 &&
               schema(rowKeyIdx).dataType == StringType) {

@@ -281,6 +281,10 @@ object Snapshots {
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
     recordAt(fs, dataDir, TableStats.read(fs, dataDir) ++ stamped, next)
+    // mark the audit snapshot as a SIDE BRANCH: change feeds must skip it
+    // without advancing, so the adds surface at the publish version (and
+    // never surface for a discarded stage)
+    ChangeLog.writeMarker(fs, dataDir, next, ChangeLog.Staged)
     writeTags(fs, dataDir, tags(fs, dataDir) + (wapTag(id) -> next))
     next
   }
@@ -416,6 +420,11 @@ object Snapshots {
     // vacuumed snapshot would collapse commits into one diff (wrong
     // _commit_version) and could hide an intra-gap rewrite
     for (v <- (since + 1) to endV) {
+      // a WAP audit snapshot is a side branch, not a live commit: skip it
+      // WITHOUT advancing prev, so its files diff against the live chain
+      // at the publish version (or never, when the stage was discarded)
+      if (ChangeLog.kindOf(fs, dataDir, v).contains(ChangeLog.Staged)) ()
+      else {
       val cur = manifestAt(v)
       val added = (cur.keySet -- prev.keySet).toSeq.sorted
       // a delete entry leaving the manifest alone is compaction
@@ -424,6 +433,7 @@ object Snapshots {
         .filterNot(GraftDeletes.isDeleteRel)
       def abs(rels: Seq[String]): Seq[String] = rels.map(r => s"${table.dataDir}/$r")
       ChangeLog.kindOf(fs, dataDir, v) match {
+        case Some(ChangeLog.Staged) => () // handled above
         case Some(ChangeLog.Maintenance) => () // rows moved, not changed
         case Some(ChangeLog.Restore) =>
           throw new IllegalArgumentException(
@@ -474,6 +484,7 @@ object Snapshots {
           }
       }
       prev = cur
+      }
     }
 
     val withMeta = StructType(nullable.fields ++ Seq(

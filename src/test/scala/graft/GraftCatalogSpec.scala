@@ -1281,6 +1281,44 @@ class GraftCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     intercept[Exception](spark.sql("ALTER TABLE graft.ck.t DROP CONSTRAINT ghost"))
   }
 
+  test("CHECK constraints also gate UPDATE and MERGE rewrites") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.ck")
+    spark.sql("""CREATE TABLE graft.ck.m (id BIGINT, qty DOUBLE,
+                |CONSTRAINT pos CHECK (qty > 0))""".stripMargin)
+    spark.sql("INSERT INTO graft.ck.m VALUES (1, 2.0), (2, 3.0)")
+    val up = intercept[Exception](
+      spark.sql("UPDATE graft.ck.m SET qty = -5.0 WHERE id = 1"))
+    assert(up.getMessage.contains("pos") || up.getMessage.contains("CHECK"))
+    assert(spark.table("graft.ck.m").filter("qty <= 0").count() == 0)
+    val mg = intercept[Exception](
+      spark.sql("""MERGE INTO graft.ck.m t USING (SELECT 2 AS id) s ON t.id = s.id
+                  |WHEN MATCHED THEN UPDATE SET qty = -1.0""".stripMargin))
+    assert(mg.getMessage.contains("pos") || mg.getMessage.contains("CHECK"))
+    assert(spark.table("graft.ck.m").filter("qty <= 0").count() == 0)
+  }
+
+  test("PRIMARY KEY / UNIQUE persist as informational constraints") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.ck")
+    spark.sql("""CREATE TABLE graft.ck.pk (id BIGINT, k STRING, v DOUBLE,
+                |CONSTRAINT pkc PRIMARY KEY (id) RELY,
+                |CONSTRAINT uk UNIQUE (k))""".stripMargin)
+    val ddl = spark.sql("DESCRIBE TABLE EXTENDED graft.ck.pk")
+      .collect().map(_.mkString("|")).mkString("\n")
+    assert(ddl.contains("pkc") && ddl.contains("PRIMARY KEY"))
+    assert(ddl.contains("uk") && ddl.contains("UNIQUE"))
+    // informational: duplicate keys are NOT blocked
+    spark.sql("INSERT INTO graft.ck.pk VALUES (1, 'a', 1.0), (1, 'a', 2.0)")
+    assert(spark.table("graft.ck.pk").count() == 2)
+    spark.sql("ALTER TABLE graft.ck.pk DROP CONSTRAINT uk")
+    val ddl2 = spark.sql("DESCRIBE TABLE EXTENDED graft.ck.pk")
+      .collect().map(_.mkString("|")).mkString("\n")
+    assert(!ddl2.contains("uk") && ddl2.contains("pkc"))
+    // ADD CONSTRAINT path for key constraints (no data scan)
+    spark.sql("ALTER TABLE graft.ck.pk ADD CONSTRAINT uk2 UNIQUE (v)")
+    assert(spark.sql("DESCRIBE TABLE EXTENDED graft.ck.pk")
+      .collect().map(_.mkString("|")).mkString("\n").contains("uk2"))
+  }
+
   test("column DEFAULTs fill through the ROW CODEC path (merge-on-read)") {
     // merge-on-read forces the row-codec reader, covering the
     // EXISTS_DEFAULT prefill in ParquetRowIO (the vectorized path is
@@ -1337,6 +1375,32 @@ class GraftCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.sql("SELECT * FROM graft.wap.t VERSION AS OF 'wap-w3'").count() == 6)
     spark.sql("ALTER TABLE graft.wap.t PUBLISH WAP 'w3'")
     assert(spark.table("graft.wap.t").count() == 6)
+  }
+
+  test("generated columns: computed, authoritative, partition routing sees them") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.gen")
+    // a generated column can BE the partition column: routing must see
+    // the computed value, and pruning must work on it
+    spark.sql("""CREATE TABLE graft.gen.t (
+                |  id BIGINT, name STRING,
+                |  grp STRING GENERATED ALWAYS AS (substring(name, 1, 1)))
+                |PARTITIONED BY (grp)""".stripMargin)
+    spark.sql("INSERT INTO graft.gen.t (id, name) VALUES (1, 'apple'), (2, 'avocado'), (3, 'banana')")
+    // supplied garbage is overridden
+    spark.sql("INSERT INTO graft.gen.t VALUES (4, 'cherry', 'WRONG')")
+    val got = spark.table("graft.gen.t").orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getString(2))).toSeq
+    assert(got == Seq((1L, "a"), (2L, "a"), (3L, "b"), (4L, "c")))
+    // physical layout: directories named by the COMPUTED value
+    val dirs = new java.io.File(s"$warehouse/gen/t/data").listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(dirs == Set("grp=a", "grp=b", "grp=c"))
+    // non-deterministic generation expressions rejected at DDL
+    intercept[Exception](spark.sql(
+      "CREATE TABLE graft.gen.bad (a BIGINT, r DOUBLE GENERATED ALWAYS AS (rand()))"))
+    // IDENTITY columns loudly unsupported
+    intercept[Exception](spark.sql(
+      "CREATE TABLE graft.gen.idt (a BIGINT GENERATED ALWAYS AS IDENTITY, b STRING)"))
   }
 
   test("rename and drop") {

@@ -404,4 +404,29 @@ class MergeOnReadSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.sql("SELECT row_key FROM graft.mor.cow").collect()
       .map(_.getString(0)).toSeq == Seq("b"))
   }
+
+  test("change feed across WAP: adds surface at publish, discarded stages never") {
+    import org.apache.spark.sql.functions._
+    spark.sql("CREATE TABLE graft.mor.wapf (row_key STRING, v BIGINT)")
+    spark.sql("INSERT INTO graft.mor.wapf VALUES ('a', 1)")
+    val v0 = Snapshots.list(fs, dataDir("wapf")).last._1
+    // stage + publish: the staged row must appear ONCE, at the PUBLISH
+    // version (the audit snapshot between them is a side branch)
+    spark.createDataFrame(Seq(("b", 2L))).toDF("row_key", "v")
+      .writeTo("graft.mor.wapf").option("wap.id", "ok").append()
+    spark.sql("ALTER TABLE graft.mor.wapf PUBLISH WAP 'ok'")
+    val pubV = Snapshots.list(fs, dataDir("wapf")).last._1
+    // stage + discard: must never appear
+    spark.createDataFrame(Seq(("c", 3L))).toDF("row_key", "v")
+      .writeTo("graft.mor.wapf").option("wap.id", "bad").append()
+    spark.sql("ALTER TABLE graft.mor.wapf DISCARD WAP 'bad'")
+    // a normal commit after all that
+    spark.sql("INSERT INTO graft.mor.wapf VALUES ('d', 4)")
+    val feed = Snapshots.changes(spark, load("wapf"), since = v0)
+      .select("_change_type", "row_key", "_commit_version").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).sortBy(_._2).toSeq
+    assert(feed.map(t => (t._1, t._2)) == Seq(("insert", "b"), ("insert", "d")),
+      s"unexpected WAP feed: $feed")
+    assert(feed.head._3 == pubV, s"staged row attributed to v${feed.head._3}, not publish v$pubV")
+  }
 }
