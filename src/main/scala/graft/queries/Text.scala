@@ -1,5 +1,7 @@
 package graft.queries
 
+import scala.jdk.CollectionConverters._
+
 import graft.{QueryDef, Tables}
 import org.apache.spark.sql.functions._
 
@@ -1029,6 +1031,132 @@ object Text {
         SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks,
           CAST(SUM(CASE WHEN boiler THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
           md5(coalesce(string_agg(CASE WHEN NOT boiler THEN chunk END, ' ' ORDER BY pos), '')) AS digest
-        FROM flags GROUP BY doc_id ORDER BY doc_id"""))
+        FROM flags GROUP BY doc_id ORDER BY doc_id""")),
+
+    // ---- q119: quality-classifier TRAINING (averaged perceptron) ---------
+    // The fastText-filter shape, trained distributively: per-doc
+    // VOCABULARY-count features (q50's induction — hash only when the
+    // vocabulary outgrows the model broadcast), centered integer-exactly
+    // (x = 32·count − total, killing the common document-length
+    // direction), label +1 when the doc's join/merge/sort token mass
+    // beats its scan/filter/query mass — a linear function of the
+    // features, so honestly learnable (the corpus' lang column is
+    // INDEPENDENT of its text; nothing can learn that). Four batch
+    // perceptron rounds (w += Σ y·x over the misclassified; with w₀ = 0
+    // every doc starts misclassified), scored under the AVERAGED model
+    // Σᵣ wᵣ (Freund & Schapire 1999 — the raw batch iterate oscillates,
+    // the average reaches ~87%). All-INTEGER updates, so the engines
+    // agree bit-for-bit and the oracle UNROLLS the training (the k-means
+    // trick, q66). Scale shape: per round one broadcast of the
+    // vocabulary-sized model + one margin aggregate + one gradient
+    // aggregate — the corpus shuffles once per round, the MODEL is the
+    // only collect (vocabulary rows, the justified k-means pattern).
+    QueryDef(
+      "q119_perceptron",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val toks = t.documents
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+          .filter(length(col("w")) > 0)
+        val labels = toks.groupBy(col("doc_id")).agg(
+          sum(when(col("w").isin("join", "merge", "sort"), 1L).otherwise(0L))
+            .as("pa"),
+          sum(when(col("w").isin("scan", "filter", "query"), 1L).otherwise(0L))
+            .as("pb"))
+          .select(col("doc_id"),
+            when(col("pa") > col("pb"), 1L).otherwise(-1L).as("y"))
+        val raw = toks.groupBy(col("doc_id"), col("w").as("j"))
+          .agg(count(lit(1)).as("c"))
+        val tot = raw.groupBy(col("doc_id")).agg(sum(col("c")).as("t"))
+        val feats = raw.join(tot, "doc_id")
+          .select(col("doc_id"), col("j"),
+            (lit(32L) * col("c") - col("t")).as("x"))
+          .join(labels, "doc_id")
+          .persist()
+        val wSchema = org.apache.spark.sql.types.StructType
+          .fromDDL("j STRING, wj BIGINT")
+        var w = Map.empty[String, Long]
+        var wSum = Map.empty[String, Long]
+        for (_ <- 1 to 4) {
+          val wDf = if (w.isEmpty)
+            s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row], wSchema)
+          else s.createDataFrame(w.toSeq.map(p =>
+            org.apache.spark.sql.Row(p._1, p._2)).asJava, wSchema)
+          val mis = feats.join(broadcast(wDf), Seq("j"), "left")
+            .groupBy(col("doc_id"), col("y"))
+            .agg(sum(col("x") * coalesce(col("wj"), lit(0L))).as("m"))
+            .filter(col("y") * col("m") <= 0)
+            .select(col("doc_id"), col("y").as("ym"))
+          val grad = feats.join(mis, "doc_id")
+            .groupBy(col("j")).agg(sum(col("ym") * col("x")).as("g"))
+            .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+          w = (w.keySet ++ grad.keySet).iterator
+            .map(j => j -> (w.getOrElse(j, 0L) + grad.getOrElse(j, 0L))).toMap
+          wSum = (wSum.keySet ++ w.keySet).iterator
+            .map(j => j -> (wSum.getOrElse(j, 0L) + w.getOrElse(j, 0L))).toMap
+        }
+        val wDf = s.createDataFrame(wSum.toSeq.sortBy(_._1).map(p =>
+          org.apache.spark.sql.Row(p._1, p._2)).asJava, wSchema)
+        val out = feats.join(broadcast(wDf), Seq("j"), "left")
+          .groupBy(col("doc_id"), col("y"))
+          .agg(sum(col("x") * coalesce(col("wj"), lit(0L))).as("m"))
+          .groupBy(col("y"))
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("m") > 0, 1L).otherwise(0L)).cast("long").as("pred_pos"),
+            sum(abs(col("m"))).cast("long").as("margin_mass"))
+          .orderBy(col("y"))
+        feats.unpersist()
+        out
+      },
+      Some {
+        // one perceptron round: margins under `in`, gradient over the
+        // misclassified, `out` = in + gradient
+        def perceptronRound(in: String, out: String) =
+          s"""${out}_m AS (
+             |  SELECT f.doc_id, f.y, SUM(f.x * COALESCE($in.wj, 0)) AS m
+             |  FROM feats f LEFT JOIN $in USING (j) GROUP BY f.doc_id, f.y),
+             |${out}_g AS (
+             |  SELECT f.j, CAST(SUM(s.y * f.x) AS BIGINT) AS gj
+             |  FROM feats f JOIN (SELECT doc_id, y FROM ${out}_m WHERE y * m <= 0) s
+             |    USING (doc_id) GROUP BY f.j),
+             |$out AS (
+             |  SELECT COALESCE($in.j, g.j) AS j,
+             |    COALESCE($in.wj, 0) + COALESCE(g.gj, 0) AS wj
+             |  FROM $in FULL JOIN ${out}_g g ON $in.j = g.j)""".stripMargin
+        s"""WITH toks AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+        labels AS (
+          SELECT doc_id,
+            CASE WHEN SUM(CASE WHEN w IN ('join','merge','sort') THEN 1 ELSE 0 END) >
+                      SUM(CASE WHEN w IN ('scan','filter','query') THEN 1 ELSE 0 END)
+                 THEN 1 ELSE -1 END AS y
+          FROM toks WHERE length(w) > 0 GROUP BY doc_id),
+        raw AS (
+          SELECT doc_id, w AS j, CAST(COUNT(*) AS BIGINT) AS c
+          FROM toks WHERE length(w) > 0 GROUP BY doc_id, w),
+        tot AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS t FROM raw GROUP BY doc_id),
+        feats AS (
+          SELECT r.doc_id, r.j, 32 * r.c - tt.t AS x, l.y
+          FROM raw r JOIN tot tt USING (doc_id) JOIN labels l USING (doc_id)),
+        w1 AS ( -- w0 = 0: every margin is 0, every doc misclassified
+          SELECT j, CAST(SUM(y * x) AS BIGINT) AS wj FROM feats GROUP BY j),
+        ${perceptronRound("w1", "w2")},
+        ${perceptronRound("w2", "w3")},
+        ${perceptronRound("w3", "w4")},
+        wsum AS (
+          SELECT j, CAST(SUM(wj) AS BIGINT) AS wj FROM (
+            SELECT j, wj FROM w1 UNION ALL
+            SELECT j, wj FROM w2 UNION ALL
+            SELECT j, wj FROM w3 UNION ALL
+            SELECT j, wj FROM w4)
+          GROUP BY j),
+        mf AS (
+          SELECT f.doc_id, f.y, SUM(f.x * COALESCE(wsum.wj, 0)) AS m
+          FROM feats f LEFT JOIN wsum USING (j) GROUP BY f.doc_id, f.y)
+        SELECT CAST(y AS BIGINT) AS y, CAST(COUNT(*) AS BIGINT) AS n,
+          CAST(SUM(CASE WHEN m > 0 THEN 1 ELSE 0 END) AS BIGINT) AS pred_pos,
+          CAST(SUM(ABS(m)) AS BIGINT) AS margin_mass
+        FROM mf GROUP BY y ORDER BY y"""
+      })
   )
 }
