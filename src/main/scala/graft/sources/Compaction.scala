@@ -63,9 +63,29 @@ object Compaction {
       smallBytes: Long = 32L * 1024 * 1024,
       sortBy: Seq[String] = Nil,
       outputFiles: Int = 0,
-      zorderBy: Seq[String] = Nil): (Int, Int) = {
+      zorderBy: Seq[String] = Nil,
+      partitionFilter: Seq[org.apache.spark.sql.sources.Filter] = Nil): (Int, Int) = {
     require(sortBy.isEmpty || zorderBy.isEmpty,
       "graft: sortBy and zorderBy are mutually exclusive")
+    // partition-scoped OPTIMIZE (`OPTIMIZE t WHERE day = ...`): only
+    // files in identity partitions the filter provably selects are
+    // touched — at 100 TB you compact yesterday's partition, not the
+    // table. Filters must be decidable over identity partition columns
+    // (same contract as metadata-only partition DELETE); old-spec files
+    // have no reconstructable partition value and are left for an
+    // unscoped run. Outstanding equality deletes stay registered unless
+    // every file they touch was rewritten (the unscoped bookkeeping
+    // below already guarantees exactly that).
+    if (partitionFilter.nonEmpty) {
+      val identCols = table.partitionSpecs.map(PartField.parse).collect {
+        case PartField.Identity(c) => c
+      }.toSet
+      val refs = partitionFilter.flatMap(_.references)
+      require(refs.nonEmpty && refs.forall(identCols.contains),
+        s"graft: OPTIMIZE ... WHERE must be decidable over identity " +
+          s"partition columns ${identCols.mkString("{", ", ", "}")}; got " +
+          partitionFilter.mkString(", "))
+    }
     val conf = new Configuration()
     val dataDir = new Path(table.dataDir)
     val fs = dataDir.getFileSystem(conf)
@@ -132,7 +152,25 @@ object Compaction {
     val withSeq = scala.collection.mutable.Map[String, Long]() // path -> seq
     val deleteVictims = scala.collection.mutable.ArrayBuffer[String]()
     val layoutVictims = scala.collection.mutable.ArrayBuffer[String]()
+    /** Does the scoped filter select this file's partition? (Unscoped
+      * runs select everything.) Requires a current-spec layout to parse
+      * the identity values; eval3 three-valued: only a provable TRUE
+      * selects. */
+    def inScope(rel: String, e: TableStats.Entry): Boolean =
+      partitionFilter.isEmpty || {
+        PartField.layoutMatches(rel, partFields) && e.seq >= table.specSince && {
+          val vals = partFields.zip(rel.split('/').dropRight(1)).collect {
+            case (PartField.Identity(c), seg) =>
+              c -> PartitionPruning.parse(table.schema0(c).dataType,
+                PartitionPruning.decode(seg.split("=", 2)(1)))
+          }.toMap
+          partitionFilter.forall(f =>
+            PartitionPruning.eval3(f, vals).contains(true))
+        }
+      }
+
     dataEntries.foreach { case (rel, e) =>
+      if (inScope(rel, e)) {
       val p = new Path(dataDir, rel)
       // registries written before sizes were recorded carry bytes = -1
       val bytes = if (e.bytes >= 0) e.bytes else fs.getFileStatus(p).getLen
@@ -148,8 +186,10 @@ object Compaction {
       // keeps the dir names) are rewritten regardless of size — the
       // rewrite lands them under the CURRENT spec, restoring pruning and
       // metadata-only deletes
-      if (!PartField.layoutMatches(rel, partFields) || e.seq < table.specSince)
+      if (partitionFilter.isEmpty &&
+          (!PartField.layoutMatches(rel, partFields) || e.seq < table.specSince))
         layoutVictims += p.toString
+      }
     }
     val groups = byDir.values.toSeq
       .map(_.filter(_._2 < smallBytes))

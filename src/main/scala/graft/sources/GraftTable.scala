@@ -308,7 +308,8 @@ final class GraftTable(
       // incremental append scan: only files added after snapshot m
       // (spark.read.option("since-version", m) — see Snapshots.readManifest)
       sinceVersion = Option(options.get("since-version")).map(_.toLong),
-      renames = renames, widened = widened, specSince = specSince)
+      renames = renames, widened = widened, specSince = specSince,
+      sortCols = GraftTable.sortColumns(props))
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     requireUnpinned("write")
@@ -361,6 +362,10 @@ object GraftTable {
     * (write-side clustering: files get disjoint registered ranges at
     * ingest; see [[GraftWriteBuilder.build]]). */
   val SortColumnsProp = "write.sort.columns"
+
+  def sortColumns(props: Map[String, String]): Seq[String] =
+    props.getOrElse(SortColumnsProp, "")
+      .split(',').map(_.trim).filter(_.nonEmpty).toSeq
 
   /** CHECK constraints, one property per constraint:
     * `graft.constraint.<name>` -> the predicate SQL. Enforcement is
@@ -476,8 +481,12 @@ object TableStats {
     * with seq < D and never to files committed at or after it. Entries
     * from registries that predate the field read back as 0 (older than
     * every delete, which is exactly right). */
+  /** `sorted`: the WRITER observed this file's rows arriving in
+    * non-decreasing `write.sort.columns` order (evidence, not
+    * declaration — see [[GraftScan.outputOrdering]]). */
   final case class Entry(rows: Long, cols: Map[String, (String, String)] = Map.empty,
-                         bytes: Long = -1L, seq: Long = -1L)
+                         bytes: Long = -1L, seq: Long = -1L,
+                         sorted: Boolean = false)
 
   /** Path of `file` relative to its table's `data/` dir (keys of the stats
     * registry), robust to scheme-qualified vs bare paths. */
@@ -500,7 +509,7 @@ object TableStats {
       // re-register them with the sentinel intact so TableStats.write
       // stamps the repair's own version — clamping to 0 would make every
       // pre-existing equality delete wrongly suppress the recovered rows
-      s"$rel\t${e.rows}\t${e.bytes}\t$colspec\t${e.seq}"
+      s"$rel\t${e.rows}\t${e.bytes}\t$colspec\t${e.seq}\t${if (e.sorted) 1 else 0}"
     }.mkString("", "\n", "\n")
 
   private def parseCols(colspec: String): Map[String, (String, String)] =
@@ -524,6 +533,9 @@ object TableStats {
           rel -> Entry(rows.toLong, parseCols(colspec), bytes.toLong, 0L)
         case Array(rel, rows, bytes, colspec, seq) =>
           rel -> Entry(rows.toLong, parseCols(colspec), bytes.toLong, seq.toLong)
+        case Array(rel, rows, bytes, colspec, seq, sorted) =>
+          rel -> Entry(rows.toLong, parseCols(colspec), bytes.toLong, seq.toLong,
+            sorted == "1")
         case other =>
           throw new IllegalStateException(s"bad stats line: $line")
       }
@@ -697,7 +709,8 @@ final class GraftScanBuilder(
     renames: Map[String, Seq[String]] = Map.empty,
     onManifest: Option[Set[String] => Unit] = None,
     widened: Set[String] = Set.empty,
-    specSince: Long = 0L)
+    specSince: Long = 0L,
+    sortCols: Seq[String] = Nil)
     extends ScanBuilder
     with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters
@@ -787,7 +800,7 @@ final class GraftScanBuilder(
     else new GraftScan(tableSchema, required, pushed, dataDir, partitionCols,
       wantFile, tracker, limit, maxFilesPerTrigger, maxBytesPerTrigger,
       snapshotVersion, sinceVersion, renames, onManifest, manifestCache,
-      widened, specSince)
+      widened, specSince, sortCols)
 }
 
 final class GraftScan(
@@ -807,9 +820,11 @@ final class GraftScan(
     onManifest: Option[Set[String] => Unit] = None,
     manifestPre: Option[Option[Map[String, TableStats.Entry]]] = None,
     widened: Set[String] = Set.empty,
-    specSince: Long = 0L)
+    specSince: Long = 0L,
+    sortCols: Seq[String] = Nil)
     extends Scan with Batch with SupportsReportStatistics
-    with SupportsReportPartitioning with SupportsRuntimeFiltering {
+    with SupportsReportPartitioning with SupportsRuntimeFiltering
+    with org.apache.spark.sql.connector.read.SupportsReportOrdering {
 
   private val partFields: Seq[PartField.Field] = partitionCols.map(PartField.parse)
 
@@ -1119,6 +1134,37 @@ final class GraftScan(
         .map { case (vs, fs0) => (vs, fs0.map(f => (f._1, f._2, f._4))) }
         .sortBy(_._1.map(String.valueOf(_)).mkString("/"))
     groupsCache
+  }
+
+  /** Per-partition sort order of a `write.sort.columns` table. The claim
+    * is EVIDENCE-based, not declared: every writer detects per file
+    * whether rows actually arrived in non-decreasing sort-key order and
+    * records the verdict in the file's registry entry
+    * ([[TableStats.Entry.sorted]]) — so a binpack compaction that merely
+    * concatenates, a row-level rewrite that didn't sort, or files
+    * predating an ALTERed-in property automatically withhold the
+    * guarantee, with no version arithmetic to go stale. Byte ranges of a
+    * sorted file, and delete-filtered views of it, stay sorted.
+    * Reporting it lets Spark ELIDE the Sort under sort-merge joins and
+    * sort-based aggregation (with SPJ that makes a co-bucketed,
+    * co-sorted join completely shuffle- AND sort-free). Withheld when a
+    * key-grouped partition would concatenate several files
+    * (concatenation breaks the order — one sorted-compaction pass
+    * restores one file per group), when the projection drops a sort
+    * column, or during a row-level operation's scan. */
+  override def outputOrdering()
+      : Array[org.apache.spark.sql.connector.expressions.SortOrder] = {
+    if (sortCols.isEmpty || tracker.isDefined) return Array.empty
+    if (!sortCols.forall(required.fieldNames.contains)) return Array.empty
+    if (files.isEmpty) return Array.empty
+    val allSorted = files.forall(f =>
+      cachedStats.get(TableStats.relOf(f._1)).exists(_.sorted))
+    if (!allSorted) return Array.empty
+    if (keyGroupedNow && groups.exists(_._2.size > 1)) return Array.empty
+    sortCols.map(c =>
+      org.apache.spark.sql.connector.expressions.Expressions.sort(
+        org.apache.spark.sql.connector.expressions.Expressions.column(c),
+        org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING)).toArray
   }
 
   override def planInputPartitions(): Array[InputPartition] = {
@@ -2066,6 +2112,67 @@ object GraftWriterFactory {
     }
   }
 
+  /** Watches one file's rows for non-decreasing `write.sort.columns`
+    * order (ASC, NULLS FIRST — the order the sorting write path
+    * produces). Evidence for [[GraftScan.outputOrdering]]: a path that
+    * did not actually sort (binpack compaction, an unsorted row-level
+    * rewrite) is detected here, not trusted. Sort columns of a
+    * non-comparable type report unsorted (ordering then withheld — safe). */
+  final class SortednessTracker(schema: StructType, sortCols: Seq[String]) {
+    import org.apache.spark.sql.types._
+    private def comparable(dt: DataType): Boolean = dt match {
+      case ByteType | ShortType | IntegerType | LongType | FloatType |
+          DoubleType | BooleanType | StringType | DateType |
+          TimestampType | TimestampNTZType => true
+      case _ => false
+    }
+    private val idx: Seq[(Int, DataType)] =
+      sortCols.map(c => schema.fieldIndex(c) -> schema(c).dataType)
+    private var ok = sortCols.nonEmpty && idx.forall(f => comparable(f._2))
+    private var last: Array[Any] = _
+
+    private def cmp(dt: DataType, a: Any, b: Any): Int = {
+      if (a == null && b == null) 0
+      else if (a == null) -1 // NULLS FIRST
+      else if (b == null) 1
+      else dt match {
+        case FloatType | DoubleType =>
+          java.lang.Double.compare(a.asInstanceOf[Number].doubleValue(),
+            b.asInstanceOf[Number].doubleValue())
+        case BooleanType => java.lang.Boolean.compare(
+          a.asInstanceOf[Boolean], b.asInstanceOf[Boolean])
+        case StringType =>
+          a.asInstanceOf[UTF8String].compareTo(b.asInstanceOf[UTF8String])
+        case _ => java.lang.Long.compare(a.asInstanceOf[Number].longValue(),
+          b.asInstanceOf[Number].longValue())
+      }
+    }
+
+    def update(row: InternalRow): Unit = if (ok) {
+      val cur = new Array[Any](idx.length)
+      var j = 0
+      while (j < idx.length) {
+        val (i, dt) = idx(j)
+        cur(j) =
+          if (row.isNullAt(i)) null
+          else row.get(i, dt) match { case u: UTF8String => u.clone(); case x => x }
+        j += 1
+      }
+      if (last != null) {
+        var k = 0
+        var verdict = 0
+        while (k < idx.length && verdict == 0) {
+          verdict = cmp(idx(k)._2, cur(k), last(k))
+          k += 1
+        }
+        if (verdict < 0) ok = false
+      }
+      last = cur
+    }
+
+    def sorted: Boolean = ok && sortCols.nonEmpty
+  }
+
   def newWriter(
       schema: StructType,
       props: Map[String, String],
@@ -2078,6 +2185,8 @@ object GraftWriterFactory {
       genExprs: Seq[(Int, org.apache.spark.sql.catalyst.expressions.Expression)] = Nil)
       : DataWriter[InternalRow] = {
     val conf = new Configuration()
+    val sortCols = GraftTable.sortColumns(props)
+      .filter(schema.fieldNames.contains)
 
     val rowKeyIdx = schema.fieldNames.indexOf(ColumnNames.RowKey)
     val generator = props.get(RowKeyGenerator.Property).map(RowKeyGenerator.load)
@@ -2098,7 +2207,7 @@ object GraftWriterFactory {
       // files per task (resolved via the commit messages).
       private val writers = scala.collection.mutable.LinkedHashMap[
         String, (org.apache.parquet.hadoop.ParquetWriter[InternalRow], String, Long,
-          ColStatsTracker)]()
+          ColStatsTracker, SortednessTracker)]()
 
       private def writerFor(row: InternalRow): org.apache.parquet.hadoop.ParquetWriter[InternalRow] = {
         val rel = partIdx.map { case (f, i) =>
@@ -2122,10 +2231,11 @@ object GraftWriterFactory {
           val path = new Path(s"$dataDir/$relPath")
           path.getFileSystem(conf).mkdirs(path.getParent)
           (ParquetRowIO.newWriter(path, schema, conf, props), relPath, 0L,
-            new ColStatsTracker(schema))
+            new ColStatsTracker(schema), new SortednessTracker(schema, sortCols))
         })
-        writers(key) = (entry._1, entry._2, entry._3 + 1, entry._4)
+        writers(key) = (entry._1, entry._2, entry._3 + 1, entry._4, entry._5)
         entry._4.update(row)
+        entry._5.update(row)
         entry._1
       }
 
@@ -2173,7 +2283,7 @@ object GraftWriterFactory {
             try new Path(s"$dataDir/${w._2}").getFileSystem(conf)
               .getFileStatus(new Path(s"$dataDir/${w._2}")).getLen
             catch { case _: java.io.IOException => -1L }
-          (w._2, TableStats.Entry(w._3, w._4.result, len))
+          (w._2, TableStats.Entry(w._3, w._4.result, len, sorted = w._5.sorted))
         }.toSeq)
       }
       override def abort(): Unit = {

@@ -10,8 +10,10 @@ import org.apache.spark.sql.types.{IntegerType, LongType}
   * injected parser BEFORE delegation (none of them are Spark grammar):
   *
   *  - `OPTIMIZE t` / `OPTIMIZE t SORT BY c` / `OPTIMIZE t ZORDER BY (a, b)`
+  *    / `OPTIMIZE t WHERE day = '...' [SORT BY c]` (partition-scoped)
   *    → [[Compaction.compact]] (small-file consolidation, optionally
-  *    sort- or Z-curve-clustered);
+  *    sort- or Z-curve-clustered, optionally restricted to the identity
+  *    partitions a decidable predicate selects);
   *  - `VACUUM t [RETAIN n SNAPSHOTS]` → [[Snapshots.vacuum]];
   *  - `RESTORE [TABLE] t [TO] VERSION AS OF v` → [[Snapshots.restore]];
   *  - `ANALYZE TABLE t COMPUTE STATISTICS [FOR COLUMNS c1, c2]` (standard
@@ -26,7 +28,7 @@ import org.apache.spark.sql.types.{IntegerType, LongType}
 object MaintenanceSql {
 
   private val Optimize =
-    """(?is)\s*OPTIMIZE\s+([\w.`]+)\s*(?:SORT\s+BY\s+\(?\s*([\w`]+(?:\s*,\s*[\w`]+)*)\s*\)?|ZORDER\s+BY\s+\(?\s*([\w`]+(?:\s*,\s*[\w`]+)*)\s*\)?)?\s*;?\s*""".r
+    """(?is)\s*OPTIMIZE\s+([\w.`]+)(?:\s+WHERE\s+(.*?))?\s*(?:SORT\s+BY\s+\(?\s*([\w`]+(?:\s*,\s*[\w`]+)*)\s*\)?|ZORDER\s+BY\s+\(?\s*([\w`]+(?:\s*,\s*[\w`]+)*)\s*\)?)?\s*;?\s*""".r
   private val Vacuum =
     """(?is)\s*VACUUM\s+([\w.`]+)\s*(?:RETAIN\s+(\d+)\s+SNAPSHOTS)?\s*;?\s*""".r
   private val Restore =
@@ -62,10 +64,11 @@ object MaintenanceSql {
     def graft(p: Seq[String]): Boolean =
       GraftViewBridge.resolveIdent(session, p).isDefined
     sqlText match {
-      case Optimize(id, sortBy, zorderBy) if graft(parts(id)) =>
+      case Optimize(id, where, sortBy, zorderBy) if graft(parts(id)) =>
         Some(GraftOptimizeCommand(parts(id),
           Option(sortBy).map(cols).getOrElse(Nil),
-          Option(zorderBy).map(cols).getOrElse(Nil)))
+          Option(zorderBy).map(cols).getOrElse(Nil),
+          Option(where).map(_.trim).filter(_.nonEmpty)))
       case Vacuum(id, retain) if graft(parts(id)) =>
         Some(GraftVacuumCommand(parts(id),
           Option(retain).map(_.toInt).getOrElse(2)))
@@ -119,15 +122,57 @@ object MaintenanceSql {
 }
 
 final case class GraftOptimizeCommand(
-    parts: Seq[String], sortBy: Seq[String], zorderBy: Seq[String])
+    parts: Seq[String], sortBy: Seq[String], zorderBy: Seq[String],
+    where: Option[String] = None)
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
     MaintenanceSql.attr("files_removed", IntegerType),
     MaintenanceSql.attr("files_written", IntegerType))
+
+  /** `OPTIMIZE ... WHERE` predicate → sources.Filter: the decidable
+    * comparison shapes over plain column names (=, <, <=, >, >=, IN,
+    * AND/OR) — anything else fails loudly; Compaction then re-validates
+    * that every referenced column is an identity partition column. */
+  private def toFilter(e: org.apache.spark.sql.catalyst.expressions.Expression)
+      : org.apache.spark.sql.sources.Filter = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.{sources => sf}
+    def ext(l: Literal): Any =
+      org.apache.spark.sql.catalyst.CatalystTypeConverters
+        .convertToScala(l.value, l.dataType)
+    e match {
+      case And(l, r) => sf.And(toFilter(l), toFilter(r))
+      case Or(l, r) => sf.Or(toFilter(l), toFilter(r))
+      case EqualTo(a: UnresolvedAttribute, l: Literal) => sf.EqualTo(a.name, ext(l))
+      case EqualTo(l: Literal, a: UnresolvedAttribute) => sf.EqualTo(a.name, ext(l))
+      case GreaterThan(a: UnresolvedAttribute, l: Literal) => sf.GreaterThan(a.name, ext(l))
+      case GreaterThan(l: Literal, a: UnresolvedAttribute) => sf.LessThan(a.name, ext(l))
+      case GreaterThanOrEqual(a: UnresolvedAttribute, l: Literal) =>
+        sf.GreaterThanOrEqual(a.name, ext(l))
+      case GreaterThanOrEqual(l: Literal, a: UnresolvedAttribute) =>
+        sf.LessThanOrEqual(a.name, ext(l))
+      case LessThan(a: UnresolvedAttribute, l: Literal) => sf.LessThan(a.name, ext(l))
+      case LessThan(l: Literal, a: UnresolvedAttribute) => sf.GreaterThan(a.name, ext(l))
+      case LessThanOrEqual(a: UnresolvedAttribute, l: Literal) =>
+        sf.LessThanOrEqual(a.name, ext(l))
+      case LessThanOrEqual(l: Literal, a: UnresolvedAttribute) =>
+        sf.GreaterThanOrEqual(a.name, ext(l))
+      case In(a: UnresolvedAttribute, vs) if vs.forall(_.isInstanceOf[Literal]) =>
+        sf.In(a.name, vs.map(v => ext(v.asInstanceOf[Literal])).toArray)
+      case other => throw new IllegalArgumentException(
+        s"graft: OPTIMIZE ... WHERE supports =, <, <=, >, >=, IN, AND, OR " +
+          s"over partition columns; cannot use: ${other.sql}")
+    }
+  }
+
   override def run(session: SparkSession): Seq[Row] = {
     val (t, _) = MaintenanceSql.loadGraftTable(session, parts)
-    val (removed, written) =
-      Compaction.compact(session, t, sortBy = sortBy, zorderBy = zorderBy)
+    val filters = where.toSeq.map(w =>
+      toFilter(session.sessionState.sqlParser.parseExpression(w)))
+    val (removed, written) = Compaction.compact(
+      session, t, sortBy = sortBy, zorderBy = zorderBy,
+      partitionFilter = filters)
     Seq(Row(removed, written))
   }
 }

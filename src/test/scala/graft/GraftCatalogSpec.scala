@@ -1403,6 +1403,38 @@ class GraftCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
       "CREATE TABLE graft.gen.idt (a BIGINT GENERATED ALWAYS AS IDENTITY, b STRING)"))
   }
 
+  test("OPTIMIZE ... WHERE compacts only the matched partitions") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.opt")
+    spark.sql("""CREATE TABLE graft.opt.scoped (id BIGINT, v BIGINT, lang STRING)
+                |PARTITIONED BY (lang)""".stripMargin)
+    // several small files per partition
+    for (i <- 0 until 3)
+      spark.sql(s"""INSERT INTO graft.opt.scoped
+                   |SELECT id + ${i * 10}, id, CASE WHEN id % 2 = 0 THEN 'en' ELSE 'de' END
+                   |FROM range(10)""".stripMargin)
+    def filesOf(part: String): Set[String] = {
+      val dd = new org.apache.hadoop.fs.Path(s"$warehouse/opt/scoped/data")
+      graft.sources.TableStats
+        .read(dd.getFileSystem(new org.apache.hadoop.conf.Configuration()), dd)
+        .keySet.filter(_.startsWith(s"lang=$part/"))
+    }
+    val deBefore = filesOf("de")
+    assert(filesOf("en").size == 3 && deBefore.size == 3)
+    val res = spark.sql("OPTIMIZE graft.opt.scoped WHERE lang = 'en'").collect().head
+    assert(res.getInt(0) == 3 && res.getInt(1) == 1, s"unexpected: $res")
+    assert(filesOf("en").size == 1)
+    assert(filesOf("de") == deBefore, "unmatched partition must be untouched")
+    assert(spark.table("graft.opt.scoped").count() == 30)
+    // scoped + clustering composes
+    spark.sql("OPTIMIZE graft.opt.scoped WHERE lang = 'de' SORT BY id")
+    assert(filesOf("de").size == 1)
+    assert(spark.table("graft.opt.scoped").count() == 30)
+    // non-partition-column predicate is refused loudly
+    val bad = intercept[Exception](
+      spark.sql("OPTIMIZE graft.opt.scoped WHERE v = 1").collect())
+    assert(bad.getMessage.contains("identity partition"))
+  }
+
   test("rename and drop") {
     spark.sql("ALTER TABLE graft.pw.test_big RENAME TO graft.pw.test_big2")
     assert(spark.table("graft.pw.test_big2").count() == 1)

@@ -374,6 +374,52 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("graft source: co-bucketed co-SORTED tables join with no shuffle AND no sort") {
+    import java.nio.file.Files
+    val wh = Files.createTempDirectory("graft_wh_srt").toString
+    spark.conf.set("spark.sql.catalog.gsrt", classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gsrt.warehouse", wh)
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS gsrt.t")
+      for (t <- Seq("a", "b"))
+        spark.sql(s"""CREATE TABLE gsrt.t.$t (k BIGINT, v BIGINT)
+                     |PARTITIONED BY (bucket(4, k))
+                     |TBLPROPERTIES ('write.sort.columns' = 'k')""".stripMargin)
+      spark.sql("INSERT INTO gsrt.t.a SELECT id, id * 2 FROM range(1000)")
+      spark.sql("INSERT INTO gsrt.t.b SELECT id, id * 3 FROM range(500)")
+      val j = spark.sql(
+        "SELECT a.k, a.v, b.v FROM gsrt.t.a a JOIN gsrt.t.b b ON a.k = b.k")
+      assert(j.collect().length == 500)
+      val plan = j.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"co-bucketed join must not shuffle:\n${plan.take(2000)}")
+      assert(plan.contains("SortMergeJoin"), s"expected SMJ:\n${plan.take(2000)}")
+      // "Sort [" matches the Sort operator in any codegen spelling
+      // ("+- Sort [", "*(2) Sort [") but not SortMergeJoin's own line
+      assert(!plan.contains("Sort ["),
+        s"reported ordering should elide the sorts:\n${plan.take(2500)}")
+
+      // a projection that DROPS the sort column must not claim ordering,
+      // and an unsorted pre-existing file must withhold it:
+      spark.sql("CREATE TABLE gsrt.t.c (k BIGINT, v BIGINT)")
+      spark.sql("INSERT INTO gsrt.t.c SELECT id, id FROM range(100)") // unsorted era
+      spark.sql("ALTER TABLE gsrt.t.c SET TBLPROPERTIES ('write.sort.columns' = 'k')")
+      spark.sql("INSERT INTO gsrt.t.c SELECT id + 100, id FROM range(100)")
+      val j2 = spark.sql(
+        "SELECT a.k FROM gsrt.t.a a JOIN gsrt.t.c c ON a.k = c.k")
+      val plan2 = j2.queryExecution.executedPlan.toString
+      assert(plan2.contains("Sort ["),
+        s"pre-sort-era files must force a Sort:\n${plan2.take(2000)}")
+      // after a sorted compaction the guarantee returns
+      spark.sql("OPTIMIZE gsrt.t.c SORT BY k")
+    } finally {
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "false")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+
   test("graft source: pushed filters appear in scan description and prune row groups") {
     import java.nio.file.Files
     val wh = Files.createTempDirectory("graft_wh_plan").toString
