@@ -1238,6 +1238,40 @@ object Engine {
       },
       Some("""SELECT upper(lang) AS lang_up, CAST(COUNT(*) AS BIGINT) AS n,
         CAST(SUM(n_chars // 100) AS BIGINT) AS bucket_sum
-        FROM documents GROUP BY upper(lang) ORDER BY lang_up"""))
+        FROM documents GROUP BY upper(lang) ORDER BY lang_up""")),
+
+    // ---- q120: queryable metadata tables ---------------------------------
+    // Iceberg-style `t$files` / `t$snapshots`: the table's own metadata
+    // as SQL relations (find big files, watch snapshot growth — ops at
+    // 100 TB without a custom tool). The gate cross-checks the metadata
+    // AGAINST THE DATA: per-partition row counts summed from the files
+    // registry must equal the real per-partition counts, and the
+    // snapshot count after one CTAS + one INSERT is exactly 2 — both
+    // parallelism-independent, so DuckDB can verify from the raw parquet.
+    QueryDef(
+      "q120_metadata_tables",
+      (s, dir) => {
+        val ns = ensureCatalog(s, dir)
+        s.sql(s"DROP TABLE IF EXISTS $ns.meta1")
+        s.sql(s"""CREATE TABLE $ns.meta1 (doc_id BIGINT, n_chars BIGINT, lang STRING)
+                 |PARTITIONED BY (lang)""".stripMargin)
+        s.sql(s"""INSERT INTO $ns.meta1
+                 |SELECT doc_id, n_chars, lang
+                 |FROM parquet.`$dir/documents.parquet` WHERE lang <> 'zh'""".stripMargin)
+        s.sql(s"""INSERT INTO $ns.meta1
+                 |SELECT doc_id, n_chars, lang
+                 |FROM parquet.`$dir/documents.parquet` WHERE lang = 'zh'""".stripMargin)
+        s.sql(s"""SELECT substring(partition, 6) AS lang,
+                 |       CAST(SUM(rows) AS BIGINT) AS n_rows,
+                 |       (SELECT CAST(MAX(version) AS BIGINT)
+                 |        FROM $ns.`meta1$$snapshots`) AS n_snapshots
+                 |FROM $ns.`meta1$$files`
+                 |WHERE NOT is_delete
+                 |GROUP BY substring(partition, 6)
+                 |ORDER BY lang""".stripMargin)
+      },
+      Some("""SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        CAST(2 AS BIGINT) AS n_snapshots
+        FROM documents GROUP BY lang ORDER BY lang"""))
   )
 }

@@ -118,6 +118,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
     ident.namespace().length == 1 && fs.exists(metaFile(ident))
 
   override def loadTable(ident: Identifier): Table = {
+    // metadata tables: `t$files` / `t$snapshots` / `t$wap` resolve to
+    // relational views of t's own metadata (see [[GraftMetadataTable]])
+    val dollar = ident.name().lastIndexOf('$')
+    if (dollar > 0) {
+      val kind = ident.name().substring(dollar + 1)
+      val baseIdent = Identifier.of(ident.namespace(), ident.name().take(dollar))
+      if (GraftMetadataTable.Kinds.contains(kind) && tableExists(baseIdent))
+        return new GraftMetadataTable(
+          loadTable(baseIdent).asInstanceOf[GraftTable], kind)
+    }
     if (!tableExists(ident)) throw new NoSuchTableException(ident)
     val text = {
       val in = fs.open(metaFile(ident))

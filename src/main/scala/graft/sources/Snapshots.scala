@@ -587,6 +587,11 @@ object Snapshots {
     TableStats.withLock(fs, dataDir) {
       val m = read(fs, dataDir, version).getOrElse(throw new IllegalArgumentException(
         s"graft: no snapshot v$version for $dataDir (never recorded, or expired by vacuum)"))
+      // a WAP audit snapshot is a side branch: restoring to it would
+      // silently PUBLISH the staged files — route through PUBLISH WAP
+      require(!ChangeLog.kindOf(fs, dataDir, version).contains(ChangeLog.Staged),
+        s"graft: v$version is a write-audit-publish AUDIT snapshot; " +
+          "use ALTER TABLE ... PUBLISH WAP to make it live")
       val missing = m.keySet.filterNot(rel => fs.exists(new Path(dataDir, rel)))
       require(missing.isEmpty,
         s"graft: cannot restore v$version — ${missing.size} data file(s) were " +

@@ -1435,6 +1435,34 @@ class GraftCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(bad.getMessage.contains("identity partition"))
   }
 
+  test("metadata tables: $files / $snapshots / $wap reflect engine state") {
+    import org.apache.spark.sql.functions._
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.meta")
+    spark.sql("""CREATE TABLE graft.meta.t (id BIGINT, v BIGINT)
+                |TBLPROPERTIES ('write.sort.columns' = 'id')""".stripMargin)
+    spark.sql("INSERT INTO graft.meta.t SELECT id, id FROM range(100)")
+    // $files carries the evidence-based sorted flag and exact row counts
+    val files = spark.sql("SELECT * FROM graft.meta.`t$files`").collect()
+    assert(files.nonEmpty)
+    assert(files.map(_.getAs[Long]("rows")).sum == 100)
+    assert(files.forall(_.getAs[Boolean]("sorted")))
+    // $snapshots: one commit so far, taggable
+    spark.sql("ALTER TABLE graft.meta.t CREATE TAG first")
+    val snaps = spark.sql("SELECT * FROM graft.meta.`t$snapshots`").collect()
+    assert(snaps.length == 1 && snaps.head.getAs[Long]("version") == 1L)
+    assert(snaps.head.getAs[String]("tags") == "first")
+    // $wap: a staged commit is visible with its audit version, then gone
+    spark.createDataFrame(Seq((200L, 1L))).toDF("id", "v")
+      .writeTo("graft.meta.t").option("wap.id", "w9").append()
+    val wap = spark.sql("SELECT * FROM graft.meta.`t$wap`").collect()
+    assert(wap.length == 1 && wap.head.getAs[String]("wap_id") == "w9" &&
+      wap.head.getAs[Long]("rows") == 1L)
+    spark.sql("ALTER TABLE graft.meta.t DISCARD WAP 'w9'")
+    assert(spark.sql("SELECT * FROM graft.meta.`t$wap`").count() == 0)
+    // a real table named with a dollar would shadow; unknown kinds miss
+    intercept[Exception](spark.sql("SELECT * FROM graft.meta.`t$nope`").collect())
+  }
+
   test("rename and drop") {
     spark.sql("ALTER TABLE graft.pw.test_big RENAME TO graft.pw.test_big2")
     assert(spark.table("graft.pw.test_big2").count() == 1)

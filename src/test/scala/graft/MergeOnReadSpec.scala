@@ -428,5 +428,13 @@ class MergeOnReadSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(feed.map(t => (t._1, t._2)) == Seq(("insert", "b"), ("insert", "d")),
       s"unexpected WAP feed: $feed")
     assert(feed.head._3 == pubV, s"staged row attributed to v${feed.head._3}, not publish v$pubV")
+    // restoring to an audit snapshot would silently publish — refused
+    spark.createDataFrame(Seq(("e", 5L))).toDF("row_key", "v")
+      .writeTo("graft.mor.wapf").option("wap.id", "pend").append()
+    val auditV = Snapshots.tags(fs, dataDir("wapf"))(Snapshots.wapTag("pend"))
+    val r = intercept[Exception](
+      spark.sql(s"RESTORE TABLE graft.mor.wapf TO VERSION AS OF $auditV"))
+    assert(r.getMessage.contains("AUDIT"))
+    spark.sql("ALTER TABLE graft.mor.wapf DISCARD WAP 'pend'")
   }
 }
