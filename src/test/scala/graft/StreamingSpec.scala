@@ -54,6 +54,42 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.nonEmpty)
   }
 
+  test("watermarked windowed agg APPENDS into a graft table ≡ batch closed windows") {
+    // the production shape end-to-end: watermarked tumbling windows in
+    // APPEND mode (only windows the watermark has closed emit) landing in
+    // a graft table through the epoch commit log. AvailableNow leaves the
+    // final watermark at max(ts) - delay, so the expected batch rows are
+    // exactly the windows that END at or before it.
+    val wh = Files.createTempDirectory("graft_wwin").toString
+    spark.conf.set("spark.sql.catalog.gww", classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gww.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gww.s")
+    spark.sql("""CREATE TABLE gww.s.win
+                |(window_start TIMESTAMP, event_type STRING, n BIGINT, total_value DOUBLE)
+                |""".stripMargin)
+    val ckpt = Files.createTempDirectory("graft_wwin_ck").toString
+    val stream = spark.readStream.schema(batchEvents.schema).parquet(streamDir)
+    val q = graft.streaming.EventStreams.windowedStats(stream)
+      .writeStream.option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append())
+      .toTable("gww.s.win")
+    try q.processAllAvailable() finally q.stop()
+
+    val maxTsUs = batchEvents.agg(max(expr("ts div 1000"))).head().getLong(0)
+    val watermarkUs = maxTsUs - 3600L * 1000000L // "1 hour" delay
+    val want = graft.streaming.EventStreams.windowedStats(batchEvents)
+      .filter(unix_micros(col("window_start")) + 3600L * 1000000L <= watermarkUs)
+      .select(col("window_start").cast("string"), col("event_type"), col("n"),
+        round(col("total_value"), 6))
+      .collect().map(_.toSeq).toSet
+    val got = spark.table("gww.s.win")
+      .select(col("window_start").cast("string"), col("event_type"), col("n"),
+        round(col("total_value"), 6))
+      .collect().map(_.toSeq).toSet
+    assert(want.nonEmpty && got == want,
+      s"append-mode windows diverge: got ${got.size}, want ${want.size}")
+  }
+
   test("streaming exact dedup: dropDuplicates removes cross-file repeats") {
     // a stream that delivers the same file twice — the dedup state must
     // collapse every event back to one occurrence
