@@ -60,7 +60,9 @@ object SqlRepl {
     else if (d.startsWith("!") && d.length > 1) {
       val body = d.substring(1)
       if (body.forall(_.isDigit))
-        entries.lift(body.toInt - 1)
+        // toIntOption: a designator past Int.MaxValue is "no match", not
+        // a NumberFormatException that would kill the whole REPL loop
+        body.toIntOption.flatMap(n => entries.lift(n - 1))
       else
         entries.reverseIterator
           .find(e => e.trim.toLowerCase.startsWith(body.toLowerCase))

@@ -95,6 +95,105 @@ object ChangeLog {
     }
   }
 
+  // ---- version classification (shared by the batch + streaming feeds) ----
+
+  /** The row-level meaning of one live commit's manifest diff. */
+  sealed trait Change
+  /** Rows moved but not changed (compaction), or nothing happened. */
+  case object NoRows extends Change
+  /** A COW mutation: its recorded change files (absolute paths) carry the
+    * full pre/post images, `_change_type` included. */
+  final case class CowRows(changeFiles: Seq[String]) extends Change
+  /** A partition-level swap: `removed` (rel, data seq) files' surviving
+    * rows are the deletes — a row an older equality delete in `dropKeys`
+    * (key, delete seq, applicable when deleteSeq > dataSeq) had already
+    * suppressed is NOT a delete of this commit; `addedData` rels are the
+    * inserts. */
+  final case class ReplaceRows(
+      removed: Seq[(String, Long)], dropKeys: Seq[(String, Long)],
+      addedData: Seq[String]) extends Change
+  /** A pure append: `addedData` rels are the inserts. */
+  final case class AppendRows(addedData: Seq[String]) extends Change
+  /** A merge-on-read mutation: `keys` (deduped, sorted) are the commit's
+    * equality-delete keys; a key re-appearing in `addedData` pairs as an
+    * update. */
+  final case class MorRows(addedData: Seq[String], keys: Seq[String]) extends Change
+
+  /** Classify one live commit `v` of the chain into its row-level
+    * [[Change]] — the single decision table both CDC feeds
+    * ([[Snapshots.changes]] and [[GraftChangeFeedStream]]) consume, so
+    * they can never drift. The caller reads `kind` ONCE per version
+    * (avoiding doubled marker I/O over long ranges) and must skip
+    * [[Staged]] versions WITHOUT advancing `prev` — a WAP audit snapshot
+    * is a side branch, not a commit of the live chain.
+    *
+    * `capCheck` is charged with every byte of delete-key metadata this
+    * classification will materialize on the driver; `ctx` names the
+    * caller's range for error messages. Throws on RESTORE and on
+    * unrecorded rewrites — their row delta cannot be derived. */
+  def rowChanges(
+      fs: FileSystem, dataDir: Path, v: Long, kind: Option[Kind],
+      prev: Map[String, TableStats.Entry], cur: Map[String, TableStats.Entry],
+      keyed: Boolean, capCheck: Long => Unit, ctx: String): Change = {
+    require(!kind.contains(Staged),
+      s"graft: internal — Staged v$v must be skipped before classification")
+    val added = (cur.keySet -- prev.keySet).toSeq.sorted
+    // a delete entry leaving the manifest alone is compaction
+    // housekeeping (its keys were folded into rewritten files)
+    val removedData = (prev.keySet -- cur.keySet).toSeq.sorted
+      .filterNot(GraftDeletes.isDeleteRel)
+    kind match {
+      case Some(Staged) => NoRows // unreachable (guarded above)
+      case Some(Maintenance) => NoRows
+      case Some(Restore) =>
+        throw new IllegalStateException(
+          s"graft: $ctx of $dataDir crosses a RESTORE at v$v; its row delta " +
+            "is a two-snapshot diff — re-read a full snapshot and resume " +
+            "past it")
+      case Some(Cow) =>
+        val cf = changeFiles(fs, dataDir, v).getOrElse(
+          throw new IllegalStateException(
+            s"graft: copy-on-write commit at v$v of $dataDir recorded no " +
+              s"change data (no ${ColumnNames.RowKey} column, or " +
+              s"$RecordProp=false); read a full snapshot instead"))
+        CowRows(cf)
+      case Some(Replace) =>
+        val dataAdded = added.filterNot(GraftDeletes.isDeleteRel)
+        if (removedData.isEmpty) AppendRows(dataAdded)
+        else {
+          // rows older equality deletes already suppressed must not
+          // resurface as deletes of THIS commit
+          val delRels = prev.toSeq.filter(e => GraftDeletes.isDeleteRel(e._1))
+          val dkeys =
+            if (delRels.isEmpty) Nil
+            else {
+              capCheck(delRels.map(e => math.max(e._2.bytes, 0L)).sum)
+              delRels.flatMap { case (rel, e) =>
+                GraftDeletes.readKeys(fs, dataDir, rel).map(k => (k, e.seq)) }
+            }
+          ReplaceRows(
+            removedData.map(rel => (rel, math.max(prev(rel).seq, 0L))),
+            dkeys, dataAdded)
+        }
+      case None =>
+        if (removedData.nonEmpty) throw new IllegalStateException(
+          s"graft: $ctx of $dataDir crosses a rewrite at v$v " +
+            s"(${removedData.size} data file(s) left the manifest) whose " +
+            "per-row delta was not recorded (commit predates change " +
+            s"recording, or $RecordProp=false); read a full snapshot instead")
+        val (delRels, dataRels) = added.partition(GraftDeletes.isDeleteRel)
+        if (delRels.isEmpty) AppendRows(dataRels)
+        else {
+          require(keyed,
+            s"graft: delete entries in $dataDir but no ${ColumnNames.RowKey} column")
+          capCheck(delRels.map(rel => math.max(cur(rel).bytes, 0L)).sum)
+          MorRows(dataRels,
+            delRels.flatMap(rel => GraftDeletes.readKeys(fs, dataDir, rel))
+              .distinct.sorted)
+        }
+    }
+  }
+
   /** Recorded change files of a COW version (empty diff = legal: the
     * mutation matched no rows). None when no change data was recorded at
     * all (no row_key column, or recording disabled). */
@@ -162,7 +261,11 @@ object ChangeLog {
         .select(names.map(col): _*)
 
     val oldDf =
-      if (deleteKeys.isEmpty) readSide(oldFiles.map(_._1))
+      // empty-guard first: a rewrite whose predicate pruned every file
+      // still commits (an empty diff) even when the table carries
+      // pre-existing equality deletes — groupBy(...).reduce on an empty
+      // old side would throw instead
+      if (oldFiles.isEmpty || deleteKeys.isEmpty) readSide(oldFiles.map(_._1))
       else {
         import spark.implicits._
         // group old files by seq: a delete applies to a file iff its seq

@@ -78,19 +78,26 @@ final case class GraftVersionOffset(v: Long) extends Offset {
   override def json(): String = v.toString
 }
 
-/** One appended data file of one commit; `updateKeys` (sorted) are the
+/** One appended data file of one commit; `updateKeys` (sorted, shipped
+  * as a BROADCAST — once per executor, not per task: near the 256 MB
+  * delete-key cap a per-task closure would dominate the stage) are the
   * commit's delete keys — a row whose key is among them was re-written
   * by the same commit and surfaces as `update_postimage`. */
 final case class ChangeInsertPartition(
-    path: String, version: Long, updateKeys: Array[String])
+    path: String, version: Long,
+    updateKeys: Option[org.apache.spark.broadcast.Broadcast[Array[String]]])
     extends InputPartition
 
-/** A bounded chunk of the equality-delete keys one commit added
-  * (driver-read: delete files are the small side by design, and large
-  * sets split across chunks). `insertedFiles` are the same commit's data
-  * files — a key that re-appears there pairs as `update_preimage`. */
+/** A `[start, end)` slice of one commit's equality-delete keys (`keys`,
+  * sorted, broadcast once and shared by every slice). `reinserted`
+  * (sorted, broadcast) are the keys that re-appear in the commit's own
+  * data files — computed ONCE at plan time by a semi-join over the
+  * commit's delta, so slices never rescan files; a reinserted key pairs
+  * as `update_preimage`, the rest are deletes. */
 final case class ChangeDeletePartition(
-    keys: Array[String], version: Long, insertedFiles: Array[String])
+    keys: org.apache.spark.broadcast.Broadcast[Array[String]],
+    start: Int, end: Int, version: Long,
+    reinserted: org.apache.spark.broadcast.Broadcast[Array[String]])
     extends InputPartition
 
 /** One recorded change file of a copy-on-write commit (carries its own
@@ -100,10 +107,13 @@ final case class ChangeCowPartition(path: String, version: Long)
 
 /** One file a replace commit (truncate / partition DELETE / INSERT
   * OVERWRITE) removed: its surviving rows stream out as full-preimage
-  * deletes. `dropKeys` (sorted) are equality-delete keys that had
-  * already suppressed rows of this file. */
+  * deletes. `dropKeys` (broadcast, shared across the commit's removed
+  * files) are (key, delete seq) equality deletes older than this commit;
+  * those with seq > `fileSeq` had already suppressed rows of this file
+  * and must not resurface as deletes. */
 final case class ChangeRemovedPartition(
-    path: String, version: Long, dropKeys: Array[String])
+    path: String, version: Long, fileSeq: Long,
+    dropKeys: Option[org.apache.spark.broadcast.Broadcast[Array[(String, Long)]]])
     extends InputPartition
 
 final class GraftChangeFeedStream(
@@ -154,76 +164,72 @@ final class GraftChangeFeedStream(
           "Compaction.compact (or OPTIMIZE) and restart from a newer version, " +
           "or raise spark.graft.deletes.max.bytes")
     }
-    var prev = manifestAt(v1)
+    val spark = org.apache.spark.sql.SparkSession.active
+    val sc = spark.sparkContext
+    // the baseline must sit on the LIVE chain: an offset that landed on a
+    // WAP audit snapshot (latestOffset takes the newest version, staged
+    // or not) already contains the staged files — diffing against it
+    // would silently drop the rows PUBLISH later folds in, or surface
+    // phantom removals after a DISCARD and break the stream forever
+    var prev = manifestAt(Snapshots.liveBaseline(fs, dir, v1))
     val out = scala.collection.mutable.ArrayBuffer[InputPartition]()
     // every version in the range must still be resolvable: silently
     // skipping a vacuumed snapshot would collapse several commits into
     // one diff (wrong _commit_version) and could hide a rewrite that
     // happened entirely inside the gap — determinism demands all-or-fail
     for (v <- (v1 + 1) to v2) {
+      val kind = ChangeLog.kindOf(fs, dir, v)
       // WAP audit snapshots are side branches: skip WITHOUT advancing
       // prev (adds surface at the publish version, or never if discarded)
-      if (ChangeLog.kindOf(fs, dir, v).contains(ChangeLog.Staged)) ()
+      if (kind.contains(ChangeLog.Staged)) ()
       else {
-      val cur = manifestAt(v)
-      val added = (cur.keySet -- prev.keySet).toSeq.sorted
-      val removedData = (prev.keySet -- cur.keySet).toSeq.sorted
-        .filterNot(GraftDeletes.isDeleteRel)
-      def abs(rel: String): String = s"$dataDir/$rel"
-      ChangeLog.kindOf(fs, dir, v) match {
-        case Some(ChangeLog.Staged) => () // handled above
-        case Some(ChangeLog.Maintenance) => () // rows moved, not changed
-        case Some(ChangeLog.Restore) =>
-          throw new IllegalStateException(
-            s"graft: change feed of $dataDir crosses a RESTORE at v$v; " +
-              "re-read a full snapshot and restart the stream past it")
-        case Some(ChangeLog.Cow) =>
-          val cf = ChangeLog.changeFiles(fs, dir, v).getOrElse(
-            throw new IllegalStateException(
-              s"graft: copy-on-write commit at v$v of $dataDir recorded no " +
-                s"change data (no $key column, or ${ChangeLog.RecordProp}=false)"))
-          cf.foreach(p => out += ChangeCowPartition(p, v))
-        case Some(ChangeLog.Replace) =>
-          if (removedData.nonEmpty) {
-            val delRels = prev.toSeq.filter(e => GraftDeletes.isDeleteRel(e._1))
-            val dkeys =
-              if (delRels.isEmpty) Nil
-              else {
-                capCheck(delRels.map(e => math.max(e._2.bytes, 0L)).sum)
-                delRels.flatMap { case (rel, e) =>
-                  GraftDeletes.readKeys(fs, dir, rel).map(k => (k, e.seq)) }
-              }
-            removedData.foreach { rel =>
-              val seq = math.max(prev(rel).seq, 0L)
-              val ks = dkeys.collect { case (k, ds) if ds > seq => k }
-                .distinct.sorted.toArray
-              out += ChangeRemovedPartition(abs(rel), v, ks)
+        val cur = manifestAt(v)
+        def abs(rel: String): String = s"$dataDir/$rel"
+        ChangeLog.rowChanges(fs, dir, v, kind, prev, cur, keyed, capCheck,
+            s"change feed ($v1, $v2]") match {
+          case ChangeLog.NoRows => ()
+          case ChangeLog.CowRows(cf) =>
+            cf.foreach(p => out += ChangeCowPartition(p, v))
+          case ChangeLog.ReplaceRows(removed, dkeys, dataAdded) =>
+            val dkBc =
+              if (dkeys.isEmpty) None
+              else Some(sc.broadcast(dkeys.toArray))
+            removed.foreach { case (rel, seq) =>
+              out += ChangeRemovedPartition(abs(rel), v, seq, dkBc)
             }
-          }
-          added.filterNot(GraftDeletes.isDeleteRel)
-            .foreach(rel => out += ChangeInsertPartition(abs(rel), v, Array.empty))
-        case None =>
-          if (removedData.nonEmpty) throw new IllegalStateException(
-            s"graft: change feed of $dataDir crosses a rewrite at v$v " +
-              s"(${removedData.size} data file(s) left the manifest) whose " +
-              "per-row delta was not recorded (commit predates change " +
-              s"recording, or ${ChangeLog.RecordProp}=false)")
-          val (delRels, dataRels) = added.partition(GraftDeletes.isDeleteRel)
-          if (delRels.isEmpty)
-            dataRels.foreach(rel =>
-              out += ChangeInsertPartition(abs(rel), v, Array.empty))
-          else {
-            require(keyed, s"graft: delete entries in $dataDir but no $key column")
-            capCheck(delRels.map(rel => math.max(cur(rel).bytes, 0L)).sum)
-            val keys = delRels.flatMap(rel => GraftDeletes.readKeys(fs, dir, rel))
-              .distinct.sorted.toArray
-            val insFiles = dataRels.map(abs).toArray
-            dataRels.foreach(rel => out += ChangeInsertPartition(abs(rel), v, keys))
-            keys.grouped(KeysPerChunk).foreach(chunk =>
-              out += ChangeDeletePartition(chunk, v, insFiles))
-          }
-      }
-      prev = cur
+            dataAdded.foreach(rel => out += ChangeInsertPartition(abs(rel), v, None))
+          case ChangeLog.AppendRows(dataRels) =>
+            dataRels.foreach(rel => out += ChangeInsertPartition(abs(rel), v, None))
+          case ChangeLog.MorRows(dataRels, keySeq) =>
+            val keys = keySeq.toArray
+            val kb = sc.broadcast(keys)
+            val insFiles = dataRels.map(abs)
+            // keys the commit re-inserted pair as updates. Resolve them
+            // ONCE at plan time with a distributed semi-join over exactly
+            // the commit's delta (result ⊆ the capped key set), instead
+            // of every key-slice task rescanning the inserted files
+            val reinserted: Array[String] =
+              if (insFiles.isEmpty || keys.isEmpty) Array.empty
+              else {
+                import spark.implicits._
+                import org.apache.spark.sql.functions.{broadcast, col}
+                val keyField = baseSchema(baseSchema.fieldNames.indexOf(key))
+                val one = new StructType(Array(keyField))
+                spark.read.schema(one).parquet(insFiles: _*)
+                  .where(col(key).isNotNull)
+                  .join(broadcast(keys.toSeq.toDF("__dk")),
+                    col(key) === col("__dk"), "left_semi")
+                  .distinct().as[String].collect().sorted
+              }
+            val rb = sc.broadcast(reinserted)
+            dataRels.foreach(rel => out += ChangeInsertPartition(abs(rel), v, Some(kb)))
+            var i = 0
+            while (i < keys.length) {
+              out += ChangeDeletePartition(kb, i, math.min(i + KeysPerChunk, keys.length), v, rb)
+              i += KeysPerChunk
+            }
+        }
+        prev = cur
       }
     }
     out.toArray
@@ -260,6 +266,8 @@ final class GraftChangeFeedReaderFactory(baseSchema: StructType)
         val insMeta = metaRow("insert", version)
         val postMeta = metaRow("update_postimage", version)
         val joined = new JoinedRow
+        val keys: Array[String] =
+          updateKeys.map(_.value).getOrElse(Array.empty)
         val reader = ParquetRowIO.newReader(
           new Path(path), baseSchema, new Configuration(), None)
         new PartitionReader[InternalRow] {
@@ -269,47 +277,30 @@ final class GraftChangeFeedReaderFactory(baseSchema: StructType)
             current != null
           }
           override def get(): InternalRow = {
-            val isUpdate = updateKeys.length > 0 && keyOrdinal >= 0 &&
+            val isUpdate = keys.length > 0 && keyOrdinal >= 0 &&
               !current.isNullAt(keyOrdinal) &&
-              contains(updateKeys, current.getUTF8String(keyOrdinal).toString)
+              contains(keys, current.getUTF8String(keyOrdinal).toString)
             joined.apply(current, if (isUpdate) postMeta else insMeta)
           }
           override def close(): Unit = reader.close()
         }
 
-      case ChangeDeletePartition(keys, version, insertedFiles) =>
+      case ChangeDeletePartition(keysBc, start, end, version, reinsertedBc) =>
         val delMeta = metaRow("delete", version)
         val preMeta = metaRow("update_preimage", version)
         val joined = new JoinedRow
         new PartitionReader[InternalRow] {
-          // keys re-written by the same commit pair as updates: read the
-          // commit's OWN files' key column (columnar-pruned, bounded by
-          // the commit's delta — never the table)
-          private lazy val reinserted: java.util.HashSet[String] = {
-            val set = new java.util.HashSet[String]()
-            if (keyOrdinal >= 0) {
-              val keySchema = StructType(Seq(baseSchema(keyOrdinal)))
-              val conf = new Configuration()
-              insertedFiles.foreach { f =>
-                val r = ParquetRowIO.newReader(new Path(f), keySchema, conf, None)
-                try {
-                  var row = r.read()
-                  while (row != null) {
-                    if (!row.isNullAt(0)) set.add(row.getUTF8String(0).toString)
-                    row = r.read()
-                  }
-                } finally r.close()
-              }
-            }
-            set
-          }
-          private var i = -1
+          private val keys = keysBc.value
+          // resolved once at plan time (semi-join over the commit's own
+          // delta); this task only binary-searches
+          private val reinserted = reinsertedBc.value
+          private var i = start - 1
           private val base = new GenericInternalRow(baseSchema.length)
-          override def next(): Boolean = { i += 1; i < keys.length }
+          override def next(): Boolean = { i += 1; i < end }
           override def get(): InternalRow = {
             base.update(keyOrdinal, UTF8String.fromString(keys(i)))
             joined.apply(base,
-              if (reinserted.contains(keys(i))) preMeta else delMeta)
+              if (contains(reinserted, keys(i))) preMeta else delMeta)
           }
           override def close(): Unit = ()
         }
@@ -332,9 +323,17 @@ final class GraftChangeFeedReaderFactory(baseSchema: StructType)
           override def close(): Unit = reader.close()
         }
 
-      case ChangeRemovedPartition(path, version, dropKeys) =>
+      case ChangeRemovedPartition(path, version, fileSeq, dropKeysBc) =>
         val meta = metaRow("delete", version)
         val joined = new JoinedRow
+        // the commit's (key, seq) deletes ship once per executor; only
+        // those NEWER than this file's data seq apply to it
+        val dropKeys: Array[String] = dropKeysBc match {
+          case None => Array.empty
+          case Some(bc) => bc.value.collect {
+            case (k, ds) if ds > fileSeq => k
+          }.distinct.sorted
+        }
         val reader = ParquetRowIO.newReader(
           new Path(path), baseSchema, new Configuration(), None)
         new PartitionReader[InternalRow] {

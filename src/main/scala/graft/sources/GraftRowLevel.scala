@@ -137,10 +137,21 @@ final class GraftReplaceDataWrite(
         val pre = TableStats.read(fs, dir)
         val oldFiles = affectedRels.toSeq.sorted.flatMap(rel =>
           pre.get(rel).map(e => (s"$dataDir/$rel", math.max(e.seq, 0L))))
-        val deleteKeys = pre.toSeq.collect {
-          case (rel, e) if GraftDeletes.isDeleteRel(rel) =>
-            GraftDeletes.readKeys(fs, dir, rel).map(k => (k, e.seq))
-        }.flatten
+        // same driver-materialization cap as the scan path: a table that
+        // accreted multi-GB delete metadata must fail loudly toward
+        // compaction, not OOM the driver mid-commit
+        val delRels = pre.toSeq.filter(e => GraftDeletes.isDeleteRel(e._1))
+        val delBytes = delRels.map(e => math.max(e._2.bytes, 0L)).sum
+        val cap = GraftDeletes.byteCap()
+        if (delBytes > cap) throw new IllegalStateException(
+          s"graft: recording the change delta of this ${op.command()} would " +
+            s"materialize $delBytes bytes of delete keys on the driver (> cap " +
+            s"$cap); run Compaction.compact (or OPTIMIZE) first, raise " +
+            "spark.graft.deletes.max.bytes, or disable change recording " +
+            s"(${ChangeLog.RecordProp}=false)")
+        val deleteKeys = delRels.flatMap { case (rel, e) =>
+          GraftDeletes.readKeys(fs, dir, rel).map(k => (k, e.seq))
+        }
         ChangeLog.stageCowChanges(
           org.apache.spark.sql.SparkSession.active, schema, dataDir,
           oldFiles, committed.keys.toSeq.sorted.map(rel => s"$dataDir/$rel"),
@@ -179,16 +190,37 @@ final class GraftReplaceDataWrite(
             s"merge-on-read mutation (${newDeletes.size} delete file(s) " +
             "entered the manifest); no changes applied — retry the statement")
       }
-      val v = TableStats.write(fs, dir, live -- affectedRels ++ committed)
-      // publish the recorded delta under its version and mark the commit:
-      // feeds crossing v now replay the mutation row by row instead of
-      // refusing the engine's default mutation mode
+      // Publish the recorded delta and the kind marker BEFORE the manifest
+      // swap (the commit point). A rename/marker failure here aborts a
+      // not-yet-committed statement — the reverse order would leave the
+      // mutation durable while reporting the statement failed, with no
+      // marker for feeds. The version is precomputed under the lock, so
+      // TableStats.write below records exactly it.
+      val v = Snapshots.nextVersion(fs, dir)
       staging.foreach { st =>
-        if (!fs.rename(st, ChangeLog.changeDataDir(dir, v)))
+        if (!fs.rename(st, ChangeLog.changeDataDir(dir, v))) {
+          committed.keys.foreach(rel => fs.delete(new Path(dir, rel), false))
+          dropStaging()
           throw new IllegalStateException(
-            s"graft: could not publish change files for v$v of $dataDir")
+            s"graft: could not publish change files for v$v of $dataDir; " +
+              "no changes applied — retry the statement")
+        }
       }
-      ChangeLog.writeMarker(fs, dir, v, ChangeLog.Cow)
+      try {
+        ChangeLog.writeMarker(fs, dir, v, ChangeLog.Cow)
+        val recorded = TableStats.write(fs, dir, live -- affectedRels ++ committed)
+        require(recorded == v, s"graft: commit recorded v$recorded, expected v$v")
+      } catch { case e: Throwable =>
+        // un-publish: a marker/change-dir left at a version that was never
+        // committed would misclassify the NEXT commit at v as a COW and
+        // silently feed stale change rows — feeds failing loudly on an
+        // unmarked rewrite is the safe failure mode
+        try {
+          fs.delete(ChangeLog.markerPath(dir, v), false)
+          fs.delete(ChangeLog.changeDataDir(dir, v), true)
+        } catch { case _: Exception => () }
+        throw e
+      }
     }
   }
 

@@ -1265,15 +1265,30 @@ final class GraftScan(
   }
 
   override def estimateStatistics(): Statistics = new Statistics {
+    private val grossRows: Long = exactRows
     /** Outstanding equality-delete keys suppress up to one live row each:
       * subtract their count (the registry's per-fragment row counts — no
       * file I/O) so CBO sizing stays honest while merge-on-read deletes
-      * await compaction. A slight under-estimate when a deleted key was
-      * re-inserted later; exactness returns when compaction folds. */
-    private val outstandingDeletes: Long = cachedStats.iterator.collect {
-      case (rel, e) if GraftDeletes.isDeleteRel(rel) => math.max(e.rows, 0L)
-    }.sum
-    private val grossRows: Long = exactRows
+      * await compaction. A delete key lives in exactly ONE data file,
+      * unknown which — so when partition pruning reduced this scan to a
+      * SUBSET of the table, the table-wide delete count is PRORATED by
+      * the pruned fraction (uniform-key assumption). Subtracting it all
+      * would collapse a pruned scan to ~zero rows and bait the CBO into
+      * broadcasting a huge side. A slight estimate either way when keys
+      * skew; exactness returns when compaction folds. */
+    private val outstandingDeletes: Long = {
+      val total = cachedStats.iterator.collect {
+        case (rel, e) if GraftDeletes.isDeleteRel(rel) => math.max(e.rows, 0L)
+      }.sum
+      if (total == 0L) 0L
+      else {
+        val tableRows = cachedStats.iterator.collect {
+          case (rel, e) if !GraftDeletes.isDeleteRel(rel) => math.max(e.rows, 0L)
+        }.sum
+        if (tableRows <= 0L || grossRows >= tableRows) total
+        else math.min(total, (total.toDouble * grossRows / tableRows).toLong)
+      }
+    }
     private val netRows: Long = math.max(0L, grossRows - outstandingDeletes)
     override def sizeInBytes() = java.util.OptionalLong.of {
       val gross = files.map(_._2).sum

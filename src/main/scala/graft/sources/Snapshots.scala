@@ -68,6 +68,20 @@ object Snapshots {
   def latestAsOf(fs: FileSystem, dataDir: Path, tsMillis: Long): Option[Long] =
     list(fs, dataDir).filter(_._2 <= tsMillis).lastOption.map(_._1)
 
+  /** The newest LIVE-chain version at or below `v`: WAP audit snapshots
+    * ([[stageWap]]) sit on the version sequence but are side branches —
+    * a diff BASED on one already contains the staged files, so a feed
+    * using it as its previous-manifest cursor would silently drop the
+    * published rows (or, after a DISCARD, see phantom removals and fail
+    * forever). Versions are contiguous (max+1 assignment), so walking
+    * down is exact; marker reads are one side-file stat each. */
+  def liveBaseline(fs: FileSystem, dataDir: Path, v: Long): Long = {
+    var b = v
+    while (b > 0 && ChangeLog.kindOf(fs, dataDir, b).contains(ChangeLog.Staged))
+      b -= 1
+    b
+  }
+
   /** The manifest a scan should read: the pinned snapshot (`version`) or
     * the live registry, optionally reduced to the INCREMENTAL APPEND SCAN
     * `(since, version]` — only files added after snapshot `since`
@@ -99,17 +113,25 @@ object Snapshots {
       case Some(m) =>
         val endM = end.getOrElse(throw new IllegalArgumentException(
           s"graft: incremental read requires a stats registry under $dataDir"))
+        // a `since` pinned to a WAP audit snapshot already contains the
+        // staged files — rebase to the live chain so a later PUBLISH
+        // surfaces them (and a DISCARD isn't a phantom removal)
         val base =
-          if (m == 0) Map.empty[String, TableStats.Entry] else readOrThrow(m)
+          if (m == 0) Map.empty[String, TableStats.Entry]
+          else readOrThrow(liveBaseline(fs, dataDir, m))
         val endV = version.orElse(list(fs, dataDir).lastOption.map(_._1)).getOrElse(0L)
         require(m <= endV,
           s"graft: since-version $m is after the end version $endV")
         var prev = base.keySet
         for (v <- (m + 1) to endV)
+          // a WAP audit snapshot is a side branch: skip it WITHOUT
+          // advancing prev (its adds either surface at the publish
+          // version or never existed on the live chain)
+          if (ChangeLog.kindOf(fs, dataDir, v).contains(ChangeLog.Staged)) ()
           // a vacuumed-away mid-range snapshot is skipped: the files it
           // removed (if any) still show up as a removal at the next
           // retained step, so the check stays sound
-          read(fs, dataDir, v).foreach { cur =>
+          else read(fs, dataDir, v).foreach { cur =>
             val removed = prev -- cur.keySet
             if (removed.nonEmpty) throw new IllegalArgumentException(
               s"graft: incremental read ($m, $endV] of $dataDir crosses a " +
@@ -408,7 +430,10 @@ object Snapshots {
           "read a narrower range, or raise spark.graft.deletes.max.bytes")
     }
 
-    var prev = manifestAt(since)
+    // the baseline must sit on the LIVE chain: a WAP audit snapshot as
+    // `since` already contains the staged files and would swallow their
+    // publish (or, post-DISCARD, surface phantom removals)
+    var prev = manifestAt(liveBaseline(fs, dataDir, since))
     val inserts = scala.collection.mutable.ArrayBuffer[(Long, Seq[String])]()
     // (v, inserted-file paths, delete keys) — keys pair with re-written rows
     val morBatches = scala.collection.mutable.ArrayBuffer[(Long, Seq[String], Seq[String])]()
@@ -420,70 +445,30 @@ object Snapshots {
     // vacuumed snapshot would collapse commits into one diff (wrong
     // _commit_version) and could hide an intra-gap rewrite
     for (v <- (since + 1) to endV) {
+      val kind = ChangeLog.kindOf(fs, dataDir, v)
       // a WAP audit snapshot is a side branch, not a live commit: skip it
       // WITHOUT advancing prev, so its files diff against the live chain
       // at the publish version (or never, when the stage was discarded)
-      if (ChangeLog.kindOf(fs, dataDir, v).contains(ChangeLog.Staged)) ()
+      if (kind.contains(ChangeLog.Staged)) ()
       else {
-      val cur = manifestAt(v)
-      val added = (cur.keySet -- prev.keySet).toSeq.sorted
-      // a delete entry leaving the manifest alone is compaction
-      // housekeeping (its keys were folded into rewritten files)
-      val removedData = (prev.keySet -- cur.keySet).toSeq.sorted
-        .filterNot(GraftDeletes.isDeleteRel)
-      def abs(rels: Seq[String]): Seq[String] = rels.map(r => s"${table.dataDir}/$r")
-      ChangeLog.kindOf(fs, dataDir, v) match {
-        case Some(ChangeLog.Staged) => () // handled above
-        case Some(ChangeLog.Maintenance) => () // rows moved, not changed
-        case Some(ChangeLog.Restore) =>
-          throw new IllegalArgumentException(
-            s"graft: change feed ($since, $endV] of $dataDir crosses a RESTORE " +
-              s"at v$v; its row delta is a two-snapshot diff — re-read a full " +
-              "snapshot and resume the feed past it")
-        case Some(ChangeLog.Cow) =>
-          val cf = ChangeLog.changeFiles(fs, dataDir, v).getOrElse(
-            throw new IllegalArgumentException(
-              s"graft: copy-on-write commit at v$v of $dataDir recorded no " +
-                s"change data (no $key column, or ${ChangeLog.RecordProp}=false); " +
-                "read a full snapshot instead"))
-          if (cf.nonEmpty) cowBatches += ((v, cf))
-        case Some(ChangeLog.Replace) =>
-          if (removedData.nonEmpty) {
-            val delRels = prev.toSeq.filter(e => GraftDeletes.isDeleteRel(e._1))
-            val dkeys =
-              if (delRels.isEmpty) Nil
-              else {
-                // rows those deletes already suppressed must not resurface
-                // as deletes of THIS commit
-                capCheck(delRels.map(e => math.max(e._2.bytes, 0L)).sum)
-                delRels.flatMap { case (rel, e) =>
-                  GraftDeletes.readKeys(fs, dataDir, rel).map(k => (k, e.seq)) }
-              }
+        val cur = manifestAt(v)
+        def abs(rels: Seq[String]): Seq[String] = rels.map(r => s"${table.dataDir}/$r")
+        ChangeLog.rowChanges(fs, dataDir, v, kind, prev, cur, keyed, capCheck,
+            s"change feed ($since, $endV]") match {
+          case ChangeLog.NoRows => ()
+          case ChangeLog.CowRows(cf) =>
+            if (cf.nonEmpty) cowBatches += ((v, cf))
+          case ChangeLog.ReplaceRows(removed, dkeys, dataAdded) =>
             replaceBatches += ((v,
-              removedData.map(rel =>
-                (s"${table.dataDir}/$rel", math.max(prev(rel).seq, 0L))),
+              removed.map { case (rel, seq) => (s"${table.dataDir}/$rel", seq) },
               dkeys))
-          }
-          val dataAdded = added.filterNot(GraftDeletes.isDeleteRel)
-          if (dataAdded.nonEmpty) inserts += ((v, abs(dataAdded)))
-        case None =>
-          if (removedData.nonEmpty) throw new IllegalArgumentException(
-            s"graft: change feed ($since, $endV] of $dataDir crosses a rewrite " +
-              s"at v$v (${removedData.size} data file(s) left the manifest) " +
-              "whose per-row delta was not recorded (commit predates change " +
-              s"recording, or ${ChangeLog.RecordProp}=false); read a full " +
-              "snapshot instead")
-          val (delRels, dataRels) = added.partition(GraftDeletes.isDeleteRel)
-          if (delRels.isEmpty) {
+            if (dataAdded.nonEmpty) inserts += ((v, abs(dataAdded)))
+          case ChangeLog.AppendRows(dataRels) =>
             if (dataRels.nonEmpty) inserts += ((v, abs(dataRels)))
-          } else {
-            require(keyed, s"graft: delete entries in $dataDir but no $key column")
-            capCheck(delRels.map(rel => math.max(cur(rel).bytes, 0L)).sum)
-            val keys = delRels.flatMap(rel => GraftDeletes.readKeys(fs, dataDir, rel))
+          case ChangeLog.MorRows(dataRels, keys) =>
             morBatches += ((v, abs(dataRels), keys))
-          }
-      }
-      prev = cur
+        }
+        prev = cur
       }
     }
 

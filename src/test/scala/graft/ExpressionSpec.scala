@@ -104,6 +104,9 @@ class ExpressionSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(recall(entries, "!select") == Some("SELECT 2;")) // most recent match
     assert(recall(entries, "!9").isEmpty)
     assert(recall(entries, "!0").isEmpty)
+    // past Int.MaxValue: "no match", never a NumberFormatException that
+    // would kill the REPL loop
+    assert(recall(entries, "!99999999999;").isEmpty)
     assert(recall(entries, "!nomatch").isEmpty)
     assert(recall(Seq.empty, "!!").isEmpty)
   }

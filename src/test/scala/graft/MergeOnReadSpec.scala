@@ -219,7 +219,7 @@ class MergeOnReadSpec extends AnyFunSuite with BeforeAndAfterAll {
     val v1 = Snapshots.list(fs, dataDir("rst")).last._1
     spark.sql("INSERT INTO graft.mor.rst VALUES ('b', 2)")
     Snapshots.restore(s"$warehouse/mor/rst", v1)
-    val e = intercept[IllegalArgumentException](
+    val e = intercept[IllegalStateException](
       Snapshots.changes(spark, load("rst"), since = 0L).collect())
     assert(e.getMessage.contains("RESTORE"), e.getMessage)
   }
@@ -403,6 +403,128 @@ class MergeOnReadSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(deleteFiles("cow").isEmpty, "COW must not write delete files")
     assert(spark.sql("SELECT row_key FROM graft.mor.cow").collect()
       .map(_.getString(0)).toSeq == Seq("b"))
+  }
+
+  test("streaming change feed pairs same-commit delete+rewrite into update images") {
+    // the streaming spelling of the update-pairing test: exercises the
+    // plan-time semi-join that resolves re-inserted keys once (instead
+    // of every key-slice task rescanning the commit's files) and the
+    // broadcast key shipping
+    spark.sql(
+      s"""CREATE TABLE graft.mor.supd (row_key STRING, v BIGINT)
+         |TBLPROPERTIES ('${GraftDeletes.ModeProp}' = 'merge-on-read')""".stripMargin)
+    spark.sql("INSERT INTO graft.mor.supd VALUES ('a', 1), ('b', 2)")
+    spark.sql("UPDATE graft.mor.supd SET v = 100 WHERE row_key = 'a'")
+    val ckpt = java.nio.file.Files.createTempDirectory("supd_feed").toString
+    val q = spark.readStream.format("graft")
+      .option("change-feed", "true")
+      .load(s"$warehouse/mor/supd")
+      .writeStream.format("memory").queryName("supd_feed_t")
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val got = spark.table("supd_feed_t")
+      .select("_change_type", "row_key", "v").collect()
+      .map(r => (r.getString(0), r.getString(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).sorted.toSeq
+    assert(got == Seq(("insert", "a", 1L), ("insert", "b", 2L),
+      ("update_postimage", "a", 100L), ("update_preimage", "a", -1L)),
+      s"unexpected streamed pairing: $got")
+  }
+
+  test("streaming change feed survives an offset that landed on a WAP stage") {
+    // latestOffset takes the newest snapshot version, staged or not — a
+    // checkpoint can therefore land ON an audit snapshot. The next
+    // batch's baseline must rebase to the live chain: diffing against
+    // the staged manifest would silently swallow the published rows
+    // (or, after a DISCARD, surface phantom removals and fail forever).
+    spark.sql("CREATE TABLE graft.mor.swap (row_key STRING, v BIGINT)")
+    spark.sql("INSERT INTO graft.mor.swap VALUES ('a', 1)")
+    val ckpt = java.nio.file.Files.createTempDirectory("swap_feed").toString
+    val outDir = java.nio.file.Files.createTempDirectory("swap_feed_out").toString
+    def drain(): Unit = {
+      val q = spark.readStream.format("graft")
+        .option("change-feed", "true")
+        .load(s"$warehouse/mor/swap")
+        .writeStream.format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    def got(): Seq[(String, String)] = spark.read.parquet(outDir)
+      .select("_change_type", "row_key").collect()
+      .map(r => (r.getString(0), r.getString(1))).sorted.toSeq
+    // stage, then drain: the offset advances onto the audit snapshot
+    spark.createDataFrame(Seq(("b", 2L))).toDF("row_key", "v")
+      .writeTo("graft.mor.swap").option("wap.id", "s1").append()
+    drain()
+    assert(got() == Seq(("insert", "a")), s"staged rows must not stream: ${got()}")
+    // publish: the staged row must surface in the NEXT batch
+    spark.sql("ALTER TABLE graft.mor.swap PUBLISH WAP 's1'")
+    drain()
+    assert(got() == Seq(("insert", "a"), ("insert", "b")),
+      s"published rows were lost by a staged baseline: ${got()}")
+    // stage again, drain (offset lands on the stage), DISCARD, commit on:
+    // the stream must keep going and never see the discarded rows
+    spark.createDataFrame(Seq(("c", 3L))).toDF("row_key", "v")
+      .writeTo("graft.mor.swap").option("wap.id", "s2").append()
+    drain()
+    spark.sql("ALTER TABLE graft.mor.swap DISCARD WAP 's2'")
+    spark.sql("INSERT INTO graft.mor.swap VALUES ('d', 4)")
+    drain()
+    assert(got() == Seq(("insert", "a"), ("insert", "b"), ("insert", "d")),
+      s"stream must cross a discarded stage cleanly: ${got()}")
+  }
+
+  test("COW change recording survives an empty rewrite on a table with deletes") {
+    // a rewrite whose predicate matched nothing still records its (empty)
+    // diff — with pre-existing equality deletes this used to hit
+    // reduce-on-empty in stageCowChanges
+    import org.apache.spark.sql.connector.write.RowLevelOperation
+    val staged = graft.sources.ChangeLog.stageCowChanges(
+      spark, spark.table("graft.mor.t").schema, s"$warehouse/mor/t/data",
+      oldFiles = Nil, newFiles = Nil,
+      deleteKeys = Seq(("ghost", 1L)),
+      command = RowLevelOperation.Command.DELETE,
+      writeId = java.util.UUID.randomUUID().toString)
+    assert(staged.isDefined, "empty rewrite must still stage a (empty) diff")
+    staged.foreach(p => fs.delete(p, true))
+  }
+
+  test("estimateStatistics prorates deletes under partition pruning") {
+    spark.sql(
+      s"""CREATE TABLE graft.mor.stp (row_key STRING, grp STRING, v BIGINT)
+         |PARTITIONED BY (grp)
+         |TBLPROPERTIES ('${GraftDeletes.ModeProp}' = 'merge-on-read')""".stripMargin)
+    spark.sql("""INSERT INTO graft.mor.stp VALUES
+      ('a1','a',1),('a2','a',2),('a3','a',3),('a4','a',4),
+      ('b1','b',1),('b2','b',2),('b3','b',3),('b4','b',4)""")
+    // 4 outstanding delete keys, all in partition a
+    spark.sql("DELETE FROM graft.mor.stp WHERE row_key IN ('a1','a2','a3','a4')")
+    val builder = load("stp").newScanBuilder(
+      new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+        java.util.Collections.emptyMap()))
+    builder.asInstanceOf[org.apache.spark.sql.connector.read.SupportsPushDownFilters]
+      .pushFilters(Array(org.apache.spark.sql.sources.EqualTo("grp", "b")))
+    val stats = builder.build()
+      .asInstanceOf[org.apache.spark.sql.connector.read.SupportsReportStatistics]
+      .estimateStatistics()
+    // pruned scan: 4 gross rows of partition b; the table-wide 4 delete
+    // keys are PRORATED by the pruned fraction (4/8 → 2), never
+    // subtracted wholesale (which would collapse the scan to 0 rows and
+    // bait the CBO into broadcasting it)
+    assert(stats.numRows().getAsLong == 2L, s"numRows=${stats.numRows()}")
+    assert(stats.sizeInBytes().getAsLong > 1L)
+    // the unpruned scan still reports the exact net count
+    val full = load("stp").newScanBuilder(
+      new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+        java.util.Collections.emptyMap())).build()
+      .asInstanceOf[org.apache.spark.sql.connector.read.SupportsReportStatistics]
+      .estimateStatistics()
+    assert(full.numRows().getAsLong == 4L, s"numRows=${full.numRows()}")
   }
 
   test("change feed across WAP: adds surface at publish, discarded stages never") {

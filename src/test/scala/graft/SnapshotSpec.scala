@@ -178,6 +178,39 @@ class SnapshotSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.sql("DROP TABLE graft.snap.inc")
   }
 
+  test("incremental append scan skips WAP audit snapshots") {
+    // a staged (and even a later-discarded) WAP commit sits on the
+    // version chain but is a side branch: the incremental walk must not
+    // take its manifest as a step (the staged superset would read as a
+    // removal at the next live version and spuriously refuse the range)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.snap")
+    spark.sql("CREATE TABLE graft.snap.winc (k BIGINT)")
+    spark.sql("INSERT INTO graft.snap.winc SELECT id FROM range(0, 5)")
+    val v1 = versions("winc").last
+    import spark.implicits._
+    spark.range(100, 103).select($"id".as("k"))
+      .writeTo("graft.snap.winc").option("wap.id", "w").append()
+    spark.sql("INSERT INTO graft.snap.winc SELECT id FROM range(5, 8)")
+    // (v1, live]: the live append only — never the staged rows
+    val inc = spark.read.option("since-version", v1)
+      .table("graft.snap.winc").collect().map(_.getLong(0)).sorted.toSeq
+    assert(inc == (5L until 8L).toSeq, s"incremental across a stage: $inc")
+    // after a DISCARD the same range still reads cleanly
+    spark.sql("ALTER TABLE graft.snap.winc DISCARD WAP 'w'")
+    val inc2 = spark.read.option("since-version", v1)
+      .table("graft.snap.winc").collect().map(_.getLong(0)).sorted.toSeq
+    assert(inc2 == (5L until 8L).toSeq, s"incremental across a discard: $inc2")
+    // publish path: a fresh stage's rows surface once published
+    spark.range(200, 202).select($"id".as("k"))
+      .writeTo("graft.snap.winc").option("wap.id", "w2").append()
+    spark.sql("ALTER TABLE graft.snap.winc PUBLISH WAP 'w2'")
+    val inc3 = spark.read.option("since-version", v1)
+      .table("graft.snap.winc").collect().map(_.getLong(0)).sorted.toSeq
+    assert(inc3 == ((5L until 8L) ++ (200L until 202L)).toSeq,
+      s"published rows must enter the incremental window: $inc3")
+    spark.sql("DROP TABLE graft.snap.winc")
+  }
+
   test("snapshot history() reports versions, rows, files") {
     val h = Snapshots.history(spark, s"$warehouse/snap/t").collect()
     assert(h.length == versions("t").size)
