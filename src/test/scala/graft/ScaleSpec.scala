@@ -289,6 +289,53 @@ class ScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.sql("DROP TABLE graft.mf.morx")
   }
 
+  test("change feed plans a mutation-heavy commit with ONE shared key broadcast") {
+    import graft.sources.{ChangeDeletePartition, ChangeInsertPartition,
+      GraftChangeFeedStream, GraftDeletes, GraftVersionOffset, Snapshots}
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.mf")
+    spark.sql(
+      s"""CREATE TABLE graft.mf.cfb (row_key STRING, id BIGINT, v DOUBLE)
+         |TBLPROPERTIES ('${GraftDeletes.ModeProp}' = 'merge-on-read')""".stripMargin)
+    spark.range(0L, 70000L)
+      .selectExpr("CAST(id AS STRING) AS row_key", "id", "CAST(id AS DOUBLE) AS v")
+      .repartition(8)
+      .writeTo("graft.mf.cfb").append()
+    val dataDir = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.catalog.graft.warehouse") + "/mf/cfb/data")
+    val fs = dataDir.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val v1 = Snapshots.list(fs, dataDir).last._1
+    // one MOR UPDATE of every row: the commit carries 70k delete keys AND
+    // the re-written files — the worst per-commit shape a feed replays
+    spark.sql("UPDATE graft.mf.cfb SET v = v + 1")
+    val v2 = Snapshots.list(fs, dataDir).last._1
+    val stream = new GraftChangeFeedStream(
+      spark.table("graft.mf.cfb").schema, dataDir.toString, v1)
+    val parts = stream.planInputPartitions(
+      GraftVersionOffset(v1), GraftVersionOffset(v2))
+    val dels = parts.collect { case d: ChangeDeletePartition => d }
+    val ins = parts.collect { case i: ChangeInsertPartition => i }
+    assert(dels.length >= 2, s"70k keys must split into slices, got ${dels.length}")
+    // ONE broadcast per commit — the key array must never be serialized
+    // into each task closure (near the 256 MB cap that multiplies into
+    // gigabytes of task bytes), nor once per slice
+    assert(dels.map(_.keys).distinct.length == 1,
+      "delete slices must share one key broadcast")
+    assert(ins.nonEmpty && ins.flatMap(_.updateKeys).distinct.length == 1,
+      "insert partitions must share the same key broadcast")
+    // slices tile [0, keys) exactly — no key dropped or doubled
+    val n = dels.head.keys.value.length
+    assert(n == 70000, s"expected 70000 keys, got $n")
+    val covered = dels.map(d => (d.start, d.end)).sortBy(_._1)
+      .foldLeft(0) { (acc, se) => assert(se._1 == acc); se._2 }
+    assert(covered == n, s"slices cover $covered of $n keys")
+    // pairing resolved ONCE at plan time: every key was re-written, so
+    // the shared reinserted set is the full key set (and slice readers
+    // only binary-search it — no per-task file rescans)
+    assert(dels.map(_.reinserted).distinct.length == 1)
+    assert(dels.head.reinserted.value.length == 70000)
+    spark.sql("DROP TABLE graft.mf.cfb")
+  }
+
   test("SemDeDup cluster count scales with the corpus: pair space stays linear") {
     import graft.ml.KMeans.sizeK
     val target = 64
