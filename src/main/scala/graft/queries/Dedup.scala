@@ -505,6 +505,115 @@ object Dedup {
         l0 AS MATERIALIZED (SELECT a AS id, LEAST(a, MIN(b)) AS l FROM edges GROUP BY a),
         $rounds
         SELECT id AS doc_id, l AS cluster FROM l8 ORDER BY doc_id"""
-      })
+      }),
+
+    // ---- q121: fuzzy near-dup pairs via blocked edit distance -------------
+    // Edit-distance dedup (the title/citation-matching shape): candidates
+    // come from an EQUALITY blocking key — the document's first two words —
+    // so the quadratic Levenshtein DP runs only inside blocks, never over
+    // the corpus; the distance itself compares fixed 64-char prefixes, so
+    // per-pair cost is a constant 64×64 DP cell grid (codegen'd
+    // `levenshtein`, no UDF). Scale shape: one shuffle on the block key,
+    // per-block pair loops bounded by block size (salt an oversized block
+    // or tighten the key — same playbook as the df-capped shingle joins).
+    QueryDef(
+      "q121_fuzzy_dedup",
+      (s, dir) => {
+        val d = Tables(s, dir).documents
+          .filter(length(col("text")) > 0)
+          .select(col("doc_id"),
+            expr("concat_ws(' ', slice(split(text, ' '), 1, 2))").as("blk"),
+            substring(col("text"), 1, 64).as("pfx"))
+        d.select(col("blk"), col("doc_id").as("d1"), col("pfx").as("p1"))
+          .join(d.select(col("blk"), col("doc_id").as("d2"), col("pfx").as("p2")), "blk")
+          .filter(col("d1") < col("d2"))
+          .withColumn("dist", levenshtein(col("p1"), col("p2")))
+          .filter(col("dist") <= 20)
+          .select(col("d1"), col("d2"), col("dist").cast("long").as("dist"))
+          .orderBy(col("d1"), col("d2"))
+      },
+      Some("""WITH d AS (SELECT doc_id,
+                array_to_string(string_split(text, ' ')[1:2], ' ') AS blk,
+                substr(text, 1, 64) AS pfx
+              FROM documents WHERE length(text) > 0)
+        SELECT a.doc_id AS d1, b.doc_id AS d2,
+               CAST(levenshtein(a.pfx, b.pfx) AS BIGINT) AS dist
+        FROM d a JOIN d b ON a.blk = b.blk AND a.doc_id < b.doc_id
+        WHERE levenshtein(a.pfx, b.pfx) <= 20
+        ORDER BY d1, d2""")),
+
+    // ---- q123: TF-IDF sparse cosine similarity join -----------------------
+    // WEIGHTED near-dup, complementing the set-based MinHash family:
+    // candidate pairs come from an inverted index over RARE 4-word
+    // shingles (2 <= df <= 8 — common shingles generate quadratic
+    // candidate lists and carry no signal; at corpus scale the df band is
+    // the knob that keeps the index join linear), then each candidate is
+    // verified with an exact TF-IDF cosine over the full shingle vectors.
+    // All arithmetic INTEGER: idf ≈ N div df, cosine >= 0.9 tested as
+    // 100·dot² >= 81·|a|²·|b|² in DECIMAL(38,0) — both engines agree
+    // bit-for-bit, no ln()/sqrt() cross-libm hazard. Scale shape: explode →
+    // two hash aggregates (tf, df) → rare-key equality join for candidates
+    // → candidates joined back to vectors — verification touches only
+    // candidate pairs, never the corpus square.
+    QueryDef(
+      "q123_tfidf_cosine_join",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val occ = t.documents
+          .select(col("doc_id"), split(col("text"), " ").as("sp"))
+          .filter(size(col("sp")) >= 4)
+          .select(col("doc_id"), expr(
+            "explode(transform(sequence(0, size(sp) - 4), i -> concat_ws(' ', slice(sp, i + 1, 4))))").as("g"))
+        val tf = occ.groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("tf"))
+        val df = occ.select(col("doc_id"), col("g")).distinct()
+          .groupBy(col("g")).agg(count(lit(1)).as("df"))
+        // idf scale constant; any fixed N works (sf-independent)
+        val v = tf.join(df, "g")
+          .select(col("doc_id"), col("g"),
+            expr("cast(tf * (2500 div df) as bigint)").as("w"))
+        val nrm = v.groupBy(col("doc_id")).agg(sum(col("w") * col("w")).as("nsq"))
+        val rare = df.filter(col("df").between(2, 8)).select(col("g"))
+        val keyed = occ.distinct().join(rare, "g")
+        val cand = keyed.select(col("g"), col("doc_id").as("d1"))
+          .join(keyed.select(col("g"), col("doc_id").as("d2")), "g")
+          .filter(col("d1") < col("d2")).select(col("d1"), col("d2")).distinct()
+        val dots = cand
+          .join(v.select(col("doc_id").as("d1"), col("g"), col("w").as("w1")), Seq("d1"))
+          .join(v.select(col("doc_id").as("d2"), col("g"), col("w").as("w2")), Seq("d2", "g"))
+          .groupBy(col("d1"), col("d2")).agg(sum(col("w1") * col("w2")).as("dot"))
+        dots
+          .join(nrm.select(col("doc_id").as("d1"), col("nsq").as("n1sq")), "d1")
+          .join(nrm.select(col("doc_id").as("d2"), col("nsq").as("n2sq")), "d2")
+          .filter(col("dot") > 0 &&
+            col("dot").cast(org.apache.spark.sql.types.DecimalType(38, 0)) *
+              col("dot") * 100 >=
+              col("n1sq").cast(org.apache.spark.sql.types.DecimalType(38, 0)) *
+                col("n2sq") * 81)
+          .select(col("d1"), col("d2"), col("dot"), col("n1sq"), col("n2sq"))
+          .orderBy(col("d1"), col("d2"))
+      },
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS sp FROM documents),
+        occ AS (SELECT doc_id, array_to_string(sp[i + 1 : i + 4], ' ') AS g
+                FROM (SELECT doc_id, sp, unnest(range(len(sp) - 3)) AS i
+                      FROM t WHERE len(sp) >= 4)),
+        tf AS (SELECT doc_id, g, COUNT(*) AS tf FROM occ GROUP BY 1, 2),
+        df AS (SELECT g, COUNT(*) AS df FROM (SELECT DISTINCT doc_id, g FROM occ) GROUP BY g),
+        v AS (SELECT t.doc_id, t.g, CAST(t.tf * (2500 // d.df) AS BIGINT) AS w
+              FROM tf t JOIN df d USING (g)),
+        nrm AS (SELECT doc_id, SUM(w * w) AS nsq FROM v GROUP BY doc_id),
+        rare AS (SELECT g FROM df WHERE df BETWEEN 2 AND 8),
+        keyed AS (SELECT DISTINCT doc_id, g FROM occ WHERE g IN (SELECT g FROM rare)),
+        cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+                 FROM keyed a JOIN keyed b ON a.g = b.g AND a.doc_id < b.doc_id),
+        dots AS (SELECT c.d1, c.d2, SUM(x.w * y.w) AS dot
+                 FROM cand c JOIN v x ON x.doc_id = c.d1
+                 JOIN v y ON y.doc_id = c.d2 AND y.g = x.g
+                 GROUP BY c.d1, c.d2)
+        SELECT d1, d2, CAST(dot AS BIGINT) AS dot,
+               CAST(a.nsq AS BIGINT) AS n1sq, CAST(b.nsq AS BIGINT) AS n2sq
+        FROM dots JOIN nrm a ON a.doc_id = d1 JOIN nrm b ON b.doc_id = d2
+        WHERE dot > 0 AND CAST(dot AS HUGEINT) * dot * 100 >=
+              CAST(a.nsq AS HUGEINT) * b.nsq * 81
+        ORDER BY d1, d2"""))
   )
 }

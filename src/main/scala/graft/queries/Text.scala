@@ -1157,6 +1157,48 @@ object Text {
           CAST(SUM(CASE WHEN m > 0 THEN 1 ELSE 0 END) AS BIGINT) AS pred_pos,
           CAST(SUM(ABS(m)) AS BIGINT) AS margin_mass
         FROM mf GROUP BY y ORDER BY y"""
-      })
+      }),
+
+    // ---- q122: per-source document cap (crawl-style domain capping) -------
+    // The per-domain cap every crawl-derived corpus applies (no single
+    // domain may dominate training): keep at most 10 documents per source,
+    // chosen by SALTED-HASH rank — a pure function of (salt, doc_id), so
+    // the kept subset is stable across runs, engines, and partitionings,
+    // and is uncorrelated with doc order or content. Scale shape: one
+    // window per source partition (rank by hash) + the final per-source
+    // aggregate; no global sort, no collect. A skewed mega-source ranks
+    // inside its own partition only — the cap is exactly the skew bound.
+    QueryDef(
+      "q122_source_cap",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val d = Tables(s, dir).documents
+          .withColumn("hk", md5(concat(lit("cap:"), col("doc_id").cast("string"))
+            .cast("binary")))
+        d.withColumn("rk",
+            row_number().over(Window.partitionBy(col("source"))
+              .orderBy(col("hk"), col("doc_id"))))
+          .groupBy(col("source"))
+          .agg(
+            count(lit(1)).cast("long").as("n_total"),
+            sum(when(col("rk") <= 10, 1L).otherwise(0L)).cast("long").as("n_kept"),
+            sum(when(col("rk") <= 10, col("n_chars"))).cast("long").as("chars_kept"),
+            expr("""md5(cast(concat_ws(',',
+                 array_sort(collect_list(CASE WHEN rk <= 10 THEN doc_id END))) as binary))""")
+              .as("digest"))
+          .orderBy(col("source"))
+      },
+      Some("""WITH h AS (SELECT source, doc_id, n_chars,
+                md5('cap:' || CAST(doc_id AS VARCHAR)) AS hk
+              FROM documents),
+        r AS (SELECT source, doc_id, n_chars,
+                ROW_NUMBER() OVER (PARTITION BY source ORDER BY hk, doc_id) AS rk
+              FROM h)
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_total,
+          CAST(SUM(CASE WHEN rk <= 10 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+          CAST(SUM(CASE WHEN rk <= 10 THEN n_chars END) AS BIGINT) AS chars_kept,
+          md5(string_agg(CASE WHEN rk <= 10 THEN CAST(doc_id AS VARCHAR) END, ','
+                         ORDER BY doc_id)) AS digest
+        FROM r GROUP BY source ORDER BY source"""))
   )
 }
