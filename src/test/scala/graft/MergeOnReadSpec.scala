@@ -559,4 +559,50 @@ class MergeOnReadSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.getMessage.contains("AUDIT"))
     spark.sql("ALTER TABLE graft.mor.wapf DISCARD WAP 'pend'")
   }
+
+  test("CDC apply: foreachBatch MERGE keeps a replica identical to the source") {
+    spark.sql(
+      s"""CREATE TABLE graft.mor.cdsrc (row_key STRING, v BIGINT)
+         |TBLPROPERTIES ('${GraftDeletes.ModeProp}' = 'merge-on-read')""".stripMargin)
+    spark.sql("CREATE TABLE graft.mor.cdrep (row_key STRING, v BIGINT)")
+    val ckpt = Files.createTempDirectory("cdc_apply").toString
+    def drain(): Unit = {
+      val q = spark.readStream.format("graft")
+        .option("change-feed", "true")
+        .load(s"$warehouse/mor/cdsrc")
+        .writeStream
+        .foreachBatch((b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+            _: Long) => graft.streaming.CdcApply.applyBatch(b, "graft.mor.cdrep"))
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    // backlog of FIVE commits drained as one batch: the reduction must
+    // apply each key's LAST change — 'c' (inserted v2, deleted v5) must
+    // not exist in the replica, 'a' must carry the updated value
+    spark.sql("INSERT INTO graft.mor.cdsrc VALUES ('a', 1), ('b', 2)")
+    spark.sql("INSERT INTO graft.mor.cdsrc VALUES ('c', 3)")
+    spark.sql("UPDATE graft.mor.cdsrc SET v = 100 WHERE row_key = 'a'")
+    spark.sql("DELETE FROM graft.mor.cdsrc WHERE row_key = 'b'")
+    spark.sql("DELETE FROM graft.mor.cdsrc WHERE row_key = 'c'")
+    drain()
+    assert(rows("cdrep") == rows("cdsrc"), s"replica diverged after drain 1")
+    assert(rows("cdrep") == Seq(("a", 100L)))
+    // second drain resumes from the checkpoint: re-insert of a deleted
+    // key, an update, and a fresh insert
+    spark.sql("INSERT INTO graft.mor.cdsrc VALUES ('b', 20)")
+    spark.sql("UPDATE graft.mor.cdsrc SET v = 200 WHERE row_key = 'a'")
+    spark.sql("INSERT INTO graft.mor.cdsrc VALUES ('d', 4)")
+    drain()
+    assert(rows("cdrep") == rows("cdsrc"), s"replica diverged after drain 2")
+    assert(rows("cdrep") == Seq(("a", 200L), ("b", 20L), ("d", 4L)))
+    // idempotence under replay: re-applying the last batch's worth of
+    // changes (the at-least-once failure mode) leaves the replica fixed
+    val all = Snapshots.changes(spark, load("cdsrc"), since = 0L)
+    graft.streaming.CdcApply.applyBatch(all, "graft.mor.cdrep")
+    assert(rows("cdrep") == rows("cdsrc"), "replay must be a no-op")
+    spark.sql("DROP TABLE graft.mor.cdsrc")
+    spark.sql("DROP TABLE graft.mor.cdrep")
+  }
 }
