@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan}
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types._
 
 /** A native backward as-of join — the custom-operator path (c) of the
   * build guide: logical node → planner strategy → physical operator,
@@ -21,7 +21,11 @@ import org.apache.spark.sql.types.LongType
   * backward-join wants.
   *
   * Semantics: left outer — unmatched left rows get nulls for the right
-  * side. `on` expressions must be LongType (epoch nanos in the corpus).
+  * side. `on` expressions may be any long-or-int-backed ordered type —
+  * LongType, TimestampType, TimestampNTZType (internal micros longs),
+  * IntegerType, DateType (internal day ints) — keyed internally on the
+  * order-preserving physical value, so timestamp keys keep full
+  * microsecond precision (a cast-to-long would truncate to seconds).
   */
 final case class AsOfJoinPlan(
     left: LogicalPlan,
@@ -78,6 +82,18 @@ final case class AsOfJoinExec(
   override def outputOrdering: Seq[SortOrder] =
     leftBy.map(SortOrder(_, Ascending)) :+ SortOrder(leftOn, Ascending)
 
+  /** Order-preserving long extraction from a single-column projection of
+    * the `on` expression: timestamps are physically micros longs, dates are
+    * day ints — both read exactly, no unit truncation. */
+  private def onReader(dt: DataType): InternalRow => Long = dt match {
+    case LongType | TimestampType | TimestampNTZType => (r: InternalRow) => r.getLong(0)
+    case IntegerType | DateType => (r: InternalRow) => r.getInt(0).toLong
+    case ShortType => (r: InternalRow) => r.getShort(0).toLong
+    case ByteType => (r: InternalRow) => r.getByte(0).toLong
+    case other => throw new IllegalArgumentException(
+      s"as-of `on` must be a long/int-backed ordered type, got $other")
+  }
+
   override protected def doExecute(): RDD[InternalRow] = {
     val lOut = left.output
     val rOut = right.output
@@ -91,6 +107,8 @@ final case class AsOfJoinExec(
       val rKeyProj = UnsafeProjection.create(rByExprs, rOut)
       val lOnEval = UnsafeProjection.create(Seq(lOnExpr), lOut)
       val rOnEval = UnsafeProjection.create(Seq(rOnExpr), rOut)
+      val lOnRead = onReader(lOnExpr.dataType)
+      val rOnRead = onReader(rOnExpr.dataType)
       val keyOrdering = RowOrdering.createNaturalAscendingOrdering(byTypes)
       val nullRight = new GenericInternalRow(rOut.length)
       val joined = new JoinedRow
@@ -102,7 +120,7 @@ final case class AsOfJoinExec(
 
       lIt.map { lRow =>
         val lKey = lKeyProj(lRow)
-        val lOn = lOnEval(lRow).getLong(0)
+        val lOn = lOnRead(lOnEval(lRow))
         // advance the right side up to (key, on) — keep the latest match
         var continue = rBuf.hasNext
         while (continue) {
@@ -110,7 +128,7 @@ final case class AsOfJoinExec(
           val rKey = rKeyProj(rRow)
           val c = keyOrdering.compare(rKey, lKey)
           if (c < 0) { rBuf.next(); continue = rBuf.hasNext }
-          else if (c == 0 && rOnEval(rRow).getLong(0) <= lOn) {
+          else if (c == 0 && rOnRead(rOnEval(rRow)) <= lOn) {
             lastMatch = rRow.copy()
             lastMatchKey = rKey.copy()
             rBuf.next(); continue = rBuf.hasNext
@@ -118,7 +136,7 @@ final case class AsOfJoinExec(
         }
         val matched =
           lastMatch != null && keyOrdering.compare(lastMatchKey, lKey) == 0 &&
-            rOnEval(lastMatch).getLong(0) <= lOn
+            rOnRead(rOnEval(lastMatch)) <= lOn
         result(joined(lRow, if (matched) lastMatch else nullRight))
       }
     }
@@ -152,10 +170,16 @@ object AsOf {
         throw new IllegalArgumentException(
           s"column $name not in ${plan.output.map(_.name).mkString(",")}"))
     val lOn = resolve(lPlan, leftOn)
-    require(lOn.dataType == LongType, s"as-of `on` must be LongType, got ${lOn.dataType}")
+    val rOn = resolve(rPlan, rightOn)
+    val supported: Set[DataType] = Set(LongType, IntegerType, ShortType,
+      ByteType, DateType, TimestampType, TimestampNTZType)
+    require(supported(lOn.dataType),
+      s"as-of `on` must be an integral/date/timestamp column, got ${lOn.dataType}")
+    require(lOn.dataType == rOn.dataType,
+      s"as-of `on` types must match: left ${lOn.dataType}, right ${rOn.dataType}")
     val node = AsOfJoinPlan(lPlan, rPlan,
       by.map(resolve(lPlan, _)), by.map(resolve(rPlan, _)),
-      lOn, resolve(rPlan, rightOn))
+      lOn, rOn)
     PlanOps.ofRows(left.sparkSession, node)
   }
 }

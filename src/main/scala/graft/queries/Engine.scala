@@ -635,9 +635,7 @@ object Engine {
                  |(event_id BIGINT, e_ts TIMESTAMP_NTZ, user_id BIGINT, value DOUBLE)
                  |PARTITIONED BY (days(e_ts))""".stripMargin)
         graft.Tables(s, dir).events
-          .selectExpr("event_id",
-            "cast(timestamp_micros(ts div 1000) as timestamp_ntz) AS e_ts",
-            "user_id", "value")
+          .selectExpr("event_id", "ts AS e_ts", "user_id", "value")
           .writeTo(s"$ns.ev").append()
         s.sql(
           s"""SELECT CAST(date_format(e_ts, 'yyyy-MM-dd') AS STRING) AS day,

@@ -338,9 +338,10 @@ object Relational {
       "q16_events_hourly",
       (s, dir) => {
         val t = Tables(s, dir)
-        val ev = t.events.withColumn("ts_us",
-          timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
-        ev.groupBy(date_format(date_trunc("hour", col("ts_us")), "yyyy-MM-dd HH:mm").as("hour"),
+        // `ts` is TIMESTAMP_NTZ via Tables.normalizeEventTime — native
+        // date_trunc, no epoch arithmetic
+        t.events
+          .groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm").as("hour"),
             col("event_type"))
           .agg(count(lit(1)).as("n"), dsum(col("value"), 4).as("total_value"))
           .orderBy(col("hour"), col("event_type"))
@@ -354,12 +355,13 @@ object Relational {
       "q17_sessionize",
       (s, dir) => {
         val t = Tables(s, dir)
-        val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        // exact gap arithmetic on the normalized epoch-nanos column
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts_ns"), col("event_id"))
         val gapNs = 30L * 60L * 1000000000L
         t.events
-          .withColumn("prev", lag(col("ts"), 1).over(w))
+          .withColumn("prev", lag(col("ts_ns"), 1).over(w))
           .withColumn("new_sess",
-            when(col("prev").isNull || col("ts") - col("prev") > gapNs, 1L).otherwise(0L))
+            when(col("prev").isNull || col("ts_ns") - col("prev") > gapNs, 1L).otherwise(0L))
           .groupBy(col("user_id"))
           .agg(sum(col("new_sess")).as("n_sessions"), count(lit(1)).as("n_events"))
           .orderBy(col("user_id"))

@@ -199,7 +199,8 @@ object Relational2 {
         val t = Tables(s, dir)
         import org.apache.spark.sql.expressions.Window
         val hourNs = 3600L * 1000000000L
-        val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+        // RANGE frame needs a numeric order key → the normalized ts_ns
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts_ns"))
           .rangeBetween(-hourNs, 0)
         t.events
           .withColumn("hr_events", count(lit(1)).over(w))
@@ -226,9 +227,8 @@ object Relational2 {
       "q52_session_window",
       (s, dir) => {
         val t = Tables(s, dir)
-        val ev = t.events.withColumn("ts_us",
-          timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
-        ev.groupBy(col("user_id"), session_window(col("ts_us"), "30 minutes"))
+        // `ts` is TIMESTAMP_NTZ via Tables.normalizeEventTime
+        t.events.groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
           .agg(count(lit(1)).as("n_events"), dsum(col("value"), 4).as("total_value"))
           .select(col("user_id"),
             date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("sess_start"),
@@ -397,8 +397,8 @@ object Relational2 {
         val w = 21600L * 1000000000L // 6 hours
         val nBuckets = 40L
         val agg = t.events
-          .filter(col("ts") >= t0 && col("ts") < t0 + nBuckets * w)
-          .withColumn("bucket", expr(s"cast((ts - ${t0}L) div ${w}L as bigint)"))
+          .filter(col("ts_ns") >= t0 && col("ts_ns") < t0 + nBuckets * w)
+          .withColumn("bucket", expr(s"cast((ts_ns - ${t0}L) div ${w}L as bigint)"))
           .groupBy(col("event_type"), col("bucket"))
           .agg(count(lit(1)).as("n0"), dsum(col("value")).as("s"))
         val grid = t.events.select(col("event_type")).distinct()

@@ -30,17 +30,31 @@ object EventStreams {
 
   val GapNs: Long = 30L * 60L * 1000000000L
 
-  /** Tumbling 1-hour windows of event counts + value sums; `events` must
-    * carry `ts` as nanosecond longs (the corpus encoding). Usable on both
-    * batch and streaming frames. */
+  /** Tumbling 1-hour windows of event counts + value sums. `events` may
+    * carry `ts` in any corpus encoding [[graft.Tables.normalizeEventTime]]
+    * accepts (TIMESTAMP_NTZ today, long nanos historically) — schema
+    * dispatch works identically on batch and streaming frames. Spark's
+    * watermark machinery demands an instant-typed (TIMESTAMP) event-time
+    * column, so the normalized NTZ value is cast under the project's
+    * pinned UTC session timezone. */
   def windowedStats(events: DataFrame, watermark: String = "1 hour"): DataFrame =
-    events
-      .withColumn("ts_us", timestamp_micros(expr("ts div 1000")))
-      .withWatermark("ts_us", watermark)
-      .groupBy(window(col("ts_us"), "1 hour"), col("event_type"))
+    graft.Tables.normalizeEventTime(events)
+      .withColumn("ts_evt", col("ts").cast("timestamp"))
+      .withWatermark("ts_evt", watermark)
+      .groupBy(window(col("ts_evt"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"), col("total_value"))
+
+  /** Typed event view for [[sessionCounts]]: `ts` normalized to epoch
+    * nanos regardless of the corpus encoding. */
+  def asEvents(events: DataFrame): Dataset[Event] = {
+    import events.sparkSession.implicits._
+    graft.Tables.normalizeEventTime(events)
+      .select(col("event_id"), col("ts_ns").as("ts"), col("user_id"),
+        col("event_type"), col("value"))
+      .as[Event]
+  }
 
   /** Per-user session counts with a 30-minute inactivity gap, implemented
     * as explicit keyed state. Events within one micro-batch are sorted by

@@ -67,4 +67,28 @@ class AsOfJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
     // t=10 matches rt=10 exactly (<=); t=5 matches rt=3; k=2 has no right rows
     assert(got == Set(("a", "x"), ("b", "x"), ("c", "y"), ("d", "-")))
   }
+
+  test("date and sub-second timestamp on-columns join without unit truncation") {
+    import spark.implicits._
+    // date keys (internal day ints)
+    val l = Seq((1L, "2024-03-10", "a"), (1L, "2024-03-01", "b"))
+      .toDF("k", "t", "tag").withColumn("t", col("t").cast("date"))
+    val r = Seq((1L, "2024-03-05", "x"), (1L, "2024-02-01", "y"))
+      .toDF("k", "rt", "rtag").withColumn("rt", col("rt").cast("date"))
+    val gotDates = AsOf.joinBackward(l, r, Seq("k"), "t", "rt")
+      .select(col("tag"), col("rtag"))
+      .collect().map(x => (x.getString(0), x.getString(1))).toSet
+    assert(gotDates == Set(("a", "x"), ("b", "y")))
+
+    // timestamps differing only below the second: a cast-to-long (seconds)
+    // key would collapse 12:00:00.2 and 12:00:00.7 and mismatch
+    val lt = Seq((1L, "2024-03-10 12:00:00.300", "p"))
+      .toDF("k", "t", "tag").withColumn("t", col("t").cast("timestamp_ntz"))
+    val rt = Seq((1L, "2024-03-10 12:00:00.200", "early"),
+        (1L, "2024-03-10 12:00:00.700", "late"))
+      .toDF("k", "rt", "rtag").withColumn("rt", col("rt").cast("timestamp_ntz"))
+    val gotTs = AsOf.joinBackward(lt, rt, Seq("k"), "t", "rt")
+      .select(col("rtag")).collect().map(_.getString(0)).toSet
+    assert(gotTs == Set("early"))
+  }
 }

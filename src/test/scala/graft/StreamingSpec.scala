@@ -75,10 +75,12 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       .toTable("gww.s.win")
     try q.processAllAvailable() finally q.stop()
 
-    val maxTsUs = batchEvents.agg(max(expr("ts div 1000"))).head().getLong(0)
+    val maxTsUs = graft.Tables.normalizeEventTime(batchEvents)
+      .agg(max(expr("ts_ns div 1000"))).head().getLong(0)
     val watermarkUs = maxTsUs - 3600L * 1000000L // "1 hour" delay
     val want = graft.streaming.EventStreams.windowedStats(batchEvents)
-      .filter(unix_micros(col("window_start")) + 3600L * 1000000L <= watermarkUs)
+      .filter(unix_micros(col("window_start").cast("timestamp")) // UTC session
+        + 3600L * 1000000L <= watermarkUs)
       .select(col("window_start").cast("string"), col("event_type"), col("n"),
         round(col("total_value"), 6))
       .collect().map(_.toSeq).toSet
@@ -114,9 +116,8 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("stateful sessionization: streaming result equals batch lag-based result") {
     import spark.implicits._
-    val stream = spark.readStream.schema(batchEvents.schema).parquet(streamDir)
-      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
-      .as[EventStreams.Event]
+    val stream = EventStreams.asEvents(
+      spark.readStream.schema(batchEvents.schema).parquet(streamDir))
     val q = EventStreams.sessionCounts(stream)
       .writeStream.format("memory").queryName("sess")
       .outputMode(OutputMode.Update()).start()
@@ -124,11 +125,11 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
 
     // batch oracle: q17-style lag + gap window
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy($"user_id").orderBy($"ts", $"event_id")
-    val want = batchEvents
-      .withColumn("prev", lag($"ts", 1).over(w))
+      .partitionBy($"user_id").orderBy($"ts_ns", $"event_id")
+    val want = graft.Tables.normalizeEventTime(batchEvents)
+      .withColumn("prev", lag($"ts_ns", 1).over(w))
       .withColumn("new_sess",
-        when($"prev".isNull || $"ts" - $"prev" > EventStreams.GapNs, 1L).otherwise(0L))
+        when($"prev".isNull || $"ts_ns" - $"prev" > EventStreams.GapNs, 1L).otherwise(0L))
       .groupBy($"user_id")
       .agg(sum($"new_sess").as("n_sessions"), count(lit(1)).as("n_events"))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
@@ -401,16 +402,15 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     // the streaming enrichment shape (clicks × purchases). Watermarks
     // bound both sides' state so at 100 TB/day the join state stays
     // proportional to the interval, not the history.
-    val clicks = spark.readStream.schema(batchEvents.schema).parquet(streamDir)
-      .where("event_type = 'click'")
-      .selectExpr("user_id AS c_user", "timestamp_micros(ts DIV 1000) AS c_ts",
-        "event_id AS c_id")
-      .withWatermark("c_ts", "10 minutes")
-    val purchases = spark.readStream.schema(batchEvents.schema).parquet(streamDir)
-      .where("event_type = 'purchase'")
-      .selectExpr("user_id AS p_user", "timestamp_micros(ts DIV 1000) AS p_ts",
-        "event_id AS p_id")
-      .withWatermark("p_ts", "10 minutes")
+    def side(tpe: String, prefix: String) =
+      graft.Tables.normalizeEventTime(
+          spark.readStream.schema(batchEvents.schema).parquet(streamDir))
+        .where(s"event_type = '$tpe'")
+        .selectExpr(s"user_id AS ${prefix}_user",
+          s"cast(ts as timestamp) AS ${prefix}_ts", s"event_id AS ${prefix}_id")
+        .withWatermark(s"${prefix}_ts", "10 minutes")
+    val clicks = side("click", "c")
+    val purchases = side("purchase", "p")
     val joined = clicks.join(purchases,
       expr("""c_user = p_user AND
              |p_ts BETWEEN c_ts - INTERVAL 5 MINUTES AND c_ts + INTERVAL 5 MINUTES"""
@@ -422,11 +422,11 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
 
     val got = spark.table("ss_join").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
-    val be = batchEvents
+    val be = graft.Tables.normalizeEventTime(batchEvents)
     val want = be.where("event_type = 'click'")
-      .selectExpr("user_id AS c_user", "timestamp_micros(ts DIV 1000) AS c_ts", "event_id AS c_id")
+      .selectExpr("user_id AS c_user", "cast(ts as timestamp) AS c_ts", "event_id AS c_id")
       .join(be.where("event_type = 'purchase'")
-        .selectExpr("user_id AS p_user", "timestamp_micros(ts DIV 1000) AS p_ts", "event_id AS p_id"),
+        .selectExpr("user_id AS p_user", "cast(ts as timestamp) AS p_ts", "event_id AS p_id"),
         expr("""c_user = p_user AND
                |p_ts BETWEEN c_ts - INTERVAL 5 MINUTES AND c_ts + INTERVAL 5 MINUTES"""
           .stripMargin))
