@@ -39,7 +39,18 @@ def main():
     results = sorted(d for d in os.listdir(outdir)
                      if os.path.isdir(os.path.join(outdir, d)))
     n_pass = n_fail = n_noracle = 0
+    # the round-5 failure mode: a query that errors must not VANISH from the
+    # artifact. Verify now writes _ERROR.txt markers; also flag declared
+    # queries with no output dir at all (skip the check for subset runs).
+    declared, present = set(oracle), set(results)
+    if len(present) >= 0.9 * len(declared):
+        for name in sorted(declared - present):
+            print(f"FAIL {name}: declared but no output dir"); n_fail += 1
     for name in results:
+        marker = os.path.join(outdir, name, "_ERROR.txt")
+        if os.path.exists(marker):
+            msg = open(marker).read().strip().splitlines()
+            print(f"FAIL {name}: ERR {msg[0] if msg else ''}"); n_fail += 1; continue
         files = glob.glob(os.path.join(outdir, name, "*.parquet"))
         if not files:
             print(f"FAIL {name}: no parquet output"); n_fail += 1; continue

@@ -55,15 +55,28 @@ object Bench {
     * Full names appear in `BENCH_LAST.json` only. */
   def shortKey(name: String): String = name.takeWhile(_ != '_')
 
-  /** Shortest-precision-that-fits line for stdout: short `qNN` keys, 3
-    * decimals unless the budget forces fewer (never below 1). */
+  /** Per-failure message budget on the STDOUT line. Full (300-char) texts
+    * go to BENCH_LAST.json only: round 5's artifact died because 7 × ~300
+    * chars of failure text pushed the JSON line past the harness' ~2000-char
+    * tail window and the head (with `{"metric":...`) was lost. */
+  val MaxFailureChars = 60
+
+  /** Shortest-rendering-that-fits line for stdout: short `qNN` keys,
+    * failure messages truncated to [[MaxFailureChars]], 3 decimals unless
+    * the budget forces fewer; if many failures still blow the budget their
+    * messages degrade to `"err"` (names survive — the full text is in
+    * BENCH_LAST.json). */
   def renderShortLine(timings: Seq[(String, Double)], failures: Seq[(String, String)],
                       sf: String): String = {
     val short = timings.map { case (k, v) => shortKey(k) -> v }
-    val shortF = failures.map { case (k, v) => shortKey(k) -> v }
-    val candidates = (3 to 1 by -1).iterator.map(d => renderLine(short, shortF, sf, d))
+    val shortF = failures.map { case (k, v) => shortKey(k) -> v.take(MaxFailureChars) }
+    val errOnly = shortF.map { case (k, _) => k -> "err" }
+    val candidates = for {
+      f <- Iterator(shortF, errOnly)
+      d <- (3 to 1 by -1).iterator
+    } yield renderLine(short, f, sf, d)
     candidates.find(_.getBytes("UTF-8").length <= MaxLineBytes)
-      .getOrElse(renderLine(short, shortF, sf, 1))
+      .getOrElse(renderLine(short, errOnly, sf, 1))
   }
 
   def main(args: Array[String]): Unit = {

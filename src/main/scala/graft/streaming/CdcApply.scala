@@ -39,28 +39,41 @@ object CdcApply {
     val spark = batch.sparkSession
     val meta = Set("_change_type", "_commit_version")
     val valueCols = batch.columns.filterNot(c => meta(c) || c == keyCol)
-    // postimage sorts after delete/insert lexicographically — irrelevant in
-    // practice (pairing guarantees one effective change per key+version)
-    // but makes the reduction deterministic under malformed feeds
+    // same-version tie-break is an EXPLICIT priority (delete wins, then the
+    // update postimage, then insert): a graft feed pre-pairs updates so one
+    // effective change exists per key+version, but a malformed or foreign
+    // feed carrying an unpaired insert+delete at one version must resolve
+    // to the delete — the lexicographic accident ("insert" > "delete")
+    // would resurrect the row
+    val changePriority = when(col("_change_type") === "delete", 3)
+      .when(col("_change_type") === "update_postimage", 2)
+      .when(col("_change_type") === "insert", 1)
+      .otherwise(0)
     val latest = batch
       .filter(col("_change_type") =!= "update_preimage")
       .withColumn("_rn", row_number().over(
         Window.partitionBy(col(keyCol))
-          .orderBy(col("_commit_version").desc, col("_change_type").desc)))
+          .orderBy(col("_commit_version").desc, changePriority.desc)))
       .filter(col("_rn") === 1).drop("_rn")
     val view = "graft_cdc_batch_" +
       java.util.UUID.randomUUID().toString.replace("-", "")
     latest.createOrReplaceTempView(view)
     try {
-      val setCols = valueCols.map(c => s"t.`$c` = s.`$c`").mkString(", ")
       val insCols = (keyCol +: valueCols).map(c => s"`$c`").mkString(", ")
       val insVals = (keyCol +: valueCols).map(c => s"s.`$c`").mkString(", ")
-      spark.sql(
-        s"""MERGE INTO $target t USING $view s ON t.`$keyCol` = s.`$keyCol`
-           |WHEN MATCHED AND s._change_type = 'delete' THEN DELETE
-           |WHEN MATCHED THEN UPDATE SET $setCols
-           |WHEN NOT MATCHED AND s._change_type != 'delete'
-           |  THEN INSERT ($insCols) VALUES ($insVals)""".stripMargin)
+      // a key-only target has nothing to update — `UPDATE SET` with zero
+      // assignments is a parse error, so the clause is dropped (matched
+      // non-delete rows are correctly a no-op there)
+      val updateClause =
+        if (valueCols.isEmpty) Nil
+        else Seq("WHEN MATCHED THEN UPDATE SET " +
+          valueCols.map(c => s"t.`$c` = s.`$c`").mkString(", "))
+      spark.sql((Seq(
+        s"MERGE INTO $target t USING $view s ON t.`$keyCol` = s.`$keyCol`",
+        "WHEN MATCHED AND s._change_type = 'delete' THEN DELETE") ++
+        updateClause ++ Seq(
+        "WHEN NOT MATCHED AND s._change_type != 'delete'",
+        s"  THEN INSERT ($insCols) VALUES ($insVals)")).mkString("\n"))
     } finally spark.catalog.dropTempView(view)
   }
 }

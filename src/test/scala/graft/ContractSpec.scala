@@ -37,4 +37,24 @@ class ContractSpec extends AnyFunSuite {
     assert(n <= Bench.MaxLineBytes, s"bench line is $n bytes > ${Bench.MaxLineBytes}")
     assert(line.startsWith("""{"metric":"total""""))
   }
+
+  test("bench line budget survives query failures (round-5 regression)") {
+    // round 5: 7 failures × ~300-char messages overflowed the tail window
+    // and the artifact recorded parsed:null. The stdout line must absorb
+    // MANY long failure messages and still fit.
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    val (failed, timed) = names.splitAt(10)
+    val failures = failed.map(_ -> ("x" * 300))
+    val line = Bench.renderShortLine(timed.map(_ -> 999.999), failures, "sf0.1")
+    val n = line.getBytes("UTF-8").length
+    assert(n <= Bench.MaxLineBytes, s"bench line with 10 failures is $n bytes")
+    assert(line.startsWith("""{"metric":"total"""") && line.contains("\"failures\""))
+    // every failing query is still NAMED on the line even if its message
+    // degraded — a failure must never vanish from the artifact
+    failed.map(Bench.shortKey).foreach(k => assert(line.contains("\"" + k + "\"")))
+    // worst case: EVERY query fails with a long message
+    val all = Bench.renderShortLine(Nil, names.map(_ -> ("y" * 300)), "sf0.1")
+    assert(all.getBytes("UTF-8").length <= Bench.MaxLineBytes,
+      s"all-failures line is ${all.getBytes("UTF-8").length} bytes")
+  }
 }

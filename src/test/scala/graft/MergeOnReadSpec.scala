@@ -605,4 +605,24 @@ class MergeOnReadSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.sql("DROP TABLE graft.mor.cdsrc")
     spark.sql("DROP TABLE graft.mor.cdrep")
   }
+
+  test("CDC apply: key-only targets and same-version insert+delete ties") {
+    import spark.implicits._
+    // a key-only replica (membership set): no value columns, so the MERGE
+    // must not emit an empty `UPDATE SET` clause
+    spark.sql("CREATE TABLE graft.mor.cdkeys (row_key STRING)")
+    spark.sql("INSERT INTO graft.mor.cdkeys VALUES ('a'), ('b')")
+    // malformed/foreign feed: key 'b' carries an UNPAIRED insert+delete at
+    // the SAME version — the explicit priority must resolve to the delete
+    // (lexicographic _change_type desc would pick insert and resurrect it)
+    val batch = Seq(
+      ("b", "insert", 7L), ("b", "delete", 7L),
+      ("c", "insert", 7L),
+      ("a", "update_preimage", 7L), ("a", "update_postimage", 7L))
+      .toDF("row_key", "_change_type", "_commit_version")
+    graft.streaming.CdcApply.applyBatch(batch, "graft.mor.cdkeys")
+    assert(spark.table("graft.mor.cdkeys").collect().map(_.getString(0)).sorted
+      .toSeq == Seq("a", "c"), "delete must win the same-version tie")
+    spark.sql("DROP TABLE graft.mor.cdkeys")
+  }
 }
