@@ -12,12 +12,14 @@ import org.apache.spark.sql.functions._
   * decode stage is a narrow map over whatever partitioning the scan
   * produced, so it scales with executors).
   *
-  * The actual byte→pixels/samples decode is STUBBED with a deterministic
-  * md5-based fake ([[FakeDecoder]]) because no media libraries exist in
-  * this environment — the Spark-side contract (schema, binary transport,
-  * partition-wise iteration, fixed-width feature output) is real and
-  * oracle-tested; swapping `FakeDecoder.decode` for a JNI/javacv call is
-  * the only change a real deployment needs.
+  * Decode is REAL for the pure-JVM formats: binary P6 PPM bitmaps
+  * ([[MediaDecoder.decodePpm]] — header parse incl. comments, then a
+  * streaming pixel pass) and PCM RIFF/WAVE audio
+  * ([[MediaDecoder.decodeWav]] — chunk walk, fmt fields, 16-bit sample
+  * pass). Payloads in formats that need native codecs (JPEG/H.264/…,
+  * unavailable offline) fall back to the deterministic md5
+  * [[FakeDecoder]] stub, clearly marked; swapping that arm for a
+  * JNI/javacv call is the only change a real deployment needs.
   */
 object Multimodal {
 
@@ -48,6 +50,144 @@ object Multimodal {
     }
   }
 
+  /** Real byte-level decoders for the pure-JVM media formats. Features are
+    * EXACT integer sums carried as floats (all values ≤ 2^24, so the float
+    * representation is lossless and the DuckDB oracle replays them
+    * arithmetically):
+    *  - PPM: (width, height, [pixelSum, rSum, gSum, bSum])
+    *  - WAV: (nSamples, channels, [absSampleSum, sampleRate, bits, channels])
+    */
+  object MediaDecoder {
+    def decode(payload: Array[Byte]): (Int, Int, Array[Float]) =
+      if (payload.length >= 2 && payload(0) == 'P' && payload(1) == '6')
+        decodePpm(payload)
+      else if (payload.length >= 12 && payload(0) == 'R' && payload(1) == 'I' &&
+        payload(2) == 'F' && payload(3) == 'F')
+        decodeWav(payload)
+      else FakeDecoder.decode(payload) // codec-requiring formats: stub
+
+    /** Binary P6 PPM: `P6 <ws> width <ws> height <ws> maxval <single-ws>`
+      * then width*height*3 raw bytes; `#` comments allowed in the header. */
+    def decodePpm(p: Array[Byte]): (Int, Int, Array[Float]) = {
+      var pos = 2
+      def nextInt(): Int = {
+        var done = false
+        while (!done && pos < p.length) {
+          if (p(pos) == '#') { while (pos < p.length && p(pos) != '\n') pos += 1 }
+          else if (Character.isWhitespace(p(pos))) pos += 1
+          else done = true
+        }
+        var v = 0
+        while (pos < p.length && p(pos) >= '0' && p(pos) <= '9') {
+          v = v * 10 + (p(pos) - '0'); pos += 1
+        }
+        v
+      }
+      val w = nextInt(); val h = nextInt(); nextInt() // maxval
+      pos += 1 // exactly one whitespace separates header from raster
+      var sum = 0L; val chan = Array(0L, 0L, 0L)
+      val n = w * h * 3
+      var i = 0
+      while (i < n && pos + i < p.length) {
+        val v = p(pos + i) & 0xff
+        sum += v; chan(i % 3) += v; i += 1
+      }
+      (w, h, Array(sum.toFloat, chan(0).toFloat, chan(1).toFloat, chan(2).toFloat))
+    }
+
+    /** PCM RIFF/WAVE: chunk walk to `fmt ` (channels/rate/bits) and `data`
+      * (16-bit little-endian samples). Returns (nSamples, channels, sums). */
+    def decodeWav(p: Array[Byte]): (Int, Int, Array[Float]) = {
+      val bb = java.nio.ByteBuffer.wrap(p).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      var pos = 12 // past RIFF<size>WAVE
+      var channels = 1; var rate = 0; var bits = 16
+      var dataOff = -1; var dataLen = 0
+      while (pos + 8 <= p.length && dataOff < 0) {
+        val id = new String(p, pos, 4, java.nio.charset.StandardCharsets.US_ASCII)
+        val sz = bb.getInt(pos + 4)
+        if (id == "fmt ") {
+          channels = bb.getShort(pos + 10).toInt
+          rate = bb.getInt(pos + 12)
+          bits = bb.getShort(pos + 22).toInt
+        } else if (id == "data") { dataOff = pos + 8; dataLen = sz }
+        pos += 8 + sz + (sz & 1) // chunks are word-aligned
+      }
+      require(dataOff >= 0 && bits == 16, s"unsupported WAV layout (bits=$bits)")
+      val nVals = dataLen / 2
+      var sumAbs = 0L
+      var i = 0
+      while (i < nVals && dataOff + 2 * i + 1 < p.length) {
+        sumAbs += math.abs(bb.getShort(dataOff + 2 * i).toLong); i += 1
+      }
+      (nVals / channels, channels,
+        Array(sumAbs.toFloat, rate.toFloat, bits.toFloat, channels.toFloat))
+    }
+  }
+
+  /** Deterministic REAL media payloads from document text — the corpus
+    * ships no binary column, so assets are synthesized with pixel/sample
+    * values derived from the text bytes. The construction is simple
+    * arithmetic over character codes, which is exactly what lets the
+    * DuckDB oracle verify the real decoder end-to-end. */
+  object AssetGen {
+    private def textBytes(text: String): Array[Byte] = {
+      val b = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      if (b.isEmpty) Array(' '.toByte) else b
+    }
+
+    /** P6 bitmap, w = 4 + len%13, h = 4 + len%11, pixels cycle the text. */
+    def ppm(text: String): Array[Byte] = {
+      val b = textBytes(text); val len = b.length
+      val w = 4 + len % 13; val h = 4 + len % 11
+      val header = s"P6\n$w $h\n255\n"
+        .getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+      val out = new Array[Byte](header.length + w * h * 3)
+      System.arraycopy(header, 0, out, 0, header.length)
+      var i = 0
+      while (i < w * h * 3) { out(header.length + i) = b(i % len); i += 1 }
+      out
+    }
+
+    /** Mono 16-bit 8 kHz PCM, 16 + len%64 samples derived from the text. */
+    def wav(text: String): Array[Byte] = {
+      val b = textBytes(text); val len = b.length
+      val n = 16 + len % 64
+      val bb = java.nio.ByteBuffer.allocate(44 + 2 * n)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      val ascii = java.nio.charset.StandardCharsets.US_ASCII
+      bb.put("RIFF".getBytes(ascii)).putInt(36 + 2 * n).put("WAVE".getBytes(ascii))
+      bb.put("fmt ".getBytes(ascii)).putInt(16)
+        .putShort(1).putShort(1) // PCM, mono
+        .putInt(8000).putInt(16000).putShort(2).putShort(16)
+      bb.put("data".getBytes(ascii)).putInt(2 * n)
+      var i = 0
+      while (i < n) {
+        bb.putShort((((b(i % len) & 0xff) - 96) * 128).toShort); i += 1
+      }
+      bb.array()
+    }
+  }
+
+  /** Media table with REAL binary payloads: image/video docs become P6 PPM
+    * bitmaps, audio docs become PCM WAV — built partition-wise (payloads
+    * never visit the driver), then decoded back by [[MediaDecoder]]. */
+  def mediaAssets(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          val kind = (id % 3) match {
+            case 0 => "image"
+            case 1 => "audio"
+            case _ => "video"
+          }
+          val payload = if (kind == "audio") AssetGen.wav(text) else AssetGen.ppm(text)
+          MediaRow(id, kind, payload)
+        }
+      }
+      .toDF("media_id", "kind", "payload")
+  }
+
   /** Build a deterministic media table from `documents`: payload = UTF-8
     * text bytes, kind cycles image/audio/video. (The corpus ships no
     * binary column; this is the documented stand-in.) */
@@ -65,7 +205,7 @@ object Multimodal {
     import media.sparkSession.implicits._
     media.as[MediaRow].mapPartitions { it =>
       it.map { m =>
-        val (w, h, feat) = FakeDecoder.decode(m.payload)
+        val (w, h, feat) = MediaDecoder.decode(m.payload)
         MediaFeatures(m.media_id, m.kind, m.payload.length.toLong, w, h, feat)
       }
     }

@@ -5,46 +5,63 @@ import graft.multimodal.Multimodal
 import org.apache.spark.sql.functions._
 
 /** Multimodal pipeline exercised through the correctness gate: binary
-  * payload column → partition-wise (stub) decode → typed features. The
-  * oracle recomputes the md5-derived fake-decoder outputs in SQL, proving
-  * the Spark-side plumbing (binary transport, mapPartitions decode, schema)
-  * end-to-end. */
+  * payload column → partition-wise REAL decode (P6 PPM header+pixel parse,
+  * RIFF/WAVE chunk walk + 16-bit sample pass) → typed features. Payloads
+  * are fixture-generated from document text (pixels/samples cycle the text
+  * bytes), so the oracle replays the decoded dimensions and exact
+  * pixel/sample sums with pure SQL arithmetic over character codes —
+  * proving the byte-level decoders, not just the plumbing. */
 object Media {
-
-  /** DuckDB: value of md5 hex chars [2i+1, 2i+2] as an unsigned byte. */
-  private def duckByte(i: Int): String = {
-    val hi = s"(strpos('0123456789abcdef', substr(m, ${2 * i + 1}, 1)) - 1)"
-    val lo = s"(strpos('0123456789abcdef', substr(m, ${2 * i + 2}, 1)) - 1)"
-    s"($hi * 16 + $lo)"
-  }
 
   val defs: Seq[QueryDef] = Seq(
     QueryDef(
       "q33_multimodal_decode",
       (s, dir) => {
         val t = Tables(s, dir)
-        val media = Multimodal.mediaTable(t.documents)
+        // REAL round trip: text → P6 PPM / PCM WAV bytes → header+payload
+        // parse → exact integer features
+        val media = Multimodal.mediaAssets(t.documents)
         Multimodal.extractFeatures(media)
           .select(col("media_id"), col("kind"), col("n_bytes"),
             col("width").cast("long").as("width"),
             col("height").cast("long").as("height"),
-            // surface one feature component (rescaled) to pin the vector path
-            round(element_at(col("feature"), 1).cast("double") * 256.0, 0).cast("long")
-              .as("f0"))
+            // feature(0) = exact pixel-sum (PPM) / abs-sample-sum (WAV)
+            element_at(col("feature"), 1).cast("long").as("f0"))
           .orderBy(col("media_id"))
       },
-      Some(s"""SELECT media_id, kind, n_bytes,
-        CAST(16 + ${duckByte(0)} AS BIGINT) AS width,
-        CAST(16 + ${duckByte(1)} AS BIGINT) AS height,
-        CAST(${duckByte(2)} AS BIGINT) AS f0
-        FROM (
-          SELECT doc_id AS media_id,
-            CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
-                 ELSE 'video' END AS kind,
-            CAST(length(text) AS BIGINT) AS n_bytes,
-            md5(text) AS m
-          FROM documents)
-        ORDER BY media_id""")),
+      // replay the construction arithmetically: dims from text length,
+      // sums over the cycled character codes (docs are ASCII; byte == char)
+      Some("""WITH m AS (
+          SELECT doc_id AS media_id, text,
+                 CAST(length(text) AS BIGINT) AS len,
+                 CAST(doc_id % 3 AS INT) AS k
+          FROM documents),
+        dims AS (
+          SELECT media_id, text, len, k,
+                 4 + len % 13 AS w, 4 + len % 11 AS h,
+                 16 + len % 64 AS nsamp,
+                 CASE WHEN k = 1 THEN 16 + len % 64
+                      ELSE (4 + len % 13) * (4 + len % 11) * 3 END AS nvals
+          FROM m),
+        px AS (
+          SELECT media_id, k, len, text, unnest(range(nvals)) AS i FROM dims),
+        sums AS (
+          SELECT media_id,
+            CAST(SUM(CASE WHEN k = 1
+                 THEN abs((ascii(substr(text, CAST(i % len + 1 AS INT), 1)) - 96) * 128)
+                 ELSE ascii(substr(text, CAST(i % len + 1 AS INT), 1)) END)
+              AS BIGINT) AS f0
+          FROM px GROUP BY media_id)
+        SELECT d.media_id,
+          CASE d.k WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+          CAST(CASE WHEN d.k = 1 THEN 44 + 2 * d.nsamp
+               ELSE 3 + length(CAST(d.w AS VARCHAR)) + 1 + length(CAST(d.h AS VARCHAR))
+                    + 1 + 4 + d.w * d.h * 3 END AS BIGINT) AS n_bytes,
+          CAST(CASE WHEN d.k = 1 THEN d.nsamp ELSE d.w END AS BIGINT) AS width,
+          CAST(CASE WHEN d.k = 1 THEN 1 ELSE d.h END AS BIGINT) AS height,
+          s.f0
+        FROM dims d JOIN sums s USING (media_id)
+        ORDER BY d.media_id""")),
 
     // ---- q62: frame sampling over media payloads -------------------------
     // k=4 evenly-spaced byte ranges per asset, each hashed (stub frame

@@ -16,6 +16,20 @@ import org.apache.spark.sql.functions._
   */
 object Text {
 
+  /** q119's vocabulary bound: the perceptron's per-round gradient collect
+    * is vocabulary-sized, so the feature space is capped at the top-`cap`
+    * tokens by document frequency (ties broken by token asc — fully
+    * deterministic, so the DuckDB oracle replays the same cap). At any
+    * corpus scale the model/gradient stays O(cap), not O(distinct tokens). */
+  val PerceptronVocabCap = 2048
+
+  /** Top-`cap` rows of a (doc_id, j, …) token frame's vocabulary, by
+    * document frequency then token. The result is model-sized: safe to
+    * broadcast. */
+  def perceptronVocab(raw: org.apache.spark.sql.DataFrame, cap: Int): org.apache.spark.sql.DataFrame =
+    raw.groupBy(col("j")).agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("j")).limit(cap).select(col("j"))
+
   val defs: Seq[QueryDef] = Seq(
 
     // ---- q19: token counting — whitespace split + a BPE-ish regex -------
@@ -1067,8 +1081,13 @@ object Text {
             when(col("pa") > col("pb"), 1L).otherwise(-1L).as("y"))
         val raw = toks.groupBy(col("doc_id"), col("w").as("j"))
           .agg(count(lit(1)).as("c"))
-        val tot = raw.groupBy(col("doc_id")).agg(sum(col("c")).as("t"))
-        val feats = raw.join(tot, "doc_id")
+        // cap the feature space (see PerceptronVocabCap): counts and totals
+        // are computed over the capped vocabulary so features stay
+        // self-consistent, and the per-round gradient is O(cap)
+        val capped = raw.join(
+          broadcast(perceptronVocab(raw, PerceptronVocabCap)), "j")
+        val tot = capped.groupBy(col("doc_id")).agg(sum(col("c")).as("t"))
+        val feats = capped.join(tot, "doc_id")
           .select(col("doc_id"), col("j"),
             (lit(32L) * col("c") - col("t")).as("x"))
           .join(labels, "doc_id")
@@ -1134,10 +1153,14 @@ object Text {
         raw AS (
           SELECT doc_id, w AS j, CAST(COUNT(*) AS BIGINT) AS c
           FROM toks WHERE length(w) > 0 GROUP BY doc_id, w),
-        tot AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS t FROM raw GROUP BY doc_id),
+        vocab AS ( -- the deterministic top-N cap, mirrored from Spark
+          SELECT j FROM (SELECT j, COUNT(*) AS df FROM raw GROUP BY j)
+          ORDER BY df DESC, j LIMIT ${PerceptronVocabCap}),
+        capped AS (SELECT r.* FROM raw r JOIN vocab USING (j)),
+        tot AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS t FROM capped GROUP BY doc_id),
         feats AS (
           SELECT r.doc_id, r.j, 32 * r.c - tt.t AS x, l.y
-          FROM raw r JOIN tot tt USING (doc_id) JOIN labels l USING (doc_id)),
+          FROM capped r JOIN tot tt USING (doc_id) JOIN labels l USING (doc_id)),
         w1 AS ( -- w0 = 0: every margin is 0, every doc misclassified
           SELECT j, CAST(SUM(y * x) AS BIGINT) AS wj FROM feats GROUP BY j),
         ${perceptronRound("w1", "w2")},

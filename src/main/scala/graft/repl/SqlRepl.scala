@@ -4,16 +4,52 @@ import scala.io.StdIn
 
 import org.apache.spark.sql.SparkSession
 
-/** Minimal SQL console over the graft catalog — the analog of the
-  * reference's jline REPL (`HBaseSQLClient.scala:31-100`): `;`-terminated
-  * statements with multi-line continuation, `EXIT;` quits, everything else
-  * runs through `spark.sql(...).show(30)`. Statement history persists to
-  * `~/.graft_history` across sessions (capability analog of the
-  * reference's jline `FileHistory`, `HBaseSQLClient.scala:36-46`).
+/** SQL console over the graft catalog — the analog of the reference's
+  * jline REPL (`HBaseSQLClient.scala:31-100`): `;`-terminated statements
+  * with multi-line continuation, `EXIT;` quits, everything else runs
+  * through `spark.sql(...).show(30)`. Interactive sessions get FULL jline3
+  * line editing — cursor movement, in-line edits, arrow-key history,
+  * Ctrl-R search — via the jline shipped in Spark's own jar directory (no
+  * extra dependency); non-terminal input (pipes, tests) falls back to a
+  * plain stdin loop. Statement history persists to `~/.graft_history`
+  * across sessions (the reference's jline `FileHistory`,
+  * `HBaseSQLClient.scala:36-46`), and `!n` / `!!` / `!prefix` recall works
+  * in both modes.
   *
   * Usage: `scripts/run.sh graft.repl.SqlRepl [warehouseDir]`
   */
 object SqlRepl {
+
+  /** Prompt-and-read abstraction: jline3 when a terminal is available,
+    * plain stdin otherwise. Returns null at EOF. */
+  trait LineSource { def readLine(prompt: String): String; def close(): Unit }
+
+  /** jline3-backed editing: the LineReader owns cursor editing and
+    * arrow-key history (persisted separately from the statement history —
+    * jline records individual LINES, `History` records whole statements). */
+  final class JLineSource(histPath: java.nio.file.Path,
+      terminal: org.jline.terminal.Terminal) extends LineSource {
+    def this(histPath: java.nio.file.Path) =
+      this(histPath, org.jline.terminal.TerminalBuilder.builder().system(true).build())
+    private val reader = org.jline.reader.LineReaderBuilder.builder()
+      .terminal(terminal)
+      .variable(org.jline.reader.LineReader.HISTORY_FILE, histPath)
+      .build()
+    def readLine(prompt: String): String =
+      try reader.readLine(prompt)
+      catch {
+        case _: org.jline.reader.EndOfFileException => null
+        case _: org.jline.reader.UserInterruptException => "" // Ctrl-C clears the line
+      }
+    def close(): Unit = terminal.close()
+  }
+
+  final class StdInSource extends LineSource {
+    def readLine(prompt: String): String = {
+      print(prompt); Console.flush(); StdIn.readLine()
+    }
+    def close(): Unit = ()
+  }
 
   /** Persistent statement history: one statement per line (embedded
     * newlines escaped), newest-last, capped. */
@@ -48,12 +84,11 @@ object SqlRepl {
     new History(java.nio.file.Paths.get(
       sys.props.getOrElse("user.home", "/tmp"), ".graft_history"))
 
-  /** History recall (the line-editing analog the reference gets from
-    * jline's up-arrow, `HBaseSQLClient.scala:36-46` — jline is not on this
-    * classpath, so recall is spelled): `!n` → statement n (1-based, as
-    * printed by `HISTORY;`), `!!` → most recent, `!prefix` → most recent
-    * statement starting with the prefix. Returns None for an
-    * out-of-range/unmatched designator. */
+  /** Statement-level history recall, usable even from pipes where the
+    * arrow keys don't exist: `!n` → statement n (1-based, as printed by
+    * `HISTORY;`), `!!` → most recent, `!prefix` → most recent statement
+    * starting with the prefix. Returns None for an out-of-range/unmatched
+    * designator. */
   def recall(entries: Seq[String], designator: String): Option[String] = {
     val d = designator.trim.stripSuffix(";").trim
     if (d == "!!") entries.lastOption
@@ -99,12 +134,19 @@ object SqlRepl {
 
     println(s"graft SQL console (warehouse: $warehouse); statements end with ';', EXIT; quits.")
     val history = defaultHistory()
+    // jline needs a real terminal; pipes/redirects (and GRAFT_REPL_PLAIN=1)
+    // use the plain loop — statement semantics are identical in both
+    val source: LineSource =
+      if (sys.env.contains("GRAFT_REPL_PLAIN") || System.console() == null)
+        new StdInSource
+      else
+        try new JLineSource(java.nio.file.Paths.get(
+          sys.props.getOrElse("user.home", "/tmp"), ".graft_jline_history"))
+        catch { case _: Throwable => new StdInSource }
     val buf = new StringBuilder
     var continue = true
     while (continue) {
-      print(if (buf.isEmpty) "graft> " else "     | ")
-      Console.flush()
-      val line = StdIn.readLine()
+      val line = source.readLine(if (buf.isEmpty) "graft> " else "     | ")
       if (line == null) continue = false
       else {
         buf.append(line).append('\n')
@@ -135,6 +177,7 @@ object SqlRepl {
         }
       }
     }
+    source.close()
     spark.stop()
   }
 }

@@ -110,4 +110,21 @@ class ExpressionSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(recall(entries, "!nomatch").isEmpty)
     assert(recall(Seq.empty, "!!").isEmpty)
   }
+
+  test("REPL jline line source reads lines and persists editing history") {
+    // headless proof of the jline3 wiring: a dumb terminal over byte
+    // streams drives the same LineReader the interactive console gets
+    val in = new java.io.ByteArrayInputStream(
+      "SELECT 1;\nSELECT 2;\n".getBytes("UTF-8"))
+    val out = new java.io.ByteArrayOutputStream()
+    val terminal = new org.jline.terminal.impl.DumbTerminal(in, out)
+    val hist = java.nio.file.Files.createTempFile("graft_jline_hist", "")
+    val src = new graft.repl.SqlRepl.JLineSource(hist, terminal)
+    assert(src.readLine("graft> ") == "SELECT 1;")
+    assert(src.readLine("graft> ") == "SELECT 2;")
+    assert(src.readLine("graft> ") == null) // EOF
+    src.close()
+    val recorded = new String(java.nio.file.Files.readAllBytes(hist), "UTF-8")
+    assert(recorded.contains("SELECT 1;") && recorded.contains("SELECT 2;"))
+  }
 }

@@ -1,0 +1,75 @@
+package graft
+
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import org.apache.spark.sql.SparkSession
+
+import graft.multimodal.Multimodal
+import graft.multimodal.Multimodal.{AssetGen, MediaDecoder}
+
+/** Byte-level media decoders against hand-built fixtures: the PPM and WAV
+  * parsers must read real headers (including awkward-but-legal ones) and
+  * produce exact integer features; unknown formats must fall through to
+  * the documented stub. */
+class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.shuffle.partitions", "4")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("PPM decode: hand-built 2x1 image, exact dims and channel sums") {
+    val px = Array[Byte](10, 20, 30, 40, 50, 60) // two RGB pixels
+    val payload = "P6\n2 1\n255\n".getBytes("US-ASCII") ++ px
+    val (w, h, feat) = MediaDecoder.decode(payload)
+    assert((w, h) == (2, 1))
+    assert(feat.toSeq == Seq(210f, 50f, 70f, 90f)) // total, R, G, B
+  }
+
+  test("PPM decode: header comments and multi-digit dims parse") {
+    val w = 12; val h = 3
+    val px = Array.tabulate[Byte](w * h * 3)(i => (i % 7).toByte)
+    val payload =
+      s"P6\n# fixture comment\n$w $h\n# another\n255\n".getBytes("US-ASCII") ++ px
+    val (gw, gh, feat) = MediaDecoder.decode(payload)
+    assert((gw, gh) == (w, h))
+    assert(feat(0) == px.map(_.toInt).sum.toFloat)
+  }
+
+  test("WAV decode: chunk walk reads fmt fields and exact abs-sample sum") {
+    val payload = AssetGen.wav("abcdef")
+    val (nSamples, channels, feat) = MediaDecoder.decode(payload)
+    assert(channels == 1)
+    assert(nSamples == 16 + 6 % 64)
+    // samples cycle (code - 96) * 128 over 'a'..'f' (codes 97..102)
+    val codes = "abcdef".map(c => math.abs((c - 96) * 128))
+    val want = (0 until nSamples).map(i => codes(i % 6)).sum
+    assert(feat(0) == want.toFloat)
+    assert(feat(1) == 8000f && feat(2) == 16f) // rate, bits from the header
+  }
+
+  test("unknown formats fall through to the deterministic stub") {
+    val payload = "plain text payload".getBytes("UTF-8")
+    val (gw, gh, gf) = MediaDecoder.decode(payload)
+    val (ww, wh, wf) = Multimodal.FakeDecoder.decode(payload)
+    assert(gw == ww && gh == wh && gf.toSeq == wf.toSeq)
+  }
+
+  test("asset round trip: generated payloads decode to the construction") {
+    import spark.implicits._
+    val docs = Seq((0L, "some image text"), (1L, "audio words here"),
+      (2L, "a video document")).toDF("doc_id", "text")
+    val feats = Multimodal.extractFeatures(Multimodal.mediaAssets(docs))
+      .collect().map(f => f.media_id -> f).toMap
+    assert(feats(0L).kind == "image" && feats(1L).kind == "audio" &&
+      feats(2L).kind == "video")
+    val len = "some image text".length
+    assert(feats(0L).width == 4 + len % 13 && feats(0L).height == 4 + len % 11)
+    assert(feats(1L).height == 1) // mono
+  }
+}

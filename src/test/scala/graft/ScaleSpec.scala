@@ -355,6 +355,24 @@ class ScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(sizeK(1L << 40, target, maxK) == maxK, "k clamps at maxK")
   }
 
+  test("perceptron vocabulary cap bounds the gradient at O(cap)") {
+    import spark.implicits._
+    // 200 distinct tokens across 40 docs; a cap of 10 must bound the
+    // feature space — the per-round gradient collect in q119 is exactly
+    // one row per surviving vocabulary token
+    val raw = (0 until 40).flatMap(d =>
+        (0 until 200).filter(j => (d + j) % 7 == 0).map(j => (d.toLong, s"tok$j", 1L)))
+      .toDF("doc_id", "j", "c")
+    val vocab = graft.queries.Text.perceptronVocab(raw, 10)
+    assert(vocab.count() == 10)
+    val capped = raw.join(broadcast(vocab), "j")
+    assert(capped.select(col("j")).distinct().count() <= 10,
+      "gradient row count must be bounded by the vocabulary cap")
+    // determinism: same cap twice → identical token set
+    assert(vocab.collect().map(_.getString(0)).sorted.toSeq ==
+      graft.queries.Text.perceptronVocab(raw, 10).collect().map(_.getString(0)).sorted.toSeq)
+  }
+
   test("parquet-backed fixpoint checkpoint keeps lineage depth constant") {
     import graft.functions.IterCheckpoint
     import spark.implicits._
