@@ -63,9 +63,10 @@ object Bench {
 
   /** Shortest-rendering-that-fits line for stdout: short `qNN` keys,
     * failure messages truncated to [[MaxFailureChars]], 3 decimals unless
-    * the budget forces fewer; if many failures still blow the budget their
-    * messages degrade to `"err"` (names survive — the full text is in
-    * BENCH_LAST.json). */
+    * the budget forces fewer (degrading all the way to integer seconds in
+    * the pathological every-query-at-999s case); if many failures still
+    * blow the budget their messages degrade to `"err"` (names survive —
+    * the full text is in BENCH_LAST.json). */
   def renderShortLine(timings: Seq[(String, Double)], failures: Seq[(String, String)],
                       sf: String): String = {
     val short = timings.map { case (k, v) => shortKey(k) -> v }
@@ -73,10 +74,10 @@ object Bench {
     val errOnly = shortF.map { case (k, _) => k -> "err" }
     val candidates = for {
       f <- Iterator(shortF, errOnly)
-      d <- (3 to 1 by -1).iterator
+      d <- (3 to 0 by -1).iterator
     } yield renderLine(short, f, sf, d)
     candidates.find(_.getBytes("UTF-8").length <= MaxLineBytes)
-      .getOrElse(renderLine(short, errOnly, sf, 1))
+      .getOrElse(renderLine(short, errOnly, sf, 0))
   }
 
   def main(args: Array[String]): Unit = {

@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.{QueryDef, Tables}
+import graft.QueryDef.dsum
 import org.apache.spark.sql.functions._
 
 /** Round-6 pipeline/SQL-surface widening: PII redaction (the standard
@@ -134,6 +135,80 @@ object Pipeline2 {
         CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
         CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
         CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
-        FROM events GROUP BY 1 ORDER BY u"""))
+        FROM events GROUP BY 1 ORDER BY u""")),
+
+    // ---- q127: UNPIVOT (melt) — the inverse reshape ----------------------
+    // Wide→long over per-flag lineitem aggregates via the native
+    // Dataset.unpivot operator (one Expand node — each input row emits one
+    // row per measure in the SAME pass, no self-union re-scan; at 100 TB
+    // the UNION-ALL formulation scans the fact table three times, this
+    // scans once). Oracle uses the UNION ALL spelling — two formulations
+    // must agree.
+    QueryDef(
+      "q127_unpivot",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val wide = t.lineitem
+          .groupBy(col("l_returnflag").as("flag"))
+          .agg(dsum(col("l_quantity")).as("qty"),
+            dsum(col("l_extendedprice")).as("price"),
+            dsum(col("l_discount"), 6).as("disc"))
+        wide.unpivot(
+            Array(col("flag")),
+            Array(col("qty"), col("price"), col("disc")),
+            "measure", "value")
+          .orderBy(col("flag"), col("measure"))
+      },
+      Some("""WITH wide AS (
+          SELECT l_returnflag AS flag,
+            CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS qty,
+            CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS price,
+            CAST(SUM(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) AS disc
+          FROM lineitem GROUP BY 1)
+        SELECT flag, measure, value FROM (
+          SELECT flag, 'qty' AS measure, qty AS value FROM wide
+          UNION ALL SELECT flag, 'price', price FROM wide
+          UNION ALL SELECT flag, 'disc', disc FROM wide)
+        ORDER BY flag, measure""")),
+
+    // ---- q128: conversion funnel (first-touch attribution) ---------------
+    // The event-analytics staple: per user, the FIRST click and the first
+    // purchase AT OR AFTER it; conversion count and exact total
+    // click→purchase latency. Scale shape: one aggregate for first
+    // clicks, one user_id-keyed join back (co-partitioned with the
+    // second aggregate's shuffle), everything in epoch-nanos longs —
+    // integer-exact on both engines.
+    QueryDef(
+      "q128_funnel",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val ev = t.events
+        val firstClick = ev.filter(col("event_type") === "click")
+          .groupBy(col("user_id"))
+          .agg(min(col("ts_ns")).as("click_ns"))
+        val conv = ev.filter(col("event_type") === "purchase")
+          .join(firstClick, "user_id")
+          .filter(col("ts_ns") >= col("click_ns"))
+          .groupBy(col("user_id"), col("click_ns"))
+          .agg(min(col("ts_ns")).as("purchase_ns"))
+        firstClick.join(conv.select(col("user_id"), col("purchase_ns"), col("click_ns").as("c2")),
+            Seq("user_id"), "left")
+          .agg(
+            count(lit(1)).as("n_clickers"),
+            count(col("purchase_ns")).as("n_converted"),
+            sum(col("purchase_ns") - col("c2")).cast("long").as("total_latency_ns"))
+      },
+      Some("""WITH fc AS (
+          SELECT user_id, MIN(epoch_ns(ts)) AS click_ns
+          FROM events WHERE event_type = 'click' GROUP BY user_id),
+        conv AS (
+          SELECT e.user_id, fc.click_ns, MIN(epoch_ns(e.ts)) AS purchase_ns
+          FROM events e JOIN fc USING (user_id)
+          WHERE e.event_type = 'purchase' AND epoch_ns(e.ts) >= fc.click_ns
+          GROUP BY e.user_id, fc.click_ns)
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_clickers,
+          CAST(COUNT(conv.purchase_ns) AS BIGINT) AS n_converted,
+          CAST(SUM(conv.purchase_ns - conv.click_ns) AS BIGINT) AS total_latency_ns
+        FROM fc LEFT JOIN conv USING (user_id)"""))
   )
 }
