@@ -1270,6 +1270,40 @@ object Engine {
       },
       Some("""SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_rows,
         CAST(2 AS BIGINT) AS n_snapshots
-        FROM documents GROUP BY lang ORDER BY lang"""))
+        FROM documents GROUP BY lang ORDER BY lang""")),
+
+    // ---- q129: complete MIN/MAX/COUNT aggregate pushdown -------------------
+    // `SELECT MIN(x), MAX(x), COUNT(*)` over a graft table is answered
+    // ENTIRELY from the commit-time stats registry (GraftAggScan): the
+    // global extreme is the fold of exact per-file ranges — one side-file
+    // read, zero data I/O, regardless of table bytes (at 100 TB the
+    // difference between a metadata lookup and a full scan). Two inserts
+    // ensure the fold crosses files; the second leaves l_quantity NULL so
+    // the gate also proves absent per-file ranges read as "all null here"
+    // (MIN/MAX skip them — SQL semantics). Plan shape (GraftAggScan, no
+    // footer reads) is asserted in PlanSpec; this gates the VALUES.
+    QueryDef(
+      "q129_agg_pushdown",
+      (s, dir) => {
+        val ns = ensureCatalog(s, dir)
+        s.sql(s"DROP TABLE IF EXISTS $ns.aggp")
+        s.sql(s"""CREATE TABLE $ns.aggp
+                 |(okey BIGINT, qty DOUBLE, ship TIMESTAMP_NTZ)""".stripMargin)
+        s.sql(s"""INSERT INTO $ns.aggp
+                 |SELECT l_orderkey, l_quantity, l_shipdate
+                 |FROM parquet.`$dir/lineitem.parquet`""".stripMargin)
+        s.sql(s"""INSERT INTO $ns.aggp
+                 |SELECT 100000000 + id, NULL, NULL FROM range(7)""".stripMargin)
+        s.sql(s"""SELECT CAST(MIN(okey) AS BIGINT) AS min_k,
+                 |       CAST(MAX(okey) AS BIGINT) AS max_k,
+                 |       CAST(COUNT(*) AS BIGINT) AS n,
+                 |       MIN(qty) AS min_q, MAX(qty) AS max_q
+                 |FROM $ns.aggp""".stripMargin)
+      },
+      Some("""SELECT CAST(MIN(l_orderkey) AS BIGINT) AS min_k,
+        CAST(100000006 AS BIGINT) AS max_k,
+        CAST(COUNT(*) + 7 AS BIGINT) AS n,
+        MIN(l_quantity) AS min_q, MAX(l_quantity) AS max_q
+        FROM lineitem"""))
   )
 }

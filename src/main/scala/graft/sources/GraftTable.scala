@@ -720,7 +720,7 @@ final class GraftScanBuilder(
   private var required: StructType = tableSchema
   private var wantFile: Boolean = false
   private var pushed: Array[Filter] = Array.empty
-  private var countStar: Boolean = false
+  private var pushedAggs: Option[Seq[GraftAggScan.Spec]] = None
   private var limit: Option[Int] = None
 
   /** Manifest read on demand for pushdown decisions, then HANDED to the
@@ -755,27 +755,78 @@ final class GraftScanBuilder(
   }
   override def isPartiallyPushed(): Boolean = true
 
-  /** COUNT(*) with no filters and no GROUP BY is answered from the
-    * commit-time stats registry — zero data read, O(1) regardless of
-    * table size. (Filters force the normal path: every graft filter is
-    * residual by design, and Spark only offers aggregate pushdown when
-    * no post-scan filters remain — so this fires exactly when safe.) */
+  /** COUNT(*) / MIN / MAX with no filters and no GROUP BY are answered
+    * from the commit-time stats registry — zero data read, O(1) regardless
+    * of table size. COUNT(*) needs only registered row counts; MIN/MAX
+    * additionally need an exact per-file [min, max] range for the column
+    * in EVERY live non-empty file (numeric/date columns only — the
+    * writer's `ColStatsTracker` observes actual values for those, never
+    * truncates, and omits a column only when the file holds no non-null
+    * value of it, which MIN/MAX correctly ignore; strings are excluded
+    * because >64-char values stop tracking mid-file and an absent range
+    * would be indistinguishable from all-null). (Filters force the normal
+    * path: every graft filter is residual by design, and Spark only
+    * offers aggregate pushdown when no post-scan filters remain — so this
+    * fires exactly when safe.) */
   override def supportCompletePushDown(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
-    canPush(agg)
+    aggSpecs(agg).isDefined
 
-  private def canPush(
-      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
-    tracker.isEmpty && pushed.isEmpty && !hasDeletes &&
-      agg.groupByExpressions().isEmpty &&
-      agg.aggregateExpressions().length == 1 &&
-      agg.aggregateExpressions()(0)
-        .isInstanceOf[org.apache.spark.sql.connector.expressions.aggregate.CountStar]
+  /** Column types whose registry ranges are exact for MIN/MAX purposes. */
+  private def rangeExact(dt: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case ByteType | ShortType | IntegerType | LongType | FloatType |
+          DoubleType | DateType => true
+      case _ => false
+    }
+  }
+
+  /** Every live non-empty data file registered new-format column ranges
+    * (`cols` nonEmpty) — the precondition for trusting an ABSENT column
+    * key to mean "all null here". Old-format entries are ambiguous →
+    * withhold. */
+  private lazy val allFilesRangeRegistered: Boolean =
+    manifestForPushdown.exists(_.forall { case (rel, e) =>
+      GraftDeletes.isDeleteRel(rel) || e.rows == 0L || e.cols.nonEmpty
+    })
+
+  private def aggSpecs(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Option[Seq[GraftAggScan.Spec]] = {
+    import org.apache.spark.sql.connector.expressions.NamedReference
+    import org.apache.spark.sql.connector.expressions.aggregate._
+    if (!(tracker.isEmpty && pushed.isEmpty && !hasDeletes &&
+        agg.groupByExpressions().isEmpty && agg.aggregateExpressions().nonEmpty))
+      return None
+    def fieldOf(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
+      e match {
+        case nr: NamedReference if nr.fieldNames().length == 1 =>
+          val name = nr.fieldNames()(0)
+          tableSchema.fields.find(_.name == name)
+            .filter(f => rangeExact(f.dataType)).map(_.name)
+        case _ => None
+      }
+    val specs = agg.aggregateExpressions().toSeq.map {
+      case _: CountStar => Some(GraftAggScan.Count)
+      case m: Min => fieldOf(m.column).map(GraftAggScan.MinOf)
+      case m: Max => fieldOf(m.column).map(GraftAggScan.MaxOf)
+      case _ => None
+    }
+    if (!specs.forall(_.isDefined)) None
+    else {
+      val resolved = specs.map(_.get)
+      val needsRanges = resolved.exists(_ != GraftAggScan.Count)
+      if (needsRanges && !allFilesRangeRegistered) None else Some(resolved)
+    }
+  }
 
   override def pushAggregation(
-      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
-    if (canPush(agg)) { countStar = true; true } else false
-  }
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+    aggSpecs(agg) match {
+      case some @ Some(_) => pushedAggs = some; true
+      case None => false
+    }
 
   override def pruneColumns(requiredSchema: StructType): Unit = {
     // preserve table column order; an empty projection (count(*)) is legal
@@ -794,13 +845,19 @@ final class GraftScanBuilder(
 
   override def pushedFilters(): Array[Filter] = pushed
 
-  override def build(): Scan =
-    if (countStar)
+  override def build(): Scan = pushedAggs match {
+    case Some(Seq(GraftAggScan.Count)) =>
+      // pure COUNT(*) keeps the dedicated scan (it can still answer from
+      // parquet footers when no registry exists; min/max cannot)
       new GraftCountStarScan(dataDir, snapshotVersion, sinceVersion, manifestCache)
-    else new GraftScan(tableSchema, required, pushed, dataDir, partitionCols,
+    case Some(specs) =>
+      new GraftAggScan(tableSchema, dataDir, specs, snapshotVersion,
+        sinceVersion, manifestCache)
+    case None => new GraftScan(tableSchema, required, pushed, dataDir, partitionCols,
       wantFile, tracker, limit, maxFilesPerTrigger, maxBytesPerTrigger,
       snapshotVersion, sinceVersion, renames, onManifest, manifestCache,
       widened, specSince, sortCols)
+  }
 }
 
 final class GraftScan(
@@ -1444,6 +1501,99 @@ final class GraftCountStarScan(dataDir: String,
 }
 
 final case class GraftCountPartition(rows: Long) extends InputPartition
+
+/** Complete MIN/MAX/COUNT(*) pushdown from the commit-time stats registry:
+  * the global minimum (maximum) is the fold of exact per-file registered
+  * ranges — one side-file read, zero data I/O, O(#files) driver work
+  * regardless of table bytes. Only planned when the builder proved every
+  * live non-empty file registered new-format ranges (see
+  * `GraftScanBuilder.aggSpecs`); a column key absent from a file's ranges
+  * means that file holds no non-null value of it, which MIN/MAX skip —
+  * exactly SQL semantics. An empty table (or an all-null column) yields
+  * NULL for min/max and 0 for count, same as the unpushed aggregate. */
+final class GraftAggScan(
+    tableSchema: StructType,
+    dataDir: String,
+    specs: Seq[GraftAggScan.Spec],
+    snapshotVersion: Option[Long] = None,
+    sinceVersion: Option[Long] = None,
+    manifestPre: Option[Option[Map[String, TableStats.Entry]]] = None)
+    extends Scan with Batch {
+  import org.apache.spark.sql.types._
+
+  private def fieldType(name: String): DataType =
+    tableSchema.fields.find(_.name == name).get.dataType
+
+  override def readSchema(): StructType = StructType(specs.map {
+    case GraftAggScan.Count => StructField("count", LongType, nullable = false)
+    case GraftAggScan.MinOf(f) => StructField(s"min_$f", fieldType(f), nullable = true)
+    case GraftAggScan.MaxOf(f) => StructField(s"max_$f", fieldType(f), nullable = true)
+  })
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"GraftAggScan[$dataDir, ${specs.mkString(",")}]"
+
+  /** Registered external string → Catalyst internal value (dates are
+    * epoch-day ints internally). */
+  private def toCatalyst(dt: DataType, raw: String): Any =
+    PartitionPruning.parse(dt, raw) match {
+      case d: java.sql.Date => d.toLocalDate.toEpochDay.toInt
+      case x => x
+    }
+
+  private def cmp(dt: DataType, a: Any, b: Any): Int = dt match {
+    case FloatType | DoubleType => java.lang.Double.compare(
+      a.asInstanceOf[Number].doubleValue(), b.asInstanceOf[Number].doubleValue())
+    case _ => java.lang.Long.compare(
+      a.asInstanceOf[Number].longValue(), b.asInstanceOf[Number].longValue())
+  }
+
+  private lazy val resultValues: Array[Any] = {
+    val root = new Path(dataDir)
+    val fs = root.getFileSystem(new Configuration())
+    val live: Seq[TableStats.Entry] =
+      manifestPre.getOrElse(Snapshots.readManifest(fs, root, snapshotVersion, sinceVersion))
+        .map(_.collect {
+          case (rel, e) if !GraftDeletes.isDeleteRel(rel) => e
+        }.toSeq)
+        .getOrElse(Seq.empty)
+    specs.map {
+      case GraftAggScan.Count => live.map(_.rows).sum: java.lang.Long
+      case GraftAggScan.MinOf(f) =>
+        val dt = fieldType(f)
+        val mins = live.flatMap(_.cols.get(f)).map(r => toCatalyst(dt, r._1))
+        if (mins.isEmpty) null else mins.reduce((a, b) => if (cmp(dt, a, b) <= 0) a else b)
+      case GraftAggScan.MaxOf(f) =>
+        val dt = fieldType(f)
+        val maxs = live.flatMap(_.cols.get(f)).map(r => toCatalyst(dt, r._2))
+        if (maxs.isEmpty) null else maxs.reduce((a, b) => if (cmp(dt, a, b) >= 0) a else b)
+    }.toArray
+  }
+
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(GraftAggPartition(resultValues))
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PartitionReaderFactory {
+      override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+        new PartitionReader[InternalRow] {
+          private var done = false
+          private val row = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+            p.asInstanceOf[GraftAggPartition].values)
+          override def next(): Boolean = if (done) false else { done = true; true }
+          override def get(): InternalRow = row
+          override def close(): Unit = ()
+        }
+    }
+}
+
+object GraftAggScan {
+  sealed trait Spec
+  case object Count extends Spec
+  final case class MinOf(field: String) extends Spec
+  final case class MaxOf(field: String) extends Spec
+}
+
+final case class GraftAggPartition(values: Array[Any]) extends InputPartition
 
 object GraftScan {
   /** Planning-time parquet-footer opens (cache misses). Diagnostics only. */

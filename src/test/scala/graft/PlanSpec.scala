@@ -216,6 +216,53 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(filtered.head().getLong(0) == want)
   }
 
+  test("graft source: MIN/MAX pushed to the stats registry, withheld when unsound") {
+    spark.sql("CREATE TABLE gpart.t.mm (id BIGINT, v DOUBLE, d DATE, name STRING)")
+    spark.sql("""INSERT INTO gpart.t.mm
+                |SELECT id, cast(id AS DOUBLE) / 8, date_add(date'2024-03-01',
+                |  cast(id % 40 AS INT)), concat('n', id) FROM range(0, 800)""".stripMargin)
+    // second file where v/d are ALL NULL: its absent ranges must be
+    // skipped (SQL MIN/MAX ignore nulls), not break the fold
+    spark.sql("INSERT INTO gpart.t.mm SELECT id + 9000, NULL, NULL, 'zz' FROM range(0, 5)")
+
+    val q = spark.sql("SELECT MIN(id), MAX(id), COUNT(*), MIN(v), MAX(d) FROM gpart.t.mm")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("GraftAggScan"), s"expected pushed min/max:\n$plan")
+    val footers0 = graft.sources.GraftScan.footerReads.get()
+    val r = q.head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == (0L, 9004L, 805L))
+    assert(r.getDouble(3) == 0.0 && r.getDate(4).toString == "2024-04-09")
+    assert(graft.sources.GraftScan.footerReads.get() == footers0,
+      "pushed MIN/MAX opened parquet footers")
+
+    // strings can stop being tracked mid-file (>64 chars) — never pushed,
+    // but the fallback plan stays correct
+    val qs = spark.sql("SELECT MIN(name) FROM gpart.t.mm")
+    assert(!qs.queryExecution.executedPlan.toString.contains("GraftAggScan"))
+    assert(qs.head().getString(0) == "n0")
+
+    // a filter forces the normal residual-correct path
+    val qf = spark.sql("SELECT MIN(id) FROM gpart.t.mm WHERE v > 50")
+    assert(!qf.queryExecution.executedPlan.toString.contains("GraftAggScan"))
+    assert(qf.head().getLong(0) == 401L)
+
+    // GROUP BY is never pushed
+    val qg = spark.sql("SELECT d, MIN(id) FROM gpart.t.mm GROUP BY d")
+    assert(!qg.queryExecution.executedPlan.toString.contains("GraftAggScan"))
+
+    // outstanding MOR deletes make registered ranges stale-able → withhold
+    spark.sql("""CREATE TABLE gpart.t.mmd (row_key STRING, id BIGINT)
+                |TBLPROPERTIES ('write.mutation.mode' = 'merge-on-read')""".stripMargin)
+    spark.sql("INSERT INTO gpart.t.mmd SELECT concat('k', id), id FROM range(0, 100)")
+    spark.sql("DELETE FROM gpart.t.mmd WHERE id >= 90")
+    val qd = spark.sql("SELECT MIN(id), MAX(id) FROM gpart.t.mmd")
+    assert(!qd.queryExecution.executedPlan.toString.contains("GraftAggScan"),
+      "min/max must not trust ranges while deletes are outstanding")
+    assert((qd.head().getLong(0), qd.head().getLong(1)) == (0L, 89L))
+    spark.sql("DROP TABLE gpart.t.mm")
+    spark.sql("DROP TABLE gpart.t.mmd")
+  }
+
   test("graft source: estimateStatistics surfaces registry column bounds (CBO inputs)") {
     // build the scan the way Spark does and read its reported stats —
     // min/max must come from _stats.tsv ranges with zero file I/O
