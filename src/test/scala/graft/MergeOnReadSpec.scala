@@ -606,6 +606,27 @@ class MergeOnReadSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.sql("DROP TABLE graft.mor.cdrep")
   }
 
+  test("MERGE WHEN NOT MATCHED BY SOURCE: full-sync on COW and MOR tables") {
+    // the replica-sync MERGE shape: target rows absent from the source are
+    // deleted in the same statement that updates/inserts the rest — one
+    // keyed operation instead of MERGE + anti-join DELETE
+    for ((mode, tbl) <- Seq("copy-on-write" -> "syncc", "merge-on-read" -> "syncm")) {
+      spark.sql(s"""CREATE TABLE graft.mor.$tbl (row_key STRING, v BIGINT)
+                   |TBLPROPERTIES ('${GraftDeletes.ModeProp}' = '$mode')""".stripMargin)
+      spark.sql(s"INSERT INTO graft.mor.$tbl SELECT concat('k', id), id FROM range(0, 10)")
+      spark.range(5, 15).selectExpr("concat('k', id) AS row_key", "id * 10 AS v")
+        .createOrReplaceTempView("sync_src")
+      spark.sql(s"""MERGE INTO graft.mor.$tbl t USING sync_src s
+                   |ON t.row_key = s.row_key
+                   |WHEN MATCHED THEN UPDATE SET v = s.v
+                   |WHEN NOT MATCHED THEN INSERT (row_key, v) VALUES (s.row_key, s.v)
+                   |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin)
+      assert(rows(tbl) == (5L until 15L).map(i => (s"k$i", i * 10)).sortBy(_._1),
+        s"full-sync MERGE diverged on $mode")
+      spark.sql(s"DROP TABLE graft.mor.$tbl")
+    }
+  }
+
   test("CDC apply: key-only targets and same-version insert+delete ties") {
     import spark.implicits._
     // a key-only replica (membership set): no value columns, so the MERGE
