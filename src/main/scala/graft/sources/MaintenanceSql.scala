@@ -15,7 +15,8 @@ import org.apache.spark.sql.types.{IntegerType, LongType}
   *    sort- or Z-curve-clustered, optionally restricted to the identity
   *    partitions a decidable predicate selects);
   *  - `VACUUM t [RETAIN n SNAPSHOTS]` → [[Snapshots.vacuum]];
-  *  - `RESTORE [TABLE] t [TO] VERSION AS OF v` → [[Snapshots.restore]];
+  *  - `RESTORE [TABLE] t [TO] VERSION AS OF <v | 'tag'>` /
+  *    `RESTORE ... TIMESTAMP AS OF '<ts>'` → [[Snapshots.restore]];
   *  - `ANALYZE TABLE t COMPUTE STATISTICS [FOR COLUMNS c1, c2]` (standard
   *    Spark grammar, but aimed at a graft catalog) → [[Analyze.run]].
   *
@@ -32,7 +33,9 @@ object MaintenanceSql {
   private val Vacuum =
     """(?is)\s*VACUUM\s+([\w.`]+)\s*(?:RETAIN\s+(\d+)\s+SNAPSHOTS)?\s*;?\s*""".r
   private val Restore =
-    """(?is)\s*RESTORE\s+(?:TABLE\s+)?([\w.`]+)\s+(?:TO\s+)?VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*""".r
+    """(?is)\s*RESTORE\s+(?:TABLE\s+)?([\w.`]+)\s+(?:TO\s+)?VERSION\s+AS\s+OF\s+(?:(\d+)|'([\w][\w.-]*)'|`([\w][\w.-]*)`)\s*;?\s*""".r
+  private val RestoreTs =
+    """(?is)\s*RESTORE\s+(?:TABLE\s+)?([\w.`]+)\s+(?:TO\s+)?TIMESTAMP\s+AS\s+OF\s+'([^']+)'\s*;?\s*""".r
   private val AnalyzeSql =
     """(?is)\s*ANALYZE\s+TABLE\s+([\w.`]+)\s+COMPUTE\s+STATISTICS(?:\s+FOR\s+COLUMNS\s+([\w`]+(?:\s*,\s*[\w`]+)*))?\s*;?\s*""".r
   private val History =
@@ -72,8 +75,11 @@ object MaintenanceSql {
       case Vacuum(id, retain) if graft(parts(id)) =>
         Some(GraftVacuumCommand(parts(id),
           Option(retain).map(_.toInt).getOrElse(2)))
-      case Restore(id, v) if graft(parts(id)) =>
-        Some(GraftRestoreCommand(parts(id), v.toLong))
+      case Restore(id, v, tagQ, tagB) if graft(parts(id)) =>
+        Some(GraftRestoreCommand(parts(id),
+          Option(v).orElse(Option(tagQ)).getOrElse(tagB)))
+      case RestoreTs(id, ts) if graft(parts(id)) =>
+        Some(GraftRestoreTsCommand(parts(id), ts.trim))
       case AnalyzeSql(id, forCols) if graft(parts(id)) =>
         Some(GraftAnalyzeCommand(parts(id),
           Option(forCols).map(cols).getOrElse(Nil)))
@@ -189,13 +195,55 @@ final case class GraftVacuumCommand(parts: Seq[String], retain: Int)
   }
 }
 
-final case class GraftRestoreCommand(parts: Seq[String], version: Long)
+/** `ref` is a snapshot number (digits) or a tag name — resolved at run so
+  * `RESTORE ... VERSION AS OF 'train-v1'` follows the tag's CURRENT value. */
+final case class GraftRestoreCommand(parts: Seq[String], ref: String)
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
     MaintenanceSql.attr("restored_to", LongType),
     MaintenanceSql.attr("new_version", LongType))
   override def run(session: SparkSession): Seq[Row] = {
     val (_, tableDir) = MaintenanceSql.loadGraftTable(session, parts)
+    val version =
+      if (ref.forall(_.isDigit)) ref.toLong
+      else {
+        val dataDir = new org.apache.hadoop.fs.Path(tableDir, "data")
+        val fs = dataDir.getFileSystem(new org.apache.hadoop.conf.Configuration())
+        Snapshots.tags(fs, dataDir).getOrElse(ref, throw new IllegalArgumentException(
+          s"graft: no tag '$ref' on $tableDir (SHOW TAGS lists them)"))
+      }
+    val nv = Snapshots.restore(tableDir, version)
+    Seq(Row(version, nv))
+  }
+}
+
+/** `RESTORE ... TIMESTAMP AS OF '<ts>'`: latest snapshot committed at or
+  * before the given instant (UTC when no zone given — the project's pinned
+  * session semantics). */
+final case class GraftRestoreTsCommand(parts: Seq[String], ts: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    MaintenanceSql.attr("restored_to", LongType),
+    MaintenanceSql.attr("new_version", LongType))
+  override def run(session: SparkSession): Seq[Row] = {
+    val (_, tableDir) = MaintenanceSql.loadGraftTable(session, parts)
+    val dataDir = new org.apache.hadoop.fs.Path(tableDir, "data")
+    val fs = dataDir.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val millis =
+      try java.time.Instant.parse(ts).toEpochMilli
+      catch {
+        case _: java.time.format.DateTimeParseException =>
+          try java.time.LocalDateTime.parse(ts.replace(' ', 'T'))
+            .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+          catch {
+            case _: java.time.format.DateTimeParseException =>
+              java.time.LocalDate.parse(ts).atStartOfDay()
+                .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+          }
+      }
+    val version = Snapshots.latestAsOf(fs, dataDir, millis)
+      .getOrElse(throw new IllegalArgumentException(
+        s"graft: no snapshot at or before $ts on $tableDir"))
     val nv = Snapshots.restore(tableDir, version)
     Seq(Row(version, nv))
   }

@@ -493,6 +493,24 @@ class GraftCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.sql("SELECT COUNT(*) FROM graft.pw.maint VERSION AS OF 'stable'")
       .head().getLong(0) == 200,
       "vacuum must never expire a tagged snapshot")
+    // RESTORE resolves tags and timestamps, not only version numbers
+    spark.sql("ALTER TABLE graft.pw.maint CREATE TAG prez")
+    spark.sql("INSERT INTO graft.pw.maint SELECT id + 20000, 'w' FROM range(3)")
+    assert(spark.table("graft.pw.maint").count() == 210)
+    spark.sql("RESTORE TABLE graft.pw.maint TO VERSION AS OF 'prez'")
+    assert(spark.table("graft.pw.maint").count() == 207,
+      "tag-based RESTORE must roll back to the tagged manifest")
+    intercept[Exception](
+      spark.sql("RESTORE graft.pw.maint TO VERSION AS OF 'no-such-tag'"))
+    // timestamp in the future resolves to the current head (latest ≤ ts)
+    val rts = spark.sql(
+      "RESTORE TABLE graft.pw.maint TO TIMESTAMP AS OF '2099-01-01 00:00:00'").head()
+    assert(rts.getLong(1) > rts.getLong(0))
+    assert(spark.table("graft.pw.maint").count() == 207)
+    // ...and one before any snapshot refuses loudly
+    intercept[Exception](spark.sql(
+      "RESTORE graft.pw.maint TO TIMESTAMP AS OF '1990-01-01'"))
+
     spark.sql("ALTER TABLE graft.pw.maint DROP TAG stable")
     intercept[Exception](
       spark.sql("SELECT * FROM graft.pw.maint VERSION AS OF 'stable'").collect())
