@@ -40,12 +40,15 @@ def main():
                      if os.path.isdir(os.path.join(outdir, d)))
     n_pass = n_fail = n_noracle = 0
     # the round-5 failure mode: a query that errors must not VANISH from the
-    # artifact. Verify now writes _ERROR.txt markers; also flag declared
-    # queries with no output dir at all (skip the check for subset runs).
-    declared, present = set(oracle), set(results)
-    if len(present) >= 0.9 * len(declared):
-        for name in sorted(declared - present):
-            print(f"FAIL {name}: declared but no output dir"); n_fail += 1
+    # artifact. Verify writes _ERROR.txt markers per failure, and
+    # attempted.json (the exact intended set, written BEFORE queries run) —
+    # anything attempted but absent means the dump died mid-run.
+    present = set(results)
+    attempted_path = os.path.join(outdir, "attempted.json")
+    attempted = set(json.load(open(attempted_path))) if os.path.exists(attempted_path) \
+        else (set(oracle) if len(present) >= 0.9 * len(oracle) else present)
+    for name in sorted(attempted - present):
+        print(f"FAIL {name}: attempted but no output dir"); n_fail += 1
     for name in results:
         marker = os.path.join(outdir, name, "_ERROR.txt")
         if os.path.exists(marker):

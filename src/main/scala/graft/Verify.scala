@@ -26,9 +26,13 @@ object Verify {
     // where the result parquet would be — the driver's read fails loudly —
     // and collect every failure into errors.json beside oracle_sql.json.
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
-    SparkEntry.queries
+    val attempted = SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
-      .foreach { case (name, fn) =>
+    // written BEFORE any query runs: if the JVM dies mid-dump, the checker
+    // still knows the full intended set and flags every vanished query
+    Files.writeString(Paths.get(s"$outDir/attempted.json"),
+      attempted.keys.toSeq.sorted.mkString("[\"", "\",\"", "\"]"))
+    attempted.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

@@ -32,8 +32,12 @@ object Media {
       // replay the construction arithmetically: dims from text length,
       // sums over the cycled character codes (docs are ASCII; byte == char)
       Some("""WITH m AS (
-          SELECT doc_id AS media_id, text,
-                 CAST(length(text) AS BIGINT) AS len,
+          -- empty text becomes a single space, mirroring AssetGen.textBytes
+          -- (keeps i % len well-defined on both engines)
+          SELECT doc_id AS media_id,
+                 CASE WHEN length(text) = 0 THEN ' ' ELSE text END AS text,
+                 CAST(CASE WHEN length(text) = 0 THEN 1
+                      ELSE length(text) END AS BIGINT) AS len,
                  CAST(doc_id % 3 AS INT) AS k
           FROM documents),
         dims AS (

@@ -20,9 +20,18 @@ import org.apache.spark.sql.SparkSession
   */
 object SqlRepl {
 
+  /** One read from the console: a line, end-of-input, or Ctrl-C (which
+    * must abort the PENDING multi-line statement, not just the line —
+    * otherwise the next statement typed concatenates onto the abandoned
+    * one). */
+  sealed trait ReadResult
+  final case class Line(text: String) extends ReadResult
+  case object Eof extends ReadResult
+  case object Interrupted extends ReadResult
+
   /** Prompt-and-read abstraction: jline3 when a terminal is available,
-    * plain stdin otherwise. Returns null at EOF. */
-  trait LineSource { def readLine(prompt: String): String; def close(): Unit }
+    * plain stdin otherwise. */
+  trait LineSource { def readLine(prompt: String): ReadResult; def close(): Unit }
 
   /** jline3-backed editing: the LineReader owns cursor editing and
     * arrow-key history (persisted separately from the statement history —
@@ -35,18 +44,22 @@ object SqlRepl {
       .terminal(terminal)
       .variable(org.jline.reader.LineReader.HISTORY_FILE, histPath)
       .build()
-    def readLine(prompt: String): String =
-      try reader.readLine(prompt)
+    def readLine(prompt: String): ReadResult =
+      try Line(reader.readLine(prompt))
       catch {
-        case _: org.jline.reader.EndOfFileException => null
-        case _: org.jline.reader.UserInterruptException => "" // Ctrl-C clears the line
+        case _: org.jline.reader.EndOfFileException => Eof
+        case _: org.jline.reader.UserInterruptException => Interrupted
       }
     def close(): Unit = terminal.close()
   }
 
   final class StdInSource extends LineSource {
-    def readLine(prompt: String): String = {
-      print(prompt); Console.flush(); StdIn.readLine()
+    def readLine(prompt: String): ReadResult = {
+      print(prompt); Console.flush()
+      StdIn.readLine() match {
+        case null => Eof
+        case l => Line(l)
+      }
     }
     def close(): Unit = ()
   }
@@ -146,9 +159,15 @@ object SqlRepl {
     val buf = new StringBuilder
     var continue = true
     while (continue) {
-      val line = source.readLine(if (buf.isEmpty) "graft> " else "     | ")
-      if (line == null) continue = false
-      else {
+      val line = source.readLine(if (buf.isEmpty) "graft> " else "     | ") match {
+        case Eof => continue = false; null
+        case Interrupted =>
+          // Ctrl-C: throw away the pending statement, fresh prompt
+          if (buf.nonEmpty) { buf.clear(); println("(statement aborted)") }
+          null
+        case Line(l) => l
+      }
+      if (line != null) {
         buf.append(line).append('\n')
         if (line.trim.endsWith(";")) {
           val raw = buf.toString

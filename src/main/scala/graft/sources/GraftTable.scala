@@ -804,7 +804,14 @@ final class GraftScanBuilder(
         case nr: NamedReference if nr.fieldNames().length == 1 =>
           val name = nr.fieldNames()(0)
           tableSchema.fields.find(_.name == name)
-            .filter(f => rangeExact(f.dataType)).map(_.name)
+            .filter(f => rangeExact(f.dataType) &&
+              // pre-rename files registered this column's ranges under the
+              // FORMER name — an absent key there is not "all null"
+              !renames.contains(f.name) &&
+              // ADD COLUMN ... DEFAULT: files older than the column read
+              // back the existence default, not null, yet register no range
+              !f.metadata.contains("EXISTS_DEFAULT"))
+            .map(_.name)
         case _ => None
       }
     val specs = agg.aggregateExpressions().toSeq.map {
@@ -1386,20 +1393,10 @@ final class GraftScan(
               cachedStats.get(TableStats.relOf(f._1)).flatMap(_.cols.get(field.name)))
             if (ranges.isEmpty || !ranges.forall(_.isDefined)) None
             else {
-              def toCatalyst(raw: String): Any = PartitionPruning.parse(dt, raw) match {
-                case d: java.sql.Date => d.toLocalDate.toEpochDay.toInt
-                case x => x
-              }
-              def cmp(a: Any, b: Any): Int = dt match {
-                case FloatType | DoubleType => java.lang.Double.compare(
-                  a.asInstanceOf[Number].doubleValue(), b.asInstanceOf[Number].doubleValue())
-                case _ => java.lang.Long.compare(
-                  a.asInstanceOf[Number].longValue(), b.asInstanceOf[Number].longValue())
-              }
-              val mins = ranges.map(r => toCatalyst(r.get._1))
-              val maxs = ranges.map(r => toCatalyst(r.get._2))
-              Some((mins.reduce((a, b) => if (cmp(a, b) <= 0) a else b),
-                maxs.reduce((a, b) => if (cmp(a, b) >= 0) a else b)))
+              val mins = ranges.map(r => GraftAggScan.toCatalyst(dt, r.get._1))
+              val maxs = ranges.map(r => GraftAggScan.toCatalyst(dt, r.get._2))
+              Some((mins.reduce((a, b) => if (GraftAggScan.cmp(dt, a, b) <= 0) a else b),
+                maxs.reduce((a, b) => if (GraftAggScan.cmp(dt, a, b) >= 0) a else b)))
             }
           }
         val nv = ndvStats.get(field.name)
@@ -1533,20 +1530,7 @@ final class GraftAggScan(
   override def description(): String =
     s"GraftAggScan[$dataDir, ${specs.mkString(",")}]"
 
-  /** Registered external string → Catalyst internal value (dates are
-    * epoch-day ints internally). */
-  private def toCatalyst(dt: DataType, raw: String): Any =
-    PartitionPruning.parse(dt, raw) match {
-      case d: java.sql.Date => d.toLocalDate.toEpochDay.toInt
-      case x => x
-    }
-
-  private def cmp(dt: DataType, a: Any, b: Any): Int = dt match {
-    case FloatType | DoubleType => java.lang.Double.compare(
-      a.asInstanceOf[Number].doubleValue(), b.asInstanceOf[Number].doubleValue())
-    case _ => java.lang.Long.compare(
-      a.asInstanceOf[Number].longValue(), b.asInstanceOf[Number].longValue())
-  }
+  import GraftAggScan.{cmp, toCatalyst}
 
   private lazy val resultValues: Array[Any] = {
     val root = new Path(dataDir)
@@ -1591,6 +1575,25 @@ object GraftAggScan {
   case object Count extends Spec
   final case class MinOf(field: String) extends Spec
   final case class MaxOf(field: String) extends Spec
+
+  /** Registered external string → Catalyst internal value (dates are
+    * epoch-day ints internally). Shared by the pushed-aggregate fold and
+    * `estimateStatistics` so the two range readings cannot diverge. */
+  def toCatalyst(dt: org.apache.spark.sql.types.DataType, raw: String): Any =
+    PartitionPruning.parse(dt, raw) match {
+      case d: java.sql.Date => d.toLocalDate.toEpochDay.toInt
+      case x => x
+    }
+
+  def cmp(dt: org.apache.spark.sql.types.DataType, a: Any, b: Any): Int = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case FloatType | DoubleType => java.lang.Double.compare(
+        a.asInstanceOf[Number].doubleValue(), b.asInstanceOf[Number].doubleValue())
+      case _ => java.lang.Long.compare(
+        a.asInstanceOf[Number].longValue(), b.asInstanceOf[Number].longValue())
+    }
+  }
 }
 
 final case class GraftAggPartition(values: Array[Any]) extends InputPartition

@@ -77,7 +77,8 @@ object MaintenanceSql {
           Option(retain).map(_.toInt).getOrElse(2)))
       case Restore(id, v, tagQ, tagB) if graft(parts(id)) =>
         Some(GraftRestoreCommand(parts(id),
-          Option(v).orElse(Option(tagQ)).getOrElse(tagB)))
+          Option(v).orElse(Option(tagQ)).getOrElse(tagB),
+          refIsTag = v == null))
       case RestoreTs(id, ts) if graft(parts(id)) =>
         Some(GraftRestoreTsCommand(parts(id), ts.trim))
       case AnalyzeSql(id, forCols) if graft(parts(id)) =>
@@ -195,18 +196,24 @@ final case class GraftVacuumCommand(parts: Seq[String], retain: Int)
   }
 }
 
-/** `ref` is a snapshot number (digits) or a tag name — resolved at run so
-  * `RESTORE ... VERSION AS OF 'train-v1'` follows the tag's CURRENT value. */
-final case class GraftRestoreCommand(parts: Seq[String], ref: String)
-    extends LeafRunnableCommand {
+/** `ref` is a snapshot number (bare digits) or a tag name (quoted) —
+  * tag-ness is decided by the PARSER, not re-guessed from the string, and
+  * the tag resolves at run so `RESTORE ... VERSION AS OF 'train-v1'`
+  * follows the tag's CURRENT value. */
+final case class GraftRestoreCommand(parts: Seq[String], ref: String,
+    refIsTag: Boolean) extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
     MaintenanceSql.attr("restored_to", LongType),
     MaintenanceSql.attr("new_version", LongType))
   override def run(session: SparkSession): Seq[Row] = {
     val (_, tableDir) = MaintenanceSql.loadGraftTable(session, parts)
     val version =
-      if (ref.forall(_.isDigit)) ref.toLong
+      if (!refIsTag) ref.toLong
       else {
+        // tags are non-numeric by construction (Snapshots.tag enforces it)
+        require(!ref.forall(_.isDigit),
+          s"graft: '$ref' cannot be a tag (tag names are non-numeric); " +
+            "drop the quotes to restore to a version number")
         val dataDir = new org.apache.hadoop.fs.Path(tableDir, "data")
         val fs = dataDir.getFileSystem(new org.apache.hadoop.conf.Configuration())
         Snapshots.tags(fs, dataDir).getOrElse(ref, throw new IllegalArgumentException(

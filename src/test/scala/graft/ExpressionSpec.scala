@@ -120,9 +120,9 @@ class ExpressionSpec extends AnyFunSuite with BeforeAndAfterAll {
     val terminal = new org.jline.terminal.impl.DumbTerminal(in, out)
     val hist = java.nio.file.Files.createTempFile("graft_jline_hist", "")
     val src = new graft.repl.SqlRepl.JLineSource(hist, terminal)
-    assert(src.readLine("graft> ") == "SELECT 1;")
-    assert(src.readLine("graft> ") == "SELECT 2;")
-    assert(src.readLine("graft> ") == null) // EOF
+    assert(src.readLine("graft> ") == graft.repl.SqlRepl.Line("SELECT 1;"))
+    assert(src.readLine("graft> ") == graft.repl.SqlRepl.Line("SELECT 2;"))
+    assert(src.readLine("graft> ") == graft.repl.SqlRepl.Eof)
     src.close()
     val recorded = new String(java.nio.file.Files.readAllBytes(hist), "UTF-8")
     assert(recorded.contains("SELECT 1;") && recorded.contains("SELECT 2;"))

@@ -259,8 +259,36 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!qd.queryExecution.executedPlan.toString.contains("GraftAggScan"),
       "min/max must not trust ranges while deletes are outstanding")
     assert((qd.head().getLong(0), qd.head().getLong(1)) == (0L, 89L))
+
+    // RENAME COLUMN: pre-rename files register ranges under the FORMER
+    // name — an absent current-name key there is NOT "all null", so the
+    // pushdown must withhold (and the real scan still answers right)
+    spark.sql("CREATE TABLE gpart.t.mmr (a BIGINT)")
+    spark.sql("INSERT INTO gpart.t.mmr SELECT id FROM range(1, 11)")
+    spark.sql("ALTER TABLE gpart.t.mmr RENAME COLUMN a TO b")
+    spark.sql("INSERT INTO gpart.t.mmr SELECT id FROM range(100, 110)")
+    val qr = spark.sql("SELECT MIN(b), MAX(b) FROM gpart.t.mmr")
+    assert(!qr.queryExecution.executedPlan.toString.contains("GraftAggScan"),
+      "min/max must not trust ranges across a column rename")
+    assert((qr.head().getLong(0), qr.head().getLong(1)) == (1L, 109L),
+      "pre-rename files' values must survive in the fallback fold")
+
+    // ADD COLUMN ... DEFAULT: files older than the column read back the
+    // existence default (not null) yet register no range — withhold
+    spark.sql("CREATE TABLE gpart.t.mmx (id BIGINT)")
+    spark.sql("INSERT INTO gpart.t.mmx SELECT id FROM range(0, 10)")
+    spark.sql("ALTER TABLE gpart.t.mmx ADD COLUMN x DOUBLE DEFAULT 5.0")
+    spark.sql("INSERT INTO gpart.t.mmx VALUES (100, 10.0)")
+    val qx = spark.sql("SELECT MIN(x), MAX(x) FROM gpart.t.mmx")
+    assert(!qx.queryExecution.executedPlan.toString.contains("GraftAggScan"),
+      "min/max must not trust ranges under an existence default")
+    assert((qx.head().getDouble(0), qx.head().getDouble(1)) == (5.0, 10.0),
+      "existence-default values must participate in MIN/MAX")
+
     spark.sql("DROP TABLE gpart.t.mm")
     spark.sql("DROP TABLE gpart.t.mmd")
+    spark.sql("DROP TABLE gpart.t.mmr")
+    spark.sql("DROP TABLE gpart.t.mmx")
   }
 
   test("graft source: estimateStatistics surfaces registry column bounds (CBO inputs)") {
