@@ -56,6 +56,69 @@ object EventStreams {
       .as[Event]
   }
 
+  final case class SessionOut(user_id: Long, start_ns: Long, end_ns: Long,
+      n_events: Long)
+
+  final case class OpenSession(start: Long, last: Long, n: Long)
+
+  /** CLOSED sessions as an append stream — the true streaming sessionizer:
+    * `flatMapGroupsWithState` in Append mode with EVENT-TIME timeouts. A
+    * session is emitted when the gap rule closes it inside a batch, or
+    * when the WATERMARK passes its last event + gap (the state timeout
+    * fires — no new event needed). State per user is one open session
+    * (three longs), bounded by the key cardinality, and the watermark
+    * bounds how long it can linger — the 100 TB shape: no per-event state,
+    * no unbounded retention. `events` must carry an instant-typed `ts_evt`
+    * with a watermark already applied (see [[withEventTime]]). */
+  def closedSessions(events: Dataset[Event],
+      watermark: String = "1 hour"): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    val withTime = events.toDF()
+      // integer division — a double intermediate would lose precision on
+      // epoch-nanos magnitudes
+      .withColumn("ts_evt", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("ts_evt", watermark)
+      .as[EventWithTime]
+    withTime
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[OpenSession, SessionOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (user, it, state: GroupState[OpenSession]) =>
+          if (!it.hasNext && state.hasTimedOut) {
+            // watermark passed last + gap: the open session is final
+            val s = state.get
+            state.remove()
+            Iterator.single(SessionOut(user, s.start, s.last, s.n))
+          } else {
+            val sorted = it.toSeq.sortBy(e => (e.ts, e.event_id))
+            val closed = scala.collection.mutable.ArrayBuffer[SessionOut]()
+            var open = state.getOption
+            sorted.foreach { e =>
+              open match {
+                case Some(s) if e.ts - s.last <= GapNs =>
+                  open = Some(OpenSession(s.start, e.ts, s.n + 1))
+                case Some(s) =>
+                  closed += SessionOut(user, s.start, s.last, s.n)
+                  open = Some(OpenSession(e.ts, e.ts, 1L))
+                case None =>
+                  open = Some(OpenSession(e.ts, e.ts, 1L))
+              }
+            }
+            open.foreach { s =>
+              state.update(s)
+              // fire when the watermark passes the gap after the last event
+              state.setTimeoutTimestamp(s.last / 1000000L + GapNs / 1000000L)
+            }
+            closed.iterator
+          }
+      }
+  }
+
+  /** [[Event]] plus the instant-typed event-time column the watermark
+    * machinery requires. */
+  final case class EventWithTime(event_id: Long, ts: Long, user_id: Long,
+      event_type: String, value: Double, ts_evt: java.sql.Timestamp)
+
   /** Per-user session counts with a 30-minute inactivity gap, implemented
     * as explicit keyed state. Events within one micro-batch are sorted by
     * (ts, event_id) before folding; state carries the last timestamp across

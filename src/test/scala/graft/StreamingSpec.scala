@@ -140,6 +140,51 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.nonEmpty)
   }
 
+  test("flatMapGroupsWithState: closed sessions emit via gap AND event-time timeout") {
+    import spark.implicits._
+    // Append-mode sessionization: a session emits when a later event
+    // closes it (gap rule) or when the watermark passes last + gap (the
+    // EventTimeTimeout fires with no new event). With watermark delay 0
+    // the final watermark is max(ts), so expected = every batch session
+    // whose (last + gap) ≤ max(ts).
+    val stream = EventStreams.asEvents(
+      spark.readStream.schema(batchEvents.schema).parquet(streamDir))
+    val q = EventStreams.closedSessions(stream, watermark = "0 seconds")
+      .writeStream.format("memory").queryName("closed_sess")
+      .outputMode(OutputMode.Append()).start()
+    try q.processAllAvailable() finally q.stop()
+
+    val got = spark.table("closed_sess")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+
+    // batch oracle: q17-style lag/cumsum sessions, kept if closeable
+    val ev = graft.Tables.normalizeEventTime(batchEvents)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"ts_ns", $"event_id")
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"ts_ns", $"event_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val maxTs = ev.agg(max($"ts_ns")).head().getLong(0)
+    // watermark works in MILLISECOND precision (timeout set at ms) — a
+    // session whose (last+gap) lands in the same ms as max(ts) may not
+    // fire; truncate both sides to ms like the engine does
+    val want = ev
+      .withColumn("prev", lag($"ts_ns", 1).over(w))
+      .withColumn("new_sess",
+        when($"prev".isNull || $"ts_ns" - $"prev" > EventStreams.GapNs, 1L).otherwise(0L))
+      .withColumn("sid", sum($"new_sess").over(wAll))
+      .groupBy($"user_id", $"sid")
+      .agg(min($"ts_ns").as("start_ns"), max($"ts_ns").as("end_ns"),
+        count(lit(1)).as("n_events"))
+      .filter(expr(s"(end_ns div 1000000) + ${EventStreams.GapNs} / 1000000 <= ${maxTs} div 1000000"))
+      .select($"user_id", $"start_ns", $"end_ns", $"n_events")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+
+    assert(got == want, s"closed sessions diverge: got ${got.size}, want ${want.size}")
+    assert(got.nonEmpty)
+  }
+
   test("graft streaming SOURCE: readStream tails a graft table across batch appends") {
     val wh = java.nio.file.Files.createTempDirectory("graft_src_wh").toString
     spark.conf.set("spark.sql.catalog.gsrc", classOf[graft.sources.GraftCatalog].getName)
