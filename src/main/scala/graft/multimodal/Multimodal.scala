@@ -66,9 +66,9 @@ object Multimodal {
         decodeWav(payload)
       else FakeDecoder.decode(payload) // codec-requiring formats: stub
 
-    /** Binary P6 PPM: `P6 <ws> width <ws> height <ws> maxval <single-ws>`
-      * then width*height*3 raw bytes; `#` comments allowed in the header. */
-    def decodePpm(p: Array[Byte]): (Int, Int, Array[Float]) = {
+    /** P6 header parse: (width, height, raster byte offset). `#` comments
+      * allowed; exactly one whitespace separates maxval from the raster. */
+    def ppmHeader(p: Array[Byte]): (Int, Int, Int) = {
       var pos = 2
       def nextInt(): Int = {
         var done = false
@@ -84,12 +84,17 @@ object Multimodal {
         v
       }
       val w = nextInt(); val h = nextInt(); nextInt() // maxval
-      pos += 1 // exactly one whitespace separates header from raster
+      (w, h, pos + 1)
+    }
+
+    /** Binary P6 PPM: header parse then a streaming pixel pass. */
+    def decodePpm(p: Array[Byte]): (Int, Int, Array[Float]) = {
+      val (w, h, off) = ppmHeader(p)
       var sum = 0L; val chan = Array(0L, 0L, 0L)
       val n = w * h * 3
       var i = 0
-      while (i < n && pos + i < p.length) {
-        val v = p(pos + i) & 0xff
+      while (i < n && off + i < p.length) {
+        val v = p(off + i) & 0xff
         sum += v; chan(i % 3) += v; i += 1
       }
       (w, h, Array(sum.toFloat, chan(0).toFloat, chan(1).toFloat, chan(2).toFloat))
@@ -208,6 +213,36 @@ object Multimodal {
         val (w, h, feat) = MediaDecoder.decode(m.payload)
         MediaFeatures(m.media_id, m.kind, m.payload.length.toLong, w, h, feat)
       }
+    }
+  }
+
+  final case class PixelRow(media_id: Long, row_idx: Int, y: Int, row_sum: Long)
+
+  /** REAL frame/row sampling over decoded bitmaps: k evenly-spaced pixel
+    * ROWS per PPM asset (the structural analog of grabbing k frames from a
+    * video), each reduced to its exact byte sum. Unlike [[sampleFrames]]
+    * (opaque byte ranges), this goes through the actual raster geometry —
+    * header offset, row stride w*3 — so a mis-parsed header would corrupt
+    * every sum. Non-PPM payloads are skipped. One streaming pass,
+    * payloads never leave their partition. */
+  def samplePixelRows(media: DataFrame, k: Int): Dataset[PixelRow] = {
+    import media.sparkSession.implicits._
+    media.as[MediaRow].mapPartitions { it =>
+      it.filter(m => m.payload.length >= 2 &&
+          m.payload(0) == 'P' && m.payload(1) == '6')
+        .flatMap { m =>
+          val (w, h, off) = MediaDecoder.ppmHeader(m.payload)
+          (0 until k).iterator.map { i =>
+            val y = h * i / k
+            val stride = w * 3
+            var sum = 0L
+            var t = 0
+            while (t < stride && off + y * stride + t < m.payload.length) {
+              sum += (m.payload(off + y * stride + t) & 0xff); t += 1
+            }
+            PixelRow(m.media_id, i, y, sum)
+          }
+        }
     }
   }
 

@@ -89,6 +89,45 @@ object Media {
               FROM m CROSS JOIN range(0, 4) r(i) WHERE n >= 4)
         SELECT media_id, frame_idx, off, flen,
           md5(substr(text, CAST(off + 1 AS INT), CAST(flen AS INT))) AS fhash
-        FROM f ORDER BY media_id, frame_idx"""))
+        FROM f ORDER BY media_id, frame_idx""")),
+
+    // ---- q130: REAL frame sampling through the raster geometry -----------
+    // k=4 evenly-spaced pixel ROWS per decoded PPM asset (image/video
+    // docs), each reduced to its exact byte sum — exercises the header
+    // offset and the w*3 row stride, not just opaque byte ranges (q62).
+    // The oracle replays each sampled row arithmetically from the
+    // construction: pixel byte j of the raster is the cycled text code at
+    // j % len, and row y spans [y*w*3, (y+1)*w*3).
+    QueryDef(
+      "q130_frame_rows",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val media = Multimodal.mediaAssets(t.documents)
+        Multimodal.samplePixelRows(media, 4)
+          .select(col("media_id"), col("row_idx").cast("long").as("row_idx"),
+            col("y").cast("long").as("y"), col("row_sum"))
+          .orderBy(col("media_id"), col("row_idx"))
+      },
+      Some("""WITH m AS (
+          SELECT doc_id AS media_id,
+                 CASE WHEN length(text) = 0 THEN ' ' ELSE text END AS text,
+                 CAST(CASE WHEN length(text) = 0 THEN 1
+                      ELSE length(text) END AS BIGINT) AS len
+          FROM documents WHERE CAST(doc_id % 3 AS INT) != 1),
+        dims AS (
+          SELECT media_id, text, len,
+                 4 + len % 13 AS w, 4 + len % 11 AS h
+          FROM m),
+        rws AS (
+          SELECT media_id, text, len, w, h, unnest(range(4)) AS i FROM dims),
+        px AS (
+          SELECT media_id, i, h * i // 4 AS y, text, len, w,
+                 unnest(range(w * 3)) AS t
+          FROM rws)
+        SELECT media_id, CAST(i AS BIGINT) AS row_idx, CAST(y AS BIGINT) AS y,
+          CAST(SUM(ascii(substr(text,
+            CAST((y * w * 3 + t) % len + 1 AS INT), 1))) AS BIGINT) AS row_sum
+        FROM px GROUP BY media_id, i, y
+        ORDER BY media_id, row_idx"""))
   )
 }

@@ -60,6 +60,23 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(gw == ww && gh == wh && gf.toSeq == wf.toSeq)
   }
 
+  test("samplePixelRows walks the real raster geometry") {
+    import spark.implicits._
+    // 2x4 image with known pixels: row y's sum must come from exactly
+    // bytes [off + y*6, off + (y+1)*6)
+    val px = Array.tabulate[Byte](2 * 4 * 3)(i => (i + 1).toByte)
+    val payload = "P6\n2 4\n255\n".getBytes("US-ASCII") ++ px
+    val media = Seq((7L, "image", payload)).toDF("media_id", "kind", "payload")
+    val got = Multimodal.samplePixelRows(media, 4)
+      .collect().map(r => (r.row_idx, r.y, r.row_sum)).sorted.toSeq
+    // k=4 over h=4 → rows 0,1,2,3; row y sum = Σ(6y+1..6y+6) = 36y+21
+    assert(got == (0 until 4).map(i => (i, i, 36L * i + 21L)))
+    // audio (WAV) assets are skipped, not mis-decoded
+    val wav = Seq((8L, "audio", Multimodal.AssetGen.wav("abc")))
+      .toDF("media_id", "kind", "payload")
+    assert(Multimodal.samplePixelRows(wav, 4).count() == 0)
+  }
+
   test("asset round trip: generated payloads decode to the construction") {
     import spark.implicits._
     val docs = Seq((0L, "some image text"), (1L, "audio words here"),
