@@ -65,11 +65,18 @@ object EventStreams {
     * `flatMapGroupsWithState` in Append mode with EVENT-TIME timeouts. A
     * session is emitted when the gap rule closes it inside a batch, or
     * when the WATERMARK passes its last event + gap (the state timeout
-    * fires — no new event needed). State per user is one open session
-    * (three longs), bounded by the key cardinality, and the watermark
-    * bounds how long it can linger — the 100 TB shape: no per-event state,
-    * no unbounded retention. `events` must carry an instant-typed `ts_evt`
-    * with a watermark already applied (see [[withEventTime]]). */
+    * fires — no new event needed). The instant-typed event-time column and
+    * the watermark are derived internally from the Event's nanos `ts`.
+    *
+    * State per user is ONE open session (three longs), bounded by key
+    * cardinality and watermark retention — the 100 TB shape. The price of
+    * that bound is cross-batch reordering: an event within the gap of the
+    * open interval widens it (start = min, last = max); an event older
+    * than start − gap belongs to an EARLIER session the state no longer
+    * holds and is emitted immediately as its own single-event session
+    * (best effort — `session_window` buffers every open window to merge
+    * these exactly, at strictly larger state). Within a batch events are
+    * sorted first, so ordering costs nothing there. */
   def closedSessions(events: Dataset[Event],
       watermark: String = "1 hour"): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
@@ -95,11 +102,19 @@ object EventStreams {
             var open = state.getOption
             sorted.foreach { e =>
               open match {
-                case Some(s) if e.ts - s.last <= GapNs =>
-                  open = Some(OpenSession(s.start, e.ts, s.n + 1))
-                case Some(s) =>
+                case Some(s) if e.ts > s.last + GapNs =>
+                  // a gap after the interval closes the session
                   closed += SessionOut(user, s.start, s.last, s.n)
                   open = Some(OpenSession(e.ts, e.ts, 1L))
+                case Some(s) if e.ts < s.start - GapNs =>
+                  // cross-batch straggler from an already-forgotten earlier
+                  // session: emit it alone, keep the open session intact
+                  closed += SessionOut(user, e.ts, e.ts, 1L)
+                case Some(s) =>
+                  // inside (or gap-adjacent to) the open interval — widen;
+                  // a delayed event must never REGRESS `last`
+                  open = Some(OpenSession(math.min(s.start, e.ts),
+                    math.max(s.last, e.ts), s.n + 1))
                 case None =>
                   open = Some(OpenSession(e.ts, e.ts, 1L))
               }

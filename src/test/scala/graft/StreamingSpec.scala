@@ -177,12 +177,57 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       .groupBy($"user_id", $"sid")
       .agg(min($"ts_ns").as("start_ns"), max($"ts_ns").as("end_ns"),
         count(lit(1)).as("n_events"))
-      .filter(expr(s"(end_ns div 1000000) + ${EventStreams.GapNs} / 1000000 <= ${maxTs} div 1000000"))
+      // STRICT <: Spark evicts timed-out state only when timeoutTs <
+      // watermark, so a session landing exactly on the watermark ms is
+      // still open
+      .filter(expr(s"(end_ns div 1000000) + ${EventStreams.GapNs} / 1000000 < ${maxTs} div 1000000"))
       .select($"user_id", $"start_ns", $"end_ns", $"n_events")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
 
     assert(got == want, s"closed sessions diverge: got ${got.size}, want ${want.size}")
     assert(got.nonEmpty)
+  }
+
+  test("closed sessions: cross-batch stragglers neither regress nor corrupt the open session") {
+    import spark.implicits._
+    val gap = EventStreams.GapNs
+    val min = 60L * 1000000000L
+    val t0 = 1704067200L * 1000000000L // 2024-01-01T00:00Z in epoch ns
+    val dir = Files.createTempDirectory("graft_ooo")
+    def writeBatch(name: String, mtime: Long, rows: (Long, Long)*): Unit = {
+      rows.map { case (id, ts) => (id, ts, 1L, "click", 0.0) }
+        .toDF("event_id", "ts", "user_id", "event_type", "value")
+        .coalesce(1).write.parquet(dir.resolve(name).toString)
+      java.nio.file.Files.walk(dir.resolve(name)).forEach(p =>
+        java.nio.file.Files.setLastModifiedTime(p,
+          java.nio.file.attribute.FileTime.fromMillis(mtime)))
+    }
+    // batch 1 opens [t0, t0+10m]; batch 2 delivers (in event-time order
+    // after the sort): a straggler 2h BEFORE the session, a delayed event
+    // inside the interval, an extension, and a closer
+    writeBatch("a.parquet", 1000000L, (1L, t0), (2L, t0 + 10 * min))
+    writeBatch("b.parquet", 2000000L,
+      (3L, t0 - 120 * min), (4L, t0 + 5 * min), (5L, t0 + 38 * min),
+      (6L, t0 + 100 * min))
+
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, value DOUBLE")
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/*")
+      .as[EventStreams.Event]
+    // 3h watermark delay: the straggler survives the late-event filter,
+    // and nothing times out — only gap-closes emit
+    val q = EventStreams.closedSessions(stream, watermark = "3 hours")
+      .writeStream.format("memory").queryName("ooo_sess")
+      .outputMode(OutputMode.Append()).start()
+    try q.processAllAvailable() finally q.stop()
+
+    val got = spark.table("ooo_sess")
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == Set(
+      (t0 - 120 * min, t0 - 120 * min, 1L), // straggler: own session, open session untouched
+      (t0, t0 + 38 * min, 4L)), // delayed t0+5m widened (not regressed), t0+38m extended
+      s"got $got")
   }
 
   test("graft streaming SOURCE: readStream tails a graft table across batch appends") {
