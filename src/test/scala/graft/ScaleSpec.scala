@@ -211,6 +211,16 @@ class ScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(TableStats.registryReads.get() == r0 + 1,
       s"count(*) read the registry ${TableStats.registryReads.get() - r0} times, want 1")
 
+    // MIN/MAX: the 1000-file fold is driver-side over the SAME single
+    // registry read — zero data I/O, zero footers, independent of bytes
+    val fmm = GraftScan.footerReads.get()
+    val mm = spark.sql("SELECT MIN(id), MAX(id), MIN(v), MAX(v) FROM graft.mf.many")
+    assert(mm.queryExecution.executedPlan.toString.contains("GraftAggScan"))
+    val mr = mm.head()
+    assert((mr.getLong(0), mr.getLong(1), mr.getDouble(2), mr.getDouble(3)) ==
+      (0L, 99999L, 0.0, 96.0))
+    assert(GraftScan.footerReads.get() == fmm, "min/max opened parquet footers")
+
     // a real scan still plans without footer reads (stats + ranges come
     // from the registry) and with a bounded number of registry reads
     val f1 = GraftScan.footerReads.get()
