@@ -1304,6 +1304,45 @@ object Engine {
         CAST(100000006 AS BIGINT) AS max_k,
         CAST(COUNT(*) + 7 AS BIGINT) AS n,
         MIN(l_quantity) AS min_q, MAX(l_quantity) AS max_q
-        FROM lineitem"""))
+        FROM lineitem""")),
+
+    // ---- q131: ORDER BY + LIMIT (TopN) file pruning ------------------------
+    // "Latest n events" — THE interactive query against an event log. The
+    // scan implements SupportsPushDownTopN: per-file [min, max] ranges +
+    // exact null counts from the commit-time registry prove which files
+    // cannot hold a top-n row (strict-precedence rule, so ties and the
+    // secondary sort key are safe), and only the survivors are listed or
+    // opened. Four range-disjoint inserts + one all-null insert make the
+    // pruning real: a DESC top-10 plans the highest file alone instead of
+    // five. At 100 TB the difference is reading one file vs the table.
+    // Plan shape (files actually pruned) is asserted in TopNSpec; this
+    // gates the VALUES including the NULLS LAST tail.
+    QueryDef(
+      "q131_topn_pushdown",
+      (s, dir) => {
+        val ns = ensureCatalog(s, dir)
+        s.sql(s"DROP TABLE IF EXISTS $ns.topn")
+        s.sql(s"CREATE TABLE $ns.topn (eid BIGINT, etype STRING, val DOUBLE)")
+        val maxId = s.sql(s"SELECT max(event_id) FROM parquet.`$dir/events.parquet`")
+          .first().getLong(0)
+        val step = maxId / 4 + 1
+        for (q <- 0 until 4) // range-DISJOINT files — the prunable layout
+          s.sql(s"""INSERT INTO $ns.topn
+                   |SELECT event_id, event_type, value
+                   |FROM parquet.`$dir/events.parquet`
+                   |WHERE event_id >= ${q * step} AND event_id < ${(q + 1) * step}""".stripMargin)
+        s.sql(s"""INSERT INTO $ns.topn
+                 |SELECT NULL, concat('null-', id), CAST(id AS DOUBLE)
+                 |FROM range(3)""".stripMargin)
+        s.sql(s"""SELECT eid, etype, val FROM $ns.topn
+                 |ORDER BY eid DESC NULLS LAST, etype LIMIT 10""".stripMargin)
+      },
+      Some("""SELECT * FROM (
+          SELECT event_id AS eid, event_type AS etype, value AS val
+          FROM events
+          UNION ALL
+          SELECT NULL, concat('null-', CAST(id AS VARCHAR)), CAST(id AS DOUBLE)
+          FROM range(3) t(id))
+        ORDER BY eid DESC NULLS LAST, etype LIMIT 10"""))
   )
 }

@@ -133,6 +133,11 @@ final class GraftTable(
 
   def dataDir: String = s"$tableDir/data"
 
+  /** The pinned time-travel version, if this relation came from
+    * `VERSION AS OF` / `TIMESTAMP AS OF` (read-only; MV rewrite must
+    * never redirect a historical read to a current materialization). */
+  def pinned: Option[Long] = pinnedVersion
+
   // ---- DELETE FROM / TRUNCATE: metadata-only partition-level deletes ----
   // A filter is deletable only when it is one of the exact shapes
   // [[PartitionPruning.eval3]] decides over partition columns; anything
@@ -484,9 +489,15 @@ object TableStats {
   /** `sorted`: the WRITER observed this file's rows arriving in
     * non-decreasing `write.sort.columns` order (evidence, not
     * declaration — see [[GraftScan.outputOrdering]]). */
+  /** `nulls`: exact per-column null counts over the tracked columns —
+    * `Some(map)` from writers that counted (absent key = ZERO nulls),
+    * `None` for entries from registries that predate the field (null
+    * counts unknown; TopN file pruning then treats the file
+    * conservatively in both roles — see [[GraftScan.pruneTopN]]). */
   final case class Entry(rows: Long, cols: Map[String, (String, String)] = Map.empty,
                          bytes: Long = -1L, seq: Long = -1L,
-                         sorted: Boolean = false)
+                         sorted: Boolean = false,
+                         nulls: Option[Map[String, Long]] = None)
 
   /** Path of `file` relative to its table's `data/` dir (keys of the stats
     * registry), robust to scheme-qualified vs bare paths. */
@@ -509,7 +520,16 @@ object TableStats {
       // re-register them with the sentinel intact so TableStats.write
       // stamps the repair's own version — clamping to 0 would make every
       // pre-existing equality delete wrongly suppress the recovered rows
-      s"$rel\t${e.rows}\t${e.bytes}\t$colspec\t${e.seq}\t${if (e.sorted) 1 else 0}"
+      val base = s"$rel\t${e.rows}\t${e.bytes}\t$colspec\t${e.seq}\t${if (e.sorted) 1 else 0}"
+      e.nulls match {
+        case None => base
+        // "-" = "counted, zero nulls everywhere" — distinguishable from a
+        // 6-field line (unknown) and never an empty trailing field (which
+        // split('\t') would drop)
+        case Some(m) if m.isEmpty => s"$base\t-"
+        case Some(m) => base + "\t" + m.toSeq.sorted
+          .map { case (c, n) => s"${enc(c)}=$n" }.mkString(";")
+      }
     }.mkString("", "\n", "\n")
 
   private def parseCols(colspec: String): Map[String, (String, String)] =
@@ -536,6 +556,15 @@ object TableStats {
         case Array(rel, rows, bytes, colspec, seq, sorted) =>
           rel -> Entry(rows.toLong, parseCols(colspec), bytes.toLong, seq.toLong,
             sorted == "1")
+        case Array(rel, rows, bytes, colspec, seq, sorted, nulls) =>
+          val nullMap =
+            if (nulls == "-") Map.empty[String, Long]
+            else nulls.split(';').filter(_.nonEmpty).map { kv =>
+              val Array(c, n) = kv.split('=')
+              dec(c) -> n.toLong
+            }.toMap
+          rel -> Entry(rows.toLong, parseCols(colspec), bytes.toLong, seq.toLong,
+            sorted == "1", Some(nullMap))
         case other =>
           throw new IllegalStateException(s"bad stats line: $line")
       }
@@ -715,13 +744,15 @@ final class GraftScanBuilder(
     with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters
     with SupportsPushDownAggregates
-    with SupportsPushDownLimit {
+    with SupportsPushDownLimit
+    with SupportsPushDownTopN {
 
   private var required: StructType = tableSchema
   private var wantFile: Boolean = false
   private var pushed: Array[Filter] = Array.empty
   private var pushedAggs: Option[Seq[GraftAggScan.Spec]] = None
   private var limit: Option[Int] = None
+  private var topN: Option[GraftScan.TopN] = None
 
   /** Manifest read on demand for pushdown decisions, then HANDED to the
     * scan built from this builder so a COUNT(*)/LIMIT query still costs
@@ -754,6 +785,45 @@ final class GraftScanBuilder(
     false // partial: selected files may hold more rows than the limit
   }
   override def isPartiallyPushed(): Boolean = true
+
+  /** ORDER BY <col> ... LIMIT n: file-level top-k pruning from the
+    * commit-time per-file [min, max] ranges — a file provably preceded
+    * by ≥ n rows (STRICTLY, so ties and secondary sort keys are safe)
+    * in kept files is never listed, opened, or scanned. Partial
+    * pushdown: Spark still sorts and cuts the survivors, so the scan
+    * only has to return a superset of the top n. On a table sorted (or
+    * sorted-compacted) by the key, a top-k touches O(k/rows-per-file)
+    * files regardless of table size — the 100 TB "latest n events"
+    * shape. Null reasoning needs the registry's exact per-file null
+    * counts; entries predating them are handled conservatively (see
+    * [[GraftScan.pruneTopN]]). Only the LEADING sort key prunes;
+    * correctness never depends on the rest (strictness argument). */
+  override def pushTopN(orders: Array[
+      org.apache.spark.sql.connector.expressions.SortOrder], n: Int): Boolean = {
+    import org.apache.spark.sql.connector.expressions.{NamedReference, SortDirection, NullOrdering}
+    if (!(pushed.isEmpty && tracker.isEmpty && !hasDeletes &&
+        orders.nonEmpty && n > 0 && allFilesRangeRegistered)) return false
+    val head = orders.head
+    val field = head.expression() match {
+      case nr: NamedReference if nr.fieldNames().length == 1 =>
+        tableSchema.fields.find(_.name == nr.fieldNames()(0))
+          .filter(f => rangeExact(f.dataType) &&
+            // pre-rename files registered ranges under the former name
+            !renames.contains(f.name) &&
+            // ADD COLUMN ... DEFAULT: old files read the existence
+            // default, not null, yet register no range for the column
+            !f.metadata.contains("EXISTS_DEFAULT"))
+      case _ => None
+    }
+    field match {
+      case Some(f) =>
+        topN = Some(GraftScan.TopN(f.name, f.dataType,
+          head.direction() == SortDirection.DESCENDING,
+          head.nullOrdering() == NullOrdering.NULLS_FIRST, n))
+        true
+      case None => false
+    }
+  }
 
   /** COUNT(*) / MIN / MAX with no filters and no GROUP BY are answered
     * from the commit-time stats registry — zero data read, O(1) regardless
@@ -863,7 +933,7 @@ final class GraftScanBuilder(
     case None => new GraftScan(tableSchema, required, pushed, dataDir, partitionCols,
       wantFile, tracker, limit, maxFilesPerTrigger, maxBytesPerTrigger,
       snapshotVersion, sinceVersion, renames, onManifest, manifestCache,
-      widened, specSince, sortCols)
+      widened, specSince, sortCols, topN)
   }
 }
 
@@ -885,7 +955,8 @@ final class GraftScan(
     manifestPre: Option[Option[Map[String, TableStats.Entry]]] = None,
     widened: Set[String] = Set.empty,
     specSince: Long = 0L,
-    sortCols: Seq[String] = Nil)
+    sortCols: Seq[String] = Nil,
+    topN: Option[GraftScan.TopN] = None)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsReportPartitioning with SupportsRuntimeFiltering
     with org.apache.spark.sql.connector.read.SupportsReportOrdering {
@@ -1136,12 +1207,20 @@ final class GraftScan(
           case None => walk(root, partFields, Map.empty).sortBy(_._1)
         }
         val allowed0 = allowedFiles.fold(all)(ok => all.filter(f => ok.contains(f._1)))
+        // ORDER BY + LIMIT file pruning: drop files provably preceded by
+        // ≥ n rows in kept files (see pruneTopN — superset contract, so
+        // any conservative outcome is safe)
+        val afterTopN = topN.filter(_ => !keyGrouped && pushed.isEmpty &&
+            allowedFiles.isEmpty) match {
+          case Some(t) => GraftScan.pruneTopN(allowed0, cachedStats, t)
+          case None => allowed0
+        }
         // file-level skip from commit-time column ranges: a file whose
         // registered [min, max] provably excludes some pushed filter is
         // never opened (stronger than row-group skipping — no footer read)
         val allowed =
-          if (pushed.isEmpty) allowed0
-          else allowed0.filter { f =>
+          if (pushed.isEmpty) afterTopN
+          else afterTopN.filter { f =>
             cachedStats.get(TableStats.relOf(f._1)).forall(e =>
               e.cols.isEmpty ||
                 !pushed.exists(PartitionPruning.rangeDisproves(_, e.cols, tableSchema)))
@@ -1604,6 +1683,132 @@ object GraftScan {
   /** COUNT(*) scans that fell back to a recursive file listing (no stats
     * registry). Diagnostics only — warm tables must never increment it. */
   val countStarListings = new java.util.concurrent.atomic.AtomicLong(0)
+  /** Files dropped by TopN pruning across scans. Diagnostics only. */
+  val topNPrunedFiles = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** A pushed `ORDER BY col [ASC|DESC] [NULLS FIRST|LAST] LIMIT n`
+    * (leading sort key only — see `GraftScanBuilder.pushTopN`). */
+  final case class TopN(col: String, dt: org.apache.spark.sql.types.DataType,
+                        desc: Boolean, nullsFirst: Boolean, n: Int)
+
+  /** File-level top-k pruning. Contract: the kept files contain, for
+    * EVERY row of every dropped file F, at least `n` rows that sort
+    * STRICTLY before it — so no dropped row can appear in ANY correct
+    * top-n answer, under any tie-breaking and regardless of secondary
+    * sort keys. Spark applies the real Sort + Limit over the survivors
+    * (partial pushdown), so conservatism only costs I/O, never rows.
+    *
+    * Reasoning per file, from the commit-time registry:
+    *  - non-null rows of G all sort within [G.min, G.max] (exact ranges —
+    *    the builder verified every live file registered them);
+    *  - a column key ABSENT from a range-registered entry means the file
+    *    holds no non-null value of that column (all-null);
+    *  - null counts: entries carrying `nulls` are exact; legacy entries
+    *    (None) get null∈[0, rows] — which both blocks pruning a file
+    *    that might hide nulls and zeroes its guaranteed contribution.
+    *
+    * Greedy sweep: files ordered by their earliest possible sort
+    * position; each file either proves `n` strict predecessors among
+    * already-KEPT files (pruned — predecessors are guaranteed to be
+    * returned) or joins the kept set. O(files²) worst case on the
+    * DRIVER over registry metadata only — at 1000 files that is ~10⁶
+    * comparisons, microseconds; no data I/O.
+    */
+  def pruneTopN(
+      files: Seq[(String, Long, Seq[Any], Long)],
+      stats: Map[String, TableStats.Entry],
+      t: TopN): Seq[(String, Long, Seq[Any], Long)] = {
+    import org.apache.spark.sql.types._
+
+    def parseVal(s: String): Any = t.dt match {
+      case DateType => java.time.LocalDate.parse(s).toEpochDay: java.lang.Long
+      case FloatType | DoubleType => s.toDouble: java.lang.Double
+      case _ => s.toLong: java.lang.Long
+    }
+    // strict "sorts before" on non-null values; Double.compare puts NaN
+    // above all reals — the same total order Spark sorts with
+    def precedes(a: Any, b: Any): Boolean = {
+      val c = (a, b) match {
+        case (x: java.lang.Long, y: java.lang.Long) => java.lang.Long.compare(x, y)
+        case (x: java.lang.Double, y: java.lang.Double) => java.lang.Double.compare(x, y)
+        case _ => return false
+      }
+      if (t.desc) c > 0 else c < 0
+    }
+
+    final case class Facts(
+        file: (String, Long, Seq[Any], Long),
+        rows: Long,
+        first: Option[Any], // sort-first bound of non-null rows (min asc / max desc)
+        last: Option[Any],  // sort-last bound of non-null rows
+        nullLB: Long, nullUB: Long)
+
+    val facts = files.map { f =>
+      stats.get(TableStats.relOf(f._1)) match {
+        case None => return files // unregistered file — prune nothing
+        case Some(e) =>
+          val range = e.cols.get(t.col).map { case (mn, mx) =>
+            (parseVal(mn), parseVal(mx))
+          }
+          val (nlb, nub) = e.nulls match {
+            case Some(m) =>
+              val x = m.getOrElse(t.col, if (range.isEmpty) e.rows else 0L)
+              (x, x)
+            case None =>
+              if (range.isEmpty) (e.rows, e.rows) // all-null: exact either way
+              else (0L, e.rows)                   // legacy: unknown
+          }
+          Facts(f, e.rows,
+            first = range.map(r => if (t.desc) r._2 else r._1),
+            last = range.map(r => if (t.desc) r._1 else r._2),
+            nullLB = nlb, nullUB = nub)
+      }
+    }
+
+    // earliest-sort-position order: a file that may start with a null
+    // sorts to the front under NULLS FIRST / the back under NULLS LAST
+    val ordered = facts.sortWith { (a, b) =>
+      (a.first, b.first) match {
+        case (Some(x), Some(y)) =>
+          val aNull = t.nullsFirst && a.nullUB > 0
+          val bNull = t.nullsFirst && b.nullUB > 0
+          if (aNull != bNull) aNull else precedes(x, y)
+        case (None, Some(_)) => t.nullsFirst
+        case (Some(_), None) => !t.nullsFirst
+        case (None, None) => false
+      }
+    }
+
+    val kept = scala.collection.mutable.ArrayBuffer[Facts]()
+    val keptSet = scala.collection.mutable.HashSet[String]()
+    ordered.foreach { f =>
+      // rows guaranteed to strictly precede F's FIRST non-null row:
+      // kept nulls (under NULLS FIRST they precede every value) plus
+      // kept non-null rows provably below F.first
+      lazy val coverVal: Long = kept.iterator.map { g =>
+        val nulls = if (t.nullsFirst) g.nullLB else 0L
+        val vals =
+          if (f.first.isDefined && g.last.isDefined &&
+              precedes(g.last.get, f.first.get))
+            math.max(0L, g.rows - g.nullUB)
+          else 0L
+        nulls + vals
+      }.sum
+      // rows guaranteed to strictly precede F's null rows: under NULLS
+      // LAST every non-null row anywhere; under NULLS FIRST nothing
+      lazy val coverNull: Long =
+        if (t.nullsFirst) 0L
+        else kept.iterator.map(g => math.max(0L, g.rows - g.nullUB)).sum
+      val needVal = f.first.isDefined
+      val needNull = f.nullUB > 0
+      val prunable =
+        (!needVal || coverVal >= t.n) && (!needNull || coverNull >= t.n)
+      if (prunable) topNPrunedFiles.incrementAndGet()
+      else { kept += f; keptSet += f.file._1 }
+    }
+    if (keptSet.size == files.size) files
+    else files.filter(f => keptSet.contains(f._1))
+  }
 }
 
 /** `seq`: the file's data sequence number (manifest version at which it
@@ -2233,6 +2438,9 @@ object GraftWriterFactory {
     private val mins = Array.fill[Any](tracked.length)(null)
     private val maxs = Array.fill[Any](tracked.length)(null)
     private val dead = Array.fill[Boolean](tracked.length)(false)
+    // exact per-column null counts — stays exact even when range tracking
+    // dies (>64-char strings); feeds TopN file pruning's null reasoning
+    private val nullCnt = new Array[Long](tracked.length)
 
     private def cmp(dt: DataType, a: Any, b: Any): Int = dt match {
       case ByteType | ShortType | IntegerType | LongType | DateType =>
@@ -2251,7 +2459,8 @@ object GraftWriterFactory {
       var j = 0
       while (j < tracked.length) {
         val (f, i) = tracked(j)
-        if (!dead(j) && !row.isNullAt(i)) {
+        if (row.isNullAt(i)) nullCnt(j) += 1
+        else if (!dead(j)) {
           val v = row.get(i, f.dataType)
           v match {
             case u: UTF8String if u.numChars() > 64 => dead(j) = true // unbounded
@@ -2278,6 +2487,13 @@ object GraftWriterFactory {
           f.name -> (ext(f.dataType, mins(j)), ext(f.dataType, maxs(j)))
       }.toMap
     }
+
+    /** Exact null counts of the tracked columns (nonzero entries only —
+      * an absent key under `Some(...)` reads back as zero). */
+    def nullCounts: Map[String, Long] =
+      tracked.indices.collect {
+        case j if nullCnt(j) > 0 => tracked(j)._1.name -> nullCnt(j)
+      }.toMap
   }
 
   /** Watches one file's rows for non-decreasing `write.sort.columns`
@@ -2451,7 +2667,8 @@ object GraftWriterFactory {
             try new Path(s"$dataDir/${w._2}").getFileSystem(conf)
               .getFileStatus(new Path(s"$dataDir/${w._2}")).getLen
             catch { case _: java.io.IOException => -1L }
-          (w._2, TableStats.Entry(w._3, w._4.result, len, sorted = w._5.sorted))
+          (w._2, TableStats.Entry(w._3, w._4.result, len, sorted = w._5.sorted,
+            nulls = Some(w._4.nullCounts)))
         }.toSeq)
       }
       override def abort(): Unit = {
