@@ -76,5 +76,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new graft.sources.GraftViewSqlParser(session, parser))
     ext.injectResolutionRule(session =>
       graft.sources.GraftViewSubstitution(session))
+    // Materialized-view rewrite: aggregates over a base table re-plan
+    // against a FRESH materialization (see MaterializedViews).
+    ext.injectOptimizerRule(session =>
+      graft.sources.GraftMvRewrite(session))
   }
 }

@@ -1343,6 +1343,62 @@ object Engine {
           UNION ALL
           SELECT NULL, concat('null-', CAST(id AS VARCHAR)), CAST(id AS DOUBLE)
           FROM range(3) t(id))
-        ORDER BY eid DESC NULLS LAST, etype LIMIT 10"""))
+        ORDER BY eid DESC NULLS LAST, etype LIMIT 10""")),
+
+    // ---- q132: materialized view with freshness-gated auto-rewrite ---------
+    // CREATE MATERIALIZED VIEW persists a (lang, source) aggregate; a
+    // per-lang ROLLUP over the base then re-plans against the MV
+    // (GraftMvRewrite — COUNT(*)→SUM(cnt), SUM→SUM, MAX→MAX), but ONLY
+    // while the MV's recorded base snapshot version equals the base's
+    // current version. The gate runs all three phases — fresh (served
+    // from the MV), stale after an append (MUST fall back to the base:
+    // phase-2 values include the new rows), refreshed (served from the
+    // MV again, identical to phase 2) — so a broken freshness check or a
+    // wrong fold produces wrong VALUES, not just a wrong plan. Plan
+    // shape (MV actually scanned / base actually scanned per phase) is
+    // asserted in MvRewriteSpec.
+    QueryDef(
+      "q132_mv_rewrite",
+      (s, dir) => {
+        val ns = ensureCatalog(s, dir)
+        s.sql(s"DROP TABLE IF EXISTS $ns.mvd")
+        s.sql(s"DROP TABLE IF EXISTS $ns.mbase")
+        s.sql(s"""CREATE TABLE $ns.mbase AS
+                 |SELECT doc_id, lang, source, n_chars
+                 |FROM parquet.`$dir/documents.parquet` WHERE doc_id % 2 = 0""".stripMargin)
+        s.sql(s"""CREATE MATERIALIZED VIEW $ns.mvd AS
+                 |SELECT lang, source, count(*) AS cnt, sum(n_chars) AS sc,
+                 |       max(n_chars) AS mx
+                 |FROM $ns.mbase GROUP BY lang, source""".stripMargin)
+        def rollup(phase: String) = s"""
+          |SELECT '$phase' AS phase, lang, count(*) AS cnt,
+          |       CAST(sum(n_chars) AS BIGINT) AS sc,
+          |       CAST(max(n_chars) AS BIGINT) AS mx
+          |FROM $ns.mbase GROUP BY lang""".stripMargin
+        // DataFrames are lazy — each phase is COLLECTED at its point in
+        // time (a handful of per-lang rows) so later commits cannot
+        // retroactively change it, then re-assembled for the dump
+        val schema = s.sql(rollup("1-fresh")).schema
+        val p1 = s.sql(rollup("1-fresh")).collect().toSeq
+        s.sql(s"""INSERT INTO $ns.mbase
+                 |SELECT doc_id, lang, source, n_chars
+                 |FROM parquet.`$dir/documents.parquet` WHERE doc_id % 2 = 1""".stripMargin)
+        val p2 = s.sql(rollup("2-stale")).collect().toSeq // stale: base data
+        s.sql(s"REFRESH MATERIALIZED VIEW $ns.mvd")
+        val p3 = s.sql(rollup("3-refreshed")).collect().toSeq
+        s.createDataFrame(s.sparkContext.parallelize(p1 ++ p2 ++ p3, 1), schema)
+          .orderBy("phase", "lang")
+      },
+      Some("""WITH ev AS (SELECT * FROM documents WHERE doc_id % 2 = 0)
+        SELECT '1-fresh' AS phase, lang, count(*) AS cnt,
+               CAST(sum(n_chars) AS BIGINT) AS sc, CAST(max(n_chars) AS BIGINT) AS mx
+        FROM ev GROUP BY lang
+        UNION ALL
+        SELECT '2-stale', lang, count(*), CAST(sum(n_chars) AS BIGINT),
+               CAST(max(n_chars) AS BIGINT) FROM documents GROUP BY lang
+        UNION ALL
+        SELECT '3-refreshed', lang, count(*), CAST(sum(n_chars) AS BIGINT),
+               CAST(max(n_chars) AS BIGINT) FROM documents GROUP BY lang
+        ORDER BY phase, lang"""))
   )
 }

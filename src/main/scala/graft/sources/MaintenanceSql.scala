@@ -54,6 +54,12 @@ object MaintenanceSql {
     """(?is)\s*ALTER\s+TABLE\s+([\w.`]+)\s+DISCARD\s+WAP\s+'?`?([\w][\w.-]*)'?`?\s*;?\s*""".r
   private val ShowWap =
     """(?is)\s*SHOW\s+WAP\s+(?:IN\s+|FROM\s+)?([\w.`]+)\s*;?\s*""".r
+  private val CreateMv =
+    """(?is)\s*CREATE\s+MATERIALIZED\s+VIEW\s+([\w.`]+)\s+AS\s+(.+?)\s*;?\s*""".r
+  private val RefreshMv =
+    """(?is)\s*REFRESH\s+MATERIALIZED\s+VIEW\s+([\w.`]+)\s*;?\s*""".r
+  private val DropMv =
+    """(?is)\s*DROP\s+MATERIALIZED\s+VIEW\s+(?:(IF\s+EXISTS)\s+)?([\w.`]+)\s*;?\s*""".r
 
   private def parts(ident: String): Seq[String] =
     ident.split('.').map(_.stripPrefix("`").stripSuffix("`")).toSeq
@@ -98,6 +104,12 @@ object MaintenanceSql {
         Some(GraftDiscardWapCommand(parts(id), wap))
       case ShowWap(id) if graft(parts(id)) =>
         Some(GraftShowWapCommand(parts(id)))
+      case CreateMv(id, select) if graft(parts(id)) =>
+        Some(GraftCreateMvCommand(parts(id), select.trim))
+      case RefreshMv(id) if graft(parts(id)) =>
+        Some(GraftRefreshMvCommand(parts(id)))
+      case DropMv(ifExists, id) if graft(parts(id)) =>
+        Some(GraftDropMvCommand(parts(id), ifExists != null))
       case SetPartSpec(id, specText) if graft(parts(id)) =>
         // split on top-level commas only: bucket(8, id) keeps its own
         val specs = scala.collection.mutable.ArrayBuffer[String]()

@@ -1,0 +1,398 @@
+package graft.sources
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate._
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project, SubqueryAlias}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.connector.catalog.TableChange
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.execution.datasources.v2.{DataSourceV2Relation, DataSourceV2ScanRelation}
+import org.apache.spark.sql.types.{DecimalType, LongType}
+
+/** Materialized views with automatic, freshness-gated query rewrite.
+  *
+  * `CREATE MATERIALIZED VIEW mv AS SELECT g1, g2, count(*) c, sum(x) s
+  * FROM base GROUP BY g1, g2` materializes the aggregate as an ordinary
+  * graft table and records, in table properties, the base table, the
+  * SELECT text, the aggregation spec, and the base SNAPSHOT VERSION the
+  * build read. [[GraftMvRewrite]] (an injected optimizer rule) then
+  * rewrites any matching aggregate over the base — same grouping, a
+  * ROLLUP to fewer columns, or a filter on grouped columns — to re-
+  * aggregate the (many-orders-smaller) MV instead: COUNT(*)→SUM(c),
+  * SUM(x)→SUM(s_x), MIN/MAX→MIN/MAX. At 100 TB this turns a corpus scan
+  * into a scan of one small table, with zero query changes.
+  *
+  * Correctness before speed, twice over:
+  *  - the rewrite fires ONLY when the MV is provably FRESH — its recorded
+  *    base version equals the base's current snapshot version (one side-
+  *    file listing to check). A stale MV is silently ignored, never
+  *    served; `REFRESH MATERIALIZED VIEW` rebuilds it and re-stamps the
+  *    version. Time-travel reads of the base are never rewritten.
+  *  - only provably-foldable shapes rewrite: plain grouping attributes, a
+  *    subset of the MV's; COUNT(*) / SUM / MIN / MAX without DISTINCT or
+  *    FILTER clauses; non-decimal SUMs (decimal re-summing widens the
+  *    type); filters referencing only MV grouping columns (those commute
+  *    with the aggregate). Anything else keeps the base plan.
+  *
+  * The reference has no MV machinery; this is part of the added engine
+  * surface (SURVEY.md §2 extension), composing the existing snapshot
+  * version log ([[Snapshots]]) for its freshness proof — the same
+  * mechanism q87 uses for INCREMENTAL MV maintenance via the change feed.
+  */
+object MaterializedViews {
+  /** On the MV table: the base table's full identifier. */
+  val BaseProp = "graft.mv.base"
+  /** On the MV table: the defining SELECT text (REFRESH re-runs it). */
+  val SqlProp = "graft.mv.sql"
+  /** On the MV table: serialized [[Spec]]. */
+  val SpecProp = "graft.mv.spec"
+  /** On the MV table: base snapshot version the current contents reflect. */
+  val VersionProp = "graft.mv.base.version"
+  /** On the BASE table: comma-joined idents of MVs built over it. */
+  val RefsProp = "graft.mv.refs"
+  /** Session kill-switch for the rewrite (default on). */
+  val EnabledConf = "spark.graft.mv.rewrite.enabled"
+
+  /** Guards MV maintenance (CREATE's CTAS, REFRESH's re-aggregation) from
+    * being rewritten against the MV being maintained. */
+  private val inMaintenance = new ThreadLocal[Boolean] {
+    override def initialValue(): Boolean = false
+  }
+  private[sources] def maintaining[T](body: => T): T = {
+    inMaintenance.set(true)
+    try body finally inMaintenance.set(false)
+  }
+  private[sources] def isMaintaining: Boolean = inMaintenance.get()
+
+  /** One MV output column: `kind` ∈ group|count|sum|min|max, `src` the
+    * base column ("*" for count), `out` the MV column name. */
+  final case class AggCol(kind: String, src: String, out: String)
+  final case class Spec(cols: Seq[AggCol]) {
+    def groups: Seq[AggCol] = cols.filter(_.kind == "group")
+    def serialize: String =
+      cols.map(c => s"${c.kind}:${c.src}:${c.out}").mkString(";")
+  }
+  def parseSpec(s: String): Spec =
+    Spec(s.split(';').toSeq.filter(_.nonEmpty).map { part =>
+      val Array(k, src, out) = part.split(":", 3)
+      AggCol(k, src, out)
+    })
+
+  /** Current snapshot version of a graft table (0 = no commits yet). */
+  def currentVersion(dataDir: String): Long = {
+    val dir = new Path(dataDir)
+    Snapshots.list(dir.getFileSystem(new Configuration()), dir)
+      .lastOption.map(_._1).getOrElse(0L)
+  }
+
+  /** Strip alias/plain-projection wrappers down to the relation. */
+  @scala.annotation.tailrec
+  private def unwrap(plan: LogicalPlan): LogicalPlan = plan match {
+    case SubqueryAlias(_, child) => unwrap(child)
+    case Project(projectList, child)
+        if projectList.forall(_.isInstanceOf[AttributeReference]) => unwrap(child)
+    case other => other
+  }
+
+  private def graftRelation(plan: LogicalPlan)
+      : Option[(DataSourceV2Relation, GraftTable)] = unwrap(plan) match {
+    case r: DataSourceV2Relation => r.table match {
+      case g: GraftTable => Some((r, g))
+      case _ => None
+    }
+    case s: DataSourceV2ScanRelation => s.relation.table match {
+      case g: GraftTable => Some((s.relation, g))
+      case _ => None
+    }
+    case _ => None
+  }
+
+  /** Validate + extract the MV definition from the ANALYZED select plan:
+    * a single Aggregate over one graft table, grouping attributes plus
+    * COUNT(*)/SUM/MIN/MAX aggregates of plain columns. Loud on anything
+    * else — an MV that cannot serve the rewrite is a bug at CREATE time,
+    * not silently at query time. */
+  def extract(analyzed: LogicalPlan): (DataSourceV2Relation, GraftTable, Spec) = {
+    def fail(why: String): Nothing = throw new IllegalArgumentException(
+      s"graft: CREATE MATERIALIZED VIEW supports a single " +
+        s"COUNT(*)/SUM/MIN/MAX aggregate over one graft table " +
+        s"(no WHERE/DISTINCT/FILTER/expressions); $why")
+    analyzed match {
+      case Aggregate(groupExprs, aggExprs, child, _) =>
+        val (rel, table) = graftRelation(child).getOrElse(
+          fail("the FROM clause is not a single graft table"))
+        if (!groupExprs.forall(_.isInstanceOf[AttributeReference]))
+          fail("GROUP BY must list plain columns")
+        val groupIds = groupExprs.map(_.asInstanceOf[AttributeReference].exprId).toSet
+        val cols = aggExprs.map {
+          case ar: AttributeReference if groupIds.contains(ar.exprId) =>
+            AggCol("group", ar.name, ar.name)
+          case al @ Alias(ar: AttributeReference, out) if groupIds.contains(ar.exprId) =>
+            AggCol("group", ar.name, out)
+          case Alias(ae: AggregateExpression, out) =>
+            if (ae.isDistinct) fail(s"$out is DISTINCT")
+            if (ae.filter.isDefined) fail(s"$out has a FILTER clause")
+            ae.aggregateFunction match {
+              case Count(Seq(Literal(1, _))) => AggCol("count", "*", out)
+              case Count(Seq()) => AggCol("count", "*", out)
+              case Sum(ar: AttributeReference, _) =>
+                if (ar.dataType.isInstanceOf[DecimalType])
+                  fail(s"$out sums a DECIMAL (re-summing widens the type)")
+                AggCol("sum", ar.name, out)
+              case Min(ar: AttributeReference) => AggCol("min", ar.name, out)
+              case Max(ar: AttributeReference) => AggCol("max", ar.name, out)
+              case other => fail(s"$out uses ${other.prettyName}")
+            }
+          case other => fail(s"unsupported select item ${other.name}")
+        }
+        (rel, table, Spec(cols))
+      case _ => fail("the query is not a plain GROUP BY aggregate")
+    }
+  }
+
+  private[sources] def identOf(rel: DataSourceV2Relation): Option[Seq[String]] =
+    for (cat <- rel.catalog; id <- rel.identifier)
+      yield (cat.name() +: id.namespace().toSeq) :+ id.name()
+}
+
+/** The injected optimizer rule (see [[MaterializedViews]] scaladoc). */
+final case class GraftMvRewrite(session: SparkSession) extends Rule[LogicalPlan] {
+  import MaterializedViews._
+
+  private def enabled: Boolean =
+    session.conf.get(EnabledConf, "true").toBoolean && !isMaintaining
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    if (!enabled) plan
+    else plan.transformUp {
+      case agg @ Aggregate(groupExprs, aggExprs, child, _) =>
+        rewrite(groupExprs, aggExprs, child).getOrElse(agg)
+    }
+
+  /** The filter (if any) between the aggregate and the relation. */
+  private def split(plan: LogicalPlan): (Option[Expression], LogicalPlan) =
+    plan match {
+      case SubqueryAlias(_, c) => split(c)
+      case Project(pl, c) if pl.forall(_.isInstanceOf[AttributeReference]) => split(c)
+      case Filter(cond, c) =>
+        val (inner, rel) = split(c)
+        (inner.map(And(cond, _)).orElse(Some(cond)), rel)
+      case other => (None, other)
+    }
+
+  private def rewrite(
+      groupExprs: Seq[Expression],
+      aggExprs: Seq[NamedExpression],
+      child: LogicalPlan): Option[LogicalPlan] = {
+    val (filterCond, relPlan) = split(child)
+    val (baseRel, baseTable) = relPlan match {
+      case r: DataSourceV2Relation => r.table match {
+        case g: GraftTable => (r, g)
+        case _ => return None
+      }
+      case s: DataSourceV2ScanRelation => s.relation.table match {
+        case g: GraftTable => (s.relation, g)
+        case _ => return None
+      }
+      case _ => return None
+    }
+    if (baseTable.pinned.isDefined) return None // time travel is historical
+    val refs = Option(baseTable.properties().get(RefsProp))
+      .map(_.split(',').toSeq.filter(_.nonEmpty)).getOrElse(return None)
+    if (!groupExprs.forall(_.isInstanceOf[AttributeReference])) return None
+
+    val baseVersion = currentVersion(baseTable.dataDir)
+    refs.iterator.flatMap { mvIdent =>
+      tryOne(mvIdent, baseVersion, groupExprs, aggExprs, filterCond)
+    }.nextOption()
+  }
+
+  private def tryOne(
+      mvIdent: String,
+      baseVersion: Long,
+      groupExprs: Seq[Expression],
+      aggExprs: Seq[NamedExpression],
+      filterCond: Option[Expression]): Option[LogicalPlan] = {
+    val (cat, id) = GraftViewBridge.resolveIdent(session, mvIdent.split('.').toSeq)
+      .getOrElse(return None)
+    val mv = scala.util.Try(cat.loadTable(id)).toOption.collect {
+      case g: GraftTable => g
+    }.getOrElse(return None) // dangling ref (MV dropped out-of-band)
+    val props = mv.properties()
+    val spec = Option(props.get(SpecProp)).map(parseSpec).getOrElse(return None)
+    // freshness proof: the MV reflects exactly the base's current snapshot
+    if (!Option(props.get(VersionProp)).map(_.toLong).contains(baseVersion))
+      return None
+
+    val mvRel = DataSourceV2Relation.create(mv, Some(cat), Some(id))
+    def mvAttr(out: String): Option[AttributeReference] =
+      mvRel.output.collectFirst {
+        case a: AttributeReference if a.name == out => a
+      }
+    def groupCol(baseName: String): Option[AttributeReference] =
+      spec.cols.collectFirst {
+        case AggCol("group", src, out) if src == baseName => out
+      }.flatMap(mvAttr)
+    def aggCol(kind: String, src: String): Option[AttributeReference] =
+      spec.cols.collectFirst {
+        case AggCol(k, s, out) if k == kind && s == src => out
+      }.flatMap(mvAttr)
+
+    // every query grouping column must be one of the MV's grouping columns
+    val groupMap: Map[ExprId, AttributeReference] = groupExprs.map {
+      case ar: AttributeReference => ar.exprId -> groupCol(ar.name).getOrElse(return None)
+    }.toMap
+    // a filter commutes with the aggregate iff it touches only MV grouping
+    // columns (each base group value maps to exactly one MV group value)
+    val newFilter = filterCond.map { cond =>
+      cond.transform {
+        case ar: AttributeReference =>
+          groupCol(ar.name).getOrElse(return None)
+      }
+    }
+    def agg(fn: AggregateFunction): AggregateExpression =
+      AggregateExpression(fn, Complete, isDistinct = false)
+    val newAggs: Seq[NamedExpression] = aggExprs.map {
+      case ar: AttributeReference if groupMap.contains(ar.exprId) =>
+        Alias(groupMap(ar.exprId), ar.name)(exprId = ar.exprId)
+      case al @ Alias(ar: AttributeReference, _) if groupMap.contains(ar.exprId) =>
+        Alias(groupMap(ar.exprId), al.name)(exprId = al.exprId)
+      case al @ Alias(ae: AggregateExpression, _)
+          if !ae.isDistinct && ae.filter.isEmpty =>
+        val folded: Expression = ae.aggregateFunction match {
+          case Count(Seq(Literal(1, _))) | Count(Seq()) =>
+            // COUNT over an empty group set is 0, SUM is null — coalesce
+            Coalesce(Seq(agg(Sum(aggCol("count", "*").getOrElse(return None))),
+              Literal(0L, LongType)))
+          case Sum(ar: AttributeReference, _)
+              if !ar.dataType.isInstanceOf[DecimalType] =>
+            agg(Sum(aggCol("sum", ar.name).getOrElse(return None)))
+          case Min(ar: AttributeReference) =>
+            agg(Min(aggCol("min", ar.name).getOrElse(return None)))
+          case Max(ar: AttributeReference) =>
+            agg(Max(aggCol("max", ar.name).getOrElse(return None)))
+          case _ => return None
+        }
+        Alias(folded, al.name)(exprId = al.exprId)
+      case _ => return None
+    }
+    val newGroups: Seq[Expression] = groupExprs.map {
+      case ar: AttributeReference => groupMap(ar.exprId)
+    }
+    val scanned: LogicalPlan = newFilter.map(Filter(_, mvRel)).getOrElse(mvRel)
+    Some(Aggregate(newGroups, newAggs, scanned))
+  }
+}
+
+// --------------------------------------------------------------- DDL ----
+
+final case class GraftCreateMvCommand(parts: Seq[String], selectSql: String)
+    extends LeafRunnableCommand {
+  import MaterializedViews._
+  override val output: Seq[Attribute] = Seq(
+    MaintenanceSql.attr("base_version", LongType))
+
+  override def run(session: SparkSession): Seq[Row] = {
+    val (cat, id) = GraftViewBridge.resolveIdent(session, parts).getOrElse(
+      throw new IllegalArgumentException(
+        s"graft: ${parts.mkString(".")} is not in a graft catalog"))
+    val analyzed = session.sessionState
+      .executePlan(session.sessionState.sqlParser.parsePlan(selectSql)).analyzed
+    val (baseRel, baseTable, spec) = extract(analyzed)
+    val baseIdent = identOf(baseRel).getOrElse(throw new IllegalArgumentException(
+      "graft: cannot determine the base table's catalog identifier"))
+    require(baseTable.pinned.isEmpty,
+      "graft: a materialized view over a time-travel relation cannot stay fresh")
+    // version BEFORE the build: a base commit racing the CTAS leaves the
+    // recorded version behind the data => the MV reads as stale — safe
+    val version = currentVersion(baseTable.dataDir)
+    val mvName = parts.map(p => s"`$p`").mkString(".")
+    maintaining {
+      session.sql(s"CREATE TABLE $mvName AS $selectSql")
+    }
+    cat.alterTable(id,
+      TableChange.setProperty(BaseProp, baseIdent.mkString(".")),
+      TableChange.setProperty(SqlProp, selectSql),
+      TableChange.setProperty(SpecProp, spec.serialize),
+      TableChange.setProperty(VersionProp, version.toString))
+    // register on the base so the rewrite can find us
+    val (bCat, bId) = GraftViewBridge.resolveIdent(session, baseIdent).get
+    val existing = Option(baseTable.properties().get(RefsProp))
+      .map(_.split(',').toSeq.filter(_.nonEmpty)).getOrElse(Nil)
+    val self = parts.mkString(".")
+    if (!existing.contains(self))
+      bCat.alterTable(bId,
+        TableChange.setProperty(RefsProp, (existing :+ self).mkString(",")))
+    Seq(Row(version))
+  }
+}
+
+final case class GraftRefreshMvCommand(parts: Seq[String])
+    extends LeafRunnableCommand {
+  import MaterializedViews._
+  override val output: Seq[Attribute] = Seq(
+    MaintenanceSql.attr("base_version", LongType))
+
+  override def run(session: SparkSession): Seq[Row] = {
+    val (cat, id) = GraftViewBridge.resolveIdent(session, parts).getOrElse(
+      throw new IllegalArgumentException(
+        s"graft: ${parts.mkString(".")} is not in a graft catalog"))
+    val mv = cat.loadTable(id).asInstanceOf[GraftTable]
+    val sql = Option(mv.properties().get(SqlProp)).getOrElse(
+      throw new IllegalArgumentException(
+        s"graft: ${parts.mkString(".")} is not a materialized view"))
+    val base = mv.properties().get(BaseProp)
+    val (bCat, bId) = GraftViewBridge.resolveIdent(session, base.split('.').toSeq).get
+    val baseTable = bCat.loadTable(bId).asInstanceOf[GraftTable]
+    val version = currentVersion(baseTable.dataDir)
+    val mvName = parts.map(p => s"`$p`").mkString(".")
+    maintaining {
+      session.sql(s"INSERT OVERWRITE TABLE $mvName $sql")
+    }
+    cat.alterTable(id, TableChange.setProperty(VersionProp, version.toString))
+    Seq(Row(version))
+  }
+}
+
+final case class GraftDropMvCommand(parts: Seq[String], ifExists: Boolean)
+    extends LeafRunnableCommand {
+  import MaterializedViews._
+  override def run(session: SparkSession): Seq[Row] = {
+    val (cat, id) = GraftViewBridge.resolveIdent(session, parts).getOrElse(
+      throw new IllegalArgumentException(
+        s"graft: ${parts.mkString(".")} is not in a graft catalog"))
+    val mvOpt = scala.util.Try(cat.loadTable(id)).toOption.collect {
+      case g: GraftTable => g
+    }
+    mvOpt match {
+      case None =>
+        if (!ifExists) throw new IllegalArgumentException(
+          s"graft: materialized view ${parts.mkString(".")} does not exist")
+      case Some(mv) =>
+        if (mv.properties().get(SqlProp) == null) throw new IllegalArgumentException(
+          s"graft: ${parts.mkString(".")} is a table, not a materialized view " +
+            "(use DROP TABLE)")
+        // deregister from the base first (a dangling ref is tolerated by
+        // the rewrite, but keep metadata clean)
+        Option(mv.properties().get(BaseProp)).foreach { base =>
+          GraftViewBridge.resolveIdent(session, base.split('.').toSeq).foreach {
+            case (bCat, bId) => scala.util.Try {
+              val bt = bCat.loadTable(bId)
+              val refs = Option(bt.properties().get(RefsProp))
+                .map(_.split(',').toSeq.filter(_.nonEmpty)).getOrElse(Nil)
+              val self = parts.mkString(".")
+              val left = refs.filterNot(_ == self)
+              bCat.alterTable(bId,
+                if (left.isEmpty) TableChange.removeProperty(RefsProp)
+                else TableChange.setProperty(RefsProp, left.mkString(",")))
+            }
+          }
+        }
+        cat.dropTable(id)
+    }
+    Nil
+  }
+}

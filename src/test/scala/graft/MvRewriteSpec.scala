@@ -1,0 +1,145 @@
+package graft
+
+import java.nio.file.Files
+
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Materialized-view auto-rewrite: a matching aggregate over the base
+  * table must re-plan against a FRESH MV (plan shape asserted via the
+  * scanned table name), fall back to the base the moment the MV is stale,
+  * and resume after REFRESH. Values must be identical either way.
+  */
+class MvRewriteSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private val warehouse = Files.createTempDirectory("graft_mv").toString
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[8]")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+    .config("spark.sql.catalog.mvc", classOf[graft.sources.GraftCatalog].getName)
+    .config("spark.sql.catalog.mvc.warehouse", warehouse)
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def scansMv(df: DataFrame): Boolean =
+    df.queryExecution.optimizedPlan.toString.contains("dailies") &&
+      !df.queryExecution.optimizedPlan.toString.contains("base_ev")
+
+  private def rows(df: DataFrame): Seq[Seq[Any]] =
+    df.collect().toSeq.map(_.toSeq)
+
+  test("setup: base table and materialized view") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS mvc.m")
+    spark.sql("CREATE TABLE mvc.m.base_ev (day STRING, etype STRING, v BIGINT, d DOUBLE)")
+    spark.sql("""INSERT INTO mvc.m.base_ev VALUES
+      ('d1', 'click', 1, 0.5), ('d1', 'click', 2, 1.5), ('d1', 'view', 3, 2.0),
+      ('d2', 'click', 4, 0.25), ('d2', 'view', 5, 4.0), ('d2', 'view', 6, 1.0)""")
+    val v = spark.sql(
+      """CREATE MATERIALIZED VIEW mvc.m.dailies AS
+        |SELECT day, etype, count(*) AS cnt, sum(v) AS sv, min(v) AS mnv,
+        |       max(d) AS mxd
+        |FROM mvc.m.base_ev GROUP BY day, etype""".stripMargin).collect()
+    assert(v.head.getLong(0) >= 1)
+    assert(rows(spark.sql("SELECT * FROM mvc.m.dailies")).size === 4)
+  }
+
+  test("same-grouping aggregate re-plans against the MV") {
+    val q = spark.sql(
+      """SELECT day, etype, count(*) AS cnt, sum(v) AS sv
+        |FROM mvc.m.base_ev GROUP BY day, etype""".stripMargin)
+    assert(scansMv(q), q.queryExecution.optimizedPlan.toString)
+    assert(rows(q.orderBy("day", "etype")) === Seq(
+      Seq("d1", "click", 2L, 3L), Seq("d1", "view", 1L, 3L),
+      Seq("d2", "click", 1L, 4L), Seq("d2", "view", 2L, 11L)))
+  }
+
+  test("rollup to fewer grouping columns folds MV partials") {
+    val q = spark.sql(
+      """SELECT day, count(*) AS cnt, sum(v) AS sv, min(v) AS mnv, max(d) AS mxd
+        |FROM mvc.m.base_ev GROUP BY day""".stripMargin)
+    assert(scansMv(q), q.queryExecution.optimizedPlan.toString)
+    assert(rows(q.orderBy("day")) === Seq(
+      Seq("d1", 3L, 6L, 1L, 2.0), Seq("d2", 3L, 15L, 4L, 4.0)))
+    // global rollup (no GROUP BY)
+    val g = spark.sql("SELECT count(*) AS cnt, sum(v) AS sv FROM mvc.m.base_ev")
+    assert(scansMv(g), g.queryExecution.optimizedPlan.toString)
+    assert(rows(g) === Seq(Seq(6L, 21L)))
+  }
+
+  test("filter on MV grouping columns commutes and rewrites") {
+    val q = spark.sql(
+      """SELECT day, sum(v) AS sv FROM mvc.m.base_ev
+        |WHERE etype = 'view' GROUP BY day""".stripMargin)
+    assert(scansMv(q), q.queryExecution.optimizedPlan.toString)
+    assert(rows(q.orderBy("day")) === Seq(Seq("d1", 3L), Seq("d2", 11L)))
+  }
+
+  test("filter on a non-grouping column blocks the rewrite") {
+    val q = spark.sql(
+      "SELECT day, count(*) AS cnt FROM mvc.m.base_ev WHERE v > 2 GROUP BY day")
+    assert(!scansMv(q), q.queryExecution.optimizedPlan.toString)
+    assert(rows(q.orderBy("day")) === Seq(Seq("d1", 1L), Seq("d2", 3L)))
+  }
+
+  test("unsupported aggregates (avg, distinct) keep the base plan") {
+    val avg = spark.sql("SELECT day, avg(v) AS a FROM mvc.m.base_ev GROUP BY day")
+    assert(!scansMv(avg))
+    val dist = spark.sql(
+      "SELECT day, count(DISTINCT etype) AS c FROM mvc.m.base_ev GROUP BY day")
+    assert(!scansMv(dist))
+    assert(rows(dist.orderBy("day")) === Seq(Seq("d1", 2L), Seq("d2", 2L)))
+  }
+
+  test("a base commit makes the MV stale: fall back, REFRESH resumes") {
+    spark.sql("INSERT INTO mvc.m.base_ev VALUES ('d3', 'click', 10, 9.0)")
+    val stale = spark.sql(
+      "SELECT day, count(*) AS cnt, sum(v) AS sv FROM mvc.m.base_ev GROUP BY day")
+    assert(!scansMv(stale), "stale MV must not serve queries")
+    assert(rows(stale.orderBy("day")) === Seq(
+      Seq("d1", 3L, 6L), Seq("d2", 3L, 15L), Seq("d3", 1L, 10L)))
+
+    spark.sql("REFRESH MATERIALIZED VIEW mvc.m.dailies")
+    val fresh = spark.sql(
+      "SELECT day, count(*) AS cnt, sum(v) AS sv FROM mvc.m.base_ev GROUP BY day")
+    assert(scansMv(fresh), fresh.queryExecution.optimizedPlan.toString)
+    assert(rows(fresh.orderBy("day")) === Seq(
+      Seq("d1", 3L, 6L), Seq("d2", 3L, 15L), Seq("d3", 1L, 10L)))
+  }
+
+  test("time travel on the base never rewrites") {
+    val q = spark.sql(
+      "SELECT day, count(*) AS cnt FROM mvc.m.base_ev VERSION AS OF 1 GROUP BY day")
+    assert(!scansMv(q), q.queryExecution.optimizedPlan.toString)
+    assert(rows(q.orderBy("day")) === Seq(Seq("d1", 3L), Seq("d2", 3L)))
+  }
+
+  test("kill-switch disables the rewrite") {
+    spark.conf.set("spark.graft.mv.rewrite.enabled", "false")
+    try {
+      val q = spark.sql(
+        "SELECT day, count(*) AS cnt FROM mvc.m.base_ev GROUP BY day")
+      assert(!scansMv(q))
+    } finally spark.conf.set("spark.graft.mv.rewrite.enabled", "true")
+  }
+
+  test("DROP MATERIALIZED VIEW deregisters; plain tables are refused") {
+    intercept[Exception] {
+      spark.sql("DROP MATERIALIZED VIEW mvc.m.base_ev")
+    }
+    spark.sql("DROP MATERIALIZED VIEW mvc.m.dailies")
+    val q = spark.sql("SELECT day, count(*) AS cnt FROM mvc.m.base_ev GROUP BY day")
+    assert(!scansMv(q))
+    assert(rows(q).size === 3)
+    intercept[Exception] {
+      spark.sql("DROP MATERIALIZED VIEW mvc.m.dailies")
+    }
+    spark.sql("DROP MATERIALIZED VIEW IF EXISTS mvc.m.dailies") // no-op
+  }
+}
