@@ -1,0 +1,164 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-6 pipeline widening, part 2: deterministic corpus sampling,
+  * tokenizer-design analytics, and event attribution. All single-pass
+  * window/aggregate shapes — no self-joins, no driver collects, linear at
+  * 100 TB.
+  */
+object Pipeline3 {
+
+  /** Deterministic uniform in [0, 2^60) from a salted md5 of the doc id —
+    * the same engine-portable construction as q68's split hash (15 hex
+    * chars parse exactly into a BIGINT in both engines). */
+  private val HashExpr =
+    "cast(conv(substring(md5(cast(concat('sample:', cast(doc_id as string)) " +
+      "as binary)), 1, 15), 16, 10) as bigint)"
+
+  /** DuckDB's md5 returns hex text; rebuild the same 60-bit integer by
+    * positional digit arithmetic (integer-exact, matches `conv`). */
+  private def duckHex15(mdExpr: String): String = (1 to 15)
+    .map(j => s"(strpos('0123456789abcdef', substr($mdExpr, $j, 1)) - 1) * ${1L << (4 * (15 - j))}")
+    .mkString(" + ")
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- q133: deterministic corpus sampling (uniform-k + weighted) ------
+    // The two sampling primitives a mixture pipeline needs, both pure
+    // functions of the doc id (stable across runs, engines, and
+    // partitionings — re-running the pipeline reproduces the sample):
+    //  - UNIFORM fixed-k per source: rank docs by a salted hash, keep the
+    //    first 10 (one window per source partition);
+    //  - WEIGHTED Bernoulli: keep a doc with probability n_chars/1000
+    //    (longer docs proportionally more likely — the length-balanced
+    //    subsample), decided row-locally with zero shuffle.
+    // At 100 TB: the uniform sample is one window over each source
+    // partition; the weighted sample is a scan-only filter.
+    QueryDef(
+      "q133_weighted_sample",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val d = t.documents.withColumn("h", expr(HashExpr))
+        val w = Window.partitionBy(col("source")).orderBy(col("h"), col("doc_id"))
+        val uni = d.withColumn("rk", row_number().over(w)).filter(col("rk") <= 10)
+          .groupBy(col("source"))
+          .agg(count(lit(1)).cast("long").as("k"),
+            sum(col("doc_id")).cast("long").as("uni_id_sum"),
+            sum(col("n_chars")).cast("long").as("uni_chars"))
+        val wtd = d.filter(pmod(col("h"), lit(1000)) < col("n_chars"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).cast("long").as("w_kept"),
+            sum(col("n_chars")).cast("long").as("w_chars"))
+        uni.join(wtd, Seq("source"), "left")
+          .na.fill(0L, Seq("w_kept", "w_chars"))
+          .orderBy(col("source"))
+      },
+      Some {
+        val hex15 = duckHex15("m")
+        s"""WITH h AS (
+          SELECT source, doc_id, n_chars, ($hex15) AS h
+          FROM (SELECT source, doc_id, n_chars,
+                  md5('sample:' || CAST(doc_id AS VARCHAR)) AS m
+                FROM documents)),
+        uni AS (
+          SELECT source, CAST(COUNT(*) AS BIGINT) AS k,
+                 CAST(SUM(doc_id) AS BIGINT) AS uni_id_sum,
+                 CAST(SUM(n_chars) AS BIGINT) AS uni_chars
+          FROM (SELECT source, doc_id, n_chars,
+                  ROW_NUMBER() OVER (PARTITION BY source ORDER BY h, doc_id) AS rk
+                FROM h)
+          WHERE rk <= 10 GROUP BY source),
+        wtd AS (
+          SELECT source, CAST(COUNT(*) AS BIGINT) AS w_kept,
+                 CAST(SUM(n_chars) AS BIGINT) AS w_chars
+          FROM h WHERE h % 1000 < n_chars GROUP BY source)
+        SELECT uni.source, k, uni_id_sum, uni_chars,
+               COALESCE(w_kept, 0) AS w_kept, COALESCE(w_chars, 0) AS w_chars
+        FROM uni LEFT JOIN wtd ON uni.source = wtd.source
+        ORDER BY uni.source"""
+      }),
+
+    // ---- q134: vocabulary coverage curve ---------------------------------
+    // Tokenizer design: what share of total token MASS do the top-N
+    // vocabulary entries cover? Token counts (vocabulary-sized, not
+    // corpus-sized), one global rank + running-sum window over the
+    // vocabulary, coverage in exact integer parts-per-million
+    // (cum * 1e6 div total — no float division). The head of this curve
+    // decides vocab size; the window runs over thousands of rows even
+    // when the corpus is 100 TB.
+    QueryDef(
+      "q134_vocab_coverage",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val tok = t.documents
+          .select(explode(split(col("text"), " ")).as("token"))
+          .groupBy(col("token")).agg(count(lit(1)).as("cf"))
+        val rankW = Window.orderBy(desc("cf"), col("token"))
+        val cumW = rankW.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        tok
+          .withColumn("rank", row_number().over(rankW).cast("long"))
+          .withColumn("cum", sum(col("cf")).over(cumW))
+          .filter(col("rank") <= 25)
+          .crossJoin(broadcast(tok.agg(sum(col("cf")).as("total"))))
+          .select(col("rank"), col("token"), col("cf").cast("long").as("cf"),
+            expr("cast(cum * 1000000 div total as bigint)").as("ppm"))
+          .orderBy(col("rank"))
+      },
+      Some("""WITH tok AS (
+          SELECT token, COUNT(*) AS cf
+          FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+          GROUP BY token),
+        ranked AS (
+          SELECT token, cf,
+            ROW_NUMBER() OVER (ORDER BY cf DESC, token) AS rank,
+            SUM(cf) OVER (ORDER BY cf DESC, token
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+          FROM tok)
+        SELECT CAST(rank AS BIGINT) AS rank, token, CAST(cf AS BIGINT) AS cf,
+               CAST(cum * 1000000 // (SELECT SUM(cf) FROM tok) AS BIGINT) AS ppm
+        FROM ranked WHERE rank <= 25 ORDER BY rank""")),
+
+    // ---- q136: last-touch attribution over the event stream --------------
+    // For every purchase, attribute the most recent PRIOR click of the
+    // same user (classic marketing attribution; also the "join each fact
+    // to its latest preceding dimension state" shape). One window per
+    // user — `last(click_ts) IGNORE NULLS` over rows-unbounded-preceding —
+    // instead of the naive purchase×click self-join, which explodes on
+    // active users. Latencies in exact integer microseconds.
+    QueryDef(
+      "q136_attribution",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts_ns"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        t.events
+          .select(col("user_id"), col("event_id"), col("event_type"), col("ts_ns"))
+          .withColumn("lc",
+            last(when(col("event_type") === "click", col("ts_ns")), ignoreNulls = true)
+              .over(w))
+          .filter(col("event_type") === "purchase")
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).cast("long").as("purchases"),
+            count(col("lc")).cast("long").as("attributed"),
+            sum(expr("(ts_ns - lc) div 1000")).cast("long").as("latency_us_sum"))
+          .orderBy(col("user_id"))
+      },
+      Some("""WITH e AS (
+          SELECT user_id, event_id, event_type, epoch_ns(ts) AS ts_ns FROM events),
+        a AS (
+          SELECT user_id, event_type, ts_ns,
+            last_value(CASE WHEN event_type = 'click' THEN ts_ns END IGNORE NULLS)
+              OVER (PARTITION BY user_id ORDER BY ts_ns, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS lc
+          FROM e)
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS purchases,
+               CAST(COUNT(lc) AS BIGINT) AS attributed,
+               CAST(SUM((ts_ns - lc) // 1000) AS BIGINT) AS latency_us_sum
+        FROM a WHERE event_type = 'purchase'
+        GROUP BY user_id ORDER BY user_id"""))
+  )
+}

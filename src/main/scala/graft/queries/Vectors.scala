@@ -1082,6 +1082,68 @@ object Vectors {
           WHERE rank <= 3)
         SELECT x.qid, CAST(COUNT(*) AS BIGINT) AS hits
         FROM exact x JOIN quant g ON g.qid = x.qid AND g.vid = x.vid
-        GROUP BY x.qid ORDER BY x.qid"""))
+        GROUP BY x.qid ORDER BY x.qid""")),
+
+    // ---- q135: kNN-classifier label evaluation ---------------------------
+    // The standard embedding-quality probe: predict each query vector's
+    // label by MAJORITY VOTE of its 5 nearest neighbors (exact quantized
+    // cosine, ties → more votes then smaller label) and score against the
+    // true label. Same broadcast-queries × corpus shape as q27 — the
+    // corpus is never self-joined or shuffled; voting is a per-query
+    // aggregate over 5 rows. This is the evaluation loop that tunes k and
+    // the metric before committing to an index build at 100 TB.
+    QueryDef(
+      "q135_knn_label_eval",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val e = emb(t)
+        val n = norms(e)
+        val labels = t.embeddings.select(col("vec_id"), col("label"))
+        val q = e.filter(col("vec_id") < 40)
+          .select(col("vec_id").as("qid"), col("e").as("qe"))
+        val c = e.select(col("vec_id").as("vid"), col("e").as("ve"))
+        val pairs = broadcast(q).crossJoin(c).filter(col("qid") =!= col("vid"))
+        val w = Window.partitionBy(col("qid")).orderBy(desc("cos"), col("vid"))
+        val top = cosine(pairs, n)
+          .withColumn("rank", row_number().over(w)).filter(col("rank") <= 5)
+        val votes = top
+          .join(labels.withColumnRenamed("vec_id", "vid"), "vid")
+          .groupBy(col("qid"), col("label")).agg(count(lit(1)).as("votes"))
+        val wv = Window.partitionBy(col("qid")).orderBy(desc("votes"), col("label"))
+        votes.withColumn("r", row_number().over(wv)).filter(col("r") === 1)
+          .select(col("qid"), col("label").cast("long").as("pred"))
+          .join(labels.select(col("vec_id").as("qid"),
+            col("label").cast("long").as("truth")), "qid")
+          .withColumn("correct", (col("pred") === col("truth")).cast("long"))
+          .orderBy(col("qid"))
+      },
+      Some(s"""WITH $duckNorms,
+        top AS (
+          SELECT qid, vid FROM (
+            SELECT qid, vid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vid) AS rank
+            FROM (
+              SELECT q.vec_id AS qid, c.vec_id AS vid,
+                list_sum(list_transform(range(1, len(q.embedding) + 1),
+                  i -> round(CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE) * 1e9)))
+                  / sqrt(nq.n2 * nv.n2) AS cos
+              FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+              JOIN norms nq ON nq.vec_id = q.vec_id
+              JOIN norms nv ON nv.vec_id = c.vec_id
+              WHERE q.vec_id < 40))
+          WHERE rank <= 5),
+        votes AS (
+          SELECT t.qid, e.label, COUNT(*) AS votes
+          FROM top t JOIN embeddings e ON e.vec_id = t.vid
+          GROUP BY t.qid, e.label),
+        pred AS (
+          SELECT qid, CAST(label AS BIGINT) AS pred FROM (
+            SELECT qid, label,
+              ROW_NUMBER() OVER (PARTITION BY qid ORDER BY votes DESC, label) AS r
+            FROM votes)
+          WHERE r = 1)
+        SELECT p.qid, p.pred, CAST(e.label AS BIGINT) AS truth,
+               CAST(CASE WHEN p.pred = e.label THEN 1 ELSE 0 END AS BIGINT) AS correct
+        FROM pred p JOIN embeddings e ON e.vec_id = p.qid
+        ORDER BY p.qid"""))
   )
 }
