@@ -20,15 +20,19 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Distinct word-3-gram shingles per doc: (doc_id, shingle). */
+  /** Distinct word-3-gram shingles per doc: (doc_id, shingle).
+    * Deduplication is PER DOCUMENT, so it happens row-locally with
+    * `array_distinct` BEFORE the explode — a `.distinct()` after it
+    * would shuffle the full exploded corpus for the same result (~2×
+    * on this query family at sf0.1; a full extra pass at 100 TB). */
   private def shingles(t: Tables): DataFrame =
     t.documents
       .select(col("doc_id"), split(col("text"), " ").as("sp"))
       .filter(size(col("sp")) >= 3)
       .select(col("doc_id"),
-        explode(expr("transform(sequence(0, size(sp) - 3), i -> concat_ws(' ', sp[i], sp[i+1], sp[i+2]))"))
+        explode(expr("array_distinct(transform(sequence(0, size(sp) - 3), " +
+          "i -> concat_ws(' ', sp[i], sp[i+1], sp[i+2])))"))
           .as("shingle"))
-      .distinct()
 
   /** Shared SQL for the oracle's shingle CTEs (DuckDB dialect). */
   private val shingleSql =
@@ -42,6 +46,16 @@ object Dedup {
     * dropped before the pair join (skew guard; no shingle reaches it at
     * test scale, so results are unchanged — it exists for the 100 TB path). */
   private val DfCap = 10000
+
+  /** The df cap as a WINDOW over the shingle partition rather than an
+    * aggregate + join-back: one shuffle on the shingle axis, whose
+    * exchange the pair self-join downstream reuses on both sides (the
+    * aggregate+join shape cost an extra shuffle and a corpus-sized hash
+    * join for the same rows). */
+  private def cappedShingles(sh: DataFrame): DataFrame = sh
+    .withColumn("df", count(lit(1)).over(
+      org.apache.spark.sql.expressions.Window.partitionBy(col("shingle"))))
+    .filter(col("df") <= DfCap).drop("df")
 
   /** MinHash universal-hash family h_i(x) = (a_i·x + b_i) mod p with a
     * 60-bit x from md5 — coefficients fixed so Spark and the oracle agree;
@@ -103,9 +117,7 @@ object Dedup {
       (s, dir) => {
         val t = Tables(s, dir)
         val sh = shingles(t)
-        val kept = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
-          .filter(col("df") <= DfCap).select(col("shingle"))
-        val shk = sh.join(kept, "shingle")
+        val shk = cappedShingles(sh)
         val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
         val pairs = shk.select(col("doc_id").as("d1"), col("shingle"))
           .join(shk.select(col("doc_id").as("d2"), col("shingle")), "shingle")
@@ -431,9 +443,7 @@ object Dedup {
       (s, dir) => {
         val t = Tables(s, dir)
         val sh = shingles(t)
-        val kept = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
-          .filter(col("df") <= DfCap).select(col("shingle"))
-        val shk = sh.join(kept, "shingle")
+        val shk = cappedShingles(sh)
         val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
         val exactPairs = shk.select(col("doc_id").as("d1"), col("shingle"))
           .join(shk.select(col("doc_id").as("d2"), col("shingle")), "shingle")
