@@ -210,9 +210,11 @@ object Text {
         val sh = surv
           .filter(size(col("sp")) >= 3)
           .select(col("doc_id"),
-            explode(expr("transform(sequence(0, size(sp) - 3), i -> concat_ws(' ', sp[i], sp[i+1], sp[i+2]))"))
+            // per-doc dedup happens row-locally (array_distinct), not as
+            // a corpus-wide DISTINCT shuffle — same rows, one less pass
+            explode(expr("array_distinct(transform(sequence(0, size(sp) - 3), " +
+              "i -> concat_ws(' ', sp[i], sp[i+1], sp[i+2])))"))
               .as("shingle"))
-          .distinct()
         val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
         val dropped = sh.select(col("doc_id").as("d1"), col("shingle"))
           .join(sh.select(col("doc_id").as("d2"), col("shingle")), "shingle")
@@ -579,9 +581,10 @@ object Text {
           .select(col("doc_id"), split(col("text"), " ").as("t"))
           .filter(size(col("t")) >= 3)
           .select(col("doc_id"), explode(expr(
-            "transform(sequence(0, size(t) - 3), i -> concat_ws(' ', t[i], t[i+1], t[i+2]))"))
+            // row-local per-doc dedup — no corpus-wide DISTINCT shuffle
+            "array_distinct(transform(sequence(0, size(t) - 3), " +
+              "i -> concat_ws(' ', t[i], t[i+1], t[i+2])))"))
             .as("tri"))
-          .distinct()
         val first = tris.groupBy(col("tri")).agg(min(col("doc_id")).as("first_doc"))
         tris.join(first, "tri")
           .groupBy(col("doc_id"))
