@@ -60,6 +60,8 @@ object MaintenanceSql {
     """(?is)\s*REFRESH\s+MATERIALIZED\s+VIEW\s+([\w.`]+)\s*;?\s*""".r
   private val DropMv =
     """(?is)\s*DROP\s+MATERIALIZED\s+VIEW\s+(?:(IF\s+EXISTS)\s+)?([\w.`]+)\s*;?\s*""".r
+  private val ShowMv =
+    """(?is)\s*SHOW\s+MATERIALIZED\s+VIEWS\s+(?:IN\s+|FROM\s+)?([\w.`]+)\s*;?\s*""".r
 
   private def parts(ident: String): Seq[String] =
     ident.split('.').map(_.stripPrefix("`").stripSuffix("`")).toSeq
@@ -110,6 +112,8 @@ object MaintenanceSql {
         Some(GraftRefreshMvCommand(parts(id)))
       case DropMv(ifExists, id) if graft(parts(id)) =>
         Some(GraftDropMvCommand(parts(id), ifExists != null))
+      case ShowMv(ns) if graft(parts(ns) :+ "_") => // ident is a NAMESPACE
+        Some(GraftShowMvCommand(parts(ns)))
       case SetPartSpec(id, specText) if graft(parts(id)) =>
         // split on top-level commas only: bucket(8, id) keeps its own
         val specs = scala.collection.mutable.ArrayBuffer[String]()

@@ -105,12 +105,62 @@ class MvRewriteSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows(stale.orderBy("day")) === Seq(
       Seq("d1", 3L, 6L), Seq("d2", 3L, 15L), Seq("d3", 1L, 10L)))
 
-    spark.sql("REFRESH MATERIALIZED VIEW mvc.m.dailies")
+    // append-only range + integral sums => the refresh is INCREMENTAL
+    // (only the appended files are read, delta MERGEd into the MV)
+    val r = spark.sql("REFRESH MATERIALIZED VIEW mvc.m.dailies").collect()
+    assert(r.head.getString(1) === "incremental", r.mkString(","))
     val fresh = spark.sql(
       "SELECT day, count(*) AS cnt, sum(v) AS sv FROM mvc.m.base_ev GROUP BY day")
     assert(scansMv(fresh), fresh.queryExecution.optimizedPlan.toString)
     assert(rows(fresh.orderBy("day")) === Seq(
       Seq("d1", 3L, 6L), Seq("d2", 3L, 15L), Seq("d3", 1L, 10L)))
+    // the MERGEd MV contents equal a from-scratch aggregation, incl.
+    // min/max folds and the new d3 group's insert
+    assert(rows(spark.sql(
+      "SELECT day, etype, cnt, sv, mnv, mxd FROM mvc.m.dailies ORDER BY day, etype"))
+      === Seq(
+        Seq("d1", "click", 2L, 3L, 1L, 1.5), Seq("d1", "view", 1L, 3L, 3L, 2.0),
+        Seq("d2", "click", 1L, 4L, 4L, 0.25), Seq("d2", "view", 2L, 11L, 5L, 4.0),
+        Seq("d3", "click", 1L, 10L, 10L, 9.0)))
+    // nothing changed since => noop
+    val r2 = spark.sql("REFRESH MATERIALIZED VIEW mvc.m.dailies").collect()
+    assert(r2.head.getString(1) === "noop")
+  }
+
+  test("a COW mutation in the range forces a FULL refresh (still exact)") {
+    spark.sql("DELETE FROM mvc.m.base_ev WHERE v = 10")
+    val r = spark.sql("REFRESH MATERIALIZED VIEW mvc.m.dailies").collect()
+    assert(r.head.getString(1) === "full", r.mkString(","))
+    val q = spark.sql(
+      "SELECT day, count(*) AS cnt, sum(v) AS sv FROM mvc.m.base_ev GROUP BY day")
+    assert(scansMv(q), q.queryExecution.optimizedPlan.toString)
+    assert(rows(q.orderBy("day")) === Seq(Seq("d1", 3L, 6L), Seq("d2", 3L, 15L)))
+  }
+
+  test("double-typed SUM columns refuse the incremental path") {
+    spark.sql("DROP TABLE IF EXISTS mvc.m.dsum")
+    spark.sql(
+      """CREATE MATERIALIZED VIEW mvc.m.dsum AS
+        |SELECT day, sum(d) AS sd FROM mvc.m.base_ev GROUP BY day""".stripMargin)
+    spark.sql("INSERT INTO mvc.m.base_ev VALUES ('d4', 'view', 11, 2.5)")
+    val r = spark.sql("REFRESH MATERIALIZED VIEW mvc.m.dsum").collect()
+    assert(r.head.getString(1) === "full",
+      "incremental double sums are order-dependent — must recompute")
+    spark.sql("DROP MATERIALIZED VIEW mvc.m.dsum")
+    spark.sql("DELETE FROM mvc.m.base_ev WHERE day = 'd4'")
+    spark.sql("REFRESH MATERIALIZED VIEW mvc.m.dailies")
+  }
+
+  test("SHOW MATERIALIZED VIEWS reports base and live freshness") {
+    val r = rows(spark.sql("SHOW MATERIALIZED VIEWS IN mvc.m"))
+    assert(r.size === 1)
+    assert(r.head(0) === "dailies")
+    assert(r.head(1) === "mvc.m.base_ev")
+    assert(r.head(3) === true, s"expected fresh after refresh: $r")
+    spark.sql("INSERT INTO mvc.m.base_ev VALUES ('d5', 'view', 12, 1.0)")
+    val stale = rows(spark.sql("SHOW MATERIALIZED VIEWS IN mvc.m"))
+    assert(stale.head(3) === false, s"expected stale after append: $stale")
+    spark.sql("REFRESH MATERIALIZED VIEW mvc.m.dailies")
   }
 
   test("time travel on the base never rewrites") {

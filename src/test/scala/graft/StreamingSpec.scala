@@ -574,4 +574,51 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
     spark.sql("DROP TABLE gups.s.state")
   }
+
+  test("dropDuplicatesWithinWatermark: bounded dedup state, evicted keys re-emit") {
+    // Unbounded dropDuplicates keeps every key forever — at 100 TB of
+    // events the state store IS the bottleneck. The watermark-bounded
+    // variant guarantees dedup only for duplicates arriving within the
+    // watermark delay of each other, and EVICTS older keys: state stays
+    // proportional to the recent window, and a duplicate of an evicted
+    // key legitimately re-emits. Both halves of the contract are the
+    // semantics — this pins them.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[(Long, Long)] // (key, epochSeconds)
+    val deduped = mem.toDF().toDF("key", "sec")
+      .withColumn("ts", timestamp_seconds(col("sec")))
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("key")
+    val q = deduped.writeStream.format("memory").queryName("wm_dedup")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      val t0 = 1000000L
+      // batch 1: keys 1..50 plus in-batch duplicates of 1..10 → deduped
+      mem.addData(((1L to 50L).map(k => (k, t0)) ++
+        (1L to 10L).map(k => (k, t0 + 60))): _*)
+      q.processAllAvailable()
+      // batch 2: duplicates of 1..10 again, still within the 1h delay of
+      // the watermark → dropped (cross-batch dedup)
+      mem.addData((1L to 10L).map(k => (k, t0 + 120)): _*)
+      q.processAllAvailable()
+      assert(spark.table("wm_dedup").count() === 50)
+      // batch 3: jump event time 10 hours → watermark passes the old
+      // keys' expiry, state evicts
+      mem.addData((100L to 109L).map(k => (k, t0 + 36000)): _*)
+      q.processAllAvailable()
+      // batch 4: key 1 again — its dedup state is GONE, so it re-emits
+      // (the documented trade for bounded state)
+      mem.addData((1L, t0 + 36060))
+      q.processAllAvailable()
+      val rows = spark.table("wm_dedup").collect()
+      assert(rows.length === 61, s"50 + 10 new + 1 re-emitted, got ${rows.length}")
+      assert(rows.count(_.getLong(0) == 1L) === 2, "evicted key must re-emit")
+      // the state store holds only the un-expired keys — far fewer than
+      // every key ever seen
+      val stateRows = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+      assert(stateRows <= 11, s"state not bounded: $stateRows rows")
+    } finally q.stop()
+  }
 }
