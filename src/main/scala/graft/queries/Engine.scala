@@ -1399,6 +1399,46 @@ object Engine {
         UNION ALL
         SELECT '3-refreshed', lang, count(*), CAST(sum(n_chars) AS BIGINT),
                CAST(max(n_chars) AS BIGINT) FROM documents GROUP BY lang
-        ORDER BY phase, lang"""))
+        ORDER BY phase, lang""")),
+
+    // ---- q137: GROUP BY partition column folded from the registry ----------
+    // `SELECT lang, COUNT(*), MIN(..), MAX(..) GROUP BY lang` over a
+    // lang-partitioned table: every file belongs to exactly one group
+    // (its directory), so the per-group fold of registered per-file stats
+    // is exact and the WHOLE aggregate — grouping included — is answered
+    // from one side-file read with no Aggregate node in the plan
+    // (GraftAggScan groupBy). At 100 TB: per-partition corpus reports
+    // (daily row counts, per-source extremes) become metadata lookups.
+    // Two inserts make folds cross files; a NULL-metric insert exercises
+    // the absent-range skip within one group. Plan shape (no
+    // HashAggregate, zero footer reads, evolution/bucket withholds) is
+    // asserted in PlanSpec; this gates the VALUES.
+    QueryDef(
+      "q137_grouped_agg_pushdown",
+      (s, dir) => {
+        val ns = ensureCatalog(s, dir)
+        s.sql(s"DROP TABLE IF EXISTS $ns.gagg")
+        s.sql(s"""CREATE TABLE $ns.gagg (doc_id BIGINT, n_chars BIGINT, lang STRING)
+                 |PARTITIONED BY (lang)""".stripMargin)
+        s.sql(s"""INSERT INTO $ns.gagg
+                 |SELECT doc_id, n_chars, lang
+                 |FROM parquet.`$dir/documents.parquet` WHERE doc_id % 2 = 0""".stripMargin)
+        s.sql(s"""INSERT INTO $ns.gagg
+                 |SELECT doc_id, n_chars, lang
+                 |FROM parquet.`$dir/documents.parquet` WHERE doc_id % 2 = 1""".stripMargin)
+        s.sql(s"""INSERT INTO $ns.gagg
+                 |SELECT 1000000 + id, NULL, 'en' FROM range(4)""".stripMargin)
+        s.sql(s"""SELECT lang, COUNT(*) AS n,
+                 |       MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc,
+                 |       MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
+                 |FROM $ns.gagg GROUP BY lang ORDER BY lang""".stripMargin)
+      },
+      Some("""SELECT lang,
+          CAST(COUNT(*) + (CASE WHEN lang = 'en' THEN 4 ELSE 0 END) AS BIGINT) AS n,
+          CAST(MIN(doc_id) AS BIGINT) AS first_doc,
+          CAST(CASE WHEN lang = 'en' THEN 1000003 ELSE MAX(doc_id) END AS BIGINT) AS last_doc,
+          CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+          CAST(MAX(n_chars) AS BIGINT) AS max_chars
+        FROM documents GROUP BY lang ORDER BY lang"""))
   )
 }

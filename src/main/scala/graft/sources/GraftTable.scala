@@ -750,7 +750,7 @@ final class GraftScanBuilder(
   private var required: StructType = tableSchema
   private var wantFile: Boolean = false
   private var pushed: Array[Filter] = Array.empty
-  private var pushedAggs: Option[Seq[GraftAggScan.Spec]] = None
+  private var pushedAggs: Option[(Seq[String], Seq[GraftAggScan.Spec])] = None
   private var limit: Option[Int] = None
   private var topN: Option[GraftScan.TopN] = None
 
@@ -861,14 +861,41 @@ final class GraftScanBuilder(
       GraftDeletes.isDeleteRel(rel) || e.rows == 0L || e.cols.nonEmpty
     })
 
+  /** GROUP BY pushdown precondition: every live non-empty file's rel path
+    * parses under the CURRENT partition spec (files from before a
+    * partition-spec evolution have no reconstructable partition value —
+    * the whole pushdown is then withheld, never a wrong group). */
+  private lazy val allFilesLayoutParse: Boolean = {
+    val partFields = partitionCols.map(PartField.parse)
+    manifestForPushdown.exists(_.forall { case (rel, e) =>
+      GraftDeletes.isDeleteRel(rel) || e.rows == 0L || {
+        val segs = rel.split('/')
+        segs.length == partFields.length + 1 &&
+          partFields.zip(segs).forall { case (f, seg) => seg.startsWith(f.dir + "=") }
+      }
+    })
+  }
+
   private def aggSpecs(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
-      : Option[Seq[GraftAggScan.Spec]] = {
+      : Option[(Seq[String], Seq[GraftAggScan.Spec])] = {
     import org.apache.spark.sql.connector.expressions.NamedReference
     import org.apache.spark.sql.connector.expressions.aggregate._
     if (!(tracker.isEmpty && pushed.isEmpty && !hasDeletes &&
-        agg.groupByExpressions().isEmpty && agg.aggregateExpressions().nonEmpty))
+        agg.aggregateExpressions().nonEmpty))
       return None
+    // GROUP BY pushdown: every grouping expression must be an IDENTITY
+    // partition column — each file then belongs to exactly one group,
+    // derivable from its directory path, and per-group folds of the
+    // registered per-file stats are exact
+    val identityCols = partitionCols.map(PartField.parse)
+      .collect { case PartField.Identity(c) => c }.toSet
+    val groupCols: Seq[String] = agg.groupByExpressions().toSeq.map {
+      case nr: NamedReference if nr.fieldNames().length == 1 &&
+          identityCols.contains(nr.fieldNames()(0)) => nr.fieldNames()(0)
+      case _ => return None
+    }
+    if (groupCols.nonEmpty && !allFilesLayoutParse) return None
     def fieldOf(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
       e match {
         case nr: NamedReference if nr.fieldNames().length == 1 =>
@@ -894,7 +921,8 @@ final class GraftScanBuilder(
     else {
       val resolved = specs.map(_.get)
       val needsRanges = resolved.exists(_ != GraftAggScan.Count)
-      if (needsRanges && !allFilesRangeRegistered) None else Some(resolved)
+      if (needsRanges && !allFilesRangeRegistered) None
+      else Some((groupCols, resolved))
     }
   }
 
@@ -923,13 +951,13 @@ final class GraftScanBuilder(
   override def pushedFilters(): Array[Filter] = pushed
 
   override def build(): Scan = pushedAggs match {
-    case Some(Seq(GraftAggScan.Count)) =>
+    case Some((Seq(), Seq(GraftAggScan.Count))) =>
       // pure COUNT(*) keeps the dedicated scan (it can still answer from
       // parquet footers when no registry exists; min/max cannot)
       new GraftCountStarScan(dataDir, snapshotVersion, sinceVersion, manifestCache)
-    case Some(specs) =>
+    case Some((groups, specs)) =>
       new GraftAggScan(tableSchema, dataDir, specs, snapshotVersion,
-        sinceVersion, manifestCache)
+        sinceVersion, manifestCache, groups, partitionCols)
     case None => new GraftScan(tableSchema, required, pushed, dataDir, partitionCols,
       wantFile, tracker, limit, maxFilesPerTrigger, maxBytesPerTrigger,
       snapshotVersion, sinceVersion, renames, onManifest, manifestCache,
@@ -1593,57 +1621,86 @@ final class GraftAggScan(
     specs: Seq[GraftAggScan.Spec],
     snapshotVersion: Option[Long] = None,
     sinceVersion: Option[Long] = None,
-    manifestPre: Option[Option[Map[String, TableStats.Entry]]] = None)
+    manifestPre: Option[Option[Map[String, TableStats.Entry]]] = None,
+    groupBy: Seq[String] = Nil,
+    partitionCols: Seq[String] = Nil)
     extends Scan with Batch {
   import org.apache.spark.sql.types._
 
   private def fieldType(name: String): DataType =
     tableSchema.fields.find(_.name == name).get.dataType
 
-  override def readSchema(): StructType = StructType(specs.map {
-    case GraftAggScan.Count => StructField("count", LongType, nullable = false)
-    case GraftAggScan.MinOf(f) => StructField(s"min_$f", fieldType(f), nullable = true)
-    case GraftAggScan.MaxOf(f) => StructField(s"max_$f", fieldType(f), nullable = true)
-  })
+  /** Positional contract with `V2ScanRelationPushDown`: grouping columns
+    * FIRST, then the aggregate columns, in pushed order. */
+  override def readSchema(): StructType = StructType(
+    groupBy.map(g => StructField(g, fieldType(g), nullable = true)) ++
+    specs.map {
+      case GraftAggScan.Count => StructField("count", LongType, nullable = false)
+      case GraftAggScan.MinOf(f) => StructField(s"min_$f", fieldType(f), nullable = true)
+      case GraftAggScan.MaxOf(f) => StructField(s"max_$f", fieldType(f), nullable = true)
+    })
   override def toBatch: Batch = this
   override def description(): String =
-    s"GraftAggScan[$dataDir, ${specs.mkString(",")}]"
+    s"GraftAggScan[$dataDir, ${specs.mkString(",")}" +
+      (if (groupBy.isEmpty) "]" else s", groupBy=${groupBy.mkString(",")}]")
 
   import GraftAggScan.{cmp, toCatalyst}
 
-  private lazy val resultValues: Array[Any] = {
+  private def fold(entries: Seq[TableStats.Entry]): Seq[Any] = specs.map {
+    case GraftAggScan.Count => entries.map(_.rows).sum: java.lang.Long
+    case GraftAggScan.MinOf(f) =>
+      val dt = fieldType(f)
+      val mins = entries.flatMap(_.cols.get(f)).map(r => toCatalyst(dt, r._1))
+      if (mins.isEmpty) null else mins.reduce((a, b) => if (cmp(dt, a, b) <= 0) a else b)
+    case GraftAggScan.MaxOf(f) =>
+      val dt = fieldType(f)
+      val maxs = entries.flatMap(_.cols.get(f)).map(r => toCatalyst(dt, r._2))
+      if (maxs.isEmpty) null else maxs.reduce((a, b) => if (cmp(dt, a, b) >= 0) a else b)
+  }
+
+  private lazy val resultRows: Array[Array[Any]] = {
     val root = new Path(dataDir)
     val fs = root.getFileSystem(new Configuration())
-    val live: Seq[TableStats.Entry] =
+    val live: Seq[(String, TableStats.Entry)] =
       manifestPre.getOrElse(Snapshots.readManifest(fs, root, snapshotVersion, sinceVersion))
         .map(_.collect {
-          case (rel, e) if !GraftDeletes.isDeleteRel(rel) => e
+          case (rel, e) if !GraftDeletes.isDeleteRel(rel) => (rel, e)
         }.toSeq)
         .getOrElse(Seq.empty)
-    specs.map {
-      case GraftAggScan.Count => live.map(_.rows).sum: java.lang.Long
-      case GraftAggScan.MinOf(f) =>
-        val dt = fieldType(f)
-        val mins = live.flatMap(_.cols.get(f)).map(r => toCatalyst(dt, r._1))
-        if (mins.isEmpty) null else mins.reduce((a, b) => if (cmp(dt, a, b) <= 0) a else b)
-      case GraftAggScan.MaxOf(f) =>
-        val dt = fieldType(f)
-        val maxs = live.flatMap(_.cols.get(f)).map(r => toCatalyst(dt, r._2))
-        if (maxs.isEmpty) null else maxs.reduce((a, b) => if (cmp(dt, a, b) >= 0) a else b)
-    }.toArray
+    if (groupBy.isEmpty) Array(fold(live.map(_._2)).toArray)
+    else {
+      // each file's group values come from its directory path — exact,
+      // verified parseable by the builder's allFilesLayoutParse gate
+      val partFields = partitionCols.map(PartField.parse)
+      val segIdx = groupBy.map(g => partFields.indexWhere {
+        case PartField.Identity(c) => c == g
+        case _ => false
+      })
+      def groupValsOf(rel: String): Seq[Any] = {
+        val segs = rel.split('/')
+        groupBy.zip(segIdx).map { case (g, i) =>
+          val raw = segs(i).split("=", 2)(1)
+          GraftAggScan.internalOf(fieldType(g), PartitionPruning.decode(raw))
+        }
+      }
+      live.filter(_._2.rows > 0)
+        .groupBy(e => groupValsOf(e._1)).toSeq
+        .map { case (gv, es) => (gv ++ fold(es.map(_._2))).toArray }
+        .toArray
+    }
   }
 
   override def planInputPartitions(): Array[InputPartition] =
-    Array(GraftAggPartition(resultValues))
+    Array(GraftAggPartition(resultRows))
   override def createReaderFactory(): PartitionReaderFactory =
     new PartitionReaderFactory {
       override def createReader(p: InputPartition): PartitionReader[InternalRow] =
         new PartitionReader[InternalRow] {
-          private var done = false
-          private val row = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
-            p.asInstanceOf[GraftAggPartition].values)
-          override def next(): Boolean = if (done) false else { done = true; true }
-          override def get(): InternalRow = row
+          private val rows = p.asInstanceOf[GraftAggPartition].rows
+          private var i = -1
+          override def next(): Boolean = { i += 1; i < rows.length }
+          override def get(): InternalRow =
+            new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(rows(i))
           override def close(): Unit = ()
         }
     }
@@ -1673,9 +1730,20 @@ object GraftAggScan {
         a.asInstanceOf[Number].longValue(), b.asInstanceOf[Number].longValue())
     }
   }
+
+  /** Directory-encoded partition value → Catalyst INTERNAL value (strings
+    * become UTF8String, dates epoch-day ints) for the grouped-aggregate
+    * result rows. */
+  def internalOf(dt: org.apache.spark.sql.types.DataType, raw: String): Any =
+    PartitionPruning.parse(dt, raw) match {
+      case null => null
+      case d: java.sql.Date => d.toLocalDate.toEpochDay.toInt
+      case s: String => UTF8String.fromString(s)
+      case x => x
+    }
 }
 
-final case class GraftAggPartition(values: Array[Any]) extends InputPartition
+final case class GraftAggPartition(rows: Array[Array[Any]]) extends InputPartition
 
 object GraftScan {
   /** Planning-time parquet-footer opens (cache misses). Diagnostics only. */

@@ -291,6 +291,59 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.sql("DROP TABLE gpart.t.mmx")
   }
 
+  test("graft source: GROUP BY partition column folds from the registry alone") {
+    // grouping by an IDENTITY partition column: each file belongs to
+    // exactly one group (derivable from its directory), so per-group
+    // COUNT/MIN/MAX fold from registered stats — zero data I/O, and the
+    // plan carries NO Aggregate node at all (complete pushdown)
+    spark.sql("""CREATE TABLE gpart.t.gagg (id BIGINT, v DOUBLE, lang STRING)
+                |PARTITIONED BY (lang)""".stripMargin)
+    spark.sql("""INSERT INTO gpart.t.gagg
+                |SELECT id, cast(id AS DOUBLE), CASE WHEN id % 2 = 0 THEN 'en' ELSE 'de' END
+                |FROM range(0, 100)""".stripMargin)
+    spark.sql("INSERT INTO gpart.t.gagg SELECT id + 100, NULL, 'en' FROM range(0, 3)")
+
+    val q = spark.sql(
+      "SELECT lang, COUNT(*) AS n, MIN(id) AS mn, MAX(v) AS mx FROM gpart.t.gagg GROUP BY lang")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("GraftAggScan") && plan.contains("groupBy=lang"),
+      s"expected grouped pushdown:\n$plan")
+    assert(!plan.contains("HashAggregate"), s"complete pushdown must not re-aggregate:\n$plan")
+    val footers0 = graft.sources.GraftScan.footerReads.get()
+    val rows = q.orderBy("lang").collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2), if (r.isNullAt(3)) -1d else r.getDouble(3)))
+    assert(rows.toSeq == Seq(("de", 50L, 1L, 99.0), ("en", 53L, 0L, 98.0)))
+    assert(graft.sources.GraftScan.footerReads.get() == footers0,
+      "grouped pushdown opened parquet footers")
+
+    // grouping by a NON-partition column keeps the real aggregate
+    val qn = spark.sql("SELECT v, COUNT(*) FROM gpart.t.gagg GROUP BY v")
+    assert(!qn.queryExecution.executedPlan.toString.contains("GraftAggScan"))
+
+    // a bucket() partition column has no derivable group value — withhold
+    spark.sql("""CREATE TABLE gpart.t.gaggb (id BIGINT, lang STRING)
+                |PARTITIONED BY (bucket(4, id))""".stripMargin)
+    spark.sql("INSERT INTO gpart.t.gaggb SELECT id, 'en' FROM range(0, 50)")
+    val qb = spark.sql("SELECT id, COUNT(*) FROM gpart.t.gaggb GROUP BY id")
+    assert(!qb.queryExecution.executedPlan.toString.contains("GraftAggScan"))
+
+    // partition-spec evolution: pre-evolution files have no reconstructable
+    // group value — the pushdown withholds and values stay correct
+    spark.sql("CREATE TABLE gpart.t.gagge (id BIGINT, lang STRING)")
+    spark.sql("INSERT INTO gpart.t.gagge SELECT id, 'en' FROM range(0, 10)")
+    spark.sql("ALTER TABLE gpart.t.gagge SET PARTITION SPEC (lang)")
+    spark.sql("INSERT INTO gpart.t.gagge SELECT id + 10, 'de' FROM range(0, 10)")
+    val qe = spark.sql("SELECT lang, COUNT(*) AS n FROM gpart.t.gagge GROUP BY lang")
+    assert(!qe.queryExecution.executedPlan.toString.contains("GraftAggScan"),
+      "pre-evolution files have no directory-derivable group value")
+    assert(qe.orderBy("lang").collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      == Seq(("de", 10L), ("en", 10L)))
+
+    spark.sql("DROP TABLE gpart.t.gagg")
+    spark.sql("DROP TABLE gpart.t.gaggb")
+    spark.sql("DROP TABLE gpart.t.gagge")
+  }
+
   test("graft source: estimateStatistics surfaces registry column bounds (CBO inputs)") {
     // build the scan the way Spark does and read its reported stats —
     // min/max must come from _stats.tsv ranges with zero file I/O
