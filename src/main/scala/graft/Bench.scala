@@ -63,12 +63,16 @@ object Bench {
 
   /** Shortest-rendering-that-fits line for stdout: short `qNN` keys,
     * failure messages truncated to [[MaxFailureChars]], 3 decimals unless
-    * the budget forces fewer (degrading all the way to integer seconds in
-    * the pathological every-query-at-999s case); if many failures still
-    * blow the budget their messages degrade to `"err"` (names survive —
-    * the full text is in BENCH_LAST.json). */
+    * the budget forces fewer (degrading all the way to integer seconds);
+    * if many failures still blow the budget their messages degrade to
+    * `"err"` (names survive — the full text is in BENCH_LAST.json). Last
+    * resorts, in order: drop the per-query map entirely (full precision
+    * lives in BENCH_LAST.json; the total and every failure NAME stay),
+    * then cap the named failures with an explicit `omitted` marker. The
+    * line therefore ALWAYS fits, whatever the query count grows to. */
   def renderShortLine(timings: Seq[(String, Double)], failures: Seq[(String, String)],
                       sf: String): String = {
+    def fits(s: String): Boolean = s.getBytes("UTF-8").length <= MaxLineBytes
     val short = timings.map { case (k, v) => shortKey(k) -> v }
     val shortF = failures.map { case (k, v) => shortKey(k) -> v.take(MaxFailureChars) }
     val errOnly = shortF.map { case (k, _) => k -> "err" }
@@ -76,8 +80,19 @@ object Bench {
       f <- Iterator(shortF, errOnly)
       d <- (3 to 0 by -1).iterator
     } yield renderLine(short, f, sf, d)
-    candidates.find(_.getBytes("UTF-8").length <= MaxLineBytes)
-      .getOrElse(renderLine(short, errOnly, sf, 0))
+    candidates.find(fits).getOrElse {
+      def bare(f: Seq[(String, String)]): String = {
+        val failJson =
+          if (f.isEmpty) ""
+          else ",\"failures\":" + f.map { case (k, v) => jstr(k) + ":" + jstr(v) }
+            .mkString("{", ",", "}")
+        s"""{"metric":"total","value":${fmt(short.map(_._2).sum, 0)},"unit":"sec","queries":{}$failJson,"sf":${jstr(sf)}}"""
+      }
+      Iterator.range(errOnly.size, -1, -1).map { k =>
+        if (k == errOnly.size) bare(errOnly)
+        else bare(errOnly.take(k) :+ ("omitted" -> s"${errOnly.size - k} more"))
+      }.find(fits).getOrElse(bare(Nil))
+    }
   }
 
   def main(args: Array[String]): Unit = {

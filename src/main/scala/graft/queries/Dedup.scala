@@ -64,10 +64,11 @@ object Dedup {
   private def hashA(i: Int): Long = 1000003L + 7919L * i
   private def hashB(i: Int): Long = 7L + 104729L * i
 
-  /** MinHash+LSH candidate pairs (d1 < d2): 16 signature hashes from one
-    * md5 per shingle, 4 bands x 4 rows, band-equality join. Shared by q25
-    * (pair listing) and q60 (cluster assignment). */
-  private def minhashPairs(t: Tables): DataFrame = {
+  /** Per-doc LSH bands: (doc_id, band, sig) — 16 MinHash signature hashes
+    * from one md5 per shingle, stacked into 4 bands × 4 rows. Shared by
+    * the pair join ([[minhashPairs]]) and the cross-set decontamination
+    * join (q138). */
+  private def minhashBands(t: Tables): DataFrame = {
     val withX = shingles(t).withColumn("x",
       expr(s"cast(conv(substring(md5(cast(shingle as binary)), 1, 15), 16, 10) as bigint) % $MinHashP"))
     val minCols = (0 to 15).map(i =>
@@ -76,8 +77,14 @@ object Dedup {
     val bandCols = (0 to 3).flatMap { b =>
       Seq(s"$b", s"concat_ws(',', h${4 * b}, h${4 * b + 1}, h${4 * b + 2}, h${4 * b + 3})")
     }
-    val bands = sig.select(col("doc_id"),
+    sig.select(col("doc_id"),
       expr(s"stack(4, ${bandCols.mkString(", ")})").as(Seq("band", "sig")))
+  }
+
+  /** MinHash+LSH candidate pairs (d1 < d2) via the band-equality join.
+    * Shared by q25 (pair listing) and q60 (cluster assignment). */
+  private def minhashPairs(t: Tables): DataFrame = {
+    val bands = minhashBands(t)
     bands.select(col("doc_id").as("d1"), col("band"), col("sig"))
       .join(bands.select(col("doc_id").as("d2"), col("band"), col("sig")), Seq("band", "sig"))
       .filter(col("d1") < col("d2"))
@@ -624,6 +631,49 @@ object Dedup {
         FROM dots JOIN nrm a ON a.doc_id = d1 JOIN nrm b ON b.doc_id = d2
         WHERE dot > 0 AND CAST(dot AS HUGEINT) * dot * 100 >=
               CAST(a.nsq AS HUGEINT) * b.nsq * 81
-        ORDER BY d1, d2"""))
+        ORDER BY d1, d2""")),
+
+    // ---- q138: fuzzy decontamination (MinHash-LSH vs a benchmark set) ----
+    // q70 removes EXACT n-gram overlap with a held-out benchmark; this is
+    // the fuzzy complement every eval pipeline also runs: a corpus doc
+    // sharing any LSH band signature with any benchmark doc (a likely
+    // near-duplicate, paraphrase, or template match) is dropped. The join
+    // is corpus-bands × benchmark-bands — the benchmark side is tiny, the
+    // corpus side is the same banded signatures the dedup pass already
+    // computes, and nothing is ever corpus × corpus. Output: per-lang
+    // survivor stats + the total flagged count.
+    QueryDef(
+      "q138_lsh_decontam",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val bands = minhashBands(t)
+        val bench = bands.filter(col("doc_id") % 97 === 0)
+          .select(col("band"), col("sig")).distinct()
+        val flagged = bands.filter(col("doc_id") % 97 =!= 0)
+          .join(broadcast(bench), Seq("band", "sig"))
+          .select(col("doc_id")).distinct()
+        val survivors = t.documents.filter(col("doc_id") % 97 =!= 0)
+          .join(flagged, Seq("doc_id"), "left_anti")
+        survivors.groupBy(col("lang"))
+          .agg(count(lit(1)).cast("long").as("n_kept"),
+            sum(col("n_chars")).cast("long").as("chars_kept"))
+          .crossJoin(broadcast(
+            flagged.agg(count(lit(1)).cast("long").as("n_flagged"))))
+          .orderBy(col("lang"))
+      },
+      Some(s"""WITH $minhashPairsSql,
+        bench AS (SELECT DISTINCT band, sig FROM bands WHERE doc_id % 97 = 0),
+        flagged AS (
+          SELECT DISTINCT b.doc_id FROM bands b JOIN bench x
+            ON b.band = x.band AND b.sig = x.sig
+          WHERE b.doc_id % 97 <> 0),
+        surv AS (
+          SELECT d.lang, d.n_chars FROM documents d
+          WHERE d.doc_id % 97 <> 0
+            AND d.doc_id NOT IN (SELECT doc_id FROM flagged))
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_kept,
+               CAST(SUM(n_chars) AS BIGINT) AS chars_kept,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM flagged) AS n_flagged
+        FROM surv GROUP BY lang ORDER BY lang"""))
   )
 }

@@ -159,6 +159,118 @@ object Pipeline3 {
                CAST(COUNT(lc) AS BIGINT) AS attributed,
                CAST(SUM((ts_ns - lc) // 1000) AS BIGINT) AS latency_us_sum
         FROM a WHERE event_type = 'purchase'
-        GROUP BY user_id ORDER BY user_id"""))
+        GROUP BY user_id ORDER BY user_id""")),
+
+    // ---- q139: repetition screens (the Gopher battery shape) -------------
+    // The within-document repetition signals used to drop machine-
+    // generated / boilerplate text: the TOP word-2-gram's share of
+    // character mass and the share of tokens that are repeats of an
+    // already-seen word. Both per-doc aggregates in exact integer ppm;
+    // the flag column applies the standard thresholds. Explode → per-doc
+    // aggregate, linear, no self-joins.
+    QueryDef(
+      "q139_repetition_screens",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val base = t.documents.select(col("doc_id"), col("n_chars"),
+          split(col("text"), " ").as("sp"))
+        val grams = base.filter(size(col("sp")) >= 2)
+          .select(col("doc_id"), col("n_chars"),
+            explode(expr("transform(sequence(0, size(sp) - 2), " +
+              "i -> concat_ws(' ', sp[i], sp[i+1]))")).as("g"))
+          .groupBy(col("doc_id"), col("n_chars"), col("g"))
+          .agg(count(lit(1)).as("cnt"))
+        // the top 2-gram by (count, gram) — deterministic tie-break
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("doc_id")).orderBy(desc("cnt"), col("g"))
+        val top2 = grams.withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("doc_id"),
+            expr("cast(cnt * length(g) * 1000000 div n_chars as bigint)").as("top2_ppm"))
+        val dupTok = base
+          .select(col("doc_id"), size(col("sp")).cast("long").as("n_tok"),
+            size(array_distinct(col("sp"))).cast("long").as("n_uniq"))
+          .select(col("doc_id"),
+            expr("cast((n_tok - n_uniq) * 1000000 div n_tok as bigint)").as("dup_tok_ppm"))
+        top2.join(dupTok, "doc_id")
+          .withColumn("flagged",
+            (col("top2_ppm") > 180000L || col("dup_tok_ppm") > 800000L).cast("long"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH base AS (
+          SELECT doc_id, n_chars, string_split(text, ' ') AS sp FROM documents),
+        grams AS (
+          SELECT doc_id, n_chars, g, COUNT(*) AS cnt
+          FROM (SELECT doc_id, n_chars, sp[i + 1] || ' ' || sp[i + 2] AS g
+                FROM (SELECT doc_id, n_chars, sp, unnest(range(len(sp) - 1)) AS i
+                      FROM base WHERE len(sp) >= 2))
+          GROUP BY doc_id, n_chars, g),
+        top2 AS (
+          SELECT doc_id,
+                 CAST(cnt * length(g) * 1000000 // n_chars AS BIGINT) AS top2_ppm
+          FROM (SELECT doc_id, n_chars, g, cnt,
+                  ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY cnt DESC, g) AS rn
+                FROM grams)
+          WHERE rn = 1),
+        dup AS (
+          SELECT doc_id,
+                 CAST((len(sp) - len(list_distinct(sp))) * 1000000 // len(sp) AS BIGINT)
+                   AS dup_tok_ppm
+          FROM base)
+        SELECT t.doc_id, t.top2_ppm, d.dup_tok_ppm,
+               CAST(CASE WHEN t.top2_ppm > 180000 OR d.dup_tok_ppm > 800000
+                    THEN 1 ELSE 0 END AS BIGINT) AS flagged
+        FROM top2 t JOIN dup d ON d.doc_id = t.doc_id
+        ORDER BY t.doc_id""")),
+
+    // ---- q140: token-budget mixture draw ---------------------------------
+    // Assemble a training mix under a TOTAL token budget with per-source
+    // weights: each source gets weight × budget tokens, filled by its
+    // docs in deterministic salted-hash order until the per-source budget
+    // is hit (first doc crossing the line is included — budgets are
+    // floors). One running-sum window per source partition; the selection
+    // is a pure function of (doc_id, weights), reproducible anywhere.
+    QueryDef(
+      "q140_token_budget_mix",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val budget = 4000L // tokens overall — small enough that caps BIND
+        val d = t.documents
+          .withColumn("tok", size(split(col("text"), " ")).cast("long"))
+          .withColumn("h", expr(HashExpr))
+          .withColumn("cap",
+            expr(s"coalesce(element_at(map('src0', 40L, 'src1', 30L, 'src2', 20L, " +
+              s"'src3', 10L), source), 0L) * $budget div 100"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("source")).orderBy(col("h"), col("doc_id"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+        d.withColumn("before", coalesce(sum(col("tok")).over(w), lit(0L)))
+          .filter(col("before") < col("cap"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).cast("long").as("n_docs"),
+            sum(col("tok")).cast("long").as("tokens"),
+            sum(col("doc_id")).cast("long").as("id_sum"))
+          .orderBy(col("source"))
+      },
+      Some {
+        val hex15 = duckHex15("m")
+        s"""WITH d AS (
+          SELECT source, doc_id, len(string_split(text, ' ')) AS tok, ($hex15) AS h,
+            CASE source WHEN 'src0' THEN 40 WHEN 'src1' THEN 30
+                        WHEN 'src2' THEN 20 WHEN 'src3' THEN 10 ELSE 0 END
+              * 4000 // 100 AS cap
+          FROM (SELECT source, doc_id, text,
+                  md5('sample:' || CAST(doc_id AS VARCHAR)) AS m
+                FROM documents)),
+        r AS (
+          SELECT source, doc_id, tok, cap,
+            COALESCE(SUM(tok) OVER (PARTITION BY source ORDER BY h, doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+          FROM d)
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(tok) AS BIGINT) AS tokens,
+               CAST(SUM(doc_id) AS BIGINT) AS id_sum
+        FROM r WHERE before < cap GROUP BY source ORDER BY source"""
+      })
   )
 }
