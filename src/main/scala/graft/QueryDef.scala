@@ -26,4 +26,19 @@ object QueryDef {
 
   /** Timestamp-NTZ literal for comparisons against the corpus' NTZ columns. */
   def ts(s: String): Column = lit(s).cast("timestamp_ntz")
+
+  /** Engine-portable deterministic 60-bit hash (Spark side):
+    * `conv(substring(md5(x), 1, 15), 16, 10)` — 15 hex chars always fit a
+    * BIGINT. Every salted-hash construction (dataset splits, sampling
+    * priorities, MinHash inputs) goes through this ONE spelling and its
+    * DuckDB mirror [[duckMd5Long60]], so the engines can never drift. */
+  def md5Long60(sparkExpr: String): String =
+    s"cast(conv(substring(md5(cast($sparkExpr as binary)), 1, 15), 16, 10) as bigint)"
+
+  /** DuckDB mirror of [[md5Long60]]: positional hex-digit arithmetic over
+    * the first 15 chars of an md5 hex string (DuckDB's md5() returns hex
+    * text; there is no conv()). `mdHexExpr` names the md5 column/expr. */
+  def duckMd5Long60(mdHexExpr: String): String = (1 to 15)
+    .map(j => s"(strpos('0123456789abcdef', substr($mdHexExpr, $j, 1)) - 1) * ${1L << (4 * (15 - j))}")
+    .mkString(" + ")
 }

@@ -31,7 +31,8 @@ object Verify {
     // written BEFORE any query runs: if the JVM dies mid-dump, the checker
     // still knows the full intended set and flags every vanished query
     Files.writeString(Paths.get(s"$outDir/attempted.json"),
-      attempted.keys.toSeq.sorted.mkString("[\"", "\",\"", "\"]"))
+      if (attempted.isEmpty) "[]" // mkString's delimiters would emit [""]
+      else attempted.keys.toSeq.sorted.mkString("[\"", "\",\"", "\"]"))
     attempted.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

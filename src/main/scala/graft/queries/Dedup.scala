@@ -70,7 +70,7 @@ object Dedup {
     * join (q138). */
   private def minhashBands(t: Tables): DataFrame = {
     val withX = shingles(t).withColumn("x",
-      expr(s"cast(conv(substring(md5(cast(shingle as binary)), 1, 15), 16, 10) as bigint) % $MinHashP"))
+      expr(s"${QueryDef.md5Long60("shingle")} % $MinHashP"))
     val minCols = (0 to 15).map(i =>
       min(expr(s"(${hashA(i)}L * x + ${hashB(i)}L) % $MinHashP")).as(s"h$i"))
     val sig = withX.groupBy(col("doc_id")).agg(minCols.head, minCols.tail: _*)
@@ -96,9 +96,7 @@ object Dedup {
     * [[minhashPairs]]. */
   private val minhashPairsSql: String = {
     // 60-bit integer from the first 15 hex chars of md5(shingle)
-    val hex15 = (1 to 15)
-      .map(j => s"(strpos('0123456789abcdef', substr(m, $j, 1)) - 1) * ${1L << (4 * (15 - j))}")
-      .mkString(" + ")
+    val hex15 = QueryDef.duckMd5Long60("m")
     val minCols = (0 to 15)
       .map(i => s"MIN((${hashA(i)} * x + ${hashB(i)}) % $MinHashP) AS h$i")
       .mkString(", ")

@@ -12,17 +12,11 @@ import org.apache.spark.sql.functions._
 object Pipeline3 {
 
   /** Deterministic uniform in [0, 2^60) from a salted md5 of the doc id —
-    * the same engine-portable construction as q68's split hash (15 hex
-    * chars parse exactly into a BIGINT in both engines). */
+    * the shared engine-portable construction ([[QueryDef.md5Long60]]). */
   private val HashExpr =
-    "cast(conv(substring(md5(cast(concat('sample:', cast(doc_id as string)) " +
-      "as binary)), 1, 15), 16, 10) as bigint)"
+    QueryDef.md5Long60("concat('sample:', cast(doc_id as string))")
 
-  /** DuckDB's md5 returns hex text; rebuild the same 60-bit integer by
-    * positional digit arithmetic (integer-exact, matches `conv`). */
-  private def duckHex15(mdExpr: String): String = (1 to 15)
-    .map(j => s"(strpos('0123456789abcdef', substr($mdExpr, $j, 1)) - 1) * ${1L << (4 * (15 - j))}")
-    .mkString(" + ")
+  private def duckHex15(mdExpr: String): String = QueryDef.duckMd5Long60(mdExpr)
 
   val defs: Seq[QueryDef] = Seq(
 

@@ -375,8 +375,7 @@ object Text {
       (s, dir) => {
         s.read.parquet(s"$dir/documents.parquet")
           .withColumn("h", expr(
-            "cast(conv(substring(md5(cast(concat('split:', cast(doc_id as string)) " +
-              "as binary)), 1, 15), 16, 10) as bigint) % 100"))
+            QueryDef.md5Long60("concat('split:', cast(doc_id as string))") + " % 100"))
           .withColumn("split", expr(
             "CASE WHEN h < 80 THEN 'train' WHEN h < 90 THEN 'valid' ELSE 'test' END"))
           .groupBy(col("lang"), col("split"))
@@ -386,9 +385,7 @@ object Text {
           .orderBy(col("lang"), col("split"))
       },
       Some {
-        val hex15 = (1 to 15)
-          .map(j => s"(strpos('0123456789abcdef', substr(m, $j, 1)) - 1) * ${1L << (4 * (15 - j))}")
-          .mkString(" + ")
+        val hex15 = QueryDef.duckMd5Long60("m")
         s"""WITH h AS (
           SELECT doc_id, lang, n_chars, ($hex15) % 100 AS b
           FROM (SELECT doc_id, lang, n_chars,
@@ -497,8 +494,7 @@ object Text {
       (s, dir) => {
         s.read.parquet(s"$dir/documents.parquet")
           .withColumn("b", expr(
-            "cast(conv(substring(md5(cast(concat('strat:', cast(doc_id as string)) " +
-              "as binary)), 1, 15), 16, 10) as bigint) % 100"))
+            QueryDef.md5Long60("concat('strat:', cast(doc_id as string))") + " % 100"))
           .withColumn("rate", expr(
             "CASE WHEN lang = 'en' THEN 50 WHEN lang = 'de' THEN 25 ELSE 10 END"))
           .filter(col("b") < col("rate"))
@@ -509,9 +505,7 @@ object Text {
           .orderBy(col("lang"))
       },
       Some {
-        val hex15 = (1 to 15)
-          .map(j => s"(strpos('0123456789abcdef', substr(m, $j, 1)) - 1) * ${1L << (4 * (15 - j))}")
-          .mkString(" + ")
+        val hex15 = QueryDef.duckMd5Long60("m")
         s"""WITH h AS (
           SELECT doc_id, lang, n_chars, ($hex15) % 100 AS b
           FROM (SELECT doc_id, lang, n_chars,
@@ -622,8 +616,7 @@ object Text {
       (s, dir) => {
         s.read.parquet(s"$dir/documents.parquet")
           .withColumn("b", expr(
-            "cast(conv(substring(md5(cast(concat('mix:', cast(doc_id as string)) " +
-              "as binary)), 1, 15), 16, 10) as bigint) % 100"))
+            QueryDef.md5Long60("concat('mix:', cast(doc_id as string))") + " % 100"))
           .withColumn("w100", expr(
             "CASE WHEN source = 'src0' THEN 240 WHEN source = 'src1' THEN 100 ELSE 30 END"))
           .withColumn("reps", expr("w100 div 100 + CASE WHEN b < w100 % 100 THEN 1 ELSE 0 END"))
@@ -636,9 +629,7 @@ object Text {
           .orderBy(col("source"))
       },
       Some {
-        val hex15 = (1 to 15)
-          .map(j => s"(strpos('0123456789abcdef', substr(m, $j, 1)) - 1) * ${1L << (4 * (15 - j))}")
-          .mkString(" + ")
+        val hex15 = QueryDef.duckMd5Long60("m")
         s"""WITH h AS (
           SELECT doc_id, source, n_chars, ($hex15) % 100 AS b
           FROM (SELECT doc_id, source, n_chars,

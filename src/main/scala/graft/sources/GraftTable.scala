@@ -810,6 +810,10 @@ final class GraftScanBuilder(
           .filter(f => rangeExact(f.dataType) &&
             // pre-rename files registered ranges under the former name
             !renames.contains(f.name) &&
+            // ALTER COLUMN ... TYPE: pre-widening files registered ranges
+            // in the OLD type's external form — a float's "0.1" parses to
+            // a different double than the value the widened reader yields
+            !widened.contains(f.name) &&
             // ADD COLUMN ... DEFAULT: old files read the existence
             // default, not null, yet register no range for the column
             !f.metadata.contains("EXISTS_DEFAULT"))
@@ -905,6 +909,11 @@ final class GraftScanBuilder(
               // pre-rename files registered this column's ranges under the
               // FORMER name — an absent key there is not "all null"
               !renames.contains(f.name) &&
+              // pre-widening files registered ranges in the OLD type's
+              // external form — parsing them as the widened type can yield
+              // values the actual rows never take (float "0.1" ≠ its
+              // double read-back) — withhold, like the reader filter path
+              !widened.contains(f.name) &&
               // ADD COLUMN ... DEFAULT: files older than the column read
               // back the existence default, not null, yet register no range
               !f.metadata.contains("EXISTS_DEFAULT"))

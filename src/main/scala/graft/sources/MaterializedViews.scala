@@ -53,6 +53,12 @@ object MaterializedViews {
   val VersionProp = "graft.mv.base.version"
   /** On the BASE table: comma-joined idents of MVs built over it. */
   val RefsProp = "graft.mv.refs"
+  /** On the MV table while an incremental fold is in flight: `since:until`.
+    * Present = a previous incremental REFRESH may have died between its
+    * MERGE and its version stamp, so whether the delta applied is
+    * unknowable — the next REFRESH must recompute fully (idempotent
+    * truncate-overwrite), never re-fold the same delta. */
+  val PendingProp = "graft.mv.pending"
   /** Session kill-switch for the rewrite (default on). */
   val EnabledConf = "spark.graft.mv.rewrite.enabled"
 
@@ -165,11 +171,25 @@ final case class GraftMvRewrite(session: SparkSession) extends Rule[LogicalPlan]
   private def enabled: Boolean =
     session.conf.get(EnabledConf, "true").toBoolean && !isMaintaining
 
+  /** Per-apply caches: the fixed-point optimizer batch re-runs this rule
+    * several times per query, and a plan can hold several aggregates over
+    * one base — snapshot listings and MV table loads are paid ONCE per
+    * rule invocation, never per match. Scoped to one apply() so no
+    * staleness outlives a single optimization pass. */
+  private final class Caches {
+    val versions = scala.collection.mutable.Map[String, Long]()
+    val loads = scala.collection.mutable.Map[String,
+      Option[(GraftCatalog, org.apache.spark.sql.connector.catalog.Identifier, GraftTable)]]()
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan =
     if (!enabled) plan
-    else plan.transformUp {
-      case agg @ Aggregate(groupExprs, aggExprs, child, _) =>
-        rewrite(groupExprs, aggExprs, child).getOrElse(agg)
+    else {
+      val caches = new Caches
+      plan.transformUp {
+        case agg @ Aggregate(groupExprs, aggExprs, child, _) =>
+          rewrite(groupExprs, aggExprs, child, caches).getOrElse(agg)
+      }
     }
 
   /** The filter (if any) between the aggregate and the relation. */
@@ -186,7 +206,8 @@ final case class GraftMvRewrite(session: SparkSession) extends Rule[LogicalPlan]
   private def rewrite(
       groupExprs: Seq[Expression],
       aggExprs: Seq[NamedExpression],
-      child: LogicalPlan): Option[LogicalPlan] = {
+      child: LogicalPlan,
+      caches: Caches): Option[LogicalPlan] = {
     val (filterCond, relPlan) = split(child)
     val (baseRel, baseTable) = relPlan match {
       case r: DataSourceV2Relation => r.table match {
@@ -204,9 +225,10 @@ final case class GraftMvRewrite(session: SparkSession) extends Rule[LogicalPlan]
       .map(_.split(',').toSeq.filter(_.nonEmpty)).getOrElse(return None)
     if (!groupExprs.forall(_.isInstanceOf[AttributeReference])) return None
 
-    val baseVersion = currentVersion(baseTable.dataDir)
+    val baseVersion = caches.versions.getOrElseUpdate(
+      baseTable.dataDir, currentVersion(baseTable.dataDir))
     refs.iterator.flatMap { mvIdent =>
-      tryOne(mvIdent, baseVersion, groupExprs, aggExprs, filterCond)
+      tryOne(mvIdent, baseVersion, groupExprs, aggExprs, filterCond, caches)
     }.nextOption()
   }
 
@@ -215,12 +237,15 @@ final case class GraftMvRewrite(session: SparkSession) extends Rule[LogicalPlan]
       baseVersion: Long,
       groupExprs: Seq[Expression],
       aggExprs: Seq[NamedExpression],
-      filterCond: Option[Expression]): Option[LogicalPlan] = {
-    val (cat, id) = GraftViewBridge.resolveIdent(session, mvIdent.split('.').toSeq)
-      .getOrElse(return None)
-    val mv = scala.util.Try(cat.loadTable(id)).toOption.collect {
-      case g: GraftTable => g
-    }.getOrElse(return None) // dangling ref (MV dropped out-of-band)
+      filterCond: Option[Expression],
+      caches: Caches): Option[LogicalPlan] = {
+    val (cat, id, mv) = caches.loads.getOrElseUpdate(mvIdent,
+      GraftViewBridge.resolveIdent(session, mvIdent.split('.').toSeq)
+        .flatMap { case (c, i) =>
+          scala.util.Try(c.loadTable(i)).toOption.collect {
+            case g: GraftTable => (c, i, g)
+          } // dangling ref (MV dropped out-of-band) caches as None
+        }).getOrElse(return None)
     val props = mv.properties()
     val spec = Option(props.get(SpecProp)).map(parseSpec).getOrElse(return None)
     // freshness proof: the MV reflects exactly the base's current snapshot
@@ -267,8 +292,18 @@ final case class GraftMvRewrite(session: SparkSession) extends Rule[LogicalPlan]
             // COUNT over an empty group set is 0, SUM is null — coalesce
             Coalesce(Seq(agg(Sum(aggCol("count", "*").getOrElse(return None))),
               Literal(0L, LongType)))
-          case Sum(ar: AttributeReference, _)
-              if !ar.dataType.isInstanceOf[DecimalType] =>
+          case Sum(ar: AttributeReference, _) if (ar.dataType match {
+                // integral sums only: re-summing double/float partials
+                // changes the floating summation order, so the same query
+                // would return bitwise-different totals depending on MV
+                // freshness (decimal re-sums widen the TYPE) — the same
+                // rule the incremental refresh applies
+                case org.apache.spark.sql.types.ByteType |
+                     org.apache.spark.sql.types.ShortType |
+                     org.apache.spark.sql.types.IntegerType |
+                     org.apache.spark.sql.types.LongType => true
+                case _ => false
+              }) =>
             agg(Sum(aggCol("sum", ar.name).getOrElse(return None)))
           case Min(ar: AttributeReference) =>
             agg(Min(aggCol("min", ar.name).getOrElse(return None)))
@@ -384,10 +419,14 @@ final case class GraftRefreshMvCommand(parts: Seq[String])
       })
     })
 
+    // a pending marker means an earlier incremental attempt may have
+    // half-applied (MERGE committed, stamp lost) — only a full recompute
+    // is safe, and "noop" must not trust the stale stamp either
+    val pending = mv.properties().get(PendingProp) != null
     val mode =
-      if (recorded.contains(version)) "noop"
-      else if (recorded.isDefined && spec.isDefined && integralSums &&
-          tryIncremental(session, mvName, baseName, spec.get,
+      if (recorded.contains(version) && !pending) "noop"
+      else if (!pending && recorded.isDefined && spec.isDefined && integralSums &&
+          tryIncremental(session, cat, id, mvName, baseName, spec.get,
             recorded.get, version)) "incremental"
       else {
         maintaining {
@@ -396,13 +435,19 @@ final case class GraftRefreshMvCommand(parts: Seq[String])
         "full"
       }
     if (mode != "noop")
-      cat.alterTable(id, TableChange.setProperty(VersionProp, version.toString))
+      cat.alterTable(id,
+        TableChange.setProperty(VersionProp, version.toString),
+        TableChange.removeProperty(PendingProp))
     Seq(Row(version, mode))
   }
 
   /** Fold the appended delta into the MV; false = not incrementally
-    * refreshable (a commit in the range rewrote files) → caller recomputes. */
-  private def tryIncremental(session: SparkSession, mvName: String,
+    * refreshable (a commit in the range rewrote files) → caller recomputes.
+    * A [[MaterializedViews.PendingProp]] marker brackets the MERGE so a
+    * crash between the fold and the version stamp can never lead to the
+    * same delta being folded twice on retry. */
+  private def tryIncremental(session: SparkSession, cat: GraftCatalog,
+      id: org.apache.spark.sql.connector.catalog.Identifier, mvName: String,
       baseName: String, spec: Spec, since: Long, until: Long): Boolean = {
     val delta =
       try {
@@ -440,6 +485,10 @@ final case class GraftRefreshMvCommand(parts: Seq[String])
     val view = "graft_mv_delta_" +
       java.util.UUID.randomUUID().toString.replace("-", "")
     delta.createOrReplaceTempView(view)
+    // from here to the caller's version stamp, a crash leaves the marker
+    // behind and the next REFRESH recomputes fully instead of re-folding
+    cat.alterTable(id,
+      TableChange.setProperty(MaterializedViews.PendingProp, s"$since:$until"))
     try maintaining {
       val on =
         if (spec.groups.isEmpty) "1 = 1"

@@ -137,17 +137,40 @@ class MvRewriteSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows(q.orderBy("day")) === Seq(Seq("d1", 3L, 6L), Seq("d2", 3L, 15L)))
   }
 
-  test("double-typed SUM columns refuse the incremental path") {
+  test("double-typed SUM columns refuse the incremental path AND the rewrite") {
     spark.sql("DROP TABLE IF EXISTS mvc.m.dsum")
     spark.sql(
       """CREATE MATERIALIZED VIEW mvc.m.dsum AS
         |SELECT day, sum(d) AS sd FROM mvc.m.base_ev GROUP BY day""".stripMargin)
+    // rewrite refusal: re-summing double partials changes the floating
+    // summation order — the same query must not return bitwise-different
+    // totals depending on MV freshness
+    val q = spark.sql("SELECT day, sum(d) AS sd FROM mvc.m.base_ev GROUP BY day")
+    assert(!q.queryExecution.optimizedPlan.toString.contains("dsum"),
+      q.queryExecution.optimizedPlan.toString)
     spark.sql("INSERT INTO mvc.m.base_ev VALUES ('d4', 'view', 11, 2.5)")
     val r = spark.sql("REFRESH MATERIALIZED VIEW mvc.m.dsum").collect()
     assert(r.head.getString(1) === "full",
       "incremental double sums are order-dependent — must recompute")
     spark.sql("DROP MATERIALIZED VIEW mvc.m.dsum")
     spark.sql("DELETE FROM mvc.m.base_ev WHERE day = 'd4'")
+    spark.sql("REFRESH MATERIALIZED VIEW mvc.m.dailies")
+  }
+
+  test("a leftover pending marker forces a FULL refresh (crash-retry safety)") {
+    // simulate a crash between the incremental MERGE and the version
+    // stamp: the marker is present, so whether the delta applied is
+    // unknowable — retry must recompute, never re-fold
+    spark.sql("INSERT INTO mvc.m.base_ev VALUES ('d9', 'click', 7, 1.0)")
+    spark.sql("ALTER TABLE mvc.m.dailies SET TBLPROPERTIES ('graft.mv.pending' = '1:2')")
+    val r = spark.sql("REFRESH MATERIALIZED VIEW mvc.m.dailies").collect()
+    assert(r.head.getString(1) === "full", r.mkString(","))
+    // marker cleared, values exact, next refresh is a noop again
+    assert(rows(spark.sql(
+      "SELECT cnt, sv FROM mvc.m.dailies WHERE day = 'd9'")) === Seq(Seq(1L, 7L)))
+    val r2 = spark.sql("REFRESH MATERIALIZED VIEW mvc.m.dailies").collect()
+    assert(r2.head.getString(1) === "noop")
+    spark.sql("DELETE FROM mvc.m.base_ev WHERE day = 'd9'")
     spark.sql("REFRESH MATERIALIZED VIEW mvc.m.dailies")
   }
 

@@ -173,6 +173,25 @@ class TopNSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(deep === expDeep.toSeq)
   }
 
+  test("a widened sort column withholds TopN pruning (and stays exact)") {
+    // pre-widening files registered ranges in FLOAT's external form;
+    // parsed as double they can differ from the widened read-back values
+    // (0.1f reads as 0.10000000149...), so pruning must not trust them
+    spark.sql("DROP TABLE IF EXISTS topn.t.wid")
+    spark.sql("CREATE TABLE topn.t.wid (k FLOAT, v STRING)")
+    spark.sql("INSERT INTO topn.t.wid SELECT cast(id AS FLOAT) / 10, concat('a', id) FROM range(0, 50)")
+    spark.sql("ALTER TABLE topn.t.wid ALTER COLUMN k TYPE DOUBLE")
+    spark.sql("INSERT INTO topn.t.wid SELECT cast(id AS DOUBLE) / 10, concat('b', id) FROM range(50, 100)")
+    val before = GraftScan.topNPrunedFiles.get()
+    val got = spark.sql("SELECT k, v FROM topn.t.wid ORDER BY k ASC NULLS LAST, v LIMIT 5")
+      .collect().map(r => (r.getDouble(0), r.getString(1))).toSeq
+    assert(GraftScan.topNPrunedFiles.get() === before,
+      "widened-column ranges must not drive pruning")
+    val all = spark.sql("SELECT k, v FROM topn.t.wid").collect()
+      .map(r => (r.getDouble(0), r.getString(1)))
+    assert(got === all.sortBy { case (k, v) => (k, v) }.take(5).toSeq)
+  }
+
   test("randomized layouts: pushed TopN ≡ full sort in all four modes") {
     val rnd = new scala.util.Random(42)
     spark.sql("DROP TABLE IF EXISTS topn.t.rand")
