@@ -1259,16 +1259,19 @@ object Engine {
         s.sql(s"""INSERT INTO $ns.meta1
                  |SELECT doc_id, n_chars, lang
                  |FROM parquet.`$dir/documents.parquet` WHERE lang = 'zh'""".stripMargin)
-        s.sql(s"""SELECT substring(partition, 6) AS lang,
-                 |       CAST(SUM(rows) AS BIGINT) AS n_rows,
+        s.sql(s"""SELECT substring(f.partition, 6) AS lang,
+                 |       CAST(SUM(f.rows) AS BIGINT) AS n_rows,
+                 |       CAST(MAX(p.rows) AS BIGINT) AS n_rows_p,
                  |       (SELECT CAST(MAX(version) AS BIGINT)
                  |        FROM $ns.`meta1$$snapshots`) AS n_snapshots
-                 |FROM $ns.`meta1$$files`
-                 |WHERE NOT is_delete
-                 |GROUP BY substring(partition, 6)
+                 |FROM $ns.`meta1$$files` f
+                 |JOIN $ns.`meta1$$partitions` p ON p.partition = f.partition
+                 |WHERE NOT f.is_delete
+                 |GROUP BY substring(f.partition, 6)
                  |ORDER BY lang""".stripMargin)
       },
       Some("""SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        CAST(COUNT(*) AS BIGINT) AS n_rows_p,
         CAST(2 AS BIGINT) AS n_snapshots
         FROM documents GROUP BY lang ORDER BY lang""")),
 

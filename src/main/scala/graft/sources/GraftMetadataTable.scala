@@ -46,12 +46,15 @@ final class GraftMetadataTable(base: GraftTable, kind: String)
 }
 
 object GraftMetadataTable {
-  val Kinds: Set[String] = Set("files", "snapshots", "wap")
+  val Kinds: Set[String] = Set("files", "snapshots", "wap", "partitions")
 
   def schemaOf(kind: String): StructType = kind match {
     case "files" => StructType.fromDDL(
       "file STRING, partition STRING, rows BIGINT, bytes BIGINT, " +
         "seq BIGINT, sorted BOOLEAN, is_delete BOOLEAN")
+    case "partitions" => StructType.fromDDL(
+      "partition STRING, files BIGINT, rows BIGINT, bytes BIGINT, " +
+        "delete_files BIGINT")
     case "snapshots" => StructType.fromDDL(
       "version BIGINT, kind STRING, files BIGINT, rows BIGINT, " +
         "bytes BIGINT, tags STRING")
@@ -71,6 +74,23 @@ object GraftMetadataTable {
           Seq(rel, part, e.rows, e.bytes, e.seq, e.sorted,
             GraftDeletes.isDeleteRel(rel))
         }
+      case "partitions" =>
+        // the skew/size view ops actually wants: one row per partition,
+        // straight off the registry — "which day is oversized" at 100 TB
+        // without listing a single data file
+        TableStats.read(fs, dataDir).toSeq
+          .groupBy { case (rel, _) =>
+            val i = rel.lastIndexOf('/')
+            if (i < 0) "" else rel.substring(0, i)
+          }
+          .toSeq.sortBy(_._1)
+          .map { case (part, es) =>
+            val (dels, datas) = es.partition(e => GraftDeletes.isDeleteRel(e._1))
+            Seq(part, datas.size.toLong,
+              datas.map(_._2.rows).sum,
+              datas.map(e => math.max(e._2.bytes, 0L)).sum,
+              dels.size.toLong)
+          }
       case "snapshots" =>
         val tags = Snapshots.tags(fs, dataDir).toSeq
           .groupBy(_._2).map { case (v, ts) => v -> ts.map(_._1).sorted }

@@ -1540,7 +1540,10 @@ final class GraftScan(
 
   override def description(): String =
     s"GraftScan[$dataDir, cols=${required.fieldNames.mkString(",")}, " +
-      s"pushed=${pushed.mkString(",")}, partCols=${partitionCols.mkString(",")}]"
+      s"pushed=${pushed.mkString(",")}, partCols=${partitionCols.mkString(",")}" +
+      topN.map(t => s", topN=${t.col} ${if (t.desc) "DESC" else "ASC"} " +
+        s"${if (t.nullsFirst) "NULLS FIRST" else "NULLS LAST"} LIMIT ${t.n}")
+        .getOrElse("") + "]"
 }
 
 /** Complete COUNT(*) pushdown: one row, straight from the stats cache
