@@ -441,6 +441,25 @@ object GraftTable {
     (schema, props, partCols)
   }
 
+  /** Write `<tableDir>/_meta.yml` — the same three keys [[parseMeta]]
+    * reads (and the catalog writes): schema JSON, storage properties,
+    * partition specs. Used to BOOTSTRAP metadata on the first catalog-free
+    * `df.write.format("graft").save(dir)` into a bare directory, which
+    * previously left data files behind with no self-description (the
+    * read path then refused the directory). */
+  def writeMetaFile(fs: FileSystem, tableDir: Path, schema: StructType,
+      props: Map[String, String], partCols: Seq[String]): Unit = {
+    val opts = new org.yaml.snakeyaml.DumperOptions()
+    opts.setDefaultFlowStyle(org.yaml.snakeyaml.DumperOptions.FlowStyle.BLOCK)
+    val yaml = new org.yaml.snakeyaml.Yaml(opts).dump(Map(
+      "schema_json" -> schema.json,
+      "properties" -> props.asJava,
+      "partitions" -> partCols.asJava).asJava)
+    val out = fs.create(new Path(tableDir, "_meta.yml"), true)
+    try out.write(yaml.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
   /** Read and parse `<tableDir>/_meta.yml` if present. */
   def readMeta(tableDir: String, conf: Configuration)
       : Option[(StructType, Map[String, String], Seq[String])] = {
@@ -2398,6 +2417,15 @@ final class GraftBatchWrite(
     val dir = new Path(dataDir)
     val fs = dir.getFileSystem(conf)
     import GraftBatchWrite._
+    // first catalog-free write into a BARE directory: persist _meta.yml
+    // so the directory reads back as a self-describing graft table
+    // (subsequent appends then validate against this schema — an extra
+    // or mistyped column fails Spark's own output resolution instead of
+    // writing unreadable files)
+    if (props.contains(GraftTable.PathBasedProp) &&
+        !fs.exists(new Path(dir.getParent, "_meta.yml")))
+      GraftTable.writeMetaFile(fs, dir.getParent, schema,
+        props - "path" - GraftTable.PathBasedProp, partitionCols)
     // write-audit-publish: stage this commit instead of publishing it —
     // the files land but only the tagged AUDIT snapshot references them;
     // the live registry (what every normal read plans from) is untouched

@@ -1239,6 +1239,38 @@ class GraftCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.sql("DROP TABLE graft.pw.bktp")
   }
 
+  test("format(\"graft\"): bare-dir save bootstraps _meta.yml; schema drift is gated") {
+    val tdir = java.nio.file.Files.createTempDirectory("graft_bare").toString + "/t1"
+    // first save into a BARE directory must leave a self-describing table
+    spark.range(0, 5).selectExpr("id", "concat('a', id) AS name")
+      .write.format("graft").mode("append").save(tdir)
+    assert(new java.io.File(s"$tdir/_meta.yml").exists(),
+      "first path-based save must bootstrap _meta.yml")
+    assert(spark.read.format("graft").load(tdir).columns.toSeq == Seq("id", "name"))
+
+    // an append carrying an undeclared column is refused loudly (its
+    // files would be unreadable), unless mergeSchema evolves the table
+    val extra = spark.range(5, 8)
+      .selectExpr("id", "concat('b', id) AS name", "id * 2 AS extra")
+    val e = intercept[IllegalArgumentException] {
+      extra.write.format("graft").mode("append").save(tdir)
+    }
+    assert(e.getMessage.contains("mergeSchema"), e.getMessage)
+    extra.write.format("graft").mode("append").option("mergeSchema", "true").save(tdir)
+    val back = spark.read.format("graft").load(tdir)
+    assert(back.columns.toSeq == Seq("id", "name", "extra"))
+    assert(back.count() == 8)
+    // pre-evolution rows read the new column as NULL; new rows carry it
+    assert(back.where("extra IS NOT NULL").count() == 3)
+
+    // a same-named column with a different type is always refused
+    val t = intercept[IllegalArgumentException] {
+      spark.range(0, 1).selectExpr("id", "CAST(id AS DOUBLE) AS name")
+        .write.format("graft").mode("append").save(tdir)
+    }
+    assert(t.getMessage.contains("type mismatch"), t.getMessage)
+  }
+
   test("INSERT OVERWRITE: static partition filter replaces only matched partitions") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.ow")
     spark.sql(
