@@ -1144,6 +1144,81 @@ object Vectors {
         SELECT p.qid, p.pred, CAST(e.label AS BIGINT) AS truth,
                CAST(CASE WHEN p.pred = e.label THEN 1 ELSE 0 END AS BIGINT) AS correct
         FROM pred p JOIN embeddings e ON e.vec_id = p.qid
-        ORDER BY p.qid"""))
+        ORDER BY p.qid""")),
+
+    // ---- q141: PageRank over the kNN similarity graph --------------------
+    // Graph centrality on the near-duplicate graph: vectors that many
+    // others point to as a nearest neighbor are the CANONICAL/hub
+    // documents of their semantic cluster — the natural "which copy do I
+    // keep" signal, and the representative-picking step of cluster-based
+    // data curation. Edges are each vector's top-3 bucket-local
+    // neighbors (bounded out-degree 3 — the edge set is O(n), never
+    // corpus²); two damped power-iteration rounds in EXACT integer
+    // arithmetic (rank scaled 1e6, contributions integer-divided, the
+    // recurrence r' = 150000 + 850·Σ(r/deg) div 1000) so both engines
+    // agree bit-for-bit. Each round is one join + one aggregate; a
+    // convergence loop at scale would add the parquet checkpointing the
+    // q92/q111 component queries already demonstrate.
+    QueryDef(
+      "q141_pagerank_knn",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val e = emb(t)
+        val n = norms(e)
+        val q = e.select(col("vec_id").as("qid"), col("e").as("qe"), col("bucket"))
+        val c = e.select(col("vec_id").as("vid"), col("e").as("ve"), col("bucket"))
+        val pairs = q.join(c, "bucket").filter(col("qid") =!= col("vid"))
+        val w = Window.partitionBy(col("qid")).orderBy(desc("cos"), col("vid"))
+        val edges = cosine(pairs, n)
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 3)
+          .select(col("qid").as("src"), col("vid").as("dst"))
+        val nodes = e.select(col("vec_id").as("id"))
+        val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        def step(r: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+          val contrib = edges
+            .join(r.withColumnRenamed("id", "src"), "src")
+            .join(outdeg, "src")
+            .select(col("dst"), expr("pr div deg").as("c"))
+            .groupBy(col("dst")).agg(sum(col("c")).as("inm"))
+          nodes.join(contrib.withColumnRenamed("dst", "id"), Seq("id"), "left")
+            .select(col("id"),
+              expr("150000L + (850 * coalesce(inm, 0L)) div 1000").as("pr"))
+        }
+        val r0 = nodes.withColumn("pr", lit(1000000L))
+        step(step(r0))
+          .orderBy(desc("pr"), col("id"))
+          .limit(20)
+          .select(col("id"), col("pr"))
+      },
+      Some(s"""WITH $duckNorms,
+        e AS (SELECT vec_id, embedding, $duckBucket AS bucket FROM embeddings),
+        scored AS (
+          SELECT q.vec_id AS qid, c.vec_id AS vid,
+            list_sum(list_transform(range(1, len(q.embedding) + 1),
+              i -> round(CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE) * 1e9)))
+              / sqrt(nq.n2 * nv.n2) AS cos
+          FROM e q JOIN e c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+          JOIN norms nq ON nq.vec_id = q.vec_id
+          JOIN norms nv ON nv.vec_id = c.vec_id),
+        edges AS (
+          SELECT qid AS src, vid AS dst FROM (
+            SELECT qid, vid,
+              ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vid) AS rank
+            FROM scored)
+          WHERE rank <= 3),
+        deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+        r0 AS (SELECT vec_id AS id, CAST(1000000 AS BIGINT) AS pr FROM embeddings),
+        s1 AS (SELECT d.dst, SUM(r.pr // g.deg) AS inm
+               FROM edges d JOIN r0 r ON r.id = d.src JOIN deg g ON g.src = d.src
+               GROUP BY d.dst),
+        r1 AS (SELECT n.id, CAST(150000 + (850 * COALESCE(s1.inm, 0)) // 1000 AS BIGINT) AS pr
+               FROM r0 n LEFT JOIN s1 ON s1.dst = n.id),
+        s2 AS (SELECT d.dst, SUM(r.pr // g.deg) AS inm
+               FROM edges d JOIN r1 r ON r.id = d.src JOIN deg g ON g.src = d.src
+               GROUP BY d.dst),
+        r2 AS (SELECT n.id, CAST(150000 + (850 * COALESCE(s2.inm, 0)) // 1000 AS BIGINT) AS pr
+               FROM r1 n LEFT JOIN s2 ON s2.dst = n.id)
+        SELECT id, pr FROM r2 ORDER BY pr DESC, id LIMIT 20"""))
   )
 }

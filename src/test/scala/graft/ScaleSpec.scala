@@ -221,6 +221,37 @@ class ScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
       (0L, 99999L, 0.0, 96.0))
     assert(GraftScan.footerReads.get() == fmm, "min/max opened parquet footers")
 
+    // TopN over 1000 OVERLAPPING files (round-robin ids): the pruning
+    // decision is driver-side metadata over the same registry — nothing
+    // prunes (strict precedence cannot hold), planning opens no footers,
+    // and the result is exact
+    val ftn = GraftScan.footerReads.get()
+    val rtn = TableStats.registryReads.get()
+    assert(spark.sql("SELECT id FROM graft.mf.many ORDER BY id LIMIT 5")
+      .collect().map(_.getLong(0)).toSeq == (0L to 4L))
+    assert(GraftScan.footerReads.get() == ftn, "TopN planning opened footers")
+    assert(TableStats.registryReads.get() - rtn <= 2,
+      "TopN planning must stay metadata-bounded")
+
+    // with a sort-clustered layout the files are range-DISJOINT and a
+    // top-5 prunes virtually all of them — the "latest n events at
+    // 100 TB" shape: files read ∝ n, not table size
+    spark.sql("""CREATE TABLE graft.mf.many2 (id BIGINT, v DOUBLE)
+                |TBLPROPERTIES ('write.sort.columns' = 'id')""".stripMargin)
+    for (i <- 0 until 16) // one range-disjoint file per sorted append
+      spark.range(i * 6250L, (i + 1) * 6250L)
+        .selectExpr("id", "CAST(id % 97 AS DOUBLE) AS v")
+        .writeTo("graft.mf.many2").append()
+    val sortedFiles = TableStats.read(fs, new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.catalog.graft.warehouse") + "/mf/many2/data")).size
+    val pruned0 = GraftScan.topNPrunedFiles.get()
+    assert(spark.sql("SELECT id FROM graft.mf.many2 ORDER BY id LIMIT 5")
+      .collect().map(_.getLong(0)).toSeq == (0L to 4L))
+    val prunedN = GraftScan.topNPrunedFiles.get() - pruned0
+    assert(sortedFiles >= 16 && prunedN >= sortedFiles - 2,
+      s"top-5 over $sortedFiles disjoint files pruned only $prunedN")
+    spark.sql("DROP TABLE graft.mf.many2")
+
     // a real scan still plans without footer reads (stats + ranges come
     // from the registry) and with a bounded number of registry reads
     val f1 = GraftScan.footerReads.get()
