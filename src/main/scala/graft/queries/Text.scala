@@ -216,8 +216,16 @@ object Text {
               "i -> concat_ws(' ', sp[i], sp[i+1], sp[i+2])))"))
               .as("shingle"))
         val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-        val dropped = sh.select(col("doc_id").as("d1"), col("shingle"))
-          .join(sh.select(col("doc_id").as("d2"), col("shingle")), "shingle")
+        // document-frequency cap before the pair join — the same 100 TB
+        // skew guard as the q24 family (a shingle in >10k docs carries no
+        // dedup signal and would quadratically dominate the join); a
+        // window over the shingle partition, whose exchange the self-join
+        // reuses. No shingle reaches the cap at test scale.
+        val shk = sh.withColumn("df", count(lit(1)).over(
+            org.apache.spark.sql.expressions.Window.partitionBy(col("shingle"))))
+          .filter(col("df") <= 10000).drop("df")
+        val dropped = shk.select(col("doc_id").as("d1"), col("shingle"))
+          .join(shk.select(col("doc_id").as("d2"), col("shingle")), "shingle")
           .filter(col("d1") < col("d2"))
           .groupBy(col("d1"), col("d2"))
           .agg(count(lit(1)).as("common"))
@@ -246,8 +254,12 @@ object Text {
                    i -> sp[i+1] || ' ' || sp[i+2] || ' ' || sp[i+3])) AS shingle
                FROM surv WHERE len(sp) >= 3),
         cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        shk AS (SELECT doc_id, shingle FROM (
+                  SELECT doc_id, shingle, COUNT(*) OVER (PARTITION BY shingle) AS df
+                  FROM sh)
+                WHERE df <= 10000),
         pairs AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS common
-                  FROM sh a JOIN sh b USING (shingle)
+                  FROM shk a JOIN shk b USING (shingle)
                   WHERE a.doc_id < b.doc_id GROUP BY a.doc_id, b.doc_id),
         dropped AS (SELECT DISTINCT d2 AS doc_id
                     FROM pairs JOIN cnt ca ON ca.doc_id = d1 JOIN cnt cb ON cb.doc_id = d2
