@@ -40,6 +40,8 @@ object MaintenanceSql {
     """(?is)\s*ANALYZE\s+TABLE\s+([\w.`]+)\s+COMPUTE\s+STATISTICS(?:\s+FOR\s+COLUMNS\s+([\w`]+(?:\s*,\s*[\w`]+)*))?\s*;?\s*""".r
   private val History =
     """(?is)\s*DESCRIBE\s+HISTORY\s+([\w.`]+)\s*;?\s*""".r
+  private val Detail =
+    """(?is)\s*DESCRIBE\s+DETAIL\s+([\w.`]+)\s*;?\s*""".r
   private val CreateTag =
     """(?is)\s*ALTER\s+TABLE\s+([\w.`]+)\s+CREATE\s+TAG\s+`?([\w][\w.-]*)`?(?:\s+AS\s+OF\s+VERSION\s+(\d+))?\s*;?\s*""".r
   private val DropTag =
@@ -94,6 +96,8 @@ object MaintenanceSql {
           Option(forCols).map(cols).getOrElse(Nil)))
       case History(id) if graft(parts(id)) =>
         Some(GraftHistoryCommand(parts(id)))
+      case Detail(id) if graft(parts(id)) =>
+        Some(GraftDetailCommand(parts(id)))
       case CreateTag(id, name, v) if graft(parts(id)) =>
         Some(GraftCreateTagCommand(parts(id), name, Option(v).map(_.toLong)))
       case DropTag(id, name) if graft(parts(id)) =>
@@ -363,6 +367,44 @@ final case class GraftShowTagsCommand(parts: Seq[String])
     Snapshots.tags(dataDir.getFileSystem(new org.apache.hadoop.conf.Configuration()),
         dataDir)
       .toSeq.sortBy(_._1).map { case (n, v) => Row(n, v) }
+  }
+}
+
+/** `DESCRIBE DETAIL t` — the one-row operational summary (location,
+  * file/row/byte totals, partitioning, sort clustering, mutation mode,
+  * current snapshot version, outstanding delete files) straight from the
+  * stats registry and `_meta.yml`: zero data I/O at any table size. */
+final case class GraftDetailCommand(parts: Seq[String])
+    extends LeafRunnableCommand {
+  import org.apache.spark.sql.types.StringType
+  override val output: Seq[Attribute] = Seq(
+    MaintenanceSql.attr("location", StringType),
+    MaintenanceSql.attr("format", StringType),
+    MaintenanceSql.attr("version", LongType),
+    MaintenanceSql.attr("num_files", LongType),
+    MaintenanceSql.attr("num_delete_files", LongType),
+    MaintenanceSql.attr("rows", LongType),
+    MaintenanceSql.attr("size_bytes", LongType),
+    MaintenanceSql.attr("partition_columns", StringType),
+    MaintenanceSql.attr("sort_columns", StringType),
+    MaintenanceSql.attr("mutation_mode", StringType))
+
+  override def run(session: SparkSession): Seq[Row] = {
+    val (t, tableDir) = MaintenanceSql.loadGraftTable(session, parts)
+    val dataDir = new org.apache.hadoop.fs.Path(t.dataDir)
+    val fs = dataDir.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val stats = TableStats.read(fs, dataDir)
+    val (dels, datas) = stats.partition(e => GraftDeletes.isDeleteRel(e._1))
+    val version = Snapshots.list(fs, dataDir).lastOption.map(_._1).getOrElse(0L)
+    val props = t.properties()
+    Seq(Row(tableDir, "graft", version,
+      datas.size.toLong, dels.size.toLong,
+      datas.valuesIterator.map(_.rows).sum,
+      datas.valuesIterator.map(e => math.max(e.bytes, 0L)).sum,
+      t.partitionSpecs.mkString(","),
+      String.valueOf(Option(props.get("write.sort.columns")).getOrElse("")),
+      String.valueOf(Option(props.get(GraftDeletes.ModeProp))
+        .getOrElse("copy-on-write"))))
   }
 }
 

@@ -478,6 +478,14 @@ class GraftCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(hist.length >= 8 && hist.map(_.getLong(0)).toSeq.sorted == hist.map(_.getLong(0)).toSeq)
     assert(hist.last.getLong(3) == 200L, s"head rows ${hist.last.getLong(3)}")
 
+    // DESCRIBE DETAIL: one operational summary row off the registry alone
+    val det = spark.sql("DESCRIBE DETAIL graft.pw.maint").head()
+    assert(det.getString(0).endsWith("/pw/maint") && det.getString(1) == "graft")
+    assert(det.getLong(2) == hist.last.getLong(0), "version = latest snapshot")
+    assert(det.getLong(5) == 200L, s"rows ${det.getLong(5)}")
+    assert(det.getLong(3) >= 1 && det.getLong(4) == 0L) // files, delete files
+    assert(det.getString(9) == "copy-on-write")
+
     // TAGS: pin the current head under a name, read through it, keep it
     // past vacuum, drop it
     spark.sql("ALTER TABLE graft.pw.maint CREATE TAG stable")
