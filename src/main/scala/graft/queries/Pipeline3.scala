@@ -16,8 +16,6 @@ object Pipeline3 {
   private val HashExpr =
     QueryDef.md5Long60("concat('sample:', cast(doc_id as string))")
 
-  private def duckHex15(mdExpr: String): String = QueryDef.duckMd5Long60(mdExpr)
-
   val defs: Seq[QueryDef] = Seq(
 
     // ---- q133: deterministic corpus sampling (uniform-k + weighted) ------
@@ -51,7 +49,7 @@ object Pipeline3 {
           .orderBy(col("source"))
       },
       Some {
-        val hex15 = duckHex15("m")
+        val hex15 = QueryDef.duckMd5Long60("m")
         s"""WITH h AS (
           SELECT source, doc_id, n_chars, ($hex15) AS h
           FROM (SELECT source, doc_id, n_chars,
@@ -247,7 +245,7 @@ object Pipeline3 {
           .orderBy(col("source"))
       },
       Some {
-        val hex15 = duckHex15("m")
+        val hex15 = QueryDef.duckMd5Long60("m")
         s"""WITH d AS (
           SELECT source, doc_id, len(string_split(text, ' ')) AS tok, ($hex15) AS h,
             CASE source WHEN 'src0' THEN 40 WHEN 'src1' THEN 30

@@ -53,8 +53,7 @@ object GraftMetadataTable {
       "file STRING, partition STRING, rows BIGINT, bytes BIGINT, " +
         "seq BIGINT, sorted BOOLEAN, is_delete BOOLEAN")
     case "partitions" => StructType.fromDDL(
-      "partition STRING, files BIGINT, rows BIGINT, bytes BIGINT, " +
-        "delete_files BIGINT")
+      "partition STRING, files BIGINT, rows BIGINT, bytes BIGINT")
     case "snapshots" => StructType.fromDDL(
       "version BIGINT, kind STRING, files BIGINT, rows BIGINT, " +
         "bytes BIGINT, tags STRING")
@@ -77,19 +76,23 @@ object GraftMetadataTable {
       case "partitions" =>
         // the skew/size view ops actually wants: one row per partition,
         // straight off the registry — "which day is oversized" at 100 TB
-        // without listing a single data file
+        // without listing a single data file. Merge-on-read delete files
+        // live under a table-global `_deletes/` prefix, not inside any
+        // partition — they are excluded here (per-file attribution is in
+        // `$files.is_delete`; the table-level count in DESCRIBE DETAIL).
+        // Rows are REGISTERED counts: upper bounds while equality
+        // deletes are outstanding, exact otherwise.
         TableStats.read(fs, dataDir).toSeq
+          .filterNot(e => GraftDeletes.isDeleteRel(e._1))
           .groupBy { case (rel, _) =>
             val i = rel.lastIndexOf('/')
             if (i < 0) "" else rel.substring(0, i)
           }
           .toSeq.sortBy(_._1)
           .map { case (part, es) =>
-            val (dels, datas) = es.partition(e => GraftDeletes.isDeleteRel(e._1))
-            Seq(part, datas.size.toLong,
-              datas.map(_._2.rows).sum,
-              datas.map(e => math.max(e._2.bytes, 0L)).sum,
-              dels.size.toLong)
+            Seq(part, es.size.toLong,
+              es.map(_._2.rows).sum,
+              es.map(e => math.max(e._2.bytes, 0L)).sum)
           }
       case "snapshots" =>
         val tags = Snapshots.tags(fs, dataDir).toSeq

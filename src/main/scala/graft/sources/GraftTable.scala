@@ -318,6 +318,14 @@ final class GraftTable(
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     requireUnpinned("write")
+    // path-based writes: the DF schema must agree with the directory's
+    // declaration (validated HERE, on the write path only — reads with a
+    // user .schema() keep their null-fill semantics and never mutate
+    // metadata); option("mergeSchema", "true") evolves under the commit
+    // lock (see validatePathWriteSchema)
+    if (props.contains(GraftTable.PathBasedProp))
+      GraftTable.validatePathWriteSchema(tableDir, info.schema(),
+        Option(info.options().get("mergeSchema")).exists(_.equalsIgnoreCase("true")))
     new GraftWriteBuilder(schema0, props, dataDir, partitionCols, info)
   }
 }
@@ -439,6 +447,63 @@ object GraftTable {
       .map(_.asInstanceOf[java.util.List[String]].asScala.toSeq)
       .getOrElse(Seq.empty[String])
     (schema, props, partCols)
+  }
+
+  /** Write-scoped options (and provider plumbing keys) that must never be
+    * baked into `_meta.yml` as permanent storage properties when the
+    * first bare-dir save bootstraps the metadata. Compared lowercased. */
+  val TransientWriteProps: Set[String] = Set(
+    "path", PathBasedProp, "mergeschema", "snapshot-version",
+    "since-version", "starting-version", "change-feed",
+    "maxfilespertrigger", "maxbytespertrigger", "wap.id")
+
+  /** Path-based WRITE schema gate. The DF schema must agree with the
+    * directory's declaration — same-named columns (case-insensitively,
+    * matching Spark's default resolution) keep their type, and columns
+    * the declaration lacks are refused unless `mergeSchema` evolves the
+    * table. Evolution is a read-modify-write of `_meta.yml` done under
+    * the SAME lock commits take, re-reading the declaration inside it —
+    * two concurrent evolving writers compose instead of last-write-wins
+    * erasing one side's columns (which would re-open exactly the
+    * silent-data-loss hole this gate closes). Runs only from
+    * `newWriteBuilder`, so a READ can never mutate table metadata. */
+  def validatePathWriteSchema(tableDir: String, writeSchema: StructType,
+      mergeSchema: Boolean): Unit = {
+    val conf = new Configuration()
+    def ci(n: String) = n.toLowerCase(java.util.Locale.ROOT)
+    def check(declared: StructType): Seq[org.apache.spark.sql.types.StructField] = {
+      val declaredTypes = declared.fields.map(f => ci(f.name) -> f.dataType).toMap
+      val mismatched = writeSchema.fields.filter(f =>
+        declaredTypes.get(ci(f.name)).exists(_ != f.dataType))
+      require(mismatched.isEmpty,
+        s"graft: column type mismatch vs the declared schema under $tableDir: " +
+          mismatched.map(f => s"${f.name} is ${f.dataType.simpleString}, declared " +
+            s"${declaredTypes(ci(f.name)).simpleString}").mkString(", "))
+      writeSchema.fields.filterNot(f => declaredTypes.contains(ci(f.name))).toSeq
+    }
+    readMeta(tableDir, conf).foreach { case (declared, _, _) =>
+      val extra = check(declared)
+      if (extra.nonEmpty) {
+        require(mergeSchema,
+          s"graft: columns [${extra.map(_.name).mkString(", ")}] are not in " +
+            s"the declared schema under $tableDir — files written with them " +
+            "would be unreadable; set option(\"mergeSchema\", \"true\") to " +
+            "evolve the table, or drop the columns")
+        val dataDir = new Path(tableDir, "data")
+        val fs = dataDir.getFileSystem(conf)
+        fs.mkdirs(dataDir)
+        TableStats.withLock(fs, dataDir) {
+          // re-read inside the lock: merge on top of any concurrent evolve
+          val (cur, curProps, curParts) =
+            readMeta(tableDir, conf).getOrElse((declared, Map.empty[String, String], Seq.empty[String]))
+          val stillExtra = check(cur)
+          if (stillExtra.nonEmpty)
+            writeMetaFile(fs, new Path(tableDir),
+              StructType(cur.fields ++ stillExtra.map(_.copy(nullable = true))),
+              curProps, curParts)
+        }
+      }
+    }
   }
 
   /** Write `<tableDir>/_meta.yml` — the same three keys [[parseMeta]]
@@ -2425,7 +2490,10 @@ final class GraftBatchWrite(
     if (props.contains(GraftTable.PathBasedProp) &&
         !fs.exists(new Path(dir.getParent, "_meta.yml")))
       GraftTable.writeMetaFile(fs, dir.getParent, schema,
-        props - "path" - GraftTable.PathBasedProp, partitionCols)
+        // transient write options must not become permanent table config
+        props.filterNot { case (k, _) =>
+          GraftTable.TransientWriteProps.contains(k.toLowerCase(java.util.Locale.ROOT))
+        }, partitionCols)
     // write-audit-publish: stage this commit instead of publishing it —
     // the files land but only the tagged AUDIT snapshot references them;
     // the live registry (what every normal read plans from) is untouched

@@ -86,39 +86,10 @@ class GraftTableProvider extends TableProvider with DataSourceRegister {
         .map(_.toLong).getOrElse(0L)
       return new GraftChangeFeedTable(base, dir, starting)
     }
-    // a handed schema (the DF's schema on writes, a user .schema() on
-    // reads) must AGREE with the directory's declared schema: same-named
-    // columns must keep their type, and columns the declaration lacks
-    // are refused — Spark would otherwise happily write files whose
-    // extra columns are invisible to every later read (silent data
-    // loss). `option("mergeSchema", "true")` opts into evolution: the
-    // new columns (forced nullable — old files read them as NULL) are
-    // appended to _meta.yml before the write proceeds.
-    val mergeSchema = "true".equalsIgnoreCase(
-      String.valueOf(properties.get("mergeSchema")))
-    meta(dir).map(_._1).foreach { declared =>
-      val declaredTypes = declared.fields.map(f => f.name -> f.dataType).toMap
-      val mismatched = schema.fields.filter(f =>
-        declaredTypes.get(f.name).exists(_ != f.dataType))
-      require(mismatched.isEmpty,
-        s"graft: column type mismatch vs the declared schema under $dir: " +
-          mismatched.map(f =>
-            s"${f.name} is ${f.dataType.simpleString}, declared " +
-              s"${declaredTypes(f.name).simpleString}").mkString(", "))
-      val extra = schema.fields.filterNot(f => declaredTypes.contains(f.name))
-      if (extra.nonEmpty) {
-        require(mergeSchema,
-          s"graft: columns [${extra.map(_.name).mkString(", ")}] are not in " +
-            s"the declared schema under $dir — files written with them would " +
-            "be unreadable; set option(\"mergeSchema\", \"true\") to evolve " +
-            "the table, or drop the columns")
-        val (_, storedP, storedParts) = meta(dir).get
-        val evolved = StructType(declared.fields ++ extra.map(_.copy(nullable = true)))
-        val p = new org.apache.hadoop.fs.Path(dir)
-        GraftTable.writeMetaFile(p.getFileSystem(new Configuration()), p,
-          evolved, storedP, storedParts)
-      }
-    }
+    // schema agreement with the declaration is enforced on the WRITE
+    // path only (GraftTable.validatePathWriteSchema, called from
+    // newWriteBuilder): reads with a user .schema() keep null-fill
+    // semantics and can never mutate table metadata.
     // round-trips bucket(n, col) too: specs (not bare references) reach
     // the table, so writes route rows to the same buckets the catalog
     // path would and scans keep bucket pruning. The WRITE path hands us
@@ -126,8 +97,9 @@ class GraftTableProvider extends TableProvider with DataSourceRegister {
     // empty argument falls back to the directory's declared layout:
     // a path-based append to a partitioned table must route rows into
     // partition directories, never scatter them at the data root.
+    val metaOnce = meta(dir) // one read+parse per getTable, not four
     val passed = partitioning.toSeq.map(t => PartField.fromTransform(t).spec)
-    val declared = meta(dir).map(_._3).getOrElse(Seq.empty)
+    val declared = metaOnce.map(_._3).getOrElse(Seq.empty)
     val partCols =
       if (passed.isEmpty) declared
       else {
@@ -142,7 +114,7 @@ class GraftTableProvider extends TableProvider with DataSourceRegister {
     // FunctionCatalog here: a requested bucket-clustered distribution
     // could not be resolved, so it must fall back (advisory anyway).
     import scala.jdk.CollectionConverters._
-    val storedProps = meta(dir).map(_._2).getOrElse(Map.empty)
+    val storedProps = metaOnce.map(_._2).getOrElse(Map.empty)
     new GraftTable(s"graft.`$dir`", schema,
       storedProps ++ properties.asScala + (GraftTable.PathBasedProp -> "true"),
       dir, partCols)

@@ -373,7 +373,11 @@ final case class GraftShowTagsCommand(parts: Seq[String])
 /** `DESCRIBE DETAIL t` — the one-row operational summary (location,
   * file/row/byte totals, partitioning, sort clustering, mutation mode,
   * current snapshot version, outstanding delete files) straight from the
-  * stats registry and `_meta.yml`: zero data I/O at any table size. */
+  * stats registry and `_meta.yml`: zero data I/O at any table size.
+  * `rows` is the REGISTERED data-file total — an upper bound on live
+  * rows while merge-on-read deletes are outstanding (the same reason
+  * COUNT(*) pushdown is withheld then); `delete_rows` counts the
+  * registered delete entries so the gap is visible. */
 final case class GraftDetailCommand(parts: Seq[String])
     extends LeafRunnableCommand {
   import org.apache.spark.sql.types.StringType
@@ -384,6 +388,7 @@ final case class GraftDetailCommand(parts: Seq[String])
     MaintenanceSql.attr("num_files", LongType),
     MaintenanceSql.attr("num_delete_files", LongType),
     MaintenanceSql.attr("rows", LongType),
+    MaintenanceSql.attr("delete_rows", LongType),
     MaintenanceSql.attr("size_bytes", LongType),
     MaintenanceSql.attr("partition_columns", StringType),
     MaintenanceSql.attr("sort_columns", StringType),
@@ -395,11 +400,12 @@ final case class GraftDetailCommand(parts: Seq[String])
     val fs = dataDir.getFileSystem(new org.apache.hadoop.conf.Configuration())
     val stats = TableStats.read(fs, dataDir)
     val (dels, datas) = stats.partition(e => GraftDeletes.isDeleteRel(e._1))
-    val version = Snapshots.list(fs, dataDir).lastOption.map(_._1).getOrElse(0L)
+    val version = MaterializedViews.currentVersion(t.dataDir)
     val props = t.properties()
     Seq(Row(tableDir, "graft", version,
       datas.size.toLong, dels.size.toLong,
       datas.valuesIterator.map(_.rows).sum,
+      dels.valuesIterator.map(_.rows).sum,
       datas.valuesIterator.map(e => math.max(e.bytes, 0L)).sum,
       t.partitionSpecs.mkString(","),
       String.valueOf(Option(props.get("write.sort.columns")).getOrElse("")),

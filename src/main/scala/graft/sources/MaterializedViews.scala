@@ -87,6 +87,19 @@ object MaterializedViews {
       AggCol(k, src, out)
     })
 
+  /** The ONE definition of "a SUM that re-folds exactly": integral types
+    * only — double/float partial re-sums are order-dependent, decimal
+    * re-sums widen the type. Shared by the rewrite's fold eligibility
+    * and the incremental refresh's soundness gate so the two can never
+    * drift. */
+  def isIntegralSum(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+    case org.apache.spark.sql.types.ByteType |
+         org.apache.spark.sql.types.ShortType |
+         org.apache.spark.sql.types.IntegerType |
+         org.apache.spark.sql.types.LongType => true
+    case _ => false
+  }
+
   /** Current snapshot version of a graft table (0 = no commits yet). */
   def currentVersion(dataDir: String): Long = {
     val dir = new Path(dataDir)
@@ -292,18 +305,7 @@ final case class GraftMvRewrite(session: SparkSession) extends Rule[LogicalPlan]
             // COUNT over an empty group set is 0, SUM is null — coalesce
             Coalesce(Seq(agg(Sum(aggCol("count", "*").getOrElse(return None))),
               Literal(0L, LongType)))
-          case Sum(ar: AttributeReference, _) if (ar.dataType match {
-                // integral sums only: re-summing double/float partials
-                // changes the floating summation order, so the same query
-                // would return bitwise-different totals depending on MV
-                // freshness (decimal re-sums widen the TYPE) — the same
-                // rule the incremental refresh applies
-                case org.apache.spark.sql.types.ByteType |
-                     org.apache.spark.sql.types.ShortType |
-                     org.apache.spark.sql.types.IntegerType |
-                     org.apache.spark.sql.types.LongType => true
-                case _ => false
-              }) =>
+          case Sum(ar: AttributeReference, _) if isIntegralSum(ar.dataType) =>
             agg(Sum(aggCol("sum", ar.name).getOrElse(return None)))
           case Min(ar: AttributeReference) =>
             agg(Min(aggCol("min", ar.name).getOrElse(return None)))
@@ -408,15 +410,8 @@ final case class GraftRefreshMvCommand(parts: Seq[String])
     val baseName = base.split('.').map(p => s"`$p`").mkString(".")
 
     def integralSums: Boolean = spec.exists(_.cols.forall { c =>
-      c.kind != "sum" || (mv.schema0.fields.find(_.name == c.out) match {
-        case Some(f) => f.dataType match {
-          case org.apache.spark.sql.types.ByteType |
-               org.apache.spark.sql.types.ShortType |
-               org.apache.spark.sql.types.IntegerType | LongType => true
-          case _ => false
-        }
-        case None => false
-      })
+      c.kind != "sum" ||
+        mv.schema0.fields.find(_.name == c.out).exists(f => isIntegralSum(f.dataType))
     })
 
     // a pending marker means an earlier incremental attempt may have

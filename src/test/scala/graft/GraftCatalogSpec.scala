@@ -484,7 +484,8 @@ class GraftCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(det.getLong(2) == hist.last.getLong(0), "version = latest snapshot")
     assert(det.getLong(5) == 200L, s"rows ${det.getLong(5)}")
     assert(det.getLong(3) >= 1 && det.getLong(4) == 0L) // files, delete files
-    assert(det.getString(9) == "copy-on-write")
+    assert(det.getLong(6) == 0L) // delete_rows
+    assert(det.getString(10) == "copy-on-write")
 
     // TAGS: pin the current head under a name, read through it, keep it
     // past vacuum, drop it
