@@ -575,6 +575,51 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.sql("DROP TABLE gups.s.state")
   }
 
+  test("streaming sink routes rows into PARTITION directories") {
+    // a streaming write into a partitioned graft table must land files
+    // under lang=<v>/ exactly like the batch writer (same per-task
+    // routing), so downstream partition pruning works on streamed data
+    val wh = Files.createTempDirectory("graft_pstream").toString
+    spark.conf.set("spark.sql.catalog.gps", classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gps.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gps.s")
+    spark.sql("""CREATE TABLE gps.s.pt (k BIGINT, lang STRING)
+                |PARTITIONED BY (lang)""".stripMargin)
+    val feed = Files.createTempDirectory("graft_pstream_feed").toString
+    val q = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType.fromDDL("k BIGINT, lang STRING"))
+      .parquet(feed)
+      .writeStream
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft_pstream_ck").toString)
+      .toTable("gps.s.pt")
+    try {
+      spark.range(0, 40)
+        .selectExpr("id AS k", "CASE WHEN id % 2 = 0 THEN 'en' ELSE 'de' END AS lang")
+        .write.mode("append").parquet(feed)
+      q.processAllAvailable()
+      val dirs = new java.io.File(s"$wh/s/pt/data").listFiles()
+        .filter(_.isDirectory).map(_.getName)
+        .filterNot(_.startsWith("_")).toSet // _commits = the epoch log
+      assert(dirs == Set("lang=en", "lang=de"), s"got $dirs")
+      assert(spark.sql("SELECT COUNT(*) FROM gps.s.pt WHERE lang = 'en'")
+        .head().getLong(0) == 20L)
+      // static partition pruning applies to the streamed files
+      val plan = spark.sql("SELECT k FROM gps.s.pt WHERE lang = 'de'")
+        .queryExecution.executedPlan
+      val parts = plan.collectFirst {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          b.inputPartitions.length
+      }.getOrElse(-1)
+      val all = spark.table("gps.s.pt").queryExecution.executedPlan.collectFirst {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          b.inputPartitions.length
+      }.getOrElse(-1)
+      assert(parts > 0 && parts < all,
+        s"partition filter must prune streamed files: $parts vs $all")
+    } finally q.stop()
+  }
+
   test("dropDuplicatesWithinWatermark: bounded dedup state, evicted keys re-emit") {
     // Unbounded dropDuplicates keeps every key forever — at 100 TB of
     // events the state store IS the bottleneck. The watermark-bounded

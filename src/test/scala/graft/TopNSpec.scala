@@ -173,6 +173,50 @@ class TopNSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(deep === expDeep.toSeq)
   }
 
+  test("property: pruning never loses a top-n value (200 random layouts)") {
+    // Synthetic file contents -> registry entries (some LEGACY without
+    // null counts, some all-null) -> pruneTopN; the sorted top-n VALUE
+    // multiset over the kept files must equal the one over all files, in
+    // every direction x null-ordering x n. Ties are interchangeable, so
+    // comparing value multisets is exactly the correctness contract.
+    val rnd = new scala.util.Random(7)
+    for (trial <- 0 until 200) {
+      val nFiles = 1 + rnd.nextInt(8)
+      val contents: Seq[(String, Seq[Option[Long]])] = (0 until nFiles).map { i =>
+        val rows = 1 + rnd.nextInt(12)
+        val lo = rnd.nextInt(100)
+        val span = 1 + rnd.nextInt(40)
+        s"f$i" -> Seq.fill(rows)(
+          if (rnd.nextInt(5) == 0) None // ~20% nulls
+          else Some((lo + rnd.nextInt(span)).toLong))
+      }
+      val stats: Map[String, TableStats.Entry] = contents.map { case (rel, rows) =>
+        val vals = rows.flatten
+        val nulls = rows.count(_.isEmpty).toLong
+        val range =
+          if (vals.isEmpty) Map.empty[String, (String, String)]
+          else Map("k" -> ((vals.min.toString, vals.max.toString)))
+        val legacy = rnd.nextInt(4) == 0 // ~25% legacy entries
+        rel -> TableStats.Entry(rows.size.toLong, range, 100L,
+          nulls = if (legacy) None else Some(
+            if (nulls > 0) Map("k" -> nulls) else Map.empty[String, Long]))
+      }.toMap
+      for (desc <- Seq(false, true); nullsFirst <- Seq(false, true)) {
+        val n = 1 + rnd.nextInt(15)
+        val kept = prune(contents.map(_._1), stats, desc, nullsFirst, n)
+        def topVals(files: Set[String]): Seq[Option[Long]] =
+          contents.filter(c => files.contains(c._1)).flatMap(_._2)
+            .sortBy { v =>
+              val nullKey = if (nullsFirst) v.isDefined else v.isEmpty
+              (nullKey, v.map(x => if (desc) -x else x).getOrElse(0L))
+            }.take(n)
+        assert(topVals(kept) === topVals(contents.map(_._1).toSet),
+          s"trial $trial desc=$desc nullsFirst=$nullsFirst n=$n kept=$kept " +
+            s"stats=$stats")
+      }
+    }
+  }
+
   test("a widened sort column withholds TopN pruning (and stays exact)") {
     // pre-widening files registered ranges in FLOAT's external form;
     // parsed as double they can differ from the widened read-back values
