@@ -193,6 +193,20 @@ class MvRewriteSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows(q.orderBy("day")) === Seq(Seq("d1", 3L), Seq("d2", 3L)))
   }
 
+  test("rewrite planning cost is metadata-bounded (registry reads per query)") {
+    // an MV-rewritten query must not multiply metadata I/O: with the
+    // per-invocation caches, planning + executing the rewritten
+    // aggregate stays within a small constant number of registry reads
+    // however many times the fixed-point optimizer batch re-runs the
+    // rule (before the caches, every batch iteration re-listed the
+    // snapshot log and re-loaded every candidate MV)
+    val r0 = graft.sources.TableStats.registryReads.get()
+    spark.sql(
+      "SELECT day, count(*) AS cnt FROM mvc.m.base_ev GROUP BY day").collect()
+    val reads = graft.sources.TableStats.registryReads.get() - r0
+    assert(reads <= 10, s"MV-rewritten query planned with $reads registry reads")
+  }
+
   test("kill-switch disables the rewrite") {
     spark.conf.set("spark.graft.mv.rewrite.enabled", "false")
     try {
