@@ -309,6 +309,15 @@ final class GraftTable(
             .getOrElse(throw new IllegalArgumentException(
               s"graft: '$name' is no tag of $ident"))
         })
+        // TIMESTAMP AS OF, catalog-free: latest snapshot committed at or
+        // before the instant (same spellings RESTORE accepts)
+        .orElse(Option(options.get("snapshot-timestamp")).map { ts =>
+          val dir = new Path(dataDir)
+          Snapshots.latestAsOf(dir.getFileSystem(new Configuration()), dir,
+            Snapshots.parseTsMillis(ts))
+            .getOrElse(throw new IllegalArgumentException(
+              s"graft: no snapshot of $ident at or before $ts"))
+        })
         .orElse(pinnedVersion),
       // incremental append scan: only files added after snapshot m
       // (spark.read.option("since-version", m) — see Snapshots.readManifest)
@@ -454,7 +463,8 @@ object GraftTable {
     * first bare-dir save bootstraps the metadata. Compared lowercased. */
   val TransientWriteProps: Set[String] = Set(
     "path", PathBasedProp, "mergeschema", "snapshot-version",
-    "since-version", "starting-version", "change-feed",
+    "snapshot-timestamp", "snapshot-tag", "since-version",
+    "starting-version", "change-feed",
     "maxfilespertrigger", "maxbytespertrigger", "wap.id")
 
   /** Path-based WRITE schema gate. The DF schema must agree with the

@@ -256,19 +256,7 @@ final case class GraftRestoreTsCommand(parts: Seq[String], ts: String)
     val (_, tableDir) = MaintenanceSql.loadGraftTable(session, parts)
     val dataDir = new org.apache.hadoop.fs.Path(tableDir, "data")
     val fs = dataDir.getFileSystem(new org.apache.hadoop.conf.Configuration())
-    val millis =
-      try java.time.Instant.parse(ts).toEpochMilli
-      catch {
-        case _: java.time.format.DateTimeParseException =>
-          try java.time.LocalDateTime.parse(ts.replace(' ', 'T'))
-            .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
-          catch {
-            case _: java.time.format.DateTimeParseException =>
-              java.time.LocalDate.parse(ts).atStartOfDay()
-                .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
-          }
-      }
-    val version = Snapshots.latestAsOf(fs, dataDir, millis)
+    val version = Snapshots.latestAsOf(fs, dataDir, Snapshots.parseTsMillis(ts))
       .getOrElse(throw new IllegalArgumentException(
         s"graft: no snapshot at or before $ts on $tableDir"))
     val nv = Snapshots.restore(tableDir, version)

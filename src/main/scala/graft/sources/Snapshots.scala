@@ -68,6 +68,23 @@ object Snapshots {
   def latestAsOf(fs: FileSystem, dataDir: Path, tsMillis: Long): Option[Long] =
     list(fs, dataDir).filter(_._2 <= tsMillis).lastOption.map(_._1)
 
+  /** The project's timestamp spellings, shared by `RESTORE ... TIMESTAMP
+    * AS OF` and the catalog-free `option("snapshot-timestamp", ...)`:
+    * an ISO instant, a local date-time (UTC — the pinned session zone),
+    * or a bare date (UTC midnight). */
+  def parseTsMillis(ts: String): Long =
+    try java.time.Instant.parse(ts).toEpochMilli
+    catch {
+      case _: java.time.format.DateTimeParseException =>
+        try java.time.LocalDateTime.parse(ts.replace(' ', 'T'))
+          .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+        catch {
+          case _: java.time.format.DateTimeParseException =>
+            java.time.LocalDate.parse(ts).atStartOfDay()
+              .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+        }
+    }
+
   /** The newest LIVE-chain version at or below `v`: WAP audit snapshots
     * ([[stageWap]]) sit on the version sequence but are side branches —
     * a diff BASED on one already contains the staged files, so a feed

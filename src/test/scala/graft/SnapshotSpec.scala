@@ -251,6 +251,29 @@ class SnapshotSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.sql("DROP TABLE graft.snap.rb")
   }
 
+  test("catalog-free snapshot-timestamp pins the latest snapshot at-or-before") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.snap")
+    spark.sql("CREATE TABLE graft.snap.tts (k BIGINT)")
+    spark.sql("INSERT INTO graft.snap.tts VALUES (1)")
+    val d = dataDir("tts")
+    val afterV1 = Snapshots.list(fsOf(d), d).last._2 // commit mtime millis
+    Thread.sleep(1100) // local-FS mtime granularity
+    spark.sql("INSERT INTO graft.snap.tts VALUES (2)")
+    val ts = java.time.Instant.ofEpochMilli(afterV1).toString
+    val pinned = spark.read.format("graft")
+      .option("snapshot-timestamp", ts)
+      .load(s"$warehouse/snap/tts")
+    assert(pinned.count() == 1, s"ts $ts must pin the first commit")
+    assert(spark.read.format("graft").load(s"$warehouse/snap/tts").count() == 2)
+    // an instant before the first commit has no snapshot — loud error
+    val e = intercept[Exception] {
+      spark.read.format("graft")
+        .option("snapshot-timestamp", "2000-01-01")
+        .load(s"$warehouse/snap/tts").count()
+    }
+    assert(String.valueOf(e.getMessage).contains("no snapshot"), e.getMessage)
+  }
+
   test("registry parses pre-bytes format lines (backward compat)") {
     val withCols = "part-0.parquet\t10\tk=1,5\nplain.parquet\t3\n"
     val m = TableStats.deserialize(withCols)
