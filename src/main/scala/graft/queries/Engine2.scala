@@ -1,0 +1,285 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-6 engine-gate queries: index-as-tables ANN serving and
+  * incremental (delta-only) dedup — the two "build once, keep current,
+  * serve cheaply" production shapes, composed from engine capabilities
+  * that already exist (identity partition pruning, incremental snapshot
+  * reads, MERGE INTO).
+  */
+object Engine2 {
+
+  /** Same per-sfDir warehouse as [[Engine.ensureCatalog]] — gates share
+    * one catalog so CTAS temp tables land in one place. */
+  private def ensureCatalog(s: SparkSession, dir: String): String = {
+    val id = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+    s.conf.set("spark.sql.catalog.gcat", "graft.sources.GraftCatalog")
+    s.conf.set("spark.sql.catalog.gcat.warehouse", s"/tmp/graft_wh_$id")
+    s.sql("CREATE NAMESPACE IF NOT EXISTS gcat.corpus")
+    "gcat.corpus"
+  }
+
+  /** embeddings as (vec_id, e array<double>) — same numeric contract as
+    * [[Vectors]]: per-element products/distances quantized to integers at
+    * 1e9 (exact, order-independent sums; bit-identical vs DuckDB). */
+  private def emb(t: Tables): DataFrame =
+    t.embeddings.select(
+      col("vec_id"), col("embedding").cast("array<double>").as("e"))
+
+  private val n2Expr = "aggregate(%s, 0D, (a, x) -> a + round(x * x * 1e9))"
+  private val dotExpr =
+    "aggregate(zip_with(%s, %s, (x, y) -> round(x * y * 1e9)), 0D, (a, p) -> a + p)"
+  private val sqDistExpr =
+    "aggregate(zip_with(sv, cv, (x, y) -> round((x - y) * (x - y) * 1e9)), 0D, (a, p) -> a + p)"
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- q142: persisted ANN index — build once, search many --------------
+    // q81 computes the IVF-PQ index inline every run; the production shape
+    // builds it ONCE into catalog tables and serves every search from them:
+    //  - ann_cent  (cid, pos, v)            — 16 coarse centroids, exploded
+    //    to flat rows (graft tables are flat-schema by design);
+    //  - ann_book  (j, code, pos, v)        — 8×16 PQ codewords;
+    //  - ann_post  (vid, j, code, list_id)  PARTITIONED BY (list_id) — the
+    //    inverted lists: each vector's 8 PQ codes live in its coarse
+    //    list's partition.
+    // The search phase touches ONLY the index tables: centroids/codebooks
+    // are KB-sized broadcasts, and the postings scan carries an IN-list on
+    // list_id — identity partition pruning drops every unprobed list's
+    // files at planning time, so serving cost is O(probed lists), not
+    // O(corpus), at any table size. The probed-list collect is
+    // nqueries × nprobe ≤ 6 longs (metadata-sized, the justified
+    // model-collect pattern). Same quantized math as q81, so the oracle
+    // replays build + search end-to-end from the raw embeddings.
+    QueryDef(
+      "q142_ann_index_tables",
+      (s, dir) => {
+        val ns = ensureCatalog(s, dir)
+        val t = Tables(s, dir)
+        val e = emb(t)
+        val n2 = e.select(col("vec_id"), expr(n2Expr.format("e")).as("n2"))
+
+        // ---- build: coarse assignment (q40's quantizer) -------------------
+        val cent = e.filter(col("vec_id") < 16)
+          .select(col("vec_id").as("cid"), col("e").as("ce"))
+        val wNear = Window.partitionBy(col("vec_id"))
+          .orderBy(desc("cos"), col("cid"))
+        val assign = e.crossJoin(broadcast(cent))
+          .withColumn("dot", expr(dotExpr.format("e", "ce")))
+          .join(n2, "vec_id")
+          .join(broadcast(n2.select(col("vec_id").as("cid"), col("n2").as("cn2"))), "cid")
+          .withColumn("cos", expr("dot / sqrt(n2 * cn2)"))
+          .withColumn("rn", row_number().over(wNear)).filter(col("rn") === 1)
+          .select(col("vec_id").as("vid"), col("cid").as("list_id"))
+
+        // ---- build: PQ codes (q48's codebooks) ----------------------------
+        val subs = e.select(col("vec_id"), explode(expr("sequence(0, 7)")).as("j"), col("e"))
+          .select(col("vec_id"), col("j"), expr("slice(e, j * 8 + 1, 8)").as("sv"))
+        val codewords = subs.filter(col("vec_id") < 16)
+          .select(col("vec_id").as("code"), col("j"), col("sv").as("cv"))
+        val wCode = Window.partitionBy(col("vec_id"), col("j"))
+          .orderBy(col("d"), col("code"))
+        val codes = subs.join(broadcast(codewords), "j")
+          .withColumn("d", expr(sqDistExpr))
+          .withColumn("rn", row_number().over(wCode)).filter(col("rn") === 1)
+          .select(col("vec_id").as("vid"), col("j"), col("code"))
+
+        // ---- persist the three index tables -------------------------------
+        s.sql(s"DROP TABLE IF EXISTS $ns.ann_cent")
+        s.sql(s"DROP TABLE IF EXISTS $ns.ann_book")
+        s.sql(s"DROP TABLE IF EXISTS $ns.ann_post")
+        s.sql(s"CREATE TABLE $ns.ann_cent (cid BIGINT, pos INT, v DOUBLE)")
+        s.sql(s"CREATE TABLE $ns.ann_book (j INT, code BIGINT, pos INT, v DOUBLE)")
+        s.sql(
+          s"""CREATE TABLE $ns.ann_post (vid BIGINT, j INT, code BIGINT, list_id BIGINT)
+             |PARTITIONED BY (list_id)""".stripMargin)
+        cent.select(col("cid"), posexplode(col("ce")).as(Seq("pos", "v")))
+          .writeTo(s"$ns.ann_cent").append()
+        codewords.select(col("j"), col("code"), posexplode(col("cv")).as(Seq("pos", "v")))
+          .writeTo(s"$ns.ann_book").append()
+        codes.join(assign, "vid")
+          .select(col("vid"), col("j"), col("code"), col("list_id"))
+          .writeTo(s"$ns.ann_post").append()
+
+        // ---- search: ONLY the index tables from here on -------------------
+        val q = e.filter(col("vec_id") < 3)
+          .select(col("vec_id").as("qid"), col("e").as("qe"))
+        val qn = q.select(col("qid"), expr(n2Expr.format("qe")).as("qn2"))
+        // rebuild centroid arrays from their flat rows (pos is unique per
+        // cid, so the sort-by-struct ordering is total and deterministic)
+        val centT = s.table(s"$ns.ann_cent")
+          .groupBy(col("cid"))
+          .agg(expr("transform(array_sort(collect_list(struct(pos, v))), x -> x.v)").as("ce"))
+        val cnT = centT.select(col("cid"), expr(n2Expr.format("ce")).as("cn2"))
+        val wProbe = Window.partitionBy(col("qid")).orderBy(desc("cos"), col("cid"))
+        val probe = q.crossJoin(broadcast(centT))
+          .withColumn("dot", expr(dotExpr.format("qe", "ce")))
+          .join(qn, "qid")
+          .join(broadcast(cnT), "cid")
+          .withColumn("cos", expr("dot / sqrt(qn2 * cn2)"))
+          .withColumn("rn", row_number().over(wProbe)).filter(col("rn") <= 2)
+          .select(col("qid"), col("cid").as("list_id"))
+        // metadata-sized collect: the probed list ids (≤ 3 queries × 2)
+        val probed = probe.select("list_id").distinct()
+          .collect().map(r => Long.box(r.getLong(0))).toSeq
+        val post = s.table(s"$ns.ann_post")
+          .where(col("list_id").isin(probed: _*)) // identity partition pruning
+        // per-query ADC lookup tables from the codebook table
+        val qsubs = q.select(col("qid"), explode(expr("sequence(0, 7)")).as("j"), col("qe"))
+          .select(col("qid"), col("j"), expr("slice(qe, j * 8 + 1, 8)").as("sv"))
+        val bookT = s.table(s"$ns.ann_book")
+          .groupBy(col("j"), col("code"))
+          .agg(expr("transform(array_sort(collect_list(struct(pos, v))), x -> x.v)").as("cv"))
+        val lut = qsubs.join(broadcast(bookT), "j")
+          .withColumn("d", expr(sqDistExpr))
+          .select(col("qid"), col("j"), col("code"), col("d"))
+        val wRank = Window.partitionBy(col("qid")).orderBy(col("adist"), col("vid"))
+        post.join(probe, "list_id")
+          .filter(col("qid") =!= col("vid"))
+          .join(lut, Seq("qid", "j", "code"))
+          .groupBy(col("qid"), col("vid"))
+          .agg(sum(col("d")).as("adist"))
+          .withColumn("rank", row_number().over(wRank).cast("long"))
+          .filter(col("rank") <= 3)
+          .select(col("qid"), col("rank"), col("vid"), col("adist"))
+          .orderBy(col("qid"), col("rank"))
+      },
+      // q81's replay with the query set restricted to qid < 3: the build is
+      // deterministic, so searching the persisted index ≡ computing the
+      // index inline.
+      Some {
+        def fold(a: String, b: String): String =
+          s"""list_sum(list_transform(range(1, len($a.embedding) + 1),
+             |  i -> round(CAST($a.embedding[i] AS DOUBLE) * CAST($b.embedding[i] AS DOUBLE) * 1e9)))""".stripMargin
+        s"""WITH norms AS (SELECT vec_id,
+                   list_sum(list_transform(embedding,
+                     x -> round(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) * 1e9))) AS n2
+                 FROM embeddings),
+        e AS (SELECT vec_id, embedding FROM embeddings),
+        ascore AS (
+          SELECT a.vec_id AS qid, c.vec_id AS vid,
+            ${fold("a", "c")} / sqrt(nq.n2 * nv.n2) AS cos
+          FROM e a JOIN e c ON c.vec_id < 16
+          JOIN norms nq ON nq.vec_id = a.vec_id JOIN norms nv ON nv.vec_id = c.vec_id),
+        ranked AS (
+          SELECT qid, vid, cos,
+            ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vid) AS rn
+          FROM ascore),
+        assign AS (SELECT qid AS member, vid AS cid FROM ranked WHERE rn = 1),
+        probe AS (SELECT qid, vid AS cid FROM ranked WHERE rn <= 2 AND qid < 3),
+        cand AS (
+          SELECT DISTINCT p.qid, a.member AS vid
+          FROM probe p JOIN assign a ON a.cid = p.cid WHERE a.member <> p.qid),
+        subs AS (SELECT vec_id, j FROM e, range(0, 8) r(j)),
+        dists AS (
+          SELECT s.vec_id, s.j, c.vec_id AS cw,
+            list_sum(list_transform(range(0, 8),
+              i -> round((CAST(a.embedding[s.j * 8 + i + 1] AS DOUBLE)
+                          - CAST(c.embedding[s.j * 8 + i + 1] AS DOUBLE))
+                         * (CAST(a.embedding[s.j * 8 + i + 1] AS DOUBLE)
+                            - CAST(c.embedding[s.j * 8 + i + 1] AS DOUBLE)) * 1e9))) AS dist
+          FROM subs s JOIN e a ON a.vec_id = s.vec_id JOIN e c ON c.vec_id < 16),
+        codes AS (
+          SELECT vec_id AS vid, j, cw AS code FROM (
+            SELECT vec_id, j, cw,
+              ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY dist, cw) AS rn
+            FROM dists) WHERE rn = 1),
+        lut AS (SELECT vec_id AS qid, j, cw AS code, dist AS d
+                FROM dists WHERE vec_id < 3),
+        adc AS (
+          SELECT cand.qid, cand.vid, SUM(l.d) AS adist
+          FROM cand JOIN codes c ON c.vid = cand.vid
+          JOIN lut l ON l.qid = cand.qid AND l.j = c.j AND l.code = c.code
+          GROUP BY cand.qid, cand.vid)
+        SELECT qid, rank, vid, adist FROM (
+          SELECT qid, vid, adist,
+            ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adist, vid) AS rank
+          FROM adc)
+        WHERE rank <= 3 ORDER BY qid, rank"""
+      }),
+
+    // ---- q143: incremental dedup — delta-only against persisted state ----
+    // At 100 TB nobody re-deduplicates the corpus per ingest batch: the
+    // fingerprints seen so far live in a STATE table, and each new batch
+    // (a) is read via the verified incremental snapshot scan — ONLY the
+    // files the new commit added, never the base corpus; (b) classifies
+    // its docs against the state (left join; within-batch first-occurrence
+    // via one window); (c) MERGEs its novel fingerprints back into the
+    // state. Work per batch is O(batch + state-join), independent of
+    // corpus size. Gate: seed with the doc_id % 5 != 0 slice, ingest the
+    // % 5 = 0 slice as the delta; the report (and the post-MERGE state
+    // row count read back from the table) must equal the oracle's
+    // from-scratch replay.
+    QueryDef(
+      "q143_incremental_dedup",
+      (s, dir) => {
+        val ns = ensureCatalog(s, dir)
+        s.sql(s"DROP TABLE IF EXISTS $ns.dd_base")
+        s.sql(s"DROP TABLE IF EXISTS $ns.dd_state")
+        s.sql(s"""CREATE TABLE $ns.dd_base AS
+                 |SELECT doc_id, lang, text FROM parquet.`$dir/documents.parquet`
+                 |WHERE doc_id % 5 <> 0""".stripMargin)
+        s.sql(s"""CREATE TABLE $ns.dd_state AS
+                 |SELECT md5(cast(text AS binary)) AS fp,
+                 |       CAST(MIN(doc_id) AS BIGINT) AS keeper
+                 |FROM $ns.dd_base GROUP BY 1""".stripMargin)
+        val wh = s.conf.get("spark.sql.catalog.gcat.warehouse")
+        val conf = new org.apache.hadoop.conf.Configuration()
+        val dataDir = new org.apache.hadoop.fs.Path(s"$wh/corpus/dd_base/data")
+        val fs = dataDir.getFileSystem(conf)
+        val v1 = graft.sources.Snapshots.list(fs, dataDir).last._1
+        val stateDir = new org.apache.hadoop.fs.Path(s"$wh/corpus/dd_state/data")
+        val vState = graft.sources.Snapshots.list(fs, stateDir).last._1
+        s.sql(s"""INSERT INTO $ns.dd_base
+                 |SELECT doc_id, lang, text FROM parquet.`$dir/documents.parquet`
+                 |WHERE doc_id % 5 = 0""".stripMargin)
+        // delta-only read: just the files the second commit added
+        val delta = s.read.option("since-version", v1).table(s"$ns.dd_base")
+          .withColumn("fp", md5(col("text").cast("binary")))
+        // classification must see the PRE-batch state: Spark plans lazily,
+        // so an unpinned read would observe the MERGE below (every delta
+        // fp "seen"). Snapshot pinning gives the transactional read the
+        // batch semantics require — and is exactly what a concurrent
+        // ingest pipeline does at scale.
+        val st = s.read.option("snapshot-version", vState).table(s"$ns.dd_state")
+        val wFp = Window.partitionBy(col("fp")).orderBy(col("doc_id"))
+        val marked = delta
+          .join(st.select(col("fp"), lit(1).as("seen")), Seq("fp"), "left")
+          .withColumn("rn", row_number().over(wFp))
+          .withColumn("is_new", col("seen").isNull && col("rn") === 1)
+        marked.filter(col("is_new"))
+          .select(col("fp"), col("doc_id").as("keeper"))
+          .createOrReplaceTempView("graft_dd_new")
+        s.sql(s"""MERGE INTO $ns.dd_state t USING graft_dd_new s ON t.fp = s.fp
+                 |WHEN NOT MATCHED THEN INSERT (fp, keeper) VALUES (s.fp, s.keeper)""".stripMargin)
+        // state_total comes from the table AFTER the merge — proves the
+        // state actually advanced, not just the in-memory classification
+        val stateTotal = s.table(s"$ns.dd_state")
+          .agg(count(lit(1)).cast("long").as("state_total"))
+        marked.groupBy(col("lang"))
+          .agg(count(lit(1)).cast("long").as("delta_docs"),
+            sum(when(col("is_new"), 1L).otherwise(0L)).cast("long").as("new_unique"),
+            sum(when(!col("is_new"), 1L).otherwise(0L)).cast("long").as("dup_docs"))
+          .crossJoin(stateTotal)
+          .orderBy(col("lang"))
+      },
+      Some("""WITH base AS (SELECT * FROM documents WHERE doc_id % 5 <> 0),
+        delta AS (SELECT * FROM documents WHERE doc_id % 5 = 0),
+        state AS (SELECT DISTINCT md5(text) AS fp FROM base),
+        m AS (
+          SELECT d.lang, d.doc_id,
+            (s.fp IS NOT NULL) AS seen,
+            ROW_NUMBER() OVER (PARTITION BY md5(d.text) ORDER BY d.doc_id) AS rn
+          FROM delta d LEFT JOIN state s ON s.fp = md5(d.text))
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS delta_docs,
+          CAST(SUM(CASE WHEN NOT seen AND rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS new_unique,
+          CAST(SUM(CASE WHEN seen OR rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_docs,
+          (SELECT CAST(COUNT(DISTINCT md5(text)) AS BIGINT) FROM documents) AS state_total
+        FROM m GROUP BY lang ORDER BY lang"""))
+  )
+}

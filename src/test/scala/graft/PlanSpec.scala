@@ -105,6 +105,22 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(all.count() == 500)
   }
 
+  test("q142 serving shape: IN-list on the list partition prunes the postings scan") {
+    // the persisted-ANN search read (Engine2 q142): postings PARTITIONED BY
+    // (list_id), probed lists as an IN-list — identity pruning must drop
+    // every unprobed list's files at planning time
+    spark.sql(
+      """CREATE TABLE gpart.t.post (vid BIGINT, code BIGINT, list_id BIGINT)
+        |PARTITIONED BY (list_id)""".stripMargin)
+    spark.sql(
+      "INSERT INTO gpart.t.post SELECT id, id % 97, id % 8 FROM range(800)")
+    val pruned = spark.sql("SELECT vid FROM gpart.t.post WHERE list_id IN (1, 4)")
+    val all = spark.sql("SELECT vid FROM gpart.t.post")
+    assert(pruned.rdd.getNumPartitions < all.rdd.getNumPartitions,
+      s"pruned=${pruned.rdd.getNumPartitions} all=${all.rdd.getNumPartitions}")
+    assert(pruned.count() == 200)
+  }
+
   test("graft source: runtime filters (DPP) re-prune partitions after planning") {
     import org.apache.spark.sql.sources.In
     val cat = spark.sessionState.catalogManager.catalog("gpart")
