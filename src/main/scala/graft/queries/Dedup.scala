@@ -176,16 +176,24 @@ object Dedup {
       "q51_substring_dups",
       (s, dir) => {
         val t = Tables(s, dir)
+        // sample (1/16 of windows, content-defined) and dedup ROW-LOCALLY:
+        // filter + array_distinct inside the transform replace a corpus-wide
+        // post-explode DISTINCT shuffle — the rows that emerge are already
+        // distinct (doc_id, h) pairs
         val win = t.documents
           .filter(length(col("text")) >= 50)
           .select(col("doc_id"),
-            explode(expr("transform(sequence(1, length(text) - 49), i -> md5(cast(substring(text, i, 50) as binary)))"))
+            explode(expr(
+              "array_distinct(filter(" +
+                "transform(sequence(1, length(text) - 49), i -> md5(cast(substring(text, i, 50) as binary)))," +
+                " h -> substring(h, 1, 1) = '0'))"))
               .as("h"))
-          .filter(col("h").startsWith("0"))
-          .distinct()
-        val kept = win.groupBy(col("h")).agg(count(lit(1)).as("df"))
-          .filter(col("df") <= DfCap).select(col("h"))
-        val wk = win.join(kept, "h")
+        // df cap as a window over the window-hash partition (not an
+        // aggregate joined back): the pair self-join below reuses the same
+        // exchange on both sides
+        val wk = win.withColumn("df", count(lit(1)).over(
+            org.apache.spark.sql.expressions.Window.partitionBy(col("h"))))
+          .filter(col("df") <= DfCap).drop("df")
         wk.select(col("doc_id").as("d1"), col("h"))
           .join(wk.select(col("doc_id").as("d2"), col("h")), "h")
           .filter(col("d1") < col("d2"))

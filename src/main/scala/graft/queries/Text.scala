@@ -205,17 +205,25 @@ object Text {
             trim(regexp_replace(
               regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " ")))
           .withColumn("fp", md5(col("norm").cast("binary")))
-        val keepers = base.groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
-        val surv = base.join(keepers, Seq("fp", "doc_id"))
-        val sh = surv
+        // exact-dedup keeper = first doc per fingerprint: ONE window pass
+        // (row_number over fp) instead of a min-aggregate joined back —
+        // one shuffle fewer at any scale
+        val wFp = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("fp")).orderBy(col("doc_id"))
+        val surv = base
+          .withColumn("rn", row_number().over(wFp)).filter(col("rn") === 1)
+          .drop("rn")
+        val withSh = surv
           .filter(size(col("sp")) >= 3)
-          .select(col("doc_id"),
-            // per-doc dedup happens row-locally (array_distinct), not as
-            // a corpus-wide DISTINCT shuffle — same rows, one less pass
-            explode(expr("array_distinct(transform(sequence(0, size(sp) - 3), " +
+          // per-doc dedup happens row-locally (array_distinct), not as
+          // a corpus-wide DISTINCT shuffle — same rows, one less pass
+          .withColumn("shingles",
+            expr("array_distinct(transform(sequence(0, size(sp) - 3), " +
               "i -> concat_ws(' ', sp[i], sp[i+1], sp[i+2])))"))
-              .as("shingle"))
-        val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+        val sh = withSh.select(col("doc_id"), explode(col("shingles")).as("shingle"))
+        // per-doc shingle count is row-local (array size) — no aggregate
+        // over the exploded rows
+        val cnt = withSh.select(col("doc_id"), size(col("shingles")).cast("long").as("n"))
         // document-frequency cap before the pair join — the same 100 TB
         // skew guard as the q24 family (a shingle in >10k docs carries no
         // dedup signal and would quadratically dominate the join); a
