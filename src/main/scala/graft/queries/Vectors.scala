@@ -814,8 +814,13 @@ object Vectors {
           .withColumn("cn2", expr("aggregate(c, 0D, (a, x) -> a + round(x * x * 1e9))"))
           .withColumn("sim", expr("dot / sqrt(cn2)"))
         val w = Window.partitionBy(col("id")).orderBy(desc("sim"), col("cluster"))
-        val assign = scored.withColumn("rn", row_number().over(w))
-          .filter(col("rn") === 1).select(col("id"), col("cluster"))
+        // assignment is consumed THREE times below (both pair sides + the
+        // members rollup); checkpoint it so the corpus × centroids scoring
+        // pass runs once, not three times — parquet-backed, cluster-safe
+        val assign = graft.functions.IterCheckpoint.round(
+          scored.withColumn("rn", row_number().over(w))
+            .filter(col("rn") === 1).select(col("id"), col("cluster")),
+          graft.functions.IterCheckpoint.newRun(s), "semdedup-assign")
         val a = assign.select(col("id").as("qid"), col("cluster"))
           .join(e.select(col("vec_id").as("qid"), col("e").as("qe")), "qid")
         val b = assign.select(col("id").as("vid"), col("cluster"))
@@ -927,9 +932,18 @@ object Vectors {
         // aggregate with map-side combine, same arithmetic as ml.KMeans
         def update(assigned: DataFrame): DataFrame =
           assigned.groupBy(col("j"), col("cw")).agg(centroidD(col("sv")).as("cv"))
+        // materialize the codebook between Lloyd rounds: it is MODEL data
+        // (8 subspaces × 16 codewords = 128 rows — the justified
+        // model-only collect, same as ml.KMeans), and without this each
+        // downstream consumer re-executes the whole training lineage
+        // (assign scans the corpus; cb2 is consumed twice below)
+        def mat(df: DataFrame): DataFrame = {
+          val rows = java.util.Arrays.asList(df.collect(): _*)
+          s.createDataFrame(rows, df.schema)
+        }
         val cb0 = subs.filter(col("vec_id") < 16)
           .select(col("j"), col("vec_id").as("cw"), col("sv").as("cv"))
-        val cb2 = update(assign(update(assign(cb0))))
+        val cb2 = mat(update(assign(mat(update(assign(cb0))))))
         val codes = assign(cb2)
           .select(col("vec_id").as("vid"), col("j"), col("cw").as("code"))
         val lut = subs.filter(col("vec_id") < 10)

@@ -646,4 +646,49 @@ class MergeOnReadSpec extends AnyFunSuite with BeforeAndAfterAll {
       .toSeq == Seq("a", "c"), "delete must win the same-version tie")
     spark.sql("DROP TABLE graft.mor.cdkeys")
   }
+
+  test("DedupIngest: streaming change feed keeps a deduped corpus + fp state") {
+    // the continuous twin of the q143 batch gate: tail the ingest table's
+    // change feed, classify each batch against the fingerprint state,
+    // MERGE accepted docs + novel fingerprints — exactly-once corpus from
+    // an at-least-once foreachBatch
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.mor")
+    spark.sql("CREATE TABLE graft.mor.ingest (doc_id BIGINT, text STRING)")
+    spark.sql("CREATE TABLE graft.mor.accept (doc_id BIGINT, text STRING)")
+    spark.sql("CREATE TABLE graft.mor.fps (fp STRING, keeper BIGINT)")
+    val ckpt = Files.createTempDirectory("dedup_ingest").toString
+    def drain(): Unit = {
+      val q = spark.readStream.format("graft")
+        .option("change-feed", "true")
+        .load(s"$warehouse/mor/ingest")
+        .writeStream
+        .foreachBatch((b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+            _: Long) => graft.streaming.DedupIngest.applyBatch(
+          b, "graft.mor.fps", "graft.mor.accept"))
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    def accepted: Seq[(Long, String)] =
+      spark.sql("SELECT doc_id, text FROM graft.mor.accept ORDER BY doc_id")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    // batch 1: a within-batch dup (doc 3 repeats doc 1's text) — TWO
+    // commits drained as ONE micro-batch; earliest doc_id owns the fp
+    spark.sql("INSERT INTO graft.mor.ingest VALUES (1, 'aa'), (2, 'bb')")
+    spark.sql("INSERT INTO graft.mor.ingest VALUES (3, 'aa')")
+    drain()
+    assert(accepted == Seq((1L, "aa"), (2L, "bb")), s"got $accepted")
+    // batch 2: a dup against the STATE (doc 4 repeats 'bb') + a new doc
+    spark.sql("INSERT INTO graft.mor.ingest VALUES (4, 'bb'), (5, 'cc')")
+    drain()
+    assert(accepted == Seq((1L, "aa"), (2L, "bb"), (5L, "cc")), s"got $accepted")
+    assert(spark.table("graft.mor.fps").count() == 3)
+    // replay the FULL history (at-least-once failure mode): fixed point
+    val all = Snapshots.changes(spark, load("ingest"), since = 0L)
+    graft.streaming.DedupIngest.applyBatch(all, "graft.mor.fps", "graft.mor.accept")
+    assert(accepted == Seq((1L, "aa"), (2L, "bb"), (5L, "cc")), "replay must be a no-op")
+    assert(spark.table("graft.mor.fps").count() == 3)
+    Seq("ingest", "accept", "fps").foreach(t => spark.sql(s"DROP TABLE graft.mor.$t"))
+  }
 }
