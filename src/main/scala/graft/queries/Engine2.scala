@@ -280,6 +280,36 @@ object Engine2 {
           CAST(SUM(CASE WHEN NOT seen AND rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS new_unique,
           CAST(SUM(CASE WHEN seen OR rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_docs,
           (SELECT CAST(COUNT(DISTINCT md5(text)) AS BIGINT) FROM documents) AS state_total
-        FROM m GROUP BY lang ORDER BY lang"""))
+        FROM m GROUP BY lang ORDER BY lang""")),
+
+    // ---- q144: per-commit ingest audit via the _version metadata column --
+    // "Which ingest commit wrote these rows, and what did each deliver?"
+    // answered in plain SQL: rows carry the snapshot version whose commit
+    // added their file (`_version`, like `_file` — per-file constants, zero
+    // storage). Two known commits (en, then the rest) make the rollup
+    // deterministic. At 100 TB this is the per-batch ingest report without
+    // any bookkeeping table — the audit falls out of the scan.
+    QueryDef(
+      "q144_commit_audit",
+      (s, dir) => {
+        val ns = ensureCatalog(s, dir)
+        s.sql(s"DROP TABLE IF EXISTS $ns.audit")
+        s.sql(s"""CREATE TABLE $ns.audit AS
+                 |SELECT doc_id, lang, n_chars FROM parquet.`$dir/documents.parquet`
+                 |WHERE lang = 'en'""".stripMargin)
+        s.sql(s"""INSERT INTO $ns.audit
+                 |SELECT doc_id, lang, n_chars FROM parquet.`$dir/documents.parquet`
+                 |WHERE lang <> 'en'""".stripMargin)
+        s.sql(s"""SELECT _version AS commit_version,
+                 |       CAST(COUNT(*) AS BIGINT) AS n,
+                 |       CAST(SUM(n_chars) AS BIGINT) AS chars,
+                 |       CAST(SUM(doc_id) AS BIGINT) AS id_sum
+                 |FROM $ns.audit GROUP BY _version ORDER BY _version""".stripMargin)
+      },
+      Some("""SELECT CAST(CASE WHEN lang = 'en' THEN 1 ELSE 2 END AS BIGINT) AS commit_version,
+        CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(SUM(n_chars) AS BIGINT) AS chars,
+        CAST(SUM(doc_id) AS BIGINT) AS id_sum
+        FROM documents GROUP BY 1 ORDER BY commit_version"""))
   )
 }

@@ -53,7 +53,8 @@ final class GraftTable(
     pinnedVersion.foreach(v => throw new UnsupportedOperationException(
       s"graft: $op on $ident VERSION AS OF $v — time-travel relations are read-only"))
 
-  override def metadataColumns(): Array[MetadataColumn] = Array(GraftTable.FileColumn)
+  override def metadataColumns(): Array[MetadataColumn] =
+    Array(GraftTable.FileColumn, GraftTable.VersionColumn)
 
   override def newRowLevelOperationBuilder(
       info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
@@ -439,6 +440,20 @@ object GraftTable {
     override def dataType(): org.apache.spark.sql.types.DataType = StringType
     override def isNullable: Boolean = false
     override def comment(): String = "path of the file this row belongs to"
+  }
+
+  /** `_version` metadata column: the snapshot version whose commit added
+    * the row's file (the registry's data sequence number — the audit
+    * answer to "which ingest commit wrote this row"; rewrites and
+    * compaction re-stamp it, like `_file` itself changes). */
+  val VersionColumnName = "_version"
+  object VersionColumn extends MetadataColumn {
+    override def name(): String = VersionColumnName
+    override def dataType(): org.apache.spark.sql.types.DataType =
+      org.apache.spark.sql.types.LongType
+    override def isNullable: Boolean = false
+    override def comment(): String =
+      "snapshot version of the commit that added this row's file"
   }
 
   /** Parse a `_meta.yml` document into (schema, properties, partition
@@ -843,6 +858,7 @@ final class GraftScanBuilder(
 
   private var required: StructType = tableSchema
   private var wantFile: Boolean = false
+  private var wantVersion: Boolean = false
   private var pushed: Array[Filter] = Array.empty
   private var pushedAggs: Option[(Seq[String], Seq[GraftAggScan.Spec])] = None
   private var limit: Option[Int] = None
@@ -1041,6 +1057,7 @@ final class GraftScanBuilder(
     required = StructType(tableSchema.fields.filter(f =>
       requiredSchema.fieldNames.contains(f.name)))
     wantFile = requiredSchema.fieldNames.contains(GraftTable.FileColumnName)
+    wantVersion = requiredSchema.fieldNames.contains(GraftTable.VersionColumnName)
   }
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
@@ -1062,7 +1079,7 @@ final class GraftScanBuilder(
       new GraftAggScan(tableSchema, dataDir, specs, snapshotVersion,
         sinceVersion, manifestCache, groups, partitionCols)
     case None => new GraftScan(tableSchema, required, pushed, dataDir, partitionCols,
-      wantFile, tracker, limit, maxFilesPerTrigger, maxBytesPerTrigger,
+      wantFile, wantVersion, tracker, limit, maxFilesPerTrigger, maxBytesPerTrigger,
       snapshotVersion, sinceVersion, renames, onManifest, manifestCache,
       widened, specSince, sortCols, topN)
   }
@@ -1075,6 +1092,7 @@ final class GraftScan(
     dataDir: String,
     partitionCols: Seq[String],
     wantFile: Boolean = false,
+    wantVersion: Boolean = false,
     tracker: Option[GraftRowLevelOperation] = None,
     limit: Option[Int] = None,
     maxFilesPerTrigger: Option[Int] = None,
@@ -1105,11 +1123,17 @@ final class GraftScan(
     new GraftMicroBatchStream(tableSchema, required, dataDir, partitionCols,
       maxFilesPerTrigger, maxBytesPerTrigger, renames)
 
-  override def readSchema(): StructType =
+  override def readSchema(): StructType = {
+    var fields = required.fields
     if (wantFile)
-      StructType(required.fields :+ org.apache.spark.sql.types.StructField(
-        GraftTable.FileColumnName, StringType, nullable = false))
-    else required
+      fields = fields :+ org.apache.spark.sql.types.StructField(
+        GraftTable.FileColumnName, StringType, nullable = false)
+    if (wantVersion)
+      fields = fields :+ org.apache.spark.sql.types.StructField(
+        GraftTable.VersionColumnName, org.apache.spark.sql.types.LongType,
+        nullable = false)
+    StructType(fields)
+  }
   override def toBatch: Batch = this
 
   // ---- runtime filtering (dynamic partition pruning) ---------------------
@@ -1479,7 +1503,7 @@ final class GraftScan(
     * requires all partitions of one scan to agree on batch-vs-row. */
   private def columnarOK: Boolean = {
     import org.apache.spark.sql.types._
-    !wantFile &&
+    !wantFile && !wantVersion &&
     // outstanding equality deletes need the per-row key probe of the row
     // codec; compaction folds them in and restores the vectorized path
     deleteKeys.isEmpty &&
@@ -1504,7 +1528,7 @@ final class GraftScan(
     // has to carry over.
     new GraftReaderFactory(required,
       if (tracker.isDefined) Array.empty else pushed, columnarOK, wantFile,
-      renames, deletesBc, widened)
+      wantVersion, renames, deletesBc, widened)
   }
 
   /** Equality-delete keys ship as a BROADCAST: once per executor, not
@@ -2003,6 +2027,7 @@ final case class GraftPartitionGroup(files: Seq[(String, Long, Long)], key: Inte
 final class GraftReaderFactory(
     required: StructType, pushed: Array[Filter], columnar: Boolean,
     wantFile: Boolean = false,
+    wantVersion: Boolean = false,
     renames: Map[String, Seq[String]] = Map.empty,
     deletesBc: Option[org.apache.spark.broadcast.Broadcast[Array[(String, Long)]]] = None,
     widened: Set[String] = Set.empty)
@@ -2064,8 +2089,11 @@ final class GraftReaderFactory(
       // keys deleted for the CURRENT file (those whose delete seq is
       // newer than the file); null = no probe needed for this file
       private var deadKeys: java.util.HashSet[UTF8String] = _
-      // single-field suffix row holding the current file's path (_file)
-      private val fileRow = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(1)
+      // suffix row holding the requested per-file metadata columns, in
+      // readSchema() order: _file (when wanted), then _version
+      private val nMeta = (if (wantFile) 1 else 0) + (if (wantVersion) 1 else 0)
+      private val fileRow = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(nMeta)
+      private val versionOrdinal = if (wantFile) 1 else 0
       private val joined = new org.apache.spark.sql.catalyst.expressions.JoinedRow
       override def next(): Boolean = {
         while (true) {
@@ -2074,6 +2102,7 @@ final class GraftReaderFactory(
             val (p, s, e, seq) = remaining.dequeue()
             reader = openFile(p, s, e)
             if (wantFile) fileRow.update(0, UTF8String.fromString(p))
+            if (wantVersion) fileRow.setLong(versionOrdinal, seq)
             deadKeys =
               if (deletes.isEmpty) null
               else {
@@ -2109,7 +2138,7 @@ final class GraftReaderFactory(
             }
             out
           }
-        if (wantFile) joined.apply(row, fileRow) else row
+        if (nMeta > 0) joined.apply(row, fileRow) else row
       }
       override def close(): Unit = if (reader != null) reader.close()
     }

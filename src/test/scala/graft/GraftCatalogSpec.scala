@@ -1522,6 +1522,30 @@ class GraftCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     intercept[Exception](spark.sql("SELECT * FROM graft.meta.`t$nope`").collect())
   }
 
+  test("_version metadata column: rows carry their adding commit's version") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.meta")
+    spark.sql("CREATE TABLE graft.meta.ver (id BIGINT, v BIGINT)")
+    spark.sql("INSERT INTO graft.meta.ver SELECT id, id FROM range(0, 3)")
+    spark.sql("INSERT INTO graft.meta.ver SELECT id, id FROM range(3, 5)")
+    val got = spark.sql(
+      "SELECT id, _version FROM graft.meta.ver ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // first commit = version 1, second = version 2
+    assert(got == Seq((0L, 1L), (1L, 1L), (2L, 1L), (3L, 2L), (4L, 2L)), got)
+    // composes with _file (both metadata columns on one row), and the
+    // per-version rollup is the audit query shape
+    val both = spark.sql(
+      "SELECT _file, _version, COUNT(*) AS n FROM graft.meta.ver GROUP BY 1, 2")
+      .collect()
+    assert(both.map(_.getAs[Long]("n")).sum == 5)
+    assert(both.forall(r => r.getAs[String]("_file").nonEmpty))
+    val byVer = spark.sql(
+      "SELECT _version, COUNT(*) AS n FROM graft.meta.ver GROUP BY 1 ORDER BY 1")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(byVer == Seq((1L, 3L), (2L, 2L)), byVer)
+    spark.sql("DROP TABLE graft.meta.ver")
+  }
+
   test("rename and drop") {
     spark.sql("ALTER TABLE graft.pw.test_big RENAME TO graft.pw.test_big2")
     assert(spark.table("graft.pw.test_big2").count() == 1)
