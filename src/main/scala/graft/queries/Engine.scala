@@ -10,7 +10,7 @@ import org.apache.spark.sql.functions.{col, lit}
   * checks the round-trip against the raw parquet. */
 object Engine {
 
-  private def ensureCatalog(s: SparkSession, dir: String): String = {
+  private[queries] def ensureCatalog(s: SparkSession, dir: String): String = {
     val id = java.security.MessageDigest.getInstance("MD5")
       .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
     s.conf.set("spark.sql.catalog.gcat", "graft.sources.GraftCatalog")

@@ -13,16 +13,10 @@ import org.apache.spark.sql.functions._
   */
 object Engine2 {
 
-  /** Same per-sfDir warehouse as [[Engine.ensureCatalog]] — gates share
-    * one catalog so CTAS temp tables land in one place. */
-  private def ensureCatalog(s: SparkSession, dir: String): String = {
-    val id = java.security.MessageDigest.getInstance("MD5")
-      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
-    s.conf.set("spark.sql.catalog.gcat", "graft.sources.GraftCatalog")
-    s.conf.set("spark.sql.catalog.gcat.warehouse", s"/tmp/graft_wh_$id")
-    s.sql("CREATE NAMESPACE IF NOT EXISTS gcat.corpus")
-    "gcat.corpus"
-  }
+  /** Shared with [[Engine.ensureCatalog]] — all gates use one per-sfDir
+    * warehouse. */
+  private def ensureCatalog(s: SparkSession, dir: String): String =
+    Engine.ensureCatalog(s, dir)
 
   /** embeddings as (vec_id, e array<double>) — same numeric contract as
     * [[Vectors]]: per-element products/distances quantized to integers at
@@ -224,8 +218,10 @@ object Engine2 {
         s.sql(s"""CREATE TABLE $ns.dd_base AS
                  |SELECT doc_id, lang, text FROM parquet.`$dir/documents.parquet`
                  |WHERE doc_id % 5 <> 0""".stripMargin)
+        // NULL text maps to a sentinel fp (see streaming/DedupIngest): a
+        // NULL fp would never match itself in the join/MERGE below
         s.sql(s"""CREATE TABLE $ns.dd_state AS
-                 |SELECT md5(cast(text AS binary)) AS fp,
+                 |SELECT coalesce(md5(cast(text AS binary)), 'null-text') AS fp,
                  |       CAST(MIN(doc_id) AS BIGINT) AS keeper
                  |FROM $ns.dd_base GROUP BY 1""".stripMargin)
         val wh = s.conf.get("spark.sql.catalog.gcat.warehouse")
@@ -240,7 +236,8 @@ object Engine2 {
                  |WHERE doc_id % 5 = 0""".stripMargin)
         // delta-only read: just the files the second commit added
         val delta = s.read.option("since-version", v1).table(s"$ns.dd_base")
-          .withColumn("fp", md5(col("text").cast("binary")))
+          .withColumn("fp",
+            coalesce(md5(col("text").cast("binary")), lit("null-text")))
         // classification must see the PRE-batch state: Spark plans lazily,
         // so an unpinned read would observe the MERGE below (every delta
         // fp "seen"). Snapshot pinning gives the transactional read the
@@ -269,17 +266,19 @@ object Engine2 {
           .orderBy(col("lang"))
       },
       Some("""WITH base AS (SELECT * FROM documents WHERE doc_id % 5 <> 0),
-        delta AS (SELECT * FROM documents WHERE doc_id % 5 = 0),
-        state AS (SELECT DISTINCT md5(text) AS fp FROM base),
+        delta AS (SELECT *, coalesce(md5(text), 'null-text') AS dfp
+                  FROM documents WHERE doc_id % 5 = 0),
+        state AS (SELECT DISTINCT coalesce(md5(text), 'null-text') AS fp FROM base),
         m AS (
           SELECT d.lang, d.doc_id,
             (s.fp IS NOT NULL) AS seen,
-            ROW_NUMBER() OVER (PARTITION BY md5(d.text) ORDER BY d.doc_id) AS rn
-          FROM delta d LEFT JOIN state s ON s.fp = md5(d.text))
+            ROW_NUMBER() OVER (PARTITION BY d.dfp ORDER BY d.doc_id) AS rn
+          FROM delta d LEFT JOIN state s ON s.fp = d.dfp)
         SELECT lang, CAST(COUNT(*) AS BIGINT) AS delta_docs,
           CAST(SUM(CASE WHEN NOT seen AND rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS new_unique,
           CAST(SUM(CASE WHEN seen OR rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_docs,
-          (SELECT CAST(COUNT(DISTINCT md5(text)) AS BIGINT) FROM documents) AS state_total
+          (SELECT CAST(COUNT(DISTINCT coalesce(md5(text), 'null-text')) AS BIGINT)
+           FROM documents) AS state_total
         FROM m GROUP BY lang ORDER BY lang""")),
 
     // ---- q144: per-commit ingest audit via the _version metadata column --

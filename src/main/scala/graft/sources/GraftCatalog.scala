@@ -686,6 +686,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
       schema: StructType,
       props: Map[String, String],
       partCols: Seq[String] = Seq.empty): Unit = {
+    // refuse reserved metadata/change-feed column names at every
+    // schema-writing path: CREATE, CTAS commit, ADD/RENAME COLUMN
+    GraftTable.requireNoReservedColumns(schema)
     val opts = new DumperOptions()
     opts.setDefaultFlowStyle(DumperOptions.FlowStyle.BLOCK)
     val yaml = new Yaml(opts).dump(Map(

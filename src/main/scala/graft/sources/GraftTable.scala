@@ -537,8 +537,24 @@ object GraftTable {
     * `df.write.format("graft").save(dir)` into a bare directory, which
     * previously left data files behind with no self-description (the
     * read path then refused the directory). */
+  /** Column names a graft table may never declare as DATA columns: the
+    * scan appends `_file`/`_version` as metadata columns and the change
+    * feed emits `_change_type`/`_commit_version` — a same-named data
+    * column would collide with the appended field (duplicate attribute or
+    * silently shadowed values). */
+  val ReservedColumnNames: Set[String] =
+    Set(FileColumnName, VersionColumnName, "_change_type", "_commit_version")
+
+  def requireNoReservedColumns(schema: StructType): Unit = {
+    val clash = schema.fieldNames.filter(ReservedColumnNames)
+    require(clash.isEmpty,
+      s"graft: column name(s) ${clash.mkString(", ")} are reserved " +
+        "(metadata/change-feed columns)")
+  }
+
   def writeMetaFile(fs: FileSystem, tableDir: Path, schema: StructType,
       props: Map[String, String], partCols: Seq[String]): Unit = {
+    requireNoReservedColumns(schema)
     val opts = new org.yaml.snakeyaml.DumperOptions()
     opts.setDefaultFlowStyle(org.yaml.snakeyaml.DumperOptions.FlowStyle.BLOCK)
     val yaml = new org.yaml.snakeyaml.Yaml(opts).dump(Map(

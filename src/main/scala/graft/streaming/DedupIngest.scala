@@ -42,32 +42,48 @@ object DedupIngest {
     val spark = batch.sparkSession
     val meta = Set("_change_type", "_commit_version")
     val dataCols = batch.columns.filterNot(meta).toSeq
+    // NULL text gets a sentinel fingerprint (never a hex md5): a NULL fp
+    // would equal nothing in the anti-join/MERGE, so null-text docs would
+    // all be accepted and the state would grow one NULL row per batch —
+    // with the sentinel they dedup to one keeper like any other content
     val inserts = batch.filter(col("_change_type") === "insert")
       .select(dataCols.map(col): _*)
-      .withColumn("_fp", md5(col(textCol).cast("binary")))
+      .withColumn("_fp",
+        coalesce(md5(col(textCol).cast("binary")), lit("null-text")))
     // first occurrence per fingerprint within the batch (ties by id);
     // batch-sized window, never corpus-sized
     val firsts = inserts
       .withColumn("_rn", row_number().over(
         Window.partitionBy(col("_fp")).orderBy(col(idCol))))
       .filter(col("_rn") === 1).drop("_rn")
-    // fresh = first-in-batch AND absent from the (pre-merge) state
+    // fresh = first-in-batch AND absent from the (pre-merge) state;
+    // persisted so the classification (md5 + window + state join) runs
+    // ONCE, not once per MERGE — and so the second MERGE cannot lazily
+    // re-classify against a state its predecessor already advanced
     val fresh = firsts.join(
       spark.table(stateTable).select(col("fp").as("_fp")), Seq("_fp"), "left_anti")
+      .persist()
     val view = "graft_dedup_batch_" +
       java.util.UUID.randomUUID().toString.replace("-", "")
     fresh.createOrReplaceTempView(view)
-    val insCols = dataCols.map(c => s"`$c`").mkString(", ")
-    val insVals = dataCols.map(c => s"s.`$c`").mkString(", ")
-    // accepted docs FIRST (still classified against the pre-batch state)
-    spark.sql(
-      s"""MERGE INTO $acceptTable t USING $view s
-         |ON t.`$idCol` = s.`$idCol`
-         |WHEN NOT MATCHED THEN INSERT ($insCols) VALUES ($insVals)""".stripMargin)
-    // then the novel fingerprints advance the state
-    spark.sql(
-      s"""MERGE INTO $stateTable t USING $view s
-         |ON t.fp = s.`_fp`
-         |WHEN NOT MATCHED THEN INSERT (fp, keeper) VALUES (s.`_fp`, s.`$idCol`)""".stripMargin)
+    try {
+      val insCols = dataCols.map(c => s"`$c`").mkString(", ")
+      val insVals = dataCols.map(c => s"s.`$c`").mkString(", ")
+      // accepted docs first (classified against the pre-batch state)
+      spark.sql(
+        s"""MERGE INTO $acceptTable t USING $view s
+           |ON t.`$idCol` = s.`$idCol`
+           |WHEN NOT MATCHED THEN INSERT ($insCols) VALUES ($insVals)""".stripMargin)
+      // then the novel fingerprints advance the state
+      spark.sql(
+        s"""MERGE INTO $stateTable t USING $view s
+           |ON t.fp = s.`_fp`
+           |WHEN NOT MATCHED THEN INSERT (fp, keeper) VALUES (s.`_fp`, s.`$idCol`)""".stripMargin)
+    } finally {
+      // a continuous stream runs this per micro-batch: leaked temp views /
+      // cached plans would grow without bound over the job's lifetime
+      spark.catalog.dropTempView(view)
+      fresh.unpersist()
+    }
   }
 }

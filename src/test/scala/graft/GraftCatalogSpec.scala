@@ -1544,6 +1544,12 @@ class GraftCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     assert(byVer == Seq((1L, 3L), (2L, 2L)), byVer)
     spark.sql("DROP TABLE graft.meta.ver")
+    // reserved metadata/change-feed names are refused as DATA columns —
+    // a same-named column would collide with the appended field
+    for (bad <- Seq("_version BIGINT", "_file STRING", "_change_type STRING"))
+      intercept[Exception](
+        spark.sql(s"CREATE TABLE graft.meta.bad (id BIGINT, $bad)"))
+    assert(!spark.catalog.tableExists("graft.meta.bad"))
   }
 
   test("rename and drop") {

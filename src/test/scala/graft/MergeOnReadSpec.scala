@@ -684,11 +684,23 @@ class MergeOnReadSpec extends AnyFunSuite with BeforeAndAfterAll {
     drain()
     assert(accepted == Seq((1L, "aa"), (2L, "bb"), (5L, "cc")), s"got $accepted")
     assert(spark.table("graft.mor.fps").count() == 3)
+    // batch 3: NULL text dedups under the sentinel fingerprint — one
+    // keeper accepted, the state gains exactly one row, and a later NULL
+    // doc is recognized as a dup of it
+    spark.sql("INSERT INTO graft.mor.ingest VALUES (6, NULL), (7, NULL)")
+    drain()
+    assert(accepted == Seq((1L, "aa"), (2L, "bb"), (5L, "cc"), (6L, null)),
+      s"got $accepted")
+    assert(spark.table("graft.mor.fps").count() == 4)
+    spark.sql("INSERT INTO graft.mor.ingest VALUES (8, NULL)")
+    drain()
+    assert(accepted.map(_._1) == Seq(1L, 2L, 5L, 6L), "NULL dup must be dropped")
     // replay the FULL history (at-least-once failure mode): fixed point
     val all = Snapshots.changes(spark, load("ingest"), since = 0L)
     graft.streaming.DedupIngest.applyBatch(all, "graft.mor.fps", "graft.mor.accept")
-    assert(accepted == Seq((1L, "aa"), (2L, "bb"), (5L, "cc")), "replay must be a no-op")
-    assert(spark.table("graft.mor.fps").count() == 3)
+    assert(accepted == Seq((1L, "aa"), (2L, "bb"), (5L, "cc"), (6L, null)),
+      "replay must be a no-op")
+    assert(spark.table("graft.mor.fps").count() == 4)
     Seq("ingest", "accept", "fps").foreach(t => spark.sql(s"DROP TABLE graft.mor.$t"))
   }
 }
