@@ -1433,7 +1433,8 @@ object Engine {
                  |SELECT 1000000 + id, NULL, 'en' FROM range(4)""".stripMargin)
         s.sql(s"""SELECT lang, COUNT(*) AS n,
                  |       MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc,
-                 |       MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
+                 |       MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars,
+                 |       SUM(n_chars) AS sum_chars
                  |FROM $ns.gagg GROUP BY lang ORDER BY lang""".stripMargin)
       },
       Some("""SELECT lang,
@@ -1441,7 +1442,8 @@ object Engine {
           CAST(MIN(doc_id) AS BIGINT) AS first_doc,
           CAST(CASE WHEN lang = 'en' THEN 1000003 ELSE MAX(doc_id) END AS BIGINT) AS last_doc,
           CAST(MIN(n_chars) AS BIGINT) AS min_chars,
-          CAST(MAX(n_chars) AS BIGINT) AS max_chars
+          CAST(MAX(n_chars) AS BIGINT) AS max_chars,
+          CAST(SUM(n_chars) AS BIGINT) AS sum_chars
         FROM documents GROUP BY lang ORDER BY lang"""))
   )
 }

@@ -619,10 +619,17 @@ object TableStats {
     * `None` for entries from registries that predate the field (null
     * counts unknown; TopN file pruning then treats the file
     * conservatively in both roles — see [[GraftScan.pruneTopN]]). */
+  /** `sums`: exact per-column sums of the NON-NULL values of integral
+    * columns — `Some(map)` from writers that tracked them (a key present
+    * even when the file's column is all-null, sum 0; a key ABSENT under
+    * `Some` means unavailable: non-integral type or the per-file sum
+    * overflowed Long), `None` for entries predating the field. Feeds
+    * complete SUM pushdown (see [[GraftAggScan]]). */
   final case class Entry(rows: Long, cols: Map[String, (String, String)] = Map.empty,
                          bytes: Long = -1L, seq: Long = -1L,
                          sorted: Boolean = false,
-                         nulls: Option[Map[String, Long]] = None)
+                         nulls: Option[Map[String, Long]] = None,
+                         sums: Option[Map[String, Long]] = None)
 
   /** Path of `file` relative to its table's `data/` dir (keys of the stats
     * registry), robust to scheme-qualified vs bare paths. */
@@ -646,16 +653,25 @@ object TableStats {
       // stamps the repair's own version — clamping to 0 would make every
       // pre-existing equality delete wrongly suppress the recovered rows
       val base = s"$rel\t${e.rows}\t${e.bytes}\t$colspec\t${e.seq}\t${if (e.sorted) 1 else 0}"
-      e.nulls match {
-        case None => base
-        // "-" = "counted, zero nulls everywhere" — distinguishable from a
-        // 6-field line (unknown) and never an empty trailing field (which
-        // split('\t') would drop)
-        case Some(m) if m.isEmpty => s"$base\t-"
-        case Some(m) => base + "\t" + m.toSeq.sorted
-          .map { case (c, n) => s"${enc(c)}=$n" }.mkString(";")
+      // "-" = "tracked, but the map is empty" — distinguishable from a
+      // shorter line (unknown) and never an empty trailing field (which
+      // split('\t') would drop)
+      def kv(m: Map[String, Long]): String =
+        if (m.isEmpty) "-"
+        else m.toSeq.sorted.map { case (c, n) => s"${enc(c)}=$n" }.mkString(";")
+      (e.nulls, e.sums) match {
+        case (None, _) => base // pre-nulls entry: never grow its line
+        case (Some(n), None) => s"$base\t${kv(n)}"
+        case (Some(n), Some(s)) => s"$base\t${kv(n)}\t${kv(s)}"
       }
     }.mkString("", "\n", "\n")
+
+  private def parseKv(spec: String): Map[String, Long] =
+    if (spec == "-") Map.empty
+    else spec.split(';').filter(_.nonEmpty).map { kv =>
+      val Array(c, n) = kv.split('=')
+      dec(c) -> n.toLong
+    }.toMap
 
   private def parseCols(colspec: String): Map[String, (String, String)] =
     colspec.split(';').filter(_.nonEmpty).map { kv =>
@@ -682,14 +698,11 @@ object TableStats {
           rel -> Entry(rows.toLong, parseCols(colspec), bytes.toLong, seq.toLong,
             sorted == "1")
         case Array(rel, rows, bytes, colspec, seq, sorted, nulls) =>
-          val nullMap =
-            if (nulls == "-") Map.empty[String, Long]
-            else nulls.split(';').filter(_.nonEmpty).map { kv =>
-              val Array(c, n) = kv.split('=')
-              dec(c) -> n.toLong
-            }.toMap
           rel -> Entry(rows.toLong, parseCols(colspec), bytes.toLong, seq.toLong,
-            sorted == "1", Some(nullMap))
+            sorted == "1", Some(parseKv(nulls)))
+        case Array(rel, rows, bytes, colspec, seq, sorted, nulls, sums) =>
+          rel -> Entry(rows.toLong, parseCols(colspec), bytes.toLong, seq.toLong,
+            sorted == "1", Some(parseKv(nulls)), Some(parseKv(sums)))
         case other =>
           throw new IllegalStateException(s"bad stats line: $line")
       }
@@ -1046,20 +1059,49 @@ final class GraftScanBuilder(
             .map(_.name)
         case _ => None
       }
+    // SUM pushdown: exact per-file sums exist only for INTEGRAL columns
+    // (float/double sums are order-dependent; the registry stores exact
+    // longs). The fold also needs exact null counts (SUM of zero non-null
+    // values is NULL, not 0) — gated below per sum field.
+    def sumFieldOf(e: org.apache.spark.sql.connector.expressions.Expression)
+        : Option[String] =
+      fieldOf(e).filter { name =>
+        import org.apache.spark.sql.types.{ByteType, ShortType, IntegerType, LongType}
+        tableSchema.fields.find(_.name == name).exists(_.dataType match {
+          case ByteType | ShortType | IntegerType | LongType => true
+          case _ => false
+        })
+      }
     val specs = agg.aggregateExpressions().toSeq.map {
       case _: CountStar => Some(GraftAggScan.Count)
       case m: Min => fieldOf(m.column).map(GraftAggScan.MinOf)
       case m: Max => fieldOf(m.column).map(GraftAggScan.MaxOf)
+      case s: Sum if !s.isDistinct => sumFieldOf(s.column).map(GraftAggScan.SumOf)
       case _ => None
     }
     if (!specs.forall(_.isDefined)) None
     else {
       val resolved = specs.map(_.get)
-      val needsRanges = resolved.exists(_ != GraftAggScan.Count)
+      val needsRanges = resolved.exists {
+        case GraftAggScan.MinOf(_) | GraftAggScan.MaxOf(_) => true
+        case _ => false
+      }
+      val sumFields = resolved.collect { case GraftAggScan.SumOf(f) => f }
       if (needsRanges && !allFilesRangeRegistered) None
+      else if (sumFields.nonEmpty && !allFilesSumRegistered(sumFields)) None
       else Some((groupCols, resolved))
     }
   }
+
+  /** SUM pushdown precondition: every live non-empty file registered an
+    * exact sum for each summed column AND exact null counts (absent sums
+    * key = unavailable — overflow or pre-sums registry; see
+    * [[TableStats.Entry]]). */
+  private def allFilesSumRegistered(fields: Seq[String]): Boolean =
+    manifestForPushdown.exists(_.forall { case (rel, e) =>
+      GraftDeletes.isDeleteRel(rel) || e.rows == 0L ||
+        (e.nulls.isDefined && e.sums.exists(m => fields.forall(m.contains)))
+    })
 
   override def pushAggregation(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
@@ -1784,6 +1826,8 @@ final class GraftAggScan(
       case GraftAggScan.Count => StructField("count", LongType, nullable = false)
       case GraftAggScan.MinOf(f) => StructField(s"min_$f", fieldType(f), nullable = true)
       case GraftAggScan.MaxOf(f) => StructField(s"max_$f", fieldType(f), nullable = true)
+      // Spark's SUM over any integral input aggregates as BIGINT
+      case GraftAggScan.SumOf(f) => StructField(s"sum_$f", LongType, nullable = true)
     })
   override def toBatch: Batch = this
   override def description(): String =
@@ -1802,6 +1846,16 @@ final class GraftAggScan(
       val dt = fieldType(f)
       val maxs = entries.flatMap(_.cols.get(f)).map(r => toCatalyst(dt, r._2))
       if (maxs.isEmpty) null else maxs.reduce((a, b) => if (cmp(dt, a, b) >= 0) a else b)
+    case GraftAggScan.SumOf(f) =>
+      // SUM of zero non-null values is NULL; otherwise the exact fold of
+      // per-file sums. The builder proved every non-empty file carries
+      // both the sum and exact null counts. Math.addExact: a true SUM
+      // overflow surfaces as an arithmetic error, matching ANSI mode.
+      val live = entries.filter(_.rows > 0)
+      val nonNull = live.map(e => e.rows - e.nulls.get.getOrElse(f, 0L)).sum
+      if (nonNull == 0L) null
+      else live.foldLeft(0L)((acc, e) =>
+        Math.addExact(acc, e.sums.get(f))): java.lang.Long
   }
 
   private lazy val resultRows: Array[Array[Any]] = {
@@ -1857,6 +1911,7 @@ object GraftAggScan {
   case object Count extends Spec
   final case class MinOf(field: String) extends Spec
   final case class MaxOf(field: String) extends Spec
+  final case class SumOf(field: String) extends Spec
 
   /** Registered external string → Catalyst internal value (dates are
     * epoch-day ints internally). Shared by the pushed-aggregate fold and
@@ -2672,6 +2727,15 @@ object GraftWriterFactory {
     // exact per-column null counts — stays exact even when range tracking
     // dies (>64-char strings); feeds TopN file pruning's null reasoning
     private val nullCnt = new Array[Long](tracked.length)
+    // exact per-column sums of non-null INTEGRAL values (SUM pushdown);
+    // a column whose running sum overflows Long goes sum-dead and its
+    // key is omitted (absent key under Some = unavailable, see Entry)
+    private val summable = tracked.map(_._1.dataType match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    })
+    private val sumAcc = new Array[Long](tracked.length)
+    private val sumDead = Array.fill[Boolean](tracked.length)(false)
 
     private def cmp(dt: DataType, a: Any, b: Any): Int = dt match {
       case ByteType | ShortType | IntegerType | LongType | DateType =>
@@ -2691,14 +2755,21 @@ object GraftWriterFactory {
       while (j < tracked.length) {
         val (f, i) = tracked(j)
         if (row.isNullAt(i)) nullCnt(j) += 1
-        else if (!dead(j)) {
-          val v = row.get(i, f.dataType)
-          v match {
-            case u: UTF8String if u.numChars() > 64 => dead(j) = true // unbounded
-            case _ =>
-              val vc = v match { case u: UTF8String => u.clone(); case x => x }
-              if (mins(j) == null || cmp(f.dataType, vc, mins(j)) < 0) mins(j) = vc
-              if (maxs(j) == null || cmp(f.dataType, vc, maxs(j)) > 0) maxs(j) = vc
+        else {
+          if (!dead(j)) {
+            val v = row.get(i, f.dataType)
+            v match {
+              case u: UTF8String if u.numChars() > 64 => dead(j) = true // unbounded
+              case _ =>
+                val vc = v match { case u: UTF8String => u.clone(); case x => x }
+                if (mins(j) == null || cmp(f.dataType, vc, mins(j)) < 0) mins(j) = vc
+                if (maxs(j) == null || cmp(f.dataType, vc, maxs(j)) > 0) maxs(j) = vc
+            }
+          }
+          if (summable(j) && !sumDead(j)) {
+            val x = row.get(i, f.dataType).asInstanceOf[Number].longValue()
+            try sumAcc(j) = Math.addExact(sumAcc(j), x)
+            catch { case _: ArithmeticException => sumDead(j) = true }
           }
         }
         j += 1
@@ -2724,6 +2795,13 @@ object GraftWriterFactory {
     def nullCounts: Map[String, Long] =
       tracked.indices.collect {
         case j if nullCnt(j) > 0 => tracked(j)._1.name -> nullCnt(j)
+      }.toMap
+
+    /** Exact non-null sums of every integral column that did not
+      * overflow — key present even for an all-null column (sum 0). */
+    def sums: Map[String, Long] =
+      tracked.indices.collect {
+        case j if summable(j) && !sumDead(j) => tracked(j)._1.name -> sumAcc(j)
       }.toMap
   }
 
@@ -2899,7 +2977,7 @@ object GraftWriterFactory {
               .getFileStatus(new Path(s"$dataDir/${w._2}")).getLen
             catch { case _: java.io.IOException => -1L }
           (w._2, TableStats.Entry(w._3, w._4.result, len, sorted = w._5.sorted,
-            nulls = Some(w._4.nullCounts)))
+            nulls = Some(w._4.nullCounts), sums = Some(w._4.sums)))
         }.toSeq)
       }
       override def abort(): Unit = {

@@ -266,6 +266,26 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     val qg = spark.sql("SELECT d, MIN(id) FROM gpart.t.mm GROUP BY d")
     assert(!qg.queryExecution.executedPlan.toString.contains("GraftAggScan"))
 
+    // SUM pushdown: integral columns fold exactly from registered sums
+    val qsum = spark.sql("SELECT SUM(id), COUNT(*) FROM gpart.t.mm")
+    assert(qsum.queryExecution.executedPlan.toString.contains("GraftAggScan"),
+      "expected pushed SUM")
+    // 0..799 + (9000..9004) = 319600 + 45010
+    assert(qsum.head().getLong(0) == 319600L + 45010L)
+    // SUM over an ALL-NULL slice: per-file sums of 0 with null counts
+    // must yield SQL NULL for the all-null table, not 0
+    spark.sql("CREATE TABLE gpart.t.mmn (x BIGINT)")
+    spark.sql("INSERT INTO gpart.t.mmn SELECT CAST(NULL AS BIGINT) FROM range(0, 7)")
+    val qn = spark.sql("SELECT SUM(x) FROM gpart.t.mmn")
+    assert(qn.queryExecution.executedPlan.toString.contains("GraftAggScan"))
+    assert(qn.head().isNullAt(0), "SUM of all-null column must be NULL")
+    // double sums are order-dependent — never pushed, fallback correct
+    val qdsum = spark.sql("SELECT SUM(v) FROM gpart.t.mm")
+    assert(!qdsum.queryExecution.executedPlan.toString.contains("GraftAggScan"))
+    // SUM(DISTINCT) has no registry fold
+    val qdist = spark.sql("SELECT SUM(DISTINCT id) FROM gpart.t.mm")
+    assert(!qdist.queryExecution.executedPlan.toString.contains("GraftAggScan"))
+
     // outstanding MOR deletes make registered ranges stale-able → withhold
     spark.sql("""CREATE TABLE gpart.t.mmd (row_key STRING, id BIGINT)
                 |TBLPROPERTIES ('write.mutation.mode' = 'merge-on-read')""".stripMargin)
@@ -331,6 +351,13 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.toSeq == Seq(("de", 50L, 1L, 99.0), ("en", 53L, 0L, 98.0)))
     assert(graft.sources.GraftScan.footerReads.get() == footers0,
       "grouped pushdown opened parquet footers")
+
+    // per-group SUM folds from the registered per-file sums too
+    val qs = spark.sql(
+      "SELECT lang, SUM(id) AS s FROM gpart.t.gagg GROUP BY lang ORDER BY lang")
+    assert(qs.queryExecution.executedPlan.toString.contains("GraftAggScan"))
+    assert(qs.collect().map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("de", (1 to 99 by 2).map(_.toLong).sum), ("en", (0 to 98 by 2).map(_.toLong).sum + 303L)))
 
     // grouping by a NON-partition column keeps the real aggregate
     val qn = spark.sql("SELECT v, COUNT(*) FROM gpart.t.gagg GROUP BY v")
