@@ -1072,11 +1072,41 @@ final class GraftScanBuilder(
           case _ => false
         })
       }
+    // COUNT(col) = rows - nulls, exact when the writer counted nulls; any
+    // tracked column qualifies (the tracker's null counts stay exact even
+    // where range tracking dies), but the fieldOf exclusions still apply —
+    // EXISTS_DEFAULT files read back defaults (non-null) while their
+    // registry predates the column, and renamed columns registered under
+    // former names.
+    def countFieldOf(e: org.apache.spark.sql.connector.expressions.Expression)
+        : Option[String] = {
+      import org.apache.spark.sql.types._
+      (e match {
+        case nr: org.apache.spark.sql.connector.expressions.NamedReference
+            if nr.fieldNames().length == 1 =>
+          val name = nr.fieldNames()(0)
+          tableSchema.fields.find(_.name == name)
+            .filter(f => (f.dataType match {
+              // only columns the writer's null counter actually tracks —
+              // for an UNTRACKED type (binary/timestamp/nested) an absent
+              // nulls key would wrongly read as "zero nulls"
+              case ByteType | ShortType | IntegerType | LongType |
+                  FloatType | DoubleType | BooleanType | StringType |
+                  DateType => true
+              case _ => false
+            }) && !renames.contains(f.name) &&
+              !f.metadata.contains("EXISTS_DEFAULT"))
+            .map(_.name)
+        case _ => None
+      })
+    }
     val specs = agg.aggregateExpressions().toSeq.map {
       case _: CountStar => Some(GraftAggScan.Count)
       case m: Min => fieldOf(m.column).map(GraftAggScan.MinOf)
       case m: Max => fieldOf(m.column).map(GraftAggScan.MaxOf)
       case s: Sum if !s.isDistinct => sumFieldOf(s.column).map(GraftAggScan.SumOf)
+      case c: Count if !c.isDistinct =>
+        countFieldOf(c.column).map(GraftAggScan.CountOf)
       case _ => None
     }
     if (!specs.forall(_.isDefined)) None
@@ -1087,8 +1117,13 @@ final class GraftScanBuilder(
         case _ => false
       }
       val sumFields = resolved.collect { case GraftAggScan.SumOf(f) => f }
+      val hasCountOf = resolved.exists {
+        case GraftAggScan.CountOf(_) => true
+        case _ => false
+      }
       if (needsRanges && !allFilesRangeRegistered) None
       else if (sumFields.nonEmpty && !allFilesSumRegistered(sumFields)) None
+      else if (hasCountOf && !allFilesNullsRegistered) None
       else Some((groupCols, resolved))
     }
   }
@@ -1101,6 +1136,13 @@ final class GraftScanBuilder(
     manifestForPushdown.exists(_.forall { case (rel, e) =>
       GraftDeletes.isDeleteRel(rel) || e.rows == 0L ||
         (e.nulls.isDefined && e.sums.exists(m => fields.forall(m.contains)))
+    })
+
+  /** COUNT(col) pushdown precondition: every live non-empty file carries
+    * exact null counts (an absent column key under `Some` = zero nulls). */
+  private lazy val allFilesNullsRegistered: Boolean =
+    manifestForPushdown.exists(_.forall { case (rel, e) =>
+      GraftDeletes.isDeleteRel(rel) || e.rows == 0L || e.nulls.isDefined
     })
 
   override def pushAggregation(
@@ -1828,6 +1870,8 @@ final class GraftAggScan(
       case GraftAggScan.MaxOf(f) => StructField(s"max_$f", fieldType(f), nullable = true)
       // Spark's SUM over any integral input aggregates as BIGINT
       case GraftAggScan.SumOf(f) => StructField(s"sum_$f", LongType, nullable = true)
+      case GraftAggScan.CountOf(f) =>
+        StructField(s"count_$f", LongType, nullable = false)
     })
   override def toBatch: Batch = this
   override def description(): String =
@@ -1856,6 +1900,11 @@ final class GraftAggScan(
       if (nonNull == 0L) null
       else live.foldLeft(0L)((acc, e) =>
         Math.addExact(acc, e.sums.get(f))): java.lang.Long
+    case GraftAggScan.CountOf(f) =>
+      // exact: rows minus counted nulls (absent key = zero nulls)
+      entries.filter(_.rows > 0)
+        .map(e => e.rows - e.nulls.get.getOrElse(f, 0L))
+        .sum: java.lang.Long
   }
 
   private lazy val resultRows: Array[Array[Any]] = {
@@ -1912,6 +1961,8 @@ object GraftAggScan {
   final case class MinOf(field: String) extends Spec
   final case class MaxOf(field: String) extends Spec
   final case class SumOf(field: String) extends Spec
+  /** COUNT(col) — non-null rows of one column. */
+  final case class CountOf(field: String) extends Spec
 
   /** Registered external string → Catalyst internal value (dates are
     * epoch-day ints internally). Shared by the pushed-aggregate fold and

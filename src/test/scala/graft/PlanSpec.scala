@@ -279,6 +279,12 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     val qn = spark.sql("SELECT SUM(x) FROM gpart.t.mmn")
     assert(qn.queryExecution.executedPlan.toString.contains("GraftAggScan"))
     assert(qn.head().isNullAt(0), "SUM of all-null column must be NULL")
+    // COUNT(col) = rows - counted nulls, exact from the registry alone
+    val qc = spark.sql("SELECT COUNT(v), COUNT(id), COUNT(*) FROM gpart.t.mm")
+    assert(qc.queryExecution.executedPlan.toString.contains("GraftAggScan"),
+      "expected pushed COUNT(col)")
+    assert((qc.head().getLong(0), qc.head().getLong(1), qc.head().getLong(2))
+      == (800L, 805L, 805L))
     // double sums are order-dependent — never pushed, fallback correct
     val qdsum = spark.sql("SELECT SUM(v) FROM gpart.t.mm")
     assert(!qdsum.queryExecution.executedPlan.toString.contains("GraftAggScan"))
