@@ -221,6 +221,17 @@ class ScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
       (0L, 99999L, 0.0, 96.0))
     assert(GraftScan.footerReads.get() == fmm, "min/max opened parquet footers")
 
+    // SUM / COUNT(col): same driver-side fold over the registry — the
+    // 1000-file exact sum costs zero footers and zero data I/O
+    val fsum = GraftScan.footerReads.get()
+    val sq = spark.sql("SELECT SUM(id), COUNT(id), COUNT(*) FROM graft.mf.many")
+    assert(sq.queryExecution.executedPlan.toString.contains("GraftAggScan"),
+      "expected pushed SUM/COUNT(col) at 1000 files")
+    val sr = sq.head()
+    assert((sr.getLong(0), sr.getLong(1), sr.getLong(2)) ==
+      (99999L * 100000L / 2, 100000L, 100000L))
+    assert(GraftScan.footerReads.get() == fsum, "SUM fold opened parquet footers")
+
     // TopN over 1000 OVERLAPPING files (round-robin ids): the pruning
     // decision is driver-side metadata over the same registry — nothing
     // prunes (strict precedence cannot hold), planning opens no footers,
