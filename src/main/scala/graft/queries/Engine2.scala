@@ -218,10 +218,11 @@ object Engine2 {
         s.sql(s"""CREATE TABLE $ns.dd_base AS
                  |SELECT doc_id, lang, text FROM parquet.`$dir/documents.parquet`
                  |WHERE doc_id % 5 <> 0""".stripMargin)
-        // NULL text maps to a sentinel fp (see streaming/DedupIngest): a
-        // NULL fp would never match itself in the join/MERGE below
+        // NULL text maps to the shared sentinel fp (DedupIngest.NullTextFp):
+        // a NULL fp would never match itself in the join/MERGE below
+        val sentinel = graft.streaming.DedupIngest.NullTextFp
         s.sql(s"""CREATE TABLE $ns.dd_state AS
-                 |SELECT coalesce(md5(cast(text AS binary)), 'null-text') AS fp,
+                 |SELECT coalesce(md5(cast(text AS binary)), '$sentinel') AS fp,
                  |       CAST(MIN(doc_id) AS BIGINT) AS keeper
                  |FROM $ns.dd_base GROUP BY 1""".stripMargin)
         val wh = s.conf.get("spark.sql.catalog.gcat.warehouse")
@@ -236,8 +237,7 @@ object Engine2 {
                  |WHERE doc_id % 5 = 0""".stripMargin)
         // delta-only read: just the files the second commit added
         val delta = s.read.option("since-version", v1).table(s"$ns.dd_base")
-          .withColumn("fp",
-            coalesce(md5(col("text").cast("binary")), lit("null-text")))
+          .withColumn("fp", graft.streaming.DedupIngest.fingerprint(col("text")))
         // classification must see the PRE-batch state: Spark plans lazily,
         // so an unpinned read would observe the MERGE below (every delta
         // fp "seen"). Snapshot pinning gives the transactional read the
@@ -265,10 +265,10 @@ object Engine2 {
           .crossJoin(stateTotal)
           .orderBy(col("lang"))
       },
-      Some("""WITH base AS (SELECT * FROM documents WHERE doc_id % 5 <> 0),
-        delta AS (SELECT *, coalesce(md5(text), 'null-text') AS dfp
+      Some(s"""WITH base AS (SELECT * FROM documents WHERE doc_id % 5 <> 0),
+        delta AS (SELECT *, coalesce(md5(text), '${graft.streaming.DedupIngest.NullTextFp}') AS dfp
                   FROM documents WHERE doc_id % 5 = 0),
-        state AS (SELECT DISTINCT coalesce(md5(text), 'null-text') AS fp FROM base),
+        state AS (SELECT DISTINCT coalesce(md5(text), '${graft.streaming.DedupIngest.NullTextFp}') AS fp FROM base),
         m AS (
           SELECT d.lang, d.doc_id,
             (s.fp IS NOT NULL) AS seen,
@@ -277,7 +277,7 @@ object Engine2 {
         SELECT lang, CAST(COUNT(*) AS BIGINT) AS delta_docs,
           CAST(SUM(CASE WHEN NOT seen AND rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS new_unique,
           CAST(SUM(CASE WHEN seen OR rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_docs,
-          (SELECT CAST(COUNT(DISTINCT coalesce(md5(text), 'null-text')) AS BIGINT)
+          (SELECT CAST(COUNT(DISTINCT coalesce(md5(text), '${graft.streaming.DedupIngest.NullTextFp}')) AS BIGINT)
            FROM documents) AS state_total
         FROM m GROUP BY lang ORDER BY lang""")),
 

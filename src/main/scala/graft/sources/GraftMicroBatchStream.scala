@@ -26,7 +26,8 @@ final class GraftMicroBatchStream(
     partitionCols: Seq[String],
     maxFilesPerTrigger: Option[Int] = None,
     maxBytesPerTrigger: Option[Long] = None,
-    renames: Map[String, Seq[String]] = Map.empty)
+    renames: Map[String, Seq[String]] = Map.empty,
+    wantFile: Boolean = false)
     extends MicroBatchStream with SupportsTriggerAvailableNow {
 
   /** [[visibleFilesOnce]] with retries: on a local FS the registry's
@@ -162,7 +163,7 @@ final class GraftMicroBatchStream(
 
   override def createReaderFactory(): PartitionReaderFactory =
     new GraftReaderFactory(required, Array.empty, columnar = false,
-      renames = renames)
+      wantFile = wantFile, renames = renames)
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()

@@ -546,7 +546,12 @@ object GraftTable {
     Set(FileColumnName, VersionColumnName, "_change_type", "_commit_version")
 
   def requireNoReservedColumns(schema: StructType): Unit = {
-    val clash = schema.fieldNames.filter(ReservedColumnNames)
+    // case-INSENSITIVE: Spark resolves identifiers case-insensitively by
+    // default, so `_VERSION` would shadow the metadata column just as
+    // surely as `_version`
+    val reserved = ReservedColumnNames.map(_.toLowerCase(java.util.Locale.ROOT))
+    val clash = schema.fieldNames
+      .filter(n => reserved(n.toLowerCase(java.util.Locale.ROOT)))
     require(clash.isEmpty,
       s"graft: column name(s) ${clash.mkString(", ")} are reserved " +
         "(metadata/change-feed columns)")
@@ -1039,65 +1044,57 @@ final class GraftScanBuilder(
       case _ => return None
     }
     if (groupCols.nonEmpty && !allFilesLayoutParse) return None
-    def fieldOf(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
+    // Shared column-eligibility core: single-field reference, accepted
+    // type, and the exclusions every registry-backed fold needs —
+    //  - pre-rename files registered the column under its FORMER name
+    //    (an absent key there is not "all null");
+    //  - pre-widening files registered the OLD type's external form
+    //    (parsing as the widened type can yield values the rows never
+    //    take) — withhold, like the reader filter path;
+    //  - ADD COLUMN ... DEFAULT: files older than the column read back
+    //    the existence default, not null, yet register nothing.
+    def fieldEligible(
+        e: org.apache.spark.sql.connector.expressions.Expression,
+        typeOk: org.apache.spark.sql.types.DataType => Boolean): Option[String] =
       e match {
         case nr: NamedReference if nr.fieldNames().length == 1 =>
           val name = nr.fieldNames()(0)
           tableSchema.fields.find(_.name == name)
-            .filter(f => rangeExact(f.dataType) &&
-              // pre-rename files registered this column's ranges under the
-              // FORMER name — an absent key there is not "all null"
+            .filter(f => typeOk(f.dataType) &&
               !renames.contains(f.name) &&
-              // pre-widening files registered ranges in the OLD type's
-              // external form — parsing them as the widened type can yield
-              // values the actual rows never take (float "0.1" ≠ its
-              // double read-back) — withhold, like the reader filter path
               !widened.contains(f.name) &&
-              // ADD COLUMN ... DEFAULT: files older than the column read
-              // back the existence default, not null, yet register no range
               !f.metadata.contains("EXISTS_DEFAULT"))
             .map(_.name)
         case _ => None
       }
+    def fieldOf(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
+      fieldEligible(e, rangeExact)
     // SUM pushdown: exact per-file sums exist only for INTEGRAL columns
     // (float/double sums are order-dependent; the registry stores exact
     // longs). The fold also needs exact null counts (SUM of zero non-null
     // values is NULL, not 0) — gated below per sum field.
     def sumFieldOf(e: org.apache.spark.sql.connector.expressions.Expression)
-        : Option[String] =
-      fieldOf(e).filter { name =>
-        import org.apache.spark.sql.types.{ByteType, ShortType, IntegerType, LongType}
-        tableSchema.fields.find(_.name == name).exists(_.dataType match {
-          case ByteType | ShortType | IntegerType | LongType => true
-          case _ => false
-        })
-      }
-    // COUNT(col) = rows - nulls, exact when the writer counted nulls; any
-    // tracked column qualifies (the tracker's null counts stay exact even
-    // where range tracking dies), but the fieldOf exclusions still apply —
-    // EXISTS_DEFAULT files read back defaults (non-null) while their
-    // registry predates the column, and renamed columns registered under
-    // former names.
+        : Option[String] = {
+      import org.apache.spark.sql.types.{ByteType, ShortType, IntegerType, LongType}
+      fieldEligible(e, {
+        case ByteType | ShortType | IntegerType | LongType => true
+        case _ => false
+      })
+    }
+    // COUNT(col) = rows - nulls. Eligible types are those the writer's
+    // null counter tracks; the fieldOf exclusions apply (EXISTS_DEFAULT
+    // files read back defaults while their registry predates the column;
+    // renamed columns registered under former names). Existence is gated
+    // PER ENTRY below (allFilesCountEvidence): a column added by plain
+    // ADD COLUMN reads back NULL from older files, whose nulls map has no
+    // key for it — indistinguishable from "zero nulls" without evidence.
     def countFieldOf(e: org.apache.spark.sql.connector.expressions.Expression)
         : Option[String] = {
       import org.apache.spark.sql.types._
-      (e match {
-        case nr: org.apache.spark.sql.connector.expressions.NamedReference
-            if nr.fieldNames().length == 1 =>
-          val name = nr.fieldNames()(0)
-          tableSchema.fields.find(_.name == name)
-            .filter(f => (f.dataType match {
-              // only columns the writer's null counter actually tracks —
-              // for an UNTRACKED type (binary/timestamp/nested) an absent
-              // nulls key would wrongly read as "zero nulls"
-              case ByteType | ShortType | IntegerType | LongType |
-                  FloatType | DoubleType | BooleanType | StringType |
-                  DateType => true
-              case _ => false
-            }) && !renames.contains(f.name) &&
-              !f.metadata.contains("EXISTS_DEFAULT"))
-            .map(_.name)
-        case _ => None
+      fieldEligible(e, {
+        case ByteType | ShortType | IntegerType | LongType | FloatType |
+            DoubleType | BooleanType | StringType | DateType => true
+        case _ => false
       })
     }
     val specs = agg.aggregateExpressions().toSeq.map {
@@ -1117,13 +1114,10 @@ final class GraftScanBuilder(
         case _ => false
       }
       val sumFields = resolved.collect { case GraftAggScan.SumOf(f) => f }
-      val hasCountOf = resolved.exists {
-        case GraftAggScan.CountOf(_) => true
-        case _ => false
-      }
+      val countFields = resolved.collect { case GraftAggScan.CountOf(f) => f }
       if (needsRanges && !allFilesRangeRegistered) None
       else if (sumFields.nonEmpty && !allFilesSumRegistered(sumFields)) None
-      else if (hasCountOf && !allFilesNullsRegistered) None
+      else if (countFields.nonEmpty && !allFilesCountEvidence(countFields)) None
       else Some((groupCols, resolved))
     }
   }
@@ -1139,10 +1133,21 @@ final class GraftScanBuilder(
     })
 
   /** COUNT(col) pushdown precondition: every live non-empty file carries
-    * exact null counts (an absent column key under `Some` = zero nulls). */
-  private lazy val allFilesNullsRegistered: Boolean =
+    * counted nulls AND positive evidence the column EXISTED when the file
+    * was written — a nonzero null count (`nulls` has the key) or at least
+    * one tracked non-null value (`cols` has the key) or a registered sum
+    * (`sums` has it). A column added later by plain ADD COLUMN reads back
+    * NULL from older files whose maps all lack its key; without evidence
+    * that absence is indistinguishable from "zero nulls", so the whole
+    * pushdown is withheld (never an overcount). The same ambiguity hits a
+    * zero-null string column whose range tracking died (>64-char values):
+    * also no evidence → withheld, conservatively. */
+  private def allFilesCountEvidence(fields: Seq[String]): Boolean =
     manifestForPushdown.exists(_.forall { case (rel, e) =>
-      GraftDeletes.isDeleteRel(rel) || e.rows == 0L || e.nulls.isDefined
+      GraftDeletes.isDeleteRel(rel) || e.rows == 0L ||
+        (e.nulls.isDefined && fields.forall(f =>
+          e.nulls.get.contains(f) || e.cols.contains(f) ||
+            e.sums.exists(_.contains(f))))
     })
 
   override def pushAggregation(
@@ -1219,9 +1224,17 @@ final class GraftScan(
   private var allowedFiles: Option[Set[String]] = None
 
   override def toMicroBatchStream(
-      checkpointLocation: String): org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+      checkpointLocation: String): org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+    // _file streams fine (the path is per-partition knowledge); _version
+    // cannot: the streaming offset is a file SET with no commit versions,
+    // so the readers would emit a wrong constant — refuse loudly rather
+    // than advertise a column the rows can't carry
+    require(!wantVersion,
+      "graft: _version is not available on streaming reads " +
+        "(file-set offsets carry no commit version)")
     new GraftMicroBatchStream(tableSchema, required, dataDir, partitionCols,
-      maxFilesPerTrigger, maxBytesPerTrigger, renames)
+      maxFilesPerTrigger, maxBytesPerTrigger, renames, wantFile)
+  }
 
   override def readSchema(): StructType = {
     var fields = required.fields
@@ -2807,8 +2820,10 @@ object GraftWriterFactory {
         val (f, i) = tracked(j)
         if (row.isNullAt(i)) nullCnt(j) += 1
         else {
+          // one accessor call feeds both the range and the sum paths —
+          // this loop runs per row per column on every write
+          val v = row.get(i, f.dataType)
           if (!dead(j)) {
-            val v = row.get(i, f.dataType)
             v match {
               case u: UTF8String if u.numChars() > 64 => dead(j) = true // unbounded
               case _ =>
@@ -2818,8 +2833,8 @@ object GraftWriterFactory {
             }
           }
           if (summable(j) && !sumDead(j)) {
-            val x = row.get(i, f.dataType).asInstanceOf[Number].longValue()
-            try sumAcc(j) = Math.addExact(sumAcc(j), x)
+            try sumAcc(j) = Math.addExact(sumAcc(j),
+              v.asInstanceOf[Number].longValue())
             catch { case _: ArithmeticException => sumDead(j) = true }
           }
         }

@@ -33,6 +33,18 @@ import org.apache.spark.sql.functions._
   */
 object DedupIngest {
 
+  /** Sentinel fingerprint for NULL text — never a hex md5, so it cannot
+    * collide with a real fingerprint. Shared by the streaming consumer,
+    * the q143 batch gate, and its oracle, so the two paths can never
+    * disagree on what counts as a duplicate. */
+  val NullTextFp = "null-text"
+
+  /** The canonical content fingerprint: md5 of the raw text, with NULL
+    * text mapped to [[NullTextFp]] (a NULL fp would equal nothing in
+    * joins/MERGEs, so null-text docs would never dedup). */
+  def fingerprint(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    coalesce(md5(text.cast("binary")), lit(NullTextFp))
+
   /** Classify one change-feed micro-batch and fold it into
     * `stateTable`/`acceptTable`. Only `insert` rows are consumed (an
     * ingest feed is append-only; deletes/updates upstream do not
@@ -42,14 +54,9 @@ object DedupIngest {
     val spark = batch.sparkSession
     val meta = Set("_change_type", "_commit_version")
     val dataCols = batch.columns.filterNot(meta).toSeq
-    // NULL text gets a sentinel fingerprint (never a hex md5): a NULL fp
-    // would equal nothing in the anti-join/MERGE, so null-text docs would
-    // all be accepted and the state would grow one NULL row per batch —
-    // with the sentinel they dedup to one keeper like any other content
     val inserts = batch.filter(col("_change_type") === "insert")
       .select(dataCols.map(col): _*)
-      .withColumn("_fp",
-        coalesce(md5(col(textCol).cast("binary")), lit("null-text")))
+      .withColumn("_fp", fingerprint(col(textCol)))
     // first occurrence per fingerprint within the batch (ties by id);
     // batch-sized window, never corpus-sized
     val firsts = inserts

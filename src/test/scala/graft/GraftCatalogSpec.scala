@@ -1546,7 +1546,8 @@ class GraftCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.sql("DROP TABLE graft.meta.ver")
     // reserved metadata/change-feed names are refused as DATA columns —
     // a same-named column would collide with the appended field
-    for (bad <- Seq("_version BIGINT", "_file STRING", "_change_type STRING"))
+    for (bad <- Seq("_version BIGINT", "_file STRING", "_change_type STRING",
+        "_VERSION BIGINT")) // Spark resolves case-insensitively
       intercept[Exception](
         spark.sql(s"CREATE TABLE graft.meta.bad (id BIGINT, $bad)"))
     assert(!spark.catalog.tableExists("graft.meta.bad"))

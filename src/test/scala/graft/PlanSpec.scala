@@ -288,6 +288,17 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     // double sums are order-dependent — never pushed, fallback correct
     val qdsum = spark.sql("SELECT SUM(v) FROM gpart.t.mm")
     assert(!qdsum.queryExecution.executedPlan.toString.contains("GraftAggScan"))
+    // a column added by plain ADD COLUMN reads back NULL from older files
+    // whose registry never saw it — COUNT/SUM of it must be withheld
+    // (absent null-count key is NOT "zero nulls" there), fallback correct
+    spark.sql("CREATE TABLE gpart.t.mmac (id BIGINT)")
+    spark.sql("INSERT INTO gpart.t.mmac SELECT id FROM range(0, 10)")
+    spark.sql("ALTER TABLE gpart.t.mmac ADD COLUMN extra BIGINT")
+    spark.sql("INSERT INTO gpart.t.mmac SELECT id, id FROM range(0, 4)")
+    val qac = spark.sql("SELECT COUNT(extra), SUM(extra) FROM gpart.t.mmac")
+    assert(!qac.queryExecution.executedPlan.toString.contains("GraftAggScan"),
+      "COUNT/SUM of a later-added column must not trust the registry")
+    assert((qac.head().getLong(0), qac.head().getLong(1)) == (4L, 6L))
     // SUM(DISTINCT) has no registry fold
     val qdist = spark.sql("SELECT SUM(DISTINCT id) FROM gpart.t.mm")
     assert(!qdist.queryExecution.executedPlan.toString.contains("GraftAggScan"))
