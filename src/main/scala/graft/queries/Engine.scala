@@ -1300,12 +1300,16 @@ object Engine {
         s.sql(s"""SELECT CAST(MIN(okey) AS BIGINT) AS min_k,
                  |       CAST(MAX(okey) AS BIGINT) AS max_k,
                  |       CAST(COUNT(*) AS BIGINT) AS n,
+                 |       CAST(COUNT(qty) AS BIGINT) AS n_qty,
+                 |       CAST(SUM(okey) AS BIGINT) AS sum_k,
                  |       MIN(qty) AS min_q, MAX(qty) AS max_q
                  |FROM $ns.aggp""".stripMargin)
       },
       Some("""SELECT CAST(MIN(l_orderkey) AS BIGINT) AS min_k,
         CAST(100000006 AS BIGINT) AS max_k,
         CAST(COUNT(*) + 7 AS BIGINT) AS n,
+        CAST(COUNT(l_quantity) AS BIGINT) AS n_qty,
+        CAST(SUM(l_orderkey) + 700000021 AS BIGINT) AS sum_k,
         MIN(l_quantity) AS min_q, MAX(l_quantity) AS max_q
         FROM lineitem""")),
 
