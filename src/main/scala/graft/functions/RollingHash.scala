@@ -76,6 +76,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new graft.sources.GraftViewSqlParser(session, parser))
     ext.injectResolutionRule(session =>
       graft.sources.GraftViewSubstitution(session))
+    // Streaming reads must not resolve _file/_version: Spark's DSv2
+    // metadata-column wiring is batch-only, and an unresolved-at-scan
+    // metadata column dies mid-batch with an opaque arity error.
+    ext.injectResolutionRule(session =>
+      graft.sources.GraftStreamingMetaGuard(session))
     // Materialized-view rewrite: aggregates over a base table re-plan
     // against a FRESH materialization (see MaterializedViews).
     ext.injectOptimizerRule(session =>

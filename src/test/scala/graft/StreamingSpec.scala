@@ -22,6 +22,7 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.sql.extensions", "graft.functions.GraftExtensions")
     .getOrCreate()
 
   private lazy val streamDir = {
@@ -364,6 +365,36 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       q.processAllAvailable()
       assert(spark.table("fs_sink").count() == 30)
     } finally q.stop()
+  }
+
+  test("graft streaming SOURCE: _file/_version refused loudly (batch-only wiring)") {
+    // Spark's DSv2 metadata-column machinery never tells a STREAMING scan
+    // to produce the column, so resolution would succeed and execution
+    // die mid-batch with an opaque row-arity error — the injected
+    // GraftStreamingMetaGuard must fail fast with a named message instead
+    val wh = java.nio.file.Files.createTempDirectory("graft_mf_wh").toString
+    spark.conf.set("spark.sql.catalog.gmf", classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gmf.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gmf.s")
+    spark.sql("CREATE TABLE gmf.s.feed (id BIGINT)")
+    spark.sql("INSERT INTO gmf.s.feed SELECT id FROM range(9)")
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else String.valueOf(t.getMessage) +: messages(t.getCause)
+    for (metaCol <- Seq("_file", "_version")) {
+      val e = intercept[Exception] {
+        val q = spark.readStream.format("graft").load(s"$wh/s/feed")
+          .select(col("id"), col(metaCol))
+          .writeStream.format("memory").queryName(s"mf_sink$metaCol")
+          .option("checkpointLocation",
+            java.nio.file.Files.createTempDirectory("graft_mf_ck").toString)
+          .start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      assert(messages(e).exists(m =>
+        m.contains(metaCol) && m.contains("streaming")), messages(e).mkString(" | "))
+    }
+    // the same projection in BATCH works
+    assert(spark.sql("SELECT _file, _version FROM gmf.s.feed").count() == 9)
   }
 
   test("graft streaming sink: epoch commit log hides uncommitted files and dedups replays") {

@@ -132,6 +132,24 @@ class TopNSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(TableStats.deserialize(legacy)("old.parquet").nulls === None)
   }
 
+  test("sum registry field round-trips; 7-field lines read back sums=None") {
+    val entries = Map(
+      // negative and extreme sums, plus a sum-dead column (absent key)
+      "a.parquet" -> TableStats.Entry(10, Map("k" -> (("-5", "9"))), 100L, 3L,
+        nulls = Some(Map("k" -> 2L)), sums = Some(Map("k" -> -42L, "v" -> Long.MaxValue))),
+      "b.parquet" -> TableStats.Entry(5, Map.empty, 50L, 4L,
+        nulls = Some(Map.empty), sums = Some(Map.empty)),
+      "c.parquet" -> TableStats.Entry(7, Map("k" -> (("1", "2"))), 70L, 5L,
+        nulls = Some(Map("k" -> 1L))))
+    val back = TableStats.deserialize(TableStats.serialize(entries))
+    assert(back == entries)
+    // a 7-field (nulls-era) line reads back sums = None — the SUM/COUNT
+    // pushdown gates must then withhold
+    val nullsEra = "old.parquet\t9\t90\tk=0,9\t2\t1\tk=3\n"
+    val e = TableStats.deserialize(nullsEra)("old.parquet")
+    assert(e.nulls === Some(Map("k" -> 3L)) && e.sums === None)
+  }
+
   // ---- end-to-end SQL ----------------------------------------------------
 
   test("ORDER BY + LIMIT over a multi-file table prunes files and stays exact") {
