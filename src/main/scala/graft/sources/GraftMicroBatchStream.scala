@@ -26,8 +26,7 @@ final class GraftMicroBatchStream(
     partitionCols: Seq[String],
     maxFilesPerTrigger: Option[Int] = None,
     maxBytesPerTrigger: Option[Long] = None,
-    renames: Map[String, Seq[String]] = Map.empty,
-    wantFile: Boolean = false)
+    renames: Map[String, Seq[String]] = Map.empty)
     extends MicroBatchStream with SupportsTriggerAvailableNow {
 
   /** [[visibleFilesOnce]] with retries: on a local FS the registry's
@@ -163,7 +162,7 @@ final class GraftMicroBatchStream(
 
   override def createReaderFactory(): PartitionReaderFactory =
     new GraftReaderFactory(required, Array.empty, columnar = false,
-      wantFile = wantFile, renames = renames)
+      renames = renames)
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()

@@ -1055,14 +1055,15 @@ final class GraftScanBuilder(
     //    the existence default, not null, yet register nothing.
     def fieldEligible(
         e: org.apache.spark.sql.connector.expressions.Expression,
-        typeOk: org.apache.spark.sql.types.DataType => Boolean): Option[String] =
+        typeOk: org.apache.spark.sql.types.DataType => Boolean,
+        excludeWidened: Boolean = true): Option[String] =
       e match {
         case nr: NamedReference if nr.fieldNames().length == 1 =>
           val name = nr.fieldNames()(0)
           tableSchema.fields.find(_.name == name)
             .filter(f => typeOk(f.dataType) &&
               !renames.contains(f.name) &&
-              !widened.contains(f.name) &&
+              (!excludeWidened || !widened.contains(f.name)) &&
               !f.metadata.contains("EXISTS_DEFAULT"))
             .map(_.name)
         case _ => None
@@ -1076,10 +1077,14 @@ final class GraftScanBuilder(
     def sumFieldOf(e: org.apache.spark.sql.connector.expressions.Expression)
         : Option[String] = {
       import org.apache.spark.sql.types.{ByteType, ShortType, IntegerType, LongType}
+      // widened columns stay ELIGIBLE: per-file sums are stored as exact
+      // longs whatever the declared integral width, and a widening ONTO a
+      // fractional type already fails the type check below (the widen
+      // exclusion protects range/value parsing — MIN/MAX — not sums)
       fieldEligible(e, {
         case ByteType | ShortType | IntegerType | LongType => true
         case _ => false
-      })
+      }, excludeWidened = false)
     }
     // COUNT(col) = rows - nulls. Eligible types are those the writer's
     // null counter tracks; the fieldOf exclusions apply (EXISTS_DEFAULT
@@ -1091,11 +1096,14 @@ final class GraftScanBuilder(
     def countFieldOf(e: org.apache.spark.sql.connector.expressions.Expression)
         : Option[String] = {
       import org.apache.spark.sql.types._
+      // widened columns stay ELIGIBLE: null counts are type-independent
+      // and remain exact across a metadata-only widening (the widen
+      // exclusion protects range/value PARSING, which COUNT never reads)
       fieldEligible(e, {
         case ByteType | ShortType | IntegerType | LongType | FloatType |
             DoubleType | BooleanType | StringType | DateType => true
         case _ => false
-      })
+      }, excludeWidened = false)
     }
     val specs = agg.aggregateExpressions().toSeq.map {
       case _: CountStar => Some(GraftAggScan.Count)
@@ -1224,17 +1232,12 @@ final class GraftScan(
   private var allowedFiles: Option[Set[String]] = None
 
   override def toMicroBatchStream(
-      checkpointLocation: String): org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
-    // _file streams fine (the path is per-partition knowledge); _version
-    // cannot: the streaming offset is a file SET with no commit versions,
-    // so the readers would emit a wrong constant — refuse loudly rather
-    // than advertise a column the rows can't carry
-    require(!wantVersion,
-      "graft: _version is not available on streaming reads " +
-        "(file-set offsets carry no commit version)")
+      checkpointLocation: String): org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    // metadata columns (_file/_version) never reach here: streaming scans
+    // are built without column pruning, so wantFile/wantVersion are always
+    // false — the analysis-time refusal lives in GraftStreamingMetaGuard
     new GraftMicroBatchStream(tableSchema, required, dataDir, partitionCols,
-      maxFilesPerTrigger, maxBytesPerTrigger, renames, wantFile)
-  }
+      maxFilesPerTrigger, maxBytesPerTrigger, renames)
 
   override def readSchema(): StructType = {
     var fields = required.fields
@@ -2819,9 +2822,11 @@ object GraftWriterFactory {
       while (j < tracked.length) {
         val (f, i) = tracked(j)
         if (row.isNullAt(i)) nullCnt(j) += 1
-        else {
-          // one accessor call feeds both the range and the sum paths —
-          // this loop runs per row per column on every write
+        else if (!dead(j) || (summable(j) && !sumDead(j))) {
+          // one accessor call feeds both the range and the sum paths; a
+          // column where BOTH are dead (e.g. a >64-char string) skips the
+          // accessor entirely — this loop runs per row per column on
+          // every write
           val v = row.get(i, f.dataType)
           if (!dead(j)) {
             v match {

@@ -299,6 +299,21 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!qac.queryExecution.executedPlan.toString.contains("GraftAggScan"),
       "COUNT/SUM of a later-added column must not trust the registry")
     assert((qac.head().getLong(0), qac.head().getLong(1)) == (4L, 6L))
+    // type WIDENING keeps COUNT/SUM pushdown: null counts are
+    // type-independent and per-file sums are exact longs at any integral
+    // width (only MIN/MAX withhold — their registered ranges parse in the
+    // old type's external form)
+    spark.sql("CREATE TABLE gpart.t.mmw (w INT)")
+    spark.sql("INSERT INTO gpart.t.mmw SELECT CAST(id AS INT) FROM range(0, 6)")
+    spark.sql("ALTER TABLE gpart.t.mmw ALTER COLUMN w TYPE BIGINT")
+    spark.sql("INSERT INTO gpart.t.mmw SELECT id + 10 FROM range(0, 4)")
+    val qw = spark.sql("SELECT COUNT(w), SUM(w) FROM gpart.t.mmw")
+    assert(qw.queryExecution.executedPlan.toString.contains("GraftAggScan"),
+      "COUNT/SUM must survive integral widening")
+    assert((qw.head().getLong(0), qw.head().getLong(1)) == (10L, 15L + 46L))
+    val qwm = spark.sql("SELECT MIN(w) FROM gpart.t.mmw")
+    assert(!qwm.queryExecution.executedPlan.toString.contains("GraftAggScan"))
+    assert(qwm.head().getLong(0) == 0L)
     // SUM(DISTINCT) has no registry fold
     val qdist = spark.sql("SELECT SUM(DISTINCT id) FROM gpart.t.mm")
     assert(!qdist.queryExecution.executedPlan.toString.contains("GraftAggScan"))
