@@ -281,6 +281,35 @@ object Engine2 {
            FROM documents) AS state_total
         FROM m GROUP BY lang ORDER BY lang""")),
 
+    // ---- q145: FILTERED aggregate pushdown (partition-predicate absorb) --
+    // "COUNT yesterday's partition" — THE operational query at 100 TB. A
+    // WHERE over identity partition columns is exactly enforced by
+    // directory pruning, so the scan absorbs it (no residual), Spark
+    // offers the aggregate, and COUNT/SUM/MIN/MAX fold from the registry
+    // entries of just the matching partitions: zero data I/O however big
+    // the table. PlanSpec asserts the plan shape; this gate checks values.
+    QueryDef(
+      "q145_filtered_agg",
+      (s, dir) => {
+        val ns = ensureCatalog(s, dir)
+        s.sql(s"DROP TABLE IF EXISTS $ns.fagg")
+        s.sql(s"""CREATE TABLE $ns.fagg (doc_id BIGINT, n_chars BIGINT, lang STRING)
+                 |PARTITIONED BY (lang)""".stripMargin)
+        s.sql(s"""INSERT INTO $ns.fagg
+                 |SELECT doc_id, n_chars, lang
+                 |FROM parquet.`$dir/documents.parquet`""".stripMargin)
+        s.sql(s"""SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 |       CAST(SUM(n_chars) AS BIGINT) AS chars,
+                 |       CAST(MIN(doc_id) AS BIGINT) AS first_doc,
+                 |       CAST(MAX(doc_id) AS BIGINT) AS last_doc
+                 |FROM $ns.fagg WHERE lang IN ('en', 'de')""".stripMargin)
+      },
+      Some("""SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(SUM(n_chars) AS BIGINT) AS chars,
+        CAST(MIN(doc_id) AS BIGINT) AS first_doc,
+        CAST(MAX(doc_id) AS BIGINT) AS last_doc
+        FROM documents WHERE lang IN ('en', 'de')""")),
+
     // ---- q144: per-commit ingest audit via the _version metadata column --
     // "Which ingest commit wrote these rows, and what did each deliver?"
     // answered in plain SQL: rows carry the snapshot version whose commit

@@ -12,7 +12,7 @@ import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.write._
-import org.apache.spark.sql.sources.{AlwaysTrue, Filter}
+import org.apache.spark.sql.sources.{AlwaysFalse, AlwaysTrue, And, EqualNullSafe, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, IsNotNull, IsNull, LessThan, LessThanOrEqual, Not, Or, StringStartsWith}
 import org.apache.spark.sql.types.{StringType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -894,6 +894,9 @@ final class GraftScanBuilder(
   private var wantFile: Boolean = false
   private var wantVersion: Boolean = false
   private var pushed: Array[Filter] = Array.empty
+  /** Filters fully enforced by identity-partition pruning (not returned
+    * as residual — see [[absorbable]]). Always a subset of `pushed`. */
+  private var absorbed: Set[Filter] = Set.empty
   private var pushedAggs: Option[(Seq[String], Seq[GraftAggScan.Spec])] = None
   private var limit: Option[Int] = None
   private var topN: Option[GraftScan.TopN] = None
@@ -1029,9 +1032,17 @@ final class GraftScanBuilder(
       : Option[(Seq[String], Seq[GraftAggScan.Spec])] = {
     import org.apache.spark.sql.connector.expressions.NamedReference
     import org.apache.spark.sql.connector.expressions.aggregate._
-    if (!(tracker.isEmpty && pushed.isEmpty && !hasDeletes &&
+    // pushed filters are allowed ONLY when every one was absorbed by
+    // partition pruning (Spark offers aggregates only to residual-free
+    // scans, so any non-absorbed filter already blocks the offer — this
+    // check is the defensive equality)
+    if (!(tracker.isEmpty && pushed.forall(absorbed) && !hasDeletes &&
         agg.aggregateExpressions().nonEmpty))
       return None
+    // the fold must parse every file's partition values to evaluate the
+    // absorbed predicates (absorbable() verified this at absorption time;
+    // kept as a local guard)
+    if (absorbed.nonEmpty && !allFilesLayoutParse) return None
     // GROUP BY pushdown: every grouping expression must be an IDENTITY
     // partition column — each file then belongs to exactly one group,
     // derivable from its directory path, and per-group folds of the
@@ -1176,21 +1187,84 @@ final class GraftScanBuilder(
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     pushed = filters.filter(f => FilterTranslate.translate(tableSchema, f).isDefined)
     // Row-group skipping is coarse: every filter must be re-evaluated
-    // post-scan, so ALL filters are returned as residual. (The reference
-    // dropped unconvertible predicates — wrong results; SURVEY.md §2.1 #10.)
-    filters
+    // post-scan, so filters are returned as residual (the reference
+    // dropped unconvertible predicates — wrong results; SURVEY.md §2.1
+    // #10) — with ONE exception: a filter over identity PARTITION columns
+    // whose truth is EXACTLY decidable from a file's partition values
+    // (see [[absorbable]]) is fully enforced by directory pruning, so it
+    // is absorbed (not returned). Absorption is what unlocks FILTERED
+    // aggregate pushdown — `COUNT(*) WHERE day = X` folding from the
+    // registry — because Spark only offers aggregates to scans that left
+    // no residual filters.
+    absorbed = filters.filter(absorbable).toSet
+    filters.filterNot(absorbed)
+  }
+
+  /** Is `f` EXACTLY enforced by identity-partition directory pruning?
+    * True only when every leaf is one of [[PartitionPruning.eval4]]'s
+    * decided forms over an identity partition column of a supported type,
+    * with literals in the column's type family (so `cmp` never returns
+    * None → eval4 can never be VUndecided), every live non-empty file's
+    * path parses under the CURRENT partition spec (pre-evolution files
+    * have no derivable values), and this is not a row-level-rewrite scan
+    * (those must see every surviving row of matched files). Under these
+    * conditions eval3 is Some(..) for every file: pruning drops exactly
+    * the files with no matching rows and every kept file matches wholly —
+    * the filter needs no re-evaluation. */
+  private def absorbable(f: Filter): Boolean = {
+    if (tracker.isDefined) return false
+    val identityCols: Map[String, org.apache.spark.sql.types.DataType] =
+      partitionCols.map(PartField.parse).collect {
+        case PartField.Identity(c) => c -> tableSchema(c).dataType
+      }.toMap
+    def familyOk(dt: org.apache.spark.sql.types.DataType, v: Any): Boolean = {
+      import org.apache.spark.sql.types._
+      v match {
+        case null => true // eval4 yields VUnknown → decided-as-reject
+        case _: Number => dt match {
+          case ByteType | ShortType | IntegerType | LongType |
+              FloatType | DoubleType => true
+          case _ => false
+        }
+        case _: String => dt == StringType
+        case _: Boolean => dt == BooleanType
+        case _: java.sql.Date | _: java.time.LocalDate => dt == DateType
+        case _ => false
+      }
+    }
+    def colOk(a: String): Boolean =
+      identityCols.get(a).exists(PartitionPruning.supportsPartitionType)
+    def leafOk(g: Filter): Boolean = g match {
+      case _: AlwaysTrue | _: AlwaysFalse => true
+      case EqualTo(a, x) => colOk(a) && familyOk(identityCols(a), x)
+      case EqualNullSafe(a, x) => colOk(a) && familyOk(identityCols(a), x)
+      case GreaterThan(a, x) => colOk(a) && familyOk(identityCols(a), x)
+      case GreaterThanOrEqual(a, x) => colOk(a) && familyOk(identityCols(a), x)
+      case LessThan(a, x) => colOk(a) && familyOk(identityCols(a), x)
+      case LessThanOrEqual(a, x) => colOk(a) && familyOk(identityCols(a), x)
+      case In(a, xs) => colOk(a) && xs.forall(familyOk(identityCols(a), _))
+      case IsNull(a) => colOk(a)
+      case IsNotNull(a) => colOk(a)
+      case StringStartsWith(a, _) =>
+        colOk(a) && identityCols(a) == org.apache.spark.sql.types.StringType
+      case And(l, r) => leafOk(l) && leafOk(r)
+      case Or(l, r) => leafOk(l) && leafOk(r)
+      case Not(c) => leafOk(c)
+      case _ => false
+    }
+    f.references.nonEmpty && leafOk(f) && allFilesLayoutParse
   }
 
   override def pushedFilters(): Array[Filter] = pushed
 
   override def build(): Scan = pushedAggs match {
-    case Some((Seq(), Seq(GraftAggScan.Count))) =>
-      // pure COUNT(*) keeps the dedicated scan (it can still answer from
-      // parquet footers when no registry exists; min/max cannot)
+    case Some((Seq(), Seq(GraftAggScan.Count))) if absorbed.isEmpty =>
+      // pure unfiltered COUNT(*) keeps the dedicated scan (it can still
+      // answer from parquet footers when no registry exists)
       new GraftCountStarScan(dataDir, snapshotVersion, sinceVersion, manifestCache)
     case Some((groups, specs)) =>
       new GraftAggScan(tableSchema, dataDir, specs, snapshotVersion,
-        sinceVersion, manifestCache, groups, partitionCols)
+        sinceVersion, manifestCache, groups, partitionCols, absorbed.toSeq)
     case None => new GraftScan(tableSchema, required, pushed, dataDir, partitionCols,
       wantFile, wantVersion, tracker, limit, maxFilesPerTrigger, maxBytesPerTrigger,
       snapshotVersion, sinceVersion, renames, onManifest, manifestCache,
@@ -1869,7 +1943,8 @@ final class GraftAggScan(
     sinceVersion: Option[Long] = None,
     manifestPre: Option[Option[Map[String, TableStats.Entry]]] = None,
     groupBy: Seq[String] = Nil,
-    partitionCols: Seq[String] = Nil)
+    partitionCols: Seq[String] = Nil,
+    absorbedFilters: Seq[Filter] = Nil)
     extends Scan with Batch {
   import org.apache.spark.sql.types._
 
@@ -1926,12 +2001,37 @@ final class GraftAggScan(
   private lazy val resultRows: Array[Array[Any]] = {
     val root = new Path(dataDir)
     val fs = root.getFileSystem(new Configuration())
-    val live: Seq[(String, TableStats.Entry)] =
+    val live0: Seq[(String, TableStats.Entry)] =
       manifestPre.getOrElse(Snapshots.readManifest(fs, root, snapshotVersion, sinceVersion))
         .map(_.collect {
           case (rel, e) if !GraftDeletes.isDeleteRel(rel) => (rel, e)
         }.toSeq)
         .getOrElse(Seq.empty)
+    // absorbed partition filters restrict the fold to exactly the files
+    // whose identity partition values satisfy them — the builder verified
+    // every live non-empty path parses and every predicate is decidable
+    // (empty files hold no rows; dropping them first also spares their
+    // paths the layout parse, which the gate does not cover for them)
+    val live: Seq[(String, TableStats.Entry)] =
+      if (absorbedFilters.isEmpty) live0
+      else {
+        val pf = partitionCols.map(PartField.parse)
+        val identIdx: Seq[(String, Int)] = pf.zipWithIndex.collect {
+          case (PartField.Identity(c), i) => c -> i
+        }
+        live0.filter(_._2.rows > 0).filter { case (rel, _) =>
+          val segs = rel.split('/')
+          val vals: Map[String, Any] = identIdx.map { case (c, i) =>
+            val raw = segs(i).split("=", 2)(1)
+            c -> PartitionPruning.parse(fieldType(c), PartitionPruning.decode(raw))
+          }.toMap
+          absorbedFilters.forall(f => PartitionPruning.eval3(f, vals) match {
+            case Some(b) => b
+            case None => throw new IllegalStateException(
+              s"graft: absorbed filter $f undecidable for $rel — absorption gate bug")
+          })
+        }
+      }
     if (groupBy.isEmpty) Array(fold(live.map(_._2)).toArray)
     else {
       // each file's group values come from its directory path — exact,

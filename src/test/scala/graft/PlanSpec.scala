@@ -391,6 +391,43 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(qs.collect().map(r => (r.getString(0), r.getLong(1))).toSeq ==
       Seq(("de", (1 to 99 by 2).map(_.toLong).sum), ("en", (0 to 98 by 2).map(_.toLong).sum + 303L)))
 
+    // FILTERED aggregate pushdown: an identity-partition predicate is
+    // absorbed by directory pruning (exactly enforced — no residual), so
+    // Spark offers the aggregate and the fold restricts to matching files
+    val qf = spark.sql(
+      "SELECT COUNT(*), SUM(id), MIN(id) FROM gpart.t.gagg WHERE lang = 'en'")
+    assert(qf.queryExecution.executedPlan.toString.contains("GraftAggScan"),
+      "expected filtered aggregate pushdown")
+    val fr = qf.head()
+    assert((fr.getLong(0), fr.getLong(1), fr.getLong(2)) == (53L, 2753L, 0L))
+    // ... grouped and filtered together
+    val qfg = spark.sql(
+      """SELECT lang, COUNT(*) AS n FROM gpart.t.gagg
+        |WHERE lang IN ('de', 'en') GROUP BY lang ORDER BY lang""".stripMargin)
+    assert(qfg.queryExecution.executedPlan.toString.contains("GraftAggScan"))
+    assert(qfg.collect().map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("de", 50L), ("en", 53L)))
+    // a NON-partition predicate keeps the aggregate unpushed (it stays
+    // residual, so Spark never offers the aggregate)
+    val qfn = spark.sql("SELECT COUNT(*) FROM gpart.t.gagg WHERE v > 10")
+    assert(!qfn.queryExecution.executedPlan.toString.contains("GraftAggScan"))
+    // NULL partition values: IS NULL / IS NOT NULL / equality all decide
+    // exactly from the directory, for aggregates AND for plain row reads
+    spark.sql("CREATE TABLE gpart.t.gnull (id BIGINT, lang STRING) PARTITIONED BY (lang)")
+    spark.sql("INSERT INTO gpart.t.gnull VALUES (1, 'en'), (2, NULL), (3, NULL)")
+    def one(sql: String): Long = {
+      val q = spark.sql(sql)
+      assert(q.queryExecution.executedPlan.toString.contains("GraftAggScan"), sql)
+      q.head().getLong(0)
+    }
+    assert(one("SELECT COUNT(*) FROM gpart.t.gnull WHERE lang IS NULL") == 2L)
+    assert(one("SELECT COUNT(*) FROM gpart.t.gnull WHERE lang IS NOT NULL") == 1L)
+    assert(one("SELECT COUNT(*) FROM gpart.t.gnull WHERE lang = 'en'") == 1L)
+    assert(spark.sql("SELECT id FROM gpart.t.gnull WHERE lang = 'en'")
+      .collect().map(_.getLong(0)).toSeq == Seq(1L))
+    assert(spark.sql("SELECT id FROM gpart.t.gnull WHERE lang IS NULL")
+      .collect().map(_.getLong(0)).sorted.toSeq == Seq(2L, 3L))
+
     // grouping by a NON-partition column keeps the real aggregate
     val qn = spark.sql("SELECT v, COUNT(*) FROM gpart.t.gagg GROUP BY v")
     assert(!qn.queryExecution.executedPlan.toString.contains("GraftAggScan"))
