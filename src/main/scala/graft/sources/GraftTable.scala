@@ -146,6 +146,11 @@ final class GraftTable(
   // rejected up front so Spark raises a clear "needs row-level delete"
   // error instead of silently deleting nothing.
 
+  // NOTE: this walk and GraftScanBuilder.absorbable both enumerate "shapes
+  // PartitionPruning.eval4 decides exactly over identity partition
+  // columns"; when eval4 grows a shape, extend BOTH (absorbable adds
+  // type-family checks this one does not need — metadata deletes compare
+  // decoded directory values of the column's own type).
   private def deletableFilter(f: Filter): Boolean = {
     import org.apache.spark.sql.sources._
     // identity partition columns only: a predicate on a BUCKET source
@@ -1196,7 +1201,13 @@ final class GraftScanBuilder(
     // aggregate pushdown — `COUNT(*) WHERE day = X` folding from the
     // registry — because Spark only offers aggregates to scans that left
     // no residual filters.
-    absorbed = filters.filter(absorbable).toSet
+    // absorbed MUST be a subset of `pushed`: the scan's directory pruning
+    // evaluates only `pushed`, so an absorbed-but-untranslatable filter
+    // (NOT IN, IN past the parquet or-chain cap, <=>) would be neither
+    // pruned nor re-evaluated — silently wrong rows. Such shapes stay
+    // residual instead.
+    val pushedSet = pushed.toSet
+    absorbed = filters.filter(f => pushedSet(f) && absorbable(f)).toSet
     filters.filterNot(absorbed)
   }
 
@@ -1211,12 +1222,26 @@ final class GraftScanBuilder(
     * conditions eval3 is Some(..) for every file: pruning drops exactly
     * the files with no matching rows and every kept file matches wholly —
     * the filter needs no re-evaluation. */
+  /** Identity partition columns and their types, for [[absorbable]]. */
+  private lazy val identityColTypes: Map[String, org.apache.spark.sql.types.DataType] =
+    partitionCols.map(PartField.parse).collect {
+      case PartField.Identity(c) => c -> tableSchema(c).dataType
+    }.toMap
+
+  /** Every live non-empty file was written under the CURRENT partition
+    * spec (`e.seq >= specSince`). Stricter than [[allFilesLayoutParse]]:
+    * a parameter-only evolution (e.g. bucket(8)→bucket(16)) keeps
+    * directory NAMES parseable, but the listing skips partition pruning
+    * entirely for pre-evolution files — an absorbed filter would go
+    * unenforced on them. */
+  private lazy val allFilesCurrentSpec: Boolean =
+    manifestForPushdown.exists(_.forall { case (rel, e) =>
+      GraftDeletes.isDeleteRel(rel) || e.rows == 0L || e.seq >= specSince
+    })
+
   private def absorbable(f: Filter): Boolean = {
     if (tracker.isDefined) return false
-    val identityCols: Map[String, org.apache.spark.sql.types.DataType] =
-      partitionCols.map(PartField.parse).collect {
-        case PartField.Identity(c) => c -> tableSchema(c).dataType
-      }.toMap
+    val identityCols = identityColTypes
     def familyOk(dt: org.apache.spark.sql.types.DataType, v: Any): Boolean = {
       import org.apache.spark.sql.types._
       v match {
@@ -1252,7 +1277,8 @@ final class GraftScanBuilder(
       case Not(c) => leafOk(c)
       case _ => false
     }
-    f.references.nonEmpty && leafOk(f) && allFilesLayoutParse
+    f.references.nonEmpty && leafOk(f) && allFilesLayoutParse &&
+      allFilesCurrentSpec
   }
 
   override def pushedFilters(): Array[Filter] = pushed

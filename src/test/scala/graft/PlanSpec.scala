@@ -427,6 +427,31 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(_.getLong(0)).toSeq == Seq(1L))
     assert(spark.sql("SELECT id FROM gpart.t.gnull WHERE lang IS NULL")
       .collect().map(_.getLong(0)).sorted.toSeq == Seq(2L, 3L))
+    // an absorbable-SHAPED but parquet-untranslatable predicate (NOT IN)
+    // must stay residual: it is outside `pushed`, so directory pruning
+    // never evaluates it — absorbing it returned WRONG rows (caught in
+    // review; empirically reproduced)
+    assert(spark.sql("SELECT id FROM gpart.t.gnull WHERE lang NOT IN ('en')")
+      .collect().map(_.getLong(0)).toSeq == Seq.empty,
+      "NOT IN must keep SQL three-valued semantics (NULL rows excluded)")
+    assert(spark.sql(
+      "SELECT id FROM gpart.t.gnull WHERE lang NOT IN ('de') OR lang IS NULL")
+      .collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 3L))
+    // parameter-only partition-spec evolution (bucket(4)→bucket(8)) keeps
+    // dir NAMES parseable but pre-evolution files skip pruning in the
+    // listing — absorption must withhold, rows and aggregates stay exact
+    spark.sql(
+      """CREATE TABLE gpart.t.gevo (id BIGINT, lang STRING)
+        |PARTITIONED BY (lang, bucket(4, id))""".stripMargin)
+    spark.sql("INSERT INTO gpart.t.gevo VALUES (1, 'en'), (2, 'de')")
+    spark.sql("ALTER TABLE gpart.t.gevo SET PARTITION SPEC (lang, bucket(8, id))")
+    spark.sql("INSERT INTO gpart.t.gevo VALUES (3, 'en')")
+    val qevo = spark.sql("SELECT COUNT(*) FROM gpart.t.gevo WHERE lang = 'en'")
+    assert(!qevo.queryExecution.executedPlan.toString.contains("GraftAggScan"),
+      "absorption must withhold while pre-evolution files are live")
+    assert(qevo.head().getLong(0) == 2L)
+    assert(spark.sql("SELECT id FROM gpart.t.gevo WHERE lang = 'en'")
+      .collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 3L))
 
     // grouping by a NON-partition column keeps the real aggregate
     val qn = spark.sql("SELECT v, COUNT(*) FROM gpart.t.gagg GROUP BY v")
