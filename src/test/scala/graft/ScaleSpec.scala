@@ -232,6 +232,24 @@ class ScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
       (99999L * 100000L / 2, 100000L, 100000L))
     assert(GraftScan.footerReads.get() == fsum, "SUM fold opened parquet footers")
 
+    // FILTERED fold: a partitioned 48-file table answers a partition-
+    // predicated COUNT/SUM from just the matching partitions' registry
+    // entries — same zero-footer discipline
+    spark.sql("""CREATE TABLE graft.mf.manyp (id BIGINT, lang STRING)
+                |PARTITIONED BY (lang)""".stripMargin)
+    for (_ <- 0 until 3)
+      spark.sql("""INSERT INTO graft.mf.manyp
+                  |SELECT id, CASE WHEN id % 2 = 0 THEN 'en' ELSE 'de' END
+                  |FROM range(0, 1000)""".stripMargin)
+    val ffa = GraftScan.footerReads.get()
+    val fq = spark.sql(
+      "SELECT COUNT(*), SUM(id) FROM graft.mf.manyp WHERE lang = 'en'")
+    assert(fq.queryExecution.executedPlan.toString.contains("GraftAggScan"),
+      "expected filtered fold")
+    val fr = fq.head()
+    assert((fr.getLong(0), fr.getLong(1)) == (1500L, 3 * (0L until 1000L by 2).sum))
+    assert(GraftScan.footerReads.get() == ffa, "filtered fold opened footers")
+
     // TopN over 1000 OVERLAPPING files (round-robin ids): the pruning
     // decision is driver-side metadata over the same registry — nothing
     // prunes (strict precedence cannot hold), planning opens no footers,
