@@ -107,6 +107,15 @@ object Bench {
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // DataSourceV2Strategy WARNs "Can't translate true to source filter"
+    // whenever a runtime (DPP) filter folds to a literal — Spark-internal,
+    // harmless (the filter stays residual), but it spams one line per
+    // affected query into the bench tail. Our own FilterTranslate handles
+    // AlwaysTrue/AlwaysFalse; this one is out of our code path, so drop
+    // that single logger to ERROR.
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.datasources.v2.DataSourceV2Strategy",
+      org.apache.logging.log4j.Level.ERROR)
     graft.types.RegionSpanUDT.register()
     // JVM/codegen warmup so the first timed query isn't charged for it
     spark.range(0, 1000000).selectExpr("sum(id)", "count(distinct id % 7)").collect()

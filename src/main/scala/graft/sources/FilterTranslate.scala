@@ -146,6 +146,12 @@ object FilterTranslate {
       }
 
     f match {
+      // Trivial predicates (constant-folded `WHERE true` / `1=0`, DPP
+      // fallbacks): parquet has no constant FilterPredicate, and a
+      // trivially-true filter prunes nothing anyway — handled explicitly
+      // (not via the default arm) so the Or-algebra below can simplify
+      // around them instead of declining the whole disjunction.
+      case _: AlwaysTrue | _: AlwaysFalse => None
       case EqualTo(a, v) => eq(a, v, negate = false)
       case GreaterThan(a, v) => cmp(a, v, "gt")
       case GreaterThanOrEqual(a, v) => cmp(a, v, "ge")
@@ -165,10 +171,19 @@ object FilterTranslate {
           case _ => None
         }
       case Or(l, r) =>
-        for {
-          a <- translate(schema, l)
-          b <- translate(schema, r)
-        } yield FilterApi.or(a, b)
+        (l, r) match {
+          // false ∨ x ≡ x — the other side's pruning survives; a
+          // trivially-true side makes the whole disjunction true (nothing
+          // to prune, stays residual-only)
+          case (_: AlwaysFalse, _) => translate(schema, r)
+          case (_, _: AlwaysFalse) => translate(schema, l)
+          case (_: AlwaysTrue, _) | (_, _: AlwaysTrue) => None
+          case _ =>
+            for {
+              a <- translate(schema, l)
+              b <- translate(schema, r)
+            } yield FilterApi.or(a, b)
+        }
       case Not(child) =>
         // sound only when the child translated exactly; restrict to EqualTo
         child match {

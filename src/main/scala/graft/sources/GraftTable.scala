@@ -670,7 +670,13 @@ object TableStats {
         if (m.isEmpty) "-"
         else m.toSeq.sorted.map { case (c, n) => s"${enc(c)}=$n" }.mkString(";")
       (e.nulls, e.sums) match {
-        case (None, _) => base // pre-nulls entry: never grow its line
+        case (None, s) =>
+          // pre-nulls entry: never grow its line. Sums without null counts
+          // would be silently dropped here (SUM pushdown needs both), so a
+          // caller constructing that shape is a bug — fail loudly.
+          require(s.isEmpty, s"stats entry $rel has sums but no null counts" +
+            " — serialization would drop the sums; writers must set both")
+          base
         case (Some(n), None) => s"$base\t${kv(n)}"
         case (Some(n), Some(s)) => s"$base\t${kv(n)}\t${kv(s)}"
       }
@@ -710,7 +716,11 @@ object TableStats {
         case Array(rel, rows, bytes, colspec, seq, sorted, nulls) =>
           rel -> Entry(rows.toLong, parseCols(colspec), bytes.toLong, seq.toLong,
             sorted == "1", Some(parseKv(nulls)))
-        case Array(rel, rows, bytes, colspec, seq, sorted, nulls, sums) =>
+        // `_*`: unknown TRAILING fields from a newer writer are ignored, so
+        // an older binary of this reader still parses a registry written by
+        // a future format revision (the new-reader/old-line direction is the
+        // explicit cases above). Fields are only ever APPENDED.
+        case Array(rel, rows, bytes, colspec, seq, sorted, nulls, sums, _*) =>
           rel -> Entry(rows.toLong, parseCols(colspec), bytes.toLong, seq.toLong,
             sorted == "1", Some(parseKv(nulls)), Some(parseKv(sums)))
         case other =>
@@ -2010,13 +2020,17 @@ final class GraftAggScan(
     case GraftAggScan.SumOf(f) =>
       // SUM of zero non-null values is NULL; otherwise the exact fold of
       // per-file sums. The builder proved every non-empty file carries
-      // both the sum and exact null counts. Math.addExact: a true SUM
-      // overflow surfaces as an arithmetic error, matching ANSI mode.
+      // both the sum and exact null counts. Overflow of the TOTAL follows
+      // the session's ANSI setting so pushed and unpushed plans agree:
+      // ANSI on → arithmetic error (Math.addExact), ANSI off → two's-
+      // complement wrap, exactly Spark's non-ANSI LongType SUM.
+      val ansi = org.apache.spark.sql.internal.SQLConf.get.ansiEnabled
       val live = entries.filter(_.rows > 0)
       val nonNull = live.map(e => e.rows - e.nulls.get.getOrElse(f, 0L)).sum
       if (nonNull == 0L) null
       else live.foldLeft(0L)((acc, e) =>
-        Math.addExact(acc, e.sums.get(f))): java.lang.Long
+        if (ansi) Math.addExact(acc, e.sums.get(f))
+        else acc + e.sums.get(f)): java.lang.Long
     case GraftAggScan.CountOf(f) =>
       // exact: rows minus counted nulls (absent key = zero nulls)
       entries.filter(_.rows > 0)

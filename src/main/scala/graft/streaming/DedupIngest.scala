@@ -55,14 +55,18 @@ object DedupIngest {
     val meta = Set("_change_type", "_commit_version")
     val dataCols = batch.columns.filterNot(meta).toSeq
     val inserts = batch.filter(col("_change_type") === "insert")
-      .select(dataCols.map(col): _*)
+      .select((dataCols.map(col) :+ col("_commit_version")): _*)
       .withColumn("_fp", fingerprint(col(textCol)))
-    // first occurrence per fingerprint within the batch (ties by id);
-    // batch-sized window, never corpus-sized
+    // first occurrence per fingerprint within the batch, ordered by
+    // (_commit_version, id): when the trigger drains several commits as
+    // one batch the keeper is the same doc sequential per-commit
+    // processing would keep — batching-invariant. Batch-sized window,
+    // never corpus-sized.
     val firsts = inserts
       .withColumn("_rn", row_number().over(
-        Window.partitionBy(col("_fp")).orderBy(col(idCol))))
-      .filter(col("_rn") === 1).drop("_rn")
+        Window.partitionBy(col("_fp"))
+          .orderBy(col("_commit_version"), col(idCol))))
+      .filter(col("_rn") === 1).drop("_rn", "_commit_version")
     // fresh = first-in-batch AND absent from the (pre-merge) state;
     // persisted so the classification (md5 + window + state join) runs
     // ONCE, not once per MERGE — and so the second MERGE cannot lazily

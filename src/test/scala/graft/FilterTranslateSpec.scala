@@ -36,6 +36,22 @@ class FilterTranslateSpec extends AnyFunSuite {
     assert(FilterTranslate.translate(schema, Not(GreaterThan("i", 1))).isEmpty)
   }
 
+  test("AlwaysTrue/AlwaysFalse are handled as trivial predicates") {
+    val good = EqualTo("i", 1)
+    // trivially-true/false leaves translate to no parquet predicate...
+    assert(FilterTranslate.translate(schema, AlwaysTrue).isEmpty)
+    assert(FilterTranslate.translate(schema, AlwaysFalse).isEmpty)
+    // ...but the Or algebra simplifies around them instead of declining:
+    // false ∨ x ≡ x keeps x's pruning; true ∨ x is trivially true (none)
+    assert(FilterTranslate.translate(schema, Or(AlwaysFalse, good)).isDefined)
+    assert(FilterTranslate.translate(schema, Or(good, AlwaysFalse)).isDefined)
+    assert(FilterTranslate.translate(schema, Or(AlwaysTrue, good)).isEmpty)
+    assert(FilterTranslate.translate(schema, Or(good, AlwaysTrue)).isEmpty)
+    // And already kept the translatable side
+    assert(FilterTranslate.translate(schema, And(AlwaysTrue, good)).isDefined)
+    assert(FilterTranslate.translate(schema, And(good, AlwaysFalse)).isDefined)
+  }
+
   test("startsWith upper bound bumps the last byte and handles 0xff") {
     assert(FilterTranslate.upperBound("ab").map(new String(_)).contains("ac"))
     assert(FilterTranslate.upperBound("aÿ").isDefined) // multi-byte utf8 still bumps

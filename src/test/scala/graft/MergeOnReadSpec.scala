@@ -695,12 +695,23 @@ class MergeOnReadSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.sql("INSERT INTO graft.mor.ingest VALUES (8, NULL)")
     drain()
     assert(accepted.map(_._1) == Seq(1L, 2L, 5L, 6L), "NULL dup must be dropped")
+    // batch 4: cross-commit dup where the LATER commit holds the LOWER
+    // doc_id — the keeper must follow (_commit_version, doc_id), i.e. the
+    // doc sequential per-commit processing would keep (batching-invariant),
+    // not the batch-wide lowest id
+    spark.sql("INSERT INTO graft.mor.ingest VALUES (10, 'zz')")
+    spark.sql("INSERT INTO graft.mor.ingest VALUES (9, 'zz')")
+    drain()
+    assert(accepted.map(_._1) == Seq(1L, 2L, 5L, 6L, 10L),
+      s"keeper must be the earlier COMMIT's doc, got ${accepted.map(_._1)}")
+    assert(spark.sql("SELECT keeper FROM graft.mor.fps WHERE fp = md5('zz')")
+      .collect().map(_.getLong(0)).toSeq == Seq(10L))
     // replay the FULL history (at-least-once failure mode): fixed point
     val all = Snapshots.changes(spark, load("ingest"), since = 0L)
     graft.streaming.DedupIngest.applyBatch(all, "graft.mor.fps", "graft.mor.accept")
-    assert(accepted == Seq((1L, "aa"), (2L, "bb"), (5L, "cc"), (6L, null)),
-      "replay must be a no-op")
-    assert(spark.table("graft.mor.fps").count() == 4)
+    assert(accepted == Seq((1L, "aa"), (2L, "bb"), (5L, "cc"), (6L, null),
+      (10L, "zz")), "replay must be a no-op")
+    assert(spark.table("graft.mor.fps").count() == 5)
     Seq("ingest", "accept", "fps").foreach(t => spark.sql(s"DROP TABLE graft.mor.$t"))
   }
 }
