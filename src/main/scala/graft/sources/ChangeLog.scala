@@ -59,6 +59,15 @@ object ChangeLog {
     * staged files surface as inserts at the PUBLISH version (and never
     * surface at all for a discarded stage). */
   case object Staged extends Kind("staged")
+  /** A snapshot recorded by a commit that CRASHED before swapping the
+    * live registry ([[graft.sources.TableStats.write]] records the
+    * snapshot first): its files never became visible — a clean abort.
+    * The next committer marks such orphans (any unmarked version above
+    * the live head, detected under the table lock). Feeds skip aborted
+    * versions like [[Staged]] ones (without advancing their cursor), and
+    * [[Snapshots.everRecorded]] excludes them so crash-repair does not
+    * treat an aborted commit's files as deliberately-removed tombstones. */
+  case object Aborted extends Kind("aborted")
 
   /** Table property opting OUT of copy-on-write change recording (saves
     * the commit-time diff join on tables nobody tails). */
@@ -90,7 +99,7 @@ object ChangeLog {
       val in = fs.open(p)
       val s = try new String(in.readAllBytes(), StandardCharsets.UTF_8).trim
         finally in.close()
-      Seq(Cow, Replace, Maintenance, Restore, Staged).find(_.name == s).orElse(
+      Seq(Cow, Replace, Maintenance, Restore, Staged, Aborted).find(_.name == s).orElse(
         throw new IllegalStateException(s"graft: unknown change-log kind '$s' in $p"))
     }
   }
@@ -135,15 +144,15 @@ object ChangeLog {
       fs: FileSystem, dataDir: Path, v: Long, kind: Option[Kind],
       prev: Map[String, TableStats.Entry], cur: Map[String, TableStats.Entry],
       keyed: Boolean, capCheck: Long => Unit, ctx: String): Change = {
-    require(!kind.contains(Staged),
-      s"graft: internal — Staged v$v must be skipped before classification")
+    require(!kind.contains(Staged) && !kind.contains(Aborted),
+      s"graft: internal — Staged/Aborted v$v must be skipped before classification")
     val added = (cur.keySet -- prev.keySet).toSeq.sorted
     // a delete entry leaving the manifest alone is compaction
     // housekeeping (its keys were folded into rewritten files)
     val removedData = (prev.keySet -- cur.keySet).toSeq.sorted
       .filterNot(GraftDeletes.isDeleteRel)
     kind match {
-      case Some(Staged) => NoRows // unreachable (guarded above)
+      case Some(Staged) | Some(Aborted) => NoRows // unreachable (guarded above)
       case Some(Maintenance) => NoRows
       case Some(Restore) =>
         throw new IllegalStateException(

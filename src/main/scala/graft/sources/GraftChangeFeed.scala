@@ -131,8 +131,13 @@ final class GraftChangeFeedStream(
 
   override def latestOffset(): Offset = {
     val (fs, dir) = open()
+    // Clamp to the LIVE head: a crashed commit's orphan snapshot sits
+    // above it with no marker until the next committer heals it, and must
+    // not be consumed as an append. Staged/aborted versions BELOW a later
+    // head are skipped by marker in planInputPartitions.
     GraftVersionOffset(
-      Snapshots.list(fs, dir).lastOption.map(_._1).getOrElse(startingVersion))
+      TableStats.liveVersion(fs, dir).orElse(
+        Snapshots.list(fs, dir).lastOption.map(_._1)).getOrElse(startingVersion))
   }
 
   override def deserializeOffset(json: String): Offset =
@@ -179,9 +184,10 @@ final class GraftChangeFeedStream(
     // happened entirely inside the gap — determinism demands all-or-fail
     for (v <- (v1 + 1) to v2) {
       val kind = ChangeLog.kindOf(fs, dir, v)
-      // WAP audit snapshots are side branches: skip WITHOUT advancing
-      // prev (adds surface at the publish version, or never if discarded)
-      if (kind.contains(ChangeLog.Staged)) ()
+      // WAP audit snapshots — and aborted crashed-commit orphans — are
+      // side branches: skip WITHOUT advancing prev (adds surface at the
+      // publish version, or never if discarded/aborted)
+      if (kind.contains(ChangeLog.Staged) || kind.contains(ChangeLog.Aborted)) ()
       else {
         val cur = manifestAt(v)
         def abs(rel: String): String = s"$dataDir/$rel"

@@ -605,6 +605,21 @@ object TableStats {
     * query plans with a bounded number of registry reads regardless of
     * the table's file count. */
   val registryReads = new java.util.concurrent.atomic.AtomicLong(0)
+  /** Commit-metadata bytes written (registry + snapshot files).
+    * Diagnostics only — lets tests assert an appending commit's metadata
+    * cost is O(files touched), not O(live files). */
+  val metaBytesWritten = new java.util.concurrent.atomic.AtomicLong(0)
+  /** `_stats.tsv` head line after a DELTA commit: `#ptr\t<v>` — the live
+    * manifest is snapshot v (a delta chain, resolved through
+    * [[Snapshots.read]]'s cache). Keeps the per-commit registry write
+    * O(1) instead of O(live files). */
+  val PtrPrefix = "#ptr\t"
+  /** `_stats.tsv` head line of a FULL checkpoint registry: `#v\t<v>` —
+    * the body IS the live manifest, and v is the snapshot it was recorded
+    * as (the live head, needed for orphan healing and delta bases).
+    * Registries written before this header (no '#' head line) parse as
+    * full manifests with an UNKNOWN head version. */
+  val HeadPrefix = "#v\t"
   /** Directory of per-epoch streaming commit markers (under the data dir). */
   val CommitsDir = "_commits"
 
@@ -652,35 +667,40 @@ object TableStats {
   private def enc(v: String): String = java.net.URLEncoder.encode(v, "UTF-8")
   private def dec(v: String): String = java.net.URLDecoder.decode(v, "UTF-8")
 
+  /** One registry line for one entry — shared by full manifests, delta
+    * snapshots ([[Snapshots]]) and the streaming epoch markers. */
+  def serializeLine(rel: String, e: Entry): String = {
+    val colspec = e.cols.toSeq.sorted.map { case (c, (mn, mx)) =>
+      s"${enc(c)}=${enc(mn)},${enc(mx)}"
+    }.mkString(";")
+    // seq is written RAW: the streaming epoch marker serializes entries
+    // BEFORE the commit stamps them, and its crash-repair path must
+    // re-register them with the sentinel intact so TableStats.write
+    // stamps the repair's own version — clamping to 0 would make every
+    // pre-existing equality delete wrongly suppress the recovered rows
+    val base = s"$rel\t${e.rows}\t${e.bytes}\t$colspec\t${e.seq}\t${if (e.sorted) 1 else 0}"
+    // "-" = "tracked, but the map is empty" — distinguishable from a
+    // shorter line (unknown) and never an empty trailing field (which
+    // split('\t') would drop)
+    def kv(m: Map[String, Long]): String =
+      if (m.isEmpty) "-"
+      else m.toSeq.sorted.map { case (c, n) => s"${enc(c)}=$n" }.mkString(";")
+    (e.nulls, e.sums) match {
+      case (None, s) =>
+        // pre-nulls entry: never grow its line. Sums without null counts
+        // would be silently dropped here (SUM pushdown needs both), so a
+        // caller constructing that shape is a bug — fail loudly.
+        require(s.isEmpty, s"stats entry $rel has sums but no null counts" +
+          " — serialization would drop the sums; writers must set both")
+        base
+      case (Some(n), None) => s"$base\t${kv(n)}"
+      case (Some(n), Some(s)) => s"$base\t${kv(n)}\t${kv(s)}"
+    }
+  }
+
   def serialize(stats: Map[String, Entry]): String =
-    stats.toSeq.sortBy(_._1).map { case (rel, e) =>
-      val colspec = e.cols.toSeq.sorted.map { case (c, (mn, mx)) =>
-        s"${enc(c)}=${enc(mn)},${enc(mx)}"
-      }.mkString(";")
-      // seq is written RAW: the streaming epoch marker serializes entries
-      // BEFORE the commit stamps them, and its crash-repair path must
-      // re-register them with the sentinel intact so TableStats.write
-      // stamps the repair's own version — clamping to 0 would make every
-      // pre-existing equality delete wrongly suppress the recovered rows
-      val base = s"$rel\t${e.rows}\t${e.bytes}\t$colspec\t${e.seq}\t${if (e.sorted) 1 else 0}"
-      // "-" = "tracked, but the map is empty" — distinguishable from a
-      // shorter line (unknown) and never an empty trailing field (which
-      // split('\t') would drop)
-      def kv(m: Map[String, Long]): String =
-        if (m.isEmpty) "-"
-        else m.toSeq.sorted.map { case (c, n) => s"${enc(c)}=$n" }.mkString(";")
-      (e.nulls, e.sums) match {
-        case (None, s) =>
-          // pre-nulls entry: never grow its line. Sums without null counts
-          // would be silently dropped here (SUM pushdown needs both), so a
-          // caller constructing that shape is a bug — fail loudly.
-          require(s.isEmpty, s"stats entry $rel has sums but no null counts" +
-            " — serialization would drop the sums; writers must set both")
-          base
-        case (Some(n), None) => s"$base\t${kv(n)}"
-        case (Some(n), Some(s)) => s"$base\t${kv(n)}\t${kv(s)}"
-      }
-    }.mkString("", "\n", "\n")
+    stats.toSeq.sortBy(_._1).map { case (rel, e) => serializeLine(rel, e) }
+      .mkString("", "\n", "\n")
 
   private def parseKv(spec: String): Map[String, Long] =
     if (spec == "-") Map.empty
@@ -696,8 +716,8 @@ object TableStats {
       dec(c) -> (dec(mm.substring(0, i)), dec(mm.substring(i + 1)))
     }.toMap
 
-  def deserialize(text: String): Map[String, Entry] =
-    text.linesIterator.filter(_.nonEmpty).map { line =>
+  /** Parse one registry line (the inverse of [[serializeLine]]). */
+  def parseLine(line: String): (String, Entry) =
       line.split('\t') match {
         case Array(rel, rows) => rel -> Entry(rows.toLong, seq = 0L)
         // pre-bytes format: field 3 is the colspec (always contains '=');
@@ -726,7 +746,12 @@ object TableStats {
         case other =>
           throw new IllegalStateException(s"bad stats line: $line")
       }
-    }.toMap
+
+  /** Parse a FULL manifest body. Lines starting with '#' are headers
+    * (see [[HeadPrefix]]) or future extensions — skipped. */
+  def deserialize(text: String): Map[String, Entry] =
+    text.linesIterator.filter(l => l.nonEmpty && !l.startsWith("#"))
+      .map(parseLine).toMap
 
   def read(fs: FileSystem, dataDir: Path): Map[String, Entry] =
     readIfExists(fs, dataDir).getOrElse(Map.empty)
@@ -765,9 +790,31 @@ object TableStats {
       val in = fs.open(p)
       val text = try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
         finally in.close()
-      Some(deserialize(text))
+      if (text.startsWith(PtrPrefix)) {
+        val h = text.substring(PtrPrefix.length).takeWhile(_.isDigit).toLong
+        Some(Snapshots.read(fs, dataDir, h).getOrElse(throw new IllegalStateException(
+          s"graft: live registry of $dataDir points at missing snapshot v$h " +
+            "(vacuum must retain the live pointer target)")))
+      } else Some(deserialize(text))
     }
   }
+
+  /** The snapshot version the live registry currently corresponds to —
+    * the head of the live chain. None for registry-less tables and for
+    * legacy full registries written before the head line existed. Reads
+    * only the registry's first bytes. */
+  def liveVersion(fs: FileSystem, dataDir: Path): Option[Long] =
+    try {
+      val in = fs.open(new Path(dataDir, FileName))
+      val head = try new String(in.readNBytes(64), java.nio.charset.StandardCharsets.UTF_8)
+        finally in.close()
+      val num =
+        if (head.startsWith(PtrPrefix)) head.substring(PtrPrefix.length)
+        else if (head.startsWith(HeadPrefix)) head.substring(HeadPrefix.length)
+        else ""
+      val digits = num.takeWhile(_.isDigit)
+      if (digits.isEmpty) None else Some(digits.toLong)
+    } catch { case _: java.io.IOException => None }
 
   /** Serialize registry read-modify-write cycles across concurrent
     * committers: without this, two INSERTs landing together each read the
@@ -850,37 +897,72 @@ object TableStats {
     }
   }
 
-  /** @return the snapshot version this commit recorded (so commit paths
+  /** Commit `stats` as the new live manifest. MUST be called under
+    * [[withLock]] (all callers are commit paths).
+    *
+    * Metadata cost is O(files touched), not O(live files): the snapshot
+    * is recorded as a DELTA against the current live head whenever that
+    * is smaller (see [[Snapshots.recordAt]]; full checkpoints bound the
+    * chain), and the registry itself is then just a one-line pointer at
+    * it. The snapshot is recorded FIRST, the registry swapped second: a
+    * crash in between is a clean abort (the orphan snapshot's files never
+    * became visible), which the next committer heals here by marking the
+    * orphan version [[ChangeLog.Aborted]] — change feeds then skip it and
+    * [[Snapshots.everRecorded]] excludes its files from tombstones.
+    *
+    * @return the snapshot version this commit recorded (so commit paths
     *         can annotate it with a [[ChangeLog]] kind marker) */
   def write(fs: FileSystem, dataDir: Path, stats: Map[String, Entry]): Long = {
+    val head = liveVersion(fs, dataDir)
+    val maxV = Snapshots.list(fs, dataDir).lastOption.map(_._1).getOrElse(0L)
+    // Heal crashed commits: with the head version known, any UNMARKED
+    // version above it cannot be live (a live commit advances the pointer
+    // before releasing the lock we now hold) and is not a WAP stage
+    // (those carry a Staged marker, written under the stage's lock) — it
+    // is an orphan from a commit that died before its registry swap.
+    head.foreach { h =>
+      var v = h + 1
+      while (v <= maxV) {
+        if (ChangeLog.kindOf(fs, dataDir, v).isEmpty)
+          ChangeLog.writeMarker(fs, dataDir, v, ChangeLog.Aborted)
+        v += 1
+      }
+    }
     // Stamp newly-added entries (seq sentinel -1) with the version this
     // commit will record: the entry's data sequence number. Entries that
     // were read back from the registry keep their original seq.
-    val next = Snapshots.nextVersion(fs, dataDir)
+    val next = maxV + 1
     val stamped = stats.map { case (rel, e) =>
       rel -> (if (e.seq < 0) e.copy(seq = next) else e)
     }
+    // Record the manifest in the snapshot log FIRST (the pointer registry
+    // below needs a resolvable target; version assignment is race-free
+    // under the lock). Data files are immutable and commits never
+    // physically delete them, so the recorded manifest stays readable for
+    // time travel until vacuum expires it (see [[Snapshots]]).
+    Snapshots.recordAt(fs, dataDir, stamped, next, base = head)
+    val full = Snapshots.chainDepth(fs, dataDir, next).contains(0)
+    val content =
+      if (full) s"$HeadPrefix$next\n" + serialize(stamped)
+      else s"$PtrPrefix$next\n"
     // write-temp-then-rename so a concurrent reader never sees a partial
     // registry (rename is atomic on HDFS and local FS)
     // The temp lives OUTSIDE data/ so directory listings racing with the
     // rename never observe (and stat) a vanishing entry.
     val tmp = new Path(dataDir.getParent,
       s".$FileName.tmp-${java.util.UUID.randomUUID()}")
+    val bytes = content.getBytes(java.nio.charset.StandardCharsets.UTF_8)
     val out = fs.create(tmp, true)
-    try out.write(serialize(stamped).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    try out.write(bytes)
     finally out.close()
+    metaBytesWritten.addAndGet(bytes.length)
     val dest = new Path(dataDir, FileName)
     // OVERWRITE rename: readers see the old registry or the new one,
     // never a missing file (FileSystem.rename cannot replace on local FS)
     val fc = org.apache.hadoop.fs.FileContext.getFileContext(fs.getUri, fs.getConf)
     fc.rename(fc.makeQualified(tmp), fc.makeQualified(dest),
       org.apache.hadoop.fs.Options.Rename.OVERWRITE)
-    // Record this manifest in the snapshot log. Every caller is a commit
-    // path holding withLock, so version assignment is race-free; data
-    // files are immutable and commits never physically delete them, so
-    // the recorded manifest stays readable for time travel until vacuum
-    // expires it (see [[Snapshots]]).
-    Snapshots.recordAt(fs, dataDir, stamped, next)
+    next
   }
 }
 

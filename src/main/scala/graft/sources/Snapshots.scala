@@ -52,17 +52,97 @@ object Snapshots {
       .sortBy(_._1)
   }
 
-  /** The manifest recorded as version `v`, or None if expired/unknown. */
-  def read(fs: FileSystem, dataDir: Path, v: Long): Option[Map[String, TableStats.Entry]] = {
-    val p = new Path(snapDir(dataDir), fmt(v))
-    if (!fs.exists(p)) None
-    else {
-      val in = fs.open(p)
-      val text = try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
-        finally in.close()
-      Some(TableStats.deserialize(text))
+  /** Delta-encoded snapshot head line: `#delta\t<baseVersion>`. The body
+    * is `-\t<rel>` removal lines and `+\t<registry line>` add/update
+    * lines against the BASE snapshot's resolved manifest. Snapshots
+    * without the header are full manifests (including every snapshot
+    * written before deltas existed). */
+  private[sources] val DeltaPrefix = "#delta\t"
+  /** Longest allowed base chain before [[recordAt]] forces a full
+    * checkpoint: bounds cold-resolution to ≤ this many small side-file
+    * reads however many commits the table has seen. */
+  private[sources] val MaxChainDepth = 16
+
+  /** Process-wide cache of RESOLVED manifests, keyed by snapshot file
+    * path and validated by (length, mtime): snapshot files are immutable
+    * once renamed into place and vacuum retains every base of a retained
+    * delta, so a matching stat proves the cached resolution — including
+    * its whole base chain — is current. Bounded LRU (accessOrder). */
+  private val resolveCache =
+    new java.util.LinkedHashMap[String, (Long, Long, Int, Map[String, TableStats.Entry])](
+        32, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, (Long, Long, Int, Map[String, TableStats.Entry])])
+          : Boolean = size > 24
     }
+
+  private def readText(fs: FileSystem, p: Path): String = {
+    val in = fs.open(p)
+    try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+    finally in.close()
   }
+
+  /** Resolve snapshot `v` to (full manifest, delta-chain depth); depth 0
+    * = the file is a full manifest. None if the snapshot was never
+    * recorded or expired; throws if `v` is a delta whose base is missing
+    * (vacuum retains chain bases, so that is corruption, not expiry). */
+  private def resolveWithDepth(fs: FileSystem, dataDir: Path, v: Long)
+      : Option[(Map[String, TableStats.Entry], Int)] = {
+    val p = new Path(snapDir(dataDir), fmt(v))
+    val st =
+      try fs.getFileStatus(p)
+      catch { case _: java.io.FileNotFoundException => return None }
+    val key = p.toString
+    resolveCache.synchronized {
+      val hit = resolveCache.get(key)
+      if (hit != null && hit._1 == st.getLen && hit._2 == st.getModificationTime)
+        return Some((hit._4, hit._3))
+    }
+    val text = readText(fs, p)
+    val (m, d) =
+      if (text.startsWith(DeltaPrefix)) {
+        val nl = text.indexOf('\n')
+        val base = text.substring(DeltaPrefix.length, if (nl < 0) text.length else nl)
+          .trim.toLong
+        val (bm, bd) = resolveWithDepth(fs, dataDir, base).getOrElse(
+          throw new IllegalStateException(
+            s"graft: snapshot v$v of $dataDir is a delta over missing base " +
+              s"v$base — chain bases must outlive their deltas"))
+        var acc = bm
+        text.linesIterator.drop(1).filter(_.nonEmpty).foreach { line =>
+          if (line.startsWith("-\t")) acc -= line.substring(2)
+          else if (line.startsWith("+\t")) acc += TableStats.parseLine(line.substring(2))
+          else throw new IllegalStateException(s"graft: bad delta line in v$v: $line")
+        }
+        (acc, bd + 1)
+      } else (TableStats.deserialize(text), 0)
+    resolveCache.synchronized {
+      resolveCache.put(key, (st.getLen, st.getModificationTime, d, m))
+    }
+    Some((m, d))
+  }
+
+  /** The base version of snapshot `v`'s delta, or None for full
+    * manifests / missing snapshots. Reads only the file's first bytes. */
+  def baseOf(fs: FileSystem, dataDir: Path, v: Long): Option[Long] =
+    try {
+      val in = fs.open(new Path(snapDir(dataDir), fmt(v)))
+      val head = try new String(in.readNBytes(64), java.nio.charset.StandardCharsets.UTF_8)
+        finally in.close()
+      if (!head.startsWith(DeltaPrefix)) None
+      else {
+        val digits = head.substring(DeltaPrefix.length).takeWhile(_.isDigit)
+        if (digits.isEmpty) None else Some(digits.toLong)
+      }
+    } catch { case _: java.io.IOException => None }
+
+  /** Delta-chain depth of snapshot `v` (0 = full manifest), or None. */
+  def chainDepth(fs: FileSystem, dataDir: Path, v: Long): Option[Int] =
+    resolveWithDepth(fs, dataDir, v).map(_._2)
+
+  /** The manifest recorded as version `v`, or None if expired/unknown. */
+  def read(fs: FileSystem, dataDir: Path, v: Long): Option[Map[String, TableStats.Entry]] =
+    resolveWithDepth(fs, dataDir, v).map(_._1)
 
   /** Latest version committed at or before `tsMillis` (TIMESTAMP AS OF). */
   def latestAsOf(fs: FileSystem, dataDir: Path, tsMillis: Long): Option[Long] =
@@ -93,8 +173,10 @@ object Snapshots {
     * forever). Versions are contiguous (max+1 assignment), so walking
     * down is exact; marker reads are one side-file stat each. */
   def liveBaseline(fs: FileSystem, dataDir: Path, v: Long): Long = {
+    def sideBranch(k: Option[ChangeLog.Kind]): Boolean =
+      k.contains(ChangeLog.Staged) || k.contains(ChangeLog.Aborted)
     var b = v
-    while (b > 0 && ChangeLog.kindOf(fs, dataDir, b).contains(ChangeLog.Staged))
+    while (b > 0 && sideBranch(ChangeLog.kindOf(fs, dataDir, b)))
       b -= 1
     b
   }
@@ -136,15 +218,21 @@ object Snapshots {
         val base =
           if (m == 0) Map.empty[String, TableStats.Entry]
           else readOrThrow(liveBaseline(fs, dataDir, m))
-        val endV = version.orElse(list(fs, dataDir).lastOption.map(_._1)).getOrElse(0L)
+        // live-registry reads walk to the LIVE head where known (an
+        // unhealed crashed-commit orphan above it is not part of the
+        // chain the endM registry represents)
+        val endV = version.orElse(TableStats.liveVersion(fs, dataDir))
+          .orElse(list(fs, dataDir).lastOption.map(_._1)).getOrElse(0L)
         require(m <= endV,
           s"graft: since-version $m is after the end version $endV")
         var prev = base.keySet
         for (v <- (m + 1) to endV)
-          // a WAP audit snapshot is a side branch: skip it WITHOUT
-          // advancing prev (its adds either surface at the publish
-          // version or never existed on the live chain)
-          if (ChangeLog.kindOf(fs, dataDir, v).contains(ChangeLog.Staged)) ()
+          // a WAP audit snapshot — or an aborted (crashed-commit orphan)
+          // one — is a side branch: skip it WITHOUT advancing prev (its
+          // adds either surface at the publish version or never existed
+          // on the live chain)
+          if (ChangeLog.kindOf(fs, dataDir, v).exists(k =>
+              k == ChangeLog.Staged || k == ChangeLog.Aborted)) ()
           // a vacuumed-away mid-range snapshot is skipped: the files it
           // removed (if any) still show up as a removal at the next
           // retained step, so the check stays sound
@@ -176,10 +264,22 @@ object Snapshots {
     * purpose (COW delete, truncate, compaction swap) and must not be
     * re-registered by recovery paths. O(#retained snapshots) side-file
     * reads — recovery-path cost, not query-path. */
-  def everRecorded(fs: FileSystem, dataDir: Path): Set[String] =
-    list(fs, dataDir).iterator.flatMap { case (v, _) =>
+  def everRecorded(fs: FileSystem, dataDir: Path): Set[String] = {
+    val head = TableStats.liveVersion(fs, dataDir)
+    list(fs, dataDir).iterator.filter { case (v, _) =>
+      val kind = ChangeLog.kindOf(fs, dataDir, v)
+      // an ABORTED commit's manifest — or its not-yet-healed shape, an
+      // unmarked version above the live head — never published its
+      // files: counting them as "recorded" would make crash-repair treat
+      // an acked epoch's files as deliberately-removed tombstones and
+      // drop the rows. Staged (WAP) versions stay included: their files
+      // are pending, not removed.
+      !kind.contains(ChangeLog.Aborted) &&
+        (head.forall(v <= _) || kind.contains(ChangeLog.Staged))
+    }.flatMap { case (v, _) =>
       read(fs, dataDir, v).map(_.keySet).getOrElse(Set.empty[String])
     }.toSet
+  }
 
   /** The version the next commit will record. Race-free only under
     * [[TableStats.withLock]]. */
@@ -194,17 +294,51 @@ object Snapshots {
 
   /** [[record]] at a caller-chosen version — the caller computed
     * [[nextVersion]] itself (to stamp entry seqs with it) and must pass
-    * the same value so entry seq == manifest version stays an invariant. */
+    * the same value so entry seq == manifest version stays an invariant.
+    *
+    * With `base` set (the version whose resolved manifest the caller
+    * derived `stats` from — the live head for commits and WAP stages),
+    * the snapshot is written as a DELTA when that is smaller than the
+    * full manifest: the commit's metadata write is then O(files touched).
+    * Full checkpoints are forced when the chain would exceed
+    * [[MaxChainDepth]] or the delta would not be smaller (e.g. truncate),
+    * bounding resolution cost. */
   def recordAt(fs: FileSystem, dataDir: Path, stats: Map[String, TableStats.Entry],
-               next: Long): Long = {
+               next: Long, base: Option[Long] = None): Long = {
     val d = snapDir(dataDir)
     fs.mkdirs(d)
+    val resolvedBase = base.flatMap(b =>
+      resolveWithDepth(fs, dataDir, b).map { case (m, depth) => (b, m, depth) })
+    val (body, depth) = resolvedBase match {
+      case Some((b, bm, bd)) if bd + 1 <= MaxChainDepth =>
+        val removes = (bm.keySet -- stats.keySet).toSeq.sorted
+        val adds = stats.toSeq.sortBy(_._1)
+          .filter { case (r, e) => !bm.get(r).contains(e) }
+        if (removes.size + adds.size < stats.size)
+          ((Iterator(s"$DeltaPrefix$b") ++ removes.iterator.map("-\t" + _) ++
+            adds.iterator.map { case (r, e) => "+\t" + TableStats.serializeLine(r, e) })
+            .mkString("", "\n", "\n"), bd + 1)
+        else (TableStats.serialize(stats), 0)
+      case _ => (TableStats.serialize(stats), 0)
+    }
     val tmp = new Path(d, s".${fmt(next)}.tmp")
+    val bytes = body.getBytes(java.nio.charset.StandardCharsets.UTF_8)
     val out = fs.create(tmp, true)
-    try out.write(TableStats.serialize(stats).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    try out.write(bytes)
     finally out.close()
-    if (!fs.rename(tmp, new Path(d, fmt(next))))
+    TableStats.metaBytesWritten.addAndGet(bytes.length)
+    val dest = new Path(d, fmt(next))
+    if (!fs.rename(tmp, dest))
       throw new IllegalStateException(s"graft: could not record snapshot $next under $d")
+    // prime the resolve cache: the committer (and the first readers) will
+    // resolve this version next — no reason to re-read what we just wrote
+    try {
+      val st = fs.getFileStatus(dest)
+      resolveCache.synchronized {
+        resolveCache.put(dest.toString,
+          (st.getLen, st.getModificationTime, depth, stats))
+      }
+    } catch { case _: java.io.IOException => () }
     next
   }
 
@@ -319,7 +453,8 @@ object Snapshots {
     try out.write(TableStats.serialize(stamped)
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
-    recordAt(fs, dataDir, TableStats.read(fs, dataDir) ++ stamped, next)
+    recordAt(fs, dataDir, TableStats.read(fs, dataDir) ++ stamped, next,
+      base = TableStats.liveVersion(fs, dataDir))
     // mark the audit snapshot as a SIDE BRANCH: change feeds must skip it
     // without advancing, so the adds surface at the publish version (and
     // never surface for a discarded stage)
@@ -416,7 +551,12 @@ object Snapshots {
     import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
     val dataDir = new Path(table.dataDir)
     val fs = dataDir.getFileSystem(new Configuration())
-    val endV = end.getOrElse(list(fs, dataDir).lastOption.map(_._1).getOrElse(0L))
+    // default end = the LIVE head where known: a crashed commit's orphan
+    // snapshot above it (unmarked until the next committer heals it) must
+    // not replay as an append
+    val endV = end.getOrElse(
+      TableStats.liveVersion(fs, dataDir).orElse(
+        list(fs, dataDir).lastOption.map(_._1)).getOrElse(0L))
     require(since <= endV, s"graft: since-version $since is after $endV")
     require(table.renames.isEmpty,
       "graft: change feed over a renamed-column table is not supported yet")
@@ -463,10 +603,11 @@ object Snapshots {
     // _commit_version) and could hide an intra-gap rewrite
     for (v <- (since + 1) to endV) {
       val kind = ChangeLog.kindOf(fs, dataDir, v)
-      // a WAP audit snapshot is a side branch, not a live commit: skip it
-      // WITHOUT advancing prev, so its files diff against the live chain
-      // at the publish version (or never, when the stage was discarded)
-      if (kind.contains(ChangeLog.Staged)) ()
+      // a WAP audit snapshot — or an aborted orphan — is a side branch,
+      // not a live commit: skip it WITHOUT advancing prev, so its files
+      // diff against the live chain at the publish version (or never,
+      // when the stage was discarded / the commit crashed)
+      if (kind.contains(ChangeLog.Staged) || kind.contains(ChangeLog.Aborted)) ()
       else {
         val cur = manifestAt(v)
         def abs(rels: Seq[String]): Seq[String] = rels.map(r => s"${table.dataDir}/$r")
@@ -645,10 +786,25 @@ object Snapshots {
       // tagged snapshots are pinned: a tag is a promise that readers can
       // keep resolving that exact manifest, so vacuum never expires one
       val tagged = tags(fs, dataDir).values.toSet
-      val (dropped, keptYoung) = expired.partition {
+      val (dropped0, keptYoung) = expired.partition {
         case (v, ts) => now - ts >= minAgeMillis && !tagged.contains(v)
       }
-      val kept = keptYoung ++ retained
+      // the live pointer target, and every delta-chain ancestor of a
+      // surviving (or tagged, or live) manifest, must outlive them: a
+      // pointer registry with a missing target — or a delta snapshot
+      // with a missing base — would be unreadable corruption
+      val liveHead = TableStats.liveVersion(fs, dataDir)
+      val needed = scala.collection.mutable.Set[Long]()
+      needed ++= liveHead
+      var frontier: Set[Long] =
+        (keptYoung ++ retained).map(_._1).toSet ++ tagged ++ liveHead
+      while (frontier.nonEmpty) {
+        val bases = frontier.flatMap(v => baseOf(fs, dataDir, v)) -- needed
+        needed ++= bases
+        frontier = bases
+      }
+      val (keptChain, dropped) = dropped0.partition { case (v, _) => needed.contains(v) }
+      val kept = keptYoung ++ keptChain ++ retained
       val live = TableStats.read(fs, dataDir).keySet
       val reachable: Set[String] =
         live ++ kept.flatMap { case (v, _) =>

@@ -309,6 +309,69 @@ class ScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.sql("DROP TABLE graft.mf.many")
   }
 
+  test("commit metadata cost is O(files touched), not O(live files)") {
+    import graft.sources.{Snapshots, TableStats}
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.mf")
+    spark.sql("CREATE TABLE graft.mf.shard (id BIGINT, v DOUBLE)")
+    // grow a many-file table: 2 commits x 250 tasks ≈ 500 live files
+    for (i <- 0 until 2)
+      spark.range(i * 25000L, (i + 1) * 25000L)
+        .selectExpr("id", "CAST(id % 97 AS DOUBLE) AS v")
+        .repartition(250)
+        .writeTo("graft.mf.shard").append()
+    val tableDir = spark.conf.get("spark.sql.catalog.graft.warehouse") + "/mf/shard"
+    val dataDir = new org.apache.hadoop.fs.Path(tableDir + "/data")
+    val fs = dataDir.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val live = TableStats.read(fs, dataDir).size
+    assert(live >= 450, s"expected ~500 live files, got $live")
+
+    // one SMALL appending commit: the snapshot is a delta of its own
+    // entries and the registry swap a one-line pointer — a full rewrite
+    // of ~500 entries would be tens of KB
+    val b0 = TableStats.metaBytesWritten.get()
+    spark.range(100000L, 100010L)
+      .selectExpr("id", "CAST(id % 97 AS DOUBLE) AS v")
+      .repartition(2)
+      .writeTo("graft.mf.shard").append()
+    val wrote = TableStats.metaBytesWritten.get() - b0
+    assert(wrote < 4000,
+      s"appending 2 files to a $live-file table wrote $wrote metadata bytes")
+
+    // the pointer registry resolves to the exact live manifest
+    assert(spark.sql("SELECT count(*) FROM graft.mf.shard").head().getLong(0) == 50010L)
+
+    // a long run of tiny commits: the checkpoint rule bounds every delta
+    // chain, and per-commit metadata stays flat
+    val perCommit = scala.collection.mutable.ArrayBuffer[Long]()
+    for (i <- 0 until 20) {
+      val c0 = TableStats.metaBytesWritten.get()
+      spark.range(200000L + i, 200001L + i)
+        .selectExpr("id", "CAST(id % 97 AS DOUBLE) AS v")
+        .writeTo("graft.mf.shard").append()
+      perCommit += TableStats.metaBytesWritten.get() - c0
+    }
+    val head = TableStats.liveVersion(fs, dataDir).get
+    for (v <- 1L to head)
+      Snapshots.chainDepth(fs, dataDir, v).foreach(d =>
+        assert(d <= 16, s"v$v has chain depth $d"))
+    // checkpoints (full rewrites) are the bounded exception, deltas the
+    // rule: at least 3/4 of the tiny commits must be delta-sized
+    val small = perCommit.count(_ < 4000)
+    assert(small >= 15, s"only $small/20 tiny commits were delta-sized: $perCommit")
+    assert(spark.sql("SELECT count(*) FROM graft.mf.shard").head().getLong(0) == 50030L)
+
+    // time travel resolves across delta chains
+    assert(spark.sql("SELECT count(*) FROM graft.mf.shard VERSION AS OF 2")
+      .head().getLong(0) == 50000L)
+
+    // vacuum keeps every chain base a retained manifest needs: after
+    // expiring history, the live head still resolves and reads are exact
+    Snapshots.vacuum(tableDir, retain = 2, minAgeMillis = 0L)
+    assert(spark.sql("SELECT count(*) FROM graft.mf.shard").head().getLong(0) == 50030L)
+    assert(TableStats.read(fs, dataDir).size == live + 2 + 20)
+    spark.sql("DROP TABLE graft.mf.shard")
+  }
+
   test("merge-on-read at 200 files: metadata-only mutation, bounded planning") {
     import graft.sources.{GraftDeletes, GraftScan, TableStats}
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.mf")
