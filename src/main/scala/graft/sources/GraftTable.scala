@@ -29,14 +29,35 @@ import graft.functions.{ColumnNames, RowKeyGenerator}
   * (SURVEY.md §2.1 #14, #25).
   */
 final class GraftTable(
-    ident: String,
-    schemaIn: StructType,
-    props: Map[String, String],
-    tableDir: String,
-    partitionCols: Seq[String] = Nil,
-    pinnedVersion: Option[Long] = None)
+    val ident: String,
+    val schemaIn: StructType,
+    val props: Map[String, String],
+    val tableDir: String,
+    val partitionCols: Seq[String] = Nil,
+    val pinnedVersion: Option[Long] = None)
     extends Table with SupportsRead with SupportsWrite with SupportsDelete
     with SupportsMetadataColumns with SupportsRowLevelOperations {
+
+  /** VALUE equality over the load identity (what Iceberg's SparkTable
+    * does, for the same reason): every `loadTable` builds a fresh
+    * instance, and `DataSourceV2Relation`'s canonicalized comparison
+    * includes the `Table` — with reference equality no two analyses of
+    * the same table ever `sameResult`, so Spark's cache manager can
+    * never substitute a persisted result into a later query and scan
+    * reuse across plans is impossible. Writes through the session
+    * invalidate affected cache entries (Spark's V2 write exec nodes
+    * carry a refreshCache callback keyed on relation equality), the same
+    * staleness contract as the built-in file sources. */
+  override def equals(other: Any): Boolean = other match {
+    case t: GraftTable =>
+      ident == t.ident && schemaIn == t.schemaIn && props == t.props &&
+        tableDir == t.tableDir && partitionCols == t.partitionCols &&
+        pinnedVersion == t.pinnedVersion
+    case _ => false
+  }
+  override def hashCode(): Int =
+    java.util.Objects.hash(ident, schemaIn, props, tableDir, partitionCols,
+      pinnedVersion)
 
   /** Merge-on-read tables surface `row_key` as NOT NULL: equality deletes
     * key on it, Spark requires non-nullable row-id attributes, and the
@@ -1836,7 +1857,8 @@ final class GraftScan(
     // has to carry over.
     new GraftReaderFactory(required,
       if (tracker.isDefined) Array.empty else pushed, columnarOK, wantFile,
-      wantVersion, renames, deletesBc, widened)
+      wantVersion, renames, deletesBc, widened,
+      incremental = sinceVersion.isDefined)
   }
 
   /** Equality-delete keys ship as a BROADCAST: once per executor, not
@@ -2243,6 +2265,11 @@ object GraftScan {
   val countStarListings = new java.util.concurrent.atomic.AtomicLong(0)
   /** Files dropped by TopN pruning across scans. Diagnostics only. */
   val topNPrunedFiles = new java.util.concurrent.atomic.AtomicLong(0)
+  /** Partition-reader opens of INCREMENTAL (since-version) scans.
+    * Diagnostics only — lets tests assert a consumer of a change delta
+    * (e.g. the MV incremental refresh) READS the delta exactly once,
+    * not once to verify and again to apply. */
+  val incrementalReaderOpens = new java.util.concurrent.atomic.AtomicLong(0)
 
   /** A pushed `ORDER BY col [ASC|DESC] [NULLS FIRST|LAST] LIMIT n`
     * (leading sort key only — see `GraftScanBuilder.pushTopN`). */
@@ -2390,8 +2417,14 @@ final class GraftReaderFactory(
     wantVersion: Boolean = false,
     renames: Map[String, Seq[String]] = Map.empty,
     deletesBc: Option[org.apache.spark.broadcast.Broadcast[Array[(String, Long)]]] = None,
-    widened: Set[String] = Set.empty)
+    widened: Set[String] = Set.empty,
+    incremental: Boolean = false)
     extends PartitionReaderFactory {
+
+  /** See [[GraftScan.incrementalReaderOpens]] (meaningful in local mode,
+    * where executors share the driver JVM's counter). */
+  private def countOpen(): Unit =
+    if (incremental) GraftScan.incrementalReaderOpens.incrementAndGet()
 
   /** Executor-side view of the equality-delete keys (empty when none). */
   private def deletes: Array[(String, Long)] =
@@ -2442,6 +2475,7 @@ final class GraftReaderFactory(
   }
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    countOpen()
     val remaining = scala.collection.mutable.Queue(ranges(partition): _*)
     new PartitionReader[InternalRow] {
       private var reader: org.apache.parquet.hadoop.ParquetReader[InternalRow] = _
@@ -2545,6 +2579,7 @@ final class GraftReaderFactory(
 
   override def createColumnarReader(
       partition: InputPartition): PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
+    countOpen()
     val remaining = scala.collection.mutable.Queue(ranges(partition): _*)
     new PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
       private var reader: org.apache.spark.sql.execution.datasources.parquet.VectorizedParquetRecordReader = _

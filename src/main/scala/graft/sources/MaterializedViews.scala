@@ -444,39 +444,45 @@ final case class GraftRefreshMvCommand(parts: Seq[String])
   private def tryIncremental(session: SparkSession, cat: GraftCatalog,
       id: org.apache.spark.sql.connector.catalog.Identifier, mvName: String,
       baseName: String, spec: Spec, since: Long, until: Long): Boolean = {
-    val delta =
-      try {
-        val d = session.read
-          .option("since-version", since)
-          .option("snapshot-version", until)
-          .table(baseName)
-        val groups = spec.groups
-        val aggCols = spec.cols.filter(_.kind != "group").map { c =>
-          import org.apache.spark.sql.functions._
-          c.kind match {
-            case "count" => count(lit(1)).as(c.out)
-            case "sum" => sum(col(c.src)).as(c.out)
-            case "min" => min(col(c.src)).as(c.out)
-            case "max" => max(col(c.src)).as(c.out)
-          }
+    var delta: org.apache.spark.sql.DataFrame = null
+    try {
+      val d = session.read
+        .option("since-version", since)
+        .option("snapshot-version", until)
+        .table(baseName)
+      val groups = spec.groups
+      val aggCols = spec.cols.filter(_.kind != "group").map { c =>
+        import org.apache.spark.sql.functions._
+        c.kind match {
+          case "count" => count(lit(1)).as(c.out)
+          case "sum" => sum(col(c.src)).as(c.out)
+          case "min" => min(col(c.src)).as(c.out)
+          case "max" => max(col(c.src)).as(c.out)
         }
-        val agg = d.groupBy(groups.map(g =>
-            org.apache.spark.sql.functions.col(g.src).as(g.out)): _*)
-          .agg(aggCols.head, aggCols.tail: _*)
-        agg.collect() // forces the verified incremental scan NOW: a COW
-                      // commit in the range throws here, not mid-MERGE
-        agg
-      } catch {
-        // the verified scan's refusal may surface wrapped (analysis /
-        // execution layers) — walk the cause chain; anything else is a
-        // real error and must not silently degrade to a full recompute
-        case e: Throwable =>
-          val msgs = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
-            .map(t => String.valueOf(t.getMessage)).toSeq
-          if (msgs.exists(m => m.contains("incremental read") ||
-              m.contains("non-append commit"))) return false
-          throw e
       }
+      delta = d.groupBy(groups.map(g =>
+          org.apache.spark.sql.functions.col(g.src).as(g.out)): _*)
+        .agg(aggCols.head, aggCols.tail: _*)
+      // persist THEN count: forces the verified incremental scan NOW (a
+      // COW commit in the range throws here, not mid-MERGE) and leaves
+      // the grouped delta materialized on the EXECUTORS — the MERGE
+      // below reads the cached result, so the delta scan + aggregate
+      // runs exactly once and nothing group-count-sized ever lands on
+      // the driver (a high-cardinality-group MV stays bounded)
+      delta.persist()
+      delta.count()
+    } catch {
+      // the verified scan's refusal may surface wrapped (analysis /
+      // execution layers) — walk the cause chain; anything else is a
+      // real error and must not silently degrade to a full recompute
+      case e: Throwable =>
+        if (delta != null) delta.unpersist()
+        val msgs = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+          .map(t => String.valueOf(t.getMessage)).toSeq
+        if (msgs.exists(m => m.contains("incremental read") ||
+            m.contains("non-append commit"))) return false
+        throw e
+    }
     val view = "graft_mv_delta_" +
       java.util.UUID.randomUUID().toString.replace("-", "")
     delta.createOrReplaceTempView(view)
@@ -505,7 +511,10 @@ final case class GraftRefreshMvCommand(parts: Seq[String])
            |WHEN MATCHED THEN UPDATE SET $sets
            |WHEN NOT MATCHED THEN INSERT ($cols) VALUES ($vals)""".stripMargin)
       true
-    } finally session.catalog.dropTempView(view)
+    } finally {
+      session.catalog.dropTempView(view)
+      delta.unpersist()
+    }
   }
 }
 

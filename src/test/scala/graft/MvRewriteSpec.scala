@@ -106,9 +106,15 @@ class MvRewriteSpec extends AnyFunSuite with BeforeAndAfterAll {
       Seq("d1", 3L, 6L), Seq("d2", 3L, 15L), Seq("d3", 1L, 10L)))
 
     // append-only range + integral sums => the refresh is INCREMENTAL
-    // (only the appended files are read, delta MERGEd into the MV)
+    // (only the appended files are read, delta MERGEd into the MV) — and
+    // SINGLE-PASS: the grouped delta is persisted on the executors (no
+    // driver collect of grouped rows), so the one delta file is READ
+    // exactly once, not once to verify and again for the MERGE
+    val inc0 = graft.sources.GraftScan.incrementalReaderOpens.get()
     val r = spark.sql("REFRESH MATERIALIZED VIEW mvc.m.dailies").collect()
     assert(r.head.getString(1) === "incremental", r.mkString(","))
+    val incN = graft.sources.GraftScan.incrementalReaderOpens.get() - inc0
+    assert(incN == 1, s"incremental refresh read the 1-file delta $incN times, want 1")
     val fresh = spark.sql(
       "SELECT day, count(*) AS cnt, sum(v) AS sv FROM mvc.m.base_ev GROUP BY day")
     assert(scansMv(fresh), fresh.queryExecution.optimizedPlan.toString)
