@@ -71,11 +71,18 @@ object Vectors {
         val q = e.filter(col("vec_id") < 20).select(col("vec_id").as("qid"), col("e").as("qe"))
         val c = e.select(col("vec_id").as("vid"), col("e").as("ve"))
         val pairs = broadcast(q).crossJoin(c).filter(col("qid") =!= col("vid"))
-        val w = Window.partitionBy(col("qid")).orderBy(desc("cos"), col("vid"))
+        // top-3 per query via the map-side-combining TopK aggregate: the
+        // shuffle carries only #queries × 3 rows per partition — never the
+        // (queries × corpus) pair stream a per-qid window would funnel
+        // through #queries reducers
+        val topk = udaf(graft.functions.TopKAgg(3),
+          org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[graft.functions.TopKIn]())
         cosine(pairs, n)
-          .withColumn("rank", row_number().over(w).cast("long"))
-          .filter(col("rank") <= 3)
-          .select(col("qid"), col("rank"), col("vid"), col("cos"))
+          .groupBy(col("qid"))
+          .agg(topk(col("cos"), col("vid")).as("top"))
+          .select(col("qid"), posexplode(col("top")))
+          .select(col("qid"), (col("pos") + 1).cast("long").as("rank"),
+            col("col.id").as("vid"), col("col.score").as("cos"))
           .orderBy(col("qid"), col("rank"))
       },
       Some(s"""WITH $duckNorms,
@@ -1117,9 +1124,15 @@ object Vectors {
           .select(col("vec_id").as("qid"), col("e").as("qe"))
         val c = e.select(col("vec_id").as("vid"), col("e").as("ve"))
         val pairs = broadcast(q).crossJoin(c).filter(col("qid") =!= col("vid"))
-        val w = Window.partitionBy(col("qid")).orderBy(desc("cos"), col("vid"))
+        // top-5 per query via the TopK aggregate (see q27): map-side
+        // combining keeps every reducer's input at #queries × 5 rows; the
+        // remaining windows below run over ≤ 5 vote rows per query
+        val topk = udaf(graft.functions.TopKAgg(5),
+          org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[graft.functions.TopKIn]())
         val top = cosine(pairs, n)
-          .withColumn("rank", row_number().over(w)).filter(col("rank") <= 5)
+          .groupBy(col("qid"))
+          .agg(topk(col("cos"), col("vid")).as("top"))
+          .select(col("qid"), explode(col("top.id")).as("vid"))
         val votes = top
           .join(labels.withColumnRenamed("vec_id", "vid"), "vid")
           .groupBy(col("qid"), col("label")).agg(count(lit(1)).as("votes"))

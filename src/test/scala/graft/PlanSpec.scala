@@ -685,6 +685,34 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("brute-force ANN probes rank with a map-side TopK aggregate, not a per-query window") {
+    // q27/q135 score (queries × corpus) pairs; ranking them with
+    // Window.partitionBy(qid) would shuffle the whole pair stream into
+    // #queries reducers, each receiving a corpus-sized partition. The
+    // TopK aggregate combines map-side, so the plan must carry a partial
+    // hash aggregate and NO window over the pair stream.
+    for (name <- Seq("q27_ann_bruteforce", "q135_knn_label_eval")) {
+      val df = SparkEntry.queries(name)(spark, dir)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("topkagg"),
+        s"$name must rank via TopKAgg: ${plan.take(1200)}")
+      if (name == "q27_ann_bruteforce")
+        assert(!plan.contains("Window"), s"$name still plans a window")
+      else {
+        // q135's surviving windows rank VOTE rows (≤ 5 per query) — the
+        // pair-sized stream itself must reach only the aggregate. The
+        // window input must be an aggregate output, not the cosine join:
+        // no Window node may have the pair-producing join below it
+        // without an intervening aggregate.
+        val lines = plan.linesIterator.toSeq
+        val winIdx = lines.indexWhere(_.contains("Window"))
+        val aggBelow = lines.drop(winIdx).exists(_.contains("topkagg"))
+        assert(winIdx < 0 || aggBelow,
+          s"$name windows over the pair stream: ${plan.take(1200)}")
+      }
+    }
+  }
+
   test("graft source: pushed filters appear in scan description and prune row groups") {
     import java.nio.file.Files
     val wh = Files.createTempDirectory("graft_wh_plan").toString
