@@ -338,6 +338,38 @@ object Engine2 {
         CAST(COUNT(*) AS BIGINT) AS n,
         CAST(SUM(n_chars) AS BIGINT) AS chars,
         CAST(SUM(doc_id) AS BIGINT) AS id_sum
-        FROM documents GROUP BY 1 ORDER BY commit_version"""))
+        FROM documents GROUP BY 1 ORDER BY commit_version""")),
+
+    // ---- q146: PARTIAL aggregate pushdown (non-partition GROUP BY) -------
+    // GROUP BY a DATA column (not a partition): complete pushdown is
+    // impossible in general, but on an ingest layout where every file is
+    // single-valued in the group column (here: one group per commit, the
+    // clustered/partition-less sharding shape), the scan returns one
+    // per-file partial row from the registry and Spark finishes the
+    // grouping — file-count-many rows shuffle, zero data I/O. PlanSpec
+    // asserts the plan shape + footer counters; this gate checks values.
+    QueryDef(
+      "q146_partial_agg",
+      (s, dir) => {
+        val ns = ensureCatalog(s, dir)
+        s.sql(s"DROP TABLE IF EXISTS $ns.pagg")
+        s.sql(s"CREATE TABLE $ns.pagg (grp BIGINT, doc_id BIGINT, n_chars BIGINT)")
+        for (g <- 0 to 3)
+          s.sql(s"""INSERT INTO $ns.pagg
+                   |SELECT doc_id % 4, doc_id, n_chars
+                   |FROM parquet.`$dir/documents.parquet` WHERE doc_id % 4 = $g""".stripMargin)
+        s.sql(s"""SELECT grp, CAST(COUNT(*) AS BIGINT) AS n,
+                 |  CAST(SUM(n_chars) AS BIGINT) AS chars,
+                 |  CAST(COUNT(n_chars) AS BIGINT) AS n_nonnull,
+                 |  CAST(MIN(doc_id) AS BIGINT) AS first_doc,
+                 |  CAST(MAX(doc_id) AS BIGINT) AS last_doc
+                 |FROM $ns.pagg GROUP BY grp ORDER BY grp""".stripMargin)
+      },
+      Some("""SELECT CAST(doc_id % 4 AS BIGINT) AS grp, CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(SUM(n_chars) AS BIGINT) AS chars,
+        CAST(COUNT(n_chars) AS BIGINT) AS n_nonnull,
+        CAST(MIN(doc_id) AS BIGINT) AS first_doc,
+        CAST(MAX(doc_id) AS BIGINT) AS last_doc
+        FROM documents GROUP BY 1 ORDER BY grp"""))
   )
 }

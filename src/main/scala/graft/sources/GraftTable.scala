@@ -1015,7 +1015,11 @@ final class GraftScanBuilder(
   /** Filters fully enforced by identity-partition pruning (not returned
     * as residual — see [[absorbable]]). Always a subset of `pushed`. */
   private var absorbed: Set[Filter] = Set.empty
-  private var pushedAggs: Option[(Seq[String], Seq[GraftAggScan.Spec])] = None
+  /** (group cols, agg specs, partial): `partial=false` = the fold IS the
+    * final answer (identity-partition grouping); `partial=true` = the
+    * scan returns one per-file partial row and Spark finishes grouping
+    * (non-identity grouping over single-valued-per-file columns). */
+  private var pushedAggs: Option[(Seq[String], Seq[GraftAggScan.Spec], Boolean)] = None
   private var limit: Option[Int] = None
   private var topN: Option[GraftScan.TopN] = None
 
@@ -1109,7 +1113,7 @@ final class GraftScanBuilder(
     * fires exactly when safe.) */
   override def supportCompletePushDown(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
-    aggSpecs(agg).isDefined
+    aggSpecs(agg).exists(!_._3)
 
   /** Column types whose registry ranges are exact for MIN/MAX purposes. */
   private def rangeExact(dt: org.apache.spark.sql.types.DataType): Boolean = {
@@ -1147,7 +1151,7 @@ final class GraftScanBuilder(
 
   private def aggSpecs(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
-      : Option[(Seq[String], Seq[GraftAggScan.Spec])] = {
+      : Option[(Seq[String], Seq[GraftAggScan.Spec], Boolean)] = {
     import org.apache.spark.sql.connector.expressions.NamedReference
     import org.apache.spark.sql.connector.expressions.aggregate._
     // pushed filters are allowed ONLY when every one was absorbed by
@@ -1161,18 +1165,44 @@ final class GraftScanBuilder(
     // absorbed predicates (absorbable() verified this at absorption time;
     // kept as a local guard)
     if (absorbed.nonEmpty && !allFilesLayoutParse) return None
-    // GROUP BY pushdown: every grouping expression must be an IDENTITY
-    // partition column — each file then belongs to exactly one group,
-    // derivable from its directory path, and per-group folds of the
-    // registered per-file stats are exact
+    // GROUP BY pushdown — two tiers:
+    //  - COMPLETE: every grouping expression is an IDENTITY partition
+    //    column — each file belongs to exactly one group, derivable from
+    //    its directory path, and per-group folds of the registered
+    //    per-file stats are exact;
+    //  - PARTIAL: a non-identity grouping column is admitted when EVERY
+    //    live non-empty file is provably SINGLE-VALUED in it (registry
+    //    range min == max, zero nulls — the sort-clustered layout), or
+    //    all-null. The scan then returns one per-file partial row
+    //    (group values + per-file folds) and Spark finishes the
+    //    grouping: file-count-many rows shuffle instead of data rows,
+    //    still zero data I/O.
     val identityCols = partitionCols.map(PartField.parse)
       .collect { case PartField.Identity(c) => c }.toSet
     val groupCols: Seq[String] = agg.groupByExpressions().toSeq.map {
-      case nr: NamedReference if nr.fieldNames().length == 1 &&
-          identityCols.contains(nr.fieldNames()(0)) => nr.fieldNames()(0)
+      case nr: NamedReference if nr.fieldNames().length == 1 => nr.fieldNames()(0)
       case _ => return None
     }
-    if (groupCols.nonEmpty && !allFilesLayoutParse) return None
+    // identity group values parse from directory paths
+    if (groupCols.exists(identityCols.contains) && !allFilesLayoutParse) return None
+    val nonIdentity = groupCols.filterNot(identityCols.contains)
+    // a non-identity group column needs an exactly-parseable registered
+    // range: integral/date types only (float group keys would hinge on
+    // NaN/-0.0 string round-trips), and none of the rename/widen/default
+    // ambiguities the value-reading folds exclude
+    def groupEligible(name: String): Boolean = {
+      import org.apache.spark.sql.types._
+      tableSchema.fields.find(_.name == name).exists(f =>
+        (f.dataType match {
+          case ByteType | ShortType | IntegerType | LongType | DateType => true
+          case _ => false
+        }) && !renames.contains(f.name) && !widened.contains(f.name) &&
+          !f.metadata.contains("EXISTS_DEFAULT"))
+    }
+    if (nonIdentity.nonEmpty &&
+        !(nonIdentity.forall(groupEligible) && allFilesRangeRegistered &&
+          allFilesSingleValued(nonIdentity))) return None
+    val partial = nonIdentity.nonEmpty
     // Shared column-eligibility core: single-field reference, accepted
     // type, and the exclusions every registry-backed fold needs —
     //  - pre-rename files registered the column under its FORMER name
@@ -1255,9 +1285,27 @@ final class GraftScanBuilder(
       if (needsRanges && !allFilesRangeRegistered) None
       else if (sumFields.nonEmpty && !allFilesSumRegistered(sumFields)) None
       else if (countFields.nonEmpty && !allFilesCountEvidence(countFields)) None
-      else Some((groupCols, resolved))
+      else Some((groupCols, resolved, partial))
     }
   }
+
+  /** PARTIAL GROUP BY precondition: every live non-empty file is
+    * single-valued in each grouping column — a registered range with
+    * min == max and exactly zero counted nulls (one group), or no range
+    * at all with every row null (the NULL group; under
+    * [[allFilesRangeRegistered]] an absent key means no non-null value).
+    * Anything else means one file spans several groups, which per-file
+    * stats cannot split — withheld, never a wrong group. */
+  private def allFilesSingleValued(fields: Seq[String]): Boolean =
+    manifestForPushdown.exists(_.forall { case (rel, e) =>
+      GraftDeletes.isDeleteRel(rel) || e.rows == 0L ||
+        (e.nulls.isDefined && fields.forall { f =>
+          e.cols.get(f) match {
+            case Some((mn, mx)) => mn == mx && e.nulls.get.getOrElse(f, 0L) == 0L
+            case None => e.nulls.get.getOrElse(f, 0L) == e.rows
+          }
+        })
+    })
 
   /** SUM pushdown precondition: every live non-empty file registered an
     * exact sum for each summed column AND exact null counts (absent sums
@@ -1397,13 +1445,14 @@ final class GraftScanBuilder(
   override def pushedFilters(): Array[Filter] = pushed
 
   override def build(): Scan = pushedAggs match {
-    case Some((Seq(), Seq(GraftAggScan.Count))) if absorbed.isEmpty =>
+    case Some((Seq(), Seq(GraftAggScan.Count), false)) if absorbed.isEmpty =>
       // pure unfiltered COUNT(*) keeps the dedicated scan (it can still
       // answer from parquet footers when no registry exists)
       new GraftCountStarScan(dataDir, snapshotVersion, sinceVersion, manifestCache)
-    case Some((groups, specs)) =>
+    case Some((groups, specs, partial)) =>
       new GraftAggScan(tableSchema, dataDir, specs, snapshotVersion,
-        sinceVersion, manifestCache, groups, partitionCols, absorbed.toSeq)
+        sinceVersion, manifestCache, groups, partitionCols, absorbed.toSeq,
+        partial)
     case None => new GraftScan(tableSchema, required, pushed, dataDir, partitionCols,
       wantFile, wantVersion, tracker, limit, maxFilesPerTrigger, maxBytesPerTrigger,
       snapshotVersion, sinceVersion, renames, onManifest, manifestCache,
@@ -2084,7 +2133,8 @@ final class GraftAggScan(
     manifestPre: Option[Option[Map[String, TableStats.Entry]]] = None,
     groupBy: Seq[String] = Nil,
     partitionCols: Seq[String] = Nil,
-    absorbedFilters: Seq[Filter] = Nil)
+    absorbedFilters: Seq[Filter] = Nil,
+    partial: Boolean = false)
     extends Scan with Batch {
   import org.apache.spark.sql.types._
 
@@ -2107,7 +2157,8 @@ final class GraftAggScan(
   override def toBatch: Batch = this
   override def description(): String =
     s"GraftAggScan[$dataDir, ${specs.mkString(",")}" +
-      (if (groupBy.isEmpty) "]" else s", groupBy=${groupBy.mkString(",")}]")
+      (if (groupBy.isEmpty) "]"
+       else s", groupBy=${groupBy.mkString(",")}${if (partial) ", partial" else ""}]")
 
   import GraftAggScan.{cmp, toCatalyst}
 
@@ -2178,24 +2229,41 @@ final class GraftAggScan(
       }
     if (groupBy.isEmpty) Array(fold(live.map(_._2)).toArray)
     else {
-      // each file's group values come from its directory path — exact,
-      // verified parseable by the builder's allFilesLayoutParse gate
+      // group values per file: identity partition columns parse from the
+      // directory path (builder-verified layout); in PARTIAL mode a
+      // non-identity column reads its registered range, which the
+      // builder proved single-valued (min == max, zero nulls) or
+      // all-null (no range under a fully range-registered manifest)
       val partFields = partitionCols.map(PartField.parse)
       val segIdx = groupBy.map(g => partFields.indexWhere {
         case PartField.Identity(c) => c == g
         case _ => false
       })
-      def groupValsOf(rel: String): Seq[Any] = {
+      def groupValsOf(rel: String, e: TableStats.Entry): Seq[Any] = {
         val segs = rel.split('/')
-        groupBy.zip(segIdx).map { case (g, i) =>
-          val raw = segs(i).split("=", 2)(1)
-          GraftAggScan.internalOf(fieldType(g), PartitionPruning.decode(raw))
+        groupBy.zip(segIdx).map {
+          case (g, i) if i >= 0 =>
+            val raw = segs(i).split("=", 2)(1)
+            GraftAggScan.internalOf(fieldType(g), PartitionPruning.decode(raw))
+          case (g, _) =>
+            e.cols.get(g) match {
+              case Some((mn, _)) => GraftAggScan.internalOf(fieldType(g), mn)
+              case None => null // all-null file: the NULL group
+            }
         }
       }
-      live.filter(_._2.rows > 0)
-        .groupBy(e => groupValsOf(e._1)).toSeq
-        .map { case (gv, es) => (gv ++ fold(es.map(_._2))).toArray }
-        .toArray
+      val nonEmpty = live.filter(_._2.rows > 0)
+      if (partial)
+        // one PARTIAL row per file — Spark's final aggregate merges them
+        // (Count/Sum partials re-sum, Min/Max re-fold): file-count-many
+        // rows shuffle instead of data rows, still zero data I/O
+        nonEmpty.map { case (rel, e) =>
+          (groupValsOf(rel, e) ++ fold(Seq(e))).toArray
+        }.toArray
+      else
+        nonEmpty.groupBy { case (rel, e) => groupValsOf(rel, e) }.toSeq
+          .map { case (gv, es) => (gv ++ fold(es.map(_._2))).toArray }
+          .toArray
     }
   }
 

@@ -359,6 +359,44 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.sql("DROP TABLE gpart.t.mmx")
   }
 
+  test("graft source: GROUP BY non-partition column pushes PARTIAL per-file folds") {
+    // each commit writes files single-valued in `grp` (one group per
+    // insert): the scan can return one per-file partial row from the
+    // registry and Spark finishes the grouping — the plan keeps its
+    // final aggregate but reads ZERO data files
+    spark.sql("CREATE TABLE gpart.t.pagg (grp BIGINT, x BIGINT)")
+    spark.sql("INSERT INTO gpart.t.pagg SELECT 1, id FROM range(0, 50)")
+    spark.sql("INSERT INTO gpart.t.pagg SELECT 2, id + 10 FROM range(0, 50)")
+    spark.sql("INSERT INTO gpart.t.pagg SELECT 1, id + 500 FROM range(0, 5)")
+    val q = spark.sql(
+      """SELECT grp, MIN(x) AS mn, MAX(x) AS mx, COUNT(*) AS n, SUM(x) AS s
+        |FROM gpart.t.pagg GROUP BY grp ORDER BY grp""".stripMargin)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("GraftAggScan") && plan.contains("partial"),
+      s"expected PARTIAL grouped pushdown:\n$plan")
+    assert(plan.contains("Aggregate"),
+      "partial pushdown needs Spark's final aggregate on top")
+    val footers0 = graft.sources.GraftScan.footerReads.get()
+    assert(q.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq ==
+      Seq((1L, 0L, 504L, 55L, (0L until 50L).sum + (500L until 505L).sum),
+          (2L, 10L, 59L, 50L, (10L until 60L).sum)))
+    assert(graft.sources.GraftScan.footerReads.get() == footers0,
+      "partial grouped pushdown opened parquet footers")
+    // a commit whose files span SEVERAL groups breaks single-valuedness:
+    // the pushdown is withheld (never a wrong group), results stay exact
+    spark.sql(
+      """INSERT INTO gpart.t.pagg
+        |SELECT id % 3 + 10, id FROM range(0, 30)""".stripMargin)
+    val q2 = spark.sql(
+      "SELECT grp, COUNT(*) AS n FROM gpart.t.pagg GROUP BY grp ORDER BY grp")
+    assert(!q2.queryExecution.executedPlan.toString.contains("GraftAggScan"),
+      "multi-valued files must withhold the partial pushdown")
+    assert(q2.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((1L, 55L), (2L, 50L), (10L, 10L), (11L, 10L), (12L, 10L)))
+    spark.sql("DROP TABLE gpart.t.pagg")
+  }
+
   test("graft source: GROUP BY partition column folds from the registry alone") {
     // grouping by an IDENTITY partition column: each file belongs to
     // exactly one group (derivable from its directory), so per-group
