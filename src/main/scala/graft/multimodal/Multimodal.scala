@@ -12,16 +12,29 @@ import org.apache.spark.sql.functions._
   * decode stage is a narrow map over whatever partitioning the scan
   * produced, so it scales with executors).
   *
-  * Decode is REAL for the pure-JVM formats: binary P6 PPM bitmaps
+  * Decode is REAL for every pure-JVM format: binary P6 PPM bitmaps
   * ([[MediaDecoder.decodePpm]] — header parse incl. comments, then a
-  * streaming pixel pass) and PCM RIFF/WAVE audio
-  * ([[MediaDecoder.decodeWav]] — chunk walk, fmt fields, 16-bit sample
-  * pass). Payloads in formats that need native codecs (JPEG/H.264/…,
-  * unavailable offline) fall back to the deterministic md5
-  * [[FakeDecoder]] stub, clearly marked; swapping that arm for a
-  * JNI/javacv call is the only change a real deployment needs.
+  * streaming pixel pass), PCM RIFF/WAVE audio ([[MediaDecoder.decodeWav]]
+  * — chunk walk, fmt fields, 16-bit sample pass), and the mainstream
+  * image codecs PNG / JPEG / BMP / GIF / TIFF
+  * ([[MediaDecoder.decodeImage]] — the JDK's own `javax.imageio`
+  * decoders, headless, no external libraries). Only formats with no JDK
+  * codec at all (H.264/H.265 video, MP3/AAC audio) fall back to the
+  * deterministic md5 [[FakeDecoder]] stub, clearly marked; swapping that
+  * arm for a JNI/javacv call is the only change a real deployment needs.
   */
 object Multimodal {
+
+  /** AWT must come up headless on executors (no display in a cluster);
+    * the property only matters before the first AWT class initializes,
+    * so every ImageIO call site forces this first. */
+  private object Headless {
+    private lazy val done: Unit = {
+      if (System.getProperty("java.awt.headless") == null)
+        System.setProperty("java.awt.headless", "true")
+    }
+    def ensure(): Unit = done
+  }
 
   final case class MediaRow(media_id: Long, kind: String, payload: Array[Byte])
 
@@ -33,8 +46,8 @@ object Multimodal {
       height: Int,
       feature: Array[Float])
 
-  /** STUB decoder: stands in for image/audio decoding (not available in
-    * this container). Deterministic per payload: dimensions and features
+  /** STUB decoder: stands in for the codecs no JDK ships (H.264/H.265,
+    * MP3/AAC). Deterministic per payload: dimensions and features
     * derive from the payload's md5, so tests and the DuckDB oracle can
     * verify the pipeline end-to-end. */
   object FakeDecoder {
@@ -64,7 +77,47 @@ object Multimodal {
       else if (payload.length >= 12 && payload(0) == 'R' && payload(1) == 'I' &&
         payload(2) == 'F' && payload(3) == 'F')
         decodeWav(payload)
-      else FakeDecoder.decode(payload) // codec-requiring formats: stub
+      else if (isImageIoFormat(payload)) decodeImage(payload)
+      else FakeDecoder.decode(payload) // no JDK codec (H.264/…): stub
+
+    /** Magic-byte sniff for the formats the JDK's ImageIO decodes. */
+    def isImageIoFormat(p: Array[Byte]): Boolean = p.length >= 4 && {
+      val b0 = p(0) & 0xff; val b1 = p(1) & 0xff
+      val b2 = p(2) & 0xff; val b3 = p(3) & 0xff
+      (b0 == 0x89 && b1 == 'P' && b2 == 'N' && b3 == 'G') || // PNG
+      (b0 == 0xff && b1 == 0xd8) ||                          // JPEG
+      (b0 == 'G' && b1 == 'I' && b2 == 'F' && b3 == '8') ||  // GIF
+      (b0 == 'B' && b1 == 'M') ||                            // BMP
+      (b0 == 'I' && b1 == 'I' && b2 == 42 && b3 == 0) ||     // TIFF LE
+      (b0 == 'M' && b1 == 'M' && b2 == 0 && b3 == 42)        // TIFF BE
+    }
+
+    /** REAL codec decode via the JDK's own `javax.imageio` readers (PNG
+      * inflate+unfilter, baseline JPEG, BMP, GIF LZW, TIFF) — pure JVM,
+      * headless, no external libraries. Feature layout matches
+      * [[decodePpm]]: (width, height, [pixelSum, rSum, gSum, bSum]), sums
+      * exact over the decoded 8-bit sRGB channels. For the lossless
+      * formats (PNG/BMP, palette-faithful GIF) the sums are bit-equal to
+      * the source raster's, which is what lets the oracle verify the
+      * full encode→decode round trip arithmetically. */
+    def decodeImage(p: Array[Byte]): (Int, Int, Array[Float]) = {
+      Headless.ensure()
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(p))
+      require(img != null, "graft: ImageIO failed to decode a sniffed image payload")
+      val w = img.getWidth; val h = img.getHeight
+      var rs = 0L; var gs = 0L; var bs = 0L
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          rs += (rgb >> 16) & 0xff; gs += (rgb >> 8) & 0xff; bs += rgb & 0xff
+          x += 1
+        }
+        y += 1
+      }
+      (w, h, Array((rs + gs + bs).toFloat, rs.toFloat, gs.toFloat, bs.toFloat))
+    }
 
     /** P6 header parse: (width, height, raster byte offset). `#` comments
       * allowed; exactly one whitespace separates maxval from the raster. */
@@ -140,17 +193,48 @@ object Multimodal {
       if (b.isEmpty) Array(' '.toByte) else b
     }
 
-    /** P6 bitmap, w = 4 + len%13, h = 4 + len%11, pixels cycle the text. */
-    def ppm(text: String): Array[Byte] = {
+    /** Shared raster: w = 4 + len%13, h = 4 + len%11, pixel bytes cycle
+      * the text. Every image encoder below carries exactly this raster,
+      * so the lossless formats all decode to identical sums. */
+    def raster(text: String): (Int, Int, Array[Byte]) = {
       val b = textBytes(text); val len = b.length
       val w = 4 + len % 13; val h = 4 + len % 11
+      val px = new Array[Byte](w * h * 3)
+      var i = 0
+      while (i < px.length) { px(i) = b(i % len); i += 1 }
+      (w, h, px)
+    }
+
+    /** P6 bitmap over the shared raster. */
+    def ppm(text: String): Array[Byte] = {
+      val (w, h, px) = raster(text)
       val header = s"P6\n$w $h\n255\n"
         .getBytes(java.nio.charset.StandardCharsets.US_ASCII)
-      val out = new Array[Byte](header.length + w * h * 3)
+      val out = new Array[Byte](header.length + px.length)
       System.arraycopy(header, 0, out, 0, header.length)
-      var i = 0
-      while (i < w * h * 3) { out(header.length + i) = b(i % len); i += 1 }
+      System.arraycopy(px, 0, out, header.length, px.length)
       out
+    }
+
+    /** The shared raster encoded through a REAL JDK codec (`fmt` is an
+      * ImageIO format name: png / jpeg / bmp / gif / tiff). PNG and BMP
+      * are lossless — decoding them recovers the raster bit-exactly. */
+    def encode(text: String, fmt: String): Array[Byte] = {
+      Headless.ensure()
+      val (w, h, px) = raster(text)
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var i = 0
+      while (i < w * h) {
+        img.setRGB(i % w, i / w,
+          ((px(3 * i) & 0xff) << 16) | ((px(3 * i + 1) & 0xff) << 8) |
+            (px(3 * i + 2) & 0xff))
+        i += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      require(javax.imageio.ImageIO.write(img, fmt, bos),
+        s"graft: no ImageIO writer for format '$fmt'")
+      bos.toByteArray
     }
 
     /** Mono 16-bit 8 kHz PCM, 16 + len%64 samples derived from the text. */
@@ -188,6 +272,28 @@ object Multimodal {
           }
           val payload = if (kind == "audio") AssetGen.wav(text) else AssetGen.ppm(text)
           MediaRow(id, kind, payload)
+        }
+      }
+      .toDF("media_id", "kind", "payload")
+  }
+
+  /** Media table whose payloads went through REAL image codecs: the
+    * shared text-derived raster encoded as PNG / JPEG / BMP / GIF
+    * (cycling by doc id), built partition-wise. Decoding recovers the
+    * raster bit-exactly for the lossless formats — the encode half of
+    * the codec round trip [[extractFeatures]] closes. */
+  def codecAssets(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          val kind = (id % 4) match {
+            case 0 => "png"
+            case 1 => "jpeg"
+            case 2 => "bmp"
+            case _ => "gif"
+          }
+          MediaRow(id, kind, AssetGen.encode(text, kind))
         }
       }
       .toDF("media_id", "kind", "payload")

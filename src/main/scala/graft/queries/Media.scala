@@ -128,6 +128,55 @@ object Media {
           CAST(SUM(ascii(substr(text,
             CAST((y * w * 3 + t) % len + 1 AS INT), 1))) AS BIGINT) AS row_sum
         FROM px GROUP BY media_id, i, y
-        ORDER BY media_id, row_idx"""))
+        ORDER BY media_id, row_idx""")),
+
+    // ---- q147: REAL codec round trip via the JDK's ImageIO ---------------
+    // The shared text-derived raster is ENCODED through real codecs (PNG
+    // deflate+filters, baseline JPEG, BMP, GIF LZW — javax.imageio, pure
+    // JVM) and DECODED back partition-wise. Dimensions verify for every
+    // format; for the lossless ones (PNG/BMP) the decoded pixel sum must
+    // equal the source raster's, which the oracle replays arithmetically
+    // from the text — any defect in either half of the round trip (or in
+    // the sniffing) breaks the hash match. JPEG/GIF sums are
+    // quantizer-dependent, so they are masked to NULL on both sides.
+    QueryDef(
+      "q147_codec_decode",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val media = Multimodal.codecAssets(t.documents)
+        Multimodal.extractFeatures(media)
+          .select(col("media_id"), col("kind"),
+            col("width").cast("long").as("width"),
+            col("height").cast("long").as("height"),
+            when(col("kind").isin("png", "bmp"),
+              element_at(col("feature"), 1).cast("long")).as("pixel_sum"))
+          .orderBy(col("media_id"))
+      },
+      Some("""WITH m AS (
+          SELECT doc_id AS media_id,
+                 CASE WHEN length(text) = 0 THEN ' ' ELSE text END AS text,
+                 CAST(CASE WHEN length(text) = 0 THEN 1
+                      ELSE length(text) END AS BIGINT) AS len,
+                 CAST(doc_id % 4 AS INT) AS k
+          FROM documents),
+        dims AS (
+          SELECT media_id, text, len, k,
+                 4 + len % 13 AS w, 4 + len % 11 AS h
+          FROM m),
+        px AS (
+          SELECT media_id, text, len, unnest(range(w * h * 3)) AS i
+          FROM dims WHERE k IN (0, 2)),
+        sums AS (
+          SELECT media_id,
+            CAST(SUM(ascii(substr(text, CAST(i % len + 1 AS INT), 1)))
+              AS BIGINT) AS pixel_sum
+          FROM px GROUP BY media_id)
+        SELECT d.media_id,
+          CASE d.k WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+               WHEN 2 THEN 'bmp' ELSE 'gif' END AS kind,
+          CAST(d.w AS BIGINT) AS width, CAST(d.h AS BIGINT) AS height,
+          s.pixel_sum
+        FROM dims d LEFT JOIN sums s USING (media_id)
+        ORDER BY d.media_id"""))
   )
 }

@@ -53,6 +53,48 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(feat(1) == 8000f && feat(2) == 16f) // rate, bits from the header
   }
 
+  test("ImageIO codecs: lossless round trip recovers the raster exactly") {
+    val text = "the quick brown fox jumps over the lazy dog"
+    // ground truth: the uncompressed PPM decode of the same raster
+    val (pw, ph, pf) = MediaDecoder.decode(AssetGen.ppm(text))
+    for (fmt <- Seq("png", "bmp")) {
+      val payload = AssetGen.encode(text, fmt)
+      assert(MediaDecoder.isImageIoFormat(payload), s"$fmt magic must sniff")
+      val (w, h, feat) = MediaDecoder.decode(payload)
+      assert((w, h) == (pw, ph), s"$fmt dims")
+      assert(feat.toSeq == pf.toSeq,
+        s"$fmt is lossless: decoded channel sums must equal the raster's")
+    }
+  }
+
+  test("ImageIO codecs: lossy/quantized formats decode real dimensions") {
+    val text = "jpeg and gif carry the dims but not exact pixels"
+    val (pw, ph, _) = MediaDecoder.decode(AssetGen.ppm(text))
+    for (fmt <- Seq("jpeg", "gif", "tiff")) {
+      val payload = AssetGen.encode(text, fmt)
+      assert(MediaDecoder.isImageIoFormat(payload), s"$fmt magic must sniff")
+      val (w, h, feat) = MediaDecoder.decode(payload)
+      assert((w, h) == (pw, ph), s"$fmt dims")
+      assert(feat(0) > 0f, s"$fmt must decode actual pixel content")
+    }
+  }
+
+  test("codecAssets: distributed encode+decode matches the local round trip") {
+    import spark.implicits._
+    val docs = Seq((0L, "alpha"), (1L, "beta"), (2L, "gamma"), (3L, "delta"))
+      .toDF("doc_id", "text")
+    val got = Multimodal.extractFeatures(Multimodal.codecAssets(docs))
+      .collect().map(f => f.media_id -> f).toMap
+    assert(got(0L).kind == "png" && got(1L).kind == "jpeg" &&
+      got(2L).kind == "bmp" && got(3L).kind == "gif")
+    // lossless kinds equal their PPM ground truth end to end
+    for ((id, text) <- Seq(0L -> "alpha", 2L -> "gamma")) {
+      val (w, h, feat) = MediaDecoder.decode(AssetGen.ppm(text))
+      assert((got(id).width, got(id).height) == (w, h))
+      assert(got(id).feature.toSeq == feat.toSeq)
+    }
+  }
+
   test("unknown formats fall through to the deterministic stub") {
     val payload = "plain text payload".getBytes("UTF-8")
     val (gw, gh, gf) = MediaDecoder.decode(payload)
