@@ -74,11 +74,49 @@ object Multimodal {
     def decode(payload: Array[Byte]): (Int, Int, Array[Float]) =
       if (payload.length >= 2 && payload(0) == 'P' && payload(1) == '6')
         decodePpm(payload)
-      else if (payload.length >= 12 && payload(0) == 'R' && payload(1) == 'I' &&
-        payload(2) == 'F' && payload(3) == 'F')
-        decodeWav(payload)
+      else if (isRiff(payload, "WAVE")) decodeWav(payload)
+      else if (isRiff(payload, "AVI ")) {
+        // motion-video summary: dims of the first decoded frame, feature
+        // = [frameCount]; per-frame work goes through [[aviFrames]]
+        val frames = aviFrames(payload)
+        val (w, h, _) = decode(frames.head)
+        (w, h, Array(frames.size.toFloat))
+      }
       else if (isImageIoFormat(payload)) decodeImage(payload)
       else FakeDecoder.decode(payload) // no JDK codec (H.264/…): stub
+
+    /** RIFF container sniff: `RIFF <size> <form>` — form distinguishes
+      * WAVE audio from AVI video (both share the chunk grammar). */
+    def isRiff(p: Array[Byte], form: String): Boolean =
+      p.length >= 12 && p(0) == 'R' && p(1) == 'I' && p(2) == 'F' &&
+        p(3) == 'F' &&
+        new String(p, 8, 4, java.nio.charset.StandardCharsets.US_ASCII) == form
+
+    /** REAL AVI container walk: recurse through RIFF LIST chunks and
+      * return every video-frame chunk (`##dc` — stream-numbered
+      * compressed frames, MJPG/MPNG payloads) in stream order. Same
+      * byte-level discipline as [[decodeWav]]'s chunk walk, one level
+      * deeper: the `movi` frames live inside nested LISTs. */
+    def aviFrames(p: Array[Byte]): Seq[Array[Byte]] = {
+      require(isRiff(p, "AVI "), "graft: not a RIFF/AVI payload")
+      val bb = java.nio.ByteBuffer.wrap(p).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      val out = scala.collection.mutable.ArrayBuffer[Array[Byte]]()
+      def walk(start: Int, end: Int): Unit = {
+        var pos = start
+        while (pos + 8 <= end) {
+          val id = new String(p, pos, 4, java.nio.charset.StandardCharsets.US_ASCII)
+          val sz = bb.getInt(pos + 4)
+          if (id == "LIST") walk(pos + 12, math.min(pos + 8 + sz, end))
+          else if (id.length == 4 && id(2) == 'd' && id(3) == 'c' &&
+              id(0).isDigit && id(1).isDigit)
+            out += java.util.Arrays.copyOfRange(p, pos + 8,
+              math.min(pos + 8 + sz, p.length))
+          pos += 8 + sz + (sz & 1) // chunks are word-aligned
+        }
+      }
+      walk(12, p.length)
+      out.toSeq
+    }
 
     /** Magic-byte sniff for the formats the JDK's ImageIO decodes. */
     def isImageIoFormat(p: Array[Byte]): Boolean = p.length >= 4 && {
@@ -193,15 +231,17 @@ object Multimodal {
       if (b.isEmpty) Array(' '.toByte) else b
     }
 
-    /** Shared raster: w = 4 + len%13, h = 4 + len%11, pixel bytes cycle
-      * the text. Every image encoder below carries exactly this raster,
-      * so the lossless formats all decode to identical sums. */
-    def raster(text: String): (Int, Int, Array[Byte]) = {
+    /** Shared raster: w = 4 + len%13, h = 4 + len%11, pixel byte i is the
+      * cycled text code at (i + shift) % len — shift 0 for stills, the
+      * frame index for video frames (each frame differs, verifiably).
+      * Every image encoder below carries exactly this raster, so the
+      * lossless formats all decode to identical sums. */
+    def raster(text: String, shift: Int = 0): (Int, Int, Array[Byte]) = {
       val b = textBytes(text); val len = b.length
       val w = 4 + len % 13; val h = 4 + len % 11
       val px = new Array[Byte](w * h * 3)
       var i = 0
-      while (i < px.length) { px(i) = b(i % len); i += 1 }
+      while (i < px.length) { px(i) = b((i + shift) % len); i += 1 }
       (w, h, px)
     }
 
@@ -219,9 +259,9 @@ object Multimodal {
     /** The shared raster encoded through a REAL JDK codec (`fmt` is an
       * ImageIO format name: png / jpeg / bmp / gif / tiff). PNG and BMP
       * are lossless — decoding them recovers the raster bit-exactly. */
-    def encode(text: String, fmt: String): Array[Byte] = {
+    def encode(text: String, fmt: String, shift: Int = 0): Array[Byte] = {
       Headless.ensure()
-      val (w, h, px) = raster(text)
+      val (w, h, px) = raster(text, shift)
       val img = new java.awt.image.BufferedImage(
         w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
       var i = 0
@@ -235,6 +275,67 @@ object Multimodal {
       require(javax.imageio.ImageIO.write(img, fmt, bos),
         s"graft: no ImageIO writer for format '$fmt'")
       bos.toByteArray
+    }
+
+    /** A REAL (if minimal) motion-video AVI: RIFF `AVI ` form with a
+      * spec-shaped `hdrl` (main + stream headers, BITMAPINFOHEADER) and a
+      * `movi` LIST of `00dc` frame chunks. Frame f carries the shift-f
+      * raster encoded through a real codec — MJPG (Motion JPEG) or MPNG
+      * (Motion PNG, lossless: decoded frame sums are oracle-exact).
+      * 2 + len%3 frames at 4 fps. */
+    def avi(text: String, codec: String): Array[Byte] = {
+      val ascii = java.nio.charset.StandardCharsets.US_ASCII
+      val fmt = codec match {
+        case "MJPG" => "jpeg"
+        case "MPNG" => "png"
+        case other => throw new IllegalArgumentException(s"graft: AVI codec $other")
+      }
+      val len = textBytes(text).length
+      val n = 2 + len % 3
+      val (w, h, _) = raster(text)
+      val frames = (0 until n).map(f => encode(text, fmt, shift = f))
+      def chunk(id: String, body: Array[Byte]): Array[Byte] = {
+        val pad = body.length & 1
+        val bb = java.nio.ByteBuffer.allocate(8 + body.length + pad)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        bb.put(id.getBytes(ascii)).putInt(body.length).put(body)
+        bb.array()
+      }
+      def list(typ: String, parts: Seq[Array[Byte]]): Array[Byte] = {
+        val bodyLen = parts.map(_.length).sum
+        val bb = java.nio.ByteBuffer.allocate(12 + bodyLen)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        bb.put("LIST".getBytes(ascii)).putInt(4 + bodyLen).put(typ.getBytes(ascii))
+        parts.foreach(bb.put)
+        bb.array()
+      }
+      val maxFrame = frames.map(_.length).max
+      val avih = java.nio.ByteBuffer.allocate(56)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        .putInt(250000).putInt(maxFrame * 4).putInt(0).putInt(0) // us/frame, B/s
+        .putInt(n).putInt(0).putInt(1).putInt(maxFrame)          // frames, streams
+        .putInt(w).putInt(h).putInt(0).putInt(0).putInt(0).putInt(0)
+      val strh = java.nio.ByteBuffer.allocate(56)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      strh.put("vids".getBytes(ascii)).put(codec.getBytes(ascii))
+        .putInt(0).putInt(0).putInt(0)        // flags, prio+lang, initial
+        .putInt(1).putInt(4).putInt(0)        // scale, rate (4 fps), start
+        .putInt(n).putInt(maxFrame).putInt(-1).putInt(0) // length, buf, quality
+        .putShort(0).putShort(0).putShort(w.toShort).putShort(h.toShort)
+      val strf = java.nio.ByteBuffer.allocate(40)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      strf.putInt(40).putInt(w).putInt(h).putShort(1).putShort(24)
+        .put(codec.getBytes(ascii)).putInt(w * h * 3)
+        .putInt(0).putInt(0).putInt(0).putInt(0)
+      val hdrl = list("hdrl", Seq(chunk("avih", avih.array()),
+        list("strl", Seq(chunk("strh", strh.array()), chunk("strf", strf.array())))))
+      val movi = list("movi", frames.map(chunk("00dc", _)))
+      val bodyLen = 4 + hdrl.length + movi.length
+      val bb = java.nio.ByteBuffer.allocate(8 + bodyLen)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes(ascii)).putInt(bodyLen).put("AVI ".getBytes(ascii))
+        .put(hdrl).put(movi)
+      bb.array()
     }
 
     /** Mono 16-bit 8 kHz PCM, 16 + len%64 samples derived from the text. */
@@ -297,6 +398,44 @@ object Multimodal {
         }
       }
       .toDF("media_id", "kind", "payload")
+  }
+
+  /** Media table of REAL motion-video payloads: each document becomes an
+    * AVI whose frames are its shift-f rasters through a real codec —
+    * MJPG for even ids, lossless MPNG for odd. Built partition-wise. */
+  def videoAssets(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          val codec = if (id % 2 == 0) "MJPG" else "MPNG"
+          MediaRow(id, codec.toLowerCase, AssetGen.avi(text, codec))
+        }
+      }
+      .toDF("media_id", "kind", "payload")
+  }
+
+  final case class VideoFrame(
+      media_id: Long, kind: String, n_frames: Int, frame_idx: Int,
+      width: Int, height: Int, pixel_sum: Long)
+
+  /** REAL video decode, partition-wise: walk each AVI's RIFF structure
+    * ([[MediaDecoder.aviFrames]]), decode every frame through the JDK
+    * codecs, and emit per-frame dimensions + exact channel sums. One
+    * streaming flatMap — payloads and frames never leave their
+    * partition, so the stage scales with executors exactly like the
+    * still-image path. */
+  def decodeVideoFrames(media: DataFrame): Dataset[VideoFrame] = {
+    import media.sparkSession.implicits._
+    media.as[MediaRow].mapPartitions { it =>
+      it.flatMap { m =>
+        val frames = MediaDecoder.aviFrames(m.payload)
+        frames.iterator.zipWithIndex.map { case (bytes, i) =>
+          val (w, h, feat) = MediaDecoder.decodeImage(bytes)
+          VideoFrame(m.media_id, m.kind, frames.size, i, w, h, feat(0).toLong)
+        }
+      }
+    }
   }
 
   /** Build a deterministic media table from `documents`: payload = UTF-8

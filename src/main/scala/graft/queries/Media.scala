@@ -177,6 +177,59 @@ object Media {
           CAST(d.w AS BIGINT) AS width, CAST(d.h AS BIGINT) AS height,
           s.pixel_sum
         FROM dims d LEFT JOIN sums s USING (media_id)
-        ORDER BY d.media_id"""))
+        ORDER BY d.media_id""")),
+
+    // ---- q148: REAL video decode — AVI container walk + per-frame codec --
+    // Each document becomes a real AVI (RIFF hdrl/movi structure) whose
+    // 2+len%3 frames carry the shift-f raster through a real codec; the
+    // decode side walks the container and decodes every frame via ImageIO.
+    // The oracle replays frame count, per-frame dims, and — for the
+    // lossless MPNG codec — the exact per-frame pixel sum from the
+    // construction (frame f's pixel byte i is the text code at (i+f)%len).
+    // A defect in the container writer, the chunk walk, the frame order,
+    // or either codec half breaks the hash match.
+    QueryDef(
+      "q148_video_frames",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val media = Multimodal.videoAssets(t.documents)
+        Multimodal.decodeVideoFrames(media)
+          .select(col("media_id"), col("kind"),
+            col("n_frames").cast("long").as("n_frames"),
+            col("frame_idx").cast("long").as("frame_idx"),
+            col("width").cast("long").as("width"),
+            col("height").cast("long").as("height"),
+            when(col("kind") === "mpng", col("pixel_sum")).as("frame_sum"))
+          .orderBy(col("media_id"), col("frame_idx"))
+      },
+      Some("""WITH m AS (
+          SELECT doc_id AS media_id,
+                 CASE WHEN length(text) = 0 THEN ' ' ELSE text END AS text,
+                 CAST(CASE WHEN length(text) = 0 THEN 1
+                      ELSE length(text) END AS BIGINT) AS len,
+                 CASE WHEN doc_id % 2 = 0 THEN 'mjpg' ELSE 'mpng' END AS kind
+          FROM documents),
+        dims AS (
+          SELECT media_id, text, len, kind,
+                 4 + len % 13 AS w, 4 + len % 11 AS h, 2 + len % 3 AS n
+          FROM m),
+        frames AS (
+          SELECT media_id, text, len, kind, w, h, n,
+                 unnest(range(n)) AS f
+          FROM dims),
+        px AS (
+          SELECT media_id, text, len, f, unnest(range(w * h * 3)) AS i
+          FROM frames WHERE kind = 'mpng'),
+        sums AS (
+          SELECT media_id, f,
+            CAST(SUM(ascii(substr(text, CAST((i + f) % len + 1 AS INT), 1)))
+              AS BIGINT) AS frame_sum
+          FROM px GROUP BY media_id, f)
+        SELECT fr.media_id, fr.kind, CAST(fr.n AS BIGINT) AS n_frames,
+          CAST(fr.f AS BIGINT) AS frame_idx,
+          CAST(fr.w AS BIGINT) AS width, CAST(fr.h AS BIGINT) AS height,
+          s.frame_sum
+        FROM frames fr LEFT JOIN sums s ON fr.media_id = s.media_id AND fr.f = s.f
+        ORDER BY fr.media_id, fr.f"""))
   )
 }

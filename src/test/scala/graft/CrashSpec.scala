@@ -288,6 +288,32 @@ class CrashSpec extends AnyFunSuite with BeforeAndAfterAll {
       "snapshot temp files must never be listed as versions")
   }
 
+  test("crashed COW leaves a change-staging dir: inert until the age " +
+      "guard passes, then vacuum reclaims it") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.crash")
+    spark.sql("CREATE TABLE graft.crash.t7 (k BIGINT, v STRING)")
+    spark.sql("INSERT INTO graft.crash.t7 VALUES (1, 'a'), (2, 'b')")
+    val d = dataDir("t7")
+    val fs = fsOf(d)
+    // a row-level rewrite that died after staging its change files but
+    // before its commit: `_changes/.staging-<writeId>` never renamed
+    val staging = new Path(ChangeLog.changesDir(d), ".staging-deadwrite")
+    fs.mkdirs(staging)
+    val out = fs.create(new Path(staging, "cf-0.parquet"), true)
+    try out.write("orphan".getBytes("UTF-8")) finally out.close()
+
+    // inert: reads, mutations, and the change feed all ignore it
+    spark.sql("DELETE FROM graft.crash.t7 WHERE k = 1")
+    assert(rows("t7") == Seq(2L))
+    // age guard first (an in-flight writer's staging dir must survive)...
+    Snapshots.vacuum(tableDir("t7"), retain = 2, minAgeMillis = 3600000L)
+    assert(fs.exists(staging), "a fresh staging dir may belong to a live writer")
+    // ...then reclaim
+    Snapshots.vacuum(tableDir("t7"), retain = 2, minAgeMillis = 0L)
+    assert(!fs.exists(staging), "an aged-out crashed staging dir must be reclaimed")
+    assert(rows("t7") == Seq(2L))
+  }
+
   test("a registry pointer at a missing snapshot is loud corruption, not " +
       "an empty table") {
     val d = new Path(s"$warehouse/crash/corrupt/data")

@@ -95,6 +95,33 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("AVI round trip: container walk recovers every frame in order") {
+    val text = "motion video from a riff container"
+    val len = text.length
+    val n = 2 + len % 3
+    val (pw, ph, _) = MediaDecoder.decode(AssetGen.ppm(text))
+    for (codec <- Seq("MPNG", "MJPG")) {
+      val payload = AssetGen.avi(text, codec)
+      assert(MediaDecoder.isRiff(payload, "AVI "))
+      assert(!MediaDecoder.isRiff(payload, "WAVE"), "AVI must not sniff as WAV")
+      val frames = MediaDecoder.aviFrames(payload)
+      assert(frames.size == n, s"$codec frame count")
+      frames.zipWithIndex.foreach { case (bytes, f) =>
+        val (w, h, feat) = MediaDecoder.decodeImage(bytes)
+        assert((w, h) == (pw, ph), s"$codec frame $f dims")
+        if (codec == "MPNG") {
+          // lossless: frame f's sum equals the shift-f raster's exact sum
+          val want = (0 until pw * ph * 3)
+            .map(i => text.charAt((i + f) % len).toInt).sum
+          assert(feat(0) == want.toFloat, s"MPNG frame $f pixel sum")
+        }
+      }
+      // the summary decode reports first-frame dims + frame count
+      val (w, h, feat) = MediaDecoder.decode(payload)
+      assert((w, h) == (pw, ph) && feat(0) == n.toFloat)
+    }
+  }
+
   test("unknown formats fall through to the deterministic stub") {
     val payload = "plain text payload".getBytes("UTF-8")
     val (gw, gh, gf) = MediaDecoder.decode(payload)
