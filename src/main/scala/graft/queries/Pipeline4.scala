@@ -133,5 +133,36 @@ object Pipeline4 {
                CAST(SUM(pos * doc_id) AS BIGINT) AS order_checksum,
                MIN(doc_id) AS min_doc
         FROM r GROUP BY epoch, shard ORDER BY epoch, shard"""
-      }))
+      }),
+
+    // ---- q152: bloom-indexed point lookup on an unclustered column ------
+    // The needle-in-a-haystack gate for [[graft.sources.BloomIndex]]: the
+    // corpus lands in 8 commits INTERLEAVED by doc_id % 8, so every
+    // file's [min, max] spans the whole id domain and range disproof can
+    // never skip a file — the layout where a point lookup otherwise
+    // reads the entire table. With `index.bloom.columns = doc_id`, each
+    // commit's registry entry carries a per-file bitset and the IN-list
+    // lookup plans only the files whose blooms might hold a probed id
+    // (BloomIndexSpec counter-asserts the skip; this gate proves values).
+    // At 100 TB: the driver disproves files from metadata it already
+    // holds — a point lookup is O(matching files), not O(table).
+    QueryDef(
+      "q152_bloom_lookup",
+      (s, dir) => {
+        val ns = Engine.ensureCatalog(s, dir)
+        s.sql(s"DROP TABLE IF EXISTS $ns.bloomdocs")
+        s.sql(
+          s"""CREATE TABLE $ns.bloomdocs
+             |(doc_id BIGINT, lang STRING, source STRING, n_chars BIGINT)
+             |TBLPROPERTIES ('index.bloom.columns' = 'doc_id')""".stripMargin)
+        for (r <- 0 until 8) s.sql(
+          s"""INSERT INTO $ns.bloomdocs
+             |SELECT doc_id, lang, source, n_chars
+             |FROM parquet.`$dir/documents.parquet` WHERE doc_id % 8 = $r""".stripMargin)
+        s.sql(
+          s"""SELECT doc_id, lang, source, n_chars FROM $ns.bloomdocs
+             |WHERE doc_id IN (7, 123, 200, 301) ORDER BY doc_id""".stripMargin)
+      },
+      Some("""SELECT doc_id, lang, source, n_chars FROM documents
+        WHERE doc_id IN (7, 123, 200, 301) ORDER BY doc_id""")))
 }

@@ -671,11 +671,18 @@ object TableStats {
     * `Some` means unavailable: non-integral type or the per-file sum
     * overflowed Long), `None` for entries predating the field. Feeds
     * complete SUM pushdown (see [[GraftAggScan]]). */
+  /** `blooms`: per-column Bloom bitsets over the file's NON-NULL values
+    * of `index.bloom.columns` (base64; "" = all-null column), feeding
+    * driver-side file pruning for equality lookups on unclustered
+    * columns (see [[BloomIndex]]). `None` on tables without the index or
+    * entries predating it; a column ABSENT from `Some(map)` is never
+    * pruned (saturated bitset, pre-index file, renamed column). */
   final case class Entry(rows: Long, cols: Map[String, (String, String)] = Map.empty,
                          bytes: Long = -1L, seq: Long = -1L,
                          sorted: Boolean = false,
                          nulls: Option[Map[String, Long]] = None,
-                         sums: Option[Map[String, Long]] = None)
+                         sums: Option[Map[String, Long]] = None,
+                         blooms: Option[Map[String, String]] = None)
 
   /** Path of `file` relative to its table's `data/` dir (keys of the stats
     * registry), robust to scheme-qualified vs bare paths. */
@@ -706,16 +713,27 @@ object TableStats {
     def kv(m: Map[String, Long]): String =
       if (m.isEmpty) "-"
       else m.toSeq.sorted.map { case (c, n) => s"${enc(c)}=$n" }.mkString(";")
-    (e.nulls, e.sums) match {
-      case (None, s) =>
-        // pre-nulls entry: never grow its line. Sums without null counts
-        // would be silently dropped here (SUM pushdown needs both), so a
-        // caller constructing that shape is a bug — fail loudly.
-        require(s.isEmpty, s"stats entry $rel has sums but no null counts" +
-          " — serialization would drop the sums; writers must set both")
+    // blooms use their own kv form: base64 payloads may CONTAIN '=' (the
+    // padding), so readers split each pair on the FIRST '=' only
+    def kvb(m: Map[String, String]): String =
+      if (m.isEmpty) "-"
+      else m.toSeq.sorted.map { case (c, b) => s"${enc(c)}=$b" }.mkString(";")
+    (e.nulls, e.sums, e.blooms) match {
+      case (None, s, b) =>
+        // pre-nulls entry: never grow its line. Sums/blooms without null
+        // counts would be silently dropped here (the later fields assume
+        // the earlier ones), so a caller constructing that shape is a
+        // bug — fail loudly.
+        require(s.isEmpty && b.isEmpty, s"stats entry $rel has sums/blooms" +
+          " but no null counts — serialization would drop them; writers" +
+          " must set the earlier fields too")
         base
-      case (Some(n), None) => s"$base\t${kv(n)}"
-      case (Some(n), Some(s)) => s"$base\t${kv(n)}\t${kv(s)}"
+      case (Some(n), None, b) =>
+        require(b.isEmpty, s"stats entry $rel has blooms but no sums —" +
+          " serialization would drop the blooms; writers must set both")
+        s"$base\t${kv(n)}"
+      case (Some(n), Some(s), None) => s"$base\t${kv(n)}\t${kv(s)}"
+      case (Some(n), Some(s), Some(b)) => s"$base\t${kv(n)}\t${kv(s)}\t${kvb(b)}"
     }
   }
 
@@ -728,6 +746,16 @@ object TableStats {
     else spec.split(';').filter(_.nonEmpty).map { kv =>
       val Array(c, n) = kv.split('=')
       dec(c) -> n.toLong
+    }.toMap
+
+  /** String-valued kv field (blooms): values are base64 and may contain
+    * '=' padding — split each pair on the FIRST '=' only. A trailing
+    * empty value ("col=") is meaningful: an all-null column's bitset. */
+  private def parseKvStr(spec: String): Map[String, String] =
+    if (spec == "-") Map.empty
+    else spec.split(';').filter(_.nonEmpty).map { kv =>
+      val i = kv.indexOf('=')
+      dec(kv.substring(0, i)) -> kv.substring(i + 1)
     }.toMap
 
   private def parseCols(colspec: String): Map[String, (String, String)] =
@@ -757,13 +785,17 @@ object TableStats {
         case Array(rel, rows, bytes, colspec, seq, sorted, nulls) =>
           rel -> Entry(rows.toLong, parseCols(colspec), bytes.toLong, seq.toLong,
             sorted == "1", Some(parseKv(nulls)))
+        case Array(rel, rows, bytes, colspec, seq, sorted, nulls, sums) =>
+          rel -> Entry(rows.toLong, parseCols(colspec), bytes.toLong, seq.toLong,
+            sorted == "1", Some(parseKv(nulls)), Some(parseKv(sums)))
         // `_*`: unknown TRAILING fields from a newer writer are ignored, so
         // an older binary of this reader still parses a registry written by
         // a future format revision (the new-reader/old-line direction is the
         // explicit cases above). Fields are only ever APPENDED.
-        case Array(rel, rows, bytes, colspec, seq, sorted, nulls, sums, _*) =>
+        case Array(rel, rows, bytes, colspec, seq, sorted, nulls, sums, blooms, _*) =>
           rel -> Entry(rows.toLong, parseCols(colspec), bytes.toLong, seq.toLong,
-            sorted == "1", Some(parseKv(nulls)), Some(parseKv(sums)))
+            sorted == "1", Some(parseKv(nulls)), Some(parseKv(sums)),
+            Some(parseKvStr(blooms)))
         case other =>
           throw new IllegalStateException(s"bad stats line: $line")
       }
@@ -1750,13 +1782,23 @@ final class GraftScan(
         }
         // file-level skip from commit-time column ranges: a file whose
         // registered [min, max] provably excludes some pushed filter is
-        // never opened (stronger than row-group skipping — no footer read)
+        // never opened (stronger than row-group skipping — no footer
+        // read). Entries carrying a bloom index additionally disprove
+        // equality lookups on UNCLUSTERED columns — where every file's
+        // range spans the domain and min/max can never skip
+        // ([[BloomIndex]]; false positives only cost the read).
         val allowed =
           if (pushed.isEmpty) afterTopN
           else afterTopN.filter { f =>
-            cachedStats.get(TableStats.relOf(f._1)).forall(e =>
-              e.cols.isEmpty ||
-                !pushed.exists(PartitionPruning.rangeDisproves(_, e.cols, tableSchema)))
+            cachedStats.get(TableStats.relOf(f._1)).forall { e =>
+              (e.cols.isEmpty ||
+                !pushed.exists(PartitionPruning.rangeDisproves(_, e.cols, tableSchema))) &&
+              e.blooms.forall { b =>
+                val keep = !pushed.exists(BloomIndex.disproves(_, b))
+                if (!keep) GraftScan.bloomPrunedFiles.incrementAndGet()
+                keep
+              }
+            }
           }
         limit.filter(_ => !keyGrouped) match {
           case Some(n) =>
@@ -2333,6 +2375,9 @@ object GraftScan {
   val countStarListings = new java.util.concurrent.atomic.AtomicLong(0)
   /** Files dropped by TopN pruning across scans. Diagnostics only. */
   val topNPrunedFiles = new java.util.concurrent.atomic.AtomicLong(0)
+  /** Files dropped by per-file Bloom disproof ([[BloomIndex]]) across
+    * scans. Diagnostics only. */
+  val bloomPrunedFiles = new java.util.concurrent.atomic.AtomicLong(0)
   /** Partition-reader opens of INCREMENTAL (since-version) scans.
     * Diagnostics only — lets tests assert a consumer of a change delta
     * (e.g. the MV incremental refresh) READS the delta exactly once,
@@ -3103,9 +3148,22 @@ final class GraftWriterFactory(
 object GraftWriterFactory {
 
   /** Tracks per-column (min, max) for one output file — only comparable
-    * primitive columns; long strings are dropped (no safe truncation). */
-  final class ColStatsTracker(schema: StructType) {
+    * primitive columns; long strings are dropped (no safe truncation).
+    * When `bloomCols` is non-empty, additionally folds those columns'
+    * non-null values into per-file Bloom bitsets ([[BloomIndex]]) for
+    * driver-side equality file pruning on unclustered columns. */
+  final class ColStatsTracker(schema: StructType,
+                              bloomCols: Seq[String] = Nil,
+                              bloomBits: Int = BloomIndex.DefaultBits) {
     import org.apache.spark.sql.types._
+
+    private val bloomTracked: Array[(Int, DataType, BloomIndex.Builder)] =
+      bloomCols.distinct.flatMap { c =>
+        schema.fields.zipWithIndex.collectFirst {
+          case (f, i) if f.name == c && BloomIndex.eligible(f.dataType) =>
+            (i, f.dataType, new BloomIndex.Builder(bloomBits))
+        }
+      }.toArray
     private val tracked = schema.fields.zipWithIndex.filter { case (f, _) =>
       f.dataType match {
         case ByteType | ShortType | IntegerType | LongType | FloatType |
@@ -3170,6 +3228,13 @@ object GraftWriterFactory {
         }
         j += 1
       }
+      var bj = 0
+      while (bj < bloomTracked.length) {
+        val (i, dt, b) = bloomTracked(bj)
+        if (!row.isNullAt(i))
+          b.add(BloomIndex.canonicalCatalyst(dt, row.get(i, dt)))
+        bj += 1
+      }
     }
 
     /** External string forms (what [[PartitionPruning.parse]] reads back). */
@@ -3199,6 +3264,15 @@ object GraftWriterFactory {
       tracked.indices.collect {
         case j if summable(j) && !sumDead(j) => tracked(j)._1.name -> sumAcc(j)
       }.toMap
+
+    /** Serialized per-column Bloom bitsets — `None` when the table has no
+      * bloom index configured (zero registry bytes); a saturated bitset's
+      * key is omitted under `Some` (prunes too little to pay for). */
+    def blooms: Option[Map[String, String]] =
+      if (bloomTracked.isEmpty) None
+      else Some(bloomTracked.flatMap { case (i, _, b) =>
+        b.serialize.map(schema.fields(i).name -> _)
+      }.toMap)
   }
 
   /** Watches one file's rows for non-decreasing `write.sort.columns`
@@ -3320,7 +3394,9 @@ object GraftWriterFactory {
           val path = new Path(s"$dataDir/$relPath")
           path.getFileSystem(conf).mkdirs(path.getParent)
           (ParquetRowIO.newWriter(path, schema, conf, props), relPath, 0L,
-            new ColStatsTracker(schema), new SortednessTracker(schema, sortCols))
+            new ColStatsTracker(schema, BloomIndex.columnsOf(props),
+              BloomIndex.bitsOf(props)),
+            new SortednessTracker(schema, sortCols))
         })
         writers(key) = (entry._1, entry._2, entry._3 + 1, entry._4, entry._5)
         entry._4.update(row)
@@ -3373,7 +3449,8 @@ object GraftWriterFactory {
               .getFileStatus(new Path(s"$dataDir/${w._2}")).getLen
             catch { case _: java.io.IOException => -1L }
           (w._2, TableStats.Entry(w._3, w._4.result, len, sorted = w._5.sorted,
-            nulls = Some(w._4.nullCounts), sums = Some(w._4.sums)))
+            nulls = Some(w._4.nullCounts), sums = Some(w._4.sums),
+            blooms = w._4.blooms))
         }.toSeq)
       }
       override def abort(): Unit = {

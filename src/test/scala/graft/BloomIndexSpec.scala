@@ -1,0 +1,199 @@
+package graft
+
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.sources.{BloomIndex, GraftScan, TableStats}
+
+/** Registry-level per-file Bloom pruning ([[BloomIndex]]): equality
+  * lookups on UNCLUSTERED columns — where every file's [min, max] spans
+  * the domain and range disproof can never skip — plan only the files
+  * whose bitset might contain the probe value.
+  */
+class BloomIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[8]")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.sql.adaptive.enabled", "true")
+    .getOrCreate()
+
+  private lazy val wh = java.nio.file.Files
+    .createTempDirectory("graft-bloom").toString
+
+  override def afterAll(): Unit = spark.stop()
+
+  // ---- unit level -------------------------------------------------------
+
+  test("builder/probe: inserted values are always found (no false negatives)") {
+    val b = new BloomIndex.Builder(8192)
+    val vals = (0 until 500).map(i => s"value-$i")
+    vals.foreach(b.add)
+    val ser = b.serialize.get
+    vals.foreach(v => assert(BloomIndex.mightContain(ser, v), s"lost $v"))
+  }
+
+  test("builder: all-zero bitset serializes empty and proves emptiness") {
+    val b = new BloomIndex.Builder(8192)
+    assert(b.serialize.contains(""))
+    assert(!BloomIndex.mightContain("", "anything"))
+  }
+
+  test("builder: a saturated bitset is dropped, not served") {
+    val b = new BloomIndex.Builder(512)
+    (0 until 5000).foreach(i => b.add(s"v$i"))
+    assert(b.fillRatio > BloomIndex.MaxFill)
+    assert(b.serialize.isEmpty)
+  }
+
+  test("disproves: filter algebra is conservative") {
+    import org.apache.spark.sql.sources._
+    val b = new BloomIndex.Builder(8192)
+    Seq("a", "b").foreach(b.add)
+    val blooms = Map("k" -> b.serialize.get)
+    assert(BloomIndex.disproves(EqualTo("k", "z"), blooms))
+    assert(!BloomIndex.disproves(EqualTo("k", "a"), blooms))
+    assert(!BloomIndex.disproves(EqualTo("other", "z"), blooms)) // unknown col
+    assert(!BloomIndex.disproves(EqualTo("k", null), blooms))
+    assert(BloomIndex.disproves(EqualNullSafe("k", "z"), blooms))
+    assert(BloomIndex.disproves(In("k", Array("z", "y")), blooms))
+    assert(!BloomIndex.disproves(In("k", Array("z", "a")), blooms))
+    // a null IN-member never matches any row (three-valued logic), so the
+    // non-null members alone decide skippability
+    assert(BloomIndex.disproves(In("k", Array("z", null)), blooms))
+    assert(!BloomIndex.disproves(In("k", Array("a", null)), blooms))
+    assert(BloomIndex.disproves(
+      And(EqualTo("k", "z"), GreaterThan("k", "a")), blooms))
+    assert(!BloomIndex.disproves(
+      Or(EqualTo("k", "z"), GreaterThan("k", "a")), blooms))
+    assert(BloomIndex.disproves(
+      Or(EqualTo("k", "z"), EqualTo("k", "y")), blooms))
+    assert(!BloomIndex.disproves(GreaterThan("k", "z"), blooms)) // not equality
+  }
+
+  test("registry round-trip: blooms survive serializeLine/parseLine") {
+    val b = new BloomIndex.Builder(512)
+    Seq("x", "y").foreach(b.add)
+    val e = TableStats.Entry(2L, Map("k" -> ("x", "y")), 100L, 3L,
+      sorted = false, nulls = Some(Map.empty), sums = Some(Map.empty),
+      blooms = Some(Map("k" -> b.serialize.get, "empty" -> "")))
+    val (rel, back) = TableStats.parseLine(TableStats.serializeLine("f.parquet", e))
+    assert(rel == "f.parquet")
+    assert(back == e, s"round-trip mismatch: $back")
+    // pre-blooms 8-field lines still parse (blooms read back None)
+    val noBloom = e.copy(blooms = None)
+    val (_, back2) = TableStats.parseLine(TableStats.serializeLine("f.parquet", noBloom))
+    assert(back2 == noBloom)
+  }
+
+  // ---- end to end -------------------------------------------------------
+
+  private def setupCatalog(): Unit = {
+    spark.conf.set("spark.sql.catalog.gbloom",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gbloom.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gbloom.t")
+  }
+
+  /** 8 single-file commits with fully OVERLAPPING k-ranges but disjoint
+    * value sets: file c holds {c + 16j : j < 50} (residue c mod 8, stride
+    * 16). Range disproof can never separate them; only the blooms can. */
+  private def writeInterleaved(tbl: String): Unit = {
+    import spark.implicits._
+    for (c <- 0 until 8) {
+      (0 until 50).map(j => (c + 16L * j, s"row-$c-$j")).toDF("k", "v")
+        .coalesce(1).writeTo(tbl).append()
+    }
+  }
+
+  test("point lookup on an unclustered column plans only the bloom-matching file") {
+    setupCatalog()
+    spark.sql(
+      """CREATE TABLE gbloom.t.ids (k BIGINT, v STRING)
+        |TBLPROPERTIES ('index.bloom.columns' = 'k')""".stripMargin)
+    writeInterleaved("gbloom.t.ids")
+
+    val pruned0 = GraftScan.bloomPrunedFiles.get()
+    val hit = spark.sql("SELECT k, v FROM gbloom.t.ids WHERE k = 16").collect()
+    assert(hit.map(_.getString(1)).toSeq == Seq("row-0-1"))
+    assert(GraftScan.bloomPrunedFiles.get() - pruned0 >= 7,
+      "expected the 7 non-matching files bloom-pruned")
+
+    // value in every file's [min, max] but in NO value set: all 8 pruned,
+    // zero rows without opening a single file
+    val pruned1 = GraftScan.bloomPrunedFiles.get()
+    assert(spark.sql("SELECT * FROM gbloom.t.ids WHERE k = 8").count() == 0)
+    assert(GraftScan.bloomPrunedFiles.get() - pruned1 >= 8,
+      "an absent value should prune every file")
+
+    // IN-list across two files
+    val in = spark.sql(
+      "SELECT k FROM gbloom.t.ids WHERE k IN (16, 17)").collect().map(_.getLong(0))
+    assert(in.sorted.toSeq == Seq(16L, 17L))
+
+    // correctness spot-check: bloom pruning never drops matching rows
+    val every = spark.sql("SELECT count(*) FROM gbloom.t.ids WHERE k % 16 = 0")
+      .head().getLong(0)
+    assert(every == 50, s"file c=0 holds exactly the multiples of 16: got $every")
+  }
+
+  test("long strings: range-dead (>64 chars) but bloom-alive") {
+    import spark.implicits._
+    setupCatalog()
+    spark.sql(
+      """CREATE TABLE gbloom.t.docs (id BIGINT, body STRING)
+        |TBLPROPERTIES ('index.bloom.columns' = 'body')""".stripMargin)
+    val pad = "x" * 100
+    for (c <- 0 until 4) {
+      (0 until 20).map(j => (c * 100L + j, s"$pad-doc-$c-$j")).toDF("id", "body")
+        .coalesce(1).writeTo("gbloom.t.docs").append()
+    }
+    val pruned0 = GraftScan.bloomPrunedFiles.get()
+    val r = spark.sql(s"SELECT id FROM gbloom.t.docs WHERE body = '$pad-doc-2-5'")
+      .collect()
+    assert(r.map(_.getLong(0)).toSeq == Seq(205L))
+    assert(GraftScan.bloomPrunedFiles.get() - pruned0 >= 3,
+      "the 3 other files should be bloom-pruned despite dead ranges")
+  }
+
+  test("saturated blooms withdraw; queries stay correct without pruning") {
+    import spark.implicits._
+    setupCatalog()
+    spark.sql(
+      """CREATE TABLE gbloom.t.sat (k BIGINT, v STRING)
+        |TBLPROPERTIES ('index.bloom.columns' = 'k',
+        |               'index.bloom.bits' = '512')""".stripMargin)
+    (0 until 2000).map(i => (i.toLong, s"v$i")).toDF("k", "v")
+      .coalesce(1).writeTo("gbloom.t.sat").append()
+    val pruned0 = GraftScan.bloomPrunedFiles.get()
+    assert(spark.sql("SELECT v FROM gbloom.t.sat WHERE k = 1234")
+      .head().getString(0) == "v1234")
+    assert(GraftScan.bloomPrunedFiles.get() == pruned0,
+      "a saturated bitset must not serve (it was dropped at write)")
+  }
+
+  test("nulls: bloom covers non-null values only and col = v skips all-null files") {
+    import spark.implicits._
+    setupCatalog()
+    spark.sql(
+      """CREATE TABLE gbloom.t.nl (k BIGINT, v STRING)
+        |TBLPROPERTIES ('index.bloom.columns' = 'k')""".stripMargin)
+    Seq((java.lang.Long.valueOf(1L), "a"), (java.lang.Long.valueOf(2L), "b"))
+      .toDF("k", "v").coalesce(1).writeTo("gbloom.t.nl").append()
+    Seq((null.asInstanceOf[java.lang.Long], "n1"),
+        (null.asInstanceOf[java.lang.Long], "n2"))
+      .toDF("k", "v").coalesce(1).writeTo("gbloom.t.nl").append()
+    val pruned0 = GraftScan.bloomPrunedFiles.get()
+    assert(spark.sql("SELECT v FROM gbloom.t.nl WHERE k = 2").head().getString(0) == "b")
+    assert(GraftScan.bloomPrunedFiles.get() - pruned0 >= 1,
+      "the all-null file (empty bitset) should be pruned for k = 2")
+    // IS NULL never consults blooms
+    assert(spark.sql("SELECT count(*) FROM gbloom.t.nl WHERE k IS NULL")
+      .head().getLong(0) == 2)
+  }
+}
