@@ -1568,13 +1568,28 @@ final class GraftScan(
     // join over the pruned scan.
     val projected = partFields.map(_.col).distinct
       .filter(c => required.fieldNames.contains(c))
+    // bloom-indexed data columns participate too: a broadcast join whose
+    // build side yields an IN-list over one routes it through [[filter]]
+    // into `pushed`, where BloomIndex disproof drops every file that
+    // provably holds none of the keys — a file-granular index join
+    // (see the bloom check in [[files]]; runaway lists are capped there)
+    val bloomCols = bloomAdvertised
+      .filter(c => required.fieldNames.contains(c) && !projected.contains(c))
     val cols =
       if (tracker.isDefined) Seq(GraftTable.FileColumnName)
-      else if (wantFile) projected :+ GraftTable.FileColumnName
-      else projected
+      else if (wantFile) projected ++ bloomCols :+ GraftTable.FileColumnName
+      else projected ++ bloomCols
     cols.map(c =>
       org.apache.spark.sql.connector.expressions.Expressions.column(c)).toArray
   }
+
+  /** Data columns with a Bloom bitset in at least one manifest entry —
+    * the set worth advertising for runtime filtering. Reads the cached
+    * manifest (planning already did); empty on bloom-less tables, so
+    * their runtime-filter surface is exactly what it was. */
+  private lazy val bloomAdvertised: Seq[String] =
+    cachedStats.valuesIterator.flatMap(_.blooms)
+      .flatMap(_.keysIterator).toSet.toSeq.sorted
 
   override def filter(filters: Array[Filter]): Unit = if (filters.nonEmpty) {
     import org.apache.spark.sql.sources.{EqualTo, In}
@@ -1588,7 +1603,18 @@ final class GraftScan(
       allowedFiles = Some(allowedFiles.fold(paths)(_ intersect paths))
       tracker.foreach(_.onGroupFilter(allowedFiles.get))
     }
-    if (rest.nonEmpty) pushed = pushed ++ rest
+    if (rest.nonEmpty) {
+      // runtime filters are ADVISORY (the join still filters every row):
+      // a runaway IN-list on a non-partition column would cost more to
+      // probe per file and per row group than the pruning saves — skip
+      // it past 4096 keys (partition columns keep Spark's own DPP size
+      // governance)
+      val keep = rest.filterNot {
+        case In(a, vs) => vs.length > 4096 && !partFields.exists(_.col == a)
+        case _ => false
+      }
+      if (keep.nonEmpty) pushed = pushed ++ keep
+    }
     invalidate()
   }
 

@@ -142,6 +142,53 @@ class BloomIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(every == 50, s"file c=0 holds exactly the multiples of 16: got $every")
   }
 
+  test("runtime filtering: a broadcast join's IN-list bloom-prunes files") {
+    import spark.implicits._
+    setupCatalog()
+    spark.sql(
+      """CREATE TABLE gbloom.t.fact (k BIGINT, v STRING)
+        |TBLPROPERTIES ('index.bloom.columns' = 'k')""".stripMargin)
+    for (c <- 0 until 8) {
+      (0 until 50).map(j => (c + 16L * j, s"row-$c-$j")).toDF("k", "v")
+        .coalesce(1).writeTo("gbloom.t.fact").append()
+    }
+    // the scan ADVERTISES the bloom column for runtime filtering...
+    import org.apache.spark.sql.sources.In
+    val cat = spark.sessionState.catalogManager.catalog("gbloom")
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
+    val t = cat.loadTable(
+      org.apache.spark.sql.connector.catalog.Identifier.of(Array("t"), "fact"))
+    val scan = t.asInstanceOf[graft.sources.GraftTable]
+      .newScanBuilder(new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+        java.util.Map.of()))
+      .build().asInstanceOf[graft.sources.GraftScan]
+    assert(scan.filterAttributes().map(_.describe()).toSeq == Seq("k"))
+    // ...and a runtime IN-list arriving mid-plan re-prunes to the one
+    // file whose bloom can hold the keys (both residue 0 mod 8)
+    val before = scan.toBatch.planInputPartitions().length
+    assert(before == 8)
+    val pruned0 = GraftScan.bloomPrunedFiles.get()
+    scan.filter(Array[org.apache.spark.sql.sources.Filter](
+      In("k", Array(16L, 32L))))
+    val after = scan.toBatch.planInputPartitions().length
+    assert(after == 1, s"runtime IN-list must bloom-prune: before=$before after=$after")
+    assert(GraftScan.bloomPrunedFiles.get() - pruned0 >= 7)
+    // a runaway runtime IN-list on a data column is advisory — skipped,
+    // never probed file-by-file
+    scan.filter(Array[org.apache.spark.sql.sources.Filter](
+      In("k", Array.tabulate(5000)(i => java.lang.Long.valueOf(i.toLong)))))
+    assert(scan.toBatch.planInputPartitions().length == 1,
+      "an oversized runtime IN-list must be ignored (stays at the prior pruning)")
+
+    // end-to-end: a broadcast join through the indexed column stays correct
+    (Seq((16L, "a"), (32L, "b")).toDF("k", "name")).createOrReplaceTempView("dim")
+    val rows = spark.sql(
+      """SELECT f.k, f.v, d.name FROM gbloom.t.fact f
+        |JOIN dim d ON f.k = d.k""".stripMargin).collect()
+    assert(rows.map(r => (r.getLong(0), r.getString(2))).toSet ==
+      Set((16L, "a"), (32L, "b")))
+  }
+
   test("long strings: range-dead (>64 chars) but bloom-alive") {
     import spark.implicits._
     setupCatalog()
