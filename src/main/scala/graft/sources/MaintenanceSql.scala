@@ -14,7 +14,8 @@ import org.apache.spark.sql.types.{IntegerType, LongType}
   *    → [[Compaction.compact]] (small-file consolidation, optionally
   *    sort- or Z-curve-clustered, optionally restricted to the identity
   *    partitions a decidable predicate selects);
-  *  - `VACUUM t [RETAIN n SNAPSHOTS]` → [[Snapshots.vacuum]];
+  *  - `VACUUM t [RETAIN n SNAPSHOTS | OLDER THAN '<ts>']` →
+  *    [[Snapshots.vacuum]] / [[Snapshots.vacuumOlderThan]];
   *  - `RESTORE [TABLE] t [TO] VERSION AS OF <v | 'tag'>` /
   *    `RESTORE ... TIMESTAMP AS OF '<ts>'` → [[Snapshots.restore]];
   *  - `ANALYZE TABLE t COMPUTE STATISTICS [FOR COLUMNS c1, c2]` (standard
@@ -31,7 +32,7 @@ object MaintenanceSql {
   private val Optimize =
     """(?is)\s*OPTIMIZE\s+([\w.`]+)(?:\s+WHERE\s+(.*?))?\s*(?:SORT\s+BY\s+\(?\s*([\w`]+(?:\s*,\s*[\w`]+)*)\s*\)?|ZORDER\s+BY\s+\(?\s*([\w`]+(?:\s*,\s*[\w`]+)*)\s*\)?)?\s*;?\s*""".r
   private val Vacuum =
-    """(?is)\s*VACUUM\s+([\w.`]+)\s*(?:RETAIN\s+(\d+)\s+SNAPSHOTS)?\s*;?\s*""".r
+    """(?is)\s*VACUUM\s+([\w.`]+)\s*(?:RETAIN\s+(\d+)\s+SNAPSHOTS|OLDER\s+THAN\s+'([^']+)')?\s*;?\s*""".r
   private val Restore =
     """(?is)\s*RESTORE\s+(?:TABLE\s+)?([\w.`]+)\s+(?:TO\s+)?VERSION\s+AS\s+OF\s+(?:(\d+)|'([\w][\w.-]*)'|`([\w][\w.-]*)`)\s*;?\s*""".r
   private val RestoreTs =
@@ -82,9 +83,10 @@ object MaintenanceSql {
           Option(sortBy).map(cols).getOrElse(Nil),
           Option(zorderBy).map(cols).getOrElse(Nil),
           Option(where).map(_.trim).filter(_.nonEmpty)))
-      case Vacuum(id, retain) if graft(parts(id)) =>
+      case Vacuum(id, retain, olderThan) if graft(parts(id)) =>
         Some(GraftVacuumCommand(parts(id),
-          Option(retain).map(_.toInt).getOrElse(2)))
+          Option(retain).map(_.toInt).getOrElse(2),
+          Option(olderThan).map(_.trim)))
       case Restore(id, v, tagQ, tagB) if graft(parts(id)) =>
         Some(GraftRestoreCommand(parts(id),
           Option(v).orElse(Option(tagQ)).getOrElse(tagB),
@@ -204,14 +206,24 @@ final case class GraftOptimizeCommand(
   }
 }
 
-final case class GraftVacuumCommand(parts: Seq[String], retain: Int)
+/** `olderThan`: a timestamp spelling ([[Snapshots.parseTsMillis]]) for
+  * time-based retention — `VACUUM t OLDER THAN '2026-08-01'` expires
+  * every snapshot committed before that instant (tagged snapshots,
+  * delta-chain bases and the live head always survive). Without it,
+  * count-based retention (`RETAIN n SNAPSHOTS`, default 2). */
+final case class GraftVacuumCommand(parts: Seq[String], retain: Int,
+    olderThan: Option[String] = None)
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
     MaintenanceSql.attr("files_deleted", IntegerType),
     MaintenanceSql.attr("snapshots_dropped", IntegerType))
   override def run(session: SparkSession): Seq[Row] = {
     val (_, tableDir) = MaintenanceSql.loadGraftTable(session, parts)
-    val (files, snaps) = Snapshots.vacuum(tableDir, retain = retain)
+    val (files, snaps) = olderThan match {
+      case Some(ts) =>
+        Snapshots.vacuumOlderThan(tableDir, Snapshots.parseTsMillis(ts))
+      case None => Snapshots.vacuum(tableDir, retain = retain)
+    }
     Seq(Row(files, snaps))
   }
 }

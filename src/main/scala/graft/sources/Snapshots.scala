@@ -853,4 +853,22 @@ object Snapshots {
     victims.foreach(fs.delete(_, false))
     (victims.size, dropped.size)
   }
+
+  /** Time-based retention (`VACUUM t OLDER THAN '<ts>'`): expire every
+    * snapshot committed before `cutoffMillis` and reclaim data files no
+    * surviving manifest references. Translates to [[vacuum]]'s
+    * count-based contract — retain = #snapshots at-or-after the cutoff,
+    * age guard aligned to the same instant — so all of its protections
+    * (tagged snapshots pinned, delta-chain bases kept, live head kept,
+    * in-flight-write age guard, lock discipline) apply unchanged. A
+    * future cutoff simply expires everything expirable; the live
+    * registry and its chain always survive. */
+  def vacuumOlderThan(tableDir: String, cutoffMillis: Long): (Int, Int) = {
+    val dataDir = new Path(tableDir, "data")
+    val fs = dataDir.getFileSystem(new Configuration())
+    if (!fs.exists(dataDir)) return (0, 0)
+    val keep = list(fs, dataDir).count(_._2 >= cutoffMillis)
+    vacuum(tableDir, retain = keep,
+      minAgeMillis = math.max(0L, System.currentTimeMillis() - cutoffMillis))
+  }
 }

@@ -135,6 +135,29 @@ class SnapshotSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(err.getMessage.contains("snapshot"))
   }
 
+  test("VACUUM ... OLDER THAN expires by commit time; live chain survives") {
+    spark.sql("CREATE TABLE graft.snap.vot (k BIGINT, v STRING)")
+    spark.sql("INSERT INTO graft.snap.vot VALUES (1, 'a')")
+    spark.sql("INSERT INTO graft.snap.vot VALUES (2, 'b')")
+    spark.sql("DELETE FROM graft.snap.vot WHERE k = 1") // COW: orphans a file
+    val d = dataDir("vot")
+    val fs = fsOf(d)
+    val nVersions = Snapshots.list(fs, d).size
+
+    // cutoff before every commit: nothing expires
+    val r0 = spark.sql("VACUUM graft.snap.vot OLDER THAN '2000-01-01'").collect()(0)
+    assert(r0.getInt(0) == 0 && r0.getInt(1) == 0)
+    assert(Snapshots.list(fs, d).size == nVersions)
+
+    // cutoff after every commit: all expirable history goes (files +
+    // snapshots), but the live registry and its chain always survive
+    val r1 = spark.sql("VACUUM graft.snap.vot OLDER THAN '2100-01-01'").collect()(0)
+    assert(r1.getInt(1) > 0, s"future cutoff must drop expired snapshots: $r1")
+    assert(r1.getInt(0) > 0, s"the COW-replaced file must be reclaimed: $r1")
+    assert(spark.sql("SELECT k FROM graft.snap.vot").collect()
+      .map(_.getLong(0)).toSeq == Seq(2L))
+  }
+
   test("incremental append scan reads only files added in (since, end]") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.snap")
     spark.sql("CREATE TABLE graft.snap.inc (k BIGINT)")
