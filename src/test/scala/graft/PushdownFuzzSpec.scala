@@ -69,10 +69,15 @@ class PushdownFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   private def setup(): Unit = {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.pdfuzz")
+    // bloom indexes on every eligible data column: the equality leaves
+    // below then exercise per-file Bloom disproof ([[BloomIndex]]) under
+    // the same row-set oracle — any wrong skip is a baseline diff
     spark.sql(s"""CREATE TABLE $full (
                  |  row_key STRING, p INT, i BIGINT, d DOUBLE, s STRING,
                  |  dt DATE, b BOOLEAN)
-                 |PARTITIONED BY (p)""".stripMargin)
+                 |PARTITIONED BY (p)
+                 |TBLPROPERTIES ('index.bloom.columns' = 'row_key,i,s,dt',
+                 |               'index.bloom.bits' = '2048')""".stripMargin)
     // 6 commits -> multiple files per partition, varied registry ranges
     corpus.withColumn("g", pmod(xxhash64(col("row_key")), lit(6)))
       .collect() // force corpus determinism before the loop below reuses it
@@ -86,7 +91,7 @@ class PushdownFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
     * selections are non-trivial; strings avoid quote games (the Column
     * API carries them literally anyway). */
   private def genPredicate(rnd: scala.util.Random, depth: Int): Column = {
-    def leaf(): Column = rnd.nextInt(12) match {
+    def leaf(): Column = rnd.nextInt(16) match {
       case 0 => col("i") > lit((rnd.nextInt(200) - 100).toLong)
       case 1 => col("i") <= lit((rnd.nextInt(200) - 100).toLong)
       case 2 => col("d") < lit(rnd.nextInt(1000) / 10.0 - 50.0)
@@ -108,6 +113,15 @@ class PushdownFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
       case 11 =>
         val vals = Seq.fill(1 + rnd.nextInt(2))(rnd.nextInt(5))
         col("p").isin(vals: _*)
+      // equality leaves on bloom-indexed columns: file-level Bloom
+      // disproof is live for these (present and absent values both drawn)
+      case 12 => col("i") === lit((rnd.nextInt(200) - 100).toLong)
+      case 13 =>
+        val w = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta")
+        col("s") === lit(w(rnd.nextInt(w.size)) + rnd.nextInt(20))
+      case 14 => col("dt") === lit(java.sql.Date.valueOf(
+        java.time.LocalDate.of(2026, 1, 1).plusDays(rnd.nextInt(120).toLong)))
+      case 15 => col("row_key") === lit("k" + rnd.nextInt(330)) // incl. absent
     }
     if (depth <= 0 || rnd.nextInt(3) == 0) leaf()
     else rnd.nextInt(3) match {
