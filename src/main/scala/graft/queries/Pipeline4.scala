@@ -164,5 +164,73 @@ object Pipeline4 {
              |WHERE doc_id IN (7, 123, 200, 301) ORDER BY doc_id""".stripMargin)
       },
       Some("""SELECT doc_id, lang, source, n_chars FROM documents
-        WHERE doc_id IN (7, 123, 200, 301) ORDER BY doc_id""")))
+        WHERE doc_id IN (7, 123, 200, 301) ORDER BY doc_id""")),
+
+    // ---- q153: top principal component via distributed power iteration --
+    // The PCA direction of the embedding space (drift monitoring, whitening
+    // prep, intrinsic-dimension probes) WITHOUT ever materializing the
+    // 64×64 covariance or collecting the corpus: each power-iteration step
+    // is one per-row dot product with the broadcast current vector plus one
+    // per-dimension aggregate — cov·v = Σ_x (x−m)((x−m)·v) folded
+    // distributively, O(corpus × dims) per round, model-sized (64-row)
+    // state between rounds. Two unrolled rounds from the all-ones start;
+    // INTEGER-EXACT quantization throughout (elements at 1e6, the round-1
+    // vector re-quantized at 1e3, round-2 accumulation in decimal(38,0))
+    // so partial-aggregation order cannot change a bit and DuckDB replays
+    // the whole recursion. Output: the direction in exact integer ppm.
+    QueryDef(
+      "q153_power_iteration",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val c0 = t.embeddings.select(
+          col("vec_id"),
+          posexplode(col("embedding").cast("array<double>")).as(Seq("pos", "x")))
+        val m = c0.groupBy(col("pos"))
+          .agg(sum(expr("round(x * 1e6)")).as("qsum"), count(lit(1)).as("n"))
+        val c = c0.join(broadcast(m), "pos")
+          .select(col("vec_id"), col("pos"),
+            expr("cast(round((x - (qsum / n) / 1e6) * 1e6) as long)").as("q"))
+        val d1 = c.groupBy(col("vec_id")).agg(sum(col("q")).as("d"))
+        val w1 = c.join(d1, "vec_id").groupBy(col("pos"))
+          .agg(sum(col("d") * col("q")).as("w"))
+        val n1 = w1.agg(
+          expr("sqrt(sum(cast(w as double) * cast(w as double)))").as("nrm"))
+        val v1 = w1.crossJoin(broadcast(n1))
+          .select(col("pos"), expr("cast(round(w / nrm * 1000) as long)").as("vq"))
+        val d2 = c.join(broadcast(v1), "pos").groupBy(col("vec_id"))
+          .agg(sum(col("q") * col("vq")).as("d2"))
+        val w2 = c.join(d2, "vec_id").groupBy(col("pos"))
+          .agg(sum(expr("cast(d2 as decimal(38, 0)) * q")).as("w"))
+        val n2 = w2.agg(
+          expr("sqrt(sum(cast(w as double) * cast(w as double)))").as("nrm"))
+        w2.crossJoin(broadcast(n2))
+          .select(col("pos"),
+            expr("cast(round(cast(w as double) / nrm * 1e6) as long)").as("v_ppm"))
+          .orderBy(col("pos"))
+      },
+      Some("""WITH c0 AS (
+          SELECT vec_id, CAST(p.i AS INT) AS pos,
+                 CAST(embedding[p.i + 1] AS DOUBLE) AS x
+          FROM embeddings CROSS JOIN (SELECT CAST(i AS BIGINT) AS i
+                                      FROM range(0, 64) t(i)) p),
+        m AS (SELECT pos, SUM(round(x * 1e6)) AS qsum, COUNT(*) AS n
+              FROM c0 GROUP BY pos),
+        c AS (SELECT vec_id, c0.pos,
+                     CAST(round((x - (qsum / n) / 1e6) * 1e6) AS BIGINT) AS q
+              FROM c0 JOIN m ON m.pos = c0.pos),
+        d1 AS (SELECT vec_id, CAST(SUM(q) AS BIGINT) AS d FROM c GROUP BY vec_id),
+        w1 AS (SELECT pos, CAST(SUM(d * q) AS BIGINT) AS w
+               FROM c JOIN d1 USING (vec_id) GROUP BY pos),
+        n1 AS (SELECT sqrt(SUM(CAST(w AS DOUBLE) * CAST(w AS DOUBLE))) AS nrm
+               FROM w1),
+        v1 AS (SELECT pos, CAST(round(w / nrm * 1000) AS BIGINT) AS vq
+               FROM w1, n1),
+        d2 AS (SELECT vec_id, CAST(SUM(q * vq) AS BIGINT) AS d2
+               FROM c JOIN v1 USING (pos) GROUP BY vec_id),
+        w2 AS (SELECT pos, SUM(CAST(d2 AS HUGEINT) * CAST(q AS HUGEINT)) AS w
+               FROM c JOIN d2 USING (vec_id) GROUP BY pos),
+        n2 AS (SELECT sqrt(SUM(CAST(w AS DOUBLE) * CAST(w AS DOUBLE))) AS nrm
+               FROM w2)
+        SELECT pos, CAST(round(CAST(w AS DOUBLE) / nrm * 1e6) AS BIGINT) AS v_ppm
+        FROM w2, n2 ORDER BY pos""")))
 }
