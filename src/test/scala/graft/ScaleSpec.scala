@@ -309,6 +309,30 @@ class ScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.sql("DROP TABLE graft.mf.many")
   }
 
+  test("bloom point lookup at 256 hash-scattered files: metadata-only pruning") {
+    import graft.sources.GraftScan
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.mf")
+    // 2 commits × 128 round-robin tasks, ids INTERLEAVED by parity so
+    // every one of the 256 files spans the whole id domain — the layout
+    // where ranges never skip and a point lookup otherwise reads all 256
+    spark.sql("""CREATE TABLE graft.mf.bl (id BIGINT, v DOUBLE)
+                |TBLPROPERTIES ('index.bloom.columns' = 'id')""".stripMargin)
+    for (par <- 0 until 2)
+      spark.range(0L, 50000L).filter(s"id % 2 = $par")
+        .selectExpr("id", "CAST(id % 97 AS DOUBLE) AS v")
+        .repartition(128)
+        .writeTo("graft.mf.bl").append()
+    val (f0, b0) = (GraftScan.footerReads.get(), GraftScan.bloomPrunedFiles.get())
+    val r = spark.sql("SELECT v FROM graft.mf.bl WHERE id = 31337").collect()
+    assert(r.map(_.getDouble(0)).toSeq == Seq((31337L % 97).toDouble))
+    assert(GraftScan.footerReads.get() == f0,
+      "bloom planning must not open parquet footers")
+    val pruned = GraftScan.bloomPrunedFiles.get() - b0
+    assert(pruned >= 250,
+      s"expected ≥250 of ~256 domain-spanning files bloom-pruned, got $pruned")
+    spark.sql("DROP TABLE graft.mf.bl")
+  }
+
   test("commit metadata cost is O(files touched), not O(live files)") {
     import graft.sources.{Snapshots, TableStats}
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.mf")
