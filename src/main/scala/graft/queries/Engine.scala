@@ -1187,7 +1187,7 @@ object Engine {
           .writeTo(s"$ns.wap1").option("wap.id", "ingest1").append()
         val liveBefore = s.table(s"$ns.wap1").count()
         val audit = s.sql(
-          s"SELECT COUNT(*) FROM $ns.wap1 VERSION AS OF 'wap-ingest1'").head.getLong(0)
+          s"SELECT COUNT(*) FROM $ns.wap1 VERSION AS OF 'wap-ingest1'").head().getLong(0)
         s.sql(s"ALTER TABLE $ns.wap1 PUBLISH WAP 'ingest1'")
         // a rejected batch: staged, audited bad, discarded — leaves no trace
         s.read.parquet(s"$dir/documents.parquet")

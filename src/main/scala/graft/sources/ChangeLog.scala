@@ -317,7 +317,7 @@ object ChangeLog {
     }
 
     val outSchema = changeSchema(schema)
-    val out = changes.select(outSchema.fieldNames.map(col): _*)
+    val out = changes.select(outSchema.fieldNames.toIndexedSeq.map(col): _*)
     val staging = new Path(changesDir(new Path(dataDir)), s".staging-$writeId")
     writeChangeFiles(spark, out, outSchema, staging)
     Some(staging)

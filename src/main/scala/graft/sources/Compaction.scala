@@ -207,7 +207,7 @@ object Compaction {
     def readFiles(paths: Seq[String]): org.apache.spark.sql.DataFrame =
       if (table.renames.isEmpty)
         spark.read.schema(schema).parquet(paths: _*)
-          .select(schema.fieldNames.map(col): _*)
+          .select(schema.fieldNames.toIndexedSeq.map(col): _*)
       else {
         // RENAME COLUMN history: pre-rename victims carry former physical
         // names; coalesce each current column over its name history (a
@@ -304,7 +304,7 @@ object Compaction {
         base0.withColumn("__gz", expr(zkey))
           .repartitionByRange(nOut, col("__gz"))
           .sortWithinPartitions(col("__gz"))
-          .select(schema.fieldNames.map(col): _*)
+          .select(schema.fieldNames.toIndexedSeq.map(col): _*)
       }
       else if (sortBy.isEmpty) base0.coalesce(nOut)
       else base0.repartitionByRange(nOut, sortBy.map(col): _*)

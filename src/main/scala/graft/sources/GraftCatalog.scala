@@ -368,7 +368,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
         val name = ud.fieldNames()(0)
         require(schema.fieldNames.contains(name), s"no such column $name")
         val newSql = Option(ud.newCurrentDefault()).map(_.getSql)
-          .orElse(Option(ud.newDefaultValue()).filter(_.nonEmpty))
+          .orElse(Option(legacyDefaultSql(ud)).filter(_.nonEmpty))
         schema = StructType(schema.fields.map { f =>
           if (f.name != name) f
           else {
@@ -698,6 +698,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
     val out = fs.create(metaFile(ident), true)
     try out.write(yaml.getBytes(StandardCharsets.UTF_8)) finally out.close()
   }
+
+  /** Pre-4.1 callers deliver SET DEFAULT through the deprecated
+    * string-typed accessor — kept as a deliberate fallback, isolated so
+    * the deprecation is acknowledged exactly once. */
+  @scala.annotation.nowarn("cat=deprecation")
+  private def legacyDefaultSql(
+      ud: org.apache.spark.sql.connector.catalog.TableChange.UpdateColumnDefaultValue)
+      : String = ud.newDefaultValue()
 }
 
 /** A staged (not yet visible) table: all reads/writes go to the hidden

@@ -3454,7 +3454,7 @@ object GraftWriterFactory {
               if (row.isNullAt(i)) null else row.get(i, f.dataType)
             }
             val nonKey = org.apache.spark.sql.catalyst.InternalRow.fromSeq(
-              values.zipWithIndex.collect { case (v, i) if i != rowKeyIdx => v })
+              values.zipWithIndex.collect { case (v, i) if i != rowKeyIdx => v }.toIndexedSeq)
             val scalaRow = toScala(nonKey).asInstanceOf[org.apache.spark.sql.Row]
             val key = generator.get.genRowKey(writeId, partitionId, count, scalaRow)
             // incoming rows are usually UnsafeRow (not updatable) — rebuild

@@ -61,7 +61,8 @@ object SchemaRegistry {
       val generator = spec.get("generator")
         .map(_.asInstanceOf[java.util.Map[String, String]].asScala)
         .flatMap(_.get("name"))
-      val familyFields = (spec - "row" - "generator").toSeq.sortBy(_._1).flatMap {
+      val familyFields = spec.filter { case (k, _) => k != "row" && k != "generator" }
+        .toSeq.sortBy(_._1).flatMap {
         case (family, quals) =>
           quals.asInstanceOf[java.util.Map[String, String]].asScala.toSeq.sortBy(_._1)
             .map { case (qual, t) =>
