@@ -124,32 +124,45 @@ object BloomIndex {
       else Some(java.util.Base64.getEncoder.encodeToString(bytes))
   }
 
-  /** Membership probe against a serialized bitset (bit count is implied
-    * by the payload length). Malformed payloads answer "might contain"
-    * — never a wrong skip. */
-  def mightContain(b64: String, canonical: String): Boolean =
+  /** True when every non-null value of `values` is provably absent from
+    * the bitset — the payload is decoded ONCE for the whole list (an
+    * IN-list probes up to 4096 values per file; per-value decodes would
+    * make driver planning O(files × values) base64 work). A null-only
+    * list matches no row under three-valued logic, so it is trivially
+    * absent. Malformed payloads answer "might contain" — never a wrong
+    * skip. */
+  private def allAbsent(b64: String, values: Iterable[Any]): Boolean = {
+    val nonNull = values.iterator.filter(_ != null)
+    if (nonNull.isEmpty) return true
     try {
       val bytes = java.util.Base64.getDecoder.decode(b64)
-      if (bytes.length == 0) return false // all-null column: no non-null value
+      if (bytes.length == 0) return true // all-null column: no non-null value
       val bits = bytes.length * 8
-      positions(canonical, bits).forall { p =>
-        (bytes(p >> 3) & (1 << (p & 7))) != 0
+      nonNull.forall { v =>
+        !positions(canonicalExternal(v), bits).forall { p =>
+          (bytes(p >> 3) & (1 << (p & 7))) != 0
+        }
       }
-    } catch { case _: IllegalArgumentException => true }
+    } catch { case _: IllegalArgumentException => false }
+  }
+
+  /** Membership probe against a serialized bitset (bit count is implied
+    * by the payload length). */
+  def mightContain(b64: String, canonical: String): Boolean =
+    !allAbsent(b64, Seq(canonical))
 
   /** True when `f` PROVES the file holds no matching row, from the
     * entry's bloom map alone (mirrors [[PartitionPruning.rangeDisproves]]'s
     * conservative shape: anything unknown returns false). */
   def disproves(f: Filter, blooms: Map[String, String]): Boolean = f match {
     case EqualTo(a, v) if v != null =>
-      blooms.get(a).exists(!mightContain(_, canonicalExternal(v)))
+      blooms.get(a).exists(allAbsent(_, Seq(v)))
     case EqualNullSafe(a, v) if v != null =>
-      blooms.get(a).exists(!mightContain(_, canonicalExternal(v)))
+      blooms.get(a).exists(allAbsent(_, Seq(v)))
     case In(a, vs) if vs.nonEmpty =>
       // null never matches IN; a file is skippable when every non-null
       // probe value is provably absent
-      blooms.get(a).exists(b => vs.forall(v =>
-        v == null || !mightContain(b, canonicalExternal(v))))
+      blooms.get(a).exists(allAbsent(_, vs))
     case And(l, r) => disproves(l, blooms) || disproves(r, blooms)
     case Or(l, r) => disproves(l, blooms) && disproves(r, blooms)
     case _ => false

@@ -1588,8 +1588,8 @@ final class GraftScan(
     * manifest (planning already did); empty on bloom-less tables, so
     * their runtime-filter surface is exactly what it was. */
   private lazy val bloomAdvertised: Seq[String] =
-    cachedStats.valuesIterator.flatMap(_.blooms)
-      .flatMap(_.keysIterator).toSet.toSeq.sorted
+    (cachedStats.valuesIterator.flatMap(_.blooms)
+      .flatMap(_.keysIterator).toSet -- widened).toSeq.sorted
 
   override def filter(filters: Array[Filter]): Unit = if (filters.nonEmpty) {
     import org.apache.spark.sql.sources.{EqualTo, In}
@@ -1817,9 +1817,22 @@ final class GraftScan(
           if (pushed.isEmpty) afterTopN
           else afterTopN.filter { f =>
             cachedStats.get(TableStats.relOf(f._1)).forall { e =>
-              (e.cols.isEmpty ||
-                !pushed.exists(PartitionPruning.rangeDisproves(_, e.cols, tableSchema))) &&
-              e.blooms.forall { b =>
+              // a WIDENED column's registry strings (and bloom hashes)
+              // from pre-widening files live in the FORMER type's value
+              // space — "0.1" of a float file reparses as a different
+              // double than the widened reader yields, and an int file's
+              // bloom hashed "123" while the probe now hashes "123.0" —
+              // so widened columns never disprove (the same exclusion
+              // every other registry-fold path applies)
+              val cols =
+                if (widened.isEmpty) e.cols
+                else e.cols.filterNot { case (c, _) => widened.contains(c) }
+              val blooms = e.blooms.map(b =>
+                if (widened.isEmpty) b
+                else b.filterNot { case (c, _) => widened.contains(c) })
+              (cols.isEmpty ||
+                !pushed.exists(PartitionPruning.rangeDisproves(_, cols, tableSchema))) &&
+              blooms.forall { b =>
                 val keep = !pushed.exists(BloomIndex.disproves(_, b))
                 if (!keep) GraftScan.bloomPrunedFiles.incrementAndGet()
                 keep
@@ -2855,6 +2868,19 @@ final class GraftWriteBuilder(
       .split(',').map(_.trim).filter(_.nonEmpty).toSeq
     sortCols.foreach(c => require(schema.fieldNames.contains(c),
       s"graft: ${GraftTable.SortColumnsProp} names unknown column $c"))
+    // index.bloom.columns gets the same loud check: a typo'd or
+    // ineligible column would otherwise be a SILENT no-op — no bitsets
+    // ever built, every point lookup quietly full-scanning while the
+    // user believes the index is active
+    BloomIndex.columnsOf(props).foreach { c =>
+      val f = schema.fields.find(_.name == c).getOrElse(throw
+        new IllegalArgumentException(
+          s"graft: ${BloomIndex.ColumnsProp} names unknown column $c"))
+      require(BloomIndex.eligible(f.dataType),
+        s"graft: ${BloomIndex.ColumnsProp} column $c of type " +
+          s"${f.dataType.simpleString} is not bloom-indexable " +
+          "(integral, string and date columns only)")
+    }
     val sortOrders = sortCols.map(c =>
       org.apache.spark.sql.connector.expressions.Expressions.sort(
         org.apache.spark.sql.connector.expressions.Expressions.column(c),

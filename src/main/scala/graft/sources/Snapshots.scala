@@ -860,15 +860,20 @@ object Snapshots {
     * count-based contract — retain = #snapshots at-or-after the cutoff,
     * age guard aligned to the same instant — so all of its protections
     * (tagged snapshots pinned, delta-chain bases kept, live head kept,
-    * in-flight-write age guard, lock discipline) apply unchanged. A
-    * future cutoff simply expires everything expirable; the live
-    * registry and its chain always survive. */
-  def vacuumOlderThan(tableDir: String, cutoffMillis: Long): (Int, Int) = {
+    * lock discipline) apply unchanged. The in-flight-write age guard is
+    * FLOORED at `minAgeMillis` (default 1 h): a cutoff at or after now
+    * must not zero the guard, or it would reclaim a concurrent writer's
+    * just-landed part files before their commit registers them — the
+    * exact race the guard exists for. The live registry and its chain
+    * always survive whatever the cutoff. */
+  def vacuumOlderThan(tableDir: String, cutoffMillis: Long,
+                      minAgeMillis: Long = 3600L * 1000): (Int, Int) = {
     val dataDir = new Path(tableDir, "data")
     val fs = dataDir.getFileSystem(new Configuration())
     if (!fs.exists(dataDir)) return (0, 0)
     val keep = list(fs, dataDir).count(_._2 >= cutoffMillis)
     vacuum(tableDir, retain = keep,
-      minAgeMillis = math.max(0L, System.currentTimeMillis() - cutoffMillis))
+      minAgeMillis =
+        math.max(minAgeMillis, System.currentTimeMillis() - cutoffMillis))
   }
 }

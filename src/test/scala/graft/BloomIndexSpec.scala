@@ -224,6 +224,52 @@ class BloomIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
       "a saturated bitset must not serve (it was dropped at write)")
   }
 
+  test("widened columns never disprove — bloom (int→double) or range (float→double)") {
+    import spark.implicits._
+    setupCatalog()
+    // pre-widening bloom hashed "123"; after ALTER ... TYPE DOUBLE the
+    // probe arrives as 123.0 — the stale bitset must be IGNORED, not
+    // wrongly skip the file holding the row
+    spark.sql(
+      """CREATE TABLE gbloom.t.wid (k INT, v STRING)
+        |TBLPROPERTIES ('index.bloom.columns' = 'k')""".stripMargin)
+    Seq((123, "a"), (456, "b")).toDF("k", "v")
+      .coalesce(1).writeTo("gbloom.t.wid").append()
+    spark.sql("ALTER TABLE gbloom.t.wid ALTER COLUMN k TYPE DOUBLE")
+    assert(spark.sql("SELECT v FROM gbloom.t.wid WHERE k = 123").collect()
+      .map(_.getString(0)).toSeq == Seq("a"))
+
+    // float→double: the registry range string "0.1" reparses as a
+    // DIFFERENT double than the widened reader yields for 0.1f — range
+    // disproof on the widened column must not skip the file
+    spark.sql("CREATE TABLE gbloom.t.widf (x FLOAT, v STRING)")
+    Seq((0.1f, "hit"), (7.5f, "other")).toDF("x", "v")
+      .coalesce(1).writeTo("gbloom.t.widf").append()
+    spark.sql("ALTER TABLE gbloom.t.widf ALTER COLUMN x TYPE DOUBLE")
+    val asDouble = 0.1f.toDouble // 0.10000000149011612
+    assert(spark.sql(s"SELECT v FROM gbloom.t.widf WHERE x = CAST($asDouble AS DOUBLE)")
+      .collect().map(_.getString(0)).toSeq == Seq("hit"))
+  }
+
+  test("index.bloom.columns is validated loudly at write") {
+    import spark.implicits._
+    setupCatalog()
+    spark.sql(
+      """CREATE TABLE gbloom.t.badcol (k BIGINT, v STRING)
+        |TBLPROPERTIES ('index.bloom.columns' = 'kk')""".stripMargin)
+    val e1 = intercept[Exception] {
+      Seq((1L, "a")).toDF("k", "v").coalesce(1).writeTo("gbloom.t.badcol").append()
+    }
+    assert(e1.getMessage.contains("unknown column kk"), e1.getMessage)
+    spark.sql(
+      """CREATE TABLE gbloom.t.badtype (k DOUBLE, v STRING)
+        |TBLPROPERTIES ('index.bloom.columns' = 'k')""".stripMargin)
+    val e2 = intercept[Exception] {
+      Seq((1.5, "a")).toDF("k", "v").coalesce(1).writeTo("gbloom.t.badtype").append()
+    }
+    assert(e2.getMessage.contains("not bloom-indexable"), e2.getMessage)
+  }
+
   test("nulls: bloom covers non-null values only and col = v skips all-null files") {
     import spark.implicits._
     setupCatalog()

@@ -149,11 +149,21 @@ class SnapshotSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r0.getInt(0) == 0 && r0.getInt(1) == 0)
     assert(Snapshots.list(fs, d).size == nVersions)
 
-    // cutoff after every commit: all expirable history goes (files +
-    // snapshots), but the live registry and its chain always survive
+    // a cutoff at/after now must NOT zero the in-flight-write age guard:
+    // through SQL (default 1 h floor) the fresh files and manifests all
+    // survive — a concurrent writer's just-landed part files are exactly
+    // this young
     val r1 = spark.sql("VACUUM graft.snap.vot OLDER THAN '2100-01-01'").collect()(0)
-    assert(r1.getInt(1) > 0, s"future cutoff must drop expired snapshots: $r1")
-    assert(r1.getInt(0) > 0, s"the COW-replaced file must be reclaimed: $r1")
+    assert(r1.getInt(0) == 0 && r1.getInt(1) == 0,
+      s"the age-guard floor must protect fresh files from a future cutoff: $r1")
+
+    // with the guard explicitly lifted (test-only), the same cutoff
+    // expires all history; the live registry and its chain survive
+    val (files, snaps) = Snapshots.vacuumOlderThan(
+      s"$warehouse/snap/vot",
+      cutoffMillis = System.currentTimeMillis() + 3600000L, minAgeMillis = 0L)
+    assert(snaps > 0, "lifted guard: expired snapshots must drop")
+    assert(files > 0, "lifted guard: the COW-replaced file must be reclaimed")
     assert(spark.sql("SELECT k FROM graft.snap.vot").collect()
       .map(_.getLong(0)).toSeq == Seq(2L))
   }
