@@ -224,6 +224,37 @@ class BloomIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
       "a saturated bitset must not serve (it was dropped at write)")
   }
 
+  test("point DELETE on a bloom-indexed column rewrites only the matching file") {
+    import spark.implicits._
+    setupCatalog()
+    spark.sql(
+      """CREATE TABLE gbloom.t.del (k BIGINT, v STRING)
+        |TBLPROPERTIES ('index.bloom.columns' = 'k')""".stripMargin)
+    for (c <- 0 until 8) {
+      (0 until 50).map(j => (c + 16L * j, s"row-$c-$j")).toDF("k", "v")
+        .coalesce(1).writeTo("gbloom.t.del").append()
+    }
+    // the COW rewrite selects its victim FILES through the same pruned
+    // scan: 7 of 8 files provably lack k=32 and are left byte-identical
+    val survivors0 = spark.sql("SELECT file FROM gbloom.t.`del$files`")
+      .collect().map(_.getString(0)).toSet
+    spark.sql("DELETE FROM gbloom.t.del WHERE k = 32")
+    val survivors1 = spark.sql("SELECT file FROM gbloom.t.`del$files`")
+      .collect().map(_.getString(0)).toSet
+    assert((survivors0 -- survivors1).size == 1,
+      s"exactly one file should be replaced, got ${(survivors0 -- survivors1).size}")
+    assert((survivors0 intersect survivors1).size == 7,
+      "the 7 bloom-pruned files must remain untouched")
+    assert(spark.sql("SELECT count(*) FROM gbloom.t.del WHERE k = 32")
+      .head().getLong(0) == 0)
+    assert(spark.sql("SELECT count(*) FROM gbloom.t.del").head().getLong(0) == 399)
+    // the rewritten file carries a FRESH bloom: the lookup still prunes
+    val pruned0 = GraftScan.bloomPrunedFiles.get()
+    assert(spark.sql("SELECT v FROM gbloom.t.del WHERE k = 16").head()
+      .getString(0) == "row-0-1")
+    assert(GraftScan.bloomPrunedFiles.get() - pruned0 >= 7)
+  }
+
   test("widened columns never disprove — bloom (int→double) or range (float→double)") {
     import spark.implicits._
     setupCatalog()
