@@ -100,6 +100,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
     if (!cascade && listTables(namespace).nonEmpty)
       throw new IllegalStateException(s"namespace ${namespace.mkString(".")} is not empty")
     viewSqlCache.clear() // a cascade may have removed views
+    Snapshots.invalidateCachePrefix(nsPath(namespace))
     fs.delete(nsPath(namespace), true)
   }
 
@@ -151,6 +152,20 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
       throw new IllegalArgumentException(
         s"graft: table ${fullName(ident)} has no snapshot v$version " +
           s"(never recorded, or expired by vacuum)")
+    // crashed-commit snapshots hold rows that were never committed —
+    // refuse explicit time travel to them (Aborted-marked orphans, and
+    // unmarked ones above the live head awaiting healing). WAP stages
+    // stay readable: the audit read is their whole purpose.
+    val kind = ChangeLog.kindOf(fs, dataDir, version)
+    if (kind.contains(ChangeLog.Aborted))
+      throw new IllegalArgumentException(
+        s"graft: v$version of ${fullName(ident)} is a crashed commit's " +
+          "aborted snapshot — its rows were never committed")
+    if (kind.isEmpty)
+      TableStats.liveVersion(fs, dataDir).foreach(head =>
+        require(version <= head,
+          s"graft: v$version of ${fullName(ident)} is above the live head " +
+            s"v$head with no commit marker — an unhealed crashed commit"))
     new GraftTable(fullName(ident), t.schema0,
       t.properties().asScala.toMap, tablePath(ident).toString,
       t.partitionSpecs, pinnedVersion = Some(version))
@@ -307,6 +322,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
           GraftTable.renderRenames((renames - from) + (to -> history))
         schema = StructType(schema.fields.map(f =>
           if (f.name == from) f.copy(name = to) else f))
+        // column-list properties follow the rename, or every later write
+        // fails its "unknown column" validation and the table is
+        // unwritable until someone hand-edits properties
+        props = GraftCatalog.renameInColumnListProps(props, from, to)
       case up: TableChange.UpdateColumnType if up.fieldNames().length == 1 =>
         // metadata-only TYPE WIDENING: old files keep their narrow
         // physical encoding, readers upcast per value (ParquetRowIO
@@ -336,6 +355,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
             if (f.name == name) f.copy(dataType = to) else f))
           props += GraftTable.WidenedProp ->
             (GraftTable.widenedNames(props) + name).toSeq.sorted.mkString(",")
+          // widening to a bloom-ineligible type (int->double) retires the
+          // column from the index automatically — its stale bitsets are
+          // already excluded from pruning, and leaving the property would
+          // make every later write fail the eligibility validation
+          if (!BloomIndex.eligible(to))
+            props = GraftCatalog.dropFromColumnListProps(props, name,
+              only = Set(BloomIndex.ColumnsProp))
         }
       case del: TableChange.DeleteColumn if del.fieldNames().length == 1 =>
         // metadata-only drop: the column simply stops being requested;
@@ -361,6 +387,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
         if (renames0.contains(name))
           props += GraftTable.RenamesProp ->
             GraftTable.renderRenames(renames0 - name)
+        // a dropped column leaves every column-list property, or later
+        // writes die on its "unknown column" validation
+        props = GraftCatalog.dropFromColumnListProps(props, name)
       case ud: TableChange.UpdateColumnDefaultValue if ud.fieldNames().length == 1 =>
         // ALTER COLUMN ... SET/DROP DEFAULT: changes what FUTURE inserts
         // fill (CURRENT_DEFAULT); rows already written and files predating
@@ -422,7 +451,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
   }
 
   override def dropTable(ident: Identifier): Boolean =
-    tableExists(ident) && fs.delete(tablePath(ident), true)
+    tableExists(ident) && {
+      // a recreated table reuses these exact paths — purge the snapshot
+      // resolve cache at the generation boundary (see
+      // [[Snapshots.invalidateCacheUnder]])
+      Snapshots.invalidateCacheUnder(new Path(tablePath(ident), "data"))
+      fs.delete(tablePath(ident), true)
+    }
 
   override def renameTable(oldIdent: Identifier, newIdent0: Identifier): Unit = {
     // RENAME TO targets often arrive catalog-qualified (`graft.ns.t`);
@@ -435,6 +470,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
     if (tableExists(newIdent)) throw new TableAlreadyExistsException(newIdent)
     if (!namespaceExists(newIdent.namespace()))
       throw new NoSuchNamespaceException(newIdent.namespace())
+    Snapshots.invalidateCacheUnder(new Path(tablePath(oldIdent), "data"))
     fs.rename(tablePath(oldIdent), tablePath(newIdent))
     invalidateViewCache(oldIdent)
     invalidateViewCache(newIdent)
@@ -780,4 +816,31 @@ object GraftCatalog {
           "FOREIGN KEY is unsupported)")
     }
   }
+
+  /** Table properties holding comma-separated DATA-column lists; every
+    * one must track RENAME/DROP COLUMN or later writes fail their
+    * "unknown column" validation against the new schema. */
+  private val ColumnListProps: Set[String] = Set(
+    GraftTable.SortColumnsProp,
+    BloomIndex.ColumnsProp,
+    ParquetRowIO.WriteProps.BloomColumns)
+
+  private[sources] def renameInColumnListProps(
+      props: Map[String, String], from: String, to: String): Map[String, String] =
+    ColumnListProps.foldLeft(props) { (ps, p) =>
+      ps.get(p).fold(ps) { v =>
+        ps + (p -> v.split(',').map(_.trim).filter(_.nonEmpty)
+          .map(c => if (c == from) to else c).mkString(","))
+      }
+    }
+
+  private[sources] def dropFromColumnListProps(
+      props: Map[String, String], name: String,
+      only: Set[String] = ColumnListProps): Map[String, String] =
+    only.foldLeft(props) { (ps, p) =>
+      ps.get(p).fold(ps) { v =>
+        val rest = v.split(',').map(_.trim).filter(_.nonEmpty).filterNot(_ == name)
+        if (rest.isEmpty) ps - p else ps + (p -> rest.mkString(","))
+      }
+    }
 }

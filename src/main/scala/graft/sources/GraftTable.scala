@@ -857,17 +857,8 @@ object TableStats {
     * legacy full registries written before the head line existed. Reads
     * only the registry's first bytes. */
   def liveVersion(fs: FileSystem, dataDir: Path): Option[Long] =
-    try {
-      val in = fs.open(new Path(dataDir, FileName))
-      val head = try new String(in.readNBytes(64), java.nio.charset.StandardCharsets.UTF_8)
-        finally in.close()
-      val num =
-        if (head.startsWith(PtrPrefix)) head.substring(PtrPrefix.length)
-        else if (head.startsWith(HeadPrefix)) head.substring(HeadPrefix.length)
-        else ""
-      val digits = num.takeWhile(_.isDigit)
-      if (digits.isEmpty) None else Some(digits.toLong)
-    } catch { case _: java.io.IOException => None }
+    Snapshots.readHeadDigits(fs, new Path(dataDir, FileName),
+      Seq(PtrPrefix, HeadPrefix))
 
   /** Serialize registry read-modify-write cycles across concurrent
     * committers: without this, two INSERTs landing together each read the
@@ -966,7 +957,18 @@ object TableStats {
     * @return the snapshot version this commit recorded (so commit paths
     *         can annotate it with a [[ChangeLog]] kind marker) */
   def write(fs: FileSystem, dataDir: Path, stats: Map[String, Entry]): Long = {
-    val head = liveVersion(fs, dataDir)
+    val head = liveVersion(fs, dataDir).orElse {
+      // legacy registry without a head line: identify the snapshot the
+      // live registry corresponds to by EXACT manifest equality, walking
+      // down from the newest (the healthy legacy invariant is registry ==
+      // latest snapshot, so the first probe usually matches). Without
+      // this, a crash-orphan above a legacy head would never be marked
+      // Aborted and change feeds would replay its never-committed files.
+      readIfExists(fs, dataDir).flatMap { live =>
+        Snapshots.list(fs, dataDir).map(_._1).reverse.take(8)
+          .find(v => Snapshots.read(fs, dataDir, v).contains(live))
+      }
+    }
     val maxV = Snapshots.list(fs, dataDir).lastOption.map(_._1).getOrElse(0L)
     // Heal crashed commits: with the head version known, any UNMARKED
     // version above it cannot be live (a live commit advances the pointer

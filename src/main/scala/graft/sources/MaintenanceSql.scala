@@ -138,6 +138,14 @@ object MaintenanceSql {
     }
   }
 
+  /** Data-changing maintenance (RESTORE, PUBLISH/DISCARD WAP) bypasses
+    * the DSv2 write exec whose callback refreshes cached plans — without
+    * an explicit refresh, `CACHE TABLE t` would keep serving the
+    * pre-command contents (plan-cache substitution is possible precisely
+    * because [[GraftTable]] has value equality). */
+  private[sources] def refreshCache(session: SparkSession, parts: Seq[String]): Unit =
+    session.catalog.refreshTable(parts.map(p => s"`$p`").mkString("."))
+
   private[sources] def loadGraftTable(
       session: SparkSession, p: Seq[String]): (GraftTable, String) = {
     val (cat, ident) = GraftViewBridge.resolveIdent(session, p).getOrElse(
@@ -252,6 +260,7 @@ final case class GraftRestoreCommand(parts: Seq[String], ref: String,
           s"graft: no tag '$ref' on $tableDir (SHOW TAGS lists them)"))
       }
     val nv = Snapshots.restore(tableDir, version)
+    MaintenanceSql.refreshCache(session, parts)
     Seq(Row(version, nv))
   }
 }
@@ -272,6 +281,7 @@ final case class GraftRestoreTsCommand(parts: Seq[String], ts: String)
       .getOrElse(throw new IllegalArgumentException(
         s"graft: no snapshot at or before $ts on $tableDir"))
     val nv = Snapshots.restore(tableDir, version)
+    MaintenanceSql.refreshCache(session, parts)
     Seq(Row(version, nv))
   }
 }
@@ -327,7 +337,9 @@ final case class GraftPublishWapCommand(parts: Seq[String], wapId: String)
     MaintenanceSql.attr("published_version", LongType))
   override def run(session: SparkSession): Seq[Row] = {
     val (_, tableDir) = MaintenanceSql.loadGraftTable(session, parts)
-    Seq(Row(Snapshots.publishWap(tableDir, wapId)))
+    val v = Snapshots.publishWap(tableDir, wapId)
+    MaintenanceSql.refreshCache(session, parts)
+    Seq(Row(v))
   }
 }
 
@@ -338,7 +350,9 @@ final case class GraftDiscardWapCommand(parts: Seq[String], wapId: String)
     MaintenanceSql.attr("files_discarded", IntegerType))
   override def run(session: SparkSession): Seq[Row] = {
     val (_, tableDir) = MaintenanceSql.loadGraftTable(session, parts)
-    Seq(Row(Snapshots.discardWap(tableDir, wapId)))
+    val n = Snapshots.discardWap(tableDir, wapId)
+    MaintenanceSql.refreshCache(session, parts)
+    Seq(Row(n))
   }
 }
 

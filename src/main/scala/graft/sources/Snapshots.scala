@@ -76,6 +76,25 @@ object Snapshots {
           : Boolean = size > 24
     }
 
+  /** Drop every cached resolution under a table's snapshot dir. DROP
+    * TABLE + CREATE TABLE reuses the same deterministic paths, and the
+    * cache's (length, mtime) validation can collide across generations
+    * (equal-length manifests within one mtime millisecond — common in
+    * tight test loops), serving the OLD table's manifest to the new one.
+    * The immutability assumption only holds within one table generation,
+    * so the generation boundary must purge. */
+  def invalidateCacheUnder(dataDir: Path): Unit =
+    invalidateCachePrefix(snapDir(dataDir))
+
+  /** Prefix form for whole-namespace deletes (cascade). */
+  def invalidateCachePrefix(dir: Path): Unit = {
+    val prefix = dir.toString + "/"
+    resolveCache.synchronized {
+      val it = resolveCache.keySet.iterator
+      while (it.hasNext) if (it.next().startsWith(prefix)) it.remove()
+    }
+  }
+
   private def readText(fs: FileSystem, p: Path): String = {
     val in = fs.open(p)
     try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
@@ -122,19 +141,25 @@ object Snapshots {
     Some((m, d))
   }
 
+  /** Read a file's first 64 bytes and parse the digits following the
+    * first matching prefix — the shared primitive behind the registry
+    * head pointer ([[TableStats.liveVersion]]) and the delta-base line
+    * here. None on a missing/short/unprefixed head or I/O error. */
+  private[sources] def readHeadDigits(
+      fs: FileSystem, p: Path, prefixes: Seq[String]): Option[Long] =
+    try {
+      val in = fs.open(p)
+      val head = try new String(in.readNBytes(64), java.nio.charset.StandardCharsets.UTF_8)
+        finally in.close()
+      prefixes.collectFirst { case pre if head.startsWith(pre) =>
+        head.substring(pre.length).takeWhile(_.isDigit)
+      }.filter(_.nonEmpty).map(_.toLong)
+    } catch { case _: java.io.IOException => None }
+
   /** The base version of snapshot `v`'s delta, or None for full
     * manifests / missing snapshots. Reads only the file's first bytes. */
   def baseOf(fs: FileSystem, dataDir: Path, v: Long): Option[Long] =
-    try {
-      val in = fs.open(new Path(snapDir(dataDir), fmt(v)))
-      val head = try new String(in.readNBytes(64), java.nio.charset.StandardCharsets.UTF_8)
-        finally in.close()
-      if (!head.startsWith(DeltaPrefix)) None
-      else {
-        val digits = head.substring(DeltaPrefix.length).takeWhile(_.isDigit)
-        if (digits.isEmpty) None else Some(digits.toLong)
-      }
-    } catch { case _: java.io.IOException => None }
+    readHeadDigits(fs, new Path(snapDir(dataDir), fmt(v)), Seq(DeltaPrefix))
 
   /** Delta-chain depth of snapshot `v` (0 = full manifest), or None. */
   def chainDepth(fs: FileSystem, dataDir: Path, v: Long): Option[Int] =
@@ -144,9 +169,19 @@ object Snapshots {
   def read(fs: FileSystem, dataDir: Path, v: Long): Option[Map[String, TableStats.Entry]] =
     resolveWithDepth(fs, dataDir, v).map(_._1)
 
-  /** Latest version committed at or before `tsMillis` (TIMESTAMP AS OF). */
-  def latestAsOf(fs: FileSystem, dataDir: Path, tsMillis: Long): Option[Long] =
-    list(fs, dataDir).filter(_._2 <= tsMillis).lastOption.map(_._1)
+  /** Latest version committed at or before `tsMillis` (TIMESTAMP AS OF).
+    * Only LIVE-CHAIN versions resolve: WAP stages and crashed-commit
+    * orphans (Aborted-marked, or unmarked above the live head awaiting
+    * the next committer's healing) hold rows that were never committed —
+    * an implicit timestamp lookup must never surface them. */
+  def latestAsOf(fs: FileSystem, dataDir: Path, tsMillis: Long): Option[Long] = {
+    val head = TableStats.liveVersion(fs, dataDir)
+    list(fs, dataDir).filter { case (v, ts) =>
+      ts <= tsMillis && head.forall(v <= _) &&
+        !ChangeLog.kindOf(fs, dataDir, v).exists(k =>
+          k == ChangeLog.Staged || k == ChangeLog.Aborted)
+    }.lastOption.map(_._1)
+  }
 
   /** The project's timestamp spellings, shared by `RESTORE ... TIMESTAMP
     * AS OF` and the catalog-free `option("snapshot-timestamp", ...)`:
@@ -732,9 +767,21 @@ object Snapshots {
         s"graft: no snapshot v$version for $dataDir (never recorded, or expired by vacuum)"))
       // a WAP audit snapshot is a side branch: restoring to it would
       // silently PUBLISH the staged files — route through PUBLISH WAP
-      require(!ChangeLog.kindOf(fs, dataDir, version).contains(ChangeLog.Staged),
+      val kind = ChangeLog.kindOf(fs, dataDir, version)
+      require(!kind.contains(ChangeLog.Staged),
         s"graft: v$version is a write-audit-publish AUDIT snapshot; " +
           "use ALTER TABLE ... PUBLISH WAP to make it live")
+      // a crashed commit's snapshot holds rows that were NEVER committed:
+      // restoring one would publish them — refuse both the healed form
+      // (Aborted marker) and the unhealed one (unmarked above the live
+      // head; a live version can never exceed the head pointer)
+      require(!kind.contains(ChangeLog.Aborted),
+        s"graft: v$version is a crashed commit's aborted snapshot — " +
+          "its rows were never committed")
+      TableStats.liveVersion(fs, dataDir).foreach(head =>
+        require(version <= head,
+          s"graft: v$version is above the live head v$head with no commit " +
+            "marker — an unhealed crashed commit, not restorable history"))
       val missing = m.keySet.filterNot(rel => fs.exists(new Path(dataDir, rel)))
       require(missing.isEmpty,
         s"graft: cannot restore v$version — ${missing.size} data file(s) were " +

@@ -282,6 +282,50 @@ class BloomIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(_.getString(0)).toSeq == Seq("hit"))
   }
 
+  test("RENAME/DROP/widen keep column-list properties writable") {
+    import spark.implicits._
+    setupCatalog()
+    // rename: the bloom (and sort) property follows the new name — the
+    // table must stay writable and the index keeps working for new files
+    spark.sql(
+      """CREATE TABLE gbloom.t.ren (doc_id BIGINT, v STRING)
+        |TBLPROPERTIES ('index.bloom.columns' = 'doc_id',
+        |               'write.sort.columns' = 'doc_id')""".stripMargin)
+    Seq((1L, "a")).toDF("doc_id", "v").coalesce(1).writeTo("gbloom.t.ren").append()
+    spark.sql("ALTER TABLE gbloom.t.ren RENAME COLUMN doc_id TO id")
+    Seq((2L, "b")).toDF("id", "v").coalesce(1).writeTo("gbloom.t.ren").append()
+    val props = spark.sql("SHOW TBLPROPERTIES gbloom.t.ren").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props.get("index.bloom.columns").contains("id"), props.toString)
+    assert(props.get("write.sort.columns").contains("id"), props.toString)
+    assert(spark.sql("SELECT v FROM gbloom.t.ren WHERE id = 2").head()
+      .getString(0) == "b")
+
+    // drop: the dropped column leaves the property; writes keep working
+    spark.sql(
+      """CREATE TABLE gbloom.t.dropc (a BIGINT, b BIGINT, v STRING)
+        |TBLPROPERTIES ('index.bloom.columns' = 'a,b')""".stripMargin)
+    Seq((1L, 10L, "x")).toDF("a", "b", "v").coalesce(1)
+      .writeTo("gbloom.t.dropc").append()
+    spark.sql("ALTER TABLE gbloom.t.dropc DROP COLUMN b")
+    Seq((2L, "y")).toDF("a", "v").coalesce(1).writeTo("gbloom.t.dropc").append()
+    val props2 = spark.sql("SHOW TBLPROPERTIES gbloom.t.dropc").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props2.get("index.bloom.columns").contains("a"), props2.toString)
+
+    // widening to a bloom-ineligible type retires the column from the
+    // index automatically; writes keep working
+    spark.sql(
+      """CREATE TABLE gbloom.t.widp (k INT, v STRING)
+        |TBLPROPERTIES ('index.bloom.columns' = 'k')""".stripMargin)
+    Seq((1, "a")).toDF("k", "v").coalesce(1).writeTo("gbloom.t.widp").append()
+    spark.sql("ALTER TABLE gbloom.t.widp ALTER COLUMN k TYPE DOUBLE")
+    Seq((2.5, "b")).toDF("k", "v").coalesce(1).writeTo("gbloom.t.widp").append()
+    val props3 = spark.sql("SHOW TBLPROPERTIES gbloom.t.widp").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(!props3.contains("index.bloom.columns"), props3.toString)
+  }
+
   test("index.bloom.columns is validated loudly at write") {
     import spark.implicits._
     setupCatalog()

@@ -156,6 +156,72 @@ class CrashSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows("t2") == Seq(1L, 2L, 3L))
   }
 
+  test("a crashed commit's snapshot is unreadable history: time travel, " +
+      "TIMESTAMP AS OF and RESTORE all refuse it, before and after healing") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.crash")
+    spark.sql("CREATE TABLE graft.crash.t8 (k BIGINT, v STRING)")
+    spark.sql("INSERT INTO graft.crash.t8 VALUES (1, 'a')")
+    val v1 = versions("t8").last
+    val d = dataDir("t8")
+    val fs = fsOf(d)
+    plantPartFile("t8", "part-crashed-00000008.parquet", 4)
+    val orphanV = TableStats.withLock(fs, d) {
+      val head = TableStats.liveVersion(fs, d)
+      val next = Snapshots.nextVersion(fs, d)
+      val stats = TableStats.read(fs, d) +
+        ("part-crashed-00000008.parquet" -> TableStats.Entry(4, seq = next))
+      Snapshots.recordAt(fs, d, stats, next, base = head)
+      next // CRASH: no registry swap, no kind marker
+    }
+
+    def refusedEverywhere(phase: String): Unit = {
+      // explicit version pin: the orphan's never-committed rows must not
+      // be readable
+      val e1 = intercept[Exception] {
+        spark.sql(s"SELECT * FROM graft.crash.t8 VERSION AS OF $orphanV").collect()
+      }
+      assert(e1.getMessage.contains("crashed commit") ||
+        e1.getMessage.contains("aborted"), s"$phase: ${e1.getMessage}")
+      // implicit timestamp resolution must land on the live chain
+      val nowTs = java.time.Instant.now().plusSeconds(60).toString
+      val tt = spark.sql(
+        s"SELECT k FROM graft.crash.t8 TIMESTAMP AS OF CAST('$nowTs' AS TIMESTAMP)")
+        .collect().map(_.getLong(0)).sorted.toSeq
+      assert(!tt.contains(1004L), s"$phase: timestamp travel surfaced orphan rows: $tt")
+      // RESTORE must refuse to publish it
+      val e2 = intercept[Exception] {
+        spark.sql(s"RESTORE TABLE graft.crash.t8 TO VERSION AS OF $orphanV").collect()
+      }
+      assert(e2.getMessage.contains("crashed commit") ||
+        e2.getMessage.contains("aborted"), s"$phase: ${e2.getMessage}")
+    }
+
+    refusedEverywhere("unhealed (unmarked above live head)")
+    // heal: the next commit marks the orphan Aborted
+    spark.sql("INSERT INTO graft.crash.t8 VALUES (2, 'b')")
+    assert(ChangeLog.kindOf(fs, d, orphanV).contains(ChangeLog.Aborted))
+    refusedEverywhere("healed (Aborted marker)")
+    // the real history stays reachable
+    assert(spark.sql(s"SELECT k FROM graft.crash.t8 VERSION AS OF $v1")
+      .collect().map(_.getLong(0)).toSeq == Seq(1L))
+    assert(rows("t8") == Seq(1L, 2L))
+  }
+
+  test("RESTORE refreshes cached plans: CACHE TABLE never serves " +
+      "pre-restore contents") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.crash")
+    spark.sql("CREATE TABLE graft.crash.t9 (k BIGINT, v STRING)")
+    spark.sql("INSERT INTO graft.crash.t9 VALUES (1, 'a')")
+    val v1 = versions("t9").last
+    spark.sql("INSERT INTO graft.crash.t9 VALUES (2, 'b')")
+    spark.sql("CACHE TABLE graft.crash.t9")
+    assert(rows("t9") == Seq(1L, 2L)) // materialize the cache
+    spark.sql(s"RESTORE TABLE graft.crash.t9 TO VERSION AS OF $v1").collect()
+    assert(rows("t9") == Seq(1L),
+      "a cached plan served the pre-restore table contents")
+    spark.sql("UNCACHE TABLE graft.crash.t9")
+  }
+
   test("crash mid-PUBLISH WAP (registry folded, stage files not cleaned): " +
       "retry is idempotent; discard after the crash cannot delete published data") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.crash")
