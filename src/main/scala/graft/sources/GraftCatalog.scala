@@ -153,19 +153,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
         s"graft: table ${fullName(ident)} has no snapshot v$version " +
           s"(never recorded, or expired by vacuum)")
     // crashed-commit snapshots hold rows that were never committed —
-    // refuse explicit time travel to them (Aborted-marked orphans, and
-    // unmarked ones above the live head awaiting healing). WAP stages
-    // stay readable: the audit read is their whole purpose.
-    val kind = ChangeLog.kindOf(fs, dataDir, version)
-    if (kind.contains(ChangeLog.Aborted))
-      throw new IllegalArgumentException(
-        s"graft: v$version of ${fullName(ident)} is a crashed commit's " +
-          "aborted snapshot — its rows were never committed")
-    if (kind.isEmpty)
-      TableStats.liveVersion(fs, dataDir).foreach(head =>
-        require(version <= head,
-          s"graft: v$version of ${fullName(ident)} is above the live head " +
-            s"v$head with no commit marker — an unhealed crashed commit"))
+    // refuse explicit time travel to them. WAP stages stay readable:
+    // the audit read is their whole purpose.
+    Snapshots.requireLiveHistory(fs, dataDir, version, fullName(ident))
     new GraftTable(fullName(ident), t.schema0,
       t.properties().asScala.toMap, tablePath(ident).toString,
       t.partitionSpecs, pinnedVersion = Some(version))
@@ -307,6 +297,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
           s"cannot rename partition column $from")
         require(from != graft.functions.ColumnNames.RowKey,
           "cannot rename the row_key column")
+        val refs0 = GraftCatalog.referencesOf(schema, props, from)
+        require(refs0.isEmpty,
+          s"graft: cannot rename column $from — referenced by " +
+            s"${refs0.mkString(", ")}; drop those first")
         val renames = GraftTable.parseRenames(
           props.getOrElse(GraftTable.RenamesProp, ""))
         // renaming BACK to one of this column's own former names is fine
@@ -374,6 +368,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
         require(!partCols0.contains(name), s"cannot drop partition column $name")
         require(name != graft.functions.ColumnNames.RowKey,
           "cannot drop the row_key column")
+        val refsD = GraftCatalog.referencesOf(schema, props, name)
+        require(refsD.isEmpty,
+          s"graft: cannot drop column $name — referenced by " +
+            s"${refsD.mkString(", ")}; drop those first")
         schema = StructType(schema.fields.filterNot(_.name == name))
         // the dropped column's name AND its whole rename history move to
         // the retired set: those names still carry data in old files, so
@@ -387,9 +385,25 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
         if (renames0.contains(name))
           props += GraftTable.RenamesProp ->
             GraftTable.renderRenames(renames0 - name)
-        // a dropped column leaves every column-list property, or later
-        // writes die on its "unknown column" validation
-        props = GraftCatalog.dropFromColumnListProps(props, name)
+        // a dropped column leaves the per-column list properties (bloom
+        // indexes are independent per column)...
+        props = GraftCatalog.dropFromColumnListProps(props, name,
+          only = GraftCatalog.ColumnListProps - GraftTable.SortColumnsProp)
+        // ...but sort evidence is LIST-specific: a file non-decreasing in
+        // (a, b) is not sorted by (b), so only the PREFIX before the
+        // dropped column remains a valid declaration (the per-file
+        // sortedBy prefix check would withhold a bad claim anyway — this
+        // keeps the table's declaration one the files can actually honor)
+        props.get(GraftTable.SortColumnsProp).foreach { v =>
+          val sortList = v.split(',').map(_.trim).filter(_.nonEmpty).toSeq
+          val idx = sortList.indexOf(name)
+          if (idx >= 0) {
+            val prefix = sortList.take(idx)
+            props =
+              if (prefix.isEmpty) props - GraftTable.SortColumnsProp
+              else props + (GraftTable.SortColumnsProp -> prefix.mkString(","))
+          }
+        }
       case ud: TableChange.UpdateColumnDefaultValue if ud.fieldNames().length == 1 =>
         // ALTER COLUMN ... SET/DROP DEFAULT: changes what FUTURE inserts
         // fill (CURRENT_DEFAULT); rows already written and files predating
@@ -565,6 +579,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
       properties.asScala.toMap, stagingDir.toString, partCols)
     new GraftStagedTable(inner, () => {
       val dest = tablePath(ident)
+      // REPLACE is a table-generation boundary exactly like DROP+CREATE:
+      // purge the snapshot resolve cache for the destination paths (the
+      // staging dir's entries die with their paths — stat validation
+      // fails — but dest's old-generation entries could collide)
+      Snapshots.invalidateCacheUnder(new Path(dest, "data"))
       if (replace && fs.exists(dest)) fs.delete(dest, true)
       if (!fs.rename(stagingDir, dest))
         throw new IllegalStateException(
@@ -817,10 +836,49 @@ object GraftCatalog {
     }
   }
 
+  /** Features whose STORED SQL/column lists reference `name`: CHECK
+    * constraints, PRIMARY KEY/UNIQUE column lists, and other columns'
+    * GENERATED ALWAYS AS expressions. RENAME/DROP COLUMN refuses while
+    * any exist — the stored text would otherwise silently stop
+    * resolving, making every later INSERT fail analysis (an unwritable
+    * table) or a constraint unenforceable. Unparseable stored SQL counts
+    * as a reference (conservative). */
+  private[sources] def referencesOf(
+      schema: StructType, props: Map[String, String], name: String): Seq[String] = {
+    import org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+    val lower = name.toLowerCase(java.util.Locale.ROOT)
+    def sqlRefs(sql: String): Boolean =
+      try CatalystSqlParser.parseExpression(sql).collect {
+        case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+          a.nameParts.last.toLowerCase(java.util.Locale.ROOT)
+      }.contains(lower)
+      catch { case _: Exception => true }
+    val checks = props.toSeq.collect {
+      case (k, sql) if k.startsWith(GraftTable.ConstraintPropPrefix) &&
+          sqlRefs(sql) =>
+        s"CHECK constraint ${k.stripPrefix(GraftTable.ConstraintPropPrefix)}"
+    }
+    val keys = props.toSeq.collect {
+      case (k, v) if k.startsWith(GraftTable.KeyConstraintPropPrefix) && {
+          val (_, _, cols) = GraftTable.parseKeyConstraint(v)
+          cols.exists(_.toLowerCase(java.util.Locale.ROOT) == lower)
+        } =>
+        val (kind, _, _) = GraftTable.parseKeyConstraint(v)
+        s"$kind constraint ${k.stripPrefix(GraftTable.KeyConstraintPropPrefix)}"
+    }
+    val gens = schema.fields.toSeq.collect {
+      case f if f.name != name &&
+          f.metadata.contains(GeneratedColumns.MetadataKey) &&
+          sqlRefs(f.metadata.getString(GeneratedColumns.MetadataKey)) =>
+        s"generated column ${f.name}"
+    }
+    checks ++ keys ++ gens
+  }
+
   /** Table properties holding comma-separated DATA-column lists; every
     * one must track RENAME/DROP COLUMN or later writes fail their
     * "unknown column" validation against the new schema. */
-  private val ColumnListProps: Set[String] = Set(
+  private[sources] val ColumnListProps: Set[String] = Set(
     GraftTable.SortColumnsProp,
     BloomIndex.ColumnsProp,
     ParquetRowIO.WriteProps.BloomColumns)

@@ -328,7 +328,13 @@ final class GraftTable(
         Option(options.get("maxBytesPerTrigger")).map(_.toLong),
       // catalog time travel (VERSION AS OF) or the catalog-free spelling
       // (spark.read.format("graft").option("snapshot-version", n)); tags
-      // resolve here too (option("snapshot-tag", name))
+      // resolve here too (option("snapshot-tag", name)). The catalog-free
+      // spellings pass the SAME crashed-commit guard as catalog time
+      // travel — an aborted/orphan snapshot's never-committed rows must
+      // not be readable through any front end (WAP stages pass: the
+      // audit read is their purpose). The timestamp spelling is safe by
+      // construction (latestAsOf only resolves live-chain versions), and
+      // pinnedVersion was guarded by the catalog's pinned().
       snapshotVersion = Option(options.get("snapshot-version")).map(_.toLong)
         .orElse(Option(options.get("snapshot-tag")).map { name =>
           val dir = new Path(dataDir)
@@ -336,6 +342,12 @@ final class GraftTable(
             .getOrElse(throw new IllegalArgumentException(
               s"graft: '$name' is no tag of $ident"))
         })
+        .map { v =>
+          val dir = new Path(dataDir)
+          Snapshots.requireLiveHistory(
+            dir.getFileSystem(new Configuration()), dir, v, ident)
+          v
+        }
         // TIMESTAMP AS OF, catalog-free: latest snapshot committed at or
         // before the instant (same spellings RESTORE accepts)
         .orElse(Option(options.get("snapshot-timestamp")).map { ts =>
@@ -677,12 +689,23 @@ object TableStats {
     * columns (see [[BloomIndex]]). `None` on tables without the index or
     * entries predating it; a column ABSENT from `Some(map)` is never
     * pruned (saturated bitset, pre-index file, renamed column). */
+  /** `sortedBy`: the EXACT column list the `sorted` evidence was watched
+    * against at write time. Sort evidence is list-specific — a file
+    * non-decreasing in (a, b) proves ordering by (a) or (a, b), never by
+    * (b) — so [[GraftScan.outputOrdering]] claims an ordering only when
+    * the current `write.sort.columns` is a PREFIX of every file's
+    * recorded list. A bare `sorted=true` without the list (entries from
+    * before this field) is conservatively not trusted: ALTERing the
+    * property to a different list, or dropping a leading sort column,
+    * must never let stale evidence elide a Sort the data doesn't
+    * satisfy. */
   final case class Entry(rows: Long, cols: Map[String, (String, String)] = Map.empty,
                          bytes: Long = -1L, seq: Long = -1L,
                          sorted: Boolean = false,
                          nulls: Option[Map[String, Long]] = None,
                          sums: Option[Map[String, Long]] = None,
-                         blooms: Option[Map[String, String]] = None)
+                         blooms: Option[Map[String, String]] = None,
+                         sortedBy: Option[Seq[String]] = None)
 
   /** Path of `file` relative to its table's `data/` dir (keys of the stats
     * registry), robust to scheme-qualified vs bare paths. */
@@ -718,23 +741,28 @@ object TableStats {
     def kvb(m: Map[String, String]): String =
       if (m.isEmpty) "-"
       else m.toSeq.sorted.map { case (c, b) => s"${enc(c)}=$b" }.mkString(";")
-    (e.nulls, e.sums, e.blooms) match {
-      case (None, s, b) =>
-        // pre-nulls entry: never grow its line. Sums/blooms without null
-        // counts would be silently dropped here (the later fields assume
-        // the earlier ones), so a caller constructing that shape is a
-        // bug — fail loudly.
-        require(s.isEmpty && b.isEmpty, s"stats entry $rel has sums/blooms" +
-          " but no null counts — serialization would drop them; writers" +
-          " must set the earlier fields too")
-        base
-      case (Some(n), None, b) =>
-        require(b.isEmpty, s"stats entry $rel has blooms but no sums —" +
-          " serialization would drop the blooms; writers must set both")
-        s"$base\t${kv(n)}"
-      case (Some(n), Some(s), None) => s"$base\t${kv(n)}\t${kv(s)}"
-      case (Some(n), Some(s), Some(b)) => s"$base\t${kv(n)}\t${kv(s)}\t${kvb(b)}"
-    }
+    // append-only positional format: emit trailing fields up to the LAST
+    // present one; an absent MIDDLE optional field (blooms on a table
+    // without the index, when sortedBy follows) writes the "-"
+    // placeholder. For nulls/sums "-" means "tracked, empty map" (a
+    // semantic the SUM pushdown relies on), so those must genuinely be
+    // present whenever any later field is — required below. For
+    // blooms/sortedBy "-" reads back None (no semantic distinction).
+    val f7 = e.nulls.map(kv)
+    val f8 = e.sums.map(kv)
+    val f9 = e.blooms.map(kvb)
+    val f10 = e.sortedBy.map(l =>
+      if (l.isEmpty) "-" else l.map(enc).mkString(","))
+    require(f7.isDefined || (f8.isEmpty && f9.isEmpty && f10.isEmpty),
+      s"stats entry $rel has sums/blooms/sortedBy but no null counts — " +
+        "serialization would drop them; writers must set the earlier fields")
+    require(f8.isDefined || (f9.isEmpty && f10.isEmpty),
+      s"stats entry $rel has blooms/sortedBy but no sums — writers must " +
+        "set the earlier fields")
+    val fields = Seq(f7, f8, f9, f10)
+    val last = fields.lastIndexWhere(_.isDefined)
+    if (last < 0) base
+    else base + fields.take(last + 1).map("\t" + _.getOrElse("-")).mkString
   }
 
   def serialize(stats: Map[String, Entry]): String =
@@ -792,10 +820,12 @@ object TableStats {
         // an older binary of this reader still parses a registry written by
         // a future format revision (the new-reader/old-line direction is the
         // explicit cases above). Fields are only ever APPENDED.
-        case Array(rel, rows, bytes, colspec, seq, sorted, nulls, sums, blooms, _*) =>
+        case Array(rel, rows, bytes, colspec, seq, sorted, nulls, sums, blooms, rest @ _*) =>
+          val sortedBy = rest.headOption.filter(_ != "-")
+            .map(_.split(',').filter(_.nonEmpty).map(dec).toSeq)
           rel -> Entry(rows.toLong, parseCols(colspec), bytes.toLong, seq.toLong,
             sorted == "1", Some(parseKv(nulls)), Some(parseKv(sums)),
-            Some(parseKvStr(blooms)))
+            if (blooms == "-") None else Some(parseKvStr(blooms)), sortedBy)
         case other =>
           throw new IllegalStateException(s"bad stats line: $line")
       }
@@ -964,8 +994,13 @@ object TableStats {
       // latest snapshot, so the first probe usually matches). Without
       // this, a crash-orphan above a legacy head would never be marked
       // Aborted and change feeds would replay its never-committed files.
+      // walk the WHOLE history (a cap could stop short of the match when
+      // many side-branch versions — crash orphans, WAP stages — sit
+      // above the legacy head, leaving those orphans unhealed BELOW the
+      // new head where every guard trusts them); this probe runs at most
+      // once per legacy table — the commit below writes a head line
       readIfExists(fs, dataDir).flatMap { live =>
-        Snapshots.list(fs, dataDir).map(_._1).reverse.take(8)
+        Snapshots.list(fs, dataDir).map(_._1).reverseIterator
           .find(v => Snapshots.read(fs, dataDir, v).contains(live))
       }
     }
@@ -1916,8 +1951,19 @@ final class GraftScan(
     if (sortCols.isEmpty || tracker.isDefined) return Array.empty
     if (!sortCols.forall(required.fieldNames.contains)) return Array.empty
     if (files.isEmpty) return Array.empty
+    // list-specific evidence: a file non-decreasing in (a, b) supports
+    // claiming (a) or (a, b) — any prefix — but never (b); entries
+    // without a recorded list (pre-sortedBy format, or a property ALTERed
+    // since the file was written) are conservatively not trusted
+    // (a renamed sort column keeps old files' evidence: the recorded
+    // name may be a FORMER name of the current one)
+    def sameCol(recorded: String, current: String): Boolean =
+      recorded == current || renames.get(current).exists(_.contains(recorded))
     val allSorted = files.forall(f =>
-      cachedStats.get(TableStats.relOf(f._1)).exists(_.sorted))
+      cachedStats.get(TableStats.relOf(f._1)).exists(e =>
+        e.sorted && e.sortedBy.exists(rec =>
+          rec.length >= sortCols.length &&
+            sortCols.zip(rec).forall { case (c, r) => sameCol(r, c) })))
     if (!allSorted) return Array.empty
     if (keyGroupedNow && groups.exists(_._2.size > 1)) return Array.empty
     sortCols.map(c =>
@@ -3504,7 +3550,9 @@ object GraftWriterFactory {
             catch { case _: java.io.IOException => -1L }
           (w._2, TableStats.Entry(w._3, w._4.result, len, sorted = w._5.sorted,
             nulls = Some(w._4.nullCounts), sums = Some(w._4.sums),
-            blooms = w._4.blooms))
+            blooms = w._4.blooms,
+            // the evidence is list-specific: record WHICH list was watched
+            sortedBy = if (w._5.sorted) Some(sortCols) else None))
         }.toSeq)
       }
       override def abort(): Unit = {

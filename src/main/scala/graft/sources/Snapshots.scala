@@ -176,11 +176,36 @@ object Snapshots {
     * an implicit timestamp lookup must never surface them. */
   def latestAsOf(fs: FileSystem, dataDir: Path, tsMillis: Long): Option[Long] = {
     val head = TableStats.liveVersion(fs, dataDir)
-    list(fs, dataDir).filter { case (v, ts) =>
+    // lazy from the newest: the marker check (a side-file stat each) runs
+    // only until the first live version, not across the whole history
+    list(fs, dataDir).reverseIterator.find { case (v, ts) =>
       ts <= tsMillis && head.forall(v <= _) &&
         !ChangeLog.kindOf(fs, dataDir, v).exists(k =>
           k == ChangeLog.Staged || k == ChangeLog.Aborted)
-    }.lastOption.map(_._1)
+    }.map(_._1)
+  }
+
+  /** Refuse a crashed commit's snapshot as readable/restorable history:
+    * either healed (Aborted marker) or not yet (unmarked above the live
+    * head — a live version can never exceed the head pointer, though a
+    * commit IN FLIGHT sits there for the moments between its snapshot
+    * record and pointer swap; the message covers both readings). WAP
+    * stages (Staged marker) pass — the audit read is their purpose.
+    * Shared by catalog time travel, the catalog-free snapshot options,
+    * and RESTORE. */
+  def requireLiveHistory(
+      fs: FileSystem, dataDir: Path, version: Long, what: String): Unit = {
+    val kind = ChangeLog.kindOf(fs, dataDir, version)
+    if (kind.contains(ChangeLog.Aborted))
+      throw new IllegalArgumentException(
+        s"graft: v$version of $what is a crashed commit's aborted " +
+          "snapshot — its rows were never committed")
+    if (kind.isEmpty)
+      TableStats.liveVersion(fs, dataDir).foreach(head =>
+        require(version <= head,
+          s"graft: v$version of $what is above the live head v$head with " +
+            "no commit marker — either a commit still in flight (retry) " +
+            "or an unhealed crashed commit; not readable history"))
   }
 
   /** The project's timestamp spellings, shared by `RESTORE ... TIMESTAMP
@@ -772,16 +797,8 @@ object Snapshots {
         s"graft: v$version is a write-audit-publish AUDIT snapshot; " +
           "use ALTER TABLE ... PUBLISH WAP to make it live")
       // a crashed commit's snapshot holds rows that were NEVER committed:
-      // restoring one would publish them — refuse both the healed form
-      // (Aborted marker) and the unhealed one (unmarked above the live
-      // head; a live version can never exceed the head pointer)
-      require(!kind.contains(ChangeLog.Aborted),
-        s"graft: v$version is a crashed commit's aborted snapshot — " +
-          "its rows were never committed")
-      TableStats.liveVersion(fs, dataDir).foreach(head =>
-        require(version <= head,
-          s"graft: v$version is above the live head v$head with no commit " +
-            "marker — an unhealed crashed commit, not restorable history"))
+      // restoring one would publish them
+      requireLiveHistory(fs, dataDir, version, dataDir.getParent.getName)
       val missing = m.keySet.filterNot(rel => fs.exists(new Path(dataDir, rel)))
       require(missing.isEmpty,
         s"graft: cannot restore v$version — ${missing.size} data file(s) were " +

@@ -324,6 +324,26 @@ class BloomIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     val props3 = spark.sql("SHOW TBLPROPERTIES gbloom.t.widp").collect()
       .map(r => r.getString(0) -> r.getString(1)).toMap
     assert(!props3.contains("index.bloom.columns"), props3.toString)
+
+    // columns referenced by CHECK constraints or generated columns refuse
+    // RENAME/DROP loudly — the stored SQL would silently stop resolving
+    // and every later INSERT would fail analysis
+    spark.sql(
+      "CREATE TABLE gbloom.t.ck (a BIGINT, q DOUBLE, CONSTRAINT pos CHECK (q > 0))")
+    val e3 = intercept[Exception] {
+      spark.sql("ALTER TABLE gbloom.t.ck RENAME COLUMN q TO qq")
+    }
+    assert(e3.getMessage.contains("CHECK constraint pos"), e3.getMessage)
+    val e4 = intercept[Exception] {
+      spark.sql("ALTER TABLE gbloom.t.ck DROP COLUMN q")
+    }
+    assert(e4.getMessage.contains("CHECK constraint pos"), e4.getMessage)
+    spark.sql(
+      "CREATE TABLE gbloom.t.gen (a BIGINT, d BIGINT GENERATED ALWAYS AS (a * 2))")
+    val e5 = intercept[Exception] {
+      spark.sql("ALTER TABLE gbloom.t.gen RENAME COLUMN a TO b")
+    }
+    assert(e5.getMessage.contains("generated column d"), e5.getMessage)
   }
 
   test("index.bloom.columns is validated loudly at write") {

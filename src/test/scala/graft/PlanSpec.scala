@@ -723,6 +723,52 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("sort evidence is list-specific: ALTERed declarations and dropped " +
+      "leading columns never claim an order the files don't satisfy") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gsrt.t")
+    def orderingOf(tbl: String): Int = {
+      val cat = spark.sessionState.catalogManager.catalog("gsrt")
+        .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
+      cat.loadTable(org.apache.spark.sql.connector.catalog.Identifier.of(
+          Array("t"), tbl))
+        .asInstanceOf[graft.sources.GraftTable]
+        .newScanBuilder(new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+          java.util.Map.of()))
+        .build().asInstanceOf[graft.sources.GraftScan].outputOrdering().length
+    }
+    // files carry evidence for (k); ALTERing the declaration to (v) must
+    // WITHHOLD the claim — v genuinely descends in these files, so stale
+    // evidence would elide a Sort the data doesn't satisfy
+    spark.sql("""CREATE TABLE gsrt.t.alt (k BIGINT, v BIGINT)
+                |TBLPROPERTIES ('write.sort.columns' = 'k')""".stripMargin)
+    spark.sql("INSERT INTO gsrt.t.alt SELECT id, 999 - id FROM range(1000)")
+    assert(orderingOf("alt") == 1, "evidence for the declared list must claim")
+    spark.sql("ALTER TABLE gsrt.t.alt SET TBLPROPERTIES ('write.sort.columns' = 'v')")
+    assert(orderingOf("alt") == 0, "stale (k) evidence must not claim (v)")
+
+    // dropping the LEADING sort column kills the claim (sorted by (a,b)
+    // is not sorted by (b)); dropping the TRAILING one keeps the prefix
+    spark.sql("""CREATE TABLE gsrt.t.dl (a BIGINT, b BIGINT)
+                |TBLPROPERTIES ('write.sort.columns' = 'a,b')""".stripMargin)
+    spark.sql("INSERT INTO gsrt.t.dl SELECT id, id FROM range(200)")
+    assert(orderingOf("dl") == 2)
+    spark.sql("ALTER TABLE gsrt.t.dl DROP COLUMN a")
+    assert(orderingOf("dl") == 0, "sorted by (a,b) must not claim (b)")
+    spark.sql("""CREATE TABLE gsrt.t.dt (a BIGINT, b BIGINT)
+                |TBLPROPERTIES ('write.sort.columns' = 'a,b')""".stripMargin)
+    spark.sql("INSERT INTO gsrt.t.dt SELECT id, id FROM range(200)")
+    spark.sql("ALTER TABLE gsrt.t.dt DROP COLUMN b")
+    assert(orderingOf("dt") == 1, "the (a) prefix of (a,b) evidence stays valid")
+
+    // renaming a sort column keeps old files' evidence (recorded under
+    // the former name) AND the declaration follows the new name
+    spark.sql("""CREATE TABLE gsrt.t.rn (a BIGINT, v BIGINT)
+                |TBLPROPERTIES ('write.sort.columns' = 'a')""".stripMargin)
+    spark.sql("INSERT INTO gsrt.t.rn SELECT id, id FROM range(200)")
+    spark.sql("ALTER TABLE gsrt.t.rn RENAME COLUMN a TO x")
+    assert(orderingOf("rn") == 1, "renamed sort column must keep the claim")
+  }
+
   test("brute-force ANN probes rank with a map-side TopK aggregate, not a per-query window") {
     // q27/q135 score (queries × corpus) pairs; ranking them with
     // Window.partitionBy(qid) would shuffle the whole pair stream into
