@@ -858,14 +858,14 @@ object GraftCatalog {
           sqlRefs(sql) =>
         s"CHECK constraint ${k.stripPrefix(GraftTable.ConstraintPropPrefix)}"
     }
-    val keys = props.toSeq.collect {
-      case (k, v) if k.startsWith(GraftTable.KeyConstraintPropPrefix) && {
-          val (_, _, cols) = GraftTable.parseKeyConstraint(v)
-          cols.exists(_.toLowerCase(java.util.Locale.ROOT) == lower)
-        } =>
-        val (kind, _, _) = GraftTable.parseKeyConstraint(v)
-        s"$kind constraint ${k.stripPrefix(GraftTable.KeyConstraintPropPrefix)}"
-    }
+    val keys = props.toSeq
+      .filter(_._1.startsWith(GraftTable.KeyConstraintPropPrefix))
+      .flatMap { case (k, v) =>
+        val (kind, _, cols) = GraftTable.parseKeyConstraint(v)
+        if (cols.exists(_.toLowerCase(java.util.Locale.ROOT) == lower))
+          Some(s"$kind constraint ${k.stripPrefix(GraftTable.KeyConstraintPropPrefix)}")
+        else None
+      }
     val gens = schema.fields.toSeq.collect {
       case f if f.name != name &&
           f.metadata.contains(GeneratedColumns.MetadataKey) &&

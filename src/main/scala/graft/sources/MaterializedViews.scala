@@ -101,10 +101,21 @@ object MaterializedViews {
   }
 
   /** Current snapshot version of a graft table (0 = no commits yet). */
+  /** The base table's LIVE head version — what freshness is stamped and
+    * checked against. Must never be the max RECORDED snapshot: that can
+    * be a crash orphan or an in-flight commit's not-yet-live record, and
+    * pinning a read to one now throws the crashed-commit guard
+    * ([[Snapshots.requireLiveHistory]]) — a REFRESH would fail until the
+    * next base commit healed the orphan. The head pointer is
+    * authoritative where present; legacy registries (no head line) fall
+    * back to the newest live-chain version. */
   def currentVersion(dataDir: String): Long = {
     val dir = new Path(dataDir)
-    Snapshots.list(dir.getFileSystem(new Configuration()), dir)
-      .lastOption.map(_._1).getOrElse(0L)
+    val fs = dir.getFileSystem(new Configuration())
+    TableStats.liveVersion(fs, dir).getOrElse {
+      Snapshots.list(fs, dir).lastOption.map(_._1)
+        .map(Snapshots.liveBaseline(fs, dir, _)).getOrElse(0L)
+    }
   }
 
   /** Strip alias/plain-projection wrappers down to the relation. */

@@ -222,6 +222,38 @@ class MvRewriteSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally spark.conf.set("spark.graft.mv.rewrite.enabled", "true")
   }
 
+  test("an unhealed crash orphan on the base does not break REFRESH") {
+    import org.apache.hadoop.conf.Configuration
+    import org.apache.hadoop.fs.Path
+    import graft.sources.{Snapshots, TableStats}
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS mvc.o")
+    spark.sql("CREATE TABLE mvc.o.base (day STRING, v BIGINT)")
+    spark.sql("INSERT INTO mvc.o.base VALUES ('d1', 1)")
+    spark.sql("""CREATE MATERIALIZED VIEW mvc.o.mv AS
+      |SELECT day, count(*) AS cnt, sum(v) AS sv
+      |FROM mvc.o.base GROUP BY day""".stripMargin)
+    spark.sql("INSERT INTO mvc.o.base VALUES ('d2', 5)") // MV now stale
+    // a crashed commit's orphan ABOVE the live head: snapshot recorded,
+    // registry never swapped (same primitives as TableStats.write)
+    val d = new Path(s"$warehouse/o/base/data")
+    val fs = d.getFileSystem(new Configuration())
+    TableStats.withLock(fs, d) {
+      val head = TableStats.liveVersion(fs, d)
+      val next = Snapshots.nextVersion(fs, d)
+      val stats = TableStats.read(fs, d) +
+        ("part-orphan-mv.parquet" -> TableStats.Entry(3, seq = next))
+      Snapshots.recordAt(fs, d, stats, next, base = head)
+    }
+    // REFRESH must target the LIVE head, not the max recorded snapshot —
+    // pinning the orphan would trip the crashed-commit guard and fail
+    // every refresh until another base commit healed it
+    val r = spark.sql("REFRESH MATERIALIZED VIEW mvc.o.mv").collect()
+    assert(Seq("incremental", "full").contains(r.head.getString(1)),
+      r.mkString(","))
+    assert(rows(spark.sql("SELECT cnt, sv FROM mvc.o.mv WHERE day = 'd2'"))
+      === Seq(Seq(1L, 5L)))
+  }
+
   test("DROP MATERIALIZED VIEW deregisters; plain tables are refused") {
     intercept[Exception] {
       spark.sql("DROP MATERIALIZED VIEW mvc.m.base_ev")
