@@ -370,6 +370,198 @@ object Engine2 {
         CAST(COUNT(n_chars) AS BIGINT) AS n_nonnull,
         CAST(MIN(doc_id) AS BIGINT) AS first_doc,
         CAST(MAX(doc_id) AS BIGINT) AS last_doc
-        FROM documents GROUP BY 1 ORDER BY grp"""))
+        FROM documents GROUP BY 1 ORDER BY grp""")),
+
+    // ---- q154: incremental ANN index maintenance (frozen quantizer) -----
+    // q142 builds the index once; production keeps it CURRENT without a
+    // rebuild: new vectors arrive in the ingest table, and maintenance
+    //  (a) reads ONLY the new commit's rows via the verified incremental
+    //      snapshot scan (never the base corpus),
+    //  (b) encodes them against the FROZEN quantizer read back from the
+    //      index's own catalog tables (KB-sized broadcasts — the
+    //      centroids/codebooks never retrain per batch), and
+    //  (c) appends their postings into the partitioned postings table.
+    // Because the quantizer is frozen, build-then-extend is provably
+    // IDENTICAL to building over the full corpus — which is exactly what
+    // the oracle replays from scratch. Work per batch is O(batch × k),
+    // independent of corpus size; the serve path afterwards is q142's
+    // (broadcast index tables + IN-list-pruned postings partitions). The
+    // n_postings column proves the index table itself advanced.
+    QueryDef(
+      "q154_ann_index_upsert",
+      (s, dir) => {
+        val ns = ensureCatalog(s, dir)
+        val t = Tables(s, dir)
+        val eAll = emb(t)
+        for (tb <- Seq("ann_src", "ann2_cent", "ann2_book", "ann2_post"))
+          s.sql(s"DROP TABLE IF EXISTS $ns.$tb")
+        s.sql(s"CREATE TABLE $ns.ann_src (vec_id BIGINT, pos INT, v DOUBLE)")
+        s.sql(s"CREATE TABLE $ns.ann2_cent (cid BIGINT, pos INT, v DOUBLE)")
+        s.sql(s"CREATE TABLE $ns.ann2_book (j INT, code BIGINT, pos INT, v DOUBLE)")
+        s.sql(
+          s"""CREATE TABLE $ns.ann2_post (vid BIGINT, j INT, code BIGINT, list_id BIGINT)
+             |PARTITIONED BY (list_id)""".stripMargin)
+
+        def flat(df: org.apache.spark.sql.DataFrame) =
+          df.select(col("vec_id"), posexplode(col("e")).as(Seq("pos", "v")))
+        def regroup(df: org.apache.spark.sql.DataFrame) = df.groupBy(col("vec_id"))
+          .agg(expr("transform(array_sort(collect_list(struct(pos, v))), x -> x.v)").as("e"))
+
+        // encode `src` (vec_id, e) against broadcast quantizer tables —
+        // the ONE routine both the initial build and every maintenance
+        // batch run; cent = (cid, ce), book = (code, j, cv)
+        def encode(src: org.apache.spark.sql.DataFrame,
+                   cent: org.apache.spark.sql.DataFrame,
+                   book: org.apache.spark.sql.DataFrame) = {
+          val n2 = src.select(col("vec_id"), expr(n2Expr.format("e")).as("n2"))
+          val cn2 = cent.select(col("cid"), expr(n2Expr.format("ce")).as("cn2"))
+          val wNear = Window.partitionBy(col("vec_id"))
+            .orderBy(desc("cos"), col("cid"))
+          val assign = src.crossJoin(broadcast(cent))
+            .withColumn("dot", expr(dotExpr.format("e", "ce")))
+            .join(n2, "vec_id")
+            .join(broadcast(cn2), "cid")
+            .withColumn("cos", expr("dot / sqrt(n2 * cn2)"))
+            .withColumn("rn", row_number().over(wNear)).filter(col("rn") === 1)
+            .select(col("vec_id").as("vid"), col("cid").as("list_id"))
+          val subs = src
+            .select(col("vec_id"), explode(expr("sequence(0, 7)")).as("j"), col("e"))
+            .select(col("vec_id"), col("j"), expr("slice(e, j * 8 + 1, 8)").as("sv"))
+          val wCode = Window.partitionBy(col("vec_id"), col("j"))
+            .orderBy(col("d"), col("code"))
+          val codes = subs.join(broadcast(book), "j")
+            .withColumn("d", expr(sqDistExpr))
+            .withColumn("rn", row_number().over(wCode)).filter(col("rn") === 1)
+            .select(col("vec_id").as("vid"), col("j"), col("code"))
+          codes.join(assign, "vid")
+            .select(col("vid"), col("j"), col("code"), col("list_id"))
+        }
+
+        // seed corpus (vec_id % 4 != 0), remember its commit version
+        flat(eAll.filter(col("vec_id") % 4 =!= 0)).writeTo(s"$ns.ann_src").append()
+        val wh = s.conf.get("spark.sql.catalog.gcat.warehouse")
+        val srcDir = new org.apache.hadoop.fs.Path(s"$wh/corpus/ann_src/data")
+        val fs = srcDir.getFileSystem(new org.apache.hadoop.conf.Configuration())
+        val v1 = graft.sources.Snapshots.list(fs, srcDir).last._1
+
+        // initial build: quantizer = the seed's first 16 vectors (ids
+        // < 22 with %4 != 0 is exactly 16 of them — deterministic)
+        val seed = regroup(s.table(s"$ns.ann_src"))
+        val cent0 = seed.filter(col("vec_id") < 22)
+          .select(col("vec_id").as("cid"), col("e").as("ce"))
+        val book0 = seed.filter(col("vec_id") < 22)
+          .select(col("vec_id").as("code"),
+            explode(expr("sequence(0, 7)")).as("j"), col("e"))
+          .select(col("code"), col("j"), expr("slice(e, j * 8 + 1, 8)").as("cv"))
+        cent0.select(col("cid"), posexplode(col("ce")).as(Seq("pos", "v")))
+          .writeTo(s"$ns.ann2_cent").append()
+        book0.select(col("j"), col("code"), posexplode(col("cv")).as(Seq("pos", "v")))
+          .writeTo(s"$ns.ann2_book").append()
+        encode(seed, cent0, book0).writeTo(s"$ns.ann2_post").append()
+
+        // delta ingest + incremental maintenance: ONLY the new commit's
+        // rows, against the quantizer READ BACK from the index tables
+        flat(eAll.filter(col("vec_id") % 4 === 0)).writeTo(s"$ns.ann_src").append()
+        val delta = regroup(s.read.option("since-version", v1).table(s"$ns.ann_src"))
+        val centT = s.table(s"$ns.ann2_cent").groupBy(col("cid"))
+          .agg(expr("transform(array_sort(collect_list(struct(pos, v))), x -> x.v)").as("ce"))
+        val bookT = s.table(s"$ns.ann2_book").groupBy(col("code"), col("j"))
+          .agg(expr("transform(array_sort(collect_list(struct(pos, v))), x -> x.v)").as("cv"))
+        encode(delta, centT, bookT).writeTo(s"$ns.ann2_post").append()
+
+        // serve q142-style over the maintained index; n_postings proves
+        // the postings table itself advanced to full-corpus size
+        val q = eAll.filter(col("vec_id") < 3)
+          .select(col("vec_id").as("qid"), col("e").as("qe"))
+        val qn = q.select(col("qid"), expr(n2Expr.format("qe")).as("qn2"))
+        val cn2T = centT.select(col("cid"), expr(n2Expr.format("ce")).as("cn2"))
+        val wProbe = Window.partitionBy(col("qid")).orderBy(desc("cos"), col("cid"))
+        val probe = q.crossJoin(broadcast(centT))
+          .withColumn("dot", expr(dotExpr.format("qe", "ce")))
+          .join(qn, "qid")
+          .join(broadcast(cn2T), "cid")
+          .withColumn("cos", expr("dot / sqrt(qn2 * cn2)"))
+          .withColumn("rn", row_number().over(wProbe)).filter(col("rn") <= 2)
+          .select(col("qid"), col("cid").as("list_id"))
+        val probed = probe.select("list_id").distinct()
+          .collect().map(r => Long.box(r.getLong(0))).toSeq
+        val post = s.table(s"$ns.ann2_post")
+          .where(col("list_id").isin(probed: _*))
+        val qsubs = q
+          .select(col("qid"), explode(expr("sequence(0, 7)")).as("j"), col("qe"))
+          .select(col("qid"), col("j"), expr("slice(qe, j * 8 + 1, 8)").as("sv"))
+        val lut = qsubs.join(broadcast(bookT), "j")
+          .withColumn("d", expr(sqDistExpr))
+          .select(col("qid"), col("j"), col("code"), col("d"))
+        val nPost = s.table(s"$ns.ann2_post")
+          .agg(count(lit(1)).cast("long").as("n_postings"))
+        val wRank = Window.partitionBy(col("qid")).orderBy(col("adist"), col("vid"))
+        post.join(probe, "list_id")
+          .filter(col("qid") =!= col("vid"))
+          .join(lut, Seq("qid", "j", "code"))
+          .groupBy(col("qid"), col("vid"))
+          .agg(sum(col("d")).as("adist"))
+          .withColumn("rank", row_number().over(wRank).cast("long"))
+          .filter(col("rank") <= 3)
+          .select(col("qid"), col("rank"), col("vid"), col("adist"))
+          .crossJoin(broadcast(nPost))
+          .orderBy(col("qid"), col("rank"))
+      },
+      // frozen quantizer ⇒ build-then-extend ≡ build-over-all: the oracle
+      // computes the SAME index from scratch over the full corpus, with
+      // centroids/codewords = the seed's first 16 vectors
+      Some {
+        def fold(a: String, b: String): String =
+          s"""list_sum(list_transform(range(1, len($a.embedding) + 1),
+             |  i -> round(CAST($a.embedding[i] AS DOUBLE) * CAST($b.embedding[i] AS DOUBLE) * 1e9)))""".stripMargin
+        s"""WITH norms AS (SELECT vec_id,
+                   list_sum(list_transform(embedding,
+                     x -> round(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) * 1e9))) AS n2
+                 FROM embeddings),
+        e AS (SELECT vec_id, embedding FROM embeddings),
+        ascore AS (
+          SELECT a.vec_id AS qid, c.vec_id AS vid,
+            ${fold("a", "c")} / sqrt(nq.n2 * nv.n2) AS cos
+          FROM e a JOIN e c ON c.vec_id < 22 AND c.vec_id % 4 <> 0
+          JOIN norms nq ON nq.vec_id = a.vec_id JOIN norms nv ON nv.vec_id = c.vec_id),
+        ranked AS (
+          SELECT qid, vid, cos,
+            ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vid) AS rn
+          FROM ascore),
+        assign AS (SELECT qid AS member, vid AS cid FROM ranked WHERE rn = 1),
+        probe AS (SELECT qid, vid AS cid FROM ranked WHERE rn <= 2 AND qid < 3),
+        cand AS (
+          SELECT DISTINCT p.qid, a.member AS vid
+          FROM probe p JOIN assign a ON a.cid = p.cid WHERE a.member <> p.qid),
+        subs AS (SELECT vec_id, j FROM e, range(0, 8) r(j)),
+        dists AS (
+          SELECT s.vec_id, s.j, c.vec_id AS cw,
+            list_sum(list_transform(range(0, 8),
+              i -> round((CAST(a.embedding[s.j * 8 + i + 1] AS DOUBLE)
+                          - CAST(c.embedding[s.j * 8 + i + 1] AS DOUBLE))
+                         * (CAST(a.embedding[s.j * 8 + i + 1] AS DOUBLE)
+                            - CAST(c.embedding[s.j * 8 + i + 1] AS DOUBLE)) * 1e9))) AS dist
+          FROM subs s JOIN e a ON a.vec_id = s.vec_id
+          JOIN e c ON c.vec_id < 22 AND c.vec_id % 4 <> 0),
+        codes AS (
+          SELECT vec_id AS vid, j, cw AS code FROM (
+            SELECT vec_id, j, cw,
+              ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY dist, cw) AS rn
+            FROM dists) WHERE rn = 1),
+        lut AS (SELECT vec_id AS qid, j, cw AS code, dist AS d
+                FROM dists WHERE vec_id < 3),
+        adc AS (
+          SELECT cand.qid, cand.vid, SUM(l.d) AS adist
+          FROM cand JOIN codes c ON c.vid = cand.vid
+          JOIN lut l ON l.qid = cand.qid AND l.j = c.j AND l.code = c.code
+          GROUP BY cand.qid, cand.vid)
+        SELECT qid, rank, vid, adist,
+          (SELECT CAST(8 * COUNT(*) AS BIGINT) FROM embeddings) AS n_postings
+        FROM (
+          SELECT qid, vid, adist,
+            ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adist, vid) AS rank
+          FROM adc)
+        WHERE rank <= 3 ORDER BY qid, rank"""
+      })
   )
 }

@@ -93,6 +93,33 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"append-mode windows diverge: got ${got.size}, want ${want.size}")
   }
 
+  test("streaming heavy hitters: the mergeable sketch equals batch counts") {
+    // FreqSketchAgg is a typed Aggregator with map-side partial merge, so
+    // it drops straight into a streaming aggregation — per-batch partials
+    // merge into the state exactly like batch partials merge across
+    // partitions (the mergeable-summaries property). Exactness regime
+    // (capacity ≥ vocabulary) makes streaming ≡ batch checkable exactly.
+    import spark.implicits._
+    val d = Files.createTempDirectory("graft_stream_docs")
+    Files.copy(Paths.get("/root/testdata/sf0.001/documents.parquet"),
+      d.resolve("documents.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    val schema = spark.read.parquet(d.toString).schema
+    val stream = spark.readStream.schema(schema).parquet(d.toString)
+    val toks = stream.select(explode(split(col("text"), " ")).as("token")).as[String]
+    val q = toks.select(graft.functions.FreqSketchAgg(64).toColumn.name("m"))
+      .writeStream.format("memory").queryName("hh_stream")
+      .outputMode(OutputMode.Complete()).start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("hh_stream")
+      .select(explode(col("m")).as(Seq("token", "cnt")))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val want = spark.read.parquet(d.toString)
+      .select(explode(split(col("text"), " ")).as("token"))
+      .groupBy("token").count()
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(got == want, s"streaming sketch diverged: got ${got.size} tokens")
+  }
+
   test("streaming exact dedup: dropDuplicates removes cross-file repeats") {
     // a stream that delivers the same file twice — the dedup state must
     // collapse every event back to one occurrence
