@@ -445,8 +445,10 @@ object Engine2 {
         val v1 = graft.sources.Snapshots.list(fs, srcDir).last._1
 
         // initial build: quantizer = the seed's first 16 vectors (ids
-        // < 22 with %4 != 0 is exactly 16 of them — deterministic)
-        val seed = regroup(s.table(s"$ns.ann_src"))
+        // < 22 with %4 != 0 is exactly 16 of them — deterministic).
+        // Persisted: three eager build actions below would otherwise
+        // re-scan + re-shuffle the regroup each time.
+        val seed = regroup(s.table(s"$ns.ann_src")).persist()
         val cent0 = seed.filter(col("vec_id") < 22)
           .select(col("vec_id").as("cid"), col("e").as("ce"))
         val book0 = seed.filter(col("vec_id") < 22)
@@ -459,6 +461,7 @@ object Engine2 {
           .writeTo(s"$ns.ann2_book").append()
         encode(seed, cent0, book0).writeTo(s"$ns.ann2_post").append()
 
+        seed.unpersist(blocking = false)
         // delta ingest + incremental maintenance: ONLY the new commit's
         // rows, against the quantizer READ BACK from the index tables
         flat(eAll.filter(col("vec_id") % 4 === 0)).writeTo(s"$ns.ann_src").append()

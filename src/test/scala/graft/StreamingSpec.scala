@@ -101,10 +101,15 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     // (capacity ≥ vocabulary) makes streaming ≡ batch checkable exactly.
     import spark.implicits._
     val d = Files.createTempDirectory("graft_stream_docs")
-    Files.copy(Paths.get("/root/testdata/sf0.001/documents.parquet"),
-      d.resolve("documents.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    // TWO input files + maxFilesPerTrigger=1 force >=2 micro-batches, so
+    // the sketch's merge genuinely runs against NON-EMPTY state (one
+    // batch would exercise only the same partial-merge path as batch)
+    for (n <- Seq("documents.parquet", "documents2.parquet"))
+      Files.copy(Paths.get("/root/testdata/sf0.001/documents.parquet"),
+        d.resolve(n), StandardCopyOption.REPLACE_EXISTING)
     val schema = spark.read.parquet(d.toString).schema
-    val stream = spark.readStream.schema(schema).parquet(d.toString)
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(d.toString)
     val toks = stream.select(explode(split(col("text"), " ")).as("token")).as[String]
     val q = toks.select(graft.functions.FreqSketchAgg(64).toColumn.name("m"))
       .writeStream.format("memory").queryName("hh_stream")
