@@ -39,15 +39,25 @@ object Bench {
   private def fmt(v: Double, decimals: Int): String =
     String.format(java.util.Locale.ROOT, s"%.${decimals}f", Double.box(v))
 
-  /** Render the bench JSON at a given per-query decimal precision. */
-  def renderLine(timings: Seq[(String, Double)], failures: Seq[(String, String)],
-                 sf: String, decimals: Int): String = {
+  /** Render the bench JSON at a given per-query decimal precision.
+    *
+    * `queries` carries MEASURED query time only; DDL-heavy gates report
+    * their fixture cost (table creation + INSERT commits) in `setup`, so a
+    * commit-I/O regression is attributable and cannot masquerade as an
+    * operator regression. The headline `value` stays all-inclusive
+    * (sum of queries + sum of setup) for comparability with rounds 1-7,
+    * which charged setup inside the query time. */
+  def renderLine(timings: Seq[(String, Double)], setups: Seq[(String, Double)],
+                 failures: Seq[(String, String)], sf: String, decimals: Int): String = {
     val qs = timings.map { case (k, v) => jstr(k) + ":" + fmt(v, decimals) }.mkString("{", ",", "}")
-    val total = timings.map(_._2).sum
+    val total = timings.map(_._2).sum + setups.map(_._2).sum
+    val setupJson =
+      if (setups.isEmpty) ""
+      else ",\"setup\":" + setups.map { case (k, v) => jstr(k) + ":" + fmt(v, decimals) }.mkString("{", ",", "}")
     val failJson =
       if (failures.isEmpty) ""
       else ",\"failures\":" + failures.map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")
-    s"""{"metric":"total","value":${fmt(total, decimals)},"unit":"sec","queries":$qs$failJson,"sf":${jstr(sf)}}"""
+    s"""{"metric":"total","value":${fmt(total, decimals)},"unit":"sec","queries":$qs$setupJson$failJson,"sf":${jstr(sf)}}"""
   }
 
   /** Stdout key for a query: the `qNN` prefix (the driver contract's own
@@ -70,23 +80,31 @@ object Bench {
     * lives in BENCH_LAST.json; the total and every failure NAME stay),
     * then cap the named failures with an explicit `omitted` marker. The
     * line therefore ALWAYS fits, whatever the query count grows to. */
-  def renderShortLine(timings: Seq[(String, Double)], failures: Seq[(String, String)],
-                      sf: String): String = {
+  def renderShortLine(timings: Seq[(String, Double)], setups: Seq[(String, Double)],
+                      failures: Seq[(String, String)], sf: String): String = {
     def fits(s: String): Boolean = s.getBytes("UTF-8").length <= MaxLineBytes
     val short = timings.map { case (k, v) => shortKey(k) -> v }
+    val shortS = setups.map { case (k, v) => shortKey(k) -> v }
     val shortF = failures.map { case (k, v) => shortKey(k) -> v.take(MaxFailureChars) }
     val errOnly = shortF.map { case (k, _) => k -> "err" }
+    // degrade order: keep the highest decimal precision that fits — at each
+    // precision, first try the full line, then drop the setup map (its
+    // full-precision copy always survives in BENCH_LAST.json), then shrink
+    // failure texts to "err" (names always survive). Per-query RESOLUTION
+    // outranks the stdout setup map: a line of integer seconds would zero
+    // out ~100 sub-second queries in the graded artifact.
     val candidates = for {
-      f <- Iterator(shortF, errOnly)
       d <- (3 to 0 by -1).iterator
-    } yield renderLine(short, f, sf, d)
+      st <- Iterator(shortS, Seq.empty[(String, Double)])
+      f <- Iterator(shortF, errOnly)
+    } yield renderLine(short, st, f, sf, d)
     candidates.find(fits).getOrElse {
       def bare(f: Seq[(String, String)]): String = {
         val failJson =
           if (f.isEmpty) ""
           else ",\"failures\":" + f.map { case (k, v) => jstr(k) + ":" + jstr(v) }
             .mkString("{", ",", "}")
-        s"""{"metric":"total","value":${fmt(short.map(_._2).sum, 0)},"unit":"sec","queries":{}$failJson,"sf":${jstr(sf)}}"""
+        s"""{"metric":"total","value":${fmt(short.map(_._2).sum + shortS.map(_._2).sum, 0)},"unit":"sec","queries":{}$failJson,"sf":${jstr(sf)}}"""
       }
       Iterator.range(errOnly.size, -1, -1).map { k =>
         if (k == errOnly.size) bare(errOnly)
@@ -121,30 +139,48 @@ object Bench {
     spark.range(0, 1000000).selectExpr("sum(id)", "count(distinct id % 7)").collect()
 
     val timings = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val setups = scala.collection.mutable.LinkedHashMap[String, Double]()
     val failures = scala.collection.mutable.LinkedHashMap[String, String]()
-    for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
-      def once(): Either[String, Double] = {
+    for (d <- SparkEntry.allDefs.sortBy(_.name)) {
+      val name = d.name
+      def msg(e: Throwable): String =
+        s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("")}".take(300)
+      // Declared fixture (DDL + insert commits) runs ONCE and is timed
+      // separately — the measured query below must be re-runnable against
+      // the fixture (enforced by its min-of-2 runs agreeing with Verify).
+      val setupOk = d.setup.forall { st =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count(); Right((System.nanoTime() - t0) / 1e9) }
-        catch { case e: Throwable => Left(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("")}".take(300)) }
+        try { st(spark, sfDir); setups(name) = (System.nanoTime() - t0) / 1e9; true }
+        catch { case e: Throwable =>
+          failures(name) = s"setup: ${msg(e)}".take(300)
+          System.err.println(s"BENCH SETUP FAILURE $name: ${failures(name)}")
+          false
+        }
       }
-      (once(), once()) match {
-        case (Right(a), Right(b)) => timings(name) = math.min(a, b)
-        case (r1, r2) =>
-          failures(name) = r1.left.toOption.orElse(r2.left.toOption).getOrElse("unknown")
-          System.err.println(s"BENCH FAILURE $name: ${failures(name)}")
+      if (setupOk) {
+        def once(): Either[String, Double] = {
+          val t0 = System.nanoTime()
+          try { d.run(spark, sfDir).count(); Right((System.nanoTime() - t0) / 1e9) }
+          catch { case e: Throwable => Left(msg(e)) }
+        }
+        (once(), once()) match {
+          case (Right(a), Right(b)) => timings(name) = math.min(a, b)
+          case (r1, r2) =>
+            failures(name) = r1.left.toOption.orElse(r2.left.toOption).getOrElse("unknown")
+            System.err.println(s"BENCH FAILURE $name: ${failures(name)}")
+        }
       }
     }
 
     // sf basename keeps the line short; full dir goes to BENCH_LAST.json only.
     val sfName = new java.io.File(sfDir).getName
-    val line = renderShortLine(timings.toSeq, failures.toSeq, sfName)
+    val line = renderShortLine(timings.toSeq, setups.toSeq, failures.toSeq, sfName)
     println(line)
     // Backup copy for graders whose stdout capture is log-prefixed; keeps full
     // precision and the full sf path.
     try {
       val p = java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LAST.json"))
-      val full = renderLine(timings.toSeq, failures.toSeq, sfDir, 6)
+      val full = renderLine(timings.toSeq, setups.toSeq, failures.toSeq, sfDir, 6)
       java.nio.file.Files.write(p, (full + "\n").getBytes("UTF-8"))
     } catch { case e: Throwable => System.err.println(s"bench file write failed: $e") }
     spark.stop()

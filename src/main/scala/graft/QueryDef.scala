@@ -7,11 +7,21 @@ import org.apache.spark.sql.types.DecimalType
 /** One verifiable operator/query: a Spark implementation plus (where the
   * semantics are ANSI-SQL-expressible) an equivalent DuckDB oracle query.
   * Queries without an oracle get the driver's weaker rows-only check.
+  *
+  * DDL-heavy gates (catalog table creation + INSERT commits feeding the
+  * measured SELECT) declare that fixture work as `setup` so the bench can
+  * time it separately: a commit-I/O regression must not masquerade as an
+  * operator regression (round-7 verdict: q131's 6.1 s was 5 inserts + one
+  * pruned SELECT, unattributable). `setup` MUST be idempotent (DROP IF
+  * EXISTS first) — the bench runs it once and the measured query twice;
+  * the composed `SparkEntry.queries` entry (setup ; run) stays
+  * self-contained for the driver/Verify, which re-run it end to end.
   */
 final case class QueryDef(
     name: String,
     run: (SparkSession, String) => DataFrame,
-    oracle: Option[String] = None)
+    oracle: Option[String] = None,
+    setup: Option[(SparkSession, String) => Unit] = None)
 
 object QueryDef {
 

@@ -16,9 +16,16 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     q.Relational.defs.head.run(spark, "/root/testdata/sf0.001")
 
-  /** One entry per implemented operator from SURVEY.md §2. */
+  /** One entry per implemented operator from SURVEY.md §2. Each entry is
+    * self-contained: a declared fixture `setup` (DDL gates) runs before the
+    * measured query, so callers need no ordering knowledge. The bench alone
+    * uses [[allDefs]] to time setup and query separately. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    allDefs.map(d => d.name -> d.run).toMap
+    allDefs.map { d =>
+      d.name -> { (s: SparkSession, dir: String) =>
+        d.setup.foreach(_(s, dir)); d.run(s, dir)
+      }
+    }.toMap
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops. */

@@ -31,6 +31,46 @@ object Engine2 {
   private val sqDistExpr =
     "aggregate(zip_with(sv, cv, (x, y) -> round((x - y) * (x - y) * 1e9)), 0D, (a, p) -> a + p)"
 
+  // ---- q154 shared helpers (used by both its setup and its run) ----------
+  private def annFlat(df: DataFrame): DataFrame =
+    df.select(col("vec_id"), posexplode(col("e")).as(Seq("pos", "v")))
+  private def annRegroup(df: DataFrame): DataFrame = df.groupBy(col("vec_id"))
+    .agg(expr("transform(array_sort(collect_list(struct(pos, v))), x -> x.v)").as("e"))
+  /** Latest committed version of the q154 source table. */
+  private def annSrcVersion(s: SparkSession): Long = {
+    val wh = s.conf.get("spark.sql.catalog.gcat.warehouse")
+    val srcDir = new org.apache.hadoop.fs.Path(s"$wh/corpus/ann_src/data")
+    val fs = srcDir.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    graft.sources.Snapshots.list(fs, srcDir).last._1
+  }
+  /** Encode `src` (vec_id, e) against broadcast quantizer tables — the ONE
+    * routine both the initial build and every maintenance batch run;
+    * cent = (cid, ce), book = (code, j, cv). */
+  private def annEncode(src: DataFrame, cent: DataFrame, book: DataFrame): DataFrame = {
+    val n2 = src.select(col("vec_id"), expr(n2Expr.format("e")).as("n2"))
+    val cn2 = cent.select(col("cid"), expr(n2Expr.format("ce")).as("cn2"))
+    val wNear = Window.partitionBy(col("vec_id"))
+      .orderBy(desc("cos"), col("cid"))
+    val assign = src.crossJoin(broadcast(cent))
+      .withColumn("dot", expr(dotExpr.format("e", "ce")))
+      .join(n2, "vec_id")
+      .join(broadcast(cn2), "cid")
+      .withColumn("cos", expr("dot / sqrt(n2 * cn2)"))
+      .withColumn("rn", row_number().over(wNear)).filter(col("rn") === 1)
+      .select(col("vec_id").as("vid"), col("cid").as("list_id"))
+    val subs = src
+      .select(col("vec_id"), explode(expr("sequence(0, 7)")).as("j"), col("e"))
+      .select(col("vec_id"), col("j"), expr("slice(e, j * 8 + 1, 8)").as("sv"))
+    val wCode = Window.partitionBy(col("vec_id"), col("j"))
+      .orderBy(col("d"), col("code"))
+    val codes = subs.join(broadcast(book), "j")
+      .withColumn("d", expr(sqDistExpr))
+      .withColumn("rn", row_number().over(wCode)).filter(col("rn") === 1)
+      .select(col("vec_id").as("vid"), col("j"), col("code"))
+    codes.join(assign, "vid")
+      .select(col("vid"), col("j"), col("code"), col("list_id"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // ---- q142: persisted ANN index — build once, search many --------------
@@ -56,51 +96,8 @@ object Engine2 {
         val ns = ensureCatalog(s, dir)
         val t = Tables(s, dir)
         val e = emb(t)
-        val n2 = e.select(col("vec_id"), expr(n2Expr.format("e")).as("n2"))
 
-        // ---- build: coarse assignment (q40's quantizer) -------------------
-        val cent = e.filter(col("vec_id") < 16)
-          .select(col("vec_id").as("cid"), col("e").as("ce"))
-        val wNear = Window.partitionBy(col("vec_id"))
-          .orderBy(desc("cos"), col("cid"))
-        val assign = e.crossJoin(broadcast(cent))
-          .withColumn("dot", expr(dotExpr.format("e", "ce")))
-          .join(n2, "vec_id")
-          .join(broadcast(n2.select(col("vec_id").as("cid"), col("n2").as("cn2"))), "cid")
-          .withColumn("cos", expr("dot / sqrt(n2 * cn2)"))
-          .withColumn("rn", row_number().over(wNear)).filter(col("rn") === 1)
-          .select(col("vec_id").as("vid"), col("cid").as("list_id"))
-
-        // ---- build: PQ codes (q48's codebooks) ----------------------------
-        val subs = e.select(col("vec_id"), explode(expr("sequence(0, 7)")).as("j"), col("e"))
-          .select(col("vec_id"), col("j"), expr("slice(e, j * 8 + 1, 8)").as("sv"))
-        val codewords = subs.filter(col("vec_id") < 16)
-          .select(col("vec_id").as("code"), col("j"), col("sv").as("cv"))
-        val wCode = Window.partitionBy(col("vec_id"), col("j"))
-          .orderBy(col("d"), col("code"))
-        val codes = subs.join(broadcast(codewords), "j")
-          .withColumn("d", expr(sqDistExpr))
-          .withColumn("rn", row_number().over(wCode)).filter(col("rn") === 1)
-          .select(col("vec_id").as("vid"), col("j"), col("code"))
-
-        // ---- persist the three index tables -------------------------------
-        s.sql(s"DROP TABLE IF EXISTS $ns.ann_cent")
-        s.sql(s"DROP TABLE IF EXISTS $ns.ann_book")
-        s.sql(s"DROP TABLE IF EXISTS $ns.ann_post")
-        s.sql(s"CREATE TABLE $ns.ann_cent (cid BIGINT, pos INT, v DOUBLE)")
-        s.sql(s"CREATE TABLE $ns.ann_book (j INT, code BIGINT, pos INT, v DOUBLE)")
-        s.sql(
-          s"""CREATE TABLE $ns.ann_post (vid BIGINT, j INT, code BIGINT, list_id BIGINT)
-             |PARTITIONED BY (list_id)""".stripMargin)
-        cent.select(col("cid"), posexplode(col("ce")).as(Seq("pos", "v")))
-          .writeTo(s"$ns.ann_cent").append()
-        codewords.select(col("j"), col("code"), posexplode(col("cv")).as(Seq("pos", "v")))
-          .writeTo(s"$ns.ann_book").append()
-        codes.join(assign, "vid")
-          .select(col("vid"), col("j"), col("code"), col("list_id"))
-          .writeTo(s"$ns.ann_post").append()
-
-        // ---- search: ONLY the index tables from here on -------------------
+        // ---- search: ONLY the index tables (built once in `setup`) --------
         val q = e.filter(col("vec_id") < 3)
           .select(col("vec_id").as("qid"), col("e").as("qe"))
         val qn = q.select(col("qid"), expr(n2Expr.format("qe")).as("qn2"))
@@ -195,7 +192,58 @@ object Engine2 {
             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adist, vid) AS rank
           FROM adc)
         WHERE rank <= 3 ORDER BY qid, rank"""
-      }),
+      },
+      // build-once fixture: quantize the corpus and persist the three index
+      // tables — the measured query above serves from them alone, so the
+      // bench reports index BUILD (setup) and SERVE (query) separately
+      setup = Some((s, dir) => {
+        val ns = ensureCatalog(s, dir)
+        val t = Tables(s, dir)
+        val e = emb(t)
+        val n2 = e.select(col("vec_id"), expr(n2Expr.format("e")).as("n2"))
+
+        // ---- build: coarse assignment (q40's quantizer) -------------------
+        val cent = e.filter(col("vec_id") < 16)
+          .select(col("vec_id").as("cid"), col("e").as("ce"))
+        val wNear = Window.partitionBy(col("vec_id"))
+          .orderBy(desc("cos"), col("cid"))
+        val assign = e.crossJoin(broadcast(cent))
+          .withColumn("dot", expr(dotExpr.format("e", "ce")))
+          .join(n2, "vec_id")
+          .join(broadcast(n2.select(col("vec_id").as("cid"), col("n2").as("cn2"))), "cid")
+          .withColumn("cos", expr("dot / sqrt(n2 * cn2)"))
+          .withColumn("rn", row_number().over(wNear)).filter(col("rn") === 1)
+          .select(col("vec_id").as("vid"), col("cid").as("list_id"))
+
+        // ---- build: PQ codes (q48's codebooks) ----------------------------
+        val subs = e.select(col("vec_id"), explode(expr("sequence(0, 7)")).as("j"), col("e"))
+          .select(col("vec_id"), col("j"), expr("slice(e, j * 8 + 1, 8)").as("sv"))
+        val codewords = subs.filter(col("vec_id") < 16)
+          .select(col("vec_id").as("code"), col("j"), col("sv").as("cv"))
+        val wCode = Window.partitionBy(col("vec_id"), col("j"))
+          .orderBy(col("d"), col("code"))
+        val codes = subs.join(broadcast(codewords), "j")
+          .withColumn("d", expr(sqDistExpr))
+          .withColumn("rn", row_number().over(wCode)).filter(col("rn") === 1)
+          .select(col("vec_id").as("vid"), col("j"), col("code"))
+
+        // ---- persist the three index tables -------------------------------
+        s.sql(s"DROP TABLE IF EXISTS $ns.ann_cent")
+        s.sql(s"DROP TABLE IF EXISTS $ns.ann_book")
+        s.sql(s"DROP TABLE IF EXISTS $ns.ann_post")
+        s.sql(s"CREATE TABLE $ns.ann_cent (cid BIGINT, pos INT, v DOUBLE)")
+        s.sql(s"CREATE TABLE $ns.ann_book (j INT, code BIGINT, pos INT, v DOUBLE)")
+        s.sql(
+          s"""CREATE TABLE $ns.ann_post (vid BIGINT, j INT, code BIGINT, list_id BIGINT)
+             |PARTITIONED BY (list_id)""".stripMargin)
+        cent.select(col("cid"), posexplode(col("ce")).as(Seq("pos", "v")))
+          .writeTo(s"$ns.ann_cent").append()
+        codewords.select(col("j"), col("code"), posexplode(col("cv")).as(Seq("pos", "v")))
+          .writeTo(s"$ns.ann_book").append()
+        codes.join(assign, "vid")
+          .select(col("vid"), col("j"), col("code"), col("list_id"))
+          .writeTo(s"$ns.ann_post").append()
+      })),
 
     // ---- q143: incremental dedup — delta-only against persisted state ----
     // At 100 TB nobody re-deduplicates the corpus per ingest batch: the
@@ -393,84 +441,24 @@ object Engine2 {
         val ns = ensureCatalog(s, dir)
         val t = Tables(s, dir)
         val eAll = emb(t)
-        for (tb <- Seq("ann_src", "ann2_cent", "ann2_book", "ann2_post"))
-          s.sql(s"DROP TABLE IF EXISTS $ns.$tb")
-        s.sql(s"CREATE TABLE $ns.ann_src (vec_id BIGINT, pos INT, v DOUBLE)")
-        s.sql(s"CREATE TABLE $ns.ann2_cent (cid BIGINT, pos INT, v DOUBLE)")
-        s.sql(s"CREATE TABLE $ns.ann2_book (j INT, code BIGINT, pos INT, v DOUBLE)")
-        s.sql(
-          s"""CREATE TABLE $ns.ann2_post (vid BIGINT, j INT, code BIGINT, list_id BIGINT)
-             |PARTITIONED BY (list_id)""".stripMargin)
 
-        def flat(df: org.apache.spark.sql.DataFrame) =
-          df.select(col("vec_id"), posexplode(col("e")).as(Seq("pos", "v")))
-        def regroup(df: org.apache.spark.sql.DataFrame) = df.groupBy(col("vec_id"))
-          .agg(expr("transform(array_sort(collect_list(struct(pos, v))), x -> x.v)").as("e"))
+        // high-water mark: the last source version the index covers, read
+        // from the index's own meta table (what a production incremental
+        // index persists between maintenance runs — seeded in `setup`)
+        val v1 = s.table(s"$ns.ann2_meta")
+          .agg(max(col("indexed_version"))).first().getLong(0)
 
-        // encode `src` (vec_id, e) against broadcast quantizer tables —
-        // the ONE routine both the initial build and every maintenance
-        // batch run; cent = (cid, ce), book = (code, j, cv)
-        def encode(src: org.apache.spark.sql.DataFrame,
-                   cent: org.apache.spark.sql.DataFrame,
-                   book: org.apache.spark.sql.DataFrame) = {
-          val n2 = src.select(col("vec_id"), expr(n2Expr.format("e")).as("n2"))
-          val cn2 = cent.select(col("cid"), expr(n2Expr.format("ce")).as("cn2"))
-          val wNear = Window.partitionBy(col("vec_id"))
-            .orderBy(desc("cos"), col("cid"))
-          val assign = src.crossJoin(broadcast(cent))
-            .withColumn("dot", expr(dotExpr.format("e", "ce")))
-            .join(n2, "vec_id")
-            .join(broadcast(cn2), "cid")
-            .withColumn("cos", expr("dot / sqrt(n2 * cn2)"))
-            .withColumn("rn", row_number().over(wNear)).filter(col("rn") === 1)
-            .select(col("vec_id").as("vid"), col("cid").as("list_id"))
-          val subs = src
-            .select(col("vec_id"), explode(expr("sequence(0, 7)")).as("j"), col("e"))
-            .select(col("vec_id"), col("j"), expr("slice(e, j * 8 + 1, 8)").as("sv"))
-          val wCode = Window.partitionBy(col("vec_id"), col("j"))
-            .orderBy(col("d"), col("code"))
-          val codes = subs.join(broadcast(book), "j")
-            .withColumn("d", expr(sqDistExpr))
-            .withColumn("rn", row_number().over(wCode)).filter(col("rn") === 1)
-            .select(col("vec_id").as("vid"), col("j"), col("code"))
-          codes.join(assign, "vid")
-            .select(col("vid"), col("j"), col("code"), col("list_id"))
-        }
-
-        // seed corpus (vec_id % 4 != 0), remember its commit version
-        flat(eAll.filter(col("vec_id") % 4 =!= 0)).writeTo(s"$ns.ann_src").append()
-        val wh = s.conf.get("spark.sql.catalog.gcat.warehouse")
-        val srcDir = new org.apache.hadoop.fs.Path(s"$wh/corpus/ann_src/data")
-        val fs = srcDir.getFileSystem(new org.apache.hadoop.conf.Configuration())
-        val v1 = graft.sources.Snapshots.list(fs, srcDir).last._1
-
-        // initial build: quantizer = the seed's first 16 vectors (ids
-        // < 22 with %4 != 0 is exactly 16 of them — deterministic).
-        // Persisted: three eager build actions below would otherwise
-        // re-scan + re-shuffle the regroup each time.
-        val seed = regroup(s.table(s"$ns.ann_src")).persist()
-        val cent0 = seed.filter(col("vec_id") < 22)
-          .select(col("vec_id").as("cid"), col("e").as("ce"))
-        val book0 = seed.filter(col("vec_id") < 22)
-          .select(col("vec_id").as("code"),
-            explode(expr("sequence(0, 7)")).as("j"), col("e"))
-          .select(col("code"), col("j"), expr("slice(e, j * 8 + 1, 8)").as("cv"))
-        cent0.select(col("cid"), posexplode(col("ce")).as(Seq("pos", "v")))
-          .writeTo(s"$ns.ann2_cent").append()
-        book0.select(col("j"), col("code"), posexplode(col("cv")).as(Seq("pos", "v")))
-          .writeTo(s"$ns.ann2_book").append()
-        encode(seed, cent0, book0).writeTo(s"$ns.ann2_post").append()
-
-        seed.unpersist(blocking = false)
-        // delta ingest + incremental maintenance: ONLY the new commit's
-        // rows, against the quantizer READ BACK from the index tables
-        flat(eAll.filter(col("vec_id") % 4 === 0)).writeTo(s"$ns.ann_src").append()
-        val delta = regroup(s.read.option("since-version", v1).table(s"$ns.ann_src"))
+        // delta ingest + incremental maintenance: ONLY commits past the
+        // watermark, against the quantizer READ BACK from the index tables
+        annFlat(eAll.filter(col("vec_id") % 4 === 0)).writeTo(s"$ns.ann_src").append()
+        val delta = annRegroup(s.read.option("since-version", v1).table(s"$ns.ann_src"))
         val centT = s.table(s"$ns.ann2_cent").groupBy(col("cid"))
           .agg(expr("transform(array_sort(collect_list(struct(pos, v))), x -> x.v)").as("ce"))
         val bookT = s.table(s"$ns.ann2_book").groupBy(col("code"), col("j"))
           .agg(expr("transform(array_sort(collect_list(struct(pos, v))), x -> x.v)").as("cv"))
-        encode(delta, centT, bookT).writeTo(s"$ns.ann2_post").append()
+        annEncode(delta, centT, bookT).writeTo(s"$ns.ann2_post").append()
+        // advance the watermark (append-only log; readers take the max)
+        s.sql(s"INSERT INTO $ns.ann2_meta VALUES (${annSrcVersion(s)})")
 
         // serve q142-style over the maintained index; n_postings proves
         // the postings table itself advanced to full-corpus size
@@ -565,6 +553,48 @@ object Engine2 {
             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adist, vid) AS rank
           FROM adc)
         WHERE rank <= 3 ORDER BY qid, rank"""
-      })
+      },
+      // fixture: seed corpus + initial index build + watermark — so the
+      // measured query above is exactly ONE maintenance batch (delta
+      // ingest, frozen-quantizer encode, watermark advance) plus the serve
+      setup = Some((s, dir) => {
+        val ns = ensureCatalog(s, dir)
+        val t = Tables(s, dir)
+        val eAll = emb(t)
+        for (tb <- Seq("ann_src", "ann2_cent", "ann2_book", "ann2_post", "ann2_meta"))
+          s.sql(s"DROP TABLE IF EXISTS $ns.$tb")
+        s.sql(s"CREATE TABLE $ns.ann_src (vec_id BIGINT, pos INT, v DOUBLE)")
+        s.sql(s"CREATE TABLE $ns.ann2_cent (cid BIGINT, pos INT, v DOUBLE)")
+        s.sql(s"CREATE TABLE $ns.ann2_book (j INT, code BIGINT, pos INT, v DOUBLE)")
+        s.sql(
+          s"""CREATE TABLE $ns.ann2_post (vid BIGINT, j INT, code BIGINT, list_id BIGINT)
+             |PARTITIONED BY (list_id)""".stripMargin)
+        s.sql(s"CREATE TABLE $ns.ann2_meta (indexed_version BIGINT)")
+
+        // seed corpus (vec_id % 4 != 0)
+        annFlat(eAll.filter(col("vec_id") % 4 =!= 0)).writeTo(s"$ns.ann_src").append()
+        val v1 = annSrcVersion(s)
+
+        // initial build: quantizer = the seed's first 16 vectors (ids
+        // < 22 with %4 != 0 is exactly 16 of them — deterministic).
+        // Persisted: three eager build actions below would otherwise
+        // re-scan + re-shuffle the regroup each time.
+        val seed = annRegroup(s.table(s"$ns.ann_src")).persist()
+        val cent0 = seed.filter(col("vec_id") < 22)
+          .select(col("vec_id").as("cid"), col("e").as("ce"))
+        val book0 = seed.filter(col("vec_id") < 22)
+          .select(col("vec_id").as("code"),
+            explode(expr("sequence(0, 7)")).as("j"), col("e"))
+          .select(col("code"), col("j"), expr("slice(e, j * 8 + 1, 8)").as("cv"))
+        cent0.select(col("cid"), posexplode(col("ce")).as(Seq("pos", "v")))
+          .writeTo(s"$ns.ann2_cent").append()
+        book0.select(col("j"), col("code"), posexplode(col("cv")).as(Seq("pos", "v")))
+          .writeTo(s"$ns.ann2_book").append()
+        annEncode(seed, cent0, book0).writeTo(s"$ns.ann2_post").append()
+        seed.unpersist(blocking = false)
+        // the index records how far into the source it has indexed
+        s.sql(s"INSERT INTO $ns.ann2_meta VALUES ($v1)")
+        ()
+      }))
   )
 }

@@ -150,6 +150,14 @@ object Pipeline4 {
       "q152_bloom_lookup",
       (s, dir) => {
         val ns = Engine.ensureCatalog(s, dir)
+        s.sql(
+          s"""SELECT doc_id, lang, source, n_chars FROM $ns.bloomdocs
+             |WHERE doc_id IN (7, 123, 200, 301) ORDER BY doc_id""".stripMargin)
+      },
+      Some("""SELECT doc_id, lang, source, n_chars FROM documents
+        WHERE doc_id IN (7, 123, 200, 301) ORDER BY doc_id"""),
+      setup = Some((s, dir) => {
+        val ns = Engine.ensureCatalog(s, dir)
         s.sql(s"DROP TABLE IF EXISTS $ns.bloomdocs")
         s.sql(
           s"""CREATE TABLE $ns.bloomdocs
@@ -159,12 +167,8 @@ object Pipeline4 {
           s"""INSERT INTO $ns.bloomdocs
              |SELECT doc_id, lang, source, n_chars
              |FROM parquet.`$dir/documents.parquet` WHERE doc_id % 8 = $r""".stripMargin)
-        s.sql(
-          s"""SELECT doc_id, lang, source, n_chars FROM $ns.bloomdocs
-             |WHERE doc_id IN (7, 123, 200, 301) ORDER BY doc_id""".stripMargin)
-      },
-      Some("""SELECT doc_id, lang, source, n_chars FROM documents
-        WHERE doc_id IN (7, 123, 200, 301) ORDER BY doc_id""")),
+        ()
+      })),
 
     // ---- q153: top principal component via distributed power iteration --
     // The PCA direction of the embedding space (drift monitoring, whitening

@@ -714,11 +714,22 @@ object Vectors {
           .select(col("vec_id").as("qid"), col("e").as("qe"))
         val corpus = e.select(col("vec_id").as("vid"), col("e").as("ve"))
         val w = Window.partitionBy(col("qid")).orderBy(desc("cos"), col("vid"))
-        // exact ground truth: brute-force top-3
+        // exact ground truth: brute-force top-3 via the map-side-combining
+        // TopK aggregate (q27's shape) — a per-qid window here would push
+        // the whole (queries × corpus) pair stream through 20 reducers.
+        // The aggregate's (score DESC, id ASC) tie-break matches the
+        // window's ORDER BY exactly, so rows stay oracle-identical. The
+        // remaining windows below run over bounded groups only: assign /
+        // probe partition by qid with exactly 16 centroid rows per group,
+        // and `approx` scores the nprobe-bounded candidate set.
+        val topk = udaf(graft.functions.TopKAgg(3),
+          org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[graft.functions.TopKIn]())
         val truth = cosine(broadcast(queries).crossJoin(corpus)
             .filter(col("qid") =!= col("vid")), n)
-          .withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
-          .select(col("qid"), col("vid"))
+          .groupBy(col("qid"))
+          .agg(topk(col("cos"), col("vid")).as("top"))
+          .select(col("qid"), explode(col("top")).as("t"))
+          .select(col("qid"), col("t.id").as("vid"))
         // IVF top-3 (the q40 dataflow: 16 fixed centroids, nprobe=2)
         val cent = e.filter(col("vec_id") < 16)
           .select(col("vec_id").as("vid"), col("e").as("ve"))
@@ -1037,11 +1048,19 @@ object Vectors {
           .withColumn("v8", expr(
             "transform(e, x -> cast(round(x * case when m = 0 then 0D else 127.0 / m end) as bigint))"))
           .select(col("vec_id"), col("v8"))
-        def top3(scored: DataFrame, score: String): DataFrame = {
-          val w = Window.partitionBy(col("qid")).orderBy(desc(score), col("vid"))
-          scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= 3)
-            .select(col("qid"), col("vid"))
-        }
+        // top-3 per query via the map-side-combining TopK aggregate (same
+        // shape as q27/q135): a per-qid window here would funnel a
+        // corpus-sized pair stream through 20 reducers on BOTH the exact
+        // and quantized sides; the aggregate shuffles only
+        // O(partitions × queries × 3) buffered rows. Tie-break is
+        // identical ((score DESC, vid ASC)) so rows stay oracle-exact.
+        val topk = udaf(graft.functions.TopKAgg(3),
+          org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[graft.functions.TopKIn]())
+        def top3(scored: DataFrame, score: String): DataFrame =
+          scored.groupBy(col("qid"))
+            .agg(topk(col(score), col("vid")).as("top"))
+            .select(col("qid"), explode(col("top")).as("t"))
+            .select(col("qid"), col("t.id").as("vid"))
         val qs = e.filter(col("vec_id") < 20).select(col("vec_id").as("qid"), col("e").as("qe"))
         val exact = top3(
           cosine(broadcast(qs).crossJoin(

@@ -32,7 +32,8 @@ class ContractSpec extends AnyFunSuite {
     val names = SparkEntry.queries.keys.toSeq.sorted
     // short keys must stay unique or timings silently merge
     assert(names.map(Bench.shortKey).distinct.size == names.size)
-    val line = Bench.renderShortLine(names.map(_ -> 999.999), Nil, "sf0.1")
+    val setups = SparkEntry.allDefs.filter(_.setup.isDefined).map(_.name -> 999.999)
+    val line = Bench.renderShortLine(names.map(_ -> 999.999), setups, Nil, "sf0.1")
     val n = line.getBytes("UTF-8").length
     assert(n <= Bench.MaxLineBytes, s"bench line is $n bytes > ${Bench.MaxLineBytes}")
     assert(line.startsWith("""{"metric":"total""""))
@@ -45,7 +46,8 @@ class ContractSpec extends AnyFunSuite {
     val names = SparkEntry.queries.keys.toSeq.sorted
     val (failed, timed) = names.splitAt(10)
     val failures = failed.map(_ -> ("x" * 300))
-    val line = Bench.renderShortLine(timed.map(_ -> 999.999), failures, "sf0.1")
+    val line = Bench.renderShortLine(timed.map(_ -> 999.999),
+      SparkEntry.allDefs.filter(_.setup.isDefined).map(_.name -> 999.999), failures, "sf0.1")
     val n = line.getBytes("UTF-8").length
     assert(n <= Bench.MaxLineBytes, s"bench line with 10 failures is $n bytes")
     assert(line.startsWith("""{"metric":"total"""") && line.contains("\"failures\""))
@@ -53,7 +55,7 @@ class ContractSpec extends AnyFunSuite {
     // degraded — a failure must never vanish from the artifact
     failed.map(Bench.shortKey).foreach(k => assert(line.contains("\"" + k + "\"")))
     // worst case: EVERY query fails with a long message
-    val all = Bench.renderShortLine(Nil, names.map(_ -> ("y" * 300)), "sf0.1")
+    val all = Bench.renderShortLine(Nil, Nil, names.map(_ -> ("y" * 300)), "sf0.1")
     assert(all.getBytes("UTF-8").length <= Bench.MaxLineBytes,
       s"all-failures line is ${all.getBytes("UTF-8").length} bytes")
   }

@@ -775,14 +775,26 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     // #queries reducers, each receiving a corpus-sized partition. The
     // TopK aggregate combines map-side, so the plan must carry a partial
     // hash aggregate and NO window over the pair stream.
-    for (name <- Seq("q27_ann_bruteforce", "q135_knn_label_eval")) {
+    for (name <- Seq("q27_ann_bruteforce", "q135_knn_label_eval",
+        "q114_int8_recall", "q91_ann_recall")) {
       val df = SparkEntry.queries(name)(spark, dir)
       val plan = df.queryExecution.executedPlan.toString
       assert(plan.contains("topkagg"),
         s"$name must rank via TopKAgg: ${plan.take(1200)}")
-      if (name == "q27_ann_bruteforce")
+      if (name == "q27_ann_bruteforce" || name == "q114_int8_recall")
+        // q114 ranks BOTH its exact and quantized pair streams with the
+        // aggregate — no window node may survive anywhere in its plan
         assert(!plan.contains("Window"), s"$name still plans a window")
-      else {
+      else if (name == "q91_ann_recall") {
+        // q91's truth side (queries × corpus) must rank via the aggregate;
+        // its surviving windows are over bounded groups only — assign and
+        // probe partition by qid with exactly 16 centroid rows per group,
+        // approx ranks the nprobe-bounded candidate set. Guard the shape:
+        // the brute-force truth stream must reach topkagg (asserted
+        // above), and the window count must not grow past those 3 sites.
+        val wins = plan.linesIterator.count(_.trim.startsWith("Window"))
+        assert(wins <= 3, s"$name grew windows ($wins): ${plan.take(1200)}")
+      } else {
         // q135's surviving windows rank VOTE rows (≤ 5 per query) — the
         // pair-sized stream itself must reach only the aggregate. The
         // window input must be an aggregate output, not the cosine join:
