@@ -37,29 +37,51 @@ final case class FreqSketchAgg(capacity: Int)
 
   override def zero: Map[String, Long] = Map.empty
 
-  /** Trim a summed map down to ≤ capacity entries by subtracting the
-    * (capacity+1)-th largest count from every entry and dropping the
+  /** Working-set ceiling: trims are DEFERRED until the buffer holds
+    * 2×capacity entries, then cut back to ≤ capacity in one pass. A
+    * per-insert trim would sort + rebuild the map on every token once at
+    * capacity — O(capacity log capacity) steady-state per token, which is
+    * impractical at the capacities a 100 TB corpus wants (~1e5). Deferring
+    * makes a trim run only after ≥ capacity NEW keys arrived, so the
+    * amortized per-token cost is O(log capacity) while memory stays within
+    * 2× the declared budget. The MG bound is unchanged: each batch trim
+    * subtracts δ from > capacity entries, accounting ≥ (capacity+1)·δ of
+    * input mass, so total undercount stays ≤ N/(capacity+1) — the same
+    * argument that covers the merge-then-trim of two capacity-sized
+    * summaries (Agarwal et al. 2012). */
+  private val ceiling = 2 * capacity
+
+  /** Cut a summed map down to ≤ `target` entries by subtracting the
+    * (target+1)-th largest count from every entry and dropping the
     * non-positive ones — the mergeable-summaries rule. Deterministic:
     * the subtracted value depends only on the multiset of counts. */
-  private def trim(m: Map[String, Long]): Map[String, Long] =
-    if (m.size <= capacity) m
+  private def trimTo(m: Map[String, Long], target: Int): Map[String, Long] =
+    if (m.size <= target) m
     else {
-      // (capacity+1)-th largest count (counts sorted descending)
-      val kth = m.valuesIterator.toArray.sortBy(-_).apply(capacity)
+      // (target+1)-th largest count (counts sorted descending)
+      val kth = m.valuesIterator.toArray.sortBy(-_).apply(target)
       m.iterator.collect { case (k, v) if v > kth => k -> (v - kth) }.toMap
     }
 
-  override def reduce(b: Map[String, Long], tok: String): Map[String, Long] =
-    trim(b.updated(tok, b.getOrElse(tok, 0L) + 1L))
+  override def reduce(b: Map[String, Long], tok: String): Map[String, Long] = {
+    val u = b.updated(tok, b.getOrElse(tok, 0L) + 1L)
+    if (u.size > ceiling) trimTo(u, capacity) else u
+  }
 
   override def merge(x: Map[String, Long], y: Map[String, Long]): Map[String, Long] =
     if (x.isEmpty) y
     else if (y.isEmpty) x
-    else trim(y.foldLeft(x) { case (acc, (k, v)) =>
-      acc.updated(k, acc.getOrElse(k, 0L) + v)
-    })
+    else {
+      val u = y.foldLeft(x) { case (acc, (k, v)) =>
+        acc.updated(k, acc.getOrElse(k, 0L) + v)
+      }
+      if (u.size > ceiling) trimTo(u, capacity) else u
+    }
 
-  override def finish(b: Map[String, Long]): Map[String, Long] = b
+  /** The declared contract is a ≤ capacity-entry summary; the deferred
+    * working set is cut back here (a no-op in the exactness regime). */
+  override def finish(b: Map[String, Long]): Map[String, Long] =
+    trimTo(b, capacity)
 
   override def bufferEncoder: Encoder[Map[String, Long]] =
     ExpressionEncoder[Map[String, Long]]()

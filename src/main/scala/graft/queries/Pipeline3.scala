@@ -88,15 +88,25 @@ object Pipeline3 {
         val tok = t.documents
           .select(explode(split(col("text"), " ")).as("token"))
           .groupBy(col("token")).agg(count(lit(1)).as("cf"))
-        val rankW = Window.orderBy(desc("cf"), col("token"))
-        val cumW = rankW.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        tok
-          .withColumn("rank", row_number().over(rankW).cast("long"))
-          .withColumn("cum", sum(col("cf")).over(cumW))
-          .filter(col("rank") <= 25)
+        // top-25 via ORDER BY + LIMIT (TakeOrdered: per-partition heaps,
+        // never a single-partition global window over the vocabulary —
+        // this query used to be the one WindowExec "No Partition Defined"
+        // WARN in the bench tail); the running coverage sum is then an
+        // array fold over exactly those 25 rows. array_sort on the
+        // (-cf, token) struct reproduces the (cf DESC, token ASC) rank.
+        val top = tok.orderBy(desc("cf"), col("token")).limit(25)
+          .select(col("token"), col("cf").cast("long").as("cf"))
+        top
+          .agg(expr("array_sort(collect_list(struct(-cf AS neg, token, cf)))").as("a"))
           .crossJoin(broadcast(tok.agg(sum(col("cf")).as("total"))))
-          .select(col("rank"), col("token"), col("cf").cast("long").as("cf"),
-            expr("cast(cum * 1000000 div total as bigint)").as("ppm"))
+          .select(expr(
+            """explode(transform(a, (x, i) -> struct(
+              |  cast(i + 1 as bigint) AS rank, x.token AS token, x.cf AS cf,
+              |  aggregate(slice(a, 1, i + 1), 0L, (acc, y) -> acc + y.cf) AS cum)))
+              |""".stripMargin).as("r"), col("total"))
+          .select(col("r.rank").as("rank"), col("r.token").as("token"),
+            col("r.cf").as("cf"),
+            expr("cast(r.cum * 1000000 div total as bigint)").as("ppm"))
           .orderBy(col("rank"))
       },
       Some("""WITH tok AS (

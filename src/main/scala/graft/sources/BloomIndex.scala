@@ -44,9 +44,15 @@ import org.apache.spark.unsafe.types.UTF8String
   * `<=> null` and IS NULL never consult the bloom. Values hash on the
   * same EXTERNAL string forms the range registry stores (ISO dates,
   * decimal integers), so an int→long type widening keeps old files'
-  * blooms valid; renamed columns simply miss the lookup (no pruning —
-  * safe), and a column absent from an entry's bloom map is never pruned
-  * (pre-index files, ADD COLUMN defaults).
+  * blooms valid and the scan KEEPS consulting them (GraftScan's
+  * `bloomStaleWidened` exempts integral-widened columns from the widened
+  * exclusion); widening onto a non-integral type (int→double)
+  * re-canonicalizes probes ("123" vs "123.0"), so the scan ignores those
+  * columns' bitsets and the DDL retires the column from the index
+  * property so new files stop paying for dead bitsets. Renamed columns
+  * simply miss the lookup (no pruning — safe), and a column absent from
+  * an entry's bloom map is never pruned (pre-index files, ADD COLUMN
+  * defaults).
   *
   * Capability ancestor in the reference: per-family `BLOOMFILTER`
   * knob handed to HBase at DDL time (`HBaseClientImpl.scala:303-365`) —

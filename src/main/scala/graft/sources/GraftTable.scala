@@ -1606,10 +1606,13 @@ final class GraftScan(
     val projected = partFields.map(_.col).distinct
       .filter(c => required.fieldNames.contains(c))
     // bloom-indexed data columns participate too: a broadcast join whose
-    // build side yields an IN-list over one routes it through [[filter]]
-    // into `pushed`, where BloomIndex disproof drops every file that
-    // provably holds none of the keys — a file-granular index join
-    // (see the bloom check in [[files]]; runaway lists are capped there)
+    // build side yields an IN-list over one routes it through [[filter]],
+    // which caps runaway lists at 4096 keys — an over-cap IN-list
+    // on a non-partition column is DISCARDED entirely (not truncated; a
+    // truncated disproof would be unsound), for row filtering as well as
+    // pruning. Surviving lists land in `pushed`, where BloomIndex
+    // disproof drops every file that provably holds none of the keys —
+    // a file-granular index join (the bloom check in [[files]])
     val bloomCols = bloomAdvertised
       .filter(c => required.fieldNames.contains(c) && !projected.contains(c))
     val cols =
@@ -1620,13 +1623,24 @@ final class GraftScan(
       org.apache.spark.sql.connector.expressions.Expressions.column(c)).toArray
   }
 
+  /** Widened columns whose OLD files' bloom bitsets are stale: values hash
+    * on canonical decimal-integer / string / ISO-date forms
+    * ([[BloomIndex.canonical]]), so the one integral→integral widening
+    * (int→long) keeps old hashes exact ("123" is "123" in both widths) and
+    * such columns stay bloom-usable. Every other legal widening lands on a
+    * bloom-INELIGIBLE type (double), whose probes canonicalize differently
+    * ("123" vs "123.0") — those columns' bitsets must be ignored. */
+  private lazy val bloomStaleWidened: Set[String] =
+    widened.filterNot(c => tableSchema.fields.find(_.name == c)
+      .exists(_.dataType == org.apache.spark.sql.types.LongType))
+
   /** Data columns with a Bloom bitset in at least one manifest entry —
     * the set worth advertising for runtime filtering. Reads the cached
     * manifest (planning already did); empty on bloom-less tables, so
     * their runtime-filter surface is exactly what it was. */
   private lazy val bloomAdvertised: Seq[String] =
     (cachedStats.valuesIterator.flatMap(_.blooms)
-      .flatMap(_.keysIterator).toSet -- widened).toSeq.sorted
+      .flatMap(_.keysIterator).toSet -- bloomStaleWidened).toSeq.sorted
 
   override def filter(filters: Array[Filter]): Unit = if (filters.nonEmpty) {
     import org.apache.spark.sql.sources.{EqualTo, In}
@@ -1854,19 +1868,21 @@ final class GraftScan(
           if (pushed.isEmpty) afterTopN
           else afterTopN.filter { f =>
             cachedStats.get(TableStats.relOf(f._1)).forall { e =>
-              // a WIDENED column's registry strings (and bloom hashes)
-              // from pre-widening files live in the FORMER type's value
-              // space — "0.1" of a float file reparses as a different
-              // double than the widened reader yields, and an int file's
-              // bloom hashed "123" while the probe now hashes "123.0" —
-              // so widened columns never disprove (the same exclusion
-              // every other registry-fold path applies)
+              // a WIDENED column's registry strings from pre-widening
+              // files live in the FORMER type's value space — "0.1" of a
+              // float file reparses as a different double than the widened
+              // reader yields — so widened columns never RANGE-disprove
+              // (the same exclusion every other registry-fold path
+              // applies). Bloom hashes are stricter: only widenings onto a
+              // non-integral type re-canonicalize ("123" → "123.0");
+              // int→long hashes identically, so those columns keep
+              // disproving ([[bloomStaleWidened]]).
               val cols =
                 if (widened.isEmpty) e.cols
                 else e.cols.filterNot { case (c, _) => widened.contains(c) }
               val blooms = e.blooms.map(b =>
-                if (widened.isEmpty) b
-                else b.filterNot { case (c, _) => widened.contains(c) })
+                if (bloomStaleWidened.isEmpty) b
+                else b.filterNot { case (c, _) => bloomStaleWidened.contains(c) })
               (cols.isEmpty ||
                 !pushed.exists(PartitionPruning.rangeDisproves(_, cols, tableSchema))) &&
               blooms.forall { b =>

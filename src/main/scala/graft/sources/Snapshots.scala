@@ -929,7 +929,16 @@ object Snapshots {
     * must not zero the guard, or it would reclaim a concurrent writer's
     * just-landed part files before their commit registers them — the
     * exact race the guard exists for. The live registry and its chain
-    * always survive whatever the cutoff. */
+    * always survive whatever the cutoff.
+    *
+    * Concurrency note: `keep` is counted from an UNLOCKED [[list]]; a
+    * commit landing between that count and [[vacuum]]'s own locked
+    * re-list shifts the count-based retain window by one. That is benign
+    * by construction — the age guard is aligned to the same cutoff
+    * instant, so no manifest or data file committed at-or-after the
+    * cutoff can ever be reclaimed regardless of what the stale count
+    * says; the count only decides how far BELOW the cutoff the expiry
+    * reaches, never above it. */
   def vacuumOlderThan(tableDir: String, cutoffMillis: Long,
                       minAgeMillis: Long = 3600L * 1000): (Int, Int) = {
     val dataDir = new Path(tableDir, "data")

@@ -255,6 +255,34 @@ class BloomIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(GraftScan.bloomPrunedFiles.get() - pruned0 >= 7)
   }
 
+  test("int→long widening keeps blooms live: old files still prune, values exact") {
+    import spark.implicits._
+    setupCatalog()
+    // canonical decimal-integer hashing is width-independent ("123" is
+    // "123" as int or long), so the bitsets written BEFORE the widening
+    // must keep disproving point lookups after it — the stale-widened
+    // exclusion applies only to re-canonicalizing widenings (int→double)
+    spark.sql(
+      """CREATE TABLE gbloom.t.widl (k INT, v STRING)
+        |TBLPROPERTIES ('index.bloom.columns' = 'k')""".stripMargin)
+    for (c <- 0 until 4)
+      (0 until 50).map(j => (c + 16 * j, s"row-$c-$j")).toDF("k", "v")
+        .coalesce(1).writeTo("gbloom.t.widl").append()
+    spark.sql("ALTER TABLE gbloom.t.widl ALTER COLUMN k TYPE BIGINT")
+    // post-widening writes keep indexing (property survives, hashes agree)
+    Seq((1000L, "late")).toDF("k", "v").coalesce(1).writeTo("gbloom.t.widl").append()
+    val pruned0 = GraftScan.bloomPrunedFiles.get()
+    assert(spark.sql("SELECT v FROM gbloom.t.widl WHERE k = 17").head()
+      .getString(0) == "row-1-1")
+    assert(GraftScan.bloomPrunedFiles.get() - pruned0 >= 3,
+      "pre-widening bitsets must still disprove after int->long")
+    val pruned1 = GraftScan.bloomPrunedFiles.get()
+    assert(spark.sql("SELECT v FROM gbloom.t.widl WHERE k = 1000").head()
+      .getString(0) == "late")
+    assert(GraftScan.bloomPrunedFiles.get() - pruned1 >= 4,
+      "post-widening bitset lookups must prune the four seed files")
+  }
+
   test("widened columns never disprove — bloom (int→double) or range (float→double)") {
     import spark.implicits._
     setupCatalog()
