@@ -656,6 +656,42 @@ object TableStats {
   /** Directory of per-epoch streaming commit markers (under the data dir). */
   val CommitsDir = "_commits"
 
+  /** Registry format-revision header: `#fmt\t<n>`, written by [[serialize]]
+    * (full registries, snapshot checkpoints, WAP stages) and by the delta
+    * writer ([[Snapshots.recordAt]]). Compatibility contract:
+    *  - entry fields are APPEND-ONLY and readers ignore unknown trailing
+    *    fields (see [[parseLine]]), so adding a field does NOT bump the
+    *    revision — an old reader of a new line just misses the new stat;
+    *  - unknown `#`-prefixed header lines are ignored, so adding a header
+    *    does not bump it either;
+    *  - the revision bumps ONLY for a change an old reader would
+    *    MISPARSE (reordered/retyped fields, changed encodings). Readers
+    *    seeing a newer revision fail with the named
+    *    [[UnsupportedRegistryFormat]] instead of silently planning from
+    *    misread stats.
+    * Registries written before this header carry no `#fmt` line and parse
+    * as revision 1 (deliberate: every pre-header format is revision 1). */
+  val FmtPrefix = "#fmt\t"
+  /** Highest registry format revision this binary can read (and the one
+    * it writes). */
+  val SupportedFormat = 1L
+  /** A registry/snapshot/WAP file declares a format revision newer than
+    * [[SupportedFormat]] — refuse loudly rather than misparse. */
+  final class UnsupportedRegistryFormat(val declared: Long)
+    extends IllegalStateException(
+      s"graft: registry format revision $declared is newer than this " +
+        s"binary supports ($SupportedFormat) — upgrade before reading " +
+        "this table")
+
+  /** Validate a header ('#...') line; unknown headers are ignored. */
+  private[sources] def checkHeader(line: String): Unit =
+    if (line.startsWith(FmtPrefix)) {
+      val digits = line.substring(FmtPrefix.length).trim
+      val v = if (digits.forall(_.isDigit) && digits.nonEmpty) digits.toLong
+        else Long.MaxValue // unparseable declaration = not a format we know
+      if (v > SupportedFormat) throw new UnsupportedRegistryFormat(v)
+    }
+
   /** Registry entry: exact row count, file size in bytes (-1 when unknown
     * — registries written before sizes were recorded), plus optional
     * per-column (min, max) ranges in external string form — enough for
@@ -767,7 +803,7 @@ object TableStats {
 
   def serialize(stats: Map[String, Entry]): String =
     stats.toSeq.sortBy(_._1).map { case (rel, e) => serializeLine(rel, e) }
-      .mkString("", "\n", "\n")
+      .mkString(s"$FmtPrefix$SupportedFormat\n", "\n", "\n")
 
   private def parseKv(spec: String): Map[String, Long] =
     if (spec == "-") Map.empty
@@ -833,8 +869,10 @@ object TableStats {
   /** Parse a FULL manifest body. Lines starting with '#' are headers
     * (see [[HeadPrefix]]) or future extensions — skipped. */
   def deserialize(text: String): Map[String, Entry] =
-    text.linesIterator.filter(l => l.nonEmpty && !l.startsWith("#"))
-      .map(parseLine).toMap
+    text.linesIterator.filter(_.nonEmpty).flatMap { l =>
+      if (l.startsWith("#")) { checkHeader(l); None }
+      else Some(parseLine(l))
+    }.toMap
 
   def read(fs: FileSystem, dataDir: Path): Map[String, Entry] =
     readIfExists(fs, dataDir).getOrElse(Map.empty)

@@ -131,6 +131,9 @@ object Snapshots {
         text.linesIterator.drop(1).filter(_.nonEmpty).foreach { line =>
           if (line.startsWith("-\t")) acc -= line.substring(2)
           else if (line.startsWith("+\t")) acc += TableStats.parseLine(line.substring(2))
+          // header lines: validate the format revision, ignore unknown
+          // headers (same forward-compat contract as full registries)
+          else if (line.startsWith("#")) TableStats.checkHeader(line)
           else throw new IllegalStateException(s"graft: bad delta line in v$v: $line")
         }
         (acc, bd + 1)
@@ -375,7 +378,11 @@ object Snapshots {
         val adds = stats.toSeq.sortBy(_._1)
           .filter { case (r, e) => !bm.get(r).contains(e) }
         if (removes.size + adds.size < stats.size)
-          ((Iterator(s"$DeltaPrefix$b") ++ removes.iterator.map("-\t" + _) ++
+          // the base pointer stays the FIRST line (deltaBase reads only
+          // head bytes); the format-revision header rides second
+          ((Iterator(s"$DeltaPrefix$b",
+              s"${TableStats.FmtPrefix}${TableStats.SupportedFormat}") ++
+            removes.iterator.map("-\t" + _) ++
             adds.iterator.map { case (r, e) => "+\t" + TableStats.serializeLine(r, e) })
             .mkString("", "\n", "\n"), bd + 1)
         else (TableStats.serialize(stats), 0)

@@ -318,4 +318,60 @@ class SnapshotSpec extends AnyFunSuite with BeforeAndAfterAll {
     val roundTrip = TableStats.deserialize(TableStats.serialize(m))
     assert(roundTrip == m)
   }
+
+  test("registry format revision: written, tolerated, and gated by name") {
+    import spark.implicits._
+    // current writers stamp every full registry with the revision header
+    val ser = TableStats.serialize(Map("a.parquet" -> TableStats.Entry(1)))
+    assert(ser.startsWith(s"${TableStats.FmtPrefix}${TableStats.SupportedFormat}\n"), ser)
+
+    // a same-or-older revision and unknown # headers parse cleanly —
+    // adding headers or trailing entry fields never bumps the revision
+    val tolerated = "#fmt\t1\n#some-future-header\tx\n" +
+      "f.parquet\t7\t-1\t\t0\t0\t-\t-\t-\t-\tfuture-field\n"
+    val m2 = TableStats.deserialize(tolerated)
+    assert(m2("f.parquet").rows == 7 && m2("f.parquet").sums.contains(Map.empty))
+
+    // a NEWER revision refuses loudly with the named error (old binaries
+    // must fail clean, not plan from misread stats); unparseable
+    // declarations are treated as unknown revisions
+    val e = intercept[TableStats.UnsupportedRegistryFormat] {
+      TableStats.deserialize("#fmt\t2\nf.parquet\t7\n")
+    }
+    assert(e.declared == 2L)
+    intercept[TableStats.UnsupportedRegistryFormat] {
+      TableStats.deserialize("#fmt\tgarbage\nf.parquet\t7\n")
+    }
+
+    // end-to-end: a live table written by THIS binary carries the header
+    // in its snapshot checkpoints, and a doctored newer-revision snapshot
+    // fails the same named way through the resolve path
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.snap")
+    spark.sql("CREATE TABLE graft.snap.fmtv (k BIGINT, v STRING)")
+    Seq((1L, "a")).toDF("k", "v").writeTo("graft.snap.fmtv").append()
+    val d = dataDir("fmtv")
+    val fs = fsOf(d)
+    val head = Snapshots.list(fs, d).last._1
+    val snapPath = new Path(Snapshots.snapDir(d), f"v$head%09d.tsv")
+    val text = {
+      val in = fs.open(snapPath)
+      try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+      finally in.close()
+    }
+    assert(text.linesIterator.contains(s"${TableStats.FmtPrefix}1"),
+      s"snapshot checkpoint missing the revision header: ${text.take(200)}")
+    val doctored = text.replace(s"${TableStats.FmtPrefix}1", s"${TableStats.FmtPrefix}99")
+    val out = fs.create(snapPath, true)
+    try out.write(doctored.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    val e2 = intercept[Exception] {
+      Snapshots.read(fs, d, head)
+    }
+    def findNamed(t: Throwable): Boolean = t match {
+      case null => false
+      case _: TableStats.UnsupportedRegistryFormat => true
+      case t => findNamed(t.getCause)
+    }
+    assert(findNamed(e2), s"expected UnsupportedRegistryFormat, got $e2")
+  }
 }
