@@ -595,6 +595,72 @@ object Engine2 {
         // the index records how far into the source it has indexed
         s.sql(s"INSERT INTO $ns.ann2_meta VALUES ($v1)")
         ()
+      })),
+
+    // ---- q155: incremental MV refresh across row MUTATIONS (cdc) ---------
+    // REFRESH MATERIALIZED VIEW over a range holding a copy-on-write
+    // DELETE plus appends must repair the MV INCREMENTALLY from the
+    // commit-recorded change feed (MaterializedViews.tryCdcIncremental):
+    // groups that lost rows are recomputed from the base pruned to
+    // exactly those group keys, insert-only groups fold in O(delta), and
+    // the refresh never re-aggregates the corpus. The oracle pins BOTH
+    // the values (the post-mutation aggregate replayed relationally) and
+    // the ROUTE — the first output column is the refresh's reported mode,
+    // compared against the literal 'incremental-cdc', so a silent
+    // degrade to full recompute fails the gate even though full would
+    // produce the same numbers. At 100 TB: a GDPR-delete touching a
+    // handful of groups repairs those groups instead of a corpus re-agg.
+    QueryDef(
+      "q155_mv_incremental_cdc",
+      (s, dir) => {
+        val ns = Engine.ensureCatalog(s, dir)
+        s.sql(s"DELETE FROM $ns.mvcdc WHERE doc_id % 7 = 3")
+        s.sql(
+          s"""INSERT INTO $ns.mvcdc
+             |SELECT CAST(doc_id AS STRING), doc_id, lang, source, n_chars
+             |FROM parquet.`$dir/documents.parquet`
+             |WHERE doc_id % 2 = 1 AND doc_id % 5 = 0""".stripMargin)
+        val mode = s.sql(s"REFRESH MATERIALIZED VIEW $ns.mvcdc_mv")
+          .collect().head.getString(1)
+        s.table(s"$ns.mvcdc_mv")
+          .select(lit(mode).as("mode"), col("lang"), col("source"),
+            col("cnt").cast("long").as("cnt"), col("sc").cast("long").as("sc"),
+            col("mn").cast("long").as("mn"), col("mx").cast("long").as("mx"))
+          .orderBy("lang", "source")
+      },
+      Some("""WITH after_m AS (
+          SELECT lang, source, n_chars FROM documents
+          WHERE doc_id % 2 = 0 AND doc_id % 7 <> 3
+          UNION ALL
+          SELECT lang, source, n_chars FROM documents
+          WHERE doc_id % 2 = 1 AND doc_id % 5 = 0)
+        SELECT 'incremental-cdc' AS mode, lang, source,
+               CAST(count(*) AS BIGINT) AS cnt,
+               CAST(sum(n_chars) AS BIGINT) AS sc,
+               CAST(min(n_chars) AS BIGINT) AS mn,
+               CAST(max(n_chars) AS BIGINT) AS mx
+        FROM after_m GROUP BY lang, source ORDER BY lang, source"""),
+      // fixture: keyed even-docs base + the MV build; the measured run
+      // keeps the DELETE + INSERT + REFRESH — the repair itself is the
+      // operator under test. Value-exact only on a fresh fixture (Verify
+      // composes setup;run); the bench's second run re-times the same
+      // repair plans against the mutated base.
+      setup = Some((s, dir) => {
+        val ns = Engine.ensureCatalog(s, dir)
+        s.sql(s"DROP MATERIALIZED VIEW IF EXISTS $ns.mvcdc_mv")
+        s.sql(s"DROP TABLE IF EXISTS $ns.mvcdc")
+        s.sql(
+          s"""CREATE TABLE $ns.mvcdc AS
+             |SELECT CAST(doc_id AS STRING) AS row_key, doc_id, lang, source,
+             |       n_chars
+             |FROM parquet.`$dir/documents.parquet` WHERE doc_id % 2 = 0"""
+            .stripMargin)
+        s.sql(
+          s"""CREATE MATERIALIZED VIEW $ns.mvcdc_mv AS
+             |SELECT lang, source, count(*) AS cnt, sum(n_chars) AS sc,
+             |       min(n_chars) AS mn, max(n_chars) AS mx
+             |FROM $ns.mvcdc GROUP BY lang, source""".stripMargin)
+        ()
       }))
   )
 }

@@ -186,6 +186,68 @@ object MaterializedViews {
   private[sources] def identOf(rel: DataSourceV2Relation): Option[Seq[String]] =
     for (cat <- rel.catalog; id <- rel.identifier)
       yield (cat.name() +: id.namespace().toSeq) :+ id.name()
+
+  /** What an incremental refresh can derive from the commits in
+    * `(since, until]` — the routing decision REFRESH makes before
+    * reading any data. */
+  private[sources] sealed trait RangeClass
+  /** Every live commit appended rows (or moved them without change —
+    * compaction): the O(delta) fold path applies. */
+  private[sources] case object RangeAppendOnly extends RangeClass
+  /** The range mutates rows, but every mutation carries FULL preimages —
+    * copy-on-write commits with recorded change files, partition-level
+    * replaces (removed files are still on disk) — so the change feed can
+    * name every affected group and the refresh recomputes exactly those
+    * groups. */
+  private[sources] case object RangeCdc extends RangeClass
+  /** Some commit's row delta is unknowable at the row-value level:
+    * merge-on-read deletes (key-only, no preimage values), RESTORE,
+    * unrecorded rewrites, or a snapshot already expired by vacuum —
+    * only a full recompute is sound. */
+  private[sources] case object RangeOpaque extends RangeClass
+
+  /** Classify `(since, until]` from commit metadata alone (kind markers
+    * + manifest diffs — O(#versions) side-file reads, no data I/O).
+    * Mirrors the version walk of [[Snapshots.changes]]: WAP/aborted side
+    * branches are skipped without advancing the baseline. */
+  private[sources] def classifyRange(
+      fs: org.apache.hadoop.fs.FileSystem, dataDir: Path,
+      since: Long, until: Long): RangeClass = {
+    def manifestAt(v: Long): Option[Map[String, TableStats.Entry]] =
+      if (v == 0) Some(Map.empty) else Snapshots.read(fs, dataDir, v)
+    var prev = manifestAt(Snapshots.liveBaseline(fs, dataDir, since))
+      .getOrElse(return RangeOpaque)
+    var cdc = false
+    var v = since + 1
+    while (v <= until) {
+      val kind = ChangeLog.kindOf(fs, dataDir, v)
+      if (!kind.contains(ChangeLog.Staged) && !kind.contains(ChangeLog.Aborted)) {
+        val cur = manifestAt(v).getOrElse(return RangeOpaque)
+        val removedData = (prev.keySet -- cur.keySet)
+          .filterNot(GraftDeletes.isDeleteRel)
+        val addedDeletes = (cur.keySet -- prev.keySet).exists(GraftDeletes.isDeleteRel)
+        kind match {
+          case Some(ChangeLog.Maintenance) => () // rows moved, not changed
+          case Some(ChangeLog.Restore) => return RangeOpaque
+          case Some(ChangeLog.Cow) =>
+            // a COW commit without recorded change files (unkeyed table,
+            // or recording disabled) has no replayable row delta
+            if (ChangeLog.changeFiles(fs, dataDir, v).isEmpty) return RangeOpaque
+            cdc = true
+          case Some(ChangeLog.Replace) =>
+            if (removedData.nonEmpty) cdc = true // full preimages on disk
+          case None =>
+            // merge-on-read delete keys carry NO preimage values; an
+            // unrecorded rewrite has no row delta at all — both opaque
+            if (removedData.nonEmpty || addedDeletes) return RangeOpaque
+          case _ => () // Staged/Aborted: unreachable (filtered above)
+        }
+        prev = cur
+      }
+      v += 1
+    }
+    if (cdc) RangeCdc else RangeAppendOnly
+  }
 }
 
 /** The injected optimizer rule (see [[MaterializedViews]] scaladoc). */
@@ -380,22 +442,40 @@ final case class GraftCreateMvCommand(parts: Seq[String], selectSql: String)
 
 /** `REFRESH MATERIALIZED VIEW mv` — INCREMENTAL when provably sound,
   * full recompute otherwise; the choice is automatic and invisible in
-  * the result (values are identical either way).
+  * the result (values are identical either way). The range
+  * `(recordedVersion, currentVersion]` is classified from commit
+  * metadata ([[MaterializedViews.classifyRange]]) into one of three
+  * tiers:
   *
-  * Incremental path: read ONLY the base rows appended in
-  * `(recordedVersion, currentVersion]` (the same verified incremental
-  * scan the change feed uses — [[Snapshots.readManifest]] THROWS if any
-  * commit in the range rewrote or removed files, which is exactly the
-  * fallback trigger), aggregate that delta to the MV's spec, and fold it
-  * in with one keyed MERGE: counts and sums add, MIN/MAX fold with
-  * least/greatest (monotone under inserts-only — guaranteed by the
-  * verified append-only range), new groups insert. At 100 TB this turns
-  * a nightly full re-aggregation into a scan of one day's files.
+  * APPEND-ONLY → fold path: read ONLY the appended rows (the same
+  * verified incremental scan the change feed uses —
+  * [[Snapshots.readManifest]] THROWS if any commit in the range rewrote
+  * or removed files, the defense behind the metadata routing), aggregate
+  * that delta to the MV's spec, and fold it in with one keyed MERGE:
+  * counts and sums add, MIN/MAX fold with least/greatest (monotone under
+  * inserts-only), new groups insert. At 100 TB this turns a nightly full
+  * re-aggregation into a scan of one day's files. Requires integral SUM
+  * columns — incremental double sums are bitwise order-dependent and
+  * would drift from a full recompute.
   *
-  * Soundness gates (any miss → full recompute, never wrong values):
-  *  - every commit in the range must be append-only (verified scan);
-  *  - SUM columns must be integral — incremental double sums are
-  *    bitwise order-dependent and would drift from a full recompute. */
+  * CDC (mutations with full preimages: copy-on-write DELETE/UPDATE/MERGE
+  * with recorded change files, partition-level replaces) → group-repair
+  * path ([[tryCdcIncremental]]): the change feed names every affected
+  * group; groups touched only by inserts still FOLD in O(delta), groups
+  * that lost rows are RECOMPUTED from the base pinned at
+  * `currentVersion`, pruned by a semi-join on exactly those group keys
+  * (broadcast + runtime-filterable into the scan), and groups whose
+  * rows all vanished are DELETED from the MV. One MERGE applies all
+  * three. Exact for every spec shape — min/max under deletion, sums
+  * that must return to NULL, double sums (recomputed, never folded) —
+  * because a repaired group's values come from a real aggregation over
+  * all of the group's rows, the same computation a full recompute runs.
+  * At 100 TB a GDPR-delete touching 100 groups repairs 100 groups
+  * instead of re-aggregating the corpus.
+  *
+  * OPAQUE (merge-on-read deletes — key-only, no preimage values;
+  * RESTORE; unrecorded rewrites; vacuumed snapshots) → full recompute,
+  * never wrong values. */
 final case class GraftRefreshMvCommand(parts: Seq[String])
     extends LeafRunnableCommand {
   import MaterializedViews._
@@ -429,16 +509,39 @@ final case class GraftRefreshMvCommand(parts: Seq[String])
     // half-applied (MERGE committed, stamp lost) — only a full recompute
     // is safe, and "noop" must not trust the stale stamp either
     val pending = mv.properties().get(PendingProp) != null
+    def classified: RangeClass = {
+      val dir = new Path(baseTable.dataDir)
+      classifyRange(dir.getFileSystem(new Configuration()), dir,
+        recorded.get, version)
+    }
     val mode =
       if (recorded.contains(version) && !pending) "noop"
-      else if (!pending && recorded.isDefined && spec.isDefined && integralSums &&
-          tryIncremental(session, cat, id, mvName, baseName, spec.get,
-            recorded.get, version)) "incremental"
       else {
-        maintaining {
-          session.sql(s"INSERT OVERWRITE TABLE $mvName $sql")
+        val incremental: Option[String] =
+          // a groups-only MV (no aggregate columns) has no foldable or
+          // repairable state — only DISTINCT semantics; recompute fully
+          if (pending || recorded.isEmpty || spec.isEmpty ||
+              !spec.get.cols.exists(_.kind != "group")) None
+          else classified match {
+            case RangeOpaque => None
+            case rc =>
+              if (rc == RangeAppendOnly && integralSums &&
+                  tryIncremental(session, cat, id, mvName, baseName, spec.get,
+                    recorded.get, version)) Some("incremental")
+              // global (group-less) MVs gain nothing from group repair —
+              // recomputing the one row IS the full recompute
+              else if (spec.get.groups.nonEmpty &&
+                  tryCdcIncremental(session, cat, id, mvName, baseName,
+                    baseTable, spec.get, mv.schema0, integralSums,
+                    recorded.get, version)) Some("incremental-cdc")
+              else None
+          }
+        incremental.getOrElse {
+          maintaining {
+            session.sql(s"INSERT OVERWRITE TABLE $mvName $sql")
+          }
+          "full"
         }
-        "full"
       }
     if (mode != "noop")
       cat.alterTable(id,
@@ -524,6 +627,163 @@ final case class GraftRefreshMvCommand(parts: Seq[String])
       true
     } finally {
       session.catalog.dropTempView(view)
+      delta.unpersist()
+    }
+  }
+
+  /** Group-repair incremental refresh over a range with row MUTATIONS
+    * (see the class scaladoc's CDC tier). The change feed supplies full
+    * pre/post images (guaranteed by [[MaterializedViews.classifyRange]]
+    * — merge-on-read's key-only deletes never reach here); one pass
+    * over it yields a per-group signed delta, and a single MERGE then
+    *  - FOLDS groups touched only by inserts (O(delta), no base I/O) —
+    *    integral sums only, exactly like the append fold;
+    *  - RECOMPUTES groups that lost rows (and every affected group when
+    *    sums are non-integral) from the base pinned at `until`, pruned
+    *    by a semi-join on those group keys — the scan sees a
+    *    broadcastable key set, so min/max ranges, partitions and blooms
+    *    prune it to the files holding affected groups;
+    *  - DELETES groups whose rows all vanished.
+    * False = not derivable after all (racing vacuum/RESTORE, renamed
+    * columns, delete-key cap) → caller recomputes fully. */
+  private def tryCdcIncremental(session: SparkSession, cat: GraftCatalog,
+      id: org.apache.spark.sql.connector.catalog.Identifier, mvName: String,
+      baseName: String, baseTable: GraftTable, spec: Spec,
+      mvSchema: org.apache.spark.sql.types.StructType, integralSums: Boolean,
+      since: Long, until: Long): Boolean = {
+    import org.apache.spark.sql.functions._
+    // reserved working names must not collide with MV output columns
+    if (spec.cols.exists(_.out.startsWith("__"))) return false
+    val groups = spec.groups
+    val aggs = spec.cols.filter(_.kind != "group")
+    if (aggs.exists(c => !mvSchema.fieldNames.contains(c.out))) return false
+    def mvType(out: String): String =
+      mvSchema.fields.find(_.name == out).get.dataType.sql
+
+    var delta: org.apache.spark.sql.DataFrame = null
+    try {
+      val cf = Snapshots.changes(session, baseTable, since, Some(until))
+      // +1 for rows entering the table, -1 for rows leaving it; an
+      // update that moves a row between groups decrements the old group
+      // and increments the new one through the same arithmetic
+      val w = when(col(ChangeLog.TypeCol).isin("insert", "update_postimage"),
+        lit(1L)).otherwise(lit(-1L))
+      val aggCols = aggs.map { c =>
+        c.kind match {
+          case "count" => sum(w).cast(mvType(c.out)).as(c.out)
+          // null src values contribute no weight — SUM ignores nulls
+          case "sum" => sum(when(col(c.src).isNotNull, w * col(c.src)))
+            .cast(mvType(c.out)).as(c.out)
+          // min/max deltas are only consulted by the FOLD tier, where
+          // every row is an insert — removed rows are masked out
+          case "min" => min(when(w > 0, col(c.src))).cast(mvType(c.out)).as(c.out)
+          case "max" => max(when(w > 0, col(c.src))).cast(mvType(c.out)).as(c.out)
+        }
+      } :+ sum(when(w < 0, lit(1L)).otherwise(lit(0L))).as("__neg")
+      delta = cf.groupBy(groups.map(g => col(g.src).as(g.out)): _*)
+        .agg(aggCols.head, aggCols.tail: _*)
+      // persist THEN count: the feed's version walk already ran eagerly
+      // (refusals surfaced at the changes() call above); this forces the
+      // one read of every change file and keeps the grouped delta on the
+      // executors for the MERGE — nothing group-count-sized on the driver
+      delta.persist()
+      delta.count()
+    } catch {
+      case e: Throwable =>
+        if (delta != null) delta.unpersist()
+        val msgs = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+          .map(t => String.valueOf(t.getMessage)).toSeq
+        val degradable = Seq("renamed-column table", "silently ambiguous",
+          "would materialize", "recorded no change data", "crosses a RESTORE",
+          "per-row delta was not recorded", "no snapshot v")
+        if (msgs.exists(m => degradable.exists(m.contains))) return false
+        throw e
+    }
+    val deltaView = "graft_mv_cdelta_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    delta.createOrReplaceTempView(deltaView)
+    try {
+      // integral sums fold exactly; anything else routes EVERY affected
+      // group through recompute (a repaired double sum is a real
+      // aggregation over the group's rows — same as a full recompute)
+      val foldable = integralSums
+      val nMutated =
+        (if (foldable) delta.filter(col("__neg") > 0) else delta).count()
+      val gOuts = groups.map(g => s"`${g.out}`")
+      val aggOuts = aggs.map(c => s"`${c.out}`")
+      val foldSelect =
+        s"""SELECT ${(gOuts ++ aggOuts).mkString(", ")},
+           |       true AS __present, 'fold' AS __mode
+           |FROM $deltaView WHERE __neg = 0""".stripMargin
+      val srcSql =
+        if (nMutated == 0) foldSelect
+        else {
+          val mutWhere = if (foldable) "WHERE __neg > 0" else ""
+          val semiOn = groups.map(g => s"m.`${g.out}` <=> b.`${g.src}`")
+            .mkString(" AND ")
+          val reAggs = aggs.map { c =>
+            val expr = c.kind match {
+              case "count" => "count(*)"
+              case k => s"$k(b.`${c.src}`)"
+            }
+            s"CAST($expr AS ${mvType(c.out)}) AS `${c.out}`"
+          }
+          val reGroups = groups.map(g => s"b.`${g.src}` AS `${g.out}`")
+          val joinOn = groups.map(g => s"m.`${g.out}` <=> r.`${g.out}`")
+            .mkString(" AND ")
+          val recompSelect =
+            s"""SELECT ${gOuts.map("m." + _).mkString(", ")},
+               |       ${aggOuts.map("r." + _).mkString(", ")},
+               |       r.__present, 'set' AS __mode
+               |FROM mutated m LEFT JOIN recomputed r ON $joinOn""".stripMargin
+          s"""WITH mutated AS (SELECT ${gOuts.mkString(", ")}
+             |                 FROM $deltaView $mutWhere),
+             |recomputed AS (
+             |  SELECT ${(reGroups ++ reAggs).mkString(", ")}, true AS __present
+             |  FROM (SELECT * FROM $baseName VERSION AS OF $until) b
+             |  LEFT SEMI JOIN mutated m ON $semiOn
+             |  GROUP BY ${groups.map(g => s"b.`${g.src}`").mkString(", ")}
+             |)
+             |${if (foldable) foldSelect + "\nUNION ALL\n" else ""}$recompSelect"""
+            .stripMargin
+        }
+      val srcView = "graft_mv_csrc_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      session.sql(srcSql).createOrReplaceTempView(srcView)
+      // marker bracket: a crash between the MERGE and the caller's
+      // version stamp must force a full recompute, never a double fold
+      cat.alterTable(id,
+        TableChange.setProperty(MaterializedViews.PendingProp, s"$since:$until"))
+      try maintaining {
+        val on = groups.map(g => s"t.`${g.out}` <=> s.`${g.out}`").mkString(" AND ")
+        val sets = aggs.map { c =>
+          val t = s"t.`${c.out}`"; val sc = s"s.`${c.out}`"
+          c.kind match {
+            case "count" =>
+              s"$t = CASE WHEN s.__mode = 'fold' THEN $t + $sc ELSE $sc END"
+            case "sum" =>
+              s"$t = CASE WHEN s.__mode = 'fold' THEN " +
+                s"(CASE WHEN $t IS NULL AND $sc IS NULL THEN NULL " +
+                s"ELSE coalesce($t, 0) + coalesce($sc, 0) END) ELSE $sc END"
+            case "min" =>
+              s"$t = CASE WHEN s.__mode = 'fold' THEN least($t, $sc) ELSE $sc END"
+            case "max" =>
+              s"$t = CASE WHEN s.__mode = 'fold' THEN greatest($t, $sc) ELSE $sc END"
+          }
+        }.mkString(", ")
+        val cols = spec.cols.map(c => s"`${c.out}`").mkString(", ")
+        val vals = spec.cols.map(c => s"s.`${c.out}`").mkString(", ")
+        session.sql(
+          s"""MERGE INTO $mvName t USING $srcView s ON $on
+             |WHEN MATCHED AND s.__mode = 'set' AND NOT coalesce(s.__present, false)
+             |  THEN DELETE
+             |WHEN MATCHED THEN UPDATE SET $sets
+             |WHEN NOT MATCHED AND (s.__mode = 'fold' OR coalesce(s.__present, false))
+             |  THEN INSERT ($cols) VALUES ($vals)""".stripMargin)
+        true
+      } finally session.catalog.dropTempView(srcView)
+    } finally {
+      session.catalog.dropTempView(deltaView)
       delta.unpersist()
     }
   }

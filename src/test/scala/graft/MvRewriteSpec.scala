@@ -133,7 +133,11 @@ class MvRewriteSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r2.head.getString(1) === "noop")
   }
 
-  test("a COW mutation in the range forces a FULL refresh (still exact)") {
+  test("a COW mutation without recorded change data forces a FULL refresh") {
+    // base_ev has no row_key column, so the COW DELETE records no change
+    // files — its row delta is unknowable and the range is OPAQUE (keyed
+    // tables instead take the incremental-cdc group-repair path; see the
+    // cdc tests below)
     spark.sql("DELETE FROM mvc.m.base_ev WHERE v = 10")
     val r = spark.sql("REFRESH MATERIALIZED VIEW mvc.m.dailies").collect()
     assert(r.head.getString(1) === "full", r.mkString(","))
@@ -143,7 +147,7 @@ class MvRewriteSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows(q.orderBy("day")) === Seq(Seq("d1", 3L, 6L), Seq("d2", 3L, 15L)))
   }
 
-  test("double-typed SUM columns refuse the incremental path AND the rewrite") {
+  test("double-typed SUM columns refuse the FOLD path AND the rewrite") {
     spark.sql("DROP TABLE IF EXISTS mvc.m.dsum")
     spark.sql(
       """CREATE MATERIALIZED VIEW mvc.m.dsum AS
@@ -155,9 +159,14 @@ class MvRewriteSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!q.queryExecution.optimizedPlan.toString.contains("dsum"),
       q.queryExecution.optimizedPlan.toString)
     spark.sql("INSERT INTO mvc.m.base_ev VALUES ('d4', 'view', 11, 2.5)")
+    // a double sum must never FOLD (order-dependent) — but the refresh
+    // still repairs incrementally by RECOMPUTING each affected group
+    // from the base, the same aggregation a full recompute would run
     val r = spark.sql("REFRESH MATERIALIZED VIEW mvc.m.dsum").collect()
-    assert(r.head.getString(1) === "full",
-      "incremental double sums are order-dependent — must recompute")
+    assert(r.head.getString(1) === "incremental-cdc", r.mkString(","))
+    assert(rows(spark.sql("SELECT day, sd FROM mvc.m.dsum ORDER BY day")) ===
+      rows(spark.sql(
+        "SELECT day, sum(d) AS sd FROM mvc.m.base_ev GROUP BY day ORDER BY day")))
     spark.sql("DROP MATERIALIZED VIEW mvc.m.dsum")
     spark.sql("DELETE FROM mvc.m.base_ev WHERE day = 'd4'")
     spark.sql("REFRESH MATERIALIZED VIEW mvc.m.dailies")
@@ -252,6 +261,116 @@ class MvRewriteSpec extends AnyFunSuite with BeforeAndAfterAll {
       r.mkString(","))
     assert(rows(spark.sql("SELECT cnt, sv FROM mvc.o.mv WHERE day = 'd2'"))
       === Seq(Seq(1L, 5L)))
+  }
+
+  // ------------- incremental refresh across MUTATING commits (cdc) -------
+
+  private def fullAgg(table: String): Seq[Seq[Any]] = rows(spark.sql(
+    s"""SELECT day, etype, count(*) AS cnt, sum(v) AS sv, min(v) AS mnv,
+       |       max(v) AS mxv
+       |FROM $table GROUP BY day, etype ORDER BY day, etype""".stripMargin))
+
+  private def mvRows: Seq[Seq[Any]] = rows(spark.sql(
+    "SELECT day, etype, cnt, sv, mnv, mxv FROM mvc.c.kmv ORDER BY day, etype"))
+
+  test("cdc: COW deletes + appends repair groups incrementally") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS mvc.c")
+    spark.sql(
+      "CREATE TABLE mvc.c.kb (row_key STRING, day STRING, etype STRING, v BIGINT)")
+    spark.sql("""INSERT INTO mvc.c.kb VALUES
+      ('k1','d1','click',1), ('k2','d1','click',2), ('k3','d1','view',3),
+      ('k4','d2','click',4), ('k5','d2','view',5), ('k6','d2','view',6)""")
+    spark.sql(
+      """CREATE MATERIALIZED VIEW mvc.c.kmv AS
+        |SELECT day, etype, count(*) AS cnt, sum(v) AS sv, min(v) AS mnv,
+        |       max(v) AS mxv
+        |FROM mvc.c.kb GROUP BY day, etype""".stripMargin)
+    // the range mixes every repair shape: a whole-group COW delete
+    // ((d1,view) must LEAVE the MV), a delete of a group's max row
+    // ((d2,view) max must fall 6 -> 5 — the case a fold can never
+    // derive), and an append into an existing group ((d1,click) folds)
+    spark.sql("DELETE FROM mvc.c.kb WHERE row_key = 'k3'")
+    spark.sql("DELETE FROM mvc.c.kb WHERE row_key = 'k6'")
+    spark.sql("INSERT INTO mvc.c.kb VALUES ('k8','d1','click',10)")
+    val r = spark.sql("REFRESH MATERIALIZED VIEW mvc.c.kmv").collect()
+    assert(r.head.getString(1) === "incremental-cdc", r.mkString(","))
+    assert(mvRows === fullAgg("mvc.c.kb"))
+    assert(!mvRows.exists(r => r(0) == "d1" && r(1) == "view"),
+      s"vanished group must be DELETEd from the MV: $mvRows")
+    assert(mvRows.find(r => r(0) == "d2" && r(1) == "view").get ===
+      Seq("d2", "view", 1L, 5L, 5L, 5L))
+    assert(mvRows.find(r => r(0) == "d1" && r(1) == "click").get ===
+      Seq("d1", "click", 3L, 13L, 1L, 10L))
+    // fresh again: the rewrite serves from the repaired MV
+    val q = spark.sql(
+      "SELECT day, count(*) AS cnt FROM mvc.c.kb GROUP BY day")
+    assert(q.queryExecution.optimizedPlan.toString.contains("kmv"),
+      q.queryExecution.optimizedPlan.toString)
+  }
+
+  test("cdc: an UPDATE moving a row between groups repairs both sides") {
+    // preimage decrements (d2,view) — its last row, so the group
+    // vanishes; postimage lands in brand-new (d9,view), an insert-only
+    // group the fold tier creates
+    spark.sql("UPDATE mvc.c.kb SET day = 'd9' WHERE row_key = 'k5'")
+    val r = spark.sql("REFRESH MATERIALIZED VIEW mvc.c.kmv").collect()
+    assert(r.head.getString(1) === "incremental-cdc", r.mkString(","))
+    assert(mvRows === fullAgg("mvc.c.kb"))
+    assert(!mvRows.exists(r => r(0) == "d2" && r(1) == "view"))
+    assert(mvRows.find(r => r(0) == "d9").get === Seq("d9", "view", 1L, 5L, 5L, 5L))
+  }
+
+  test("cdc: a sum returns to NULL when its last non-null value leaves") {
+    // the pure signed fold CANNOT derive this (t.sv - 7 = 0, not NULL) —
+    // the group lost a row, so it recomputes and lands on SUM = NULL
+    spark.sql("""INSERT INTO mvc.c.kb VALUES
+      ('k10','dn','view',7), ('k11','dn','view',NULL)""")
+    spark.sql("REFRESH MATERIALIZED VIEW mvc.c.kmv")
+    spark.sql("DELETE FROM mvc.c.kb WHERE row_key = 'k10'")
+    val r = spark.sql("REFRESH MATERIALIZED VIEW mvc.c.kmv").collect()
+    assert(r.head.getString(1) === "incremental-cdc", r.mkString(","))
+    assert(mvRows === fullAgg("mvc.c.kb"))
+    assert(mvRows.find(r => r(0) == "dn").get === Seq("dn", "view", 1L, null, null, null))
+  }
+
+  test("cdc: INSERT OVERWRITE (replace, unkeyed) repairs from file preimages") {
+    // replace commits read removed files straight off disk for their
+    // preimages — no row_key needed, so even unkeyed tables refresh
+    // incrementally across an overwrite
+    spark.sql("CREATE TABLE mvc.c.ub (day STRING, etype STRING, v BIGINT)")
+    spark.sql("""INSERT INTO mvc.c.ub VALUES
+      ('d1','click',1), ('d1','view',2), ('d2','click',3)""")
+    spark.sql(
+      """CREATE MATERIALIZED VIEW mvc.c.umv AS
+        |SELECT day, count(*) AS cnt, sum(v) AS sv
+        |FROM mvc.c.ub GROUP BY day""".stripMargin)
+    spark.sql("""INSERT OVERWRITE TABLE mvc.c.ub VALUES
+      ('d1','click',9), ('d3','view',4)""")
+    val r = spark.sql("REFRESH MATERIALIZED VIEW mvc.c.umv").collect()
+    assert(r.head.getString(1) === "incremental-cdc", r.mkString(","))
+    assert(rows(spark.sql("SELECT day, cnt, sv FROM mvc.c.umv ORDER BY day")) ===
+      Seq(Seq("d1", 1L, 9L), Seq("d3", 1L, 4L)))
+  }
+
+  test("cdc: merge-on-read deletes stay OPAQUE and refresh fully") {
+    spark.sql(
+      s"""CREATE TABLE mvc.c.mb (row_key STRING, day STRING, etype STRING,
+         |  v BIGINT)
+         |TBLPROPERTIES ('${graft.sources.GraftDeletes.ModeProp}' = 'merge-on-read')"""
+        .stripMargin)
+    spark.sql("""INSERT INTO mvc.c.mb VALUES
+      ('m1','d1','click',1), ('m2','d1','click',2), ('m3','d2','view',3)""")
+    spark.sql(
+      """CREATE MATERIALIZED VIEW mvc.c.mmv AS
+        |SELECT day, count(*) AS cnt, sum(v) AS sv
+        |FROM mvc.c.mb GROUP BY day""".stripMargin)
+    // a MOR delete records only equality KEYS — no preimage values, so
+    // the refresh cannot attribute the loss to a group and must recompute
+    spark.sql("DELETE FROM mvc.c.mb WHERE row_key = 'm2'")
+    val r = spark.sql("REFRESH MATERIALIZED VIEW mvc.c.mmv").collect()
+    assert(r.head.getString(1) === "full", r.mkString(","))
+    assert(rows(spark.sql("SELECT day, cnt, sv FROM mvc.c.mmv ORDER BY day")) ===
+      Seq(Seq("d1", 1L, 1L), Seq("d2", 1L, 3L)))
   }
 
   test("DROP MATERIALIZED VIEW deregisters; plain tables are refused") {

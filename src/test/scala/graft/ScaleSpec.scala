@@ -333,6 +333,69 @@ class ScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.sql("DROP TABLE graft.mf.bl")
   }
 
+  test("planning WALL TIME at 1000 bloom files + max-depth delta chains") {
+    import graft.sources.{GraftScan, Snapshots, TableStats}
+    // the round-7 official bench showed 4-5 s registry-path queries that
+    // no clean run reproduces; this pins the planning path itself so a
+    // real parse/decode regression (10-field registry lines, per-file
+    // base64 blooms, delta-chain resolution) can never hide behind box
+    // variance again. Counters bound the WORK exactly; the wall bounds
+    // are deliberately loose (≥10x typical) so they only trip on the
+    // pathological multi-second-per-plan shape, not CI noise.
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.mf")
+    spark.sql("""CREATE TABLE graft.mf.blw (id BIGINT, v DOUBLE)
+                |TBLPROPERTIES ('index.bloom.columns' = 'id')""".stripMargin)
+    // 25 commits x 40 id-interleaved tasks -> 1000 DOMAIN-SPANNING files
+    // (range disproof can never skip; only blooms prune) and a version
+    // chain deep enough to cross the MaxChainDepth=16 reset, so head
+    // resolution walks a real delta chain
+    for (i <- 0 until 25)
+      spark.range(0L, 50000L).filter(s"id % 25 = $i")
+        .selectExpr("id", "CAST(id % 97 AS DOUBLE) AS v")
+        .repartition(40)
+        .writeTo("graft.mf.blw").append()
+    val dataDir = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.catalog.graft.warehouse") + "/mf/blw/data")
+    val fs = dataDir.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val live = TableStats.read(fs, dataDir)
+    assert(live.size >= 990, s"expected ~1000 live files, got ${live.size}")
+    assert(Snapshots.list(fs, dataDir).size >= 25)
+
+    // one warm-up exercises JIT + page cache; the measured lookups are
+    // then dominated by driver planning (registry parse + 1000 bloom
+    // disproofs) because execution reads ~1 file
+    spark.sql("SELECT v FROM graft.mf.blw WHERE id = 777").collect()
+    val (f0, r0, b0) = (GraftScan.footerReads.get(),
+      TableStats.registryReads.get(), GraftScan.bloomPrunedFiles.get())
+    val t0 = System.nanoTime()
+    val r = spark.sql("SELECT v FROM graft.mf.blw WHERE id = 31337").collect()
+    val pointMs = (System.nanoTime() - t0) / 1e6
+    assert(r.map(_.getDouble(0)).toSeq == Seq((31337L % 97).toDouble))
+    assert(GraftScan.footerReads.get() == f0, "planning opened parquet footers")
+    assert(TableStats.registryReads.get() - r0 <= 2,
+      s"point lookup read the registry ${TableStats.registryReads.get() - r0} times")
+    assert(GraftScan.bloomPrunedFiles.get() - b0 >= 950,
+      s"expected ~1000 files bloom-pruned, got ${GraftScan.bloomPrunedFiles.get() - b0}")
+    assert(pointMs < 5000,
+      f"point lookup over 1000 bloom files took $pointMs%.0f ms — planning regression")
+
+    // max-width IN-list (the 4096-value runtime-filter cap, here arriving
+    // as a static InSet): each file's bloom payload must be decoded ONCE
+    // for the whole list, keeping driver work O(files x probes) hash math,
+    // not O(files x values) base64 decodes
+    val present = Seq(31337L, 11L, 222L, 3333L, 44444L)
+    val probes = (present ++ (0 until 4091).map(i => 1000000L + i * 7L))
+      .mkString(", ")
+    val t1 = System.nanoTime()
+    val rIn = spark.sql(
+      s"SELECT sum(v) FROM graft.mf.blw WHERE id IN ($probes)").head()
+    val inMs = (System.nanoTime() - t1) / 1e6
+    assert(rIn.getDouble(0) == present.map(_ % 97).sum.toDouble, rIn.toString)
+    assert(inMs < 10000,
+      f"4096-key IN over 1000 bloom files took $inMs%.0f ms — planning regression")
+    spark.sql("DROP TABLE graft.mf.blw")
+  }
+
   test("commit metadata cost is O(files touched), not O(live files)") {
     import graft.sources.{Snapshots, TableStats}
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.mf")
