@@ -48,9 +48,10 @@ object Bench {
     * (sum of queries + sum of setup) for comparability with rounds 1-7,
     * which charged setup inside the query time. */
   def renderLine(timings: Seq[(String, Double)], setups: Seq[(String, Double)],
-                 failures: Seq[(String, String)], sf: String, decimals: Int): String = {
+                 failures: Seq[(String, String)], sf: String, decimals: Int,
+                 droppedSetupTotal: Double = 0.0): String = {
     val qs = timings.map { case (k, v) => jstr(k) + ":" + fmt(v, decimals) }.mkString("{", ",", "}")
-    val total = timings.map(_._2).sum + setups.map(_._2).sum
+    val total = timings.map(_._2).sum + setups.map(_._2).sum + droppedSetupTotal
     val setupJson =
       if (setups.isEmpty) ""
       else ",\"setup\":" + setups.map { case (k, v) => jstr(k) + ":" + fmt(v, decimals) }.mkString("{", ",", "}")
@@ -89,15 +90,19 @@ object Bench {
     val errOnly = shortF.map { case (k, _) => k -> "err" }
     // degrade order: keep the highest decimal precision that fits — at each
     // precision, first try the full line, then drop the setup map (its
-    // full-precision copy always survives in BENCH_LAST.json), then shrink
-    // failure texts to "err" (names always survive). Per-query RESOLUTION
-    // outranks the stdout setup map: a line of integer seconds would zero
-    // out ~100 sub-second queries in the graded artifact.
+    // full-precision copy always survives in BENCH_LAST.json; its SUM stays
+    // in the headline value either way — rounds 1-7 charged setup inside
+    // query time, so the total must remain all-inclusive to compare), then
+    // shrink failure texts to "err" (names always survive). Per-query
+    // RESOLUTION outranks the stdout setup map: a line of integer seconds
+    // would zero out ~100 sub-second queries in the graded artifact.
+    val setupSum = shortS.map(_._2).sum
     val candidates = for {
       d <- (3 to 0 by -1).iterator
       st <- Iterator(shortS, Seq.empty[(String, Double)])
       f <- Iterator(shortF, errOnly)
-    } yield renderLine(short, st, f, sf, d)
+    } yield renderLine(short, st, f, sf, d,
+      droppedSetupTotal = if (st.isEmpty) setupSum else 0.0)
     candidates.find(fits).getOrElse {
       def bare(f: Seq[(String, String)]): String = {
         val failJson =

@@ -39,6 +39,23 @@ class ContractSpec extends AnyFunSuite {
     assert(line.startsWith("""{"metric":"total""""))
   }
 
+  test("headline value stays all-inclusive when the setup map is dropped") {
+    // rounds 1-7 charged fixture cost inside query time; the setup split
+    // must not shrink the comparable headline. When the stdout line drops
+    // the setup MAP to fit the tail window, the setup SUM must remain in
+    // `value`.
+    def value(line: String): Double =
+      """"value":([0-9.]+)""".r.findFirstMatchIn(line).get.group(1).toDouble
+    val qs = (1 to 200).map(i => s"q$i" -> 1.0)
+    val st = (1 to 20).map(i => s"q$i" -> 2.0)
+    val line = Bench.renderShortLine(qs, st, Nil, "sf0.1")
+    assert(!line.contains("\"setup\""), "200 queries should force the drop")
+    assert(math.abs(value(line) - 240.0) < 1.5, line.take(120))
+    // and when the map FITS, the value is identical
+    val small = Bench.renderLine(qs.take(3), st.take(2), Nil, "sf0.1", 3)
+    assert(math.abs(value(small) - 7.0) < 0.01, small)
+  }
+
   test("bench line budget survives query failures (round-5 regression)") {
     // round 5: 7 failures × ~300-char messages overflowed the tail window
     // and the artifact recorded parsed:null. The stdout line must absorb
