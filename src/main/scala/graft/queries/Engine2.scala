@@ -661,6 +661,73 @@ object Engine2 {
              |       min(n_chars) AS mn, max(n_chars) AS mx
              |FROM $ns.mvcdc GROUP BY lang, source""".stripMargin)
         ()
+      })),
+
+    // ---- q156: incremental MV refresh across MERGE-ON-READ deletes -------
+    // Same gate shape as q155, but the base table mutates in
+    // merge-on-read mode: DELETE/UPDATE commit only equality KEYS plus
+    // replacement rows — no preimage values are ever written. The
+    // refresh still reports 'incremental-cdc' because the HYDRATED
+    // change feed (Snapshots.changes hydrateMor) recovers each deleted
+    // row's full preimage from ONE key-pruned read of the prior
+    // snapshot (≤4096 keys push an IN filter into the scan — registry
+    // ranges and blooms prune it to the files holding those keys), and
+    // the MV repairs exactly the touched groups. At 100 TB this is the
+    // GDPR path for MOR tables: the delete itself is O(keys) metadata,
+    // and the nightly MV repair O(affected groups) — the corpus is
+    // never re-aggregated. The oracle replays delete+update+append
+    // relationally AND pins the route (mode column vs the literal).
+    QueryDef(
+      "q156_mv_incremental_mor",
+      (s, dir) => {
+        val ns = Engine.ensureCatalog(s, dir)
+        s.sql(s"DELETE FROM $ns.mvmor WHERE doc_id % 7 = 2")
+        s.sql(s"UPDATE $ns.mvmor SET n_chars = n_chars + 11 WHERE doc_id % 7 = 5")
+        s.sql(
+          s"""INSERT INTO $ns.mvmor
+             |SELECT CAST(doc_id AS STRING), doc_id, lang, source, n_chars
+             |FROM parquet.`$dir/documents.parquet`
+             |WHERE doc_id % 2 = 1 AND doc_id % 3 = 0""".stripMargin)
+        val mode = s.sql(s"REFRESH MATERIALIZED VIEW $ns.mvmor_mv")
+          .collect().head.getString(1)
+        s.table(s"$ns.mvmor_mv")
+          .select(lit(mode).as("mode"), col("lang"), col("source"),
+            col("cnt").cast("long").as("cnt"), col("sc").cast("long").as("sc"),
+            col("mn").cast("long").as("mn"), col("mx").cast("long").as("mx"))
+          .orderBy("lang", "source")
+      },
+      Some("""WITH after_m AS (
+          SELECT lang, source,
+                 CASE WHEN doc_id % 7 = 5 THEN n_chars + 11 ELSE n_chars END
+                   AS n_chars
+          FROM documents WHERE doc_id % 2 = 0 AND doc_id % 7 <> 2
+          UNION ALL
+          SELECT lang, source, n_chars FROM documents
+          WHERE doc_id % 2 = 1 AND doc_id % 3 = 0)
+        SELECT 'incremental-cdc' AS mode, lang, source,
+               CAST(count(*) AS BIGINT) AS cnt,
+               CAST(sum(n_chars) AS BIGINT) AS sc,
+               CAST(min(n_chars) AS BIGINT) AS mn,
+               CAST(max(n_chars) AS BIGINT) AS mx
+        FROM after_m GROUP BY lang, source ORDER BY lang, source"""),
+      setup = Some((s, dir) => {
+        val ns = Engine.ensureCatalog(s, dir)
+        s.sql(s"DROP MATERIALIZED VIEW IF EXISTS $ns.mvmor_mv")
+        s.sql(s"DROP TABLE IF EXISTS $ns.mvmor")
+        s.sql(
+          s"""CREATE TABLE $ns.mvmor
+             |TBLPROPERTIES ('${graft.sources.GraftDeletes.ModeProp}' =
+             |  'merge-on-read')
+             |AS SELECT CAST(doc_id AS STRING) AS row_key, doc_id, lang,
+             |          source, n_chars
+             |FROM parquet.`$dir/documents.parquet` WHERE doc_id % 2 = 0"""
+            .stripMargin)
+        s.sql(
+          s"""CREATE MATERIALIZED VIEW $ns.mvmor_mv AS
+             |SELECT lang, source, count(*) AS cnt, sum(n_chars) AS sc,
+             |       min(n_chars) AS mn, max(n_chars) AS mx
+             |FROM $ns.mvmor GROUP BY lang, source""".stripMargin)
+        ()
       }))
   )
 }

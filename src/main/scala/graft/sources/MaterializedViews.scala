@@ -201,9 +201,10 @@ object MaterializedViews {
     * groups. */
   private[sources] case object RangeCdc extends RangeClass
   /** Some commit's row delta is unknowable at the row-value level:
-    * merge-on-read deletes (key-only, no preimage values), RESTORE,
-    * unrecorded rewrites, or a snapshot already expired by vacuum —
-    * only a full recompute is sound. */
+    * RESTORE, unrecorded rewrites, or a snapshot already expired by
+    * vacuum — only a full recompute is sound. (Merge-on-read deletes
+    * are NOT opaque: their preimages are recovered from the prior
+    * snapshot by the hydrated change feed — [[RangeCdc]].) */
   private[sources] case object RangeOpaque extends RangeClass
 
   /** Classify `(since, until]` from commit metadata alone (kind markers
@@ -237,9 +238,13 @@ object MaterializedViews {
           case Some(ChangeLog.Replace) =>
             if (removedData.nonEmpty) cdc = true // full preimages on disk
           case None =>
-            // merge-on-read delete keys carry NO preimage values; an
-            // unrecorded rewrite has no row delta at all — both opaque
-            if (removedData.nonEmpty || addedDeletes) return RangeOpaque
+            // an unrecorded rewrite has no row delta at all — opaque; a
+            // merge-on-read delete records only KEYS, but the prior
+            // snapshot still holds every deleted row — the HYDRATED
+            // change feed recovers full preimages from one key-pruned
+            // read of it, so the range stays derivable
+            if (removedData.nonEmpty) return RangeOpaque
+            if (addedDeletes) cdc = true
           case _ => () // Staged/Aborted: unreachable (filtered above)
         }
         prev = cur
@@ -473,9 +478,13 @@ final case class GraftCreateMvCommand(parts: Seq[String], selectSql: String)
   * At 100 TB a GDPR-delete touching 100 groups repairs 100 groups
   * instead of re-aggregating the corpus.
   *
-  * OPAQUE (merge-on-read deletes — key-only, no preimage values;
-  * RESTORE; unrecorded rewrites; vacuumed snapshots) → full recompute,
-  * never wrong values. */
+  * Merge-on-read deletes record only KEYS, yet still route through the
+  * cdc tier: the hydrated change feed recovers each deleted row's full
+  * preimage from one key-pruned read of the prior snapshot
+  * ([[Snapshots.changes]] `hydrateMor`).
+  *
+  * OPAQUE (RESTORE; unrecorded rewrites; vacuumed snapshots) → full
+  * recompute, never wrong values. */
 final case class GraftRefreshMvCommand(parts: Seq[String])
     extends LeafRunnableCommand {
   import MaterializedViews._
@@ -633,8 +642,9 @@ final case class GraftRefreshMvCommand(parts: Seq[String])
 
   /** Group-repair incremental refresh over a range with row MUTATIONS
     * (see the class scaladoc's CDC tier). The change feed supplies full
-    * pre/post images (guaranteed by [[MaterializedViews.classifyRange]]
-    * — merge-on-read's key-only deletes never reach here); one pass
+    * pre/post images — recorded change files for copy-on-write, on-disk
+    * removed files for replaces, and HYDRATED prior-snapshot rows for
+    * merge-on-read deletes ([[Snapshots.changes]] `hydrateMor`); one pass
     * over it yields a per-group signed delta, and a single MERGE then
     *  - FOLDS groups touched only by inserts (O(delta), no base I/O) —
     *    integral sums only, exactly like the append fold;
@@ -662,7 +672,8 @@ final case class GraftRefreshMvCommand(parts: Seq[String])
 
     var delta: org.apache.spark.sql.DataFrame = null
     try {
-      val cf = Snapshots.changes(session, baseTable, since, Some(until))
+      val cf = Snapshots.changes(session, baseTable, since, Some(until),
+        hydrateMor = true)
       // +1 for rows entering the table, -1 for rows leaving it; an
       // update that moves a row between groups decrements the old group
       // and increments the new one through the same arithmetic

@@ -597,7 +597,17 @@ object Snapshots {
     *  - merge-on-read mutations: equality keys become delete rows
     *    (row_key populated, data columns NULL) — except keys re-written
     *    in the same commit, which PAIR into update_preimage (the key
-    *    row) + update_postimage (the new values), Delta-CDF style;
+    *    row) + update_postimage (the new values), Delta-CDF style.
+    *    With `hydrateMor = true` the NULL-columned rows are replaced by
+    *    FULL preimages recovered from the prior live snapshot: every row
+    *    visible at v-1 whose key the commit deleted IS the deleted row,
+    *    so one key-pruned snapshot read (≤4096 keys push an IN filter
+    *    into the scan — registry ranges and blooms prune to the files
+    *    holding those keys; larger sets broadcast-semi-join) rebuilds
+    *    what merge-on-read never wrote down. Hydrated feeds emit one
+    *    delete row PER DELETED ROW (not per key) and emit nothing for a
+    *    key that matched no row — the physical truth, where the
+    *    unhydrated feed echoes the commit's key list verbatim;
     *  - copy-on-write mutations: the change files the commit recorded
     *    ([[ChangeLog.stageCowChanges]]) stream out with full pre/post
     *    images — the feed works in the engine's DEFAULT mutation mode;
@@ -613,7 +623,7 @@ object Snapshots {
     * `spark.graft.deletes.max.bytes` and fail loudly pointing at
     * compaction. */
   def changes(spark: SparkSession, table: GraftTable, since: Long,
-              end: Option[Long] = None): DataFrame = {
+              end: Option[Long] = None, hydrateMor: Boolean = false): DataFrame = {
     import org.apache.spark.sql.functions.{broadcast, col, lit, when}
     import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
     val dataDir = new Path(table.dataDir)
@@ -657,10 +667,12 @@ object Snapshots {
     // the baseline must sit on the LIVE chain: a WAP audit snapshot as
     // `since` already contains the staged files and would swallow their
     // publish (or, post-DISCARD, surface phantom removals)
-    var prev = manifestAt(liveBaseline(fs, dataDir, since))
+    var prevV = liveBaseline(fs, dataDir, since)
+    var prev = manifestAt(prevV)
     val inserts = scala.collection.mutable.ArrayBuffer[(Long, Seq[String])]()
-    // (v, inserted-file paths, delete keys) — keys pair with re-written rows
-    val morBatches = scala.collection.mutable.ArrayBuffer[(Long, Seq[String], Seq[String])]()
+    // (v, prior live version, inserted-file paths, delete keys) — keys
+    // pair with re-written rows; the prior version anchors hydration
+    val morBatches = scala.collection.mutable.ArrayBuffer[(Long, Long, Seq[String], Seq[String])]()
     val cowBatches = scala.collection.mutable.ArrayBuffer[(Long, Seq[String])]()
     // (v, removed (path, seq), applicable delete keys (key, delete seq))
     val replaceBatches =
@@ -691,9 +703,10 @@ object Snapshots {
           case ChangeLog.AppendRows(dataRels) =>
             if (dataRels.nonEmpty) inserts += ((v, abs(dataRels)))
           case ChangeLog.MorRows(dataRels, keys) =>
-            morBatches += ((v, abs(dataRels), keys))
+            morBatches += ((v, prevV, abs(dataRels), keys))
         }
         prev = cur
+        prevV = v
       }
     }
 
@@ -736,10 +749,47 @@ object Snapshots {
         .withColumn("_change_type", lit("delete"))
         .withColumn("_commit_version", lit(v))
     }
-    val morDf = morBatches.map { case (v, insertFiles, keys) =>
+    val morDf = morBatches.map { case (v, pv, insertFiles, keys) =>
       import spark.implicits._
       val kdf = keys.toDF("__dk")
-      if (insertFiles.isEmpty)
+      if (hydrateMor) {
+        // full preimages from the prior live snapshot: the key-pruned
+        // merged read at pv (older equality deletes applied) holds every
+        // row this commit's keys delete — files at pv all have data seq
+        // < this commit's delete seq, so the key match IS the deletion
+        val pre0 =
+          if (pv == 0) empty.select(schema.fieldNames.toIndexedSeq.map(col): _*)
+          else {
+            val snap = spark.read.format("graft")
+              .option("path", table.tableDir)
+              .option("snapshot-version", pv).load()
+              .select(schema.fieldNames.toIndexedSeq.map(col): _*)
+            // ≤4096 keys: an IN filter the scan prunes by (ranges/blooms);
+            // beyond that, a broadcast semi-join (the keys are already
+            // driver-materialized under the delete byte cap)
+            if (keys.size <= 4096) snap.filter(col(key).isin(keys: _*))
+            else snap.join(broadcast(kdf), snap(key) === col("__dk"), "left_semi")
+          }
+        if (insertFiles.isEmpty)
+          pre0.withColumn("_change_type", lit("delete"))
+            .withColumn("_commit_version", lit(v))
+        else {
+          val ins = readRows(insertFiles)
+          val insKeys = ins.select(col(key).as("__ik")).distinct()
+          val preTyped = pre0
+            .join(broadcast(insKeys), pre0(key) === col("__ik"), "left")
+            .withColumn("_change_type",
+              when(col("__ik").isNotNull, lit("update_preimage"))
+                .otherwise(lit("delete")))
+            .select((schema.fieldNames :+ "_change_type").toIndexedSeq.map(col): _*)
+          val insTyped = ins.join(broadcast(kdf), ins(key) === col("__dk"), "left")
+            .withColumn("_change_type",
+              when(col("__dk").isNotNull, lit("update_postimage"))
+                .otherwise(lit("insert")))
+            .select((schema.fieldNames :+ "_change_type").toIndexedSeq.map(col): _*)
+          insTyped.unionByName(preTyped).withColumn("_commit_version", lit(v))
+        }
+      } else if (insertFiles.isEmpty)
         // pure DELETE commit — keys become delete rows, nothing to pair
         kdf.select(keyOnlyCols: _*)
           .withColumn("_change_type", lit("delete"))

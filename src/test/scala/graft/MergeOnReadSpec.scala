@@ -198,6 +198,31 @@ class MergeOnReadSpec extends AnyFunSuite with BeforeAndAfterAll {
       ("update_preimage", "a", 1L)), s"unexpected COW update feed: $cfeed")
   }
 
+  test("hydrated change feed recovers full MOR preimages from the prior snapshot") {
+    spark.sql(
+      s"""CREATE TABLE graft.mor.hyd (row_key STRING, v BIGINT)
+         |TBLPROPERTIES ('${GraftDeletes.ModeProp}' = 'merge-on-read')""".stripMargin)
+    spark.sql("INSERT INTO graft.mor.hyd VALUES ('a', 1), ('b', 2)")
+    spark.sql("UPDATE graft.mor.hyd SET v = 100 WHERE row_key = 'a'")
+    spark.sql("DELETE FROM graft.mor.hyd WHERE row_key = 'b'")
+    def feed(h: Boolean) =
+      Snapshots.changes(spark, load("hyd"), since = 1L, hydrateMor = h)
+        .select("_change_type", "row_key", "v", "_commit_version").collect()
+        .map(r => (r.getString(0), r.getString(1),
+          if (r.isNullAt(2)) -1L else r.getLong(2), r.getLong(3))).sorted.toSeq
+    // unhydrated: preimage/delete rows carry NULL data columns (echoed keys)
+    assert(feed(false) == Seq(("delete", "b", -1L, 3L),
+      ("update_postimage", "a", 100L, 2L), ("update_preimage", "a", -1L, 2L)),
+      s"unexpected raw feed: ${feed(false)}")
+    // hydrated: the SAME rows with real prior values — the update's
+    // preimage reads v=1 from snapshot 1, the delete's preimage v=2 from
+    // snapshot 2 (each commit hydrates against ITS OWN prior snapshot,
+    // so the earlier update must not bleed into the later delete)
+    assert(feed(true) == Seq(("delete", "b", 2L, 3L),
+      ("update_postimage", "a", 100L, 2L), ("update_preimage", "a", 1L, 2L)),
+      s"unexpected hydrated feed: ${feed(true)}")
+  }
+
   test("change feed replays truncate/overwrite as deletes, skips compaction") {
     spark.sql("CREATE TABLE graft.mor.repl (row_key STRING, v BIGINT)")
     spark.sql("INSERT INTO graft.mor.repl VALUES ('a', 1)")

@@ -352,7 +352,7 @@ class MvRewriteSpec extends AnyFunSuite with BeforeAndAfterAll {
       Seq(Seq("d1", 1L, 9L), Seq("d3", 1L, 4L)))
   }
 
-  test("cdc: merge-on-read deletes stay OPAQUE and refresh fully") {
+  test("cdc: merge-on-read deletes repair via hydrated preimages") {
     spark.sql(
       s"""CREATE TABLE mvc.c.mb (row_key STRING, day STRING, etype STRING,
          |  v BIGINT)
@@ -364,13 +364,53 @@ class MvRewriteSpec extends AnyFunSuite with BeforeAndAfterAll {
       """CREATE MATERIALIZED VIEW mvc.c.mmv AS
         |SELECT day, count(*) AS cnt, sum(v) AS sv
         |FROM mvc.c.mb GROUP BY day""".stripMargin)
-    // a MOR delete records only equality KEYS — no preimage values, so
-    // the refresh cannot attribute the loss to a group and must recompute
+    // a MOR delete records only equality KEYS — but the prior snapshot
+    // still holds the deleted row, so the hydrated feed recovers its
+    // full preimage and the refresh repairs ONLY group d1
     spark.sql("DELETE FROM mvc.c.mb WHERE row_key = 'm2'")
     val r = spark.sql("REFRESH MATERIALIZED VIEW mvc.c.mmv").collect()
-    assert(r.head.getString(1) === "full", r.mkString(","))
+    assert(r.head.getString(1) === "incremental-cdc", r.mkString(","))
     assert(rows(spark.sql("SELECT day, cnt, sv FROM mvc.c.mmv ORDER BY day")) ===
       Seq(Seq("d1", 1L, 1L), Seq("d2", 1L, 3L)))
+  }
+
+  test("cdc: a MOR group-vanishing delete + same-commit rewrite (UPDATE)") {
+    // UPDATE on a merge-on-read table commits delete keys + replacement
+    // rows together; the hydrated feed pairs them as update_preimage
+    // (real prior values) + update_postimage. Moving m3 from d2 into d1
+    // must vanish group d2 (DELETE from the MV) and repair d1.
+    spark.sql("UPDATE mvc.c.mb SET day = 'd1' WHERE row_key = 'm3'")
+    val r = spark.sql("REFRESH MATERIALIZED VIEW mvc.c.mmv").collect()
+    assert(r.head.getString(1) === "incremental-cdc", r.mkString(","))
+    assert(rows(spark.sql("SELECT day, cnt, sv FROM mvc.c.mmv ORDER BY day")) ===
+      Seq(Seq("d1", 2L, 4L)))
+    // pure MOR delete of the group's max row: min/max must recompute
+    spark.sql("DELETE FROM mvc.c.mb WHERE row_key = 'm3'")
+    val r2 = spark.sql("REFRESH MATERIALIZED VIEW mvc.c.mmv").collect()
+    assert(r2.head.getString(1) === "incremental-cdc", r2.mkString(","))
+    assert(rows(spark.sql("SELECT day, cnt, sv FROM mvc.c.mmv ORDER BY day")) ===
+      Seq(Seq("d1", 1L, 1L)))
+  }
+
+  test("cdc: hydrated MOR deletes count ROWS, not keys (duplicate keys)") {
+    // two physical rows under one row_key (append twice): a MOR delete of
+    // that key removes BOTH; hydration emits one preimage per row, so the
+    // repaired count falls by 2 — a key-echo feed would subtract only 1
+    spark.sql(
+      s"""CREATE TABLE mvc.c.db (row_key STRING, day STRING, v BIGINT)
+         |TBLPROPERTIES ('${graft.sources.GraftDeletes.ModeProp}' = 'merge-on-read')"""
+        .stripMargin)
+    spark.sql("INSERT INTO mvc.c.db VALUES ('x','d1',1), ('y','d1',10)")
+    spark.sql("INSERT INTO mvc.c.db VALUES ('x','d1',2)")
+    spark.sql(
+      """CREATE MATERIALIZED VIEW mvc.c.dmv AS
+        |SELECT day, count(*) AS cnt, sum(v) AS sv
+        |FROM mvc.c.db GROUP BY day""".stripMargin)
+    spark.sql("DELETE FROM mvc.c.db WHERE row_key = 'x'")
+    val r = spark.sql("REFRESH MATERIALIZED VIEW mvc.c.dmv").collect()
+    assert(r.head.getString(1) === "incremental-cdc", r.mkString(","))
+    assert(rows(spark.sql("SELECT day, cnt, sv FROM mvc.c.dmv ORDER BY day")) ===
+      Seq(Seq("d1", 1L, 10L)))
   }
 
   test("DROP MATERIALIZED VIEW deregisters; plain tables are refused") {
