@@ -728,6 +728,52 @@ object Engine2 {
              |       min(n_chars) AS mn, max(n_chars) AS mx
              |FROM $ns.mvmor GROUP BY lang, source""".stripMargin)
         ()
+      })),
+
+    // ---- q157: COUNT(col) + AVG served from the materialized view --------
+    // An MV storing count(x) (the NON-NULL count) alongside sum(x) lets
+    // the rewrite serve AVG(x) = SUM(s_x)/SUM(c_x): both stored columns
+    // are integral, so the partial folds are exact and the one final
+    // double division is the only floating-point step — numerically
+    // identical to DuckDB's exact-sum avg, and deterministic under any
+    // partial-aggregation order (the base plan's double running sum is
+    // not). count(x) itself rewrites as SUM(c_x) with NULL-ignoring
+    // semantics preserved (the all-NULL group reads 0). The measured
+    // query aggregates a corpus-shaped base by lang but scans ONLY the
+    // MV (plan pinned in MvRewriteSpec); at 100 TB a quality dashboard's
+    // avg-length-by-language panel reads a table the size of the
+    // language list.
+    QueryDef(
+      "q157_mv_avg_rewrite",
+      (s, dir) => {
+        val ns = Engine.ensureCatalog(s, dir)
+        s.sql(
+          s"""SELECT lang, count(*) AS cnt, count(nc) AS c_nc,
+             |       avg(nc) AS a_nc
+             |FROM $ns.mvavg GROUP BY lang ORDER BY lang""".stripMargin)
+      },
+      Some("""WITH b AS (
+          SELECT lang,
+                 CASE WHEN doc_id % 11 = 0 THEN NULL ELSE n_chars END AS nc
+          FROM documents)
+        SELECT lang, CAST(count(*) AS BIGINT) AS cnt,
+               CAST(count(nc) AS BIGINT) AS c_nc, avg(nc) AS a_nc
+        FROM b GROUP BY lang ORDER BY lang"""),
+      setup = Some((s, dir) => {
+        val ns = Engine.ensureCatalog(s, dir)
+        s.sql(s"DROP MATERIALIZED VIEW IF EXISTS $ns.mvavg_mv")
+        s.sql(s"DROP TABLE IF EXISTS $ns.mvavg")
+        s.sql(
+          s"""CREATE TABLE $ns.mvavg AS
+             |SELECT lang,
+             |       CASE WHEN doc_id % 11 = 0 THEN CAST(NULL AS BIGINT)
+             |            ELSE n_chars END AS nc
+             |FROM parquet.`$dir/documents.parquet`""".stripMargin)
+        s.sql(
+          s"""CREATE MATERIALIZED VIEW $ns.mvavg_mv AS
+             |SELECT lang, count(*) AS cnt, count(nc) AS c_nc, sum(nc) AS s_nc
+             |FROM $ns.mvavg GROUP BY lang""".stripMargin)
+        ()
       }))
   )
 }

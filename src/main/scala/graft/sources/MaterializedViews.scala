@@ -22,8 +22,11 @@ import org.apache.spark.sql.types.{DecimalType, LongType}
   * rewrites any matching aggregate over the base — same grouping, a
   * ROLLUP to fewer columns, or a filter on grouped columns — to re-
   * aggregate the (many-orders-smaller) MV instead: COUNT(*)→SUM(c),
-  * SUM(x)→SUM(s_x), MIN/MAX→MIN/MAX. At 100 TB this turns a corpus scan
-  * into a scan of one small table, with zero query changes.
+  * COUNT(x)→SUM(c_x), SUM(x)→SUM(s_x), MIN/MAX→MIN/MAX, and — when the
+  * MV stores both COUNT(x) and SUM(x) — AVG(x)→SUM(s_x)/SUM(c_x) (exact
+  * integral sum and non-null count; one final double division). At
+  * 100 TB this turns a corpus scan into a scan of one small table, with
+  * zero query changes.
   *
   * Correctness before speed, twice over:
   *  - the rewrite fires ONLY when the MV is provably FRESH — its recorded
@@ -148,8 +151,9 @@ object MaterializedViews {
   def extract(analyzed: LogicalPlan): (DataSourceV2Relation, GraftTable, Spec) = {
     def fail(why: String): Nothing = throw new IllegalArgumentException(
       s"graft: CREATE MATERIALIZED VIEW supports a single " +
-        s"COUNT(*)/SUM/MIN/MAX aggregate over one graft table " +
-        s"(no WHERE/DISTINCT/FILTER/expressions); $why")
+        s"COUNT(*)/COUNT(col)/SUM/MIN/MAX aggregate over one graft table " +
+        s"(no WHERE/DISTINCT/FILTER/expressions; store COUNT(x) + SUM(x) " +
+        s"and AVG(x) queries rewrite automatically); $why")
     analyzed match {
       case Aggregate(groupExprs, aggExprs, child, _) =>
         val (rel, table) = graftRelation(child).getOrElse(
@@ -168,6 +172,10 @@ object MaterializedViews {
             ae.aggregateFunction match {
               case Count(Seq(Literal(1, _))) => AggCol("count", "*", out)
               case Count(Seq()) => AggCol("count", "*", out)
+              // COUNT(col) — non-null count; with a SUM over the same
+              // column it also serves AVG(col) queries via the rewrite
+              case Count(Seq(ar: AttributeReference)) =>
+                AggCol("countc", ar.name, out)
               case Sum(ar: AttributeReference, _) =>
                 if (ar.dataType.isInstanceOf[DecimalType])
                   fail(s"$out sums a DECIMAL (re-summing widens the type)")
@@ -383,6 +391,22 @@ final case class GraftMvRewrite(session: SparkSession) extends Rule[LogicalPlan]
             // COUNT over an empty group set is 0, SUM is null — coalesce
             Coalesce(Seq(agg(Sum(aggCol("count", "*").getOrElse(return None))),
               Literal(0L, LongType)))
+          case Count(Seq(ar: AttributeReference)) =>
+            Coalesce(Seq(agg(Sum(aggCol("countc", ar.name).getOrElse(return None))),
+              Literal(0L, LongType)))
+          case Average(ar: AttributeReference, _) if isIntegralSum(ar.dataType) =>
+            // AVG folds as exact-sum / exact-non-null-count: both MV
+            // columns are integral, so the one final double division is
+            // the only floating-point step (the base plan's Average
+            // accumulates a DOUBLE running sum — equal whenever the
+            // exact sum is < 2^53, i.e. everywhere that matters for an
+            // integral column). NULL sum / zero count yields NULL, the
+            // all-NULL-group semantics of AVG.
+            val s = aggCol("sum", ar.name).getOrElse(return None)
+            val c = aggCol("countc", ar.name).getOrElse(return None)
+            Divide(
+              Cast(agg(Sum(s)), org.apache.spark.sql.types.DoubleType),
+              Cast(agg(Sum(c)), org.apache.spark.sql.types.DoubleType))
           case Sum(ar: AttributeReference, _) if isIntegralSum(ar.dataType) =>
             agg(Sum(aggCol("sum", ar.name).getOrElse(return None)))
           case Min(ar: AttributeReference) =>
@@ -578,6 +602,7 @@ final case class GraftRefreshMvCommand(parts: Seq[String])
         import org.apache.spark.sql.functions._
         c.kind match {
           case "count" => count(lit(1)).as(c.out)
+          case "countc" => count(col(c.src)).as(c.out)
           case "sum" => sum(col(c.src)).as(c.out)
           case "min" => min(col(c.src)).as(c.out)
           case "max" => max(col(c.src)).as(c.out)
@@ -619,7 +644,9 @@ final case class GraftRefreshMvCommand(parts: Seq[String])
         else spec.groups.map(g => s"t.`${g.out}` <=> s.`${g.out}`").mkString(" AND ")
       val sets = spec.cols.filter(_.kind != "group").map { c =>
         c.kind match {
-          case "count" => s"t.`${c.out}` = t.`${c.out}` + s.`${c.out}`"
+          // count(*) AND count(col): both emit 0 (never NULL) from the
+          // delta aggregation, so a plain add folds exactly
+          case "count" | "countc" => s"t.`${c.out}` = t.`${c.out}` + s.`${c.out}`"
           case "sum" =>
             s"t.`${c.out}` = CASE WHEN t.`${c.out}` IS NULL AND s.`${c.out}` IS NULL " +
               s"THEN NULL ELSE coalesce(t.`${c.out}`, 0) + coalesce(s.`${c.out}`, 0) END"
@@ -682,6 +709,11 @@ final case class GraftRefreshMvCommand(parts: Seq[String])
       val aggCols = aggs.map { c =>
         c.kind match {
           case "count" => sum(w).cast(mvType(c.out)).as(c.out)
+          // signed non-null count; coalesced to 0 so a fold-tier INSERT
+          // of a new group whose delta rows are all NULL stores 0, the
+          // same value a full recompute's count(col) would
+          case "countc" => coalesce(sum(when(col(c.src).isNotNull, w)), lit(0L))
+            .cast(mvType(c.out)).as(c.out)
           // null src values contribute no weight — SUM ignores nulls
           case "sum" => sum(when(col(c.src).isNotNull, w * col(c.src)))
             .cast(mvType(c.out)).as(c.out)
@@ -735,6 +767,7 @@ final case class GraftRefreshMvCommand(parts: Seq[String])
           val reAggs = aggs.map { c =>
             val expr = c.kind match {
               case "count" => "count(*)"
+              case "countc" => s"count(b.`${c.src}`)"
               case k => s"$k(b.`${c.src}`)"
             }
             s"CAST($expr AS ${mvType(c.out)}) AS `${c.out}`"
@@ -770,7 +803,7 @@ final case class GraftRefreshMvCommand(parts: Seq[String])
         val sets = aggs.map { c =>
           val t = s"t.`${c.out}`"; val sc = s"s.`${c.out}`"
           c.kind match {
-            case "count" =>
+            case "count" | "countc" =>
               s"$t = CASE WHEN s.__mode = 'fold' THEN $t + $sc ELSE $sc END"
             case "sum" =>
               s"$t = CASE WHEN s.__mode = 'fold' THEN " +

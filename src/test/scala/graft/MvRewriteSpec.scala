@@ -88,7 +88,10 @@ class MvRewriteSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows(q.orderBy("day")) === Seq(Seq("d1", 1L), Seq("d2", 3L)))
   }
 
-  test("unsupported aggregates (avg, distinct) keep the base plan") {
+  test("unsupported aggregates (avg w/o stored count(col), distinct) keep the base plan") {
+    // avg(v) needs BOTH count(v) and sum(v) in the MV; dailies stores
+    // only count(*) + sum(v), so the base plan stays (the COUNT(col)+AVG
+    // rewrite test below covers the served case)
     val avg = spark.sql("SELECT day, avg(v) AS a FROM mvc.m.base_ev GROUP BY day")
     assert(!scansMv(avg))
     val dist = spark.sql(
@@ -261,6 +264,58 @@ class MvRewriteSpec extends AnyFunSuite with BeforeAndAfterAll {
       r.mkString(","))
     assert(rows(spark.sql("SELECT cnt, sv FROM mvc.o.mv WHERE day = 'd2'"))
       === Seq(Seq(1L, 5L)))
+  }
+
+  test("COUNT(col) + AVG rewrite from stored non-null counts") {
+    spark.sql("CREATE TABLE mvc.m.avb (row_key STRING, g STRING, x BIGINT)")
+    spark.sql("""INSERT INTO mvc.m.avb VALUES
+      ('k1', 'a', 10), ('k2', 'a', NULL), ('k3', 'a', 20), ('k4', 'b', NULL),
+      ('k5', 'b', NULL), ('k6', 'c', 7)""")
+    spark.sql(
+      """CREATE MATERIALIZED VIEW mvc.m.avmv AS
+        |SELECT g, count(*) AS cnt, count(x) AS cx, sum(x) AS sx
+        |FROM mvc.m.avb GROUP BY g""".stripMargin)
+    def served(df: DataFrame): Boolean =
+      df.queryExecution.optimizedPlan.toString.contains("avmv") &&
+        !df.queryExecution.optimizedPlan.toString.contains("avb")
+    // count(x) ignores NULLs; avg(x) = exact sum / non-null count, NULL
+    // for the all-NULL group — both must serve from the MV
+    val q = spark.sql(
+      "SELECT g, count(x) AS cx, avg(x) AS ax FROM mvc.m.avb GROUP BY g")
+    assert(served(q), q.queryExecution.optimizedPlan.toString)
+    assert(rows(q.orderBy("g")) === Seq(
+      Seq("a", 2L, 15.0), Seq("b", 0L, null), Seq("c", 1L, 7.0)))
+    // global AVG folds partial sums/counts across MV rows
+    val g = spark.sql("SELECT avg(x) AS ax, count(x) AS cx FROM mvc.m.avb")
+    assert(served(g), g.queryExecution.optimizedPlan.toString)
+    assert(rows(g) === Seq(Seq(37.0 / 3, 3L)))
+    // an MV without the matching COUNT(col) must NOT serve avg
+    val noServe = spark.sql("SELECT day, avg(v) FROM mvc.m.base_ev GROUP BY day")
+    assert(!noServe.queryExecution.optimizedPlan.toString.contains("dailies"),
+      noServe.queryExecution.optimizedPlan.toString)
+  }
+
+  test("COUNT(col) folds through incremental, cdc-repair, and full refresh") {
+    // append with NULLs: fold tier must add non-null counts only, and a
+    // brand-new all-NULL group must insert cx = 0 (not NULL)
+    spark.sql(
+      "INSERT INTO mvc.m.avb VALUES ('k7', 'a', NULL), ('k8', 'a', 5), ('k9', 'z', NULL)")
+    val r1 = spark.sql("REFRESH MATERIALIZED VIEW mvc.m.avmv").collect()
+    assert(r1.head.getString(1) === "incremental", r1.mkString(","))
+    def mvNow: Seq[Seq[Any]] = rows(spark.sql(
+      "SELECT g, cnt, cx, sx FROM mvc.m.avmv ORDER BY g"))
+    assert(mvNow === rows(spark.sql(
+      """SELECT g, count(*) AS cnt, count(x) AS cx, sum(x) AS sx
+        |FROM mvc.m.avb GROUP BY g ORDER BY g""".stripMargin)))
+    assert(mvNow.find(_.head == "z").get === Seq("z", 1L, 0L, null))
+    // keyed COW delete of a non-null row: the cdc repair recomputes the
+    // touched group, whose count(x) falls back to 2
+    spark.sql("DELETE FROM mvc.m.avb WHERE x = 5")
+    val r2 = spark.sql("REFRESH MATERIALIZED VIEW mvc.m.avmv").collect()
+    assert(r2.head.getString(1) === "incremental-cdc", r2.mkString(","))
+    assert(mvNow === rows(spark.sql(
+      """SELECT g, count(*) AS cnt, count(x) AS cx, sum(x) AS sx
+        |FROM mvc.m.avb GROUP BY g ORDER BY g""".stripMargin)))
   }
 
   // ------------- incremental refresh across MUTATING commits (cdc) -------
