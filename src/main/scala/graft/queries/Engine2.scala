@@ -200,32 +200,18 @@ object Engine2 {
         val ns = ensureCatalog(s, dir)
         val t = Tables(s, dir)
         val e = emb(t)
-        val n2 = e.select(col("vec_id"), expr(n2Expr.format("e")).as("n2"))
 
-        // ---- build: coarse assignment (q40's quantizer) -------------------
+        // ---- build: quantizer = first-16 members (q40's coarse centroids,
+        // q48's PQ codebooks), encode via the SHARED annEncode — the same
+        // routine q154's build and maintenance batches run, so any
+        // tie-break or expression change applies to every index uniformly
         val cent = e.filter(col("vec_id") < 16)
           .select(col("vec_id").as("cid"), col("e").as("ce"))
-        val wNear = Window.partitionBy(col("vec_id"))
-          .orderBy(desc("cos"), col("cid"))
-        val assign = e.crossJoin(broadcast(cent))
-          .withColumn("dot", expr(dotExpr.format("e", "ce")))
-          .join(n2, "vec_id")
-          .join(broadcast(n2.select(col("vec_id").as("cid"), col("n2").as("cn2"))), "cid")
-          .withColumn("cos", expr("dot / sqrt(n2 * cn2)"))
-          .withColumn("rn", row_number().over(wNear)).filter(col("rn") === 1)
-          .select(col("vec_id").as("vid"), col("cid").as("list_id"))
-
-        // ---- build: PQ codes (q48's codebooks) ----------------------------
-        val subs = e.select(col("vec_id"), explode(expr("sequence(0, 7)")).as("j"), col("e"))
-          .select(col("vec_id"), col("j"), expr("slice(e, j * 8 + 1, 8)").as("sv"))
-        val codewords = subs.filter(col("vec_id") < 16)
-          .select(col("vec_id").as("code"), col("j"), col("sv").as("cv"))
-        val wCode = Window.partitionBy(col("vec_id"), col("j"))
-          .orderBy(col("d"), col("code"))
-        val codes = subs.join(broadcast(codewords), "j")
-          .withColumn("d", expr(sqDistExpr))
-          .withColumn("rn", row_number().over(wCode)).filter(col("rn") === 1)
-          .select(col("vec_id").as("vid"), col("j"), col("code"))
+        val codewords = e.filter(col("vec_id") < 16)
+          .select(col("vec_id").as("code"),
+            explode(expr("sequence(0, 7)")).as("j"), col("e"))
+          .select(col("code"), col("j"), expr("slice(e, j * 8 + 1, 8)").as("cv"))
+        val enc = annEncode(e, cent, codewords)
 
         // ---- persist the three index tables -------------------------------
         s.sql(s"DROP TABLE IF EXISTS $ns.ann_cent")
@@ -240,9 +226,7 @@ object Engine2 {
           .writeTo(s"$ns.ann_cent").append()
         codewords.select(col("j"), col("code"), posexplode(col("cv")).as(Seq("pos", "v")))
           .writeTo(s"$ns.ann_book").append()
-        codes.join(assign, "vid")
-          .select(col("vid"), col("j"), col("code"), col("list_id"))
-          .writeTo(s"$ns.ann_post").append()
+        enc.writeTo(s"$ns.ann_post").append()
       })),
 
     // ---- q143: incremental dedup — delta-only against persisted state ----

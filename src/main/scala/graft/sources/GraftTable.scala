@@ -663,7 +663,11 @@ object TableStats {
     *    fields (see [[parseLine]]), so adding a field does NOT bump the
     *    revision — an old reader of a new line just misses the new stat;
     *  - unknown `#`-prefixed header lines are ignored, so adding a header
-    *    does not bump it either;
+    *    does not bump it either. DELTA snapshot bodies carry NO header at
+    *    revision 1 (pre-header delta parsers threw on '#' lines, so a
+    *    header there would break older binaries on an unchanged format —
+    *    see [[Snapshots.recordAt]]); the revision is declared by the full
+    *    checkpoint at each delta chain's base;
     *  - the revision bumps ONLY for a change an old reader would
     *    MISPARSE (reordered/retyped fields, changed encodings). Readers
     *    seeing a newer revision fail with the named
@@ -686,9 +690,12 @@ object TableStats {
   /** Validate a header ('#...') line; unknown headers are ignored. */
   private[sources] def checkHeader(line: String): Unit =
     if (line.startsWith(FmtPrefix)) {
-      val digits = line.substring(FmtPrefix.length).trim
-      val v = if (digits.forall(_.isDigit) && digits.nonEmpty) digits.toLong
-        else Long.MaxValue // unparseable declaration = not a format we know
+      // toLongOption, not isDigit+toLong: a Long-overflowing digit string
+      // or a non-ASCII Unicode digit (isDigit-true, toLong-throwing) must
+      // land on the SAME named refusal as '#fmt garbage', never a bare
+      // NumberFormatException
+      val v = line.substring(FmtPrefix.length).trim.toLongOption
+        .getOrElse(Long.MaxValue) // unparseable = not a format we know
       if (v > SupportedFormat) throw new UnsupportedRegistryFormat(v)
     }
 

@@ -510,7 +510,7 @@ final case class GraftCreateMvCommand(parts: Seq[String], selectSql: String)
   * OPAQUE (RESTORE; unrecorded rewrites; vacuumed snapshots) → full
   * recompute, never wrong values. */
 final case class GraftRefreshMvCommand(parts: Seq[String])
-    extends LeafRunnableCommand {
+    extends LeafRunnableCommand with org.apache.spark.internal.Logging {
   import MaterializedViews._
   override val output: Seq[Attribute] = Seq(
     MaintenanceSql.attr("base_version", LongType),
@@ -542,11 +542,18 @@ final case class GraftRefreshMvCommand(parts: Seq[String])
     // half-applied (MERGE committed, stamp lost) — only a full recompute
     // is safe, and "noop" must not trust the stale stamp either
     val pending = mv.properties().get(PendingProp) != null
-    def classified: RangeClass = {
-      val dir = new Path(baseTable.dataDir)
-      classifyRange(dir.getFileSystem(new Configuration()), dir,
-        recorded.get, version)
-    }
+    def classified: RangeClass =
+      try {
+        val dir = new Path(baseTable.dataDir)
+        classifyRange(dir.getFileSystem(new Configuration()), dir,
+          recorded.get, version)
+      } catch {
+        // fail-safe routing: a classification failure (a kind marker
+        // this binary doesn't know — ChangeLog.kindOf throws on unknown
+        // strings from newer writers — or a metadata read error) must
+        // land on the full recompute, never crash REFRESH
+        case scala.util.control.NonFatal(_) => RangeOpaque
+      }
     val mode =
       if (recorded.contains(version) && !pending) "noop"
       else {
@@ -623,13 +630,14 @@ final case class GraftRefreshMvCommand(parts: Seq[String])
       // the verified scan's refusal may surface wrapped (analysis /
       // execution layers) — walk the cause chain; anything else is a
       // real error and must not silently degrade to a full recompute
-      case e: Throwable =>
+      case scala.util.control.NonFatal(e) =>
         if (delta != null) delta.unpersist()
-        val msgs = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
-          .map(t => String.valueOf(t.getMessage)).toSeq
-        if (msgs.exists(m => m.contains("incremental read") ||
-            m.contains("non-append commit"))) return false
-        throw e
+        // same degrade-to-full policy as tryCdcIncremental's derivation
+        // phase: the verified scan's refusal surfaces wrapped, and any
+        // other derivation failure is answered correctly by a recompute
+        logWarning(s"graft: incremental refresh of $mvName not derivable " +
+          s"(${e.getClass.getSimpleName}: ${e.getMessage}); recomputing fully")
+        return false
     }
     val view = "graft_mv_delta_" +
       java.util.UUID.randomUUID().toString.replace("-", "")
@@ -732,15 +740,22 @@ final case class GraftRefreshMvCommand(parts: Seq[String])
       delta.persist()
       delta.count()
     } catch {
-      case e: Throwable =>
+      // ANY failure to DERIVE the grouped delta degrades to the
+      // (always-correct) full recompute instead of failing REFRESH: the
+      // feed's refusals (renamed columns, delete-key cap, RESTORE,
+      // unrecorded deltas) surface wrapped at varying depths, and a
+      // racing vacuum can expire a preimage file between classifyRange's
+      // metadata check and the executor read — an enumerated message
+      // list can never stay complete. A silent route regression cannot
+      // hide behind this: the oracle gates compare the refresh's
+      // reported mode against the 'incremental-cdc' literal. Failures
+      // AFTER the pending marker (the MERGE itself) still fail the
+      // command — the marker forces the next refresh to full-recompute.
+      case scala.util.control.NonFatal(e) =>
         if (delta != null) delta.unpersist()
-        val msgs = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
-          .map(t => String.valueOf(t.getMessage)).toSeq
-        val degradable = Seq("renamed-column table", "silently ambiguous",
-          "would materialize", "recorded no change data", "crosses a RESTORE",
-          "per-row delta was not recorded", "no snapshot v")
-        if (msgs.exists(m => degradable.exists(m.contains))) return false
-        throw e
+        logWarning(s"graft: cdc-incremental refresh of $mvName not derivable " +
+          s"(${e.getClass.getSimpleName}: ${e.getMessage}); recomputing fully")
+        return false
     }
     val deltaView = "graft_mv_cdelta_" +
       java.util.UUID.randomUUID().toString.replace("-", "")

@@ -379,9 +379,16 @@ object Snapshots {
           .filter { case (r, e) => !bm.get(r).contains(e) }
         if (removes.size + adds.size < stats.size)
           // the base pointer stays the FIRST line (deltaBase reads only
-          // head bytes); the format-revision header rides second
-          ((Iterator(s"$DeltaPrefix$b",
-              s"${TableStats.FmtPrefix}${TableStats.SupportedFormat}") ++
+          // head bytes). NO format-revision header in delta bodies:
+          // pre-header delta parsers (unlike the full-manifest parser,
+          // which always skipped '#') hard-throw on any '#' line, so a
+          // header here would break every older binary on a
+          // revision-UNCHANGED table — the exact break the contract
+          // forbids. The revision is declared by the full checkpoint at
+          // the chain's base; a future revision-N writer adds the header
+          // to ITS deltas, where current readers (tolerant, see resolve)
+          // refuse with the named error.
+          ((Iterator(s"$DeltaPrefix$b") ++
             removes.iterator.map("-\t" + _) ++
             adds.iterator.map { case (r, e) => "+\t" + TableStats.serializeLine(r, e) })
             .mkString("", "\n", "\n"), bd + 1)

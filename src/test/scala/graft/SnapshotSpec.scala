@@ -342,6 +342,14 @@ class SnapshotSpec extends AnyFunSuite with BeforeAndAfterAll {
     intercept[TableStats.UnsupportedRegistryFormat] {
       TableStats.deserialize("#fmt\tgarbage\nf.parquet\t7\n")
     }
+    // overflow and non-ASCII Unicode digits are 'unparseable declaration'
+    // too — the named refusal, never a bare NumberFormatException
+    intercept[TableStats.UnsupportedRegistryFormat] {
+      TableStats.deserialize("#fmt\t99999999999999999999\nf.parquet\t7\n")
+    }
+    intercept[TableStats.UnsupportedRegistryFormat] {
+      TableStats.deserialize("#fmt\t٣\nf.parquet\t7\n")
+    }
 
     // end-to-end: a live table written by THIS binary carries the header
     // in its snapshot checkpoints, and a doctored newer-revision snapshot
@@ -373,5 +381,48 @@ class SnapshotSpec extends AnyFunSuite with BeforeAndAfterAll {
       case t => findNamed(t.getCause)
     }
     assert(findNamed(e2), s"expected UnsupportedRegistryFormat, got $e2")
+  }
+
+  test("delta snapshot bodies carry NO header at revision 1 (old readers parse)") {
+    import spark.implicits._
+    // pre-header DELTA parsers (round <=7) threw on any '#' line — the
+    // full-manifest parser always skipped them. So at revision 1 a delta
+    // body must stay header-free or every older binary breaks on a table
+    // whose format did NOT change, violating the append-only contract.
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.snap")
+    spark.sql("CREATE TABLE graft.snap.dhv (k BIGINT, v STRING)")
+    Seq((1L, "a")).toDF("k", "v").writeTo("graft.snap.dhv").append()
+    Seq((2L, "b")).toDF("k", "v").writeTo("graft.snap.dhv").append()
+    val d = dataDir("dhv")
+    val fs = fsOf(d)
+    val head = Snapshots.list(fs, d).last._1
+    val snapPath = new Path(Snapshots.snapDir(d), f"v$head%09d.tsv")
+    def textOf: String = {
+      val in = fs.open(snapPath)
+      try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+      finally in.close()
+    }
+    val text = textOf
+    assert(text.startsWith("#delta\t"), s"second commit should delta-encode: ${text.take(60)}")
+    assert(!text.linesIterator.exists(_.startsWith(TableStats.FmtPrefix)),
+      s"delta body must not carry the revision header: ${text.take(200)}")
+    // a ROUND-7-STRICT delta parse (no '#' branch) accepts every line
+    text.linesIterator.drop(1).filter(_.nonEmpty).foreach { line =>
+      assert(line.startsWith("-\t") || line.startsWith("+\t"),
+        s"line would break a pre-header delta parser: $line")
+    }
+    // ...while a future revision-N delta still refuses BY NAME through
+    // the tolerant resolve path of THIS binary
+    val doctored = text.replaceFirst("\n", s"\n${TableStats.FmtPrefix}99\n")
+    val out = fs.create(snapPath, true)
+    try out.write(doctored.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    val e = intercept[Exception] { Snapshots.read(fs, d, head) }
+    def named(t: Throwable): Boolean = t match {
+      case null => false
+      case _: TableStats.UnsupportedRegistryFormat => true
+      case t => named(t.getCause)
+    }
+    assert(named(e), s"expected UnsupportedRegistryFormat, got $e")
   }
 }
