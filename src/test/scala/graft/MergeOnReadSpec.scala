@@ -383,6 +383,61 @@ class MergeOnReadSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"restart must resume from the checkpointed version: $f2")
   }
 
+  test("foreachBatch + hydrated batch feed maintains a streaming aggregate replica") {
+    // the streaming change feed can't hydrate inside its partitions (its
+    // offsets ARE the hydration anchor) — the streaming-consumer pattern
+    // is: let the stream deliver each micro-batch's exact version range,
+    // then re-read that range through the HYDRATED batch feed for full
+    // MOR preimages. This maintains a downstream per-group aggregate
+    // through deletes with no NULL-preimage guesswork — the streaming
+    // spelling of the MV cdc repair.
+    spark.sql(
+      s"""CREATE TABLE graft.mor.hfb (row_key STRING, g STRING, x BIGINT)
+         |TBLPROPERTIES ('${GraftDeletes.ModeProp}' = 'merge-on-read')""".stripMargin)
+    spark.sql("INSERT INTO graft.mor.hfb VALUES ('a','g1',1), ('b','g1',2), ('c','g2',3)")
+    spark.sql("DELETE FROM graft.mor.hfb WHERE row_key = 'b'")
+    spark.sql("UPDATE graft.mor.hfb SET x = 30 WHERE row_key = 'c'")
+    val replica = scala.collection.mutable.Map[String, (Long, Long)]()
+    val ckpt = java.nio.file.Files.createTempDirectory("mor_hfb").toString
+    def drain(): Unit = {
+      val q = spark.readStream.format("graft")
+        .option("change-feed", "true")
+        .load(s"$warehouse/mor/hfb")
+        .writeStream
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          val vs = df.select("_commit_version").distinct()
+            .collect().map(_.getLong(0))
+          if (vs.nonEmpty) {
+            val hyd = Snapshots.changes(spark, load("hfb"),
+              since = vs.min - 1, end = Some(vs.max), hydrateMor = true)
+              .select("_change_type", "g", "x").collect()
+            hyd.foreach { r =>
+              val w = if (r.getString(0) == "insert" ||
+                r.getString(0) == "update_postimage") 1L else -1L
+              val (c, s) = replica.getOrElse(r.getString(1), (0L, 0L))
+              replica(r.getString(1)) =
+                (c + w, s + (if (r.isNullAt(2)) 0L else w * r.getLong(2)))
+            }
+          }
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    drain()
+    def base: Map[String, (Long, Long)] = spark
+      .sql("SELECT g, count(*), sum(x) FROM graft.mor.hfb GROUP BY g")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(replica.filter(_._2._1 > 0).toMap === base, s"replica=$replica")
+    // more commits; the checkpoint resumes from the recorded version and
+    // the replica folds ONLY the new range
+    spark.sql("INSERT INTO graft.mor.hfb VALUES ('d','g2',4)")
+    spark.sql("DELETE FROM graft.mor.hfb WHERE row_key = 'a'")
+    drain()
+    assert(replica.filter(_._2._1 > 0).toMap === base, s"replica=$replica")
+  }
+
   test("estimateStatistics subtracts outstanding equality deletes") {
     spark.sql(
       s"""CREATE TABLE graft.mor.st (row_key STRING, v BIGINT)
