@@ -758,6 +758,79 @@ object Engine2 {
              |SELECT lang, count(*) AS cnt, count(nc) AS c_nc, sum(nc) AS s_nc
              |FROM $ns.mvavg GROUP BY lang""".stripMargin)
         ()
+      })),
+
+    // ---- q158: STREAMING materialized-view maintenance -------------------
+    // MvMaintain tails the base table's streaming change feed
+    // (checkpointed commit offsets, restart resume) and runs the
+    // incremental REFRESH router after each delivered micro-batch — the
+    // MV tracks the base continuously with per-batch O(delta) cost
+    // instead of a scheduled full recompute. The measured run lands a
+    // COW DELETE + an append while NO maintainer is running, then
+    // starts one with Trigger.AvailableNow: it must drain the backlog,
+    // refresh the MV to the live head, and terminate. The mode column
+    // pins the ROUTE CENSUS: every non-noop refresh the maintainer ran
+    // must have routed incrementally (fold or cdc group-repair) — a
+    // single silent degrade to full recompute fails the gate even
+    // though the values would match. At 100 TB this is the serving
+    // pattern for freshness-critical aggregates: the stream moves only
+    // commit metadata, each refresh repairs only the range's delta, and
+    // a crashed refresh self-heals on the next batch (the range derives
+    // from the MV's recorded version, not stream offsets).
+    QueryDef(
+      "q158_mv_streaming_maintain",
+      (s, dir) => {
+        val ns = Engine.ensureCatalog(s, dir)
+        s.sql(s"DELETE FROM $ns.mvstr WHERE doc_id % 11 = 4")
+        s.sql(
+          s"""INSERT INTO $ns.mvstr
+             |SELECT CAST(doc_id AS STRING), doc_id, lang, n_chars
+             |FROM parquet.`$dir/documents.parquet`
+             |WHERE doc_id % 2 = 1 AND doc_id % 7 = 0""".stripMargin)
+        val modes = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+        val ckpt = java.nio.file.Files.createTempDirectory("mvstr_ckpt").toString
+        graft.streaming.MvMaintain.start(s, s"$ns.mvstr_mv", ckpt,
+          onRefresh = (_, m) => { modes.add(m); () }).awaitTermination()
+        import scala.jdk.CollectionConverters._
+        // noop refreshes (already-drained ranges) are expected; any live
+        // refresh must be incremental or incremental-cdc, never full
+        val live = modes.asScala.toSeq.filter(_ != "noop")
+        val census =
+          if (live.nonEmpty && live.forall(_.startsWith("incremental")))
+            "incremental"
+          else "degraded:" + live.mkString("+")
+        s.table(s"$ns.mvstr_mv")
+          .select(lit(census).as("mode"), col("lang"),
+            col("cnt").cast("long").as("cnt"), col("sc").cast("long").as("sc"))
+          .orderBy("lang")
+      },
+      Some("""WITH after_m AS (
+          SELECT lang, n_chars FROM documents
+          WHERE doc_id % 3 = 0 AND doc_id % 11 <> 4
+          UNION ALL
+          SELECT lang, n_chars FROM documents
+          WHERE doc_id % 2 = 1 AND doc_id % 7 = 0)
+        SELECT 'incremental' AS mode, lang,
+               CAST(count(*) AS BIGINT) AS cnt,
+               CAST(sum(n_chars) AS BIGINT) AS sc
+        FROM after_m GROUP BY lang ORDER BY lang"""),
+      // fixture: the keyed base + its MV; the measured run keeps the
+      // mutations + the maintainer drain — continuous maintenance is the
+      // operator under test. Value-exact only on a fresh fixture.
+      setup = Some((s, dir) => {
+        val ns = Engine.ensureCatalog(s, dir)
+        s.sql(s"DROP MATERIALIZED VIEW IF EXISTS $ns.mvstr_mv")
+        s.sql(s"DROP TABLE IF EXISTS $ns.mvstr")
+        s.sql(
+          s"""CREATE TABLE $ns.mvstr AS
+             |SELECT CAST(doc_id AS STRING) AS row_key, doc_id, lang, n_chars
+             |FROM parquet.`$dir/documents.parquet` WHERE doc_id % 3 = 0"""
+            .stripMargin)
+        s.sql(
+          s"""CREATE MATERIALIZED VIEW $ns.mvstr_mv AS
+             |SELECT lang, count(*) AS cnt, sum(n_chars) AS sc
+             |FROM $ns.mvstr GROUP BY lang""".stripMargin)
+        ()
       }))
   )
 }

@@ -481,4 +481,71 @@ class MvRewriteSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     spark.sql("DROP MATERIALIZED VIEW IF EXISTS mvc.m.dailies") // no-op
   }
+
+  // ---- streaming maintenance: MvMaintain tails the change feed ---------
+
+  private def recomputeS: Seq[Seq[Any]] = rows(spark.sql(
+    "SELECT day, count(*) AS cnt, sum(v) AS sv FROM mvc.s.sb GROUP BY day ORDER BY day"))
+  private def mvS: Seq[Seq[Any]] = rows(spark.sql(
+    "SELECT day, cnt, sv FROM mvc.s.smv ORDER BY day"))
+
+  test("streaming maintainer: MV tracks appends and COW deletes, never full") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS mvc.s")
+    spark.sql("CREATE TABLE mvc.s.sb (row_key STRING, day STRING, v BIGINT)")
+    spark.sql("INSERT INTO mvc.s.sb VALUES ('a','d1',1), ('b','d1',2), ('c','d2',3)")
+    spark.sql(
+      """CREATE MATERIALIZED VIEW mvc.s.smv AS
+        |SELECT day, count(*) AS cnt, sum(v) AS sv
+        |FROM mvc.s.sb GROUP BY day""".stripMargin)
+    val modes = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val ckpt = Files.createTempDirectory("mv_maintain").toString
+    def drain(): Unit = graft.streaming.MvMaintain.start(
+      spark, "mvc.s.smv", ckpt,
+      onRefresh = (_, m) => { modes.add(m); () }).awaitTermination()
+    // the maintainer is started with commits already outstanding — its
+    // first drained batch must fold them in (append-only => fold tier)
+    spark.sql("INSERT INTO mvc.s.sb VALUES ('d','d2',4), ('e','d3',5)")
+    drain()
+    assert(mvS === recomputeS, "after append drain")
+    // a mutation commit routes the NEXT drain through the cdc repair
+    spark.sql("DELETE FROM mvc.s.sb WHERE row_key = 'b'")
+    spark.sql("INSERT INTO mvc.s.sb VALUES ('f','d1',6)")
+    drain()
+    assert(mvS === recomputeS, "after delete+append drain")
+    import scala.jdk.CollectionConverters._
+    val census = modes.asScala.toSeq.filter(_ != "noop")
+    assert(census.nonEmpty && census.forall(m =>
+      m == "incremental" || m == "incremental-cdc"),
+      s"route census must never contain 'full': $census")
+    assert(census.contains("incremental-cdc"),
+      s"the delete range must repair via cdc: $census")
+  }
+
+  test("streaming maintainer: checkpoint resume does not re-refresh") {
+    // same checkpoint, no new commits: the source delivers nothing (or an
+    // empty batch whose refresh is a noop) — recorded version is stable
+    val modes = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val ckpt = Files.createTempDirectory("mv_maintain2").toString
+    def drain(): Unit = graft.streaming.MvMaintain.start(
+      spark, "mvc.s.smv", ckpt,
+      onRefresh = (_, m) => { modes.add(m); () }).awaitTermination()
+    drain() // fresh checkpoint replays the whole feed; refresh is a noop
+    val before = mvS
+    drain() // resumed checkpoint: nothing outstanding
+    import scala.jdk.CollectionConverters._
+    assert(modes.asScala.forall(_ == "noop"),
+      s"an already-fresh MV must only ever see noop refreshes: ${modes.asScala}")
+    assert(mvS === before)
+  }
+
+  test("streaming maintainer refuses non-MV and non-graft names") {
+    intercept[IllegalArgumentException] {
+      graft.streaming.MvMaintain.start(spark, "mvc.s.sb",
+        Files.createTempDirectory("mv_maintain3").toString)
+    }
+    intercept[IllegalArgumentException] {
+      graft.streaming.MvMaintain.start(spark, "nosuch.ns.mv",
+        Files.createTempDirectory("mv_maintain4").toString)
+    }
+  }
 }
