@@ -21,6 +21,7 @@ class ScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.shuffle.partitions", "8")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.sql.extensions", "graft.functions.GraftExtensions")
     .config("spark.sql.catalog.graft", classOf[graft.sources.GraftCatalog].getName)
     .config("spark.sql.catalog.graft.warehouse",
       java.nio.file.Files.createTempDirectory("graft_wh_scale").toString)
@@ -622,5 +623,44 @@ class ScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(fsP.listStatus(dirP).map(_.getPath.getName).toSet == Set(last))
     assert(labels.count() == 100L, "the kept round still backs the frame")
     IterCheckpoint.reclaim(spark, run, None)
+  }
+
+  test("MV refresh classification walk over 64 commits: bounded and incremental") {
+    // an MV refreshed only occasionally must classify a LONG commit range
+    // (recorded, current] from metadata alone. Each version resolves its
+    // snapshot through a delta chain (depth ≤ Snapshots.MaxChainDepth),
+    // so the walk is O(range × chainDepth) side-file reads — linear with
+    // a small constant, never O(range²) and never data I/O. 64 commits
+    // cross the chain-depth reset 4 times; the wall bound is deliberately
+    // loose (≥5x typical) so it only trips a real manifest-walk
+    // regression (e.g. re-resolving full chains per diff), not CI noise.
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.mf")
+    spark.sql("CREATE TABLE graft.mf.cw (row_key STRING, g BIGINT, v BIGINT)")
+    spark.sql("INSERT INTO graft.mf.cw SELECT CAST(id AS STRING), id % 7, id FROM range(0, 100)")
+    spark.sql(
+      """CREATE MATERIALIZED VIEW graft.mf.cwmv AS
+        |SELECT g, count(*) AS cnt, sum(v) AS sv
+        |FROM graft.mf.cw GROUP BY g""".stripMargin)
+    // 62 single-file appends + one COW delete land before anyone refreshes
+    for (i <- 0 until 62)
+      spark.range(100L + i * 10, 100L + i * 10 + 10)
+        .selectExpr("CAST(id AS STRING) AS row_key", "id % 7 AS g", "id AS v")
+        .coalesce(1).writeTo("graft.mf.cw").append()
+    spark.sql("DELETE FROM graft.mf.cw WHERE g = 3 AND v < 50")
+    val t0 = System.nanoTime()
+    val r = spark.sql("REFRESH MATERIALIZED VIEW graft.mf.cwmv").collect()
+    val ms = (System.nanoTime() - t0) / 1e6
+    assert(r.head.getString(1) === "incremental-cdc",
+      s"a 64-commit append+COW-delete range must classify cdc: ${r.mkString(",")}")
+    assert(ms < 30000,
+      f"refresh over a 64-commit range took $ms%.0f ms — manifest-walk regression")
+    val mv = spark.sql("SELECT g, cnt, sv FROM graft.mf.cwmv ORDER BY g")
+      .collect().map(_.toSeq).toSeq
+    val re = spark.sql(
+      "SELECT g, count(*) AS cnt, sum(v) AS sv FROM graft.mf.cw GROUP BY g ORDER BY g")
+      .collect().map(_.toSeq).toSeq
+    assert(mv === re, "long-range incremental refresh must equal recompute")
+    spark.sql("DROP MATERIALIZED VIEW graft.mf.cwmv")
+    spark.sql("DROP TABLE graft.mf.cw")
   }
 }
