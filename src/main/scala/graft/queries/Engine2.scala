@@ -831,6 +831,82 @@ object Engine2 {
              |SELECT lang, count(*) AS cnt, sum(n_chars) AS sc
              |FROM $ns.mvstr GROUP BY lang""".stripMargin)
         ()
+      })),
+
+    // ---- q159: multi-table ATOMIC transaction ----------------------------
+    // A base table and its per-batch stats log must advance TOGETHER:
+    // Transactions.run stages both appends as invisible WAP commits,
+    // writes an intent, then a create-exclusive commit marker (the
+    // decision point), then publishes each table with one registry swap
+    // — after a crash anywhere, Transactions.recover converges to
+    // all-visible or all-rolled-back (the interruption matrix is pinned
+    // in TransactionsSpec). The measured run commits one transaction
+    // and ABORTS a second mid-body: the summary side recomputed from
+    // the base must equal the stats log exactly — a torn commit (base
+    // without its summary, or the aborted batch leaking into either
+    // table) breaks the row-for-row match. At 100 TB this is how an
+    // ingest keeps derived tables (indexes, stats, replicas) consistent
+    // with their source across failures without any cross-table lock:
+    // staging moves only the batch's files, the decision is one marker
+    // create, publish is one registry swap per table.
+    QueryDef(
+      "q159_multi_table_txn",
+      (s, dir) => {
+        val ns = Engine.ensureCatalog(s, dir)
+        val coord = s.conf.get("spark.sql.catalog.gcat.warehouse")
+        val docs = s.read.parquet(s"$dir/documents.parquet")
+        def slice(m: Int) = docs.filter(col("doc_id") % 4 === m)
+          .select(col("doc_id"), col("lang"), col("n_chars"))
+        // the committed transaction: batch + its summary, atomically
+        graft.sources.Transactions.run(s, coord) { txn =>
+          txn.write(s"$ns.txna", slice(1))
+          txn.write(s"$ns.txnb", slice(1).groupBy(col("lang"))
+            .agg(count(lit(1)).as("cnt"), sum(col("n_chars")).as("sc")))
+        }
+        // the aborted transaction: neither side may surface
+        try graft.sources.Transactions.run(s, coord) { txn =>
+          txn.write(s"$ns.txna", slice(2))
+          throw new RuntimeException("audit rejected the batch")
+        } catch { case _: RuntimeException => () }
+        val base = s.table(s"$ns.txna").groupBy(col("lang"))
+          .agg(count(lit(1)).cast("long").as("cnt"),
+            sum(col("n_chars")).cast("long").as("sc"))
+          .select(lit("base").as("side"), col("lang"), col("cnt"), col("sc"))
+        val log = s.table(s"$ns.txnb").groupBy(col("lang"))
+          .agg(sum(col("cnt")).cast("long").as("cnt"),
+            sum(col("sc")).cast("long").as("sc"))
+          .select(lit("summary").as("side"), col("lang"), col("cnt"), col("sc"))
+        base.unionByName(log).orderBy("side", "lang")
+      },
+      Some("""WITH rows_v AS (
+          SELECT lang, n_chars FROM documents WHERE doc_id % 4 IN (0, 1)),
+        agg AS (
+          SELECT lang, CAST(count(*) AS BIGINT) AS cnt,
+                 CAST(sum(n_chars) AS BIGINT) AS sc
+          FROM rows_v GROUP BY lang)
+        SELECT 'base' AS side, lang, cnt, sc FROM agg
+        UNION ALL
+        SELECT 'summary' AS side, lang, cnt, sc FROM agg
+        ORDER BY side, lang"""),
+      // fixture: the seed batch (%4=0) and ITS summary row, committed as
+      // a transaction too — so the measured run's log-vs-base equality
+      // spans two transactional appends. Value-exact on a fresh fixture.
+      setup = Some((s, dir) => {
+        val ns = Engine.ensureCatalog(s, dir)
+        val coord = s.conf.get("spark.sql.catalog.gcat.warehouse")
+        s.sql(s"DROP TABLE IF EXISTS $ns.txna")
+        s.sql(s"DROP TABLE IF EXISTS $ns.txnb")
+        s.sql(s"CREATE TABLE $ns.txna (doc_id BIGINT, lang STRING, n_chars BIGINT)")
+        s.sql(s"CREATE TABLE $ns.txnb (lang STRING, cnt BIGINT, sc BIGINT)")
+        val seed = s.read.parquet(s"$dir/documents.parquet")
+          .filter(col("doc_id") % 4 === 0)
+          .select(col("doc_id"), col("lang"), col("n_chars"))
+        graft.sources.Transactions.run(s, coord) { txn =>
+          txn.write(s"$ns.txna", seed)
+          txn.write(s"$ns.txnb", seed.groupBy(col("lang"))
+            .agg(count(lit(1)).as("cnt"), sum(col("n_chars")).as("sc")))
+        }
+        ()
       }))
   )
 }

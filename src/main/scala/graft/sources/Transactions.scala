@@ -1,0 +1,210 @@
+package graft.sources
+
+import scala.util.control.NonFatal
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Multi-table ATOMIC transactions: stage appends to several graft
+  * tables, then make them all visible together — after a crash at ANY
+  * point, [[Transactions.recover]] converges every participant to
+  * all-published or all-discarded. The classic use is keeping an index
+  * consistent with its base (the ANN index tables of q142/q154: postings
+  * + meta must advance together or not at all), or a derived table that
+  * must never be observed ahead of / behind its source after a failure.
+  *
+  * The protocol composes the existing verified pieces — per-table WAP
+  * staging ([[Snapshots.stageWap]]: staged files invisible to every
+  * reader, vacuum-protected via the audit tag) and the atomic
+  * single-file commit point pattern the engine already uses everywhere:
+  *
+  *  1. '''stage''' — each `txn.write(table, df)` lands as a WAP append
+  *     (`wap.id = txn-<id>-<n>`) through the normal write path: files
+  *     durable, invisible, per-table lock held only inside that write;
+  *  2. '''intent''' — `<coord>/_txn/<id>.intent` lists every
+  *     `(tableDir, wapId)` participant;
+  *  3. '''decide''' — creating `<coord>/_txn/<id>.commit` (create-
+  *     exclusive, never overwritten) IS the commit point;
+  *  4. '''complete''' — each stage is published
+  *     ([[Snapshots.publishWap]]: one registry swap per table), then the
+  *     marker files are removed.
+  *
+  * Crash matrix (each arm exercised in CrashSpec):
+  *  - before the intent: stages are invisible; recover() cannot know the
+  *    participants, but each table's stage is discoverable via
+  *    [[Snapshots.listWap]] and discardable by id — and harmless
+  *    meanwhile (readers never see it);
+  *  - intent written, no commit marker: recover() rolls BACK — discards
+  *    every participant's stage (age-guarded so an in-flight transaction
+  *    isn't rolled back under the coordinator);
+  *  - commit marker exists: recover() rolls FORWARD — publishes every
+  *    stage not yet published. Publishing is idempotent through
+  *    re-crashes: a re-publish of folded adds rewrites the same entries,
+  *    and a participant whose wap-list is already gone is already live.
+  *
+  * What this does and does NOT claim: after recovery the writes are
+  * atomic — all visible or none ("atomic durability"). During the
+  * complete phase a reader can observe table A published moments before
+  * table B (no cross-table read snapshot; the same is true of every
+  * production lakehouse today). Readers needing a consistent cross-table
+  * view pin versions (`VERSION AS OF`) — the per-table snapshots the
+  * publish versions name are immutable.
+  *
+  * Scale shape: staging moves only this transaction's files; intent /
+  * commit markers are O(participants) bytes; publish is one registry
+  * swap per table. Nothing global, nothing proportional to table size.
+  */
+object Transactions {
+
+  private def fsOf(p: Path): FileSystem = p.getFileSystem(new Configuration())
+
+  private def txnDir(coordDir: String): Path = new Path(coordDir, "_txn")
+
+  /** One open transaction. Not thread-safe (one writer per txn). */
+  final class Txn private[Transactions] (
+      spark: SparkSession, coordDir: String, val id: String) {
+
+    // (tableDir, wapId) per staged write
+    private val parts = scala.collection.mutable.ArrayBuffer[(String, String)]()
+    private var n = 0
+    private var decided = false
+
+    /** Stage `df` as an APPEND to `table` (a catalog-qualified graft
+      * table). Files land durably but stay invisible to every reader
+      * until the transaction commits. Several writes to one table are
+      * fine (each is its own stage). */
+    def write(table: String, df: DataFrame): Unit = {
+      require(!decided, s"graft: txn $id already committed")
+      n += 1
+      val wapId = s"txn-$id-$n"
+      df.writeTo(table).option("wap.id", wapId).append()
+      val ident = spark.sessionState.sqlParser.parseMultipartIdentifier(table)
+      val (cat, tid) = GraftViewBridge.resolveIdent(spark, ident).getOrElse(
+        throw new IllegalArgumentException(
+          s"graft: $table is not in a graft catalog"))
+      val dir = cat.loadTable(tid).asInstanceOf[GraftTable].tableDir
+      parts += ((dir, wapId))
+    }
+
+    private[graft] def writeIntent(): Unit = {
+      val d = txnDir(coordDir)
+      val fs = fsOf(d)
+      fs.mkdirs(d)
+      val out = fs.create(new Path(d, s"$id.intent"), false)
+      try out.write(parts.map { case (dir, wap) => s"$dir\t$wap" }
+        .mkString("", "\n", "\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    }
+
+    /** The commit point: create-exclusive marker. After this returns,
+      * recovery rolls the transaction FORWARD, never back. */
+    private[graft] def decide(): Unit = {
+      fsOf(txnDir(coordDir)).create(
+        new Path(txnDir(coordDir), s"$id.commit"), false).close()
+      decided = true
+    }
+
+    private[graft] def complete(): Unit = {
+      parts.foreach { case (dir, wap) => publishIfStaged(dir, wap) }
+      val fs = fsOf(txnDir(coordDir))
+      fs.delete(new Path(txnDir(coordDir), s"$id.commit"), false)
+      fs.delete(new Path(txnDir(coordDir), s"$id.intent"), false)
+    }
+
+    /** Make every staged write visible. Idempotent through crashes when
+      * re-driven by [[recover]]. */
+    def commit(): Unit =
+      if (parts.isEmpty) decided = true // nothing staged, nothing to do
+      else { writeIntent(); decide(); complete() }
+
+    /** Discard every staged write: the transaction never happened. */
+    def rollback(): Unit = {
+      require(!decided, s"graft: txn $id already committed")
+      parts.foreach { case (dir, wap) => discardIfStaged(dir, wap) }
+      fsOf(txnDir(coordDir))
+        .delete(new Path(txnDir(coordDir), s"$id.intent"), false)
+    }
+  }
+
+  private def publishIfStaged(tableDir: String, wapId: String): Unit = {
+    val dataDir = new Path(tableDir, "data")
+    if (Snapshots.readWap(fsOf(dataDir), dataDir, wapId).isDefined)
+      Snapshots.publishWap(tableDir, wapId)
+    // else: already published by a pre-crash attempt — the adds are live
+  }
+
+  private def discardIfStaged(tableDir: String, wapId: String): Unit = {
+    val dataDir = new Path(tableDir, "data")
+    if (Snapshots.readWap(fsOf(dataDir), dataDir, wapId).isDefined)
+      Snapshots.discardWap(tableDir, wapId)
+  }
+
+  /** Open a transaction without driving it to completion — the crash-
+    * injection seam (tests stop between protocol steps and hand the
+    * mess to [[recover]]). Production code uses [[run]]. */
+  private[graft] def begin(spark: SparkSession, coordDir: String): Txn =
+    new Txn(spark, coordDir,
+      java.util.UUID.randomUUID().toString.replace("-", ""))
+
+  /** Run `body` as one transaction: all staged writes become visible
+    * together on success; any exception rolls every stage back and
+    * rethrows. Returns the transaction id. */
+  def run(spark: SparkSession, coordDir: String)(body: Txn => Unit): String = {
+    val txn = begin(spark, coordDir)
+    try { body(txn); txn.commit(); txn.id }
+    catch { case NonFatal(e) => try txn.rollback() catch { case NonFatal(_) => () }
+      throw e }
+  }
+
+  /** Converge every interrupted transaction under `coordDir`: decided
+    * ones (commit marker present) roll FORWARD — publish their remaining
+    * stages; undecided intents older than `minAgeMillis` roll BACK —
+    * discard their stages. The age guard keeps a recover run from
+    * rolling back a transaction whose coordinator is still alive between
+    * intent and decide (same discipline as vacuum's in-flight-write
+    * guard). Returns (rolledForward, rolledBack). */
+  def recover(spark: SparkSession, coordDir: String,
+      minAgeMillis: Long = 3600L * 1000): (Int, Int) = {
+    val d = txnDir(coordDir)
+    val fs = fsOf(d)
+    if (!fs.exists(d)) return (0, 0)
+    def participants(id: String): Seq[(String, String)] = {
+      val in = fs.open(new Path(d, s"$id.intent"))
+      val text = try new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+      text.split('\n').toSeq.filter(_.nonEmpty).map { line =>
+        val Array(dir, wap) = line.split('\t')
+        (dir, wap)
+      }
+    }
+    val st = fs.listStatus(d).toSeq
+    val intents = st.filter(_.getPath.getName.endsWith(".intent"))
+    val commits = st.filter(_.getPath.getName.endsWith(".commit"))
+      .map(_.getPath.getName.stripSuffix(".commit")).toSet
+    var fwd = 0
+    var back = 0
+    intents.foreach { s =>
+      val id = s.getPath.getName.stripSuffix(".intent")
+      if (commits(id)) {
+        participants(id).foreach { case (dir, wap) => publishIfStaged(dir, wap) }
+        fs.delete(new Path(d, s"$id.commit"), false)
+        fs.delete(s.getPath, false)
+        fwd += 1
+      } else if (System.currentTimeMillis() - s.getModificationTime >= minAgeMillis) {
+        participants(id).foreach { case (dir, wap) => discardIfStaged(dir, wap) }
+        fs.delete(s.getPath, false)
+        back += 1
+      }
+    }
+    // a commit marker without its intent: the pre-crash complete() already
+    // published everything and died between the two marker deletes
+    commits.foreach { id =>
+      if (!fs.exists(new Path(d, s"$id.intent")))
+        fs.delete(new Path(d, s"$id.commit"), false)
+    }
+    (fwd, back)
+  }
+}

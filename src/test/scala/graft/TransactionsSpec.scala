@@ -1,0 +1,127 @@
+package graft
+
+import java.nio.file.Files
+
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import org.apache.spark.sql.SparkSession
+
+import graft.sources.{Snapshots, Transactions}
+
+/** Multi-table atomic transactions: writes staged to several tables
+  * become visible together or not at all, through every crash
+  * interruption point of the intent → decide → complete protocol.
+  */
+class TransactionsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private val warehouse = Files.createTempDirectory("graft_txn").toString
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[8]")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+    .config("spark.sql.catalog.txc", classOf[graft.sources.GraftCatalog].getName)
+    .config("spark.sql.catalog.txc.warehouse", warehouse)
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def count(t: String): Long =
+    spark.sql(s"SELECT count(*) FROM txc.t.$t").head().getLong(0)
+
+  private def batch(from: Int, until: Int) = {
+    import spark.implicits._
+    (from until until).map(i => (i.toLong, s"v$i")).toDF("id", "s")
+  }
+
+  private def wapIds(t: String): Seq[String] = {
+    val d = new org.apache.hadoop.fs.Path(s"$warehouse/t/$t/data")
+    Snapshots.listWap(d.getFileSystem(new org.apache.hadoop.conf.Configuration()), d)
+  }
+
+  test("setup: two participant tables") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS txc.t")
+    spark.sql("CREATE TABLE txc.t.a (id BIGINT, s STRING)")
+    spark.sql("CREATE TABLE txc.t.b (id BIGINT, s STRING)")
+    spark.sql("INSERT INTO txc.t.a VALUES (0, 'seed')")
+    assert(count("a") == 1 && count("b") == 0)
+  }
+
+  test("commit publishes every table; stages invisible before commit") {
+    Transactions.run(spark, warehouse) { txn =>
+      txn.write("txc.t.a", batch(1, 6))
+      txn.write("txc.t.b", batch(1, 4))
+      // mid-transaction: both writes are durable but invisible
+      assert(count("a") == 1 && count("b") == 0,
+        "staged writes leaked before commit")
+    }
+    assert(count("a") == 6 && count("b") == 3)
+    assert(wapIds("a").isEmpty && wapIds("b").isEmpty, "stages must be consumed")
+  }
+
+  test("a body failure rolls every staged write back") {
+    val e = intercept[RuntimeException] {
+      Transactions.run(spark, warehouse) { txn =>
+        txn.write("txc.t.a", batch(100, 110))
+        txn.write("txc.t.b", batch(100, 105))
+        throw new RuntimeException("validation failed")
+      }
+    }
+    assert(e.getMessage == "validation failed")
+    assert(count("a") == 6 && count("b") == 3, "rollback must leave no rows")
+    assert(wapIds("a").isEmpty && wapIds("b").isEmpty, "rollback must drop stages")
+  }
+
+  test("crash after intent, before decide: recover rolls back (age-guarded)") {
+    val txn = Transactions.begin(spark, warehouse)
+    txn.write("txc.t.a", batch(200, 205))
+    txn.write("txc.t.b", batch(200, 203))
+    txn.writeIntent()
+    // coordinator dies here. A recover inside the age guard must NOT
+    // roll back a possibly-live transaction...
+    assert(Transactions.recover(spark, warehouse) == ((0, 0)))
+    assert(wapIds("a").size == 1 && wapIds("b").size == 1)
+    // ...but past the guard the undecided stages are discarded
+    assert(Transactions.recover(spark, warehouse, minAgeMillis = 0L) == ((0, 1)))
+    assert(count("a") == 6 && count("b") == 3)
+    assert(wapIds("a").isEmpty && wapIds("b").isEmpty)
+  }
+
+  test("crash after decide: recover rolls forward to all-visible") {
+    val txn = Transactions.begin(spark, warehouse)
+    txn.write("txc.t.a", batch(300, 310))
+    txn.write("txc.t.b", batch(300, 306))
+    txn.writeIntent()
+    txn.decide()
+    // coordinator dies before publishing anything: nothing visible yet,
+    // but the decision is durable — recovery must complete, not discard
+    assert(count("a") == 6 && count("b") == 3)
+    assert(Transactions.recover(spark, warehouse, minAgeMillis = 0L) == ((1, 0)))
+    assert(count("a") == 16 && count("b") == 9)
+    assert(wapIds("a").isEmpty && wapIds("b").isEmpty)
+    // recover is idempotent: nothing left to converge
+    assert(Transactions.recover(spark, warehouse, minAgeMillis = 0L) == ((0, 0)))
+  }
+
+  test("crash mid-complete (one table published): recover finishes the rest") {
+    val txn = Transactions.begin(spark, warehouse)
+    txn.write("txc.t.a", batch(400, 404))
+    txn.write("txc.t.b", batch(400, 402))
+    txn.writeIntent()
+    txn.decide()
+    // the pre-crash attempt published table a only
+    Snapshots.publishWap(s"$warehouse/t/a", wapIds("a").head)
+    assert(count("a") == 20 && count("b") == 9, "torn state before recovery")
+    assert(Transactions.recover(spark, warehouse, minAgeMillis = 0L) == ((1, 0)))
+    assert(count("a") == 20 && count("b") == 11,
+      "recovery must publish b exactly once and never double-publish a")
+  }
+
+  test("an empty transaction commits as a no-op") {
+    Transactions.run(spark, warehouse) { _ => () }
+    assert(count("a") == 20 && count("b") == 11)
+  }
+}
