@@ -907,6 +907,77 @@ object Engine2 {
             .agg(count(lit(1)).as("cnt"), sum(col("n_chars")).as("sc")))
         }
         ()
+      })),
+
+    // ---- q160: EXACTLY-ONCE streaming derived-table maintenance ----------
+    // DerivedMaintain is the streaming production shape of q154's
+    // incremental index: tail an append-only ingest table and, per
+    // micro-batch, derive rows from the source delta (the verified
+    // incremental scan past the recorded watermark, end PINNED at the
+    // batch's live version) and commit them TOGETHER with the watermark
+    // advance in one multi-table transaction (q159's protocol). That
+    // bracket upgrades foreachBatch's at-least-once to exactly-once for
+    // the derived tables: a replayed batch either sees the advanced
+    // watermark (empty range, no-op) or finds the transaction rolled
+    // back and re-derives — never half, never twice (crash matrix in
+    // DerivedMaintainSpec). The measured run lands two ingest commits
+    // with no maintainer running, then drains one: the derived table
+    // aggregated by lang must match the source exactly — ANY double
+    // derivation doubles a count and fails the oracle. At 100 TB this is
+    // how per-document derived tables (postings, fingerprints, quality
+    // scores) track an ingest stream with per-batch O(delta) cost and no
+    // reconciliation job.
+    QueryDef(
+      "q160_exactly_once_derive",
+      (s, dir) => {
+        val ns = Engine.ensureCatalog(s, dir)
+        s.sql(
+          s"""INSERT INTO $ns.eod
+             |SELECT doc_id, lang, n_chars
+             |FROM parquet.`$dir/documents.parquet` WHERE doc_id % 5 = 1"""
+            .stripMargin)
+        s.sql(
+          s"""INSERT INTO $ns.eod
+             |SELECT doc_id, lang, n_chars
+             |FROM parquet.`$dir/documents.parquet` WHERE doc_id % 5 = 2"""
+            .stripMargin)
+        val ckpt = java.nio.file.Files.createTempDirectory("eod_ckpt").toString
+        graft.streaming.DerivedMaintain.start(
+          s, s"$ns.eod", s"$ns.eod_meta", ckpt,
+          delta => Seq(s"$ns.eod_d" -> delta.select(
+            col("doc_id"), col("lang"), (col("n_chars") * 2).as("chars2"))))
+          .awaitTermination()
+        s.table(s"$ns.eod_d").groupBy(col("lang"))
+          .agg(count(lit(1)).cast("long").as("cnt"),
+            sum(col("chars2")).cast("long").as("sc"))
+          .orderBy("lang")
+      },
+      Some("""SELECT lang, CAST(count(*) AS BIGINT) AS cnt,
+               CAST(sum(n_chars * 2) AS BIGINT) AS sc
+        FROM documents WHERE doc_id % 5 IN (0, 1, 2)
+        GROUP BY lang ORDER BY lang"""),
+      // fixture: ingest + derived + watermark tables, seed batch already
+      // derived by one maintainer drain — the measured run is exactly the
+      // incremental path. Value-exact on a fresh fixture.
+      setup = Some((s, dir) => {
+        val ns = Engine.ensureCatalog(s, dir)
+        for (tb <- Seq("eod", "eod_d", "eod_meta"))
+          s.sql(s"DROP TABLE IF EXISTS $ns.$tb")
+        s.sql(s"CREATE TABLE $ns.eod (doc_id BIGINT, lang STRING, n_chars BIGINT)")
+        s.sql(s"CREATE TABLE $ns.eod_d (doc_id BIGINT, lang STRING, chars2 BIGINT)")
+        s.sql(s"CREATE TABLE $ns.eod_meta (indexed_version BIGINT)")
+        s.sql(
+          s"""INSERT INTO $ns.eod
+             |SELECT doc_id, lang, n_chars
+             |FROM parquet.`$dir/documents.parquet` WHERE doc_id % 5 = 0"""
+            .stripMargin)
+        val ckpt = java.nio.file.Files.createTempDirectory("eod_seed").toString
+        graft.streaming.DerivedMaintain.start(
+          s, s"$ns.eod", s"$ns.eod_meta", ckpt,
+          delta => Seq(s"$ns.eod_d" -> delta.select(
+            col("doc_id"), col("lang"), (col("n_chars") * 2).as("chars2"))))
+          .awaitTermination()
+        ()
       }))
   )
 }
