@@ -77,14 +77,16 @@ object Transactions {
       * fine (each is its own stage). */
     def write(table: String, df: DataFrame): Unit = {
       require(!decided, s"graft: txn $id already committed")
-      n += 1
-      val wapId = s"txn-$id-$n"
-      df.writeTo(table).option("wap.id", wapId).append()
+      // resolve BEFORE writing: on a non-graft table the wap.id option
+      // would be ignored and the append would land live — un-rollbackable
       val ident = spark.sessionState.sqlParser.parseMultipartIdentifier(table)
       val (cat, tid) = GraftViewBridge.resolveIdent(spark, ident).getOrElse(
         throw new IllegalArgumentException(
           s"graft: $table is not in a graft catalog"))
       val dir = cat.loadTable(tid).asInstanceOf[GraftTable].tableDir
+      n += 1
+      val wapId = s"txn-$id-$n"
+      df.writeTo(table).option("wap.id", wapId).append()
       parts += ((dir, wapId))
     }
 
@@ -165,7 +167,9 @@ object Transactions {
     * discard their stages. The age guard keeps a recover run from
     * rolling back a transaction whose coordinator is still alive between
     * intent and decide (same discipline as vacuum's in-flight-write
-    * guard). Returns (rolledForward, rolledBack). */
+    * guard) — `minAgeMillis = 0` is safe ONLY when no coordinator can be
+    * mid-transaction under this coordDir (e.g. single-maintainer
+    * startup, or tests). Returns (rolledForward, rolledBack). */
   def recover(spark: SparkSession, coordDir: String,
       minAgeMillis: Long = 3600L * 1000): (Int, Int) = {
     val d = txnDir(coordDir)
@@ -175,9 +179,16 @@ object Transactions {
       val in = fs.open(new Path(d, s"$id.intent"))
       val text = try new String(in.readAllBytes(),
         java.nio.charset.StandardCharsets.UTF_8) finally in.close()
-      text.split('\n').toSeq.filter(_.nonEmpty).map { line =>
-        val Array(dir, wap) = line.split('\t')
-        (dir, wap)
+      // a crash mid-intent-write leaves a torn last line; such a
+      // transaction is necessarily UNDECIDED (decide follows the intent),
+      // so skipping the unparsable tail only leaves that participant's
+      // stage invisible-but-undiscarded — benign, discoverable via
+      // Snapshots.listWap — while recover itself must never crash on it
+      text.split('\n').toSeq.filter(_.nonEmpty).flatMap { line =>
+        line.split('\t') match {
+          case Array(dir, wap) if wap.nonEmpty => Some((dir, wap))
+          case _ => None
+        }
       }
     }
     val st = fs.listStatus(d).toSeq
@@ -194,9 +205,23 @@ object Transactions {
         fs.delete(s.getPath, false)
         fwd += 1
       } else if (System.currentTimeMillis() - s.getModificationTime >= minAgeMillis) {
-        participants(id).foreach { case (dir, wap) => discardIfStaged(dir, wap) }
-        fs.delete(s.getPath, false)
-        back += 1
+        // recheck right before discarding: a coordinator alive past the
+        // age guard may have decided since the listing above — rolling
+        // its stages back now would silently void a reported commit.
+        // The recheck narrows that window to the discard itself; the
+        // age guard is what actually excludes live coordinators (run
+        // recover with minAgeMillis = 0 ONLY when no coordinator can be
+        // mid-transaction, e.g. single-maintainer startup)
+        if (fs.exists(new Path(d, s"$id.commit"))) {
+          participants(id).foreach { case (dir, wap) => publishIfStaged(dir, wap) }
+          fs.delete(new Path(d, s"$id.commit"), false)
+          fs.delete(s.getPath, false)
+          fwd += 1
+        } else {
+          participants(id).foreach { case (dir, wap) => discardIfStaged(dir, wap) }
+          fs.delete(s.getPath, false)
+          back += 1
+        }
       }
     }
     // a commit marker without its intent: the pre-crash complete() already

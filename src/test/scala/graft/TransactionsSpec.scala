@@ -124,4 +124,28 @@ class TransactionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     Transactions.run(spark, warehouse) { _ => () }
     assert(count("a") == 20 && count("b") == 11)
   }
+
+  test("a torn intent file (crash mid-write) cannot crash recover") {
+    val d = new org.apache.hadoop.fs.Path(warehouse, "_txn")
+    val fs = d.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    fs.mkdirs(d)
+    val out = fs.create(new org.apache.hadoop.fs.Path(d, "torn123.intent"), false)
+    out.write(s"$warehouse/t/a\ttxn-torn123-1\n$warehouse/t/b".getBytes("UTF-8"))
+    out.close()
+    // undecided + torn tail: the parsable participant is discarded (its
+    // stage doesn't exist — a no-op), the torn line is skipped, recover
+    // completes and removes the intent
+    assert(Transactions.recover(spark, warehouse, minAgeMillis = 0L) == ((0, 1)))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(d, "torn123.intent")))
+    assert(count("a") == 20 && count("b") == 11)
+  }
+
+  test("a non-graft write target fails BEFORE any rows land") {
+    intercept[IllegalArgumentException] {
+      Transactions.run(spark, warehouse) { txn =>
+        txn.write("nosuch.ns.t", batch(0, 5))
+      }
+    }
+    assert(count("a") == 20 && count("b") == 11)
+  }
 }
