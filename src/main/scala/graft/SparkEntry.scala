@@ -10,7 +10,7 @@ object SparkEntry {
   def allDefs: Seq[QueryDef] =
     q.Relational.defs ++ q.Relational2.defs ++ q.Text.defs ++ q.Dedup.defs ++
       q.Vectors.defs ++ q.Engine.defs ++ q.Media.defs ++ q.Pipeline2.defs ++
-      q.Pipeline3.defs ++ q.Engine2.defs ++ q.Pipeline4.defs
+      q.Pipeline3.defs ++ q.Engine2.defs ++ q.Pipeline4.defs ++ q.Engine3.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,165 @@
+package graft.queries
+
+import graft.QueryDef
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-8 engine gates: the persisted FULL-TEXT index — the sparse-
+  * retrieval sibling of q142's persisted ANN index. Build the inverted
+  * index ONCE into catalog tables whose files are range-clustered by
+  * token; every keyword/phrase search afterwards reads only the files
+  * that can hold its terms (registry range pruning on the pushed IN
+  * filter) — O(matching postings), never a corpus scan.
+  */
+object Engine3 {
+
+  private def ensureCatalog(s: SparkSession, dir: String): String =
+    Engine.ensureCatalog(s, dir)
+
+  /** The corpus tokenization every text gate shares (q69/q71): split on
+    * single spaces; NULL text yields no postings and a NULL doc length. */
+  private def tokenized(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), split(col("text"), " ").as("sp"))
+      .withColumn("dl", size(col("sp")).cast("long"))
+
+  /** Exactly q71's BM25 per-(doc, term) partial: rational idf variant
+    * (no log — keeps both engines bit-identical), quantized to integer
+    * micros BEFORE the per-doc sum so aggregation order cannot matter. */
+  private val bm25Part =
+    "round(((nd - df + 0.5) / (df + 0.5)) * tf * 2.2 / " +
+      "(tf + 1.2 * (0.25 + 0.75 * dl / (sl / nd))) * 1e6)"
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- q161: persisted full-text index — build once, search many -------
+    // q71 computes BM25 inline, scanning the corpus per query; the
+    // production shape tokenizes ONCE into catalog tables and serves
+    // every search from them:
+    //  - fts_post (tok, doc_id, tf, dl) — per-(doc, term) frequencies +
+    //    doc length, written range-clustered by token
+    //    (repartitionByRange + sortWithinPartitions), so each file's
+    //    registered [min, max] on `tok` is narrow and DISJOINT;
+    //  - fts_glob (nd, sl) — the two corpus constants, one row.
+    // The search pushes `tok IN (...)` into the scan: commit-time range
+    // registry entries disprove the IN-list per file, so only the files
+    // whose token range can hold a query term are ever opened
+    // (FtsSpec pins the pruned plan). Per-term document frequency falls
+    // out of the retrieved postings themselves (df = rows per term) —
+    // no separate stats table to drift. At 100 TB a 3-term query reads
+    // O(3 terms' postings), not 100 TB; the oracle replays build+serve
+    // from the raw corpus (the build is deterministic).
+    QueryDef(
+      "q161_fts_index_serve",
+      (s, dir) => {
+        val ns = ensureCatalog(s, dir)
+        val terms = Seq("join", "scan", "hash")
+        // tok IN (...) → parquet pushdown + per-file range disproof over
+        // the token-clustered files
+        val post = s.table(s"$ns.fts_post")
+          .where(col("tok").isin(terms: _*))
+        val dfx = post.groupBy(col("tok"))
+          .agg(count(lit(1)).cast("double").as("df"))
+        val glob = s.table(s"$ns.fts_glob")
+          .select(col("sl").cast("double").as("sl"),
+            col("nd").cast("double").as("nd"))
+        post.join(broadcast(dfx), "tok")
+          .crossJoin(broadcast(glob))
+          .withColumn("part", expr(bm25Part))
+          .groupBy(col("doc_id"))
+          .agg(sum(col("part")).cast("long").as("score_micro"))
+          .orderBy(desc("score_micro"), col("doc_id"))
+          .limit(20)
+      },
+      // the index build is deterministic, so serving from it ≡ q71's
+      // inline computation — the oracle replays from the raw corpus
+      Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS sp FROM documents),
+        dd AS (SELECT doc_id, CAST(len(sp) AS BIGINT) AS dl, sp FROM d),
+        g AS (SELECT CAST(SUM(dl) AS DOUBLE) AS sl, CAST(COUNT(*) AS DOUBLE) AS nd FROM dd),
+        t AS (SELECT doc_id, dl, unnest(sp) AS tok FROM dd),
+        tf AS (SELECT doc_id, dl, tok, CAST(COUNT(*) AS DOUBLE) AS tf
+               FROM t WHERE tok IN ('join', 'scan', 'hash') GROUP BY doc_id, dl, tok),
+        dfx AS (SELECT tok, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY tok),
+        parts AS (
+          SELECT tf.doc_id,
+            round(((g.nd - dfx.df + 0.5) / (dfx.df + 0.5)) * tf.tf * 2.2 /
+              (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / (g.sl / g.nd))) * 1e6) AS part
+          FROM tf JOIN dfx USING (tok) CROSS JOIN g)
+        SELECT doc_id, CAST(SUM(part) AS BIGINT) AS score_micro
+        FROM parts GROUP BY doc_id
+        ORDER BY score_micro DESC, doc_id LIMIT 20"""),
+      // build-once fixture: tokenize the corpus into the postings table,
+      // RANGE-CLUSTERED by token so the serve's IN-list file-prunes; the
+      // bench reports index BUILD (setup) and SERVE (query) separately
+      setup = Some((s, dir) => {
+        val ns = ensureCatalog(s, dir)
+        s.sql(s"DROP TABLE IF EXISTS $ns.fts_post")
+        s.sql(s"DROP TABLE IF EXISTS $ns.fts_glob")
+        s.sql(s"CREATE TABLE $ns.fts_post (tok STRING, doc_id BIGINT, tf BIGINT, dl BIGINT)")
+        s.sql(s"CREATE TABLE $ns.fts_glob (nd BIGINT, sl BIGINT)")
+        val docs = tokenized(s, dir)
+        docs.agg(count(lit(1)).cast("long").as("nd"),
+            sum(col("dl")).cast("long").as("sl"))
+          .select(col("nd"), col("sl"))
+          .writeTo(s"$ns.fts_glob").append()
+        // range-clustered postings: files carry disjoint [min, max] token
+        // ranges in the registry, the precondition for IN-list file
+        // pruning at serve time (8 range shards here; at 100 TB the shard
+        // count scales with the cluster, the clustering shape is the same)
+        docs.select(col("doc_id"), col("dl"), explode(col("sp")).as("tok"))
+          .groupBy(col("tok"), col("doc_id"), col("dl"))
+          .agg(count(lit(1)).cast("long").as("tf"))
+          .repartitionByRange(8, col("tok"))
+          .sortWithinPartitions(col("tok"), col("doc_id"))
+          .select(col("tok"), col("doc_id"), col("tf"), col("dl"))
+          .writeTo(s"$ns.fts_post").append()
+        ()
+      })),
+
+    // ---- q162: PHRASE search over the positional index -------------------
+    // Bag-of-words postings cannot answer "hash join" AS A PHRASE; the
+    // positional index (tok, doc_id, pos) can: adjacency is an equi-join
+    // of the first term's positions with the second term's positions
+    // shifted by one — per-doc, per-position, exact. Both position reads
+    // push their single-token filter into the token-clustered scan, so a
+    // phrase query over 100 TB reads O(the two terms' position lists) —
+    // the join key (doc_id, pos) is dense and never corpus-wide. The
+    // oracle rebuilds positions relationally from the raw text.
+    QueryDef(
+      "q162_fts_phrase",
+      (s, dir) => {
+        val ns = ensureCatalog(s, dir)
+        val pos = s.table(s"$ns.fts_pos")
+        val first = pos.where(col("tok") === "hash")
+          .select(col("doc_id"), col("pos"))
+        val next = pos.where(col("tok") === "join")
+          .select(col("doc_id"), (col("pos") - 1).as("pos"))
+        first.join(next, Seq("doc_id", "pos"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).cast("long").as("n_hits"))
+          .orderBy(desc("n_hits"), col("doc_id"))
+      },
+      Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS sp FROM documents),
+        u AS (SELECT doc_id, unnest(list_transform(range(1, len(sp) + 1),
+                i -> struct_pack(pos := i, tok := sp[i]))) AS u FROM d),
+        p AS (SELECT doc_id, u.pos AS pos, u.tok AS tok FROM u)
+        SELECT p1.doc_id, CAST(count(*) AS BIGINT) AS n_hits
+        FROM p p1 JOIN p p2 ON p2.doc_id = p1.doc_id AND p2.pos = p1.pos + 1
+        WHERE p1.tok = 'hash' AND p2.tok = 'join'
+        GROUP BY p1.doc_id ORDER BY n_hits DESC, p1.doc_id"""),
+      // fixture: the positional postings table, token-range-clustered like
+      // q161's — one build serves every phrase/proximity query after it
+      setup = Some((s, dir) => {
+        val ns = ensureCatalog(s, dir)
+        s.sql(s"DROP TABLE IF EXISTS $ns.fts_pos")
+        s.sql(s"CREATE TABLE $ns.fts_pos (tok STRING, doc_id BIGINT, pos BIGINT)")
+        tokenized(s, dir)
+          .select(col("doc_id"), posexplode(col("sp")).as(Seq("pos", "tok")))
+          .select(col("tok"), col("doc_id"), col("pos").cast("long").as("pos"))
+          .repartitionByRange(8, col("tok"))
+          .sortWithinPartitions(col("tok"), col("doc_id"), col("pos"))
+          .writeTo(s"$ns.fts_pos").append()
+        ()
+      }))
+  )
+}

@@ -1,0 +1,106 @@
+package graft
+
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** The persisted full-text index's serve-path contract (q161/q162): a
+  * token-RANGE-CLUSTERED postings table file-prunes keyword lookups via
+  * the commit-time range registry, and the positional phrase join is
+  * exact — including overlapping self-adjacent occurrences. Clustering
+  * is an optimization only: an unclustered copy answers identically.
+  */
+class FtsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[8]")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.sql.adaptive.enabled", "true")
+    .getOrCreate()
+
+  private lazy val wh = java.nio.file.Files
+    .createTempDirectory("graft-fts").toString
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def setupCatalog(): Unit = {
+    spark.conf.set("spark.sql.catalog.gfts",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gfts.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gfts.t")
+  }
+
+  test("token-clustered postings file-prune an IN-list lookup (plan + values)") {
+    setupCatalog()
+    import spark.implicits._
+    spark.sql("CREATE TABLE gfts.t.post (tok STRING, doc_id BIGINT, tf BIGINT)")
+    // 4 tokens × 200 rows, range-clustered into 4 files: each file's
+    // registered [min, max] on tok is a single token, so an IN-list on
+    // one token disproves every other file at planning time
+    val rows = for (t <- Seq("ant", "bee", "cat", "dog"); i <- 0 until 200)
+      yield (t, i.toLong, (i % 5 + 1).toLong)
+    rows.toDF("tok", "doc_id", "tf")
+      .repartitionByRange(4, col("tok"))
+      .sortWithinPartitions("tok", "doc_id")
+      .writeTo("gfts.t.post").append()
+
+    val all = spark.table("gfts.t.post")
+    val pruned = all.where(col("tok").isin("ant"))
+    assert(pruned.rdd.getNumPartitions < all.rdd.getNumPartitions,
+      s"range clustering must file-prune: pruned=${pruned.rdd.getNumPartitions} " +
+        s"all=${all.rdd.getNumPartitions}")
+    assert(pruned.count() == 200)
+    // multi-term serve shape: 2 of 4 files planned, values exact
+    val two = all.where(col("tok").isin("ant", "dog"))
+    assert(two.rdd.getNumPartitions < all.rdd.getNumPartitions)
+    assert(two.groupBy("tok").count().collect().map(r =>
+      r.getString(0) -> r.getLong(1)).toMap == Map("ant" -> 200L, "dog" -> 200L))
+  }
+
+  test("positional phrase join is exact, including overlapping occurrences") {
+    setupCatalog()
+    import spark.implicits._
+    // doc 1: "x x x"   → phrase "x x" hits at pos 0 and 1 (overlap counts)
+    // doc 2: "a x x b" → 1 hit;  doc 3: "x b x" → 0 hits
+    val docs = Seq((1L, "x x x"), (2L, "a x x b"), (3L, "x b x"))
+      .toDF("doc_id", "text")
+    spark.sql("CREATE TABLE gfts.t.pos (tok STRING, doc_id BIGINT, pos BIGINT)")
+    docs.select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+      .select(col("tok"), col("doc_id"), col("pos").cast("long").as("pos"))
+      .repartitionByRange(2, col("tok"))
+      .sortWithinPartitions("tok", "doc_id", "pos")
+      .writeTo("gfts.t.pos").append()
+
+    val pos = spark.table("gfts.t.pos")
+    val first = pos.where(col("tok") === "x").select(col("doc_id"), col("pos"))
+    val next = pos.where(col("tok") === "x")
+      .select(col("doc_id"), (col("pos") - 1).as("pos"))
+    val hits = first.join(next, Seq("doc_id", "pos"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hits == Map(1L -> 2L, 2L -> 1L), s"got $hits")
+  }
+
+  test("clustering is an optimization only: unclustered postings answer identically") {
+    setupCatalog()
+    import spark.implicits._
+    spark.sql("CREATE TABLE gfts.t.post_uc (tok STRING, doc_id BIGINT, tf BIGINT)")
+    // same rows as the clustered table, written in interleaved appends so
+    // every file's token range spans the domain (no pruning possible)
+    val rows = for (t <- Seq("ant", "bee", "cat", "dog"); i <- 0 until 200)
+      yield (t, i.toLong, (i % 5 + 1).toLong)
+    val df = rows.toDF("tok", "doc_id", "tf")
+    df.filter(col("doc_id") % 2 === 0).coalesce(1).writeTo("gfts.t.post_uc").append()
+    df.filter(col("doc_id") % 2 === 1).coalesce(1).writeTo("gfts.t.post_uc").append()
+
+    def serve(tbl: String): Map[Long, Long] =
+      spark.table(tbl).where(col("tok").isin("ant", "cat"))
+        .groupBy("doc_id").agg(sum(col("tf")).as("s"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(serve("gfts.t.post_uc") == serve("gfts.t.post"))
+  }
+}
