@@ -160,6 +160,72 @@ object Engine3 {
           .sortWithinPartitions(col("tok"), col("doc_id"), col("pos"))
           .writeTo(s"$ns.fts_pos").append()
         ()
+      })),
+
+    // ---- q163: COPY INTO — exactly-once external-file ingest --------------
+    // A landing zone (an upstream job's drop directory) is loaded into a
+    // graft table exactly once PER FILE: CopyInto lists the zone,
+    // anti-joins the loaded-files LOG TABLE (distributed — the log is
+    // never collected), and commits the new files' rows + their log
+    // entries in ONE multi-table transaction (q159's protocol), so a
+    // crashed or re-run loader can never double-ingest. The measured run
+    // drops a second batch into the SAME zone, copies (only the new
+    // files load), then copies again (loads nothing) — the loaded-file
+    // counts are pinned as literals and the table must equal the oracle's
+    // union of both batches. At 100 TB this is the nightly vendor-drop
+    // path: list one directory, move only new files, no reconciliation.
+    QueryDef(
+      "q163_copy_into",
+      (s, dir) => {
+        val ns = ensureCatalog(s, dir)
+        val wh = s.conf.get("spark.sql.catalog.gcat.warehouse")
+        val src = s"$wh/ci_src"
+        s.read.parquet(s"$dir/documents.parquet")
+          .filter(col("doc_id") % 3 === 1)
+          .select(col("doc_id"), col("lang"), col("n_chars"))
+          .repartition(3)
+          .write.mode("append").parquet(src)
+        val n2 = graft.sources.CopyInto.run(s, wh, s"$ns.ci_docs", s"$ns.ci_log", src).size
+        val n3 = graft.sources.CopyInto.run(s, wh, s"$ns.ci_docs", s"$ns.ci_log", src).size
+        val filesTotal = s.table(s"$ns.ci_log")
+          .agg(count(lit(1)).cast("long").as("files_total"))
+        s.table(s"$ns.ci_docs").groupBy(col("lang"))
+          .agg(count(lit(1)).cast("long").as("n"),
+            sum(col("n_chars")).cast("long").as("chars"),
+            sum(col("doc_id")).cast("long").as("id_sum"))
+          .withColumn("loaded_second", lit(n2.toLong))
+          .withColumn("loaded_third", lit(n3.toLong))
+          .crossJoin(broadcast(filesTotal))
+          .orderBy(col("lang"))
+      },
+      Some("""SELECT lang, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(n_chars) AS BIGINT) AS chars,
+               CAST(sum(doc_id) AS BIGINT) AS id_sum,
+               CAST(3 AS BIGINT) AS loaded_second,
+               CAST(0 AS BIGINT) AS loaded_third,
+               CAST(5 AS BIGINT) AS files_total
+        FROM documents WHERE doc_id % 3 IN (0, 1)
+        GROUP BY lang ORDER BY lang"""),
+      // fixture: the target + log tables, the landing zone seeded with
+      // batch 1 (2 files) and already copied once — the measured run is
+      // exactly one incremental drop + the idempotent re-run
+      setup = Some((s, dir) => {
+        val ns = ensureCatalog(s, dir)
+        val wh = s.conf.get("spark.sql.catalog.gcat.warehouse")
+        val src = new org.apache.hadoop.fs.Path(s"$wh/ci_src")
+        val fs = src.getFileSystem(new org.apache.hadoop.conf.Configuration())
+        fs.delete(src, true)
+        s.sql(s"DROP TABLE IF EXISTS $ns.ci_docs")
+        s.sql(s"DROP TABLE IF EXISTS $ns.ci_log")
+        s.sql(s"CREATE TABLE $ns.ci_docs (doc_id BIGINT, lang STRING, n_chars BIGINT)")
+        s.sql(s"CREATE TABLE $ns.ci_log (file_name STRING, n_bytes BIGINT)")
+        s.read.parquet(s"$dir/documents.parquet")
+          .filter(col("doc_id") % 3 === 0)
+          .select(col("doc_id"), col("lang"), col("n_chars"))
+          .repartition(2)
+          .write.mode("append").parquet(src.toString)
+        graft.sources.CopyInto.run(s, wh, s"$ns.ci_docs", s"$ns.ci_log", src.toString)
+        ()
       }))
   )
 }
