@@ -30,6 +30,52 @@ object Engine3 {
     "round(((nd - df + 0.5) / (df + 0.5)) * tf * 2.2 / " +
       "(tf + 1.2 * (0.25 + 0.75 * dl / (sl / nd))) * 1e6)"
 
+  /** [[Vectors]]' integer-exact embedding arithmetic (per-element products
+    * quantized at 1e9 — sums of exact integers in double, order-free). */
+  private val n2E = "aggregate(%s, 0D, (a, x) -> a + round(x * x * 1e9))"
+  private val dotE =
+    "aggregate(zip_with(%s, %s, (x, y) -> round(x * y * 1e9)), 0D, (a, p) -> a + p)"
+
+  /** Per-(doc, term) BM25 scores served from the persisted index — the
+    * ONE sparse-retrieval routine q161 and q164 share. */
+  private def bm25Scores(s: SparkSession, ns: String, terms: Seq[String]): DataFrame = {
+    val post = s.table(s"$ns.fts_post").where(col("tok").isin(terms: _*))
+    val dfx = post.groupBy(col("tok"))
+      .agg(count(lit(1)).cast("double").as("df"))
+    val glob = s.table(s"$ns.fts_glob")
+      .select(col("sl").cast("double").as("sl"),
+        col("nd").cast("double").as("nd"))
+    post.join(broadcast(dfx), "tok")
+      .crossJoin(broadcast(glob))
+      .withColumn("part", expr(bm25Part))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("part")).as("score"))
+  }
+
+  /** Build the q161 index tables (idempotent) — shared by q161/q164. */
+  private def buildFtsIndex(s: SparkSession, dir: String, ns: String): Unit = {
+    s.sql(s"DROP TABLE IF EXISTS $ns.fts_post")
+    s.sql(s"DROP TABLE IF EXISTS $ns.fts_glob")
+    s.sql(s"CREATE TABLE $ns.fts_post (tok STRING, doc_id BIGINT, tf BIGINT, dl BIGINT)")
+    s.sql(s"CREATE TABLE $ns.fts_glob (nd BIGINT, sl BIGINT)")
+    val docs = tokenized(s, dir)
+    docs.agg(count(lit(1)).cast("long").as("nd"),
+        sum(col("dl")).cast("long").as("sl"))
+      .select(col("nd"), col("sl"))
+      .writeTo(s"$ns.fts_glob").append()
+    // range-clustered postings: files carry disjoint [min, max] token
+    // ranges in the registry, the precondition for IN-list file pruning
+    // at serve time (8 range shards here; at 100 TB the shard count
+    // scales with the cluster, the clustering shape is the same)
+    docs.select(col("doc_id"), col("dl"), explode(col("sp")).as("tok"))
+      .groupBy(col("tok"), col("doc_id"), col("dl"))
+      .agg(count(lit(1)).cast("long").as("tf"))
+      .repartitionByRange(8, col("tok"))
+      .sortWithinPartitions(col("tok"), col("doc_id"))
+      .select(col("tok"), col("doc_id"), col("tf"), col("dl"))
+      .writeTo(s"$ns.fts_post").append()
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // ---- q161: persisted full-text index — build once, search many -------
@@ -53,21 +99,10 @@ object Engine3 {
       "q161_fts_index_serve",
       (s, dir) => {
         val ns = ensureCatalog(s, dir)
-        val terms = Seq("join", "scan", "hash")
         // tok IN (...) → parquet pushdown + per-file range disproof over
-        // the token-clustered files
-        val post = s.table(s"$ns.fts_post")
-          .where(col("tok").isin(terms: _*))
-        val dfx = post.groupBy(col("tok"))
-          .agg(count(lit(1)).cast("double").as("df"))
-        val glob = s.table(s"$ns.fts_glob")
-          .select(col("sl").cast("double").as("sl"),
-            col("nd").cast("double").as("nd"))
-        post.join(broadcast(dfx), "tok")
-          .crossJoin(broadcast(glob))
-          .withColumn("part", expr(bm25Part))
-          .groupBy(col("doc_id"))
-          .agg(sum(col("part")).cast("long").as("score_micro"))
+        // the token-clustered files (inside bm25Scores)
+        bm25Scores(s, ns, Seq("join", "scan", "hash"))
+          .select(col("doc_id"), col("score").cast("long").as("score_micro"))
           .orderBy(desc("score_micro"), col("doc_id"))
           .limit(20)
       },
@@ -91,30 +126,8 @@ object Engine3 {
       // build-once fixture: tokenize the corpus into the postings table,
       // RANGE-CLUSTERED by token so the serve's IN-list file-prunes; the
       // bench reports index BUILD (setup) and SERVE (query) separately
-      setup = Some((s, dir) => {
-        val ns = ensureCatalog(s, dir)
-        s.sql(s"DROP TABLE IF EXISTS $ns.fts_post")
-        s.sql(s"DROP TABLE IF EXISTS $ns.fts_glob")
-        s.sql(s"CREATE TABLE $ns.fts_post (tok STRING, doc_id BIGINT, tf BIGINT, dl BIGINT)")
-        s.sql(s"CREATE TABLE $ns.fts_glob (nd BIGINT, sl BIGINT)")
-        val docs = tokenized(s, dir)
-        docs.agg(count(lit(1)).cast("long").as("nd"),
-            sum(col("dl")).cast("long").as("sl"))
-          .select(col("nd"), col("sl"))
-          .writeTo(s"$ns.fts_glob").append()
-        // range-clustered postings: files carry disjoint [min, max] token
-        // ranges in the registry, the precondition for IN-list file
-        // pruning at serve time (8 range shards here; at 100 TB the shard
-        // count scales with the cluster, the clustering shape is the same)
-        docs.select(col("doc_id"), col("dl"), explode(col("sp")).as("tok"))
-          .groupBy(col("tok"), col("doc_id"), col("dl"))
-          .agg(count(lit(1)).cast("long").as("tf"))
-          .repartitionByRange(8, col("tok"))
-          .sortWithinPartitions(col("tok"), col("doc_id"))
-          .select(col("tok"), col("doc_id"), col("tf"), col("dl"))
-          .writeTo(s"$ns.fts_post").append()
-        ()
-      })),
+      setup = Some((s, dir) =>
+        buildFtsIndex(s, dir, ensureCatalog(s, dir)))),
 
     // ---- q162: PHRASE search over the positional index -------------------
     // Bag-of-words postings cannot answer "hash join" AS A PHRASE; the
@@ -226,6 +239,98 @@ object Engine3 {
           .write.mode("append").parquet(src.toString)
         graft.sources.CopyInto.run(s, wh, s"$ns.ci_docs", s"$ns.ci_log", src.toString)
         ()
-      }))
+      })),
+
+    // ---- q164: hybrid retrieval — reciprocal-rank fusion ------------------
+    // Production RAG retrieval is HYBRID: a sparse BM25 ranking (exact
+    // term matches, rare identifiers) fused with a dense embedding
+    // ranking (semantic similarity) via reciprocal-rank fusion:
+    // rrf(d) = Σ 1/(60 + rank_i(d)). Both rankings come from engine
+    // primitives this library already serves at scale — BM25 from the
+    // q161 postings index (IN-list file-pruned scan), cosine from the
+    // embedding table (the q27 brute-force probe; q142's IVF-PQ index is
+    // the drop-in at corpus scale) — and both top-20 cuts use the
+    // map-side-combining TopKAgg, so no reducer ever sees a corpus-sized
+    // group and NO global window exists anywhere in the plan. RRF itself
+    // is rank arithmetic: engine-exact, tiny (the two 20-row lists), and
+    // the oracle replays the whole fusion relationally.
+    QueryDef(
+      "q164_hybrid_rrf",
+      (s, dir) => {
+        val ns = ensureCatalog(s, dir)
+        val topk = udaf(graft.functions.TopKAgg(20),
+          org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[graft.functions.TopKIn]())
+        // sparse: BM25 top-20 from the persisted index (scores are exact
+        // integer micros in double — TopKAgg's (score DESC, id ASC) is
+        // the oracle's ROW_NUMBER tie-break)
+        val sr = bm25Scores(s, ns, Seq("join", "scan", "hash"))
+          .agg(topk(col("score"), col("doc_id")).as("top"))
+          .select(posexplode(col("top")))
+          .select((col("pos") + 1).cast("long").as("rank_s"),
+            col("col.id").as("doc_id"))
+        // dense: exact cosine of query vector 0 vs the corpus (vec_id
+        // aligns with doc_id); quantized dot/norms — bit-identical ranks
+        val e = s.read.parquet(s"$dir/embeddings.parquet")
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+        val q0 = e.filter(col("vec_id") === 0).select(col("e").as("qe"))
+        val dr = e.filter(col("vec_id") =!= 0)
+          .select(col("vec_id").as("vid"), col("e").as("ve"))
+          .crossJoin(broadcast(q0))
+          .withColumn("dot", expr(dotE.format("qe", "ve")))
+          .withColumn("qn2", expr(n2E.format("qe")))
+          .withColumn("vn2", expr(n2E.format("ve")))
+          .withColumn("cos", expr("dot / sqrt(qn2 * vn2)"))
+          .agg(topk(col("cos"), col("vid")).as("top"))
+          .select(posexplode(col("top")))
+          .select((col("pos") + 1).cast("long").as("rank_d"),
+            col("col.id").as("doc_id"))
+        // fusion: two 20-row lists, full outer on doc_id; a doc missing
+        // from one list contributes 0 from that side
+        sr.join(dr, Seq("doc_id"), "full_outer")
+          .withColumn("rrf_nano", expr(
+            "cast(round((coalesce(1.0 / (60 + cast(rank_s as double)), 0.0) + " +
+              "coalesce(1.0 / (60 + cast(rank_d as double)), 0.0)) * 1e9) as bigint)"))
+          .select(col("doc_id"), col("rank_s"), col("rank_d"), col("rrf_nano"))
+          .orderBy(desc("rrf_nano"), col("doc_id"))
+      },
+      Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS sp FROM documents),
+        dd AS (SELECT doc_id, CAST(len(sp) AS BIGINT) AS dl, sp FROM d),
+        g AS (SELECT CAST(SUM(dl) AS DOUBLE) AS sl, CAST(COUNT(*) AS DOUBLE) AS nd FROM dd),
+        t AS (SELECT doc_id, dl, unnest(sp) AS tok FROM dd),
+        tf AS (SELECT doc_id, dl, tok, CAST(COUNT(*) AS DOUBLE) AS tf
+               FROM t WHERE tok IN ('join', 'scan', 'hash') GROUP BY doc_id, dl, tok),
+        dfx AS (SELECT tok, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY tok),
+        parts AS (
+          SELECT tf.doc_id,
+            round(((g.nd - dfx.df + 0.5) / (dfx.df + 0.5)) * tf.tf * 2.2 /
+              (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / (g.sl / g.nd))) * 1e6) AS part
+          FROM tf JOIN dfx USING (tok) CROSS JOIN g),
+        sparse AS (SELECT doc_id, SUM(part) AS score FROM parts GROUP BY doc_id),
+        sr AS (SELECT doc_id, rank_s FROM (
+          SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rank_s
+          FROM sparse) WHERE rank_s <= 20),
+        norms AS (SELECT vec_id,
+            list_sum(list_transform(embedding,
+              x -> round(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) * 1e9))) AS n2
+          FROM embeddings),
+        q0 AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+        dots AS (SELECT c.vec_id AS vid,
+            list_sum(list_transform(range(1, len(q.embedding) + 1),
+              i -> round(CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE) * 1e9))) AS dot
+          FROM embeddings c, q0 q WHERE c.vec_id <> 0),
+        scored AS (SELECT vid, dot / sqrt(nq.n2 * nv.n2) AS cos
+          FROM dots JOIN norms nq ON nq.vec_id = 0 JOIN norms nv ON nv.vec_id = vid),
+        dr AS (SELECT vid AS doc_id, rank_d FROM (
+          SELECT vid, ROW_NUMBER() OVER (ORDER BY cos DESC, vid) AS rank_d
+          FROM scored) WHERE rank_d <= 20),
+        f AS (SELECT COALESCE(sr.doc_id, dr.doc_id) AS doc_id, sr.rank_s, dr.rank_d
+              FROM sr FULL OUTER JOIN dr ON sr.doc_id = dr.doc_id)
+        SELECT doc_id, rank_s, rank_d,
+          CAST(round((coalesce(1.0 / (60 + rank_s), 0.0) +
+                      coalesce(1.0 / (60 + rank_d), 0.0)) * 1e9) AS BIGINT) AS rrf_nano
+        FROM f ORDER BY rrf_nano DESC, doc_id"""),
+      // fixture: the same q161 index build — hybrid serving reuses it
+      setup = Some((s, dir) =>
+        buildFtsIndex(s, dir, ensureCatalog(s, dir))))
   )
 }
