@@ -331,6 +331,66 @@ object Engine3 {
         FROM f ORDER BY rrf_nano DESC, doc_id"""),
       // fixture: the same q161 index build — hybrid serving reuses it
       setup = Some((s, dir) =>
-        buildFtsIndex(s, dir, ensureCatalog(s, dir))))
+        buildFtsIndex(s, dir, ensureCatalog(s, dir)))),
+
+    // ---- q165: CHECKSUM TABLE — replica verification without data motion --
+    // "Is the replica byte-for-byte the source?" answered by comparing ONE
+    // row per side: CHECKSUM TABLE computes an order-independent content
+    // digest (sum of per-row xxhash64 in decimal(38,0) — overflow-free,
+    // partial-aggregation-order-free) over one distributed scan. The gate
+    // holds the same logical rows in three physical disguises — the
+    // source (unpartitioned copy-on-write), the replica (lang-partitioned
+    // MERGE-ON-READ), and a tampered copy (one value off in one row) —
+    // deletes the same slice from all three (a COW rewrite on one side,
+    // MOR delete entries on the other), and must find source ≡ replica
+    // but source ≠ tampered: the digest sees logical content through any
+    // layout, clustering, or mutation history. At 100 TB this replaces a
+    // cross-cluster row-level diff with two metadata-sized answers.
+    QueryDef(
+      "q165_checksum_replica",
+      (s, dir) => {
+        val ns = ensureCatalog(s, dir)
+        for (t <- Seq("cks_src", "cks_rep", "cks_tam"))
+          s.sql(s"DELETE FROM $ns.$t WHERE doc_id % 9 = 4")
+        def cks(t: String): (Long, java.math.BigDecimal) = {
+          val r = s.sql(s"CHECKSUM TABLE $ns.$t").collect().head
+          (r.getLong(0), r.getDecimal(1))
+        }
+        val (srcN, srcC) = cks("cks_src")
+        val (repN, repC) = cks("cks_rep")
+        val (tamN, tamC) = cks("cks_tam")
+        s.range(1).select(
+          lit(srcN).as("rows"),
+          lit(repN == srcN && repC.compareTo(srcC) == 0).as("replica_equal"),
+          lit(tamN == srcN && tamC.compareTo(srcC) == 0).as("tampered_equal"))
+      },
+      Some("""SELECT CAST(count(*) AS BIGINT) AS rows,
+               true AS replica_equal, false AS tampered_equal
+        FROM documents WHERE doc_id % 9 <> 4"""),
+      // fixture: the same logical rows in three physical disguises
+      setup = Some((s, dir) => {
+        val ns = ensureCatalog(s, dir)
+        for (t <- Seq("cks_src", "cks_rep", "cks_tam"))
+          s.sql(s"DROP TABLE IF EXISTS $ns.$t")
+        s.sql(
+          s"""CREATE TABLE $ns.cks_src AS
+             |SELECT CAST(doc_id AS STRING) AS row_key, doc_id, lang, n_chars
+             |FROM parquet.`$dir/documents.parquet`""".stripMargin)
+        s.sql(
+          s"""CREATE TABLE $ns.cks_rep
+             |PARTITIONED BY (lang)
+             |TBLPROPERTIES ('${graft.sources.GraftDeletes.ModeProp}' =
+             |  'merge-on-read')
+             |AS SELECT CAST(doc_id AS STRING) AS row_key, doc_id, lang,
+             |          n_chars
+             |FROM parquet.`$dir/documents.parquet`""".stripMargin)
+        s.sql(
+          s"""CREATE TABLE $ns.cks_tam AS
+             |SELECT CAST(doc_id AS STRING) AS row_key, doc_id, lang,
+             |       n_chars + CASE WHEN doc_id % 101 = 7 THEN 1 ELSE 0 END
+             |         AS n_chars
+             |FROM parquet.`$dir/documents.parquet`""".stripMargin)
+        ()
+      }))
   )
 }

@@ -19,7 +19,9 @@ import org.apache.spark.sql.types.{IntegerType, LongType}
   *  - `RESTORE [TABLE] t [TO] VERSION AS OF <v | 'tag'>` /
   *    `RESTORE ... TIMESTAMP AS OF '<ts>'` → [[Snapshots.restore]];
   *  - `ANALYZE TABLE t COMPUTE STATISTICS [FOR COLUMNS c1, c2]` (standard
-  *    Spark grammar, but aimed at a graft catalog) → [[Analyze.run]].
+  *    Spark grammar, but aimed at a graft catalog) → [[Analyze.run]];
+  *  - `CHECKSUM TABLE t` → order-independent content digest
+  *    ([[GraftChecksumCommand]]).
   *
   * Each command resolves its identifier exactly like the view bridge: a
   * 3-part name whose head is a registered [[GraftCatalog]], or 1-2 parts
@@ -41,6 +43,8 @@ object MaintenanceSql {
     """(?is)\s*ANALYZE\s+TABLE\s+([\w.`]+)\s+COMPUTE\s+STATISTICS(?:\s+FOR\s+COLUMNS\s+([\w`]+(?:\s*,\s*[\w`]+)*))?\s*;?\s*""".r
   private val History =
     """(?is)\s*DESCRIBE\s+HISTORY\s+([\w.`]+)\s*;?\s*""".r
+  private val Checksum =
+    """(?is)\s*CHECKSUM\s+TABLE\s+([\w.`]+)\s*;?\s*""".r
   private val Detail =
     """(?is)\s*DESCRIBE\s+DETAIL\s+([\w.`]+)\s*;?\s*""".r
   private val CreateTag =
@@ -98,6 +102,8 @@ object MaintenanceSql {
           Option(forCols).map(cols).getOrElse(Nil)))
       case History(id) if graft(parts(id)) =>
         Some(GraftHistoryCommand(parts(id)))
+      case Checksum(id) if graft(parts(id)) =>
+        Some(GraftChecksumCommand(parts(id)))
       case Detail(id) if graft(parts(id)) =>
         Some(GraftDetailCommand(parts(id)))
       case CreateTag(id, name, v) if graft(parts(id)) =>
@@ -425,6 +431,41 @@ final case class GraftDetailCommand(parts: Seq[String])
       String.valueOf(Option(props.get("write.sort.columns")).getOrElse("")),
       String.valueOf(Option(props.get(GraftDeletes.ModeProp))
         .getOrElse("copy-on-write"))))
+  }
+}
+
+/** `CHECKSUM TABLE t` — an order-independent digest of the table's LIVE
+  * logical content: `sum(xxhash64(c1, ..., cn) :: decimal(38,0))` over
+  * one distributed scan, plus the exact row count. Two tables holding the
+  * same rows checksum equal REGARDLESS of physical layout — file count,
+  * partitioning, clustering, row order, copy-on-write vs merge-on-read
+  * history (the digest reads through the scan, so outstanding equality
+  * deletes are applied) — which makes it the replica-verification
+  * primitive pairing with the CDC apply path: compare one row per side
+  * instead of shipping either table. Column ORDER and types follow the
+  * table schema (replicas must share the declaration, which the CDC
+  * apply path guarantees). The per-row hash skips NULL-valued columns
+  * (xxhash64 semantics), so rows differing only in WHICH of two
+  * same-typed columns is null can collide — a checksum, not a proof;
+  * the decimal(38,0) accumulation is overflow-free to ~2^63 rows. */
+final case class GraftChecksumCommand(parts: Seq[String])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    MaintenanceSql.attr("rows", LongType),
+    MaintenanceSql.attr("checksum",
+      org.apache.spark.sql.types.DecimalType(38, 0)))
+  override def run(session: SparkSession): Seq[Row] = {
+    import org.apache.spark.sql.functions._
+    val df = session.table(parts.map(p => s"`$p`").mkString("."))
+    val row = df.agg(
+      count(lit(1)).cast("long").as("rows"),
+      coalesce(
+        sum(xxhash64(df.schema.fieldNames.toIndexedSeq.map(col): _*)
+          .cast(org.apache.spark.sql.types.DecimalType(38, 0))),
+        lit(java.math.BigDecimal.ZERO)
+          .cast(org.apache.spark.sql.types.DecimalType(38, 0))).as("checksum"))
+      .head()
+    Seq(Row(row.getLong(0), row.getDecimal(1)))
   }
 }
 

@@ -103,4 +103,41 @@ class FtsSpec extends AnyFunSuite with BeforeAndAfterAll {
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(serve("gfts.t.post_uc") == serve("gfts.t.post"))
   }
+
+  test("streaming maintenance keeps the postings current with the ingest (exactly once)") {
+    // the production FTS lifecycle: DerivedMaintain tails the document
+    // ingest table and derives each batch's postings exactly once (q160's
+    // transactional bracket) — after two separate drains the postings
+    // table must equal a from-scratch recompute, with no doubled rows
+    setupCatalog()
+    import spark.implicits._
+    spark.sql("CREATE TABLE gfts.t.docs (doc_id BIGINT, text STRING)")
+    spark.sql("CREATE TABLE gfts.t.posts (tok STRING, doc_id BIGINT, tf BIGINT)")
+    spark.sql("CREATE TABLE gfts.t.meta (indexed_version BIGINT)")
+    def derive(delta: org.apache.spark.sql.DataFrame) =
+      Seq("gfts.t.posts" -> delta
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .groupBy(col("tok"), col("doc_id"))
+        .agg(count(lit(1)).as("tf"))
+        .select(col("tok"), col("doc_id"), col("tf")))
+    def drain(): Unit = graft.streaming.DerivedMaintain.start(
+      spark, "gfts.t.docs", "gfts.t.meta",
+      java.nio.file.Files.createTempDirectory("fts_ckpt").toString, derive)
+      .awaitTermination()
+
+    Seq((1L, "a b a"), (2L, "b c")).toDF("doc_id", "text")
+      .writeTo("gfts.t.docs").append()
+    drain()
+    Seq((3L, "a a a")).toDF("doc_id", "text")
+      .writeTo("gfts.t.docs").append()
+    drain()
+
+    val got = spark.table("gfts.t.posts").collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val want = spark.table("gfts.t.docs")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy("tok", "doc_id").agg(count(lit(1)).as("tf"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == want, s"postings must equal a full recompute: $got vs $want")
+  }
 }
