@@ -391,6 +391,183 @@ object Engine3 {
              |         AS n_chars
              |FROM parquet.`$dir/documents.parquet`""".stripMargin)
         ()
+      })),
+
+    // ---- q166: SHALLOW CLONE — zero-copy table branch ----------------------
+    // `CREATE TABLE dst SHALLOW CLONE src` copies O(manifest) METADATA and
+    // zero data: the clone's registry references the source snapshot's
+    // files (`ext:` keys) and pins it with a vacuum-proof tag. The gate
+    // clones the corpus table, then mutates BOTH sides differently (COW
+    // DELETE on the clone, a different DELETE on the source) and reads
+    // per-lang aggregates from each: full divergence from one shared set
+    // of files. `files_copied` pins the zero-copy claim itself — the
+    // number of data files in the clone's directory immediately after
+    // the clone MUST be 0 (the oracle carries it as a literal). At
+    // 100 TB this is the dev-branch / experiment-fork primitive:
+    // branching the corpus costs a manifest write, not a copy.
+    QueryDef(
+      "q166_shallow_clone",
+      (s, dir) => {
+        val ns = ensureCatalog(s, dir)
+        s.sql(s"DROP TABLE IF EXISTS $ns.sc_cl")
+        s.sql(s"CREATE TABLE $ns.sc_cl SHALLOW CLONE $ns.sc_src")
+        // zero-copy evidence, captured BEFORE the clone's own mutation
+        // lands rewrite files in its directory (driver-side listing of
+        // ONE directory — metadata-sized)
+        val wh = s.conf.get("spark.sql.catalog.gcat.warehouse")
+        val cloneData = new org.apache.hadoop.fs.Path(s"$wh/${ns.split('.')(1)}/sc_cl/data")
+        val fs = cloneData.getFileSystem(new org.apache.hadoop.conf.Configuration())
+        var filesCopied = 0L
+        val it = fs.listFiles(cloneData, true)
+        while (it.hasNext)
+          if (it.next().getPath.getName.endsWith(".parquet")) filesCopied += 1
+        // diverge: COW DELETE on the clone, a DIFFERENT delete on the
+        // source — both read from the same original files
+        s.sql(s"DELETE FROM $ns.sc_cl WHERE doc_id % 7 = 3")
+        s.sql(s"DELETE FROM $ns.sc_src WHERE doc_id % 5 = 0")
+        def agg(t: String, pfx: String): DataFrame =
+          s.table(s"$ns.$t").groupBy(col("lang"))
+            .agg(count(lit(1)).cast("long").as(s"${pfx}_n"),
+              sum(col("n_chars")).cast("long").as(s"${pfx}_chars"))
+        agg("sc_cl", "clone").join(agg("sc_src", "src"), Seq("lang"))
+          .withColumn("files_copied", lit(filesCopied))
+          .orderBy(col("lang"))
+      },
+      Some("""WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS clone_n,
+                     CAST(sum(n_chars) AS BIGINT) AS clone_chars
+              FROM documents WHERE doc_id % 7 <> 3 GROUP BY lang),
+           s AS (SELECT lang, CAST(count(*) AS BIGINT) AS src_n,
+                     CAST(sum(n_chars) AS BIGINT) AS src_chars
+              FROM documents WHERE doc_id % 5 <> 0 GROUP BY lang)
+        SELECT c.lang, clone_n, clone_chars, src_n, src_chars,
+               CAST(0 AS BIGINT) AS files_copied
+        FROM c JOIN s USING (lang) ORDER BY lang"""),
+      // fixture: a fresh source each run — the measured statement clones
+      // the PRISTINE corpus table, so the gate is idempotent
+      setup = Some((s, dir) => {
+        val ns = ensureCatalog(s, dir)
+        s.sql(s"DROP TABLE IF EXISTS $ns.sc_cl")
+        s.sql(s"DROP TABLE IF EXISTS $ns.sc_src")
+        s.sql(
+          s"""CREATE TABLE $ns.sc_src AS
+             |SELECT CAST(doc_id AS STRING) AS row_key, doc_id, lang, n_chars
+             |FROM parquet.`$dir/documents.parquet`""".stripMargin)
+        ()
+      })),
+
+    // ---- q167: replica DIFF + targeted repair via grouped checksums -------
+    // `CHECKSUM TABLE t GROUP BY lang` returns ONE digest row per group —
+    // so "which part of the replica diverged?" costs two |groups|-row
+    // frames instead of a cross-cluster row diff. The gate's replica
+    // carries a corruption in exactly one lang; the measured run compares
+    // grouped digests (driver-side, metadata-sized), repairs ONLY the
+    // diverged group — a METADATA-ONLY partition DELETE on the
+    // lang-partitioned replica + one partition-PRUNED insert from the
+    // source — and re-verifies whole-table digests. n_diverged and the
+    // final equality are pinned: repairing too much, too little, or not
+    // converging all fail. At 100 TB: diff = 2 scans summarized to
+    // |partitions| rows, repair = one partition's bytes, verify = 2 rows.
+    QueryDef(
+      "q167_replica_repair",
+      (s, dir) => {
+        val ns = ensureCatalog(s, dir)
+        def grouped(t: String): Map[String, (Long, java.math.BigDecimal)] =
+          s.sql(s"CHECKSUM TABLE $ns.$t GROUP BY lang").collect()
+            .map(r => r.getString(0) -> (r.getLong(1), r.getDecimal(2))).toMap
+        val (src, rep) = (grouped("rr_src"), grouped("rr_rep"))
+        val diverged = (src.keySet ++ rep.keySet)
+          .filter(l => src.get(l) != rep.get(l)).toSeq.sorted
+        for (l <- diverged) {
+          s.sql(s"DELETE FROM $ns.rr_rep WHERE lang = '$l'")
+          s.sql(s"INSERT INTO $ns.rr_rep SELECT * FROM $ns.rr_src WHERE lang = '$l'")
+        }
+        def whole(t: String): (Long, java.math.BigDecimal) = {
+          val r = s.sql(s"CHECKSUM TABLE $ns.$t").collect().head
+          (r.getLong(0), r.getDecimal(1))
+        }
+        val (sw, rw) = (whole("rr_src"), whole("rr_rep"))
+        s.table(s"$ns.rr_rep").groupBy(col("lang"))
+          .agg(count(lit(1)).cast("long").as("n"),
+            sum(col("n_chars")).cast("long").as("chars"))
+          .withColumn("n_diverged", lit(diverged.size.toLong))
+          .withColumn("repaired_equal",
+            lit(sw._1 == rw._1 && sw._2.compareTo(rw._2) == 0))
+          .orderBy(col("lang"))
+      },
+      Some("""SELECT lang, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(n_chars) AS BIGINT) AS chars,
+               CAST(1 AS BIGINT) AS n_diverged, true AS repaired_equal
+        FROM documents GROUP BY lang ORDER BY lang"""),
+      // fixture: source = the corpus, lang-partitioned; replica = the
+      // same rows except a one-lang corruption (n_chars off by one on a
+      // doc_id slice of 'en' only)
+      setup = Some((s, dir) => {
+        val ns = ensureCatalog(s, dir)
+        s.sql(s"DROP TABLE IF EXISTS $ns.rr_src")
+        s.sql(s"DROP TABLE IF EXISTS $ns.rr_rep")
+        s.sql(
+          s"""CREATE TABLE $ns.rr_src
+             |PARTITIONED BY (lang) AS
+             |SELECT CAST(doc_id AS STRING) AS row_key, doc_id, n_chars, lang
+             |FROM parquet.`$dir/documents.parquet`""".stripMargin)
+        s.sql(
+          s"""CREATE TABLE $ns.rr_rep
+             |PARTITIONED BY (lang) AS
+             |SELECT CAST(doc_id AS STRING) AS row_key, doc_id,
+             |       n_chars + CASE WHEN lang = 'en' AND doc_id % 13 = 5
+             |                      THEN 1 ELSE 0 END AS n_chars, lang
+             |FROM parquet.`$dir/documents.parquet`""".stripMargin)
+        ()
+      })),
+
+    // ---- q168: STREAM-STREAM interval join (clicks × purchases) -----------
+    // Spark's native two-stream watermarked join — no custom state:
+    // purchases attribute to any click by the same user in the preceding
+    // hour. INNER join pairs emit eagerly; the watermark exists to bound
+    // the join STATE (a click evicts once no future purchase can match
+    // it), which is what lets the query run unbounded at 100 TB/day. The
+    // oracle replays the identical interval join relationally — the
+    // streaming and batch answers must agree row-for-row.
+    QueryDef(
+      "q168_stream_stream_join",
+      (s, dir) => {
+        val ns = ensureCatalog(s, dir)
+        val stream = s.readStream.table(s"$ns.evt_ss")
+        def side(t: String) = stream.where(col("event_type") === t)
+          .select(col("event_id"), col("user_id"), col("ts_ns").as("ts"))
+        val joined = graft.streaming.EventStreams.clickPurchaseJoin(
+          side("click"), side("purchase"))
+        val qn = s"q168_pairs_${System.nanoTime()}"
+        val ckpt = java.nio.file.Files.createTempDirectory("q168_ckpt").toString
+        joined.writeStream.format("memory").queryName(qn)
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start().awaitTermination()
+        s.table(qn).groupBy(col("user_id"))
+          .agg(count(lit(1)).cast("long").as("n_pairs"),
+            sum(col("lat_us")).cast("long").as("lat_us_sum"))
+          .orderBy(col("user_id"))
+      },
+      Some("""WITH c AS (SELECT event_id AS cid, user_id, epoch_ns(ts) AS tc
+                 FROM events WHERE event_type = 'click'),
+             p AS (SELECT event_id AS pid, user_id, epoch_ns(ts) AS tp
+                 FROM events WHERE event_type = 'purchase'),
+             j AS (SELECT c.user_id AS u, (tp - tc) // 1000 AS lat
+                 FROM c JOIN p ON p.user_id = c.user_id
+                   AND tp >= tc AND tp <= tc + 3600000000000)
+        SELECT u AS user_id, CAST(count(*) AS BIGINT) AS n_pairs,
+               CAST(sum(lat) AS BIGINT) AS lat_us_sum
+        FROM j GROUP BY u ORDER BY user_id"""),
+      // fixture: the events corpus as a graft table (epoch-nanos ts) —
+      // the streaming source reads its registered files
+      setup = Some((s, dir) => {
+        val ns = ensureCatalog(s, dir)
+        s.sql(s"DROP TABLE IF EXISTS $ns.evt_ss")
+        graft.Tables(s, dir).events
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            col("ts_ns"))
+          .writeTo(s"$ns.evt_ss").create()
+        ()
       }))
   )
 }

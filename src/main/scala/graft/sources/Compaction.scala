@@ -156,8 +156,9 @@ object Compaction {
       * runs select everything.) Requires a current-spec layout to parse
       * the identity values; eval3 three-valued: only a provable TRUE
       * selects. */
-    def inScope(rel: String, e: TableStats.Entry): Boolean =
+    def inScope(rel0: String, e: TableStats.Entry): Boolean =
       partitionFilter.isEmpty || {
+        val rel = TableStats.layoutRel(rel0)
         PartField.layoutMatches(rel, partFields) && e.seq >= table.specSince && {
           val vals = partFields.zip(rel.split('/').dropRight(1)).collect {
             case (PartField.Identity(c), seg) =>
@@ -171,7 +172,7 @@ object Compaction {
 
     dataEntries.foreach { case (rel, e) =>
       if (inScope(rel, e)) {
-      val p = new Path(dataDir, rel)
+      val p = TableStats.pathOf(dataDir, rel)
       // registries written before sizes were recorded carry bytes = -1
       val bytes = if (e.bytes >= 0) e.bytes else fs.getFileStatus(p).getLen
       val dir = p.getParent.toString
@@ -187,7 +188,14 @@ object Compaction {
       // rewrite lands them under the CURRENT spec, restoring pruning and
       // metadata-only deletes
       if (partitionFilter.isEmpty &&
-          (!PartField.layoutMatches(rel, partFields) || e.seq < table.specSince))
+          (!PartField.layoutMatches(TableStats.layoutRel(rel), partFields) ||
+            e.seq < table.specSince ||
+            // a SHALLOW CLONE's external entries: OPTIMIZE reifies the
+            // clone — rewrites land in the clone's own dir and the ext
+            // references drop from the manifest (source files untouched:
+            // the swap never physically deletes, and vacuum walks only
+            // the clone's dir)
+            TableStats.isExternal(rel)))
         layoutVictims += p.toString
       }
     }
@@ -343,7 +351,7 @@ object Compaction {
     // swap: re-point the stats registry away from the originals. The
     // compacted-away files are NOT physically deleted — earlier snapshots
     // still reference them (time travel); vacuum reclaims them later.
-    val victimRels = victims.map(TableStats.relOf).toSet
+    val victimRels = victims.map(TableStats.keyOf(table.dataDir, _)).toSet
     TableStats.withLock(fs, dataDir) {
       val base = TableStats.read(fs, dataDir)
       val newDeletes = base.keysIterator

@@ -466,6 +466,17 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
 
   override def dropTable(ident: Identifier): Boolean =
     tableExists(ident) && {
+      // a shallow clone pinned its source snapshot with a tag — release
+      // it so the source's vacuum can retire the snapshot again.
+      // Best-effort: a vanished/renamed source must not block the drop.
+      try {
+        val t = loadTable(ident).asInstanceOf[GraftTable]
+        val props = t.properties().asScala
+        for (srcDir <- props.get(ShallowClone.SourceDirProp);
+             tag <- props.get(ShallowClone.PinTagProp))
+          try Snapshots.dropTag(srcDir, tag)
+          catch { case _: Exception => () }
+      } catch { case _: Exception => () }
       // a recreated table reuses these exact paths — purge the snapshot
       // resolve cache at the generation boundary (see
       // [[Snapshots.invalidateCacheUnder]])
@@ -735,6 +746,28 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
 
   private def fullName(ident: Identifier): String =
     (catalogName +: ident.namespace() :+ ident.name()).mkString(".")
+
+  // ---- shallow clone plumbing ([[ShallowClone]]) -------------------------
+
+  private[sources] def tableDirOf(ident: Identifier): String =
+    tablePath(ident).toString
+  private[sources] def fullNameOf(ident: Identifier): String = fullName(ident)
+
+  /** Create the clone's table shell: same schema, same PARTITION SPEC
+    * strings (bucket(n,c) must survive verbatim — the generic createTable
+    * path would re-derive them from Transforms), source properties plus
+    * the clone provenance props. The caller writes the initial manifest. */
+  private[sources] def createCloneShell(
+      ident: Identifier, schema: StructType, props: Map[String, String],
+      partSpecs: Seq[String]): GraftTable = {
+    if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
+    if (viewExists(ident)) throw new ViewAlreadyExistsException(ident)
+    if (!namespaceExists(ident.namespace())) throw new NoSuchNamespaceException(ident.namespace())
+    val dir = tablePath(ident)
+    fs.mkdirs(new Path(dir, "data"))
+    writeMeta(ident, schema, props, partSpecs)
+    loadTable(ident).asInstanceOf[GraftTable]
+  }
 
   private def writeMeta(
       ident: Identifier,

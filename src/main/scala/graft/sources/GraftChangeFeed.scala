@@ -190,7 +190,7 @@ final class GraftChangeFeedStream(
       if (kind.contains(ChangeLog.Staged) || kind.contains(ChangeLog.Aborted)) ()
       else {
         val cur = manifestAt(v)
-        def abs(rel: String): String = s"$dataDir/$rel"
+        def abs(rel: String): String = TableStats.absOf(dataDir, rel)
         ChangeLog.rowChanges(fs, dir, v, kind, prev, cur, keyed, capCheck,
             s"change feed ($v1, $v2]") match {
           case ChangeLog.NoRows => ()

@@ -33,7 +33,11 @@ object GraftDeletes {
     * the manifest. */
   val Dir = "_deletes"
 
-  def isDeleteRel(rel: String): Boolean = rel.startsWith(Dir + "/")
+  /** Registry keys of equality-delete files — layout-relative, so a
+    * cloned (`ext:`) delete entry classifies exactly like it did in its
+    * source table. */
+  def isDeleteRel(rel: String): Boolean =
+    TableStats.layoutRel(rel).startsWith(Dir + "/")
 
   /** Table property selecting the row-level strategy: `copy-on-write`
     * (default — rewrite affected files) or `merge-on-read` (write
@@ -85,9 +89,10 @@ object GraftDeletes {
     }
   }
 
-  /** Read one delete file's keys. */
+  /** Read one delete file's keys. Resolves `ext:` (cloned) entries to
+    * their source-table path. */
   def readKeys(fs: FileSystem, dataDir: Path, rel: String): Seq[String] = {
-    val in = fs.open(new Path(dataDir, rel))
+    val in = fs.open(TableStats.pathOf(dataDir, rel))
     val text = try new String(in.readAllBytes(), StandardCharsets.UTF_8)
       finally in.close()
     text.linesIterator.filter(_.nonEmpty).map(dec).toSeq

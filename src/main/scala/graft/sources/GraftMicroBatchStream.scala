@@ -74,6 +74,14 @@ final class GraftMicroBatchStream(
         s"graft: streaming source over $dataDir with outstanding " +
           "merge-on-read deletes — run Compaction.compact (or OPTIMIZE) to " +
           "fold them in, or consume Snapshots.changes for a delete-aware feed")
+    // a SHALLOW CLONE's external entries live in the SOURCE's directory:
+    // this source's offsets are own-dir listings, which would silently
+    // skip them — refuse loudly until the clone is reified
+    if (registered.keysIterator.exists(TableStats.isExternal))
+      throw new IllegalStateException(
+        s"graft: streaming source over $dataDir, a shallow clone with " +
+          "unreified external files — run OPTIMIZE to materialize the " +
+          "clone first (the change feed reader supports clones directly)")
     val it = fs.listFiles(root, true)
     val out = Map.newBuilder[String, Long]
     while (it.hasNext) {

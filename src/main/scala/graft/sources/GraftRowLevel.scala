@@ -121,7 +121,7 @@ final class GraftReplaceDataWrite(
     // stay reachable through earlier snapshots (time travel) until
     // vacuum reclaims them; manifest-first listing never surfaces them.
     val affected = op.affectedFiles
-    val affectedRels = affected.map(TableStats.relOf)
+    val affectedRels = affected.map(TableStats.keyOf(dataDir, _))
     // Record this mutation's per-row delta (the CDC change files) BEFORE
     // taking the lock: one diff join over exactly the group this rewrite
     // already paid to rewrite. The pre-lock manifest read races only with
@@ -136,7 +136,7 @@ final class GraftReplaceDataWrite(
       else {
         val pre = TableStats.read(fs, dir)
         val oldFiles = affectedRels.toSeq.sorted.flatMap(rel =>
-          pre.get(rel).map(e => (s"$dataDir/$rel", math.max(e.seq, 0L))))
+          pre.get(rel).map(e => (TableStats.absOf(dataDir, rel), math.max(e.seq, 0L))))
         // same driver-materialization cap as the scan path: a table that
         // accreted multi-GB delete metadata must fail loudly toward
         // compaction, not OOM the driver mid-commit

@@ -758,6 +758,56 @@ object TableStats {
     else new Path(path).getName
   }
 
+  // ---- external (zero-copy clone) registry keys ---------------------------
+  // A SHALLOW CLONE's initial manifest references the SOURCE table's data
+  // files without copying them. Such entries are keyed `ext:<absolute
+  // path>` instead of a data-dir-relative name. The contract every path
+  // below encodes:
+  //  - resolution goes through [[absOf]]/[[pathOf]] (never a bare
+  //    `"$dataDir/$rel"` join), so readers open the source file;
+  //  - the clone NEVER physically deletes an external file: vacuum walks
+  //    only the clone's own data dir, and COW/compaction swaps drop the
+  //    registry entry without touching disk (their existing behavior);
+  //  - [[layoutRel]] recovers the source-layout-relative view (partition
+  //    dirs, delete-file prefix) so pruning and delete classification
+  //    keep working on cloned entries;
+  //  - the key format never collides with real relative paths: writers
+  //    produce `part-*`/`deletes/*`/`<col>=v/...` names, never an `ext:`
+  //    prefix.
+  val ExtPrefix = "ext:"
+  def isExternal(rel: String): Boolean = rel.startsWith(ExtPrefix)
+  def extKey(abs: String): String = ExtPrefix + abs
+  /** Absolute path string of a registry key. */
+  def absOf(dataDir: String, rel: String): String =
+    if (isExternal(rel)) rel.substring(ExtPrefix.length) else s"$dataDir/$rel"
+  /** Absolute [[Path]] of a registry key. */
+  def pathOf(dataDir: Path, rel: String): Path =
+    if (isExternal(rel)) new Path(rel.substring(ExtPrefix.length))
+    else new Path(dataDir, rel)
+  /** Inverse of [[absOf]]: the registry key of an absolute file path the
+    * scan produced for table `dataDir` — `relOf` for files under the
+    * table's own dir, the `ext:` key otherwise. Prefix-exact because the
+    * scan builds its paths with [[absOf]] over the same `dataDir`
+    * string. */
+  def keyOf(dataDir: String, path: String): String =
+    if (path.startsWith(dataDir + "/")) path.substring(dataDir.length + 1)
+    else if (path == dataDir) "" // never happens for real files
+    else extKey(path)
+  /** The key's path relative to its OWNING table's data dir — the view
+    * partition-layout parsing and delete-file classification need. For
+    * normal keys this is the key itself; for external keys, the source
+    * file's own data-dir-relative path. */
+  def layoutRel(rel: String): String =
+    if (isExternal(rel)) relOf(rel.substring(ExtPrefix.length)) else rel
+  /** Registry entry of a scan-built absolute file path. Tries the
+    * external key first (it is the stored path verbatim — exact even
+    * when scheme qualification makes prefix matching unreliable), then
+    * the data-dir-relative key. Safe order: a table's own keys never
+    * carry the `ext:` prefix, and a table can never hold an ext key for
+    * one of its OWN files (a clone's dest must not pre-exist). */
+  def entryFor(stats: Map[String, Entry], path: String): Option[Entry] =
+    stats.get(extKey(path)).orElse(stats.get(relOf(path)))
+
   private def enc(v: String): String = java.net.URLEncoder.encode(v, "UTF-8")
   private def dec(v: String): String = java.net.URLDecoder.decode(v, "UTF-8")
 
@@ -1031,7 +1081,13 @@ object TableStats {
     *
     * @return the snapshot version this commit recorded (so commit paths
     *         can annotate it with a [[ChangeLog]] kind marker) */
-  def write(fs: FileSystem, dataDir: Path, stats: Map[String, Entry]): Long = {
+  /** `floor`: the minimum version this commit may record — a SHALLOW
+    * CLONE's initial manifest commits at the SOURCE version it cloned,
+    * so every cloned entry's seq (stamped in the source) stays ≤ the
+    * clone's head and later MOR deletes (seq > head) apply to them. 0
+    * (every other caller) keeps plain maxV+1 numbering. */
+  def write(fs: FileSystem, dataDir: Path, stats: Map[String, Entry],
+            floor: Long = 0L): Long = {
     val head = liveVersion(fs, dataDir).orElse {
       // legacy registry without a head line: identify the snapshot the
       // live registry corresponds to by EXACT manifest equality, walking
@@ -1066,7 +1122,7 @@ object TableStats {
     // Stamp newly-added entries (seq sentinel -1) with the version this
     // commit will record: the entry's data sequence number. Entries that
     // were read back from the registry keep their original seq.
-    val next = maxV + 1
+    val next = math.max(maxV + 1, floor)
     val stamped = stats.map { case (rel, e) =>
       rel -> (if (e.seq < 0) e.copy(seq = next) else e)
     }
@@ -1832,7 +1888,11 @@ final class GraftScan(
     // retained for time travel) are invisible because they left the
     // manifest. The walk survives only for registry-less tables.
     def fromManifest(stats: Map[String, TableStats.Entry]): Seq[(String, Long, Seq[Any], Long)] =
-      stats.toSeq.sortBy(_._1).flatMap { case (rel, e) =>
+      stats.toSeq.sortBy(_._1).flatMap { case (rel0, e) =>
+        // external (cloned) keys parse their partition layout from the
+        // SOURCE's data-dir-relative path — same dirs, same semantics
+        // (the clone copies the spec verbatim at clone time)
+        val rel = TableStats.layoutRel(rel0)
         // a parse is trusted only when the directory names match AND the
         // file postdates the current spec: a parameter-only evolution
         // (bucket count, truncate width) keeps the dir names, so older
@@ -1841,7 +1901,7 @@ final class GraftScan(
           e.seq >= specSince
         def len: Long =
           if (e.bytes >= 0) e.bytes
-          else fs.getFileStatus(new Path(s"$dataDir/$rel")).getLen
+          else fs.getFileStatus(new Path(TableStats.absOf(dataDir, rel0))).getLen
         if (!matches) {
           // PARTITION SPEC EVOLUTION: the file was written under an
           // earlier layout. Its rows still carry the partition COLUMNS
@@ -1849,7 +1909,7 @@ final class GraftScan(
           // the file just cannot be directory-pruned or key-grouped
           // under the current spec (compaction migrates it). The empty
           // values Seq is the "unparsed layout" sentinel.
-          Some((s"$dataDir/$rel", len, Seq.empty[Any], e.seq))
+          Some((TableStats.absOf(dataDir, rel0), len, Seq.empty[Any], e.seq))
         } else {
           val segs = rel.split('/')
           val vals: Seq[Any] = partFields.zip(segs.dropRight(1)).map { case (f, seg) =>
@@ -1879,7 +1939,7 @@ final class GraftScan(
             } ||
             PartitionPruning.prune(pushed.toSeq, vmap)
           if (pruned) None
-          else Some((s"$dataDir/$rel", len, vals, e.seq))
+          else Some((TableStats.absOf(dataDir, rel0), len, vals, e.seq))
         }
       }
 
@@ -1912,7 +1972,7 @@ final class GraftScan(
         val allowed =
           if (pushed.isEmpty) afterTopN
           else afterTopN.filter { f =>
-            cachedStats.get(TableStats.relOf(f._1)).forall { e =>
+            TableStats.entryFor(cachedStats, f._1).forall { e =>
               // a WIDENED column's registry strings from pre-widening
               // files live in the FORMER type's value space — "0.1" of a
               // float file reparses as a different double than the widened
@@ -1944,7 +2004,7 @@ final class GraftScan(
             var acc = 0L
             allowed.takeWhile { f =>
               val take = acc < n
-              acc += cachedStats.get(TableStats.relOf(f._1)).map(_.rows)
+              acc += TableStats.entryFor(cachedStats, f._1).map(_.rows)
                 .getOrElse(Long.MaxValue / 2)
               take
             }
@@ -2021,7 +2081,7 @@ final class GraftScan(
     def sameCol(recorded: String, current: String): Boolean =
       recorded == current || renames.get(current).exists(_.contains(recorded))
     val allSorted = files.forall(f =>
-      cachedStats.get(TableStats.relOf(f._1)).exists(e =>
+      TableStats.entryFor(cachedStats, f._1).exists(e =>
         e.sorted && e.sortedBy.exists(rec =>
           rec.length >= sortCols.length &&
             sortCols.zip(rec).forall { case (c, r) => sameCol(r, c) })))
@@ -2121,7 +2181,7 @@ final class GraftScan(
     if (rowsCache != null) return rowsCache
     val conf = new Configuration()
     rowsCache = files.map { case (path, _, _, _) =>
-      cachedStats.get(TableStats.relOf(path)).map(_.rows).getOrElse {
+      TableStats.entryFor(cachedStats, path).map(_.rows).getOrElse {
         GraftScan.footerReads.incrementAndGet()
         val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(new Path(path), conf)
         val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
@@ -2193,7 +2253,7 @@ final class GraftScan(
           if (!ordered) None
           else {
             val ranges = files.map(f =>
-              cachedStats.get(TableStats.relOf(f._1)).flatMap(_.cols.get(field.name)))
+              TableStats.entryFor(cachedStats, f._1).flatMap(_.cols.get(field.name)))
             if (ranges.isEmpty || !ranges.forall(_.isDefined)) None
             else {
               val mins = ranges.map(r => GraftAggScan.toCatalyst(dt, r.get._1))
@@ -2590,7 +2650,7 @@ object GraftScan {
         nullLB: Long, nullUB: Long)
 
     val facts = files.map { f =>
-      stats.get(TableStats.relOf(f._1)) match {
+      TableStats.entryFor(stats, f._1) match {
         case None => return files // unregistered file — prune nothing
         case Some(e) =>
           val range = e.cols.get(t.col).map { case (mn, mx) =>
@@ -3224,13 +3284,15 @@ final class GraftBatchWrite(
     /** Identity-partition values parsed from a manifest rel path, or None
       * when the file predates the current spec (its layout cannot be
       * trusted — both overwrite modes must refuse, not silently miss it). */
-    def identityValues(rel: String, e: TableStats.Entry): Option[Map[String, Any]] =
+    def identityValues(rel0: String, e: TableStats.Entry): Option[Map[String, Any]] = {
+      val rel = TableStats.layoutRel(rel0) // cloned entries parse source-relative
       if (!PartField.layoutMatches(rel, partFields) || e.seq < specSince) None
       else Some(partFields.zip(rel.split('/').dropRight(1)).collect {
         case (PartField.Identity(c), seg) =>
           c -> PartitionPruning.parse(schema(c).dataType,
             PartitionPruning.decode(seg.split("=", 2)(1)))
       }.toMap)
+    }
 
     TableStats.withLock(fs, dir) {
       val live = TableStats.read(fs, dir)
@@ -3263,12 +3325,15 @@ final class GraftBatchWrite(
           val writtenDirs = committed.keysIterator.map(dirOf).toSet
           live.filterNot { case (rel, e) =>
             !GraftDeletes.isDeleteRel(rel) && {
+              // cloned (ext:) entries compare by their SOURCE-relative
+              // layout: same partition dirs, same replace semantics
+              val lrel = TableStats.layoutRel(rel)
               if (partFields.nonEmpty &&
-                  (!PartField.layoutMatches(rel, partFields) || e.seq < specSince))
+                  (!PartField.layoutMatches(lrel, partFields) || e.seq < specSince))
                 throw new IllegalStateException(
                   s"graft: dynamic INSERT OVERWRITE over $dataDir met file $rel " +
                     "written under an earlier partition spec; run compaction first")
-              writtenDirs.contains(dirOf(rel))
+              writtenDirs.contains(dirOf(lrel))
             }
           }
       }

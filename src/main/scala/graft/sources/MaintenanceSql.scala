@@ -20,8 +20,11 @@ import org.apache.spark.sql.types.{IntegerType, LongType}
   *    `RESTORE ... TIMESTAMP AS OF '<ts>'` → [[Snapshots.restore]];
   *  - `ANALYZE TABLE t COMPUTE STATISTICS [FOR COLUMNS c1, c2]` (standard
   *    Spark grammar, but aimed at a graft catalog) → [[Analyze.run]];
-  *  - `CHECKSUM TABLE t` → order-independent content digest
-  *    ([[GraftChecksumCommand]]).
+  *  - `CHECKSUM TABLE t [GROUP BY c1, c2]` → order-independent content
+  *    digest, optionally one row per group — the replica-diff primitive
+  *    ([[GraftChecksumCommand]]);
+  *  - `CREATE TABLE dst SHALLOW CLONE src [VERSION AS OF <v | 'tag'>]`
+  *    → zero-copy table clone ([[ShallowClone]]).
   *
   * Each command resolves its identifier exactly like the view bridge: a
   * 3-part name whose head is a registered [[GraftCatalog]], or 1-2 parts
@@ -44,7 +47,7 @@ object MaintenanceSql {
   private val History =
     """(?is)\s*DESCRIBE\s+HISTORY\s+([\w.`]+)\s*;?\s*""".r
   private val Checksum =
-    """(?is)\s*CHECKSUM\s+TABLE\s+([\w.`]+)\s*;?\s*""".r
+    """(?is)\s*CHECKSUM\s+TABLE\s+([\w.`]+)(?:\s+GROUP\s+BY\s+([\w`]+(?:\s*,\s*[\w`]+)*))?\s*;?\s*""".r
   private val Detail =
     """(?is)\s*DESCRIBE\s+DETAIL\s+([\w.`]+)\s*;?\s*""".r
   private val CreateTag =
@@ -69,6 +72,8 @@ object MaintenanceSql {
     """(?is)\s*DROP\s+MATERIALIZED\s+VIEW\s+(?:(IF\s+EXISTS)\s+)?([\w.`]+)\s*;?\s*""".r
   private val ShowMv =
     """(?is)\s*SHOW\s+MATERIALIZED\s+VIEWS\s+(?:IN\s+|FROM\s+)?([\w.`]+)\s*;?\s*""".r
+  private val CloneTable =
+    """(?is)\s*CREATE\s+TABLE\s+([\w.`]+)\s+SHALLOW\s+CLONE\s+([\w.`]+)(?:\s+VERSION\s+AS\s+OF\s+(?:(\d+)|'([\w][\w.-]*)'|`([\w][\w.-]*)`))?\s*;?\s*""".r
 
   private def parts(ident: String): Seq[String] =
     ident.split('.').map(_.stripPrefix("`").stripSuffix("`")).toSeq
@@ -102,8 +107,9 @@ object MaintenanceSql {
           Option(forCols).map(cols).getOrElse(Nil)))
       case History(id) if graft(parts(id)) =>
         Some(GraftHistoryCommand(parts(id)))
-      case Checksum(id) if graft(parts(id)) =>
-        Some(GraftChecksumCommand(parts(id)))
+      case Checksum(id, groupBy) if graft(parts(id)) =>
+        Some(GraftChecksumCommand(parts(id),
+          Option(groupBy).map(cols).getOrElse(Nil)))
       case Detail(id) if graft(parts(id)) =>
         Some(GraftDetailCommand(parts(id)))
       case CreateTag(id, name, v) if graft(parts(id)) =>
@@ -118,6 +124,10 @@ object MaintenanceSql {
         Some(GraftDiscardWapCommand(parts(id), wap))
       case ShowWap(id) if graft(parts(id)) =>
         Some(GraftShowWapCommand(parts(id)))
+      case CloneTable(dst, src, v, tagQ, tagB)
+          if graft(parts(src)) && graft(parts(dst)) =>
+        Some(GraftShallowCloneCommand(parts(dst), parts(src),
+          Option(v).orElse(Option(tagQ)).orElse(Option(tagB))))
       case CreateMv(id, select) if graft(parts(id)) =>
         Some(GraftCreateMvCommand(parts(id), select.trim))
       case RefreshMv(id) if graft(parts(id)) =>
@@ -448,24 +458,39 @@ final case class GraftDetailCommand(parts: Seq[String])
   * (xxhash64 semantics), so rows differing only in WHICH of two
   * same-typed columns is null can collide — a checksum, not a proof;
   * the decimal(38,0) accumulation is overflow-free to ~2^63 rows. */
-final case class GraftChecksumCommand(parts: Seq[String])
+final case class GraftChecksumCommand(parts: Seq[String],
+    groupCols: Seq[String] = Nil)
     extends LeafRunnableCommand {
-  override val output: Seq[Attribute] = Seq(
+  /** `GROUP BY c1, c2` adds the group columns (external STRING form —
+    * the command's output schema cannot depend on the table's) ahead of
+    * rows/checksum: ONE digest row per group, the replica-DIFF
+    * primitive — compare two |groups|-row frames, repair only the
+    * groups that differ (see q167). Group columns join the per-row hash
+    * implicitly (they are table columns), so a row moving between
+    * groups changes both groups' digests. */
+  override val output: Seq[Attribute] =
+    groupCols.map(MaintenanceSql.attr(_,
+      org.apache.spark.sql.types.StringType)) ++ Seq(
     MaintenanceSql.attr("rows", LongType),
     MaintenanceSql.attr("checksum",
       org.apache.spark.sql.types.DecimalType(38, 0)))
   override def run(session: SparkSession): Seq[Row] = {
     import org.apache.spark.sql.functions._
     val df = session.table(parts.map(p => s"`$p`").mkString("."))
-    val row = df.agg(
-      count(lit(1)).cast("long").as("rows"),
-      coalesce(
-        sum(xxhash64(df.schema.fieldNames.toIndexedSeq.map(col): _*)
-          .cast(org.apache.spark.sql.types.DecimalType(38, 0))),
-        lit(java.math.BigDecimal.ZERO)
-          .cast(org.apache.spark.sql.types.DecimalType(38, 0))).as("checksum"))
-      .head()
-    Seq(Row(row.getLong(0), row.getDecimal(1)))
+    val cks = coalesce(
+      sum(xxhash64(df.schema.fieldNames.toIndexedSeq.map(col): _*)
+        .cast(org.apache.spark.sql.types.DecimalType(38, 0))),
+      lit(java.math.BigDecimal.ZERO)
+        .cast(org.apache.spark.sql.types.DecimalType(38, 0))).as("checksum")
+    if (groupCols.isEmpty) {
+      val row = df.agg(count(lit(1)).cast("long").as("rows"), cks).head()
+      Seq(Row(row.getLong(0), row.getDecimal(1)))
+    } else {
+      df.groupBy(groupCols.map(c => col(s"`$c`").cast("string").as(c)): _*)
+        .agg(count(lit(1)).cast("long").as("rows"), cks)
+        .orderBy(groupCols.map(c => col(s"`$c`")): _*)
+        .collect().toSeq
+    }
   }
 }
 

@@ -696,7 +696,8 @@ object Snapshots {
       if (kind.contains(ChangeLog.Staged) || kind.contains(ChangeLog.Aborted)) ()
       else {
         val cur = manifestAt(v)
-        def abs(rels: Seq[String]): Seq[String] = rels.map(r => s"${table.dataDir}/$r")
+        def abs(rels: Seq[String]): Seq[String] =
+          rels.map(r => TableStats.absOf(table.dataDir, r))
         ChangeLog.rowChanges(fs, dataDir, v, kind, prev, cur, keyed, capCheck,
             s"change feed ($since, $endV]") match {
           case ChangeLog.NoRows => ()
@@ -704,7 +705,7 @@ object Snapshots {
             if (cf.nonEmpty) cowBatches += ((v, cf))
           case ChangeLog.ReplaceRows(removed, dkeys, dataAdded) =>
             replaceBatches += ((v,
-              removed.map { case (rel, seq) => (s"${table.dataDir}/$rel", seq) },
+              removed.map { case (rel, seq) => (TableStats.absOf(table.dataDir, rel), seq) },
               dkeys))
             if (dataAdded.nonEmpty) inserts += ((v, abs(dataAdded)))
           case ChangeLog.AppendRows(dataRels) =>
@@ -863,7 +864,8 @@ object Snapshots {
       // a crashed commit's snapshot holds rows that were NEVER committed:
       // restoring one would publish them
       requireLiveHistory(fs, dataDir, version, dataDir.getParent.getName)
-      val missing = m.keySet.filterNot(rel => fs.exists(new Path(dataDir, rel)))
+      val missing = m.keySet.filterNot(rel =>
+        fs.exists(TableStats.pathOf(dataDir, rel)))
       require(missing.isEmpty,
         s"graft: cannot restore v$version — ${missing.size} data file(s) were " +
           s"vacuumed away (e.g. ${missing.take(3).mkString(", ")})")

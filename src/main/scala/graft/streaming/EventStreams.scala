@@ -134,6 +134,43 @@ object EventStreams {
   final case class EventWithTime(event_id: Long, ts: Long, user_id: Long,
       event_type: String, value: Double, ts_evt: java.sql.Timestamp)
 
+  /** STREAM-STREAM interval join: purchases attributed to any click by
+    * the same user in the preceding `windowMicros` — Spark's native
+    * watermarked two-stream join (no custom state). Both inputs must be
+    * STREAMING frames carrying `user_id`, `event_id` and an epoch-nanos
+    * `ts` column (the [[Event]] shape).
+    *
+    * Semantics and scale:
+    *  - INNER join ⇒ pairs emit EAGERLY on match (no watermark wait);
+    *    the watermark exists to BOUND STATE: a buffered click is evicted
+    *    once the watermark passes `click.ts + window` (it can no longer
+    *    match), a buffered purchase once it passes `purchase.ts` — so
+    *    state is O(events inside the watermark horizon), never O(stream
+    *    history), the property that lets this run forever at 100 TB/day;
+    *  - the join key is (user_id, time range): Spark hash-partitions
+    *    both sides by user_id, so matching is executor-local;
+    *  - a click and its purchase may arrive in DIFFERENT micro-batches
+    *    (either order) — the state store carries the unmatched side
+    *    across batches (StreamingSpec pins this).
+    *
+    * Returns (click_id, purchase_id, user_id, lat_us) — latency in exact
+    * integer µs. */
+  def clickPurchaseJoin(clicks: DataFrame, purchases: DataFrame,
+      windowMicros: Long = 3600L * 1000000L,
+      watermark: String = "1 hour"): DataFrame = {
+    def timed(df: DataFrame, pfx: String): DataFrame = df
+      .withColumn(s"ts_$pfx", timestamp_micros(expr("ts div 1000")))
+      .withWatermark(s"ts_$pfx", watermark)
+      .select(col("event_id").as(s"${pfx}_id"),
+        col("user_id").as(s"${pfx}_user"), col(s"ts_$pfx"))
+    timed(clicks, "c").join(timed(purchases, "p"),
+      expr(s"""c_user = p_user AND
+               ts_p >= ts_c AND ts_p <= ts_c + INTERVAL ${windowMicros} MICROSECOND"""))
+      .select(col("c_id").as("click_id"), col("p_id").as("purchase_id"),
+        col("c_user").as("user_id"),
+        (unix_micros(col("ts_p")) - unix_micros(col("ts_c"))).as("lat_us"))
+  }
+
   /** Per-user session counts with a 30-minute inactivity gap, implemented
     * as explicit keyed state. Events within one micro-batch are sorted by
     * (ts, event_id) before folding; state carries the last timestamp across

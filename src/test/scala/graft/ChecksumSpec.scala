@@ -85,4 +85,47 @@ class ChecksumSpec extends AnyFunSuite with BeforeAndAfterAll {
     val (n, c) = cks("empty")
     assert(n == 0L && c.compareTo(java.math.BigDecimal.ZERO) == 0)
   }
+
+  test("GROUP BY: digests localize a difference to exactly the diverged group") {
+    setup()
+    def grouped(t: String): Map[String, (Long, java.math.BigDecimal)] =
+      spark.sql(s"CHECKSUM TABLE gcks.t.$t GROUP BY lang").collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getDecimal(2))).toMap
+    // gone (depends on earlier tests' mutations): rebuild two fresh copies
+    spark.sql("DROP TABLE IF EXISTS gcks.t.ga")
+    spark.sql("DROP TABLE IF EXISTS gcks.t.gb")
+    import spark.implicits._
+    val df = (0 until 200)
+      .map(i => (i.toString, i.toLong, s"lang${i % 4}", i.toLong * 3))
+      .toDF("row_key", "id", "lang", "n")
+    spark.sql("CREATE TABLE gcks.t.ga (row_key STRING, id BIGINT, lang STRING, n BIGINT)")
+    spark.sql(
+      """CREATE TABLE gcks.t.gb (row_key STRING, id BIGINT, lang STRING, n BIGINT)
+        |PARTITIONED BY (lang)""".stripMargin)
+    df.coalesce(1).writeTo("gcks.t.ga").append()
+    df.orderBy(desc("id")).repartition(5).writeTo("gcks.t.gb").append()
+    // identical content in different layouts: every group digest equal,
+    // and the group sums reconstruct the whole-table digest
+    val (ga, gb) = (grouped("ga"), grouped("gb"))
+    assert(ga == gb)
+    assert(ga.keySet == Set("lang0", "lang1", "lang2", "lang3"))
+    assert(ga.values.map(_._2).reduce(_ add _).compareTo(cks("ga")._2) == 0,
+      "group digests must sum to the table digest")
+    // corrupt ONE group: only that group's digest moves
+    spark.sql("UPDATE gcks.t.gb SET n = n + 1 WHERE id = 42") // lang2
+    val gb2 = grouped("gb")
+    assert(gb2("lang2")._2.compareTo(ga("lang2")._2) != 0)
+    assert((ga.keySet - "lang2").forall(l => gb2(l) == ga(l)),
+      "untouched groups must keep their digests")
+    // a row MOVING between groups changes both groups' digests
+    spark.sql("DROP TABLE IF EXISTS gcks.t.gc")
+    spark.sql(
+      """CREATE TABLE gcks.t.gc AS
+        |SELECT row_key, id, CASE WHEN id = 7 THEN 'lang0' ELSE lang END AS lang, n
+        |FROM gcks.t.ga""".stripMargin)
+    val gc = grouped("gc") // id 7 moved lang3 -> lang0
+    assert(gc("lang0")._2.compareTo(ga("lang0")._2) != 0)
+    assert(gc("lang3")._2.compareTo(ga("lang3")._2) != 0)
+    assert(gc("lang1") == ga("lang1") && gc("lang2") == ga("lang2"))
+  }
 }

@@ -729,4 +729,51 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(stateRows <= 11, s"state not bounded: $stateRows rows")
     } finally q.stop()
   }
+
+  test("stream-stream interval join: cross-batch matches, state bounded by watermark") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    // two INDEPENDENT streams: (event_id, user_id, ts nanos)
+    val clicks = MemoryStream[(Long, Long, Long)]
+    val buys = MemoryStream[(Long, Long, Long)]
+    def df(m: MemoryStream[(Long, Long, Long)]) =
+      m.toDF().toDF("event_id", "user_id", "ts")
+    val joined = graft.streaming.EventStreams.clickPurchaseJoin(
+      df(clicks), df(buys), windowMicros = 60L * 1000000L, watermark = "1 minute")
+    val q = joined.writeStream.format("memory").queryName("ssj")
+      .outputMode(OutputMode.Append()).start()
+    def pairs(): Set[(Long, Long)] =
+      spark.table("ssj").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    try {
+      val t0 = 1700000000L * 1000000000L // ns
+      def ns(s: Long) = t0 + s * 1000000000L
+      // batch 1: click c1 (user 1), purchase p1 in-window (user 1),
+      // purchase p9 for user 9 with NO click yet
+      clicks.addData((101L, 1L, ns(0)))
+      buys.addData((201L, 1L, ns(30)), (209L, 9L, ns(20)))
+      q.processAllAvailable()
+      assert(pairs() == Set((101L, 201L)), "in-batch inner match emits eagerly")
+      // batch 2: the user-9 CLICK arrives late but in-window — the
+      // buffered purchase from batch 1 must match ACROSS batches;
+      // wait: purchase must be >= click. p9 at 20s, click at 10s → ok
+      clicks.addData((109L, 9L, ns(10)))
+      q.processAllAvailable()
+      assert(pairs() == Set((101L, 201L), (109L, 209L)),
+        "state must carry the unmatched side across micro-batches")
+      // batch 3: jump event time far ahead → watermark passes every
+      // buffered row's horizon, state evicts
+      clicks.addData((110L, 2L, ns(3600)))
+      buys.addData((210L, 3L, ns(3600)))
+      q.processAllAvailable()
+      val stateRows = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+      assert(stateRows <= 4,
+        s"join state must hold only the watermark horizon, got $stateRows")
+      // an out-of-window purchase never matches
+      buys.addData((211L, 2L, ns(3600 + 120)))
+      q.processAllAvailable()
+      assert(pairs() == Set((101L, 201L), (109L, 209L)))
+    } finally q.stop()
+  }
 }
