@@ -477,7 +477,8 @@ object Engine3 {
         val (src, rep) = (grouped("rr_src"), grouped("rr_rep"))
         val diverged = (src.keySet ++ rep.keySet)
           .filter(l => src.get(l) != rep.get(l)).toSeq.sorted
-        for (l <- diverged) {
+        for (l0 <- diverged) {
+          val l = l0.replace("'", "''") // group values come from table data
           s.sql(s"DELETE FROM $ns.rr_rep WHERE lang = '$l'")
           s.sql(s"INSERT INTO $ns.rr_rep SELECT * FROM $ns.rr_src WHERE lang = '$l'")
         }

@@ -464,8 +464,23 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
     loadTable(ident)
   }
 
+  /** Incoming shallow-clone pins on this table (tags with the reserved
+    * `clone-` prefix): live clones still reference its files, so DROP
+    * and RENAME must refuse — the pin tag only defends against vacuum,
+    * not against deleting or moving the whole directory. */
+  private def incomingClonePins(ident: Identifier): Seq[String] =
+    try Snapshots.tags(fs, new Path(tablePath(ident), "data"))
+      .keysIterator.filter(_.startsWith("clone-")).toSeq.sorted
+    catch { case _: Exception => Nil }
+
   override def dropTable(ident: Identifier): Boolean =
     tableExists(ident) && {
+      val pins = incomingClonePins(ident)
+      if (pins.nonEmpty) throw new IllegalStateException(
+        s"graft: cannot drop ${fullName(ident)} — live shallow clones pin " +
+          s"its snapshots (${pins.mkString(", ")}); drop or OPTIMIZE (reify) " +
+          "the clones first, or remove the pins explicitly with " +
+          "ALTER TABLE ... DROP TAG if the clones are gone")
       // a shallow clone pinned its source snapshot with a tag — release
       // it so the source's vacuum can retire the snapshot again.
       // Best-effort: a vanished/renamed source must not block the drop.
@@ -495,6 +510,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
     if (tableExists(newIdent)) throw new TableAlreadyExistsException(newIdent)
     if (!namespaceExists(newIdent.namespace()))
       throw new NoSuchNamespaceException(newIdent.namespace())
+    val pins = incomingClonePins(oldIdent)
+    if (pins.nonEmpty) throw new IllegalStateException(
+      s"graft: cannot rename ${fullName(oldIdent)} — live shallow clones " +
+        s"reference its files by absolute path (${pins.mkString(", ")}); " +
+        "drop or OPTIMIZE (reify) the clones first")
     Snapshots.invalidateCacheUnder(new Path(tablePath(oldIdent), "data"))
     fs.rename(tablePath(oldIdent), tablePath(newIdent))
     invalidateViewCache(oldIdent)

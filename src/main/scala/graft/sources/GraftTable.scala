@@ -213,6 +213,12 @@ final class GraftTable(
       case Some(m) =>
         m.iterator.filterNot(e => GraftDeletes.isDeleteRel(e._1)).forall {
           case (rel, e) =>
+            // external (cloned) entries are EXPLICITLY non-uniform: the
+            // metadata delete's physical walk below sees only the own
+            // dir, so a clone must route to the row-level path (which
+            // resolves ext paths) — never rely on layoutMatches merely
+            // happening to reject the ext: segment shape
+            !TableStats.isExternal(rel) &&
             PartField.layoutMatches(rel, partFields) && e.seq >= specSince
         }
     }

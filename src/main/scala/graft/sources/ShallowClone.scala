@@ -23,9 +23,11 @@ import org.apache.spark.sql.types.LongType
   *    a replaced file physically, and the clone's vacuum walks only its
   *    OWN data dir — external files are structurally unreclaimable);
   *  - the source is PINNED: cloning tags the source snapshot
-  *    (`clone-<dest>`), which the source's vacuum already retains, so
-  *    "vacuum the source" can never corrupt a live clone — the failure
-  *    mode Delta Lake documents for its shallow clones is closed here.
+  *    (`clone-<dest>-<attempt>` — the prefix is reserved), which the
+  *    source's vacuum already retains, and DROP/RENAME of a table with
+  *    incoming `clone-` pins refuse loudly — so neither "vacuum the
+  *    source" nor "drop the source" can corrupt a live clone (the
+  *    failure modes Delta Lake documents for its shallow clones).
   *    DROP TABLE on the clone releases the pin;
   *  - `OPTIMIZE dst` REIFIES the clone (external entries are always
   *    compaction victims): after one compaction the clone is a fully
@@ -81,9 +83,16 @@ object ShallowClone {
             s"graft: VERSION AS OF expects a snapshot number or a tag, " +
               s"and '$ref' is no tag of $srcName")))
     }
-    // crashed-commit orphans and WAP audit branches are not cloneable
-    // history, same rule as time travel and RESTORE
+    // crashed-commit orphans are not cloneable history (same rule as
+    // time travel and RESTORE) ...
     Snapshots.requireLiveHistory(fs, srcDataDir, v, srcName)
+    // ... and neither are WAP AUDIT snapshots, which requireLiveHistory
+    // deliberately lets time travel read: DISCARD WAP physically deletes
+    // staged files without consulting clone pins, so a clone of the
+    // audit branch would dangle — publish first, then clone
+    require(!ChangeLog.kindOf(fs, srcDataDir, v).contains(ChangeLog.Staged),
+      s"graft: v$v of $srcName is a write-audit-publish AUDIT snapshot; " +
+        "PUBLISH WAP first, then clone the published version")
 
     // fail on an existing dest BEFORE pinning (the failure cleanup below
     // must never drop a table this command did not create)
@@ -92,8 +101,12 @@ object ShallowClone {
 
     // PIN FIRST: the tag (validated + written under the source's lock)
     // makes v vacuum-proof before the manifest is read, so the clone can
-    // never capture references a concurrent vacuum is reclaiming
-    val pinTag = s"clone-$destName"
+    // never capture references a concurrent vacuum is reclaiming. The
+    // tag carries a per-ATTEMPT unique suffix: two racing clones of the
+    // same dest name then hold distinct pins, and the loser's failure
+    // cleanup below can never unpin the winner's committed clone.
+    val pinTag = s"clone-$destName-" +
+      java.util.UUID.randomUUID().toString.take(8)
     Snapshots.tag(new Path(src.dataDir).getParent.toString, pinTag, Some(v))
     var created = false
     try {

@@ -85,11 +85,13 @@ class CloneSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().head.getLong(0) ==
       spark.sql("SELECT count(*) c FROM gcl.t.src1 WHERE lang = 'l1'")
         .collect().head.getLong(0))
-    // the pin tag exists on the source at the cloned version
+    // the pin tag exists on the source at the cloned version (name
+    // carries a per-attempt unique suffix)
     val tags = spark.sql("SHOW TAGS IN gcl.t.src1").collect()
       .map(r => (r.getString(0), r.getLong(1))).toMap
-    assert(tags.contains("clone-gcl.t.c1"), s"pin tag missing: $tags")
-    assert(tags("clone-gcl.t.c1") == out.getLong(0))
+    val pin = tags.keys.find(_.startsWith("clone-gcl.t.c1"))
+    assert(pin.isDefined, s"pin tag missing: $tags")
+    assert(tags(pin.get) == out.getLong(0))
   }
 
   test("writes diverge both ways; the source's files never change") {
@@ -218,6 +220,35 @@ class CloneSpec extends AnyFunSuite with BeforeAndAfterAll {
     finally spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
     assert(rows("c9") == keepOther + ((5000L, "l1", 9L)))
     assert(rows("src9").count(_._2 == "l1") > 0, "source partition intact")
+  }
+
+  test("DROP/RENAME of a pinned source refused; released when the clone drops") {
+    setup(); seed("srcB", n = 12, parts = 1)
+    spark.sql("CREATE TABLE gcl.t.cB SHALLOW CLONE gcl.t.srcB")
+    val e1 = intercept[Exception](spark.sql("DROP TABLE gcl.t.srcB"))
+    assert(e1.getMessage.contains("live shallow clones"), e1.getMessage)
+    val e2 = intercept[Exception](
+      spark.sql("ALTER TABLE gcl.t.srcB RENAME TO gcl.t.srcB2"))
+    assert(e2.getMessage.contains("shallow clones"), e2.getMessage)
+    assert(rows("cB").size == 12, "clone intact after refused drop/rename")
+    spark.sql("DROP TABLE gcl.t.cB") // releases the pin ...
+    spark.sql("DROP TABLE gcl.t.srcB") // ... now the source can go
+    assert(!spark.catalog.tableExists("gcl.t.srcB"))
+  }
+
+  test("cloning a WAP audit snapshot is refused (DISCARD would dangle the clone)") {
+    setup(); seed("srcW", n = 12, parts = 1)
+    import spark.implicits._
+    Seq(("w1", 7777L, "l0", 1L)).toDF("row_key", "id", "lang", "n")
+      .writeTo("gcl.t.srcW").option("wap.id", "aud").append()
+    val e = intercept[Exception](
+      spark.sql("CREATE TABLE gcl.t.cW SHALLOW CLONE gcl.t.srcW VERSION AS OF 'wap-aud'"))
+    assert(e.getMessage.contains("AUDIT"), e.getMessage)
+    assert(!spark.catalog.tableExists("gcl.t.cW"))
+    // the failed attempt's pin tag was rolled back too
+    val pins = spark.sql("SHOW TAGS IN gcl.t.srcW").collect()
+      .map(_.getString(0)).filter(_.startsWith("clone-"))
+    assert(pins.isEmpty, pins.toSeq.toString)
   }
 
   test("streaming the file-based source of an unreified clone is refused loudly") {
