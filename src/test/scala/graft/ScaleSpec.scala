@@ -397,6 +397,44 @@ class ScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.sql("DROP TABLE graft.mf.blw")
   }
 
+  test("SHALLOW CLONE at 1000 files: metadata-only, wall-bounded, zero data I/O") {
+    import graft.sources.{GraftScan, TableStats}
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.mf")
+    spark.sql("CREATE TABLE graft.mf.clsrc (id BIGINT, v DOUBLE)")
+    for (i <- 0 until 4)
+      spark.range(i * 25000L, (i + 1) * 25000L)
+        .selectExpr("id", "CAST(id % 97 AS DOUBLE) AS v")
+        .repartition(250)
+        .writeTo("graft.mf.clsrc").append()
+    val wh = spark.conf.get("spark.sql.catalog.graft.warehouse")
+    val (f0, m0) = (GraftScan.footerReads.get(), TableStats.metaBytesWritten.get())
+    val t0 = System.nanoTime()
+    spark.sql("CREATE TABLE graft.mf.clone1k SHALLOW CLONE graft.mf.clsrc")
+    val cloneMs = (System.nanoTime() - t0) / 1e6
+    // zero data I/O: no footers opened, no parquet landed in the clone
+    assert(GraftScan.footerReads.get() == f0, "clone opened parquet footers")
+    val cloneData = new org.apache.hadoop.fs.Path(s"$wh/mf/clone1k/data")
+    val cfs = cloneData.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val it = cfs.listFiles(cloneData, true)
+    var parquets = 0
+    while (it.hasNext) if (it.next().getPath.getName.endsWith(".parquet")) parquets += 1
+    assert(parquets == 0, s"clone copied $parquets data files")
+    // O(manifest) metadata: ~1000 entry lines (manifest + registry
+    // checkpoint), generously bounded well below any data-sized figure
+    val metaBytes = TableStats.metaBytesWritten.get() - m0
+    assert(metaBytes < 8L * 1024 * 1024,
+      s"clone wrote $metaBytes metadata bytes for 1000 files")
+    assert(cloneMs < 10000, f"clone of 1000 files took $cloneMs%.0f ms")
+    // the clone plans like any 1000-file table: COUNT(*) = one registry
+    // read, zero footers
+    val (f1, r1) = (GraftScan.footerReads.get(), TableStats.registryReads.get())
+    assert(spark.sql("SELECT count(*) FROM graft.mf.clone1k").head().getLong(0) == 100000L)
+    assert(GraftScan.footerReads.get() == f1)
+    assert(TableStats.registryReads.get() <= r1 + 2)
+    spark.sql("DROP TABLE graft.mf.clone1k")
+    spark.sql("DROP TABLE graft.mf.clsrc")
+  }
+
   test("commit metadata cost is O(files touched), not O(live files)") {
     import graft.sources.{Snapshots, TableStats}
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.mf")
