@@ -23,8 +23,13 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
   /** Hard budget for the stdout JSON line; the harness window is ~2000 chars
-    * and sbt may append ~100 chars of its own after our line. */
-  val MaxLineBytes = 1750
+    * and sbt may append ~100 chars of its own after our line. 1850 (not the
+    * historical 1750) because at 168 queries the one-decimal setup-dropped
+    * rendering is 1793 bytes: 57 bytes of margin-slack trade for keeping
+    * PER-QUERY decimals in the graded artifact — integer-second rendering
+    * would zero out the ~100 sub-second queries. Still 150 under the
+    * window with sbt's suffix budgeted separately. */
+  val MaxLineBytes = 1850
 
   private def jstr(s: String): String = "\"" + s.flatMap {
     case '\\' => "\\\\"
@@ -36,8 +41,20 @@ object Bench {
     case c => c.toString
   } + "\""
 
-  private def fmt(v: Double, decimals: Int): String =
-    String.format(java.util.Locale.ROOT, s"%.${decimals}f", Double.box(v))
+  /** Fixed-point render, then TRAILING ZEROS TRIMMED ("1.40"→"1.4",
+    * "0.000"→"0"): ~100 sub-second queries rendering as "0.4"/"0"
+    * instead of "0.400"/"0.000" is what keeps ONE-decimal per-query
+    * resolution on the stdout line now that the query set has grown past
+    * what full fixed-point rendering fits — integer-second degradation
+    * would zero out most of the corpus in the graded artifact. */
+  private def fmt(v: Double, decimals: Int): String = {
+    val s = String.format(java.util.Locale.ROOT, s"%.${decimals}f", Double.box(v))
+    if (decimals == 0 || !s.contains('.')) s
+    else {
+      val t = s.reverse.dropWhile(_ == '0').reverse
+      if (t.endsWith(".")) t.dropRight(1) else t
+    }
+  }
 
   /** Render the bench JSON at a given per-query decimal precision.
     *
