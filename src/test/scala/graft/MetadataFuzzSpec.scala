@@ -148,6 +148,108 @@ class MetadataFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.sql(s"DROP TABLE $full")
   }
 
+  /** Clone-interleaving fuzz: a source table and (at most one) live
+    * shallow clone evolve under independent random mutations while
+    * VACUUM hammers the source — the clone must stay byte-exact to its
+    * own model through every interleaving (pin tags protecting cloned
+    * snapshots, ext-key resolution under COW rewrites, OPTIMIZE
+    * reification, re-clone after drop). */
+  private def runCloneFuzz(tbl: String, mor: Boolean, seed: Long, steps: Int): Unit = {
+    val full = s"graft.fuzz.$tbl"
+    val cloneFull = s"graft.fuzz.${tbl}_c"
+    val tableDir = s"$warehouse/fuzz/$tbl"
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.fuzz")
+    val props =
+      if (mor) " TBLPROPERTIES ('write.mutation.mode' = 'merge-on-read')" else ""
+    spark.sql(s"CREATE TABLE $full (row_key STRING, v BIGINT)$props")
+
+    val rnd = new scala.util.Random(seed)
+    var modelM = Map.empty[String, Long]
+    var modelC: Option[Map[String, Long]] = None
+    var nextKey = 0L
+    def freshRows(n: Int): Seq[(String, Long)] =
+      (0 until n).map { _ =>
+        val k = s"k$nextKey"; nextKey += 1
+        k -> rnd.nextInt(1000).toLong
+      }
+    def values(rows: Seq[(String, Long)]): String =
+      rows.map { case (k, v) => s"('$k', $v)" }.mkString(", ")
+    def inList(ks: Seq[String]): String = ks.map(k => s"'$k'").mkString(", ")
+    def check(t: String, model: Map[String, Long], op: String): Unit = {
+      val got = spark.table(t).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got == model, s"$t diverged after $op (seed=$seed): " +
+        s"missing=${(model.keySet -- got.keySet).take(5)} " +
+        s"extra=${(got.keySet -- model.keySet).take(5)}")
+    }
+
+    // seed rows so the first clone is never empty
+    val init = freshRows(6)
+    spark.sql(s"INSERT INTO $full VALUES ${values(init)}")
+    modelM ++= init
+
+    for (step <- 1 to steps) {
+      val op = rnd.nextInt(10)
+      val desc = op match {
+        case 0 | 1 =>
+          val rows = freshRows(1 + rnd.nextInt(4))
+          spark.sql(s"INSERT INTO $full VALUES ${values(rows)}")
+          modelM ++= rows
+          s"step $step INSERT-src ${rows.size}"
+        case 2 =>
+          val victims = modelM.keys.filter(_ => rnd.nextInt(4) == 0).toSeq.sorted
+          if (victims.nonEmpty) {
+            spark.sql(s"DELETE FROM $full WHERE row_key IN (${inList(victims)})")
+            modelM --= victims
+          }
+          s"step $step DELETE-src ${victims.size}"
+        case 3 =>
+          // (re-)clone: the new clone captures the CURRENT source state
+          if (modelC.isDefined) spark.sql(s"DROP TABLE $cloneFull")
+          spark.sql(s"CREATE TABLE $cloneFull SHALLOW CLONE $full")
+          modelC = Some(modelM)
+          s"step $step CLONE"
+        case 4 | 5 =>
+          modelC match {
+            case Some(mc) =>
+              val rows = freshRows(1 + rnd.nextInt(3))
+              spark.sql(s"INSERT INTO $cloneFull VALUES ${values(rows)}")
+              modelC = Some(mc ++ rows)
+              s"step $step INSERT-clone ${rows.size}"
+            case None => s"step $step INSERT-clone skipped"
+          }
+        case 6 =>
+          modelC match {
+            case Some(mc) =>
+              val victims = mc.keys.filter(_ => rnd.nextInt(3) == 0).toSeq.sorted
+              if (victims.nonEmpty) {
+                spark.sql(
+                  s"DELETE FROM $cloneFull WHERE row_key IN (${inList(victims)})")
+                modelC = Some(mc -- victims)
+              }
+              s"step $step DELETE-clone ${victims.size}"
+            case None => s"step $step DELETE-clone skipped"
+          }
+        case 7 =>
+          if (modelC.isDefined) { spark.sql(s"OPTIMIZE $cloneFull"); s"step $step REIFY" }
+          else { spark.sql(s"OPTIMIZE $full"); s"step $step OPTIMIZE-src" }
+        case 8 | 9 =>
+          // hammer the source's retention: pinned cloned snapshots (and
+          // everything the live chain needs) must survive
+          Snapshots.vacuum(tableDir, retain = 1, minAgeMillis = 0L)
+          s"step $step VACUUM-src"
+      }
+      check(full, modelM, desc)
+      modelC.foreach(mc => check(cloneFull, mc, desc))
+    }
+    // teardown order matters: the pinned source refuses to drop first
+    if (modelC.isDefined) {
+      intercept[Exception](spark.sql(s"DROP TABLE $full"))
+      spark.sql(s"DROP TABLE $cloneFull")
+    }
+    spark.sql(s"DROP TABLE $full")
+  }
+
   test("copy-on-write table: random op sequences match the model (seed 101)") {
     runFuzz("cow1", mor = false, seed = 101L, steps = 22)
   }
@@ -158,5 +260,13 @@ class MetadataFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("merge-on-read table: random op sequences match the model (seed 303)") {
     runFuzz("mor1", mor = true, seed = 303L, steps = 22)
+  }
+
+  test("clone fuzz: source + clone under interleaved mutations/vacuum (seed 404)") {
+    runCloneFuzz("clf1", mor = false, seed = 404L, steps = 20)
+  }
+
+  test("clone fuzz: merge-on-read source + clone (seed 505)") {
+    runCloneFuzz("clf2", mor = true, seed = 505L, steps = 20)
   }
 }
