@@ -569,6 +569,62 @@ object Engine3 {
             col("ts_ns"))
           .writeTo(s"$ns.evt_ss").create()
         ()
+      })),
+
+    // ---- q169: MERGE WITH SCHEMA EVOLUTION --------------------------------
+    // The upsert that GROWS the schema: a source batch carrying a column
+    // the target never declared (a new quality score) merges in ONE
+    // statement — Spark's ResolveMergeIntoSchemaEvolution derives the
+    // AddColumn from the source schema (gated on the table advertising
+    // AUTOMATIC_SCHEMA_EVOLUTION + the explicit syntax; plain MERGE is
+    // untouched) and applies it through the catalog's metadata-only
+    // evolution BEFORE the merge: no file rewrite, pre-existing rows
+    // read NULL, the row-level MERGE then rewrites only matched groups.
+    // At 100 TB "the upstream added a field" costs one ALTER + the
+    // merge's own delta — never a table rewrite.
+    QueryDef(
+      "q169_merge_schema_evolution",
+      (s, dir) => {
+        val ns = ensureCatalog(s, dir)
+        s.sql(
+          s"""MERGE WITH SCHEMA EVOLUTION INTO $ns.mse_tgt t
+             |USING $ns.mse_src s ON t.row_key = s.row_key
+             |WHEN MATCHED THEN UPDATE SET *
+             |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+        s.table(s"$ns.mse_tgt").groupBy(col("lang"))
+          .agg(count(lit(1)).cast("long").as("n"),
+            sum(col("n_chars")).cast("long").as("chars"),
+            count(col("quality")).cast("long").as("q_n"),
+            coalesce(sum(col("quality")), lit(0L)).cast("long").as("q_sum"))
+          .orderBy(col("lang"))
+      },
+      Some("""WITH t0 AS (SELECT doc_id, lang, n_chars FROM documents WHERE doc_id % 2 = 0),
+           s AS (SELECT doc_id, lang, n_chars, n_chars % 97 AS quality
+                 FROM documents WHERE doc_id % 3 = 0),
+           m AS (SELECT doc_id, lang, n_chars, quality FROM s
+                 UNION ALL
+                 SELECT doc_id, lang, n_chars, NULL AS quality FROM t0
+                 WHERE doc_id NOT IN (SELECT doc_id FROM s))
+        SELECT lang, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(n_chars) AS BIGINT) AS chars,
+               CAST(count(quality) AS BIGINT) AS q_n,
+               CAST(coalesce(sum(quality), 0) AS BIGINT) AS q_sum
+        FROM m GROUP BY lang ORDER BY lang"""),
+      // fixture: target without the column, source with it
+      setup = Some((s, dir) => {
+        val ns = ensureCatalog(s, dir)
+        s.sql(s"DROP TABLE IF EXISTS $ns.mse_tgt")
+        s.sql(s"DROP TABLE IF EXISTS $ns.mse_src")
+        s.sql(
+          s"""CREATE TABLE $ns.mse_tgt AS
+             |SELECT CAST(doc_id AS STRING) AS row_key, doc_id, lang, n_chars
+             |FROM parquet.`$dir/documents.parquet` WHERE doc_id % 2 = 0""".stripMargin)
+        s.sql(
+          s"""CREATE TABLE $ns.mse_src AS
+             |SELECT CAST(doc_id AS STRING) AS row_key, doc_id, lang, n_chars,
+             |       n_chars % 97 AS quality
+             |FROM parquet.`$dir/documents.parquet` WHERE doc_id % 3 = 0""".stripMargin)
+        ()
       }))
   )
 }

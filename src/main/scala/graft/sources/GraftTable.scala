@@ -151,7 +151,15 @@ final class GraftTable(
     Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER,
       TableCapability.OVERWRITE_DYNAMIC, TableCapability.STREAMING_WRITE,
-      TableCapability.MICRO_BATCH_READ).asJava
+      TableCapability.MICRO_BATCH_READ,
+      // `MERGE WITH SCHEMA EVOLUTION` (explicit syntax only — plain
+      // MERGE is unaffected): Spark's ResolveMergeIntoSchemaEvolution
+      // derives AddColumn/widening TableChanges from the source schema
+      // and applies them through GraftCatalog.alterTable BEFORE the
+      // merge — the same metadata-only evolution ALTER TABLE does (new
+      // columns nullable, old files read NULL, widening never rewrites);
+      // unsupported changes fail loudly inside alterTable
+      TableCapability.AUTOMATIC_SCHEMA_EVOLUTION).asJava
 
   def dataDir: String = s"$tableDir/data"
 

@@ -1553,6 +1553,41 @@ class GraftCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!spark.catalog.tableExists("graft.meta.bad"))
   }
 
+  test("MERGE WITH SCHEMA EVOLUTION: new source columns evolve the target") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.pw")
+    spark.sql("CREATE TABLE graft.pw.mse_t (row_key STRING, id BIGINT, v BIGINT)")
+    spark.sql("INSERT INTO graft.pw.mse_t VALUES ('a', 1, 10), ('b', 2, 20)")
+    spark.sql(
+      "CREATE TABLE graft.pw.mse_s (row_key STRING, id BIGINT, v BIGINT, extra STRING)")
+    spark.sql("INSERT INTO graft.pw.mse_s VALUES ('b', 2, 99, 'hi'), ('c', 3, 30, 'new')")
+    // PLAIN merge: schema must NOT change (the capability is gated on the
+    // explicit WITH SCHEMA EVOLUTION syntax)
+    spark.sql(
+      """MERGE INTO graft.pw.mse_t t USING graft.pw.mse_s s ON t.row_key = s.row_key
+        |WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    assert(spark.table("graft.pw.mse_t").schema.fieldNames.toSeq ==
+      Seq("row_key", "id", "v"))
+    // explicit evolution: `extra` lands (nullable), pre-existing rows
+    // read NULL, matched/inserted rows carry the source value
+    spark.sql(
+      """MERGE WITH SCHEMA EVOLUTION INTO graft.pw.mse_t t
+        |USING graft.pw.mse_s s ON t.row_key = s.row_key
+        |WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    assert(spark.table("graft.pw.mse_t").schema.fieldNames.toSeq ==
+      Seq("row_key", "id", "v", "extra"))
+    val got = spark.sql("SELECT row_key, v, extra FROM graft.pw.mse_t ORDER BY row_key")
+      .collect().map(r => (r.getString(0), r.getLong(1), Option(r.getString(2)))).toSeq
+    assert(got == Seq(("a", 10L, None), ("b", 99L, Some("hi")), ("c", 30L, Some("new"))))
+    // idempotent: re-running the evolved merge changes nothing structural
+    spark.sql(
+      """MERGE WITH SCHEMA EVOLUTION INTO graft.pw.mse_t t
+        |USING graft.pw.mse_s s ON t.row_key = s.row_key
+        |WHEN MATCHED THEN UPDATE SET *""".stripMargin)
+    assert(spark.table("graft.pw.mse_t").schema.fieldNames.length == 4)
+    spark.sql("DROP TABLE graft.pw.mse_t")
+    spark.sql("DROP TABLE graft.pw.mse_s")
+  }
+
   test("rename and drop") {
     spark.sql("ALTER TABLE graft.pw.test_big RENAME TO graft.pw.test_big2")
     assert(spark.table("graft.pw.test_big2").count() == 1)
