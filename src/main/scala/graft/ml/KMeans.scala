@@ -32,7 +32,7 @@ object KMeans {
   /** Driver-side model: (cluster, centroid, Σ round(cᵢ²·1e9)). */
   private type Model = IndexedSeq[(Int, IndexedSeq[Double], Double)]
 
-  /** Matches SQL `aggregate(c, 0D, (a, x) -> a + round(x * x * 1e9))`:
+  /** Matches SQL `quant_dot(c, c, 1e9)`:
     * x² ≥ 0 so HALF_UP coincides with math.round's toward-+∞ tie rule. */
   private def norm2Q(c: IndexedSeq[Double]): Double =
     c.foldLeft(0d)((a, x) => a + math.round(x * x * 1e9).toDouble)
@@ -53,19 +53,26 @@ object KMeans {
 
   /** Adds `cluster` to each row by argmax quantized cosine against the
     * literal model — narrow, no shuffle. Same arithmetic as the oracle:
-    * sim = Σ round(eᵢ·cᵢ·1e9) / sqrt(Σ round(cᵢ²·1e9)). */
-  private def withCluster(emb: DataFrame, m: Model): DataFrame =
+    * sim = Σ round(eᵢ·cᵢ·1e9) / sqrt(Σ round(cᵢ²·1e9)). The inner
+    * product is the native `quant_dot` (bit-identical to the spelled-out
+    * aggregate/zip_with — QuantProdSumSpec): the per-CENTROID fold stays
+    * a higher-order lambda (k steps/row, model-sized), but the per-
+    * ELEMENT work — k×d/row, the entire cost of Lloyd's at corpus
+    * scale — runs as one compiled loop instead of an interpreted
+    * closure + BigDecimal round per element. */
+  private def withCluster(emb: DataFrame, m: Model): DataFrame = {
+    graft.functions.QuantProdSum.register(emb.sparkSession)
     emb.withColumn("cents", modelLit(m))
       .withColumn("cluster", expr(
         """aggregate(
           |  transform(cents, cc -> struct(
           |    cc.cluster AS cluster,
-          |    aggregate(zip_with(e, cc.c, (x, y) -> round(x * y * 1e9)),
-          |              0D, (a, p) -> a + p) / sqrt(cc.cn2) AS sim)),
+          |    quant_dot(e, cc.c, 1e9) / sqrt(cc.cn2) AS sim)),
           |  struct(CAST(-1 AS INT) AS cluster, CAST('-Infinity' AS DOUBLE) AS sim),
           |  (best, s) -> CASE WHEN s.sim > best.sim THEN s ELSE best END
           |).cluster""".stripMargin))
       .drop("cents")
+  }
 
   /** One Lloyd step: model in, model out (rows sorted by cluster). */
   private def step(emb: DataFrame, m: Model): Model =
@@ -155,15 +162,17 @@ object KMeans {
 
   /** Mean cosine of each vector to its assigned centroid — the objective
     * (higher is better); used to check convergence. */
-  def objective(emb: DataFrame, centroids: DataFrame): Double =
+  def objective(emb: DataFrame, centroids: DataFrame): Double = {
+    graft.functions.QuantProdSum.register(emb.sparkSession)
     assign(emb, centroids)
       .join(centroids.select(col("cluster"), col("c")), "cluster")
       .withColumn("dot",
-        expr("aggregate(zip_with(e, c, (x, y) -> round(x * y * 1e9)), 0D, (a, p) -> a + p)"))
-      .withColumn("en2", expr("aggregate(e, 0D, (a, x) -> a + round(x * x * 1e9))"))
-      .withColumn("cn2", expr("aggregate(c, 0D, (a, x) -> a + round(x * x * 1e9))"))
+        expr("quant_dot(e, c, 1e9)"))
+      .withColumn("en2", expr("quant_dot(e, e, 1e9)"))
+      .withColumn("cn2", expr("quant_dot(c, c, 1e9)"))
       .withColumn("cos", expr("dot / sqrt(en2 * cn2)"))
       .agg(avg(col("cos"))).head().getDouble(0)
+  }
 
   /** Convenience: embeddings table → (id, e) frame. */
   def embFrame(spark: SparkSession, dir: String): DataFrame =

@@ -25,11 +25,11 @@ object Engine2 {
     t.embeddings.select(
       col("vec_id"), col("embedding").cast("array<double>").as("e"))
 
-  private val n2Expr = "aggregate(%s, 0D, (a, x) -> a + round(x * x * 1e9))"
-  private val dotExpr =
-    "aggregate(zip_with(%s, %s, (x, y) -> round(x * y * 1e9)), 0D, (a, p) -> a + p)"
-  private val sqDistExpr =
-    "aggregate(zip_with(sv, cv, (x, y) -> round((x - y) * (x - y) * 1e9)), 0D, (a, p) -> a + p)"
+  // native quant arithmetic (bit-identical to the HOF spellings the
+  // oracles replay — QuantProdSumSpec)
+  private val n2Expr = "quant_dot(%1$s, %1$s, 1e9)"
+  private val dotExpr = "quant_dot(%s, %s, 1e9)"
+  private val sqDistExpr = "quant_dist2(sv, cv, 1e9)"
 
   // ---- q154 shared helpers (used by both its setup and its run) ----------
   private def annFlat(df: DataFrame): DataFrame =

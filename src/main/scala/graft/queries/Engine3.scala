@@ -32,9 +32,8 @@ object Engine3 {
 
   /** [[Vectors]]' integer-exact embedding arithmetic (per-element products
     * quantized at 1e9 — sums of exact integers in double, order-free). */
-  private val n2E = "aggregate(%s, 0D, (a, x) -> a + round(x * x * 1e9))"
-  private val dotE =
-    "aggregate(zip_with(%s, %s, (x, y) -> round(x * y * 1e9)), 0D, (a, p) -> a + p)"
+  private val n2E = "quant_dot(%1$s, %1$s, 1e9)"
+  private val dotE = "quant_dot(%s, %s, 1e9)"
 
   /** Per-(doc, term) BM25 scores served from the persisted index — the
     * ONE sparse-retrieval routine q161 and q164 share. */

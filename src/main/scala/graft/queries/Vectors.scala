@@ -27,6 +27,7 @@ object Vectors {
     val bucketExpr = (0 to 7)
       .map(j => s"(case when e[$j] > 0 then ${1 << j} else 0 end)")
       .mkString(" + ")
+    graft.functions.QuantProdSum.register(t.embeddings.sparkSession)
     t.embeddings.select(
       col("vec_id"),
       col("embedding").cast("array<double>").as("e"))
@@ -38,7 +39,7 @@ object Vectors {
     * shuffle is needed and the result is deterministic. */
   private def norms(e: DataFrame): DataFrame =
     e.select(col("vec_id"),
-      expr("aggregate(e, 0D, (a, x) -> a + round(x * x * 1e9))").as("n2"))
+      expr("quant_dot(e, e, 1e9)").as("n2"))
 
   private val duckBucket = (1 to 8)
     .map(j => s"(CASE WHEN embedding[$j] > 0 THEN ${1 << (j - 1)} ELSE 0 END)")
@@ -54,7 +55,7 @@ object Vectors {
   private def cosine(pairs: DataFrame, n: DataFrame): DataFrame =
     pairs
       .withColumn("dot",
-        expr("aggregate(zip_with(qe, ve, (x, y) -> round(x * y * 1e9)), 0D, (a, p) -> a + p)"))
+        expr("quant_dot(qe, ve, 1e9)"))
       .join(n.select(col("vec_id").as("qid"), col("n2").as("qn2")), "qid")
       .join(n.select(col("vec_id").as("vid"), col("n2").as("vn2")), "vid")
       .withColumn("cos", expr("dot / sqrt(qn2 * vn2)"))
@@ -253,7 +254,7 @@ object Vectors {
           .orderBy(col("dist"), col("cw"))
         subs.join(broadcast(codewords), "j")
           .withColumn("dist",
-            expr("aggregate(zip_with(sv, cv, (x, y) -> round((x - y) * (x - y) * 1e9)), 0D, (a, p) -> a + p)"))
+            expr("quant_dist2(sv, cv, 1e9)"))
           .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
           .select(col("vec_id"), col("j").cast("long").as("subv"),
             col("cw").cast("long").as("code"))
@@ -294,7 +295,7 @@ object Vectors {
         val codewords = subs.filter(col("vec_id") < 16)
           .select(col("vec_id").as("cw"), col("j"), col("sv").as("cv"))
         val distExpr =
-          expr("aggregate(zip_with(sv, cv, (x, y) -> round((x - y) * (x - y) * 1e9)), 0D, (a, p) -> a + p)")
+          expr("quant_dist2(sv, cv, 1e9)")
         // PQ codes for the whole corpus (as in q48)
         val wCode = Window.partitionBy(col("vec_id"), col("j")).orderBy(col("dist"), col("cw"))
         val codes = subs.join(broadcast(codewords), "j")
@@ -390,8 +391,8 @@ object Vectors {
         // final assignment + probes score exactly like KMeans.assign
         val scored = ke.crossJoin(broadcast(cent))
           .withColumn("dot",
-            expr("aggregate(zip_with(e, c, (x, y) -> round(x * y * 1e9)), 0D, (a, p) -> a + p)"))
-          .withColumn("cn2", expr("aggregate(c, 0D, (a, x) -> a + round(x * x * 1e9))"))
+            expr("quant_dot(e, c, 1e9)"))
+          .withColumn("cn2", expr("quant_dot(c, c, 1e9)"))
           .withColumn("sim", expr("dot / sqrt(cn2)"))
         val w = Window.partitionBy(col("id")).orderBy(desc("sim"), col("cluster"))
         val ranked = scored.withColumn("rn", row_number().over(w))
@@ -490,8 +491,8 @@ object Vectors {
         val (cent, _) = graft.ml.KMeans.fitConverged(ke, 8, 4)
         val scored = ke.crossJoin(broadcast(cent))
           .withColumn("dot",
-            expr("aggregate(zip_with(e, c, (x, y) -> round(x * y * 1e9)), 0D, (a, p) -> a + p)"))
-          .withColumn("cn2", expr("aggregate(c, 0D, (a, x) -> a + round(x * x * 1e9))"))
+            expr("quant_dot(e, c, 1e9)"))
+          .withColumn("cn2", expr("quant_dot(c, c, 1e9)"))
           .withColumn("sim", expr("dot / sqrt(cn2)"))
         val w = Window.partitionBy(col("id")).orderBy(desc("sim"), col("cluster"))
         val sizes = scored.withColumn("rn", row_number().over(w))
@@ -626,7 +627,7 @@ object Vectors {
         val codewords = subs.filter(col("vec_id") < 16)
           .select(col("vec_id").as("cw"), col("j"), col("sv").as("cv"))
         val distExpr =
-          expr("aggregate(zip_with(sv, cv, (x, y) -> round((x - y) * (x - y) * 1e9)), 0D, (a, p) -> a + p)")
+          expr("quant_dist2(sv, cv, 1e9)")
         val wCode = Window.partitionBy(col("vec_id"), col("j")).orderBy(col("dist"), col("cw"))
         val codes = subs.join(broadcast(codewords), "j")
           .withColumn("dist", distExpr)
@@ -828,8 +829,8 @@ object Vectors {
         val cent = graft.ml.KMeans.fit(ke, k, 2)
         val scored = ke.crossJoin(broadcast(cent))
           .withColumn("dot",
-            expr("aggregate(zip_with(e, c, (x, y) -> round(x * y * 1e9)), 0D, (a, p) -> a + p)"))
-          .withColumn("cn2", expr("aggregate(c, 0D, (a, x) -> a + round(x * x * 1e9))"))
+            expr("quant_dot(e, c, 1e9)"))
+          .withColumn("cn2", expr("quant_dot(c, c, 1e9)"))
           .withColumn("sim", expr("dot / sqrt(cn2)"))
         val w = Window.partitionBy(col("id")).orderBy(desc("sim"), col("cluster"))
         // assignment is consumed THREE times below (both pair sides + the
@@ -935,7 +936,7 @@ object Vectors {
         val subs = e.select(col("vec_id"), explode(expr("sequence(0, 7)")).as("j"), col("e"))
           .select(col("vec_id"), col("j"), expr("slice(e, j * 8 + 1, 8)").as("sv"))
         val distExpr = expr(
-          "aggregate(zip_with(sv, cv, (x, y) -> round((x - y) * (x - y) * 1e9)), 0D, (a, p) -> a + p)")
+          "quant_dist2(sv, cv, 1e9)")
         val centroidD =
           udaf(graft.functions.CentroidAggD, ExpressionEncoder[Seq[Double]]())
         // nearest codeword per (vector, subspace) against a broadcast book
