@@ -72,6 +72,11 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     // computation itself must be a broadcast nested-loop, not a shuffle join
     assert(plan.contains("BroadcastNestedLoopJoin"), "query side should broadcast")
     assert(!plan.contains("SortMergeJoin"), "unexpected shuffle join in ANN path")
+    // the inner product must be the NATIVE quant_dot (one compiled loop),
+    // never the interpreted aggregate(zip_with(...)) lambda chain — the
+    // difference is the whole cost of the vector tail at corpus scale
+    assert(plan.contains("quant_dot"), "ANN dot must plan as native quant_dot")
+    assert(!plan.contains("zip_with"), "interpreted HOF survived in the ANN path")
   }
 
   test("graft source: partitioned table prunes directories statically") {
