@@ -587,16 +587,20 @@ object Dedup {
           .filter(size(col("sp")) >= 4)
           .select(col("doc_id"), expr(
             "explode(transform(sequence(0, size(sp) - 4), i -> concat_ws(' ', slice(sp, i + 1, 4))))").as("g"))
+        // ONE explode + ONE (doc, gram) shuffle: tf's aggregate IS the
+        // distinct (doc_id, g) set, so document frequency and the rare-
+        // gram candidate index both derive from tf — the corpus is never
+        // re-exploded, and the three consumers share tf's exchange
+        // (ReusedExchange) instead of recomputing the n-gram scan
         val tf = occ.groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("tf"))
-        val df = occ.select(col("doc_id"), col("g")).distinct()
-          .groupBy(col("g")).agg(count(lit(1)).as("df"))
+        val df = tf.groupBy(col("g")).agg(count(lit(1)).as("df"))
         // idf scale constant; any fixed N works (sf-independent)
         val v = tf.join(df, "g")
           .select(col("doc_id"), col("g"),
             expr("cast(tf * (2500 div df) as bigint)").as("w"))
         val nrm = v.groupBy(col("doc_id")).agg(sum(col("w") * col("w")).as("nsq"))
         val rare = df.filter(col("df").between(2, 8)).select(col("g"))
-        val keyed = occ.distinct().join(rare, "g")
+        val keyed = tf.select(col("doc_id"), col("g")).join(rare, "g")
         val cand = keyed.select(col("g"), col("doc_id").as("d1"))
           .join(keyed.select(col("g"), col("doc_id").as("d2")), "g")
           .filter(col("d1") < col("d2")).select(col("d1"), col("d2")).distinct()
