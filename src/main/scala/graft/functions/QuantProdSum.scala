@@ -1,39 +1,31 @@
 package graft.functions
 
-import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, TernaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, TernaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, NullType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType, NullType}
 
-/** `quant_dot(a, b, scale)` — the engine's quantized inner product as ONE
-  * native expression:
+/** Shared shape of the native quantized vector folds (`quant_dot`,
+  * `quant_dist2`): (array<double>, array<double>, foldable double scale)
+  * → double, bit-identical to the `aggregate(zip_with(...))` spelling
+  * each replaces — same left-to-right accumulation in double, same
+  * per-element HALF_UP rounding ([[QuantProdSum.roundHalfAway]]), same
+  * null poisoning (null array, length mismatch — zip_with pads the
+  * shorter side with nulls — or any null element ⇒ NULL).
   *
-  *   Σᵢ round(aᵢ · bᵢ · scale)
-  *
-  * bit-identical to the spelled-out
-  * `aggregate(zip_with(a, b, (x, y) -> round(x * y * scale)), 0D, (acc, p) -> acc + p)`
-  * (same left-to-right accumulation in double, same per-element HALF_UP
-  * rounding, same null poisoning: null array, length mismatch — zip_with
-  * pads with nulls — or any null element yields NULL), and to the DuckDB
-  * oracle's `list_sum(list_transform(...))` replay. `quant_dot(e, e, s)`
-  * is the quantized squared norm.
-  *
-  * Why it exists: the higher-order-function spelling evaluates an
+  * Why native: the higher-order-function spelling evaluates an
   * interpreted lambda per ELEMENT (closure dispatch + boxing + a
-  * BigDecimal-based Round), which is the entire cost of the k-means /
-  * ANN / SemDeDup bench tail — corpus × k × d interpreted steps. This
-  * expression runs the loop as one compiled method over primitive
-  * `ArrayData` slots (whole-stage codegen at top level, and still a
-  * single compiled call when nested inside a remaining higher-order
-  * lambda), with an exact integer-boundary rounding that avoids
-  * per-element BigDecimal entirely.
+  * BigDecimal-based Round) — corpus × k × d steps, the entire cost of
+  * the k-means / ANN / SemDeDup bench tail. These run the loop as one
+  * compiled method over primitive `ArrayData` slots (whole-stage codegen
+  * at top level, one compiled call when nested inside a remaining
+  * higher-order lambda).
   *
   * Rounding exactness: Spark's `round(double)` is HALF_UP on the value's
   * SHORTEST-DECIMAL form; DuckDB's is half-away-from-zero on the binary
   * value. For |x| < 2^52 these agree with each other and with the binary
-  * half-away-from-zero this class computes, because k ± 0.5 is exactly
+  * half-away-from-zero computed here, because k ± 0.5 is exactly
   * representable there (a shortest decimal ≥ k+0.5 cannot round-trip to
   * a double < k+0.5). The naive `floor(x + 0.5)` is NOT that function —
   * adding 0.5 can double-round across the tie (x = 0.49999999999999994,
@@ -41,10 +33,15 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, NullType}
   * detects the landed-exactly-on-integer case and corrects it. Scales
   * used here (1e6, 1e9) on unit-magnitude data keep |x| ≤ ~1e10 ≪ 2^52.
   * NaN/±Inf pass through like Spark's Round (and poison the sum to the
-  * same NaN/Inf the HOF chain produces).
-  */
-case class QuantProdSum(left: Expression, right: Expression, scale: Expression)
-    extends TernaryExpression {
+  * same NaN/Inf the HOF chain produces). */
+sealed abstract class QuantFold extends TernaryExpression {
+  def left: Expression
+  def right: Expression
+  def scale: Expression
+  /** Name of the static method on [[QuantProdSum]] the compiled loop
+    * lives in — called from both eval and generated code. */
+  protected def staticCall: String
+  protected def computeFn(l: ArrayData, r: ArrayData, s: Double): java.lang.Double
 
   override def first: Expression = left
   override def second: Expression = right
@@ -61,95 +58,139 @@ case class QuantProdSum(left: Expression, right: Expression, scale: Expression)
         scale.dataType == DoubleType && scale.foldable)
       TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      "quant_dot requires (array<double>, array<double>, foldable double scale); " +
+      s"$prettyName requires (array<double>, array<double>, foldable double scale); " +
         s"got (${left.dataType}, ${right.dataType}, ${scale.dataType})")
 
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
-  override def prettyName: String = "quant_dot"
 
   override def nullSafeEval(l: Any, r: Any, s: Any): Any =
-    QuantProdSum.compute(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData],
+    computeFn(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData],
       s.asInstanceOf[Double])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (l, r, s) => {
-      val tmp = ctx.freshName("qps")
+      val tmp = ctx.freshName("qf")
       s"""
-         |java.lang.Double $tmp = graft.functions.QuantProdSum.compute($l, $r, $s);
+         |java.lang.Double $tmp = graft.functions.QuantProdSum.$staticCall($l, $r, $s);
          |if ($tmp == null) { ${ev.isNull} = true; }
          |else { ${ev.value} = $tmp.doubleValue(); }
        """.stripMargin
     })
+}
 
+/** `quant_dot(a, b, scale)` — Σᵢ round(aᵢ · bᵢ · scale); with a = b this
+  * is the quantized squared norm. */
+case class QuantProdSum(left: Expression, right: Expression, scale: Expression)
+    extends QuantFold {
+  override def prettyName: String = "quant_dot"
+  override protected def staticCall: String = "compute"
+  override protected def computeFn(l: ArrayData, r: ArrayData, s: Double) =
+    QuantProdSum.compute(l, r, s)
   override protected def withNewChildrenInternal(
       newFirst: Expression, newSecond: Expression, newThird: Expression): QuantProdSum =
     copy(left = newFirst, right = newSecond, scale = newThird)
 }
 
 /** `quant_dist2(a, b, scale)` — Σᵢ round((aᵢ−bᵢ)²·scale), the quantized
-  * squared Euclidean distance (the PQ codebook-assignment metric);
-  * bit-identical to its HOF spelling for the same reasons as
-  * [[QuantProdSum]]. */
+  * squared Euclidean distance (the PQ codebook-assignment metric). */
 case class QuantDiffSum(left: Expression, right: Expression, scale: Expression)
-    extends TernaryExpression {
-  override def first: Expression = left
-  override def second: Expression = right
-  override def third: Expression = scale
-  private def arrayish(dt: DataType): Boolean = dt match {
-    case ArrayType(DoubleType, _) => true
-    case NullType => true
-    case _ => false
-  }
-  override def checkInputDataTypes(): TypeCheckResult =
-    if (arrayish(left.dataType) && arrayish(right.dataType) &&
-        scale.dataType == DoubleType && scale.foldable)
-      TypeCheckResult.TypeCheckSuccess
-    else TypeCheckResult.TypeCheckFailure(
-      "quant_dist2 requires (array<double>, array<double>, foldable double scale); " +
-        s"got (${left.dataType}, ${right.dataType}, ${scale.dataType})")
-  override def dataType: DataType = DoubleType
-  override def nullable: Boolean = true
+    extends QuantFold {
   override def prettyName: String = "quant_dist2"
-  override def nullSafeEval(l: Any, r: Any, s: Any): Any =
-    QuantProdSum.computeDiff(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData],
-      s.asInstanceOf[Double])
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (l, r, s) => {
-      val tmp = ctx.freshName("qds")
-      s"""
-         |java.lang.Double $tmp = graft.functions.QuantProdSum.computeDiff($l, $r, $s);
-         |if ($tmp == null) { ${ev.isNull} = true; }
-         |else { ${ev.value} = $tmp.doubleValue(); }
-       """.stripMargin
-    })
+  override protected def staticCall: String = "computeDiff"
+  override protected def computeFn(l: ArrayData, r: ArrayData, s: Double) =
+    QuantProdSum.computeDiff(l, r, s)
   override protected def withNewChildrenInternal(
       newFirst: Expression, newSecond: Expression, newThird: Expression): QuantDiffSum =
     copy(left = newFirst, right = newSecond, scale = newThird)
 }
 
+/** `int_dot(a, b)` over array<bigint> — Σᵢ aᵢ·bᵢ with EXACT long
+  * arithmetic (`multiplyExact`/`addExact`: overflow raises an arithmetic
+  * error exactly like the ANSI-mode `aggregate(zip_with(a, b,
+  * (x, y) -> x * y), 0L, ...)` it replaces); same null/length poisoning
+  * as the quant folds. The int8-quantized ANN side's dot product. */
+case class IntDotSum(left: Expression, right: Expression)
+    extends BinaryExpression {
+  private def arrayish(dt: DataType): Boolean = dt match {
+    case ArrayType(LongType, _) => true
+    case NullType => true
+    case _ => false
+  }
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (arrayish(left.dataType) && arrayish(right.dataType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"int_dot requires (array<bigint>, array<bigint>); " +
+        s"got (${left.dataType}, ${right.dataType})")
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "int_dot"
+  override def nullSafeEval(l: Any, r: Any): Any =
+    QuantProdSum.computeInt(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (l, r) => {
+      val tmp = ctx.freshName("idot")
+      s"""
+         |java.lang.Long $tmp = graft.functions.QuantProdSum.computeInt($l, $r);
+         |if ($tmp == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $tmp.longValue(); }
+       """.stripMargin
+    })
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): IntDotSum =
+    copy(left = newLeft, right = newRight)
+}
+
 object QuantProdSum {
 
-  /** Session-local registration of `quant_dot`/`quant_dist2` for library
-    * code that builds SQL expression strings (KMeans, the vector
-    * queries): idempotent, so it works whether or not the session was
-    * built with `GraftExtensions` (which also injects both). */
+  private def arity3(name: String)(
+      builder: (Expression, Expression, Expression) => Expression)
+      : Seq[Expression] => Expression = { children =>
+    require(children.length == 3,
+      s"graft: $name requires exactly 3 arguments " +
+        s"(array, array, scale); got ${children.length}")
+    builder(children(0), children(1), children(2))
+  }
+  private def arity2(name: String)(
+      builder: (Expression, Expression) => Expression)
+      : Seq[Expression] => Expression = { children =>
+    require(children.length == 2,
+      s"graft: $name requires exactly 2 arguments (array, array); " +
+        s"got ${children.length}")
+    builder(children(0), children(1))
+  }
+
+  /** The (identifier, info, builder) triples — ONE definition shared by
+    * [[GraftExtensions]] and [[register]], so arity validation and
+    * construction can never diverge between the two registration
+    * paths. */
+  private[functions] def registrations: Seq[(
+      org.apache.spark.sql.catalyst.FunctionIdentifier,
+      org.apache.spark.sql.catalyst.expressions.ExpressionInfo,
+      Seq[Expression] => Expression)] = Seq(
+    (new org.apache.spark.sql.catalyst.FunctionIdentifier("quant_dot"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[QuantProdSum].getName, "quant_dot"),
+      arity3("quant_dot")(QuantProdSum(_, _, _))),
+    (new org.apache.spark.sql.catalyst.FunctionIdentifier("quant_dist2"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[QuantDiffSum].getName, "quant_dist2"),
+      arity3("quant_dist2")(QuantDiffSum(_, _, _))),
+    (new org.apache.spark.sql.catalyst.FunctionIdentifier("int_dot"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[IntDotSum].getName, "int_dot"),
+      arity2("int_dot")(IntDotSum(_, _))))
+
+  /** Session-local registration for library code that builds SQL
+    * expression strings (KMeans, the vector queries): idempotent, so it
+    * works whether or not the session was built with `GraftExtensions`
+    * (which also injects these). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    val dot = org.apache.spark.sql.catalyst.FunctionIdentifier("quant_dot")
-    if (!reg.functionExists(dot))
-      reg.registerFunction(dot,
-        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
-          classOf[QuantProdSum].getName, "quant_dot"),
-        (children: Seq[Expression]) =>
-          QuantProdSum(children(0), children(1), children(2)))
-    val dist = org.apache.spark.sql.catalyst.FunctionIdentifier("quant_dist2")
-    if (!reg.functionExists(dist))
-      reg.registerFunction(dist,
-        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
-          classOf[QuantDiffSum].getName, "quant_dist2"),
-        (children: Seq[Expression]) =>
-          QuantDiffSum(children(0), children(1), children(2)))
+    registrations.foreach { case (fid, info, builder) =>
+      if (!reg.functionExists(fid)) reg.registerFunction(fid, info, builder)
+    }
   }
 
   /** Round half away from zero on the exact binary value — see the class
@@ -198,5 +239,20 @@ object QuantProdSum {
       i += 1
     }
     java.lang.Double.valueOf(s)
+  }
+
+  /** Exact long Σ x·y (overflow throws, matching ANSI long arithmetic in
+    * the HOF spelling); same null/length contract. */
+  def computeInt(l: ArrayData, r: ArrayData): java.lang.Long = {
+    val n = l.numElements()
+    if (r.numElements() != n) return null
+    var s = 0L
+    var i = 0
+    while (i < n) {
+      if (l.isNullAt(i) || r.isNullAt(i)) return null
+      s = Math.addExact(s, Math.multiplyExact(l.getLong(i), r.getLong(i)))
+      i += 1
+    }
+    java.lang.Long.valueOf(s)
   }
 }

@@ -68,18 +68,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("rolling_hash"),
       new ExpressionInfo(classOf[RollingHash].getName, "rolling_hash"),
       (children: Seq[Expression]) => RollingHash(children.head)))
-    // quantized inner product (Σ round(aᵢ·bᵢ·scale)) — the vector
-    // pipeline's hot arithmetic as one compiled loop (see QuantProdSum)
-    ext.injectFunction((
-      new FunctionIdentifier("quant_dot"),
-      new ExpressionInfo(classOf[QuantProdSum].getName, "quant_dot"),
-      (children: Seq[Expression]) =>
-        QuantProdSum(children(0), children(1), children(2))))
-    ext.injectFunction((
-      new FunctionIdentifier("quant_dist2"),
-      new ExpressionInfo(classOf[QuantDiffSum].getName, "quant_dist2"),
-      (children: Seq[Expression]) =>
-        QuantDiffSum(children(0), children(1), children(2))))
+    // quantized / integer vector arithmetic — the vector pipeline's hot
+    // loops as compiled expressions; triples shared with
+    // QuantProdSum.register so arity checks can never diverge
+    QuantProdSum.registrations.foreach(ext.injectFunction)
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     // View SQL bridge: CREATE/DROP/SHOW VIEWS on a graft catalog, plus
     // expand-at-resolution substitution of stored view text (Spark 4.1

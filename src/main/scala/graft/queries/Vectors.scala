@@ -1068,14 +1068,14 @@ object Vectors {
             e.select(col("vec_id").as("vid"), col("e").as("ve")))
             .filter(col("qid") =!= col("vid")), n), "cos")
         val n8 = q8.select(col("vec_id"),
-          expr("aggregate(v8, 0L, (a, x) -> a + x * x)").as("n8"))
+          expr("int_dot(v8, v8)").as("n8"))
         val quant = top3(
           broadcast(q8.filter(col("vec_id") < 20)
               .select(col("vec_id").as("qid"), col("v8").as("q8")))
             .crossJoin(q8.select(col("vec_id").as("vid"), col("v8").as("c8")))
             .filter(col("qid") =!= col("vid"))
             .withColumn("dot",
-              expr("aggregate(zip_with(q8, c8, (x, y) -> x * y), 0L, (a, p) -> a + p)"))
+              expr("int_dot(q8, c8)"))
             .join(n8.select(col("vec_id").as("qid"), col("n8").as("qn")), "qid")
             .join(n8.select(col("vec_id").as("vid"), col("n8").as("vn")), "vid")
             .withColumn("qcos", expr("dot / sqrt(cast(qn as double) * cast(vn as double))")),

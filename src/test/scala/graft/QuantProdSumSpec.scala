@@ -79,6 +79,44 @@ class QuantProdSumSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("int_dot ≡ the long HOF spelling incl. overflow raising like ANSI") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val rows: Seq[(Seq[java.lang.Long], Seq[java.lang.Long])] =
+      (1 to 200).map { i =>
+        val n = 1 + rnd.nextInt(64)
+        val a = Seq.fill(n)(java.lang.Long.valueOf(rnd.nextInt(255) - 127L)).toArray
+        val b = (if (i % 19 == 0) Seq.fill(n + 1)(java.lang.Long.valueOf(1L))
+                 else Seq.fill(n)(java.lang.Long.valueOf(rnd.nextInt(255) - 127L))).toArray
+        if (i % 23 == 0) a(rnd.nextInt(a.length)) = null
+        (a.toSeq, b.toSeq)
+      }
+    val df = rows.toDF("a", "b")
+    val out = df.select(
+      expr("aggregate(zip_with(a, b, (x, y) -> x * y), 0L, (acc, p) -> acc + p)").as("want"),
+      expr("int_dot(a, b)").as("got")).collect()
+    out.zipWithIndex.foreach { case (r, i) =>
+      val want = if (r.isNullAt(0)) null else java.lang.Long.valueOf(r.getLong(0))
+      val got = if (r.isNullAt(1)) null else java.lang.Long.valueOf(r.getLong(1))
+      assert(want == got, s"row $i: hof=$want int_dot=$got")
+    }
+    // overflow raises (the ANSI parity of the lambda spelling)
+    val big = Seq((Seq(Long.MaxValue), Seq(2L))).toDF("a", "b")
+    intercept[Exception](big.select(expr("int_dot(a, b)")).collect())
+  }
+
+  test("arity errors are loud: wrong argument counts refuse at registration") {
+    import spark.implicits._
+    val df = Seq((Seq(1.0), Seq(1.0))).toDF("a", "b")
+    val e = intercept[Exception](df.select(expr("quant_dot(a, b)")).collect())
+    assert(e.getMessage.contains("3 arguments"), e.getMessage)
+    val e2 = intercept[Exception](
+      df.select(expr("quant_dot(a, b, 1e9, 1e6)")).collect())
+    assert(e2.getMessage.contains("3 arguments"), e2.getMessage)
+    val e3 = intercept[Exception](df.select(expr("int_dot(a)")).collect())
+    assert(e3.getMessage.contains("2 arguments"), e3.getMessage)
+  }
+
   test("quant_dot(e, e, s) is the quantized norm; works inside higher-order lambdas") {
     import spark.implicits._
     val df = Seq((Seq(0.3, -0.7, 0.9), Seq(Seq(0.1, 0.2, 0.3), Seq(-0.5, 0.5, 0.25))))
