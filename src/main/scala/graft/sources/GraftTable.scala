@@ -442,6 +442,13 @@ object GraftTable {
     props.getOrElse(SortColumnsProp, "")
       .split(',').map(_.trim).filter(_.nonEmpty).toSeq
 
+  /** Target data-file size in bytes (`write.target.file.bytes`, default
+    * 512 MiB, 0 disables): every writer ROLLS to a new file once the
+    * open file passes it — bounded file sizes keep compaction, COW
+    * rewrites and vacuum incremental at any table size (reads already
+    * byte-range-split large files; writes must not create them). */
+  val TargetFileBytesProp = "write.target.file.bytes"
+
   /** CHECK constraints, one property per constraint:
     * `graft.constraint.<name>` -> the predicate SQL. Enforcement is
     * Spark-side (the analyzer validates every write plan against
@@ -3602,6 +3609,21 @@ object GraftWriterFactory {
 
     new DataWriter[InternalRow] {
       private var count = 0L
+      // FILE ROLLING: `write.target.file.bytes` (default 512 MiB) closes
+      // and registers the current file once parquet's buffered+flushed
+      // estimate passes the target, and opens a `-rN` successor — one
+      // long-running task writing a hot partition can never produce a
+      // multi-GB file (the split planner byte-ranges big files for READS,
+      // but compaction, COW rewrites and vacuum move whole files, so
+      // bounded file sizes are what keep maintenance incremental at
+      // 100 TB). Checked every 128 rows per file; 0 disables.
+      private val targetBytes = props.get(GraftTable.TargetFileBytesProp)
+        .map(_.trim.toLong).getOrElse(512L * 1024 * 1024)
+      // files already closed by rolling, with their finished entries
+      private val completed = scala.collection.mutable.ArrayBuffer[
+        (String, TableStats.Entry)]()
+      // per partition-dir roll ordinal (first file keeps the legacy name)
+      private val rollSeq = scala.collection.mutable.HashMap[String, Int]()
       // one open file per partition-value combination seen by this task;
       // value = (writer, relative path, rows written to that file).
       // taskId in the file name keeps every task ATTEMPT's files unique:
@@ -3611,6 +3633,25 @@ object GraftWriterFactory {
       private val writers = scala.collection.mutable.LinkedHashMap[
         String, (org.apache.parquet.hadoop.ParquetWriter[InternalRow], String, Long,
           ColStatsTracker, SortednessTracker)]()
+
+      /** Close one open file and build its registry entry (shared by
+        * commit and the rolling path). */
+      private def finish(
+          w: (org.apache.parquet.hadoop.ParquetWriter[InternalRow], String, Long,
+            ColStatsTracker, SortednessTracker)): (String, TableStats.Entry) = {
+        w._1.close()
+        // record the file size so scans can plan splits and report
+        // sizeInBytes from the registry alone — zero file I/O at plan
+        val len =
+          try new Path(s"$dataDir/${w._2}").getFileSystem(conf)
+            .getFileStatus(new Path(s"$dataDir/${w._2}")).getLen
+          catch { case _: java.io.IOException => -1L }
+        (w._2, TableStats.Entry(w._3, w._4.result, len, sorted = w._5.sorted,
+          nulls = Some(w._4.nullCounts), sums = Some(w._4.sums),
+          blooms = w._4.blooms,
+          // the evidence is list-specific: record WHICH list was watched
+          sortedBy = if (w._5.sorted) Some(sortCols) else None))
+      }
 
       private def writerFor(row: InternalRow): org.apache.parquet.hadoop.ParquetWriter[InternalRow] = {
         val rel = partIdx.map { case (f, i) =>
@@ -3629,15 +3670,28 @@ object GraftWriterFactory {
           }
         }.mkString("/")
         val key = if (rel.isEmpty) "" else rel + "/"
-        val entry = writers.getOrElseUpdate(key, {
-          val relPath = s"$key$filePrefix-$partitionId-$taskId-$writeId.parquet"
+        def open(): (org.apache.parquet.hadoop.ParquetWriter[InternalRow], String, Long,
+            ColStatsTracker, SortednessTracker) = {
+          val n = rollSeq.getOrElse(key, 0)
+          val suffix = if (n == 0) "" else s"-r$n"
+          val relPath = s"$key$filePrefix-$partitionId-$taskId-$writeId$suffix.parquet"
           val path = new Path(s"$dataDir/$relPath")
           path.getFileSystem(conf).mkdirs(path.getParent)
           (ParquetRowIO.newWriter(path, schema, conf, props), relPath, 0L,
             new ColStatsTracker(schema, BloomIndex.columnsOf(props),
               BloomIndex.bitsOf(props)),
             new SortednessTracker(schema, sortCols))
-        })
+        }
+        var entry = writers.getOrElseUpdate(key, open())
+        // roll: finish the full file, start its successor (fresh stats /
+        // sort-evidence trackers — per-file semantics are unchanged)
+        if (targetBytes > 0 && entry._3 > 0 && (entry._3 & 127) == 0 &&
+            entry._1.getDataSize >= targetBytes) {
+          completed += finish(entry)
+          rollSeq(key) = rollSeq.getOrElse(key, 0) + 1
+          entry = open()
+          writers(key) = entry
+        }
         writers(key) = (entry._1, entry._2, entry._3 + 1, entry._4, entry._5)
         entry._4.update(row)
         entry._5.update(row)
@@ -3679,22 +3733,8 @@ object GraftWriterFactory {
         writerFor(out).write(out)
         count += 1
       }
-      override def commit(): WriterCommitMessage = {
-        writers.values.foreach(_._1.close())
-        GraftCommitMessage(writers.values.map { w =>
-          // record the file size so scans can plan splits and report
-          // sizeInBytes from the registry alone — zero file I/O at plan
-          val len =
-            try new Path(s"$dataDir/${w._2}").getFileSystem(conf)
-              .getFileStatus(new Path(s"$dataDir/${w._2}")).getLen
-            catch { case _: java.io.IOException => -1L }
-          (w._2, TableStats.Entry(w._3, w._4.result, len, sorted = w._5.sorted,
-            nulls = Some(w._4.nullCounts), sums = Some(w._4.sums),
-            blooms = w._4.blooms,
-            // the evidence is list-specific: record WHICH list was watched
-            sortedBy = if (w._5.sorted) Some(sortCols) else None))
-        }.toSeq)
-      }
+      override def commit(): WriterCommitMessage =
+        GraftCommitMessage(completed.toSeq ++ writers.values.map(finish))
       override def abort(): Unit = {
         writers.values.foreach(w => try w._1.close() catch { case _: Exception => () })
         // file cleanup happens in GraftBatchWrite.abort via writeId match

@@ -1553,6 +1553,37 @@ class GraftCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!spark.catalog.tableExists("graft.meta.bad"))
   }
 
+  test("write.target.file.bytes: one task rolls to bounded files, registry exact") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.pw")
+    spark.sql(
+      """CREATE TABLE graft.pw.roll (id BIGINT, pad STRING)
+        |TBLPROPERTIES ('write.target.file.bytes' = '65536',
+        |               'write.compression' = 'uncompressed')""".stripMargin)
+    // ONE task writing ~6 MB of padded rows must produce MANY bounded
+    // files, not one: the rolling path closes each at ~64 KiB
+    spark.range(0, 20000)
+      .selectExpr("id", "repeat('x', 300) AS pad")
+      .coalesce(1)
+      .writeTo("graft.pw.roll").append()
+    val dd = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.catalog.graft.warehouse") + "/pw/roll/data")
+    val fs = dd.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val m = graft.sources.TableStats.read(fs, dd)
+    assert(m.size > 5, s"expected rolled files, got ${m.size}")
+    // every entry exact: rows sum to the corpus, per-file ranges cover it
+    assert(m.values.map(_.rows).sum == 20000L)
+    assert(m.values.forall(e => e.bytes > 0 && e.bytes < 4L * 65536),
+      s"a rolled file escaped the bound: ${m.values.map(_.bytes).max}")
+    val ids = m.values.flatMap(_.cols.get("id")).toSeq
+    assert(ids.map(_._1.toLong).min == 0L && ids.map(_._2.toLong).max == 19999L)
+    // registry-answered aggregates and real reads agree
+    assert(spark.sql("SELECT count(*) FROM graft.pw.roll").head().getLong(0) == 20000L)
+    assert(spark.sql("SELECT sum(id) FROM graft.pw.roll").head().getLong(0)
+      == 19999L * 20000L / 2)
+    assert(spark.table("graft.pw.roll").where("pad IS NULL").count() == 0)
+    spark.sql("DROP TABLE graft.pw.roll")
+  }
+
   test("MERGE WITH SCHEMA EVOLUTION: new source columns evolve the target") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.pw")
     spark.sql("CREATE TABLE graft.pw.mse_t (row_key STRING, id BIGINT, v BIGINT)")
