@@ -199,8 +199,24 @@ object Compaction {
         layoutVictims += p.toString
       }
     }
+    // CONVERGENCE with write-side rolling: compaction's own outputs go
+    // through the same rolling factory and land NEAR the table's
+    // write.target.file.bytes (parquet's in-flight size estimate closes
+    // a file at the target, the encoded bytes land slightly under it) —
+    // so "small" clamps to 3/4 of the target, or every OPTIMIZE on a
+    // sub-smallBytes target would re-pick its own outputs forever
+    // (unbounded churn, a new snapshot per run). Tails below 3/4-target
+    // still group-compact until ≤1 remains per directory — the fixed
+    // point.
+    val effSmall = {
+      val target = GraftTable.targetFileBytes(
+        { import scala.jdk.CollectionConverters._
+          table.properties().asScala.toMap })
+      if (target > 0) math.min(smallBytes, math.max(1L, target * 3 / 4))
+      else smallBytes
+    }
     val groups = byDir.values.toSeq
-      .map(_.filter(_._2 < smallBytes))
+      .map(_.filter(_._2 < effSmall))
       .filter(_.size >= 2)
     if (groups.isEmpty && deleteVictims.isEmpty && layoutVictims.isEmpty)
       return (0, 0)

@@ -446,8 +446,22 @@ object GraftTable {
     * 512 MiB, 0 disables): every writer ROLLS to a new file once the
     * open file passes it — bounded file sizes keep compaction, COW
     * rewrites and vacuum incremental at any table size (reads already
-    * byte-range-split large files; writes must not create them). */
+    * byte-range-split large files; writes must not create them).
+    * The roll signal is parquet's flushed+buffered size, which tracks
+    * ENCODED bytes once row groups flush — size the target to hold at
+    * least a few `write.rowgroup.bytes` groups (the default pairing,
+    * 512 MiB over 128 MiB groups, does), or heavily-encoded data closes
+    * files on the raw-buffer estimate, well under the target. */
   val TargetFileBytesProp = "write.target.file.bytes"
+
+  /** Parsed [[TargetFileBytesProp]] — a malformed value must fail with
+    * the PROPERTY NAME, not a bare NumberFormatException retried across
+    * every task attempt. */
+  def targetFileBytes(props: Map[String, String]): Long =
+    props.get(TargetFileBytesProp).map { v =>
+      v.trim.toLongOption.filter(_ >= 0).getOrElse(throw new IllegalArgumentException(
+        s"graft: $TargetFileBytesProp must be a non-negative byte count, got '$v'"))
+    }.getOrElse(512L * 1024 * 1024)
 
   /** CHECK constraints, one property per constraint:
     * `graft.constraint.<name>` -> the predicate SQL. Enforcement is
@@ -3616,14 +3630,19 @@ object GraftWriterFactory {
       // multi-GB file (the split planner byte-ranges big files for READS,
       // but compaction, COW rewrites and vacuum move whole files, so
       // bounded file sizes are what keep maintenance incremental at
-      // 100 TB). Checked every 128 rows per file; 0 disables.
-      private val targetBytes = props.get(GraftTable.TargetFileBytesProp)
-        .map(_.trim.toLong).getOrElse(512L * 1024 * 1024)
+      // 100 TB). The size check is ADAPTIVE: re-checked after the number
+      // of rows the observed bytes/row says fits in HALF the remaining
+      // budget (≤128), so wide rows (multi-MB blobs) bound the overshoot
+      // instead of sailing 127 rows past the target. 0 disables.
+      private val targetBytes = GraftTable.targetFileBytes(props)
       // files already closed by rolling, with their finished entries
       private val completed = scala.collection.mutable.ArrayBuffer[
         (String, TableStats.Entry)]()
       // per partition-dir roll ordinal (first file keeps the legacy name)
       private val rollSeq = scala.collection.mutable.HashMap[String, Int]()
+      // per partition-dir row count at which to re-check the open file's
+      // size (adaptive — see above)
+      private val nextCheck = scala.collection.mutable.HashMap[String, Long]()
       // one open file per partition-value combination seen by this task;
       // value = (writer, relative path, rows written to that file).
       // taskId in the file name keeps every task ATTEMPT's files unique:
@@ -3685,12 +3704,22 @@ object GraftWriterFactory {
         var entry = writers.getOrElseUpdate(key, open())
         // roll: finish the full file, start its successor (fresh stats /
         // sort-evidence trackers — per-file semantics are unchanged)
-        if (targetBytes > 0 && entry._3 > 0 && (entry._3 & 127) == 0 &&
-            entry._1.getDataSize >= targetBytes) {
-          completed += finish(entry)
-          rollSeq(key) = rollSeq.getOrElse(key, 0) + 1
-          entry = open()
-          writers(key) = entry
+        if (targetBytes > 0 && entry._3 > 0 &&
+            entry._3 >= nextCheck.getOrElse(key, 1L)) {
+          val size = entry._1.getDataSize
+          if (size >= targetBytes) {
+            completed += finish(entry)
+            rollSeq(key) = rollSeq.getOrElse(key, 0) + 1
+            nextCheck(key) = 1L
+            entry = open()
+          } else {
+            // rows that fit in half the remaining budget at the observed
+            // bytes/row, clamped to [1, 128]: cheap for narrow rows, a
+            // near-every-row check once rows are target-scale wide
+            val avg = math.max(1L, size / entry._3)
+            val step = math.max(1L, math.min(128L, (targetBytes - size) / avg / 2))
+            nextCheck(key) = entry._3 + step
+          }
         }
         writers(key) = (entry._1, entry._2, entry._3 + 1, entry._4, entry._5)
         entry._4.update(row)

@@ -1555,14 +1555,18 @@ class GraftCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("write.target.file.bytes: one task rolls to bounded files, registry exact") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.pw")
+    // target = 8 row groups: the roll signal (parquet's flushed+buffered
+    // size) tracks ENCODED bytes once groups flush — the documented
+    // precondition for the size bound (and for OPTIMIZE convergence)
     spark.sql(
       """CREATE TABLE graft.pw.roll (id BIGINT, pad STRING)
         |TBLPROPERTIES ('write.target.file.bytes' = '65536',
+        |               'write.rowgroup.bytes' = '8192',
         |               'write.compression' = 'uncompressed')""".stripMargin)
-    // ONE task writing ~6 MB of padded rows must produce MANY bounded
-    // files, not one: the rolling path closes each at ~64 KiB
+    // ONE task writing ~6 MB of incompressible rows must produce MANY
+    // bounded files, not one: the rolling path closes each at ~64 KiB
     spark.range(0, 20000)
-      .selectExpr("id", "repeat('x', 300) AS pad")
+      .selectExpr("id", "repeat(md5(cast(id AS string)), 10) AS pad")
       .coalesce(1)
       .writeTo("graft.pw.roll").append()
     val dd = new org.apache.hadoop.fs.Path(
@@ -1581,6 +1585,14 @@ class GraftCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.sql("SELECT sum(id) FROM graft.pw.roll").head().getLong(0)
       == 19999L * 20000L / 2)
     assert(spark.table("graft.pw.roll").where("pad IS NULL").count() == 0)
+    // CONVERGENCE: compaction clamps its small-file threshold to the
+    // rolling target, so OPTIMIZE over target-sized rolled files reaches
+    // a fixed point instead of re-rewriting its own outputs forever
+    spark.sql("OPTIMIZE graft.pw.roll")
+    val second = spark.sql("OPTIMIZE graft.pw.roll").collect().head
+    assert(second.getInt(0) == 0 && second.getInt(1) == 0,
+      s"second OPTIMIZE must be a no-op, rewrote ${second.getInt(0)} files")
+    assert(spark.sql("SELECT count(*) FROM graft.pw.roll").head().getLong(0) == 20000L)
     spark.sql("DROP TABLE graft.pw.roll")
   }
 
