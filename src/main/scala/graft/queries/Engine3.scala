@@ -548,13 +548,19 @@ object Engine3 {
             sum(col("lat_us")).cast("long").as("lat_us_sum"))
           .orderBy(col("user_id"))
       },
-      Some("""WITH c AS (SELECT event_id AS cid, user_id, epoch_ns(ts) AS tc
+      // the comparison happens at MICROSECOND precision on both sides:
+      // the Spark side floors each event's epoch-nanos to µs
+      // (timestamp_micros(ts div 1000), [[EventStreams.clickPurchaseJoin]])
+      // before joining, so the oracle must floor per-event too — at raw
+      // ns a boundary pair's membership and the lat_us sum would diverge
+      // whenever the corpus' timestamps are not µs-aligned
+      Some("""WITH c AS (SELECT event_id AS cid, user_id, epoch_ns(ts) // 1000 AS tc
                  FROM events WHERE event_type = 'click'),
-             p AS (SELECT event_id AS pid, user_id, epoch_ns(ts) AS tp
+             p AS (SELECT event_id AS pid, user_id, epoch_ns(ts) // 1000 AS tp
                  FROM events WHERE event_type = 'purchase'),
-             j AS (SELECT c.user_id AS u, (tp - tc) // 1000 AS lat
+             j AS (SELECT c.user_id AS u, tp - tc AS lat
                  FROM c JOIN p ON p.user_id = c.user_id
-                   AND tp >= tc AND tp <= tc + 3600000000000)
+                   AND tp >= tc AND tp <= tc + 3600000000)
         SELECT u AS user_id, CAST(count(*) AS BIGINT) AS n_pairs,
                CAST(sum(lat) AS BIGINT) AS lat_us_sum
         FROM j GROUP BY u ORDER BY user_id"""),

@@ -218,8 +218,12 @@ object Compaction {
     val groups = byDir.values.toSeq
       .map(_.filter(_._2 < effSmall))
       .filter(_.size >= 2)
-    if (groups.isEmpty && deleteVictims.isEmpty && layoutVictims.isEmpty)
+    if (groups.isEmpty && deleteVictims.isEmpty && layoutVictims.isEmpty) {
+      // nothing to rewrite — but a prior run may have reified a clone
+      // and crashed before releasing its source pin; heal that here
+      ShallowClone.releasePinIfReified(fs, table)
       return (0, 0)
+    }
     val victims =
       (groups.flatten.map(_._1) ++ deleteVictims ++ layoutVictims).distinct
 
@@ -398,6 +402,10 @@ object Compaction {
       // rows are MOVED, not changed: CDC feeds skip this version entirely
       ChangeLog.writeMarker(fs, dataDir, v, ChangeLog.Maintenance)
     }
+    // a clone whose last external entry was just rewritten is now a
+    // fully independent table: release the vacuum pin it held on its
+    // source (the DROP/RENAME refusal message promises OPTIMIZE unblocks)
+    ShallowClone.releasePinIfReified(fs, table)
     (victims.size, written.length)
   }
 }

@@ -99,6 +99,27 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
     if (!namespaceExists(namespace)) throw new NoSuchNamespaceException(namespace)
     if (!cascade && listTables(namespace).nonEmpty)
       throw new IllegalStateException(s"namespace ${namespace.mkString(".")} is not empty")
+    if (cascade) {
+      // route every table through dropTable so the clone-pin machinery
+      // runs: pins held by clones INSIDE on outside sources are released
+      // (no leaked un-vacuumable sources), and tables pinned by live
+      // clones OUTSIDE the namespace refuse exactly like DROP TABLE.
+      // Clones inside pinning sources inside resolve by dropping in
+      // passes — each pass drops the unpinned tables (releasing their
+      // pins), so their inside sources free up next pass. A pass that
+      // frees nothing means every remaining pin comes from outside.
+      var remaining = listTables(namespace).toSeq
+      while (remaining.nonEmpty) {
+        val (pinned, free) = remaining.partition(t => incomingClonePins(t).nonEmpty)
+        if (free.isEmpty) throw new IllegalStateException(
+          s"graft: cannot drop namespace ${namespace.mkString(".")} CASCADE — " +
+            s"live shallow clones outside it pin " +
+            s"${pinned.map(fullName).mkString(", ")}; drop or OPTIMIZE (reify) " +
+            "those clones first")
+        free.foreach(dropTable)
+        remaining = pinned
+      }
+    }
     viewSqlCache.clear() // a cascade may have removed views
     Snapshots.invalidateCachePrefix(nsPath(namespace))
     fs.delete(nsPath(namespace), true)
@@ -467,31 +488,44 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
   /** Incoming shallow-clone pins on this table (tags with the reserved
     * `clone-` prefix): live clones still reference its files, so DROP
     * and RENAME must refuse — the pin tag only defends against vacuum,
-    * not against deleting or moving the whole directory. */
+    * not against deleting or moving the whole directory.
+    *
+    * Fails CLOSED: [[Snapshots.tags]] already treats a missing
+    * `_tags.tsv` as "no pins"; any other read failure propagates.
+    * Swallowing it would let DROP/RENAME of a pinned source proceed on
+    * a transient FS error — the exact corruption this guard prevents. */
   private def incomingClonePins(ident: Identifier): Seq[String] =
-    try Snapshots.tags(fs, new Path(tablePath(ident), "data"))
+    Snapshots.tags(fs, new Path(tablePath(ident), "data"))
       .keysIterator.filter(_.startsWith("clone-")).toSeq.sorted
-    catch { case _: Exception => Nil }
+
+  /** If `ident` is a shallow clone, release the vacuum-pin tag it holds
+    * on its source so the source can retire the snapshot again.
+    * Best-effort: a vanished/renamed source must not block destroying
+    * the clone. Called by every path that destroys the table's identity
+    * — DROP TABLE, REPLACE TABLE commit, DROP NAMESPACE CASCADE. */
+  private def releaseOutgoingClonePin(ident: Identifier): Unit =
+    try {
+      val t = loadTable(ident).asInstanceOf[GraftTable]
+      val props = t.properties().asScala
+      for (srcDir <- props.get(ShallowClone.SourceDirProp);
+           tag <- props.get(ShallowClone.PinTagProp))
+        try Snapshots.dropTag(srcDir, tag)
+        catch { case _: Exception => () }
+    } catch { case _: Exception => () }
+
+  private def requireNoIncomingClonePins(ident: Identifier, verb: String): Unit = {
+    val pins = incomingClonePins(ident)
+    if (pins.nonEmpty) throw new IllegalStateException(
+      s"graft: cannot $verb ${fullName(ident)} — live shallow clones pin " +
+        s"its snapshots (${pins.mkString(", ")}); drop or OPTIMIZE (reify) " +
+        "the clones first, or remove the pins explicitly with " +
+        "ALTER TABLE ... DROP TAG if the clones are gone")
+  }
 
   override def dropTable(ident: Identifier): Boolean =
     tableExists(ident) && {
-      val pins = incomingClonePins(ident)
-      if (pins.nonEmpty) throw new IllegalStateException(
-        s"graft: cannot drop ${fullName(ident)} — live shallow clones pin " +
-          s"its snapshots (${pins.mkString(", ")}); drop or OPTIMIZE (reify) " +
-          "the clones first, or remove the pins explicitly with " +
-          "ALTER TABLE ... DROP TAG if the clones are gone")
-      // a shallow clone pinned its source snapshot with a tag — release
-      // it so the source's vacuum can retire the snapshot again.
-      // Best-effort: a vanished/renamed source must not block the drop.
-      try {
-        val t = loadTable(ident).asInstanceOf[GraftTable]
-        val props = t.properties().asScala
-        for (srcDir <- props.get(ShallowClone.SourceDirProp);
-             tag <- props.get(ShallowClone.PinTagProp))
-          try Snapshots.dropTag(srcDir, tag)
-          catch { case _: Exception => () }
-      } catch { case _: Exception => () }
+      requireNoIncomingClonePins(ident, "drop")
+      releaseOutgoingClonePin(ident)
       // a recreated table reuses these exact paths — purge the snapshot
       // resolve cache at the generation boundary (see
       // [[Snapshots.invalidateCacheUnder]])
@@ -610,6 +644,17 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
       properties.asScala.toMap, stagingDir.toString, partCols)
     new GraftStagedTable(inner, () => {
       val dest = tablePath(ident)
+      // REPLACE destroys the old table exactly like DROP: refuse while
+      // live shallow clones still reference its files (the commit's
+      // fs.delete would physically destroy them), and release any pin
+      // the replaced table itself held on a clone source. Checked at
+      // COMMIT time — a clone created between stage and commit must
+      // still be protected. On refusal Spark's exec node aborts the
+      // staged table, cleaning the staging dir.
+      if (replace && fs.exists(dest)) {
+        requireNoIncomingClonePins(ident, "replace")
+        releaseOutgoingClonePin(ident)
+      }
       // REPLACE is a table-generation boundary exactly like DROP+CREATE:
       // purge the snapshot resolve cache for the destination paths (the
       // staging dir's entries die with their paths — stat validation

@@ -31,7 +31,10 @@ import org.apache.spark.sql.types.LongType
   *    DROP TABLE on the clone releases the pin;
   *  - `OPTIMIZE dst` REIFIES the clone (external entries are always
   *    compaction victims): after one compaction the clone is a fully
-  *    independent table and the pin can be dropped;
+  *    independent table and the compaction itself RELEASES the pin
+  *    (drops the tag and clears the clone properties —
+  *    [[releasePinIfReified]]), so the source's DROP/RENAME/vacuum
+  *    unblock with no manual step;
   *  - the clone's version counter STARTS at the cloned source version
   *    ([[TableStats.write]]'s floor), so cloned entries' data sequence
   *    numbers stay below every later clone commit — a MOR DELETE in the
@@ -44,8 +47,10 @@ import org.apache.spark.sql.types.LongType
   * clones always are), streaming the clone's file-based source before
   * reification (the offsets are own-dir listings).
   *
-  * The reference has no snapshot/clone machinery (single live HBase
-  * table — `HBaseTableCatalog.scala:35-60`); this is lakehouse surface
+  * The reference has no snapshot/clone machinery at all — its DDL and
+  * scans operate on the single live HBase table via the Admin/Table
+  * handles in `client/HBaseClientImpl.scala` (create/drop/scan, no
+  * version or snapshot concept anywhere); this is lakehouse surface
   * the Spark-native engine adds.
   */
 object ShallowClone {
@@ -54,8 +59,54 @@ object ShallowClone {
   /** Dest-table property: the source snapshot version cloned. */
   val SourceVersionProp = "clone.source.version"
   /** Dest-table property: the vacuum-pin tag this clone holds on the
-    * source (dropped by DROP TABLE on the clone). */
+    * source (dropped by DROP TABLE on the clone, or released by
+    * [[releasePinIfReified]] once OPTIMIZE has materialized every
+    * external entry). */
   val PinTagProp = "clone.pin.tag"
+
+  /** Called after a compaction swap (and on a no-op OPTIMIZE, to heal a
+    * crash between a past swap and its release): if this clone's LIVE
+    * manifest no longer holds any external (`ext:`) entry, the clone is
+    * fully reified — drop the vacuum-pin tag it held on its source and
+    * clear the clone properties from `_meta.yml`, so DROP/RENAME/vacuum
+    * of the source unblock without a manual DROP TAG (the promise the
+    * refusal message makes). After release, time travel to the clone's
+    * PRE-reification versions is no longer vacuum-protected on the
+    * source side — the same exposure as dropping the clone. The tag
+    * drop is best-effort (a vanished source must not fail OPTIMIZE);
+    * crash between dropTag and the props rewrite leaves stale props
+    * whose later release re-drops a missing tag, a no-op. */
+  def releasePinIfReified(fs: org.apache.hadoop.fs.FileSystem,
+                          table: GraftTable): Unit =
+    for (tag <- table.props.get(PinTagProp)) {
+      val dataDir = new Path(table.dataDir)
+      val live = TableStats.readIfExists(fs, dataDir).getOrElse(Map.empty)
+      if (!live.keysIterator.exists(TableStats.isExternal)) {
+        for (srcDir <- table.props.get(SourceDirProp))
+          try Snapshots.dropTag(srcDir, tag)
+          catch { case _: Exception => () }
+        // strip the clone markers from _meta.yml (read-modify-write of
+        // the same three-key layout the catalog writes)
+        val metaFile = new Path(table.tableDir, "_meta.yml")
+        val text = {
+          val in = fs.open(metaFile)
+          try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+          finally in.close()
+        }
+        val (schema, props, partCols) = GraftTable.parseMeta(text)
+        import scala.jdk.CollectionConverters._
+        val opts = new org.yaml.snakeyaml.DumperOptions()
+        opts.setDefaultFlowStyle(org.yaml.snakeyaml.DumperOptions.FlowStyle.BLOCK)
+        val yaml = new org.yaml.snakeyaml.Yaml(opts).dump(Map(
+          "schema_json" -> schema.json,
+          "properties" ->
+            (props - SourceDirProp - SourceVersionProp - PinTagProp).asJava,
+          "partitions" -> partCols.asJava).asJava)
+        val out = fs.create(metaFile, true)
+        try out.write(yaml.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        finally out.close()
+      }
+    }
 
   /** Execute the clone; returns (cloned version, #files referenced). */
   def run(session: SparkSession, destParts: Seq[String], srcParts: Seq[String],

@@ -236,6 +236,98 @@ class CloneSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!spark.catalog.tableExists("gcl.t.srcB"))
   }
 
+  private def clonePins(src: String): Seq[String] =
+    spark.sql(s"SHOW TAGS IN gcl.t.$src").collect()
+      .map(_.getString(0)).filter(_.startsWith("clone-")).toSeq
+
+  test("OPTIMIZE releases the source pin once the clone is reified") {
+    setup(); seed("srcC", n = 24, parts = 2)
+    spark.sql("CREATE TABLE gcl.t.cC SHALLOW CLONE gcl.t.srcC")
+    assert(clonePins("srcC").nonEmpty)
+    val before = rows("cC")
+    spark.sql("OPTIMIZE gcl.t.cC")
+    // pin gone, clone props cleared — the refusal message's promise holds
+    assert(clonePins("srcC").isEmpty,
+      "reification must drop the clone's pin tag on the source")
+    val props = spark.sql("SHOW TBLPROPERTIES gcl.t.cC").collect()
+      .map(_.getString(0)).toSet
+    assert(!props.contains(ShallowClone.PinTagProp) &&
+      !props.contains(ShallowClone.SourceDirProp), props.toString)
+    // the source is now droppable, and the reified clone survives it
+    spark.sql("DROP TABLE gcl.t.srcC")
+    assert(rows("cC") == before)
+  }
+
+  test("CREATE OR REPLACE of a pinned source is refused at commit time") {
+    setup(); seed("srcD", n = 12, parts = 1)
+    spark.sql("CREATE TABLE gcl.t.cD SHALLOW CLONE gcl.t.srcD")
+    val e = intercept[Exception](spark.sql(
+      "CREATE OR REPLACE TABLE gcl.t.srcD AS SELECT 'x' AS row_key, 1L AS id"))
+    assert(e.getMessage.contains("live shallow clones") ||
+      Option(e.getCause).exists(_.getMessage.contains("live shallow clones")),
+      e.getMessage)
+    assert(rows("cD").size == 12, "clone intact after refused replace")
+    assert(rows("srcD").size == 12, "refused replace left the source intact")
+    spark.sql("DROP TABLE gcl.t.cD")
+    spark.sql(
+      "CREATE OR REPLACE TABLE gcl.t.srcD AS SELECT 'x' AS row_key, 1L AS id")
+    assert(spark.sql("SELECT * FROM gcl.t.srcD").count() == 1)
+  }
+
+  test("REPLACE TABLE on a clone releases its outgoing pin, like DROP") {
+    setup(); seed("srcE", n = 12, parts = 1)
+    spark.sql("CREATE TABLE gcl.t.cE SHALLOW CLONE gcl.t.srcE")
+    assert(clonePins("srcE").nonEmpty)
+    spark.sql(
+      "CREATE OR REPLACE TABLE gcl.t.cE AS SELECT 'y' AS row_key, 2L AS id")
+    assert(clonePins("srcE").isEmpty,
+      "replacing the clone destroys it — its pin must release")
+    spark.sql("DROP TABLE gcl.t.srcE") // no longer pinned
+  }
+
+  test("DROP NAMESPACE CASCADE: inside clones resolve in passes, outside pins refuse") {
+    setup()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gcl.nsc")
+    import spark.implicits._
+    // source + its clone both INSIDE the dropped namespace, plus a clone
+    // inside pinning a source OUTSIDE — cascade must drop all three
+    // inside tables and release the outside pin
+    Seq(("a", 1L)).toDF("row_key", "id").writeTo("gcl.nsc.s1").create()
+    spark.sql("CREATE TABLE gcl.nsc.c1 SHALLOW CLONE gcl.nsc.s1")
+    seed("srcF", n = 12, parts = 1)
+    spark.sql("CREATE TABLE gcl.nsc.cF SHALLOW CLONE gcl.t.srcF")
+    assert(clonePins("srcF").nonEmpty)
+    spark.sql("DROP NAMESPACE gcl.nsc CASCADE")
+    assert(clonePins("srcF").isEmpty,
+      "cascade must release pins its clones held on outside sources")
+    spark.sql("DROP TABLE gcl.t.srcF")
+    // a clone OUTSIDE the namespace pinning a table INSIDE → refuse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gcl.nsd")
+    Seq(("b", 2L)).toDF("row_key", "id").writeTo("gcl.nsd.s2").create()
+    spark.sql("DROP TABLE IF EXISTS gcl.t.cOut")
+    spark.sql("CREATE TABLE gcl.t.cOut SHALLOW CLONE gcl.nsd.s2")
+    val e = intercept[Exception](spark.sql("DROP NAMESPACE gcl.nsd CASCADE"))
+    assert(e.getMessage.contains("shallow clones outside"), e.getMessage)
+    assert(spark.sql("SELECT * FROM gcl.nsd.s2").count() == 1,
+      "refused cascade left the pinned table intact")
+    spark.sql("DROP TABLE gcl.t.cOut")
+    spark.sql("DROP NAMESPACE gcl.nsd CASCADE")
+  }
+
+  test("pin guard fails CLOSED: unreadable _tags.tsv blocks DROP instead of allowing it") {
+    setup(); seed("srcG", n = 6, parts = 1)
+    val tagsFile = new org.apache.hadoop.fs.Path(s"$wh/t/srcG/_tags.tsv")
+    val fs = tagsFile.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val out = fs.create(tagsFile, true)
+    try out.write("corrupt-line-without-a-tab\n".getBytes("UTF-8"))
+    finally out.close()
+    intercept[Exception](spark.sql("DROP TABLE gcl.t.srcG"))
+    assert(spark.catalog.tableExists("gcl.t.srcG"),
+      "a failed pin read must refuse the drop, not allow it")
+    fs.delete(tagsFile, false)
+    spark.sql("DROP TABLE gcl.t.srcG")
+  }
+
   test("cloning a WAP audit snapshot is refused (DISCARD would dangle the clone)") {
     setup(); seed("srcW", n = 12, parts = 1)
     import spark.implicits._
