@@ -75,6 +75,76 @@ object Engine3 {
       .writeTo(s"$ns.fts_post").append()
   }
 
+  // ---- q170 shared helpers (used by both its setup and its run, and
+  // driven directly by FtsSpec's delta-path / crash pins) ------------------
+
+  /** q161's tokenization over an arbitrary (doc_id, text) frame. */
+  private[graft] def fts2Tokenize(df: DataFrame): DataFrame =
+    df.select(col("doc_id"), split(col("text"), " ").as("sp"))
+      .withColumn("dl", size(col("sp")).cast("long"))
+
+  /** Latest committed version of the q170 ingest table. */
+  private def fts2SrcVersion(s: SparkSession): Long = {
+    val wh = s.conf.get("spark.sql.catalog.gcat.warehouse")
+    val srcDir = new org.apache.hadoop.fs.Path(s"$wh/corpus/fts2_src/data")
+    val fs = srcDir.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    graft.sources.Snapshots.list(fs, srcDir).last._1
+  }
+
+  /** Fold ONE batch of (doc_id, text) into the persisted full-text
+    * index — the ONE routine that builds the seed AND extends with every
+    * delta (the q154 discipline, applied to sparse retrieval). Because a
+    * batch contributes per-(tok, doc) tf rows, per-(tok, doc, pos)
+    * position rows, and additive (nd, sl) corpus constants — and df is
+    * derived at serve time from the postings themselves — build(seed)
+    * followed by fold(delta) is row-identical to build(seed + delta):
+    * the equivalence q170's oracle replays from scratch.
+    *
+    * All FOUR index tables (postings, positions, constants log,
+    * watermark log) advance in ONE multi-table transaction (q159's
+    * protocol), so a crash anywhere leaves the index serving the
+    * previous consistent state — never a torn one (postings without
+    * their constants would mis-scale every BM25 idf). Work per batch is
+    * O(batch tokens), independent of index size: the existing postings
+    * are never read, let alone rewritten. */
+  private[graft] def fts2Fold(s: SparkSession, ns: String, batch: DataFrame,
+      newVersion: Long): Unit = {
+    val coord = s.conf.get("spark.sql.catalog.gcat.warehouse")
+    val docs = fts2Tokenize(batch)
+    val post = docs
+      .select(col("doc_id"), col("dl"), explode(col("sp")).as("tok"))
+      .groupBy(col("tok"), col("doc_id"), col("dl"))
+      .agg(count(lit(1)).cast("long").as("tf"))
+      .repartitionByRange(8, col("tok"))
+      .sortWithinPartitions(col("tok"), col("doc_id"))
+      .select(col("tok"), col("doc_id"), col("tf"), col("dl"))
+    val pos = docs
+      .select(col("doc_id"), posexplode(col("sp")).as(Seq("pos", "tok")))
+      .select(col("tok"), col("doc_id"), col("pos").cast("long").as("pos"))
+      .repartitionByRange(8, col("tok"))
+      .sortWithinPartitions(col("tok"), col("doc_id"), col("pos"))
+    val glob = docs.agg(count(lit(1)).cast("long").as("nd"),
+      sum(col("dl")).cast("long").as("sl"))
+    graft.sources.Transactions.run(s, coord) { txn =>
+      txn.write(s"$ns.fts2_post", post)
+      txn.write(s"$ns.fts2_pos", pos)
+      txn.write(s"$ns.fts2_glob", glob)
+      txn.write(s"$ns.fts2_meta",
+        s.range(1).select(lit(newVersion).as("indexed_version")))
+    }
+  }
+
+  /** (Re)create the q170 index tables empty. */
+  private[graft] def fts2Create(s: SparkSession, ns: String): Unit = {
+    Seq("fts2_src", "fts2_post", "fts2_pos", "fts2_glob", "fts2_meta")
+      .foreach(t => s.sql(s"DROP TABLE IF EXISTS $ns.$t"))
+    s.sql(s"CREATE TABLE $ns.fts2_src (doc_id BIGINT, text STRING)")
+    s.sql(s"CREATE TABLE $ns.fts2_post (tok STRING, doc_id BIGINT, tf BIGINT, dl BIGINT)")
+    s.sql(s"CREATE TABLE $ns.fts2_pos (tok STRING, doc_id BIGINT, pos BIGINT)")
+    s.sql(s"CREATE TABLE $ns.fts2_glob (nd BIGINT, sl BIGINT)")
+    s.sql(s"CREATE TABLE $ns.fts2_meta (indexed_version BIGINT)")
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // ---- q161: persisted full-text index — build once, search many -------
@@ -629,6 +699,116 @@ object Engine3 {
              |SELECT CAST(doc_id AS STRING) AS row_key, doc_id, lang, n_chars,
              |       n_chars % 97 AS quality
              |FROM parquet.`$dir/documents.parquet` WHERE doc_id % 3 = 0""".stripMargin)
+        ()
+      })),
+
+    // ---- q170: INCREMENTAL full-text index maintenance --------------------
+    // q161/q162 build their index once; production keeps it CURRENT
+    // without a rebuild — the q154 discipline applied to sparse
+    // retrieval. New documents land in the ingest table; maintenance
+    //  (a) reads ONLY the new commit's rows via the verified incremental
+    //      snapshot scan (never the already-indexed corpus),
+    //  (b) tokenizes just the delta and appends its tf rows / position
+    //      rows / additive (nd, sl) constants — per-(tok, doc) rows are
+    //      disjoint across batches and df is derived from the postings
+    //      at serve time, so build(seed)+fold(delta) is row-identical to
+    //      build(seed+delta), which is exactly what the oracle replays
+    //      from the raw corpus, and
+    //  (c) advances all FOUR index tables in ONE q159 transaction, so a
+    //      crash anywhere leaves the previous consistent index — never
+    //      postings without the constants that scale their idf.
+    // The measured run ingests the delta, folds it, then serves a
+    // 3-term BM25 top-20 and a phrase count from the EXTENDED index;
+    // the output also carries the corpus constants, proving every index
+    // table advanced. At 100 TB a 0.1% daily append costs O(delta
+    // tokens), not a corpus re-tokenize — the gap this closes vs the
+    // build-once q161.
+    QueryDef(
+      "q170_fts_incremental",
+      (s, dir) => {
+        val ns = ensureCatalog(s, dir)
+        // high-water mark: last ingest version the index covers
+        val v1 = s.table(s"$ns.fts2_meta")
+          .agg(max(col("indexed_version"))).first().getLong(0)
+        // delta ingest (the docs the seed build excluded) + maintenance:
+        // ONLY commits past the watermark are read and folded
+        s.read.parquet(s"$dir/documents.parquet")
+          .filter(col("doc_id") % 5 === 0)
+          .select(col("doc_id"), col("text"))
+          .writeTo(s"$ns.fts2_src").append()
+        val delta = s.read.option("since-version", v1).table(s"$ns.fts2_src")
+        fts2Fold(s, ns, delta, fts2SrcVersion(s))
+
+        // serve from the EXTENDED index: q161's BM25 shape with the
+        // corpus constants summed over the additive constants log
+        val terms = Seq("sort", "merge", "stream")
+        val post = s.table(s"$ns.fts2_post").where(col("tok").isin(terms: _*))
+        val dfx = post.groupBy(col("tok"))
+          .agg(count(lit(1)).cast("double").as("df"))
+        val glob = s.table(s"$ns.fts2_glob")
+          .agg(sum(col("sl")).cast("double").as("sl"),
+            sum(col("nd")).cast("double").as("nd"))
+        val top = post.join(broadcast(dfx), "tok")
+          .crossJoin(broadcast(glob))
+          .withColumn("part", expr(bm25Part))
+          .groupBy(col("doc_id"))
+          .agg(sum(col("part")).cast("long").as("score_micro"))
+          .orderBy(desc("score_micro"), col("doc_id"))
+          .limit(20)
+        // q162's phrase join over the extended positional index
+        val posT = s.table(s"$ns.fts2_pos")
+        val first = posT.where(col("tok") === "hash")
+          .select(col("doc_id"), col("pos"))
+        val next = posT.where(col("tok") === "join")
+          .select(col("doc_id"), (col("pos") - 1).as("pos"))
+        val nPhrase = first.join(next, Seq("doc_id", "pos"))
+          .agg(count(lit(1)).cast("long").as("n_phrase"))
+        val consts = s.table(s"$ns.fts2_glob")
+          .agg(sum(col("nd")).cast("long").as("nd"),
+            sum(col("sl")).cast("long").as("sl"))
+        top.crossJoin(broadcast(consts))
+          .crossJoin(broadcast(nPhrase))
+          .orderBy(desc("score_micro"), col("doc_id"))
+      },
+      // extend ≡ rebuild: the oracle replays the WHOLE index (seed +
+      // delta = the full corpus) from the raw documents
+      Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS sp FROM documents),
+        dd AS (SELECT doc_id, CAST(len(sp) AS BIGINT) AS dl, sp FROM d),
+        g AS (SELECT CAST(SUM(dl) AS DOUBLE) AS sl, CAST(COUNT(*) AS DOUBLE) AS nd FROM dd),
+        t AS (SELECT doc_id, dl, unnest(sp) AS tok FROM dd),
+        tf AS (SELECT doc_id, dl, tok, CAST(COUNT(*) AS DOUBLE) AS tf
+               FROM t WHERE tok IN ('sort', 'merge', 'stream') GROUP BY doc_id, dl, tok),
+        dfx AS (SELECT tok, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY tok),
+        parts AS (
+          SELECT tf.doc_id,
+            round(((g.nd - dfx.df + 0.5) / (dfx.df + 0.5)) * tf.tf * 2.2 /
+              (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / (g.sl / g.nd))) * 1e6) AS part
+          FROM tf JOIN dfx USING (tok) CROSS JOIN g),
+        scores AS (SELECT doc_id, CAST(SUM(part) AS BIGINT) AS score_micro
+          FROM parts GROUP BY doc_id
+          ORDER BY score_micro DESC, doc_id LIMIT 20),
+        u AS (SELECT doc_id, unnest(list_transform(range(1, len(sp) + 1),
+                i -> struct_pack(pos := i, tok := sp[i]))) AS u FROM d),
+        p AS (SELECT doc_id, u.pos AS pos, u.tok AS tok FROM u),
+        ph AS (SELECT CAST(count(*) AS BIGINT) AS n_phrase
+          FROM p p1 JOIN p p2 ON p2.doc_id = p1.doc_id AND p2.pos = p1.pos + 1
+          WHERE p1.tok = 'hash' AND p2.tok = 'join'),
+        gl AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd, CAST(SUM(dl) AS BIGINT) AS sl FROM dd)
+        SELECT s.doc_id, s.score_micro, gl.nd, gl.sl, ph.n_phrase
+        FROM scores s CROSS JOIN gl CROSS JOIN ph
+        ORDER BY score_micro DESC, doc_id"""),
+      // fixture: ingest the SEED slice and build the seed index through
+      // the SAME fold routine the measured run extends with (one code
+      // path; since-version 0 = everything committed so far)
+      setup = Some((s, dir) => {
+        val ns = ensureCatalog(s, dir)
+        fts2Create(s, ns)
+        s.read.parquet(s"$dir/documents.parquet")
+          .filter(col("doc_id") % 5 =!= 0)
+          .select(col("doc_id"), col("text"))
+          .writeTo(s"$ns.fts2_src").append()
+        val seed = s.read.option("since-version", 0L).table(s"$ns.fts2_src")
+        fts2Fold(s, ns, seed, fts2SrcVersion(s))
         ()
       }))
   )

@@ -73,6 +73,57 @@ class FreqSketchSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("capacity 1e4 is practical: deferred trims keep per-token cost amortized") {
+    // the 100 TB configuration: capacity ~1e4 with a vocabulary far past
+    // it. A per-insert trim at capacity would sort 1e4 counts for EVERY
+    // token once the buffer fills (~250k sorts here — minutes); deferred
+    // trimming runs one O(cap log cap) pass per ~capacity NEW keys, so
+    // the whole fold stays well under the wall bound.
+    val capacity = 10000
+    val agg = FreqSketchAgg(capacity)
+    val rnd = new scala.util.Random(11)
+    val total = 300000
+    val t0 = System.nanoTime()
+    var b = agg.zero
+    var i = 0
+    while (i < total) {
+      // heavy head (200 hot keys) + unbounded tail → constant trim pressure
+      val tok = if (rnd.nextInt(4) == 0) s"hot${rnd.nextInt(200)}"
+                else s"tail${rnd.nextInt(1000000)}"
+      b = agg.reduce(b, tok)
+      i += 1
+    }
+    // a distributed fold also merges partials: exercise the merge path
+    // at the same capacity
+    val merged = agg.finish(agg.merge(b, b))
+    val wallMs = (System.nanoTime() - t0) / 1000000L
+    assert(wallMs < 30000L, s"300k tokens at capacity 1e4 took ${wallMs}ms — " +
+      "trimming is not amortized")
+    assert(merged.size <= capacity)
+    // MG bounds at this scale: hot keys (true count ~375 each in b, doubled
+    // by the self-merge) all survive; estimates never exceed truth
+    // recompute true counts with the same seed/sequence
+    val rnd2 = new scala.util.Random(11)
+    val truth = scala.collection.mutable.Map[String, Long]()
+    (0 until total).foreach { _ =>
+      val tok = if (rnd2.nextInt(4) == 0) s"hot${rnd2.nextInt(200)}"
+                else s"tail${rnd2.nextInt(1000000)}"
+      truth(tok) = truth.getOrElse(tok, 0L) + 1L
+    }
+    val bound = 2L * total / (capacity + 1)
+    merged.foreach { case (k, v) =>
+      assert(v <= 2L * truth(k), s"$k overcounted: $v > ${2L * truth(k)}")
+    }
+    (0 until 200).map(i => s"hot$i").foreach { k =>
+      val t = 2L * truth.getOrElse(k, 0L)
+      if (t > bound) {
+        assert(merged.contains(k), s"heavy hitter $k (count $t > $bound) missing")
+        assert(t - merged(k) <= bound,
+          s"undercount of $k exceeds bound: $t - ${merged(k)} > $bound")
+      }
+    }
+  }
+
   test("plan: the sketch aggregates map-side (partial before the exchange)") {
     import spark.implicits._
     val ds = spark.createDataset(corpus).repartition(5)

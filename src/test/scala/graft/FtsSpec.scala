@@ -140,4 +140,108 @@ class FtsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
     assert(got == want, s"postings must equal a full recompute: $got vs $want")
   }
+
+  // ---- q170: incremental index maintenance pins ---------------------------
+
+  private def setupGcat(): Unit = {
+    spark.conf.set("spark.sql.catalog.gcat",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gcat.warehouse", wh)
+  }
+
+  private def srcVersion(ns: String): Long = {
+    val dd = new org.apache.hadoop.fs.Path(
+      s"$wh/${ns.split('.')(1)}/fts2_src/data")
+    graft.sources.Snapshots
+      .list(dd.getFileSystem(new org.apache.hadoop.conf.Configuration()), dd)
+      .last._1
+  }
+
+  private def corpus(lo: Int, hi: Int): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    (lo until hi).map(i =>
+        (i.toLong, s"tok${i % 7} tok${i % 5} tok${i % 3} common"))
+      .toDF("doc_id", "text")
+  }
+
+  private def sortedRows(t: String): Seq[String] =
+    spark.table(t).collect().map(_.toString).sorted.toSeq
+
+  test("incremental fold reads ONLY the new commit and extend == rebuild") {
+    setupGcat()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gcat.t")
+    val ns = "gcat.t"
+    graft.queries.Engine3.fts2Create(spark, ns)
+    // seed: 60 docs across several files, folded through the one routine
+    corpus(0, 60).repartition(4).writeTo(s"$ns.fts2_src").append()
+    val v1 = srcVersion(ns)
+    graft.queries.Engine3.fts2Fold(spark, ns,
+      spark.read.option("since-version", 0L).table(s"$ns.fts2_src"), v1)
+    // delta: 20 new docs in one commit
+    corpus(60, 80).repartition(1).writeTo(s"$ns.fts2_src").append()
+    val delta = spark.read.option("since-version", v1).table(s"$ns.fts2_src")
+    // PIN: the incremental scan plans only the delta commit's files —
+    // fewer partitions than the full table, and exactly the delta's rows
+    assert(delta.rdd.getNumPartitions < spark.table(s"$ns.fts2_src").rdd.getNumPartitions,
+      "since-version must not plan the already-indexed files")
+    assert(delta.select(col("doc_id")).collect().map(_.getLong(0)).sorted.toSeq
+      == (60L until 80L).toSeq, "delta scan must return exactly the new commit")
+    graft.queries.Engine3.fts2Fold(spark, ns, delta, srcVersion(ns))
+    // extend == rebuild: a from-scratch build over the same 80 docs must
+    // be ROW-IDENTICAL in postings and positions, and constant-equal in
+    // the additive (nd, sl) log
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gcat.r")
+    val ns2 = "gcat.r"
+    graft.queries.Engine3.fts2Create(spark, ns2)
+    corpus(0, 80).writeTo(s"$ns2.fts2_src").append()
+    graft.queries.Engine3.fts2Fold(spark, ns2,
+      spark.read.option("since-version", 0L).table(s"$ns2.fts2_src"), srcVersion(ns2))
+    assert(sortedRows(s"$ns.fts2_post") == sortedRows(s"$ns2.fts2_post"),
+      "extended postings must equal a from-scratch rebuild")
+    assert(sortedRows(s"$ns.fts2_pos") == sortedRows(s"$ns2.fts2_pos"),
+      "extended positions must equal a from-scratch rebuild")
+    def consts(n: String): (Long, Long) = {
+      val r = spark.table(s"$n.fts2_glob")
+        .agg(sum(col("nd")), sum(col("sl"))).first()
+      (r.getLong(0), r.getLong(1))
+    }
+    assert(consts(ns) == consts(ns2), "corpus constants must sum identically")
+    // the watermark advanced to the delta commit
+    assert(spark.table(s"$ns.fts2_meta").agg(max(col("indexed_version")))
+      .first().getLong(0) == srcVersion(ns))
+  }
+
+  test("a failed maintenance transaction leaves the index serving the OLD state") {
+    setupGcat()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gcat.c")
+    val ns = "gcat.c"
+    graft.queries.Engine3.fts2Create(spark, ns)
+    corpus(0, 40).writeTo(s"$ns.fts2_src").append()
+    graft.queries.Engine3.fts2Fold(spark, ns,
+      spark.read.option("since-version", 0L).table(s"$ns.fts2_src"), srcVersion(ns))
+    val postBefore = sortedRows(s"$ns.fts2_post")
+    val globBefore = sortedRows(s"$ns.fts2_glob")
+    // a maintenance run that crashes AFTER staging the postings but
+    // BEFORE the constants: the transaction rolls back — a torn index
+    // (postings without the constants that scale their idf) must never
+    // become visible
+    import spark.implicits._
+    val badPost = Seq(("tokX", 999L, 1L, 4L)).toDF("tok", "doc_id", "tf", "dl")
+    intercept[RuntimeException] {
+      graft.sources.Transactions.run(spark, wh) { txn =>
+        txn.write(s"$ns.fts2_post", badPost)
+        throw new RuntimeException("crash before the constants advance")
+      }
+    }
+    assert(sortedRows(s"$ns.fts2_post") == postBefore,
+      "rolled-back postings must not surface")
+    assert(sortedRows(s"$ns.fts2_glob") == globBefore)
+    // and the next fold proceeds normally on the intact index
+    corpus(40, 50).writeTo(s"$ns.fts2_src").append()
+    val v = spark.table(s"$ns.fts2_meta")
+      .agg(max(col("indexed_version"))).first().getLong(0)
+    graft.queries.Engine3.fts2Fold(spark, ns,
+      spark.read.option("since-version", v).table(s"$ns.fts2_src"), srcVersion(ns))
+    assert(spark.table(s"$ns.fts2_post").where(col("doc_id") >= 40).count() > 0)
+  }
 }
