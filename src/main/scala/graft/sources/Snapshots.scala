@@ -523,6 +523,10 @@ object Snapshots {
       r -> (if (e.seq < 0) e.copy(seq = next) else e)
     }
     fs.mkdirs(p.getParent)
+    // user-chosen WAP ids are reusable after a publish: clear the prior
+    // use's published-version record, or [[publishedWapVersion]] would
+    // report the OLD publish for this new stage
+    fs.delete(wapPublishedPath(dataDir, id), false)
     val out = fs.create(p, false)
     try out.write(TableStats.serialize(stamped)
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -570,9 +574,37 @@ object Snapshots {
         throw new IllegalArgumentException(
           s"graft: no staged WAP commit '$id' under $tableDir"))
       val v = TableStats.write(fs, dataDir, TableStats.read(fs, dataDir) ++ adds)
+      // record the published version BEFORE retiring the staged list: a
+      // multi-table transaction that crashes mid-complete can then still
+      // learn where this participant landed ([[publishedWapVersion]] —
+      // the basis of [[Transactions.readAt]]'s cross-table snapshot). A
+      // re-publish after a crash-between-the-two-steps folds the same
+      // adds again and OVERWRITES the record with the newer version —
+      // both versions contain the stage, so the final record is sound.
+      val out = fs.create(wapPublishedPath(dataDir, id), true)
+      try out.write(v.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
       fs.delete(wapPath(dataDir, id), false)
       writeTags(fs, dataDir, tags(fs, dataDir) - wapTag(id))
       v
+    }
+  }
+
+  private def wapPublishedPath(dataDir: Path, id: String): Path =
+    new Path(dataDir.getParent, s"_wap/$id.published")
+
+  /** The version [[publishWap]] recorded for `id`, or None if `id` was
+    * never published (or predates the record). NOT vacuum-pinned: the
+    * version expires like any other snapshot — readers needing a durable
+    * cross-table snapshot tag the recorded versions. */
+  def publishedWapVersion(fs: FileSystem, dataDir: Path, id: String): Option[Long] = {
+    val p = wapPublishedPath(dataDir, id)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val text = try new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+      text.trim.toLongOption
     }
   }
 

@@ -45,12 +45,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    and a participant whose wap-list is already gone is already live.
   *
   * What this does and does NOT claim: after recovery the writes are
-  * atomic — all visible or none ("atomic durability"). During the
-  * complete phase a reader can observe table A published moments before
-  * table B (no cross-table read snapshot; the same is true of every
-  * production lakehouse today). Readers needing a consistent cross-table
-  * view pin versions (`VERSION AS OF`) — the per-table snapshots the
-  * publish versions name are immutable.
+  * atomic — all visible or none ("atomic durability"). A LIVE read
+  * during the complete phase can still observe table A published
+  * moments before table B; readers needing consistency use the
+  * CROSS-TABLE READ SNAPSHOT instead: every publish records its version
+  * durably, complete()/recover() assemble them into a per-transaction
+  * record, and [[readAt]] resolves each participant `VERSION AS OF` its
+  * recorded version — all-new, never a mix. Before the record exists
+  * (undecided or mid-complete) readers pin pre-transaction versions —
+  * all-old. The snapshot versions expire under vacuum like any others;
+  * tag them for durable replay.
   *
   * Scale shape: staging moves only this transaction's files; intent /
   * commit markers are O(participants) bytes; publish is one registry
@@ -110,7 +114,13 @@ object Transactions {
     }
 
     private[graft] def complete(): Unit = {
-      parts.foreach { case (dir, wap) => publishIfStaged(dir, wap) }
+      val versions = parts.toSeq.map { case (dir, wap) =>
+        dir -> publishIfStaged(dir, wap) }
+      // the cross-table read snapshot: recorded BEFORE the markers drop,
+      // so a crash in between re-drives through recover(), which reads
+      // the same per-table published records and rewrites this file —
+      // idempotent. Kept after completion (O(participants) bytes).
+      writeVersionsRecord(coordDir, id, versions)
       val fs = fsOf(txnDir(coordDir))
       fs.delete(new Path(txnDir(coordDir), s"$id.commit"), false)
       fs.delete(new Path(txnDir(coordDir), s"$id.intent"), false)
@@ -131,11 +141,83 @@ object Transactions {
     }
   }
 
-  private def publishIfStaged(tableDir: String, wapId: String): Unit = {
+  /** Publish one participant's stage (idempotent through crashes) and
+    * return the version its adds are live at: the publish's own version,
+    * or — when a pre-crash attempt already published — the version that
+    * attempt recorded ([[Snapshots.publishedWapVersion]]). */
+  private def publishIfStaged(tableDir: String, wapId: String): Long = {
     val dataDir = new Path(tableDir, "data")
     if (Snapshots.readWap(fsOf(dataDir), dataDir, wapId).isDefined)
       Snapshots.publishWap(tableDir, wapId)
-    // else: already published by a pre-crash attempt — the adds are live
+    else Snapshots.publishedWapVersion(fsOf(dataDir), dataDir, wapId)
+      .getOrElse(throw new IllegalStateException(
+        s"graft: txn stage '$wapId' of $tableDir is neither staged nor " +
+          "recorded as published — was the _wap directory cleaned manually?"))
+  }
+
+  /** Durable per-transaction record of where each participant's publish
+    * landed: `_txn/<id>.versions`, one `tableDir\tversion` line per
+    * participant (several stages to one table keep the LAST — highest —
+    * version, which contains them all). */
+  private def writeVersionsRecord(coordDir: String, id: String,
+      versions: Seq[(String, Long)]): Unit = {
+    val byDir = versions.groupBy(_._1).view
+      .mapValues(_.map(_._2).max).toSeq.sortBy(_._1)
+    val fs = fsOf(txnDir(coordDir))
+    val out = fs.create(new Path(txnDir(coordDir), s"$id.versions"), true)
+    try out.write(byDir.map { case (d, v) => s"$d\t$v" }
+      .mkString("", "\n", "\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** The per-table versions a COMMITTED transaction published — the
+    * cross-table READ SNAPSHOT: resolving every participant `VERSION AS
+    * OF` its recorded version shows ALL of the transaction's writes (and
+    * every earlier commit), never a mix. None while the transaction is
+    * unknown, undecided, or not yet fully published — readers then keep
+    * using pre-transaction pinned versions (all-old); the record appears
+    * only after every participant is live (all-new). The snapshot is NOT
+    * vacuum-pinned — tag the versions for durable replay. */
+  def publishedVersions(coordDir: String, txnId: String): Option[Map[String, Long]] = {
+    val p = new Path(txnDir(coordDir), s"$txnId.versions")
+    val fs = fsOf(p)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val text = try new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+      Some(text.split('\n').toSeq.filter(_.nonEmpty).map { line =>
+        val i = line.lastIndexOf('\t')
+        line.substring(0, i) -> line.substring(i + 1).toLong
+      }.toMap)
+    }
+  }
+
+  /** Read `table` AT the snapshot transaction `txnId` published — the
+    * consistent cross-table view: every participant read through this
+    * resolves at its own publish version, so a reader sees ALL of the
+    * transaction's tables post-commit, never table A new and table B
+    * old (the mid-complete interleaving a live read can observe).
+    * Throws while the record is not yet available (undecided or
+    * mid-complete — read pre-transaction pinned versions instead) and
+    * for tables that were not participants. */
+  def readAt(spark: SparkSession, coordDir: String, txnId: String,
+      table: String): DataFrame = {
+    val versions = publishedVersions(coordDir, txnId).getOrElse(
+      throw new IllegalStateException(
+        s"graft: txn $txnId has no published-versions record yet — it is " +
+          "undecided or mid-complete; pin pre-transaction versions instead " +
+          "(or run recover() to converge it)"))
+    val ident = spark.sessionState.sqlParser.parseMultipartIdentifier(table)
+    val (cat, tid) = GraftViewBridge.resolveIdent(spark, ident).getOrElse(
+      throw new IllegalArgumentException(
+        s"graft: $table is not in a graft catalog"))
+    val dir = cat.loadTable(tid).asInstanceOf[GraftTable].tableDir
+    val v = versions.getOrElse(dir, throw new IllegalArgumentException(
+      s"graft: $table was not a participant of txn $txnId " +
+        s"(participants: ${versions.keys.toSeq.sorted.mkString(", ")})"))
+    spark.read.option("snapshot-version", v).table(table)
   }
 
   private def discardIfStaged(tableDir: String, wapId: String): Unit = {
@@ -197,12 +279,21 @@ object Transactions {
       .map(_.getPath.getName.stripSuffix(".commit")).toSet
     var fwd = 0
     var back = 0
+    // roll one decided transaction FORWARD: publish every remaining
+    // stage, write the read-snapshot record (same file complete()
+    // writes — the per-table published markers make this idempotent
+    // across re-crashes), then drop the markers
+    def rollForward(id: String, intentPath: Path): Unit = {
+      val versions = participants(id).map { case (dir, wap) =>
+        dir -> publishIfStaged(dir, wap) }
+      writeVersionsRecord(coordDir, id, versions)
+      fs.delete(new Path(d, s"$id.commit"), false)
+      fs.delete(intentPath, false)
+    }
     intents.foreach { s =>
       val id = s.getPath.getName.stripSuffix(".intent")
       if (commits(id)) {
-        participants(id).foreach { case (dir, wap) => publishIfStaged(dir, wap) }
-        fs.delete(new Path(d, s"$id.commit"), false)
-        fs.delete(s.getPath, false)
+        rollForward(id, s.getPath)
         fwd += 1
       } else if (System.currentTimeMillis() - s.getModificationTime >= minAgeMillis) {
         // recheck right before discarding: a coordinator alive past the
@@ -213,9 +304,7 @@ object Transactions {
         // recover with minAgeMillis = 0 ONLY when no coordinator can be
         // mid-transaction, e.g. single-maintainer startup)
         if (fs.exists(new Path(d, s"$id.commit"))) {
-          participants(id).foreach { case (dir, wap) => publishIfStaged(dir, wap) }
-          fs.delete(new Path(d, s"$id.commit"), false)
-          fs.delete(s.getPath, false)
+          rollForward(id, s.getPath)
           fwd += 1
         } else {
           participants(id).foreach { case (dir, wap) => discardIfStaged(dir, wap) }

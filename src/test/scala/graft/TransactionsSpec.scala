@@ -148,4 +148,46 @@ class TransactionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     assert(count("a") == 20 && count("b") == 11)
   }
+
+  test("readAt: cross-table snapshot is all-old before the record, all-new after, " +
+      "through a mid-complete crash") {
+    def liveV(t: String): Long = {
+      val dd = new org.apache.hadoop.fs.Path(s"$warehouse/t/$t/data")
+      graft.sources.TableStats.liveVersion(
+        dd.getFileSystem(new org.apache.hadoop.conf.Configuration()), dd).get
+    }
+    def countAt(t: String, v: Long): Long =
+      spark.read.option("snapshot-version", v).table(s"txc.t.$t").count()
+    val (vA0, vB0) = (liveV("a"), liveV("b"))
+    val txn = Transactions.begin(spark, warehouse)
+    txn.write("txc.t.a", batch(500, 510))
+    txn.write("txc.t.b", batch(500, 504))
+    txn.writeIntent()
+    txn.decide()
+    // mid-complete crash: a published, b not — a LIVE read interleaves
+    // (a new, b old), but the snapshot machinery never serves that mix:
+    val vAPub = Snapshots.publishWap(s"$warehouse/t/a", wapIds("a").head)
+    assert(count("a") == 30 && count("b") == 11, "live read is torn mid-complete")
+    // ... the record does not exist yet, readAt refuses loudly, and the
+    // pre-transaction pinned versions still give consistent ALL-OLD
+    assert(Transactions.publishedVersions(warehouse, txn.id).isEmpty)
+    val e = intercept[IllegalStateException](
+      Transactions.readAt(spark, warehouse, txn.id, "txc.t.a"))
+    assert(e.getMessage.contains("mid-complete"), e.getMessage)
+    assert(countAt("a", vA0) == 20 && countAt("b", vB0) == 11)
+    // recovery converges; the record appears and readAt is ALL-NEW —
+    // with a's version being the PRE-CRASH publish (learned from the
+    // durable published marker, never a re-publish)
+    assert(Transactions.recover(spark, warehouse, minAgeMillis = 0L) == ((1, 0)))
+    val vs = Transactions.publishedVersions(warehouse, txn.id).get
+    assert(vs.collectFirst { case (d, v) if d.endsWith("/t/a") => v }
+      .contains(vAPub), s"recorded a-version must be the pre-crash publish: $vs")
+    assert(Transactions.readAt(spark, warehouse, txn.id, "txc.t.a").count() == 30)
+    assert(Transactions.readAt(spark, warehouse, txn.id, "txc.t.b").count() == 15)
+    // non-participants are refused, not silently served at head
+    spark.sql("CREATE TABLE txc.t.c (id BIGINT, s STRING)")
+    val e2 = intercept[IllegalArgumentException](
+      Transactions.readAt(spark, warehouse, txn.id, "txc.t.c"))
+    assert(e2.getMessage.contains("not a participant"), e2.getMessage)
+  }
 }
