@@ -33,10 +33,12 @@ class ContractSpec extends AnyFunSuite {
     // short keys must stay unique or timings silently merge
     assert(names.map(Bench.shortKey).distinct.size == names.size)
     val setups = SparkEntry.allDefs.filter(_.setup.isDefined).map(_.name -> 999.999)
-    val line = Bench.renderShortLine(names.map(_ -> 999.999), setups, Nil, "sf0.1")
+    val line = Bench.renderShortLine(names.map(_ -> 999.999), setups, Nil, "sf0.1",
+      shadow = Some(99999.999))
     val n = line.getBytes("UTF-8").length
     assert(n <= Bench.MaxLineBytes, s"bench line is $n bytes > ${Bench.MaxLineBytes}")
     assert(line.startsWith("""{"metric":"total""""))
+    assert(line.contains("\"shadow\":"), "shadow estimate must survive rendering")
   }
 
   test("headline value stays all-inclusive when the setup map is dropped") {
