@@ -506,11 +506,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
   private def releaseOutgoingClonePin(ident: Identifier): Unit =
     try {
       val t = loadTable(ident).asInstanceOf[GraftTable]
-      val props = t.properties().asScala
-      for (srcDir <- props.get(ShallowClone.SourceDirProp);
-           tag <- props.get(ShallowClone.PinTagProp))
-        try Snapshots.dropTag(srcDir, tag)
+      // ALL pins — the direct source plus any transitive upstream pins a
+      // clone-of-a-clone holds (ShallowClone.PinsProp)
+      ShallowClone.decodePins(t.props).foreach { case (dir, tag) =>
+        try Snapshots.dropTag(dir, tag)
         catch { case _: Exception => () }
+      }
     } catch { case _: Exception => () }
 
   private def requireNoIncomingClonePins(ident: Identifier, verb: String): Unit = {

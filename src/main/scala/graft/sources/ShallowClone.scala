@@ -40,12 +40,16 @@ import org.apache.spark.sql.types.LongType
   *    numbers stay below every later clone commit — a MOR DELETE in the
   *    clone applies to cloned files exactly like any older data.
   *
-  * Boundaries, all refused loudly: cloning a clone that still holds
-  * external entries (its pin chain would need transitive bookkeeping —
-  * OPTIMIZE first), cloning across catalogs with different filesystems
-  * is allowed only insofar as paths stay resolvable (same-warehouse
-  * clones always are), streaming the clone's file-based source before
-  * reification (the offsets are own-dir listings).
+  * Cloning a clone WORKS, including unreified ones: inherited external
+  * entries keep their absolute upstream paths, and the new clone places
+  * its OWN transitive pins on every upstream table (re-pinning the
+  * versions the source's tags name, recorded in [[PinsProp]]) — so the
+  * chain's files survive any interleaving of drops/vacuums of the
+  * intermediate clones. Remaining boundaries, refused loudly: cloning
+  * across catalogs with different filesystems is allowed only insofar
+  * as paths stay resolvable (same-warehouse clones always are), and
+  * streaming the clone's file-based source before reification (the
+  * offsets are own-dir listings).
   *
   * The reference has no snapshot/clone machinery at all — its DDL and
   * scans operate on the single live HBase table via the Admin/Table
@@ -63,6 +67,29 @@ object ShallowClone {
     * [[releasePinIfReified]] once OPTIMIZE has materialized every
     * external entry). */
   val PinTagProp = "clone.pin.tag"
+  /** Dest-table property: ALL vacuum pins this clone holds — the direct
+    * source plus, for a clone-of-a-clone, every upstream table whose
+    * files the inherited external entries still reference. Encoded one
+    * `tableDir<TAB>tag` per line. [[SourceDirProp]]/[[PinTagProp]] keep
+    * naming the DIRECT source (reporting, version floor); release sites
+    * iterate this list. */
+  val PinsProp = "clone.pins"
+
+  private[sources] def encodePins(pins: Seq[(String, String)]): String =
+    pins.map { case (d, t) => s"$d\t$t" }.mkString("\n")
+
+  /** Every (tableDir, pinTag) this clone holds: the full [[PinsProp]]
+    * list, or the legacy single direct pin for pre-list clones. */
+  private[sources] def decodePins(props: Map[String, String]): Seq[(String, String)] =
+    props.get(PinsProp) match {
+      case Some(s) => s.split('\n').toSeq.filter(_.nonEmpty).map { l =>
+        val i = l.lastIndexOf('\t')
+        (l.substring(0, i), l.substring(i + 1))
+      }
+      case None =>
+        for (d <- props.get(SourceDirProp).toSeq; t <- props.get(PinTagProp).toSeq)
+          yield (d, t)
+    }
 
   /** Called after a compaction swap (and on a no-op OPTIMIZE, to heal a
     * crash between a past swap and its release): if this clone's LIVE
@@ -78,13 +105,14 @@ object ShallowClone {
     * whose later release re-drops a missing tag, a no-op. */
   def releasePinIfReified(fs: org.apache.hadoop.fs.FileSystem,
                           table: GraftTable): Unit =
-    for (tag <- table.props.get(PinTagProp)) {
+    if (decodePins(table.props).nonEmpty) {
       val dataDir = new Path(table.dataDir)
       val live = TableStats.readIfExists(fs, dataDir).getOrElse(Map.empty)
       if (!live.keysIterator.exists(TableStats.isExternal)) {
-        for (srcDir <- table.props.get(SourceDirProp))
-          try Snapshots.dropTag(srcDir, tag)
+        decodePins(table.props).foreach { case (dir, tag) =>
+          try Snapshots.dropTag(dir, tag)
           catch { case _: Exception => () }
+        }
         // strip the clone markers from _meta.yml (read-modify-write of
         // the same three-key layout the catalog writes)
         val metaFile = new Path(table.tableDir, "_meta.yml")
@@ -100,7 +128,7 @@ object ShallowClone {
         val yaml = new org.yaml.snakeyaml.Yaml(opts).dump(Map(
           "schema_json" -> schema.json,
           "properties" ->
-            (props - SourceDirProp - SourceVersionProp - PinTagProp).asJava,
+            (props - SourceDirProp - SourceVersionProp - PinTagProp - PinsProp).asJava,
           "partitions" -> partCols.asJava).asJava)
         val out = fs.create(metaFile, true)
         try out.write(yaml.getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -156,31 +184,63 @@ object ShallowClone {
     // tag carries a per-ATTEMPT unique suffix: two racing clones of the
     // same dest name then hold distinct pins, and the loser's failure
     // cleanup below can never unpin the winner's committed clone.
-    val pinTag = s"clone-$destName-" +
-      java.util.UUID.randomUUID().toString.take(8)
-    Snapshots.tag(new Path(src.dataDir).getParent.toString, pinTag, Some(v))
+    def freshTag(): String =
+      s"clone-$destName-" + java.util.UUID.randomUUID().toString.take(8)
+    val pinTag = freshTag()
+    val srcTableDir = new Path(src.dataDir).getParent.toString
+    Snapshots.tag(srcTableDir, pinTag, Some(v))
+    val pins = scala.collection.mutable.ArrayBuffer[(String, String)](
+      (srcTableDir, pinTag))
     var created = false
     try {
       val manifest = Snapshots.read(fs, srcDataDir, v).getOrElse(
         throw new IllegalStateException(
           s"graft: no snapshot v$v for $srcName (expired by vacuum?)"))
-      require(!manifest.keysIterator.exists(TableStats.isExternal),
-        s"graft: $srcName is itself an unreified shallow clone — its " +
-          "external references would need a transitive pin; run " +
-          s"OPTIMIZE $srcName to materialize it, then clone")
+      // CLONE OF A CLONE: inherited external entries live in UPSTREAM
+      // tables' directories, protected only by the source's own pins —
+      // which die with the source. Re-pin every upstream dir at the
+      // version the source's tag names, under tags owned by THIS clone.
+      // Ordering is safe against a concurrent OPTIMIZE of the source:
+      // our direct pin (above) blocks DROP, and if the source reified
+      // between our props read and the resolveTag here, the tag is gone
+      // and the clone aborts loudly (retry against the reified head).
+      if (manifest.keysIterator.exists(TableStats.isExternal)) {
+        val upstream = decodePins(src.props)
+        require(upstream.nonEmpty,
+          s"graft: $srcName's snapshot v$v holds external references but " +
+            "the table records no pins (out-of-band clone props edit?); " +
+            s"run OPTIMIZE $srcName to materialize it, then clone")
+        upstream.foreach { case (dir, tag) =>
+          val dd = new Path(dir, "data")
+          val ufs = dd.getFileSystem(new Configuration())
+          val uv = Snapshots.resolveTag(ufs, dd, tag).getOrElse(
+            throw new IllegalStateException(
+              s"graft: $srcName's upstream pin '$tag' on $dir no longer " +
+                "resolves (the source was reified concurrently?); retry " +
+                "the clone"))
+          val t2 = freshTag()
+          Snapshots.tag(dir, t2, Some(uv))
+          pins += ((dir, t2))
+        }
+      }
       val props = {
         import scala.jdk.CollectionConverters._
         src.properties().asScala.toMap +
-          (SourceDirProp -> new Path(src.dataDir).getParent.toString) +
+          (SourceDirProp -> srcTableDir) +
           (SourceVersionProp -> v.toString) +
-          (PinTagProp -> pinTag)
+          (PinTagProp -> pinTag) +
+          (PinsProp -> encodePins(pins.toSeq))
       }
       val dest = dcat.createCloneShell(did, src.schema0, props, src.partitionSpecs)
       created = true
       val destData = new Path(dest.dataDir)
       val dfs = destData.getFileSystem(new Configuration())
+      // relative entries become external references into the source's
+      // dir; INHERITED external entries keep their absolute upstream
+      // paths verbatim (now protected by this clone's transitive pins)
       val mapped: Map[String, TableStats.Entry] = manifest.map { case (rel, e) =>
-        TableStats.extKey(s"${src.dataDir}/$rel") -> e
+        (if (TableStats.isExternal(rel)) rel
+         else TableStats.extKey(s"${src.dataDir}/$rel")) -> e
       }
       TableStats.withLock(dfs, destData) {
         // commit AT the source version (floor): cloned seqs stay ≤ head.
@@ -192,10 +252,11 @@ object ShallowClone {
       }
       (v, mapped.size.toLong)
     } catch { case e: Throwable =>
-      // release the pin (and the half-created dest, never a pre-existing
-      // table) on failure
-      try Snapshots.dropTag(new Path(src.dataDir).getParent.toString, pinTag)
-      catch { case _: Exception => () }
+      // release every pin this attempt placed (and the half-created
+      // dest, never a pre-existing table) on failure
+      pins.foreach { case (dir, tag) =>
+        try Snapshots.dropTag(dir, tag) catch { case _: Exception => () }
+      }
       if (created) { try dcat.dropTable(did) catch { case _: Exception => () } }
       throw e
     }

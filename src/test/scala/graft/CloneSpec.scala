@@ -163,13 +163,60 @@ class CloneSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows("c5b") == before)
   }
 
-  test("clone of an unreified clone is refused") {
+  test("clone of an unreified clone: transitive pins survive drops and vacuum") {
     setup(); seed("src6")
     spark.sql("CREATE TABLE gcl.t.c6 SHALLOW CLONE gcl.t.src6")
-    val e = intercept[Exception](
-      spark.sql("CREATE TABLE gcl.t.c6b SHALLOW CLONE gcl.t.c6"))
-    assert(e.getMessage.contains("unreified"), e.getMessage)
-    assert(!spark.catalog.tableExists("gcl.t.c6b"))
+    // the intermediate clone diverges before being cloned itself
+    spark.sql("INSERT INTO gcl.t.c6 VALUES ('x1', 9001, 'l0', 5)")
+    spark.sql("CREATE TABLE gcl.t.c6b SHALLOW CLONE gcl.t.c6")
+    val want = spark.sql("SELECT id, lang, n FROM gcl.t.c6").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(spark.sql("SELECT id, lang, n FROM gcl.t.c6b").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet == want)
+    // the chained clone pins BOTH upstreams: c6 directly, src6 transitively
+    // (src6 carries c6's pin AND c6b's)
+    assert(spark.sql("SHOW TAGS IN gcl.t.c6").collect().map(_.getString(0))
+      .count(_.startsWith("clone-")) == 1)
+    assert(clonePins("src6").size == 2,
+      "chained clone must re-pin the grandparent under its own tag")
+    // mutations at every level stay isolated
+    spark.sql("DELETE FROM gcl.t.c6b WHERE id < 30")
+    spark.sql("INSERT INTO gcl.t.src6 VALUES ('y1', 9002, 'l1', 6)")
+    val wantB = want.filter(_._1 >= 30)
+    assert(spark.sql("SELECT id, lang, n FROM gcl.t.c6b").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet == wantB)
+    // dropping the INTERMEDIATE clone refuses while the chained clone pins it
+    val e = intercept[Exception](spark.sql("DROP TABLE gcl.t.c6"))
+    assert(e.getMessage.contains("live shallow clones"), e.getMessage)
+    // vacuum hammering on both upstreams reclaims nothing the chain needs
+    Snapshots.vacuum(s"$wh/t/src6", retain = 0, minAgeMillis = 0)
+    Snapshots.vacuum(s"$wh/t/c6", retain = 0, minAgeMillis = 0)
+    assert(spark.sql("SELECT id, lang, n FROM gcl.t.c6b").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet == wantB)
+    // dropping the chained clone releases its pins on BOTH upstreams
+    spark.sql("DROP TABLE gcl.t.c6b")
+    assert(clonePins("src6").size == 1, "only c6's own pin may remain")
+    spark.sql("DROP TABLE gcl.t.c6")
+    assert(clonePins("src6").isEmpty)
+    spark.sql("DROP TABLE gcl.t.src6")
+  }
+
+  test("OPTIMIZE a chained clone releases every transitive pin") {
+    setup(); seed("srcH", n = 24, parts = 2)
+    spark.sql("CREATE TABLE gcl.t.cH SHALLOW CLONE gcl.t.srcH")
+    spark.sql("CREATE TABLE gcl.t.cH2 SHALLOW CLONE gcl.t.cH")
+    assert(clonePins("srcH").size == 2)
+    val before = rows("cH2")
+    spark.sql("OPTIMIZE gcl.t.cH2")
+    assert(clonePins("srcH").size == 1,
+      "reifying the chained clone must release its transitive pin")
+    assert(spark.sql("SHOW TAGS IN gcl.t.cH").collect().map(_.getString(0))
+      .count(_.startsWith("clone-")) == 0)
+    assert(rows("cH2") == before)
+    // the chain unwinds: drop cH (releases srcH), then srcH; cH2 survives
+    spark.sql("DROP TABLE gcl.t.cH")
+    spark.sql("DROP TABLE gcl.t.srcH")
+    assert(rows("cH2") == before)
   }
 
   test("merge-on-read: cloned delete entries apply; new MOR deletes hit cloned files") {
