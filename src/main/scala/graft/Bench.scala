@@ -184,7 +184,8 @@ object Bench {
         s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("")}".take(300)
       // Declared fixture (DDL + insert commits) runs ONCE and is timed
       // separately — the measured query below must be re-runnable against
-      // the fixture (enforced by its min-of-2 runs agreeing with Verify).
+      // the fixture (enforced by its min-of-3 runs agreeing with Verify,
+      // plus the shadow probe's 4th execution for the cheapest queries).
       val setupOk = d.setup.forall { st =>
         val t0 = System.nanoTime()
         try { st(spark, sfDir); setups(name) = (System.nanoTime() - t0) / 1e9; true }

@@ -83,12 +83,18 @@ object Engine3 {
     df.select(col("doc_id"), split(col("text"), " ").as("sp"))
       .withColumn("dl", size(col("sp")).cast("long"))
 
-  /** Latest committed version of the q170 ingest table. */
-  private def fts2SrcVersion(s: SparkSession): Long = {
-    val wh = s.conf.get("spark.sql.catalog.gcat.warehouse")
-    val srcDir = new org.apache.hadoop.fs.Path(s"$wh/corpus/fts2_src/data")
+  /** LIVE registry head of the q170 ingest table in `ns` (a `cat.ns`
+    * two-part name under that catalog's warehouse). liveVersion, not
+    * `list(...).last`: the raw listing can name a crashed commit's
+    * orphan snapshot above the head, and folding "up to" an orphan would
+    * permanently skip the healed commit's rows. */
+  private[graft] def fts2SrcVersion(s: SparkSession, ns: String): Long = {
+    val Array(cat, db) = ns.split('.')
+    val wh = s.conf.get(s"spark.sql.catalog.$cat.warehouse")
+    val srcDir = new org.apache.hadoop.fs.Path(s"$wh/$db/fts2_src/data")
     val fs = srcDir.getFileSystem(new org.apache.hadoop.conf.Configuration())
-    graft.sources.Snapshots.list(fs, srcDir).last._1
+    graft.sources.TableStats.liveVersion(fs, srcDir).getOrElse(
+      throw new IllegalStateException(s"graft: $ns.fts2_src has no registry head"))
   }
 
   /** Fold ONE batch of (doc_id, text) into the persisted full-text
@@ -731,13 +737,20 @@ object Engine3 {
         val v1 = s.table(s"$ns.fts2_meta")
           .agg(max(col("indexed_version"))).first().getLong(0)
         // delta ingest (the docs the seed build excluded) + maintenance:
-        // ONLY commits past the watermark are read and folded
+        // ONLY commits in (watermark, head] are read and folded — BOTH
+        // ends pinned (the repo's incremental-maintenance discipline,
+        // DerivedMaintain/MvMaintain), so a commit racing the fold can
+        // neither be half-seen across the fold's three evaluations nor
+        // double-indexed by the next fold: rows past v2 stay for the
+        // next watermark interval
         s.read.parquet(s"$dir/documents.parquet")
           .filter(col("doc_id") % 5 === 0)
           .select(col("doc_id"), col("text"))
           .writeTo(s"$ns.fts2_src").append()
-        val delta = s.read.option("since-version", v1).table(s"$ns.fts2_src")
-        fts2Fold(s, ns, delta, fts2SrcVersion(s))
+        val v2 = fts2SrcVersion(s, ns)
+        val delta = s.read.option("since-version", v1)
+          .option("snapshot-version", v2).table(s"$ns.fts2_src")
+        fts2Fold(s, ns, delta, v2)
 
         // serve from the EXTENDED index: q161's BM25 shape with the
         // corpus constants summed over the additive constants log
@@ -807,8 +820,10 @@ object Engine3 {
           .filter(col("doc_id") % 5 =!= 0)
           .select(col("doc_id"), col("text"))
           .writeTo(s"$ns.fts2_src").append()
-        val seed = s.read.option("since-version", 0L).table(s"$ns.fts2_src")
-        fts2Fold(s, ns, seed, fts2SrcVersion(s))
+        val v1 = fts2SrcVersion(s, ns)
+        val seed = s.read.option("since-version", 0L)
+          .option("snapshot-version", v1).table(s"$ns.fts2_src")
+        fts2Fold(s, ns, seed, v1)
         ()
       }))
   )

@@ -104,18 +104,38 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
       // runs: pins held by clones INSIDE on outside sources are released
       // (no leaked un-vacuumable sources), and tables pinned by live
       // clones OUTSIDE the namespace refuse exactly like DROP TABLE.
-      // Clones inside pinning sources inside resolve by dropping in
+      //
+      // PRECHECK the whole pin graph BEFORE destroying anything, so a
+      // refused cascade is a NO-OP: a pin is resolvable iff some table
+      // inside the namespace holds it (drops release pins, and clone
+      // chains are acyclic, so inside-held pins always drain); any pin
+      // held by nothing inside must come from a live clone outside —
+      // refuse now, while every table still stands.
+      val inside = listTables(namespace).toSeq
+      val insideHeld: Set[String] = inside.flatMap { t =>
+        try ShallowClone.decodePins(loadTable(t).asInstanceOf[GraftTable].props)
+          .map(_._2)
+        catch { case _: Exception => Nil }
+      }.toSet
+      val blocked = inside.filter(t =>
+        incomingClonePins(t).exists(!insideHeld.contains(_)))
+      if (blocked.nonEmpty) throw new IllegalStateException(
+        s"graft: cannot drop namespace ${namespace.mkString(".")} CASCADE — " +
+          s"live shallow clones outside it pin " +
+          s"${blocked.map(fullName).mkString(", ")}; drop or OPTIMIZE (reify) " +
+          "those clones first (nothing was dropped)")
+      // clones inside pinning sources inside resolve by dropping in
       // passes — each pass drops the unpinned tables (releasing their
-      // pins), so their inside sources free up next pass. A pass that
-      // frees nothing means every remaining pin comes from outside.
-      var remaining = listTables(namespace).toSeq
+      // pins), so their inside sources free up next pass. After the
+      // precheck a stuck pass can only mean a CONCURRENT clone landed
+      // mid-cascade; refuse then too (partial by necessity, named).
+      var remaining = inside
       while (remaining.nonEmpty) {
         val (pinned, free) = remaining.partition(t => incomingClonePins(t).nonEmpty)
         if (free.isEmpty) throw new IllegalStateException(
-          s"graft: cannot drop namespace ${namespace.mkString(".")} CASCADE — " +
-            s"live shallow clones outside it pin " +
-            s"${pinned.map(fullName).mkString(", ")}; drop or OPTIMIZE (reify) " +
-            "those clones first")
+          s"graft: namespace ${namespace.mkString(".")} CASCADE interrupted — " +
+            s"a concurrent clone pinned ${pinned.map(fullName).mkString(", ")} " +
+            "mid-cascade; already-unpinned tables were dropped")
         free.foreach(dropTable)
         remaining = pinned
       }
@@ -647,21 +667,34 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
       val dest = tablePath(ident)
       // REPLACE destroys the old table exactly like DROP: refuse while
       // live shallow clones still reference its files (the commit's
-      // fs.delete would physically destroy them), and release any pin
-      // the replaced table itself held on a clone source. Checked at
-      // COMMIT time — a clone created between stage and commit must
-      // still be protected. On refusal Spark's exec node aborts the
-      // staged table, cleaning the staging dir.
-      if (replace && fs.exists(dest)) {
-        requireNoIncomingClonePins(ident, "replace")
-        releaseOutgoingClonePin(ident)
-      }
+      // fs.delete would physically destroy them). Checked at COMMIT
+      // time — a clone created between stage and commit must still be
+      // protected. On refusal Spark's exec node aborts the staged
+      // table, cleaning the staging dir.
+      val replacing = replace && fs.exists(dest)
+      if (replacing) requireNoIncomingClonePins(ident, "replace")
+      // ... and capture any pins the replaced table itself held on clone
+      // sources, to release AFTER the old table is actually destroyed: a
+      // delete failure below must leave the surviving clone still pinned
+      // (releasing first would let the source vacuum reclaim files the
+      // intact clone references — the corruption the pin prevents)
+      val outgoing =
+        if (replacing)
+          try ShallowClone.decodePins(
+            loadTable(ident).asInstanceOf[GraftTable].props)
+          catch { case _: Exception => Nil }
+        else Nil
       // REPLACE is a table-generation boundary exactly like DROP+CREATE:
       // purge the snapshot resolve cache for the destination paths (the
       // staging dir's entries die with their paths — stat validation
       // fails — but dest's old-generation entries could collide)
       Snapshots.invalidateCacheUnder(new Path(dest, "data"))
-      if (replace && fs.exists(dest)) fs.delete(dest, true)
+      if (replacing) {
+        fs.delete(dest, true)
+        outgoing.foreach { case (dir, tag) =>
+          try Snapshots.dropTag(dir, tag) catch { case _: Exception => () }
+        }
+      }
       if (!fs.rename(stagingDir, dest))
         throw new IllegalStateException(
           s"graft: staged commit failed renaming $stagingDir -> $dest " +

@@ -107,32 +107,44 @@ object ShallowClone {
                           table: GraftTable): Unit =
     if (decodePins(table.props).nonEmpty) {
       val dataDir = new Path(table.dataDir)
-      val live = TableStats.readIfExists(fs, dataDir).getOrElse(Map.empty)
-      if (!live.keysIterator.exists(TableStats.isExternal)) {
-        decodePins(table.props).foreach { case (dir, tag) =>
-          try Snapshots.dropTag(dir, tag)
-          catch { case _: Exception => () }
+      // the whole check-release-rewrite runs under the clone's commit
+      // lock: the ext-free check cannot interleave with a commit, and
+      // the _meta.yml read-modify-write cannot race the lock-guarded
+      // meta writers (setPartitionSpec; plain ALTER writeMeta remains
+      // unlocked — a pre-existing property of every meta path)
+      TableStats.withLock(fs, dataDir) {
+        val live = TableStats.readIfExists(fs, dataDir).getOrElse(Map.empty)
+        if (!live.keysIterator.exists(TableStats.isExternal)) {
+          // tags drop FIRST: a crash before the props rewrite leaves
+          // props claiming already-dropped tags, which the NEXT release
+          // (or DROP TABLE) re-drops as a no-op and then strips —
+          // self-healing. The reverse order would leak live tags with
+          // no owning props to find them by.
+          decodePins(table.props).foreach { case (dir, tag) =>
+            try Snapshots.dropTag(dir, tag)
+            catch { case _: Exception => () }
+          }
+          // strip the clone markers from _meta.yml (read-modify-write
+          // of the same three-key layout the catalog writes)
+          val metaFile = new Path(table.tableDir, "_meta.yml")
+          val text = {
+            val in = fs.open(metaFile)
+            try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+            finally in.close()
+          }
+          val (schema, props, partCols) = GraftTable.parseMeta(text)
+          import scala.jdk.CollectionConverters._
+          val opts = new org.yaml.snakeyaml.DumperOptions()
+          opts.setDefaultFlowStyle(org.yaml.snakeyaml.DumperOptions.FlowStyle.BLOCK)
+          val yaml = new org.yaml.snakeyaml.Yaml(opts).dump(Map(
+            "schema_json" -> schema.json,
+            "properties" ->
+              (props - SourceDirProp - SourceVersionProp - PinTagProp - PinsProp).asJava,
+            "partitions" -> partCols.asJava).asJava)
+          val out = fs.create(metaFile, true)
+          try out.write(yaml.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          finally out.close()
         }
-        // strip the clone markers from _meta.yml (read-modify-write of
-        // the same three-key layout the catalog writes)
-        val metaFile = new Path(table.tableDir, "_meta.yml")
-        val text = {
-          val in = fs.open(metaFile)
-          try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
-          finally in.close()
-        }
-        val (schema, props, partCols) = GraftTable.parseMeta(text)
-        import scala.jdk.CollectionConverters._
-        val opts = new org.yaml.snakeyaml.DumperOptions()
-        opts.setDefaultFlowStyle(org.yaml.snakeyaml.DumperOptions.FlowStyle.BLOCK)
-        val yaml = new org.yaml.snakeyaml.Yaml(opts).dump(Map(
-          "schema_json" -> schema.json,
-          "properties" ->
-            (props - SourceDirProp - SourceVersionProp - PinTagProp - PinsProp).asJava,
-          "partitions" -> partCols.asJava).asJava)
-        val out = fs.create(metaFile, true)
-        try out.write(yaml.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-        finally out.close()
       }
     }
 

@@ -1013,6 +1013,21 @@ object Snapshots {
     // committers; a crash here leaves only unreferenced orphans that the
     // next vacuum reclaims (the manifests that referenced them are gone)
     victims.foreach(fs.delete(_, false))
+    // publish markers (`_wap/<id>.published`, written by [[publishWap]]
+    // for transactional read snapshots) expire on a fixed TTL: they are
+    // only read while their transaction's coordinator markers exist —
+    // a crash-recovery window far shorter than the TTL — and a per-
+    // micro-batch transactional maintainer must not grow this dir
+    // without bound
+    val wapDir = new Path(dataDir.getParent, "_wap")
+    if (fs.exists(wapDir)) {
+      val now = System.currentTimeMillis()
+      fs.listStatus(wapDir).foreach { st =>
+        if (st.getPath.getName.endsWith(".published") &&
+            now - st.getModificationTime >= Transactions.RecordTtlMillis)
+          fs.delete(st.getPath, false)
+      }
+    }
     (victims.size, dropped.size)
   }
 

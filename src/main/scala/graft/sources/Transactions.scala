@@ -119,7 +119,8 @@ object Transactions {
       // the cross-table read snapshot: recorded BEFORE the markers drop,
       // so a crash in between re-drives through recover(), which reads
       // the same per-table published records and rewrites this file —
-      // idempotent. Kept after completion (O(participants) bytes).
+      // idempotent. Kept after completion (O(participants) bytes,
+      // expired by [[recover]]'s record TTL).
       writeVersionsRecord(coordDir, id, versions)
       val fs = fsOf(txnDir(coordDir))
       fs.delete(new Path(txnDir(coordDir), s"$id.commit"), false)
@@ -144,32 +145,51 @@ object Transactions {
   /** Publish one participant's stage (idempotent through crashes) and
     * return the version its adds are live at: the publish's own version,
     * or — when a pre-crash attempt already published — the version that
-    * attempt recorded ([[Snapshots.publishedWapVersion]]). */
-  private def publishIfStaged(tableDir: String, wapId: String): Long = {
+    * attempt recorded ([[Snapshots.publishedWapVersion]]). None when the
+    * stage is neither staged nor recorded (a pre-record-era publish, or
+    * a manually cleaned `_wap` dir): convergence proceeds — the adds are
+    * treated as live — but the landing version is unknowable, so the
+    * transaction gets no read-snapshot record. */
+  private def publishIfStaged(tableDir: String, wapId: String): Option[Long] = {
     val dataDir = new Path(tableDir, "data")
     if (Snapshots.readWap(fsOf(dataDir), dataDir, wapId).isDefined)
-      Snapshots.publishWap(tableDir, wapId)
+      Some(Snapshots.publishWap(tableDir, wapId))
     else Snapshots.publishedWapVersion(fsOf(dataDir), dataDir, wapId)
-      .getOrElse(throw new IllegalStateException(
-        s"graft: txn stage '$wapId' of $tableDir is neither staged nor " +
-          "recorded as published — was the _wap directory cleaned manually?"))
   }
 
   /** Durable per-transaction record of where each participant's publish
     * landed: `_txn/<id>.versions`, one `tableDir\tversion` line per
     * participant (several stages to one table keep the LAST — highest —
-    * version, which contains them all). */
+    * version, which contains them all). Written via tmp + atomic rename
+    * — the record either exists whole or not at all; a torn snapshot
+    * record would silently serve WRONG versions. When any participant's
+    * landing version is unknowable (pre-record publish, manually cleaned
+    * `_wap`), the record is skipped entirely — readers then keep the
+    * pre-transaction all-old view; a partial record would misreport the
+    * missing table as "not a participant". */
   private def writeVersionsRecord(coordDir: String, id: String,
-      versions: Seq[(String, Long)]): Unit = {
-    val byDir = versions.groupBy(_._1).view
-      .mapValues(_.map(_._2).max).toSeq.sortBy(_._1)
-    val fs = fsOf(txnDir(coordDir))
-    val out = fs.create(new Path(txnDir(coordDir), s"$id.versions"), true)
-    try out.write(byDir.map { case (d, v) => s"$d\t$v" }
-      .mkString("", "\n", "\n")
-      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
-  }
+      versions: Seq[(String, Option[Long])]): Unit =
+    if (versions.exists(_._2.isEmpty)) {
+      val missing = versions.collect { case (d, None) => d }
+      System.err.println(s"graft: txn $id converged, but no read-snapshot " +
+        s"record: landing version unknown for ${missing.mkString(", ")}")
+    } else {
+      val byDir = versions.collect { case (d, Some(v)) => (d, v) }
+        .groupBy(_._1).view.mapValues(_.map(_._2).max).toSeq.sortBy(_._1)
+      val d = txnDir(coordDir)
+      val fs = fsOf(d)
+      fs.mkdirs(d)
+      val tmp = new Path(d, s".$id.versions.tmp-${java.util.UUID.randomUUID()}")
+      val out = fs.create(tmp, true)
+      try out.write(byDir.map { case (dir, v) => s"$dir\t$v" }
+        .mkString("", "\n", "\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(fs.getUri, fs.getConf)
+      fc.rename(fc.makeQualified(tmp),
+        fc.makeQualified(new Path(d, s"$id.versions")),
+        org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    }
 
   /** The per-table versions a COMMITTED transaction published — the
     * cross-table READ SNAPSHOT: resolving every participant `VERSION AS
@@ -187,10 +207,16 @@ object Transactions {
       val in = fs.open(p)
       val text = try new String(in.readAllBytes(),
         java.nio.charset.StandardCharsets.UTF_8) finally in.close()
-      Some(text.split('\n').toSeq.filter(_.nonEmpty).map { line =>
+      // the write is atomic (tmp + rename), so a malformed record can
+      // only mean out-of-band damage — refuse the WHOLE record rather
+      // than serve a partially-parsed (wrong) snapshot
+      val parsed = text.split('\n').toSeq.filter(_.nonEmpty).map { line =>
         val i = line.lastIndexOf('\t')
-        line.substring(0, i) -> line.substring(i + 1).toLong
-      }.toMap)
+        if (i <= 0) None
+        else line.substring(i + 1).toLongOption.map(line.substring(0, i) -> _)
+      }
+      if (parsed.isEmpty || parsed.exists(_.isEmpty)) None
+      else Some(parsed.flatten.toMap)
     }
   }
 
@@ -290,11 +316,21 @@ object Transactions {
       fs.delete(new Path(d, s"$id.commit"), false)
       fs.delete(intentPath, false)
     }
+    // per-transaction error isolation: one transaction whose publish
+    // hits a (transient) FS error must not wedge the convergence of
+    // every OTHER pending transaction behind it in the listing — its
+    // markers stay for the next recover; the first error rethrows after
+    // the full sweep
+    val errors = scala.collection.mutable.ArrayBuffer[Throwable]()
+    def isolated(body: => Unit): Unit =
+      try body catch { case NonFatal(e) =>
+        errors += e
+        System.err.println(s"graft: recover skipped one transaction: $e")
+      }
     intents.foreach { s =>
       val id = s.getPath.getName.stripSuffix(".intent")
       if (commits(id)) {
-        rollForward(id, s.getPath)
-        fwd += 1
+        isolated { rollForward(id, s.getPath); fwd += 1 }
       } else if (System.currentTimeMillis() - s.getModificationTime >= minAgeMillis) {
         // recheck right before discarding: a coordinator alive past the
         // age guard may have decided since the listing above — rolling
@@ -304,9 +340,8 @@ object Transactions {
         // recover with minAgeMillis = 0 ONLY when no coordinator can be
         // mid-transaction, e.g. single-maintainer startup)
         if (fs.exists(new Path(d, s"$id.commit"))) {
-          rollForward(id, s.getPath)
-          fwd += 1
-        } else {
+          isolated { rollForward(id, s.getPath); fwd += 1 }
+        } else isolated {
           participants(id).foreach { case (dir, wap) => discardIfStaged(dir, wap) }
           fs.delete(s.getPath, false)
           back += 1
@@ -319,6 +354,23 @@ object Transactions {
       if (!fs.exists(new Path(d, s"$id.intent")))
         fs.delete(new Path(d, s"$id.commit"), false)
     }
+    // RETENTION for the read-snapshot records: readAt is a recent-commit
+    // affair (the versions expire under table vacuum anyway), so records
+    // past the TTL are dropped here — a per-micro-batch transactional
+    // maintainer must not accumulate marker files without bound
+    st.filter(_.getPath.getName.endsWith(".versions")).foreach { s =>
+      if (System.currentTimeMillis() - s.getModificationTime >= RecordTtlMillis)
+        fs.delete(s.getPath, false)
+    }
+    if (errors.nonEmpty) throw errors.head
     (fwd, back)
   }
+
+  /** How long committed transactions' read-snapshot records
+    * (`_txn/<id>.versions`) and tables' publish markers
+    * (`_wap/<id>.published`) are retained before [[recover]] /
+    * [[Snapshots.vacuum]] reclaim them: long past any crash-recovery or
+    * readAt window, short enough that per-micro-batch transaction
+    * streams stay O(recent) marker files. */
+  val RecordTtlMillis: Long = 7L * 24 * 3600 * 1000
 }

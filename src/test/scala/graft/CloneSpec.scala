@@ -348,15 +348,20 @@ class CloneSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(clonePins("srcF").isEmpty,
       "cascade must release pins its clones held on outside sources")
     spark.sql("DROP TABLE gcl.t.srcF")
-    // a clone OUTSIDE the namespace pinning a table INSIDE → refuse
+    // a clone OUTSIDE the namespace pinning a table INSIDE → refuse,
+    // and the refusal is a NO-OP: the precheck runs before any drop, so
+    // even UNPINNED siblings inside the namespace survive
     spark.sql("CREATE NAMESPACE IF NOT EXISTS gcl.nsd")
     Seq(("b", 2L)).toDF("row_key", "id").writeTo("gcl.nsd.s2").create()
+    Seq(("c", 3L)).toDF("row_key", "id").writeTo("gcl.nsd.s3").create()
     spark.sql("DROP TABLE IF EXISTS gcl.t.cOut")
     spark.sql("CREATE TABLE gcl.t.cOut SHALLOW CLONE gcl.nsd.s2")
     val e = intercept[Exception](spark.sql("DROP NAMESPACE gcl.nsd CASCADE"))
     assert(e.getMessage.contains("shallow clones outside"), e.getMessage)
     assert(spark.sql("SELECT * FROM gcl.nsd.s2").count() == 1,
       "refused cascade left the pinned table intact")
+    assert(spark.sql("SELECT * FROM gcl.nsd.s3").count() == 1,
+      "refused cascade must be a NO-OP — unpinned siblings survive too")
     spark.sql("DROP TABLE gcl.t.cOut")
     spark.sql("DROP NAMESPACE gcl.nsd CASCADE")
   }

@@ -149,13 +149,8 @@ class FtsSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.conf.set("spark.sql.catalog.gcat.warehouse", wh)
   }
 
-  private def srcVersion(ns: String): Long = {
-    val dd = new org.apache.hadoop.fs.Path(
-      s"$wh/${ns.split('.')(1)}/fts2_src/data")
-    graft.sources.Snapshots
-      .list(dd.getFileSystem(new org.apache.hadoop.conf.Configuration()), dd)
-      .last._1
-  }
+  private def srcVersion(ns: String): Long =
+    graft.queries.Engine3.fts2SrcVersion(spark, ns)
 
   private def corpus(lo: Int, hi: Int): org.apache.spark.sql.DataFrame = {
     import spark.implicits._
