@@ -97,14 +97,41 @@ object Engine3 {
       throw new IllegalStateException(s"graft: $ns.fts2_src has no registry head"))
   }
 
-  /** Fold ONE batch of (doc_id, text) into the persisted full-text
-    * index — the ONE routine that builds the seed AND extends with every
-    * delta (the q154 discipline, applied to sparse retrieval). Because a
-    * batch contributes per-(tok, doc) tf rows, per-(tok, doc, pos)
-    * position rows, and additive (nd, sl) corpus constants — and df is
-    * derived at serve time from the postings themselves — build(seed)
-    * followed by fold(delta) is row-identical to build(seed + delta):
-    * the equivalence q170's oracle replays from scratch.
+  /** Token-clustered postings + positions + additive (nd, sl) constants
+    * for one batch of (doc_id, text), stamped with revision `rev` —
+    * the shared production of every index fold (seed, append delta,
+    * update postimages). */
+  private def fts2IndexRows(batch: DataFrame, rev: Long)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val docs = fts2Tokenize(batch)
+    val post = docs
+      .select(col("doc_id"), col("dl"), explode(col("sp")).as("tok"))
+      .groupBy(col("tok"), col("doc_id"), col("dl"))
+      .agg(count(lit(1)).cast("long").as("tf"))
+      .repartitionByRange(8, col("tok"))
+      .sortWithinPartitions(col("tok"), col("doc_id"))
+      .select(col("tok"), col("doc_id"), col("tf"), col("dl"),
+        lit(rev).as("rev"))
+    val pos = docs
+      .select(col("doc_id"), posexplode(col("sp")).as(Seq("pos", "tok")))
+      .select(col("tok"), col("doc_id"), col("pos").cast("long").as("pos"),
+        lit(rev).as("rev"))
+      .repartitionByRange(8, col("tok"))
+      .sortWithinPartitions(col("tok"), col("doc_id"), col("pos"))
+    val glob = docs.agg(count(lit(1)).cast("long").as("nd"),
+      sum(col("dl")).cast("long").as("sl"))
+    (post, pos, glob)
+  }
+
+  /** Fold ONE batch of NEW documents (doc_id, text) into the persisted
+    * full-text index — the ONE routine that builds the seed AND extends
+    * with every append delta (the q154 discipline, applied to sparse
+    * retrieval). Because a batch contributes per-(tok, doc) tf rows,
+    * per-(tok, doc, pos) position rows, and additive (nd, sl) corpus
+    * constants — and df is derived at serve time from the postings
+    * themselves — build(seed) followed by fold(delta) is row-identical
+    * to build(seed + delta): the equivalence q170's oracle replays from
+    * scratch.
     *
     * All FOUR index tables (postings, positions, constants log,
     * watermark log) advance in ONE multi-table transaction (q159's
@@ -116,21 +143,7 @@ object Engine3 {
   private[graft] def fts2Fold(s: SparkSession, ns: String, batch: DataFrame,
       newVersion: Long): Unit = {
     val coord = s.conf.get("spark.sql.catalog.gcat.warehouse")
-    val docs = fts2Tokenize(batch)
-    val post = docs
-      .select(col("doc_id"), col("dl"), explode(col("sp")).as("tok"))
-      .groupBy(col("tok"), col("doc_id"), col("dl"))
-      .agg(count(lit(1)).cast("long").as("tf"))
-      .repartitionByRange(8, col("tok"))
-      .sortWithinPartitions(col("tok"), col("doc_id"))
-      .select(col("tok"), col("doc_id"), col("tf"), col("dl"))
-    val pos = docs
-      .select(col("doc_id"), posexplode(col("sp")).as(Seq("pos", "tok")))
-      .select(col("tok"), col("doc_id"), col("pos").cast("long").as("pos"))
-      .repartitionByRange(8, col("tok"))
-      .sortWithinPartitions(col("tok"), col("doc_id"), col("pos"))
-    val glob = docs.agg(count(lit(1)).cast("long").as("nd"),
-      sum(col("dl")).cast("long").as("sl"))
+    val (post, pos, glob) = fts2IndexRows(batch, newVersion)
     graft.sources.Transactions.run(s, coord) { txn =>
       txn.write(s"$ns.fts2_post", post)
       txn.write(s"$ns.fts2_pos", pos)
@@ -140,13 +153,118 @@ object Engine3 {
     }
   }
 
-  /** (Re)create the q170 index tables empty. */
-  private[graft] def fts2Create(s: SparkSession, ns: String): Unit = {
-    Seq("fts2_src", "fts2_post", "fts2_pos", "fts2_glob", "fts2_meta")
+  /** Fold ONE change-feed interval (DELETEs, UPDATEs, INSERTs) into the
+    * index — the MUTATION side of incremental maintenance (q171), the
+    * same commit-recorded-preimage discipline the MV engine uses
+    * (q155/q156), with MERGE-ON-READ semantics applied to the index
+    * itself:
+    *
+    *  - preimages (deletes + update_preimages) become TOMBSTONE rows
+    *    (doc_id, rev): a tombstone at rev r kills every posting of that
+    *    doc with rev < r at serve time — the existing token-clustered
+    *    postings are NEVER read or rewritten, so a delete batch costs
+    *    O(batch), not O(index);
+    *  - their (count, Σdl) leave the corpus constants as a NEGATIVE
+    *    (nd, sl) row in the additive log — dl recomputed from the
+    *    preimage text the feed carries, no doc-keyed side table needed;
+    *  - postimages (+ inserts) fold like any append batch at rev =
+    *    newVersion, which the SAME-rev tombstone does not kill
+    *    (survival rule is rev >= tombstone rev) — an update is
+    *    tombstone-old + index-new in one interval.
+    *
+    * All five writes land in ONE transaction; serve-time survival is
+    * [[fts2LivePostings]]. Tombstones accumulate O(deleted docs) and are
+    * the index's compaction debt — fold them by rebuilding (the seed
+    * path) when their fraction grows, exactly like MOR delete files. */
+  private[graft] def fts2FoldFeed(s: SparkSession, ns: String, feed: DataFrame,
+      newVersion: Long): Unit = {
+    val coord = s.conf.get("spark.sql.catalog.gcat.warehouse")
+    val pre = feed
+      .where(col("_change_type").isin("delete", "update_preimage"))
+      .select(col("doc_id"), col("text"))
+    val post = feed
+      .where(col("_change_type").isin("insert", "update_postimage"))
+      .select(col("doc_id"), col("text"))
+    val tomb = pre.select(col("doc_id")).distinct()
+      .select(col("doc_id"), lit(newVersion).as("rev"))
+    val negGlob = fts2Tokenize(pre)
+      .agg((-count(lit(1))).cast("long").as("nd"),
+        (-sum(col("dl"))).cast("long").as("sl"))
+      .where(col("nd") =!= 0L)
+    val (postRows, posRows, posGlob) = fts2IndexRows(post, newVersion)
+    graft.sources.Transactions.run(s, coord) { txn =>
+      txn.write(s"$ns.fts2_post", postRows)
+      txn.write(s"$ns.fts2_pos", posRows)
+      txn.write(s"$ns.fts2_del", tomb)
+      txn.write(s"$ns.fts2_glob", posGlob.unionByName(negGlob))
+      txn.write(s"$ns.fts2_meta",
+        s.range(1).select(lit(newVersion).as("indexed_version")))
+    }
+  }
+
+  /** The SURVIVING postings under tombstones, applied AFTER `filtered`
+    * has cut the postings down (tok IN-list, single-token) — so the join
+    * is O(retrieved postings + tombstones), never a postings-table
+    * shuffle. The tombstone side aggregates to one max-rev row per
+    * deleted doc and broadcasts (tombstones are the index's bounded
+    * compaction debt; fold them into a rebuild when large). */
+  private def fts2Surviving(s: SparkSession, ns: String,
+      filtered: DataFrame): DataFrame = {
+    val tomb = s.table(s"$ns.fts2_del")
+      .groupBy(col("doc_id")).agg(max(col("rev")).as("trev"))
+    filtered.join(broadcast(tomb), Seq("doc_id"), "left")
+      .where(col("trev").isNull || col("rev") >= col("trev"))
+      .drop("trev")
+  }
+
+  /** Per-(doc, term) BM25 from the MAINTAINED index: survival-filtered
+    * postings, corpus constants summed over the additive (± rows) log.
+    * The serve shape q170 and q171 share. */
+  private[graft] def fts2Bm25(s: SparkSession, ns: String, terms: Seq[String]): DataFrame = {
+    val post = fts2Surviving(s, ns,
+      s.table(s"$ns.fts2_post").where(col("tok").isin(terms: _*)))
+    val dfx = post.groupBy(col("tok"))
+      .agg(count(lit(1)).cast("double").as("df"))
+    val glob = s.table(s"$ns.fts2_glob")
+      .agg(sum(col("sl")).cast("double").as("sl"),
+        sum(col("nd")).cast("double").as("nd"))
+    post.join(broadcast(dfx), "tok")
+      .crossJoin(broadcast(glob))
+      .withColumn("part", expr(bm25Part))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("part")).cast("long").as("score_micro"))
+  }
+
+  /** Corpus-wide phrase-hit count from the maintained positional index. */
+  private def fts2PhraseCount(s: SparkSession, ns: String,
+      first: String, second: String): DataFrame = {
+    val posT = s.table(s"$ns.fts2_pos")
+    val a = fts2Surviving(s, ns, posT.where(col("tok") === first))
+      .select(col("doc_id"), col("pos"))
+    val b = fts2Surviving(s, ns, posT.where(col("tok") === second))
+      .select(col("doc_id"), (col("pos") - 1).as("pos"))
+    a.join(b, Seq("doc_id", "pos"))
+      .agg(count(lit(1)).cast("long").as("n_phrase"))
+  }
+
+  /** Summed corpus constants from the additive log, as BIGINT. */
+  private def fts2Consts(s: SparkSession, ns: String): DataFrame =
+    s.table(s"$ns.fts2_glob")
+      .agg(sum(col("nd")).cast("long").as("nd"),
+        sum(col("sl")).cast("long").as("sl"))
+
+  /** (Re)create the q170/q171 index tables empty. `withRowKey` gives the
+    * ingest table a row_key column (required for the row-level DELETE /
+    * UPDATE mutations q171 feeds from). */
+  private[graft] def fts2Create(s: SparkSession, ns: String,
+      withRowKey: Boolean = false): Unit = {
+    Seq("fts2_src", "fts2_post", "fts2_pos", "fts2_del", "fts2_glob", "fts2_meta")
       .foreach(t => s.sql(s"DROP TABLE IF EXISTS $ns.$t"))
-    s.sql(s"CREATE TABLE $ns.fts2_src (doc_id BIGINT, text STRING)")
-    s.sql(s"CREATE TABLE $ns.fts2_post (tok STRING, doc_id BIGINT, tf BIGINT, dl BIGINT)")
-    s.sql(s"CREATE TABLE $ns.fts2_pos (tok STRING, doc_id BIGINT, pos BIGINT)")
+    val rk = if (withRowKey) "row_key STRING, " else ""
+    s.sql(s"CREATE TABLE $ns.fts2_src (${rk}doc_id BIGINT, text STRING)")
+    s.sql(s"CREATE TABLE $ns.fts2_post (tok STRING, doc_id BIGINT, tf BIGINT, dl BIGINT, rev BIGINT)")
+    s.sql(s"CREATE TABLE $ns.fts2_pos (tok STRING, doc_id BIGINT, pos BIGINT, rev BIGINT)")
+    s.sql(s"CREATE TABLE $ns.fts2_del (doc_id BIGINT, rev BIGINT)")
     s.sql(s"CREATE TABLE $ns.fts2_glob (nd BIGINT, sl BIGINT)")
     s.sql(s"CREATE TABLE $ns.fts2_meta (indexed_version BIGINT)")
   }
@@ -753,34 +871,14 @@ object Engine3 {
         fts2Fold(s, ns, delta, v2)
 
         // serve from the EXTENDED index: q161's BM25 shape with the
-        // corpus constants summed over the additive constants log
-        val terms = Seq("sort", "merge", "stream")
-        val post = s.table(s"$ns.fts2_post").where(col("tok").isin(terms: _*))
-        val dfx = post.groupBy(col("tok"))
-          .agg(count(lit(1)).cast("double").as("df"))
-        val glob = s.table(s"$ns.fts2_glob")
-          .agg(sum(col("sl")).cast("double").as("sl"),
-            sum(col("nd")).cast("double").as("nd"))
-        val top = post.join(broadcast(dfx), "tok")
-          .crossJoin(broadcast(glob))
-          .withColumn("part", expr(bm25Part))
-          .groupBy(col("doc_id"))
-          .agg(sum(col("part")).cast("long").as("score_micro"))
+        // corpus constants summed over the additive constants log, plus
+        // q162's phrase join — through the shared maintained-serve
+        // helpers (the tombstone filter is a no-op here: nothing deleted)
+        val top = fts2Bm25(s, ns, Seq("sort", "merge", "stream"))
           .orderBy(desc("score_micro"), col("doc_id"))
           .limit(20)
-        // q162's phrase join over the extended positional index
-        val posT = s.table(s"$ns.fts2_pos")
-        val first = posT.where(col("tok") === "hash")
-          .select(col("doc_id"), col("pos"))
-        val next = posT.where(col("tok") === "join")
-          .select(col("doc_id"), (col("pos") - 1).as("pos"))
-        val nPhrase = first.join(next, Seq("doc_id", "pos"))
-          .agg(count(lit(1)).cast("long").as("n_phrase"))
-        val consts = s.table(s"$ns.fts2_glob")
-          .agg(sum(col("nd")).cast("long").as("nd"),
-            sum(col("sl")).cast("long").as("sl"))
-        top.crossJoin(broadcast(consts))
-          .crossJoin(broadcast(nPhrase))
+        top.crossJoin(broadcast(fts2Consts(s, ns)))
+          .crossJoin(broadcast(fts2PhraseCount(s, ns, "hash", "join")))
           .orderBy(desc("score_micro"), col("doc_id"))
       },
       // extend ≡ rebuild: the oracle replays the WHOLE index (seed +
@@ -824,6 +922,106 @@ object Engine3 {
         val seed = s.read.option("since-version", 0L)
           .option("snapshot-version", v1).table(s"$ns.fts2_src")
         fts2Fold(s, ns, seed, v1)
+        ()
+      })),
+
+    // ---- q171: FTS index maintenance across row MUTATIONS (cdc) ----------
+    // q170 keeps the index current under APPENDS; production corpora also
+    // DELETE (takedowns, GDPR) and UPDATE (re-crawls). The fold reads the
+    // commit-recorded change feed for (watermark, head] — the same
+    // preimage discipline the MV engine uses (q155/q156) — and applies
+    // MERGE-ON-READ semantics to the index itself: preimages become
+    // (doc_id, rev) TOMBSTONES plus a NEGATIVE row in the additive
+    // (nd, sl) constants log (dl recomputed from the preimage text the
+    // feed carries); postimages re-index at the same rev, which the
+    // survival rule (posting lives iff rev >= tombstone rev) does not
+    // kill. The token-clustered postings are NEVER read or rewritten —
+    // a delete/update batch costs O(batch tokens) at any index size;
+    // serve filters the RETRIEVED postings against the broadcast
+    // tombstone set (the index's bounded compaction debt). All five
+    // writes land in one q159 transaction. The oracle replays BM25 +
+    // phrase + constants from the post-mutation corpus — served scores
+    // must be as if the index were rebuilt from scratch.
+    QueryDef(
+      "q171_fts_mutations",
+      (s, dir) => {
+        val ns2 = "gcat.fts3"
+        val v1 = s.table(s"$ns2.fts2_meta")
+          .agg(max(col("indexed_version"))).first().getLong(0)
+        // the mutation batch: a takedown slice + a re-crawl slice (the
+        // update is self-guarding, so a re-run mutates nothing and the
+        // feed interval is empty — fold is a no-op, serve unchanged)
+        s.sql(s"DELETE FROM $ns2.fts2_src WHERE doc_id % 9 = 4")
+        s.sql(
+          s"""UPDATE $ns2.fts2_src
+             |SET text = concat(text, ' recrawled')
+             |WHERE doc_id % 9 = 5 AND text NOT LIKE '%recrawled'""".stripMargin)
+        val v2 = fts2SrcVersion(s, ns2)
+        val cat = s.sessionState.catalogManager.catalog("gcat")
+          .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
+        val tbl = cat.loadTable(org.apache.spark.sql.connector.catalog.Identifier
+            .of(Array("fts3"), "fts2_src")).asInstanceOf[graft.sources.GraftTable]
+        val feed = graft.sources.Snapshots.changes(s, tbl,
+          since = v1, end = Some(v2), hydrateMor = true)
+        fts2FoldFeed(s, ns2, feed, v2)
+        // serve from the maintained index: 'recrawled' only exists in
+        // updated docs — scoring it proves updates re-indexed; the
+        // constants prove the tombstoned docs left nd/sl
+        val top = fts2Bm25(s, ns2, Seq("scan", "merge", "recrawled"))
+          .orderBy(desc("score_micro"), col("doc_id"))
+          .limit(20)
+        top.crossJoin(broadcast(fts2Consts(s, ns2)))
+          .crossJoin(broadcast(fts2PhraseCount(s, ns2, "hash", "join")))
+          .orderBy(desc("score_micro"), col("doc_id"))
+      },
+      // the oracle rebuilds the index from the POST-MUTATION corpus
+      Some("""WITH corp AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 9 = 5 THEN text || ' recrawled'
+                      ELSE text END AS text
+          FROM documents WHERE doc_id % 9 <> 4),
+        d AS (SELECT doc_id, string_split(text, ' ') AS sp FROM corp),
+        dd AS (SELECT doc_id, CAST(len(sp) AS BIGINT) AS dl, sp FROM d),
+        g AS (SELECT CAST(SUM(dl) AS DOUBLE) AS sl, CAST(COUNT(*) AS DOUBLE) AS nd FROM dd),
+        t AS (SELECT doc_id, dl, unnest(sp) AS tok FROM dd),
+        tf AS (SELECT doc_id, dl, tok, CAST(COUNT(*) AS DOUBLE) AS tf
+               FROM t WHERE tok IN ('scan', 'merge', 'recrawled') GROUP BY doc_id, dl, tok),
+        dfx AS (SELECT tok, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY tok),
+        parts AS (
+          SELECT tf.doc_id,
+            round(((g.nd - dfx.df + 0.5) / (dfx.df + 0.5)) * tf.tf * 2.2 /
+              (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / (g.sl / g.nd))) * 1e6) AS part
+          FROM tf JOIN dfx USING (tok) CROSS JOIN g),
+        scores AS (SELECT doc_id, CAST(SUM(part) AS BIGINT) AS score_micro
+          FROM parts GROUP BY doc_id
+          ORDER BY score_micro DESC, doc_id LIMIT 20),
+        u AS (SELECT doc_id, unnest(list_transform(range(1, len(sp) + 1),
+                i -> struct_pack(pos := i, tok := sp[i]))) AS u FROM d),
+        p AS (SELECT doc_id, u.pos AS pos, u.tok AS tok FROM u),
+        ph AS (SELECT CAST(count(*) AS BIGINT) AS n_phrase
+          FROM p p1 JOIN p p2 ON p2.doc_id = p1.doc_id AND p2.pos = p1.pos + 1
+          WHERE p1.tok = 'hash' AND p2.tok = 'join'),
+        gl AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd, CAST(SUM(dl) AS BIGINT) AS sl FROM dd)
+        SELECT s.doc_id, s.score_micro, gl.nd, gl.sl, ph.n_phrase
+        FROM scores s CROSS JOIN gl CROSS JOIN ph
+        ORDER BY score_micro DESC, doc_id"""),
+      // fixture: its OWN namespace (gates stay independent of q170),
+      // row-keyed ingest table (row-level DELETE/UPDATE need it), the
+      // WHOLE corpus seeded and indexed through the shared fold
+      setup = Some((s, dir) => {
+        ensureCatalog(s, dir)
+        val ns2 = "gcat.fts3"
+        s.sql("CREATE NAMESPACE IF NOT EXISTS gcat.fts3")
+        fts2Create(s, ns2, withRowKey = true)
+        s.read.parquet(s"$dir/documents.parquet")
+          .select(col("doc_id").cast("string").as("row_key"),
+            col("doc_id"), col("text"))
+          .writeTo(s"$ns2.fts2_src").append()
+        val v1 = fts2SrcVersion(s, ns2)
+        val seed = s.read.option("since-version", 0L)
+          .option("snapshot-version", v1).table(s"$ns2.fts2_src")
+          .select(col("doc_id"), col("text"))
+        fts2Fold(s, ns2, seed, v1)
         ()
       }))
   )

@@ -159,8 +159,11 @@ class FtsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .toDF("doc_id", "text")
   }
 
+  /** Table rows as sorted strings, WITHOUT the `rev` maintenance column
+    * (a fold's revision stamp differs between extend and rebuild by
+    * construction; index CONTENT must not). */
   private def sortedRows(t: String): Seq[String] =
-    spark.table(t).collect().map(_.toString).sorted.toSeq
+    spark.table(t).drop("rev").collect().map(_.toString).sorted.toSeq
 
   test("incremental fold reads ONLY the new commit and extend == rebuild") {
     setupGcat()
@@ -204,6 +207,70 @@ class FtsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // the watermark advanced to the delta commit
     assert(spark.table(s"$ns.fts2_meta").agg(max(col("indexed_version")))
       .first().getLong(0) == srcVersion(ns))
+  }
+
+  test("mutation fold: tombstones + negative constants == rebuild; postings never rewritten") {
+    setupGcat()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gcat.m")
+    val ns = "gcat.m"
+    graft.queries.Engine3.fts2Create(spark, ns)
+    corpus(0, 50).writeTo(s"$ns.fts2_src").append()
+    graft.queries.Engine3.fts2Fold(spark, ns,
+      spark.read.option("since-version", 0L).table(s"$ns.fts2_src"),
+      srcVersion(ns))
+    def postingFiles(n: String): Int = {
+      val dd = new org.apache.hadoop.fs.Path(
+        s"$wh/${n.split('.')(1)}/fts2_post/data")
+      graft.sources.TableStats.read(
+        dd.getFileSystem(new org.apache.hadoop.conf.Configuration()), dd).size
+    }
+    val filesBefore = postingFiles(ns)
+    // hand-built change-feed interval: doc 7 DELETED, doc 9 UPDATED
+    // (text replaced), doc 100 INSERTED — one fold
+    import spark.implicits._
+    def t(i: Long) = s"tok${i % 7} tok${i % 5} tok${i % 3} common"
+    val feed = Seq(
+      (7L, t(7), "delete"),
+      (9L, t(9), "update_preimage"),
+      (9L, "tok9new common", "update_postimage"),
+      (100L, t(100), "insert"))
+      .toDF("doc_id", "text", "_change_type")
+    graft.queries.Engine3.fts2FoldFeed(spark, ns, feed, srcVersion(ns) + 1)
+    // a delete's postings stay on disk — only tombstones were appended
+    // (the update/insert postimages add their own files; the ORIGINAL
+    // files are untouched, pinned by entry count only growing)
+    assert(postingFiles(ns) >= filesBefore,
+      "mutation fold must never rewrite existing postings files")
+    // rebuild the post-mutation corpus from scratch in a fresh namespace
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gcat.mr")
+    val ns2 = "gcat.mr"
+    graft.queries.Engine3.fts2Create(spark, ns2)
+    val after = corpus(0, 50)
+      .where(col("doc_id") =!= 7L)
+      .withColumn("text", when(col("doc_id") === 9L, lit("tok9new common"))
+        .otherwise(col("text")))
+      .unionByName(Seq((100L, t(100))).toDF("doc_id", "text"))
+    after.writeTo(s"$ns2.fts2_src").append()
+    graft.queries.Engine3.fts2Fold(spark, ns2,
+      spark.read.option("since-version", 0L).table(s"$ns2.fts2_src"),
+      srcVersion(ns2))
+    // serve equivalence: same BM25 scores, same constants, same phrase
+    // counts — the maintained index answers as if rebuilt
+    def serve(n: String): Seq[(Long, Long)] =
+      graft.queries.Engine3.fts2Bm25(spark, n,
+        Seq("common", "tok1", "tok9new")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    assert(serve(ns) == serve(ns2),
+      "maintained serve must equal a from-scratch rebuild")
+    def consts(n: String): (Long, Long) = {
+      val r = spark.table(s"$n.fts2_glob")
+        .agg(sum(col("nd")), sum(col("sl"))).first()
+      (r.getLong(0), r.getLong(1))
+    }
+    assert(consts(ns) == consts(ns2),
+      "negative constant rows must sum to the rebuilt corpus constants")
+    // deleted doc's tokens no longer surface anywhere
+    assert(serve(ns).forall(_._1 != 7L))
   }
 
   test("a failed maintenance transaction leaves the index serving the OLD state") {
