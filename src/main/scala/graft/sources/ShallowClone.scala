@@ -210,19 +210,26 @@ object ShallowClone {
           s"graft: no snapshot v$v for $srcName (expired by vacuum?)"))
       // CLONE OF A CLONE: inherited external entries live in UPSTREAM
       // tables' directories, protected only by the source's own pins —
-      // which die with the source. Re-pin every upstream dir at the
-      // version the source's tag names, under tags owned by THIS clone.
-      // Ordering is safe against a concurrent OPTIMIZE of the source:
-      // our direct pin (above) blocks DROP, and if the source reified
-      // between our props read and the resolveTag here, the tag is gone
-      // and the clone aborts loudly (retry against the reified head).
-      if (manifest.keysIterator.exists(TableStats.isExternal)) {
+      // which die with the source. Re-pin every upstream dir the
+      // inherited entries ACTUALLY REFERENCE at the version the source's
+      // tag names, under tags owned by THIS clone. Ordering is safe
+      // against a concurrent OPTIMIZE of the source: our bootstrap pin
+      // (above) blocks DROP, and if the source reified between our props
+      // read and the resolveTag here, the tag is gone and the clone
+      // aborts loudly (retry against the reified head).
+      val extEntries = manifest.keysIterator.filter(TableStats.isExternal).toSeq
+      if (extEntries.nonEmpty) {
         val upstream = decodePins(src.props)
-        require(upstream.nonEmpty,
-          s"graft: $srcName's snapshot v$v holds external references but " +
-            "the table records no pins (out-of-band clone props edit?); " +
-            s"run OPTIMIZE $srcName to materialize it, then clone")
-        upstream.foreach { case (dir, tag) =>
+        val uncovered = extEntries.filterNot(r => upstream.exists {
+          case (dir, _) => r.startsWith(TableStats.ExtPrefix + dir + "/") })
+        require(uncovered.isEmpty,
+          s"graft: $srcName's snapshot v$v holds external references with " +
+            s"no recorded pin (e.g. ${uncovered.headOption.getOrElse("")}; " +
+            "out-of-band clone props edit?); run OPTIMIZE " +
+            s"$srcName to materialize it, then clone")
+        upstream.filter { case (dir, _) =>
+          extEntries.exists(_.startsWith(TableStats.ExtPrefix + dir + "/"))
+        }.foreach { case (dir, tag) =>
           val dd = new Path(dir, "data")
           val ufs = dd.getFileSystem(new Configuration())
           val uv = Snapshots.resolveTag(ufs, dd, tag).getOrElse(
@@ -235,13 +242,28 @@ object ShallowClone {
           pins += ((dir, t2))
         }
       }
+      // a PURE-CLONE source — no own files in the cloned snapshot — is
+      // not referenced by the new clone at all (every entry points at
+      // upstream dirs, now pinned above): release the bootstrap pin, so
+      // a 12-deep chain of undiverged clones pins the ROOT 12 times and
+      // the intermediates ZERO times (O(depth) total bookkeeping, and
+      // dropping an intermediate never strands a descendant).
+      val hasRelative = manifest.keysIterator.exists(r => !TableStats.isExternal(r))
+      val keptPins =
+        if (hasRelative || manifest.isEmpty) pins.toSeq
+        else {
+          try Snapshots.dropTag(srcTableDir, pinTag)
+          catch { case _: Exception => () }
+          pins.toSeq.filterNot(_ == ((srcTableDir, pinTag)))
+        }
       val props = {
         import scala.jdk.CollectionConverters._
-        src.properties().asScala.toMap +
+        val base = src.properties().asScala.toMap +
           (SourceDirProp -> srcTableDir) +
           (SourceVersionProp -> v.toString) +
-          (PinTagProp -> pinTag) +
-          (PinsProp -> encodePins(pins.toSeq))
+          (PinsProp -> encodePins(keptPins))
+        if (keptPins.contains((srcTableDir, pinTag))) base + (PinTagProp -> pinTag)
+        else base - PinTagProp
       }
       val dest = dcat.createCloneShell(did, src.schema0, props, src.partitionSpecs)
       created = true

@@ -435,6 +435,59 @@ class ScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.sql("DROP TABLE graft.mf.clsrc")
   }
 
+  test("clone CHAIN at depth 12: each link metadata-only, pins O(depth), unwind clean") {
+    import graft.sources.{GraftScan, Snapshots}
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.mf")
+    spark.sql("CREATE TABLE graft.mf.chsrc (id BIGINT, v DOUBLE)")
+    spark.range(0L, 10000L).selectExpr("id", "CAST(id % 97 AS DOUBLE) AS v")
+      .repartition(100).writeTo("graft.mf.chsrc").append()
+    val wh = spark.conf.get("spark.sql.catalog.graft.warehouse")
+    def pinsOn(t: String): Int = {
+      val dd = new org.apache.hadoop.fs.Path(s"$wh/mf/$t/data")
+      Snapshots.tags(dd.getFileSystem(new org.apache.hadoop.conf.Configuration()), dd)
+        .keysIterator.count(_.startsWith("clone-"))
+    }
+    val depth = 12
+    val f0 = GraftScan.footerReads.get()
+    val t0 = System.nanoTime()
+    var prev = "chsrc"
+    for (i <- 1 to depth) {
+      spark.sql(s"CREATE TABLE graft.mf.ch$i SHALLOW CLONE graft.mf.$prev")
+      prev = s"ch$i"
+    }
+    val chainMs = (System.nanoTime() - t0) / 1e6
+    // every link is metadata-only — no footers, no data files anywhere
+    assert(GraftScan.footerReads.get() == f0, "chain cloning opened footers")
+    for (i <- 1 to depth) {
+      val dd = new org.apache.hadoop.fs.Path(s"$wh/mf/ch$i/data")
+      val cfs = dd.getFileSystem(new org.apache.hadoop.conf.Configuration())
+      val it = cfs.listFiles(dd, true)
+      while (it.hasNext)
+        assert(!it.next().getPath.getName.endsWith(".parquet"),
+          s"chain link ch$i copied data")
+    }
+    assert(chainMs < 30000, f"12-deep chain took $chainMs%.0f ms")
+    // transitive pins are REFERENCE-scoped: every chain link's manifest
+    // points only at the ROOT's files (the intermediates never diverged,
+    // so they own nothing), hence each clone pins the root and NOTHING
+    // pins the intermediates — O(depth) total bookkeeping, not O(depth²),
+    // and dropping an intermediate can never strand a descendant
+    assert(pinsOn("chsrc") == depth, s"root pins = ${pinsOn("chsrc")}")
+    for (i <- 1 until depth)
+      assert(pinsOn(s"ch$i") == 0, s"ch$i pins = ${pinsOn(s"ch$i")}")
+    // an undiverged intermediate is droppable mid-chain — descendants
+    // reference the root, not it
+    spark.sql("DROP TABLE graft.mf.ch3")
+    spark.sql("CREATE TABLE graft.mf.ch3 SHALLOW CLONE graft.mf.ch2") // re-link for unwind
+    // the tip answers correctly through 12 levels of ext references
+    assert(spark.sql(s"SELECT count(*), CAST(sum(id) AS BIGINT) FROM graft.mf.ch$depth")
+      .head().toSeq == Seq(10000L, 49995000L))
+    // unwind from the TIP: each drop releases its pins, freeing its parent
+    for (i <- depth to 1 by -1) spark.sql(s"DROP TABLE graft.mf.ch$i")
+    assert(pinsOn("chsrc") == 0, "unwound chain must leave zero pins")
+    spark.sql("DROP TABLE graft.mf.chsrc")
+  }
+
   test("commit metadata cost is O(files touched), not O(live files)") {
     import graft.sources.{Snapshots, TableStats}
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.mf")
