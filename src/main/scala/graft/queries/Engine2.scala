@@ -36,13 +36,21 @@ object Engine2 {
     df.select(col("vec_id"), posexplode(col("e")).as(Seq("pos", "v")))
   private def annRegroup(df: DataFrame): DataFrame = df.groupBy(col("vec_id"))
     .agg(expr("transform(array_sort(collect_list(struct(pos, v))), x -> x.v)").as("e"))
-  /** Latest committed version of the q154 source table. */
-  private def annSrcVersion(s: SparkSession): Long = {
+  /** LIVE registry head of a graft table under the gcat warehouse —
+    * liveVersion, not the raw listing tail, so a crashed commit's orphan
+    * snapshot can never become a watermark that skips the healed
+    * commit's rows. */
+  private def gcatTableVersion(s: SparkSession, db: String, table: String): Long = {
     val wh = s.conf.get("spark.sql.catalog.gcat.warehouse")
-    val srcDir = new org.apache.hadoop.fs.Path(s"$wh/corpus/ann_src/data")
-    val fs = srcDir.getFileSystem(new org.apache.hadoop.conf.Configuration())
-    graft.sources.Snapshots.list(fs, srcDir).last._1
+    val dd = new org.apache.hadoop.fs.Path(s"$wh/$db/$table/data")
+    val fs = dd.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    graft.sources.TableStats.liveVersion(fs, dd).getOrElse(
+      throw new IllegalStateException(s"graft: $db.$table has no registry head"))
   }
+
+  /** Latest committed version of the q154 source table. */
+  private def annSrcVersion(s: SparkSession): Long =
+    gcatTableVersion(s, "corpus", "ann_src")
   /** Encode `src` (vec_id, e) against broadcast quantizer tables — the ONE
     * routine both the initial build and every maintenance batch run;
     * cent = (cid, ce), book = (code, j, cv). */
@@ -977,6 +985,218 @@ object Engine2 {
           delta => Seq(s"$ns.eod_d" -> delta.select(
             col("doc_id"), col("lang"), (col("n_chars") * 2).as("chars2"))))
           .awaitTermination()
+        ()
+      })),
+
+    // ---- q172: ANN index maintenance across row MUTATIONS (cdc) ----------
+    // q154 keeps the ANN index current under APPENDS; production vector
+    // stores also DELETE (takedowns) and UPDATE (re-embeddings). Exactly
+    // q171's discipline, applied to dense retrieval: the fold reads the
+    // commit-recorded change feed for (watermark, head] and
+    //  - tombstones EVERY affected vec_id at rev = head (deleted vectors
+    //    get no re-encode, so the tombstone is their removal),
+    //  - re-encodes affected vectors WHOLE from the post-mutation source
+    //    pinned at head (never from the feed's postimage rows — a
+    //    value-level update may touch only some of a vector's 64 slots,
+    //    and a partial regroup would encode garbage), against the FROZEN
+    //    quantizer read back from the index tables, at the same rev —
+    //    which the survival rule (posting lives iff rev >= tombstone
+    //    rev) does not kill;
+    //  - advances postings + tombstones + watermark in ONE transaction.
+    // The affected-vector re-read is a row-key/bloom-prunable semi-join
+    // — O(mutated vectors), never the corpus; the partitioned postings
+    // are NEVER read or rewritten. Serve filters only the PROBED lists'
+    // postings against the broadcast tombstone set. The oracle replays
+    // assignment/ADC from the post-mutation corpus with the ORIGINAL
+    // frozen quantizer — served ranks must be as if rebuilt.
+    QueryDef(
+      "q172_ann_mutations",
+      (s, dir) => {
+        val ns2 = "gcat.ann3"
+        val coord = s.conf.get("spark.sql.catalog.gcat.warehouse")
+        val v1 = s.table(s"$ns2.ann3_meta")
+          .agg(max(col("indexed_version"))).first().getLong(0)
+        // takedown + re-embedding (abs is value-idempotent: a re-run
+        // changes nothing and the fold degenerates to a no-op interval)
+        s.sql(s"DELETE FROM $ns2.ann3_src WHERE vec_id % 7 = 3")
+        s.sql(s"UPDATE $ns2.ann3_src SET v = abs(v) WHERE vec_id % 7 = 5")
+        val v2 = gcatTableVersion(s, "ann3", "ann3_src")
+        val cat = s.sessionState.catalogManager.catalog("gcat")
+          .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
+        val tbl = cat.loadTable(org.apache.spark.sql.connector.catalog.Identifier
+            .of(Array("ann3"), "ann3_src")).asInstanceOf[graft.sources.GraftTable]
+        val feed = graft.sources.Snapshots.changes(s, tbl,
+          since = v1, end = Some(v2), hydrateMor = true)
+        val affected = feed.select(col("vec_id")).distinct()
+        val postVecs = annRegroup(
+          s.read.option("snapshot-version", v2).table(s"$ns2.ann3_src")
+            .join(broadcast(affected), Seq("vec_id"), "left_semi")
+            .select(col("vec_id"), col("pos"), col("v")))
+        val centT = s.table(s"$ns2.ann3_cent").groupBy(col("cid"))
+          .agg(expr("transform(array_sort(collect_list(struct(pos, v))), x -> x.v)").as("ce"))
+        val bookT = s.table(s"$ns2.ann3_book").groupBy(col("code"), col("j"))
+          .agg(expr("transform(array_sort(collect_list(struct(pos, v))), x -> x.v)").as("cv"))
+        val newPost = annEncode(postVecs, centT, bookT)
+          .withColumn("rev", lit(v2))
+        val tomb = affected.select(col("vec_id").as("vid"), lit(v2).as("rev"))
+        graft.sources.Transactions.run(s, coord) { txn =>
+          txn.write(s"$ns2.ann3_post", newPost)
+          txn.write(s"$ns2.ann3_del", tomb)
+          txn.write(s"$ns2.ann3_meta",
+            s.range(1).select(lit(v2).as("indexed_version")))
+        }
+
+        // serve q154-style over the MAINTAINED index: probed lists only,
+        // survival-filtered against the broadcast tombstone max-rev set
+        val t = Tables(s, dir)
+        val eAll = emb(t)
+        val q = eAll.filter(col("vec_id") < 3)
+          .select(col("vec_id").as("qid"), col("e").as("qe"))
+        val qn = q.select(col("qid"), expr(n2Expr.format("qe")).as("qn2"))
+        val cn2T = centT.select(col("cid"), expr(n2Expr.format("ce")).as("cn2"))
+        val wProbe = Window.partitionBy(col("qid")).orderBy(desc("cos"), col("cid"))
+        val probe = q.crossJoin(broadcast(centT))
+          .withColumn("dot", expr(dotExpr.format("qe", "ce")))
+          .join(qn, "qid")
+          .join(broadcast(cn2T), "cid")
+          .withColumn("cos", expr("dot / sqrt(qn2 * cn2)"))
+          .withColumn("rn", row_number().over(wProbe)).filter(col("rn") <= 2)
+          .select(col("qid"), col("cid").as("list_id"))
+        val probed = probe.select("list_id").distinct()
+          .collect().map(r => Long.box(r.getLong(0))).toSeq
+        val tombMax = s.table(s"$ns2.ann3_del")
+          .groupBy(col("vid")).agg(max(col("rev")).as("trev"))
+        def surviving(df: DataFrame): DataFrame =
+          df.join(broadcast(tombMax), Seq("vid"), "left")
+            .where(col("trev").isNull || col("rev") >= col("trev"))
+            .drop("trev")
+        val post = surviving(s.table(s"$ns2.ann3_post")
+          .where(col("list_id").isin(probed: _*)))
+        val qsubs = q
+          .select(col("qid"), explode(expr("sequence(0, 7)")).as("j"), col("qe"))
+          .select(col("qid"), col("j"), expr("slice(qe, j * 8 + 1, 8)").as("sv"))
+        val lut = qsubs.join(broadcast(bookT), "j")
+          .withColumn("d", expr(sqDistExpr))
+          .select(col("qid"), col("j"), col("code"), col("d"))
+        val nLive = surviving(s.table(s"$ns2.ann3_post"))
+          .agg(count(lit(1)).cast("long").as("n_live"))
+        val wRank = Window.partitionBy(col("qid")).orderBy(col("adist"), col("vid"))
+        post.join(probe, "list_id")
+          .filter(col("qid") =!= col("vid"))
+          .join(lut, Seq("qid", "j", "code"))
+          .groupBy(col("qid"), col("vid"))
+          .agg(sum(col("d")).as("adist"))
+          .withColumn("rank", row_number().over(wRank).cast("long"))
+          .filter(col("rank") <= 3)
+          .select(col("qid"), col("rank"), col("vid"), col("adist"))
+          .crossJoin(broadcast(nLive))
+          .orderBy(col("qid"), col("rank"))
+      },
+      // frozen quantizer (ORIGINAL first-16 vectors) over the
+      // POST-MUTATION corpus — maintained serve ≡ from-scratch rebuild
+      Some {
+        def fold(a: String, b: String): String =
+          s"""list_sum(list_transform(range(1, len($a.embedding) + 1),
+             |  i -> round(CAST($a.embedding[i] AS DOUBLE) * CAST($b.embedding[i] AS DOUBLE) * 1e9)))""".stripMargin
+        s"""WITH corp AS (
+          SELECT vec_id,
+                 CASE WHEN vec_id % 7 = 5
+                      THEN list_transform(embedding, x -> abs(x))
+                      ELSE embedding END AS embedding
+          FROM embeddings WHERE vec_id % 7 <> 3),
+        cents AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 16),
+        norms AS (SELECT vec_id,
+                   list_sum(list_transform(embedding,
+                     x -> round(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) * 1e9))) AS n2
+                 FROM corp),
+        cnorms AS (SELECT vec_id,
+                   list_sum(list_transform(embedding,
+                     x -> round(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) * 1e9))) AS n2
+                 FROM cents),
+        ascore AS (
+          SELECT a.vec_id AS qid, c.vec_id AS vid,
+            ${fold("a", "c")} / sqrt(nq.n2 * nv.n2) AS cos
+          FROM corp a JOIN cents c ON TRUE
+          JOIN norms nq ON nq.vec_id = a.vec_id JOIN cnorms nv ON nv.vec_id = c.vec_id),
+        ranked AS (
+          SELECT qid, vid, cos,
+            ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vid) AS rn
+          FROM ascore),
+        assign AS (SELECT qid AS member, vid AS cid FROM ranked WHERE rn = 1),
+        probe AS (SELECT qid, vid AS cid FROM ranked WHERE rn <= 2 AND qid < 3),
+        cand AS (
+          SELECT DISTINCT p.qid, a.member AS vid
+          FROM probe p JOIN assign a ON a.cid = p.cid WHERE a.member <> p.qid),
+        subs AS (SELECT vec_id, j FROM corp, range(0, 8) r(j)),
+        dists AS (
+          SELECT s.vec_id, s.j, c.vec_id AS cw,
+            list_sum(list_transform(range(0, 8),
+              i -> round((CAST(a.embedding[s.j * 8 + i + 1] AS DOUBLE)
+                          - CAST(c.embedding[s.j * 8 + i + 1] AS DOUBLE))
+                         * (CAST(a.embedding[s.j * 8 + i + 1] AS DOUBLE)
+                            - CAST(c.embedding[s.j * 8 + i + 1] AS DOUBLE)) * 1e9))) AS dist
+          FROM subs s JOIN corp a ON a.vec_id = s.vec_id
+          JOIN cents c ON TRUE),
+        codes AS (
+          SELECT vec_id AS vid, j, cw AS code FROM (
+            SELECT vec_id, j, cw,
+              ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY dist, cw) AS rn
+            FROM dists) WHERE rn = 1),
+        lut AS (SELECT vec_id AS qid, j, cw AS code, dist AS d
+                FROM dists WHERE vec_id < 3),
+        adc AS (
+          SELECT cand.qid, cand.vid, SUM(l.d) AS adist
+          FROM cand JOIN codes c ON c.vid = cand.vid
+          JOIN lut l ON l.qid = cand.qid AND l.j = c.j AND l.code = c.code
+          GROUP BY cand.qid, cand.vid)
+        SELECT qid, rank, vid, adist,
+          (SELECT CAST(8 * COUNT(*) AS BIGINT) FROM corp) AS n_live
+        FROM (
+          SELECT qid, vid, adist,
+            ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adist, vid) AS rank
+          FROM adc)
+        WHERE rank <= 3 ORDER BY qid, rank"""
+      },
+      // fixture: its OWN namespace, row-keyed flattened source (row-level
+      // DELETE/UPDATE need the key), the WHOLE corpus indexed at rev v1
+      // against the frozen first-16 quantizer
+      setup = Some((s, dir) => {
+        Engine.ensureCatalog(s, dir)
+        val ns2 = "gcat.ann3"
+        s.sql("CREATE NAMESPACE IF NOT EXISTS gcat.ann3")
+        for (tb <- Seq("ann3_src", "ann3_cent", "ann3_book", "ann3_post",
+            "ann3_del", "ann3_meta"))
+          s.sql(s"DROP TABLE IF EXISTS $ns2.$tb")
+        s.sql(s"CREATE TABLE $ns2.ann3_src (row_key STRING, vec_id BIGINT, pos INT, v DOUBLE)")
+        s.sql(s"CREATE TABLE $ns2.ann3_cent (cid BIGINT, pos INT, v DOUBLE)")
+        s.sql(s"CREATE TABLE $ns2.ann3_book (j INT, code BIGINT, pos INT, v DOUBLE)")
+        s.sql(
+          s"""CREATE TABLE $ns2.ann3_post (vid BIGINT, j INT, code BIGINT,
+             |list_id BIGINT, rev BIGINT) PARTITIONED BY (list_id)""".stripMargin)
+        s.sql(s"CREATE TABLE $ns2.ann3_del (vid BIGINT, rev BIGINT)")
+        s.sql(s"CREATE TABLE $ns2.ann3_meta (indexed_version BIGINT)")
+        val t = Tables(s, dir)
+        annFlat(emb(t))
+          .select(concat_ws(":", col("vec_id"), col("pos")).as("row_key"),
+            col("vec_id"), col("pos"), col("v"))
+          .writeTo(s"$ns2.ann3_src").append()
+        val v1 = gcatTableVersion(s, "ann3", "ann3_src")
+        val seed = annRegroup(s.table(s"$ns2.ann3_src")
+          .select(col("vec_id"), col("pos"), col("v"))).persist()
+        val cent0 = seed.filter(col("vec_id") < 16)
+          .select(col("vec_id").as("cid"), col("e").as("ce"))
+        val book0 = seed.filter(col("vec_id") < 16)
+          .select(col("vec_id").as("code"),
+            explode(expr("sequence(0, 7)")).as("j"), col("e"))
+          .select(col("code"), col("j"), expr("slice(e, j * 8 + 1, 8)").as("cv"))
+        cent0.select(col("cid"), posexplode(col("ce")).as(Seq("pos", "v")))
+          .writeTo(s"$ns2.ann3_cent").append()
+        book0.select(col("j"), col("code"), posexplode(col("cv")).as(Seq("pos", "v")))
+          .writeTo(s"$ns2.ann3_book").append()
+        annEncode(seed, cent0, book0).withColumn("rev", lit(v1))
+          .writeTo(s"$ns2.ann3_post").append()
+        seed.unpersist(blocking = false)
+        s.sql(s"INSERT INTO $ns2.ann3_meta VALUES ($v1)")
         ()
       }))
   )
