@@ -155,74 +155,80 @@ object Engine3 {
 
   /** Fold ONE change-feed interval (DELETEs, UPDATEs, INSERTs) into the
     * index — the MUTATION side of incremental maintenance (q171), the
-    * same commit-recorded-preimage discipline the MV engine uses
-    * (q155/q156), with MERGE-ON-READ semantics applied to the index
-    * itself:
+    * same commit-recorded discipline the MV engine uses (q155/q156),
+    * with MERGE-ON-READ semantics applied to the index itself. The feed
+    * contributes ONLY the affected doc_id set; everything indexed comes
+    * from the ENDPOINT STATES of the interval, because one interval can
+    * hold several changes to one doc (insert-then-delete, double
+    * update) and per-commit feed rows would double-index intermediate
+    * revisions or resurrect a finally-deleted doc:
     *
-    *  - preimages (deletes + update_preimages) become TOMBSTONE rows
-    *    (doc_id, rev): a tombstone at rev r kills every posting of that
-    *    doc with rev < r at serve time — the existing token-clustered
-    *    postings are NEVER read or rewritten, so a delete batch costs
-    *    O(batch), not O(index);
-    *  - their (count, Σdl) leave the corpus constants as a NEGATIVE
-    *    (nd, sl) row in the additive log — dl recomputed from the
-    *    preimage text the feed carries, no doc-keyed side table needed;
-    *  - postimages (+ inserts) fold like any append batch at rev =
-    *    newVersion, which the SAME-rev tombstone does not kill
-    *    (survival rule is rev >= tombstone rev) — an update is
-    *    tombstone-old + index-new in one interval.
+    *  - every affected doc gets a TOMBSTONE row (doc_id, rev = v2): a
+    *    tombstone at rev r kills every posting with rev < r at serve
+    *    time — the existing token-clustered postings are NEVER read or
+    *    rewritten, so a mutation batch costs O(batch), not O(index);
+    *  - affected docs are re-indexed WHOLE from the source pinned AT v2
+    *    (a doc deleted by the interval's end is simply absent — the
+    *    tombstone is its removal) at rev = v2, which the same-rev
+    *    tombstone does not kill (survival rule is rev >= tombstone rev);
+    *  - the constants delta is (contribution at v2) − (contribution at
+    *    v1) of the affected docs — two pinned semi-join reads, exact for
+    *    any number of changes inside the interval.
     *
     * All five writes land in ONE transaction; serve-time survival is
-    * [[fts2LivePostings]]. Tombstones accumulate O(deleted docs) and are
+    * [[fts2Surviving]]. Tombstones accumulate O(deleted docs) and are
     * the index's compaction debt — fold them by rebuilding (the seed
     * path) when their fraction grows, exactly like MOR delete files. */
-  private[graft] def fts2FoldFeed(s: SparkSession, ns: String, feed: DataFrame,
-      newVersion: Long): Unit = {
+  private[graft] def fts2FoldFeed(s: SparkSession, ns: String, srcTable: String,
+      feed: DataFrame, v1: Long, v2: Long): Unit = {
     val coord = s.conf.get("spark.sql.catalog.gcat.warehouse")
-    val pre = feed
-      .where(col("_change_type").isin("delete", "update_preimage"))
-      .select(col("doc_id"), col("text"))
-    val post = feed
-      .where(col("_change_type").isin("insert", "update_postimage"))
-      .select(col("doc_id"), col("text"))
-    val tomb = pre.select(col("doc_id")).distinct()
-      .select(col("doc_id"), lit(newVersion).as("rev"))
-    val negGlob = fts2Tokenize(pre)
+    val affected = feed.select(col("doc_id")).distinct()
+    def state(v: Long): DataFrame =
+      s.read.option("snapshot-version", v).table(srcTable)
+        .join(broadcast(affected), Seq("doc_id"), "left_semi")
+        .select(col("doc_id"), col("text"))
+    val negGlob = fts2Tokenize(state(v1))
       .agg((-count(lit(1))).cast("long").as("nd"),
         (-sum(col("dl"))).cast("long").as("sl"))
       .where(col("nd") =!= 0L)
-    val (postRows, posRows, posGlob) = fts2IndexRows(post, newVersion)
+    val (postRows, posRows, posGlob0) = fts2IndexRows(state(v2), v2)
+    val posGlob = posGlob0.where(col("nd") =!= 0L)
+    val tomb = affected.select(col("doc_id"), lit(v2).as("rev"))
     graft.sources.Transactions.run(s, coord) { txn =>
       txn.write(s"$ns.fts2_post", postRows)
       txn.write(s"$ns.fts2_pos", posRows)
       txn.write(s"$ns.fts2_del", tomb)
       txn.write(s"$ns.fts2_glob", posGlob.unionByName(negGlob))
       txn.write(s"$ns.fts2_meta",
-        s.range(1).select(lit(newVersion).as("indexed_version")))
+        s.range(1).select(lit(v2).as("indexed_version")))
     }
   }
+
+  /** One max-rev row per tombstoned doc — computed ONCE per serve and
+    * broadcast into every survival filter (the tombstone set is the
+    * index's bounded compaction debt; fold it into a rebuild when
+    * large). */
+  private def fts2TombMax(s: SparkSession, ns: String): DataFrame =
+    s.table(s"$ns.fts2_del")
+      .groupBy(col("doc_id")).agg(max(col("rev")).as("trev"))
 
   /** The SURVIVING postings under tombstones, applied AFTER `filtered`
     * has cut the postings down (tok IN-list, single-token) — so the join
     * is O(retrieved postings + tombstones), never a postings-table
-    * shuffle. The tombstone side aggregates to one max-rev row per
-    * deleted doc and broadcasts (tombstones are the index's bounded
-    * compaction debt; fold them into a rebuild when large). */
-  private def fts2Surviving(s: SparkSession, ns: String,
-      filtered: DataFrame): DataFrame = {
-    val tomb = s.table(s"$ns.fts2_del")
-      .groupBy(col("doc_id")).agg(max(col("rev")).as("trev"))
-    filtered.join(broadcast(tomb), Seq("doc_id"), "left")
+    * shuffle. */
+  private def fts2Surviving(filtered: DataFrame, tombMax: DataFrame): DataFrame =
+    filtered.join(broadcast(tombMax), Seq("doc_id"), "left")
       .where(col("trev").isNull || col("rev") >= col("trev"))
       .drop("trev")
-  }
 
   /** Per-(doc, term) BM25 from the MAINTAINED index: survival-filtered
     * postings, corpus constants summed over the additive (± rows) log.
     * The serve shape q170 and q171 share. */
-  private[graft] def fts2Bm25(s: SparkSession, ns: String, terms: Seq[String]): DataFrame = {
-    val post = fts2Surviving(s, ns,
-      s.table(s"$ns.fts2_post").where(col("tok").isin(terms: _*)))
+  private[graft] def fts2Bm25(s: SparkSession, ns: String, terms: Seq[String],
+      tombMax0: Option[DataFrame] = None): DataFrame = {
+    val tombMax = tombMax0.getOrElse(fts2TombMax(s, ns))
+    val post = fts2Surviving(
+      s.table(s"$ns.fts2_post").where(col("tok").isin(terms: _*)), tombMax)
     val dfx = post.groupBy(col("tok"))
       .agg(count(lit(1)).cast("double").as("df"))
     val glob = s.table(s"$ns.fts2_glob")
@@ -235,23 +241,30 @@ object Engine3 {
       .agg(sum(col("part")).cast("long").as("score_micro"))
   }
 
-  /** Corpus-wide phrase-hit count from the maintained positional index. */
-  private def fts2PhraseCount(s: SparkSession, ns: String,
+  /** The full maintained-index serve q170 and q171 share: BM25 top-20
+    * for `terms`, corpus constants, and a `first second` phrase count —
+    * all survival-filtered against ONE broadcast tombstone aggregate
+    * and ONE constants fold. */
+  private def fts2ServeAll(s: SparkSession, ns: String, terms: Seq[String],
       first: String, second: String): DataFrame = {
+    val tombMax = fts2TombMax(s, ns)
+    val top = fts2Bm25(s, ns, terms, Some(tombMax))
+      .orderBy(desc("score_micro"), col("doc_id"))
+      .limit(20)
     val posT = s.table(s"$ns.fts2_pos")
-    val a = fts2Surviving(s, ns, posT.where(col("tok") === first))
+    val a = fts2Surviving(posT.where(col("tok") === first), tombMax)
       .select(col("doc_id"), col("pos"))
-    val b = fts2Surviving(s, ns, posT.where(col("tok") === second))
+    val b = fts2Surviving(posT.where(col("tok") === second), tombMax)
       .select(col("doc_id"), (col("pos") - 1).as("pos"))
-    a.join(b, Seq("doc_id", "pos"))
+    val nPhrase = a.join(b, Seq("doc_id", "pos"))
       .agg(count(lit(1)).cast("long").as("n_phrase"))
-  }
-
-  /** Summed corpus constants from the additive log, as BIGINT. */
-  private def fts2Consts(s: SparkSession, ns: String): DataFrame =
-    s.table(s"$ns.fts2_glob")
+    val consts = s.table(s"$ns.fts2_glob")
       .agg(sum(col("nd")).cast("long").as("nd"),
         sum(col("sl")).cast("long").as("sl"))
+    top.crossJoin(broadcast(consts))
+      .crossJoin(broadcast(nPhrase))
+      .orderBy(desc("score_micro"), col("doc_id"))
+  }
 
   /** (Re)create the q170/q171 index tables empty. `withRowKey` gives the
     * ingest table a row_key column (required for the row-level DELETE /
@@ -873,13 +886,8 @@ object Engine3 {
         // serve from the EXTENDED index: q161's BM25 shape with the
         // corpus constants summed over the additive constants log, plus
         // q162's phrase join — through the shared maintained-serve
-        // helpers (the tombstone filter is a no-op here: nothing deleted)
-        val top = fts2Bm25(s, ns, Seq("sort", "merge", "stream"))
-          .orderBy(desc("score_micro"), col("doc_id"))
-          .limit(20)
-        top.crossJoin(broadcast(fts2Consts(s, ns)))
-          .crossJoin(broadcast(fts2PhraseCount(s, ns, "hash", "join")))
-          .orderBy(desc("score_micro"), col("doc_id"))
+        // helper (the tombstone filter is a no-op here: nothing deleted)
+        fts2ServeAll(s, ns, Seq("sort", "merge", "stream"), "hash", "join")
       },
       // extend ≡ rebuild: the oracle replays the WHOLE index (seed +
       // delta = the full corpus) from the raw documents
@@ -962,17 +970,12 @@ object Engine3 {
         val tbl = cat.loadTable(org.apache.spark.sql.connector.catalog.Identifier
             .of(Array("fts3"), "fts2_src")).asInstanceOf[graft.sources.GraftTable]
         val feed = graft.sources.Snapshots.changes(s, tbl,
-          since = v1, end = Some(v2), hydrateMor = true)
-        fts2FoldFeed(s, ns2, feed, v2)
+          since = v1, end = Some(v2))
+        fts2FoldFeed(s, ns2, s"$ns2.fts2_src", feed, v1, v2)
         // serve from the maintained index: 'recrawled' only exists in
         // updated docs — scoring it proves updates re-indexed; the
         // constants prove the tombstoned docs left nd/sl
-        val top = fts2Bm25(s, ns2, Seq("scan", "merge", "recrawled"))
-          .orderBy(desc("score_micro"), col("doc_id"))
-          .limit(20)
-        top.crossJoin(broadcast(fts2Consts(s, ns2)))
-          .crossJoin(broadcast(fts2PhraseCount(s, ns2, "hash", "join")))
-          .orderBy(desc("score_micro"), col("doc_id"))
+        fts2ServeAll(s, ns2, Seq("scan", "merge", "recrawled"), "hash", "join")
       },
       // the oracle rebuilds the index from the POST-MUTATION corpus
       Some("""WITH corp AS (

@@ -252,9 +252,15 @@ object ShallowClone {
       val keptPins =
         if (hasRelative || manifest.isEmpty) pins.toSeq
         else {
-          try Snapshots.dropTag(srcTableDir, pinTag)
-          catch { case _: Exception => () }
-          pins.toSeq.filterNot(_ == ((srcTableDir, pinTag)))
+          // if the release fails (transient FS error), KEEP the pin in
+          // the recorded list: the clone's DROP retries the release
+          // through decodePins — dropping it from the record here would
+          // orphan a live tag no release path can ever find again
+          val released =
+            try { Snapshots.dropTag(srcTableDir, pinTag); true }
+            catch { case _: Exception => false }
+          if (released) pins.toSeq.filterNot(_ == ((srcTableDir, pinTag)))
+          else pins.toSeq
         }
       val props = {
         import scala.jdk.CollectionConverters._

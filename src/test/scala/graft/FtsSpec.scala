@@ -213,33 +213,48 @@ class FtsSpec extends AnyFunSuite with BeforeAndAfterAll {
     setupGcat()
     spark.sql("CREATE NAMESPACE IF NOT EXISTS gcat.m")
     val ns = "gcat.m"
-    graft.queries.Engine3.fts2Create(spark, ns)
-    corpus(0, 50).writeTo(s"$ns.fts2_src").append()
+    graft.queries.Engine3.fts2Create(spark, ns, withRowKey = true)
+    import spark.implicits._
+    def t(i: Long) = s"tok${i % 7} tok${i % 5} tok${i % 3} common"
+    def withKey(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("doc_id").cast("string").as("row_key"),
+        col("doc_id"), col("text"))
+    withKey(corpus(0, 50)).writeTo(s"$ns.fts2_src").append()
+    val v1 = srcVersion(ns)
     graft.queries.Engine3.fts2Fold(spark, ns,
-      spark.read.option("since-version", 0L).table(s"$ns.fts2_src"),
-      srcVersion(ns))
-    def postingFiles(n: String): Int = {
+      spark.read.option("since-version", 0L).table(s"$ns.fts2_src")
+        .select(col("doc_id"), col("text")), v1)
+    def postingKeys(n: String): Set[String] = {
       val dd = new org.apache.hadoop.fs.Path(
         s"$wh/${n.split('.')(1)}/fts2_post/data")
       graft.sources.TableStats.read(
-        dd.getFileSystem(new org.apache.hadoop.conf.Configuration()), dd).size
+        dd.getFileSystem(new org.apache.hadoop.conf.Configuration()), dd).keySet
     }
-    val filesBefore = postingFiles(ns)
-    // hand-built change-feed interval: doc 7 DELETED, doc 9 UPDATED
-    // (text replaced), doc 100 INSERTED — one fold
-    import spark.implicits._
-    def t(i: Long) = s"tok${i % 7} tok${i % 5} tok${i % 3} common"
-    val feed = Seq(
-      (7L, t(7), "delete"),
-      (9L, t(9), "update_preimage"),
-      (9L, "tok9new common", "update_postimage"),
-      (100L, t(100), "insert"))
-      .toDF("doc_id", "text", "_change_type")
-    graft.queries.Engine3.fts2FoldFeed(spark, ns, feed, srcVersion(ns) + 1)
-    // a delete's postings stay on disk — only tombstones were appended
-    // (the update/insert postimages add their own files; the ORIGINAL
-    // files are untouched, pinned by entry count only growing)
-    assert(postingFiles(ns) >= filesBefore,
+    val keysBefore = postingKeys(ns)
+    // one maintenance INTERVAL holding several changes, including the
+    // adversarial shapes: doc 7 deleted; doc 9 updated; doc 100
+    // inserted; doc 200 inserted THEN deleted (must not resurrect);
+    // doc 11 updated TWICE (only the final text may be indexed)
+    spark.sql(s"DELETE FROM $ns.fts2_src WHERE doc_id = 7")
+    spark.sql(s"UPDATE $ns.fts2_src SET text = 'tok9new common' WHERE doc_id = 9")
+    withKey(Seq((100L, t(100))).toDF("doc_id", "text"))
+      .writeTo(s"$ns.fts2_src").append()
+    withKey(Seq((200L, "ghost common")).toDF("doc_id", "text"))
+      .writeTo(s"$ns.fts2_src").append()
+    spark.sql(s"DELETE FROM $ns.fts2_src WHERE doc_id = 200")
+    spark.sql(s"UPDATE $ns.fts2_src SET text = 'intermediate' WHERE doc_id = 11")
+    spark.sql(s"UPDATE $ns.fts2_src SET text = 'tok11final common' WHERE doc_id = 11")
+    val v2 = srcVersion(ns)
+    val cat = spark.sessionState.catalogManager.catalog("gcat")
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
+    val tbl = cat.loadTable(org.apache.spark.sql.connector.catalog.Identifier
+        .of(Array("m"), "fts2_src")).asInstanceOf[graft.sources.GraftTable]
+    val feed = graft.sources.Snapshots.changes(spark, tbl, since = v1, end = Some(v2))
+    graft.queries.Engine3.fts2FoldFeed(spark, ns, s"$ns.fts2_src", feed, v1, v2)
+    // the original postings files are UNTOUCHED — every pre-fold registry
+    // entry survives verbatim (appends only; a COW rewrite would replace
+    // keys and fail this subset check)
+    assert(keysBefore.subsetOf(postingKeys(ns)),
       "mutation fold must never rewrite existing postings files")
     // rebuild the post-mutation corpus from scratch in a fresh namespace
     spark.sql("CREATE NAMESPACE IF NOT EXISTS gcat.mr")
@@ -248,6 +263,7 @@ class FtsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val after = corpus(0, 50)
       .where(col("doc_id") =!= 7L)
       .withColumn("text", when(col("doc_id") === 9L, lit("tok9new common"))
+        .when(col("doc_id") === 11L, lit("tok11final common"))
         .otherwise(col("text")))
       .unionByName(Seq((100L, t(100))).toDF("doc_id", "text"))
     after.writeTo(s"$ns2.fts2_src").append()
@@ -256,9 +272,14 @@ class FtsSpec extends AnyFunSuite with BeforeAndAfterAll {
       srcVersion(ns2))
     // serve equivalence: same BM25 scores, same constants, same phrase
     // counts — the maintained index answers as if rebuilt
+    // 'intermediate' (doc 11's superseded text) and 'ghost' (doc 200's
+    // insert-then-delete text) score in NEITHER index — a fold that
+    // indexed per-commit feed rows instead of endpoint states would
+    // resurrect them here and break the equality
     def serve(n: String): Seq[(Long, Long)] =
       graft.queries.Engine3.fts2Bm25(spark, n,
-        Seq("common", "tok1", "tok9new")).collect()
+        Seq("common", "tok1", "tok9new", "tok11final", "intermediate", "ghost"))
+        .collect()
         .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
     assert(serve(ns) == serve(ns2),
       "maintained serve must equal a from-scratch rebuild")
