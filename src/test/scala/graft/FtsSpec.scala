@@ -294,6 +294,82 @@ class FtsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(serve(ns).forall(_._1 != 7L))
   }
 
+  test("maintenance fuzz: random mutation intervals always equal a rebuild") {
+    // four maintenance rounds of randomized (seeded) delete/update/insert
+    // batches — including same-doc collisions within one interval — each
+    // folded incrementally, each compared against a from-scratch rebuild
+    // of the current corpus state on scores AND constants
+    setupGcat()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gcat.fz")
+    val ns = "gcat.fz"
+    graft.queries.Engine3.fts2Create(spark, ns, withRowKey = true)
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    // driver-side mirror of the corpus (tiny by design)
+    val state = scala.collection.mutable.Map[Long, String]()
+    def txt(i: Long, salt: Int) = s"tok${(i + salt) % 7} tok${(i + salt) % 5} common"
+    (0L until 40L).foreach(i => state(i) = txt(i, 0))
+    state.toSeq.toDF("doc_id", "text")
+      .select(col("doc_id").cast("string").as("row_key"), col("doc_id"), col("text"))
+      .writeTo(s"$ns.fts2_src").append()
+    var wm = srcVersion(ns)
+    graft.queries.Engine3.fts2Fold(spark, ns,
+      spark.read.option("since-version", 0L).table(s"$ns.fts2_src")
+        .select(col("doc_id"), col("text")), wm)
+    var nextId = 1000L
+    val cat = spark.sessionState.catalogManager.catalog("gcat")
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
+    val tbl = cat.loadTable(org.apache.spark.sql.connector.catalog.Identifier
+        .of(Array("fz"), "fts2_src")).asInstanceOf[graft.sources.GraftTable]
+    def serveOf(n: String): Seq[(Long, Long)] =
+      graft.queries.Engine3.fts2Bm25(spark, n,
+        Seq("common", "tok1", "tok3", "fresh")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    def constsOf(n: String): (Long, Long) = {
+      val r = spark.table(s"$n.fts2_glob")
+        .agg(sum(col("nd")), sum(col("sl"))).first()
+      (r.getLong(0), r.getLong(1))
+    }
+    for (round <- 1 to 4) {
+      // 3-5 random ops; ids may repeat across ops in one interval
+      (0 until (3 + rnd.nextInt(3))).foreach { _ =>
+        rnd.nextInt(3) match {
+          case 0 if state.nonEmpty => // delete a random live doc
+            val id = state.keys.toSeq.sorted.apply(rnd.nextInt(state.size))
+            spark.sql(s"DELETE FROM $ns.fts2_src WHERE doc_id = $id")
+            state -= id
+          case 1 if state.nonEmpty => // re-crawl a random live doc
+            val id = state.keys.toSeq.sorted.apply(rnd.nextInt(state.size))
+            val t = s"fresh ${txt(id, round)}"
+            spark.sql(s"UPDATE $ns.fts2_src SET text = '$t' WHERE doc_id = $id")
+            state(id) = t
+          case _ => // insert a new doc
+            val id = nextId; nextId += 1
+            val t = txt(id, round)
+            Seq((id, t)).toDF("doc_id", "text")
+              .select(col("doc_id").cast("string").as("row_key"),
+                col("doc_id"), col("text"))
+              .writeTo(s"$ns.fts2_src").append()
+            state(id) = t
+        }
+      }
+      val v2 = srcVersion(ns)
+      val feed = graft.sources.Snapshots.changes(spark, tbl, since = wm, end = Some(v2))
+      graft.queries.Engine3.fts2FoldFeed(spark, ns, s"$ns.fts2_src", feed, wm, v2)
+      wm = v2
+      // rebuild the CURRENT state from scratch and compare
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS gcat.fzr")
+      graft.queries.Engine3.fts2Create(spark, "gcat.fzr")
+      state.toSeq.toDF("doc_id", "text").writeTo("gcat.fzr.fts2_src").append()
+      graft.queries.Engine3.fts2Fold(spark, "gcat.fzr",
+        spark.table("gcat.fzr.fts2_src"), srcVersion("gcat.fzr"))
+      assert(serveOf(ns) == serveOf("gcat.fzr"),
+        s"round $round: maintained serve diverged from rebuild")
+      assert(constsOf(ns) == constsOf("gcat.fzr"),
+        s"round $round: additive constants diverged from rebuild")
+    }
+  }
+
   test("a failed maintenance transaction leaves the index serving the OLD state") {
     setupGcat()
     spark.sql("CREATE NAMESPACE IF NOT EXISTS gcat.c")
