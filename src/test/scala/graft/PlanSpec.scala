@@ -7,6 +7,7 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.functions.{broadcast, col, max}
 import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
 
 /** Plan-shape assertions for the scale-critical properties: filters reach
@@ -124,6 +125,40 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(pruned.rdd.getNumPartitions < all.rdd.getNumPartitions,
       s"pruned=${pruned.rdd.getNumPartitions} all=${all.rdd.getNumPartitions}")
     assert(pruned.count() == 200)
+  }
+
+  test("q172 serving shape: tombstone survival composes with list pruning, broadcast join") {
+    // the maintained-index serve (q171/q172): postings carry a rev, a
+    // tombstone table carries (vid, rev), survival = rev >= max tombstone
+    // rev. The survival JOIN must not cost the pruning — the scan still
+    // plans only the probed lists' partitions — and the tombstone side
+    // must plan as a broadcast, never a shuffle of the postings.
+    spark.sql(
+      """CREATE TABLE gpart.t.mpost (vid BIGINT, code BIGINT, list_id BIGINT,
+        |rev BIGINT) PARTITIONED BY (list_id)""".stripMargin)
+    spark.sql(
+      "INSERT INTO gpart.t.mpost SELECT id, id % 97, id % 8, 1 FROM range(800)")
+    spark.sql("CREATE TABLE gpart.t.mdel (vid BIGINT, rev BIGINT)")
+    spark.sql("INSERT INTO gpart.t.mdel VALUES (5, 2), (12, 2)")
+    val tombMax = spark.table("gpart.t.mdel")
+      .groupBy(col("vid")).agg(max(col("rev")).as("trev"))
+    val prunedScan = spark.table("gpart.t.mpost").where(col("list_id").isin(1, 4))
+    val all = spark.table("gpart.t.mpost")
+    assert(prunedScan.rdd.getNumPartitions < all.rdd.getNumPartitions,
+      "probed-list IN must still prune the partitioned postings")
+    val surviving = prunedScan
+      .join(broadcast(tombMax), Seq("vid"), "left")
+      .where(col("trev").isNull || col("rev") >= col("trev"))
+      .drop("trev")
+    assert(surviving.queryExecution.executedPlan.toString
+      .contains("BroadcastHashJoin"),
+      "tombstone filter must broadcast, not shuffle the postings")
+    // vid 12 lives in probed list 4 at rev 1 < its tombstone rev 2 → dead;
+    // vid 5's tombstone is irrelevant (list 5 unprobed)
+    assert(surviving.count() == 199)
+    // a same-rev re-add survives its own tombstone (the update rule)
+    spark.sql("INSERT INTO gpart.t.mpost VALUES (12, 3, 4, 2)")
+    assert(surviving.count() == 200)
   }
 
   test("graft source: runtime filters (DPP) re-prune partitions after planning") {
