@@ -64,12 +64,13 @@ object Engine3 {
       .writeTo(s"$ns.fts_glob").append()
     // range-clustered postings: files carry disjoint [min, max] token
     // ranges in the registry, the precondition for IN-list file pruning
-    // at serve time (8 range shards here; at 100 TB the shard count
-    // scales with the cluster, the clustering shape is the same)
+    // at serve time; the shard count derives from the corpus' planned
+    // bytes ([[fts2ShardCount]]), so a 100 TB build fans out while a
+    // test corpus lands in one file — the clustering shape is the same
     docs.select(col("doc_id"), col("dl"), explode(col("sp")).as("tok"))
       .groupBy(col("tok"), col("doc_id"), col("dl"))
       .agg(count(lit(1)).cast("long").as("tf"))
-      .repartitionByRange(8, col("tok"))
+      .repartitionByRange(fts2ShardCount(docs), col("tok"))
       .sortWithinPartitions(col("tok"), col("doc_id"))
       .select(col("tok"), col("doc_id"), col("tf"), col("dl"))
       .writeTo(s"$ns.fts_post").append()
@@ -97,6 +98,51 @@ object Engine3 {
       throw new IllegalStateException(s"graft: $ns.fts2_src has no registry head"))
   }
 
+  /** LIVE (rows, bytes) of a graft table's data entries, straight from
+    * the stats registry — one metadata read, no data I/O. What sizes the
+    * tombstone survival join ([[fts2TombMaxOpt]]) and decides whether a
+    * compaction has anything to fold ([[fts2Compact]]). */
+  private[graft] def registryStats(s: SparkSession, ns: String,
+      table: String): (Long, Long) = {
+    val Array(cat, db) = ns.split('.')
+    val wh = s.conf.get(s"spark.sql.catalog.$cat.warehouse")
+    val dd = new org.apache.hadoop.fs.Path(s"$wh/$db/$table/data")
+    val fs = dd.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val m = graft.sources.TableStats.readIfExists(fs, dd)
+      .getOrElse(Map.empty[String, graft.sources.TableStats.Entry])
+    val data = m.view.filterKeys(!graft.sources.GraftDeletes.isDeleteRel(_))
+    (data.valuesIterator.map(_.rows).sum,
+      data.valuesIterator.map(e => math.max(e.bytes, 0L)).sum)
+  }
+
+  /** Token-range shard count for one index write, derived from the
+    * batch's PLANNED input size (the optimizer's sizeInBytes — file
+    * bytes for table/parquet reads, row estimates for in-memory data;
+    * no job runs). One shard per ~32 MB of input, clamped to [1, 4096]:
+    * a 100 TB seed build spreads its tokenize+group shuffle over
+    * thousands of reducers while a delta fold's few megabytes land in
+    * ONE token-clustered file — the same routine, scale-proportional at
+    * both ends (the round-9 verdict's seed-funnel fix; a hardcoded
+    * count was either a seed bottleneck or delta file spam).
+    * `graft.index.targetShardBytes` overrides the divisor (tests). */
+  private[graft] def fts2ShardCount(df: DataFrame): Int = {
+    val target = df.sparkSession.conf
+      .getOption("graft.index.targetShardBytes").map(_.toLong)
+      .getOrElse(32L * 1024 * 1024)
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    (bytes / target).min(4095).max(0).toInt + 1
+  }
+
+  /** Broadcast ceiling for the tombstone survival join: the tombstone
+    * table's live bytes (registry metadata) must stay under this for the
+    * serve to broadcast the max-rev aggregate; above it the survival
+    * join degrades to a plain (shuffleable) join instead of blowing the
+    * driver — the defensive bound that holds between compactions.
+    * `graft.index.tombstoneBroadcastBytes` overrides (tests). */
+  private def tombBroadcastBytes(s: SparkSession): Long =
+    s.conf.getOption("graft.index.tombstoneBroadcastBytes").map(_.toLong)
+      .getOrElse(64L * 1024 * 1024)
+
   /** Token-clustered postings + positions + additive (nd, sl) constants
     * for one batch of (doc_id, text), stamped with revision `rev` —
     * the shared production of every index fold (seed, append delta,
@@ -104,11 +150,15 @@ object Engine3 {
   private def fts2IndexRows(batch: DataFrame, rev: Long)
       : (DataFrame, DataFrame, DataFrame) = {
     val docs = fts2Tokenize(batch)
+    // shard count ∝ the BATCH's planned bytes: the seed build (the whole
+    // corpus through this same routine) fans its tokenize+group shuffle
+    // out, a delta fold collapses to one token-clustered file
+    val shards = fts2ShardCount(batch)
     val post = docs
       .select(col("doc_id"), col("dl"), explode(col("sp")).as("tok"))
       .groupBy(col("tok"), col("doc_id"), col("dl"))
       .agg(count(lit(1)).cast("long").as("tf"))
-      .repartitionByRange(8, col("tok"))
+      .repartitionByRange(shards, col("tok"))
       .sortWithinPartitions(col("tok"), col("doc_id"))
       .select(col("tok"), col("doc_id"), col("tf"), col("dl"),
         lit(rev).as("rev"))
@@ -116,7 +166,7 @@ object Engine3 {
       .select(col("doc_id"), posexplode(col("sp")).as(Seq("pos", "tok")))
       .select(col("tok"), col("doc_id"), col("pos").cast("long").as("pos"),
         lit(rev).as("rev"))
-      .repartitionByRange(8, col("tok"))
+      .repartitionByRange(shards, col("tok"))
       .sortWithinPartitions(col("tok"), col("doc_id"), col("pos"))
     val glob = docs.agg(count(lit(1)).cast("long").as("nd"),
       sum(col("dl")).cast("long").as("sl"))
@@ -204,29 +254,105 @@ object Engine3 {
     }
   }
 
+  /** COMPACT the maintained full-text index: fold the accumulated
+    * tombstones into a physical rewrite, so the serve returns to the
+    * zero-tombstone fast path — the index-side OPTIMIZE ([[
+    * graft.sources.Compaction]] is its table-side sibling; the debt this
+    * pays off is exactly what [[fts2FoldFeed]]'s scaladoc calls MOR
+    * delete files):
+    *
+    *  - fts2_post / fts2_pos are rewritten to their SURVIVING rows
+    *    (survival rule rev >= tombstone rev — identical to the serve
+    *    filter, so the rewrite changes no answer), re-clustered by token
+    *    with a size-derived shard count;
+    *  - fts2_del empties (a staged TRUNCATE);
+    *  - fts2_glob's additive ± log collapses to its one-row sum.
+    *
+    * All four swaps land in ONE q159 transaction, staged in
+    * serve-consistent order: a crash mid-publish leaves a prefix —
+    * rewritten postings with the (now-redundant) tombstones still
+    * present — that serves exactly the same answers; the tombstones can
+    * only truncate AFTER both rewrites are live. The watermark
+    * (fts2_meta) does not move: compaction consumes no source commits.
+    * Cost is O(live index), zero source I/O; run it when the tombstone
+    * fraction grows, like any MOR compaction. Returns false (and runs
+    * nothing) when there is no debt: no tombstones and an
+    * already-collapsed constants log. Single-maintainer discipline: a
+    * fold racing the compaction is caught by the transaction's
+    * replace-base check and the compaction rolls back whole. */
+  private[graft] def fts2Compact(s: SparkSession, ns: String): Boolean = {
+    val coord = s.conf.get("spark.sql.catalog.gcat.warehouse")
+    val (tombRows, _) = registryStats(s, ns, "fts2_del")
+    val (globRows, _) = registryStats(s, ns, "fts2_glob")
+    if (tombRows == 0L && globRows <= 1L) return false
+    val consts = s.table(s"$ns.fts2_glob")
+      .agg(sum(col("nd")).cast("long").as("nd"),
+        sum(col("sl")).cast("long").as("sl"))
+    graft.sources.Transactions.run(s, coord) { txn =>
+      if (tombRows > 0L) {
+        // an append-only index (tombRows == 0) skips the rewrite: its
+        // postings carry no dead rows, only the constants log needs
+        // collapsing
+        val tombMax = fts2TombMaxOpt(s, ns)
+        // shard counts from the BASE scans (an upper bound of the
+        // survivors): a post-join plan's size estimate multiplies the
+        // sides and would wildly over-shard
+        val postShards = fts2ShardCount(s.table(s"$ns.fts2_post"))
+        val posShards = fts2ShardCount(s.table(s"$ns.fts2_pos"))
+        txn.replace(s"$ns.fts2_post",
+          fts2Surviving(s.table(s"$ns.fts2_post"), tombMax)
+            .repartitionByRange(postShards, col("tok"))
+            .sortWithinPartitions(col("tok"), col("doc_id")))
+        txn.replace(s"$ns.fts2_pos",
+          fts2Surviving(s.table(s"$ns.fts2_pos"), tombMax)
+            .repartitionByRange(posShards, col("tok"))
+            .sortWithinPartitions(col("tok"), col("doc_id"), col("pos")))
+        txn.replace(s"$ns.fts2_del", s.table(s"$ns.fts2_del").limit(0))
+      }
+      txn.replace(s"$ns.fts2_glob", consts)
+    }
+    true
+  }
+
   /** One max-rev row per tombstoned doc — computed ONCE per serve and
-    * broadcast into every survival filter (the tombstone set is the
-    * index's bounded compaction debt; fold it into a rebuild when
-    * large). */
-  private def fts2TombMax(s: SparkSession, ns: String): DataFrame =
-    s.table(s"$ns.fts2_del")
-      .groupBy(col("doc_id")).agg(max(col("rev")).as("trev"))
+    * joined into every survival filter. SIZED FROM THE REGISTRY before
+    * any plan exists: an index with NO tombstones (fresh, or just
+    * compacted) returns None and the serve plans NO survival join at
+    * all; a tombstone set under [[tombBroadcastBytes]] broadcasts; a
+    * larger one (heavy churn between compactions) degrades to a plain
+    * join — Spark picks a shuffle strategy — instead of broadcasting an
+    * unbounded aggregate through the driver. [[fts2Compact]] is what
+    * returns the index to the None tier. */
+  private[graft] def fts2TombMaxOpt(s: SparkSession, ns: String): Option[DataFrame] = {
+    val (rows, bytes) = registryStats(s, ns, "fts2_del")
+    if (rows == 0L) None
+    else {
+      val agg = s.table(s"$ns.fts2_del")
+        .groupBy(col("doc_id")).agg(max(col("rev")).as("trev"))
+      Some(if (bytes <= tombBroadcastBytes(s)) broadcast(agg) else agg)
+    }
+  }
 
   /** The SURVIVING postings under tombstones, applied AFTER `filtered`
     * has cut the postings down (tok IN-list, single-token) — so the join
     * is O(retrieved postings + tombstones), never a postings-table
-    * shuffle. */
-  private def fts2Surviving(filtered: DataFrame, tombMax: DataFrame): DataFrame =
-    filtered.join(broadcast(tombMax), Seq("doc_id"), "left")
-      .where(col("trev").isNull || col("rev") >= col("trev"))
-      .drop("trev")
+    * shuffle. `tombMax = None` (no tombstones) is the identity. */
+  private def fts2Surviving(filtered: DataFrame,
+      tombMax: Option[DataFrame]): DataFrame =
+    tombMax.fold(filtered)(t =>
+      filtered.join(t, Seq("doc_id"), "left")
+        .where(col("trev").isNull || col("rev") >= col("trev"))
+        .drop("trev"))
 
   /** Per-(doc, term) BM25 from the MAINTAINED index: survival-filtered
     * postings, corpus constants summed over the additive (± rows) log.
     * The serve shape q170 and q171 share. */
-  private[graft] def fts2Bm25(s: SparkSession, ns: String, terms: Seq[String],
-      tombMax0: Option[DataFrame] = None): DataFrame = {
-    val tombMax = tombMax0.getOrElse(fts2TombMax(s, ns))
+  private[graft] def fts2Bm25(s: SparkSession, ns: String,
+      terms: Seq[String]): DataFrame =
+    fts2Bm25At(s, ns, terms, fts2TombMaxOpt(s, ns))
+
+  private def fts2Bm25At(s: SparkSession, ns: String, terms: Seq[String],
+      tombMax: Option[DataFrame]): DataFrame = {
     val post = fts2Surviving(
       s.table(s"$ns.fts2_post").where(col("tok").isin(terms: _*)), tombMax)
     val dfx = post.groupBy(col("tok"))
@@ -247,8 +373,8 @@ object Engine3 {
     * and ONE constants fold. */
   private def fts2ServeAll(s: SparkSession, ns: String, terms: Seq[String],
       first: String, second: String): DataFrame = {
-    val tombMax = fts2TombMax(s, ns)
-    val top = fts2Bm25(s, ns, terms, Some(tombMax))
+    val tombMax = fts2TombMaxOpt(s, ns)
+    val top = fts2Bm25At(s, ns, terms, tombMax)
       .orderBy(desc("score_micro"), col("doc_id"))
       .limit(20)
     val posT = s.table(s"$ns.fts2_pos")
@@ -372,10 +498,11 @@ object Engine3 {
         val ns = ensureCatalog(s, dir)
         s.sql(s"DROP TABLE IF EXISTS $ns.fts_pos")
         s.sql(s"CREATE TABLE $ns.fts_pos (tok STRING, doc_id BIGINT, pos BIGINT)")
-        tokenized(s, dir)
+        val toks = tokenized(s, dir)
+        toks
           .select(col("doc_id"), posexplode(col("sp")).as(Seq("pos", "tok")))
           .select(col("tok"), col("doc_id"), col("pos").cast("long").as("pos"))
-          .repartitionByRange(8, col("tok"))
+          .repartitionByRange(fts2ShardCount(toks), col("tok"))
           .sortWithinPartitions(col("tok"), col("doc_id"), col("pos"))
           .writeTo(s"$ns.fts_pos").append()
         ()

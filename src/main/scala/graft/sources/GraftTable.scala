@@ -553,7 +553,7 @@ object GraftTable {
     "path", PathBasedProp, "mergeschema", "snapshot-version",
     "snapshot-timestamp", "snapshot-tag", "since-version",
     "starting-version", "change-feed",
-    "maxfilespertrigger", "maxbytespertrigger", "wap.id")
+    "maxfilespertrigger", "maxbytespertrigger", "wap.id", "wap.replace")
 
   /** Path-based WRITE schema gate. The DF schema must agree with the
     * directory's declaration — same-named columns (case-insensitively,
@@ -3111,7 +3111,8 @@ final class GraftWriteBuilder(
   private class GraftWrite extends Write {
     override def toBatch: BatchWrite =
       new GraftBatchWrite(schema, props, dataDir, partitionCols, mode,
-        Option(info.options.get("wap.id")).filter(_.nonEmpty))
+        Option(info.options.get("wap.id")).filter(_.nonEmpty),
+        Option(info.options.get("wap.replace")).exists(_.equalsIgnoreCase("true")))
     override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
       new GraftStreamingWrite(schema, props, dataDir, partitionCols, info.queryId())
   }
@@ -3228,7 +3229,8 @@ final class GraftBatchWrite(
     dataDir: String,
     partitionCols: Seq[String],
     mode: GraftBatchWrite.Mode,
-    wapId: Option[String] = None)
+    wapId: Option[String] = None,
+    wapReplace: Boolean = false)
     extends BatchWrite {
 
   private val writeId = UUID.randomUUID().toString
@@ -3266,6 +3268,9 @@ final class GraftBatchWrite(
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    require(!wapReplace || wapId.isDefined,
+      "graft: wap.replace marks the MODE of a staged commit and needs wap.id; " +
+        "without one the write would land live as a plain append")
     val committed: Map[String, TableStats.Entry] = messages.collect {
       case m: GraftCommitMessage => m.files
     }.flatten.toMap
@@ -3305,7 +3310,7 @@ final class GraftBatchWrite(
       require(mode == Append,
         "graft: wap.id stages APPEND writes only; overwrite modes must publish directly")
       TableStats.withLock(fs, dir) {
-        Snapshots.stageWap(fs, dir, id, committed)
+        Snapshots.stageWap(fs, dir, id, committed, replace = wapReplace)
       }
       return
     }

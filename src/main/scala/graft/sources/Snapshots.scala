@@ -502,6 +502,18 @@ object Snapshots {
     new Path(dataDir.getParent, s"_wap/$id.tsv")
   }
 
+  /** Marker making a staged commit a REPLACE: publish swaps the live
+    * registry to exactly the staged adds (dropping every prior entry)
+    * instead of folding them in. Written BEFORE the adds-list, so a
+    * crash between the two leaves only an inert marker (no adds-list =
+    * not a stage); publish/discard remove both. */
+  private def wapReplacePath(dataDir: Path, id: String): Path =
+    new Path(dataDir.getParent, s"_wap/$id.replace")
+
+  /** Is the staged commit `id` a REPLACE stage? */
+  def isReplaceWap(fs: FileSystem, dataDir: Path, id: String): Boolean =
+    fs.exists(wapReplacePath(dataDir, id))
+
   def wapTag(id: String): String = s"wap-$id"
 
   /** Stage `adds` (this commit's uniquely-named files) under `id`:
@@ -510,7 +522,8 @@ object Snapshots {
     * cannot see the staged files. MUST be called under
     * [[TableStats.withLock]] (the batch commit path holds it). */
   def stageWap(fs: FileSystem, dataDir: Path, id: String,
-               adds: Map[String, TableStats.Entry]): Long = {
+               adds: Map[String, TableStats.Entry],
+               replace: Boolean = false): Long = {
     val p = wapPath(dataDir, id)
     require(!fs.exists(p),
       s"graft: WAP id '$id' already has a staged commit; PUBLISH or DISCARD it first")
@@ -524,14 +537,23 @@ object Snapshots {
     }
     fs.mkdirs(p.getParent)
     // user-chosen WAP ids are reusable after a publish: clear the prior
-    // use's published-version record, or [[publishedWapVersion]] would
-    // report the OLD publish for this new stage
+    // use's published-version record (or [[publishedWapVersion]] would
+    // report the OLD publish for this new stage) and any stale replace
+    // marker (a leftover marker must not turn this append stage into a
+    // registry swap)
     fs.delete(wapPublishedPath(dataDir, id), false)
+    fs.delete(wapReplacePath(dataDir, id), false)
+    // replace marker BEFORE the adds-list: the adds-list is what makes
+    // the stage exist, so its mode must already be durable by then
+    if (replace) fs.create(wapReplacePath(dataDir, id), false).close()
     val out = fs.create(p, false)
     try out.write(TableStats.serialize(stamped)
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
-    recordAt(fs, dataDir, TableStats.read(fs, dataDir) ++ stamped, next,
+    // the audit snapshot previews what publish will make live: live ++
+    // adds for an append stage, the adds ALONE for a replace stage
+    recordAt(fs, dataDir,
+      if (replace) stamped else TableStats.read(fs, dataDir) ++ stamped, next,
       base = TableStats.liveVersion(fs, dataDir))
     // mark the audit snapshot as a SIDE BRANCH: change feeds must skip it
     // without advancing, so the adds surface at the publish version (and
@@ -565,7 +587,19 @@ object Snapshots {
   /** PUBLISH: fold the staged adds into the live registry — one atomic
     * registry swap. Commits that landed since staging are safe: WAP
     * stages only appends of uniquely-named files, so the fold is a pure
-    * addition (the fast-forward). Returns the published version. */
+    * addition (the fast-forward). Returns the published version.
+    *
+    * A REPLACE stage ([[stageWap]] with `replace = true`) publishes as a
+    * registry SWAP instead: the live manifest becomes exactly the staged
+    * adds, every prior entry (data AND outstanding equality deletes)
+    * drops, and the version is marked [[ChangeLog.Replace]] so change
+    * feeds replay it as delete(removed rows) + insert(added rows). A
+    * replace publish has NO fast-forward property — a commit landing
+    * between stage and publish is silently dropped from the live view —
+    * so replace stages belong to single-maintainer rewrite protocols
+    * ([[Transactions.Txn.replace]] race-checks the window up to its
+    * commit point); replaced-away files stay on disk for time travel
+    * until vacuum, exactly like compaction victims. */
   def publishWap(tableDir: String, id: String): Long = {
     val dataDir = new Path(tableDir, "data")
     val fs = dataDir.getFileSystem(new Configuration())
@@ -573,7 +607,13 @@ object Snapshots {
       val adds = readWap(fs, dataDir, id).getOrElse(
         throw new IllegalArgumentException(
           s"graft: no staged WAP commit '$id' under $tableDir"))
-      val v = TableStats.write(fs, dataDir, TableStats.read(fs, dataDir) ++ adds)
+      val replace = isReplaceWap(fs, dataDir, id)
+      val v =
+        if (replace) {
+          val swapped = TableStats.write(fs, dataDir, adds)
+          ChangeLog.writeMarker(fs, dataDir, swapped, ChangeLog.Replace)
+          swapped
+        } else TableStats.write(fs, dataDir, TableStats.read(fs, dataDir) ++ adds)
       // record the published version BEFORE retiring the staged list: a
       // multi-table transaction that crashes mid-complete can then still
       // learn where this participant landed ([[publishedWapVersion]] —
@@ -585,6 +625,7 @@ object Snapshots {
       try out.write(v.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       finally out.close()
       fs.delete(wapPath(dataDir, id), false)
+      fs.delete(wapReplacePath(dataDir, id), false)
       writeTags(fs, dataDir, tags(fs, dataDir) - wapTag(id))
       v
     }
@@ -621,6 +662,7 @@ object Snapshots {
       val dead = adds.keysIterator.filterNot(live.contains).toSeq
       dead.foreach(rel => fs.delete(new Path(dataDir, rel), false))
       fs.delete(wapPath(dataDir, id), false)
+      fs.delete(wapReplacePath(dataDir, id), false)
       writeTags(fs, dataDir, tags(fs, dataDir) - wapTag(id))
       dead.size
     }

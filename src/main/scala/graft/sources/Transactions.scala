@@ -72,8 +72,22 @@ object Transactions {
 
     // (tableDir, wapId) per staged write
     private val parts = scala.collection.mutable.ArrayBuffer[(String, String)]()
+    // (tableDir, live version at stage time) per staged REPLACE — the
+    // race check commit() runs before deciding
+    private val replaceBases =
+      scala.collection.mutable.ArrayBuffer[(String, Option[Long])]()
     private var n = 0
     private var decided = false
+
+    private def resolveDir(table: String): String = {
+      // resolve BEFORE writing: on a non-graft table the wap.id option
+      // would be ignored and the write would land live — un-rollbackable
+      val ident = spark.sessionState.sqlParser.parseMultipartIdentifier(table)
+      val (cat, tid) = GraftViewBridge.resolveIdent(spark, ident).getOrElse(
+        throw new IllegalArgumentException(
+          s"graft: $table is not in a graft catalog"))
+      cat.loadTable(tid).asInstanceOf[GraftTable].tableDir
+    }
 
     /** Stage `df` as an APPEND to `table` (a catalog-qualified graft
       * table). Files land durably but stay invisible to every reader
@@ -81,17 +95,51 @@ object Transactions {
       * fine (each is its own stage). */
     def write(table: String, df: DataFrame): Unit = {
       require(!decided, s"graft: txn $id already committed")
-      // resolve BEFORE writing: on a non-graft table the wap.id option
-      // would be ignored and the append would land live — un-rollbackable
-      val ident = spark.sessionState.sqlParser.parseMultipartIdentifier(table)
-      val (cat, tid) = GraftViewBridge.resolveIdent(spark, ident).getOrElse(
-        throw new IllegalArgumentException(
-          s"graft: $table is not in a graft catalog"))
-      val dir = cat.loadTable(tid).asInstanceOf[GraftTable].tableDir
+      val dir = resolveDir(table)
+      require(!replaceBases.exists(_._1 == dir),
+        s"graft: txn $id already stages a REPLACE of $table; mixing it " +
+          "with other writes to the same table in one transaction has no " +
+          "coherent publish order")
       n += 1
       val wapId = s"txn-$id-$n"
       df.writeTo(table).option("wap.id", wapId).append()
       parts += ((dir, wapId))
+    }
+
+    /** Stage `df` as a full REPLACE of `table`'s contents: at commit the
+      * table's live manifest becomes exactly this write's files — every
+      * prior entry drops (replaced-away files stay on disk for time
+      * travel until vacuum), and the published version carries a
+      * [[ChangeLog.Replace]] marker so change feeds replay it as
+      * delete(old rows) + insert(new rows). An empty `df` is a staged
+      * TRUNCATE.
+      *
+      * Replace loses the append stage's fast-forward property: a commit
+      * landing on the table between staging and publish would be wiped.
+      * commit() therefore verifies, immediately before the decide point,
+      * that every replaced table is still at the version it was staged
+      * against, and rolls back otherwise; the residual window (decide →
+      * publish) is covered by the caller being the table's single
+      * maintainer — the same exclusivity OPTIMIZE requires. Publish
+      * order is stage order, so stage replaces in serve-consistent order
+      * (e.g. rewrite postings BEFORE truncating the tombstones that
+      * justify the rewrite — every mid-publish prefix then serves
+      * correctly). */
+    def replace(table: String, df: DataFrame): Unit = {
+      require(!decided, s"graft: txn $id already committed")
+      val dir = resolveDir(table)
+      require(!parts.exists(_._1 == dir),
+        s"graft: txn $id already stages a write to $table; mixing a " +
+          "REPLACE with other writes to the same table in one transaction " +
+          "has no coherent publish order")
+      val dataDir = new Path(dir, "data")
+      val base = TableStats.liveVersion(fsOf(dataDir), dataDir)
+      n += 1
+      val wapId = s"txn-$id-$n"
+      df.writeTo(table).option("wap.id", wapId)
+        .option("wap.replace", "true").append()
+      parts += ((dir, wapId))
+      replaceBases += ((dir, base))
     }
 
     private[graft] def writeIntent(): Unit = {
@@ -131,7 +179,23 @@ object Transactions {
       * re-driven by [[recover]]. */
     def commit(): Unit =
       if (parts.isEmpty) decided = true // nothing staged, nothing to do
-      else { writeIntent(); decide(); complete() }
+      else {
+        // REPLACE race check at the last moment before the decide point:
+        // a commit that landed on a replaced table since staging would be
+        // silently wiped by the swap — refuse (the caller's run() rolls
+        // every stage back). After decide, publish can no longer fail, so
+        // the residual decide→publish window rests on the caller being
+        // the table's single maintainer (see [[replace]]).
+        replaceBases.foreach { case (dir, base) =>
+          val dataDir = new Path(dir, "data")
+          val cur = TableStats.liveVersion(fsOf(dataDir), dataDir)
+          if (cur != base) throw new IllegalStateException(
+            s"graft: txn $id lost a race: $dir advanced from " +
+              s"${base.getOrElse("∅")} to ${cur.getOrElse("∅")} since its " +
+              "REPLACE was staged; no changes applied")
+        }
+        writeIntent(); decide(); complete()
+      }
 
     /** Discard every staged write: the transaction never happened. */
     def rollback(): Unit = {

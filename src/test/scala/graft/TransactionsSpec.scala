@@ -190,4 +190,83 @@ class TransactionsSpec extends AnyFunSuite with BeforeAndAfterAll {
       Transactions.readAt(spark, warehouse, txn.id, "txc.t.c"))
     assert(e2.getMessage.contains("not a participant"), e2.getMessage)
   }
+
+  // ---- staged REPLACE (the index-compaction primitive) ---------------------
+
+  test("replace: contents swap atomically alongside appends; the version is " +
+      "marked Replace for the feeds") {
+    spark.sql("CREATE TABLE txc.t.r (id BIGINT, s STRING)")
+    spark.sql("INSERT INTO txc.t.r VALUES (1, 'old'), (2, 'old')")
+    val bBefore = count("b")
+    Transactions.run(spark, warehouse) { txn =>
+      txn.replace("txc.t.r", batch(700, 703))
+      txn.write("txc.t.b", batch(700, 702))
+      // mid-transaction: the swap is staged, the live table still OLD
+      assert(count("r") == 2 && count("b") == bBefore,
+        "staged replace leaked before commit")
+    }
+    assert(count("r") == 3 && count("b") == bBefore + 2)
+    assert(spark.table("txc.t.r").select("id").collect().map(_.getLong(0)).sorted
+      .toSeq == Seq(700L, 701L, 702L), "replace must swap, not fold")
+    // the published swap carries a Replace change-log marker, so feeds
+    // replay it as delete(old rows) + insert(new rows) instead of
+    // refusing an unrecorded rewrite
+    val dd = new org.apache.hadoop.fs.Path(s"$warehouse/t/r/data")
+    val fs = dd.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val v = graft.sources.TableStats.liveVersion(fs, dd).get
+    assert(graft.sources.ChangeLog.kindOf(fs, dd, v)
+      .contains(graft.sources.ChangeLog.Replace))
+  }
+
+  test("replace: an empty stage is a transactional TRUNCATE") {
+    Transactions.run(spark, warehouse) { txn =>
+      txn.replace("txc.t.r", spark.table("txc.t.r").limit(0))
+    }
+    assert(count("r") == 0)
+  }
+
+  test("replace: a commit landing after staging fails the transaction whole " +
+      "(the landed commit survives, the swap never applies)") {
+    spark.sql("INSERT INTO txc.t.r VALUES (10, 'landed-before')")
+    val e = intercept[IllegalStateException] {
+      Transactions.run(spark, warehouse) { txn =>
+        txn.replace("txc.t.r", batch(800, 805))
+        txn.write("txc.t.b", batch(800, 803))
+        // a racing committer lands on the replaced table before decide
+        spark.sql("INSERT INTO txc.t.r VALUES (11, 'raced')")
+      }
+    }
+    assert(e.getMessage.contains("lost a race"), e.getMessage)
+    assert(spark.table("txc.t.r").select("id").collect().map(_.getLong(0)).sorted
+      .toSeq == Seq(10L, 11L), "both independent commits must survive the rollback")
+    assert(wapIds("r").isEmpty && wapIds("b").isEmpty, "rollback must drop stages")
+  }
+
+  test("replace: crash after decide rolls the swap FORWARD") {
+    val txn = Transactions.begin(spark, warehouse)
+    txn.replace("txc.t.r", batch(900, 902))
+    txn.writeIntent()
+    txn.decide()
+    assert(spark.table("txc.t.r").count() == 2, "nothing visible pre-recovery")
+    assert(Transactions.recover(spark, warehouse, minAgeMillis = 0L) == ((1, 0)))
+    assert(spark.table("txc.t.r").select("id").collect().map(_.getLong(0)).sorted
+      .toSeq == Seq(900L, 901L), "recovery must complete the swap")
+  }
+
+  test("replace: mixing a replace with another write to the SAME table is refused") {
+    intercept[IllegalArgumentException] {
+      Transactions.run(spark, warehouse) { txn =>
+        txn.replace("txc.t.r", batch(0, 2))
+        txn.write("txc.t.r", batch(5, 7))
+      }
+    }
+    intercept[IllegalArgumentException] {
+      Transactions.run(spark, warehouse) { txn =>
+        txn.write("txc.t.r", batch(5, 7))
+        txn.replace("txc.t.r", batch(0, 2))
+      }
+    }
+    assert(spark.table("txc.t.r").select("id").collect().map(_.getLong(0)).sorted
+      .toSeq == Seq(900L, 901L), "refused transactions must leave no trace")
+  }
 }
