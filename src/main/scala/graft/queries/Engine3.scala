@@ -337,7 +337,7 @@ object Engine3 {
     * has cut the postings down (tok IN-list, single-token) — so the join
     * is O(retrieved postings + tombstones), never a postings-table
     * shuffle. `tombMax = None` (no tombstones) is the identity. */
-  private def fts2Surviving(filtered: DataFrame,
+  private[graft] def fts2Surviving(filtered: DataFrame,
       tombMax: Option[DataFrame]): DataFrame =
     tombMax.fold(filtered)(t =>
       filtered.join(t, Seq("doc_id"), "left")

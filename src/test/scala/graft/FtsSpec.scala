@@ -370,6 +370,254 @@ class FtsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  // ---- q173: index tombstone compaction pins -------------------------------
+
+  private def serveScores(n: String, terms: Seq[String]): Seq[(Long, Long)] =
+    graft.queries.Engine3.fts2Bm25(spark, n, terms).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+
+  private def tableCount(t: String): Long = spark.table(t).count()
+
+  test("compaction: serve(compacted) == serve(maintained) == rebuild; " +
+      "tombstones empty, constants collapse to one row") {
+    setupGcat()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gcat.cp")
+    val ns = "gcat.cp"
+    graft.queries.Engine3.fts2Create(spark, ns, withRowKey = true)
+    import spark.implicits._
+    def withKey(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("doc_id").cast("string").as("row_key"),
+        col("doc_id"), col("text"))
+    withKey(corpus(0, 60)).writeTo(s"$ns.fts2_src").append()
+    val v1 = srcVersion(ns)
+    graft.queries.Engine3.fts2Fold(spark, ns,
+      spark.read.option("since-version", 0L).table(s"$ns.fts2_src")
+        .select(col("doc_id"), col("text")), v1)
+    // mutations → fold → tombstones + a multi-row constants log
+    spark.sql(s"DELETE FROM $ns.fts2_src WHERE doc_id % 10 = 3")
+    spark.sql(s"UPDATE $ns.fts2_src SET text = 'compacted common' WHERE doc_id % 10 = 4")
+    val v2 = srcVersion(ns)
+    val cat = spark.sessionState.catalogManager.catalog("gcat")
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
+    val tbl = cat.loadTable(org.apache.spark.sql.connector.catalog.Identifier
+        .of(Array("cp"), "fts2_src")).asInstanceOf[graft.sources.GraftTable]
+    val feed = graft.sources.Snapshots.changes(spark, tbl, since = v1, end = Some(v2))
+    graft.queries.Engine3.fts2FoldFeed(spark, ns, s"$ns.fts2_src", feed, v1, v2)
+    val terms = Seq("common", "tok1", "compacted")
+    val maintained = serveScores(ns, terms)
+    assert(tableCount(s"$ns.fts2_del") > 0, "the fold must have left tombstones")
+    assert(tableCount(s"$ns.fts2_glob") > 1, "the fold must have extended the log")
+
+    assert(graft.queries.Engine3.fts2Compact(spark, ns), "debt exists, must compact")
+    assert(serveScores(ns, terms) == maintained,
+      "compaction must not change any answer")
+    assert(tableCount(s"$ns.fts2_del") == 0, "tombstones must be folded away")
+    assert(tableCount(s"$ns.fts2_glob") == 1, "constants log must collapse")
+    // == rebuild from the post-mutation corpus
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gcat.cpr")
+    graft.queries.Engine3.fts2Create(spark, "gcat.cpr")
+    spark.table(s"$ns.fts2_src").select(col("doc_id"), col("text"))
+      .writeTo("gcat.cpr.fts2_src").append()
+    graft.queries.Engine3.fts2Fold(spark, "gcat.cpr",
+      spark.table("gcat.cpr.fts2_src"), srcVersion("gcat.cpr"))
+    assert(serveScores("gcat.cpr", terms) == maintained,
+      "compacted serve must equal a from-scratch rebuild")
+    // idempotent: no debt left → compaction reports nothing to do
+    assert(!graft.queries.Engine3.fts2Compact(spark, ns))
+    // and maintenance continues normally on the compacted index
+    withKey(corpus(300, 310)).writeTo(s"$ns.fts2_src").append()
+    val v3 = srcVersion(ns)
+    graft.queries.Engine3.fts2Fold(spark, ns,
+      spark.read.option("since-version", v2).option("snapshot-version", v3)
+        .table(s"$ns.fts2_src").select(col("doc_id"), col("text")), v3)
+    assert(serveScores(ns, terms).size >= maintained.size)
+  }
+
+  test("post-compaction serve plans NO tombstone join; pre-compaction it does") {
+    // gcat.cp was compacted above: its serve must not even SCAN fts2_del
+    val clean = graft.queries.Engine3.fts2Bm25(spark, "gcat.cp", Seq("common"))
+      .queryExecution.optimizedPlan.toString
+    assert(!clean.contains("fts2_del"),
+      s"zero-tombstone serve must plan no survival join:\n$clean")
+    // a freshly-mutated index DOES plan the survival join
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gcat.cp2")
+    val ns = "gcat.cp2"
+    graft.queries.Engine3.fts2Create(spark, ns, withRowKey = true)
+    import spark.implicits._
+    corpus(0, 20).select(col("doc_id").cast("string").as("row_key"),
+        col("doc_id"), col("text"))
+      .writeTo(s"$ns.fts2_src").append()
+    val v1 = srcVersion(ns)
+    graft.queries.Engine3.fts2Fold(spark, ns,
+      spark.read.option("since-version", 0L).table(s"$ns.fts2_src")
+        .select(col("doc_id"), col("text")), v1)
+    spark.sql(s"DELETE FROM $ns.fts2_src WHERE doc_id = 5")
+    val v2 = srcVersion(ns)
+    val cat = spark.sessionState.catalogManager.catalog("gcat")
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
+    val tbl = cat.loadTable(org.apache.spark.sql.connector.catalog.Identifier
+        .of(Array("cp2"), "fts2_src")).asInstanceOf[graft.sources.GraftTable]
+    graft.queries.Engine3.fts2FoldFeed(spark, ns, s"$ns.fts2_src",
+      graft.sources.Snapshots.changes(spark, tbl, since = v1, end = Some(v2)),
+      v1, v2)
+    val dirty = graft.queries.Engine3.fts2Bm25(spark, ns, Seq("common"))
+      .queryExecution.optimizedPlan.toString
+    assert(dirty.contains("fts2_del"),
+      "tombstoned serve must plan the survival join")
+  }
+
+  test("oversized tombstone sets degrade the survival join from broadcast to " +
+      "shuffle; answers identical") {
+    setupGcat()
+    // gcat.cp2 has tombstones. Below the ceiling: the survival join is a
+    // FORCED broadcast (visible even with auto-broadcast disabled).
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val ns = "gcat.cp2"
+      def planOf(): String =
+        graft.queries.Engine3.fts2Bm25(spark, ns, Seq("common"))
+          .queryExecution.sparkPlan.toString
+      // the SURVIVAL join is the serve's only LeftOuter join (the df and
+      // constants broadcasts are model-sized and stay broadcast either way)
+      def survivalBroadcast(plan: String): Boolean = plan.linesIterator
+        .exists(l => l.contains("BroadcastHashJoin") && l.contains("LeftOuter"))
+      spark.conf.unset("graft.index.tombstoneBroadcastBytes")
+      val smallPath = planOf()
+      assert(survivalBroadcast(smallPath),
+        s"under-ceiling tombstones must broadcast:\n$smallPath")
+      val viaBroadcast = serveScores(ns, Seq("common", "tok1"))
+      // above the ceiling (forced by a 1-byte ceiling): NO broadcast hint
+      // — Spark picks a shuffle join; the driver never materializes the set
+      spark.conf.set("graft.index.tombstoneBroadcastBytes", "1")
+      val bigPath = planOf()
+      assert(!survivalBroadcast(bigPath),
+        s"over-ceiling tombstones must not force a broadcast:\n$bigPath")
+      assert(serveScores(ns, Seq("common", "tok1")) == viaBroadcast,
+        "both survival-join strategies must answer identically")
+    } finally {
+      spark.conf.unset("graft.index.tombstoneBroadcastBytes")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+
+  test("churn: mutate+fold+compact rounds always return the tombstone table " +
+      "to empty and keep serve == rebuild") {
+    setupGcat()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gcat.ch")
+    val ns = "gcat.ch"
+    graft.queries.Engine3.fts2Create(spark, ns, withRowKey = true)
+    import spark.implicits._
+    val state = scala.collection.mutable.Map[Long, String]()
+    def txt(i: Long, salt: Int) = s"tok${(i + salt) % 7} tok${(i + salt) % 5} common"
+    (0L until 30L).foreach(i => state(i) = txt(i, 0))
+    state.toSeq.toDF("doc_id", "text")
+      .select(col("doc_id").cast("string").as("row_key"), col("doc_id"), col("text"))
+      .writeTo(s"$ns.fts2_src").append()
+    var wm = srcVersion(ns)
+    graft.queries.Engine3.fts2Fold(spark, ns,
+      spark.read.option("since-version", 0L).table(s"$ns.fts2_src")
+        .select(col("doc_id"), col("text")), wm)
+    val cat = spark.sessionState.catalogManager.catalog("gcat")
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
+    val tbl = cat.loadTable(org.apache.spark.sql.connector.catalog.Identifier
+        .of(Array("ch"), "fts2_src")).asInstanceOf[graft.sources.GraftTable]
+    var nextId = 500L
+    for (round <- 1 to 3) {
+      // hammer: delete two live docs, update one, insert two
+      val live = state.keys.toSeq.sorted
+      Seq(live(round), live(round + 3)).foreach { id =>
+        spark.sql(s"DELETE FROM $ns.fts2_src WHERE doc_id = $id"); state -= id
+      }
+      val uid = state.keys.toSeq.sorted.head
+      val ut = s"fresh ${txt(uid, round)}"
+      spark.sql(s"UPDATE $ns.fts2_src SET text = '$ut' WHERE doc_id = $uid")
+      state(uid) = ut
+      (0 until 2).foreach { _ =>
+        val id = nextId; nextId += 1
+        val t = txt(id, round)
+        Seq((id, t)).toDF("doc_id", "text")
+          .select(col("doc_id").cast("string").as("row_key"),
+            col("doc_id"), col("text"))
+          .writeTo(s"$ns.fts2_src").append()
+        state(id) = t
+      }
+      val v2 = srcVersion(ns)
+      graft.queries.Engine3.fts2FoldFeed(spark, ns, s"$ns.fts2_src",
+        graft.sources.Snapshots.changes(spark, tbl, since = wm, end = Some(v2)),
+        wm, v2)
+      wm = v2
+      assert(tableCount(s"$ns.fts2_del") > 0, s"round $round: fold left tombstones")
+      assert(graft.queries.Engine3.fts2Compact(spark, ns))
+      assert(tableCount(s"$ns.fts2_del") == 0,
+        s"round $round: compaction must empty the tombstones")
+      assert(tableCount(s"$ns.fts2_glob") == 1,
+        s"round $round: constants must collapse")
+      // == rebuild of the current state
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS gcat.chr")
+      graft.queries.Engine3.fts2Create(spark, "gcat.chr")
+      state.toSeq.toDF("doc_id", "text").writeTo("gcat.chr.fts2_src").append()
+      graft.queries.Engine3.fts2Fold(spark, "gcat.chr",
+        spark.table("gcat.chr.fts2_src"), srcVersion("gcat.chr"))
+      val terms = Seq("common", "tok1", "fresh")
+      assert(serveScores(ns, terms) == serveScores("gcat.chr", terms),
+        s"round $round: compacted serve diverged from rebuild")
+    }
+  }
+
+  test("a compaction that crashes after the decide point rolls FORWARD to the " +
+      "compacted index; before it, the maintained index keeps serving") {
+    setupGcat()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gcat.cc")
+    val ns = "gcat.cc"
+    graft.queries.Engine3.fts2Create(spark, ns, withRowKey = true)
+    import spark.implicits._
+    corpus(0, 25).select(col("doc_id").cast("string").as("row_key"),
+        col("doc_id"), col("text"))
+      .writeTo(s"$ns.fts2_src").append()
+    val v1 = srcVersion(ns)
+    graft.queries.Engine3.fts2Fold(spark, ns,
+      spark.read.option("since-version", 0L).table(s"$ns.fts2_src")
+        .select(col("doc_id"), col("text")), v1)
+    spark.sql(s"DELETE FROM $ns.fts2_src WHERE doc_id % 6 = 1")
+    val v2 = srcVersion(ns)
+    val cat = spark.sessionState.catalogManager.catalog("gcat")
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
+    val tbl = cat.loadTable(org.apache.spark.sql.connector.catalog.Identifier
+        .of(Array("cc"), "fts2_src")).asInstanceOf[graft.sources.GraftTable]
+    graft.queries.Engine3.fts2FoldFeed(spark, ns, s"$ns.fts2_src",
+      graft.sources.Snapshots.changes(spark, tbl, since = v1, end = Some(v2)),
+      v1, v2)
+    val terms = Seq("common", "tok2")
+    val maintained = serveScores(ns, terms)
+    // stage exactly what fts2Compact stages, in its serve-consistent
+    // order, then crash between decide and complete
+    val tombMax = graft.queries.Engine3.fts2TombMaxOpt(spark, ns)
+    val txn = graft.sources.Transactions.begin(spark, wh)
+    txn.replace(s"$ns.fts2_post", graft.queries.Engine3.fts2Surviving(
+      spark.table(s"$ns.fts2_post"), tombMax)
+      .repartitionByRange(1, col("tok"))
+      .sortWithinPartitions(col("tok"), col("doc_id")))
+    txn.replace(s"$ns.fts2_pos", graft.queries.Engine3.fts2Surviving(
+      spark.table(s"$ns.fts2_pos"), tombMax)
+      .repartitionByRange(1, col("tok"))
+      .sortWithinPartitions(col("tok"), col("doc_id"), col("pos")))
+    txn.replace(s"$ns.fts2_del", spark.table(s"$ns.fts2_del").limit(0))
+    txn.replace(s"$ns.fts2_glob", spark.table(s"$ns.fts2_glob")
+      .agg(sum(col("nd")).cast("long").as("nd"),
+        sum(col("sl")).cast("long").as("sl")))
+    txn.writeIntent()
+    txn.decide()
+    // pre-recovery: every stage invisible — the maintained index serves
+    assert(serveScores(ns, terms) == maintained)
+    assert(tableCount(s"$ns.fts2_del") > 0)
+    val (fwd, _) = graft.sources.Transactions.recover(spark, wh, minAgeMillis = 0L)
+    assert(fwd == 1)
+    assert(serveScores(ns, terms) == maintained,
+      "recovered compaction must not change any answer")
+    assert(tableCount(s"$ns.fts2_del") == 0)
+    assert(tableCount(s"$ns.fts2_glob") == 1)
+  }
+
   test("a failed maintenance transaction leaves the index serving the OLD state") {
     setupGcat()
     spark.sql("CREATE NAMESPACE IF NOT EXISTS gcat.c")
