@@ -1153,6 +1153,106 @@ object Engine3 {
           .select(col("doc_id"), col("text"))
         fts2Fold(s, ns2, seed, v1)
         ()
+      })),
+
+    // ---- q173: index tombstone COMPACTION ----------------------------------
+    // q171/q172's mutation folds deliberately never touch the existing
+    // postings — their debt is a tombstone set that grows O(deleted docs)
+    // and a ± constants log that grows O(folds), both living rent-free in
+    // every serve's survival join. fts2Compact is the index-side OPTIMIZE
+    // that pays it off: rewrite the SURVIVING postings/positions
+    // (rev-filtered by exactly the serve's survival rule, token
+    // re-clustered at a size-derived shard count), truncate the tombstone
+    // table, and collapse the constants log to one row — four staged
+    // REPLACES in ONE q159 transaction, ordered so a crash mid-publish
+    // leaves a prefix that serves identically (tombstones can only empty
+    // AFTER both rewrites are live). The measured run compacts, then
+    // serves BM25 + phrase + constants from the compacted index WITH
+    // PROOF COLUMNS: n_tomb (pinned 0 — the tombstone table emptied) and
+    // glob_rows (pinned 1 — the log collapsed); the zero-tombstone serve
+    // also plans NO survival join at all (FtsSpec pins the plan). The
+    // oracle replays the post-mutation corpus from scratch:
+    // serve(compacted) ≡ serve(maintained) ≡ rebuild. A re-run finds no
+    // debt and compacts nothing — the serve is unchanged. At 100 TB this
+    // is the periodic job that keeps churn from ever growing the
+    // survival join past its broadcast budget.
+    QueryDef(
+      "q173_fts_index_compaction",
+      (s, dir) => {
+        ensureCatalog(s, dir)
+        val ns2 = "gcat.fts5"
+        fts2Compact(s, ns2)
+        val tombs = s.table(s"$ns2.fts2_del")
+          .agg(count(lit(1)).cast("long").as("n_tomb"))
+        val globRows = s.table(s"$ns2.fts2_glob")
+          .agg(count(lit(1)).cast("long").as("glob_rows"))
+        fts2ServeAll(s, ns2, Seq("scan", "merge", "refreshed"), "hash", "join")
+          .crossJoin(broadcast(tombs))
+          .crossJoin(broadcast(globRows))
+          .orderBy(desc("score_micro"), col("doc_id"))
+      },
+      // the oracle rebuilds the index from the POST-MUTATION corpus and
+      // pins the physical proof columns as literals
+      Some("""WITH corp AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 11 = 4 THEN text || ' refreshed'
+                      ELSE text END AS text
+          FROM documents WHERE doc_id % 11 <> 3),
+        d AS (SELECT doc_id, string_split(text, ' ') AS sp FROM corp),
+        dd AS (SELECT doc_id, CAST(len(sp) AS BIGINT) AS dl, sp FROM d),
+        g AS (SELECT CAST(SUM(dl) AS DOUBLE) AS sl, CAST(COUNT(*) AS DOUBLE) AS nd FROM dd),
+        t AS (SELECT doc_id, dl, unnest(sp) AS tok FROM dd),
+        tf AS (SELECT doc_id, dl, tok, CAST(COUNT(*) AS DOUBLE) AS tf
+               FROM t WHERE tok IN ('scan', 'merge', 'refreshed') GROUP BY doc_id, dl, tok),
+        dfx AS (SELECT tok, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY tok),
+        parts AS (
+          SELECT tf.doc_id,
+            round(((g.nd - dfx.df + 0.5) / (dfx.df + 0.5)) * tf.tf * 2.2 /
+              (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / (g.sl / g.nd))) * 1e6) AS part
+          FROM tf JOIN dfx USING (tok) CROSS JOIN g),
+        scores AS (SELECT doc_id, CAST(SUM(part) AS BIGINT) AS score_micro
+          FROM parts GROUP BY doc_id
+          ORDER BY score_micro DESC, doc_id LIMIT 20),
+        u AS (SELECT doc_id, unnest(list_transform(range(1, len(sp) + 1),
+                i -> struct_pack(pos := i, tok := sp[i]))) AS u FROM d),
+        p AS (SELECT doc_id, u.pos AS pos, u.tok AS tok FROM u),
+        ph AS (SELECT CAST(count(*) AS BIGINT) AS n_phrase
+          FROM p p1 JOIN p p2 ON p2.doc_id = p1.doc_id AND p2.pos = p1.pos + 1
+          WHERE p1.tok = 'hash' AND p2.tok = 'join'),
+        gl AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd, CAST(SUM(dl) AS BIGINT) AS sl FROM dd)
+        SELECT s.doc_id, s.score_micro, gl.nd, gl.sl, ph.n_phrase,
+               CAST(0 AS BIGINT) AS n_tomb, CAST(1 AS BIGINT) AS glob_rows
+        FROM scores s CROSS JOIN gl CROSS JOIN ph
+        ORDER BY score_micro DESC, doc_id"""),
+      // fixture: own namespace; seed the WHOLE corpus through the shared
+      // fold, then a takedown + re-crawl interval folded as mutations —
+      // the measured run starts with real compaction debt
+      setup = Some((s, dir) => {
+        ensureCatalog(s, dir)
+        val ns2 = "gcat.fts5"
+        s.sql("CREATE NAMESPACE IF NOT EXISTS gcat.fts5")
+        fts2Create(s, ns2, withRowKey = true)
+        s.read.parquet(s"$dir/documents.parquet")
+          .select(col("doc_id").cast("string").as("row_key"),
+            col("doc_id"), col("text"))
+          .writeTo(s"$ns2.fts2_src").append()
+        val v1 = fts2SrcVersion(s, ns2)
+        fts2Fold(s, ns2,
+          s.read.option("since-version", 0L).option("snapshot-version", v1)
+            .table(s"$ns2.fts2_src").select(col("doc_id"), col("text")), v1)
+        s.sql(s"DELETE FROM $ns2.fts2_src WHERE doc_id % 11 = 3")
+        s.sql(
+          s"""UPDATE $ns2.fts2_src SET text = concat(text, ' refreshed')
+             |WHERE doc_id % 11 = 4 AND text NOT LIKE '%refreshed'""".stripMargin)
+        val v2 = fts2SrcVersion(s, ns2)
+        val cat = s.sessionState.catalogManager.catalog("gcat")
+          .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
+        val tbl = cat.loadTable(org.apache.spark.sql.connector.catalog.Identifier
+            .of(Array("fts5"), "fts2_src")).asInstanceOf[graft.sources.GraftTable]
+        fts2FoldFeed(s, ns2, s"$ns2.fts2_src",
+          graft.sources.Snapshots.changes(s, tbl, since = v1, end = Some(v2)),
+          v1, v2)
+        ()
       }))
   )
 }
