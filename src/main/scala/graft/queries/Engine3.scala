@@ -1253,6 +1253,106 @@ object Engine3 {
           graft.sources.Snapshots.changes(s, tbl, since = v1, end = Some(v2)),
           v1, v2)
         ()
+      })),
+
+    // ---- q174: STREAMING index maintenance (no manual folds) ---------------
+    // q170/q171 verify the fold routines; production doesn't CALL them —
+    // a maintainer does. IndexMaintain tails the ingest table's change
+    // feed (the MvMaintain discipline: the stream is only a commit
+    // notification) and per micro-batch drives the verified folds over
+    // `(watermark, head]`, both ends pinned: an insert-only interval
+    // takes the cheap incremental-scan fold (no tombstone debt from mere
+    // appends), an interval with deletes/updates takes the
+    // endpoint-state feed fold. Exactly-once comes from the folds
+    // themselves (watermark advances IN the index transaction), so a
+    // replayed or restarted drain no-ops. The measured run lands THREE
+    // interleaved source commits — an insert batch, a takedown, a
+    // re-crawl — starts the maintainer with a FRESH checkpoint, drains,
+    // and serves BM25 + phrase + constants from the maintained index;
+    // the oracle rebuilds from the post-mutation corpus. At 100 TB this
+    // is the always-on job that keeps retrieval fresh against a 24/7
+    // ingest with per-trigger O(batch) cost.
+    QueryDef(
+      "q174_fts_streaming_maintenance",
+      (s, dir) => {
+        ensureCatalog(s, dir)
+        val ns2 = "gcat.fts6"
+        // three source commits, NO fold calls anywhere in this run. All
+        // three are self-guarded so a re-run mutates nothing and the
+        // maintainer's drain is a no-op (watermark == head).
+        val have = s.table(s"$ns2.fts2_src").select(col("doc_id"))
+        val newDocs = s.read.parquet(s"$dir/documents.parquet")
+          .filter(col("doc_id") % 3 === 1)
+          .select(col("doc_id"), col("text"))
+          .join(have, Seq("doc_id"), "left_anti")
+          .select(col("doc_id").cast("string").as("row_key"),
+            col("doc_id"), col("text"))
+        if (!newDocs.isEmpty) newDocs.writeTo(s"$ns2.fts2_src").append()
+        s.sql(s"DELETE FROM $ns2.fts2_src WHERE doc_id % 7 = 2")
+        s.sql(
+          s"""UPDATE $ns2.fts2_src SET text = concat(text, ' restreamed')
+             |WHERE doc_id % 7 = 5 AND text NOT LIKE '%restreamed'""".stripMargin)
+        val ckpt = java.nio.file.Files.createTempDirectory("q174_ckpt").toString
+        graft.streaming.IndexMaintain.start(
+          s, s"$ns2.fts2_src", s"$ns2.fts2_meta", ckpt,
+          s.conf.get("spark.sql.catalog.gcat.warehouse"),
+          foldAppend = (delta, v2) =>
+            fts2Fold(s, ns2, delta.select(col("doc_id"), col("text")), v2),
+          foldFeed = (feed, v1, v2) =>
+            fts2FoldFeed(s, ns2, s"$ns2.fts2_src", feed, v1, v2))
+          .awaitTermination()
+        fts2ServeAll(s, ns2, Seq("scan", "merge", "restreamed"), "hash", "join")
+      },
+      // the oracle rebuilds from the corpus as the maintainer left it:
+      // seed slice (%3=0) + streamed inserts (%3=1), minus the takedown
+      // (%7=2), with the re-crawl suffix on %7=5
+      Some("""WITH corp AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 7 = 5 THEN text || ' restreamed'
+                      ELSE text END AS text
+          FROM documents WHERE doc_id % 3 IN (0, 1) AND doc_id % 7 <> 2),
+        d AS (SELECT doc_id, string_split(text, ' ') AS sp FROM corp),
+        dd AS (SELECT doc_id, CAST(len(sp) AS BIGINT) AS dl, sp FROM d),
+        g AS (SELECT CAST(SUM(dl) AS DOUBLE) AS sl, CAST(COUNT(*) AS DOUBLE) AS nd FROM dd),
+        t AS (SELECT doc_id, dl, unnest(sp) AS tok FROM dd),
+        tf AS (SELECT doc_id, dl, tok, CAST(COUNT(*) AS DOUBLE) AS tf
+               FROM t WHERE tok IN ('scan', 'merge', 'restreamed') GROUP BY doc_id, dl, tok),
+        dfx AS (SELECT tok, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY tok),
+        parts AS (
+          SELECT tf.doc_id,
+            round(((g.nd - dfx.df + 0.5) / (dfx.df + 0.5)) * tf.tf * 2.2 /
+              (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / (g.sl / g.nd))) * 1e6) AS part
+          FROM tf JOIN dfx USING (tok) CROSS JOIN g),
+        scores AS (SELECT doc_id, CAST(SUM(part) AS BIGINT) AS score_micro
+          FROM parts GROUP BY doc_id
+          ORDER BY score_micro DESC, doc_id LIMIT 20),
+        u AS (SELECT doc_id, unnest(list_transform(range(1, len(sp) + 1),
+                i -> struct_pack(pos := i, tok := sp[i]))) AS u FROM d),
+        p AS (SELECT doc_id, u.pos AS pos, u.tok AS tok FROM u),
+        ph AS (SELECT CAST(count(*) AS BIGINT) AS n_phrase
+          FROM p p1 JOIN p p2 ON p2.doc_id = p1.doc_id AND p2.pos = p1.pos + 1
+          WHERE p1.tok = 'hash' AND p2.tok = 'join'),
+        gl AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd, CAST(SUM(dl) AS BIGINT) AS sl FROM dd)
+        SELECT s.doc_id, s.score_micro, gl.nd, gl.sl, ph.n_phrase
+        FROM scores s CROSS JOIN gl CROSS JOIN ph
+        ORDER BY score_micro DESC, doc_id"""),
+      // fixture: own namespace, the SEED slice (%3=0) indexed through the
+      // shared fold — the measured run is exactly the maintained lifecycle
+      setup = Some((s, dir) => {
+        ensureCatalog(s, dir)
+        val ns2 = "gcat.fts6"
+        s.sql("CREATE NAMESPACE IF NOT EXISTS gcat.fts6")
+        fts2Create(s, ns2, withRowKey = true)
+        s.read.parquet(s"$dir/documents.parquet")
+          .filter(col("doc_id") % 3 === 0)
+          .select(col("doc_id").cast("string").as("row_key"),
+            col("doc_id"), col("text"))
+          .writeTo(s"$ns2.fts2_src").append()
+        val v1 = fts2SrcVersion(s, ns2)
+        fts2Fold(s, ns2,
+          s.read.option("since-version", 0L).option("snapshot-version", v1)
+            .table(s"$ns2.fts2_src").select(col("doc_id"), col("text")), v1)
+        ()
       }))
   )
 }

@@ -1,0 +1,112 @@
+package graft.streaming
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, max}
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.sources.{ChangeLog, GraftTable, GraftViewBridge, Snapshots, TableStats, Transactions}
+
+/** Streaming maintenance for the persisted retrieval indexes (the FTS
+  * tables of q170/q171, the ANN tables of q154/q172): tail the ingest
+  * table's change feed and, per micro-batch, drive the SAME transactional
+  * fold routines the batch gates verify — so an ingesting corpus keeps
+  * its indexes fresh with no orchestration and NO manual fold calls.
+  *
+  * [[DerivedMaintain]] is this maintainer's append-only ancestor; the
+  * difference is mutation support. Each batch classifies its outstanding
+  * interval `(watermark, live]` by the change feed's own content:
+  *
+  *  - inserts only → `foldAppend` gets the verified incremental snapshot
+  *    scan of the delta (cheapest path: O(delta), no tombstones, no
+  *    endpoint-state reads — an append-only workload never accretes
+  *    tombstone debt from its maintainer);
+  *  - any delete/update → `foldFeed` gets the commit-recorded change
+  *    feed for the interval (the q171/q172 endpoint-state fold: affected
+  *    ids from the feed, content re-read WHOLE from the source pinned at
+  *    the interval end).
+  *
+  * The stream itself is only a COMMIT NOTIFICATION (the MvMaintain
+  * discipline): each batch re-derives the interval from the index's own
+  * recorded watermark to the source's live head, both ends pinned, so
+  * batch boundaries never matter, a crashed batch is covered whole by
+  * the next one, and a replayed batch (fresh checkpoint, restarted
+  * query) sees watermark == head and no-ops. Exactly-once comes from the
+  * fold routines themselves: they advance the watermark IN the same
+  * multi-table transaction as the index rows. `recover()` at start heals
+  * any transaction a previous maintainer left mid-protocol
+  * (single-maintainer per index, like any single-writer sink).
+  *
+  * The classification probe costs one delta-sized job per batch (does
+  * the feed hold a non-insert row?) — O(batch), never O(table). Scale
+  * shape at 100 TB: per trigger, one metadata read (watermark + head),
+  * one delta-sized classification, one fold at O(batch tokens).
+  */
+object IndexMaintain {
+
+  /** Start the maintainer.
+    *
+    * @param source     catalog-qualified ingest table (row-keyed if it
+    *                   is ever mutated — the change feed needs identity)
+    * @param metaTable  the index's watermark log `(indexed_version
+    *                   BIGINT)` — the SAME table the folds advance
+    * @param coordDir   the folds' transaction coordinator directory
+    *                   (recover() runs against it at start)
+    * @param foldAppend (delta pinned to `(watermark, head]`, head) —
+    *                   e.g. `Engine3.fts2Fold`
+    * @param foldFeed   (change feed for `(watermark, head]`, watermark,
+    *                   head) — e.g. `Engine3.fts2FoldFeed`
+    * @param onBatch    (watermark, head, mutated) per non-empty batch —
+    *                   route census for tests/monitoring
+    */
+  def start(spark: SparkSession, source: String, metaTable: String,
+      checkpoint: String, coordDir: String,
+      foldAppend: (DataFrame, Long) => Unit,
+      foldFeed: (DataFrame, Long, Long) => Unit,
+      trigger: Trigger = Trigger.AvailableNow(),
+      recoverAgeMillis: Long = 0L,
+      onBatch: (Long, Long, Boolean) => Unit = (_, _, _) => ()): StreamingQuery = {
+
+    val parts = spark.sessionState.sqlParser.parseMultipartIdentifier(source)
+    val (cat, id) = GraftViewBridge.resolveIdent(spark, parts).getOrElse(
+      throw new IllegalArgumentException(
+        s"graft: $source is not in a graft catalog"))
+    val tbl = cat.loadTable(id).asInstanceOf[GraftTable]
+    Transactions.recover(spark, coordDir, recoverAgeMillis)
+
+    def liveVersion(): Long = {
+      val d = new Path(tbl.tableDir, "data")
+      TableStats.liveVersion(d.getFileSystem(new Configuration()), d).getOrElse(0L)
+    }
+    spark.readStream.format("graft")
+      // the change-feed source checkpoints offsets across every commit
+      // kind (appends, COW, MOR); its CONTENT is ignored — the fold
+      // re-reads its interval from commit metadata with both ends pinned
+      .option("change-feed", "true")
+      .load(tbl.tableDir)
+      .writeStream
+      .foreachBatch { (_: DataFrame, _: Long) =>
+        val recorded = spark.table(metaTable)
+          .agg(max("indexed_version")).head() match {
+          case r if r.isNullAt(0) => 0L
+          case r => r.getLong(0)
+        }
+        val now = liveVersion()
+        if (now > recorded) {
+          val feed = Snapshots.changes(spark, tbl,
+            since = recorded, end = Some(now), hydrateMor = true)
+          val mutated = !feed
+            .where(col(ChangeLog.TypeCol) =!= "insert").isEmpty
+          if (mutated) foldFeed(feed, recorded, now)
+          else foldAppend(spark.read.option("since-version", recorded)
+            .option("snapshot-version", now).table(source), now)
+          onBatch(recorded, now, mutated)
+        }
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .start()
+  }
+}

@@ -776,4 +776,69 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(pairs() == Set((101L, 201L), (109L, 209L)))
     } finally q.stop()
   }
+
+  test("IndexMaintain: maintained FTS serve == rebuild at every drain boundary, " +
+      "no manual folds, insert-only batches take the cheap path") {
+    val wh = Files.createTempDirectory("graft_im").toString
+    spark.conf.set("spark.sql.catalog.gcat", classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gcat.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gcat.im")
+    val ns = "gcat.im"
+    graft.queries.Engine3.fts2Create(spark, ns, withRowKey = true)
+    import spark.implicits._
+    val state = scala.collection.mutable.Map[Long, String]()
+    def txt(i: Long, salt: Int) = s"tok${(i + salt) % 7} tok${(i + salt) % 5} common"
+    def append(rows: Seq[(Long, String)]): Unit = {
+      rows.toDF("doc_id", "text")
+        .select(col("doc_id").cast("string").as("row_key"),
+          col("doc_id"), col("text"))
+        .writeTo(s"$ns.fts2_src").append()
+      rows.foreach { case (i, t) => state(i) = t }
+    }
+    val routes = scala.collection.mutable.ArrayBuffer[Boolean]() // mutated?
+    def drain(): Unit = graft.streaming.IndexMaintain.start(
+      spark, s"$ns.fts2_src", s"$ns.fts2_meta",
+      Files.createTempDirectory("im_ckpt").toString, wh,
+      foldAppend = (delta, v2) => graft.queries.Engine3.fts2Fold(
+        spark, ns, delta.select(col("doc_id"), col("text")), v2),
+      foldFeed = (feed, v1, v2) => graft.queries.Engine3.fts2FoldFeed(
+        spark, ns, s"$ns.fts2_src", feed, v1, v2),
+      onBatch = (_, _, mutated) => routes += mutated)
+      .awaitTermination()
+    def serveOf(n: String): Seq[(Long, Long)] =
+      graft.queries.Engine3.fts2Bm25(spark, n,
+        Seq("common", "tok1", "fresh")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    def assertEqualsRebuild(round: String): Unit = {
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS gcat.imr")
+      graft.queries.Engine3.fts2Create(spark, "gcat.imr")
+      state.toSeq.toDF("doc_id", "text").writeTo("gcat.imr.fts2_src").append()
+      graft.queries.Engine3.fts2Fold(spark, "gcat.imr",
+        spark.table("gcat.imr.fts2_src"),
+        graft.queries.Engine3.fts2SrcVersion(spark, "gcat.imr"))
+      assert(serveOf(ns) == serveOf("gcat.imr"),
+        s"$round: maintained serve diverged from rebuild")
+    }
+    // boundary 1: the SEED itself arrives through the maintainer —
+    // insert-only, so the cheap incremental-scan fold must be routed
+    append((0L until 30L).map(i => (i, txt(i, 0))))
+    drain()
+    assert(routes.toSeq == Seq(false),
+      s"insert-only interval must take the append fold, got $routes")
+    assertEqualsRebuild("seed drain")
+    // boundary 2: mutations (takedown + re-crawl) + an insert, one drain
+    spark.sql(s"DELETE FROM $ns.fts2_src WHERE doc_id IN (3, 17)")
+    state --= Seq(3L, 17L)
+    spark.sql(s"UPDATE $ns.fts2_src SET text = 'fresh tok2 common' WHERE doc_id = 5")
+    state(5L) = "fresh tok2 common"
+    append(Seq((100L, txt(100, 1))))
+    drain()
+    assert(routes.toSeq == Seq(false, true),
+      s"a mutated interval must take the feed fold, got $routes")
+    assertEqualsRebuild("mutation drain")
+    // boundary 3: nothing new — the drain must fold nothing
+    drain()
+    assert(routes.size == 2, "an empty interval must not fold")
+    assertEqualsRebuild("idle drain")
+  }
 }
