@@ -89,6 +89,135 @@ object Engine2 {
     df.groupBy(col("code"), col("j"))
       .agg(expr("transform(array_sort(collect_list(struct(pos, v))), x -> x.v)").as("cv"))
 
+  // ---- q172/q175 shared: mutation fold, survival guard, compaction --------
+
+  /** Seed the q172-shape index tables in `ns2` (its own namespace): the
+    * row-keyed flattened source, the FROZEN first-16 quantizer, the
+    * whole corpus encoded at rev v1. */
+  private def ann3Seed(s: SparkSession, ns2: String, dir: String): Unit = {
+    Engine.ensureCatalog(s, dir)
+    val db = ns2.split('.')(1)
+    s.sql(s"CREATE NAMESPACE IF NOT EXISTS $ns2")
+    for (tb <- Seq("ann3_src", "ann3_cent", "ann3_book", "ann3_post",
+        "ann3_del", "ann3_meta"))
+      s.sql(s"DROP TABLE IF EXISTS $ns2.$tb")
+    s.sql(s"CREATE TABLE $ns2.ann3_src (row_key STRING, vec_id BIGINT, pos INT, v DOUBLE)")
+    s.sql(s"CREATE TABLE $ns2.ann3_cent (cid BIGINT, pos INT, v DOUBLE)")
+    s.sql(s"CREATE TABLE $ns2.ann3_book (j INT, code BIGINT, pos INT, v DOUBLE)")
+    s.sql(
+      s"""CREATE TABLE $ns2.ann3_post (vid BIGINT, j INT, code BIGINT,
+         |list_id BIGINT, rev BIGINT) PARTITIONED BY (list_id)""".stripMargin)
+    s.sql(s"CREATE TABLE $ns2.ann3_del (vid BIGINT, rev BIGINT)")
+    s.sql(s"CREATE TABLE $ns2.ann3_meta (indexed_version BIGINT)")
+    val t = Tables(s, dir)
+    annFlat(emb(t))
+      .select(concat_ws(":", col("vec_id"), col("pos")).as("row_key"),
+        col("vec_id"), col("pos"), col("v"))
+      .writeTo(s"$ns2.ann3_src").append()
+    val v1 = gcatTableVersion(s, db, "ann3_src")
+    val seed = annRegroup(s.table(s"$ns2.ann3_src")
+      .select(col("vec_id"), col("pos"), col("v"))).persist()
+    val cent0 = seed.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cid"), col("e").as("ce"))
+    val book0 = seed.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("code"),
+        explode(expr("sequence(0, 7)")).as("j"), col("e"))
+      .select(col("code"), col("j"), expr("slice(e, j * 8 + 1, 8)").as("cv"))
+    cent0.select(col("cid"), posexplode(col("ce")).as(Seq("pos", "v")))
+      .writeTo(s"$ns2.ann3_cent").append()
+    book0.select(col("j"), col("code"), posexplode(col("cv")).as(Seq("pos", "v")))
+      .writeTo(s"$ns2.ann3_book").append()
+    annEncode(seed, cent0, book0).withColumn("rev", lit(v1))
+      .writeTo(s"$ns2.ann3_post").append()
+    seed.unpersist(blocking = false)
+    s.sql(s"INSERT INTO $ns2.ann3_meta VALUES ($v1)")
+  }
+
+  /** The q172 mutation interval applied to `ns2`'s index — takedown
+    * (vec_id % 7 = 3), re-embedding (abs on % 7 = 5, SELF-GUARDED so
+    * re-runs are empty intervals), then the endpoint-state feed fold:
+    * tombstone every affected vec_id at rev = head, re-encode affected
+    * vectors WHOLE from the pinned source against the frozen quantizer,
+    * advance postings + tombstones + watermark in ONE transaction.
+    * Returns the regrouped (centroids, codebook) for the caller's serve. */
+  private def ann3MutateAndFold(s: SparkSession, ns2: String)
+      : (DataFrame, DataFrame) = {
+    val coord = s.conf.get("spark.sql.catalog.gcat.warehouse")
+    val db = ns2.split('.')(1)
+    val v1 = s.table(s"$ns2.ann3_meta")
+      .agg(max(col("indexed_version"))).first().getLong(0)
+    s.sql(s"DELETE FROM $ns2.ann3_src WHERE vec_id % 7 = 3")
+    s.sql(s"UPDATE $ns2.ann3_src SET v = abs(v) WHERE vec_id % 7 = 5 AND v < 0")
+    val v2 = gcatTableVersion(s, db, "ann3_src")
+    val cat = s.sessionState.catalogManager.catalog("gcat")
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
+    val tbl = cat.loadTable(org.apache.spark.sql.connector.catalog.Identifier
+        .of(Array(db), "ann3_src")).asInstanceOf[graft.sources.GraftTable]
+    val feed = graft.sources.Snapshots.changes(s, tbl,
+      since = v1, end = Some(v2), hydrateMor = true)
+    val affected = feed.select(col("vec_id")).distinct()
+    val postVecs = annRegroup(
+      s.read.option("snapshot-version", v2).table(s"$ns2.ann3_src")
+        .join(broadcast(affected), Seq("vec_id"), "left_semi")
+        .select(col("vec_id"), col("pos"), col("v")))
+    val centT = regroupCent(s.table(s"$ns2.ann3_cent"))
+    val bookT = regroupBook(s.table(s"$ns2.ann3_book"))
+    val newPost = annEncode(postVecs, centT, bookT)
+      .withColumn("rev", lit(v2))
+    val tomb = affected.select(col("vec_id").as("vid"), lit(v2).as("rev"))
+    graft.sources.Transactions.run(s, coord) { txn =>
+      txn.write(s"$ns2.ann3_post", newPost)
+      txn.write(s"$ns2.ann3_del", tomb)
+      txn.write(s"$ns2.ann3_meta",
+        s.range(1).select(lit(v2).as("indexed_version")))
+    }
+    (centT, bookT)
+  }
+
+  /** Registry-sized tombstone aggregate (the FTS guard's dense-side
+    * twin, [[Engine3.fts2TombMaxOpt]]): None when there are no
+    * tombstones — the serve plans NO survival join; broadcast under the
+    * shared ceiling; plain join above it. */
+  private[graft] def ann3TombMaxOpt(s: SparkSession, ns2: String): Option[DataFrame] = {
+    val (rows, bytes) = Engine3.registryStats(s, ns2, "ann3_del")
+    if (rows == 0L) None
+    else {
+      val agg = s.table(s"$ns2.ann3_del")
+        .groupBy(col("vid")).agg(max(col("rev")).as("trev"))
+      val ceiling = s.conf.getOption("graft.index.tombstoneBroadcastBytes")
+        .map(_.toLong).getOrElse(64L * 1024 * 1024)
+      Some(if (bytes <= ceiling) broadcast(agg) else agg)
+    }
+  }
+
+  /** Survival filter over `(vid, ..., rev)` rows; None is the identity. */
+  private[graft] def ann3Surviving(df: DataFrame,
+      tombMax: Option[DataFrame]): DataFrame =
+    tombMax.fold(df)(t =>
+      df.join(t, Seq("vid"), "left")
+        .where(col("trev").isNull || col("rev") >= col("trev"))
+        .drop("trev"))
+
+  /** COMPACT the maintained ANN index (the q173 discipline applied to
+    * dense retrieval): rewrite the postings to their SURVIVING rows —
+    * rev-filtered by exactly the serve's survival rule, re-landed under
+    * the same list_id partitioning — and truncate the tombstone table,
+    * two staged REPLACES in ONE transaction (postings first, so any
+    * mid-publish prefix serves identically). The watermark does not
+    * move. Returns false (nothing runs) with no tombstones. */
+  private[graft] def annCompact(s: SparkSession, ns2: String): Boolean = {
+    val coord = s.conf.get("spark.sql.catalog.gcat.warehouse")
+    val (tombRows, _) = Engine3.registryStats(s, ns2, "ann3_del")
+    if (tombRows == 0L) return false
+    val tombMax = ann3TombMaxOpt(s, ns2)
+    graft.sources.Transactions.run(s, coord) { txn =>
+      txn.replace(s"$ns2.ann3_post",
+        ann3Surviving(s.table(s"$ns2.ann3_post"), tombMax))
+      txn.replace(s"$ns2.ann3_del", s.table(s"$ns2.ann3_del").limit(0))
+    }
+    true
+  }
+
   /** The IVF-PQ serve the maintenance gates share (q154/q172): probe the
     * top-2 lists per query against the broadcast centroids, read ONLY
     * the probed lists' postings (supplied by `postOf` — q172 wraps it in
@@ -1032,60 +1161,76 @@ object Engine2 {
       "q172_ann_mutations",
       (s, dir) => {
         val ns2 = "gcat.ann3"
-        val coord = s.conf.get("spark.sql.catalog.gcat.warehouse")
-        val v1 = s.table(s"$ns2.ann3_meta")
-          .agg(max(col("indexed_version"))).first().getLong(0)
-        // takedown + re-embedding. The update is SELF-GUARDED (v < 0):
-        // a re-run matches no rows, the interval's feed is empty, and
-        // the fold truly degenerates to a watermark advance — no
-        // re-encode, no tombstone/posting growth across bench repeats
-        s.sql(s"DELETE FROM $ns2.ann3_src WHERE vec_id % 7 = 3")
-        s.sql(s"UPDATE $ns2.ann3_src SET v = abs(v) WHERE vec_id % 7 = 5 AND v < 0")
-        val v2 = gcatTableVersion(s, "ann3", "ann3_src")
-        val cat = s.sessionState.catalogManager.catalog("gcat")
-          .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
-        val tbl = cat.loadTable(org.apache.spark.sql.connector.catalog.Identifier
-            .of(Array("ann3"), "ann3_src")).asInstanceOf[graft.sources.GraftTable]
-        val feed = graft.sources.Snapshots.changes(s, tbl,
-          since = v1, end = Some(v2), hydrateMor = true)
-        val affected = feed.select(col("vec_id")).distinct()
-        val postVecs = annRegroup(
-          s.read.option("snapshot-version", v2).table(s"$ns2.ann3_src")
-            .join(broadcast(affected), Seq("vec_id"), "left_semi")
-            .select(col("vec_id"), col("pos"), col("v")))
-        val centT = regroupCent(s.table(s"$ns2.ann3_cent"))
-        val bookT = regroupBook(s.table(s"$ns2.ann3_book"))
-        val newPost = annEncode(postVecs, centT, bookT)
-          .withColumn("rev", lit(v2))
-        val tomb = affected.select(col("vec_id").as("vid"), lit(v2).as("rev"))
-        graft.sources.Transactions.run(s, coord) { txn =>
-          txn.write(s"$ns2.ann3_post", newPost)
-          txn.write(s"$ns2.ann3_del", tomb)
-          txn.write(s"$ns2.ann3_meta",
-            s.range(1).select(lit(v2).as("indexed_version")))
-        }
-
+        val (centT, bookT) = ann3MutateAndFold(s, ns2)
         // serve q154-style over the MAINTAINED index: probed lists only,
-        // survival-filtered against ONE broadcast tombstone max-rev set
-        val tombMax = s.table(s"$ns2.ann3_del")
-          .groupBy(col("vid")).agg(max(col("rev")).as("trev"))
-        def surviving(df: DataFrame): DataFrame =
-          df.join(broadcast(tombMax), Seq("vid"), "left")
-            .where(col("trev").isNull || col("rev") >= col("trev"))
-            .drop("trev")
+        // survival-filtered against ONE registry-sized tombstone
+        // aggregate (broadcast under the ceiling, plain join above it)
+        val tombMax = ann3TombMaxOpt(s, ns2)
         annServe(emb(Tables(s, dir)), centT, bookT,
-          probed => surviving(s.table(s"$ns2.ann3_post")
-            .where(col("list_id").isin(probed: _*))),
-          proof = surviving(s.table(s"$ns2.ann3_post"))
+          probed => ann3Surviving(s.table(s"$ns2.ann3_post")
+            .where(col("list_id").isin(probed: _*)), tombMax),
+          proof = ann3Surviving(s.table(s"$ns2.ann3_post"), tombMax)
             .agg(count(lit(1)).cast("long").as("n_live")))
       },
       // frozen quantizer (ORIGINAL first-16 vectors) over the
       // POST-MUTATION corpus — maintained serve ≡ from-scratch rebuild
-      Some {
-        def fold(a: String, b: String): String =
-          s"""list_sum(list_transform(range(1, len($a.embedding) + 1),
-             |  i -> round(CAST($a.embedding[i] AS DOUBLE) * CAST($b.embedding[i] AS DOUBLE) * 1e9)))""".stripMargin
-        s"""WITH corp AS (
+      Some(ann3RebuildOracle("")),
+      // fixture: its OWN namespace, row-keyed flattened source (row-level
+      // DELETE/UPDATE need the key), the WHOLE corpus indexed at rev v1
+      // against the frozen first-16 quantizer
+      setup = Some((s, dir) => ann3Seed(s, "gcat.ann3", dir))),
+
+    // ---- q175: ANN index tombstone COMPACTION ------------------------------
+    // q173's discipline applied to dense retrieval: q172's mutation folds
+    // leave the partitioned postings untouched and pay with a tombstone
+    // set that every serve must survival-join. annCompact rewrites the
+    // SURVIVING postings (rev-filtered by exactly the serve's rule,
+    // re-landed under the same list_id partitioning) and truncates the
+    // tombstone table — two staged REPLACES in one transaction, postings
+    // first so a mid-publish crash leaves a prefix that serves
+    // identically. The measured run compacts, then serves the q154 probe
+    // with n_tomb PINNED 0; the zero-tombstone serve plans NO survival
+    // join (the n_live proof doubles as evidence the rewrite dropped
+    // exactly the dead rows: 8 codes × live vectors). The oracle replays
+    // assignment/ADC from the post-mutation corpus with the frozen
+    // quantizer — compacted serve ≡ maintained serve ≡ rebuild. A re-run
+    // finds no tombstones and compacts nothing.
+    QueryDef(
+      "q175_ann_index_compaction",
+      (s, dir) => {
+        val ns2 = "gcat.ann4"
+        annCompact(s, ns2)
+        val centT = regroupCent(s.table(s"$ns2.ann3_cent"))
+        val bookT = regroupBook(s.table(s"$ns2.ann3_book"))
+        val tombMax = ann3TombMaxOpt(s, ns2) // None after compaction
+        val proof = ann3Surviving(s.table(s"$ns2.ann3_post"), tombMax)
+          .agg(count(lit(1)).cast("long").as("n_live"))
+          .crossJoin(broadcast(s.table(s"$ns2.ann3_del")
+            .agg(count(lit(1)).cast("long").as("n_tomb"))))
+        annServe(emb(Tables(s, dir)), centT, bookT,
+          probed => ann3Surviving(s.table(s"$ns2.ann3_post")
+            .where(col("list_id").isin(probed: _*)), tombMax),
+          proof = proof)
+      },
+      Some(ann3RebuildOracle(",\n          CAST(0 AS BIGINT) AS n_tomb")),
+      // fixture: own namespace, seeded + mutation-folded through the
+      // SHARED q172 routines — the measured run starts with real debt
+      setup = Some((s, dir) => {
+        ann3Seed(s, "gcat.ann4", dir)
+        ann3MutateAndFold(s, "gcat.ann4")
+        ()
+      }))
+  )
+
+  /** The q172/q175 oracle: IVF-PQ assignment + ADC over the
+    * POST-MUTATION corpus with the ORIGINAL frozen quantizer, replayed
+    * relationally. `extraCols` appends pinned proof columns to the final
+    * SELECT (q175 pins `n_tomb = 0`). */
+  private def ann3RebuildOracle(extraCols: String): String = {
+    def fold(a: String, b: String): String =
+      s"""list_sum(list_transform(range(1, len($a.embedding) + 1),
+         |  i -> round(CAST($a.embedding[i] AS DOUBLE) * CAST($b.embedding[i] AS DOUBLE) * 1e9)))""".stripMargin
+    s"""WITH corp AS (
           SELECT vec_id,
                  CASE WHEN vec_id % 7 = 5
                       THEN list_transform(embedding, x -> abs(x))
@@ -1137,54 +1282,11 @@ object Engine2 {
           JOIN lut l ON l.qid = cand.qid AND l.j = c.j AND l.code = c.code
           GROUP BY cand.qid, cand.vid)
         SELECT qid, rank, vid, adist,
-          (SELECT CAST(8 * COUNT(*) AS BIGINT) FROM corp) AS n_live
+          (SELECT CAST(8 * COUNT(*) AS BIGINT) FROM corp) AS n_live$extraCols
         FROM (
           SELECT qid, vid, adist,
             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adist, vid) AS rank
           FROM adc)
         WHERE rank <= 3 ORDER BY qid, rank"""
-      },
-      // fixture: its OWN namespace, row-keyed flattened source (row-level
-      // DELETE/UPDATE need the key), the WHOLE corpus indexed at rev v1
-      // against the frozen first-16 quantizer
-      setup = Some((s, dir) => {
-        Engine.ensureCatalog(s, dir)
-        val ns2 = "gcat.ann3"
-        s.sql("CREATE NAMESPACE IF NOT EXISTS gcat.ann3")
-        for (tb <- Seq("ann3_src", "ann3_cent", "ann3_book", "ann3_post",
-            "ann3_del", "ann3_meta"))
-          s.sql(s"DROP TABLE IF EXISTS $ns2.$tb")
-        s.sql(s"CREATE TABLE $ns2.ann3_src (row_key STRING, vec_id BIGINT, pos INT, v DOUBLE)")
-        s.sql(s"CREATE TABLE $ns2.ann3_cent (cid BIGINT, pos INT, v DOUBLE)")
-        s.sql(s"CREATE TABLE $ns2.ann3_book (j INT, code BIGINT, pos INT, v DOUBLE)")
-        s.sql(
-          s"""CREATE TABLE $ns2.ann3_post (vid BIGINT, j INT, code BIGINT,
-             |list_id BIGINT, rev BIGINT) PARTITIONED BY (list_id)""".stripMargin)
-        s.sql(s"CREATE TABLE $ns2.ann3_del (vid BIGINT, rev BIGINT)")
-        s.sql(s"CREATE TABLE $ns2.ann3_meta (indexed_version BIGINT)")
-        val t = Tables(s, dir)
-        annFlat(emb(t))
-          .select(concat_ws(":", col("vec_id"), col("pos")).as("row_key"),
-            col("vec_id"), col("pos"), col("v"))
-          .writeTo(s"$ns2.ann3_src").append()
-        val v1 = gcatTableVersion(s, "ann3", "ann3_src")
-        val seed = annRegroup(s.table(s"$ns2.ann3_src")
-          .select(col("vec_id"), col("pos"), col("v"))).persist()
-        val cent0 = seed.filter(col("vec_id") < 16)
-          .select(col("vec_id").as("cid"), col("e").as("ce"))
-        val book0 = seed.filter(col("vec_id") < 16)
-          .select(col("vec_id").as("code"),
-            explode(expr("sequence(0, 7)")).as("j"), col("e"))
-          .select(col("code"), col("j"), expr("slice(e, j * 8 + 1, 8)").as("cv"))
-        cent0.select(col("cid"), posexplode(col("ce")).as(Seq("pos", "v")))
-          .writeTo(s"$ns2.ann3_cent").append()
-        book0.select(col("j"), col("code"), posexplode(col("cv")).as(Seq("pos", "v")))
-          .writeTo(s"$ns2.ann3_book").append()
-        annEncode(seed, cent0, book0).withColumn("rev", lit(v1))
-          .writeTo(s"$ns2.ann3_post").append()
-        seed.unpersist(blocking = false)
-        s.sql(s"INSERT INTO $ns2.ann3_meta VALUES ($v1)")
-        ()
-      }))
-  )
+  }
 }

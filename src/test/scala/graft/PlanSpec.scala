@@ -161,6 +161,45 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(surviving.count() == 200)
   }
 
+  test("q175 serving shape: a compacted index plans NO tombstone scan and keeps " +
+      "list pruning") {
+    // after annCompact the tombstone table is empty; the registry-sized
+    // guard (Engine2.ann3TombMaxOpt) must then plan no survival join AT
+    // ALL — not an empty broadcast, no scan of the del table — while the
+    // probed-list partition pruning stays intact. This drives the REAL
+    // guard against a namespace holding the q172-shaped tables.
+    spark.conf.set("spark.sql.catalog.gpart", classOf[graft.sources.GraftCatalog].getName)
+    if (!spark.conf.getOption("spark.sql.catalog.gpart.warehouse").isDefined)
+      spark.conf.set("spark.sql.catalog.gpart.warehouse",
+        java.nio.file.Files.createTempDirectory("gpart_wh").toString)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gpart.annc")
+    val ns = "gpart.annc"
+    spark.sql(
+      s"""CREATE TABLE $ns.ann3_post (vid BIGINT, code BIGINT, list_id BIGINT,
+         |rev BIGINT) PARTITIONED BY (list_id)""".stripMargin)
+    spark.sql(
+      s"INSERT INTO $ns.ann3_post SELECT id, id % 97, id % 8, 1 FROM range(800)")
+    spark.sql(s"CREATE TABLE $ns.ann3_del (vid BIGINT, rev BIGINT)")
+    def served() = graft.queries.Engine2.ann3Surviving(
+      spark.table(s"$ns.ann3_post").where(col("list_id").isin(1, 4)),
+      graft.queries.Engine2.ann3TombMaxOpt(spark, ns))
+    // empty tombstones (the post-compaction state): no join, no del scan
+    val cleanPlan = served().queryExecution.optimizedPlan.toString
+    assert(!cleanPlan.contains("ann3_del") && !cleanPlan.contains("Join"),
+      s"compacted serve must plan no survival join:\n$cleanPlan")
+    assert(served().rdd.getNumPartitions <
+      spark.table(s"$ns.ann3_post").rdd.getNumPartitions,
+      "probed-list IN must still prune the partitioned postings")
+    assert(served().count() == 200)
+    // one tombstone lands → the guard re-plans WITH the survival join and
+    // the dead posting disappears from the same serve
+    spark.sql(s"INSERT INTO $ns.ann3_del VALUES (12, 2)")
+    val dirtyPlan = served().queryExecution.optimizedPlan.toString
+    assert(dirtyPlan.contains("ann3_del"),
+      s"tombstoned serve must plan the survival join:\n$dirtyPlan")
+    assert(served().count() == 199)
+  }
+
   test("graft source: runtime filters (DPP) re-prune partitions after planning") {
     import org.apache.spark.sql.sources.In
     val cat = spark.sessionState.catalogManager.catalog("gpart")

@@ -29,6 +29,76 @@ class ScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   override def afterAll(): Unit = spark.stop()
 
+  test("FTS index shuffle fans out with input size; a delta fold stays at one shard") {
+    // the helper that drives every index write's range-shard count: one
+    // shard per targetShardBytes of PLANNED input (no job runs), clamped
+    // to [1, 4096] — the round-9 seed-funnel fix (a hardcoded 8 was
+    // either a 100 TB bottleneck or small-delta file spam)
+    import spark.implicits._
+    val tiny = Seq((1L, "a b"), (2L, "c d")).toDF("doc_id", "text")
+    assert(graft.queries.Engine3.fts2ShardCount(tiny) == 1,
+      "a delta-sized batch must land in ONE token-clustered shard")
+    val small = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    val big = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+    // production default (32 MB/shard): both test corpora fit one shard
+    assert(graft.queries.Engine3.fts2ShardCount(small) == 1)
+    // shrink the divisor so the test corpora separate — the GROWTH is the
+    // invariant, the divisor only sets where it starts
+    spark.conf.set("graft.index.targetShardBytes", (64 * 1024).toString)
+    try {
+      val nSmall = graft.queries.Engine3.fts2ShardCount(small)
+      val nBig = graft.queries.Engine3.fts2ShardCount(big)
+      assert(nBig > nSmall,
+        s"shards must grow with input bytes: sf0.1=$nBig sf0.01=$nSmall")
+      assert(nBig <= 4096, "the clamp must hold")
+      // INTEGRATION: the real fold routine. A seed built at a small
+      // target lands SEVERAL token-clustered postings files; the
+      // in-memory delta fold that follows adds exactly its one shard.
+      spark.conf.set("spark.sql.catalog.gcat", classOf[graft.sources.GraftCatalog].getName)
+      spark.conf.set("spark.sql.catalog.gcat.warehouse",
+        java.nio.file.Files.createTempDirectory("graft_sc_fts").toString)
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS gcat.sc")
+      val ns = "gcat.sc"
+      graft.queries.Engine3.fts2Create(spark, ns)
+      small.select(col("doc_id"), col("text")).writeTo(s"$ns.fts2_src").append()
+      val v1 = graft.queries.Engine3.fts2SrcVersion(spark, ns)
+      graft.queries.Engine3.fts2Fold(spark, ns,
+        spark.read.option("since-version", 0L).table(s"$ns.fts2_src")
+          .select(col("doc_id"), col("text")), v1)
+      spark.conf.set("graft.index.targetShardBytes", (8 * 1024).toString)
+      def postFiles(): Int = {
+        val dd = new org.apache.hadoop.fs.Path(
+          spark.conf.get("spark.sql.catalog.gcat.warehouse") + "/sc/fts2_post/data")
+        graft.sources.TableStats.read(
+          dd.getFileSystem(new org.apache.hadoop.conf.Configuration()), dd).size
+      }
+      // rebuild the seed at the 8 KB target in a sibling namespace to
+      // observe the fan-out without disturbing ns
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS gcat.scw")
+      graft.queries.Engine3.fts2Create(spark, "gcat.scw")
+      small.select(col("doc_id"), col("text")).writeTo("gcat.scw.fts2_src").append()
+      graft.queries.Engine3.fts2Fold(spark, "gcat.scw",
+        spark.table("gcat.scw.fts2_src"),
+        graft.queries.Engine3.fts2SrcVersion(spark, "gcat.scw"))
+      val dd = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.catalog.gcat.warehouse") + "/scw/fts2_post/data")
+      val seedFiles = graft.sources.TableStats.read(
+        dd.getFileSystem(new org.apache.hadoop.conf.Configuration()), dd).size
+      assert(seedFiles > 1,
+        s"a seed over-target must fan out to several clustered files, got $seedFiles")
+      // the delta fold adds its ONE shard to ns's postings
+      val before = postFiles()
+      Seq((9001L, "delta doc tokens"), (9002L, "more delta tokens"))
+        .toDF("doc_id", "text").writeTo(s"$ns.fts2_src").append()
+      val v2 = graft.queries.Engine3.fts2SrcVersion(spark, ns)
+      graft.queries.Engine3.fts2Fold(spark, ns,
+        spark.read.option("since-version", v1).option("snapshot-version", v2)
+          .table(s"$ns.fts2_src").select(col("doc_id"), col("text")), v2)
+      assert(postFiles() == before + 1,
+        "a tiny delta fold must land exactly one postings file")
+    } finally spark.conf.unset("graft.index.targetShardBytes")
+  }
+
   test("salted join equals plain join") {
     val li = spark.read.parquet(s"$dir/lineitem.parquet")
       .select(col("l_suppkey").as("suppkey"), col("l_quantity"), col("l_orderkey"))
