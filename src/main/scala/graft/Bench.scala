@@ -178,7 +178,13 @@ object Bench {
     val timings = scala.collection.mutable.LinkedHashMap[String, Double]()
     val setups = scala.collection.mutable.LinkedHashMap[String, Double]()
     val failures = scala.collection.mutable.LinkedHashMap[String, String]()
-    for (d <- SparkEntry.allDefs.sortBy(_.name)) {
+    // SPARK_GRAFT_ONLY=q121,q103: isolate queries under the bench's own
+    // protocol (setup once, min-of-3) — the outlier-reproduction aid
+    val only: Set[String] = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty)
+    for (d <- SparkEntry.allDefs.sortBy(_.name)
+        if only.isEmpty || only(d.name) || only(shortKey(d.name))) {
       val name = d.name
       def msg(e: Throwable): String =
         s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("")}".take(300)

@@ -133,7 +133,16 @@ object Transactions {
           "REPLACE with other writes to the same table in one transaction " +
           "has no coherent publish order")
       val dataDir = new Path(dir, "data")
-      val base = TableStats.liveVersion(fsOf(dataDir), dataDir)
+      val fs = fsOf(dataDir)
+      // materialize an empty registry FIRST on a never-written table —
+      // the stage below would otherwise do it and advance liveVersion,
+      // tripping the race check with a phantom "concurrent commit"
+      if (TableStats.readIfExists(fs, dataDir).isEmpty)
+        TableStats.withLock(fs, dataDir) {
+          if (TableStats.readIfExists(fs, dataDir).isEmpty)
+            TableStats.write(fs, dataDir, Map.empty)
+        }
+      val base = TableStats.liveVersion(fs, dataDir)
       n += 1
       val wapId = s"txn-$id-$n"
       df.writeTo(table).option("wap.id", wapId)

@@ -124,6 +124,47 @@ class FreqSketchSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("capacity 1e5 (the advertised 100 TB configuration) holds its wall and " +
+      "MG bounds") {
+    // the scaladoc advertises ~1e5 capacities for 100 TB corpora
+    // (FreqSketchAgg.scala): exercise exactly that configuration — heavy
+    // head + unbounded tail far past capacity, reduce AND merge paths —
+    // under a wall bound that fails if trim amortization ever regresses
+    // to per-insert sorting (which at 1e5 would be ~minutes).
+    val capacity = 100000
+    val agg = FreqSketchAgg(capacity)
+    val rnd = new scala.util.Random(13)
+    val total = 600000
+    def tok(r: scala.util.Random): String =
+      if (r.nextInt(4) == 0) s"hot${r.nextInt(300)}" else s"tail${r.nextInt(5000000)}"
+    val t0 = System.nanoTime()
+    var b = agg.zero
+    var i = 0
+    while (i < total) { b = agg.reduce(b, tok(rnd)); i += 1 }
+    val merged = agg.finish(agg.merge(b, b))
+    val wallMs = (System.nanoTime() - t0) / 1000000L
+    assert(wallMs < 30000L,
+      s"600k tokens at capacity 1e5 took ${wallMs}ms — not amortized")
+    assert(merged.size <= capacity)
+    val rnd2 = new scala.util.Random(13)
+    val truth = scala.collection.mutable.Map[String, Long]()
+    (0 until total).foreach { _ =>
+      val k = tok(rnd2); truth(k) = truth.getOrElse(k, 0L) + 1L
+    }
+    val bound = 2L * total / (capacity + 1)
+    merged.foreach { case (k, v) =>
+      assert(v <= 2L * truth(k), s"$k overcounted: $v > ${2L * truth(k)}")
+    }
+    (0 until 300).map(i => s"hot$i").foreach { k =>
+      val t = 2L * truth.getOrElse(k, 0L)
+      if (t > bound) {
+        assert(merged.contains(k), s"heavy hitter $k (count $t > $bound) missing")
+        assert(t - merged(k) <= bound,
+          s"undercount of $k exceeds bound: $t - ${merged(k)} > $bound")
+      }
+    }
+  }
+
   test("plan: the sketch aggregates map-side (partial before the exchange)") {
     import spark.implicits._
     val ds = spark.createDataset(corpus).repartition(5)
