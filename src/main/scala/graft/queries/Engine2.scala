@@ -218,6 +218,22 @@ object Engine2 {
     true
   }
 
+  /** [[Engine3.fts2CompactIfDebt]]'s dense-side twin: compact when
+    * tombstone rows exceed `frac` of live postings rows (registry
+    * metadata only — free per maintenance batch). ANN postings are 8
+    * codes per vector and tombstones one per mutated vector, so the
+    * dead-posting fraction at trigger is ~frac × 8; the default fires
+    * around a few-percent vector churn. */
+  private[graft] def annCompactIfDebt(s: SparkSession, ns2: String,
+      frac: Double = 0.05): Boolean = {
+    val (tombRows, _) = Engine3.registryStats(s, ns2, "ann3_del")
+    tombRows > 0L && {
+      val (postRows, _) = Engine3.registryStats(s, ns2, "ann3_post")
+      tombRows.toDouble > frac * math.max(postRows, 1L).toDouble &&
+        annCompact(s, ns2)
+    }
+  }
+
   /** The IVF-PQ serve the maintenance gates share (q154/q172): probe the
     * top-2 lists per query against the broadcast centroids, read ONLY
     * the probed lists' postings (supplied by `postOf` — q172 wraps it in

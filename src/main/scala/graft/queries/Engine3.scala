@@ -314,6 +314,28 @@ object Engine3 {
     true
   }
 
+  /** The compaction POLICY that makes the tombstone debt self-bounding
+    * (what the serve guard's "bounded compaction debt" promise rests
+    * on): compact when tombstone rows exceed `frac` of live postings
+    * rows — BOTH read from the registry, zero data I/O, so the check is
+    * free to run per maintenance batch. Wire it into
+    * [[graft.streaming.IndexMaintain]]'s `onBatch` and the index
+    * compacts itself under churn; between triggers the serve's sized
+    * broadcast→shuffle fallback holds the line. `frac` compares
+    * tombstones (one per mutated DOC) against postings (one per (tok,
+    * doc)), so the dead-POSTING fraction at trigger is roughly frac ×
+    * tokens-per-doc — the default 0.05 fires around a few-percent doc
+    * churn for typical documents. Returns true when a compaction ran. */
+  private[graft] def fts2CompactIfDebt(s: SparkSession, ns: String,
+      frac: Double = 0.05): Boolean = {
+    val (tombRows, _) = registryStats(s, ns, "fts2_del")
+    tombRows > 0L && {
+      val (postRows, _) = registryStats(s, ns, "fts2_post")
+      tombRows.toDouble > frac * math.max(postRows, 1L).toDouble &&
+        fts2Compact(s, ns)
+    }
+  }
+
   /** One max-rev row per tombstoned doc — computed ONCE per serve and
     * joined into every survival filter. SIZED FROM THE REGISTRY before
     * any plan exists: an index with NO tombstones (fresh, or just

@@ -841,4 +841,77 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(routes.size == 2, "an empty interval must not fold")
     assertEqualsRebuild("idle drain")
   }
+
+  test("self-compacting maintenance: the onBatch debt policy keeps the tombstone " +
+      "table bounded under churn, answers stay == rebuild") {
+    // the loop the verdict asked for: IndexMaintain folds each interval,
+    // then fts2CompactIfDebt (registry-metadata check, free per batch)
+    // compacts whenever tombstones exceed the debt fraction — so under
+    // sustained churn the index never accretes unbounded survival state
+    // and no orchestration outside the maintainer exists.
+    val wh = Files.createTempDirectory("graft_ac").toString
+    spark.conf.set("spark.sql.catalog.gcat", classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gcat.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gcat.ac")
+    val ns = "gcat.ac"
+    graft.queries.Engine3.fts2Create(spark, ns, withRowKey = true)
+    import spark.implicits._
+    val state = scala.collection.mutable.Map[Long, String]()
+    def txt(i: Long, salt: Int) = s"tok${(i + salt) % 7} tok${(i + salt) % 5} common"
+    def append(rows: Seq[(Long, String)]): Unit = {
+      rows.toDF("doc_id", "text")
+        .select(col("doc_id").cast("string").as("row_key"),
+          col("doc_id"), col("text"))
+        .writeTo(s"$ns.fts2_src").append()
+      rows.foreach { case (i, t) => state(i) = t }
+    }
+    var compactions = 0
+    def drain(): Unit = graft.streaming.IndexMaintain.start(
+      spark, s"$ns.fts2_src", s"$ns.fts2_meta",
+      Files.createTempDirectory("ac_ckpt").toString, wh,
+      foldAppend = (delta, v2) => graft.queries.Engine3.fts2Fold(
+        spark, ns, delta.select(col("doc_id"), col("text")), v2),
+      foldFeed = (feed, v1, v2) => graft.queries.Engine3.fts2FoldFeed(
+        spark, ns, s"$ns.fts2_src", feed, v1, v2),
+      onBatch = (_, _, _) =>
+        if (graft.queries.Engine3.fts2CompactIfDebt(spark, ns, frac = 0.01))
+          compactions += 1)
+      .awaitTermination()
+    append((0L until 40L).map(i => (i, txt(i, 0))))
+    drain() // seed: insert-only, no debt, policy must NOT fire
+    assert(compactions == 0, "an append-only drain must never compact")
+    var nextId = 700L
+    for (round <- 1 to 3) {
+      val live = state.keys.toSeq.sorted
+      Seq(live(round), live(round + 4), live(round + 9)).foreach { id =>
+        spark.sql(s"DELETE FROM $ns.fts2_src WHERE doc_id = $id"); state -= id
+      }
+      val uid = state.keys.toSeq.sorted.head
+      val ut = s"fresh ${txt(uid, round)}"
+      spark.sql(s"UPDATE $ns.fts2_src SET text = '$ut' WHERE doc_id = $uid")
+      state(uid) = ut
+      append(Seq((nextId, txt(nextId, round)))); nextId += 1
+      drain()
+      // 4 tombstoned docs vs ~160 postings rows >> 1% → the policy fired
+      // inside the drain and emptied the debt
+      assert(compactions == round,
+        s"round $round: the debt policy must compact inside the drain")
+      assert(spark.table(s"$ns.fts2_del").count() == 0,
+        s"round $round: tombstones must be folded away by the maintainer")
+      assert(spark.table(s"$ns.fts2_glob").count() == 1)
+      // answers unchanged: == a from-scratch rebuild of the current state
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS gcat.acr")
+      graft.queries.Engine3.fts2Create(spark, "gcat.acr")
+      state.toSeq.toDF("doc_id", "text").writeTo("gcat.acr.fts2_src").append()
+      graft.queries.Engine3.fts2Fold(spark, "gcat.acr",
+        spark.table("gcat.acr.fts2_src"),
+        graft.queries.Engine3.fts2SrcVersion(spark, "gcat.acr"))
+      def serveOf(n: String): Seq[(Long, Long)] =
+        graft.queries.Engine3.fts2Bm25(spark, n,
+          Seq("common", "tok1", "fresh")).collect()
+          .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+      assert(serveOf(ns) == serveOf("gcat.acr"),
+        s"round $round: self-compacted serve diverged from rebuild")
+    }
+  }
 }
