@@ -357,6 +357,14 @@ class FtsSpec extends AnyFunSuite with BeforeAndAfterAll {
       val feed = graft.sources.Snapshots.changes(spark, tbl, since = wm, end = Some(v2))
       graft.queries.Engine3.fts2FoldFeed(spark, ns, s"$ns.fts2_src", feed, wm, v2)
       wm = v2
+      // randomly interleave COMPACTION with the maintenance rounds: a
+      // compacted index must keep folding and serving identically (and
+      // a compaction finding debt must empty the tombstone table)
+      if (rnd.nextBoolean() && graft.queries.Engine3.fts2Compact(spark, ns)) {
+        assert(spark.table(s"$ns.fts2_del").count() == 0,
+          s"round $round: compaction must fold the tombstones away")
+        assert(spark.table(s"$ns.fts2_glob").count() == 1)
+      }
       // rebuild the CURRENT state from scratch and compare
       spark.sql("CREATE NAMESPACE IF NOT EXISTS gcat.fzr")
       graft.queries.Engine3.fts2Create(spark, "gcat.fzr")
