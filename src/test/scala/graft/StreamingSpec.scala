@@ -34,6 +34,19 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   override def afterAll(): Unit = spark.stop()
 
+  /** ONE gcat warehouse for every test in this suite: Spark instantiates
+    * a catalog once per session, so re-pointing the conf at a second
+    * temp dir after first use would silently split the catalog (tables
+    * resolve in dir A) from conf readers like Engine3.registryStats
+    * (dir B) — the exact mismatch that made the debt policy see an
+    * empty registry. */
+  private lazy val gcatWh = {
+    val wh = Files.createTempDirectory("graft_gcat").toString
+    spark.conf.set("spark.sql.catalog.gcat", classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gcat.warehouse", wh)
+    wh
+  }
+
   private def batchEvents = spark.read.parquet(streamDir)
 
   test("windowed aggregation: streaming result equals batch result") {
@@ -779,9 +792,7 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("IndexMaintain: maintained FTS serve == rebuild at every drain boundary, " +
       "no manual folds, insert-only batches take the cheap path") {
-    val wh = Files.createTempDirectory("graft_im").toString
-    spark.conf.set("spark.sql.catalog.gcat", classOf[graft.sources.GraftCatalog].getName)
-    spark.conf.set("spark.sql.catalog.gcat.warehouse", wh)
+    val wh = gcatWh
     spark.sql("CREATE NAMESPACE IF NOT EXISTS gcat.im")
     val ns = "gcat.im"
     graft.queries.Engine3.fts2Create(spark, ns, withRowKey = true)
@@ -849,9 +860,7 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     // compacts whenever tombstones exceed the debt fraction — so under
     // sustained churn the index never accretes unbounded survival state
     // and no orchestration outside the maintainer exists.
-    val wh = Files.createTempDirectory("graft_ac").toString
-    spark.conf.set("spark.sql.catalog.gcat", classOf[graft.sources.GraftCatalog].getName)
-    spark.conf.set("spark.sql.catalog.gcat.warehouse", wh)
+    val wh = gcatWh
     spark.sql("CREATE NAMESPACE IF NOT EXISTS gcat.ac")
     val ns = "gcat.ac"
     graft.queries.Engine3.fts2Create(spark, ns, withRowKey = true)
