@@ -142,7 +142,7 @@ object Engine2 {
     * Returns the regrouped (centroids, codebook) for the caller's serve. */
   private def ann3MutateAndFold(s: SparkSession, ns2: String)
       : (DataFrame, DataFrame) = {
-    val coord = s.conf.get("spark.sql.catalog.gcat.warehouse")
+    val coord = s.conf.get(s"spark.sql.catalog.${ns2.split('.')(0)}.warehouse")
     val db = ns2.split('.')(1)
     val v1 = s.table(s"$ns2.ann3_meta")
       .agg(max(col("indexed_version"))).first().getLong(0)
@@ -206,7 +206,7 @@ object Engine2 {
     * mid-publish prefix serves identically). The watermark does not
     * move. Returns false (nothing runs) with no tombstones. */
   private[graft] def annCompact(s: SparkSession, ns2: String): Boolean = {
-    val coord = s.conf.get("spark.sql.catalog.gcat.warehouse")
+    val coord = s.conf.get(s"spark.sql.catalog.${ns2.split('.')(0)}.warehouse")
     val (tombRows, _) = Engine3.registryStats(s, ns2, "ann3_del")
     if (tombRows == 0L) return false
     val tombMax = ann3TombMaxOpt(s, ns2)

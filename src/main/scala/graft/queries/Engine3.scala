@@ -192,7 +192,7 @@ object Engine3 {
     * are never read, let alone rewritten. */
   private[graft] def fts2Fold(s: SparkSession, ns: String, batch: DataFrame,
       newVersion: Long): Unit = {
-    val coord = s.conf.get("spark.sql.catalog.gcat.warehouse")
+    val coord = s.conf.get(s"spark.sql.catalog.${ns.split('.')(0)}.warehouse")
     val (post, pos, glob) = fts2IndexRows(batch, newVersion)
     graft.sources.Transactions.run(s, coord) { txn =>
       txn.write(s"$ns.fts2_post", post)
@@ -231,7 +231,7 @@ object Engine3 {
     * path) when their fraction grows, exactly like MOR delete files. */
   private[graft] def fts2FoldFeed(s: SparkSession, ns: String, srcTable: String,
       feed: DataFrame, v1: Long, v2: Long): Unit = {
-    val coord = s.conf.get("spark.sql.catalog.gcat.warehouse")
+    val coord = s.conf.get(s"spark.sql.catalog.${ns.split('.')(0)}.warehouse")
     val affected = feed.select(col("doc_id")).distinct()
     def state(v: Long): DataFrame =
       s.read.option("snapshot-version", v).table(srcTable)
@@ -281,7 +281,7 @@ object Engine3 {
     * fold racing the compaction is caught by the transaction's
     * replace-base check and the compaction rolls back whole. */
   private[graft] def fts2Compact(s: SparkSession, ns: String): Boolean = {
-    val coord = s.conf.get("spark.sql.catalog.gcat.warehouse")
+    val coord = s.conf.get(s"spark.sql.catalog.${ns.split('.')(0)}.warehouse")
     val (tombRows, _) = registryStats(s, ns, "fts2_del")
     val (globRows, _) = registryStats(s, ns, "fts2_glob")
     if (tombRows == 0L && globRows <= 1L) return false

@@ -54,11 +54,11 @@ class ScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
       // INTEGRATION: the real fold routine. A seed built at a small
       // target lands SEVERAL token-clustered postings files; the
       // in-memory delta fold that follows adds exactly its one shard.
-      spark.conf.set("spark.sql.catalog.gcat", classOf[graft.sources.GraftCatalog].getName)
-      spark.conf.set("spark.sql.catalog.gcat.warehouse",
-        java.nio.file.Files.createTempDirectory("graft_sc_fts").toString)
-      spark.sql("CREATE NAMESPACE IF NOT EXISTS gcat.sc")
-      val ns = "gcat.sc"
+      spark.conf.set("spark.sql.catalog.gsc", classOf[graft.sources.GraftCatalog].getName)
+      spark.conf.set("spark.sql.catalog.gsc.warehouse",
+        java.nio.file.Files.createTempDirectory("graft_gsc").toString)
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS gsc.sc")
+      val ns = "gsc.sc"
       graft.queries.Engine3.fts2Create(spark, ns)
       small.select(col("doc_id"), col("text")).writeTo(s"$ns.fts2_src").append()
       val v1 = graft.queries.Engine3.fts2SrcVersion(spark, ns)
@@ -68,20 +68,20 @@ class ScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
       spark.conf.set("graft.index.targetShardBytes", (8 * 1024).toString)
       def postFiles(): Int = {
         val dd = new org.apache.hadoop.fs.Path(
-          spark.conf.get("spark.sql.catalog.gcat.warehouse") + "/sc/fts2_post/data")
+          spark.conf.get("spark.sql.catalog.gsc.warehouse") + "/sc/fts2_post/data")
         graft.sources.TableStats.read(
           dd.getFileSystem(new org.apache.hadoop.conf.Configuration()), dd).size
       }
       // rebuild the seed at the 8 KB target in a sibling namespace to
       // observe the fan-out without disturbing ns
-      spark.sql("CREATE NAMESPACE IF NOT EXISTS gcat.scw")
-      graft.queries.Engine3.fts2Create(spark, "gcat.scw")
-      small.select(col("doc_id"), col("text")).writeTo("gcat.scw.fts2_src").append()
-      graft.queries.Engine3.fts2Fold(spark, "gcat.scw",
-        spark.table("gcat.scw.fts2_src"),
-        graft.queries.Engine3.fts2SrcVersion(spark, "gcat.scw"))
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS gsc.scw")
+      graft.queries.Engine3.fts2Create(spark, "gsc.scw")
+      small.select(col("doc_id"), col("text")).writeTo("gsc.scw.fts2_src").append()
+      graft.queries.Engine3.fts2Fold(spark, "gsc.scw",
+        spark.table("gsc.scw.fts2_src"),
+        graft.queries.Engine3.fts2SrcVersion(spark, "gsc.scw"))
       val dd = new org.apache.hadoop.fs.Path(
-        spark.conf.get("spark.sql.catalog.gcat.warehouse") + "/scw/fts2_post/data")
+        spark.conf.get("spark.sql.catalog.gsc.warehouse") + "/scw/fts2_post/data")
       val seedFiles = graft.sources.TableStats.read(
         dd.getFileSystem(new org.apache.hadoop.conf.Configuration()), dd).size
       assert(seedFiles > 1,

@@ -34,16 +34,16 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   override def afterAll(): Unit = spark.stop()
 
-  /** ONE gcat warehouse for every test in this suite: Spark instantiates
+  /** ONE suite-private catalog (gim) warehouse for every test in this suite: Spark instantiates
     * a catalog once per session, so re-pointing the conf at a second
     * temp dir after first use would silently split the catalog (tables
     * resolve in dir A) from conf readers like Engine3.registryStats
     * (dir B) — the exact mismatch that made the debt policy see an
     * empty registry. */
-  private lazy val gcatWh = {
-    val wh = Files.createTempDirectory("graft_gcat").toString
-    spark.conf.set("spark.sql.catalog.gcat", classOf[graft.sources.GraftCatalog].getName)
-    spark.conf.set("spark.sql.catalog.gcat.warehouse", wh)
+  private lazy val gimWh = {
+    val wh = Files.createTempDirectory("graft_gim").toString
+    spark.conf.set("spark.sql.catalog.gim", classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gim.warehouse", wh)
     wh
   }
 
@@ -792,9 +792,9 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("IndexMaintain: maintained FTS serve == rebuild at every drain boundary, " +
       "no manual folds, insert-only batches take the cheap path") {
-    val wh = gcatWh
-    spark.sql("CREATE NAMESPACE IF NOT EXISTS gcat.im")
-    val ns = "gcat.im"
+    val wh = gimWh
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gim.im")
+    val ns = "gim.im"
     graft.queries.Engine3.fts2Create(spark, ns, withRowKey = true)
     import spark.implicits._
     val state = scala.collection.mutable.Map[Long, String]()
@@ -821,13 +821,13 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
         Seq("common", "tok1", "fresh")).collect()
         .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
     def assertEqualsRebuild(round: String): Unit = {
-      spark.sql("CREATE NAMESPACE IF NOT EXISTS gcat.imr")
-      graft.queries.Engine3.fts2Create(spark, "gcat.imr")
-      state.toSeq.toDF("doc_id", "text").writeTo("gcat.imr.fts2_src").append()
-      graft.queries.Engine3.fts2Fold(spark, "gcat.imr",
-        spark.table("gcat.imr.fts2_src"),
-        graft.queries.Engine3.fts2SrcVersion(spark, "gcat.imr"))
-      assert(serveOf(ns) == serveOf("gcat.imr"),
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS gim.imr")
+      graft.queries.Engine3.fts2Create(spark, "gim.imr")
+      state.toSeq.toDF("doc_id", "text").writeTo("gim.imr.fts2_src").append()
+      graft.queries.Engine3.fts2Fold(spark, "gim.imr",
+        spark.table("gim.imr.fts2_src"),
+        graft.queries.Engine3.fts2SrcVersion(spark, "gim.imr"))
+      assert(serveOf(ns) == serveOf("gim.imr"),
         s"$round: maintained serve diverged from rebuild")
     }
     // boundary 1: the SEED itself arrives through the maintainer —
@@ -860,9 +860,9 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     // compacts whenever tombstones exceed the debt fraction — so under
     // sustained churn the index never accretes unbounded survival state
     // and no orchestration outside the maintainer exists.
-    val wh = gcatWh
-    spark.sql("CREATE NAMESPACE IF NOT EXISTS gcat.ac")
-    val ns = "gcat.ac"
+    val wh = gimWh
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gim.ac")
+    val ns = "gim.ac"
     graft.queries.Engine3.fts2Create(spark, ns, withRowKey = true)
     import spark.implicits._
     val state = scala.collection.mutable.Map[Long, String]()
@@ -909,17 +909,17 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
         s"round $round: tombstones must be folded away by the maintainer")
       assert(spark.table(s"$ns.fts2_glob").count() == 1)
       // answers unchanged: == a from-scratch rebuild of the current state
-      spark.sql("CREATE NAMESPACE IF NOT EXISTS gcat.acr")
-      graft.queries.Engine3.fts2Create(spark, "gcat.acr")
-      state.toSeq.toDF("doc_id", "text").writeTo("gcat.acr.fts2_src").append()
-      graft.queries.Engine3.fts2Fold(spark, "gcat.acr",
-        spark.table("gcat.acr.fts2_src"),
-        graft.queries.Engine3.fts2SrcVersion(spark, "gcat.acr"))
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS gim.acr")
+      graft.queries.Engine3.fts2Create(spark, "gim.acr")
+      state.toSeq.toDF("doc_id", "text").writeTo("gim.acr.fts2_src").append()
+      graft.queries.Engine3.fts2Fold(spark, "gim.acr",
+        spark.table("gim.acr.fts2_src"),
+        graft.queries.Engine3.fts2SrcVersion(spark, "gim.acr"))
       def serveOf(n: String): Seq[(Long, Long)] =
         graft.queries.Engine3.fts2Bm25(spark, n,
           Seq("common", "tok1", "fresh")).collect()
           .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
-      assert(serveOf(ns) == serveOf("gcat.acr"),
+      assert(serveOf(ns) == serveOf("gim.acr"),
         s"round $round: self-compacted serve diverged from rebuild")
     }
   }
