@@ -135,7 +135,13 @@ final class GraftDeltaWrite(
             s"${addedDeletes.size} delete file(s) entered the manifest); " +
             "no changes applied — retry the statement")
       }
-      TableStats.write(fs, dir, live ++ committed)
+      // NO-MATCH fast path (after the race checks — serializability is
+      // decided first, exactly as for a matching mutation): no delete
+      // fragments and no data files means the statement matched nothing,
+      // the table is bit-identical, and minting a version would be pure
+      // churn (a guarded per-run maintenance statement would force every
+      // incremental consumer through an empty interval forever)
+      if (committed.nonEmpty) TableStats.write(fs, dir, live ++ committed)
     }
   }
 

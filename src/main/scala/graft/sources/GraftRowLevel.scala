@@ -122,6 +122,16 @@ final class GraftReplaceDataWrite(
     // vacuum reclaims them; manifest-first listing never surfaces them.
     val affected = op.affectedFiles
     val affectedRels = affected.map(TableStats.keyOf(dataDir, _))
+    // NO-MATCH fast path: the predicate pruned every candidate group —
+    // nothing was read, rewritten, or removed, so the table is
+    // bit-identical and committing would only mint a no-op version (a
+    // guarded per-run maintenance statement would otherwise churn the
+    // version chain and force every incremental consumer through an
+    // empty interval forever). The serializable-commit race checks below
+    // still run — a no-op decides its fate the same way a matching
+    // mutation does — but no change dir, no marker, and no snapshot are
+    // published.
+    val noop = affectedRels.isEmpty && committed.isEmpty
     // Record this mutation's per-row delta (the CDC change files) BEFORE
     // taking the lock: one diff join over exactly the group this rewrite
     // already paid to rewrite. The pre-lock manifest read races only with
@@ -132,7 +142,7 @@ final class GraftReplaceDataWrite(
       props.asScala.toMap
     }
     val staging: Option[Path] =
-      if (!ChangeLog.recordingEnabled(propsMap)) None
+      if (noop || !ChangeLog.recordingEnabled(propsMap)) None
       else {
         val pre = TableStats.read(fs, dir)
         val oldFiles = affectedRels.toSeq.sorted.flatMap(rel =>
@@ -190,6 +200,7 @@ final class GraftReplaceDataWrite(
             s"merge-on-read mutation (${newDeletes.size} delete file(s) " +
             "entered the manifest); no changes applied — retry the statement")
       }
+      if (noop) return // race checks passed; nothing to publish
       // Publish the recorded delta and the kind marker BEFORE the manifest
       // swap (the commit point). A rename/marker failure here aborts a
       // not-yet-committed statement — the reverse order would leave the

@@ -626,6 +626,63 @@ class FtsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(tableCount(s"$ns.fts2_glob") == 1)
   }
 
+  test("compaction + vacuum physically reclaims the replaced postings bytes") {
+    // the point of compaction is that the STORAGE shrinks once history
+    // expires: the registry swap alone keeps replaced files on disk for
+    // time travel — vacuum(retain=1, minAge=0) must then delete every
+    // pre-compaction postings file while the compacted serve answers
+    // unchanged
+    setupGcat()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gcat.vr")
+    val ns = "gcat.vr"
+    graft.queries.Engine3.fts2Create(spark, ns, withRowKey = true)
+    import spark.implicits._
+    corpus(0, 40).select(col("doc_id").cast("string").as("row_key"),
+        col("doc_id"), col("text"))
+      .writeTo(s"$ns.fts2_src").append()
+    val v1 = srcVersion(ns)
+    graft.queries.Engine3.fts2Fold(spark, ns,
+      spark.read.option("since-version", 0L).table(s"$ns.fts2_src")
+        .select(col("doc_id"), col("text")), v1)
+    spark.sql(s"DELETE FROM $ns.fts2_src WHERE doc_id % 4 = 1")
+    val v2 = srcVersion(ns)
+    val cat = spark.sessionState.catalogManager.catalog("gcat")
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
+    val tbl = cat.loadTable(org.apache.spark.sql.connector.catalog.Identifier
+        .of(Array("vr"), "fts2_src")).asInstanceOf[graft.sources.GraftTable]
+    graft.queries.Engine3.fts2FoldFeed(spark, ns, s"$ns.fts2_src",
+      graft.sources.Snapshots.changes(spark, tbl, since = v1, end = Some(v2)),
+      v1, v2)
+    def physical(t: String): Set[String] = {
+      val dd = new org.apache.hadoop.fs.Path(s"$wh/vr/$t/data")
+      val fsys = dd.getFileSystem(new org.apache.hadoop.conf.Configuration())
+      val out = scala.collection.mutable.Set[String]()
+      val it = fsys.listFiles(dd, true)
+      while (it.hasNext) {
+        val p = it.next().getPath
+        if (p.getName.endsWith(".parquet")) out += p.toString
+      }
+      out.toSet
+    }
+    val preFiles = physical("fts2_post")
+    assert(preFiles.nonEmpty)
+    val terms = Seq("common", "tok1")
+    assert(graft.queries.Engine3.fts2Compact(spark, ns))
+    val served = serveScores(ns, terms)
+    // replaced files still on disk (time travel) until history expires
+    assert(physical("fts2_post").intersect(preFiles) == preFiles,
+      "the registry swap must not physically delete")
+    for (t <- Seq("fts2_post", "fts2_pos", "fts2_del", "fts2_glob"))
+      graft.sources.Snapshots.vacuum(s"$wh/vr/$t", retain = 1, minAgeMillis = 0L)
+    val postVacuum = physical("fts2_post")
+    assert(postVacuum.intersect(preFiles).isEmpty,
+      s"vacuum must reclaim every replaced postings file; survivors: " +
+        s"${postVacuum.intersect(preFiles).take(3)}")
+    assert(serveScores(ns, terms) == served,
+      "reclamation must not change any answer")
+    assert(spark.table(s"$ns.fts2_del").count() == 0)
+  }
+
   test("a failed maintenance transaction leaves the index serving the OLD state") {
     setupGcat()
     spark.sql("CREATE NAMESPACE IF NOT EXISTS gcat.c")

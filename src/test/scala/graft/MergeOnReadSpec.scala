@@ -794,4 +794,30 @@ class MergeOnReadSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.table("graft.mor.fps").count() == 5)
     Seq("ingest", "accept", "fps").foreach(t => spark.sql(s"DROP TABLE graft.mor.$t"))
   }
+
+  test("a no-match mutation mints NO version (both modes); matching ones do") {
+    // guarded per-run maintenance statements (q171/q172/q174 style
+    // `WHERE ... AND <already-applied guard>`) re-run as no-matches —
+    // minting a version for each would churn the chain and force every
+    // incremental consumer (folds, feeds, maintainers) through an empty
+    // interval per run. A no-op that passes the serializable race checks
+    // commits NOTHING: no snapshot, no marker, no change dir.
+    def liveV(t: String): Long = TableStats.liveVersion(fs, dataDir(t)).get
+    for ((t, mode) <- Seq(("noopc", "copy-on-write"), ("noopm", "merge-on-read"))) {
+      spark.sql(
+        s"""CREATE TABLE graft.mor.$t (row_key STRING, v BIGINT)
+           |TBLPROPERTIES ('${GraftDeletes.ModeProp}' = '$mode')""".stripMargin)
+      spark.sql(s"INSERT INTO graft.mor.$t VALUES ('a', 1), ('b', 2)")
+      val v0 = liveV(t)
+      spark.sql(s"DELETE FROM graft.mor.$t WHERE v = 999")
+      assert(liveV(t) == v0, s"$mode: no-match DELETE must not mint a version")
+      spark.sql(s"UPDATE graft.mor.$t SET v = v + 1 WHERE v = 999")
+      assert(liveV(t) == v0, s"$mode: no-match UPDATE must not mint a version")
+      // and the table still answers correctly + a REAL mutation advances
+      assert(spark.table(s"graft.mor.$t").count() == 2)
+      spark.sql(s"DELETE FROM graft.mor.$t WHERE v = 1")
+      assert(liveV(t) > v0, s"$mode: a matching DELETE must commit")
+      assert(spark.table(s"graft.mor.$t").count() == 1)
+    }
+  }
 }
