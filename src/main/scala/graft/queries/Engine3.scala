@@ -1310,7 +1310,11 @@ object Engine3 {
           .select(col("doc_id").cast("string").as("row_key"),
             col("doc_id"), col("text"))
         if (!newDocs.isEmpty) newDocs.writeTo(s"$ns2.fts2_src").append()
-        s.sql(s"DELETE FROM $ns2.fts2_src WHERE doc_id % 7 = 2")
+        // the takedown slice is DISJOINT from the insert slice (% 3 = 0
+        // vs % 3 = 1): a deletion overlapping the inserts would make the
+        // anti-join guard re-insert the deleted docs on every re-run —
+        // an insert/delete oscillation that never reaches the idle state
+        s.sql(s"DELETE FROM $ns2.fts2_src WHERE doc_id % 7 = 2 AND doc_id % 3 = 0")
         s.sql(
           s"""UPDATE $ns2.fts2_src SET text = concat(text, ' restreamed')
              |WHERE doc_id % 7 = 5 AND text NOT LIKE '%restreamed'""".stripMargin)
@@ -1343,7 +1347,8 @@ object Engine3 {
           SELECT doc_id,
                  CASE WHEN doc_id % 7 = 5 THEN text || ' restreamed'
                       ELSE text END AS text
-          FROM documents WHERE doc_id % 3 IN (0, 1) AND doc_id % 7 <> 2),
+          FROM documents WHERE doc_id % 3 IN (0, 1)
+            AND NOT (doc_id % 7 = 2 AND doc_id % 3 = 0)),
         d AS (SELECT doc_id, string_split(text, ' ') AS sp FROM corp),
         dd AS (SELECT doc_id, CAST(len(sp) AS BIGINT) AS dl, sp FROM d),
         g AS (SELECT CAST(SUM(dl) AS DOUBLE) AS sl, CAST(COUNT(*) AS DOUBLE) AS nd FROM dd),
