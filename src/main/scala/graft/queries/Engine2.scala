@@ -96,7 +96,16 @@ object Engine2 {
     * whole corpus encoded at rev v1. */
   private def ann3Seed(s: SparkSession, ns2: String, dir: String): Unit = {
     Engine.ensureCatalog(s, dir)
-    val db = ns2.split('.')(1)
+    ann3SeedFrom(s, ns2, annFlat(emb(Tables(s, dir))))
+  }
+
+  /** [[ann3Seed]] over an arbitrary flat (vec_id, pos, v) source —
+    * catalog-generic (the conf keys derive from `ns2`), so specs can
+    * seed synthetic vectors under suite-private catalogs. The quantizer
+    * freezes on vec_id < 16 of THIS source. */
+  private[graft] def ann3SeedFrom(s: SparkSession, ns2: String,
+      flat: DataFrame): Unit = {
+    val Array(cat, db) = ns2.split('.')
     s.sql(s"CREATE NAMESPACE IF NOT EXISTS $ns2")
     for (tb <- Seq("ann3_src", "ann3_cent", "ann3_book", "ann3_post",
         "ann3_del", "ann3_meta"))
@@ -109,12 +118,17 @@ object Engine2 {
          |list_id BIGINT, rev BIGINT) PARTITIONED BY (list_id)""".stripMargin)
     s.sql(s"CREATE TABLE $ns2.ann3_del (vid BIGINT, rev BIGINT)")
     s.sql(s"CREATE TABLE $ns2.ann3_meta (indexed_version BIGINT)")
-    val t = Tables(s, dir)
-    annFlat(emb(t))
+    flat
       .select(concat_ws(":", col("vec_id"), col("pos")).as("row_key"),
         col("vec_id"), col("pos"), col("v"))
       .writeTo(s"$ns2.ann3_src").append()
-    val v1 = gcatTableVersion(s, db, "ann3_src")
+    val v1 = {
+      val wh = s.conf.get(s"spark.sql.catalog.$cat.warehouse")
+      val dd = new org.apache.hadoop.fs.Path(s"$wh/$db/ann3_src/data")
+      val fsys = dd.getFileSystem(new org.apache.hadoop.conf.Configuration())
+      graft.sources.TableStats.liveVersion(fsys, dd).getOrElse(
+        throw new IllegalStateException(s"graft: $ns2.ann3_src has no registry head"))
+    }
     val seed = annRegroup(s.table(s"$ns2.ann3_src")
       .select(col("vec_id"), col("pos"), col("v"))).persist()
     val cent0 = seed.filter(col("vec_id") < 16)
@@ -142,7 +156,6 @@ object Engine2 {
     * Returns the regrouped (centroids, codebook) for the caller's serve. */
   private def ann3MutateAndFold(s: SparkSession, ns2: String)
       : (DataFrame, DataFrame) = {
-    val coord = s.conf.get(s"spark.sql.catalog.${ns2.split('.')(0)}.warehouse")
     val db = ns2.split('.')(1)
     val v1 = s.table(s"$ns2.ann3_meta")
       .agg(max(col("indexed_version"))).first().getLong(0)
@@ -155,6 +168,20 @@ object Engine2 {
         .of(Array(db), "ann3_src")).asInstanceOf[graft.sources.GraftTable]
     val feed = graft.sources.Snapshots.changes(s, tbl,
       since = v1, end = Some(v2), hydrateMor = true)
+    ann3FoldFeed(s, ns2, feed, v2)
+    (regroupCent(s.table(s"$ns2.ann3_cent")),
+      regroupBook(s.table(s"$ns2.ann3_book")))
+  }
+
+  /** The q172 ENDPOINT-STATE fold as a feed-shaped routine (what
+    * [[graft.streaming.IndexMaintain]] drives): tombstone every affected
+    * vec_id at rev = `v2`, re-encode affected vectors WHOLE from the
+    * source pinned at `v2` against the FROZEN quantizer read back from
+    * the index tables, advance postings + tombstones + watermark in ONE
+    * transaction. Handles inserts, deletes, and updates uniformly. */
+  private[graft] def ann3FoldFeed(s: SparkSession, ns2: String,
+      feed: DataFrame, v2: Long): Unit = {
+    val coord = s.conf.get(s"spark.sql.catalog.${ns2.split('.')(0)}.warehouse")
     val affected = feed.select(col("vec_id")).distinct()
     val postVecs = annRegroup(
       s.read.option("snapshot-version", v2).table(s"$ns2.ann3_src")
@@ -171,7 +198,6 @@ object Engine2 {
       txn.write(s"$ns2.ann3_meta",
         s.range(1).select(lit(v2).as("indexed_version")))
     }
-    (centT, bookT)
   }
 
   /** Registry-sized tombstone aggregate (the FTS guard's dense-side

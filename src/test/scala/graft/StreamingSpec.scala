@@ -853,6 +853,69 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assertEqualsRebuild("idle drain")
   }
 
+  test("IndexMaintain drives the ANN mutation fold: surviving postings == a " +
+      "from-scratch rebuild; the debt policy compacts inside the drain") {
+    // directive #3's dense-retrieval arm: the SAME maintainer loop drives
+    // the q172 endpoint-state ANN fold (ann3FoldFeed serves as BOTH
+    // callbacks — a pure-insert interval is just a feed whose affected
+    // set is the new vectors), with annCompactIfDebt wired into onBatch.
+    // Equality standard: the SURVIVING postings of the maintained index
+    // must be row-identical (rev aside) to an index rebuilt from the
+    // post-mutation source with the SAME frozen quantizer — codes and
+    // list assignments are deterministic given the quantizer, so posting
+    // equality implies serve equality.
+    val wh = gimWh
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gim.ann")
+    val ns = "gim.ann"
+    import spark.implicits._
+    // 24 deterministic 64-dim vectors, flattened (vec_id, pos, v)
+    def flat(ids: Seq[Long]): org.apache.spark.sql.DataFrame =
+      ids.flatMap(i => (0 until 64).map(p =>
+          (i, p, ((i * 31 + p * 7) % 13 - 6).toDouble / 7)))
+        .toDF("vec_id", "pos", "v")
+    graft.queries.Engine2.ann3SeedFrom(spark, ns, flat(0L until 24L))
+    var compactions = 0
+    def drain(): Unit = graft.streaming.IndexMaintain.start(
+      spark, s"$ns.ann3_src", s"$ns.ann3_meta",
+      Files.createTempDirectory("annim_ckpt").toString, wh,
+      foldAppend = (delta, v2) =>
+        graft.queries.Engine2.ann3FoldFeed(spark, ns, delta, v2),
+      foldFeed = (feed, _, v2) =>
+        graft.queries.Engine2.ann3FoldFeed(spark, ns, feed, v2),
+      onBatch = (_, _, _) =>
+        if (graft.queries.Engine2.annCompactIfDebt(spark, ns, frac = 0.001))
+          compactions += 1)
+      .awaitTermination()
+    // mutations touch only vec_id >= 16, so the FROZEN quantizer (first
+    // 16) is identical in the rebuild and posting equality is meaningful
+    spark.sql(s"DELETE FROM $ns.ann3_src WHERE vec_id = 18")
+    spark.sql(s"UPDATE $ns.ann3_src SET v = v + 0.5 WHERE vec_id = 20 AND v < 10")
+    flat(Seq(30L))
+      .select(concat_ws(":", col("vec_id"), col("pos")).as("row_key"),
+        col("vec_id"), col("pos"), col("v"))
+      .writeTo(s"$ns.ann3_src").append()
+    drain()
+    assert(compactions == 1, "the debt policy must compact inside the drain")
+    assert(spark.table(s"$ns.ann3_del").count() == 0,
+      "maintained ANN index must carry no tombstones after the policy fires")
+    // rebuild from the CURRENT source with the same frozen quantizer
+    graft.queries.Engine2.ann3SeedFrom(spark, "gim.annr",
+      spark.table(s"$ns.ann3_src").select(col("vec_id"), col("pos"), col("v")))
+    def postings(n: String): Set[(Long, Int, Long, Long)] =
+      spark.table(s"$n.ann3_post")
+        .select(col("vid"), col("j"), col("code"), col("list_id"))
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+        .toSet
+    assert(postings(ns) == postings("gim.annr"),
+      "maintained+compacted ANN postings must equal a from-scratch rebuild")
+    // the deleted vector is gone, the inserted one is present
+    assert(!postings(ns).exists(_._1 == 18L))
+    assert(postings(ns).count(_._1 == 30L) == 8)
+    // idle drain: nothing new, no fold, no compaction
+    drain()
+    assert(compactions == 1)
+  }
+
   test("self-compacting maintenance: the onBatch debt policy keeps the tombstone " +
       "table bounded under churn, answers stay == rebuild") {
     // the loop the verdict asked for: IndexMaintain folds each interval,
