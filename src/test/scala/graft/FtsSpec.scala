@@ -626,6 +626,76 @@ class FtsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(tableCount(s"$ns.fts2_glob") == 1)
   }
 
+  test("compaction mid-publish crash matrix: EVERY k-of-4 prefix state serves " +
+      "identically, and recovery completes each") {
+    // fts2Compact's scaladoc claims its stage order (post, pos, del,
+    // glob) makes every mid-publish prefix serve-consistent. Pin it: for
+    // k = 1, 2, 3 published participants, the index must answer exactly
+    // as before AND after the compaction — then recover() finishes the
+    // remaining swaps and the debt is gone. (k = 0 is the existing
+    // decided-crash test; k = 4 is a completed compaction.)
+    setupGcat()
+    for (k <- 1 to 3) {
+      val db = s"cm$k"
+      spark.sql(s"CREATE NAMESPACE IF NOT EXISTS gcat.$db")
+      val ns = s"gcat.$db"
+      graft.queries.Engine3.fts2Create(spark, ns, withRowKey = true)
+      import spark.implicits._
+      corpus(0, 30).select(col("doc_id").cast("string").as("row_key"),
+          col("doc_id"), col("text"))
+        .writeTo(s"$ns.fts2_src").append()
+      val v1 = srcVersion(ns)
+      graft.queries.Engine3.fts2Fold(spark, ns,
+        spark.read.option("since-version", 0L).table(s"$ns.fts2_src")
+          .select(col("doc_id"), col("text")), v1)
+      spark.sql(s"DELETE FROM $ns.fts2_src WHERE doc_id % 5 = 2")
+      val v2 = srcVersion(ns)
+      val cat = spark.sessionState.catalogManager.catalog("gcat")
+        .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
+      val tbl = cat.loadTable(org.apache.spark.sql.connector.catalog.Identifier
+          .of(Array(db), "fts2_src")).asInstanceOf[graft.sources.GraftTable]
+      graft.queries.Engine3.fts2FoldFeed(spark, ns, s"$ns.fts2_src",
+        graft.sources.Snapshots.changes(spark, tbl, since = v1, end = Some(v2)),
+        v1, v2)
+      val terms = Seq("common", "tok3")
+      val before = serveScores(ns, terms)
+      // stage the compaction's four replaces in ITS order, decide, then
+      // "crash" after publishing only the first k participants
+      val tombMax = graft.queries.Engine3.fts2TombMaxOpt(spark, ns)
+      val txn = graft.sources.Transactions.begin(spark, wh)
+      txn.replace(s"$ns.fts2_post", graft.queries.Engine3.fts2Surviving(
+        spark.table(s"$ns.fts2_post"), tombMax)
+        .repartitionByRange(1, col("tok"))
+        .sortWithinPartitions(col("tok"), col("doc_id")))
+      txn.replace(s"$ns.fts2_pos", graft.queries.Engine3.fts2Surviving(
+        spark.table(s"$ns.fts2_pos"), tombMax)
+        .repartitionByRange(1, col("tok"))
+        .sortWithinPartitions(col("tok"), col("doc_id"), col("pos")))
+      txn.replace(s"$ns.fts2_del", spark.table(s"$ns.fts2_del").limit(0))
+      txn.replace(s"$ns.fts2_glob", spark.table(s"$ns.fts2_glob")
+        .agg(sum(col("nd")).cast("long").as("nd"),
+          sum(col("sl")).cast("long").as("sl")))
+      txn.writeIntent()
+      txn.decide()
+      val tables = Seq("fts2_post", "fts2_pos", "fts2_del", "fts2_glob")
+      (1 to k).foreach { n =>
+        graft.sources.Snapshots.publishWap(
+          s"$wh/$db/${tables(n - 1)}", s"txn-${txn.id}-$n")
+      }
+      // the torn mid-publish state must answer EXACTLY as before
+      assert(serveScores(ns, terms) == before,
+        s"k=$k published: the prefix state must serve identically")
+      // recovery completes the remaining swaps; answers still identical,
+      // the debt gone
+      val (fwd, _) = graft.sources.Transactions.recover(spark, wh, minAgeMillis = 0L)
+      assert(fwd == 1, s"k=$k: recover must roll the compaction forward")
+      assert(serveScores(ns, terms) == before,
+        s"k=$k recovered: compaction must not change any answer")
+      assert(tableCount(s"$ns.fts2_del") == 0)
+      assert(tableCount(s"$ns.fts2_glob") == 1)
+    }
+  }
+
   test("compaction + vacuum physically reclaims the replaced postings bytes") {
     // the point of compaction is that the STORAGE shrinks once history
     // expires: the registry swap alone keeps replaced files on disk for
