@@ -118,19 +118,24 @@ object Engine3 {
   /** Token-range shard count for one index write, derived from the
     * batch's PLANNED input size (the optimizer's sizeInBytes — file
     * bytes for table/parquet reads, row estimates for in-memory data;
-    * no job runs). One shard per ~32 MB of input, clamped to [1, 4096]:
-    * a 100 TB seed build spreads its tokenize+group shuffle over
-    * thousands of reducers while a delta fold's few megabytes land in
-    * ONE token-clustered file — the same routine, scale-proportional at
-    * both ends (the round-9 verdict's seed-funnel fix; a hardcoded
-    * count was either a seed bottleneck or delta file spam).
-    * `graft.index.targetShardBytes` overrides the divisor (tests). */
+    * no job runs). One shard per ~32 MB of input, clamped to
+    * [1, `graft.index.maxShards` (default 65536)]: a 100 TB seed build
+    * spreads its tokenize+group shuffle over tens of thousands of
+    * reducers (raise `graft.index.targetShardBytes` there to balance
+    * shard size vs file count) while a delta fold's few megabytes land
+    * in ONE token-clustered file — the same routine,
+    * scale-proportional at both ends (the round-9 verdict's seed-funnel
+    * fix; a hardcoded count was either a seed bottleneck or delta file
+    * spam, and a hardcoded CAP would quietly re-create the funnel at
+    * the next scale jump). */
   private[graft] def fts2ShardCount(df: DataFrame): Int = {
-    val target = df.sparkSession.conf
-      .getOption("graft.index.targetShardBytes").map(_.toLong)
+    val conf = df.sparkSession.conf
+    val target = conf.getOption("graft.index.targetShardBytes").map(_.toLong)
       .getOrElse(32L * 1024 * 1024)
+    val maxShards = conf.getOption("graft.index.maxShards").map(_.toInt)
+      .getOrElse(65536)
     val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
-    (bytes / target).min(4095).max(0).toInt + 1
+    (bytes / target).min(maxShards - 1).max(0).toInt + 1
   }
 
   /** Broadcast ceiling for the tombstone survival join: the tombstone

@@ -50,7 +50,12 @@ class ScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
       val nBig = graft.queries.Engine3.fts2ShardCount(big)
       assert(nBig > nSmall,
         s"shards must grow with input bytes: sf0.1=$nBig sf0.01=$nSmall")
-      assert(nBig <= 4096, "the clamp must hold")
+      assert(nBig <= 65536, "the default clamp must hold")
+      // the cap is conf-driven — a hardcoded cap would re-create the
+      // seed funnel at the next scale jump
+      spark.conf.set("graft.index.maxShards", "2")
+      assert(graft.queries.Engine3.fts2ShardCount(big) == 2)
+      spark.conf.unset("graft.index.maxShards")
       // INTEGRATION: the real fold routine. A seed built at a small
       // target lands SEVERAL token-clustered postings files; the
       // in-memory delta fold that follows adds exactly its one shard.
