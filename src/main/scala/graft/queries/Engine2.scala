@@ -1196,7 +1196,9 @@ object Engine2 {
     // The affected-vector re-read is a row-key/bloom-prunable semi-join
     // — O(mutated vectors), never the corpus; the partitioned postings
     // are NEVER read or rewritten. Serve filters only the PROBED lists'
-    // postings against the broadcast tombstone set. The oracle replays
+    // postings against ONE registry-sized tombstone aggregate (q175's
+    // compaction pays the debt off; the serve degrades broadcast →
+    // shuffle past the ceiling). The oracle replays
     // assignment/ADC from the post-mutation corpus with the ORIGINAL
     // frozen quantizer — served ranks must be as if rebuilt.
     QueryDef(

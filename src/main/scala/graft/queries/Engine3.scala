@@ -232,8 +232,9 @@ object Engine3 {
     *
     * All five writes land in ONE transaction; serve-time survival is
     * [[fts2Surviving]]. Tombstones accumulate O(deleted docs) and are
-    * the index's compaction debt — fold them by rebuilding (the seed
-    * path) when their fraction grows, exactly like MOR delete files. */
+    * the index's compaction debt — [[fts2Compact]] folds them into a
+    * rewrite (and [[fts2CompactIfDebt]] triggers it from the registry's
+    * own row counts), exactly like MOR delete-file compaction. */
   private[graft] def fts2FoldFeed(s: SparkSession, ns: String, srcTable: String,
       feed: DataFrame, v1: Long, v2: Long): Unit = {
     val coord = s.conf.get(s"spark.sql.catalog.${ns.split('.')(0)}.warehouse")
@@ -1099,9 +1100,11 @@ object Engine3 {
     // survival rule (posting lives iff rev >= tombstone rev) does not
     // kill. The token-clustered postings are NEVER read or rewritten —
     // a delete/update batch costs O(batch tokens) at any index size;
-    // serve filters the RETRIEVED postings against the broadcast
-    // tombstone set (the index's bounded compaction debt). All five
-    // writes land in one q159 transaction. The oracle replays BM25 +
+    // serve filters the RETRIEVED postings against ONE registry-sized
+    // tombstone aggregate (the compaction debt q173 pays off; the serve
+    // degrades broadcast → shuffle if it ever outgrows the ceiling).
+    // All five writes land in one q159 transaction. The oracle replays
+    // BM25 +
     // phrase + constants from the post-mutation corpus — served scores
     // must be as if the index were rebuilt from scratch.
     QueryDef(
