@@ -97,11 +97,25 @@ object IndexMaintain {
         if (now > recorded) {
           val feed = Snapshots.changes(spark, tbl,
             since = recorded, end = Some(now), hydrateMor = true)
-          val mutated = !feed
-            .where(col(ChangeLog.TypeCol) =!= "insert").isEmpty
+          // ONE delta-sized probe classifies the interval: row kinds
+          // present decide the fold — and an EMPTY interval (zero-row
+          // appends, healed aborts) advances the watermark ALONE, so the
+          // index tables never accrete empty postings stages or zero
+          // constants rows from noise versions, and the interval is
+          // never reclassified
+          val kinds = feed.groupBy(col(ChangeLog.TypeCol)).count()
+            .collect().iterator.map(_.getString(0)).toSet
+          val mutated = (kinds - "insert").nonEmpty
           if (mutated) foldFeed(feed, recorded, now)
-          else foldAppend(spark.read.option("since-version", recorded)
-            .option("snapshot-version", now).table(source), now)
+          else if (kinds.nonEmpty)
+            foldAppend(spark.read.option("since-version", recorded)
+              .option("snapshot-version", now).table(source), now)
+          else {
+            import spark.implicits._
+            Transactions.run(spark, coordDir) { txn =>
+              txn.write(metaTable, Seq(now).toDF("indexed_version"))
+            }
+          }
           onBatch(recorded, now, mutated)
         }
       }

@@ -851,6 +851,23 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     drain()
     assert(routes.size == 2, "an empty interval must not fold")
     assertEqualsRebuild("idle drain")
+    // boundary 4: a NOISE version (zero-row append) — the maintainer
+    // must advance the watermark alone: no postings stage, no zero
+    // constants row, and the interval never reclassifies
+    val globRows = spark.table(s"$ns.fts2_glob").count()
+    val postRows = spark.table(s"$ns.fts2_post").count()
+    spark.table(s"$ns.fts2_src").limit(0).writeTo(s"$ns.fts2_src").append()
+    drain()
+    assert(routes.size == 3 && !routes.last,
+      "a noise interval reports an un-mutated batch")
+    assert(spark.table(s"$ns.fts2_glob").count() == globRows,
+      "a noise interval must not append constants rows")
+    assert(spark.table(s"$ns.fts2_post").count() == postRows)
+    assert(spark.table(s"$ns.fts2_meta").agg(max("indexed_version"))
+      .head().getLong(0) ==
+      graft.queries.Engine3.fts2SrcVersion(spark, ns),
+      "the watermark must still advance past the noise version")
+    assertEqualsRebuild("noise drain")
   }
 
   test("IndexMaintain drives the ANN mutation fold: surviving postings == a " +
