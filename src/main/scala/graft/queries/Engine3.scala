@@ -51,6 +51,19 @@ object Engine3 {
       .agg(sum(col("part")).as("score"))
   }
 
+  /** Build the q162 positional index (idempotent) — shared by q162/q177. */
+  private def buildPosIndex(s: SparkSession, dir: String, ns: String): Unit = {
+    s.sql(s"DROP TABLE IF EXISTS $ns.fts_pos")
+    s.sql(s"CREATE TABLE $ns.fts_pos (tok STRING, doc_id BIGINT, pos BIGINT)")
+    val toks = tokenized(s, dir)
+    toks
+      .select(col("doc_id"), posexplode(col("sp")).as(Seq("pos", "tok")))
+      .select(col("tok"), col("doc_id"), col("pos").cast("long").as("pos"))
+      .repartitionByRange(fts2ShardCount(toks), col("tok"))
+      .sortWithinPartitions(col("tok"), col("doc_id"), col("pos"))
+      .writeTo(s"$ns.fts_pos").append()
+  }
+
   /** Build the q161 index tables (idempotent) — shared by q161/q164. */
   private def buildFtsIndex(s: SparkSession, dir: String, ns: String): Unit = {
     s.sql(s"DROP TABLE IF EXISTS $ns.fts_post")
@@ -522,19 +535,7 @@ object Engine3 {
         GROUP BY p1.doc_id ORDER BY n_hits DESC, p1.doc_id"""),
       // fixture: the positional postings table, token-range-clustered like
       // q161's — one build serves every phrase/proximity query after it
-      setup = Some((s, dir) => {
-        val ns = ensureCatalog(s, dir)
-        s.sql(s"DROP TABLE IF EXISTS $ns.fts_pos")
-        s.sql(s"CREATE TABLE $ns.fts_pos (tok STRING, doc_id BIGINT, pos BIGINT)")
-        val toks = tokenized(s, dir)
-        toks
-          .select(col("doc_id"), posexplode(col("sp")).as(Seq("pos", "tok")))
-          .select(col("tok"), col("doc_id"), col("pos").cast("long").as("pos"))
-          .repartitionByRange(fts2ShardCount(toks), col("tok"))
-          .sortWithinPartitions(col("tok"), col("doc_id"), col("pos"))
-          .writeTo(s"$ns.fts_pos").append()
-        ()
-      })),
+      setup = Some((s, dir) => buildPosIndex(s, dir, ensureCatalog(s, dir)))),
 
     // ---- q163: COPY INTO — exactly-once external-file ingest --------------
     // A landing zone (an upstream job's drop directory) is loaded into a
@@ -1484,6 +1485,46 @@ object Engine3 {
         WHERE rank <= 5 ORDER BY qid, rank"""),
       // fixture: the same q161 index build — batched serving reuses it
       setup = Some((s, dir) =>
-        buildFtsIndex(s, dir, ensureCatalog(s, dir))))
+        buildFtsIndex(s, dir, ensureCatalog(s, dir)))),
+
+    // ---- q177: PROXIMITY search over the positional index ------------------
+    // The SpanNear operator: "hash NEAR/3 join" — the two terms within 3
+    // token positions of each other, either order. Phrase search (q162)
+    // is the degenerate window; proximity is what query languages
+    // actually expose (quoted-phrase-with-slop). Both position lists
+    // push their single-token filter into the token-clustered scan, the
+    // join keys on the dense doc_id, and the window test is a residual
+    // |p1 − p2| ≤ k — per doc the lists are tiny, so the pair space is
+    // O(per-doc occurrences²) never corpus². The oracle rebuilds
+    // positions relationally. At 100 TB: O(two terms' position lists),
+    // like q162.
+    QueryDef(
+      "q177_fts_proximity",
+      (s, dir) => {
+        val ns = ensureCatalog(s, dir)
+        val pos = s.table(s"$ns.fts_pos")
+        val a = pos.where(col("tok") === "hash")
+          .select(col("doc_id"), col("pos").as("p1"))
+        val b = pos.where(col("tok") === "join")
+          .select(col("doc_id"), col("pos").as("p2"))
+        a.join(b, Seq("doc_id"))
+          .where(abs(col("p1") - col("p2")) <= 3)
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).cast("long").as("n_pairs"),
+            min(abs(col("p1") - col("p2"))).cast("long").as("closest"))
+          .orderBy(desc("n_pairs"), col("doc_id"))
+      },
+      Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS sp FROM documents),
+        u AS (SELECT doc_id, unnest(list_transform(range(1, len(sp) + 1),
+                i -> struct_pack(pos := i, tok := sp[i]))) AS u FROM d),
+        p AS (SELECT doc_id, u.pos AS pos, u.tok AS tok FROM u)
+        SELECT p1.doc_id, CAST(count(*) AS BIGINT) AS n_pairs,
+               CAST(min(abs(p1.pos - p2.pos)) AS BIGINT) AS closest
+        FROM p p1 JOIN p p2 ON p2.doc_id = p1.doc_id
+          AND abs(p1.pos - p2.pos) <= 3
+        WHERE p1.tok = 'hash' AND p2.tok = 'join'
+        GROUP BY p1.doc_id ORDER BY n_pairs DESC, p1.doc_id"""),
+      // fixture: the same q162 positional index build
+      setup = Some((s, dir) => buildPosIndex(s, dir, ensureCatalog(s, dir))))
   )
 }
