@@ -1525,6 +1525,102 @@ object Engine3 {
         WHERE p1.tok = 'hash' AND p2.tok = 'join'
         GROUP BY p1.doc_id ORDER BY n_pairs DESC, p1.doc_id"""),
       // fixture: the same q162 positional index build
-      setup = Some((s, dir) => buildPosIndex(s, dir, ensureCatalog(s, dir))))
+      setup = Some((s, dir) => buildPosIndex(s, dir, ensureCatalog(s, dir)))),
+
+    // ---- q178: BOOLEAN retrieval — AND / NOT over the postings index -------
+    // The query-language staple the ranked serves don't cover: docs that
+    // contain ALL required terms and NONE of the excluded ones, ranked by
+    // BM25 over the required terms. All three term lists come from ONE
+    // IN-pruned pass over the token-clustered postings:
+    //  - AND = per-doc matched-term count == |required| (postings are
+    //    unique per (tok, doc), so COUNT(*) is the distinct-term count —
+    //    no DISTINCT shuffle);
+    //  - NOT = left-anti join against the excluded term's doc list (its
+    //    postings were already read by the same pruned scan);
+    //  - ranking reuses the q161 BM25 parts over the required postings.
+    // At 100 TB: O(three terms' postings files), the anti-join's build
+    // side is one term's doc list — never a corpus scan, no global window.
+    QueryDef(
+      "q178_fts_boolean",
+      (s, dir) => {
+        val ns = ensureCatalog(s, dir)
+        val required = Seq("scan", "filter")
+        val excluded = "hash"
+        val post = s.table(s"$ns.fts_post")
+          .where(col("tok").isin(required :+ excluded: _*))
+        val reqPost = post.where(col("tok").isin(required: _*))
+        val negDocs = post.where(col("tok") === excluded).select("doc_id")
+        val dfx = reqPost.groupBy(col("tok"))
+          .agg(count(lit(1)).cast("double").as("df"))
+        val glob = s.table(s"$ns.fts_glob")
+          .select(col("sl").cast("double").as("sl"),
+            col("nd").cast("double").as("nd"))
+        reqPost.join(broadcast(dfx), "tok")
+          .crossJoin(broadcast(glob))
+          .withColumn("part", expr(bm25Part))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("nt"),
+            sum(col("part")).cast("long").as("score_micro"))
+          .where(col("nt") === required.size)
+          .join(negDocs, Seq("doc_id"), "left_anti")
+          .select(col("doc_id"), col("score_micro"))
+          .orderBy(desc("score_micro"), col("doc_id"))
+      },
+      Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS sp FROM documents),
+        dd AS (SELECT doc_id, CAST(len(sp) AS BIGINT) AS dl, sp FROM d),
+        g AS (SELECT CAST(SUM(dl) AS DOUBLE) AS sl, CAST(COUNT(*) AS DOUBLE) AS nd FROM dd),
+        t AS (SELECT doc_id, dl, unnest(sp) AS tok FROM dd),
+        tf AS (SELECT doc_id, dl, tok, CAST(COUNT(*) AS DOUBLE) AS tf
+               FROM t WHERE tok IN ('scan', 'filter') GROUP BY doc_id, dl, tok),
+        dfx AS (SELECT tok, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY tok),
+        neg AS (SELECT DISTINCT doc_id FROM t WHERE tok = 'hash'),
+        scored AS (
+          SELECT tf.doc_id, COUNT(*) AS nt,
+            CAST(SUM(round(((g.nd - dfx.df + 0.5) / (dfx.df + 0.5)) * tf.tf * 2.2 /
+              (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / (g.sl / g.nd))) * 1e6)) AS BIGINT)
+              AS score_micro
+          FROM tf JOIN dfx USING (tok) CROSS JOIN g
+          GROUP BY tf.doc_id)
+        SELECT doc_id, score_micro FROM scored
+        WHERE nt = 2 AND doc_id NOT IN (SELECT doc_id FROM neg)
+        ORDER BY score_micro DESC, doc_id"""),
+      // fixture: the same q161 index build
+      setup = Some((s, dir) =>
+        buildFtsIndex(s, dir, ensureCatalog(s, dir)))),
+
+    // ---- q180: PREFIX search — `sca*` as a range over the clustered index --
+    // Wildcard-prefix term match, the autocomplete/stemming primitive.
+    // `startsWith` pushes into the scan as a string-range predicate
+    // (FilterTranslate maps StringStartsWith to a [prefix, prefix')
+    // range), and because the postings files are RANGE-CLUSTERED by
+    // token, the registry's per-file [min, max] token ranges disprove
+    // the prefix for every file that can't hold it — a prefix query
+    // opens O(matching tokens' postings), exactly like the IN-list
+    // serves, with no term dictionary to maintain. The query expands
+    // the prefix to its matching terms with per-term document counts
+    // and the per-term BM25-ready df — the expansion step of a real
+    // `sca*` OR-query. At 100 TB: the prefix's token range is
+    // contiguous in the clustered layout, so the read is a handful of
+    // adjacent files.
+    QueryDef(
+      "q180_fts_prefix",
+      (s, dir) => {
+        val ns = ensureCatalog(s, dir)
+        s.table(s"$ns.fts_post")
+          .where(col("tok").startsWith("sca"))
+          .groupBy(col("tok"))
+          .agg(count(lit(1)).cast("long").as("n_docs"),
+            sum(col("tf")).cast("long").as("n_occurrences"))
+          .orderBy(desc("n_docs"), col("tok"))
+      },
+      Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS sp FROM documents),
+        t AS (SELECT doc_id, unnest(sp) AS tok FROM d)
+        SELECT tok, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+               CAST(COUNT(*) AS BIGINT) AS n_occurrences
+        FROM t WHERE tok LIKE 'sca%'
+        GROUP BY tok ORDER BY n_docs DESC, tok"""),
+      // fixture: the same q161 index build
+      setup = Some((s, dir) =>
+        buildFtsIndex(s, dir, ensureCatalog(s, dir))))
   )
 }

@@ -61,6 +61,32 @@ class FtsSpec extends AnyFunSuite with BeforeAndAfterAll {
       r.getString(0) -> r.getLong(1)).toMap == Map("ant" -> 200L, "dog" -> 200L))
   }
 
+  test("prefix lookup (startsWith) file-prunes against the token-clustered " +
+      "layout — the q180 contract") {
+    setupCatalog()
+    import spark.implicits._
+    spark.sql("CREATE TABLE gfts.t.post_pf (tok STRING, doc_id BIGINT, tf BIGINT)")
+    // tokens sharing the 'sca' prefix cluster ADJACENTLY under range
+    // partitioning; a prefix predicate is a [prefix, prefix') range the
+    // registry's per-file [min, max] disproves for every other file
+    val rows = for (t <- Seq("alpha", "scala", "scan", "zebra"); i <- 0 until 200)
+      yield (t, i.toLong, 1L)
+    rows.toDF("tok", "doc_id", "tf")
+      .repartitionByRange(4, col("tok"))
+      .sortWithinPartitions("tok", "doc_id")
+      .writeTo("gfts.t.post_pf").append()
+
+    val all = spark.table("gfts.t.post_pf")
+    val pruned = all.where(col("tok").startsWith("sca"))
+    assert(pruned.rdd.getNumPartitions < all.rdd.getNumPartitions,
+      s"prefix range must file-prune: pruned=${pruned.rdd.getNumPartitions} " +
+        s"all=${all.rdd.getNumPartitions}")
+    // the prefix expands to exactly the two matching terms, counts exact
+    val got = pruned.groupBy("tok").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("scala" -> 200L, "scan" -> 200L), s"got $got")
+  }
+
   test("positional phrase join is exact, including overlapping occurrences") {
     setupCatalog()
     import spark.implicits._

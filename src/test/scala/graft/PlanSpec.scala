@@ -127,6 +127,42 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(pruned.count() == 200)
   }
 
+  test("q179 serving shape: metadata filter semi-joins the PROBED postings; " +
+      "the filter scan never reads the embeddings") {
+    // filtered ANN (Engine2 q179): the label predicate restricts
+    // candidates via a left-semi join applied AFTER identity partition
+    // pruning, and its metadata scan must be column-pruned to
+    // (vec_id, label) — the 64-float embedding array never leaves disk
+    spark.sql(
+      """CREATE TABLE gpart.t.fpost (vid BIGINT, code BIGINT, list_id BIGINT)
+        |PARTITIONED BY (list_id)""".stripMargin)
+    spark.sql(
+      "INSERT INTO gpart.t.fpost SELECT id, id % 97, id % 8 FROM range(800)")
+    val metaDir = java.nio.file.Files.createTempDirectory("q179meta").toString
+    spark.range(800)
+      .selectExpr("id AS vec_id",
+        "transform(sequence(1, 64), x -> CAST(x AS FLOAT)) AS embedding",
+        "CAST(id % 3 AS INT) AS label")
+      .write.mode("overwrite").parquet(metaDir)
+    val filt = spark.read.parquet(metaDir)
+      .where(col("label") === 1).select(col("vec_id").as("vid"))
+    val pruned = spark.table("gpart.t.fpost").where(col("list_id").isin(1, 4))
+    val all = spark.table("gpart.t.fpost")
+    assert(pruned.rdd.getNumPartitions < all.rdd.getNumPartitions,
+      "the metadata filter must not defeat probed-list pruning")
+    val cand = pruned.join(filt, Seq("vid"), "left_semi")
+    val plan = cand.queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi"), s"expected a semi join:\n$plan")
+    val metaScanLine = plan.linesIterator
+      .find(l => l.contains("q179meta") && l.contains("ReadSchema"))
+    assert(metaScanLine.exists(!_.contains("embedding")),
+      s"metadata scan must prune the embedding column:\n$plan")
+    // lists 1 and 4 hold vids ≡ 1, 4 (mod 8); of those, label==1 keeps
+    // vids ≡ 1 (mod 3): 100 of the 200 pruned rows
+    assert(cand.count() ==
+      (0 until 800).count(i => (i % 8 == 1 || i % 8 == 4) && i % 3 == 1))
+  }
+
   test("q172 serving shape: tombstone survival composes with list pruning, broadcast join") {
     // the maintained-index serve (q171/q172): postings carry a rev, a
     // tombstone table carries (vid, rev), survival = rev >= max tombstone
