@@ -1621,6 +1621,93 @@ object Engine3 {
         GROUP BY tok ORDER BY n_docs DESC, tok"""),
       // fixture: the same q161 index build
       setup = Some((s, dir) =>
+        buildFtsIndex(s, dir, ensureCatalog(s, dir)))),
+
+    // ---- q181: SNIPPET extraction — the ±2-token window around the hit ----
+    // Search UIs and RAG prompts don't show postings, they show context.
+    // The positional index gives each matching doc's FIRST occurrence of
+    // the term with one pruned read (single-token filter → token-
+    // clustered file prune, then min(pos) per doc); fetching the words
+    // around it joins back to the CORPUS — but only for the matched
+    // docs, as a join on the dense doc_id key (on a graft table this is
+    // the row-key/bloom-prunable bulk-get shape, q05/q152). The snippet
+    // itself is row-local array slicing. At 100 TB: O(term's postings)
+    // + O(matched docs) text fetch, never a corpus scan.
+    QueryDef(
+      "q181_fts_snippets",
+      (s, dir) => {
+        val ns = ensureCatalog(s, dir)
+        val hits = s.table(s"$ns.fts_pos")
+          .where(col("tok") === "stream")
+          .groupBy(col("doc_id"))
+          // fts_pos positions are 0-based; i is the 1-based array index
+          .agg((min(col("pos")) + 1).as("i"))
+        val docs = s.read.parquet(s"$dir/documents.parquet")
+          .select(col("doc_id"), split(col("text"), " ").as("sp"))
+        hits.join(docs, "doc_id")
+          .withColumn("a", greatest(col("i") - 2, lit(1)))
+          .withColumn("b", least(col("i") + 2, size(col("sp")).cast("long")))
+          .select(col("doc_id"),
+            concat_ws(" ", slice(col("sp"), col("a").cast("int"),
+              (col("b") - col("a") + 1).cast("int"))).as("snippet"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS sp FROM documents),
+        h AS (SELECT doc_id, CAST(list_position(sp, 'stream') AS BIGINT) AS i, sp
+              FROM d WHERE list_contains(sp, 'stream'))
+        SELECT doc_id,
+          array_to_string(sp[CAST(greatest(i - 2, 1) AS BIGINT):
+                             CAST(least(i + 2, len(sp)) AS BIGINT)], ' ') AS snippet
+        FROM h ORDER BY doc_id"""),
+      // fixture: the same q162 positional index build
+      setup = Some((s, dir) => buildPosIndex(s, dir, ensureCatalog(s, dir)))),
+
+    // ---- q182: FUZZY term lookup — SymSpell deletion neighborhoods ---------
+    // "Did you mean": index terms within edit distance 1 of a misspelled
+    // query ('sow' → 'row' by substitution, 'slow' by deletion), WITHOUT an O(dictionary) edit-distance scan. The
+    // SymSpell trick: two strings are within levenshtein 1 iff they
+    // share a member of each other's DELETION neighborhood (the string
+    // itself + every single-character deletion), so candidates come from
+    // an equality JOIN on the variant key — the dictionary side explodes
+    // to (len+1) keys per term, the query side is a handful of literals,
+    // and the exact levenshtein verify runs only on the joined
+    // candidates (kills the distance-2 pairs that share a variant, e.g.
+    // transpositions). At 100 TB the deletion-variant table is the
+    // persisted artifact (append-maintained like any index; ~(len+1)×
+    // dictionary rows), and a lookup is a point join — this query
+    // derives it inline from the postings' term dictionary and scores
+    // matches by df so the suggestion ranking is corpus-grounded.
+    QueryDef(
+      "q182_fts_fuzzy_term",
+      (s, dir) => {
+        val ns = ensureCatalog(s, dir)
+        val query = "sow"
+        val qVariants = (query +: query.indices.map(i =>
+          query.substring(0, i) + query.substring(i + 1))).distinct
+        val dict = s.table(s"$ns.fts_post")
+          .groupBy(col("tok")).agg(count(lit(1)).cast("long").as("df"))
+        val variants = dict.select(col("tok"), col("df"), explode(expr(
+          """array_union(array(tok), transform(sequence(1, length(tok)),
+            |  i -> concat(substring(tok, 1, i - 1),
+            |              substring(tok, i + 1, length(tok)))))""".stripMargin))
+          .as("variant"))
+        variants
+          .where(col("variant").isin(qVariants: _*))
+          .select(col("tok"), col("df")).distinct()
+          .withColumn("dist", levenshtein(col("tok"), lit(query)))
+          .where(col("dist") <= 1)
+          .select(col("tok"), col("dist").cast("long").as("dist"), col("df"))
+          .orderBy(col("dist"), desc("df"), col("tok"))
+      },
+      Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS sp FROM documents),
+        t AS (SELECT doc_id, unnest(sp) AS tok FROM d),
+        dict AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df
+                 FROM (SELECT DISTINCT doc_id, tok FROM t) GROUP BY tok)
+        SELECT tok, CAST(levenshtein(tok, 'sow') AS BIGINT) AS dist, df
+        FROM dict WHERE levenshtein(tok, 'sow') <= 1
+        ORDER BY dist, df DESC, tok"""),
+      // fixture: the same q161 index build
+      setup = Some((s, dir) =>
         buildFtsIndex(s, dir, ensureCatalog(s, dir))))
   )
 }
