@@ -1708,6 +1708,139 @@ object Engine3 {
         ORDER BY dist, df DESC, tok"""),
       // fixture: the same q161 index build
       setup = Some((s, dir) =>
-        buildFtsIndex(s, dir, ensureCatalog(s, dir))))
+        buildFtsIndex(s, dir, ensureCatalog(s, dir)))),
+
+    // ---- q183: MAINTAINED fuzzy suggestions — the variant dict as an index -
+    // q182's deletion-variant table, upgraded from derived-inline to a
+    // PERSISTED, MAINTAINED artifact riding the q170/q171 index
+    // lifecycle: the dict folds per batch (tokens of the batch's
+    // head-pinned affected docs, anti-joined against the dict's known
+    // terms — O(batch tokens + dict), never the corpus), and stays
+    // APPEND-ONLY under mutations because correctness lives at serve
+    // time: suggestions take their df from the LIVE survival-filtered
+    // postings (an IN-pruned read over the candidate terms — the
+    // q142-probed-lists collect pattern, model-sized), so a term whose
+    // last doc died suggests df=0 and drops without the dict ever
+    // rewriting. The gate runs the full lifecycle: seed fold + seed
+    // dict, a takedown (df shrinks) + a re-crawl introducing the NEW
+    // term 'sown' (enters the dict via the delta fold, distance 1 from
+    // the probe), serve ≡ the oracle's brute-force levenshtein over the
+    // post-mutation corpus. At 100 TB: dict ≈ vocabulary-sized (the one
+    // corpus-independent table in the stack), folds are O(batch), a
+    // lookup is a point join + one pruned postings read.
+    QueryDef(
+      "q183_fts_fuzzy_maintained",
+      (s, dir) => {
+        val ns2 = "gcat.fts7"
+        val v1 = s.table(s"$ns2.fts2_meta")
+          .agg(max(col("indexed_version"))).first().getLong(0)
+        // the mutation batch (self-guarding — a re-run mutates nothing,
+        // the interval is empty, and both folds are skipped whole)
+        s.sql(s"DELETE FROM $ns2.fts2_src WHERE doc_id % 7 = 2")
+        s.sql(
+          s"""UPDATE $ns2.fts2_src
+             |SET text = concat(text, ' sown')
+             |WHERE doc_id % 7 = 3 AND text NOT LIKE '%sown'""".stripMargin)
+        val v2 = fts2SrcVersion(s, ns2)
+        if (v2 > v1) {
+          val cat = s.sessionState.catalogManager.catalog("gcat")
+            .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
+          val tbl = cat.loadTable(org.apache.spark.sql.connector.catalog.Identifier
+              .of(Array("fts7"), "fts2_src")).asInstanceOf[graft.sources.GraftTable]
+          val feed = graft.sources.Snapshots.changes(s, tbl,
+            since = v1, end = Some(v2))
+          fts2FoldFeed(s, ns2, s"$ns2.fts2_src", feed, v1, v2)
+          // dict delta: tokens of the affected docs' HEAD state (the
+          // endpoint-state discipline — postimage rows may be partial),
+          // minus terms the dict already knows
+          val affected = feed.select(col("doc_id")).distinct()
+          val headDocs = s.read.option("snapshot-version", v2)
+            .table(s"$ns2.fts2_src")
+            .join(affected, Seq("doc_id"), "left_semi")
+          dictFold(s, ns2, headDocs.select(col("doc_id"), col("text")))
+        }
+        fuzzyServe(s, ns2, "sow")
+      },
+      // brute-force levenshtein over the POST-MUTATION corpus dictionary
+      Some("""WITH corp AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 7 = 3 THEN text || ' sown'
+                      ELSE text END AS text
+          FROM documents WHERE doc_id % 7 <> 2),
+        d AS (SELECT doc_id, string_split(text, ' ') AS sp FROM corp),
+        t AS (SELECT doc_id, unnest(sp) AS tok FROM d),
+        dict AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df
+                 FROM (SELECT DISTINCT doc_id, tok FROM t) GROUP BY tok)
+        SELECT tok, CAST(levenshtein(tok, 'sow') AS BIGINT) AS dist, df
+        FROM dict WHERE levenshtein(tok, 'sow') <= 1
+        ORDER BY dist, df DESC, tok"""),
+      // fixture: own namespace, row-keyed ingest (mutations need
+      // identity), the WHOLE corpus seeded through the shared fold +
+      // the dict's seed fold
+      setup = Some((s, dir) => {
+        ensureCatalog(s, dir)
+        val ns2 = "gcat.fts7"
+        s.sql("CREATE NAMESPACE IF NOT EXISTS gcat.fts7")
+        fts2Create(s, ns2, withRowKey = true)
+        s.sql(s"CREATE TABLE IF NOT EXISTS $ns2.dict_var (variant STRING, tok STRING)")
+        s.read.parquet(s"$dir/documents.parquet")
+          .select(col("doc_id").cast("string").as("row_key"),
+            col("doc_id"), col("text"))
+          .writeTo(s"$ns2.fts2_src").append()
+        val v1 = fts2SrcVersion(s, ns2)
+        val seed = s.read.option("since-version", 0L)
+          .option("snapshot-version", v1).table(s"$ns2.fts2_src")
+          .select(col("doc_id"), col("text"))
+        fts2Fold(s, ns2, seed, v1)
+        dictFold(s, ns2, seed)
+        ()
+      }))
   )
+
+  /** Append the deletion-neighborhood variants of `batch`'s NEW terms to
+    * `ns.dict_var` — terms the dict already knows are anti-joined away,
+    * so the dict stays one row per (variant, term) and folds cost
+    * O(batch tokens + dict), never the corpus. Append-only by design:
+    * a dead term's suggestions die at SERVE time (df = 0 from the live
+    * postings), the dict never rewrites. */
+  private def dictFold(s: SparkSession, ns: String, batch: DataFrame): Unit = {
+    val batchTerms = fts2Tokenize(batch)
+      .select(explode(col("sp")).as("tok")).distinct()
+    val known = s.table(s"$ns.dict_var").select(col("tok")).distinct()
+    val fresh = batchTerms.join(known, Seq("tok"), "left_anti")
+    fresh.select(col("tok"), explode(expr(
+        """array_union(array(tok), transform(sequence(1, length(tok)),
+          |  i -> concat(substring(tok, 1, i - 1),
+          |              substring(tok, i + 1, length(tok)))))""".stripMargin))
+        .as("variant"))
+      .select(col("variant"), col("tok"))
+      .writeTo(s"$ns.dict_var").append()
+  }
+
+  /** Fuzzy suggestions from the MAINTAINED dict + index: candidates from
+    * the variant point-join (dict-sized), exact levenshtein ≤ 1 verify,
+    * then df from the LIVE postings — an IN-pruned, survival-filtered
+    * read over just the candidate terms (the model-sized collect is the
+    * q142 probed-lists pattern). df = 0 candidates drop here, which is
+    * what lets the dict stay append-only under deletes. */
+  private def fuzzyServe(s: SparkSession, ns: String, query: String): DataFrame = {
+    val qVariants = (query +: query.indices.map(i =>
+      query.substring(0, i) + query.substring(i + 1))).distinct
+    val cands = s.table(s"$ns.dict_var")
+      .where(col("variant").isin(qVariants: _*))
+      .select(col("tok")).distinct()
+      .withColumn("dist", levenshtein(col("tok"), lit(query)))
+      .where(col("dist") <= 1)
+      .collect().map(r => (r.getString(0), r.getInt(1)))
+    val tombMax = fts2TombMaxOpt(s, ns)
+    val live = fts2Surviving(
+      s.table(s"$ns.fts2_post")
+        .where(col("tok").isin(cands.map(_._1): _*)), tombMax)
+    import s.implicits._
+    live.groupBy(col("tok"))
+      .agg(count(lit(1)).cast("long").as("df"))
+      .join(cands.toSeq.toDF("tok", "d"), "tok")
+      .select(col("tok"), col("d").cast("long").as("dist"), col("df"))
+      .orderBy(col("dist"), desc("df"), col("tok"))
+  }
 }
