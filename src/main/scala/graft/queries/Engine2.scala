@@ -40,8 +40,12 @@ object Engine2 {
     * liveVersion, not the raw listing tail, so a crashed commit's orphan
     * snapshot can never become a watermark that skips the healed
     * commit's rows. */
-  private def gcatTableVersion(s: SparkSession, db: String, table: String): Long = {
-    val wh = s.conf.get("spark.sql.catalog.gcat.warehouse")
+  private def gcatTableVersion(s: SparkSession, db: String, table: String): Long =
+    catTableVersion(s, "gcat", db, table)
+
+  private def catTableVersion(s: SparkSession, cat: String, db: String,
+      table: String): Long = {
+    val wh = s.conf.get(s"spark.sql.catalog.$cat.warehouse")
     val dd = new org.apache.hadoop.fs.Path(s"$wh/$db/$table/data")
     val fs = dd.getFileSystem(new org.apache.hadoop.conf.Configuration())
     graft.sources.TableStats.liveVersion(fs, dd).getOrElse(
@@ -156,13 +160,16 @@ object Engine2 {
     * Returns the regrouped (centroids, codebook) for the caller's serve. */
   private def ann3MutateAndFold(s: SparkSession, ns2: String)
       : (DataFrame, DataFrame) = {
-    val db = ns2.split('.')(1)
+    // catalog-generic like its sibling ann3SeedFrom: every resolution
+    // derives from ns2 — a hardcoded catalog here would mutate one
+    // catalog's table and fold another's feed
+    val Array(catName, db) = ns2.split('.')
     val v1 = s.table(s"$ns2.ann3_meta")
       .agg(max(col("indexed_version"))).first().getLong(0)
     s.sql(s"DELETE FROM $ns2.ann3_src WHERE vec_id % 7 = 3")
     s.sql(s"UPDATE $ns2.ann3_src SET v = abs(v) WHERE vec_id % 7 = 5 AND v < 0")
-    val v2 = gcatTableVersion(s, db, "ann3_src")
-    val cat = s.sessionState.catalogManager.catalog("gcat")
+    val v2 = catTableVersion(s, catName, db, "ann3_src")
+    val cat = s.sessionState.catalogManager.catalog(catName)
       .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
     val tbl = cat.loadTable(org.apache.spark.sql.connector.catalog.Identifier
         .of(Array(db), "ann3_src")).asInstanceOf[graft.sources.GraftTable]
@@ -210,9 +217,8 @@ object Engine2 {
     else {
       val agg = s.table(s"$ns2.ann3_del")
         .groupBy(col("vid")).agg(max(col("rev")).as("trev"))
-      val ceiling = s.conf.getOption("graft.index.tombstoneBroadcastBytes")
-        .map(_.toLong).getOrElse(64L * 1024 * 1024)
-      Some(if (bytes <= ceiling) broadcast(agg) else agg)
+      // ONE ceiling for both serves (Engine3 owns the conf key/default)
+      Some(if (bytes <= Engine3.tombBroadcastBytes(s)) broadcast(agg) else agg)
     }
   }
 

@@ -157,7 +157,7 @@ object Engine3 {
     * join degrades to a plain (shuffleable) join instead of blowing the
     * driver — the defensive bound that holds between compactions.
     * `graft.index.tombstoneBroadcastBytes` overrides (tests). */
-  private def tombBroadcastBytes(s: SparkSession): Long =
+  private[graft] def tombBroadcastBytes(s: SparkSession): Long =
     s.conf.getOption("graft.index.tombstoneBroadcastBytes").map(_.toLong)
       .getOrElse(64L * 1024 * 1024)
 
@@ -165,13 +165,16 @@ object Engine3 {
     * for one batch of (doc_id, text), stamped with revision `rev` —
     * the shared production of every index fold (seed, append delta,
     * update postimages). */
-  private def fts2IndexRows(batch: DataFrame, rev: Long)
-      : (DataFrame, DataFrame, DataFrame) = {
+  private def fts2IndexRows(batch: DataFrame, rev: Long,
+      shardsOpt: Option[Int] = None): (DataFrame, DataFrame, DataFrame) = {
     val docs = fts2Tokenize(batch)
     // shard count ∝ the BATCH's planned bytes: the seed build (the whole
     // corpus through this same routine) fans its tokenize+group shuffle
-    // out, a delta fold collapses to one token-clustered file
-    val shards = fts2ShardCount(batch)
+    // out, a delta fold collapses to one token-clustered file. Callers
+    // whose batch is a JOIN pass `shardsOpt` from a base-scan estimate —
+    // size-only join stats are not delta-sized (fts2FoldFeed's semi-join
+    // plans the whole left snapshot)
+    val shards = shardsOpt.getOrElse(fts2ShardCount(batch))
     val post = docs
       .select(col("doc_id"), col("dl"), explode(col("sp")).as("tok"))
       .groupBy(col("tok"), col("doc_id"), col("dl"))
@@ -260,7 +263,14 @@ object Engine3 {
       .agg((-count(lit(1))).cast("long").as("nd"),
         (-sum(col("dl"))).cast("long").as("sl"))
       .where(col("nd") =!= 0L)
-    val (postRows, posRows, posGlob0) = fts2IndexRows(state(v2), v2)
+    // shard the re-index shuffle from the FEED's planned bytes (delta-
+    // sized: change-file scans for exactly this interval), never from
+    // state(v2)'s plan — size-only stats price a left-semi join at the
+    // LEFT side, i.e. the whole pinned snapshot, and a small takedown on
+    // a 100 TB corpus would shard its O(batch) rows corpus-wide (the
+    // same trap fts2Compact documents for its post-join rewrites)
+    val (postRows, posRows, posGlob0) =
+      fts2IndexRows(state(v2), v2, Some(fts2ShardCount(feed)))
     val posGlob = posGlob0.where(col("nd") =!= 0L)
     val tomb = affected.select(col("doc_id"), lit(v2).as("rev"))
     graft.sources.Transactions.run(s, coord) { txn =>

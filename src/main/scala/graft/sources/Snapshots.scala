@@ -610,9 +610,32 @@ object Snapshots {
       val replace = isReplaceWap(fs, dataDir, id)
       val v =
         if (replace) {
-          val swapped = TableStats.write(fs, dataDir, adds)
-          ChangeLog.writeMarker(fs, dataDir, swapped, ChangeLog.Replace)
-          swapped
+          // Marker BEFORE the registry swap (the commit point) — the
+          // GraftRowLevel discipline: the reverse order left a crash
+          // window where the shrink version was live UNMARKED, and every
+          // feed interval crossing it would throw ("crosses a rewrite
+          // whose per-row delta was not recorded") forever. The version
+          // is precomputed under the lock so the swap records exactly
+          // it; a swap failure un-publishes the marker (a marker at a
+          // never-committed version would misclassify the next commit).
+          // A hard crash between marker and swap heals on recover():
+          // publishWap re-runs under the same lock, recomputes the same
+          // version, and overwrites the marker — the single-maintainer
+          // replace protocol (Txn.replace race-checks) is what bounds
+          // foreign commits in that window, as with every marker-first
+          // commit path.
+          val pre = nextVersion(fs, dataDir)
+          ChangeLog.writeMarker(fs, dataDir, pre, ChangeLog.Replace)
+          try {
+            val swapped = TableStats.write(fs, dataDir, adds)
+            require(swapped == pre,
+              s"graft: replace publish recorded v$swapped, expected v$pre")
+            swapped
+          } catch { case e: Throwable =>
+            try fs.delete(ChangeLog.markerPath(dataDir, pre), false)
+            catch { case _: Exception => () }
+            throw e
+          }
         } else TableStats.write(fs, dataDir, TableStats.read(fs, dataDir) ++ adds)
       // record the published version BEFORE retiring the staged list: a
       // multi-table transaction that crashes mid-complete can then still

@@ -52,14 +52,20 @@ object DerivedMaintain {
     * @param derive     delta rows => (derived table, rows to append)*;
     *                   must be deterministic given the delta
     * @param recoverAgeMillis age guard for rolling back an undecided
-    *                   transaction found at start (0 is safe when this
-    *                   is the only maintainer of `source`)
+    *                   transaction found at start. Default matches
+    *                   [[Transactions.recover]]'s own (1 h): the source's
+    *                   coordinator may be SHARED with other maintainers
+    *                   (one warehouse = one coordinator), and a 0 guard
+    *                   would roll back a LIVE sibling's between-intent-
+    *                   and-decide stage — its fold silently lost while it
+    *                   reports success. Pass 0 only when provably no
+    *                   other coordinator user can be alive (tests).
     */
   def start(spark: SparkSession, source: String, metaTable: String,
       checkpoint: String,
       derive: DataFrame => Seq[(String, DataFrame)],
       trigger: Trigger = Trigger.AvailableNow(),
-      recoverAgeMillis: Long = 0L,
+      recoverAgeMillis: Long = 3600L * 1000,
       onBatch: (Long, Long) => Unit = (_, _) => ()): StreamingQuery = {
 
     def tableDir(name: String): String = {

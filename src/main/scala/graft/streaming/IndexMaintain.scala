@@ -53,7 +53,15 @@ object IndexMaintain {
     * @param metaTable  the index's watermark log `(indexed_version
     *                   BIGINT)` — the SAME table the folds advance
     * @param coordDir   the folds' transaction coordinator directory
-    *                   (recover() runs against it at start)
+    *                   (recover() runs against it at start). Often
+    *                   SHARED between maintainers (one warehouse = one
+    *                   coordinator) — which is why `recoverAgeMillis`
+    *                   defaults to [[Transactions.recover]]'s 1 h guard:
+    *                   a 0 guard at start would roll back a live
+    *                   sibling's between-intent-and-decide stage,
+    *                   silently losing its fold. Pass 0 only when
+    *                   provably no other coordinator user is alive
+    *                   (tests).
     * @param foldAppend (delta pinned to `(watermark, head]`, head) —
     *                   e.g. `Engine3.fts2Fold`
     * @param foldFeed   (change feed for `(watermark, head]`, watermark,
@@ -66,7 +74,7 @@ object IndexMaintain {
       foldAppend: (DataFrame, Long) => Unit,
       foldFeed: (DataFrame, Long, Long) => Unit,
       trigger: Trigger = Trigger.AvailableNow(),
-      recoverAgeMillis: Long = 0L,
+      recoverAgeMillis: Long = 3600L * 1000,
       onBatch: (Long, Long, Boolean) => Unit = (_, _, _) => ()): StreamingQuery = {
 
     val parts = spark.sessionState.sqlParser.parseMultipartIdentifier(source)

@@ -33,9 +33,13 @@ class DerivedMaintainSpec extends AnyFunSuite with BeforeAndAfterAll {
   private def transform(delta: DataFrame): Seq[(String, DataFrame)] =
     Seq("dmc.t.d" -> delta.select(col("id"), (col("v") * 2).as("v2")))
 
+  // recoverAgeMillis = 0: this suite IS the only coordinator user, and
+  // the predecessor-crash tests need young undecided intents rolled back
+  // immediately (production keeps the 1 h default)
   private def drain(ckpt: String): Unit =
     graft.streaming.DerivedMaintain.start(
-      spark, "dmc.t.s", "dmc.t.meta", ckpt, transform).awaitTermination()
+      spark, "dmc.t.s", "dmc.t.meta", ckpt, transform,
+      recoverAgeMillis = 0L).awaitTermination()
 
   private def derivedRows: Seq[(Long, Long)] =
     spark.sql("SELECT id, v2 FROM dmc.t.d ORDER BY id").collect()

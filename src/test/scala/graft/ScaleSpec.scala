@@ -32,8 +32,9 @@ class ScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("FTS index shuffle fans out with input size; a delta fold stays at one shard") {
     // the helper that drives every index write's range-shard count: one
     // shard per targetShardBytes of PLANNED input (no job runs), clamped
-    // to [1, 4096] — the round-9 seed-funnel fix (a hardcoded 8 was
-    // either a 100 TB bottleneck or small-delta file spam)
+    // to [1, graft.index.maxShards] (default 65536) — the round-9
+    // seed-funnel fix (a hardcoded 8 was either a 100 TB bottleneck or
+    // small-delta file spam)
     import spark.implicits._
     val tiny = Seq((1L, "a b"), (2L, "c d")).toDF("doc_id", "text")
     assert(graft.queries.Engine3.fts2ShardCount(tiny) == 1,
@@ -101,6 +102,67 @@ class ScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
           .table(s"$ns.fts2_src").select(col("doc_id"), col("text")), v2)
       assert(postFiles() == before + 1,
         "a tiny delta fold must land exactly one postings file")
+    } finally spark.conf.unset("graft.index.targetShardBytes")
+  }
+
+  test("mutation fold shards from the FEED, not the snapshot semi-join plan") {
+    // fts2FoldFeed re-reads the affected docs as snapshot ⋉ affected —
+    // a LEFT-SEMI join whose size-only stats price the WHOLE left
+    // snapshot. Sharding from that estimate would spread a small
+    // takedown's O(batch) rows corpus-wide (at 100 TB: thousands of
+    // near-empty shard files per fold); the fold must size from the
+    // delta-sized FEED plan instead.
+    import spark.implicits._
+    spark.conf.set("spark.sql.catalog.gsc", classOf[graft.sources.GraftCatalog].getName)
+    if (spark.conf.getOption("spark.sql.catalog.gsc.warehouse").isEmpty)
+      spark.conf.set("spark.sql.catalog.gsc.warehouse",
+        java.nio.file.Files.createTempDirectory("graft_gsc").toString)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gsc.mf")
+    val ns = "gsc.mf"
+    graft.queries.Engine3.fts2Create(spark, ns, withRowKey = true)
+    spark.range(3000).select(
+        col("id").cast("string").as("row_key"), col("id").as("doc_id"),
+        concat(lit("alpha bravo charlie delta echo foxtrot tok"),
+          col("id") % 97).as("text"))
+      .writeTo(s"$ns.fts2_src").append()
+    val v1 = graft.queries.Engine3.fts2SrcVersion(spark, ns)
+    graft.queries.Engine3.fts2Fold(spark, ns,
+      spark.read.option("since-version", 0L).option("snapshot-version", v1)
+        .table(s"$ns.fts2_src").select(col("doc_id"), col("text")), v1)
+    spark.conf.set("graft.index.targetShardBytes", "2048")
+    try {
+      spark.sql(s"DELETE FROM $ns.fts2_src WHERE doc_id = 5")
+      spark.sql(s"UPDATE $ns.fts2_src SET text = 'updated tokens' WHERE doc_id = 7")
+      val v2 = graft.queries.Engine3.fts2SrcVersion(spark, ns)
+      val cat = spark.sessionState.catalogManager.catalog("gsc")
+        .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
+      val tbl = cat.loadTable(org.apache.spark.sql.connector.catalog.Identifier
+          .of(Array("mf"), "fts2_src")).asInstanceOf[graft.sources.GraftTable]
+      val feed = graft.sources.Snapshots.changes(spark, tbl,
+        since = v1, end = Some(v2))
+      // the trap, made visible: the semi-join estimate prices the whole
+      // snapshot, the feed estimate prices the 2-doc delta
+      val stateJoin = spark.read.option("snapshot-version", v2)
+        .table(s"$ns.fts2_src")
+        .join(broadcast(feed.select(col("doc_id")).distinct()),
+          Seq("doc_id"), "left_semi")
+        .select(col("doc_id"), col("text"))
+      val joinShards = graft.queries.Engine3.fts2ShardCount(stateJoin)
+      val feedShards = graft.queries.Engine3.fts2ShardCount(feed)
+      assert(joinShards > feedShards,
+        s"precondition lost its teeth: join=$joinShards feed=$feedShards")
+      def postFiles(): Int = {
+        val dd = new org.apache.hadoop.fs.Path(
+          spark.conf.get("spark.sql.catalog.gsc.warehouse") + "/mf/fts2_post/data")
+        graft.sources.TableStats.read(
+          dd.getFileSystem(new org.apache.hadoop.conf.Configuration()), dd).size
+      }
+      val before = postFiles()
+      graft.queries.Engine3.fts2FoldFeed(spark, ns, s"$ns.fts2_src", feed, v1, v2)
+      val added = postFiles() - before
+      assert(added <= feedShards && added < joinShards,
+        s"mutation fold must shard delta-sized: added=$added " +
+          s"feedShards=$feedShards joinShards=$joinShards")
     } finally spark.conf.unset("graft.index.targetShardBytes")
   }
 

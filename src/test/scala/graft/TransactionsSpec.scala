@@ -253,6 +253,37 @@ class TransactionsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .toSeq == Seq(900L, 901L), "recovery must complete the swap")
   }
 
+  test("replace publish writes the marker BEFORE the swap; a crash between " +
+      "the two heals with the feed intact") {
+    // The reverse order left a permanent poison: a crash after the
+    // registry swap but before the marker made the shrink version live
+    // UNMARKED, and every feed interval crossing it threw forever.
+    // Marker-first means the crash window leaves only a marker at the
+    // not-yet-minted version; the re-publish (recover's roll-forward)
+    // recomputes the same version and overwrites it.
+    val dd = new org.apache.hadoop.fs.Path(s"$warehouse/t/r/data")
+    val fs = dd.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val txn = Transactions.begin(spark, warehouse)
+    txn.replace("txc.t.r", batch(950, 952))
+    txn.writeIntent()
+    txn.decide()
+    // simulate the crash window: the marker the fixed publishWap writes
+    // first is on disk, the swap never ran
+    val pre = graft.sources.Snapshots.nextVersion(fs, dd)
+    graft.sources.ChangeLog.writeMarker(fs, dd, pre,
+      graft.sources.ChangeLog.Replace)
+    assert(graft.sources.TableStats.liveVersion(fs, dd).get < pre,
+      "precondition: the swap must not have happened yet")
+    // recovery rolls the decided swap forward through the stranded marker
+    Transactions.recover(spark, warehouse, minAgeMillis = 0L)
+    val v = graft.sources.TableStats.liveVersion(fs, dd).get
+    assert(v == pre, "re-publish must mint exactly the marked version")
+    assert(graft.sources.ChangeLog.kindOf(fs, dd, v)
+      .contains(graft.sources.ChangeLog.Replace))
+    assert(spark.table("txc.t.r").select("id").collect().map(_.getLong(0)).sorted
+      .toSeq == Seq(950L, 951L), "recovery must complete the swap")
+  }
+
   test("replace: mixing a replace with another write to the SAME table is refused") {
     intercept[IllegalArgumentException] {
       Transactions.run(spark, warehouse) { txn =>
@@ -267,6 +298,6 @@ class TransactionsSpec extends AnyFunSuite with BeforeAndAfterAll {
       }
     }
     assert(spark.table("txc.t.r").select("id").collect().map(_.getLong(0)).sorted
-      .toSeq == Seq(900L, 901L), "refused transactions must leave no trace")
+      .toSeq == Seq(950L, 951L), "refused transactions must leave no trace")
   }
 }
