@@ -34,7 +34,7 @@ object Engine2 {
   // ---- q154 shared helpers (used by both its setup and its run) ----------
   private def annFlat(df: DataFrame): DataFrame =
     df.select(col("vec_id"), posexplode(col("e")).as(Seq("pos", "v")))
-  private def annRegroup(df: DataFrame): DataFrame = df.groupBy(col("vec_id"))
+  private[graft] def annRegroup(df: DataFrame): DataFrame = df.groupBy(col("vec_id"))
     .agg(expr("transform(array_sort(collect_list(struct(pos, v))), x -> x.v)").as("e"))
   /** LIVE registry head of a graft table under the gcat warehouse —
     * liveVersion, not the raw listing tail, so a crashed commit's orphan
@@ -85,11 +85,11 @@ object Engine2 {
 
   /** Rebuild (cid, ce) centroid arrays from their flat index-table rows
     * (pos is unique per cid, so the sort-by-struct ordering is total). */
-  private def regroupCent(df: DataFrame): DataFrame = df.groupBy(col("cid"))
+  private[graft] def regroupCent(df: DataFrame): DataFrame = df.groupBy(col("cid"))
     .agg(expr("transform(array_sort(collect_list(struct(pos, v))), x -> x.v)").as("ce"))
 
   /** Rebuild (code, j, cv) codeword arrays from their flat rows. */
-  private def regroupBook(df: DataFrame): DataFrame =
+  private[graft] def regroupBook(df: DataFrame): DataFrame =
     df.groupBy(col("code"), col("j"))
       .agg(expr("transform(array_sort(collect_list(struct(pos, v))), x -> x.v)").as("cv"))
 
@@ -98,7 +98,7 @@ object Engine2 {
   /** Seed the q172-shape index tables in `ns2` (its own namespace): the
     * row-keyed flattened source, the FROZEN first-16 quantizer, the
     * whole corpus encoded at rev v1. */
-  private def ann3Seed(s: SparkSession, ns2: String, dir: String): Unit = {
+  private[graft] def ann3Seed(s: SparkSession, ns2: String, dir: String): Unit = {
     Engine.ensureCatalog(s, dir)
     ann3SeedFrom(s, ns2, annFlat(emb(Tables(s, dir))))
   }
@@ -158,7 +158,7 @@ object Engine2 {
     * vectors WHOLE from the pinned source against the frozen quantizer,
     * advance postings + tombstones + watermark in ONE transaction.
     * Returns the regrouped (centroids, codebook) for the caller's serve. */
-  private def ann3MutateAndFold(s: SparkSession, ns2: String)
+  private[graft] def ann3MutateAndFold(s: SparkSession, ns2: String)
       : (DataFrame, DataFrame) = {
     // catalog-generic like its sibling ann3SeedFrom: every resolution
     // derives from ns2 — a hardcoded catalog here would mutate one

@@ -1804,6 +1804,207 @@ object Engine3 {
         fts2Fold(s, ns2, seed, v1)
         dictFold(s, ns2, seed)
         ()
+      })),
+
+    // ---- q184: HYBRID retrieval over the MAINTAINED indexes ----------------
+    // q164's RRF fusion, upgraded from static build-once indexes to the
+    // production state: a corpus that has taken a takedown (id % 7 = 3
+    // deleted from BOTH the docs and their embeddings) and a re-crawl
+    // (id % 7 = 5: new text + new embedding), with BOTH retrieval
+    // indexes kept current by their change-feed folds (q171's FTS
+    // discipline, q172's ANN discipline) — never rebuilt. The serve
+    // composes the two maintained read paths end to end:
+    //  - sparse: BM25 top-20 from the fts2 postings, IN-pruned +
+    //    survival-filtered against the registry-sized tombstone guard;
+    //  - dense: IVF-PQ ADC top-20 for query vector 0 over the PROBED
+    //    lists of the maintained ann3 postings (frozen quantizer,
+    //    identity partition pruning, the same survival guard);
+    //  - fusion: rrf = Σ 1/(60 + rank), rank arithmetic over two 20-row
+    //    lists (q164's exact-integer nanos).
+    // The oracle replays BOTH rankings from the post-mutation state
+    // (text from the mutated corpus; ADC with the ORIGINAL frozen
+    // first-16 quantizer) and fuses relationally — the maintained hybrid
+    // serve must answer as if both indexes were rebuilt from scratch.
+    // At 100 TB this is the RAG serving stack under churn: each fold is
+    // O(batch), each serve is O(terms' postings + probed lists), and the
+    // two indexes advance under their own transactions without ever
+    // coordinating with each other.
+    QueryDef(
+      "q184_hybrid_maintained",
+      (s, dir) => {
+        val fts = "gcat.hfts"
+        val ann = "gcat.hann"
+        val topk = udaf(graft.functions.TopKAgg(20),
+          org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[graft.functions.TopKIn]())
+        // sparse: maintained BM25 (survival-filtered inside fts2Bm25)
+        val sr = fts2Bm25(s, fts, Seq("join", "scan", "hash"))
+          .agg(topk(col("score_micro").cast("double"), col("doc_id")).as("top"))
+          .select(posexplode(col("top")))
+          .select((col("pos") + 1).cast("long").as("rank_s"),
+            col("col.id").as("doc_id"))
+        // dense: maintained IVF-PQ serve for query vector 0 — probe the
+        // top-2 frozen centroids, read ONLY those lists' partitions,
+        // survival-filter, ADC against the frozen codebooks
+        val centT = Engine2.regroupCent(s.table(s"$ann.ann3_cent"))
+        val bookT = Engine2.regroupBook(s.table(s"$ann.ann3_book"))
+        val q0 = Engine2.annRegroup(
+          s.table(s"$ann.ann3_src").where(col("vec_id") === 0)
+            .select(col("vec_id"), col("pos"), col("v")))
+          .select(col("e").as("qe"))
+        val probed = q0.crossJoin(broadcast(centT))
+          .withColumn("dot", expr(dotE.format("qe", "ce")))
+          .withColumn("qn2", expr(n2E.format("qe")))
+          .withColumn("cn2", expr(n2E.format("ce")))
+          .withColumn("cos", expr("dot / sqrt(qn2 * cn2)"))
+          .orderBy(desc("cos"), col("cid")).limit(2)
+          .select("cid").collect().map(r => Long.box(r.getLong(0))).toSeq
+        val tombMax = Engine2.ann3TombMaxOpt(s, ann)
+        val post = Engine2.ann3Surviving(
+          s.table(s"$ann.ann3_post").where(col("list_id").isin(probed: _*)),
+          tombMax)
+        val lut = q0.select(explode(expr("sequence(0, 7)")).as("j"), col("qe"))
+          .select(col("j"), expr("slice(qe, j * 8 + 1, 8)").as("sv"))
+          .join(broadcast(bookT), "j")
+          .withColumn("d", expr("quant_dist2(sv, cv, 1e9)"))
+          .select(col("j"), col("code"), col("d"))
+        val dr = post.filter(col("vid") =!= 0)
+          .join(broadcast(lut), Seq("j", "code"))
+          .groupBy(col("vid"))
+          .agg(sum(col("d")).as("adist"))
+          // top-20 nearest = TopKAgg on the NEGATED distance (exact
+          // integers in double; ties by vid ascending, as the oracle)
+          .agg(topk(-col("adist"), col("vid")).as("top"))
+          .select(posexplode(col("top")))
+          .select((col("pos") + 1).cast("long").as("rank_d"),
+            col("col.id").as("doc_id"))
+        sr.join(dr, Seq("doc_id"), "full_outer")
+          .withColumn("rrf_nano", expr(
+            "cast(round((coalesce(1.0 / (60 + cast(rank_s as double)), 0.0) + " +
+              "coalesce(1.0 / (60 + cast(rank_d as double)), 0.0)) * 1e9) as bigint)"))
+          .select(col("doc_id"), col("rank_s"), col("rank_d"), col("rrf_nano"))
+          .orderBy(desc("rrf_nano"), col("doc_id"))
+      },
+      // both rankings replayed from the POST-MUTATION state: text from
+      // the mutated corpus, ADC with the ORIGINAL frozen quantizer
+      Some("""WITH corp AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 7 = 5 THEN text || ' recrawled'
+                      ELSE text END AS text
+          FROM documents WHERE doc_id % 7 <> 3),
+        d AS (SELECT doc_id, string_split(text, ' ') AS sp FROM corp),
+        dd AS (SELECT doc_id, CAST(len(sp) AS BIGINT) AS dl, sp FROM d),
+        g AS (SELECT CAST(SUM(dl) AS DOUBLE) AS sl, CAST(COUNT(*) AS DOUBLE) AS nd FROM dd),
+        t AS (SELECT doc_id, dl, unnest(sp) AS tok FROM dd),
+        tf AS (SELECT doc_id, dl, tok, CAST(COUNT(*) AS DOUBLE) AS tf
+               FROM t WHERE tok IN ('join', 'scan', 'hash') GROUP BY doc_id, dl, tok),
+        dfx AS (SELECT tok, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY tok),
+        parts AS (
+          SELECT tf.doc_id,
+            round(((g.nd - dfx.df + 0.5) / (dfx.df + 0.5)) * tf.tf * 2.2 /
+              (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / (g.sl / g.nd))) * 1e6) AS part
+          FROM tf JOIN dfx USING (tok) CROSS JOIN g),
+        sr AS (
+          SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rank_s
+          FROM (SELECT doc_id, SUM(part) AS score FROM parts GROUP BY doc_id)
+          ORDER BY rank_s LIMIT 20),
+        corp_e AS (
+          SELECT vec_id,
+                 CASE WHEN vec_id % 7 = 5
+                      THEN list_transform(embedding, x -> abs(x))
+                      ELSE embedding END AS embedding
+          FROM embeddings WHERE vec_id % 7 <> 3),
+        cents AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 16),
+        norms AS (SELECT vec_id,
+                   list_sum(list_transform(embedding,
+                     x -> round(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) * 1e9))) AS n2
+                 FROM corp_e),
+        cnorms AS (SELECT vec_id,
+                   list_sum(list_transform(embedding,
+                     x -> round(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) * 1e9))) AS n2
+                 FROM cents),
+        ascore AS (
+          SELECT a.vec_id AS qid, c.vec_id AS vid,
+            list_sum(list_transform(range(1, len(a.embedding) + 1),
+              i -> round(CAST(a.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE) * 1e9)))
+              / sqrt(nq.n2 * nv.n2) AS cos
+          FROM corp_e a JOIN cents c ON TRUE
+          JOIN norms nq ON nq.vec_id = a.vec_id JOIN cnorms nv ON nv.vec_id = c.vec_id),
+        ranked AS (
+          SELECT qid, vid, cos,
+            ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vid) AS rn
+          FROM ascore),
+        assign AS (SELECT qid AS member, vid AS cid FROM ranked WHERE rn = 1),
+        probe AS (SELECT vid AS cid FROM ranked WHERE rn <= 2 AND qid = 0),
+        cand AS (
+          SELECT DISTINCT a.member AS vid
+          FROM probe p JOIN assign a ON a.cid = p.cid WHERE a.member <> 0),
+        subs AS (SELECT vec_id, j FROM corp_e, range(0, 8) r(j)),
+        dists AS (
+          SELECT s.vec_id, s.j, c.vec_id AS cw,
+            list_sum(list_transform(range(0, 8),
+              i -> round((CAST(a.embedding[s.j * 8 + i + 1] AS DOUBLE)
+                          - CAST(c.embedding[s.j * 8 + i + 1] AS DOUBLE))
+                         * (CAST(a.embedding[s.j * 8 + i + 1] AS DOUBLE)
+                            - CAST(c.embedding[s.j * 8 + i + 1] AS DOUBLE)) * 1e9))) AS dist
+          FROM subs s JOIN corp_e a ON a.vec_id = s.vec_id
+          JOIN cents c ON TRUE),
+        codes AS (
+          SELECT vec_id AS vid, j, cw AS code FROM (
+            SELECT vec_id, j, cw,
+              ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY dist, cw) AS rn
+            FROM dists) WHERE rn = 1),
+        lut AS (SELECT j, cw AS code, dist AS d FROM dists WHERE vec_id = 0),
+        adc AS (
+          SELECT cand.vid, SUM(l.d) AS adist
+          FROM cand JOIN codes c ON c.vid = cand.vid
+          JOIN lut l ON l.j = c.j AND l.code = c.code
+          GROUP BY cand.vid),
+        dr AS (
+          SELECT vid AS doc_id,
+            ROW_NUMBER() OVER (ORDER BY adist, vid) AS rank_d
+          FROM adc ORDER BY rank_d LIMIT 20)
+        SELECT COALESCE(sr.doc_id, dr.doc_id) AS doc_id, rank_s, rank_d,
+          CAST(round((COALESCE(1.0 / (60 + rank_s), 0.0) +
+                      COALESCE(1.0 / (60 + rank_d), 0.0)) * 1e9) AS BIGINT)
+            AS rrf_nano
+        FROM sr FULL OUTER JOIN dr ON sr.doc_id = dr.doc_id
+        ORDER BY rrf_nano DESC, doc_id"""),
+      // fixture: BOTH maintained indexes in their own namespaces, seeded
+      // whole and mutation-folded through the SHARED q171/q172 routines
+      // (mirrored mutations: same takedown slice, same re-crawl slice)
+      setup = Some((s, dir) => {
+        ensureCatalog(s, dir)
+        // ANN side: seed + the q172 mutation fold (DELETE % 7 = 3,
+        // re-embed % 7 = 5) — ann3Seed drops/recreates, so re-runs are
+        // fresh
+        Engine2.ann3Seed(s, "gcat.hann", dir)
+        Engine2.ann3MutateAndFold(s, "gcat.hann")
+        // FTS side: seed fold, then the MIRRORED mutations + feed fold
+        val ns2 = "gcat.hfts"
+        s.sql("CREATE NAMESPACE IF NOT EXISTS gcat.hfts")
+        fts2Create(s, ns2, withRowKey = true)
+        s.read.parquet(s"$dir/documents.parquet")
+          .select(col("doc_id").cast("string").as("row_key"),
+            col("doc_id"), col("text"))
+          .writeTo(s"$ns2.fts2_src").append()
+        val v1 = fts2SrcVersion(s, ns2)
+        fts2Fold(s, ns2,
+          s.read.option("since-version", 0L).option("snapshot-version", v1)
+            .table(s"$ns2.fts2_src").select(col("doc_id"), col("text")), v1)
+        s.sql(s"DELETE FROM $ns2.fts2_src WHERE doc_id % 7 = 3")
+        s.sql(
+          s"""UPDATE $ns2.fts2_src
+             |SET text = concat(text, ' recrawled')
+             |WHERE doc_id % 7 = 5 AND text NOT LIKE '%recrawled'""".stripMargin)
+        val v2 = fts2SrcVersion(s, ns2)
+        val cat = s.sessionState.catalogManager.catalog("gcat")
+          .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
+        val tbl = cat.loadTable(org.apache.spark.sql.connector.catalog.Identifier
+            .of(Array("hfts"), "fts2_src")).asInstanceOf[graft.sources.GraftTable]
+        val feed = graft.sources.Snapshots.changes(s, tbl,
+          since = v1, end = Some(v2))
+        fts2FoldFeed(s, ns2, s"$ns2.fts2_src", feed, v1, v2)
+        ()
       }))
   )
 
