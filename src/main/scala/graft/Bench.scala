@@ -81,8 +81,17 @@ object Bench {
     val qs = timings.map { case (k, v) => jstr(k) + ":" + fmt(v, decimals) }.mkString("{", ",", "}")
     val total = timings.map(_._2).sum + setups.map(_._2).sum + droppedSetupTotal
     val setupJson =
-      if (setups.isEmpty) ""
-      else ",\"setup\":" + setups.map { case (k, v) => jstr(k) + ":" + fmt(v, decimals) }.mkString("{", ",", "}")
+      if (setups.nonEmpty)
+        ",\"setup\":" + setups.map { case (k, v) => jstr(k) + ":" + fmt(v, decimals) }.mkString("{", ",", "}")
+      // when the per-query setup map is dropped to fit the tail window,
+      // ONE aggregate field keeps the headline decomposable (value =
+      // Σ queries + setup_total) — without it the dropped fixture cost
+      // reads as unattributed query time, the exact round-7 defect the
+      // setup split exists to prevent (per-query setups stay in
+      // BENCH_LAST.json)
+      else if (droppedSetupTotal > 0.0)
+        ",\"setup_total\":" + fmt(droppedSetupTotal, decimals.max(1))
+      else ""
     val failJson =
       if (failures.isEmpty) ""
       else ",\"failures\":" + failures.map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")

@@ -53,6 +53,12 @@ class ContractSpec extends AnyFunSuite {
     val line = Bench.renderShortLine(qs, st, Nil, "sf0.1")
     assert(!line.contains("\"setup\""), "200 queries should force the drop")
     assert(math.abs(value(line) - 240.0) < 1.5, line.take(120))
+    // the dropped map leaves ONE aggregate behind: the artifact stays
+    // decomposable (value = sum of queries + setup_total)
+    val stotal = """"setup_total":([0-9.]+)""".r
+      .findFirstMatchIn(line).map(_.group(1).toDouble)
+    assert(stotal.exists(v => math.abs(v - 40.0) < 1.0),
+      s"setup_total must survive the drop: ${line.take(160)}")
     // and when the map FITS, the value is identical
     val small = Bench.renderLine(qs.take(3), st.take(2), Nil, "sf0.1", 3)
     assert(math.abs(value(small) - 7.0) < 0.01, small)
