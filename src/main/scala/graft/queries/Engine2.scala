@@ -1365,14 +1365,114 @@ object Engine2 {
         ann3Seed(s, "gcat.ann4", dir)
         ann3MutateAndFold(s, "gcat.ann4")
         ()
+      })),
+
+    // ---- q185: ANN index RE-QUANTIZATION — retrain + atomic whole swap ----
+    // Every maintenance fold deliberately FREEZES the quantizer (q154:
+    // retraining per batch would re-encode the corpus per batch). The
+    // price is drift: after enough churn the frozen centroids/codebooks
+    // describe a corpus that no longer exists, and recall decays. This
+    // is the periodic payoff job — REBUILD INDEX:
+    //  - retrain the quantizer on the CURRENT corpus (deterministic
+    //    here: the 16 smallest live vec_ids — production would run
+    //    ml.KMeans, the swap protocol is identical);
+    //  - re-encode the whole head-pinned corpus against it;
+    //  - swap cent + book + post and TRUNCATE the tombstones in ONE
+    //    four-replace q159 transaction. Unlike compaction (where any
+    //    publish prefix serves identically), a quantizer swap has no
+    //    serve-consistent prefix — postings encoded against one
+    //    quantizer are meaningless under another — which is exactly
+    //    what the transaction's all-or-nothing publish + readAt's
+    //    cross-table snapshot exist for: a live reader pins all-old or
+    //    all-new, a crash rolls forward at recover.
+    // The watermark does not move (no source commits consumed). Cost is
+    // O(corpus) by definition — run it like any index rebuild, at drift
+    // thresholds, not per batch. The oracle replays assignment/ADC with
+    // the RETRAINED quantizer over the post-mutation corpus; n_tomb and
+    // n_cent are pinned proof columns.
+    QueryDef(
+      "q185_ann_requantize",
+      (s, dir) => {
+        val ns2 = "gcat.ann5"
+        ann3Requantize(s, ns2)
+        val centT = regroupCent(s.table(s"$ns2.ann3_cent"))
+        val bookT = regroupBook(s.table(s"$ns2.ann3_book"))
+        val tombMax = ann3TombMaxOpt(s, ns2) // None after the swap
+        val proof = ann3Surviving(s.table(s"$ns2.ann3_post"), tombMax)
+          .agg(count(lit(1)).cast("long").as("n_live"))
+          .crossJoin(broadcast(s.table(s"$ns2.ann3_del")
+            .agg(count(lit(1)).cast("long").as("n_tomb"))))
+          .crossJoin(broadcast(centT
+            .agg(count(lit(1)).cast("long").as("n_cent"))))
+        annServe(emb(Tables(s, dir)), centT, bookT,
+          probed => ann3Surviving(s.table(s"$ns2.ann3_post")
+            .where(col("list_id").isin(probed: _*)), tombMax),
+          proof = proof)
+      },
+      // the RETRAINED quantizer (16 smallest LIVE ids of the
+      // post-mutation corpus) replayed from scratch
+      Some(ann3RebuildOracle(
+        ",\n          CAST(0 AS BIGINT) AS n_tomb, CAST(16 AS BIGINT) AS n_cent",
+        centsSql =
+          """SELECT vec_id, CASE WHEN vec_id % 7 = 5
+                  THEN list_transform(embedding, x -> abs(x))
+                  ELSE embedding END AS embedding
+             FROM embeddings WHERE vec_id % 7 <> 3
+             ORDER BY vec_id LIMIT 16""")),
+      // fixture: seeded + churned through the SHARED q172 routines — the
+      // measured run starts from a drifted, debt-carrying index
+      setup = Some((s, dir) => {
+        ann3Seed(s, "gcat.ann5", dir)
+        ann3MutateAndFold(s, "gcat.ann5")
+        ()
       }))
   )
+
+  /** REBUILD INDEX for the maintained ANN stack (q185): retrain the
+    * quantizer on the head-pinned CURRENT corpus, re-encode everything,
+    * and swap all four tables in ONE transaction. The q173/q175
+    * compactions keep the postings healthy under churn; this is the
+    * deeper periodic job that pays off QUANTIZER DRIFT — the one debt a
+    * frozen-quantizer maintenance discipline cannot fold incrementally.
+    * No serve-consistent publish prefix exists for a quantizer swap, so
+    * consistency during the publish window comes from the transaction
+    * protocol itself (all-or-nothing + readAt snapshots + roll-forward
+    * recover), not from publish ordering. */
+  private[graft] def ann3Requantize(s: SparkSession, ns2: String): Unit = {
+    val Array(catName, db) = ns2.split('.')
+    val coord = s.conf.get(s"spark.sql.catalog.$catName.warehouse")
+    val head = catTableVersion(s, catName, db, "ann3_src")
+    val live = annRegroup(
+      s.read.option("snapshot-version", head).table(s"$ns2.ann3_src")
+        .select(col("vec_id"), col("pos"), col("v")))
+    // deterministic retrain: the 16 smallest live ids (the k-means seed
+    // choice is orthogonal to the swap protocol under test)
+    val q16 = live.orderBy(col("vec_id")).limit(16)
+    val cent = q16.select(col("vec_id").as("cid"), col("e").as("ce"))
+    val book = q16
+      .select(col("vec_id").as("code"),
+        explode(expr("sequence(0, 7)")).as("j"), col("e"))
+      .select(col("code"), col("j"), expr("slice(e, j * 8 + 1, 8)").as("cv"))
+    val enc = annEncode(live, cent, book)
+      .select(col("vid"), col("j"), col("code"), col("list_id"),
+        lit(head).as("rev"))
+    graft.sources.Transactions.run(s, coord) { txn =>
+      txn.replace(s"$ns2.ann3_cent",
+        cent.select(col("cid"), posexplode(col("ce")).as(Seq("pos", "v"))))
+      txn.replace(s"$ns2.ann3_book",
+        book.select(col("j"), col("code"), posexplode(col("cv")).as(Seq("pos", "v"))))
+      txn.replace(s"$ns2.ann3_post", enc)
+      txn.replace(s"$ns2.ann3_del", s.table(s"$ns2.ann3_del").limit(0))
+    }
+  }
 
   /** The q172/q175 oracle: IVF-PQ assignment + ADC over the
     * POST-MUTATION corpus with the ORIGINAL frozen quantizer, replayed
     * relationally. `extraCols` appends pinned proof columns to the final
     * SELECT (q175 pins `n_tomb = 0`). */
-  private def ann3RebuildOracle(extraCols: String): String = {
+  private def ann3RebuildOracle(extraCols: String,
+      centsSql: String =
+        "SELECT vec_id, embedding FROM embeddings WHERE vec_id < 16"): String = {
     def fold(a: String, b: String): String =
       s"""list_sum(list_transform(range(1, len($a.embedding) + 1),
          |  i -> round(CAST($a.embedding[i] AS DOUBLE) * CAST($b.embedding[i] AS DOUBLE) * 1e9)))""".stripMargin
@@ -1382,7 +1482,7 @@ object Engine2 {
                       THEN list_transform(embedding, x -> abs(x))
                       ELSE embedding END AS embedding
           FROM embeddings WHERE vec_id % 7 <> 3),
-        cents AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 16),
+        cents AS ($centsSql),
         norms AS (SELECT vec_id,
                    list_sum(list_transform(embedding,
                      x -> round(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) * 1e9))) AS n2
