@@ -1377,19 +1377,21 @@ object Engine2 {
     //    here: the 16 smallest live vec_ids — production would run
     //    ml.KMeans, the swap protocol is identical);
     //  - re-encode the whole head-pinned corpus against it;
-    //  - swap cent + book + post and TRUNCATE the tombstones in ONE
-    //    four-replace q159 transaction. Unlike compaction (where any
+    //  - swap cent + book + post, TRUNCATE the tombstones, and advance
+    //    the watermark in ONE q159 transaction. Unlike compaction (where any
     //    publish prefix serves identically), a quantizer swap has no
     //    serve-consistent prefix — postings encoded against one
     //    quantizer are meaningless under another — which is exactly
     //    what the transaction's all-or-nothing publish + readAt's
     //    cross-table snapshot exist for: a live reader pins all-old or
     //    all-new, a crash rolls forward at recover.
-    // The watermark does not move (no source commits consumed). Cost is
-    // O(corpus) by definition — run it like any index rebuild, at drift
-    // thresholds, not per batch. The oracle replays assignment/ADC with
-    // the RETRAINED quantizer over the post-mutation corpus; n_tomb and
-    // n_cent are pinned proof columns.
+    // The watermark advances to head in the SAME transaction — the
+    // rebuild consumed every source commit up to it (leaving it behind
+    // would double-index the outstanding interval on the next fold).
+    // Cost is O(corpus) by definition — run it like any index rebuild,
+    // at drift thresholds, not per batch. The oracle replays
+    // assignment/ADC with the RETRAINED quantizer over the post-mutation
+    // corpus; n_tomb and n_cent are pinned proof columns.
     QueryDef(
       "q185_ann_requantize",
       (s, dir) => {
@@ -1430,7 +1432,8 @@ object Engine2 {
 
   /** REBUILD INDEX for the maintained ANN stack (q185): retrain the
     * quantizer on the head-pinned CURRENT corpus, re-encode everything,
-    * and swap all four tables in ONE transaction. The q173/q175
+    * and swap the index tables + advance the watermark in ONE
+    * transaction. The q173/q175
     * compactions keep the postings healthy under churn; this is the
     * deeper periodic job that pays off QUANTIZER DRIFT — the one debt a
     * frozen-quantizer maintenance discipline cannot fold incrementally.
@@ -1442,28 +1445,41 @@ object Engine2 {
     val Array(catName, db) = ns2.split('.')
     val coord = s.conf.get(s"spark.sql.catalog.$catName.warehouse")
     val head = catTableVersion(s, catName, db, "ann3_src")
+    // persisted like ann3SeedFrom's seed: the regroup feeds the retrain,
+    // the encode, and (through them) four replace writes — uncached it
+    // would re-run the O(corpus) scan+groupBy per write
     val live = annRegroup(
       s.read.option("snapshot-version", head).table(s"$ns2.ann3_src")
-        .select(col("vec_id"), col("pos"), col("v")))
-    // deterministic retrain: the 16 smallest live ids (the k-means seed
-    // choice is orthogonal to the swap protocol under test)
-    val q16 = live.orderBy(col("vec_id")).limit(16)
-    val cent = q16.select(col("vec_id").as("cid"), col("e").as("ce"))
-    val book = q16
-      .select(col("vec_id").as("code"),
-        explode(expr("sequence(0, 7)")).as("j"), col("e"))
-      .select(col("code"), col("j"), expr("slice(e, j * 8 + 1, 8)").as("cv"))
-    val enc = annEncode(live, cent, book)
-      .select(col("vid"), col("j"), col("code"), col("list_id"),
-        lit(head).as("rev"))
-    graft.sources.Transactions.run(s, coord) { txn =>
-      txn.replace(s"$ns2.ann3_cent",
-        cent.select(col("cid"), posexplode(col("ce")).as(Seq("pos", "v"))))
-      txn.replace(s"$ns2.ann3_book",
-        book.select(col("j"), col("code"), posexplode(col("cv")).as(Seq("pos", "v"))))
-      txn.replace(s"$ns2.ann3_post", enc)
-      txn.replace(s"$ns2.ann3_del", s.table(s"$ns2.ann3_del").limit(0))
-    }
+        .select(col("vec_id"), col("pos"), col("v"))).persist()
+    try {
+      // deterministic retrain: the 16 smallest live ids (the k-means seed
+      // choice is orthogonal to the swap protocol under test)
+      val q16 = live.orderBy(col("vec_id")).limit(16)
+      val cent = q16.select(col("vec_id").as("cid"), col("e").as("ce"))
+      val book = q16
+        .select(col("vec_id").as("code"),
+          explode(expr("sequence(0, 7)")).as("j"), col("e"))
+        .select(col("code"), col("j"), expr("slice(e, j * 8 + 1, 8)").as("cv"))
+      val enc = annEncode(live, cent, book)
+        .select(col("vid"), col("j"), col("code"), col("list_id"),
+          lit(head).as("rev"))
+      graft.sources.Transactions.run(s, coord) { txn =>
+        txn.replace(s"$ns2.ann3_cent",
+          cent.select(col("cid"), posexplode(col("ce")).as(Seq("pos", "v"))))
+        txn.replace(s"$ns2.ann3_book",
+          book.select(col("j"), col("code"), posexplode(col("cv")).as(Seq("pos", "v"))))
+        txn.replace(s"$ns2.ann3_post", enc)
+        txn.replace(s"$ns2.ann3_del", s.table(s"$ns2.ann3_del").limit(0))
+        // the rebuild CONSUMES every source commit up to head (it encoded
+        // the head state), so the watermark advances IN the same
+        // transaction — leaving it behind would make the next maintenance
+        // fold re-index (old watermark, head] on top of the rebuilt rows:
+        // same-rev duplicates that survive their own tombstones and
+        // double the summed ADC distances
+        txn.write(s"$ns2.ann3_meta",
+          s.range(1).select(lit(head).as("indexed_version")))
+      }
+    } finally live.unpersist()
   }
 
   /** The q172/q175 oracle: IVF-PQ assignment + ADC over the

@@ -1759,15 +1759,23 @@ object Engine3 {
               .of(Array("fts7"), "fts2_src")).asInstanceOf[graft.sources.GraftTable]
           val feed = graft.sources.Snapshots.changes(s, tbl,
             since = v1, end = Some(v2))
-          fts2FoldFeed(s, ns2, s"$ns2.fts2_src", feed, v1, v2)
-          // dict delta: tokens of the affected docs' HEAD state (the
+          // dict delta FIRST, index fold SECOND — the crash-safe order
+          // for a dict that lives outside the fold's transaction: a
+          // crash after dictFold leaves extra dict terms whose postings
+          // df = 0 (harmless — the dict is a lossy SUPERSET by design
+          // and the serve filters on live df), and the un-advanced
+          // watermark re-runs the whole interval. The reverse order
+          // would advance the watermark and then lose the interval's
+          // new terms FOREVER (the re-run sees an empty interval).
+          // Tokens come from the affected docs' HEAD state (the
           // endpoint-state discipline — postimage rows may be partial),
-          // minus terms the dict already knows
+          // minus terms the dict already knows.
           val affected = feed.select(col("doc_id")).distinct()
           val headDocs = s.read.option("snapshot-version", v2)
             .table(s"$ns2.fts2_src")
             .join(affected, Seq("doc_id"), "left_semi")
           dictFold(s, ns2, headDocs.select(col("doc_id"), col("text")))
+          fts2FoldFeed(s, ns2, s"$ns2.fts2_src", feed, v1, v2)
         }
         fuzzyServe(s, ns2, "sow")
       },
@@ -1801,8 +1809,11 @@ object Engine3 {
         val seed = s.read.option("since-version", 0L)
           .option("snapshot-version", v1).table(s"$ns2.fts2_src")
           .select(col("doc_id"), col("text"))
-        fts2Fold(s, ns2, seed, v1)
+        // dict before index, as in the run: a crash between the two
+        // leaves superset-dict + un-advanced watermark (recoverable),
+        // never indexed-terms-missing-from-dict (permanent)
         dictFold(s, ns2, seed)
+        fts2Fold(s, ns2, seed, v1)
         ()
       })),
 
@@ -2013,7 +2024,11 @@ object Engine3 {
     * so the dict stays one row per (variant, term) and folds cost
     * O(batch tokens + dict), never the corpus. Append-only by design:
     * a dead term's suggestions die at SERVE time (df = 0 from the live
-    * postings), the dict never rewrites. */
+    * postings), the dict never rewrites. ORDERING CONTRACT: call this
+    * BEFORE the interval's index fold — the dict lives outside the
+    * fold's transaction, and dict-first makes the crash window benign
+    * (superset dict + un-advanced watermark → the interval re-runs),
+    * where fold-first would lose the interval's new terms forever. */
   private def dictFold(s: SparkSession, ns: String, batch: DataFrame): Unit = {
     val batchTerms = fts2Tokenize(batch)
       .select(explode(col("sp")).as("tok")).distinct()

@@ -398,9 +398,10 @@ object Compaction {
         !remaining.valuesIterator.exists(e => e.seq >= 0 && e.seq < dseq &&
           touchedByDeletes(e))
       }
-      val v = TableStats.write(fs, dataDir, next -- dropped)
       // rows are MOVED, not changed: CDC feeds skip this version entirely
-      ChangeLog.writeMarker(fs, dataDir, v, ChangeLog.Maintenance)
+      // (marker committed BEFORE the swap inside the chokepoint)
+      TableStats.write(fs, dataDir, next -- dropped,
+        kind = Some(ChangeLog.Maintenance))
     }
     // a clone whose last external entry was just rewritten is now a
     // fully independent table: release the vacuum pin it held on its

@@ -218,14 +218,16 @@ final class GraftReplaceDataWrite(
         }
       }
       try {
-        ChangeLog.writeMarker(fs, dir, v, ChangeLog.Cow)
-        val recorded = TableStats.write(fs, dir, live -- affectedRels ++ committed)
+        // the Cow marker commits BEFORE the swap inside the chokepoint
+        val recorded = TableStats.write(fs, dir, live -- affectedRels ++ committed,
+          kind = Some(ChangeLog.Cow))
         require(recorded == v, s"graft: commit recorded v$recorded, expected v$v")
       } catch { case e: Throwable =>
         // un-publish: a marker/change-dir left at a version that was never
         // committed would misclassify the NEXT commit at v as a COW and
         // silently feed stale change rows — feeds failing loudly on an
-        // unmarked rewrite is the safe failure mode
+        // unmarked rewrite is the safe failure mode (the chokepoint also
+        // clears stray markers when an unmarked commit mints v)
         try {
           fs.delete(ChangeLog.markerPath(dir, v), false)
           fs.delete(ChangeLog.changeDataDir(dir, v), true)

@@ -255,10 +255,11 @@ final class GraftTable(
       // dedupe future stream epochs against pre-truncate history.
       fs.delete(new Path(root, TableStats.CommitsDir), true)
       TableStats.withLock(fs, root) {
-        val v = TableStats.write(fs, root, Map.empty[String, TableStats.Entry])
         // truncate is a data swap: the removed entries' rows ARE the
-        // feed's deletes — no change files needed
-        ChangeLog.writeMarker(fs, root, v, ChangeLog.Replace)
+        // feed's deletes — no change files needed (marker commits BEFORE
+        // the swap inside the chokepoint)
+        TableStats.write(fs, root, Map.empty[String, TableStats.Entry],
+          kind = Some(ChangeLog.Replace))
       }
       return
     }
@@ -311,10 +312,10 @@ final class GraftTable(
           // metadata-only delete: drop the partitions from the manifest;
           // the files stay on disk, reachable through earlier snapshots
           // (time travel) until vacuum reclaims them
-          val v = TableStats.write(fs, root,
+          TableStats.write(fs, root,
             stats.filterNot { case (relPath, _) =>
-              toDelete.exists { case (_, d) => relPath.startsWith(d + "/") } })
-          ChangeLog.writeMarker(fs, root, v, ChangeLog.Replace)
+              toDelete.exists { case (_, d) => relPath.startsWith(d + "/") } },
+            kind = Some(ChangeLog.Replace))
         case None =>
           // registry-less (out-of-band) table: physical delete is the
           // only delete there is — no manifest, no snapshots to preserve
@@ -1120,9 +1121,21 @@ object TableStats {
     * CLONE's initial manifest commits at the SOURCE version it cloned,
     * so every cloned entry's seq (stamped in the source) stays ≤ the
     * clone's head and later MOR deletes (seq > head) apply to them. 0
-    * (every other caller) keeps plain maxV+1 numbering. */
+    * (every other caller) keeps plain maxV+1 numbering.
+    *
+    * `kind`: the [[ChangeLog]] marker for this version, written BEFORE
+    * the snapshot + registry swap (the commit point) at this ONE
+    * chokepoint — writing it after the swap (several pre-round-10 sites
+    * did) left a crash window where a file-removing rewrite was live
+    * UNMARKED and every change-feed interval crossing it threw
+    * ("unrecorded rewrite") forever. The inverse hazard is also handled
+    * here: an UNMARKED commit (kind = None) clears any stray marker a
+    * marker-writing committer left at this version before dying
+    * pre-record — otherwise a plain append minting the same version
+    * number would inherit the dead committer's kind and feeds would
+    * replay it as a full-table replace. */
   def write(fs: FileSystem, dataDir: Path, stats: Map[String, Entry],
-            floor: Long = 0L): Long = {
+            floor: Long = 0L, kind: Option[ChangeLog.Kind] = None): Long = {
     val head = liveVersion(fs, dataDir).orElse {
       // legacy registry without a head line: identify the snapshot the
       // live registry corresponds to by EXACT manifest equality, walking
@@ -1158,6 +1171,14 @@ object TableStats {
     // commit will record: the entry's data sequence number. Entries that
     // were read back from the registry keep their original seq.
     val next = math.max(maxV + 1, floor)
+    // marker discipline (see the scaladoc): marked commits write their
+    // kind BEFORE anything becomes visible; unmarked commits clear a
+    // stray marker a dead marker-first committer may have left at this
+    // version (delete of a missing path is a silent no-op)
+    kind match {
+      case Some(k) => ChangeLog.writeMarker(fs, dataDir, next, k)
+      case None => fs.delete(ChangeLog.markerPath(dataDir, next), false)
+    }
     val stamped = stats.map { case (rel, e) =>
       rel -> (if (e.seq < 0) e.copy(seq = next) else e)
     }
@@ -3377,11 +3398,11 @@ final class GraftBatchWrite(
             }
           }
       }
-      val v = TableStats.write(fs, dir, base ++ committed)
-      if (mode != Append)
-        // a data swap the feeds replay as delete(removed rows) +
-        // insert(added rows) — see [[ChangeLog.Replace]]
-        ChangeLog.writeMarker(fs, dir, v, ChangeLog.Replace)
+      // non-append modes are a data swap the feeds replay as
+      // delete(removed rows) + insert(added rows) — see
+      // [[ChangeLog.Replace]]; the marker commits BEFORE the swap
+      TableStats.write(fs, dir, base ++ committed,
+        kind = if (mode != Append) Some(ChangeLog.Replace) else None)
     }
   }
 

@@ -608,35 +608,17 @@ object Snapshots {
         throw new IllegalArgumentException(
           s"graft: no staged WAP commit '$id' under $tableDir"))
       val replace = isReplaceWap(fs, dataDir, id)
+      // the Replace marker commits BEFORE the swap inside TableStats.write
+      // (the chokepoint's marker discipline): the reverse order left a
+      // crash window where the shrink version was live UNMARKED and every
+      // feed interval crossing it threw ("unrecorded rewrite") forever. A
+      // crash between marker and swap heals at the next commit or the
+      // recover() re-publish (stray markers are overwritten or cleared at
+      // the same chokepoint).
       val v =
-        if (replace) {
-          // Marker BEFORE the registry swap (the commit point) — the
-          // GraftRowLevel discipline: the reverse order left a crash
-          // window where the shrink version was live UNMARKED, and every
-          // feed interval crossing it would throw ("crosses a rewrite
-          // whose per-row delta was not recorded") forever. The version
-          // is precomputed under the lock so the swap records exactly
-          // it; a swap failure un-publishes the marker (a marker at a
-          // never-committed version would misclassify the next commit).
-          // A hard crash between marker and swap heals on recover():
-          // publishWap re-runs under the same lock, recomputes the same
-          // version, and overwrites the marker — the single-maintainer
-          // replace protocol (Txn.replace race-checks) is what bounds
-          // foreign commits in that window, as with every marker-first
-          // commit path.
-          val pre = nextVersion(fs, dataDir)
-          ChangeLog.writeMarker(fs, dataDir, pre, ChangeLog.Replace)
-          try {
-            val swapped = TableStats.write(fs, dataDir, adds)
-            require(swapped == pre,
-              s"graft: replace publish recorded v$swapped, expected v$pre")
-            swapped
-          } catch { case e: Throwable =>
-            try fs.delete(ChangeLog.markerPath(dataDir, pre), false)
-            catch { case _: Exception => () }
-            throw e
-          }
-        } else TableStats.write(fs, dataDir, TableStats.read(fs, dataDir) ++ adds)
+        if (replace)
+          TableStats.write(fs, dataDir, adds, kind = Some(ChangeLog.Replace))
+        else TableStats.write(fs, dataDir, TableStats.read(fs, dataDir) ++ adds)
       // record the published version BEFORE retiring the staged list: a
       // multi-table transaction that crashes mid-complete can then still
       // learn where this participant landed ([[publishedWapVersion]] —
@@ -966,11 +948,10 @@ object Snapshots {
       require(missing.isEmpty,
         s"graft: cannot restore v$version — ${missing.size} data file(s) were " +
           s"vacuumed away (e.g. ${missing.take(3).mkString(", ")})")
-      val v = TableStats.write(fs, dataDir, m)
       // an arbitrary manifest swap: its row delta is a two-snapshot diff
       // the feeds refuse to guess — they fail loudly at this version
-      ChangeLog.writeMarker(fs, dataDir, v, ChangeLog.Restore)
-      v
+      // (marker committed BEFORE the swap inside the chokepoint)
+      TableStats.write(fs, dataDir, m, kind = Some(ChangeLog.Restore))
     }
   }
 
