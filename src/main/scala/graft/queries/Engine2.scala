@@ -266,14 +266,20 @@ object Engine2 {
     }
   }
 
-  /** The IVF-PQ serve the maintenance gates share (q154/q172): probe the
-    * top-2 lists per query against the broadcast centroids, read ONLY
-    * the probed lists' postings (supplied by `postOf` — q172 wraps it in
-    * the tombstone-survival filter), ADC-score via the broadcast
-    * codebook LUT, rank top-3 per query, and append the caller's
-    * proof-of-maintenance count column. */
+  /** The ONE IVF-PQ serve pipeline (q142/q154/q172/q175/q179/q185):
+    * probe the top-2 lists per query against the broadcast centroids,
+    * read ONLY the probed lists' postings (supplied by `postOf` — the
+    * maintenance gates wrap it in the tombstone-survival filter),
+    * optionally restrict candidates by a metadata predicate
+    * (`filterVids`, the q179 left-semi post-filter), ADC-score via the
+    * broadcast codebook LUT, rank top-3 per query, and append the
+    * caller's proof-of-maintenance columns when given. A tie-break or
+    * expression change here applies to every ANN serve uniformly —
+    * exactly the reason annEncode is shared on the build side. */
   private def annServe(eAll: DataFrame, centT: DataFrame, bookT: DataFrame,
-      postOf: Seq[java.lang.Long] => DataFrame, proof: DataFrame): DataFrame = {
+      postOf: Seq[java.lang.Long] => DataFrame,
+      proof: DataFrame = null,
+      filterVids: Option[DataFrame] = None): DataFrame = {
     val q = eAll.filter(col("vec_id") < 3)
       .select(col("vec_id").as("qid"), col("e").as("qe"))
     val qn = q.select(col("qid"), expr(n2Expr.format("qe")).as("qn2"))
@@ -296,77 +302,34 @@ object Engine2 {
       .withColumn("d", expr(sqDistExpr))
       .select(col("qid"), col("j"), col("code"), col("d"))
     val wRank = Window.partitionBy(col("qid")).orderBy(col("adist"), col("vid"))
-    post.join(probe, "list_id")
+    val cand0 = post.join(probe, "list_id")
       .filter(col("qid") =!= col("vid"))
+    val cand = filterVids.fold(cand0)(f => cand0.join(f, Seq("vid"), "left_semi"))
+    val ranked = cand
       .join(lut, Seq("qid", "j", "code"))
       .groupBy(col("qid"), col("vid"))
       .agg(sum(col("d")).as("adist"))
       .withColumn("rank", row_number().over(wRank).cast("long"))
       .filter(col("rank") <= 3)
       .select(col("qid"), col("rank"), col("vid"), col("adist"))
-      .crossJoin(broadcast(proof))
+    Option(proof).fold(ranked)(p => ranked.crossJoin(broadcast(p)))
       .orderBy(col("qid"), col("rank"))
   }
 
-  /** q142's serve over the persisted `ann_*` index tables, with an
-    * optional CANDIDATE FILTER (q179): `filterVids` — a (vid) frame from
-    * a metadata predicate — restricts scoring via a left-semi join on the
-    * PROBED postings (the post-filter strategy): the list-pruned read and
-    * the per-(qid, vid) ADC aggregation never widen, the filter scan is
-    * column-pruned to (vec_id, label), and the semi-join's stream side is
-    * the already-pruned candidates. At production selectivities the
-    * lever is probe width (read more lists when the filter is tight),
-    * which this shape composes with — the filter is orthogonal to
-    * pruning. */
+  /** q142/q179: [[annServe]] over the STATIC `ann_*` index tables —
+    * centroids/codebooks regrouped from their flat rows, postings pruned
+    * by identity partition on the probed lists, optional metadata
+    * candidate filter (q179's left-semi post-filter; its (vec_id, label)
+    * scan never reads the embedding arrays — PlanSpec pins it). */
   private def annIndexServe(s: SparkSession, dir: String,
       filterVids: Option[DataFrame] = None): DataFrame = {
     val ns = ensureCatalog(s, dir)
-    val t = Tables(s, dir)
-    val e = emb(t)
-
-    // ---- search: ONLY the index tables (built once in `setup`) --------
-    val q = e.filter(col("vec_id") < 3)
-      .select(col("vec_id").as("qid"), col("e").as("qe"))
-    val qn = q.select(col("qid"), expr(n2Expr.format("qe")).as("qn2"))
-    // rebuild centroid arrays from their flat rows (pos is unique per
-    // cid, so the sort-by-struct ordering is total and deterministic)
-    val centT = s.table(s"$ns.ann_cent")
-      .groupBy(col("cid"))
-      .agg(expr("transform(array_sort(collect_list(struct(pos, v))), x -> x.v)").as("ce"))
-    val cnT = centT.select(col("cid"), expr(n2Expr.format("ce")).as("cn2"))
-    val wProbe = Window.partitionBy(col("qid")).orderBy(desc("cos"), col("cid"))
-    val probe = q.crossJoin(broadcast(centT))
-      .withColumn("dot", expr(dotExpr.format("qe", "ce")))
-      .join(qn, "qid")
-      .join(broadcast(cnT), "cid")
-      .withColumn("cos", expr("dot / sqrt(qn2 * cn2)"))
-      .withColumn("rn", row_number().over(wProbe)).filter(col("rn") <= 2)
-      .select(col("qid"), col("cid").as("list_id"))
-    // metadata-sized collect: the probed list ids (≤ 3 queries × 2)
-    val probed = probe.select("list_id").distinct()
-      .collect().map(r => Long.box(r.getLong(0))).toSeq
-    val post = s.table(s"$ns.ann_post")
-      .where(col("list_id").isin(probed: _*)) // identity partition pruning
-    // per-query ADC lookup tables from the codebook table
-    val qsubs = q.select(col("qid"), explode(expr("sequence(0, 7)")).as("j"), col("qe"))
-      .select(col("qid"), col("j"), expr("slice(qe, j * 8 + 1, 8)").as("sv"))
-    val bookT = s.table(s"$ns.ann_book")
-      .groupBy(col("j"), col("code"))
-      .agg(expr("transform(array_sort(collect_list(struct(pos, v))), x -> x.v)").as("cv"))
-    val lut = qsubs.join(broadcast(bookT), "j")
-      .withColumn("d", expr(sqDistExpr))
-      .select(col("qid"), col("j"), col("code"), col("d"))
-    val wRank = Window.partitionBy(col("qid")).orderBy(col("adist"), col("vid"))
-    val cand0 = post.join(probe, "list_id")
-      .filter(col("qid") =!= col("vid"))
-    val cand = filterVids.fold(cand0)(f => cand0.join(f, Seq("vid"), "left_semi"))
-    cand.join(lut, Seq("qid", "j", "code"))
-      .groupBy(col("qid"), col("vid"))
-      .agg(sum(col("d")).as("adist"))
-      .withColumn("rank", row_number().over(wRank).cast("long"))
-      .filter(col("rank") <= 3)
-      .select(col("qid"), col("rank"), col("vid"), col("adist"))
-      .orderBy(col("qid"), col("rank"))
+    annServe(emb(Tables(s, dir)),
+      regroupCent(s.table(s"$ns.ann_cent")),
+      regroupBook(s.table(s"$ns.ann_book")),
+      probed => s.table(s"$ns.ann_post")
+        .where(col("list_id").isin(probed: _*)), // identity partition pruning
+      filterVids = filterVids)
   }
 
   /** The q142 index build (idempotent) — shared by q142/q179. Quantizer =
