@@ -284,6 +284,38 @@ class TransactionsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .toSeq == Seq(950L, 951L), "recovery must complete the swap")
   }
 
+  test("a stray marker from a dead marker-first committer cannot poison the " +
+      "next plain append (chokepoint clears it)") {
+    // crash window: a marker-first committer (COW, replace publish) dies
+    // after writing its kind marker but before recording the snapshot.
+    // A foreign plain append then mints the SAME version number — without
+    // the chokepoint's clear, it would inherit the dead committer's kind
+    // and feeds would replay the append as a full-table replace.
+    spark.sql("CREATE TABLE txc.t.sm (id BIGINT, s STRING)")
+    spark.sql("INSERT INTO txc.t.sm VALUES (1, 'a'), (2, 'b')")
+    val dd = new org.apache.hadoop.fs.Path(s"$warehouse/t/sm/data")
+    val fs = dd.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val pre = graft.sources.Snapshots.nextVersion(fs, dd)
+    graft.sources.ChangeLog.writeMarker(fs, dd, pre,
+      graft.sources.ChangeLog.Replace) // the dead committer's leftover
+    spark.sql("INSERT INTO txc.t.sm VALUES (3, 'c')") // foreign plain append
+    val v = graft.sources.TableStats.liveVersion(fs, dd).get
+    assert(v == pre, "the append must mint the marked version number")
+    assert(graft.sources.ChangeLog.kindOf(fs, dd, v).isEmpty,
+      "the stray Replace marker must be cleared — an append is not a swap")
+    // and the change feed across it replays exactly the inserted row
+    val cat = spark.sessionState.catalogManager.catalog("txc")
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
+    val tbl = cat.loadTable(org.apache.spark.sql.connector.catalog.Identifier
+        .of(Array("t"), "sm")).asInstanceOf[graft.sources.GraftTable]
+    val feed = graft.sources.Snapshots.changes(spark, tbl,
+      since = pre - 1, end = Some(v))
+    val rows = feed.selectExpr("id", graft.sources.ChangeLog.TypeCol)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(rows == Seq((3L, "insert")),
+      s"feed must replay a plain insert, not a replace: $rows")
+  }
+
   test("replace: mixing a replace with another write to the SAME table is refused") {
     intercept[IllegalArgumentException] {
       Transactions.run(spark, warehouse) { txn =>
