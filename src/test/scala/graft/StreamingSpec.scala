@@ -933,6 +933,61 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(compactions == 1)
   }
 
+  test("requantize after churn: history-independent postings, watermark " +
+      "advanced - an outstanding interval is consumed, never double-indexed") {
+    // q185's two protocol invariants, driven against the previous test's
+    // churned index (gim.ann) and its fresh twin (gim.annr):
+    //  1. ann3Requantize depends only on the HEAD-PINNED source - the
+    //     maintained index (seed + folds + compaction) and the fresh
+    //     rebuild requantize to IDENTICAL centroids and postings;
+    //  2. the swap transaction advances the watermark to head, so a
+    //     mutation committed BEFORE the requantize (watermark behind) is
+    //     CONSUMED by it - the next drain sees nothing outstanding and
+    //     must not re-fold the interval on top of the rebuilt rows
+    //     (same-rev duplicates would survive their own tombstones and
+    //     double every ADC distance).
+    val ns = "gim.ann"
+    // an outstanding commit the maintainer has NOT folded yet
+    spark.sql(s"UPDATE $ns.ann3_src SET v = v - 0.25 WHERE vec_id = 21 AND v > -10")
+    graft.queries.Engine2.ann3Requantize(spark, ns)
+    // the twin: fresh-seed gim.annr from the SAME current source content,
+    // then requantize it too - both end under the retrained quantizer
+    graft.queries.Engine2.ann3SeedFrom(spark, "gim.annr",
+      spark.table(s"$ns.ann3_src").select(col("vec_id"), col("pos"), col("v")))
+    graft.queries.Engine2.ann3Requantize(spark, "gim.annr")
+    def postings(n: String): Seq[(Long, Int, Long, Long)] =
+      spark.table(s"$n.ann3_post")
+        .select(col("vid"), col("j"), col("code"), col("list_id"))
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+        .toSeq.sorted
+    def cents(n: String): Seq[(Long, Int, Double)] =
+      spark.table(s"$n.ann3_cent").select(col("cid"), col("pos"), col("v"))
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSeq.sorted
+    assert(cents(ns) == cents("gim.annr"),
+      "retrained centroids must depend only on the head-pinned source")
+    assert(postings(ns) == postings("gim.annr"),
+      "requantized postings must be history-independent")
+    // exactly 8 codes per live vector - a Seq (not Set) comparison above
+    // plus this count rules out same-rev duplicates
+    val perVid = postings(ns).groupBy(_._1).view.mapValues(_.size)
+    assert(perVid.values.forall(_ == 8), s"duplicated postings: ${
+      perVid.filter(_._2 != 8)}")
+    // watermark advanced to head: a drain right after requantize no-ops
+    var folds = 0
+    graft.streaming.IndexMaintain.start(
+      spark, s"$ns.ann3_src", s"$ns.ann3_meta",
+      Files.createTempDirectory("rq_ckpt").toString, gimWh,
+      foldAppend = (delta, v2) => { folds += 1
+        graft.queries.Engine2.ann3FoldFeed(spark, ns, delta, v2) },
+      foldFeed = (feed, _, v2) => { folds += 1
+        graft.queries.Engine2.ann3FoldFeed(spark, ns, feed, v2) })
+      .awaitTermination()
+    assert(folds == 0,
+      "requantize consumed every commit up to head - nothing may re-fold")
+    assert(postings(ns).groupBy(_._1).values.forall(_.size == 8),
+      "the post-requantize drain must not double-index the consumed interval")
+  }
+
   test("self-compacting maintenance: the onBatch debt policy keeps the tombstone " +
       "table bounded under churn, answers stay == rebuild") {
     // the loop the verdict asked for: IndexMaintain folds each interval,
