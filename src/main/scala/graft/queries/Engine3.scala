@@ -2016,8 +2016,137 @@ object Engine3 {
           since = v1, end = Some(v2))
         fts2FoldFeed(s, ns2, s"$ns2.fts2_src", feed, v1, v2)
         ()
+      })),
+
+    // ---- q186: FTS RE-ANALYSIS rebuild — the analyzer migration -----------
+    // q185's sparse sibling: changing the ANALYZER (stemming, case
+    // folding, truncation) changes the term space itself — no
+    // incremental fold can express it, and no publish prefix serves
+    // consistently (old postings are meaningless under the new
+    // analysis). fts2Retokenize re-analyzes the head-pinned corpus —
+    // here under a 4-char truncation stemmer — through the SHARED
+    // fts2IndexRows, and swaps postings + positions + constants +
+    // tombstone-truncate + watermark in ONE transaction. The serve
+    // afterwards queries the NEW term space ('stre', 'merg', and 'recr'
+    // — a term that exists only in docs a pre-rebuild mutation interval
+    // re-crawled, proving the rebuild analyzed the POST-MUTATION
+    // corpus); the phrase probe exercises the rebuilt positional table.
+    // The oracle replays BM25 + phrase + constants from the re-analyzed
+    // post-mutation corpus; n_tomb = 0 and glob_rows = 1 pin the swap's
+    // physical state. At 100 TB: the one O(corpus) job an analyzer
+    // migration costs, with every serve before the commit on the old
+    // analysis and every serve after on the new — never a mix.
+    QueryDef(
+      "q186_fts_reanalyze",
+      (s, dir) => {
+        ensureCatalog(s, dir)
+        val ns2 = "gcat.fts9"
+        fts2Retokenize(s, ns2, t =>
+          concat_ws(" ", transform(split(t, " "), x => substring(x, 1, 4))))
+        val tombs = s.table(s"$ns2.fts2_del")
+          .agg(count(lit(1)).cast("long").as("n_tomb"))
+        val globRows = s.table(s"$ns2.fts2_glob")
+          .agg(count(lit(1)).cast("long").as("glob_rows"))
+        fts2ServeAll(s, ns2, Seq("stre", "merg", "recr"), "hash", "join")
+          .crossJoin(broadcast(tombs))
+          .crossJoin(broadcast(globRows))
+          .orderBy(desc("score_micro"), col("doc_id"))
+      },
+      Some("""WITH corp AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 9 = 5 THEN text || ' recrawled'
+                      ELSE text END AS text
+          FROM documents WHERE doc_id % 9 <> 4),
+        d AS (SELECT doc_id,
+                list_transform(string_split(text, ' '),
+                  t -> substr(t, 1, 4)) AS sp FROM corp),
+        dd AS (SELECT doc_id, CAST(len(sp) AS BIGINT) AS dl, sp FROM d),
+        g AS (SELECT CAST(SUM(dl) AS DOUBLE) AS sl, CAST(COUNT(*) AS DOUBLE) AS nd FROM dd),
+        t AS (SELECT doc_id, dl, unnest(sp) AS tok FROM dd),
+        tf AS (SELECT doc_id, dl, tok, CAST(COUNT(*) AS DOUBLE) AS tf
+               FROM t WHERE tok IN ('stre', 'merg', 'recr') GROUP BY doc_id, dl, tok),
+        dfx AS (SELECT tok, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY tok),
+        parts AS (
+          SELECT tf.doc_id,
+            round(((g.nd - dfx.df + 0.5) / (dfx.df + 0.5)) * tf.tf * 2.2 /
+              (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / (g.sl / g.nd))) * 1e6) AS part
+          FROM tf JOIN dfx USING (tok) CROSS JOIN g),
+        scores AS (SELECT doc_id, CAST(SUM(part) AS BIGINT) AS score_micro
+          FROM parts GROUP BY doc_id
+          ORDER BY score_micro DESC, doc_id LIMIT 20),
+        u AS (SELECT doc_id, unnest(list_transform(range(1, len(sp) + 1),
+                i -> struct_pack(pos := i, tok := sp[i]))) AS u FROM d),
+        p AS (SELECT doc_id, u.pos AS pos, u.tok AS tok FROM u),
+        ph AS (SELECT CAST(count(*) AS BIGINT) AS n_phrase
+          FROM p p1 JOIN p p2 ON p2.doc_id = p1.doc_id AND p2.pos = p1.pos + 1
+          WHERE p1.tok = 'hash' AND p2.tok = 'join'),
+        gl AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd, CAST(SUM(dl) AS BIGINT) AS sl FROM dd)
+        SELECT s.doc_id, s.score_micro, gl.nd, gl.sl, ph.n_phrase,
+               CAST(0 AS BIGINT) AS n_tomb, CAST(1 AS BIGINT) AS glob_rows
+        FROM scores s CROSS JOIN gl CROSS JOIN ph
+        ORDER BY score_micro DESC, doc_id"""),
+      // fixture: seed + a churn interval folded under the OLD analysis —
+      // the measured run migrates a lived-in index, not a fresh one
+      setup = Some((s, dir) => {
+        ensureCatalog(s, dir)
+        val ns2 = "gcat.fts9"
+        s.sql("CREATE NAMESPACE IF NOT EXISTS gcat.fts9")
+        fts2Create(s, ns2, withRowKey = true)
+        s.read.parquet(s"$dir/documents.parquet")
+          .select(col("doc_id").cast("string").as("row_key"),
+            col("doc_id"), col("text"))
+          .writeTo(s"$ns2.fts2_src").append()
+        val v1 = fts2SrcVersion(s, ns2)
+        fts2Fold(s, ns2,
+          s.read.option("since-version", 0L).option("snapshot-version", v1)
+            .table(s"$ns2.fts2_src").select(col("doc_id"), col("text")), v1)
+        s.sql(s"DELETE FROM $ns2.fts2_src WHERE doc_id % 9 = 4")
+        s.sql(
+          s"""UPDATE $ns2.fts2_src SET text = concat(text, ' recrawled')
+             |WHERE doc_id % 9 = 5 AND text NOT LIKE '%recrawled'""".stripMargin)
+        val v2 = fts2SrcVersion(s, ns2)
+        val cat = s.sessionState.catalogManager.catalog("gcat")
+          .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
+        val tbl = cat.loadTable(org.apache.spark.sql.connector.catalog.Identifier
+            .of(Array("fts9"), "fts2_src")).asInstanceOf[graft.sources.GraftTable]
+        fts2FoldFeed(s, ns2, s"$ns2.fts2_src",
+          graft.sources.Snapshots.changes(s, tbl, since = v1, end = Some(v2)),
+          v1, v2)
+        ()
       }))
   )
+
+  /** REBUILD INDEX for the maintained FTS stack (q186) — q185's sparse
+    * sibling: re-ANALYZE the head-pinned current corpus under a new
+    * tokenization and swap the whole index in ONE transaction. Analyzer
+    * migrations (stemming, casefolding, truncation) change the term
+    * space itself, so — exactly like a quantizer swap — no
+    * serve-consistent publish prefix exists (old postings are
+    * meaningless under the new analysis) and consistency during the
+    * publish window rides the transaction protocol (all-or-nothing,
+    * readAt, roll-forward recover). The watermark advances to head IN
+    * the transaction: the rebuild consumed every source commit up to it.
+    * `analyze` maps raw text to the re-analyzed text whose
+    * space-separated tokens ARE the new term space — the shared
+    * [[fts2IndexRows]] does the rest, so the rebuilt index is
+    * bit-compatible with every existing serve path. O(corpus) by
+    * definition; run at analyzer-migration time, not per batch. */
+  private[graft] def fts2Retokenize(s: SparkSession, ns: String,
+      analyze: org.apache.spark.sql.Column => org.apache.spark.sql.Column): Unit = {
+    val coord = s.conf.get(s"spark.sql.catalog.${ns.split('.')(0)}.warehouse")
+    val head = fts2SrcVersion(s, ns)
+    val src = s.read.option("snapshot-version", head).table(s"$ns.fts2_src")
+      .select(col("doc_id"), analyze(col("text")).as("text"))
+    val (post, pos, glob) = fts2IndexRows(src, head)
+    graft.sources.Transactions.run(s, coord) { txn =>
+      txn.replace(s"$ns.fts2_post", post)
+      txn.replace(s"$ns.fts2_pos", pos)
+      txn.replace(s"$ns.fts2_glob", glob)
+      txn.replace(s"$ns.fts2_del", s.table(s"$ns.fts2_del").limit(0))
+      txn.write(s"$ns.fts2_meta",
+        s.range(1).select(lit(head).as("indexed_version")))
+    }
+  }
 
   /** Append the deletion-neighborhood variants of `batch`'s NEW terms to
     * `ns.dict_var` — terms the dict already knows are anti-joined away,
