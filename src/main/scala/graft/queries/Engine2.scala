@@ -278,7 +278,7 @@ object Engine2 {
     * exactly the reason annEncode is shared on the build side. */
   private def annServe(eAll: DataFrame, centT: DataFrame, bookT: DataFrame,
       postOf: Seq[java.lang.Long] => DataFrame,
-      proof: DataFrame = null,
+      proof: Option[DataFrame] = None,
       filterVids: Option[DataFrame] = None): DataFrame = {
     val q = eAll.filter(col("vec_id") < 3)
       .select(col("vec_id").as("qid"), col("e").as("qe"))
@@ -312,7 +312,7 @@ object Engine2 {
       .withColumn("rank", row_number().over(wRank).cast("long"))
       .filter(col("rank") <= 3)
       .select(col("qid"), col("rank"), col("vid"), col("adist"))
-    Option(proof).fold(ranked)(p => ranked.crossJoin(broadcast(p)))
+    proof.fold(ranked)(p => ranked.crossJoin(broadcast(p)))
       .orderBy(col("qid"), col("rank"))
   }
 
@@ -742,8 +742,8 @@ object Engine2 {
         // the postings table itself advanced to full-corpus size
         annServe(eAll, centT, bookT,
           probed => s.table(s"$ns.ann2_post").where(col("list_id").isin(probed: _*)),
-          proof = s.table(s"$ns.ann2_post")
-            .agg(count(lit(1)).cast("long").as("n_postings")))
+          proof = Some(s.table(s"$ns.ann2_post")
+            .agg(count(lit(1)).cast("long").as("n_postings"))))
       },
       // frozen quantizer ⇒ build-then-extend ≡ build-over-all: the oracle
       // computes the SAME index from scratch over the full corpus, with
@@ -1278,8 +1278,8 @@ object Engine2 {
         annServe(emb(Tables(s, dir)), centT, bookT,
           probed => ann3Surviving(s.table(s"$ns2.ann3_post")
             .where(col("list_id").isin(probed: _*)), tombMax),
-          proof = ann3Surviving(s.table(s"$ns2.ann3_post"), tombMax)
-            .agg(count(lit(1)).cast("long").as("n_live")))
+          proof = Some(ann3Surviving(s.table(s"$ns2.ann3_post"), tombMax)
+            .agg(count(lit(1)).cast("long").as("n_live"))))
       },
       // frozen quantizer (ORIGINAL first-16 vectors) over the
       // POST-MUTATION corpus — maintained serve ≡ from-scratch rebuild
@@ -1319,7 +1319,7 @@ object Engine2 {
         annServe(emb(Tables(s, dir)), centT, bookT,
           probed => ann3Surviving(s.table(s"$ns2.ann3_post")
             .where(col("list_id").isin(probed: _*)), tombMax),
-          proof = proof)
+          proof = Some(proof))
       },
       Some(ann3RebuildOracle(",\n          CAST(0 AS BIGINT) AS n_tomb")),
       // fixture: own namespace, seeded + mutation-folded through the
@@ -1372,7 +1372,7 @@ object Engine2 {
         annServe(emb(Tables(s, dir)), centT, bookT,
           probed => ann3Surviving(s.table(s"$ns2.ann3_post")
             .where(col("list_id").isin(probed: _*)), tombMax),
-          proof = proof)
+          proof = Some(proof))
       },
       // the RETRAINED quantizer (16 smallest LIVE ids of the
       // post-mutation corpus) replayed from scratch

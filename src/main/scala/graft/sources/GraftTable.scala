@@ -1154,15 +1154,26 @@ object TableStats {
       }
     }
     val maxV = Snapshots.list(fs, dataDir).lastOption.map(_._1).getOrElse(0L)
-    // Heal crashed commits: with the head version known, any UNMARKED
-    // version above it cannot be live (a live commit advances the pointer
-    // before releasing the lock we now hold) and is not a WAP stage
-    // (those carry a Staged marker, written under the stage's lock) — it
-    // is an orphan from a commit that died before its registry swap.
+    // Heal crashed commits: with the head version known, any version
+    // above it that is not a WAP stage (those carry a Staged marker,
+    // written under the stage's lock, and legitimately sit above head)
+    // cannot be live — a live commit advances the pointer before
+    // releasing the lock we now hold. That covers BOTH orphan shapes:
+    // an UNMARKED snapshot (plain append died before its registry swap)
+    // and a snapshot still carrying a live kind marker
+    // (Cow/Replace/Maintenance/Restore — a marker-first committer died
+    // between recordAt and the swap). The second shape MUST be
+    // overwritten to Aborted here: left alone, the next commit mints
+    // maxV+1 and moves head PAST the orphan, after which every guard
+    // (latestAsOf, feeds, everRecorded) would treat the never-committed
+    // snapshot as live history — feeds would replay its manifest diff as
+    // a phantom rewrite and time travel could return never-committed
+    // rows.
     head.foreach { h =>
       var v = h + 1
       while (v <= maxV) {
-        if (ChangeLog.kindOf(fs, dataDir, v).isEmpty)
+        val k = ChangeLog.kindOf(fs, dataDir, v)
+        if (!k.contains(ChangeLog.Staged) && !k.contains(ChangeLog.Aborted))
           ChangeLog.writeMarker(fs, dataDir, v, ChangeLog.Aborted)
         v += 1
       }
@@ -1174,10 +1185,17 @@ object TableStats {
     // marker discipline (see the scaladoc): marked commits write their
     // kind BEFORE anything becomes visible; unmarked commits clear a
     // stray marker a dead marker-first committer may have left at this
-    // version (delete of a missing path is a silent no-op)
+    // version (delete of a missing path is a silent no-op), plus the
+    // change-data directory a dead COW committer may have renamed into
+    // place before dying pre-record — otherwise it lingers as garbage a
+    // future marker-writing commit at this version could inherit. For
+    // kind = Some(Cow) the live committer (GraftRowLevel) owns the dir;
+    // the other marked kinds never write one.
     kind match {
       case Some(k) => ChangeLog.writeMarker(fs, dataDir, next, k)
-      case None => fs.delete(ChangeLog.markerPath(dataDir, next), false)
+      case None =>
+        fs.delete(ChangeLog.markerPath(dataDir, next), false)
+        fs.delete(ChangeLog.changeDataDir(dataDir, next), true)
     }
     val stamped = stats.map { case (rel, e) =>
       rel -> (if (e.seq < 0) e.copy(seq = next) else e)

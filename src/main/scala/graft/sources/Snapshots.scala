@@ -611,10 +611,14 @@ object Snapshots {
       // the Replace marker commits BEFORE the swap inside TableStats.write
       // (the chokepoint's marker discipline): the reverse order left a
       // crash window where the shrink version was live UNMARKED and every
-      // feed interval crossing it threw ("unrecorded rewrite") forever. A
-      // crash between marker and swap heals at the next commit or the
-      // recover() re-publish (stray markers are overwritten or cleared at
-      // the same chokepoint).
+      // feed interval crossing it threw ("unrecorded rewrite") forever.
+      // BOTH crash sub-windows heal at the next commit (or the recover()
+      // re-publish): a death before recordAt leaves only a stray marker,
+      // which the chokepoint overwrites or clears when the version is
+      // re-minted; a death between recordAt and the swap leaves a marked
+      // snapshot above head, which the chokepoint's healing loop
+      // overwrites to Aborted (any non-Staged version above head is dead
+      // under the lock).
       val v =
         if (replace)
           TableStats.write(fs, dataDir, adds, kind = Some(ChangeLog.Replace))

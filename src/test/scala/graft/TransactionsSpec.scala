@@ -316,6 +316,49 @@ class TransactionsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"feed must replay a plain insert, not a replace: $rows")
   }
 
+  test("a marker-first committer dying AFTER recordAt but BEFORE the swap " +
+      "heals to Aborted at the next commit (no phantom replace)") {
+    // crash window: a replace publish (or COW/compaction) wrote its kind
+    // marker AND recorded its snapshot, then died before the registry
+    // swap. If the healing loop skipped marked orphans, the next commit
+    // would mint maxV+1 and move head PAST the orphan, after which feeds
+    // would replay the never-committed manifest diff as a phantom
+    // Replace and time travel could return never-committed rows.
+    spark.sql("CREATE TABLE txc.t.oh (id BIGINT, s STRING)")
+    spark.sql("INSERT INTO txc.t.oh VALUES (1, 'a'), (2, 'b')")
+    val dd = new org.apache.hadoop.fs.Path(s"$warehouse/t/oh/data")
+    val fs = dd.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val head0 = graft.sources.TableStats.liveVersion(fs, dd).get
+    val pre = Snapshots.nextVersion(fs, dd)
+    // the dead committer's leftovers, in the real write() order: marker
+    // first, then the recorded snapshot (a replace-to-nothing) — and no
+    // registry swap
+    graft.sources.ChangeLog.writeMarker(fs, dd, pre,
+      graft.sources.ChangeLog.Replace)
+    Snapshots.recordAt(fs, dd, Map.empty, pre, base = Some(head0))
+    assert(graft.sources.TableStats.liveVersion(fs, dd).get == head0,
+      "precondition: the registry swap must not have happened")
+    // the next plain commit heals the orphan and mints above it
+    spark.sql("INSERT INTO txc.t.oh VALUES (3, 'c')")
+    val v = graft.sources.TableStats.liveVersion(fs, dd).get
+    assert(v == pre + 1, s"the append must mint above the orphan: $v")
+    assert(graft.sources.ChangeLog.kindOf(fs, dd, pre)
+      .contains(graft.sources.ChangeLog.Aborted),
+      "the marked orphan above head must heal to Aborted")
+    // no phantom delete: all three rows live, and the feed across the
+    // healed interval replays exactly the insert
+    assert(spark.table("txc.t.oh").count() == 3)
+    val cat = spark.sessionState.catalogManager.catalog("txc")
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
+    val tbl = cat.loadTable(org.apache.spark.sql.connector.catalog.Identifier
+        .of(Array("t"), "oh")).asInstanceOf[graft.sources.GraftTable]
+    val feed = Snapshots.changes(spark, tbl, since = head0, end = Some(v))
+    val rows2 = feed.selectExpr("id", graft.sources.ChangeLog.TypeCol)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(rows2 == Seq((3L, "insert")),
+      s"feed must skip the aborted orphan and replay the insert only: $rows2")
+  }
+
   test("replace: mixing a replace with another write to the SAME table is refused") {
     intercept[IllegalArgumentException] {
       Transactions.run(spark, warehouse) { txn =>
