@@ -187,7 +187,7 @@ object Engine2 {
     * the index tables, advance postings + tombstones + watermark in ONE
     * transaction. Handles inserts, deletes, and updates uniformly. */
   private[graft] def ann3FoldFeed(s: SparkSession, ns2: String,
-      feed: DataFrame, v2: Long): Unit = {
+      feed: DataFrame, v2: Long, expect: Option[Long] = None): Unit = {
     val coord = s.conf.get(s"spark.sql.catalog.${ns2.split('.')(0)}.warehouse")
     val affected = feed.select(col("vec_id")).distinct()
     val postVecs = annRegroup(
@@ -200,6 +200,15 @@ object Engine2 {
       .withColumn("rev", lit(v2))
     val tomb = affected.select(col("vec_id").as("vid"), lit(v2).as("rev"))
     graft.sources.Transactions.run(s, coord) { txn =>
+      // the Engine3.fts2Fold single-maintainer check, dense-side twin:
+      // `expect` (the interval's base watermark, set by IndexMaintain)
+      // re-checked at the commit point, so a duplicate maintainer's
+      // fold aborts instead of double-indexing same-rev postings
+      expect.foreach { w =>
+        txn.precondition(s"$ns2.ann3_meta watermark == $w (single-maintainer)") {
+          graft.streaming.IndexMaintain.watermark(s, s"$ns2.ann3_meta") == w
+        }
+      }
       txn.write(s"$ns2.ann3_post", newPost)
       txn.write(s"$ns2.ann3_del", tomb)
       txn.write(s"$ns2.ann3_meta",

@@ -212,10 +212,19 @@ object Engine3 {
     * O(batch tokens), independent of index size: the existing postings
     * are never read, let alone rewritten. */
   private[graft] def fts2Fold(s: SparkSession, ns: String, batch: DataFrame,
-      newVersion: Long): Unit = {
+      newVersion: Long, expect: Option[Long] = None): Unit = {
     val coord = s.conf.get(s"spark.sql.catalog.${ns.split('.')(0)}.warehouse")
     val (post, pos, glob) = fts2IndexRows(batch, newVersion)
     graft.sources.Transactions.run(s, coord) { txn =>
+      // `expect` = the watermark this batch's interval starts from (set
+      // by IndexMaintain): re-checked at the commit point under the
+      // coordinator lock, so a duplicate maintainer's fold of the same
+      // interval aborts instead of double-indexing its rows
+      expect.foreach { w =>
+        txn.precondition(s"$ns.fts2_meta watermark == $w (single-maintainer)") {
+          graft.streaming.IndexMaintain.watermark(s, s"$ns.fts2_meta") == w
+        }
+      }
       txn.write(s"$ns.fts2_post", post)
       txn.write(s"$ns.fts2_pos", pos)
       txn.write(s"$ns.fts2_glob", glob)
@@ -252,7 +261,7 @@ object Engine3 {
     * rewrite (and [[fts2CompactIfDebt]] triggers it from the registry's
     * own row counts), exactly like MOR delete-file compaction. */
   private[graft] def fts2FoldFeed(s: SparkSession, ns: String, srcTable: String,
-      feed: DataFrame, v1: Long, v2: Long): Unit = {
+      feed: DataFrame, v1: Long, v2: Long, expect: Option[Long] = None): Unit = {
     val coord = s.conf.get(s"spark.sql.catalog.${ns.split('.')(0)}.warehouse")
     val affected = feed.select(col("doc_id")).distinct()
     def state(v: Long): DataFrame =
@@ -274,6 +283,14 @@ object Engine3 {
     val posGlob = posGlob0.where(col("nd") =!= 0L)
     val tomb = affected.select(col("doc_id"), lit(v2).as("rev"))
     graft.sources.Transactions.run(s, coord) { txn =>
+      // the fts2Fold single-maintainer check (see its comment): the
+      // endpoint-state fold of (v1, v2] is only valid while the index
+      // is still AT v1 — a duplicate maintainer's fold aborts here
+      expect.foreach { w =>
+        txn.precondition(s"$ns.fts2_meta watermark == $w (single-maintainer)") {
+          graft.streaming.IndexMaintain.watermark(s, s"$ns.fts2_meta") == w
+        }
+      }
       txn.write(s"$ns.fts2_post", postRows)
       txn.write(s"$ns.fts2_pos", posRows)
       txn.write(s"$ns.fts2_del", tomb)
@@ -1351,10 +1368,12 @@ object Engine3 {
           graft.streaming.IndexMaintain.start(
             s, s"$ns2.fts2_src", s"$ns2.fts2_meta", ckpt,
             s.conf.get("spark.sql.catalog.gcat.warehouse"),
-            foldAppend = (delta, v2) =>
-              fts2Fold(s, ns2, delta.select(col("doc_id"), col("text")), v2),
+            foldAppend = (delta, v1, v2) =>
+              fts2Fold(s, ns2, delta.select(col("doc_id"), col("text")), v2,
+                expect = Some(v1)),
             foldFeed = (feed, v1, v2) =>
-              fts2FoldFeed(s, ns2, s"$ns2.fts2_src", feed, v1, v2))
+              fts2FoldFeed(s, ns2, s"$ns2.fts2_src", feed, v1, v2,
+                expect = Some(v1)))
             .awaitTermination()
         }
         fts2ServeAll(s, ns2, Seq("scan", "merge", "restreamed"), "hash", "join")

@@ -62,6 +62,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Transactions {
 
+  /** Thrown by [[Txn.commit]] when a registered [[Txn.precondition]] no
+    * longer holds at the commit point: every stage rolled back, no
+    * changes applied. Callers for whom the failure is a benign lost
+    * race (a duplicate index maintainer whose interval another
+    * maintainer already folded) catch THIS type specifically and skip;
+    * anything else propagating from a commit stays fatal. */
+  final class PreconditionFailed(msg: String) extends IllegalStateException(msg)
+
   private def fsOf(p: Path): FileSystem = p.getFileSystem(new Configuration())
 
   private def txnDir(coordDir: String): Path = new Path(coordDir, "_txn")
@@ -76,6 +84,9 @@ object Transactions {
     // race check commit() runs before deciding
     private val replaceBases =
       scala.collection.mutable.ArrayBuffer[(String, Option[Long])]()
+    // (description, check) commit-point preconditions — see [[precondition]]
+    private val preconds =
+      scala.collection.mutable.ArrayBuffer[(String, () => Boolean)]()
     private var n = 0
     private var decided = false
 
@@ -151,6 +162,24 @@ object Transactions {
       replaceBases += ((dir, base))
     }
 
+    /** Register a commit-point precondition: `check` is re-evaluated
+      * immediately before the decide point and a false aborts the
+      * commit with [[PreconditionFailed]] (run() then rolls every stage
+      * back — no changes applied). Unlike the REPLACE race check, a
+      * checked commit runs its check-decide-publish sequence under the
+      * COORDINATOR's commit lock, so a condition reading committed
+      * state (e.g. an index watermark: `indexed_version == expected`)
+      * cannot be invalidated by another checked commit between its
+      * check and its publish — two maintainers folding the same
+      * interval serialize here and the loser aborts instead of
+      * double-indexing. The lock is held for the metadata-sized publish
+      * only (stages are already durable), and only checked commits pay
+      * it — unchecked transactions commit lock-free as before. */
+    def precondition(description: String)(check: => Boolean): Unit = {
+      require(!decided, s"graft: txn $id already committed")
+      preconds += ((description, () => check))
+    }
+
     private[graft] def writeIntent(): Unit = {
       val d = txnDir(coordDir)
       val fs = fsOf(d)
@@ -203,7 +232,21 @@ object Transactions {
               s"${base.getOrElse("∅")} to ${cur.getOrElse("∅")} since its " +
               "REPLACE was staged; no changes applied")
         }
-        writeIntent(); decide(); complete()
+        def checkAndPublish(): Unit = {
+          preconds.foreach { case (desc, check) =>
+            if (!check()) throw new PreconditionFailed(
+              s"graft: txn $id precondition failed: $desc; no changes applied")
+          }
+          writeIntent(); decide(); complete()
+        }
+        if (preconds.isEmpty) checkAndPublish()
+        else {
+          // serialize checked commits through the coordinator (see
+          // [[precondition]]): the lock parents at txnDir, so every
+          // checked commit under one coordinator contends on one file
+          val guard = new Path(txnDir(coordDir), "commit-guard")
+          TableStats.withLock(fsOf(guard), guard)(checkAndPublish())
+        }
       }
 
     /** Discard every staged write: the transaction never happened. */

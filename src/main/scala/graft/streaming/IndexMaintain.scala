@@ -43,8 +43,28 @@ import graft.sources.{ChangeLog, GraftTable, GraftViewBridge, Snapshots, TableSt
   * the feed hold a non-insert row?) — O(batch), never O(table). Scale
   * shape at 100 TB: per trigger, one metadata read (watermark + head),
   * one delta-sized classification, one fold at O(batch tokens).
+  *
+  * Single-maintainer is ENFORCED, not discipline: every fold this
+  * maintainer drives carries a [[Transactions.Txn.precondition]] that
+  * the index watermark still equals the value this batch derived its
+  * interval from, re-checked under the coordinator's commit lock. If a
+  * second maintainer is (mis)started against the same index, both fold
+  * the same interval but exactly ONE commits — the loser's
+  * [[Transactions.PreconditionFailed]] is caught below and the interval
+  * skipped (the winner indexed it; the next batch re-derives from the
+  * advanced watermark). Without the check, the duplicate fold's same-rev
+  * postings would survive their own tombstones and double every score.
   */
 object IndexMaintain {
+
+  /** Live watermark of an index's `(indexed_version BIGINT)` meta table
+    * (0 when never advanced) — the value every fold's interval starts
+    * from and the single-maintainer precondition re-checks at commit. */
+  def watermark(spark: SparkSession, metaTable: String): Long =
+    spark.table(metaTable).agg(max("indexed_version")).head() match {
+      case r if r.isNullAt(0) => 0L
+      case r => r.getLong(0)
+    }
 
   /** Start the maintainer.
     *
@@ -62,16 +82,23 @@ object IndexMaintain {
     *                   silently losing its fold. Pass 0 only when
     *                   provably no other coordinator user is alive
     *                   (tests).
-    * @param foldAppend (delta pinned to `(watermark, head]`, head) —
-    *                   e.g. `Engine3.fts2Fold`
+    * @param foldAppend (delta pinned to `(watermark, head]`, watermark,
+    *                   head) — e.g. `Engine3.fts2Fold` with
+    *                   `expect = Some(watermark)`
     * @param foldFeed   (change feed for `(watermark, head]`, watermark,
-    *                   head) — e.g. `Engine3.fts2FoldFeed`
+    *                   head) — e.g. `Engine3.fts2FoldFeed` with
+    *                   `expect = Some(watermark)`. Both fold lambdas
+    *                   MUST thread the watermark into their fold's
+    *                   `expect` — that precondition is what makes a
+    *                   duplicate maintainer's fold abort instead of
+    *                   double-indexing (see the object scaladoc)
     * @param onBatch    (watermark, head, mutated) per non-empty batch —
-    *                   route census for tests/monitoring
+    *                   route census for tests/monitoring; not called
+    *                   for an interval lost to a concurrent maintainer
     */
   def start(spark: SparkSession, source: String, metaTable: String,
       checkpoint: String, coordDir: String,
-      foldAppend: (DataFrame, Long) => Unit,
+      foldAppend: (DataFrame, Long, Long) => Unit,
       foldFeed: (DataFrame, Long, Long) => Unit,
       trigger: Trigger = Trigger.AvailableNow(),
       recoverAgeMillis: Long = 3600L * 1000,
@@ -96,11 +123,7 @@ object IndexMaintain {
       .load(tbl.tableDir)
       .writeStream
       .foreachBatch { (_: DataFrame, _: Long) =>
-        val recorded = spark.table(metaTable)
-          .agg(max("indexed_version")).head() match {
-          case r if r.isNullAt(0) => 0L
-          case r => r.getLong(0)
-        }
+        val recorded = watermark(spark, metaTable)
         val now = liveVersion()
         if (now > recorded) {
           val feed = Snapshots.changes(spark, tbl,
@@ -114,17 +137,37 @@ object IndexMaintain {
           val kinds = feed.groupBy(col(ChangeLog.TypeCol)).count()
             .collect().iterator.map(_.getString(0)).toSet
           val mutated = (kinds - "insert").nonEmpty
-          if (mutated) foldFeed(feed, recorded, now)
-          else if (kinds.nonEmpty)
-            foldAppend(spark.read.option("since-version", recorded)
-              .option("snapshot-version", now).table(source), now)
-          else {
-            import spark.implicits._
-            Transactions.run(spark, coordDir) { txn =>
-              txn.write(metaTable, Seq(now).toDF("indexed_version"))
+          try {
+            if (mutated) foldFeed(feed, recorded, now)
+            else if (kinds.nonEmpty)
+              foldAppend(spark.read.option("since-version", recorded)
+                .option("snapshot-version", now).table(source), recorded, now)
+            else {
+              import spark.implicits._
+              Transactions.run(spark, coordDir) { txn =>
+                // even the data-free advance is guarded, so ALL meta
+                // appends under dual maintainers serialize through the
+                // same check — one watermark row per interval, never an
+                // interleaved double-advance
+                txn.precondition(
+                  s"$metaTable watermark == $recorded (single-maintainer)") {
+                  watermark(spark, metaTable) == recorded
+                }
+                txn.write(metaTable, Seq(now).toDF("indexed_version"))
+              }
             }
+            onBatch(recorded, now, mutated)
+          } catch {
+            case e: Transactions.PreconditionFailed =>
+              // a concurrent maintainer folded (recorded, x] first; OUR
+              // fold rolled back whole. Skipping is safe: the interval's
+              // rows are indexed (by the winner), and the next batch
+              // re-derives its interval from the advanced watermark.
+              System.err.println(
+                s"graft: IndexMaintain on $metaTable lost interval " +
+                  s"($recorded, $now] to a concurrent maintainer — " +
+                  s"skipped (${e.getMessage})")
           }
-          onBatch(recorded, now, mutated)
         }
       }
       .option("checkpointLocation", checkpoint)

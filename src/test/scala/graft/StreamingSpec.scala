@@ -810,10 +810,11 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     def drain(): Unit = graft.streaming.IndexMaintain.start(
       spark, s"$ns.fts2_src", s"$ns.fts2_meta",
       Files.createTempDirectory("im_ckpt").toString, wh,
-      foldAppend = (delta, v2) => graft.queries.Engine3.fts2Fold(
-        spark, ns, delta.select(col("doc_id"), col("text")), v2),
+      foldAppend = (delta, v1, v2) => graft.queries.Engine3.fts2Fold(
+        spark, ns, delta.select(col("doc_id"), col("text")), v2,
+        expect = Some(v1)),
       foldFeed = (feed, v1, v2) => graft.queries.Engine3.fts2FoldFeed(
-        spark, ns, s"$ns.fts2_src", feed, v1, v2),
+        spark, ns, s"$ns.fts2_src", feed, v1, v2, expect = Some(v1)),
       onBatch = (_, _, mutated) => routes += mutated)
       .awaitTermination()
     def serveOf(n: String): Seq[(Long, Long)] =
@@ -895,10 +896,12 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     def drain(): Unit = graft.streaming.IndexMaintain.start(
       spark, s"$ns.ann3_src", s"$ns.ann3_meta",
       Files.createTempDirectory("annim_ckpt").toString, wh,
-      foldAppend = (delta, v2) =>
-        graft.queries.Engine2.ann3FoldFeed(spark, ns, delta, v2),
-      foldFeed = (feed, _, v2) =>
-        graft.queries.Engine2.ann3FoldFeed(spark, ns, feed, v2),
+      foldAppend = (delta, v1, v2) =>
+        graft.queries.Engine2.ann3FoldFeed(spark, ns, delta, v2,
+          expect = Some(v1)),
+      foldFeed = (feed, v1, v2) =>
+        graft.queries.Engine2.ann3FoldFeed(spark, ns, feed, v2,
+          expect = Some(v1)),
       onBatch = (_, _, _) =>
         if (graft.queries.Engine2.annCompactIfDebt(spark, ns, frac = 0.001))
           compactions += 1)
@@ -977,10 +980,12 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     graft.streaming.IndexMaintain.start(
       spark, s"$ns.ann3_src", s"$ns.ann3_meta",
       Files.createTempDirectory("rq_ckpt").toString, gimWh,
-      foldAppend = (delta, v2) => { folds += 1
-        graft.queries.Engine2.ann3FoldFeed(spark, ns, delta, v2) },
-      foldFeed = (feed, _, v2) => { folds += 1
-        graft.queries.Engine2.ann3FoldFeed(spark, ns, feed, v2) })
+      foldAppend = (delta, v1, v2) => { folds += 1
+        graft.queries.Engine2.ann3FoldFeed(spark, ns, delta, v2,
+          expect = Some(v1)) },
+      foldFeed = (feed, v1, v2) => { folds += 1
+        graft.queries.Engine2.ann3FoldFeed(spark, ns, feed, v2,
+          expect = Some(v1)) })
       .awaitTermination()
     assert(folds == 0,
       "requantize consumed every commit up to head - nothing may re-fold")
@@ -1013,10 +1018,11 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     def drain(): Unit = graft.streaming.IndexMaintain.start(
       spark, s"$ns.fts2_src", s"$ns.fts2_meta",
       Files.createTempDirectory("ac_ckpt").toString, wh,
-      foldAppend = (delta, v2) => graft.queries.Engine3.fts2Fold(
-        spark, ns, delta.select(col("doc_id"), col("text")), v2),
+      foldAppend = (delta, v1, v2) => graft.queries.Engine3.fts2Fold(
+        spark, ns, delta.select(col("doc_id"), col("text")), v2,
+        expect = Some(v1)),
       foldFeed = (feed, v1, v2) => graft.queries.Engine3.fts2FoldFeed(
-        spark, ns, s"$ns.fts2_src", feed, v1, v2),
+        spark, ns, s"$ns.fts2_src", feed, v1, v2, expect = Some(v1)),
       onBatch = (_, _, _) =>
         if (graft.queries.Engine3.fts2CompactIfDebt(spark, ns, frac = 0.01))
           compactions += 1)
@@ -1057,5 +1063,102 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(serveOf(ns) == serveOf("gim.acr"),
         s"round $round: self-compacted serve diverged from rebuild")
     }
+  }
+
+  test("single-maintainer ENFORCED: a duplicate fold of the same interval " +
+      "aborts whole, dual concurrent maintainers stay == rebuild") {
+    // the contention the watermark precondition exists for: maintainer B
+    // derives its interval from the same watermark as maintainer A, A
+    // commits first — B's fold must abort (PreconditionFailed) with NO
+    // table moved, because its same-rev postings would survive their own
+    // tombstones and double every BM25 score.
+    val wh = gimWh
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gim.dm")
+    val ns = "gim.dm"
+    graft.queries.Engine3.fts2Create(spark, ns, withRowKey = true)
+    import spark.implicits._
+    val state = scala.collection.mutable.Map[Long, String]()
+    def txt(i: Long, salt: Int) = s"tok${(i + salt) % 7} tok${(i + salt) % 5} common"
+    def append(rows: Seq[(Long, String)]): Unit = {
+      rows.toDF("doc_id", "text")
+        .select(col("doc_id").cast("string").as("row_key"),
+          col("doc_id"), col("text"))
+        .writeTo(s"$ns.fts2_src").append()
+      rows.foreach { case (i, t) => state(i) = t }
+    }
+    def counts(): (Long, Long, Long, Long) = (
+      spark.table(s"$ns.fts2_post").count(), spark.table(s"$ns.fts2_pos").count(),
+      spark.table(s"$ns.fts2_del").count(), spark.table(s"$ns.fts2_glob").count())
+    append((0L until 24L).map(i => (i, txt(i, 0))))
+    // --- append-fold duplicate: both "maintainers" read watermark 0 ---
+    val w0 = graft.streaming.IndexMaintain.watermark(spark, s"$ns.fts2_meta")
+    val h0 = graft.queries.Engine3.fts2SrcVersion(spark, ns)
+    val delta = spark.table(s"$ns.fts2_src").select(col("doc_id"), col("text"))
+    graft.queries.Engine3.fts2Fold(spark, ns, delta, h0, expect = Some(w0)) // A wins
+    val before = counts()
+    intercept[graft.sources.Transactions.PreconditionFailed] {
+      graft.queries.Engine3.fts2Fold(spark, ns, delta, h0, expect = Some(w0))
+    }
+    assert(counts() == before, "the losing fold must roll back every table")
+    assert(graft.streaming.IndexMaintain.watermark(spark, s"$ns.fts2_meta") == h0,
+      "the winner's watermark must stand")
+    // --- mutation-fold duplicate: same interval, endpoint-state fold ---
+    spark.sql(s"DELETE FROM $ns.fts2_src WHERE doc_id = 3"); state -= 3L
+    spark.sql(s"UPDATE $ns.fts2_src SET text = 'fresh common' WHERE doc_id = 5")
+    state(5L) = "fresh common"
+    val w1 = graft.streaming.IndexMaintain.watermark(spark, s"$ns.fts2_meta")
+    val h1 = graft.queries.Engine3.fts2SrcVersion(spark, ns)
+    val cat = spark.sessionState.catalogManager.catalog("gim")
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
+    val tbl = cat.loadTable(org.apache.spark.sql.connector.catalog.Identifier
+        .of(Array("dm"), "fts2_src")).asInstanceOf[graft.sources.GraftTable]
+    def feed() = graft.sources.Snapshots.changes(spark, tbl,
+      since = w1, end = Some(h1), hydrateMor = true)
+    graft.queries.Engine3.fts2FoldFeed(spark, ns, s"$ns.fts2_src",
+      feed(), w1, h1, expect = Some(w1)) // A wins
+    val before2 = counts()
+    intercept[graft.sources.Transactions.PreconditionFailed] {
+      graft.queries.Engine3.fts2FoldFeed(spark, ns, s"$ns.fts2_src",
+        feed(), w1, h1, expect = Some(w1))
+    }
+    assert(counts() == before2,
+      "the losing mutation fold must roll back every table")
+    // --- dual CONCURRENT maintainers drain one index: whatever the ---
+    // --- interleaving, exactly one fold per interval commits        ---
+    append((100L until 112L).map(i => (i, txt(i, 1))))
+    spark.sql(s"DELETE FROM $ns.fts2_src WHERE doc_id = 7"); state -= 7L
+    def drain(): Unit = graft.streaming.IndexMaintain.start(
+      spark, s"$ns.fts2_src", s"$ns.fts2_meta",
+      Files.createTempDirectory("dm_ckpt").toString, wh,
+      foldAppend = (delta, v1, v2) => graft.queries.Engine3.fts2Fold(
+        spark, ns, delta.select(col("doc_id"), col("text")), v2,
+        expect = Some(v1)),
+      foldFeed = (feed, v1, v2) => graft.queries.Engine3.fts2FoldFeed(
+        spark, ns, s"$ns.fts2_src", feed, v1, v2, expect = Some(v1)))
+      .awaitTermination()
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = Seq.fill(2)(new Thread(() =>
+      try drain() catch { case e: Throwable => errs.add(e) }))
+    threads.foreach(_.start()); threads.foreach(_.join(300000))
+    assert(errs.isEmpty, s"a lost race must be skipped, not thrown: ${errs}")
+    // one watermark row per committed interval — a double-advance would
+    // duplicate an indexed_version value
+    val wmRows = spark.table(s"$ns.fts2_meta")
+      .select("indexed_version").collect().map(_.getLong(0)).toSeq
+    assert(wmRows.distinct.size == wmRows.size,
+      s"duplicate watermark rows — an interval was folded twice: $wmRows")
+    // and the serve is exactly a from-scratch rebuild of the final state
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gim.dmr")
+    graft.queries.Engine3.fts2Create(spark, "gim.dmr")
+    state.toSeq.toDF("doc_id", "text").writeTo("gim.dmr.fts2_src").append()
+    graft.queries.Engine3.fts2Fold(spark, "gim.dmr",
+      spark.table("gim.dmr.fts2_src"),
+      graft.queries.Engine3.fts2SrcVersion(spark, "gim.dmr"))
+    def serveOf(n: String): Seq[(Long, Long)] =
+      graft.queries.Engine3.fts2Bm25(spark, n,
+        Seq("common", "tok1", "fresh")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    assert(serveOf(ns) == serveOf("gim.dmr"),
+      "dual-maintained serve diverged from rebuild")
   }
 }
