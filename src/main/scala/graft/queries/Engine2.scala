@@ -285,7 +285,7 @@ object Engine2 {
     * caller's proof-of-maintenance columns when given. A tie-break or
     * expression change here applies to every ANN serve uniformly —
     * exactly the reason annEncode is shared on the build side. */
-  private def annServe(eAll: DataFrame, centT: DataFrame, bookT: DataFrame,
+  private[graft] def annServe(eAll: DataFrame, centT: DataFrame, bookT: DataFrame,
       postOf: Seq[java.lang.Long] => DataFrame,
       proof: Option[DataFrame] = None,
       filterVids: Option[DataFrame] = None): DataFrame = {
@@ -1424,14 +1424,40 @@ object Engine2 {
       s.read.option("snapshot-version", head).table(s"$ns2.ann3_src")
         .select(col("vec_id"), col("pos"), col("v"))).persist()
     try {
-      // deterministic retrain: the 16 smallest live ids (the k-means seed
-      // choice is orthogonal to the swap protocol under test)
-      val q16 = live.orderBy(col("vec_id")).limit(16)
-      val cent = q16.select(col("vec_id").as("cid"), col("e").as("ce"))
-      val book = q16
-        .select(col("vec_id").as("code"),
-          explode(expr("sequence(0, 7)")).as("j"), col("e"))
-        .select(col("code"), col("j"), expr("slice(e, j * 8 + 1, 8)").as("cv"))
+      // retrain is CONF-SWITCHED. Default: the deterministic seed
+      // quantizer (16 smallest live ids) the q185 oracle replays in SQL.
+      // Production sets spark.graft.ann.requantize.retrain=true for the
+      // real Lloyd retrain — coarse centroids from k-means over the live
+      // corpus, PQ codewords from per-subspace k-means — the drift
+      // payoff RequantizeSpec measures (retrained beats frozen on
+      // post-churn recall). Both paths are deterministic (KMeans inits
+      // from the first k ids, no RNG) and the swap protocol below is
+      // identical either way.
+      val retrain = s.conf.getOption("spark.graft.ann.requantize.retrain")
+        .exists(_.toBoolean)
+      val (cent, book) =
+        if (!retrain) {
+          val q16 = live.orderBy(col("vec_id")).limit(16)
+          (q16.select(col("vec_id").as("cid"), col("e").as("ce")),
+            q16.select(col("vec_id").as("code"),
+                explode(expr("sequence(0, 7)")).as("j"), col("e"))
+              .select(col("code"), col("j"),
+                expr("slice(e, j * 8 + 1, 8)").as("cv")))
+        } else {
+          // model-sized collects only (KMeans.fit returns k×d rows);
+          // the cached `live` feeds all nine fits without a re-scan
+          val cents = graft.ml.KMeans.fit(
+            live.select(col("vec_id").as("id"), col("e")), 16, 4)
+          val bookT = (0 until 8).map { j =>
+            graft.ml.KMeans.fit(
+              live.select(col("vec_id").as("id"),
+                expr(s"slice(e, ${j * 8 + 1}, 8)").as("e")), 16, 4)
+              .select(lit(j).as("j"), col("cluster").cast("long").as("code"),
+                col("c").as("cv"))
+          }.reduce(_ unionByName _)
+          (cents.select(col("cluster").cast("long").as("cid"), col("c").as("ce")),
+            bookT)
+        }
       val enc = annEncode(live, cent, book)
         .select(col("vid"), col("j"), col("code"), col("list_id"),
           lit(head).as("rev"))

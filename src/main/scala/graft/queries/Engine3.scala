@@ -2172,12 +2172,14 @@ object Engine3 {
     * so the dict stays one row per (variant, term) and folds cost
     * O(batch tokens + dict), never the corpus. Append-only by design:
     * a dead term's suggestions die at SERVE time (df = 0 from the live
-    * postings), the dict never rewrites. ORDERING CONTRACT: call this
+    * postings), folds never rewrite — dead vocabulary is compaction
+    * debt that [[dictCompact]] pays off at q173 cadence
+    * ([[dictCompactIfDebt]] is its trigger). ORDERING CONTRACT: call this
     * BEFORE the interval's index fold — the dict lives outside the
     * fold's transaction, and dict-first makes the crash window benign
     * (superset dict + un-advanced watermark → the interval re-runs),
     * where fold-first would lose the interval's new terms forever. */
-  private def dictFold(s: SparkSession, ns: String, batch: DataFrame): Unit = {
+  private[graft] def dictFold(s: SparkSession, ns: String, batch: DataFrame): Unit = {
     val batchTerms = fts2Tokenize(batch)
       .select(explode(col("sp")).as("tok")).distinct()
     val known = s.table(s"$ns.dict_var").select(col("tok")).distinct()
@@ -2191,13 +2193,64 @@ object Engine3 {
       .writeTo(s"$ns.dict_var").append()
   }
 
+  /** COMPACT the fuzzy dictionary — the [[fts2Compact]] (q173)
+    * discipline applied to the one maintained index table that
+    * append-only folds never shrink: rewrite `ns.dict_var` to the
+    * variants of terms with LIVE postings (df > 0 under the current
+    * tombstones — exactly the serve's own drop rule, so no answer
+    * changes), one staged REPLACE. Long-dead vocabulary's deletion
+    * neighborhoods — which [[dictFold]]'s append-only design otherwise
+    * accretes forever — drop here, returning the dict to live-vocabulary
+    * size. O(dict + postings-token sweep); run at compaction cadence,
+    * not per batch.
+    *
+    * ORDERING: never run between a [[dictFold]] and its interval's index
+    * fold — the pending batch's fresh terms have no postings yet and
+    * would be stripped, and dictFold's anti-join would never re-add them
+    * (the permanent loss its ordering contract exists to prevent). The
+    * [[graft.streaming.IndexMaintain]] `onBatch` hook (after the fold,
+    * before the next dictFold) and any point outside a fold sequence are
+    * safe; a REPLACE racing a concurrent dictFold append aborts on the
+    * transaction's replace-base check and compaction rolls back whole. */
+  private[graft] def dictCompact(s: SparkSession, ns: String): Boolean = {
+    val coord = s.conf.get(s"spark.sql.catalog.${ns.split('.')(0)}.warehouse")
+    val (dictRows, _) = registryStats(s, ns, "dict_var")
+    if (dictRows == 0L) return false
+    val liveToks = fts2Surviving(
+        s.table(s"$ns.fts2_post"), fts2TombMaxOpt(s, ns))
+      .select(col("tok")).distinct()
+    graft.sources.Transactions.run(s, coord) { txn =>
+      txn.replace(s"$ns.dict_var",
+        s.table(s"$ns.dict_var").join(liveToks, Seq("tok"), "left_semi")
+          .select(col("variant"), col("tok")))
+    }
+    true
+  }
+
+  /** [[dictCompact]]'s trigger policy, registry-only like
+    * [[fts2CompactIfDebt]]: dead dictionary vocabulary only arises from
+    * the deletes/updates that leave tombstones, so the SAME tombstone
+    * debt signal gates both — run this BEFORE `fts2CompactIfDebt` in an
+    * `onBatch` hook (index compaction clears the tombstones the check
+    * keys on), and the pair self-resets: once both fire, debt is zero
+    * until new churn accrues it. Returns true when a compaction ran. */
+  private[graft] def dictCompactIfDebt(s: SparkSession, ns: String,
+      frac: Double = 0.05): Boolean = {
+    val (tombRows, _) = registryStats(s, ns, "fts2_del")
+    tombRows > 0L && {
+      val (postRows, _) = registryStats(s, ns, "fts2_post")
+      tombRows.toDouble > frac * math.max(postRows, 1L).toDouble &&
+        dictCompact(s, ns)
+    }
+  }
+
   /** Fuzzy suggestions from the MAINTAINED dict + index: candidates from
     * the variant point-join (dict-sized), exact levenshtein ≤ 1 verify,
     * then df from the LIVE postings — an IN-pruned, survival-filtered
     * read over just the candidate terms (the model-sized collect is the
     * q142 probed-lists pattern). df = 0 candidates drop here, which is
     * what lets the dict stay append-only under deletes. */
-  private def fuzzyServe(s: SparkSession, ns: String, query: String): DataFrame = {
+  private[graft] def fuzzyServe(s: SparkSession, ns: String, query: String): DataFrame = {
     val qVariants = (query +: query.indices.map(i =>
       query.substring(0, i) + query.substring(i + 1))).distinct
     val cands = s.table(s"$ns.dict_var")

@@ -598,6 +598,94 @@ class FtsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("dict compaction: churn rounds return dict_var to live-vocabulary " +
+      "size, fuzzy serve identical before/after") {
+    // the one maintained index table append-only folds never shrink:
+    // dead terms' deletion neighborhoods accrete until dictCompact
+    // rewrites the dict to live-df>0 vocabulary — the serve's own drop
+    // rule, so answers cannot change.
+    setupGcat()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gcat.dc")
+    val ns = "gcat.dc"
+    graft.queries.Engine3.fts2Create(spark, ns, withRowKey = true)
+    spark.sql(s"CREATE TABLE $ns.dict_var (variant STRING, tok STRING)")
+    import spark.implicits._
+    val state = scala.collection.mutable.Map[Long, String]()
+    def txt(i: Long) = s"w${i}x shared common" // w<i>x: per-doc vocabulary
+    def append(rows: Seq[(Long, String)]): Unit = {
+      rows.toDF("doc_id", "text")
+        .select(col("doc_id").cast("string").as("row_key"),
+          col("doc_id"), col("text"))
+        .writeTo(s"$ns.fts2_src").append()
+      rows.foreach { case (i, t) => state(i) = t }
+    }
+    append((0L until 9L).map(i => (i, txt(i))))
+    var wm = srcVersion(ns)
+    val seed = spark.read.option("since-version", 0L).table(s"$ns.fts2_src")
+      .select(col("doc_id"), col("text"))
+    graft.queries.Engine3.dictFold(spark, ns, seed) // dict first, fold second
+    graft.queries.Engine3.fts2Fold(spark, ns, seed, wm)
+    val cat = spark.sessionState.catalogManager.catalog("gcat")
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
+    val tbl = cat.loadTable(org.apache.spark.sql.connector.catalog.Identifier
+        .of(Array("dc"), "fts2_src")).asInstanceOf[graft.sources.GraftTable]
+    def fuzzy(): Seq[(String, Long, Long)] =
+      graft.queries.Engine3.fuzzyServe(spark, ns, "w3x").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    var nextId = 100L
+    for (round <- 1 to 3) {
+      // kill three docs (their w<i>x terms die with them), add one
+      val victims = state.keys.toSeq.sorted.take(3)
+      victims.foreach { id =>
+        spark.sql(s"DELETE FROM $ns.fts2_src WHERE doc_id = $id"); state -= id
+      }
+      append(Seq((nextId, txt(nextId)))); nextId += 1
+      val v2 = srcVersion(ns)
+      val feed = graft.sources.Snapshots.changes(spark, tbl,
+        since = wm, end = Some(v2), hydrateMor = true)
+      val affected = feed.select(col("doc_id")).distinct()
+      val headDocs = spark.read.option("snapshot-version", v2)
+        .table(s"$ns.fts2_src").join(affected, Seq("doc_id"), "left_semi")
+      graft.queries.Engine3.dictFold(spark, ns,
+        headDocs.select(col("doc_id"), col("text")))
+      graft.queries.Engine3.fts2FoldFeed(spark, ns, s"$ns.fts2_src",
+        feed, wm, v2)
+      wm = v2
+      // debt accreted: dead terms still in the dict, tombstones present
+      victims.foreach { id =>
+        assert(tableCount(s"$ns.dict_var") > 0 &&
+          spark.table(s"$ns.dict_var").where(col("tok") === s"w${id}x")
+            .count() > 0,
+          s"round $round: precondition — dead term w${id}x still in dict")
+      }
+      val before = fuzzy()
+      // dict debt pays off FIRST (keys on the tombstones fts2Compact
+      // clears), then the index compaction — the production onBatch order
+      assert(graft.queries.Engine3.dictCompactIfDebt(spark, ns, frac = 0.001),
+        s"round $round: tombstone debt must trigger the dict compaction")
+      assert(fuzzy() == before,
+        s"round $round: dict compaction changed the fuzzy serve")
+      victims.foreach { id =>
+        assert(spark.table(s"$ns.dict_var").where(col("tok") === s"w${id}x")
+          .count() == 0,
+          s"round $round: dead term w${id}x must leave the dict")
+      }
+      assert(graft.queries.Engine3.fts2Compact(spark, ns))
+      assert(fuzzy() == before,
+        s"round $round: index compaction changed the fuzzy serve")
+      // dict == a from-scratch rebuild's dict over the live corpus
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS gcat.dcr")
+      spark.sql("DROP TABLE IF EXISTS gcat.dcr.dict_var")
+      spark.sql("CREATE TABLE gcat.dcr.dict_var (variant STRING, tok STRING)")
+      graft.queries.Engine3.dictFold(spark, "gcat.dcr",
+        state.toSeq.toDF("doc_id", "text"))
+      def rows(t: String): Set[(String, String)] =
+        spark.table(t).collect().map(r => (r.getString(0), r.getString(1))).toSet
+      assert(rows(s"$ns.dict_var") == rows("gcat.dcr.dict_var"),
+        s"round $round: compacted dict must equal the rebuild dict")
+    }
+  }
+
   test("a compaction that crashes after the decide point rolls FORWARD to the " +
       "compacted index; before it, the maintained index keeps serving") {
     setupGcat()

@@ -993,6 +993,94 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       "the post-requantize drain must not double-index the consumed interval")
   }
 
+  test("retrained requantize (conf-switched Lloyd) beats the frozen " +
+      "quantizer on post-drift recall") {
+    // the drift payoff REBUILD INDEX exists for: the corpus migrates
+    // from region A (the quantizer's training distribution) to region B
+    // (4 well-separated block clusters), incremental maintenance keeps
+    // encoding B against the FROZEN A-trained quantizer, and recall@3
+    // collapses; ann3Requantize with
+    // spark.graft.ann.requantize.retrain=true (ml.KMeans over the live
+    // corpus: 16 coarse centroids + per-subspace PQ codewords) restores
+    // it. Everything is deterministic — KMeans inits from the first k
+    // ids, no RNG.
+    val wh = gimWh // registers the gim catalog
+    val ns = "gim.rqr"
+    import spark.implicits._
+    def flatOf(rows: Seq[(Long, Seq[Double])]): org.apache.spark.sql.DataFrame =
+      rows.flatMap { case (i, e) =>
+        e.zipWithIndex.map { case (v, p) => (i, p, v) } }
+        .toDF("vec_id", "pos", "v")
+    def regionA(i: Long): Seq[Double] =
+      (0 until 64).map(p => ((i * 31 + p * 7) % 13 - 6).toDouble / 70)
+    def regionB(i: Long): Seq[Double] = {
+      val c = (i % 4).toInt // block cluster: dims [16c, 16c+16) run hot
+      (0 until 64).map(p =>
+        (if (p / 16 == c) 5.0 else 0.3) +
+          ((i * 13 + p * 3) % 7 - 3).toDouble / 50)
+    }
+    graft.queries.Engine2.ann3SeedFrom(spark, ns,
+      flatOf((0L until 20L).map(i => (i, regionA(i)))))
+    // drift interval: region A vanishes, region B (40 vectors) arrives;
+    // the maintainer folds it against the frozen quantizer
+    val v1 = graft.streaming.IndexMaintain.watermark(spark, s"$ns.ann3_meta")
+    spark.sql(s"DELETE FROM $ns.ann3_src WHERE vec_id < 20")
+    flatOf((0L until 40L).map(i => (i, regionB(i))))
+      .select(concat_ws(":", col("vec_id"), col("pos")).as("row_key"),
+        col("vec_id"), col("pos"), col("v"))
+      .writeTo(s"$ns.ann3_src").append()
+    val cat = spark.sessionState.catalogManager.catalog("gim")
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
+    val tbl = cat.loadTable(org.apache.spark.sql.connector.catalog.Identifier
+        .of(Array("rqr"), "ann3_src")).asInstanceOf[graft.sources.GraftTable]
+    def srcVersion(): Long = {
+      val dd = new org.apache.hadoop.fs.Path(s"$wh/rqr/ann3_src/data")
+      graft.sources.TableStats.liveVersion(
+        dd.getFileSystem(new org.apache.hadoop.conf.Configuration()), dd).get
+    }
+    val v2 = srcVersion()
+    graft.queries.Engine2.ann3FoldFeed(spark, ns,
+      graft.sources.Snapshots.changes(spark, tbl,
+        since = v1, end = Some(v2), hydrateMor = true), v2)
+    // exact truth: top-3 by squared L2 (annServe's own metric), self
+    // excluded, vid tie-break — driver math over the 40-vector corpus
+    val corpus = (0L until 40L).map(i => i -> regionB(i)).toMap
+    def truth(q: Long): Seq[Long] =
+      corpus.keys.filter(_ != q).toSeq
+        .map(v => (corpus(v).zip(corpus(q)).map { case (a, b) =>
+          (a - b) * (a - b) }.sum, v))
+        .sortBy(identity).take(3).map(_._2)
+    def served(): Map[Long, Seq[Long]] = {
+      val eAll = graft.queries.Engine2.annRegroup(
+        spark.table(s"$ns.ann3_src").select(col("vec_id"), col("pos"), col("v")))
+      val tombMax = graft.queries.Engine2.ann3TombMaxOpt(spark, ns)
+      graft.queries.Engine2.annServe(eAll,
+        graft.queries.Engine2.regroupCent(spark.table(s"$ns.ann3_cent")),
+        graft.queries.Engine2.regroupBook(spark.table(s"$ns.ann3_book")),
+        probed => graft.queries.Engine2.ann3Surviving(
+          spark.table(s"$ns.ann3_post")
+            .where(col("list_id").isin(probed: _*)), tombMax))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+        .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3)).toMap
+    }
+    def recall(s: Map[Long, Seq[Long]]): Double =
+      (0L until 3L).map(q =>
+        s.getOrElse(q, Nil).toSet.intersect(truth(q).toSet).size).sum / 9.0
+    val frozen = recall(served())
+    spark.conf.set("spark.graft.ann.requantize.retrain", "true")
+    try graft.queries.Engine2.ann3Requantize(spark, ns)
+    finally spark.conf.unset("spark.graft.ann.requantize.retrain")
+    val retrained = recall(served())
+    assert(retrained > frozen,
+      s"retrain must beat the frozen quantizer: frozen=$frozen retrained=$retrained")
+    assert(retrained >= 2.0 / 3,
+      s"retrained recall@3 must recover the clusters: $retrained")
+    // the swap consumed the interval: watermark at head, tombstones gone
+    assert(graft.streaming.IndexMaintain.watermark(spark, s"$ns.ann3_meta")
+      == srcVersion())
+    assert(spark.table(s"$ns.ann3_del").count() == 0)
+  }
+
   test("self-compacting maintenance: the onBatch debt policy keeps the tombstone " +
       "table bounded under churn, answers stay == rebuild") {
     // the loop the verdict asked for: IndexMaintain folds each interval,
