@@ -476,6 +476,67 @@ object Engine3 {
     s.sql(s"CREATE TABLE $ns.fts2_meta (indexed_version BIGINT)")
   }
 
+  /** The q184/q187 hybrid serve over the MAINTAINED indexes — sparse
+    * BM25 top-20 (IN-pruned + survival-filtered inside [[fts2Bm25]]),
+    * dense IVF-PQ ADC top-20 for query vector `qid` over the PROBED
+    * lists of the maintained ann3 postings (identity partition pruning,
+    * the same survival guard), RRF-fused in exact-integer nanos.
+    * O(terms' postings + probed lists) per serve; shared so the
+    * single-maintainer (q184) and dual-maintainer (q187) gates serve
+    * through ONE code path. */
+  private[graft] def hybridServe(s: SparkSession, fts: String, ann: String,
+      terms: Seq[String], qid: Long = 0L): DataFrame = {
+    val topk = udaf(graft.functions.TopKAgg(20),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[graft.functions.TopKIn]())
+    // sparse: maintained BM25 (survival-filtered inside fts2Bm25)
+    val sr = fts2Bm25(s, fts, terms)
+      .agg(topk(col("score_micro").cast("double"), col("doc_id")).as("top"))
+      .select(posexplode(col("top")))
+      .select((col("pos") + 1).cast("long").as("rank_s"),
+        col("col.id").as("doc_id"))
+    // dense: maintained IVF-PQ serve for query vector 0 — probe the
+    // top-2 frozen centroids, read ONLY those lists' partitions,
+    // survival-filter, ADC against the frozen codebooks
+    val centT = Engine2.regroupCent(s.table(s"$ann.ann3_cent"))
+    val bookT = Engine2.regroupBook(s.table(s"$ann.ann3_book"))
+    val q0 = Engine2.annRegroup(
+      s.table(s"$ann.ann3_src").where(col("vec_id") === qid)
+        .select(col("vec_id"), col("pos"), col("v")))
+      .select(col("e").as("qe"))
+    val probed = q0.crossJoin(broadcast(centT))
+      .withColumn("dot", expr(dotE.format("qe", "ce")))
+      .withColumn("qn2", expr(n2E.format("qe")))
+      .withColumn("cn2", expr(n2E.format("ce")))
+      .withColumn("cos", expr("dot / sqrt(qn2 * cn2)"))
+      .orderBy(desc("cos"), col("cid")).limit(2)
+      .select("cid").collect().map(r => Long.box(r.getLong(0))).toSeq
+    val tombMax = Engine2.ann3TombMaxOpt(s, ann)
+    val post = Engine2.ann3Surviving(
+      s.table(s"$ann.ann3_post").where(col("list_id").isin(probed: _*)),
+      tombMax)
+    val lut = q0.select(explode(expr("sequence(0, 7)")).as("j"), col("qe"))
+      .select(col("j"), expr("slice(qe, j * 8 + 1, 8)").as("sv"))
+      .join(broadcast(bookT), "j")
+      .withColumn("d", expr("quant_dist2(sv, cv, 1e9)"))
+      .select(col("j"), col("code"), col("d"))
+    val dr = post.filter(col("vid") =!= qid)
+      .join(broadcast(lut), Seq("j", "code"))
+      .groupBy(col("vid"))
+      .agg(sum(col("d")).as("adist"))
+      // top-20 nearest = TopKAgg on the NEGATED distance (exact
+      // integers in double; ties by vid ascending, as the oracle)
+      .agg(topk(-col("adist"), col("vid")).as("top"))
+      .select(posexplode(col("top")))
+      .select((col("pos") + 1).cast("long").as("rank_d"),
+        col("col.id").as("doc_id"))
+    sr.join(dr, Seq("doc_id"), "full_outer")
+      .withColumn("rrf_nano", expr(
+        "cast(round((coalesce(1.0 / (60 + cast(rank_s as double)), 0.0) + " +
+          "coalesce(1.0 / (60 + cast(rank_d as double)), 0.0)) * 1e9) as bigint)"))
+      .select(col("doc_id"), col("rank_s"), col("rank_d"), col("rrf_nano"))
+      .orderBy(desc("rrf_nano"), col("doc_id"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // ---- q161: persisted full-text index — build once, search many -------
@@ -1861,59 +1922,8 @@ object Engine3 {
     // coordinating with each other.
     QueryDef(
       "q184_hybrid_maintained",
-      (s, dir) => {
-        val fts = "gcat.hfts"
-        val ann = "gcat.hann"
-        val topk = udaf(graft.functions.TopKAgg(20),
-          org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[graft.functions.TopKIn]())
-        // sparse: maintained BM25 (survival-filtered inside fts2Bm25)
-        val sr = fts2Bm25(s, fts, Seq("join", "scan", "hash"))
-          .agg(topk(col("score_micro").cast("double"), col("doc_id")).as("top"))
-          .select(posexplode(col("top")))
-          .select((col("pos") + 1).cast("long").as("rank_s"),
-            col("col.id").as("doc_id"))
-        // dense: maintained IVF-PQ serve for query vector 0 — probe the
-        // top-2 frozen centroids, read ONLY those lists' partitions,
-        // survival-filter, ADC against the frozen codebooks
-        val centT = Engine2.regroupCent(s.table(s"$ann.ann3_cent"))
-        val bookT = Engine2.regroupBook(s.table(s"$ann.ann3_book"))
-        val q0 = Engine2.annRegroup(
-          s.table(s"$ann.ann3_src").where(col("vec_id") === 0)
-            .select(col("vec_id"), col("pos"), col("v")))
-          .select(col("e").as("qe"))
-        val probed = q0.crossJoin(broadcast(centT))
-          .withColumn("dot", expr(dotE.format("qe", "ce")))
-          .withColumn("qn2", expr(n2E.format("qe")))
-          .withColumn("cn2", expr(n2E.format("ce")))
-          .withColumn("cos", expr("dot / sqrt(qn2 * cn2)"))
-          .orderBy(desc("cos"), col("cid")).limit(2)
-          .select("cid").collect().map(r => Long.box(r.getLong(0))).toSeq
-        val tombMax = Engine2.ann3TombMaxOpt(s, ann)
-        val post = Engine2.ann3Surviving(
-          s.table(s"$ann.ann3_post").where(col("list_id").isin(probed: _*)),
-          tombMax)
-        val lut = q0.select(explode(expr("sequence(0, 7)")).as("j"), col("qe"))
-          .select(col("j"), expr("slice(qe, j * 8 + 1, 8)").as("sv"))
-          .join(broadcast(bookT), "j")
-          .withColumn("d", expr("quant_dist2(sv, cv, 1e9)"))
-          .select(col("j"), col("code"), col("d"))
-        val dr = post.filter(col("vid") =!= 0)
-          .join(broadcast(lut), Seq("j", "code"))
-          .groupBy(col("vid"))
-          .agg(sum(col("d")).as("adist"))
-          // top-20 nearest = TopKAgg on the NEGATED distance (exact
-          // integers in double; ties by vid ascending, as the oracle)
-          .agg(topk(-col("adist"), col("vid")).as("top"))
-          .select(posexplode(col("top")))
-          .select((col("pos") + 1).cast("long").as("rank_d"),
-            col("col.id").as("doc_id"))
-        sr.join(dr, Seq("doc_id"), "full_outer")
-          .withColumn("rrf_nano", expr(
-            "cast(round((coalesce(1.0 / (60 + cast(rank_s as double)), 0.0) + " +
-              "coalesce(1.0 / (60 + cast(rank_d as double)), 0.0)) * 1e9) as bigint)"))
-          .select(col("doc_id"), col("rank_s"), col("rank_d"), col("rrf_nano"))
-          .orderBy(desc("rrf_nano"), col("doc_id"))
-      },
+      (s, dir) =>
+        hybridServe(s, "gcat.hfts", "gcat.hann", Seq("join", "scan", "hash")),
       // both rankings replayed from the POST-MUTATION state: text from
       // the mutated corpus, ADC with the ORIGINAL frozen quantizer
       Some("""WITH corp AS (
@@ -2131,6 +2141,192 @@ object Engine3 {
         fts2FoldFeed(s, ns2, s"$ns2.fts2_src",
           graft.sources.Snapshots.changes(s, tbl, since = v1, end = Some(v2)),
           v1, v2)
+        ()
+      })),
+    // ---- q187: TWO index maintainers, ONE shared coordinator --------------
+    // q184 upgraded from manually-driven folds to the production
+    // topology: the FTS and ANN maintainers are two INDEPENDENT
+    // IndexMaintain loops draining their sources' interleaved commits
+    // CONCURRENTLY against one shared transaction coordinator (one
+    // warehouse = one coordinator — the deployment the recoverAgeMillis
+    // guard exists for: each maintainer's startup recover() must not
+    // roll back its live sibling's in-flight fold). Every fold carries
+    // the single-maintainer watermark precondition, so the gate also
+    // proves the checked-commit serialization under real contention.
+    // The serve is the SHARED hybridServe — the dual-maintained hybrid
+    // must answer exactly as if both indexes were rebuilt from scratch —
+    // and caught_up pins both watermarks at their sources' heads. At
+    // 100 TB this is the multi-index ingest topology: one coordinator
+    // per warehouse, one maintainer per index, no cross-maintainer
+    // orchestration beyond the commit-guard lock's metadata-sized
+    // serialization.
+    QueryDef(
+      "q187_dual_maintainers",
+      (s, dir) => {
+        ensureCatalog(s, dir)
+        val fts = "gcat.dfts"
+        val ann = "gcat.dann"
+        // guarded churn on BOTH sources (idempotent: a re-run's slices
+        // are already applied and mint no commits, so the drain below
+        // skips its streaming startup — the q174 discipline)
+        s.sql(s"DELETE FROM $fts.fts2_src WHERE doc_id % 7 = 3")
+        s.sql(
+          s"""UPDATE $fts.fts2_src SET text = concat(text, ' recrawled')
+             |WHERE doc_id % 7 = 5 AND text NOT LIKE '%recrawled'""".stripMargin)
+        s.sql(s"DELETE FROM $ann.ann3_src WHERE vec_id % 7 = 3")
+        s.sql(s"UPDATE $ann.ann3_src SET v = abs(v) WHERE vec_id % 7 = 5 AND v < 0")
+        def head(db: String, tbl: String): Long = {
+          val wh = s.conf.get("spark.sql.catalog.gcat.warehouse")
+          val dd = new org.apache.hadoop.fs.Path(s"$wh/$db/$tbl/data")
+          graft.sources.TableStats.liveVersion(
+            dd.getFileSystem(new org.apache.hadoop.conf.Configuration()), dd)
+            .getOrElse(0L)
+        }
+        val wmF = graft.streaming.IndexMaintain.watermark(s, s"$fts.fts2_meta")
+        val wmA = graft.streaming.IndexMaintain.watermark(s, s"$ann.ann3_meta")
+        if (head("dfts", "fts2_src") > wmF || head("dann", "ann3_src") > wmA) {
+          val coord = s.conf.get("spark.sql.catalog.gcat.warehouse")
+          def drainFts(): Unit = graft.streaming.IndexMaintain.start(
+            s, s"$fts.fts2_src", s"$fts.fts2_meta",
+            java.nio.file.Files.createTempDirectory("q187f").toString, coord,
+            foldAppend = (delta, v1, v2) =>
+              fts2Fold(s, fts, delta.select(col("doc_id"), col("text")), v2,
+                expect = Some(v1)),
+            foldFeed = (feed, v1, v2) =>
+              fts2FoldFeed(s, fts, s"$fts.fts2_src", feed, v1, v2,
+                expect = Some(v1))).awaitTermination()
+          def drainAnn(): Unit = graft.streaming.IndexMaintain.start(
+            s, s"$ann.ann3_src", s"$ann.ann3_meta",
+            java.nio.file.Files.createTempDirectory("q187a").toString, coord,
+            foldAppend = (delta, v1, v2) =>
+              Engine2.ann3FoldFeed(s, ann, delta, v2, expect = Some(v1)),
+            foldFeed = (feed, v1, v2) =>
+              Engine2.ann3FoldFeed(s, ann, feed, v2, expect = Some(v1)))
+            .awaitTermination()
+          val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+          val ts = Seq(
+            new Thread(() =>
+              try drainFts() catch { case e: Throwable => errs.add(e) }),
+            new Thread(() =>
+              try drainAnn() catch { case e: Throwable => errs.add(e) }))
+          ts.foreach(_.start()); ts.foreach(_.join(600000L))
+          if (!errs.isEmpty) throw errs.peek()
+        }
+        // caught_up: both watermarks at their sources' heads — a 1-row
+        // broadcast proof from the LIVE meta tables
+        val proof = s.table(s"$fts.fts2_meta")
+          .agg(max(col("indexed_version")).as("wf"))
+          .crossJoin(broadcast(s.table(s"$ann.ann3_meta")
+            .agg(max(col("indexed_version")).as("wa"))))
+          .select((col("wf") === lit(head("dfts", "fts2_src")) &&
+              col("wa") === lit(head("dann", "ann3_src")))
+            .cast("bigint").as("caught_up"))
+        hybridServe(s, fts, ann, Seq("join", "scan", "hash"))
+          .crossJoin(broadcast(proof))
+          .orderBy(desc("rrf_nano"), col("doc_id"))
+      },
+      // the q184 oracle (both rankings replayed from the post-mutation
+      // state) + the caught_up pin
+      Some("""WITH corp AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 7 = 5 THEN text || ' recrawled'
+                      ELSE text END AS text
+          FROM documents WHERE doc_id % 7 <> 3),
+        d AS (SELECT doc_id, string_split(text, ' ') AS sp FROM corp),
+        dd AS (SELECT doc_id, CAST(len(sp) AS BIGINT) AS dl, sp FROM d),
+        g AS (SELECT CAST(SUM(dl) AS DOUBLE) AS sl, CAST(COUNT(*) AS DOUBLE) AS nd FROM dd),
+        t AS (SELECT doc_id, dl, unnest(sp) AS tok FROM dd),
+        tf AS (SELECT doc_id, dl, tok, CAST(COUNT(*) AS DOUBLE) AS tf
+               FROM t WHERE tok IN ('join', 'scan', 'hash') GROUP BY doc_id, dl, tok),
+        dfx AS (SELECT tok, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY tok),
+        parts AS (
+          SELECT tf.doc_id,
+            round(((g.nd - dfx.df + 0.5) / (dfx.df + 0.5)) * tf.tf * 2.2 /
+              (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / (g.sl / g.nd))) * 1e6) AS part
+          FROM tf JOIN dfx USING (tok) CROSS JOIN g),
+        sr AS (
+          SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rank_s
+          FROM (SELECT doc_id, SUM(part) AS score FROM parts GROUP BY doc_id)
+          ORDER BY rank_s LIMIT 20),
+        corp_e AS (
+          SELECT vec_id,
+                 CASE WHEN vec_id % 7 = 5
+                      THEN list_transform(embedding, x -> abs(x))
+                      ELSE embedding END AS embedding
+          FROM embeddings WHERE vec_id % 7 <> 3),
+        cents AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 16),
+        norms AS (SELECT vec_id,
+                   list_sum(list_transform(embedding,
+                     x -> round(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) * 1e9))) AS n2
+                 FROM corp_e),
+        cnorms AS (SELECT vec_id,
+                   list_sum(list_transform(embedding,
+                     x -> round(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) * 1e9))) AS n2
+                 FROM cents),
+        ascore AS (
+          SELECT a.vec_id AS qid, c.vec_id AS vid,
+            list_sum(list_transform(range(1, len(a.embedding) + 1),
+              i -> round(CAST(a.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE) * 1e9)))
+              / sqrt(nq.n2 * nv.n2) AS cos
+          FROM corp_e a JOIN cents c ON TRUE
+          JOIN norms nq ON nq.vec_id = a.vec_id JOIN cnorms nv ON nv.vec_id = c.vec_id),
+        ranked AS (
+          SELECT qid, vid, cos,
+            ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vid) AS rn
+          FROM ascore),
+        assign AS (SELECT qid AS member, vid AS cid FROM ranked WHERE rn = 1),
+        probe AS (SELECT vid AS cid FROM ranked WHERE rn <= 2 AND qid = 0),
+        cand AS (
+          SELECT DISTINCT a.member AS vid
+          FROM probe p JOIN assign a ON a.cid = p.cid WHERE a.member <> 0),
+        subs AS (SELECT vec_id, j FROM corp_e, range(0, 8) r(j)),
+        dists AS (
+          SELECT s.vec_id, s.j, c.vec_id AS cw,
+            list_sum(list_transform(range(0, 8),
+              i -> round((CAST(a.embedding[s.j * 8 + i + 1] AS DOUBLE)
+                          - CAST(c.embedding[s.j * 8 + i + 1] AS DOUBLE))
+                         * (CAST(a.embedding[s.j * 8 + i + 1] AS DOUBLE)
+                            - CAST(c.embedding[s.j * 8 + i + 1] AS DOUBLE)) * 1e9))) AS dist
+          FROM subs s JOIN corp_e a ON a.vec_id = s.vec_id
+          JOIN cents c ON TRUE),
+        codes AS (
+          SELECT vec_id AS vid, j, cw AS code FROM (
+            SELECT vec_id, j, cw,
+              ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY dist, cw) AS rn
+            FROM dists) WHERE rn = 1),
+        lut AS (SELECT j, cw AS code, dist AS d FROM dists WHERE vec_id = 0),
+        adc AS (
+          SELECT cand.vid, SUM(l.d) AS adist
+          FROM cand JOIN codes c ON c.vid = cand.vid
+          JOIN lut l ON l.j = c.j AND l.code = c.code
+          GROUP BY cand.vid),
+        dr AS (
+          SELECT vid AS doc_id,
+            ROW_NUMBER() OVER (ORDER BY adist, vid) AS rank_d
+          FROM adc ORDER BY rank_d LIMIT 20)
+        SELECT COALESCE(sr.doc_id, dr.doc_id) AS doc_id, rank_s, rank_d,
+          CAST(round((COALESCE(1.0 / (60 + rank_s), 0.0) +
+                      COALESCE(1.0 / (60 + rank_d), 0.0)) * 1e9) AS BIGINT)
+            AS rrf_nano,
+          CAST(1 AS BIGINT) AS caught_up
+        FROM sr FULL OUTER JOIN dr ON sr.doc_id = dr.doc_id
+        ORDER BY rrf_nano DESC, doc_id"""),
+      // fixture: both indexes seeded WHOLE through the shared folds —
+      // the measured run owns the churn and the concurrent drains
+      setup = Some((s, dir) => {
+        ensureCatalog(s, dir)
+        Engine2.ann3Seed(s, "gcat.dann", dir)
+        val ns2 = "gcat.dfts"
+        s.sql("CREATE NAMESPACE IF NOT EXISTS gcat.dfts")
+        fts2Create(s, ns2, withRowKey = true)
+        s.read.parquet(s"$dir/documents.parquet")
+          .select(col("doc_id").cast("string").as("row_key"),
+            col("doc_id"), col("text"))
+          .writeTo(s"$ns2.fts2_src").append()
+        val v1 = fts2SrcVersion(s, ns2)
+        fts2Fold(s, ns2,
+          s.read.option("since-version", 0L).option("snapshot-version", v1)
+            .table(s"$ns2.fts2_src").select(col("doc_id"), col("text")), v1)
         ()
       }))
   )
