@@ -34,11 +34,33 @@ class ContractSpec extends AnyFunSuite {
     assert(names.map(Bench.shortKey).distinct.size == names.size)
     val setups = SparkEntry.allDefs.filter(_.setup.isDefined).map(_.name -> 999.999)
     val line = Bench.renderShortLine(names.map(_ -> 999.999), setups, Nil, "sf0.1",
-      shadow = Some(99999.999))
+      shadow = Some(99999.999), hot = Some(99999.999), hotN = Some(12),
+      retimed = Some(12))
     val n = line.getBytes("UTF-8").length
     assert(n <= Bench.MaxLineBytes, s"bench line is $n bytes > ${Bench.MaxLineBytes}")
     assert(line.startsWith("""{"metric":"total""""))
     assert(line.contains("\"shadow\":"), "shadow estimate must survive rendering")
+    assert(line.contains("\"hot\":") && line.contains("\"hot_n\":") &&
+      line.contains("\"retimed\":"),
+      "both shadow directions + the retime count must survive rendering")
+  }
+
+  test("bench history parse: the re-time baseline round-trips renderLine") {
+    // the outlier re-time reads last run's mins back from the bench's own
+    // full-precision output; the parse must survive every field the writer
+    // can emit (setup, failures, shadow/hot) and junk input
+    val line = Bench.renderLine(
+      Seq("q01_pricing_summary" -> 0.335211, "q187_dual_maintainers" -> 2.5),
+      Seq("q187_dual_maintainers" -> 10.5),
+      Seq("q99_broken" -> "IllegalStateException: \"queries\":{oops}"),
+      "/root/testdata/sf0.1", 6,
+      shadow = Some(0.0), hot = Some(1.5), hotN = Some(3), retimed = Some(2))
+    val h = Bench.parseHistory(line)
+    assert(h == Map("q01_pricing_summary" -> 0.335211,
+      "q187_dual_maintainers" -> 2.5),
+      s"history must be the queries map alone: $h")
+    assert(Bench.parseHistory("") == Map.empty[String, Double])
+    assert(Bench.parseHistory("not json at all") == Map.empty[String, Double])
   }
 
   test("headline value stays all-inclusive when the setup map is dropped") {
