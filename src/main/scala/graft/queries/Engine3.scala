@@ -2210,6 +2210,9 @@ object Engine3 {
             new Thread(() =>
               try drainAnn() catch { case e: Throwable => errs.add(e) }))
           ts.foreach(_.start()); ts.foreach(_.join(600000L))
+          if (ts.exists(_.isAlive)) throw new IllegalStateException(
+            "graft: q187 maintainer drain timed out — serving now would " +
+              "race the live fold")
           if (!errs.isEmpty) throw errs.peek()
         }
         // caught_up: both watermarks at their sources' heads — a 1-row

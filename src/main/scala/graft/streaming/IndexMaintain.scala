@@ -94,7 +94,25 @@ object IndexMaintain {
     *                   double-indexing (see the object scaladoc)
     * @param onBatch    (watermark, head, mutated) per non-empty batch —
     *                   route census for tests/monitoring; not called
-    *                   for an interval lost to a concurrent maintainer
+    *                   for an interval lost to a concurrent maintainer.
+    *                   The place for the debt policies
+    *                   (`dictCompactIfDebt` then `fts2CompactIfDebt` /
+    *                   `annCompactIfDebt` — dict first, it keys on the
+    *                   tombstones the index compaction clears)
+    * @param preFold    (change feed, watermark, head) — runs BEFORE the
+    *                   interval's fold, OUTSIDE its transaction, for
+    *                   every non-empty interval (both routes). For side
+    *                   state whose contract is fold-FIRST ordering: the
+    *                   fuzzy dictionary (`Engine3.dictFold` over the
+    *                   affected docs' head state) — a crash between
+    *                   preFold and fold leaves superset side state + an
+    *                   un-advanced watermark, so the interval re-runs
+    *                   whole; the reverse order would advance the
+    *                   watermark and lose the interval's side state
+    *                   forever. A lost-race interval re-runs preFold on
+    *                   the re-derived interval, so side-state folds
+    *                   must be idempotent-superset (the dict's
+    *                   anti-join shape)
     */
   def start(spark: SparkSession, source: String, metaTable: String,
       checkpoint: String, coordDir: String,
@@ -102,7 +120,8 @@ object IndexMaintain {
       foldFeed: (DataFrame, Long, Long) => Unit,
       trigger: Trigger = Trigger.AvailableNow(),
       recoverAgeMillis: Long = 3600L * 1000,
-      onBatch: (Long, Long, Boolean) => Unit = (_, _, _) => ()): StreamingQuery = {
+      onBatch: (Long, Long, Boolean) => Unit = (_, _, _) => (),
+      preFold: (DataFrame, Long, Long) => Unit = (_, _, _) => ()): StreamingQuery = {
 
     val parts = spark.sessionState.sqlParser.parseMultipartIdentifier(source)
     val (cat, id) = GraftViewBridge.resolveIdent(spark, parts).getOrElse(
@@ -138,6 +157,7 @@ object IndexMaintain {
             .collect().iterator.map(_.getString(0)).toSet
           val mutated = (kinds - "insert").nonEmpty
           try {
+            if (kinds.nonEmpty) preFold(feed, recorded, now)
             if (mutated) foldFeed(feed, recorded, now)
             else if (kinds.nonEmpty)
               foldAppend(spark.read.option("since-version", recorded)

@@ -1153,6 +1153,95 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("maintainer-owned dictionary: preFold dict + debt policies keep " +
+      "fuzzy serve == rebuild under churn with zero orchestration") {
+    // the full self-maintaining retrieval stack in ONE loop: the dict
+    // folds BEFORE each interval's index fold (preFold — the crash-safe
+    // order its contract requires), the index folds transactionally,
+    // and onBatch pays off BOTH debts (dict first: it keys on the
+    // tombstones the index compaction clears).
+    val wh = gimWh
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gim.md")
+    val ns = "gim.md"
+    graft.queries.Engine3.fts2Create(spark, ns, withRowKey = true)
+    spark.sql(s"CREATE TABLE $ns.dict_var (variant STRING, tok STRING)")
+    import spark.implicits._
+    val state = scala.collection.mutable.Map[Long, String]()
+    def txt(i: Long) = s"w${i}x shared common"
+    def append(rows: Seq[(Long, String)]): Unit = {
+      rows.toDF("doc_id", "text")
+        .select(col("doc_id").cast("string").as("row_key"),
+          col("doc_id"), col("text"))
+        .writeTo(s"$ns.fts2_src").append()
+      rows.foreach { case (i, t) => state(i) = t }
+    }
+    var dictCompactions = 0
+    def drain(): Unit = graft.streaming.IndexMaintain.start(
+      spark, s"$ns.fts2_src", s"$ns.fts2_meta",
+      Files.createTempDirectory("md_ckpt").toString, wh,
+      foldAppend = (delta, v1, v2) => graft.queries.Engine3.fts2Fold(
+        spark, ns, delta.select(col("doc_id"), col("text")), v2,
+        expect = Some(v1)),
+      foldFeed = (feed, v1, v2) => graft.queries.Engine3.fts2FoldFeed(
+        spark, ns, s"$ns.fts2_src", feed, v1, v2, expect = Some(v1)),
+      onBatch = (_, _, _) => {
+        if (graft.queries.Engine3.dictCompactIfDebt(spark, ns, frac = 0.001))
+          dictCompactions += 1
+        graft.queries.Engine3.fts2CompactIfDebt(spark, ns, frac = 0.001)
+        ()
+      },
+      preFold = (feed, _, v2) => {
+        val affected = feed.select(col("doc_id")).distinct()
+        graft.queries.Engine3.dictFold(spark, ns,
+          spark.read.option("snapshot-version", v2).table(s"$ns.fts2_src")
+            .join(affected, Seq("doc_id"), "left_semi")
+            .select(col("doc_id"), col("text")))
+      })
+      .awaitTermination()
+    def fuzzyOf(n: String): Seq[(String, Long, Long)] =
+      graft.queries.Engine3.fuzzyServe(spark, n, "w3x").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    def assertRebuild(round: String): Unit = {
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS gim.mdr")
+      graft.queries.Engine3.fts2Create(spark, "gim.mdr")
+      spark.sql("DROP TABLE IF EXISTS gim.mdr.dict_var")
+      spark.sql("CREATE TABLE gim.mdr.dict_var (variant STRING, tok STRING)")
+      state.toSeq.toDF("doc_id", "text").writeTo("gim.mdr.fts2_src").append()
+      graft.queries.Engine3.dictFold(spark, "gim.mdr",
+        spark.table("gim.mdr.fts2_src"))
+      graft.queries.Engine3.fts2Fold(spark, "gim.mdr",
+        spark.table("gim.mdr.fts2_src"),
+        graft.queries.Engine3.fts2SrcVersion(spark, "gim.mdr"))
+      assert(fuzzyOf(ns) == fuzzyOf("gim.mdr"),
+        s"$round: maintained fuzzy serve diverged from rebuild")
+    }
+    // seed arrives THROUGH the maintainer: preFold dict, then the fold
+    append((0L until 10L).map(i => (i, txt(i))))
+    drain()
+    assertRebuild("seed")
+    assert(spark.table(s"$ns.dict_var").where(col("tok") === "w3x").count() > 0,
+      "the seed drain must have dict-folded the new vocabulary")
+    var nextId = 100L
+    for (round <- 1 to 2) {
+      val victims = state.keys.toSeq.sorted.take(2)
+      victims.foreach { id =>
+        spark.sql(s"DELETE FROM $ns.fts2_src WHERE doc_id = $id"); state -= id
+      }
+      append(Seq((nextId, txt(nextId)))); nextId += 1
+      drain()
+      assert(dictCompactions == round,
+        s"round $round: the dict debt policy must fire inside the drain")
+      victims.foreach { id =>
+        assert(spark.table(s"$ns.dict_var").where(col("tok") === s"w${id}x")
+          .count() == 0,
+          s"round $round: dead vocabulary must be compacted out of the dict")
+      }
+      assert(spark.table(s"$ns.fts2_del").count() == 0,
+        s"round $round: the index debt policy must fire after the dict's")
+      assertRebuild(s"round $round")
+    }
+  }
+
   test("single-maintainer ENFORCED: a duplicate fold of the same interval " +
       "aborts whole, dual concurrent maintainers stay == rebuild") {
     // the contention the watermark precondition exists for: maintainer B
