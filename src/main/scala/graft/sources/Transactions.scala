@@ -245,7 +245,20 @@ object Transactions {
           // [[precondition]]): the lock parents at txnDir, so every
           // checked commit under one coordinator contends on one file
           val guard = new Path(txnDir(coordDir), "commit-guard")
-          TableStats.withLock(fsOf(guard), guard)(checkAndPublish())
+          TableStats.withLock(fsOf(guard), guard) {
+            // a sibling that DECIDED and died mid-publish is already
+            // committed but may be INVISIBLE to the checks (e.g. its
+            // watermark publish never landed) — without this, a
+            // duplicate fold would pass its precondition and the dead
+            // sibling's later roll-forward would double-index the
+            // interval. Converge decided transactions first, under the
+            // same lock: minAge = MaxValue makes this decided-ONLY
+            // (roll-forward is always safe; live undecided siblings are
+            // never touched), at the cost of one _txn listing per
+            // checked commit.
+            recover(spark, coordDir, minAgeMillis = Long.MaxValue)
+            checkAndPublish()
+          }
         }
       }
 

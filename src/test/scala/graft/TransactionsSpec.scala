@@ -359,6 +359,31 @@ class TransactionsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"feed must skip the aborted orphan and replay the insert only: $rows2")
   }
 
+  test("a checked commit converges a DECIDED sibling first: a dead " +
+      "mid-publish fold cannot be double-indexed past the precondition") {
+    // the single-maintainer hazard the commit guard alone cannot close:
+    // maintainer A's fold DECIDES (= committed) and dies before its
+    // watermark publish lands; maintainer B's duplicate fold then reads
+    // the stale watermark and would pass its precondition — unless the
+    // guarded commit rolls decided siblings forward first.
+    spark.sql("CREATE TABLE txc.t.cg (id BIGINT, s STRING)")
+    val sib = Transactions.begin(spark, warehouse)
+    sib.write("txc.t.cg", batch(0, 3))
+    sib.writeIntent(); sib.decide() // decided, then "died" before complete()
+    assert(count("cg") == 0, "precondition: nothing published yet")
+    intercept[graft.sources.Transactions.PreconditionFailed] {
+      Transactions.run(spark, warehouse) { txn =>
+        txn.precondition("cg still empty (the stale-watermark read)") {
+          spark.table("txc.t.cg").count() == 0
+        }
+        txn.write("txc.t.cg", batch(0, 3)) // the duplicate fold
+      }
+    }
+    assert(count("cg") == 3,
+      "the decided sibling must be rolled forward under the guard, " +
+        "and the duplicate must abort instead of doubling the rows")
+  }
+
   test("replace: mixing a replace with another write to the SAME table is refused") {
     intercept[IllegalArgumentException] {
       Transactions.run(spark, warehouse) { txn =>
