@@ -2419,9 +2419,13 @@ object Engine3 {
         s.table(s"$ns.fts2_post"), fts2TombMaxOpt(s, ns))
       .select(col("tok")).distinct()
     graft.sources.Transactions.run(s, coord) { txn =>
+      // distinct also RESTORES the one-row-per-(variant, term) invariant:
+      // two racing maintainers' preFold dictFolds can both pass the
+      // anti-join and double-append the same rows (serve-neutral — the
+      // candidate read distincts — but debt this rewrite should clear)
       txn.replace(s"$ns.dict_var",
         s.table(s"$ns.dict_var").join(liveToks, Seq("tok"), "left_semi")
-          .select(col("variant"), col("tok")))
+          .select(col("variant"), col("tok")).distinct())
     }
     true
   }

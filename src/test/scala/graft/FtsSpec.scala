@@ -684,6 +684,20 @@ class FtsSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(rows(s"$ns.dict_var") == rows("gcat.dcr.dict_var"),
         s"round $round: compacted dict must equal the rebuild dict")
     }
+    // racing maintainers can double-append the same (variant, tok) rows
+    // (both preFold dictFolds pass the anti-join); the serve distincts,
+    // and compaction must RESTORE the one-row invariant
+    import spark.implicits._
+    val dup = spark.table(s"$ns.dict_var").limit(1).collect().head
+    Seq((dup.getString(0), dup.getString(1))).toDF("variant", "tok")
+      .writeTo(s"$ns.dict_var").append()
+    val total = spark.table(s"$ns.dict_var").count()
+    assert(total == spark.table(s"$ns.dict_var").distinct().count() + 1,
+      "precondition: exactly one duplicated row")
+    assert(graft.queries.Engine3.dictCompact(spark, ns))
+    assert(spark.table(s"$ns.dict_var").count() ==
+      spark.table(s"$ns.dict_var").distinct().count(),
+      "compaction must restore one row per (variant, term)")
   }
 
   test("a compaction that crashes after the decide point rolls FORWARD to the " +
