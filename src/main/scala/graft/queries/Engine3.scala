@@ -2418,14 +2418,25 @@ object Engine3 {
     val liveToks = fts2Surviving(
         s.table(s"$ns.fts2_post"), fts2TombMaxOpt(s, ns))
       .select(col("tok")).distinct()
+    // shard from the BASE dict scan (an upper bound of the survivors —
+    // the fts2Compact discipline: post-join size estimates over-shard)
+    val shards = fts2ShardCount(s.table(s"$ns.dict_var"))
     graft.sources.Transactions.run(s, coord) { txn =>
       // distinct also RESTORES the one-row-per-(variant, term) invariant:
       // two racing maintainers' preFold dictFolds can both pass the
       // anti-join and double-append the same rows (serve-neutral — the
-      // candidate read distincts — but debt this rewrite should clear)
+      // candidate read distincts — but debt this rewrite should clear).
+      // Re-cluster by VARIANT (the q161 postings discipline applied to
+      // the dict's own lookup key): appends land unclustered, so before
+      // compaction a fuzzy lookup's variant IN-list scans every dict
+      // file — after it, the commit-time range registry disproves the
+      // IN-list per file and the point-join opens O(1) files at any
+      // vocabulary size.
       txn.replace(s"$ns.dict_var",
         s.table(s"$ns.dict_var").join(liveToks, Seq("tok"), "left_semi")
-          .select(col("variant"), col("tok")).distinct())
+          .select(col("variant"), col("tok")).distinct()
+          .repartitionByRange(shards, col("variant"))
+          .sortWithinPartitions(col("variant"), col("tok")))
     }
     true
   }
