@@ -2331,6 +2331,115 @@ object Engine3 {
           s.read.option("since-version", 0L).option("snapshot-version", v1)
             .table(s"$ns2.fts2_src").select(col("doc_id"), col("text")), v1)
         ()
+      })),
+
+    // ---- q188: maintainer-owned dictionary — the self-maintaining -------
+    // retrieval stack in ONE loop. q183 proved the dict disciplines
+    // (fold-first ordering, append-only serve, df from live postings);
+    // q174 proved the maintainer loop. q188 composes them the way
+    // production runs: IndexMaintain drives dict (preFold, BEFORE each
+    // interval's fold — the crash-safe order), index fold
+    // (transactional, watermark-preconditioned), and BOTH debt payoffs
+    // from onBatch (dict compaction first — it keys on the tombstones
+    // the index compaction clears; both fire here via a tiny debt
+    // fraction). The serve is the maintained fuzzy lookup; n_tomb = 0
+    // pins that the index debt was paid inside the drain, and
+    // dict_rows pins the compacted dict at EXACTLY the live
+    // vocabulary's deletion-neighborhood size (dead terms' variants
+    // gone, duplicates gone, nothing lost). At 100 TB: one streaming
+    // loop per index = ingest + side state + retrieval + maintenance
+    // with zero external orchestration.
+    QueryDef(
+      "q188_maintained_dict",
+      (s, dir) => {
+        ensureCatalog(s, dir)
+        val ns2 = "gcat.fts10"
+        // guarded churn (idempotent re-runs, the q174 discipline)
+        s.sql(s"DELETE FROM $ns2.fts2_src WHERE doc_id % 11 = 3")
+        s.sql(
+          s"""UPDATE $ns2.fts2_src SET text = concat(text, ' sowx')
+             |WHERE doc_id % 11 = 7 AND text NOT LIKE '%sowx'""".stripMargin)
+        val head = fts2SrcVersion(s, ns2)
+        val wm = graft.streaming.IndexMaintain.watermark(s, s"$ns2.fts2_meta")
+        if (head > wm) {
+          val ckpt = java.nio.file.Files.createTempDirectory("q188_ckpt").toString
+          graft.streaming.IndexMaintain.start(
+            s, s"$ns2.fts2_src", s"$ns2.fts2_meta", ckpt,
+            s.conf.get("spark.sql.catalog.gcat.warehouse"),
+            foldAppend = (delta, v1, v2) =>
+              fts2Fold(s, ns2, delta.select(col("doc_id"), col("text")), v2,
+                expect = Some(v1)),
+            foldFeed = (feed, v1, v2) =>
+              fts2FoldFeed(s, ns2, s"$ns2.fts2_src", feed, v1, v2,
+                expect = Some(v1)),
+            onBatch = (_, _, _) => {
+              dictCompactIfDebt(s, ns2, frac = 1e-9)
+              fts2CompactIfDebt(s, ns2, frac = 1e-9)
+              ()
+            },
+            preFold = (feed, _, v2) => {
+              val affected = feed.select(col("doc_id")).distinct()
+              dictFold(s, ns2,
+                s.read.option("snapshot-version", v2).table(s"$ns2.fts2_src")
+                  .join(affected, Seq("doc_id"), "left_semi")
+                  .select(col("doc_id"), col("text")))
+            })
+            .awaitTermination()
+        }
+        val tombs = s.table(s"$ns2.fts2_del")
+          .agg(count(lit(1)).cast("long").as("n_tomb"))
+        val dictRows = s.table(s"$ns2.dict_var")
+          .agg(count(lit(1)).cast("long").as("dict_rows"))
+        fuzzyServe(s, ns2, "sow")
+          .crossJoin(broadcast(tombs))
+          .crossJoin(broadcast(dictRows))
+          .orderBy(col("dist"), desc("df"), col("tok"))
+      },
+      // brute-force levenshtein over the post-churn LIVE corpus, plus
+      // the dict-size pin: distinct (variant, term) over the live
+      // vocabulary's deletion neighborhoods — the compacted dict must
+      // hold exactly that, no dead-term variants, no duplicates
+      Some("""WITH corp AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 11 = 7 THEN text || ' sowx'
+                      ELSE text END AS text
+          FROM documents WHERE doc_id % 11 <> 3),
+        d AS (SELECT doc_id, string_split(text, ' ') AS sp FROM corp),
+        t AS (SELECT doc_id, unnest(sp) AS tok FROM d),
+        dict AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df
+                 FROM (SELECT DISTINCT doc_id, tok FROM t) GROUP BY tok),
+        vt AS (SELECT DISTINCT tok FROM t),
+        vars AS (SELECT tok, unnest(list_distinct(list_concat(
+                   list_transform(range(1, len(tok) + 1),
+                     i -> substr(tok, 1, i - 1) || substr(tok, i + 1, len(tok))),
+                   [tok]))) AS variant
+                 FROM vt),
+        dr AS (SELECT CAST(COUNT(*) AS BIGINT) AS dict_rows
+               FROM (SELECT DISTINCT variant, tok FROM vars))
+        SELECT tok, CAST(levenshtein(tok, 'sow') AS BIGINT) AS dist, df,
+               CAST(0 AS BIGINT) AS n_tomb, dr.dict_rows
+        FROM dict CROSS JOIN dr WHERE levenshtein(tok, 'sow') <= 1
+        ORDER BY dist, df DESC, tok"""),
+      // fixture: corpus + dict seeded through the SHARED folds in the
+      // crash-safe order (dict first); the measured run owns the churn
+      // and the maintainer drain
+      setup = Some((s, dir) => {
+        ensureCatalog(s, dir)
+        val ns2 = "gcat.fts10"
+        s.sql("CREATE NAMESPACE IF NOT EXISTS gcat.fts10")
+        fts2Create(s, ns2, withRowKey = true)
+        s.sql(s"CREATE TABLE IF NOT EXISTS $ns2.dict_var (variant STRING, tok STRING)")
+        s.read.parquet(s"$dir/documents.parquet")
+          .select(col("doc_id").cast("string").as("row_key"),
+            col("doc_id"), col("text"))
+          .writeTo(s"$ns2.fts2_src").append()
+        val v1 = fts2SrcVersion(s, ns2)
+        val seed = s.read.option("since-version", 0L)
+          .option("snapshot-version", v1).table(s"$ns2.fts2_src")
+          .select(col("doc_id"), col("text"))
+        dictFold(s, ns2, seed)
+        fts2Fold(s, ns2, seed, v1)
+        ()
       }))
   )
 
