@@ -93,7 +93,8 @@ object Bench {
                  droppedSetupTotal: Double = 0.0,
                  shadow: Option[Double] = None,
                  hot: Option[Double] = None, hotN: Option[Int] = None,
-                 retimed: Option[Int] = None): String = {
+                 retimed: Option[Int] = None,
+                 retimedDetail: Seq[(String, Double, Double)] = Nil): String = {
     val qs = timings.map { case (k, v) => jstr(k) + ":" + fmt(v, decimals) }.mkString("{", ",", "}")
     val total = timings.map(_._2).sum + setups.map(_._2).sum + droppedSetupTotal
     val setupJson =
@@ -114,7 +115,15 @@ object Bench {
     val shadowJson = shadow.map(s => s""","shadow":${fmt(s, decimals)}""").getOrElse("") +
       hot.map(h => s""","hot":${fmt(h, decimals)}""").getOrElse("") +
       hotN.map(n => s""","hot_n":$n""").getOrElse("") +
-      retimed.map(n => s""","retimed":$n""").getOrElse("")
+      retimed.map(n => s""","retimed":$n""").getOrElse("") +
+      // full-precision file ONLY (never passed for the stdout line —
+      // the tail-window budget): [recorded min, end-of-pass re-run min]
+      // per re-time suspect, so the artifact shows which values used
+      // the extended protocol
+      (if (retimedDetail.isEmpty) ""
+       else ",\"retimed_queries\":" + retimedDetail.map { case (k, pre, post) =>
+         jstr(k) + s":[${fmt(pre, decimals)},${fmt(post, decimals)}]"
+       }.mkString("{", ",", "}"))
     s"""{"metric":"total","value":${fmt(total, decimals)},"unit":"sec","queries":$qs$setupJson$failJson$shadowJson,"sf":${jstr(sf)}}"""
   }
 
@@ -225,7 +234,17 @@ object Bench {
     val timings = scala.collection.mutable.LinkedHashMap[String, Double]()
     val setups = scala.collection.mutable.LinkedHashMap[String, Double]()
     val failures = scala.collection.mutable.LinkedHashMap[String, String]()
+    val isolated = sys.env.get("SPARK_GRAFT_ONLY")
+      .exists(_.split(',').exists(_.trim.nonEmpty))
+    // An isolated (SPARK_GRAFT_ONLY) run writes a SUBSET line — letting
+    // it land on the default path would silently destroy the full-run
+    // re-time baseline, so it diverts to a derived path. The history is
+    // still read from the full-run file (a subset file is not a
+    // baseline for anything). SPARK_GRAFT_BENCH_OUT overrides both.
     val outPath = java.nio.file.Paths.get(
+      sys.env.get("SPARK_GRAFT_BENCH_OUT").getOrElse(
+        if (isolated) "BENCH_LAST.only.json" else "BENCH_LAST.json"))
+    val historyPath = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LAST.json"))
     // Previous run's per-query mins, read back from this bench's own
     // full-precision output file BEFORE it is overwritten — the outlier
@@ -234,10 +253,10 @@ object Bench {
     // the first {...} group and holds full names).
     val history: Map[String, Double] =
       try {
-        if (!java.nio.file.Files.exists(outPath)) Map.empty
+        if (!java.nio.file.Files.exists(historyPath)) Map.empty
         else {
           val txt = new String(
-            java.nio.file.Files.readAllBytes(outPath), "UTF-8")
+            java.nio.file.Files.readAllBytes(historyPath), "UTF-8")
           // an output file from a DIFFERENT scale factor is not a
           // baseline: every query would read as a 10-100x outlier and
           // the re-time cap would burn on noise
@@ -298,6 +317,11 @@ object Bench {
       }
     }.sortBy(-_._3).take(12)
     var retimedCount = 0
+    // (name, recorded min, end-of-pass re-run min) for EVERY suspect —
+    // lands in BENCH_LAST.json as "retimed_queries" so the artifact
+    // itself shows which values used the extended protocol (and which
+    // suspects stayed slow), not just a count on stderr
+    val retimedDetail = scala.collection.mutable.ArrayBuffer[(String, Double, Double)]()
     for ((n, t, ratio) <- suspects) {
       val rerun = (1 to 3).flatMap { _ =>
         try {
@@ -309,6 +333,7 @@ object Bench {
       rerun.minOption.foreach { best =>
         System.err.println(f"BENCH RETIME $n%s: recorded $t%.3f " +
           f"($ratio%.1fx history ${history(n)}%.3f) re-run min $best%.3f")
+        retimedDetail += ((n, t, best))
         if (best < t) { timings(n) = best; retimedCount += 1 }
       }
     }
@@ -354,7 +379,8 @@ object Bench {
     // precision and the full sf path.
     try {
       val full = renderLine(timings.toSeq, setups.toSeq, failures.toSeq, sfDir, 6,
-        shadow = shadow, hot = hot, hotN = hotN, retimed = retimed)
+        shadow = shadow, hot = hot, hotN = hotN, retimed = retimed,
+        retimedDetail = retimedDetail.toSeq)
       java.nio.file.Files.write(outPath, (full + "\n").getBytes("UTF-8"))
     } catch { case e: Throwable => System.err.println(s"bench file write failed: $e") }
     spark.stop()

@@ -220,11 +220,16 @@ object Engine2 {
     * twin, [[Engine3.fts2TombMaxOpt]]): None when there are no
     * tombstones — the serve plans NO survival join; broadcast under the
     * shared ceiling; plain join above it. */
-  private[graft] def ann3TombMaxOpt(s: SparkSession, ns2: String): Option[DataFrame] = {
-    val (rows, bytes) = Engine3.registryStats(s, ns2, "ann3_del")
+  private[graft] def ann3TombMaxOpt(s: SparkSession, ns2: String): Option[DataFrame] =
+    ann3TombMaxOpt(s, ns2, Engine3.ServePin.live(s, ns2))
+
+  private[graft] def ann3TombMaxOpt(s: SparkSession, ns2: String,
+      pin: Engine3.ServePin): Option[DataFrame] = {
+    // sized AND read at the pin's cut (see Engine3.fts2TombMaxOpt)
+    val (rows, bytes) = pin.stats("ann3_del")
     if (rows == 0L) None
     else {
-      val agg = s.table(s"$ns2.ann3_del")
+      val agg = pin.table("ann3_del")
         .groupBy(col("vid")).agg(max(col("rev")).as("trev"))
       // ONE ceiling for both serves (Engine3 owns the conf key/default)
       Some(if (bytes <= Engine3.tombBroadcastBytes(s)) broadcast(agg) else agg)
@@ -1283,11 +1288,12 @@ object Engine2 {
         // serve q154-style over the MAINTAINED index: probed lists only,
         // survival-filtered against ONE registry-sized tombstone
         // aggregate (broadcast under the ceiling, plain join above it)
-        val tombMax = ann3TombMaxOpt(s, ns2)
+        val pin = Engine3.ServePin.of(s, ns2)
+        val tombMax = ann3TombMaxOpt(s, ns2, pin)
         annServe(emb(Tables(s, dir)), centT, bookT,
-          probed => ann3Surviving(s.table(s"$ns2.ann3_post")
+          probed => ann3Surviving(pin.table("ann3_post")
             .where(col("list_id").isin(probed: _*)), tombMax),
-          proof = Some(ann3Surviving(s.table(s"$ns2.ann3_post"), tombMax)
+          proof = Some(ann3Surviving(pin.table("ann3_post"), tombMax)
             .agg(count(lit(1)).cast("long").as("n_live"))))
       },
       // frozen quantizer (ORIGINAL first-16 vectors) over the
@@ -1318,15 +1324,19 @@ object Engine2 {
       (s, dir) => {
         val ns2 = "gcat.ann4"
         annCompact(s, ns2)
-        val centT = regroupCent(s.table(s"$ns2.ann3_cent"))
-        val bookT = regroupBook(s.table(s"$ns2.ann3_book"))
-        val tombMax = ann3TombMaxOpt(s, ns2) // None after compaction
-        val proof = ann3Surviving(s.table(s"$ns2.ann3_post"), tombMax)
+        // ONE pinned cut for the whole serve (quantizer, postings,
+        // tombstones): cent/book fall back to live reads until a
+        // requantize first publishes them through a transaction
+        val pin = Engine3.ServePin.of(s, ns2)
+        val centT = regroupCent(pin.table("ann3_cent"))
+        val bookT = regroupBook(pin.table("ann3_book"))
+        val tombMax = ann3TombMaxOpt(s, ns2, pin) // None after compaction
+        val proof = ann3Surviving(pin.table("ann3_post"), tombMax)
           .agg(count(lit(1)).cast("long").as("n_live"))
-          .crossJoin(broadcast(s.table(s"$ns2.ann3_del")
+          .crossJoin(broadcast(pin.table("ann3_del")
             .agg(count(lit(1)).cast("long").as("n_tomb"))))
         annServe(emb(Tables(s, dir)), centT, bookT,
-          probed => ann3Surviving(s.table(s"$ns2.ann3_post")
+          probed => ann3Surviving(pin.table("ann3_post")
             .where(col("list_id").isin(probed: _*)), tombMax),
           proof = Some(proof))
       },
@@ -1369,17 +1379,21 @@ object Engine2 {
       (s, dir) => {
         val ns2 = "gcat.ann5"
         ann3Requantize(s, ns2)
-        val centT = regroupCent(s.table(s"$ns2.ann3_cent"))
-        val bookT = regroupBook(s.table(s"$ns2.ann3_book"))
-        val tombMax = ann3TombMaxOpt(s, ns2) // None after the swap
-        val proof = ann3Surviving(s.table(s"$ns2.ann3_post"), tombMax)
+        // pinned cut INCLUDING the quantizer: the requantize swap
+        // publishes cent/book/post/del in one transaction, so a serve
+        // racing it must read all four at one boundary
+        val pin = Engine3.ServePin.of(s, ns2)
+        val centT = regroupCent(pin.table("ann3_cent"))
+        val bookT = regroupBook(pin.table("ann3_book"))
+        val tombMax = ann3TombMaxOpt(s, ns2, pin) // None after the swap
+        val proof = ann3Surviving(pin.table("ann3_post"), tombMax)
           .agg(count(lit(1)).cast("long").as("n_live"))
-          .crossJoin(broadcast(s.table(s"$ns2.ann3_del")
+          .crossJoin(broadcast(pin.table("ann3_del")
             .agg(count(lit(1)).cast("long").as("n_tomb"))))
           .crossJoin(broadcast(centT
             .agg(count(lit(1)).cast("long").as("n_cent"))))
         annServe(emb(Tables(s, dir)), centT, bookT,
-          probed => ann3Surviving(s.table(s"$ns2.ann3_post")
+          probed => ann3Surviving(pin.table("ann3_post")
             .where(col("list_id").isin(probed: _*)), tombMax),
           proof = Some(proof))
       },

@@ -128,6 +128,101 @@ object Engine3 {
       data.valuesIterator.map(e => math.max(e.bytes, 0L)).sum)
   }
 
+  /** Like [[registryStats]] but AT a pinned snapshot version: sums the
+    * manifest the table had at `version` (None = live head). What sizes
+    * a PINNED serve's tombstone guard — the live registry may already
+    * say "zero tombstones" (a compaction just published) while the
+    * pinned version still has them; sizing from the wrong side would
+    * skip the survival join the pinned read needs. */
+  private[graft] def registryStatsAt(s: SparkSession, ns: String,
+      table: String, version: Option[Long]): (Long, Long) = version match {
+    case None => registryStats(s, ns, table)
+    case Some(v) =>
+      val Array(cat, db) = ns.split('.')
+      val wh = s.conf.get(s"spark.sql.catalog.$cat.warehouse")
+      val dd = new org.apache.hadoop.fs.Path(s"$wh/$db/$table/data")
+      val fs = dd.getFileSystem(new org.apache.hadoop.conf.Configuration())
+      val m = graft.sources.Snapshots.readManifest(fs, dd, Some(v), None)
+        .getOrElse(Map.empty[String, graft.sources.TableStats.Entry])
+      val data = m.view.filterKeys(!graft.sources.GraftDeletes.isDeleteRel(_))
+      (data.valuesIterator.map(_.rows).sum,
+        data.valuesIterator.map(e => math.max(e.bytes, 0L)).sum)
+  }
+
+  /** One CONSISTENT cross-table cut for a maintained-index serve.
+    *
+    * Every maintained-index serve used to read its tables LIVE —
+    * correct whenever the gates drain maintenance before serving, but
+    * q187 made serve-under-maintenance the production topology, and a
+    * live serve racing a fold's publish can plan `fts2_post` at rev
+    * v+1 against tombstones still at rev v: postings without the
+    * tombstones that kill their predecessors, transiently doubled
+    * scores. The folds commit all tables atomically
+    * ([[graft.sources.Transactions]]), so the fix is read-side: resolve
+    * ONE version set per serve and pin every index table to it.
+    *
+    * The set comes from the coordinator's cross-table HEAD
+    * ([[graft.sources.Transactions.headVersions]]), which advances only
+    * after a transaction's every participant is live — so a serve sees
+    * either none or all of any fold's writes ("pre-fold or post-fold,
+    * never a third answer"). Resolution per serve is one small file
+    * read; per pinned table, one registry head read (the staleness
+    * probe below) — all metadata-sized, no data I/O.
+    *
+    * Fallback rules, both LIVE reads:
+    *  - a table with no head entry was never published through a
+    *    transaction under this coordinator (a direct-write seed, the
+    *    dictionary's out-of-txn appends, the source table) — nothing to
+    *    pin against;
+    *  - a head entry ABOVE the table's live head is STALE: the table
+    *    was dropped and recreated since (fixtures) — pinning would
+    *    resolve a version the new table never had. A mid-publish racer
+    *    can only make head TRAIL live, never exceed it, so the probe
+    *    never un-pins a consistent cut. */
+  private[graft] final class ServePin(s: SparkSession, ns: String,
+      head: Map[String, Long]) {
+    def table(name: String): DataFrame = version(name) match {
+      case Some(v) =>
+        s.read.option("snapshot-version", v).table(s"$ns.$name")
+      case None => s.table(s"$ns.$name")
+    }
+    def stats(name: String): (Long, Long) =
+      registryStatsAt(s, ns, name, version(name))
+    private[queries] def version(name: String): Option[Long] =
+      if (head.isEmpty) None
+      else {
+        // resolve the dir EXACTLY like Transactions.Txn does (catalog
+        // loadTable), so the head map's keys match byte-for-byte
+        val ident = s.sessionState.sqlParser
+          .parseMultipartIdentifier(s"$ns.$name")
+        graft.sources.GraftViewBridge.resolveIdent(s, ident).flatMap {
+          case (cat, tid) =>
+            val dir = cat.loadTable(tid)
+              .asInstanceOf[graft.sources.GraftTable].tableDir
+            head.get(dir).filter { hv =>
+              val dd = new org.apache.hadoop.fs.Path(dir, "data")
+              graft.sources.TableStats.liveVersion(
+                dd.getFileSystem(new org.apache.hadoop.conf.Configuration()), dd)
+                .exists(hv <= _)
+            }
+        }
+      }
+  }
+
+  private[graft] object ServePin {
+    /** The pinned cut for serving `ns`'s maintained index — resolves
+      * the coordinator HEAD once; every [[ServePin.table]] read off one
+      * instance is the same consistent version set. */
+    def of(s: SparkSession, ns: String): ServePin =
+      new ServePin(s, ns, graft.sources.Transactions.headVersions(
+        s.conf.get(s"spark.sql.catalog.${ns.split('.')(0)}.warehouse")))
+    /** All-live reads — the MAINTAINER'S OWN side (folds, compactions):
+      * a writer must see current state, and it already serializes
+      * against its siblings via the checked-commit guard. */
+    def live(s: SparkSession, ns: String): ServePin =
+      new ServePin(s, ns, Map.empty)
+  }
+
   /** Token-range shard count for one index write, derived from the
     * batch's PLANNED input size (the optimizer's sizeInBytes — file
     * bytes for table/parquet reads, row estimates for in-memory data;
@@ -391,11 +486,18 @@ object Engine3 {
     * join — Spark picks a shuffle strategy — instead of broadcasting an
     * unbounded aggregate through the driver. [[fts2Compact]] is what
     * returns the index to the None tier. */
-  private[graft] def fts2TombMaxOpt(s: SparkSession, ns: String): Option[DataFrame] = {
-    val (rows, bytes) = registryStats(s, ns, "fts2_del")
+  private[graft] def fts2TombMaxOpt(s: SparkSession, ns: String): Option[DataFrame] =
+    fts2TombMaxOpt(s, ns, ServePin.live(s, ns))
+
+  private[graft] def fts2TombMaxOpt(s: SparkSession, ns: String,
+      pin: ServePin): Option[DataFrame] = {
+    // sized AND read at the pin's version: the live registry may
+    // already be compacted-clean while the pinned cut still carries
+    // tombstones (and vice versa)
+    val (rows, bytes) = pin.stats("fts2_del")
     if (rows == 0L) None
     else {
-      val agg = s.table(s"$ns.fts2_del")
+      val agg = pin.table("fts2_del")
         .groupBy(col("doc_id")).agg(max(col("rev")).as("trev"))
       Some(if (bytes <= tombBroadcastBytes(s)) broadcast(agg) else agg)
     }
@@ -416,16 +518,18 @@ object Engine3 {
     * postings, corpus constants summed over the additive (± rows) log.
     * The serve shape q170 and q171 share. */
   private[graft] def fts2Bm25(s: SparkSession, ns: String,
-      terms: Seq[String]): DataFrame =
-    fts2Bm25At(s, ns, terms, fts2TombMaxOpt(s, ns))
+      terms: Seq[String]): DataFrame = {
+    val pin = ServePin.of(s, ns)
+    fts2Bm25At(s, ns, terms, fts2TombMaxOpt(s, ns, pin), pin)
+  }
 
-  private def fts2Bm25At(s: SparkSession, ns: String, terms: Seq[String],
-      tombMax: Option[DataFrame]): DataFrame = {
+  private[graft] def fts2Bm25At(s: SparkSession, ns: String, terms: Seq[String],
+      tombMax: Option[DataFrame], pin: ServePin): DataFrame = {
     val post = fts2Surviving(
-      s.table(s"$ns.fts2_post").where(col("tok").isin(terms: _*)), tombMax)
+      pin.table("fts2_post").where(col("tok").isin(terms: _*)), tombMax)
     val dfx = post.groupBy(col("tok"))
       .agg(count(lit(1)).cast("double").as("df"))
-    val glob = s.table(s"$ns.fts2_glob")
+    val glob = pin.table("fts2_glob")
       .agg(sum(col("sl")).cast("double").as("sl"),
         sum(col("nd")).cast("double").as("nd"))
     post.join(broadcast(dfx), "tok")
@@ -441,18 +545,21 @@ object Engine3 {
     * and ONE constants fold. */
   private def fts2ServeAll(s: SparkSession, ns: String, terms: Seq[String],
       first: String, second: String): DataFrame = {
-    val tombMax = fts2TombMaxOpt(s, ns)
-    val top = fts2Bm25At(s, ns, terms, tombMax)
+    // ONE pinned cut for the whole serve: postings, positions,
+    // constants, and tombstones all resolve at the same fold boundary
+    val pin = ServePin.of(s, ns)
+    val tombMax = fts2TombMaxOpt(s, ns, pin)
+    val top = fts2Bm25At(s, ns, terms, tombMax, pin)
       .orderBy(desc("score_micro"), col("doc_id"))
       .limit(20)
-    val posT = s.table(s"$ns.fts2_pos")
+    val posT = pin.table("fts2_pos")
     val a = fts2Surviving(posT.where(col("tok") === first), tombMax)
       .select(col("doc_id"), col("pos"))
     val b = fts2Surviving(posT.where(col("tok") === second), tombMax)
       .select(col("doc_id"), (col("pos") - 1).as("pos"))
     val nPhrase = a.join(b, Seq("doc_id", "pos"))
       .agg(count(lit(1)).cast("long").as("n_phrase"))
-    val consts = s.table(s"$ns.fts2_glob")
+    val consts = pin.table("fts2_glob")
       .agg(sum(col("nd")).cast("long").as("nd"),
         sum(col("sl")).cast("long").as("sl"))
     top.crossJoin(broadcast(consts))
@@ -496,9 +603,14 @@ object Engine3 {
         col("col.id").as("doc_id"))
     // dense: maintained IVF-PQ serve for query vector 0 — probe the
     // top-2 frozen centroids, read ONLY those lists' partitions,
-    // survival-filter, ADC against the frozen codebooks
-    val centT = Engine2.regroupCent(s.table(s"$ann.ann3_cent"))
-    val bookT = Engine2.regroupBook(s.table(s"$ann.ann3_book"))
+    // survival-filter, ADC against the frozen codebooks. One pinned cut
+    // for the dense index too (its own namespace, same coordinator):
+    // quantizer, postings, and tombstones resolve at one fold boundary.
+    // ann3_src (the ingest source, not an index table) stays live — a
+    // query-vector lookup, never torn.
+    val annPin = ServePin.of(s, ann)
+    val centT = Engine2.regroupCent(annPin.table("ann3_cent"))
+    val bookT = Engine2.regroupBook(annPin.table("ann3_book"))
     val q0 = Engine2.annRegroup(
       s.table(s"$ann.ann3_src").where(col("vec_id") === qid)
         .select(col("vec_id"), col("pos"), col("v")))
@@ -510,9 +622,9 @@ object Engine3 {
       .withColumn("cos", expr("dot / sqrt(qn2 * cn2)"))
       .orderBy(desc("cos"), col("cid")).limit(2)
       .select("cid").collect().map(r => Long.box(r.getLong(0))).toSeq
-    val tombMax = Engine2.ann3TombMaxOpt(s, ann)
+    val tombMax = Engine2.ann3TombMaxOpt(s, ann, annPin)
     val post = Engine2.ann3Surviving(
-      s.table(s"$ann.ann3_post").where(col("list_id").isin(probed: _*)),
+      annPin.table("ann3_post").where(col("list_id").isin(probed: _*)),
       tombMax)
     val lut = q0.select(explode(expr("sequence(0, 7)")).as("j"), col("qe"))
       .select(col("j"), expr("slice(qe, j * 8 + 1, 8)").as("sv"))
@@ -2576,15 +2688,22 @@ object Engine3 {
   private[graft] def fuzzyServe(s: SparkSession, ns: String, query: String): DataFrame = {
     val qVariants = (query +: query.indices.map(i =>
       query.substring(0, i) + query.substring(i + 1))).distinct
+    // the dictionary stays a LIVE read, deliberately: dictFold appends
+    // OUTSIDE the fold transactions (fold-first crash ordering), so the
+    // coordinator HEAD cannot speak for dict_var — and it doesn't need
+    // to: the dict is append-only superset candidate state, every
+    // candidate is verified against the PINNED postings below (df = 0
+    // drops), and dictCompact's swap is a single-table atomic replace
     val cands = s.table(s"$ns.dict_var")
       .where(col("variant").isin(qVariants: _*))
       .select(col("tok")).distinct()
       .withColumn("dist", levenshtein(col("tok"), lit(query)))
       .where(col("dist") <= 1)
       .collect().map(r => (r.getString(0), r.getInt(1)))
-    val tombMax = fts2TombMaxOpt(s, ns)
+    val pin = ServePin.of(s, ns)
+    val tombMax = fts2TombMaxOpt(s, ns, pin)
     val live = fts2Surviving(
-      s.table(s"$ns.fts2_post")
+      pin.table("fts2_post")
         .where(col("tok").isin(cands.map(_._1): _*)), tombMax)
     import s.implicits._
     live.groupBy(col("tok"))

@@ -670,6 +670,12 @@ object GraftTable {
   * the table keep the cache valid. */
 object TableStats {
   val FileName = "_stats.tsv"
+  /** Thrown by [[withLock]] when the 30 s acquisition deadline passes —
+    * a distinct type so callers for whom "the lock is busy" is benign
+    * backpressure (a checked commit contending on the coordinator's
+    * commit guard) can retry, while every other commit-path failure
+    * stays fatal. */
+  final class LockTimeout(msg: String) extends IllegalStateException(msg)
   /** Registry (side-file) reads. Diagnostics only — lets tests assert a
     * query plans with a bounded number of registry reads regardless of
     * the table's file count. */
@@ -1069,7 +1075,7 @@ object TableStats {
           }
         } catch { case _: java.io.FileNotFoundException => () }
         if (System.nanoTime() > deadline)
-          throw new IllegalStateException(
+          throw new TableStats.LockTimeout(
             s"graft: could not acquire $lock within 30s")
         Thread.sleep(50)
       }

@@ -208,6 +208,12 @@ object Transactions {
       // idempotent. Kept after completion (O(participants) bytes,
       // expired by [[recover]]'s record TTL).
       writeVersionsRecord(coordDir, id, versions)
+      // fold this transaction's landing versions into the coordinator's
+      // cross-table HEAD (what serves pin to) — after every participant
+      // is live, before the markers drop; a crash in between re-drives
+      // through recover(), which merges the same versions (idempotent:
+      // per-dir max)
+      mergeHead(coordDir, versions)
       val fs = fsOf(txnDir(coordDir))
       fs.delete(new Path(txnDir(coordDir), s"$id.commit"), false)
       fs.delete(new Path(txnDir(coordDir), s"$id.intent"), false)
@@ -243,9 +249,20 @@ object Transactions {
         else {
           // serialize checked commits through the coordinator (see
           // [[precondition]]): the lock parents at txnDir, so every
-          // checked commit under one coordinator contends on one file
+          // checked commit under one coordinator contends on one file.
+          // An acquisition TIMEOUT here is backpressure, not failure —
+          // nothing has been decided yet (stages are durable and still
+          // invisible), so retry a bounded number of times before
+          // propagating; without the retry a maintainer's fold fails
+          // hard (stream error) just because a sibling held the guard
+          // through a slow publish. Mutual exclusion itself rests on
+          // withLock's 60 s stale-expiry + 15 s heartbeat: only a
+          // holder whose WHOLE PROCESS stalls > 60 s (heartbeat thread
+          // included) can be wrongly expired — the same assumption
+          // every table commit already makes.
           val guard = new Path(txnDir(coordDir), "commit-guard")
-          TableStats.withLock(fsOf(guard), guard) {
+          def guarded(attempt: Int): Unit =
+            try TableStats.withLock(fsOf(guard), guard) {
             // a sibling that DECIDED and died mid-publish is already
             // committed but may be INVISIBLE to the checks (e.g. its
             // watermark publish never landed) — without this, a
@@ -258,7 +275,13 @@ object Transactions {
             // checked commit.
             recover(spark, coordDir, minAgeMillis = Long.MaxValue)
             checkAndPublish()
+          } catch {
+            case e: TableStats.LockTimeout if attempt < 3 =>
+              System.err.println(s"graft: txn $id commit guard busy " +
+                s"(attempt $attempt): ${e.getMessage}; retrying")
+              guarded(attempt + 1)
           }
+          guarded(1)
         }
       }
 
@@ -296,6 +319,70 @@ object Transactions {
     * `_wap`), the record is skipped entirely — readers then keep the
     * pre-transaction all-old view; a partial record would misreport the
     * missing table as "not a participant". */
+  /** The coordinator's cross-table version HEAD: `_txn/versions.head`,
+    * one `tableDir\tversion` line per table ever published through a
+    * transaction under this coordinator, each at the LAST version a
+    * FULLY-completed transaction landed it at. This is what a
+    * maintained-index SERVE pins to: because the merge happens only
+    * after a transaction's every participant is live (and writes the
+    * whole participant set in one atomic rename), a reader resolving
+    * all its tables from ONE head read sees either none or all of any
+    * transaction's writes — never postings at rev v+1 against
+    * tombstones at rev v, the torn view a live read racing a
+    * mid-complete publish can observe.
+    *
+    * Consistency relies on writers of a SHARED table set being
+    * serialized (the checked-commit guard / single-maintainer
+    * enforcement — exactly the production index topology); concurrent
+    * transactions over disjoint table sets merge commutatively. The
+    * merge runs under its own `head-guard` lock so concurrent
+    * disjoint-set completes cannot lose each other's entries, and is
+    * skipped whole when any participant's landing version is
+    * unknowable (same all-or-nothing rule as the per-txn record — a
+    * partial merge would itself be a torn cut). O(tables under the
+    * coordinator) bytes; read is one small file. */
+  def headVersions(coordDir: String): Map[String, Long] = {
+    val p = new Path(txnDir(coordDir), "versions.head")
+    val fs = fsOf(p)
+    if (!fs.exists(p)) Map.empty
+    else {
+      val in = fs.open(p)
+      val text = try new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+      text.split('\n').toSeq.filter(_.nonEmpty).flatMap { line =>
+        val i = line.lastIndexOf('\t')
+        if (i <= 0) None
+        else line.substring(i + 1).toLongOption.map(line.substring(0, i) -> _)
+      }.toMap
+    }
+  }
+
+  private def mergeHead(coordDir: String, versions: Seq[(String, Option[Long])]): Unit =
+    if (versions.nonEmpty && versions.forall(_._2.isDefined)) {
+      val d = txnDir(coordDir)
+      val fs = fsOf(d)
+      // withLock locks at the ARGUMENT'S PARENT (.stats.lock sibling);
+      // the head guard must parent under its own subdir or it would
+      // collide with the commit guard's `_txn/.stats.lock` — and the
+      // checked-commit path holds THAT lock while completing (deadlock)
+      val guard = new Path(d, "head/guard")
+      TableStats.withLock(fs, guard) {
+        val merged = (headVersions(coordDir).toSeq ++
+          versions.collect { case (dir, Some(v)) => (dir, v) })
+          .groupBy(_._1).view.mapValues(_.map(_._2).max).toSeq.sortBy(_._1)
+        val tmp = new Path(d, s".versions.head.tmp-${java.util.UUID.randomUUID()}")
+        val out = fs.create(tmp, true)
+        try out.write(merged.map { case (dir, v) => s"$dir\t$v" }
+          .mkString("", "\n", "\n")
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        finally out.close()
+        val fc = org.apache.hadoop.fs.FileContext.getFileContext(fs.getUri, fs.getConf)
+        fc.rename(fc.makeQualified(tmp),
+          fc.makeQualified(new Path(d, "versions.head")),
+          org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+      }
+    }
+
   private def writeVersionsRecord(coordDir: String, id: String,
       versions: Seq[(String, Option[Long])]): Unit =
     if (versions.exists(_._2.isEmpty)) {
@@ -442,6 +529,7 @@ object Transactions {
       val versions = participants(id).map { case (dir, wap) =>
         dir -> publishIfStaged(dir, wap) }
       writeVersionsRecord(coordDir, id, versions)
+      mergeHead(coordDir, versions)
       fs.delete(new Path(d, s"$id.commit"), false)
       fs.delete(intentPath, false)
     }

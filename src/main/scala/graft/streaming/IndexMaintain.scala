@@ -156,38 +156,46 @@ object IndexMaintain {
           val kinds = feed.groupBy(col(ChangeLog.TypeCol)).count()
             .collect().iterator.map(_.getString(0)).toSet
           val mutated = (kinds - "insert").nonEmpty
-          try {
-            if (kinds.nonEmpty) preFold(feed, recorded, now)
-            if (mutated) foldFeed(feed, recorded, now)
-            else if (kinds.nonEmpty)
-              foldAppend(spark.read.option("since-version", recorded)
-                .option("snapshot-version", now).table(source), recorded, now)
-            else {
-              import spark.implicits._
-              Transactions.run(spark, coordDir) { txn =>
-                // even the data-free advance is guarded, so ALL meta
-                // appends under dual maintainers serialize through the
-                // same check — one watermark row per interval, never an
-                // interleaved double-advance
-                txn.precondition(
-                  s"$metaTable watermark == $recorded (single-maintainer)") {
-                  watermark(spark, metaTable) == recorded
+          // the catch is scoped to the preFold/fold/advance sequence
+          // ONLY: a PreconditionFailed escaping onBatch below (e.g. a
+          // future checked compaction hook) must not be mislogged as a
+          // lost interval — by then the fold committed and the
+          // watermark advanced
+          val won =
+            try {
+              if (kinds.nonEmpty) preFold(feed, recorded, now)
+              if (mutated) foldFeed(feed, recorded, now)
+              else if (kinds.nonEmpty)
+                foldAppend(spark.read.option("since-version", recorded)
+                  .option("snapshot-version", now).table(source), recorded, now)
+              else {
+                import spark.implicits._
+                Transactions.run(spark, coordDir) { txn =>
+                  // even the data-free advance is guarded, so ALL meta
+                  // appends under dual maintainers serialize through the
+                  // same check — one watermark row per interval, never an
+                  // interleaved double-advance
+                  txn.precondition(
+                    s"$metaTable watermark == $recorded (single-maintainer)") {
+                    watermark(spark, metaTable) == recorded
+                  }
+                  txn.write(metaTable, Seq(now).toDF("indexed_version"))
                 }
-                txn.write(metaTable, Seq(now).toDF("indexed_version"))
               }
+              true
+            } catch {
+              case e: Transactions.PreconditionFailed =>
+                // a concurrent maintainer folded (recorded, x] first; OUR
+                // fold rolled back whole. Skipping is safe: the interval's
+                // rows are indexed (by the winner), and the next batch
+                // re-derives its interval from the advanced watermark.
+                System.err.println(
+                  s"graft: IndexMaintain on $metaTable lost interval " +
+                    s"($recorded, $now] to a concurrent maintainer — " +
+                    s"skipped (${e.getMessage})")
+                false
             }
-            onBatch(recorded, now, mutated)
-          } catch {
-            case e: Transactions.PreconditionFailed =>
-              // a concurrent maintainer folded (recorded, x] first; OUR
-              // fold rolled back whole. Skipping is safe: the interval's
-              // rows are indexed (by the winner), and the next batch
-              // re-derives its interval from the advanced watermark.
-              System.err.println(
-                s"graft: IndexMaintain on $metaTable lost interval " +
-                  s"($recorded, $now] to a concurrent maintainer — " +
-                  s"skipped (${e.getMessage})")
-          }
+          if (won) onBatch(recorded, now, mutated)
         }
       }
       .option("checkpointLocation", checkpoint)

@@ -54,7 +54,12 @@ class ContractSpec extends AnyFunSuite {
       Seq("q187_dual_maintainers" -> 10.5),
       Seq("q99_broken" -> "IllegalStateException: \"queries\":{oops}"),
       "/root/testdata/sf0.1", 6,
-      shadow = Some(0.0), hot = Some(1.5), hotN = Some(3), retimed = Some(2))
+      shadow = Some(0.0), hot = Some(1.5), hotN = Some(3), retimed = Some(2),
+      retimedDetail = Seq(("q104_lsh_eval", 3.1, 0.9), ("q120_x", 2.21, 2.3)))
+    // the new retimed_queries group (full-precision file only) must not
+    // confuse the history parse: it contains the substring `queries":{`
+    assert(line.contains("\"retimed_queries\":{\"q104_lsh_eval\":[3.1,0.9]"),
+      line.takeRight(200))
     val h = Bench.parseHistory(line)
     assert(h == Map("q01_pricing_summary" -> 0.335211,
       "q187_dual_maintainers" -> 2.5),

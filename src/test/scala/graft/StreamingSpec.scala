@@ -1338,4 +1338,132 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(serveOf(ns) == serveOf("gim.dmr"),
       "dual-maintained serve diverged from rebuild")
   }
+
+  test("serve pinning: a serve racing a fold's mid-complete publish answers " +
+      "pre-fold exactly, and post-fold after convergence — never a torn mix") {
+    // the q187 topology's read side: the fold commits all index tables
+    // atomically, but PUBLISH is per-table — a live read between the
+    // postings publish and the tombstone publish sees new-rev postings
+    // whose predecessors nothing kills (doubled scores). The ServePin
+    // cut must shield the serve from exactly that window.
+    val wh = gimWh
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gim.pin")
+    val ns = "gim.pin"
+    graft.queries.Engine3.fts2Create(spark, ns)
+    import spark.implicits._
+    def txt(i: Long) = s"tok${i % 7} tok${i % 5} common"
+    (0L until 20L).map(i => (i, txt(i))).toDF("doc_id", "text")
+      .writeTo(s"$ns.fts2_src").append()
+    graft.queries.Engine3.fts2Fold(spark, ns,
+      spark.table(s"$ns.fts2_src"),
+      graft.queries.Engine3.fts2SrcVersion(spark, ns))
+    val terms = Seq("common", "tok1", "tok9")
+    def serve(): Seq[(Long, Long)] =
+      graft.queries.Engine3.fts2Bm25(spark, ns, terms).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    val pre = serve()
+    // hand-drive an "UPDATE doc 5 → tok9 tok0 common" fold to its WORST
+    // observable point: decided, postings PUBLISHED, tombstone stage
+    // still invisible (the mid-complete crash window). Same-length text,
+    // so the constants log is legitimately untouched.
+    val rev = graft.queries.Engine3.fts2SrcVersion(spark, ns) + 1
+    val txn = graft.sources.Transactions.begin(spark, wh)
+    txn.write(s"$ns.fts2_post",
+      Seq(("tok9", 5L, 1L, 3L, rev), ("tok0", 5L, 1L, 3L, rev),
+        ("common", 5L, 1L, 3L, rev))
+        .toDF("tok", "doc_id", "tf", "dl", "rev"))
+    txn.write(s"$ns.fts2_del", Seq((5L, rev)).toDF("doc_id", "rev"))
+    txn.writeIntent(); txn.decide()
+    graft.sources.Snapshots.publishWap(s"$wh/pin/fts2_post", s"txn-${txn.id}-1")
+    // the torn state is REAL: live postings now carry doc 5 at both revs
+    assert(spark.table(s"$ns.fts2_post")
+      .where(col("doc_id") === 5L).select("rev").distinct().count() == 2,
+      "fixture failed to reach the mid-complete window")
+    // ... and an UNPINNED serve would read it: doc 5's df double-counts
+    val liveServe = graft.queries.Engine3.fts2Bm25At(spark, ns, terms,
+        graft.queries.Engine3.fts2TombMaxOpt(spark, ns),
+        graft.queries.Engine3.ServePin.live(spark, ns))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    assert(liveServe != pre, "the torn window must be observable to a live " +
+      "read, or this test asserts nothing")
+    // the PINNED serve answers exactly pre-fold
+    assert(serve() == pre,
+      "a serve racing the mid-complete publish must answer pre-fold")
+    // converge (roll the decided fold forward) → exactly post-fold
+    graft.sources.Transactions.recover(spark, wh, minAgeMillis = 0)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gim.pinr")
+    graft.queries.Engine3.fts2Create(spark, "gim.pinr")
+    (0L until 20L).map(i => (i, if (i == 5L) "tok9 tok0 common" else txt(i)))
+      .toDF("doc_id", "text").writeTo("gim.pinr.fts2_src").append()
+    graft.queries.Engine3.fts2Fold(spark, "gim.pinr",
+      spark.table("gim.pinr.fts2_src"),
+      graft.queries.Engine3.fts2SrcVersion(spark, "gim.pinr"))
+    val post = graft.queries.Engine3.fts2Bm25(spark, "gim.pinr", terms)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    assert(serve() == post,
+      "after convergence the pinned serve must equal the post-fold rebuild")
+  }
+
+  test("serve pinning: serves interleaved with LIVE fold commits each equal " +
+      "some fold-boundary cut — pre-fold or post-fold, never a third answer") {
+    val wh = gimWh
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gim.pin2")
+    val ns = "gim.pin2"
+    graft.queries.Engine3.fts2Create(spark, ns)
+    import spark.implicits._
+    def txt(i: Long) = s"tok${i % 7} tok${i % 5} common"
+    (0L until 30L).map(i => (i, txt(i))).toDF("doc_id", "text")
+      .writeTo(s"$ns.fts2_src").append()
+    graft.queries.Engine3.fts2Fold(spark, ns,
+      spark.table(s"$ns.fts2_src"),
+      graft.queries.Engine3.fts2SrcVersion(spark, ns))
+    val terms = Seq("common", "tok1", "tok3")
+    def canon(rows: Array[org.apache.spark.sql.Row]): String =
+      rows.map(r => s"${r.getLong(0)}:${r.getLong(1)}").sorted.mkString(",")
+    // every fold-boundary cut, recorded by the maintainer thread AFTER
+    // each commit returns (cut 0 = the seeded index)
+    val cuts = new java.util.concurrent.ConcurrentLinkedQueue[Map[String, Long]]()
+    cuts.add(graft.sources.Transactions.headVersions(wh))
+    val maintErr = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+    val maintainer = new Thread(() =>
+      try {
+        for (k <- 1 to 6) {
+          (0L until 4L).map(j => (100L * k + j, txt(k + j)))
+            .toDF("doc_id", "text").writeTo(s"$ns.fts2_src").append()
+          val w = graft.streaming.IndexMaintain.watermark(spark, s"$ns.fts2_meta")
+          val h = graft.queries.Engine3.fts2SrcVersion(spark, ns)
+          graft.queries.Engine3.fts2Fold(spark, ns,
+            spark.read.option("since-version", w).option("snapshot-version", h)
+              .table(s"$ns.fts2_src"), h, expect = Some(w))
+          cuts.add(graft.sources.Transactions.headVersions(wh))
+        }
+      } catch { case e: Throwable => maintErr.set(e) })
+    val served = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    val serveErr = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+    val server = new Thread(() =>
+      try while (maintainer.isAlive)
+        served.add(canon(graft.queries.Engine3.fts2Bm25(spark, ns, terms).collect()))
+      catch { case e: Throwable => serveErr.set(e) })
+    maintainer.start(); server.start()
+    maintainer.join(300000); server.join(300000)
+    assert(maintErr.get() == null, s"maintainer failed: ${maintErr.get()}")
+    assert(serveErr.get() == null, s"serve failed: ${serveErr.get()}")
+    // legal answers = the serve REBUILT at each recorded cut
+    val legal = {
+      import scala.jdk.CollectionConverters._
+      cuts.asScala.toSeq.map { cut =>
+        val pin = new graft.queries.Engine3.ServePin(spark, ns, cut)
+        canon(graft.queries.Engine3.fts2Bm25At(spark, ns, terms,
+          graft.queries.Engine3.fts2TombMaxOpt(spark, ns, pin), pin).collect())
+      }.toSet
+    }
+    import scala.jdk.CollectionConverters._
+    val illegal = served.asScala.toSet -- legal
+    assert(illegal.isEmpty,
+      s"${illegal.size} serve answer(s) matched NO fold boundary: " +
+        illegal.take(2).mkString(" | "))
+    // the test ran long enough to cross at least one boundary live
+    assert(served.asScala.toSet.size >= 2 || legal.size == 1,
+      "serves never observed more than one cut — interleaving too coarse to test anything")
+  }
 }
