@@ -57,6 +57,29 @@ import graft.sources.{ChangeLog, GraftTable, GraftViewBridge, Snapshots, TableSt
   */
 object IndexMaintain {
 
+  /** Append one row to a maintainer ops-census table
+    * `(v_from BIGINT, v_to BIGINT, route STRING, won BOOLEAN)` — the
+    * queryable record of what the maintenance loop DID, replacing
+    * stderr prints and silent booleans: at 100 TB an operator asks the
+    * census "which intervals were lost to a sibling? when did the debt
+    * policies fire?" instead of grepping driver logs. [[start]] appends
+    * interval outcomes itself when given `censusTable`; onBatch debt
+    * hooks call this directly for their compaction decisions (route =
+    * "compact-dict" / "compact-index", won = whether it fired).
+    *
+    * The census is OBSERVABILITY, deliberately outside the fold's
+    * transaction: a crash between a fold's commit and its census append
+    * loses that one row (at-most-once census, never an invented row) —
+    * folding it into the transaction would make the ops log a
+    * correctness participant and every hook a commit dependency. Cost:
+    * one metadata-sized append per interval. */
+  def census(spark: SparkSession, table: String, vFrom: Long, vTo: Long,
+      route: String, won: Boolean): Unit = {
+    import spark.implicits._
+    Seq((vFrom, vTo, route, won)).toDF("v_from", "v_to", "route", "won")
+      .writeTo(table).append()
+  }
+
   /** Live watermark of an index's `(indexed_version BIGINT)` meta table
     * (0 when never advanced) — the value every fold's interval starts
     * from and the single-maintainer precondition re-checks at commit. */
@@ -121,7 +144,8 @@ object IndexMaintain {
       trigger: Trigger = Trigger.AvailableNow(),
       recoverAgeMillis: Long = 3600L * 1000,
       onBatch: (Long, Long, Boolean) => Unit = (_, _, _) => (),
-      preFold: (DataFrame, Long, Long) => Unit = (_, _, _) => ()): StreamingQuery = {
+      preFold: (DataFrame, Long, Long) => Unit = (_, _, _) => (),
+      censusTable: Option[String] = None): StreamingQuery = {
 
     val parts = spark.sessionState.sqlParser.parseMultipartIdentifier(source)
     val (cat, id) = GraftViewBridge.resolveIdent(spark, parts).getOrElse(
@@ -161,6 +185,8 @@ object IndexMaintain {
           // future checked compaction hook) must not be mislogged as a
           // lost interval — by then the fold committed and the
           // watermark advanced
+          val route =
+            if (mutated) "feed" else if (kinds.nonEmpty) "append" else "advance"
           val won =
             try {
               if (kinds.nonEmpty) preFold(feed, recorded, now)
@@ -195,6 +221,11 @@ object IndexMaintain {
                     s"skipped (${e.getMessage})")
                 false
             }
+          // the queryable ops record (lost intervals INCLUDED — the
+          // stderr line above is best-effort console noise, this is the
+          // census an operator actually queries); see [[census]] for
+          // why it sits outside the fold's transaction
+          censusTable.foreach(t => census(spark, t, recorded, now, route, won))
           if (won) onBatch(recorded, now, mutated)
         }
       }

@@ -1103,6 +1103,8 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       rows.foreach { case (i, t) => state(i) = t }
     }
     var compactions = 0
+    spark.sql(s"CREATE TABLE $ns.maint_log " +
+      "(v_from BIGINT, v_to BIGINT, route STRING, won BOOLEAN)")
     def drain(): Unit = graft.streaming.IndexMaintain.start(
       spark, s"$ns.fts2_src", s"$ns.fts2_meta",
       Files.createTempDirectory("ac_ckpt").toString, wh,
@@ -1111,9 +1113,15 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
         expect = Some(v1)),
       foldFeed = (feed, v1, v2) => graft.queries.Engine3.fts2FoldFeed(
         spark, ns, s"$ns.fts2_src", feed, v1, v2, expect = Some(v1)),
-      onBatch = (_, _, _) =>
-        if (graft.queries.Engine3.fts2CompactIfDebt(spark, ns, frac = 0.01))
-          compactions += 1)
+      onBatch = (v1, v2, _) => {
+        val fired = graft.queries.Engine3.fts2CompactIfDebt(spark, ns, frac = 0.01)
+        // the debt DECISION goes to the census either way — an operator
+        // asks "when did the policy fire (and when did it decline)?"
+        graft.streaming.IndexMaintain.census(
+          spark, s"$ns.maint_log", v1, v2, "compact-index", fired)
+        if (fired) compactions += 1
+      },
+      censusTable = Some(s"$ns.maint_log"))
       .awaitTermination()
     append((0L until 40L).map(i => (i, txt(i, 0))))
     drain() // seed: insert-only, no debt, policy must NOT fire
@@ -1151,6 +1159,21 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(serveOf(ns) == serveOf("gim.acr"),
         s"round $round: self-compacted serve diverged from rebuild")
     }
+    // the census IS the ops record: every compaction decision logged
+    // (won == fired), every drained interval logged with its route, and
+    // the fold census agrees row-for-row with the watermark log
+    val log = spark.table(s"$ns.maint_log")
+    assert(log.where(col("route") === "compact-index" && col("won")).count()
+        == compactions.toLong,
+      "every fired compaction must have a won compact-index census row")
+    assert(log.where(col("route") === "compact-index" && !col("won")).count()
+        >= 0L) // declined decisions are logged too (seed drain at least)
+    val foldRows = log.where(col("route").isin("append", "feed", "advance"))
+      .select("v_to").collect().map(_.getLong(0)).toSeq.sorted
+    val wmRows = spark.table(s"$ns.fts2_meta")
+      .select("indexed_version").collect().map(_.getLong(0)).toSeq.sorted
+    assert(foldRows == wmRows,
+      s"fold census must mirror the watermark log: census=$foldRows wm=$wmRows")
   }
 
   test("maintainer-owned dictionary: preFold dict + debt policies keep " +
@@ -1304,6 +1327,8 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     // --- interleaving, exactly one fold per interval commits        ---
     append((100L until 112L).map(i => (i, txt(i, 1))))
     spark.sql(s"DELETE FROM $ns.fts2_src WHERE doc_id = 7"); state -= 7L
+    spark.sql(s"CREATE TABLE $ns.maint_log " +
+      "(v_from BIGINT, v_to BIGINT, route STRING, won BOOLEAN)")
     def drain(): Unit = graft.streaming.IndexMaintain.start(
       spark, s"$ns.fts2_src", s"$ns.fts2_meta",
       Files.createTempDirectory("dm_ckpt").toString, wh,
@@ -1311,7 +1336,8 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
         spark, ns, delta.select(col("doc_id"), col("text")), v2,
         expect = Some(v1)),
       foldFeed = (feed, v1, v2) => graft.queries.Engine3.fts2FoldFeed(
-        spark, ns, s"$ns.fts2_src", feed, v1, v2, expect = Some(v1)))
+        spark, ns, s"$ns.fts2_src", feed, v1, v2, expect = Some(v1)),
+      censusTable = Some(s"$ns.maint_log"))
       .awaitTermination()
     val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
     val threads = Seq.fill(2)(new Thread(() =>
@@ -1337,6 +1363,25 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
         .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
     assert(serveOf(ns) == serveOf("gim.dmr"),
       "dual-maintained serve diverged from rebuild")
+    // the CONTENDED drain's census: exactly one WON row per committed
+    // interval (v_to values = new watermark rows, no double-win), and a
+    // lost interval — if the interleaving produced one — is a LOGGED
+    // row, not a stderr line
+    val log = spark.table(s"$ns.maint_log")
+    val wonTo = log.where(col("won"))
+      .select("v_to").collect().map(_.getLong(0)).toSeq.sorted
+    assert(wonTo.distinct == wonTo, s"an interval won twice: $wonTo")
+    val wmAfter = spark.table(s"$ns.fts2_meta")
+      .select("indexed_version").collect().map(_.getLong(0)).toSeq
+    assert(wonTo.toSet.subsetOf(wmAfter.toSet),
+      s"every won census row must be a real watermark advance: " +
+        s"census=$wonTo wm=$wmAfter")
+    assert(wonTo.nonEmpty, "the drain did work; the census cannot be empty")
+    log.where(!col("won")).collect().foreach { r =>
+      assert(wmAfter.contains(r.getLong(1)) || wonTo.contains(r.getLong(1)) ||
+        r.getLong(1) >= r.getLong(0),
+        s"a lost row must describe a real interval: $r")
+    }
   }
 
   test("serve pinning: a serve racing a fold's mid-complete publish answers " +

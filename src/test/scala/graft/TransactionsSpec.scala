@@ -384,6 +384,92 @@ class TransactionsSpec extends AnyFunSuite with BeforeAndAfterAll {
         "and the duplicate must abort instead of doubling the rows")
   }
 
+  test("commit-guard crash matrix: a holder dying at EVERY point inside the " +
+      "guard yields exactly-once watermark advance for the surviving maintainer") {
+    // the one critical section round 11 added (converge decided siblings →
+    // re-check preconditions → writeIntent → decide → complete, all under
+    // the coordinator's commit guard) relies on the 60 s stale-lock
+    // takeover for a holder that dies mid-section. Simulate each kill
+    // point as its durable on-disk state (stages + markers as far as the
+    // holder got, plus its now-stale guard lock), then drive a REAL
+    // checked commit from the survivor and assert the watermark advanced
+    // exactly once — by whichever fold the protocol says must win.
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(warehouse).getFileSystem(new org.apache.hadoop.conf.Configuration())
+    def plantStaleGuardLock(): Unit = {
+      // the dead holder's guard lock: withLock keys the commit guard at
+      // `_txn/.stats.lock`; a live holder heartbeats its mtime, so a
+      // 61 s-old file IS the crashed-holder state the takeover exists for
+      val lock = new Path(s"$warehouse/_txn/.stats.lock")
+      val out = fs.create(lock, true)
+      try out.write("dead-holder-token".getBytes("UTF-8")) finally out.close()
+      fs.setTimes(lock, System.currentTimeMillis() - 61000, -1)
+    }
+    def watermark(ns: String): Seq[Long] =
+      spark.table(s"txc.$ns.wm").select("indexed_version")
+        .collect().map(_.getLong(0)).toSeq.sorted
+    import spark.implicits._
+    def foldTxn(ns: String, rows: (Int, Int), mark: Long): Transactions.Txn = {
+      val txn = Transactions.begin(spark, warehouse)
+      txn.write(s"txc.$ns.d", batch(rows._1, rows._2))
+      txn.write(s"txc.$ns.wm", Seq(mark).toDF("indexed_version"))
+      txn.precondition(s"txc.$ns.wm empty (single-maintainer)") {
+        spark.table(s"txc.$ns.wm").count() == 0
+      }
+      txn
+    }
+    // K1/K2 — died after converge / after its precondition passed, before
+    // writeIntent (durably identical: nothing written yet); K3 — died
+    // after writeIntent, before decide; K4 — died after decide, before
+    // complete. One namespace per arm.
+    for ((arm, ns) <- Seq("K1-after-converge" -> "k1",
+        "K2-after-precheck" -> "k2", "K3-after-intent" -> "k3",
+        "K4-after-decide" -> "k4")) {
+      spark.sql(s"CREATE NAMESPACE IF NOT EXISTS txc.$ns")
+      spark.sql(s"CREATE TABLE txc.$ns.d (id BIGINT, s STRING)")
+      spark.sql(s"CREATE TABLE txc.$ns.wm (indexed_version BIGINT)")
+      val dead = foldTxn(ns, (0, 5), mark = 7L)
+      arm match {
+        case "K1-after-converge" => Transactions.recover(spark, warehouse,
+          minAgeMillis = Long.MaxValue) // its converge ran; nothing staged beyond
+        case "K2-after-precheck" => () // read-only check passed; no durable step
+        case "K3-after-intent" => dead.writeIntent()
+        case "K4-after-decide" => dead.writeIntent(); dead.decide()
+      }
+      plantStaleGuardLock()
+      def survivor(): Unit = Transactions.run(spark, warehouse) { txn =>
+        txn.write(s"txc.$ns.d", batch(100, 103))
+        txn.write(s"txc.$ns.wm", Seq(7L).toDF("indexed_version"))
+        txn.precondition(s"txc.$ns.wm empty (single-maintainer)") {
+          spark.table(s"txc.$ns.wm").count() == 0
+        }
+      }
+      if (arm == "K4-after-decide") {
+        // the dead holder already COMMITTED: the survivor's converge
+        // must publish it first, then its own precondition fails benignly
+        intercept[Transactions.PreconditionFailed] { survivor() }
+        assert(watermark(ns) == Seq(7L) &&
+          spark.table(s"txc.$ns.d").count() == 5,
+          s"$arm: the decided fold must win posthumously, exactly once")
+      } else {
+        // the dead holder never decided: the survivor takes the lock
+        // over, leaves the undecided wreck alone (decided-only converge),
+        // and commits ITS fold
+        survivor()
+        assert(watermark(ns) == Seq(7L) &&
+          spark.table(s"txc.$ns.d").count() == 3,
+          s"$arm: the survivor's fold must be the only one visible")
+        // the wreck's stages are still discoverable and age-guarded;
+        // startup recovery rolls them back without touching the winner
+        Transactions.recover(spark, warehouse, minAgeMillis = 0)
+        assert(watermark(ns) == Seq(7L) &&
+          spark.table(s"txc.$ns.d").count() == 3,
+          s"$arm: rollback of the wreck must not disturb the committed fold")
+        assert(wapIds("d").isEmpty, s"$arm: no stage may linger")
+      }
+    }
+  }
+
   test("replace: mixing a replace with another write to the SAME table is refused") {
     intercept[IllegalArgumentException] {
       Transactions.run(spark, warehouse) { txn =>
