@@ -1413,8 +1413,187 @@ object Engine2 {
         ann3Seed(s, "gcat.ann5", dir)
         ann3MutateAndFold(s, "gcat.ann5")
         ()
+      })),
+
+    // ---- q189: REBUILD INDEX with the REAL Lloyd retrain ------------------
+    // q185 exercises the swap protocol under the deterministic seed
+    // quantizer; this gate flips spark.graft.ann.requantize.retrain and
+    // runs the PRODUCTION path end to end: ml.KMeans Lloyd (k = 16,
+    // 4 iterations, first-k init — no RNG) for the coarse centroids plus
+    // 8 per-subspace codebook fits, all fed from ONE cached head-pinned
+    // scan, then the identical four-table atomic swap and the shared
+    // IVF-PQ serve. Every step is quantized-exact (quant_dot /
+    // quant_dist2 / CentroidAggD's 1e9 integer buffers), so the oracle
+    // UNROLLS the same four Lloyd iterations in SQL — coarse over the
+    // 64-dim corpus, all 8 subspace fits at once grouped by j — and the
+    // fitted centroids, codebooks, assignments, and ADC ranking
+    // hash-match exactly (the q56/q109 replay discipline applied to the
+    // whole rebuild). At 100 TB: per iteration one narrow argmax map
+    // over the cached corpus + one k×d-bounded partial-merge aggregate;
+    // the corpus is scanned once, models are the only collects.
+    QueryDef(
+      "q189_requantize_retrained",
+      (s, dir) => {
+        val ns2 = "gcat.ann6"
+        s.conf.set("spark.graft.ann.requantize.retrain", "true")
+        try ann3Requantize(s, ns2)
+        finally s.conf.unset("spark.graft.ann.requantize.retrain")
+        // q185's pinned serve, verbatim (the retrain changes the MODEL,
+        // never the serve path)
+        val pin = Engine3.ServePin.of(s, ns2)
+        val centT = regroupCent(pin.table("ann3_cent"))
+        val bookT = regroupBook(pin.table("ann3_book"))
+        val tombMax = ann3TombMaxOpt(s, ns2, pin) // None after the swap
+        val proof = ann3Surviving(pin.table("ann3_post"), tombMax)
+          .agg(count(lit(1)).cast("long").as("n_live"))
+          .crossJoin(broadcast(pin.table("ann3_del")
+            .agg(count(lit(1)).cast("long").as("n_tomb"))))
+          .crossJoin(broadcast(centT
+            .agg(count(lit(1)).cast("long").as("n_cent"))))
+        annServe(emb(Tables(s, dir)), centT, bookT,
+          probed => ann3Surviving(pin.table("ann3_post")
+            .where(col("list_id").isin(probed: _*)), tombMax),
+          proof = Some(proof))
+      },
+      Some(retrainedRebuildOracle),
+      setup = Some((s, dir) => {
+        ann3Seed(s, "gcat.ann6", dir)
+        ann3MutateAndFold(s, "gcat.ann6")
+        ()
       }))
   )
+
+  /** The q189 oracle: the WHOLE retrained rebuild replayed in SQL.
+    * Training assignment uses KMeans.withCluster's similarity
+    * (quant_dot / sqrt(centroid n2) — the vector's own norm is constant
+    * per row and KMeans omits it); the final encode and the probe use
+    * annServe's full cosine (both norms), exactly as the Scala path
+    * does. Updates are CentroidAggD's quantized means:
+    * (Σ round(xᵢ·1e9)) / n / 1e9. Four iterations unrolled for the
+    * coarse fit; four for ALL EIGHT subspace fits at once (grouped by
+    * j). Empty clusters drop out of a GROUP BY exactly as they drop out
+    * of the Scala model. */
+  private def retrainedRebuildOracle: String = {
+    // one coarse Lloyd iteration (64-dim, cluster labels = seed ids)
+    def csim(cent: String, out: String) =
+      s"""$out AS (
+         |  SELECT e.id, c.cluster,
+         |    list_sum(list_transform(range(1, 65),
+         |      i -> round(e.emb[i] * c.c[i] * 1e9))) /
+         |    sqrt(list_sum(list_transform(c.c, x -> round(x * x * 1e9)))) AS sim
+         |  FROM e CROSS JOIN $cent c)""".stripMargin
+    def cassign(scores: String, out: String) =
+      s"""$out AS (
+         |  SELECT id, cluster FROM (
+         |    SELECT id, cluster,
+         |      ROW_NUMBER() OVER (PARTITION BY id ORDER BY sim DESC, cluster) AS rn
+         |    FROM $scores) WHERE rn = 1)""".stripMargin
+    def cupdate(assignName: String, out: String) =
+      s"""${out}_s AS (
+         |  SELECT a.cluster, p.i, SUM(round(e.emb[p.i] * 1e9)) AS sm, COUNT(*) AS n
+         |  FROM $assignName a JOIN e ON e.id = a.id CROSS JOIN pos64 p
+         |  GROUP BY a.cluster, p.i),
+         |$out AS (
+         |  SELECT cluster, list((sm / n) / 1e9 ORDER BY i) AS c
+         |  FROM ${out}_s GROUP BY cluster)""".stripMargin
+    def citer(n: Int) =
+      s"${csim(s"c${n - 1}", s"cs$n")}, ${cassign(s"cs$n", s"ca$n")}, " +
+        s"${cupdate(s"ca$n", s"c$n")}"
+    // one subspace Lloyd iteration: all 8 independent 8-dim fits at
+    // once, keyed by j
+    def ssim(cent: String, out: String) =
+      s"""$out AS (
+         |  SELECT s.id, s.j, c.cluster,
+         |    list_sum(list_transform(range(1, 9),
+         |      i -> round(s.sv[i] * c.c[i] * 1e9))) /
+         |    sqrt(list_sum(list_transform(c.c, x -> round(x * x * 1e9)))) AS sim
+         |  FROM se s JOIN $cent c ON c.j = s.j)""".stripMargin
+    def sassign(scores: String, out: String) =
+      s"""$out AS (
+         |  SELECT id, j, cluster FROM (
+         |    SELECT id, j, cluster,
+         |      ROW_NUMBER() OVER (PARTITION BY id, j ORDER BY sim DESC, cluster) AS rn
+         |    FROM $scores) WHERE rn = 1)""".stripMargin
+    def supdate(assignName: String, out: String) =
+      s"""${out}_s AS (
+         |  SELECT a.j, a.cluster, p.i, SUM(round(s.sv[p.i] * 1e9)) AS sm, COUNT(*) AS n
+         |  FROM $assignName a JOIN se s ON s.id = a.id AND s.j = a.j
+         |  CROSS JOIN pos8 p
+         |  GROUP BY a.j, a.cluster, p.i),
+         |$out AS (
+         |  SELECT j, cluster, list((sm / n) / 1e9 ORDER BY i) AS c
+         |  FROM ${out}_s GROUP BY j, cluster)""".stripMargin
+    def siter(n: Int) =
+      s"${ssim(s"b${n - 1}", s"bs$n")}, ${sassign(s"bs$n", s"ba$n")}, " +
+        s"${supdate(s"ba$n", s"b$n")}"
+    s"""WITH corp AS (
+          SELECT vec_id,
+                 CASE WHEN vec_id % 7 = 5
+                      THEN list_transform(embedding, x -> abs(x))
+                      ELSE embedding END AS embedding
+          FROM embeddings WHERE vec_id % 7 <> 3),
+        e AS (SELECT vec_id AS id,
+                list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+              FROM corp),
+        pos64 AS (SELECT CAST(i AS BIGINT) AS i FROM range(1, 65) t(i)),
+        pos8 AS (SELECT CAST(i AS BIGINT) AS i FROM range(1, 9) t(i)),
+        ids16 AS (SELECT id FROM e ORDER BY id LIMIT 16),
+        c0 AS (SELECT CAST(id AS INT) AS cluster, emb AS c
+               FROM e WHERE id IN (SELECT id FROM ids16)),
+        ${citer(1)}, ${citer(2)}, ${citer(3)}, ${citer(4)},
+        cents AS (SELECT CAST(cluster AS BIGINT) AS cid, c FROM c4),
+        se AS (SELECT id, j,
+                 list_transform(range(j * 8 + 1, j * 8 + 9), i -> emb[i]) AS sv
+               FROM e, range(0, 8) r(j)),
+        b0 AS (SELECT j, CAST(id AS INT) AS cluster, sv AS c
+               FROM se WHERE id IN (SELECT id FROM ids16)),
+        ${siter(1)}, ${siter(2)}, ${siter(3)}, ${siter(4)},
+        book AS (SELECT j, CAST(cluster AS BIGINT) AS code, c AS cv FROM b4),
+        norms AS (SELECT id, list_sum(list_transform(emb,
+                    x -> round(x * x * 1e9))) AS n2 FROM e),
+        cnorms AS (SELECT cid, list_sum(list_transform(c,
+                     x -> round(x * x * 1e9))) AS n2 FROM cents),
+        ascore AS (
+          SELECT e.id AS qid, cents.cid AS vid,
+            list_sum(list_transform(range(1, 65),
+              i -> round(e.emb[i] * cents.c[i] * 1e9))) / sqrt(nq.n2 * nv.n2) AS cos
+          FROM e CROSS JOIN cents
+          JOIN norms nq ON nq.id = e.id JOIN cnorms nv ON nv.cid = cents.cid),
+        ranked AS (
+          SELECT qid, vid, cos,
+            ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vid) AS rn
+          FROM ascore),
+        assign AS (SELECT qid AS member, vid AS cid FROM ranked WHERE rn = 1),
+        probe AS (SELECT qid, vid AS cid FROM ranked WHERE rn <= 2 AND qid < 3),
+        cand AS (
+          SELECT DISTINCT p.qid, a.member AS vid
+          FROM probe p JOIN assign a ON a.cid = p.cid WHERE a.member <> p.qid),
+        dists AS (
+          SELECT s.id, s.j, b.code,
+            list_sum(list_transform(range(1, 9),
+              i -> round((s.sv[i] - b.cv[i]) * (s.sv[i] - b.cv[i]) * 1e9))) AS dist
+          FROM se s JOIN book b ON b.j = s.j),
+        codes AS (
+          SELECT id AS vid, j, code FROM (
+            SELECT id, j, code,
+              ROW_NUMBER() OVER (PARTITION BY id, j ORDER BY dist, code) AS rn
+            FROM dists) WHERE rn = 1),
+        lut AS (SELECT id AS qid, j, code, dist AS d FROM dists WHERE id < 3),
+        adc AS (
+          SELECT cand.qid, cand.vid, SUM(l.d) AS adist
+          FROM cand JOIN codes c ON c.vid = cand.vid
+          JOIN lut l ON l.qid = cand.qid AND l.j = c.j AND l.code = c.code
+          GROUP BY cand.qid, cand.vid)
+        SELECT qid, rank, vid, adist,
+          (SELECT CAST(8 * COUNT(*) AS BIGINT) FROM corp) AS n_live,
+          CAST(0 AS BIGINT) AS n_tomb,
+          (SELECT CAST(COUNT(*) AS BIGINT) FROM cents) AS n_cent
+        FROM (
+          SELECT qid, vid, adist,
+            ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adist, vid) AS rank
+          FROM adc)
+        WHERE rank <= 3 ORDER BY qid, rank"""
+  }
 
   /** REBUILD INDEX for the maintained ANN stack (q185): retrain the
     * quantizer on the head-pinned CURRENT corpus, re-encode everything,
