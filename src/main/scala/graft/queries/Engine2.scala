@@ -141,14 +141,24 @@ object Engine2 {
       .select(col("vec_id").as("code"),
         explode(expr("sequence(0, 7)")).as("j"), col("e"))
       .select(col("code"), col("j"), expr("slice(e, j * 8 + 1, 8)").as("cv"))
-    cent0.select(col("cid"), posexplode(col("ce")).as(Seq("pos", "v")))
-      .writeTo(s"$ns2.ann3_cent").append()
-    book0.select(col("j"), col("code"), posexplode(col("cv")).as(Seq("pos", "v")))
-      .writeTo(s"$ns2.ann3_book").append()
-    annEncode(seed, cent0, book0).withColumn("rev", lit(v1))
-      .writeTo(s"$ns2.ann3_post").append()
+    // the seed is ONE transaction, like every later fold: (a) quantizer,
+    // postings, and watermark land all-or-nothing (a crash can't leave
+    // centroids without postings), and (b) the coordinator HEAD names
+    // every index table from birth — which is what lets a pinned serve
+    // racing the FIRST maintenance fold resolve a consistent pre-fold
+    // cut instead of falling back to torn live reads
+    val coord = s.conf.get(s"spark.sql.catalog.$cat.warehouse")
+    graft.sources.Transactions.run(s, coord) { txn =>
+      txn.write(s"$ns2.ann3_cent",
+        cent0.select(col("cid"), posexplode(col("ce")).as(Seq("pos", "v"))))
+      txn.write(s"$ns2.ann3_book",
+        book0.select(col("j"), col("code"), posexplode(col("cv")).as(Seq("pos", "v"))))
+      txn.write(s"$ns2.ann3_post",
+        annEncode(seed, cent0, book0).withColumn("rev", lit(v1)))
+      txn.write(s"$ns2.ann3_meta",
+        s.range(1).select(lit(v1).as("indexed_version")))
+    }
     seed.unpersist(blocking = false)
-    s.sql(s"INSERT INTO $ns2.ann3_meta VALUES ($v1)")
   }
 
   /** The q172 mutation interval applied to `ns2`'s index — takedown

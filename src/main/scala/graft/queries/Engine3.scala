@@ -169,47 +169,75 @@ object Engine3 {
     * read; per pinned table, one registry head read (the staleness
     * probe below) — all metadata-sized, no data I/O.
     *
-    * Fallback rules, both LIVE reads:
-    *  - a table with no head entry was never published through a
-    *    transaction under this coordinator (a direct-write seed, the
-    *    dictionary's out-of-txn appends, the source table) — nothing to
-    *    pin against;
-    *  - a head entry ABOVE the table's live head is STALE: the table
-    *    was dropped and recreated since (fixtures) — pinning would
-    *    resolve a version the new table never had. A mid-publish racer
-    *    can only make head TRAIL live, never exceed it, so the probe
-    *    never un-pins a consistent cut. */
+    * Fallback rules, per table:
+    *  - a table with NO head entry while its NAMESPACE has completed
+    *    transactions reads EMPTY: under the one-coordinator index
+    *    topology the pinned tables are written ONLY by transactions
+    *    (seeds included), so "never in head" means "empty at every
+    *    completed cut" — its FIRST transactional publish may be landing
+    *    right now (fts2_del's first mutation fold), and a live read of
+    *    it against pinned siblings would be exactly the torn view
+    *    pinning exists to prevent (fresh tombstones killing postings
+    *    nothing replaces yet);
+    *  - a table with no head entry in a namespace with NO completed
+    *    transactions at all reads LIVE — the bootstrap/fixture state
+    *    (an index being born has no cut to pin; serving mid-seed is out
+    *    of contract);
+    *  - a head entry ABOVE the table's live head is STALE — only
+    *    possible via drop/recreate races the DROP-side purge hasn't
+    *    covered (an out-of-band rm) — and demotes to the missing-entry
+    *    rules. A mid-publish racer can only make head TRAIL live, never
+    *    exceed it, so the probe never un-pins a consistent cut. */
   private[graft] final class ServePin(s: SparkSession, ns: String,
       head: Map[String, Long]) {
-    def table(name: String): DataFrame = version(name) match {
-      case Some(v) =>
+    def table(name: String): DataFrame = cut(name) match {
+      case ServePin.At(v) =>
         s.read.option("snapshot-version", v).table(s"$ns.$name")
-      case None => s.table(s"$ns.$name")
+      case ServePin.Empty => s.table(s"$ns.$name").limit(0)
+      case ServePin.Live => s.table(s"$ns.$name")
     }
-    def stats(name: String): (Long, Long) =
-      registryStatsAt(s, ns, name, version(name))
-    private[queries] def version(name: String): Option[Long] =
-      if (head.isEmpty) None
+    def stats(name: String): (Long, Long) = cut(name) match {
+      case ServePin.At(v) => registryStatsAt(s, ns, name, Some(v))
+      case ServePin.Empty => (0L, 0L)
+      case ServePin.Live => registryStats(s, ns, name)
+    }
+    private[graft] def cut(name: String): ServePin.Cut =
+      if (head.isEmpty) ServePin.Live
       else {
         // resolve the dir EXACTLY like Transactions.Txn does (catalog
         // loadTable), so the head map's keys match byte-for-byte
         val ident = s.sessionState.sqlParser
           .parseMultipartIdentifier(s"$ns.$name")
-        graft.sources.GraftViewBridge.resolveIdent(s, ident).flatMap {
-          case (cat, tid) =>
+        graft.sources.GraftViewBridge.resolveIdent(s, ident) match {
+          case None => ServePin.Live
+          case Some((cat, tid)) =>
             val dir = cat.loadTable(tid)
               .asInstanceOf[graft.sources.GraftTable].tableDir
-            head.get(dir).filter { hv =>
-              val dd = new org.apache.hadoop.fs.Path(dir, "data")
-              graft.sources.TableStats.liveVersion(
-                dd.getFileSystem(new org.apache.hadoop.conf.Configuration()), dd)
-                .exists(hv <= _)
+            def missing: ServePin.Cut = {
+              val nsPrefix =
+                dir.substring(0, dir.lastIndexOf('/') + 1)
+              if (head.keysIterator.exists(_.startsWith(nsPrefix)))
+                ServePin.Empty
+              else ServePin.Live
+            }
+            head.get(dir) match {
+              case Some(hv) =>
+                val dd = new org.apache.hadoop.fs.Path(dir, "data")
+                val live = graft.sources.TableStats.liveVersion(
+                  dd.getFileSystem(new org.apache.hadoop.conf.Configuration()), dd)
+                if (live.exists(hv <= _)) ServePin.At(hv) else missing
+              case None => missing
             }
         }
       }
   }
 
   private[graft] object ServePin {
+    private[graft] sealed trait Cut
+    private[graft] final case class At(v: Long) extends Cut
+    private[graft] case object Empty extends Cut
+    private[graft] case object Live extends Cut
+
     /** The pinned cut for serving `ns`'s maintained index — resolves
       * the coordinator HEAD once; every [[ServePin.table]] read off one
       * instance is the same consistent version set. */

@@ -549,8 +549,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
       releaseOutgoingClonePin(ident)
       // a recreated table reuses these exact paths — purge the snapshot
       // resolve cache at the generation boundary (see
-      // [[Snapshots.invalidateCacheUnder]])
+      // [[Snapshots.invalidateCacheUnder]]) AND the transaction
+      // coordinator's version HEAD (a surviving entry would outlive the
+      // version counter reset and permanently un-pin serves of the next
+      // incarnation)
       Snapshots.invalidateCacheUnder(new Path(tablePath(ident), "data"))
+      Transactions.purgeHead(warehouse.toString, tablePath(ident).toString)
       fs.delete(tablePath(ident), true)
     }
 
@@ -571,6 +575,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
         s"reference its files by absolute path (${pins.mkString(", ")}); " +
         "drop or OPTIMIZE (reify) the clones first")
     Snapshots.invalidateCacheUnder(new Path(tablePath(oldIdent), "data"))
+    // the coordinator HEAD keys by directory: the old dir's entry is
+    // garbage after the rename (a future table created AT the old path
+    // would inherit it as a stale pin)
+    Transactions.purgeHead(warehouse.toString, tablePath(oldIdent).toString)
     fs.rename(tablePath(oldIdent), tablePath(newIdent))
     invalidateViewCache(oldIdent)
     invalidateViewCache(newIdent)

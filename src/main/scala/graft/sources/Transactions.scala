@@ -357,6 +357,33 @@ object Transactions {
     }
   }
 
+  /** Remove `tableDir`'s entry from the coordinator HEAD — called by
+    * DROP TABLE: a recreated table restarts its version counter, so a
+    * surviving entry would be permanently STALE (the merge's per-dir max
+    * keeps the old, larger version forever) and every pinned serve of
+    * the new incarnation would wrongly fall back. O(head) bytes, DDL
+    * frequency. A coordinator with no head file is a no-op. */
+  def purgeHead(coordDir: String, tableDir: String): Unit = {
+    val d = txnDir(coordDir)
+    val fs = fsOf(d)
+    if (!fs.exists(new Path(d, "versions.head"))) return
+    val guard = new Path(d, "head/guard")
+    TableStats.withLock(fs, guard) {
+      val kept = headVersions(coordDir).toSeq.filterNot(_._1 == tableDir)
+        .sortBy(_._1)
+      val tmp = new Path(d, s".versions.head.tmp-${java.util.UUID.randomUUID()}")
+      val out = fs.create(tmp, true)
+      try out.write(kept.map { case (dir, v) => s"$dir\t$v" }
+        .mkString("", "\n", "\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(fs.getUri, fs.getConf)
+      fc.rename(fc.makeQualified(tmp),
+        fc.makeQualified(new Path(d, "versions.head")),
+        org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    }
+  }
+
   private def mergeHead(coordDir: String, versions: Seq[(String, Option[Long])]): Unit =
     if (versions.nonEmpty && versions.forall(_._2.isDefined)) {
       val d = txnDir(coordDir)

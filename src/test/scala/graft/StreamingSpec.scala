@@ -1407,46 +1407,76 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       graft.queries.Engine3.fts2Bm25(spark, ns, terms).collect()
         .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
     val pre = serve()
-    // hand-drive an "UPDATE doc 5 → tok9 tok0 common" fold to its WORST
-    // observable point: decided, postings PUBLISHED, tombstone stage
-    // still invisible (the mid-complete crash window). Same-length text,
-    // so the constants log is legitimately untouched.
-    val rev = graft.queries.Engine3.fts2SrcVersion(spark, ns) + 1
-    val txn = graft.sources.Transactions.begin(spark, wh)
-    txn.write(s"$ns.fts2_post",
-      Seq(("tok9", 5L, 1L, 3L, rev), ("tok0", 5L, 1L, 3L, rev),
-        ("common", 5L, 1L, 3L, rev))
-        .toDF("tok", "doc_id", "tf", "dl", "rev"))
-    txn.write(s"$ns.fts2_del", Seq((5L, rev)).toDF("doc_id", "rev"))
-    txn.writeIntent(); txn.decide()
-    graft.sources.Snapshots.publishWap(s"$wh/pin/fts2_post", s"txn-${txn.id}-1")
-    // the torn state is REAL: live postings now carry doc 5 at both revs
-    assert(spark.table(s"$ns.fts2_post")
-      .where(col("doc_id") === 5L).select("rev").distinct().count() == 2,
-      "fixture failed to reach the mid-complete window")
-    // ... and an UNPINNED serve would read it: doc 5's df double-counts
-    val liveServe = graft.queries.Engine3.fts2Bm25At(spark, ns, terms,
+    def liveServe(): Seq[(Long, Long)] =
+      graft.queries.Engine3.fts2Bm25At(spark, ns, terms,
         graft.queries.Engine3.fts2TombMaxOpt(spark, ns),
         graft.queries.Engine3.ServePin.live(spark, ns))
-      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
-    assert(liveServe != pre, "the torn window must be observable to a live " +
-      "read, or this test asserts nothing")
-    // the PINNED serve answers exactly pre-fold
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    def rebuild(n: String, docs: Seq[(Long, String)]): Seq[(Long, Long)] = {
+      spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $n")
+      graft.queries.Engine3.fts2Create(spark, n)
+      docs.toDF("doc_id", "text").writeTo(s"$n.fts2_src").append()
+      graft.queries.Engine3.fts2Fold(spark, n,
+        spark.table(s"$n.fts2_src"),
+        graft.queries.Engine3.fts2SrcVersion(spark, n))
+      graft.queries.Engine3.fts2Bm25(spark, n, terms)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    }
+    // ---- tear 1: a DELETE fold, tombstone published FIRST — the table
+    // (fts2_del) has NO head entry yet (the seed fold never writes it),
+    // so this drives the missing-from-head → EMPTY rule: a live read
+    // sees fresh tombstones killing postings nothing replaces (doc 7
+    // vanishes); the pinned serve must still answer pre-fold exactly.
+    val revA = graft.queries.Engine3.fts2SrcVersion(spark, ns) + 1
+    val txnA = graft.sources.Transactions.begin(spark, wh)
+    txnA.write(s"$ns.fts2_del", Seq((7L, revA)).toDF("doc_id", "rev"))
+    txnA.write(s"$ns.fts2_glob", Seq((-1L, -3L)).toDF("nd", "sl"))
+    txnA.writeIntent(); txnA.decide()
+    graft.sources.Snapshots.publishWap(s"$wh/pin/fts2_del", s"txn-${txnA.id}-1")
+    assert(spark.table(s"$ns.fts2_del").count() == 1,
+      "fixture failed to reach tear 1's mid-complete window")
+    assert(!liveServe().map(_._1).contains(7L),
+      "tear 1 must be observable to a live read (doc 7 transiently lost)")
     assert(serve() == pre,
-      "a serve racing the mid-complete publish must answer pre-fold")
-    // converge (roll the decided fold forward) → exactly post-fold
+      "a serve racing the first tombstone publish must answer pre-fold")
     graft.sources.Transactions.recover(spark, wh, minAgeMillis = 0)
-    spark.sql("CREATE NAMESPACE IF NOT EXISTS gim.pinr")
-    graft.queries.Engine3.fts2Create(spark, "gim.pinr")
-    (0L until 20L).map(i => (i, if (i == 5L) "tok9 tok0 common" else txt(i)))
-      .toDF("doc_id", "text").writeTo("gim.pinr.fts2_src").append()
-    graft.queries.Engine3.fts2Fold(spark, "gim.pinr",
-      spark.table("gim.pinr.fts2_src"),
-      graft.queries.Engine3.fts2SrcVersion(spark, "gim.pinr"))
-    val post = graft.queries.Engine3.fts2Bm25(spark, "gim.pinr", terms)
-      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    val afterDelete =
+      rebuild("gim.pinr1", (0L until 20L).filter(_ != 7L).map(i => (i, txt(i))))
+    assert(serve() == afterDelete,
+      "after convergence the pinned serve must equal the delete-fold rebuild")
+    // ---- tear 2: an UPDATE fold, postings published FIRST — fts2_del
+    // now HAS a head entry (tear 1 folded), so this drives the pinned-At
+    // rule: a live read double-counts doc 5 (new-rev postings, their
+    // killing tombstone still invisible); pinned answers tear-1's state.
+    val revB = revA + 1
+    val txnB = graft.sources.Transactions.begin(spark, wh)
+    txnB.write(s"$ns.fts2_post",
+      Seq(("tok9", 5L, 1L, 3L, revB), ("tok0", 5L, 1L, 3L, revB),
+        ("common", 5L, 1L, 3L, revB))
+        .toDF("tok", "doc_id", "tf", "dl", "rev"))
+    txnB.write(s"$ns.fts2_del", Seq((5L, revB)).toDF("doc_id", "rev"))
+    txnB.writeIntent(); txnB.decide()
+    graft.sources.Snapshots.publishWap(s"$wh/pin/fts2_post", s"txn-${txnB.id}-1")
+    assert(spark.table(s"$ns.fts2_post")
+      .where(col("doc_id") === 5L).select("rev").distinct().count() == 2,
+      "fixture failed to reach tear 2's mid-complete window")
+    assert(liveServe() != afterDelete,
+      "tear 2 must be observable to a live read (doc 5 double-counted)")
+    assert(serve() == afterDelete,
+      "a serve racing the postings publish must answer the previous cut")
+    graft.sources.Transactions.recover(spark, wh, minAgeMillis = 0)
+    val post = rebuild("gim.pinr2",
+      (0L until 20L).filter(_ != 7L)
+        .map(i => (i, if (i == 5L) "tok9 tok0 common" else txt(i))))
     assert(serve() == post,
-      "after convergence the pinned serve must equal the post-fold rebuild")
+      "after convergence the pinned serve must equal the update-fold rebuild")
+    // ---- DROP TABLE purges the coordinator HEAD: a recreated table
+    // must never inherit its predecessor's (now-stale) pin
+    val postDir = s"$wh/pin/fts2_post"
+    assert(graft.sources.Transactions.headVersions(wh).contains(postDir))
+    spark.sql(s"DROP TABLE $ns.fts2_post")
+    assert(!graft.sources.Transactions.headVersions(wh).contains(postDir),
+      "DROP TABLE must purge the table's coordinator-HEAD entry")
   }
 
   test("serve pinning: serves interleaved with LIVE fold commits each equal " +
