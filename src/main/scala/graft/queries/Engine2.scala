@@ -266,12 +266,11 @@ object Engine2 {
     val (tombRows, _) = Engine3.registryStats(s, ns2, "ann3_del")
     if (tombRows == 0L) return false
     val tombMax = ann3TombMaxOpt(s, ns2)
-    graft.sources.Transactions.run(s, coord) { txn =>
+    Engine3.compactTxn(s, coord, s"$ns2 ANN") { txn =>
       txn.replace(s"$ns2.ann3_post",
         ann3Surviving(s.table(s"$ns2.ann3_post"), tombMax))
       txn.replace(s"$ns2.ann3_del", s.table(s"$ns2.ann3_del").limit(0))
     }
-    true
   }
 
   /** [[Engine3.fts2CompactIfDebt]]'s dense-side twin: compact when

@@ -457,7 +457,7 @@ object Engine3 {
     val consts = s.table(s"$ns.fts2_glob")
       .agg(sum(col("nd")).cast("long").as("nd"),
         sum(col("sl")).cast("long").as("sl"))
-    graft.sources.Transactions.run(s, coord) { txn =>
+    compactTxn(s, coord, s"$ns FTS") { txn =>
       if (tombRows > 0L) {
         // an append-only index (tombRows == 0) skips the rewrite: its
         // postings carry no dead rows, only the constants log needs
@@ -480,8 +480,26 @@ object Engine3 {
       }
       txn.replace(s"$ns.fts2_glob", consts)
     }
-    true
   }
+
+  /** Run one compaction transaction, absorbing the lost-race abort as a
+    * benign SKIP: compactions stage REPLACEs, so a concurrent
+    * maintainer's fold landing between stage and commit trips the
+    * replace-base check and rolls the compaction back whole — correct,
+    * and NOT an error: the debt is still there and the next debt
+    * trigger retries. Without this, a compaction losing that race
+    * inside an `onBatch` hook would kill the maintainer's stream.
+    * Returns whether the compaction committed. */
+  private[graft] def compactTxn(s: SparkSession, coord: String, what: String)(
+      body: graft.sources.Transactions.Txn => Unit): Boolean =
+    try { graft.sources.Transactions.run(s, coord)(body); true }
+    catch {
+      case e: graft.sources.Transactions.ReplaceRaceLost =>
+        System.err.println(s"graft: $what compaction lost its replace race " +
+          s"to a concurrent fold — skipped, next trigger retries " +
+          s"(${e.getMessage})")
+        false
+    }
 
   /** The compaction POLICY that makes the tombstone debt self-bounding
     * (what the serve guard's "bounded compaction debt" promise rests
@@ -2660,7 +2678,8 @@ object Engine3 {
     * before the next dictFold) and any point outside a fold sequence are
     * safe; a REPLACE racing a concurrent dictFold append aborts on the
     * transaction's replace-base check and compaction rolls back whole. */
-  private[graft] def dictCompact(s: SparkSession, ns: String): Boolean = {
+  private[graft] def dictCompact(s: SparkSession, ns: String,
+      raceSeam: () => Unit = () => ()): Boolean = {
     val coord = s.conf.get(s"spark.sql.catalog.${ns.split('.')(0)}.warehouse")
     val (dictRows, _) = registryStats(s, ns, "dict_var")
     if (dictRows == 0L) return false
@@ -2670,7 +2689,7 @@ object Engine3 {
     // shard from the BASE dict scan (an upper bound of the survivors —
     // the fts2Compact discipline: post-join size estimates over-shard)
     val shards = fts2ShardCount(s.table(s"$ns.dict_var"))
-    graft.sources.Transactions.run(s, coord) { txn =>
+    compactTxn(s, coord, s"$ns dict") { txn =>
       // distinct also RESTORES the one-row-per-(variant, term) invariant:
       // two racing maintainers' preFold dictFolds can both pass the
       // anti-join and double-append the same rows (serve-neutral — the
@@ -2686,8 +2705,11 @@ object Engine3 {
           .select(col("variant"), col("tok")).distinct()
           .repartitionByRange(shards, col("variant"))
           .sortWithinPartitions(col("variant"), col("tok")))
+      // test seam: the window where a concurrent maintainer's preFold
+      // dictFold append races this staged REPLACE (commit's base check
+      // catches it; compactTxn makes the loss a benign skip)
+      raceSeam()
     }
-    true
   }
 
   /** [[dictCompact]]'s trigger policy, registry-only like

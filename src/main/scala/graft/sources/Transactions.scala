@@ -70,6 +70,17 @@ object Transactions {
     * anything else propagating from a commit stays fatal. */
   final class PreconditionFailed(msg: String) extends IllegalStateException(msg)
 
+  /** Thrown by [[Txn.commit]] when a staged REPLACE's base-version check
+    * fails: another commit landed on a replaced table between staging
+    * and commit, so publishing the swap would silently wipe it — every
+    * stage rolled back, no changes applied. A distinct type for the
+    * same reason as [[PreconditionFailed]]: callers for whom the race
+    * is benign backpressure (a compaction losing to a concurrent
+    * maintainer's fold — the debt is still there, the next trigger
+    * retries) catch THIS and skip, while unexpected commit failures
+    * stay fatal. */
+  final class ReplaceRaceLost(msg: String) extends IllegalStateException(msg)
+
   private def fsOf(p: Path): FileSystem = p.getFileSystem(new Configuration())
 
   private def txnDir(coordDir: String): Path = new Path(coordDir, "_txn")
@@ -233,7 +244,7 @@ object Transactions {
         replaceBases.foreach { case (dir, base) =>
           val dataDir = new Path(dir, "data")
           val cur = TableStats.liveVersion(fsOf(dataDir), dataDir)
-          if (cur != base) throw new IllegalStateException(
+          if (cur != base) throw new ReplaceRaceLost(
             s"graft: txn $id lost a race: $dir advanced from " +
               s"${base.getOrElse("∅")} to ${cur.getOrElse("∅")} since its " +
               "REPLACE was staged; no changes applied")

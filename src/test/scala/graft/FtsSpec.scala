@@ -914,4 +914,40 @@ class FtsSpec extends AnyFunSuite with BeforeAndAfterAll {
       spark.read.option("since-version", v).table(s"$ns.fts2_src"), srcVersion(ns))
     assert(spark.table(s"$ns.fts2_post").where(col("doc_id") >= 40).count() > 0)
   }
+
+  test("dictCompact losing its replace race to a concurrent preFold append " +
+      "SKIPS benignly; the append survives; the retry compacts") {
+    // the q187/q188 topology's hazard: the winner's onBatch dictCompact
+    // stages its REPLACE while the loser's preFold dictFold appends —
+    // the commit's replace-base check catches the race, and the
+    // compaction must come back as `false` (debt remains, next trigger
+    // retries), NOT as an exception that would kill the maintainer's
+    // stream mid-drain.
+    setupGcat()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gcat.drx")
+    val ns = "gcat.drx"
+    graft.queries.Engine3.fts2Create(spark, ns)
+    spark.sql(s"CREATE TABLE $ns.dict_var (variant STRING, tok STRING)")
+    import spark.implicits._
+    val seed = (0L until 6L).map(i => (i, s"w${i}x shared common"))
+      .toDF("doc_id", "text")
+    seed.writeTo(s"$ns.fts2_src").append()
+    graft.queries.Engine3.dictFold(spark, ns, seed)
+    graft.queries.Engine3.fts2Fold(spark, ns,
+      spark.table(s"$ns.fts2_src"), srcVersion(ns))
+    val before = spark.table(s"$ns.dict_var").count()
+    val committed = graft.queries.Engine3.dictCompact(spark, ns,
+      raceSeam = () => graft.queries.Engine3.dictFold(spark, ns,
+        Seq((100L, "zzfresh shared")).toDF("doc_id", "text")))
+    assert(!committed, "a compaction losing the replace race must skip, not throw")
+    // the loser rolled back whole: every pre-race row AND the racing
+    // append survive
+    assert(spark.table(s"$ns.dict_var")
+      .where(col("tok") === "zzfresh").count() > 0,
+      "the racing preFold append must survive the compaction's rollback")
+    assert(spark.table(s"$ns.dict_var").count() > before)
+    // quiet retry commits (and re-applies the serve's own drop rule)
+    assert(graft.queries.Engine3.dictCompact(spark, ns),
+      "the next trigger must compact cleanly")
+  }
 }
