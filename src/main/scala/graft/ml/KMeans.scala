@@ -111,6 +111,70 @@ object KMeans {
     math.min(maxK.toLong,
       math.max(2L, (n + targetClusterSize - 1) / targetClusterSize)).toInt
 
+  /** SEVERAL independent k-means fits in ONE dataflow, keyed by `g` —
+    * for the PQ-codebook shape (8 subspace fits) and the whole
+    * requantize retrain (8 subspaces + the coarse fit as a 9th group,
+    * different dimensionality per group is fine: every step is
+    * array-length-agnostic). Per iteration the grouped fit runs ONE
+    * narrow assignment map + ONE (g, cluster) hash aggregate for ALL
+    * groups, where g separate [[fit]] calls pay g × iters stage
+    * barriers — at small data that's the whole cost (job overhead), at
+    * 100 TB it's g× fewer full-corpus scans if the caller's input
+    * couldn't be cached.
+    *
+    * Bit-identical to running [[fit]] per group: init is the first k
+    * ids WITHIN each group (same rows), the assignment fold and the
+    * quantized means are per-group arithmetic with no cross-group
+    * interaction, and ties break identically (the model rides in
+    * cluster-ascending per group).
+    *
+    * @param emb (g: Int, id: Long, e: array<double>)
+    * @return (g: Int, cluster: Int, c: array<double>) */
+  def fitGrouped(emb: DataFrame, k: Int, iters: Int): DataFrame = {
+    graft.functions.QuantProdSum.register(emb.sparkSession)
+    val release = ensureCached(emb)
+    try {
+      // grouped model: g -> Model, g contiguous from 0 (validated below)
+      def toGrouped(rows: Seq[Row]): Map[Int, Model] =
+        rows.groupBy(_.getInt(0)).view.mapValues { rs =>
+          rs.map { r =>
+            val c = r.getSeq[Double](2).toIndexedSeq
+            (r.getInt(1), c, norm2Q(c))
+          }.toIndexedSeq.sortBy(_._1)
+        }.toMap
+      val wInit = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("g")).orderBy(col("id"))
+      var m: Map[Int, Model] = toGrouped(
+        emb.withColumn("rn", row_number().over(wInit))
+          .filter(col("rn") <= k)
+          .select(col("g"), col("id").cast("int").as("cluster"), col("e").as("c"))
+          .collect().toIndexedSeq)
+      val groups = m.keys.toSeq.sorted
+      require(groups == (0 until groups.size),
+        s"graft: fitGrouped needs contiguous groups from 0, got $groups")
+      def groupedLit(mm: Map[Int, Model]): Column =
+        array(groups.map(g => modelLit(mm(g))): _*)
+      for (_ <- 1 to iters)
+        m = toGrouped(
+          emb.withColumn("cents", element_at(groupedLit(m), col("g") + 1))
+            .withColumn("cluster", expr(
+              """aggregate(
+                |  transform(cents, cc -> struct(
+                |    cc.cluster AS cluster,
+                |    quant_dot(e, cc.c, 1e9) / sqrt(cc.cn2) AS sim)),
+                |  struct(CAST(-1 AS INT) AS cluster, CAST('-Infinity' AS DOUBLE) AS sim),
+                |  (best, s) -> CASE WHEN s.sim > best.sim THEN s ELSE best END
+                |).cluster""".stripMargin))
+            .groupBy(col("g"), col("cluster"))
+            .agg(centroidD(col("e")).as("c"))
+            .collect().toIndexedSeq)
+      import emb.sparkSession.implicits._
+      m.toSeq.sortBy(_._1).flatMap { case (g, model) =>
+        model.map { case (cl, c, _) => (g, cl, c.toSeq) }
+      }.toDF("g", "cluster", "c")
+    } finally release()
+  }
+
   /** @param emb (id: Long, e: array<double>) input
     * @return (cluster: Int, centroid: array<double>) after `iters` steps */
   def fit(emb: DataFrame, k: Int, iters: Int): DataFrame = {

@@ -1646,19 +1646,24 @@ object Engine2 {
               .select(col("code"), col("j"),
                 expr("slice(e, j * 8 + 1, 8)").as("cv")))
         } else {
-          // model-sized collects only (KMeans.fit returns k×d rows);
-          // the cached `live` feeds all nine fits without a re-scan
-          val cents = graft.ml.KMeans.fit(
-            live.select(col("vec_id").as("id"), col("e")), 16, 4)
-          val bookT = (0 until 8).map { j =>
-            graft.ml.KMeans.fit(
-              live.select(col("vec_id").as("id"),
-                expr(s"slice(e, ${j * 8 + 1}, 8)").as("e")), 16, 4)
-              .select(lit(j).as("j"), col("cluster").cast("long").as("code"),
-                col("c").as("cv"))
-          }.reduce(_ unionByName _)
-          (cents.select(col("cluster").cast("long").as("cid"), col("c").as("ce")),
-            bookT)
+          // model-sized collects only; ALL NINE fits (8 subspaces +
+          // the coarse full-vector fit as group 8) run as ONE grouped
+          // Lloyd dataflow off the cached `live` — 4 assignment+update
+          // jobs total instead of 9 × 4 stage barriers, bit-identical
+          // per group to nine separate KMeans.fit calls
+          val grouped = live.select(col("vec_id").as("id"),
+              explode(expr("sequence(0, 8)")).as("gi"), col("e"))
+            .select(col("gi").cast("int").as("g"), col("id"),
+              expr("CASE WHEN gi = 8 THEN e ELSE slice(e, gi * 8 + 1, 8) END")
+                .as("e"))
+          // fitGrouped's result is a driver-local frame (9 × 16 rows)
+          val models = graft.ml.KMeans.fitGrouped(grouped, 16, 4)
+          val cents = models.filter(col("g") === 8)
+            .select(col("cluster").cast("long").as("cid"), col("c").as("ce"))
+          val bookT = models.filter(col("g") < 8)
+            .select(col("g").cast("int").as("j"),
+              col("cluster").cast("long").as("code"), col("c").as("cv"))
+          (cents, bookT)
         }
       val enc = annEncode(live, cent, book)
         .select(col("vid"), col("j"), col("code"), col("list_id"),

@@ -1006,7 +1006,7 @@ object TableStats {
     registryReads.incrementAndGet()
     val p = new Path(dataDir, FileName)
     if (!fs.exists(p)) None
-    else {
+    else Snapshots.withCrcRetry {
       val in = fs.open(p)
       val text = try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
         finally in.close()

@@ -148,9 +148,29 @@ object Snapshots {
     * first matching prefix — the shared primitive behind the registry
     * head pointer ([[TableStats.liveVersion]]) and the delta-base line
     * here. None on a missing/short/unprefixed head or I/O error. */
+  /** Bounded retry for the LOCAL-FS artifact of an OVERWRITE rename
+    * racing a read: ChecksumFileSystem swaps a file and its `.crc`
+    * sidecar as TWO renames, so a reader squeezed between them gets
+    * new-bytes-with-old-crc — a transient ChecksumException that would
+    * otherwise either crash the reader or (worse, in readers that map
+    * IOException to None) silently read as "no registry", demoting a
+    * valid serve pin or misfiring a version probe. Hot under live
+    * maintenance: serves read `_stats.tsv`/`versions.head` per query
+    * while every fold commit rewrites them. HDFS renames atomically
+    * (no sidecar), so this never fires there; a PERSISTENT checksum
+    * error is real corruption and propagates after the retries. */
+  private[sources] def withCrcRetry[T](body: => T): T = {
+    def go(left: Int): T =
+      try body catch {
+        case _: org.apache.hadoop.fs.ChecksumException if left > 0 =>
+          Thread.sleep(20); go(left - 1)
+      }
+    go(5)
+  }
+
   private[sources] def readHeadDigits(
       fs: FileSystem, p: Path, prefixes: Seq[String]): Option[Long] =
-    try {
+    try withCrcRetry {
       val in = fs.open(p)
       val head = try new String(in.readNBytes(64), java.nio.charset.StandardCharsets.UTF_8)
         finally in.close()

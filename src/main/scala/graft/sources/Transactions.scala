@@ -355,17 +355,34 @@ object Transactions {
   def headVersions(coordDir: String): Map[String, Long] = {
     val p = new Path(txnDir(coordDir), "versions.head")
     val fs = fsOf(p)
-    if (!fs.exists(p)) Map.empty
-    else {
-      val in = fs.open(p)
-      val text = try new String(in.readAllBytes(),
-        java.nio.charset.StandardCharsets.UTF_8) finally in.close()
-      text.split('\n').toSeq.filter(_.nonEmpty).flatMap { line =>
-        val i = line.lastIndexOf('\t')
-        if (i <= 0) None
-        else line.substring(i + 1).toLongOption.map(line.substring(0, i) -> _)
-      }.toMap
-    }
+    // Retry the transient local-FS artifact of an OVERWRITE rename
+    // racing this read: ChecksumFileSystem swaps the file and its .crc
+    // sidecar as TWO renames, so a reader squeezed between them sees
+    // new-bytes-with-old-crc (ChecksumException) or a vanishing sidecar
+    // (FileNotFound). Serves read this file per query while every fold
+    // commit rewrites it, so the window is actually hit under live
+    // maintenance (the interleaved-serve spec caught it). Bounded: a
+    // PERSISTENT checksum error is real corruption and must propagate.
+    def attempt(retriesLeft: Int): Map[String, Long] =
+      try {
+        if (!fs.exists(p)) Map.empty
+        else {
+          val in = fs.open(p)
+          val text = try new String(in.readAllBytes(),
+            java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+          text.split('\n').toSeq.filter(_.nonEmpty).flatMap { line =>
+            val i = line.lastIndexOf('\t')
+            if (i <= 0) None
+            else line.substring(i + 1).toLongOption.map(line.substring(0, i) -> _)
+          }.toMap
+        }
+      } catch {
+        case e @ (_: org.apache.hadoop.fs.ChecksumException |
+                  _: java.io.FileNotFoundException) if retriesLeft > 0 =>
+          Thread.sleep(20)
+          attempt(retriesLeft - 1)
+      }
+    attempt(5)
   }
 
   /** Remove `tableDir`'s entry from the coordinator HEAD — called by

@@ -58,4 +58,30 @@ class KMeansSpec extends AnyFunSuite with BeforeAndAfterAll {
     // and one more Lloyd step changes nothing
     assert(key(KMeans.update(KMeans.assign(emb, cent))) == key(cent))
   }
+
+  test("fitGrouped is bit-identical to per-group fit (subspaces + mixed dims)") {
+    import org.apache.spark.sql.functions._
+    val emb = KMeans.embFrame(spark, dir).cache()
+    // the requantize shape: groups 0..7 = 8-dim subspace slices, group 8
+    // = the full 64-dim vector — one grouped dataflow must reproduce
+    // nine independent fits exactly (init, ties, quantized means)
+    val grouped = emb.select(col("id"),
+        explode(expr("sequence(0, 8)")).as("gi"), col("e"))
+      .select(col("gi").cast("int").as("g"), col("id"),
+        expr("CASE WHEN gi = 8 THEN e ELSE slice(e, gi * 8 + 1, 8) END").as("e"))
+    val got = KMeans.fitGrouped(grouped, 16, 3).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2).toSeq).toMap
+    val want = ((0 until 8).map { j =>
+      j -> KMeans.fit(
+        emb.select(col("id"), expr(s"slice(e, ${j * 8 + 1}, 8)").as("e")), 16, 3)
+    } :+ (8 -> KMeans.fit(emb, 16, 3))).flatMap { case (g, df) =>
+      df.collect().map(r => (g, r.getInt(0)) -> r.getSeq[Double](1).toSeq)
+    }.toMap
+    assert(got.keySet == want.keySet,
+      s"cluster sets diverged: ${(got.keySet diff want.keySet).take(5)} / " +
+        s"${(want.keySet diff got.keySet).take(5)}")
+    got.keys.foreach { k =>
+      assert(got(k) == want(k), s"centroid $k diverged")
+    }
+  }
 }
