@@ -142,7 +142,18 @@ object Engine3 {
       val wh = s.conf.get(s"spark.sql.catalog.$cat.warehouse")
       val dd = new org.apache.hadoop.fs.Path(s"$wh/$db/$table/data")
       val fs = dd.getFileSystem(new org.apache.hadoop.conf.Configuration())
-      val m = graft.sources.Snapshots.readManifest(fs, dd, Some(v), None)
+      // readManifest THROWS (not None) for a snapshot expired by vacuum.
+      // Vacuum retains coordinator-HEAD versions precisely so a pinned
+      // serve never hits this ([[graft.sources.Transactions
+      // .headPinnedVersion]]); the catch covers OUT-OF-BAND expiry (a
+      // vacuum addressed by a different path spelling, manual cleanup)
+      // by degrading to live stats — a sizing heuristic miss, strictly
+      // better than killing the serve, and the pinned data read that
+      // follows fails loudly anyway if the snapshot is truly gone.
+      val m = (try graft.sources.Snapshots.readManifest(fs, dd, Some(v), None)
+        catch { case _: IllegalArgumentException =>
+          Some(graft.sources.TableStats.readIfExists(fs, dd)
+            .getOrElse(Map.empty[String, graft.sources.TableStats.Entry])) })
         .getOrElse(Map.empty[String, graft.sources.TableStats.Entry])
       val data = m.view.filterKeys(!graft.sources.GraftDeletes.isDeleteRel(_))
       (data.valuesIterator.map(_.rows).sum,

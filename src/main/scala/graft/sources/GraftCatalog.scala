@@ -698,6 +698,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
       // fails — but dest's old-generation entries could collide)
       Snapshots.invalidateCacheUnder(new Path(dest, "data"))
       if (replacing) {
+        // ... and the transaction coordinator's version HEAD, exactly as
+        // dropTable does: the recreated table restarts its version
+        // counter, so a surviving entry (mergeHead keeps the per-dir
+        // max) would make ServePin see head > liveVersion forever and
+        // silently pin serves of the new incarnation to EMPTY
+        Transactions.purgeHead(warehouse.toString, dest.toString)
         fs.delete(dest, true)
         outgoing.foreach { case (dir, tag) =>
           try Snapshots.dropTag(dir, tag) catch { case _: Exception => () }

@@ -1016,8 +1016,13 @@ object Snapshots {
       // resurrection window the snapshot log exists to close
       val now = System.currentTimeMillis()
       // tagged snapshots are pinned: a tag is a promise that readers can
-      // keep resolving that exact manifest, so vacuum never expires one
-      val tagged = tags(fs, dataDir).values.toSet
+      // keep resolving that exact manifest, so vacuum never expires one.
+      // The transaction coordinator's HEAD entry is a pin of the same
+      // kind: maintained-index serves resolve their cut from it and read
+      // VERSION AS OF that entry, so expiring it would crash (or un-pin)
+      // every serve racing this vacuum.
+      val tagged = tags(fs, dataDir).values.toSet ++
+        Transactions.headPinnedVersion(tableDir)
       val (dropped0, keptYoung) = expired.partition {
         case (v, ts) => now - ts >= minAgeMillis && !tagged.contains(v)
       }

@@ -272,25 +272,38 @@ object Transactions {
           // included) can be wrongly expired — the same assumption
           // every table commit already makes.
           val guard = new Path(txnDir(coordDir), "commit-guard")
-          def guarded(attempt: Int): Unit =
+          // The retry below must cover GUARD ACQUISITION only: nested
+          // withLock calls inside the body (mergeHead's head-guard, the
+          // per-table publish locks) throw the same LockTimeout type,
+          // and retrying one of those after decide() would re-run
+          // recover() — rolling our OWN decided txn forward — then
+          // re-evaluate preconditions against post-commit state, so a
+          // COMMITTED fold would surface as PreconditionFailed. The
+          // `entered` flag separates "never got the guard" (retryable:
+          // nothing decided, stages durable and invisible) from "failed
+          // inside the body" (propagate — idempotent recovery owns it).
+          def guarded(attempt: Int): Unit = {
+            var entered = false
             try TableStats.withLock(fsOf(guard), guard) {
-            // a sibling that DECIDED and died mid-publish is already
-            // committed but may be INVISIBLE to the checks (e.g. its
-            // watermark publish never landed) — without this, a
-            // duplicate fold would pass its precondition and the dead
-            // sibling's later roll-forward would double-index the
-            // interval. Converge decided transactions first, under the
-            // same lock: minAge = MaxValue makes this decided-ONLY
-            // (roll-forward is always safe; live undecided siblings are
-            // never touched), at the cost of one _txn listing per
-            // checked commit.
-            recover(spark, coordDir, minAgeMillis = Long.MaxValue)
-            checkAndPublish()
-          } catch {
-            case e: TableStats.LockTimeout if attempt < 3 =>
-              System.err.println(s"graft: txn $id commit guard busy " +
-                s"(attempt $attempt): ${e.getMessage}; retrying")
-              guarded(attempt + 1)
+              entered = true
+              // a sibling that DECIDED and died mid-publish is already
+              // committed but may be INVISIBLE to the checks (e.g. its
+              // watermark publish never landed) — without this, a
+              // duplicate fold would pass its precondition and the dead
+              // sibling's later roll-forward would double-index the
+              // interval. Converge decided transactions first, under the
+              // same lock: minAge = MaxValue makes this decided-ONLY
+              // (roll-forward is always safe; live undecided siblings are
+              // never touched), at the cost of one _txn listing per
+              // checked commit.
+              recover(spark, coordDir, minAgeMillis = Long.MaxValue)
+              checkAndPublish()
+            } catch {
+              case e: TableStats.LockTimeout if !entered && attempt < 3 =>
+                System.err.println(s"graft: txn $id commit guard busy " +
+                  s"(attempt $attempt): ${e.getMessage}; retrying")
+                guarded(attempt + 1)
+            }
           }
           guarded(1)
         }
@@ -385,30 +398,68 @@ object Transactions {
     attempt(5)
   }
 
+  /** The coordinator-HEAD version pinning `tableDir`, if any — what
+    * VACUUM must retain: a maintained-index serve resolves its cut from
+    * `versions.head` and then reads each table `VERSION AS OF` that
+    * entry, so expiring the entry's snapshot would crash (or worse,
+    * silently un-pin) every serve racing the vacuum. The coordinator is
+    * found by probing `tableDir`'s ancestors for `_txn/versions.head`
+    * (the engine's coordinator IS the warehouse root, one or two levels
+    * up from `<warehouse>/<ns...>/<table>`); best-effort — a
+    * coordinator addressed by a path spelling that differs from the
+    * catalog-resolved dir simply yields no pin, which is the
+    * pre-existing behavior ([[graft.queries.Engine3.registryStatsAt]]
+    * degrades defensively on an expired snapshot). O(ancestors) exists
+    * probes + one small file read; vacuum frequency. */
+  def headPinnedVersion(tableDir: String): Option[Long] = {
+    var p = new Path(tableDir).getParent
+    var depth = 0
+    while (p != null && depth < 3) {
+      val head = new Path(new Path(p, "_txn"), "versions.head")
+      if (fsOf(head).exists(head))
+        return headVersions(p.toString).get(tableDir)
+      p = p.getParent
+      depth += 1
+    }
+    None
+  }
+
   /** Remove `tableDir`'s entry from the coordinator HEAD — called by
     * DROP TABLE: a recreated table restarts its version counter, so a
     * surviving entry would be permanently STALE (the merge's per-dir max
     * keeps the old, larger version forever) and every pinned serve of
     * the new incarnation would wrongly fall back. O(head) bytes, DDL
-    * frequency. A coordinator with no head file is a no-op. */
+    * frequency. A coordinator with no head file is a no-op.
+    *
+    * The existence check runs INSIDE the head-guard lock: checked
+    * outside, a concurrently-completing transaction's [[mergeHead]]
+    * could create the file between the check and the (skipped) rewrite,
+    * or re-merge the dropped table's entry right after the purge.
+    * Serialization under the guard closes the first; the second is
+    * out of scope by contract — DROP TABLE must not race an IN-FLIGHT
+    * transaction writing the same table (the drop deletes the table dir
+    * out from under the txn's staged files anyway, so such a race is
+    * already undefined at the data layer, not just the head). */
   def purgeHead(coordDir: String, tableDir: String): Unit = {
     val d = txnDir(coordDir)
     val fs = fsOf(d)
-    if (!fs.exists(new Path(d, "versions.head"))) return
     val guard = new Path(d, "head/guard")
+    if (!fs.exists(d)) return // never any txn under this coordinator
     TableStats.withLock(fs, guard) {
-      val kept = headVersions(coordDir).toSeq.filterNot(_._1 == tableDir)
-        .sortBy(_._1)
-      val tmp = new Path(d, s".versions.head.tmp-${java.util.UUID.randomUUID()}")
-      val out = fs.create(tmp, true)
-      try out.write(kept.map { case (dir, v) => s"$dir\t$v" }
-        .mkString("", "\n", "\n")
-        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      finally out.close()
-      val fc = org.apache.hadoop.fs.FileContext.getFileContext(fs.getUri, fs.getConf)
-      fc.rename(fc.makeQualified(tmp),
-        fc.makeQualified(new Path(d, "versions.head")),
-        org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+      if (fs.exists(new Path(d, "versions.head"))) {
+        val kept = headVersions(coordDir).toSeq.filterNot(_._1 == tableDir)
+          .sortBy(_._1)
+        val tmp = new Path(d, s".versions.head.tmp-${java.util.UUID.randomUUID()}")
+        val out = fs.create(tmp, true)
+        try out.write(kept.map { case (dir, v) => s"$dir\t$v" }
+          .mkString("", "\n", "\n")
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        finally out.close()
+        val fc = org.apache.hadoop.fs.FileContext.getFileContext(fs.getUri, fs.getConf)
+        fc.rename(fc.makeQualified(tmp),
+          fc.makeQualified(new Path(d, "versions.head")),
+          org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+      }
     }
   }
 

@@ -224,8 +224,18 @@ object IndexMaintain {
           // the queryable ops record (lost intervals INCLUDED — the
           // stderr line above is best-effort console noise, this is the
           // census an operator actually queries); see [[census]] for
-          // why it sits outside the fold's transaction
-          censusTable.foreach(t => census(spark, t, recorded, now, route, won))
+          // why it sits outside the fold's transaction. The append is
+          // guarded to match: observability outside the correctness
+          // path must not KILL the maintainer stream when the census
+          // table is missing/dropped or its write transiently fails —
+          // at-most-once means a lost row, never a lost maintainer
+          censusTable.foreach { t =>
+            try census(spark, t, recorded, now, route, won)
+            catch { case scala.util.control.NonFatal(e) =>
+              System.err.println(s"graft: IndexMaintain census append to " +
+                s"$t failed (row dropped): ${e.getMessage}")
+            }
+          }
           if (won) onBatch(recorded, now, mutated)
         }
       }

@@ -488,4 +488,62 @@ class TransactionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.table("txc.t.r").select("id").collect().map(_.getLong(0)).sorted
       .toSeq == Seq(950L, 951L), "refused transactions must leave no trace")
   }
+
+  test("vacuum retains the coordinator-HEAD version: a pinned serve racing a " +
+      "vacuum still resolves its cut") {
+    spark.sql("CREATE TABLE txc.t.vh (id BIGINT, s STRING)")
+    Transactions.run(spark, warehouse) { txn =>
+      txn.write("txc.t.vh", batch(0, 5))
+    }
+    val dir = s"$warehouse/t/vh"
+    val headV = Transactions.headVersions(warehouse)(dir)
+    assert(Transactions.headPinnedVersion(dir).contains(headV))
+    // advance the table PAST the head entry outside any transaction, so
+    // the pinned version is no longer the live head (the vacuum-victim
+    // position)
+    spark.sql("INSERT INTO txc.t.vh VALUES (100, 'post-txn')")
+    spark.sql("INSERT INTO txc.t.vh VALUES (101, 'post-txn')")
+    // retain=1 + zero age guard would expire every non-live manifest —
+    // EXCEPT the coordinator-HEAD pin
+    Snapshots.vacuum(dir, retain = 1, minAgeMillis = 0L)
+    val pinned = spark.read.option("snapshot-version", headV).table("txc.t.vh")
+    assert(pinned.count() == 5L,
+      s"head-pinned snapshot v$headV must survive vacuum")
+  }
+
+  test("a LockTimeout thrown INSIDE a checked commit's body propagates — the " +
+      "guard retry covers acquisition only, never re-entry after the check ran") {
+    spark.sql("CREATE TABLE txc.t.lt (id BIGINT, s STRING)")
+    val checks = new java.util.concurrent.atomic.AtomicInteger(0)
+    val e = intercept[graft.sources.TableStats.LockTimeout] {
+      Transactions.run(spark, warehouse) { txn =>
+        txn.write("txc.t.lt", batch(0, 3))
+        txn.precondition("simulated nested lock timeout") {
+          checks.incrementAndGet()
+          throw new graft.sources.TableStats.LockTimeout("nested lock busy")
+        }
+      }
+    }
+    assert(e.getMessage.contains("nested lock busy"))
+    assert(checks.get() == 1,
+      "a body LockTimeout must NOT re-enter the guarded section " +
+        s"(check ran ${checks.get()} times)")
+    assert(count("lt") == 0, "the failed commit must leave no rows")
+  }
+
+  test("staged CREATE OR REPLACE purges the coordinator HEAD exactly like DROP") {
+    spark.sql("CREATE TABLE txc.t.rep (id BIGINT, s STRING)")
+    Transactions.run(spark, warehouse) { txn =>
+      txn.write("txc.t.rep", batch(0, 4))
+    }
+    val dir = s"$warehouse/t/rep"
+    assert(Transactions.headVersions(warehouse).contains(dir))
+    spark.sql(
+      "CREATE OR REPLACE TABLE txc.t.rep AS " +
+        "SELECT CAST(1 AS BIGINT) AS id, 'fresh' AS s")
+    assert(!Transactions.headVersions(warehouse).contains(dir),
+      "the recreated table's restarted version counter would sit below a " +
+        "surviving head entry forever — serves would pin it to EMPTY")
+    assert(count("rep") == 1)
+  }
 }
