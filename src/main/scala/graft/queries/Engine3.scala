@@ -207,6 +207,22 @@ object Engine3 {
       case ServePin.Empty => s.table(s"$ns.$name").limit(0)
       case ServePin.Live => s.table(s"$ns.$name")
     }
+    /** Like [[table]], but the Empty demotion reads LIVE instead — for
+      * side-state tables (the fuzzy dict) whose writers became
+      * transactional AFTER data could already exist: a legacy dict has
+      * rows but no head entry, so the Empty rule's premise ("pinned
+      * tables are written only by transactions, seeds included") does
+      * not hold for it, and serving it empty silently blanks every
+      * suggestion. The first transactional dict write in a namespace
+      * (a dictFold append or a dictCompact replace) adds the head entry
+      * and upgrades the table to pinned reads from then on — the
+      * compaction-vs-pinned-serve race is closed exactly where the
+      * maintained topology runs compactions at all. */
+    def tableOrLive(name: String): DataFrame = cut(name) match {
+      case ServePin.At(v) =>
+        s.read.option("snapshot-version", v).table(s"$ns.$name")
+      case _ => s.table(s"$ns.$name")
+    }
     def stats(name: String): (Long, Long) = cut(name) match {
       case ServePin.At(v) => registryStatsAt(s, ns, name, Some(v))
       case ServePin.Empty => (0L, 0L)
@@ -236,7 +252,22 @@ object Engine3 {
                 val dd = new org.apache.hadoop.fs.Path(dir, "data")
                 val live = graft.sources.TableStats.liveVersion(
                   dd.getFileSystem(new org.apache.hadoop.conf.Configuration()), dd)
-                if (live.exists(hv <= _)) ServePin.At(hv) else missing
+                // demote ONLY on an affirmative live < head (the
+                // drop/recreate signature). liveVersion returns None not
+                // just for never-written tables but for a registry
+                // TRANSIENTLY unreadable under a racing publish's
+                // rename/CRC swap — and a table with a head entry was by
+                // definition published through a completed transaction,
+                // so None here is overwhelmingly the transient race:
+                // demoting on it turned a healthy pinned table into an
+                // EMPTY serve (NULL BM25 constants — the interleaved
+                // spec caught it under cross-suite load). Trusting the
+                // head on None leaves the out-of-band-deleted-table case
+                // (rm without DROP) failing LOUDLY at the pinned read
+                // (missing snapshot) instead of silently serving empty —
+                // the right trade for a corruption case the catalog's
+                // purge discipline already owns.
+                if (live.forall(hv <= _)) ServePin.At(hv) else missing
               case None => missing
             }
         }
@@ -346,7 +377,8 @@ object Engine3 {
     * O(batch tokens), independent of index size: the existing postings
     * are never read, let alone rewritten. */
   private[graft] def fts2Fold(s: SparkSession, ns: String, batch: DataFrame,
-      newVersion: Long, expect: Option[Long] = None): Unit = {
+      newVersion: Long, expect: Option[Long] = None,
+      dictExpect: Option[Long] = None): Unit = {
     val coord = s.conf.get(s"spark.sql.catalog.${ns.split('.')(0)}.warehouse")
     val (post, pos, glob) = fts2IndexRows(batch, newVersion)
     graft.sources.Transactions.run(s, coord) { txn =>
@@ -357,6 +389,17 @@ object Engine3 {
       expect.foreach { w =>
         txn.precondition(s"$ns.fts2_meta watermark == $w (single-maintainer)") {
           graft.streaming.IndexMaintain.watermark(s, s"$ns.fts2_meta") == w
+        }
+      }
+      // `dictExpect` = the dict version this interval's [[dictFold]]
+      // landed (fuzzy-maintained namespaces only): a [[dictCompact]]
+      // squeezing between the dict fold and THIS commit computed
+      // liveness without this batch's postings and may have stripped a
+      // term the batch resurrects — abort, and the interval re-runs
+      // whole (preFold re-adds the term against the compacted dict)
+      dictExpect.foreach { dv =>
+        txn.precondition(s"$ns.dict_var version == $dv (dict-fold pair)") {
+          dictVersion(s, ns) == dv
         }
       }
       txn.write(s"$ns.fts2_post", post)
@@ -395,7 +438,8 @@ object Engine3 {
     * rewrite (and [[fts2CompactIfDebt]] triggers it from the registry's
     * own row counts), exactly like MOR delete-file compaction. */
   private[graft] def fts2FoldFeed(s: SparkSession, ns: String, srcTable: String,
-      feed: DataFrame, v1: Long, v2: Long, expect: Option[Long] = None): Unit = {
+      feed: DataFrame, v1: Long, v2: Long, expect: Option[Long] = None,
+      dictExpect: Option[Long] = None): Unit = {
     val coord = s.conf.get(s"spark.sql.catalog.${ns.split('.')(0)}.warehouse")
     val affected = feed.select(col("doc_id")).distinct()
     def state(v: Long): DataFrame =
@@ -423,6 +467,13 @@ object Engine3 {
       expect.foreach { w =>
         txn.precondition(s"$ns.fts2_meta watermark == $w (single-maintainer)") {
           graft.streaming.IndexMaintain.watermark(s, s"$ns.fts2_meta") == w
+        }
+      }
+      // see [[fts2Fold]]: abort if a dict compaction squeezed between
+      // this interval's dictFold and this commit
+      dictExpect.foreach { dv =>
+        txn.precondition(s"$ns.dict_var version == $dv (dict-fold pair)") {
+          dictVersion(s, ns) == dv
         }
       }
       txn.write(s"$ns.fts2_post", postRows)
@@ -506,9 +557,16 @@ object Engine3 {
     try { graft.sources.Transactions.run(s, coord)(body); true }
     catch {
       case e: graft.sources.Transactions.ReplaceRaceLost =>
-        System.err.println(s"graft: $what compaction lost its replace race " +
-          s"to a concurrent fold — skipped, next trigger retries " +
+        graft.GraftLog.debug(s"graft: $what compaction lost its replace " +
+          s"race to a concurrent fold — skipped, next trigger retries " +
           s"(${e.getMessage})")
+        false
+      // a compaction's own precondition (e.g. dictCompact's liveness
+      // basis) failing is the same benign backpressure as the replace
+      // race: the debt is still there, the next trigger retries
+      case e: graft.sources.Transactions.PreconditionFailed =>
+        graft.GraftLog.debug(s"graft: $what compaction's basis moved " +
+          s"under it — skipped, next trigger retries (${e.getMessage})")
         false
     }
 
@@ -2355,6 +2413,14 @@ object Engine3 {
         val wmA = graft.streaming.IndexMaintain.watermark(s, s"$ann.ann3_meta")
         if (head("dfts", "fts2_src") > wmF || head("dann", "ann3_src") > wmA) {
           val coord = s.conf.get("spark.sql.catalog.gcat.warehouse")
+          // ONE ops census for BOTH maintainers — interval outcomes from
+          // the loops themselves, compaction decisions from the onBatch
+          // debt hooks. The gate's answer pins its aggregate, making the
+          // census row contract oracle-gated like every other operator:
+          // at 100 TB this table (not the driver log) is how an operator
+          // asks "which intervals were lost? when did debt policies
+          // fire?".
+          val census = s"$fts.maint_log"
           def drainFts(): Unit = graft.streaming.IndexMaintain.start(
             s, s"$fts.fts2_src", s"$fts.fts2_meta",
             java.nio.file.Files.createTempDirectory("q187f").toString, coord,
@@ -2363,15 +2429,26 @@ object Engine3 {
                 expect = Some(v1)),
             foldFeed = (feed, v1, v2) =>
               fts2FoldFeed(s, fts, s"$fts.fts2_src", feed, v1, v2,
-                expect = Some(v1))).awaitTermination()
+                expect = Some(v1)),
+            onBatch = (v1, v2, _) => {
+              val fired = fts2CompactIfDebt(s, fts, frac = 1e-9)
+              graft.streaming.IndexMaintain.census(
+                s, census, v1, v2, "compact-index", fired)
+            },
+            censusTable = Some(census)).awaitTermination()
           def drainAnn(): Unit = graft.streaming.IndexMaintain.start(
             s, s"$ann.ann3_src", s"$ann.ann3_meta",
             java.nio.file.Files.createTempDirectory("q187a").toString, coord,
             foldAppend = (delta, v1, v2) =>
               Engine2.ann3FoldFeed(s, ann, delta, v2, expect = Some(v1)),
             foldFeed = (feed, v1, v2) =>
-              Engine2.ann3FoldFeed(s, ann, feed, v2, expect = Some(v1)))
-            .awaitTermination()
+              Engine2.ann3FoldFeed(s, ann, feed, v2, expect = Some(v1)),
+            onBatch = (v1, v2, _) => {
+              val fired = Engine2.annCompactIfDebt(s, ann, frac = 1e-9)
+              graft.streaming.IndexMaintain.census(
+                s, census, v1, v2, "compact-ann", fired)
+            },
+            censusTable = Some(census)).awaitTermination()
           val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
           val ts = Seq(
             new Thread(() =>
@@ -2393,8 +2470,23 @@ object Engine3 {
           .select((col("wf") === lit(head("dfts", "fts2_src")) &&
               col("wa") === lit(head("dann", "ann3_src")))
             .cast("bigint").as("caught_up"))
+        // the census contract, pinned by the oracle: one WON fold
+        // interval per maintainer (exactly-once, never lost in this
+        // disjoint-source topology), one fired compaction decision per
+        // index, and every interval exactly the churn's two source
+        // commits wide — the queryable shape an operator monitors
+        val censusSum = s.table(s"$fts.maint_log")
+          .agg(
+            sum(when(col("route").isin("feed", "append", "advance") &&
+              col("won"), 1L).otherwise(0L)).cast("long").as("n_fold_won"),
+            sum(when(col("route").isin("feed", "append", "advance") &&
+              !col("won"), 1L).otherwise(0L)).cast("long").as("n_fold_lost"),
+            sum(when(col("route").startsWith("compact") && col("won"), 1L)
+              .otherwise(0L)).cast("long").as("n_compact_fired"),
+            max(col("v_to") - col("v_from")).cast("long").as("max_interval"))
         hybridServe(s, fts, ann, Seq("join", "scan", "hash"))
           .crossJoin(broadcast(proof))
+          .crossJoin(broadcast(censusSum))
           .orderBy(desc("rrf_nano"), col("doc_id"))
       },
       // the q184 oracle (both rankings replayed from the post-mutation
@@ -2480,7 +2572,11 @@ object Engine3 {
           CAST(round((COALESCE(1.0 / (60 + rank_s), 0.0) +
                       COALESCE(1.0 / (60 + rank_d), 0.0)) * 1e9) AS BIGINT)
             AS rrf_nano,
-          CAST(1 AS BIGINT) AS caught_up
+          CAST(1 AS BIGINT) AS caught_up,
+          CAST(2 AS BIGINT) AS n_fold_won,
+          CAST(0 AS BIGINT) AS n_fold_lost,
+          CAST(2 AS BIGINT) AS n_compact_fired,
+          CAST(2 AS BIGINT) AS max_interval
         FROM sr FULL OUTER JOIN dr ON sr.doc_id = dr.doc_id
         ORDER BY rrf_nano DESC, doc_id"""),
       // fixture: both indexes seeded WHOLE through the shared folds —
@@ -2491,6 +2587,9 @@ object Engine3 {
         val ns2 = "gcat.dfts"
         s.sql("CREATE NAMESPACE IF NOT EXISTS gcat.dfts")
         fts2Create(s, ns2, withRowKey = true)
+        s.sql(s"DROP TABLE IF EXISTS $ns2.maint_log")
+        s.sql(s"CREATE TABLE $ns2.maint_log " +
+          "(v_from BIGINT, v_to BIGINT, route STRING, won BOOLEAN)")
         s.read.parquet(s"$dir/documents.parquet")
           .select(col("doc_id").cast("string").as("row_key"),
             col("doc_id"), col("text"))
@@ -2532,15 +2631,22 @@ object Engine3 {
         val wm = graft.streaming.IndexMaintain.watermark(s, s"$ns2.fts2_meta")
         if (head > wm) {
           val ckpt = java.nio.file.Files.createTempDirectory("q188_ckpt").toString
+          // the dict version this interval's preFold landed, handed to
+          // the SAME interval's fold as its `dictExpect` precondition —
+          // the pair-atomicity guard that keeps a dict compaction from
+          // squeezing between them (see dictCompact's ordering scaladoc).
+          // Same-thread hand-off: IndexMaintain runs preFold then the
+          // fold inside one foreachBatch.
+          val dictV = new java.util.concurrent.atomic.AtomicLong(0L)
           graft.streaming.IndexMaintain.start(
             s, s"$ns2.fts2_src", s"$ns2.fts2_meta", ckpt,
             s.conf.get("spark.sql.catalog.gcat.warehouse"),
             foldAppend = (delta, v1, v2) =>
               fts2Fold(s, ns2, delta.select(col("doc_id"), col("text")), v2,
-                expect = Some(v1)),
+                expect = Some(v1), dictExpect = Some(dictV.get)),
             foldFeed = (feed, v1, v2) =>
               fts2FoldFeed(s, ns2, s"$ns2.fts2_src", feed, v1, v2,
-                expect = Some(v1)),
+                expect = Some(v1), dictExpect = Some(dictV.get)),
             onBatch = (_, _, _) => {
               dictCompactIfDebt(s, ns2, frac = 1e-9)
               fts2CompactIfDebt(s, ns2, frac = 1e-9)
@@ -2548,10 +2654,10 @@ object Engine3 {
             },
             preFold = (feed, _, v2) => {
               val affected = feed.select(col("doc_id")).distinct()
-              dictFold(s, ns2,
+              dictV.set(dictFold(s, ns2,
                 s.read.option("snapshot-version", v2).table(s"$ns2.fts2_src")
                   .join(affected, Seq("doc_id"), "left_semi")
-                  .select(col("doc_id"), col("text")))
+                  .select(col("doc_id"), col("text"))))
             })
             .awaitTermination()
         }
@@ -2644,30 +2750,103 @@ object Engine3 {
     }
   }
 
+  /** LIVE registry head of `ns.table` (0 when never written) — one
+    * metadata read. */
+  private[graft] def tableVersion(s: SparkSession, ns: String,
+      table: String): Long = {
+    val Array(cat, db) = ns.split('.')
+    val wh = s.conf.get(s"spark.sql.catalog.$cat.warehouse")
+    val dd = new org.apache.hadoop.fs.Path(s"$wh/$db/$table/data")
+    graft.sources.TableStats.liveVersion(
+      dd.getFileSystem(new org.apache.hadoop.conf.Configuration()), dd)
+      .getOrElse(0L)
+  }
+
+  /** LIVE registry head of `ns.dict_var` (0 when never written) — the
+    * version the dict-consistency preconditions compare ([[dictFold]]'s
+    * read basis, the fold-side `dictExpect`, [[dictCompact]]'s
+    * replace-base). */
+  private[graft] def dictVersion(s: SparkSession, ns: String): Long =
+    tableVersion(s, ns, "dict_var")
+
   /** Append the deletion-neighborhood variants of `batch`'s NEW terms to
     * `ns.dict_var` — terms the dict already knows are anti-joined away,
     * so the dict stays one row per (variant, term) and folds cost
     * O(batch tokens + dict), never the corpus. Append-only by design:
-    * a dead term's suggestions die at SERVE time (df = 0 from the live
-    * postings), folds never rewrite — dead vocabulary is compaction
-    * debt that [[dictCompact]] pays off at q173 cadence
+    * a dead term's suggestions die at SERVE time (df = 0 from the
+    * pinned postings), folds never rewrite — dead vocabulary is
+    * compaction debt that [[dictCompact]] pays off at q173 cadence
     * ([[dictCompactIfDebt]] is its trigger). ORDERING CONTRACT: call this
     * BEFORE the interval's index fold — the dict lives outside the
     * fold's transaction, and dict-first makes the crash window benign
     * (superset dict + un-advanced watermark → the interval re-runs),
-    * where fold-first would lose the interval's new terms forever. */
-  private[graft] def dictFold(s: SparkSession, ns: String, batch: DataFrame): Unit = {
-    val batchTerms = fts2Tokenize(batch)
-      .select(explode(col("sp")).as("tok")).distinct()
-    val known = s.table(s"$ns.dict_var").select(col("tok")).distinct()
-    val fresh = batchTerms.join(known, Seq("tok"), "left_anti")
-    fresh.select(col("tok"), explode(expr(
-        """array_union(array(tok), transform(sequence(1, length(tok)),
-          |  i -> concat(substring(tok, 1, i - 1),
-          |              substring(tok, i + 1, length(tok)))))""".stripMargin))
-        .as("variant"))
-      .select(col("variant"), col("tok"))
-      .writeTo(s"$ns.dict_var").append()
+    * where fold-first would lose the interval's new terms forever.
+    *
+    * The append is a CHECKED transaction through the coordinator, for
+    * the pinned-serve contract ([[fuzzyServe]] reads the dict at the
+    * [[ServePin]] cut, so the coordinator HEAD must speak for
+    * `dict_var`): the commit precondition re-checks that the dict is
+    * still at the version the anti-join read — a [[dictCompact]] landing
+    * in between invalidates the "already known" premise (it may have
+    * just REMOVED a term this batch resurrects), so the fold retries
+    * against the compacted dict and re-adds it. Returns the dict
+    * version the interval's index fold must expect (its `dictExpect`):
+    * the version OUR append landed at — never a later live read, which
+    * could silently absorb a compaction squeezing between this fold
+    * pair — or the unchanged read basis when the batch had no new
+    * terms. */
+  private[graft] def dictFold(s: SparkSession, ns: String, batch: DataFrame): Long = {
+    val coord = s.conf.get(s"spark.sql.catalog.${ns.split('.')(0)}.warehouse")
+    val Array(_, db) = ns.split('.')
+    val dictDir = s"$coord/$db/dict_var"
+    def attempt(retriesLeft: Int): Long = {
+      val v0 = dictVersion(s, ns)
+      val batchTerms = fts2Tokenize(batch)
+        .select(explode(col("sp")).as("tok")).distinct()
+      val known = s.table(s"$ns.dict_var").select(col("tok")).distinct()
+      val fresh = batchTerms.join(known, Seq("tok"), "left_anti")
+      val variants = fresh.select(col("tok"), explode(expr(
+          """array_union(array(tok), transform(sequence(1, length(tok)),
+            |  i -> concat(substring(tok, 1, i - 1),
+            |              substring(tok, i + 1, length(tok)))))""".stripMargin))
+          .as("variant"))
+        .select(col("variant"), col("tok"))
+      // a batch with NO new terms commits nothing: re-reading the
+      // version after the (already-evaluated) anti-join proves the read
+      // basis stood — versions are monotone, so an unchanged version
+      // means no compaction could have invalidated "already known", and
+      // v0 is exactly what the fold must expect. A changed version
+      // retries against the new dict state.
+      if (variants.isEmpty) {
+        if (dictVersion(s, ns) == v0) v0
+        else if (retriesLeft > 0) attempt(retriesLeft - 1)
+        else throw new IllegalStateException(
+          s"graft: dictFold on $ns could not hold a dict-read basis")
+      } else try {
+        val id = graft.sources.Transactions.run(s, coord) { txn =>
+          txn.precondition(
+            s"$ns.dict_var version == $v0 (dictFold read basis)") {
+            dictVersion(s, ns) == v0
+          }
+          txn.write(s"$ns.dict_var", variants)
+        }
+        // the landed version comes from the transaction's own record,
+        // never a later live read (which could silently absorb a
+        // compaction landing right after our commit)
+        graft.sources.Transactions.publishedVersions(coord, id)
+          .flatMap(_.get(dictDir)).getOrElse(
+            throw new IllegalStateException(
+              s"graft: dictFold txn $id on $ns has no published-versions " +
+                "record — cannot hand the fold a dict basis to expect"))
+      } catch {
+        case e: graft.sources.Transactions.PreconditionFailed
+            if retriesLeft > 0 =>
+          graft.GraftLog.debug(s"graft: dictFold on $ns lost its read " +
+            s"basis (concurrent dict write): retrying (${e.getMessage})")
+          attempt(retriesLeft - 1)
+      }
+    }
+    attempt(5)
   }
 
   /** COMPACT the fuzzy dictionary — the [[fts2Compact]] (q173)
@@ -2687,20 +2866,46 @@ object Engine3 {
     * (the permanent loss its ordering contract exists to prevent). The
     * [[graft.streaming.IndexMaintain]] `onBatch` hook (after the fold,
     * before the next dictFold) and any point outside a fold sequence are
-    * safe; a REPLACE racing a concurrent dictFold append aborts on the
-    * transaction's replace-base check and compaction rolls back whole. */
+    * safe; the CONCURRENT-maintainer interleavings are all caught at the
+    * commit point and skip benignly:
+    *  - a dictFold append racing this REPLACE → the transaction's
+    *    replace-base check ([[graft.sources.Transactions.ReplaceRaceLost]]);
+    *  - an index fold landing between this compaction's liveness basis
+    *    and its commit (the fold's batch may resurrect a term this
+    *    rewrite would strip — the race a PINNED serve would observe as a
+    *    lost suggestion) → the `fts2_post` version precondition below;
+    *  - the inverse order (this compaction landing inside a dictFold →
+    *    index-fold pair) → the pair's own `dictExpect` precondition
+    *    aborts the FOLD, and the interval re-runs against the compacted
+    *    dict.
+    * Liveness is computed AT the basis version the precondition then
+    * re-checks, so the rewrite's premise and its guard are the same
+    * snapshot. Tombstones are read live: tombstones only GROW between
+    * index compactions (truncation rewrites `fts2_post`, tripping the
+    * precondition), and a newer tombstone can only mark more terms dead
+    * — a term it kills that some PINNED cut still serves is re-added on
+    * the next fold that resurrects it (the `dictExpect` chain), and a
+    * pinned SERVE of such a term still verifies df from its own pinned
+    * postings, where the dict entry still exists. */
   private[graft] def dictCompact(s: SparkSession, ns: String,
       raceSeam: () => Unit = () => ()): Boolean = {
     val coord = s.conf.get(s"spark.sql.catalog.${ns.split('.')(0)}.warehouse")
     val (dictRows, _) = registryStats(s, ns, "dict_var")
     if (dictRows == 0L) return false
-    val liveToks = fts2Surviving(
-        s.table(s"$ns.fts2_post"), fts2TombMaxOpt(s, ns))
+    val basisPost = tableVersion(s, ns, "fts2_post")
+    val basePostings =
+      if (basisPost == 0L) s.table(s"$ns.fts2_post") // never written: empty
+      else s.read.option("snapshot-version", basisPost).table(s"$ns.fts2_post")
+    val liveToks = fts2Surviving(basePostings, fts2TombMaxOpt(s, ns))
       .select(col("tok")).distinct()
     // shard from the BASE dict scan (an upper bound of the survivors —
     // the fts2Compact discipline: post-join size estimates over-shard)
     val shards = fts2ShardCount(s.table(s"$ns.dict_var"))
     compactTxn(s, coord, s"$ns dict") { txn =>
+      txn.precondition(
+        s"$ns.fts2_post version == $basisPost (dict liveness basis)") {
+        tableVersion(s, ns, "fts2_post") == basisPost
+      }
       // distinct also RESTORES the one-row-per-(variant, term) invariant:
       // two racing maintainers' preFold dictFolds can both pass the
       // anti-join and double-append the same rows (serve-neutral — the
@@ -2742,26 +2947,35 @@ object Engine3 {
 
   /** Fuzzy suggestions from the MAINTAINED dict + index: candidates from
     * the variant point-join (dict-sized), exact levenshtein ≤ 1 verify,
-    * then df from the LIVE postings — an IN-pruned, survival-filtered
+    * then df from the PINNED postings — an IN-pruned, survival-filtered
     * read over just the candidate terms (the model-sized collect is the
     * q142 probed-lists pattern). df = 0 candidates drop here, which is
-    * what lets the dict stay append-only under deletes. */
-  private[graft] def fuzzyServe(s: SparkSession, ns: String, query: String): DataFrame = {
+    * what lets the dict stay append-only under deletes.
+    *
+    * The dictionary is read at the SAME [[ServePin]] cut as the
+    * postings it verifies against — the last maintained-index read to
+    * join the pinned set: a live dict read could miss a candidate a
+    * racing [[dictCompact]] just stripped (dead in the LIVE index but
+    * alive at this serve's pinned cut — a lost suggestion, the
+    * fuzzy-shaped "third answer"). Consistency of the pinned pair rests
+    * on every dict writer publishing through the coordinator
+    * ([[dictFold]]'s checked append, [[dictCompact]]'s checked replace)
+    * and on the fold-pair / liveness-basis preconditions those writers
+    * carry — see [[dictCompact]]'s ordering scaladoc for the full
+    * interleaving argument. */
+  private[graft] def fuzzyServe(s: SparkSession, ns: String, query: String): DataFrame =
+    fuzzyServe(s, ns, query, ServePin.of(s, ns))
+
+  private[graft] def fuzzyServe(s: SparkSession, ns: String, query: String,
+      pin: ServePin): DataFrame = {
     val qVariants = (query +: query.indices.map(i =>
       query.substring(0, i) + query.substring(i + 1))).distinct
-    // the dictionary stays a LIVE read, deliberately: dictFold appends
-    // OUTSIDE the fold transactions (fold-first crash ordering), so the
-    // coordinator HEAD cannot speak for dict_var — and it doesn't need
-    // to: the dict is append-only superset candidate state, every
-    // candidate is verified against the PINNED postings below (df = 0
-    // drops), and dictCompact's swap is a single-table atomic replace
-    val cands = s.table(s"$ns.dict_var")
+    val cands = pin.tableOrLive("dict_var")
       .where(col("variant").isin(qVariants: _*))
       .select(col("tok")).distinct()
       .withColumn("dist", levenshtein(col("tok"), lit(query)))
       .where(col("dist") <= 1)
       .collect().map(r => (r.getString(0), r.getInt(1)))
-    val pin = ServePin.of(s, ns)
     val tombMax = fts2TombMaxOpt(s, ns, pin)
     val live = fts2Surviving(
       pin.table("fts2_post")

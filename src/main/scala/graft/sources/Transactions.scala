@@ -300,7 +300,7 @@ object Transactions {
               checkAndPublish()
             } catch {
               case e: TableStats.LockTimeout if !entered && attempt < 3 =>
-                System.err.println(s"graft: txn $id commit guard busy " +
+                graft.GraftLog.debug(s"graft: txn $id commit guard busy " +
                   s"(attempt $attempt): ${e.getMessage}; retrying")
                 guarded(attempt + 1)
             }

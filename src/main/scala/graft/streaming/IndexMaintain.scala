@@ -215,7 +215,9 @@ object IndexMaintain {
                 // fold rolled back whole. Skipping is safe: the interval's
                 // rows are indexed (by the winner), and the next batch
                 // re-derives its interval from the advanced watermark.
-                System.err.println(
+                // The census row below (won = false) is the record; the
+                // console echo is debug-gated ([[graft.GraftLog]]).
+                graft.GraftLog.debug(
                   s"graft: IndexMaintain on $metaTable lost interval " +
                     s"($recorded, $now] to a concurrent maintainer — " +
                     s"skipped (${e.getMessage})")

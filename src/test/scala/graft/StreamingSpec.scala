@@ -1541,4 +1541,144 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(served.asScala.toSet.size >= 2 || legal.size == 1,
       "serves never observed more than one cut — interleaving too coarse to test anything")
   }
+
+  test("serve pinning: the fuzzy dict is read at the serve's cut — a " +
+      "dictCompact racing a pinned serve cannot lose a suggestion") {
+    // the round-12 residue: fuzzyServe used to read dict_var LIVE while
+    // verifying candidates against the PINNED postings. A term dead in
+    // the live index but ALIVE at a serve's pinned cut is exactly what
+    // dictCompact strips — the serve then never generates the candidate
+    // and silently loses a suggestion its pinned postings would have
+    // verified (the fuzzy-shaped "third answer"). Constructed here
+    // without timing: capture the pin, fold a delete, compact the dict,
+    // THEN serve at the captured pin.
+    gimWh
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gim.fz1")
+    val ns = "gim.fz1"
+    graft.queries.Engine3.fts2Create(spark, ns, withRowKey = true)
+    spark.sql(s"CREATE TABLE $ns.dict_var (variant STRING, tok STRING)")
+    import spark.implicits._
+    val seed = Seq((0L, "sox common"), (1L, "w1z common"), (2L, "w2z common"))
+      .toDF("doc_id", "text")
+    seed.select(col("doc_id").cast("string").as("row_key"),
+        col("doc_id"), col("text"))
+      .writeTo(s"$ns.fts2_src").append()
+    graft.queries.Engine3.dictFold(spark, ns, seed)
+    graft.queries.Engine3.fts2Fold(spark, ns,
+      spark.table(s"$ns.fts2_src").select(col("doc_id"), col("text")),
+      graft.queries.Engine3.fts2SrcVersion(spark, ns))
+    def fuzzy(pin: graft.queries.Engine3.ServePin): Seq[(String, Long, Long)] =
+      graft.queries.Engine3.fuzzyServe(spark, ns, "sox", pin).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    // the serve resolves its cut HERE (sox alive) ...
+    val pin1 = graft.queries.Engine3.ServePin.of(spark, ns)
+    // ... then a delete fold + dict compaction land before it reads
+    val w = graft.streaming.IndexMaintain.watermark(spark, s"$ns.fts2_meta")
+    spark.sql(s"DELETE FROM $ns.fts2_src WHERE doc_id = 0")
+    val h = graft.queries.Engine3.fts2SrcVersion(spark, ns)
+    val cat = spark.sessionState.catalogManager.catalog("gim")
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
+    val tbl = cat.loadTable(org.apache.spark.sql.connector.catalog.Identifier
+        .of(Array("fz1"), "fts2_src")).asInstanceOf[graft.sources.GraftTable]
+    val feed = graft.sources.Snapshots.changes(spark, tbl,
+      since = w, end = Some(h))
+    graft.queries.Engine3.fts2FoldFeed(spark, ns, s"$ns.fts2_src", feed, w, h)
+    assert(graft.queries.Engine3.dictCompact(spark, ns),
+      "fixture: the dict compaction must fire")
+    assert(spark.table(s"$ns.dict_var").where(col("tok") === "sox").count() == 0,
+      "fixture: the compaction must have stripped the dead term")
+    // the pinned serve still suggests sox: its dict read is at the SAME
+    // cut as the postings that verify it
+    assert(fuzzy(pin1) == Seq(("sox", 0L, 1L)),
+      "a serve pinned before the delete must still suggest the term the " +
+        "compaction stripped from the live dict")
+    // and a fresh pin serves the post-delete truth
+    assert(fuzzy(graft.queries.Engine3.ServePin.of(spark, ns)).isEmpty,
+      "a fresh pin must not resurrect the dead term")
+  }
+
+  test("serve pinning: fuzzy serves interleaved with LIVE folds and dict " +
+      "compactions each equal some fold-boundary cut — never a lost suggestion") {
+    val wh = gimWh
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gim.fz2")
+    val ns = "gim.fz2"
+    graft.queries.Engine3.fts2Create(spark, ns, withRowKey = true)
+    spark.sql(s"CREATE TABLE $ns.dict_var (variant STRING, tok STRING)")
+    import spark.implicits._
+    def term(i: Long) = s"sow${('a' + i).toChar}" // all distance 1 from "sow"
+    def append(rows: Seq[(Long, String)]): Unit =
+      rows.toDF("doc_id", "text")
+        .select(col("doc_id").cast("string").as("row_key"),
+          col("doc_id"), col("text"))
+        .writeTo(s"$ns.fts2_src").append()
+    append((0L until 4L).map(i => (i, s"${term(i)} common")))
+    val seedV = graft.queries.Engine3.fts2SrcVersion(spark, ns)
+    graft.queries.Engine3.dictFold(spark, ns,
+      spark.table(s"$ns.fts2_src").select(col("doc_id"), col("text")))
+    graft.queries.Engine3.fts2Fold(spark, ns,
+      spark.table(s"$ns.fts2_src").select(col("doc_id"), col("text")), seedV)
+    val cat = spark.sessionState.catalogManager.catalog("gim")
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
+    val tbl = cat.loadTable(org.apache.spark.sql.connector.catalog.Identifier
+        .of(Array("fz2"), "fts2_src")).asInstanceOf[graft.sources.GraftTable]
+    def canon(rows: Array[org.apache.spark.sql.Row]): String =
+      rows.map(r => s"${r.getString(0)}:${r.getLong(1)}:${r.getLong(2)}")
+        .sorted.mkString(",")
+    val cuts = new java.util.concurrent.ConcurrentLinkedQueue[Map[String, Long]]()
+    cuts.add(graft.sources.Transactions.headVersions(wh))
+    val maintErr = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+    val maintainer = new Thread(() =>
+      try {
+        for (k <- 1 to 5) {
+          // churn: one doc dies (its term goes dead → dict debt), one
+          // arrives with a NEW suggestion-shaped term
+          spark.sql(s"DELETE FROM $ns.fts2_src WHERE doc_id = ${k - 1}")
+          append(Seq((100L + k, s"${term(3 + k)} common")))
+          val w = graft.streaming.IndexMaintain.watermark(spark, s"$ns.fts2_meta")
+          val h = graft.queries.Engine3.fts2SrcVersion(spark, ns)
+          val feed = graft.sources.Snapshots.changes(spark, tbl,
+            since = w, end = Some(h))
+          val affected = feed.select(col("doc_id")).distinct()
+          val dv = graft.queries.Engine3.dictFold(spark, ns,
+            spark.read.option("snapshot-version", h).table(s"$ns.fts2_src")
+              .join(affected, Seq("doc_id"), "left_semi")
+              .select(col("doc_id"), col("text")))
+          graft.queries.Engine3.fts2FoldFeed(spark, ns, s"$ns.fts2_src",
+            feed, w, h, expect = Some(w), dictExpect = Some(dv))
+          cuts.add(graft.sources.Transactions.headVersions(wh))
+          // dict compaction under live serves — the race this test exists
+          // for (tiny frac: tombstones are never compacted away here, so
+          // the debt trigger fires every interval)
+          if (graft.queries.Engine3.dictCompactIfDebt(spark, ns, frac = 1e-9))
+            cuts.add(graft.sources.Transactions.headVersions(wh))
+        }
+      } catch { case e: Throwable => maintErr.set(e) })
+    val served = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    val serveErr = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+    val server = new Thread(() =>
+      try while (maintainer.isAlive)
+        served.add(canon(
+          graft.queries.Engine3.fuzzyServe(spark, ns, "sow").collect()))
+      catch { case e: Throwable => serveErr.set(e) })
+    maintainer.start(); server.start()
+    maintainer.join(300000); server.join(300000)
+    assert(maintErr.get() == null, s"maintainer failed: ${maintErr.get()}")
+    assert(serveErr.get() == null, s"serve failed: ${serveErr.get()}")
+    assert(spark.table(s"$ns.dict_var").where(col("tok") === term(0)).count() == 0,
+      "the dict compactions must actually have stripped dead vocabulary")
+    val legal = {
+      import scala.jdk.CollectionConverters._
+      cuts.asScala.toSeq.map { cut =>
+        canon(graft.queries.Engine3.fuzzyServe(spark, ns, "sow",
+          new graft.queries.Engine3.ServePin(spark, ns, cut)).collect())
+      }.toSet
+    }
+    import scala.jdk.CollectionConverters._
+    val illegal = served.asScala.toSet -- legal
+    assert(illegal.isEmpty,
+      s"${illegal.size} fuzzy answer(s) matched NO fold boundary (lost " +
+        s"suggestion or torn dict/postings pair): ${illegal.take(2).mkString(" | ")}")
+    assert(served.asScala.toSet.size >= 2 || legal.size == 1,
+      "serves never observed more than one cut — interleaving too coarse to test anything")
+  }
 }
