@@ -1043,6 +1043,35 @@ object TableStats {
     * each delete the other's fresh lock and both enter the section. */
   def withLock[T](fs: FileSystem, dataDir: Path)(body: => T): T = {
     val lock = new Path(dataDir.getParent, ".stats.lock")
+    // IN-PROCESS serialization FIRST: local-FS `create(path, overwrite =
+    // false)` is a non-atomic exists-then-create (TOCTOU), so two threads
+    // of ONE driver — the dual-maintainer topology — could both pass the
+    // exists check, each read its own token back, and both enter the
+    // critical section: they then mint the SAME snapshot version and
+    // collide on its tmp file (the chmod-on-vanished-crc crash the
+    // dual-maintainer spec caught under full-suite load). A process-wide
+    // lock striped by the qualified lock path closes the same-JVM hole
+    // outright (and replaces 50 ms create-polling between same-process
+    // contenders with a real queue); cross-PROCESS local-FS waiters keep
+    // the documented best-effort create protocol, and HDFS's atomic
+    // create is untouched. Same 30 s deadline, same LockTimeout type, so
+    // the commit-guard's acquisition-scoped retry semantics are
+    // unchanged.
+    val jvmLock = jvmLocks.computeIfAbsent(
+      fs.makeQualified(lock).toString,
+      _ => new java.util.concurrent.locks.ReentrantLock(true))
+    if (!jvmLock.tryLock(30, java.util.concurrent.TimeUnit.SECONDS))
+      throw new LockTimeout(
+        s"graft: could not acquire $lock (in-process) within 30s")
+    try withFileLock(fs, lock)(body)
+    finally jvmLock.unlock()
+  }
+
+  /** Process-wide monitor per qualified lock path — see [[withLock]]. */
+  private val jvmLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.locks.ReentrantLock]()
+
+  private def withFileLock[T](fs: FileSystem, lock: Path)(body: => T): T = {
     val token = java.util.UUID.randomUUID().toString
     val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
     def lockContent(): Option[String] =

@@ -415,7 +415,13 @@ object Snapshots {
         else (TableStats.serialize(stats), 0)
       case _ => (TableStats.serialize(stats), 0)
     }
-    val tmp = new Path(d, s".${fmt(next)}.tmp")
+    // attempt-unique tmp (like the tags/registry writers): commit paths
+    // hold the table lock, but a cross-process local-FS racer is only
+    // best-effort excluded — with a SHARED tmp name its overwrite-create
+    // deletes our `.crc` sidecar mid-write (the chmod-on-vanished-crc
+    // crash); with unique names the race degrades to last-rename-wins,
+    // which the registry swap upstream already resolves.
+    val tmp = new Path(d, s".${fmt(next)}.tmp-${java.util.UUID.randomUUID()}")
     val bytes = body.getBytes(java.nio.charset.StandardCharsets.UTF_8)
     val out = fs.create(tmp, true)
     try out.write(bytes)

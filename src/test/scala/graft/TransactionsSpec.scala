@@ -546,4 +546,35 @@ class TransactionsSpec extends AnyFunSuite with BeforeAndAfterAll {
         "surviving head entry forever — serves would pin it to EMPTY")
     assert(count("rep") == 1)
   }
+
+  test("withLock serializes SAME-JVM committers: local-FS create is a " +
+      "non-atomic exists-then-create, so without in-process serialization " +
+      "two driver threads can both enter and mint one snapshot version") {
+    val dd = new org.apache.hadoop.fs.Path(
+      Files.createTempDirectory("graft_lockham").toString, "data")
+    val fs = dd.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    fs.mkdirs(dd)
+    val f = new org.apache.hadoop.fs.Path(dd, "counter")
+    def readN(): Long =
+      if (!fs.exists(f)) 0L
+      else {
+        val in = fs.open(f)
+        try new String(in.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+        finally in.close()
+      }
+    val threads = (1 to 8).map(_ => new Thread(() =>
+      for (_ <- 1 to 25) graft.sources.TableStats.withLock(fs, dd) {
+        val n = readN()
+        // widen the read-modify-write window past the TOCTOU gap
+        Thread.sleep(1)
+        val out = fs.create(f, true)
+        try out.write((n + 1).toString.getBytes(
+          java.nio.charset.StandardCharsets.UTF_8))
+        finally out.close()
+      }))
+    threads.foreach(_.start()); threads.foreach(_.join(120000))
+    assert(readN() == 200L,
+      s"lost updates under withLock: ${readN()} of 200 increments survived")
+  }
 }
