@@ -311,11 +311,35 @@ object Bench {
     // END of the pass (fixtures tolerate extra executions by the shadow
     // probe's contract) and keep the better min. A real regression
     // survives the re-time and still reports slow.
-    val suspects = timings.toSeq.flatMap { case (n, t) =>
+    val ratioSuspects = timings.toSeq.flatMap { case (n, t) =>
       history.get(n).collect {
         case h if h > 0.0 && t > 3 * h && t - h > 0.5 => (n, t, t / h)
       }
     }.sortBy(-_._3).take(12)
+    // WHOLE-RUN guard (round-12 lesson): a loaded box can inflate MANY
+    // queries by ~1 s each — individually under the 3x ratio trigger,
+    // collectively tens of seconds (the r12 artifact carried +26 s spread
+    // over 29 untouched queries). When the run's total over queries that
+    // have history exceeds 1.15x that history, ALSO re-time the largest
+    // ABSOLUTE deltas (> 0.5 s over history), filling the same 12-suspect
+    // budget after the ratio outliers. A real regression still survives
+    // its re-time and reports slow; only re-run-faster values are kept.
+    val commons = timings.toSeq.collect {
+      case (n, t) if history.get(n).exists(_ > 0.0) => (n, t, history(n))
+    }
+    val runInflated = commons.size >= 24 &&
+      commons.map(_._2).sum > 1.15 * commons.map(_._3).sum
+    val deltaSuspects =
+      if (!runInflated) Nil
+      else commons.collect { case (n, t, h) if t - h > 0.5 => (n, t, t / h) }
+        .sortBy { case (_, t, r) => -(t - t / r) } // largest absolute delta
+    val suspects = (ratioSuspects ++
+      deltaSuspects.filterNot(d => ratioSuspects.exists(_._1 == d._1)))
+      .take(12)
+    if (runInflated) System.err.println(
+      f"BENCH RUN-INFLATED: common-query total ${commons.map(_._2).sum}%.1f s " +
+        f"> 1.15x history ${commons.map(_._3).sum}%.1f s — re-timing top " +
+        f"absolute deltas (${suspects.size} suspects)")
     var retimedCount = 0
     // (name, recorded min, end-of-pass re-run min) for EVERY suspect —
     // lands in BENCH_LAST.json as "retimed_queries" so the artifact

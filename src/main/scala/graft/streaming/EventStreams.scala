@@ -171,6 +171,41 @@ object EventStreams {
         (unix_micros(col("ts_p")) - unix_micros(col("ts_c"))).as("lat_us"))
   }
 
+  /** Scale-adaptive STATE-partition count for a stateful streaming query
+    * (guide §2: derive partitioning from input size — a constant tuned for
+    * either local mode or the cluster is wrong at the other end). Every
+    * stateful operator materializes ONE state store per shuffle partition
+    * and pays a per-partition store commit EVERY micro-batch, so a
+    * partition count sized for batch shuffle parallelism is pure
+    * fixed overhead when the buffered state is small — and state size
+    * tracks the INPUT inside the watermark horizon, not the cluster.
+    * One partition per ~`graft.stream.stateTargetBytes` (default 32 MB)
+    * of planned input, clamped to [1, session shuffle partitions]: a
+    * 100 TB/day stream keeps the deployment's full parallelism (the cap),
+    * a small replay drains through a handful of stores instead of paying
+    * cores × operators × batches empty-store commits. Explicit override:
+    * `graft.stream.statePartitions`. Size the BATCH view of the source
+    * (streaming relations carry no stats). Partition count never changes
+    * results — only where state rows live. */
+  def statePartitions(s: SparkSession, sized: DataFrame*): Int =
+    s.conf.getOption("graft.stream.statePartitions").map(_.toInt).getOrElse {
+      val target = s.conf.getOption("graft.stream.stateTargetBytes")
+        .map(_.toLong).getOrElse(32L * 1024 * 1024)
+      val session = BigInt(s.conf.get("spark.sql.shuffle.partitions").toInt)
+      val bytes = sized.map(_.queryExecution.optimizedPlan.stats.sizeInBytes).sum
+      ((bytes / target + 1) min session max BigInt(1)).toInt
+    }
+
+  /** Run `body` with `spark.sql.shuffle.partitions` set to `n` (what a
+    * NEW streaming query's checkpoint locks its state partitioning to),
+    * restoring the session value after — so the override scopes to the
+    * one stream start it wraps. */
+  def withStatePartitions[T](s: SparkSession, n: Int)(body: => T): T = {
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", n.toString)
+    try body finally s.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   /** Per-user session counts with a 30-minute inactivity gap, implemented
     * as explicit keyed state. Events within one micro-batch are sorted by
     * (ts, event_id) before folding; state carries the last timestamp across
