@@ -15,6 +15,12 @@ run / fork := true
 // output like graft.Bench's single JSON line stays parseable when the
 // benchmark is launched via `sbt runMain`.
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// Suppress sbt's trailing "[success] Total time: ..." line: the bench
+// harness records only the last ~2000 chars of stdout, and that 75-byte
+// suffix was exactly the budget that forced graft.Bench's per-query map
+// down to integer seconds at 189 queries (round-13 artifact). Failures
+// still report through the exit code and "[error]" lines.
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

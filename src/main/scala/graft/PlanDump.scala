@@ -12,6 +12,7 @@ import org.apache.spark.sql.SparkSession
   */
 object PlanDump {
   def main(args: Array[String]): Unit = {
+    graft.sources.FastLocalFileSystem.install() // before any file:// use
     val dir = args(0)
     val out = args(1)
     val suffix = args(2)

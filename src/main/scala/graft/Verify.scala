@@ -5,6 +5,7 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
+    graft.sources.FastLocalFileSystem.install() // before any file:// use
     val (sfDir, outDir) = (args(0), args(1))
     // optional extra args: run only these queries (local iteration aid)
     val only = args.drop(2).toSet

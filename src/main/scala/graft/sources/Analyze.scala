@@ -49,9 +49,7 @@ object Analyze {
     val out = fs.create(tmp, true)
     try out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
-    val fc = org.apache.hadoop.fs.FileContext.getFileContext(fs.getUri, fs.getConf)
-    fc.rename(fc.makeQualified(tmp), fc.makeQualified(new Path(dataDir, FileName)),
-      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    TableStats.renameOverwrite(fs, tmp, new Path(dataDir, FileName))
   }
 
   /** The persisted column stats, or empty if the table was never analyzed. */

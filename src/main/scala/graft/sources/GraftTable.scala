@@ -1054,16 +1054,21 @@ object TableStats {
     // outright (and replaces 50 ms create-polling between same-process
     // contenders with a real queue); cross-PROCESS local-FS waiters keep
     // the documented best-effort create protocol, and HDFS's atomic
-    // create is untouched. Same 30 s deadline, same LockTimeout type, so
-    // the commit-guard's acquisition-scoped retry semantics are
+    // create is untouched. ONE shared 30 s deadline spans both stages —
+    // the in-process queue wait and the file-lock protocol — so
+    // worst-case acquisition stays 30 s total (round-13 ADVICE: the two
+    // independent waits used to stack to 60 s, silently stretching
+    // commit-guard retry timing calibrated to 30 s). Same LockTimeout
+    // type, so the commit-guard's acquisition-scoped retry semantics are
     // unchanged.
+    val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
     val jvmLock = jvmLocks.computeIfAbsent(
       fs.makeQualified(lock).toString,
       _ => new java.util.concurrent.locks.ReentrantLock(true))
     if (!jvmLock.tryLock(30, java.util.concurrent.TimeUnit.SECONDS))
       throw new LockTimeout(
         s"graft: could not acquire $lock (in-process) within 30s")
-    try withFileLock(fs, lock)(body)
+    try withFileLock(fs, lock, deadline)(body)
     finally jvmLock.unlock()
   }
 
@@ -1071,9 +1076,9 @@ object TableStats {
   private val jvmLocks =
     new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.locks.ReentrantLock]()
 
-  private def withFileLock[T](fs: FileSystem, lock: Path)(body: => T): T = {
+  private def withFileLock[T](fs: FileSystem, lock: Path, deadline: Long)(
+      body: => T): T = {
     val token = java.util.UUID.randomUUID().toString
-    val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
     def lockContent(): Option[String] =
       try {
         val in = fs.open(lock)
@@ -1259,11 +1264,39 @@ object TableStats {
     val dest = new Path(dataDir, FileName)
     // OVERWRITE rename: readers see the old registry or the new one,
     // never a missing file (FileSystem.rename cannot replace on local FS)
-    val fc = org.apache.hadoop.fs.FileContext.getFileContext(fs.getUri, fs.getConf)
-    fc.rename(fc.makeQualified(tmp), fc.makeQualified(dest),
-      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    renameOverwrite(fs, tmp, dest)
     next
   }
+
+  /** Atomic rename-with-overwrite for metadata swaps (registry, tags,
+    * coordinator head files). The FileContext spelling works everywhere,
+    * but FileContext resolves `file://` through the stock
+    * AbstractFileSystem chain REGARDLESS of `fs.file.impl` — and that
+    * chain, without native IO, forks `readlink`/`ls` subprocesses per
+    * rename (2-3 forks per swap; stack-sampled as the top driver cost of
+    * the round-14 commit path). On the local scheme use NIO's
+    * ATOMIC_MOVE + REPLACE_EXISTING instead: one rename(2) syscall with
+    * the same readers-see-old-or-new guarantee. The checksum sidecar
+    * moves after the data file — a missing `.crc` reads unverified,
+    * never mismatched (the FileContext/ChecksumFs path had the same
+    * transient window). */
+  def renameOverwrite(fs: FileSystem, src: Path, dest: Path): Unit =
+    if ("file".equalsIgnoreCase(fs.getScheme)) {
+      def local(p: Path) = java.nio.file.Paths.get(p.toUri.getPath)
+      def crc(p: Path) = new Path(p.getParent, s".${p.getName}.crc")
+      java.nio.file.Files.deleteIfExists(local(crc(dest)))
+      java.nio.file.Files.move(local(src), local(dest),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      if (java.nio.file.Files.exists(local(crc(src))))
+        java.nio.file.Files.move(local(crc(src)), local(crc(dest)),
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    } else {
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(fs.getUri, fs.getConf)
+      fc.rename(fc.makeQualified(src), fc.makeQualified(dest),
+        org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    }
 }
 
 // ---------------------------------------------------------------- read ----

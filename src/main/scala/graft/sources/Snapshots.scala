@@ -472,9 +472,7 @@ object Snapshots {
     try out.write(m.toSeq.sortBy(_._1).map { case (n, v) => s"$n\t$v" }
       .mkString("", "\n", "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
-    val fc = org.apache.hadoop.fs.FileContext.getFileContext(fs.getUri, fs.getConf)
-    fc.rename(fc.makeQualified(tmp), fc.makeQualified(tagsPath(dataDir)),
-      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    TableStats.renameOverwrite(fs, tmp, tagsPath(dataDir))
   }
 
   /** Tag `version` (default: the current head) as `name`. Re-tagging an
@@ -1087,6 +1085,18 @@ object Snapshots {
         if (st.getPath.getName.startsWith(".staging-") &&
             now - st.getModificationTime >= minAgeMillis)
           fs.delete(st.getPath, true)
+      }
+      // snapshot tmp files orphaned by a crash between create and rename:
+      // recordAt's tmp names are attempt-unique (.vNNN.tsv.tmp-<uuid>), so
+      // no retry ever overwrites an orphan — without this reclaim a
+      // crash-retry loop accumulates unbounded tmp + .crc litter in
+      // _snapshots/ (round-13 ADVICE). Same age guard as data files: an
+      // in-flight recordAt's tmp is younger than minAge.
+      val sDir = snapDir(dataDir)
+      if (fs.exists(sDir)) fs.listStatus(sDir).foreach { st =>
+        if (st.isFile && st.getPath.getName.contains(".tmp-") &&
+            now - st.getModificationTime >= minAgeMillis)
+          fs.delete(st.getPath, false)
       }
       (victims.toSeq, dropped)
     }

@@ -455,10 +455,7 @@ object Transactions {
           .mkString("", "\n", "\n")
           .getBytes(java.nio.charset.StandardCharsets.UTF_8))
         finally out.close()
-        val fc = org.apache.hadoop.fs.FileContext.getFileContext(fs.getUri, fs.getConf)
-        fc.rename(fc.makeQualified(tmp),
-          fc.makeQualified(new Path(d, "versions.head")),
-          org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+        TableStats.renameOverwrite(fs, tmp, new Path(d, "versions.head"))
       }
     }
   }
@@ -482,10 +479,7 @@ object Transactions {
           .mkString("", "\n", "\n")
           .getBytes(java.nio.charset.StandardCharsets.UTF_8))
         finally out.close()
-        val fc = org.apache.hadoop.fs.FileContext.getFileContext(fs.getUri, fs.getConf)
-        fc.rename(fc.makeQualified(tmp),
-          fc.makeQualified(new Path(d, "versions.head")),
-          org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+        TableStats.renameOverwrite(fs, tmp, new Path(d, "versions.head"))
       }
     }
 
@@ -507,10 +501,7 @@ object Transactions {
         .mkString("", "\n", "\n")
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
       finally out.close()
-      val fc = org.apache.hadoop.fs.FileContext.getFileContext(fs.getUri, fs.getConf)
-      fc.rename(fc.makeQualified(tmp),
-        fc.makeQualified(new Path(d, s"$id.versions")),
-        org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+      TableStats.renameOverwrite(fs, tmp, new Path(d, s"$id.versions"))
     }
 
   /** The per-table versions a COMMITTED transaction published — the

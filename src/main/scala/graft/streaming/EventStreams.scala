@@ -199,8 +199,24 @@ object EventStreams {
   /** Run `body` with `spark.sql.shuffle.partitions` set to `n` (what a
     * NEW streaming query's checkpoint locks its state partitioning to),
     * restoring the session value after — so the override scopes to the
-    * one stream start it wraps. */
+    * one stream start it wraps.
+    *
+    * SEQUENTIAL-CALLER CONTRACT (round-13 ADVICE): the override mutates
+    * the SESSION conf for the duration of `body` (typically a
+    * start().awaitTermination() drain), so any query planned concurrently
+    * in the same session during that window would silently inherit the
+    * clamped partition count. Re-binding the stream to a cloned session
+    * is not safe here (newSession() does not carry the runtime catalog
+    * confs the stream's table reads resolve through), so the guard below
+    * refuses the override when other streams are already running on the
+    * session — the concurrent-maintainer topology must size partitions
+    * via the explicit `graft.stream.statePartitions` conf instead. */
   def withStatePartitions[T](s: SparkSession, n: Int)(body: => T): T = {
+    require(s.streams.active.isEmpty,
+      "graft: withStatePartitions mutates the session's shuffle-partition " +
+        "conf and requires strictly sequential stream starts; " +
+        s"${s.streams.active.length} stream(s) already active — set " +
+        "graft.stream.statePartitions explicitly for concurrent topologies")
     val prev = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", n.toString)
     try body finally s.conf.set("spark.sql.shuffle.partitions", prev)

@@ -75,20 +75,59 @@ class ContractSpec extends AnyFunSuite {
     // `value`.
     def value(line: String): Double =
       """"value":([0-9.]+)""".r.findFirstMatchIn(line).get.group(1).toDouble
-    val qs = (1 to 200).map(i => s"q$i" -> 1.0)
-    val st = (1 to 20).map(i => s"q$i" -> 2.0)
+    val qs = (1 to 170).map(i => s"q$i" -> 9.87)
+    val st = (1 to 20).map(i => s"q$i" -> 8.76)
     val line = Bench.renderShortLine(qs, st, Nil, "sf0.1")
-    assert(!line.contains("\"setup\""), "200 queries should force the drop")
-    assert(math.abs(value(line) - 240.0) < 1.5, line.take(120))
+    assert(!line.contains("\"setup\":{"),
+      s"170 wide queries should force the setup-map drop: ${line.length} bytes")
+    assert(math.abs(value(line) - (170 * 9.87 + 20 * 8.76)) < 1.5, line.take(120))
     // the dropped map leaves ONE aggregate behind: the artifact stays
     // decomposable (value = sum of queries + setup_total)
     val stotal = """"setup_total":([0-9.]+)""".r
       .findFirstMatchIn(line).map(_.group(1).toDouble)
-    assert(stotal.exists(v => math.abs(v - 40.0) < 1.0),
+    assert(stotal.exists(v => math.abs(v - 20 * 8.76) < 1.0),
       s"setup_total must survive the drop: ${line.take(160)}")
     // and when the map FITS, the value is identical
     val small = Bench.renderLine(qs.take(3), st.take(2), Nil, "sf0.1", 3)
-    assert(math.abs(value(small) - 7.0) < 0.01, small)
+    assert(math.abs(value(small) - (3 * 9.87 + 2 * 8.76)) < 0.01, small)
+  }
+
+  test("adaptive per-query rendering: decimals below threshold, never a bare 0") {
+    // afmt is what buys per-query resolution back at 189 queries: 1
+    // decimal under the threshold, integer above, 2 decimals under 0.1 s,
+    // floored at 0.01 so a measured query can never render as the literal
+    // 0 the round-13 comparator treated as "dropped from bench"
+    assert(Bench.afmt(0.0, 1.0) == "0")
+    assert(Bench.afmt(0.004, 1.0) == "0.01", "positive time must never render 0")
+    assert(Bench.afmt(0.04, 1.0) == "0.04")
+    assert(Bench.afmt(0.35, 1.0) == "0.4")
+    assert(Bench.afmt(0.97, 1.0) == "1")
+    assert(Bench.afmt(1.44, 2.0) == "1.4")
+    assert(Bench.afmt(1.44, 1.0) == "1")
+    assert(Bench.afmt(13.4, 2.0) == "13")
+  }
+
+  test("realistic 189-query line keeps sub-second decimals (round-13 item 3)") {
+    // With round-13's real value distribution the stdout line must pick a
+    // threshold tier, not collapse to integer seconds: every sub-second
+    // query keeps a decimal and no positive value renders as 0.
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    val vals = names.zipWithIndex.map { case (n, i) =>
+      n -> (i % 4 match {
+        case 0 => 0.11 + (i % 7) * 0.1 // sub-second spread
+        case 1 => 0.42
+        case 2 => 1.0 + (i % 5) * 0.5  // the 1-3 s band
+        case 3 => 0.07
+      })
+    }
+    val setups = SparkEntry.allDefs.filter(_.setup.isDefined).map(_.name -> 2.5)
+    val line = Bench.renderShortLine(vals, setups, Nil, "sf0.1",
+      shadow = Some(0.2), hot = Some(3.0), hotN = Some(1))
+    assert(line.getBytes("UTF-8").length <= Bench.MaxLineBytes)
+    assert(!line.matches(""".*":0[,}].*"""),
+      s"positive query times must not render as 0: ${line.take(200)}")
+    assert(line.contains(":0.4"), "sub-second values must keep a decimal")
+    assert(line.contains(":0.07"), "sub-0.1s values must keep two decimals")
   }
 
   test("bench line budget survives query failures (round-5 regression)") {
